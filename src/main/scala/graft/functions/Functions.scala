@@ -1,0 +1,193 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, TernaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Scalar-function registry (SURVEY.md §2.8).
+  *
+  * Two design departures from the reference, both deliberate and
+  * scale-motivated:
+  *
+  *  1. The reference's "random" masking values (`Math.random()`,
+  *     reference: app/(contents)/random/page.tsx:56-133) are replaced by
+  *     **keyed deterministic pseudo-randomness**: every masked value is a
+  *     pure function of (row key, seed, tag) via md5. At 100 TB this is
+  *     the only sane choice — masking becomes idempotent (re-running a
+  *     failed partition produces identical output, so speculative
+  *     execution and task retries are safe), needs no driver-coordinated
+  *     RNG state, and is testable/oracle-checkable. Set a fresh seed per
+  *     run to get fresh masks.
+  *  2. All functions are Column expressions built from codegen'd
+  *     built-ins (`md5`, `conv`, `translate`, …) — no Scala UDFs in the
+  *     hot path, so whole-stage codegen stays intact.
+  */
+object F {
+
+  /** Column from a raw Catalyst expression (Spark 4.x classic API). */
+  def toColumn(e: Expression): Column = ExpressionUtils.column(e)
+  def toExpr(c: Column): Expression = ExpressionUtils.expression(c)
+
+  // ---------------------------------------------------------------------
+  // Keyed pseudo-random core: hash32(key, seed, tag) ∈ [0, 2^32)
+  // ---------------------------------------------------------------------
+
+  /** 32-bit uniform value derived from md5(key ":" seed ":" tag).
+    * Portable: DuckDB equivalent is
+    * `CAST(CONCAT('0x', substr(md5(k || ':' || seed || ':' || tag), 1, 8)) AS BIGINT)`.
+    */
+  def hash32(key: Column, seed: String, tag: String): Column =
+    conv(substring(md5(concat_ws(":", key.cast("string"), lit(seed), lit(tag))), 1, 8), 16, 10)
+      .cast("long")
+
+  /** Uniform integer in [min, max] inclusive (reference `randInt`,
+    * random/page.tsx:56-57, keyed-deterministic variant). */
+  def maskInt(key: Column, seed: String, tag: String, min: Long, max: Long): Column =
+    hash32(key, seed, tag) % (max - min + 1) + min
+
+  /** Hex stream of arbitrary length n (≤ 96): md5 blocks concatenated. */
+  private def hexStream(key: Column, seed: String, tag: String, n: Int): Column = {
+    val blocks = (0 to (n - 1) / 32).map(i =>
+      md5(concat_ws(":", key.cast("string"), lit(seed), lit(tag), lit(i.toString))))
+    substring(concat(blocks: _*), 1, n)
+  }
+
+  /** n pseudo-random decimal digits (reference `randDigits`/fillKind=digits,
+    * random/page.tsx:59-87). Hex → digit via translate (a-f → 0-5). */
+  def maskDigits(key: Column, seed: String, tag: String, n: Int): Column =
+    translate(hexStream(key, seed, tag, n), "abcdef", "012345")
+
+  /** n pseudo-random lowercase letters (fillKind=letters). Hex digit →
+    * one of 16 letters. */
+  def maskLetters(key: Column, seed: String, tag: String, n: Int): Column =
+    translate(hexStream(key, seed, tag, n), "0123456789abcdef", "abcdefghijklmnop")
+
+  /** n pseudo-random alphanumerics (fillKind=alnum): raw hex stream. */
+  def maskAlnum(key: Column, seed: String, tag: String, n: Int): Column =
+    hexStream(key, seed, tag, n)
+
+  /** Deterministic UUID-shaped id from (key, seed) — the engine's
+    * `ANON_ROW_ID` (reference uses crypto uuidv4, random/page.tsx:128-133;
+    * keyed determinism keeps task retries idempotent at scale). */
+  def maskUuid(key: Column, seed: String): Column = {
+    val h = md5(concat_ws(":", key.cast("string"), lit(seed), lit("uuid")))
+    concat_ws("-",
+      substring(h, 1, 8), substring(h, 9, 4), substring(h, 13, 4),
+      substring(h, 17, 4), substring(h, 21, 12))
+  }
+
+  // ---------------------------------------------------------------------
+  // Fake-data generators (reference random/page.tsx:89-110)
+  // ---------------------------------------------------------------------
+
+  val surnames: Seq[String] = Seq("Kim", "Lee", "Park", "Choi", "Jung", "Kang", "Cho", "Yoon")
+  val givenNames: Seq[String] = Seq("Minsoo", "Seojin", "Jiwon", "Haneul", "Dohyun", "Yuna", "Jimin", "Sua")
+  val emailDomains: Seq[String] = Seq("example.com", "mail.test", "sample.org", "demo.net")
+
+  /** surname + space + given name, each picked by keyed hash
+    * (reference `fakeName`, random/page.tsx:89-93). */
+  def fakeName(key: Column, seed: String): Column = {
+    val s = element_at(array(surnames.map(lit): _*), (hash32(key, seed, "fn_s") % 8 + 1).cast("int"))
+    val g = element_at(array(givenNames.map(lit): _*), (hash32(key, seed, "fn_g") % 8 + 1).cast("int"))
+    concat(s, lit(" "), g)
+  }
+
+  /** fixed prefix + random letters, lowercased, @ random domain
+    * (reference `fakeEmail`, random/page.tsx:95-102). */
+  def fakeEmail(key: Column, seed: String, fixedPart: String, fillLen: Int): Column = {
+    val local = lower(concat(lit(fixedPart), maskLetters(key, seed, "em", fillLen)))
+    val dom = element_at(array(emailDomains.map(lit): _*), (hash32(key, seed, "em_d") % 4 + 1).cast("int"))
+    concat(local, lit("@"), dom)
+  }
+
+  /** `010-XXXX-XXXX`; digits of fixedPart prefix the 8-digit tail
+    * (reference `fakePhone`, random/page.tsx:104-110). */
+  def fakePhone(key: Column, seed: String, fixedPart: String): Column = {
+    val fixedDigits = fixedPart.filter(_.isDigit).take(8)
+    val tail = concat(lit(fixedDigits), maskDigits(key, seed, "ph", 8 - fixedDigits.length))
+    concat(lit("010-"), substring(tail, 1, 4), lit("-"), substring(tail, 5, 4))
+  }
+
+  /** Uniform date in [start, end] inclusive, formatted yyyy-MM-dd
+    * (reference `randDate`, random/page.tsx:112-119). */
+  def maskDate(key: Column, seed: String, tag: String, start: String, end: String): Column = {
+    val span = java.time.temporal.ChronoUnit.DAYS.between(
+      java.time.LocalDate.parse(start), java.time.LocalDate.parse(end)) + 1
+    date_format(date_add(lit(start).cast("date"),
+      (hash32(key, seed, tag) % span).cast("int")), "yyyy-MM-dd")
+  }
+
+  /** SHA-256 lowercase hex (reference `sha256Hex`, random/page.tsx:121-126). */
+  def sha256Hex(c: Column): Column = sha2(c.cast("string"), 256)
+
+  /** `CV` + yyyyMMdd(KST) + `_` + 6-char A-Z0-9 token
+    * (reference `uniqueId`, lib/firebase/saveUser.ts:10-31). */
+  def uniqueId(key: Column, seed: String, atUtc: Column): Column = {
+    val tok = upper(maskAlnum(key, seed, "uid", 6))
+    concat(lit("CV"),
+      date_format(from_utc_timestamp(atUtc, "Asia/Seoul"), "yyyyMMdd"), lit("_"), tok)
+  }
+
+  // ---------------------------------------------------------------------
+  // Regex (reference pattern-editor/page.tsx:59-91,242-278)
+  // ---------------------------------------------------------------------
+
+  /** Replace only the FIRST regex match (reference `onReplaceOne`,
+    * pattern-editor/page.tsx:242-259). No Spark built-in → custom
+    * Catalyst expression below. */
+  def regexpReplaceFirst(src: Column, pattern: Column, repl: Column): Column =
+    toColumn(RegexpReplaceFirst(toExpr(src), toExpr(pattern), toExpr(repl)))
+
+  /** Escape a literal string so it can be used as a regex
+    * (reference `escapeRegExp`, pattern-editor/page.tsx:59-61). */
+  def escapeRegex(s: String): String = java.util.regex.Pattern.quote(s)
+
+  /** Fold i/m flags into inline groups (reference `buildRegExp`,
+    * pattern-editor/page.tsx:64-74). */
+  def withFlags(pattern: String, ignoreCase: Boolean, multiline: Boolean): String = {
+    val flags = (if (ignoreCase) "i" else "") + (if (multiline) "m" else "")
+    if (flags.isEmpty) pattern else s"(?$flags)$pattern"
+  }
+}
+
+/** `regexp_replace_first(src, pattern, repl)` — Java `Matcher.replaceFirst`
+  * semantics (`$1` backrefs work, mirroring JS `String.replace` with a
+  * non-global regex — reference pattern-editor/page.tsx:242-259).
+  *
+  * Interpreted eval with a compiled-pattern cache for the common
+  * constant-pattern case; CodegenFallback keeps it usable inside
+  * whole-stage codegen pipelines.
+  */
+case class RegexpReplaceFirst(src: Expression, regexp: Expression, rep: Expression)
+    extends TernaryExpression with CodegenFallback {
+
+  override def dataType: DataType = StringType
+  override def first: Expression = src
+  override def second: Expression = regexp
+  override def third: Expression = rep
+  override def nullable: Boolean = src.nullable || regexp.nullable || rep.nullable
+
+  @transient private var cachedPatternStr: String = _
+  @transient private var cachedPattern: java.util.regex.Pattern = _
+
+  override protected def nullSafeEval(s: Any, p: Any, r: Any): Any = {
+    val ps = p.asInstanceOf[UTF8String].toString
+    if (cachedPattern == null || cachedPatternStr != ps) {
+      cachedPatternStr = ps
+      cachedPattern = java.util.regex.Pattern.compile(ps)
+    }
+    UTF8String.fromString(
+      cachedPattern.matcher(s.asInstanceOf[UTF8String].toString)
+        .replaceFirst(r.asInstanceOf[UTF8String].toString))
+  }
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): Expression =
+    copy(src = newFirst, regexp = newSecond, rep = newThird)
+
+  override def prettyName: String = "regexp_replace_first"
+}
