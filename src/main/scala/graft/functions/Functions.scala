@@ -3,8 +3,8 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, TernaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.classic.ExpressionUtils
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftshim.ExprShim
 import org.apache.spark.sql.types.{DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -28,9 +28,11 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object F {
 
-  /** Column from a raw Catalyst expression (Spark 4.x classic API). */
-  def toColumn(e: Expression): Column = ExpressionUtils.column(e)
-  def toExpr(c: Column): Expression = ExpressionUtils.expression(c)
+  /** Column from a raw Catalyst expression (Spark 4.x classic API).
+    * `ExpressionUtils` is `private[sql]`, so access goes through the
+    * graftshim bridge that lives inside the sql package tree. */
+  def toColumn(e: Expression): Column = ExprShim.column(e)
+  def toExpr(c: Column): Expression = ExprShim.expression(c)
 
   // ---------------------------------------------------------------------
   // Keyed pseudo-random core: hash32(key, seed, tag) ∈ [0, 2^32)
@@ -57,7 +59,12 @@ object F {
   }
 
   /** n pseudo-random decimal digits (reference `randDigits`/fillKind=digits,
-    * random/page.tsx:59-87). Hex → digit via translate (a-f → 0-5). */
+    * random/page.tsx:59-87). Hex → digit via translate (a-f → 0-5).
+    *
+    * Accepted divergence: digits 0-5 are twice as likely as 6-9 (the
+    * reference is uniform). Kept because `translate` is exactly
+    * DuckDB-portable, so the oracle reproduces it bit-for-bit; the bias
+    * is documented here and in the oracle SQL. */
   def maskDigits(key: Column, seed: String, tag: String, n: Int): Column =
     translate(hexStream(key, seed, tag, n), "abcdef", "012345")
 
@@ -99,7 +106,9 @@ object F {
   /** fixed prefix + random letters, lowercased, @ random domain
     * (reference `fakeEmail`, random/page.tsx:95-102). */
   def fakeEmail(key: Column, seed: String, fixedPart: String, fillLen: Int): Column = {
-    val local = lower(concat(lit(fixedPart), maskLetters(key, seed, "em", fillLen)))
+    // Fixed prefix stays verbatim (reference lowercases only the random
+    // fill — fillByKind(..., lower=true)); maskLetters is already a-p.
+    val local = concat(lit(fixedPart), maskLetters(key, seed, "em", fillLen))
     val dom = element_at(array(emailDomains.map(lit): _*), (hash32(key, seed, "em_d") % 4 + 1).cast("int"))
     concat(local, lit("@"), dom)
   }
@@ -117,6 +126,7 @@ object F {
   def maskDate(key: Column, seed: String, tag: String, start: String, end: String): Column = {
     val span = java.time.temporal.ChronoUnit.DAYS.between(
       java.time.LocalDate.parse(start), java.time.LocalDate.parse(end)) + 1
+    require(span >= 1, s"maskDate: end '$end' before start '$start'")
     date_format(date_add(lit(start).cast("date"),
       (hash32(key, seed, tag) % span).cast("int")), "yyyy-MM-dd")
   }
@@ -125,11 +135,19 @@ object F {
   def sha256Hex(c: Column): Column = sha2(c.cast("string"), 256)
 
   /** `CV` + yyyyMMdd(KST) + `_` + 6-char A-Z0-9 token
-    * (reference `uniqueId`, lib/firebase/saveUser.ts:10-31). */
+    * (reference `uniqueId`, lib/firebase/saveUser.ts:10-31).
+    * Each token char is drawn from the full 36-char space (36^6 ≈ 2.2e9
+    * ids/day — matching the reference's randomToken6 entropy; a hex-only
+    * token would collide at ~4.8k ids/day). */
+  val tokenAlphabet: String = "ABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789"
   def uniqueId(key: Column, seed: String, atUtc: Column): Column = {
-    val tok = upper(maskAlnum(key, seed, "uid", 6))
-    concat(lit("CV"),
-      date_format(from_utc_timestamp(atUtc, "Asia/Seoul"), "yyyyMMdd"), lit("_"), tok)
+    val chars = (0 until 6).map { i =>
+      val idx = (hash32(key, seed, s"uid$i") % 36 + 1).cast("int")
+      element_at(array(tokenAlphabet.map(c => lit(c.toString)): _*), idx)
+    }
+    concat(lit("CV") +:
+      date_format(from_utc_timestamp(atUtc, "Asia/Seoul"), "yyyyMMdd") +:
+      lit("_") +: chars: _*)
   }
 
   // ---------------------------------------------------------------------
