@@ -16,9 +16,18 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  /** Lazy scan of one table under an sf dir. */
+  /** Lazy scan of one table under an sf dir. The `events` table carries
+    * TIMESTAMP(NANOS) which Spark 4 refuses by default — read it as
+    * long nanos and truncate to microsecond TimestampType (`x DIV 1000`
+    * stays in integer math; a double division would lose precision above
+    * 2^53 ns). DuckDB's `CAST(ts AS TIMESTAMP)` truncates identically. */
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events") {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(s"$dir/$name.parquet")
+        .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("ts DIV 1000")))
+    } else spark.read.parquet(s"$dir/$name.parquet")
 
   /** Register every table as a temp view so `spark.sql` pipelines work. */
   def registerAll(spark: SparkSession, dir: String): Unit =

@@ -1,0 +1,183 @@
+package graft.packs
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.QueryPack
+import graft.core.Tables
+
+/** Core relational surface the reference exposes implicitly (SURVEY §2.5
+  * A1-A6, §2.6 O1-O4, §2.7/P1, P9) plus the TPC-H-ish breadth the engine
+  * needs as a general analytics library.
+  *
+  * Determinism rules (see QueryPack): double sums go through
+  * DECIMAL(18,2) so engine and oracle agree bit-for-bit; every output has
+  * a total order.
+  *
+  * Scale notes per query are inline; the common theme: aggregations are
+  * partial+final hash aggregates; small dimension joins are broadcast;
+  * top-k queries compile to TakeOrderedAndProject (no global sort).
+  */
+object RelationalPack extends QueryPack {
+
+  private def dsum(c: String) =
+    round(sum(col(c).cast("decimal(18,2)")), 2).cast("double")
+  private def dsumSql(c: String) =
+    s"CAST(ROUND(SUM(CAST($c AS DECIMAL(18,2))), 2) AS DOUBLE)"
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // TPC-H Q1 shape: scan-filter-agg; filter + pruning push into parquet.
+    "agg_lineitem_pricing" -> ((s, dir) =>
+      Tables.load(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          dsum("l_quantity").as("sum_qty"),
+          dsum("l_extendedprice").as("sum_price"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    // Orders ⋈ customer → per-segment rollup. customer is the smaller
+    // side but both scale with SF → sort-merge on the key; AQE may
+    // broadcast at small SF. Aggregate keyed on a 5-value segment.
+    "join_orders_customer_segment" -> ((s, dir) => {
+      val o = Tables.load(s, dir, "orders")
+      val c = Tables.load(s, dir, "customer").select("c_custkey", "c_mktsegment")
+      o.join(c, o("o_custkey") === c("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"), dsum("o_totalprice").as("revenue"))
+        .orderBy("c_mktsegment")
+    }),
+
+    // Broadcast-join demo: nation is O(25) rows at every SF — the
+    // explicit broadcast keeps the plan shuffle-free on the build side.
+    "join_customer_nation_count" -> ((s, dir) => {
+      val c = Tables.load(s, dir, "customer")
+      val n = Tables.load(s, dir, "nation")
+      c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .groupBy("n_name").agg(count(lit(1)).as("n_customers"))
+        .orderBy("n_name")
+    }),
+
+    // O1+O2: top-k compiles to TakeOrderedAndProject — per-partition
+    // heap + driver merge, no global sort even at 100 TB.
+    "topk_orders" -> ((s, dir) =>
+      Tables.load(s, dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+        .limit(100)),
+
+    // A4: row counts per input.
+    "count_rows_per_table" -> ((s, dir) => {
+      val counts = Seq("customer", "orders", "lineitem", "supplier", "part")
+        .map(t => Tables.load(s, dir, t).agg(count(lit(1)).as("n_rows"))
+          .select(lit(t).as("tbl"), col("n_rows")))
+      counts.reduce(_ unionAll _).orderBy("tbl")
+    }),
+
+    // P9 predicate filter + grouped rollup over the events stream table.
+    "agg_events_by_type" -> ((s, dir) =>
+      Tables.load(s, dir, "events")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), dsum("value").as("total_value"))
+        .orderBy("event_type")),
+
+    // §2.11 batch analogue of the windowed stream agg: per-hour counts.
+    // The hour is emitted as a formatted string — raw timestamps don't
+    // cross the engine/oracle boundary portably (ns vs µs repr).
+    "events_hourly" -> ((s, dir) =>
+      Tables.load(s, dir, "events")
+        .groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:00:00").as("hour"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("hour", "event_type")),
+
+    // O1 multi-key sort + O2 limit (the notices query shape:
+    // orderBy pinned desc, createdAt desc limit 50).
+    "multikey_sort_limit" -> ((s, dir) =>
+      Tables.load(s, dir, "events")
+        .select(col("event_id"), col("event_type"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts"))
+        .orderBy(desc("event_type"), desc("ts"), asc("event_id"))
+        .limit(50)),
+
+    // O4: deterministic "shuffle" — rank by a keyed hash instead of
+    // Math.random() so retries/oracle agree (same divergence rationale
+    // as the masking functions).
+    "shuffle_rank" -> ((s, dir) => {
+      val w = Window.orderBy(md5(col("c_custkey").cast("string")), col("c_custkey"))
+      Tables.load(s, dir, "customer")
+        .select(col("c_custkey"), row_number().over(w).as("rn"))
+        .orderBy("c_custkey")
+    }),
+
+    // P1: union-of-keys schema merge — columns missing on one side
+    // become '' (reference unionKeys + defval '').
+    "union_schema_merge" -> ((s, dir) => {
+      val a = Tables.load(s, dir, "customer")
+        .select(col("c_name").as("name"), col("c_mktsegment").as("segment"),
+          lit("customer").as("side"))
+      val b = Tables.load(s, dir, "supplier")
+        .select(col("s_name").as("name"), lit("supplier").as("side"))
+      a.unionByName(b, allowMissingColumns = true)
+        .na.fill("", Seq("segment"))
+        .orderBy("side", "name")
+    }),
+
+    // A5 basic distinct.
+    "distinct_mktsegments" -> ((s, dir) =>
+      Tables.load(s, dir, "customer").select("c_mktsegment").distinct()
+        .orderBy("c_mktsegment")),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "agg_lineitem_pricing" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  ${dsumSql("l_quantity")} AS sum_qty,
+         |  ${dsumSql("l_extendedprice")} AS sum_price,
+         |  count(*) AS n
+         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+         |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "join_orders_customer_segment" ->
+      s"""SELECT c_mktsegment, count(*) AS n_orders, ${dsumSql("o_totalprice")} AS revenue
+         |FROM orders JOIN customer ON o_custkey = c_custkey
+         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "join_customer_nation_count" ->
+      """SELECT n_name, count(*) AS n_customers
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "topk_orders" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100""".stripMargin,
+    "count_rows_per_table" ->
+      """SELECT * FROM (
+        |  SELECT 'customer' AS tbl, count(*) AS n_rows FROM customer UNION ALL
+        |  SELECT 'orders', count(*) FROM orders UNION ALL
+        |  SELECT 'lineitem', count(*) FROM lineitem UNION ALL
+        |  SELECT 'supplier', count(*) FROM supplier UNION ALL
+        |  SELECT 'part', count(*) FROM part) ORDER BY tbl""".stripMargin,
+    "agg_events_by_type" ->
+      s"""SELECT event_type, count(*) AS n, ${dsumSql("value")} AS total_value
+         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "events_hourly" ->
+      """SELECT strftime(date_trunc('hour', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:00:00') AS hour,
+        |  event_type, count(*) AS n
+        |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+    "multikey_sort_limit" ->
+      """SELECT event_id, event_type,
+        |  strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S.%f') AS ts
+        |FROM events
+        |ORDER BY event_type DESC, ts DESC, event_id ASC LIMIT 50""".stripMargin,
+    "shuffle_rank" ->
+      """SELECT c_custkey,
+        |  row_number() OVER (ORDER BY md5(CAST(c_custkey AS VARCHAR)), c_custkey) AS rn
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "union_schema_merge" ->
+      """SELECT * FROM (
+        |  SELECT c_name AS name, c_mktsegment AS segment, 'customer' AS side FROM customer
+        |  UNION ALL
+        |  SELECT s_name, '', 'supplier' FROM supplier) ORDER BY side, name""".stripMargin,
+    "distinct_mktsegments" ->
+      "SELECT DISTINCT c_mktsegment FROM customer ORDER BY c_mktsegment",
+  )
+}
