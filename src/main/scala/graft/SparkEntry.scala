@@ -16,6 +16,7 @@ object SparkEntry {
   val packs: Seq[QueryPack] = Seq(
     ComparePack,
     RelationalPack,
+    MaskPack,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -51,8 +51,10 @@ object F {
   def maskInt(key: Column, seed: String, tag: String, min: Long, max: Long): Column =
     hash32(key, seed, tag) % (max - min + 1) + min
 
-  /** Hex stream of arbitrary length n (≤ 96): md5 blocks concatenated. */
-  private def hexStream(key: Column, seed: String, tag: String, n: Int): Column = {
+  /** Hex stream of arbitrary length n (≤ 96): md5 blocks concatenated.
+    * Public so the mask-rule compiler can take dynamic-length substrings
+    * (reference randomString fills to the source value's length). */
+  def hexStream(key: Column, seed: String, tag: String, n: Int): Column = {
     val blocks = (0 to (n - 1) / 32).map(i =>
       md5(concat_ws(":", key.cast("string"), lit(seed), lit(tag), lit(i.toString))))
     substring(concat(blocks: _*), 1, n)

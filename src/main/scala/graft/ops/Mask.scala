@@ -1,0 +1,124 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.F
+
+/** The masking pipeline composite (SURVEY §2.10; reference
+  * `buildMaskedSheets`, app/(contents)/random/page.tsx:350-401).
+  *
+  * A sheet-level rule map compiles to one `select` of Column
+  * expressions — a single narrow pass, no shuffle. The recovery sidecar
+  * (`ANON__KEY_{sheet}`) is a projection of the same input, so a cached
+  * input is scanned once at most twice; both outputs are pure column
+  * transforms and stay inside whole-stage codegen.
+  *
+  * Departure from the reference (documented in F's scaladoc): all
+  * "random" values are keyed-deterministic functions of
+  * (row key, seed, field tag) — idempotent under task retries at 100 TB
+  * and exactly reproducible by the DuckDB oracle.
+  */
+object Mask {
+
+  /** Fill alphabets (reference fillByKind, random/page.tsx:59-87). */
+  sealed trait FillKind
+  case object Alnum extends FillKind
+  case object Letters extends FillKind
+  case object Digits extends FillKind
+
+  /** Per-field masking rules (reference FieldRule, random/page.tsx:35-53). */
+  sealed trait MaskRule
+  /** F14: value → ''. */
+  case object Blank extends MaskRule
+  /** F9/F16: fixedPart + pseudo-random fill to target length
+    * (strLen, else the source value's length, else 8). */
+  case class RandomString(fixedPart: String = "", strLen: Option[Int] = None,
+      fill: FillKind = Alnum) extends MaskRule
+  /** F8: uniform integer in [min, max]. */
+  case class RandomInt(min: Long, max: Long) extends MaskRule
+  /** F15: digit-width mode — fixed digits + random digits to the target
+    * width (strLen, else source length). */
+  case class RandomDigits(fixedPart: String = "", strLen: Option[Int] = None)
+      extends MaskRule
+  /** F13: uniform date in [start, end]; fixedPart `YYYY` or `YYYY-MM`
+    * narrows the range (reference random/page.tsx:216-235). */
+  case class RandomDate(start: String, end: String, fixedPart: String = "")
+      extends MaskRule
+  /** F10-F12, F6. */
+  case object FakeName extends MaskRule
+  case class FakeEmail(fixedPart: String = "", fillLen: Int = 6) extends MaskRule
+  case class FakePhone(fixedPart: String = "") extends MaskRule
+  case object Sha256 extends MaskRule
+
+  val AnonRowId = "ANON_ROW_ID"
+
+  /** Resolve RandomDate's fixedPart narrowing to a concrete range. */
+  def dateRange(r: RandomDate): (String, String) = r.fixedPart match {
+    case y if y.matches("""\d{4}""") => (s"$y-01-01", s"$y-12-31")
+    case ym if ym.matches("""\d{4}-\d{2}""") =>
+      val first = java.time.LocalDate.parse(s"$ym-01")
+      (first.toString, first.withDayOfMonth(first.lengthOfMonth).toString)
+    case _ => (r.start, r.end)
+  }
+
+  /** Compile one rule into the masked Column for `field`. */
+  def compile(rule: MaskRule, key: Column, seed: String, field: String,
+      src: Column): Column = rule match {
+    case Blank => lit("")
+    case RandomString(fixed, strLen, fill) =>
+      val target = strLen.map(n => lit(n).cast("int"))
+        .getOrElse(coalesce(length(src), lit(8)))
+      val fillLen = greatest(target - lit(fixed.length), lit(0))
+      val stream = fill match {
+        case Alnum => F.maskAlnum(key, seed, field, 64)
+        case Letters => F.maskLetters(key, seed, field, 64)
+        case Digits => F.maskDigits(key, seed, field, 64)
+      }
+      concat(lit(fixed), stream.substr(lit(1), fillLen))
+    case RandomInt(min, max) => F.maskInt(key, seed, field, min, max)
+    case RandomDigits(fixed, strLen) =>
+      val fixedDigits = fixed.filter(_.isDigit)
+      val target = strLen.map(n => lit(n).cast("int"))
+        .getOrElse(coalesce(length(src), lit(8)))
+      val fillLen = greatest(target - lit(fixedDigits.length), lit(0))
+      concat(lit(fixedDigits), F.maskDigits(key, seed, field, 64).substr(lit(1), fillLen))
+    case rd: RandomDate =>
+      val (s0, e0) = dateRange(rd)
+      F.maskDate(key, seed, field, s0, e0)
+    case FakeName => F.fakeName(key, seed)
+    case FakeEmail(fixed, n) => F.fakeEmail(key, seed, fixed, n)
+    case FakePhone(fixed) => F.fakePhone(key, seed, fixed)
+    case Sha256 => F.sha256Hex(src)
+  }
+
+  /** Masked sheet + recovery sidecar. */
+  case class MaskedSheet(masked: DataFrame, keys: DataFrame)
+
+  /** Apply a rule map to one sheet.
+    *
+    * `masked`: every ruled field replaced by its mask; `ANON_ROW_ID`
+    * appended when ≥1 rule exists (the reference allocates it only for
+    * rows where a rule fired — with a non-empty rule map that is every
+    * row, since rules fire unconditionally per ruled field).
+    * `keys`: `ANON_ROW_ID` + the original values of every ruled field
+    * (reference random/page.tsx:375-396). */
+  def apply(df: DataFrame, keyField: String, seed: String,
+      rules: Seq[(String, MaskRule)]): MaskedSheet = {
+    val key = col(keyField)
+    val ruled = rules.map(_._1)
+    val maskedCols = df.columns.toSeq.map { c =>
+      rules.find(_._1 == c) match {
+        case Some((_, r)) => compile(r, key, seed, c, col(c)).as(c)
+        case None => col(c)
+      }
+    }
+    val anonId = F.maskUuid(key, seed).as(AnonRowId)
+    val masked =
+      if (rules.isEmpty) df
+      else df.select(maskedCols :+ anonId: _*)
+    val keys =
+      if (rules.isEmpty) df.sparkSession.emptyDataFrame
+      else df.select(F.maskUuid(key, seed).as(AnonRowId) +: ruled.map(col): _*)
+    MaskedSheet(masked, keys)
+  }
+}

@@ -1,0 +1,138 @@
+package graft.packs
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.QueryPack
+import graft.core.Tables
+import graft.functions.F
+import graft.ops.Mask
+import graft.ops.Mask._
+
+/** Oracle-checked queries for the masking pipeline (SURVEY §2.10 +
+  * F6-F16/F19).
+  *
+  * `MaskSql` mirrors graft.functions.F in DuckDB SQL, construction by
+  * construction (md5 → hex-parse → modulo), so the oracle reproduces
+  * every masked value bit-for-bit — including the documented
+  * maskDigits translate bias.
+  */
+object MaskPack extends QueryPack {
+
+  private val seed = "s42"
+
+  /** DuckDB mirror of graft.functions.F. `k` is a SQL expression for the
+    * string image of the row key. */
+  object MaskSql {
+    def hash32(k: String, tag: String): String =
+      s"CAST(CONCAT('0x', substr(md5($k || ':$seed:$tag'), 1, 8)) AS BIGINT)"
+    /** First hex-stream block (n ≤ 32 uses only block 0). */
+    def hexStream(k: String, tag: String, n: Int): String = {
+      require(n <= 64, "hexStream mirror supports ≤ 64 chars")
+      val blocks = (0 to (n - 1) / 32)
+        .map(i => s"md5($k || ':$seed:$tag:$i')").mkString(" || ")
+      s"substr($blocks, 1, $n)"
+    }
+    def digits(k: String, tag: String, n: Int): String =
+      s"translate(${hexStream(k, tag, n)}, 'abcdef', '012345')"
+    def letters(k: String, tag: String, n: Int): String =
+      s"translate(${hexStream(k, tag, n)}, '0123456789abcdef', 'abcdefghijklmnop')"
+    def maskInt(k: String, tag: String, min: Long, max: Long): String =
+      s"${hash32(k, tag)} % ${max - min + 1} + $min"
+    def uuid(k: String): String = {
+      val h = s"md5($k || ':$seed:uuid')"
+      s"concat_ws('-', substr($h,1,8), substr($h,9,4), substr($h,13,4), substr($h,17,4), substr($h,21,12))"
+    }
+    def pick(k: String, tag: String, items: Seq[String]): String =
+      s"CASE ${hash32(k, tag)} % ${items.size} " +
+        items.zipWithIndex.map { case (v, i) => s"WHEN $i THEN '$v'" }.mkString(" ") + " END"
+    def fakeName(k: String): String =
+      s"${pick(k, "fn_s", F.surnames)} || ' ' || ${pick(k, "fn_g", F.givenNames)}"
+    def fakeEmail(k: String, fixed: String, n: Int): String =
+      s"'$fixed' || ${letters(k, "em", n)} || '@' || ${pick(k, "em_d", F.emailDomains)}"
+    def fakePhone(k: String, fixed: String): String = {
+      val fd = fixed.filter(_.isDigit).take(8)
+      val tail = s"'$fd' || ${digits(k, "ph", 8 - fd.length)}"
+      s"'010-' || substr($tail, 1, 4) || '-' || substr($tail, 5, 4)"
+    }
+    def maskDate(k: String, tag: String, start: String, end: String): String = {
+      val span = java.time.temporal.ChronoUnit.DAYS.between(
+        java.time.LocalDate.parse(start), java.time.LocalDate.parse(end)) + 1
+      s"strftime(DATE '$start' + CAST(${hash32(k, tag)} % $span AS INT), '%Y-%m-%d')"
+    }
+    def uniqueId(k: String, kstDate: String): String = {
+      val tok = (0 until 6)
+        .map(i => s"substr('${F.tokenAlphabet}', CAST(${hash32(k, s"uid$i")} % 36 AS INT) + 1, 1)")
+        .mkString(" || ")
+      s"'CV$kstDate" + "_' || " + tok
+    }
+  }
+
+  private val k = "CAST(c_custkey AS VARCHAR)"
+
+  /** The sheet fixture: a 4-column projection of customer. */
+  private def sheet(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "customer").select(
+      col("c_custkey"), col("c_name").as("name"),
+      col("c_mktsegment").as("segment"), col("c_nationkey").as("nation"))
+
+  private val rules: Seq[(String, MaskRule)] = Seq(
+    "name" -> RandomString(fixedPart = "U_", strLen = Some(10), fill = Alnum),
+    "segment" -> Sha256,
+    "nation" -> RandomInt(1, 25))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // §2.10 masked sheet: ruled fields replaced, ANON_ROW_ID appended.
+    "mask_sheet_masked" -> ((s, dir) =>
+      Mask(sheet(s, dir), "c_custkey", seed, rules).masked.orderBy("c_custkey")),
+    // §2.10 recovery sidecar: ANON_ROW_ID + original ruled values.
+    "mask_sheet_keys" -> ((s, dir) =>
+      Mask(sheet(s, dir), "c_custkey", seed, rules).keys.orderBy(AnonRowId)),
+    // F10-F13, F19 scalar generators, one column each.
+    "mask_fakes" -> ((s, dir) => {
+      val key = col("c_custkey")
+      Tables.load(s, dir, "customer").select(
+        col("c_custkey"),
+        F.fakeName(key, seed).as("fname"),
+        F.fakeEmail(key, seed, "user", 6).as("femail"),
+        F.fakePhone(key, seed, "010").as("fphone"),
+        F.maskDate(key, seed, "dt", "2020-01-01", "2021-12-31").as("fdate"),
+        F.uniqueId(key, seed, lit("2026-01-15 00:00:00").cast("timestamp")).as("uid"))
+        .orderBy("c_custkey")
+    }),
+    // F15 digit-width mode + F14 blank + F9 letters fill, dynamic width.
+    "mask_widths" -> ((s, dir) => {
+      val df = Tables.load(s, dir, "customer")
+        .select(col("c_custkey"), col("c_name").as("acct"), col("c_mktsegment").as("note"))
+      Mask(df, "c_custkey", seed, Seq(
+        "acct" -> RandomDigits(fixedPart = "99", strLen = None),
+        "note" -> Blank)).masked.orderBy("c_custkey")
+    }),
+  )
+
+  private val maskedNameSql = s"'U_' || ${MaskSql.hexStream(k, "name", 8)}"
+  private val maskedNationSql = MaskSql.maskInt(k, "nation", 1, 25)
+
+  val oracleSql: Map[String, String] = Map(
+    "mask_sheet_masked" ->
+      s"""SELECT c_custkey, $maskedNameSql AS name, sha256(c_mktsegment) AS segment,
+         |  $maskedNationSql AS nation, ${MaskSql.uuid(k)} AS ANON_ROW_ID
+         |FROM customer ORDER BY c_custkey""".stripMargin,
+    "mask_sheet_keys" ->
+      s"""SELECT ${MaskSql.uuid(k)} AS ANON_ROW_ID, c_name AS name,
+         |  c_mktsegment AS segment, c_nationkey AS nation
+         |FROM customer ORDER BY ANON_ROW_ID""".stripMargin,
+    "mask_fakes" ->
+      s"""SELECT c_custkey,
+         |  ${MaskSql.fakeName(k)} AS fname,
+         |  ${MaskSql.fakeEmail(k, "user", 6)} AS femail,
+         |  ${MaskSql.fakePhone(k, "010")} AS fphone,
+         |  ${MaskSql.maskDate(k, "dt", "2020-01-01", "2021-12-31")} AS fdate,
+         |  ${MaskSql.uniqueId(k, "20260115")} AS uid
+         |FROM customer ORDER BY c_custkey""".stripMargin,
+    "mask_widths" ->
+      s"""SELECT c_custkey,
+         |  '99' || substr(${MaskSql.digits(k, "acct", 64)}, 1, GREATEST(length(c_name) - 2, 0)) AS acct,
+         |  '' AS note, ${MaskSql.uuid(k)} AS ANON_ROW_ID
+         |FROM customer ORDER BY c_custkey""".stripMargin,
+  )
+}
