@@ -17,6 +17,8 @@ object SparkEntry {
     ComparePack,
     RelationalPack,
     MaskPack,
+    SourcesPack,
+    PatternsPack,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -163,8 +163,11 @@ object F {
     toColumn(RegexpReplaceFirst(toExpr(src), toExpr(pattern), toExpr(repl)))
 
   /** Escape a literal string so it can be used as a regex
-    * (reference `escapeRegExp`, pattern-editor/page.tsx:59-61). */
-  def escapeRegex(s: String): String = java.util.regex.Pattern.quote(s)
+    * (reference `escapeRegExp`, pattern-editor/page.tsx:59-61).
+    * Char-by-char escaping rather than Pattern.quote's \Q…\E so the
+    * result is also valid in RE2-based engines (the DuckDB oracle). */
+  def escapeRegex(s: String): String =
+    s.replaceAll("""[.*+?^$(){}|\[\]\\]""", "\\\\$0")
 
   /** Fold i/m flags into inline groups (reference `buildRegExp`,
     * pattern-editor/page.tsx:64-74). */

@@ -1,0 +1,74 @@
+package graft.packs
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.QueryPack
+import graft.core.Tables
+import graft.sources.Text
+
+/** Oracle-checked round-trips for the text-family sources (S1-S6, S3
+  * sniffer, P7, P10). Each query exports a parquet table to a scratch
+  * dir in the format under test, reads it back through the graft
+  * source, and must reproduce the original table (the oracle is plain
+  * SQL over the parquet original). Only string/int columns cross the
+  * text boundary — double formatting is not portable. */
+object SourcesPack extends QueryPack {
+
+  private def scratch(name: String): String = {
+    val dir = Paths.get(System.getProperty("java.io.tmpdir"), "graft_rt", name)
+    dir.toString
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // S1/K2: CSV write → reference-semantics CSV read.
+    "csv_roundtrip" -> ((s, dir) => {
+      val out = scratch("csv_customer")
+      Tables.load(s, dir, "customer")
+        .select(col("c_custkey").cast("string"), col("c_name"), col("c_mktsegment"))
+        .write.mode("overwrite").option("header", "true").csv(out)
+      Text.readCsv(s, out, Some(",")).orderBy("c_name")
+    }),
+    // S4+S3: TSV write → sniffed-delimiter read (tab must win the sniff).
+    "tsv_sniff_roundtrip" -> ((s, dir) => {
+      val out = scratch("tsv_region")
+      Tables.load(s, dir, "region")
+        .select(col("r_regionkey").cast("string"), col("r_name"))
+        .write.mode("overwrite").option("header", "true").option("sep", "\t").csv(out)
+      Text.readCsv(s, out, delimiter = None).orderBy("r_name")
+    }),
+    // S5+P7: TXT lines → value column.
+    "txt_roundtrip" -> ((s, dir) => {
+      val out = scratch("txt_names")
+      Tables.load(s, dir, "customer").select(col("c_name")).write.mode("overwrite").text(out)
+      Text.readTxt(s, out).orderBy("value")
+    }),
+    // S6: JSON array-under-key unwrap (fixture built from nation's 25 rows).
+    "json_unwrap" -> ((s, dir) => {
+      val rows = Tables.load(s, dir, "nation").orderBy("n_nationkey").collect()
+      val json = rows.map(r =>
+        s"""{"n_nationkey": ${r.getInt(0)}, "n_name": "${r.getString(1)}", "n_regionkey": ${r.getInt(2)}}""")
+        .mkString("[", ",", "]")
+      val doc = s"""{"meta": "nations", "data": $json}"""
+      val out = Paths.get(scratch("json_nation"))
+      Files.createDirectories(out)
+      Files.writeString(out.resolve("nation.json"), doc)
+      Text.readJson(s, out.toString)
+        .select(col("n_nationkey").cast("int"), col("n_name"), col("n_regionkey").cast("int"))
+        .orderBy("n_nationkey")
+    }),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "csv_roundtrip" ->
+      """SELECT CAST(c_custkey AS VARCHAR) AS c_custkey, c_name, c_mktsegment
+        |FROM customer ORDER BY c_name""".stripMargin,
+    "tsv_sniff_roundtrip" ->
+      """SELECT CAST(r_regionkey AS VARCHAR) AS r_regionkey, r_name
+        |FROM region ORDER BY r_name""".stripMargin,
+    "txt_roundtrip" ->
+      "SELECT c_name AS value FROM customer ORDER BY value",
+    "json_unwrap" ->
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
+  )
+}

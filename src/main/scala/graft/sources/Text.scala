@@ -1,0 +1,169 @@
+package graft.sources
+
+import java.nio.charset.{Charset, CodingErrorAction}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, StructType}
+
+/** Text-family sources with the reference's parse semantics
+  * (SURVEY §2.1 S1-S6, S13; §2.3 P7, P10, P11; sniffer S3).
+  *
+  * All readers return all-string DataFrames (the reference's universal
+  * `String(v ?? '')` coercion) and stay lazy scans — Spark's CSV/JSON/
+  * text readers split large files by HDFS block, so the same code path
+  * parallelizes across a cluster; only the delimiter sniff and encoding
+  * probe read a bounded head of one file on the driver (mirroring the
+  * reference's first-2000-chars sample).
+  */
+object Text {
+
+  /** Read the first n bytes of the (first) file at path via the Hadoop
+    * FS API — works for any Spark-reachable filesystem, not just local. */
+  def readHead(spark: SparkSession, path: String, n: Int = 2000): String = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val file =
+      if (fs.getFileStatus(p).isDirectory)
+        fs.listStatus(p).filter(s => s.isFile && s.getLen > 0)
+          .sortBy(_.getPath.getName).headOption
+          .map(_.getPath).getOrElse(p)
+      else p
+    val in = fs.open(file)
+    try {
+      val buf = new Array[Byte](n)
+      val read = in.read(buf, 0, n)
+      new String(buf, 0, math.max(read, 0), "UTF-8")
+    } finally in.close()
+  }
+
+  /** S3: delimiter sniffing over the first 2000 chars; max count wins,
+    * ties tab ≥ comma ≥ semicolon (reference compare/page.tsx:181-189). */
+  def detectDelimiter(sample: String): String = {
+    val s = sample.take(2000)
+    val comma = s.count(_ == ',')
+    val tab = s.count(_ == '\t')
+    val semi = s.count(_ == ';')
+    if (tab >= comma && tab >= semi) "\t"
+    else if (comma >= semi) ","
+    else ";"
+  }
+
+  /** P11: encoding with UTF-8 fallback — probe the head bytes under the
+    * requested charset (strict decode); failure falls back to UTF-8
+    * (reference FileUploader.tsx:313-314 TextDecoder fallback). */
+  def resolveEncoding(spark: SparkSession, path: String, encoding: String): String = {
+    if (encoding.equalsIgnoreCase("UTF-8")) return "UTF-8"
+    try {
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val file =
+        if (fs.getFileStatus(p).isDirectory)
+          fs.listStatus(p).filter(_.isFile).sortBy(_.getPath.getName)
+            .headOption.map(_.getPath).getOrElse(p)
+        else p
+      val in = fs.open(file)
+      val bytes = try {
+        val buf = new Array[Byte](4096)
+        val read = in.read(buf, 0, 4096)
+        java.util.Arrays.copyOf(buf, math.max(read, 0))
+      } finally in.close()
+      Charset.forName(encoding).newDecoder()
+        .onMalformedInput(CodingErrorAction.REPORT)
+        .onUnmappableCharacter(CodingErrorAction.REPORT)
+        .decode(java.nio.ByteBuffer.wrap(bytes))
+      encoding
+    } catch { case _: Throwable => "UTF-8" }
+  }
+
+  /** Quote-aware single-line split with `""` escape, every cell trimmed
+    * after unquoting (reference splitCSVLine, compare/page.tsx:155-178). */
+  def splitLine(line: String, delimiter: Char): Seq[String] = {
+    val result = Seq.newBuilder[String]
+    val cur = new StringBuilder
+    var inQuote = false
+    var i = 0
+    while (i < line.length) {
+      val ch = line.charAt(i)
+      if (ch == '"') {
+        if (inQuote && i + 1 < line.length && line.charAt(i + 1) == '"') { cur += '"'; i += 1 }
+        else inQuote = !inQuote
+      } else if (ch == delimiter && !inQuote) { result += cur.result(); cur.clear() }
+      else cur += ch
+      i += 1
+    }
+    result += cur.result()
+    result.result().map(_.trim)
+  }
+
+  /** S1/S2/S4: CSV/TSV scan with reference semantics
+    * (compare/page.tsx:134-178): header = line 1, cells trimmed; empty
+    * header cell for column c → `col{c+1}`; duplicate header names →
+    * last occurrence wins (the reference's row-object key collision);
+    * missing cells → ''; `""` quote escape; every cell trimmed AFTER
+    * unquoting (faithful-but-lossy, per SURVEY §7.4); blank lines
+    * dropped (Spark's CSV reader skips them natively).
+    *
+    * The header line is read once on the driver (≤64 KB sample); the
+    * data scan itself is Spark's splittable CSV reader, so large files
+    * still parallelize by block. */
+  def readCsv(spark: SparkSession, path: String, delimiter: Option[String] = None,
+      encoding: String = "UTF-8"): DataFrame = {
+    val d = delimiter.getOrElse(detectDelimiter(readHead(spark, path)))
+    val enc = resolveEncoding(spark, path, encoding)
+    val raw = spark.read
+      .option("header", "true")
+      .option("sep", d)
+      .option("quote", "\"")
+      .option("escape", "\"")
+      .option("encoding", enc)
+      .option("inferSchema", "false")
+      .option("mode", "PERMISSIVE")
+      .csv(path)
+    val headerLine = readHead(spark, path, 65536).linesIterator
+      .find(_.trim.nonEmpty).getOrElse("")
+    val cells = splitLine(headerLine, d.charAt(0))
+    val names = raw.columns.indices.map { i =>
+      val h = if (i < cells.length) cells(i) else ""
+      if (h.isEmpty) s"col${i + 1}" else h
+    }
+    // last-wins on duplicate names
+    val keep = names.zipWithIndex.groupBy(_._1).map(_._2.last._2).toSet
+    val positional = raw.toDF(raw.columns.indices.map(i => s"__c$i"): _*)
+    positional.select(names.zipWithIndex.collect { case (n, i) if keep(i) =>
+      coalesce(trim(col(s"__c$i")), lit("")).as(n)
+    }: _*)
+  }
+
+  def readTsv(spark: SparkSession, path: String, encoding: String = "UTF-8"): DataFrame =
+    readCsv(spark, path, Some("\t"), encoding)
+
+  /** S5 + P7: one trimmed line → one row, single column `value`, blank
+    * lines dropped (reference FileUploader.tsx:56-62). */
+  def readTxt(spark: SparkSession, path: String, encoding: String = "UTF-8"): DataFrame =
+    spark.read.option("encoding", resolveEncoding(spark, path, encoding)).text(path)
+      .select(trim(col("value")).as("value"))
+      .filter(length(col("value")) > 0)
+
+  /** S13: whole file → one row, one string document
+    * (reference pattern-editor/page.tsx:201-214). */
+  def readWholeText(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("wholetext", "true").text(path)
+
+  /** S6: JSON scan with array-under-key unwrap (reference
+    * compare/page.tsx:87-98): top level not an array → first array-valued
+    * key becomes the table; array of scalars → single `value` column.
+    * Divergence (documented): "first" is first in Spark's (alphabetical)
+    * inferred schema, not JSON insertion order. */
+  def readJson(spark: SparkSession, path: String): DataFrame = {
+    val raw = spark.read.option("multiLine", "true").json(path)
+    raw.schema.fields.find(_.dataType.isInstanceOf[ArrayType]) match {
+      case Some(f) =>
+        val exploded = raw.select(explode(col(s"`${f.name}`")).as("__e"))
+        f.dataType.asInstanceOf[ArrayType].elementType match {
+          case _: StructType => exploded.select(col("__e.*"))
+          case _ => exploded.select(col("__e").as("value"))
+        }
+      case None => raw
+    }
+  }
+}
