@@ -19,6 +19,8 @@ object SparkEntry {
     MaskPack,
     SourcesPack,
     PatternsPack,
+    DedupPack,
+    LlmPack,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

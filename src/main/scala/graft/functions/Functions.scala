@@ -133,6 +133,14 @@ object F {
       (hash32(key, seed, tag) % span).cast("int")), "yyyy-MM-dd")
   }
 
+  /** Portable 4-decimal fixed-point image of a double: floor(x·1e4+0.5)
+    * as a long. Unlike round(x, 4), identical input doubles give
+    * identical results in every engine — no HALF_UP vs HALF_EVEN
+    * boundary behavior. Use for any float that crosses the oracle
+    * boundary. */
+  def scale4(c: Column): Column =
+    floor(c * lit(10000d) + lit(0.5d)).cast("long")
+
   /** SHA-256 lowercase hex (reference `sha256Hex`, random/page.tsx:121-126). */
   def sha256Hex(c: Column): Column = sha2(c.cast("string"), 256)
 

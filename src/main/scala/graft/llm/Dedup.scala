@@ -1,0 +1,113 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for large-scale training-data pipelines:
+  * exact (hash groupBy), MinHash+LSH (banded candidate generation —
+  * never all-pairs), SimHash fingerprints, and exact Jaccard
+  * verification of candidate pairs.
+  *
+  * Scale design:
+  *  - Exact dedup is one hash aggregate on md5(text) — partial+final,
+  *    one shuffle keyed on the digest.
+  *  - MinHash: shingling and per-permutation hashing are narrow maps;
+  *    signatures are one groupBy(doc). LSH candidates come from a
+  *    self-join on band keys, so cost is Σ bucket² — bounded by banding,
+  *    never |docs|². Jaccard verification joins shingles only for
+  *    candidate pairs.
+  *  - All hash functions are keyed md5 constructions (no rand()), so
+  *    task retries are idempotent and the DuckDB oracle reproduces
+  *    every value.
+  */
+object Dedup {
+
+  /** 32-bit hash of a string column under a tag (portable md5 scheme,
+    * same construction as graft.functions.F.hash32). */
+  def hash32(c: Column, tag: String): Column =
+    conv(substring(md5(concat(c, lit(s":$tag"))), 1, 8), 16, 10).cast("long")
+
+  /** Distinct word n-gram shingles per document: (id, sh).
+    * Documents shorter than n words contribute their whole text as a
+    * single shingle. */
+  def shingles(docs: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame = {
+    val mids = (0 until n).map(j => if (j == 0) "w[i-1]" else s"w[i+${j - 1}]").mkString(", ")
+    docs
+      .select(col(idCol).as("id"), split(col(textCol), " ").as("w"))
+      .select(col("id"), explode(expr(
+        s"""CASE WHEN size(w) >= $n
+           |THEN transform(sequence(1, size(w) - ${n - 1}), i -> concat_ws(' ', $mids))
+           |ELSE array(concat_ws(' ', w)) END""".stripMargin)).as("sh"))
+      .distinct()
+  }
+
+  /** MinHash signatures: k permutations → k min-hash columns m0..m{k-1}.
+    * One shuffle (groupBy id) with map-side partial mins. */
+  def minhashSignatures(sh: DataFrame, k: Int = 8): DataFrame =
+    sh.groupBy("id")
+      .agg(min(hash32(col("sh"), "mh0")).as("m0"),
+        (1 until k).map(i => min(hash32(col("sh"), s"mh$i")).as(s"m$i")): _*)
+
+  /** LSH band keys: k columns split into `bands` bands of k/bands rows;
+    * band key = bandIndex + its min-hashes. Output (id, bk). */
+  def lshBands(sigs: DataFrame, k: Int = 8, bands: Int = 4): DataFrame = {
+    val rows = k / bands
+    val keys = (0 until bands).map { b =>
+      concat_ws("_", lit(b) +: (0 until rows).map(r => col(s"m${b * rows + r}")): _*)
+    }
+    sigs.select(col("id"), explode(array(keys: _*)).as("bk"))
+  }
+
+  /** Candidate pairs (a < b) sharing ≥1 band key. */
+  def lshCandidates(bandsDf: DataFrame): DataFrame = {
+    val x = bandsDf.as("x"); val y = bandsDf.as("y")
+    x.join(y, col("x.bk") === col("y.bk") && col("x.id") < col("y.id"))
+      .select(col("x.id").as("a"), col("y.id").as("b"))
+      .distinct()
+  }
+
+  /** Exact Jaccard over distinct shingle sets, computed only for the
+    * given candidate pairs. Output (a, b, jacc). */
+  def jaccard(cand: DataFrame, sh: DataFrame): DataFrame = {
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("n"))
+    val inter = cand
+      .join(sh.as("sa"), col("sa.id") === col("a"))
+      .join(sh.as("sb"), col("sb.id") === col("b") && col("sa.sh") === col("sb.sh"))
+      .groupBy("a", "b").agg(count(lit(1)).as("i"))
+    inter
+      .join(sizes.as("na"), col("na.id") === col("a"))
+      .join(sizes.as("nb"), col("nb.id") === col("b"))
+      .select(col("a"), col("b"), graft.functions.F.scale4(
+        col("i").cast("double") / (col("na.n") + col("nb.n") - col("i"))).as("jacc_x1e4"))
+  }
+
+  /** MinHash-LSH near-duplicate pairs with verified Jaccard ≥ threshold
+    * (threshold compared on the scaled fixed-point value). */
+  def minhashDupPairs(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, bands: Int = 4, threshold: Double = 0.5): DataFrame = {
+    val sh = shingles(docs, idCol, textCol)
+    val cand = lshCandidates(lshBands(minhashSignatures(sh, k), k, bands))
+    jaccard(cand, sh).filter(col("jacc_x1e4") >= (threshold * 10000).toLong)
+  }
+
+  /** Exact duplicate groups: digest → group size + keeper (min id). */
+  def exactDupGroups(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.groupBy(md5(col(textCol)).as("h"))
+      .agg(count(lit(1)).as("cnt"), min(col(idCol)).as("keeper"))
+      .filter(col("cnt") > 1)
+
+  /** 16-bit SimHash per document: token-occurrence weighted bit votes.
+    * Narrow map + one groupBy(doc) carrying 16 small sums. */
+  def simhash16(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = docs
+      .select(col(idCol).as("id"), explode(split(col(textCol), " ")).as("tok"))
+      .select(col("id"), hash32(col("tok"), "sh").as("h"))
+    val votes = toks.groupBy("id")
+      .agg(sum(when(expr("(h >> 0) & 1") === 1, 1).otherwise(-1)).as("s0"),
+        (1 until 16).map(b =>
+          sum(when(expr(s"(h >> $b) & 1") === 1, 1).otherwise(-1)).as(s"s$b")): _*)
+    votes.select(col("id"),
+      (0 until 16).map(b =>
+        when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L))).reduce(_ + _).as("simhash"))
+  }
+}

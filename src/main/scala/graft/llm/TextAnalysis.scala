@@ -1,0 +1,74 @@
+package graft.llm
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data curation: language ID
+  * (stopword-profile heuristic), quality scoring, token counting
+  * (whitespace + BPE-ish regex), and document fingerprinting
+  * (min char-n-gram hash — the degenerate single-window case of
+  * winnowing).
+  *
+  * Everything is a codegen'd Column expression over the text column —
+  * document-parallel, no shuffle, no UDFs.
+  */
+object TextAnalysis {
+
+  /** Stopword profiles per language (tiny, deterministic; a real
+    * deployment would plug in trained n-gram profiles — the operator
+    * shape is identical). Order = tie-break priority. */
+  val langProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to"),
+    "es" -> Seq("el", "la", "de", "que", "y"),
+    "de" -> Seq("der", "die", "und", "ist", "das"),
+    "fr" -> Seq("le", "les", "et", "des", "une"),
+  )
+
+  /** Per-language stopword hit count. */
+  def langScore(text: Column, lang: String): Column = {
+    val words = langProfiles.toMap.apply(lang).mkString("|")
+    regexp_count(text, lit(s"\\b($words)\\b"))
+  }
+
+  /** Arg-max language guess; ties resolve in profile order. */
+  def langGuess(text: Column): Column = {
+    val scores = langProfiles.map { case (l, _) => l -> langScore(text, l) }
+    scores.foldRight(lit(scores.last._1)) { case ((l, s), acc) =>
+      val geAll = scores.map(_._2).map(s >= _).reduce(_ && _)
+      when(geAll, lit(l)).otherwise(acc)
+    }
+  }
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(split(text, "\\s+"))
+
+  /** BPE-ish token count: letter runs, digit runs, single punctuation. */
+  def bpeishTokenCount(text: Column): Column =
+    regexp_count(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"))
+
+  /** Stopword ratio (English profile), raw double. */
+  def stopwordRatio(text: Column): Column =
+    langScore(text, "en").cast("double") / tokenCount(text)
+
+  /** Punctuation-character ratio, raw double. */
+  def punctRatio(text: Column): Column =
+    regexp_count(text, lit("[^A-Za-z0-9\\s]")).cast("double") /
+      greatest(length(text), lit(1))
+
+  /** Composite quality score ∈ [0,1]: token-count saturation +
+    * stopword presence, equal weight (a simple, documented heuristic —
+    * the operator contract is "deterministic per-doc score"). Raw
+    * double; cross the oracle boundary via F.scale4. */
+  def qualityScore(text: Column): Column =
+    least(tokenCount(text).cast("double") / 100.0, lit(1.0)) * 0.5 +
+      least(stopwordRatio(text) * 5.0, lit(1.0)) * 0.5
+
+  /** Document fingerprint: min 32-bit hash over char 5-grams (rolling
+    * window) — winnowing with a single global window. */
+  def fingerprint(text: Column): Column = {
+    val idxs = sequence(lit(1), greatest(length(text) - 4, lit(1)))
+    array_min(transform(idxs, i =>
+      conv(substring(md5(concat(text.substr(i, lit(5)), lit(":fp"))), 1, 8), 16, 10)
+        .cast("long")))
+  }
+}

@@ -1,0 +1,108 @@
+package graft.packs
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.QueryPack
+import graft.core.Tables
+import graft.llm.Dedup
+
+/** Oracle-checked dedup queries over `documents`.
+  *
+  * The corpus fixture doubles the table: originals plus a shifted copy
+  * where every 50th doc is an exact duplicate and the rest get one
+  * appended token (near-duplicates with high shingle Jaccard) — so both
+  * the exact and the near-dup paths have known positives, reproducible
+  * in SQL on both engines.
+  */
+object DedupPack extends QueryPack {
+
+  private val K = 8
+  private val BANDS = 4
+
+  private def corpus(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.load(s, dir, "documents")
+    d.select(col("doc_id").as("id"), col("text"))
+      .unionAll(d.select((col("doc_id") + 1000000).as("id"),
+        when(col("doc_id") % 50 === 0, col("text"))
+          .otherwise(concat(col("text"), lit(" zzz9"))).as("text")))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact" -> ((s, dir) =>
+      Dedup.exactDupGroups(corpus(s, dir), "id", "text").orderBy("h")),
+    "dedup_minhash" -> ((s, dir) =>
+      Dedup.minhashDupPairs(corpus(s, dir), "id", "text", K, BANDS, 0.5)
+        .orderBy("a", "b")),
+    "dedup_simhash" -> ((s, dir) =>
+      Dedup.simhash16(Tables.load(s, dir, "documents"), "doc_id", "text")
+        .orderBy("id")),
+  )
+
+  // ---- DuckDB mirrors -------------------------------------------------
+
+  private def h32(e: String, tag: String) =
+    s"CAST(CONCAT('0x', substr(md5($e || ':$tag'), 1, 8)) AS BIGINT)"
+
+  private val corpusSql =
+    """corpus AS (
+      |  SELECT doc_id AS id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000,
+      |    CASE WHEN doc_id % 50 = 0 THEN text ELSE text || ' zzz9' END
+      |  FROM documents
+      |)""".stripMargin
+
+  private val minhashSql: String = {
+    val hCols = (0 until K).map(i => s"${h32("sh", s"mh$i")} AS h$i").mkString(", ")
+    val mins = (0 until K).map(i => s"min(h$i) AS m$i").mkString(", ")
+    val bandArms = (0 until BANDS).map { b =>
+      val parts = (0 until K / BANDS).map(r => s"CAST(m${b * (K / BANDS) + r} AS VARCHAR)")
+      s"SELECT id, '${b}_' || ${parts.mkString(" || '_' || ")} AS bk FROM sig"
+    }.mkString(" UNION ALL ")
+    s"""WITH $corpusSql,
+       |words AS (SELECT id, string_split(text, ' ') AS w FROM corpus),
+       |sh AS (SELECT DISTINCT id, unnest(
+       |  CASE WHEN len(w) >= 3
+       |  THEN list_transform(generate_series(1, len(w) - 2), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+       |  ELSE [array_to_string(w, ' ')] END) AS sh FROM words),
+       |hs AS (SELECT id, sh, $hCols FROM sh),
+       |sig AS (SELECT id, $mins FROM hs GROUP BY id),
+       |band AS ($bandArms),
+       |cand AS (SELECT DISTINCT x.id AS a, y.id AS b
+       |  FROM band x JOIN band y ON x.bk = y.bk AND x.id < y.id),
+       |sizes AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
+       |inter AS (SELECT c.a, c.b, count(*) AS i FROM cand c
+       |  JOIN sh sa ON sa.id = c.a
+       |  JOIN sh sb ON sb.id = c.b AND sa.sh = sb.sh
+       |  GROUP BY c.a, c.b)
+       |SELECT t.a, t.b, t.jacc_x1e4 FROM (
+       |  SELECT i2.a, i2.b,
+       |    CAST(FLOOR(CAST(i2.i AS DOUBLE) / (na.n + nb.n - i2.i) * 10000 + 0.5) AS BIGINT) AS jacc_x1e4
+       |  FROM inter i2
+       |  JOIN sizes na ON na.id = i2.a
+       |  JOIN sizes nb ON nb.id = i2.b) t
+       |WHERE t.jacc_x1e4 >= 5000 ORDER BY t.a, t.b""".stripMargin
+  }
+
+  private val simhashSql: String = {
+    val votes = (0 until 16)
+      .map(b => s"CAST(SUM(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS BIGINT) AS s$b")
+      .mkString(", ")
+    val bits = (0 until 16)
+      .map(b => s"CASE WHEN s$b > 0 THEN ${1L << b} ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH toks AS (SELECT doc_id AS id, unnest(string_split(text, ' ')) AS tok FROM documents),
+       |h AS (SELECT id, ${h32("tok", "sh")} AS h FROM toks),
+       |votes AS (SELECT id, $votes FROM h GROUP BY id)
+       |SELECT id, CAST($bits AS BIGINT) AS simhash FROM votes ORDER BY id""".stripMargin
+  }
+
+  val oracleSql: Map[String, String] = Map(
+    "dedup_exact" ->
+      s"""WITH $corpusSql
+         |SELECT md5(text) AS h, count(*) AS cnt, min(id) AS keeper
+         |FROM corpus GROUP BY md5(text) HAVING count(*) > 1 ORDER BY h""".stripMargin,
+    "dedup_minhash" -> minhashSql,
+    "dedup_simhash" -> simhashSql,
+  )
+}

@@ -1,0 +1,135 @@
+package graft.packs
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.QueryPack
+import graft.core.Tables
+import graft.llm.{Ann, Multimodal, TextAnalysis => TA}
+
+/** Oracle-checked queries for text analysis, similarity search, and
+  * the multimodal binary path (documents + embeddings fixtures). */
+object LlmPack extends QueryPack {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "embeddings")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_lang_id" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        TA.langScore(col("text"), "en").as("s_en"),
+        TA.langScore(col("text"), "es").as("s_es"),
+        TA.langScore(col("text"), "de").as("s_de"),
+        TA.langScore(col("text"), "fr").as("s_fr"),
+        TA.langGuess(col("text")).as("lang_guess"))
+        .orderBy("doc_id")),
+    "text_quality" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        TA.tokenCount(col("text")).as("n_tokens"),
+        TA.bpeishTokenCount(col("text")).as("n_bpe_tokens"),
+        graft.functions.F.scale4(TA.stopwordRatio(col("text"))).as("stop_x1e4"),
+        graft.functions.F.scale4(TA.punctRatio(col("text"))).as("punct_x1e4"),
+        graft.functions.F.scale4(TA.qualityScore(col("text"))).as("quality_x1e4"))
+        .orderBy("doc_id")),
+    "text_fingerprint" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"), TA.fingerprint(col("text")).as("fp"))
+        .orderBy("doc_id")),
+    "ann_topk_brute" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val q = e.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      val c = e.select(col("vec_id"), col("embedding").as("ce"))
+      Ann.cosineTopK(q, c, 10).orderBy("qid", "rank")
+    }),
+    "ann_topk_ivf" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val q = e.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+          col("label").as("bucket"))
+      val c = e.select(col("vec_id"), col("embedding").as("ce"),
+        col("label").as("bucket"))
+      Ann.ivfTopK(q, c, 10).select("qid", "vec_id", "cos_x1e4", "rank").orderBy("qid", "rank")
+    }),
+    // Full mapPartitions decode path over binary media built from text.
+    "multimodal_decode" -> ((s, dir) =>
+      Multimodal.decode(Multimodal.fromText(docs(s, dir), "doc_id", "text"))
+        .orderBy("media_id")),
+  )
+
+  // ---- DuckDB mirrors -------------------------------------------------
+
+  private def reCount(e: String, pat: String) =
+    s"len(regexp_extract_all($e, '$pat'))"
+  private def langRe(l: String) =
+    "\\b(" + TA.langProfiles.toMap.apply(l).mkString("|") + ")\\b"
+
+  private val guessSql: String = {
+    val langs = TA.langProfiles.map(_._1)
+    val arms = langs.dropRight(1).map { l =>
+      val cond = langs.map(o => s"s_$l >= s_$o").mkString(" AND ")
+      s"WHEN $cond THEN '$l'"
+    }.mkString(" ")
+    s"CASE $arms ELSE '${langs.last}' END"
+  }
+
+  private val dotFn =
+    "list_sum(list_transform(list_zip(%s, %s), z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))"
+  private def dot(a: String, b: String) = dotFn.format(a, b)
+
+  private def annSql(bucketJoin: Boolean): String = {
+    val joinCond = if (bucketJoin) " WHERE q.label = c.label" else ""
+    val qCols = if (bucketJoin) ", label" else ""
+    s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe$qCols FROM embeddings WHERE vec_id < 3),
+       |c AS (SELECT vec_id, embedding AS ce$qCols FROM embeddings),
+       |s AS (SELECT qid, c.vec_id,
+       |  CAST(FLOOR(${dot("qe", "ce")} / sqrt(${dot("qe", "qe")} * ${dot("ce", "ce")})
+       |    * 10000 + 0.5) AS BIGINT) AS cos_x1e4
+       |  FROM q, c$joinCond)
+       |SELECT qid, vec_id, cos_x1e4, rank FROM (
+       |  SELECT qid, vec_id, cos_x1e4,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_x1e4 DESC, vec_id) AS INT) AS rank
+       |  FROM s) WHERE rank <= 10 ORDER BY qid, rank""".stripMargin
+  }
+
+  val oracleSql: Map[String, String] = Map(
+    "text_lang_id" -> {
+      val scores = TA.langProfiles.map { case (l, _) =>
+        s"${reCount("text", langRe(l))} AS s_$l"
+      }.mkString(", ")
+      s"""SELECT doc_id, $scores, $guessSql AS lang_guess
+         |FROM (SELECT doc_id, ${TA.langProfiles.map { case (l, _) =>
+            s"${reCount("text", langRe(l))} AS s_$l" }.mkString(", ")}, text FROM documents)
+         |ORDER BY doc_id""".stripMargin
+    },
+    "text_quality" ->
+      s"""SELECT doc_id, n_tokens, n_bpe_tokens,
+         |  CAST(FLOOR(stop_ratio * 10000 + 0.5) AS BIGINT) AS stop_x1e4,
+         |  CAST(FLOOR(punct_ratio * 10000 + 0.5) AS BIGINT) AS punct_x1e4,
+         |  CAST(FLOOR((LEAST(CAST(n_tokens AS DOUBLE) / 100, 1) * 0.5 +
+         |        LEAST(stop_ratio * 5, 1) * 0.5) * 10000 + 0.5) AS BIGINT) AS quality_x1e4
+         |FROM (SELECT doc_id,
+         |  len(string_split_regex(text, '\\s+')) AS n_tokens,
+         |  ${reCount("text", "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]")} AS n_bpe_tokens,
+         |  CAST(${reCount("text", langRe("en"))} AS DOUBLE) /
+         |        len(string_split_regex(text, '\\s+')) AS stop_ratio,
+         |  CAST(${reCount("text", "[^A-Za-z0-9\\s]")} AS DOUBLE) /
+         |        GREATEST(length(text), 1) AS punct_ratio
+         |  FROM documents) ORDER BY doc_id""".stripMargin,
+    "text_fingerprint" ->
+      """SELECT doc_id, list_min(list_transform(
+        |    generate_series(1, GREATEST(length(text) - 4, 1)),
+        |    i -> CAST(CONCAT('0x', substr(md5(substr(text, i, 5) || ':fp'), 1, 8)) AS BIGINT))) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "ann_topk_brute" -> annSql(bucketJoin = false),
+    "ann_topk_ivf" -> annSql(bucketJoin = true),
+    "multimodal_decode" ->
+      """SELECT doc_id AS media_id,
+        |  CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+        |  CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+        |  CAST(16 + octet_length(encode(text)) % 640 AS INT) AS width,
+        |  CAST(16 + (octet_length(encode(text)) * 31) % 480 AS INT) AS height,
+        |  md5(text) AS sig
+        |FROM documents ORDER BY media_id""".stripMargin,
+  )
+}
