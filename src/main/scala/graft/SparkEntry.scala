@@ -21,6 +21,8 @@ object SparkEntry {
     PatternsPack,
     DedupPack,
     LlmPack,
+    FormatsPack,
+    PolicyPack,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

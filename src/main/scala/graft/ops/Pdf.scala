@@ -1,0 +1,181 @@
+package graft.ops
+
+import scala.collection.mutable
+
+/** PDF operators (SURVEY §2.1 S11, §2.4 J5/J6, §2.9 R2; reference
+  * app/(contents)/pdf-tool/page.tsx).
+  *
+  * The page-spec algebra (`parsePages`) is an exact port of the
+  * reference's JS semantics — including parseInt's numeric-prefix
+  * parsing and min/max range normalization. Merge/split operate on a
+  * minimal COS object model bounded to well-formed classic-xref PDFs
+  * with uncompressed object bodies (SURVEY §7.4 risk #2 documents this
+  * subset): objects are re-numbered with an offset per source document
+  * and page trees rebuilt. Binary payload paths (zip packaging, naming)
+  * follow the reference.
+  *
+  * Scale note: document surgery is inherently per-file; the distributed
+  * shape is binaryFile scan → per-file map (validation, page counts) →
+  * driver-side assembly only for the final merged artifact, mirroring
+  * the reference's single-output flow.
+  */
+object Pdf {
+
+  /** S11: `%PDF-` 5-byte magic (reference hasPdfHeader,
+    * pdf-tool/page.tsx:35-51). */
+  def hasPdfHeader(bytes: Array[Byte]): Boolean =
+    bytes.length >= 5 && bytes.take(5).sameElements("%PDF-".getBytes("US-ASCII"))
+
+  /** JS parseInt: optional sign + digit prefix of the trimmed string. */
+  private def jsParseInt(s: String): Option[Int] =
+    "^[+-]?\\d+".r.findFirstIn(s.trim).map(_.toInt)
+
+  /** J6/R2: `"1,3,5-7"` → page groups (reference parsePages,
+    * pdf-tool/page.tsx:54-73): chunks split on ',', trimmed, empties
+    * dropped; `a-b` ranges normalized to [min,max]; non-numeric chunks
+    * skipped; single numbers = singleton groups. Pages are 1-based and
+    * NOT yet clamped to the document (clamping happens at split time,
+    * :404-408). */
+  def parsePages(input: String): Seq[Seq[Int]] = {
+    if (input == null || input.trim.isEmpty) return Nil
+    input.split(",").map(_.trim).filter(_.nonEmpty).toSeq.flatMap { c =>
+      if (c.contains("-")) {
+        val parts = c.split("-", -1)
+        (jsParseInt(parts(0)), jsParseInt(if (parts.length > 1) parts(1) else "")) match {
+          case (Some(s), Some(e)) => Some((math.min(s, e) to math.max(s, e)).toSeq)
+          case _ => None
+        }
+      } else jsParseInt(c).map(n => Seq(n))
+    }
+  }
+
+  /** Clamp a group to a document (reference handleSplit,
+    * pdf-tool/page.tsx:404-408): 1-based pages kept iff within
+    * [1, totalPages]. */
+  def clampGroup(group: Seq[Int], totalPages: Int): Seq[Int] =
+    group.filter(p => p >= 1 && p <= totalPages)
+
+  /** Split jobs: mode "all" → one group per page; "custom" → parsePages
+    * (reference :391-394). Returns (1-based group ordinal, clamped
+    * pages), empty groups dropped. */
+  def splitJobs(mode: String, customSpec: String, totalPages: Int): Seq[(Int, Seq[Int])] = {
+    val jobs =
+      if (mode == "all") (1 to totalPages).map(Seq(_))
+      else parsePages(customSpec)
+    jobs.zipWithIndex
+      .map { case (g, i) => (i + 1, clampGroup(g, totalPages)) }
+      .filter(_._2.nonEmpty)
+  }
+
+  /** K9-style split output naming (reference :412). */
+  def partName(baseName: String, idx: Int): String =
+    f"${baseName}_part${idx}%03d.pdf"
+
+  // -------------------------------------------------------------------
+  // Minimal COS model (documented subset)
+  // -------------------------------------------------------------------
+
+  private case class CosDoc(objects: mutable.LinkedHashMap[Int, String],
+      catalogNum: Int, pagesNum: Int, pageNums: Seq[Int])
+
+  private val objRe = """(?s)(\d+)\s+0\s+obj(.*?)endobj""".r
+  private val kidsRe = """(?s)/Kids\s*\[(.*?)\]""".r
+  private val refRe = """(\d+)\s+0\s+R""".r
+
+  private def parse(bytes: Array[Byte]): CosDoc = {
+    require(hasPdfHeader(bytes), "not a PDF (missing %PDF- header)")
+    val text = new String(bytes, "ISO-8859-1")
+    val objects = mutable.LinkedHashMap.empty[Int, String]
+    objRe.findAllMatchIn(text).foreach(m => objects(m.group(1).toInt) = m.group(2))
+    // Token-anchored type tests: the catalog also CONTAINS "/Pages 2 0 R",
+    // so a bare substring test would misidentify it as the page tree.
+    val typeCatalog = """/Type\s*/Catalog""".r
+    val typePages = """/Type\s*/Pages""".r
+    val catalog = objects.collectFirst {
+      case (n, b) if typeCatalog.findFirstIn(b).isDefined => n
+    }.getOrElse(throw new IllegalArgumentException("no /Catalog object"))
+    val pagesNum = objects.collectFirst {
+      case (n, b) if typePages.findFirstIn(b).isDefined => n
+    }.getOrElse(throw new IllegalArgumentException("no /Pages object"))
+    val kids = kidsRe.findFirstMatchIn(objects(pagesNum))
+      .map(m => refRe.findAllMatchIn(m.group(1)).map(_.group(1).toInt).toSeq)
+      .getOrElse(Nil)
+    CosDoc(objects, catalog, pagesNum, kids)
+  }
+
+  def pageCount(bytes: Array[Byte]): Int = parse(bytes).pageNums.size
+
+  /** Serialize a doc with a classic xref table. */
+  private def serialize(objects: Seq[(Int, String)], rootNum: Int): Array[Byte] = {
+    val sb = new StringBuilder("%PDF-1.4\n")
+    val offsets = mutable.LinkedHashMap.empty[Int, Int]
+    objects.foreach { case (n, body) =>
+      offsets(n) = sb.length
+      sb.append(s"$n 0 obj$body endobj\n")
+    }
+    val xrefPos = sb.length
+    val maxNum = objects.map(_._1).max
+    sb.append(s"xref\n0 ${maxNum + 1}\n")
+    sb.append("0000000000 65535 f \n")
+    (1 to maxNum).foreach { n =>
+      sb.append(offsets.get(n)
+        .map(o => f"$o%010d 00000 n \n").getOrElse("0000000000 65535 f \n"))
+    }
+    sb.append(s"trailer\n<< /Size ${maxNum + 1} /Root $rootNum 0 R >>\n")
+    sb.append(s"startxref\n$xrefPos\n%%EOF\n")
+    sb.result().getBytes("ISO-8859-1")
+  }
+
+  /** Generate a minimal n-page PDF (test fixture + writer baseline). */
+  def makePdf(nPages: Int): Array[Byte] = {
+    val pageNums = (0 until nPages).map(3 + _)
+    val objs = Seq(
+      1 -> " << /Type /Catalog /Pages 2 0 R >> ",
+      2 -> s" << /Type /Pages /Kids [${pageNums.map(n => s"$n 0 R").mkString(" ")}] /Count $nPages >> ") ++
+      pageNums.map(n => n -> s" << /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] >> ")
+    serialize(objs, 1)
+  }
+
+  /** J5: N-way merge in caller order — objects of each source renumbered
+    * by an offset, page kids concatenated under one new /Pages. */
+  def merge(docs: Seq[Array[Byte]]): Array[Byte] = {
+    var offset = 2 // 1 = new catalog, 2 = new pages root
+    val outObjs = Seq.newBuilder[(Int, String)]
+    val allPageRefs = Seq.newBuilder[Int]
+    docs.foreach { bytes =>
+      val d = parse(bytes)
+      val shift = offset
+      d.objects.foreach { case (n, body) =>
+        if (n != d.catalogNum && n != d.pagesNum) {
+          val shifted = refRe.replaceAllIn(body,
+            m => s"${m.group(1).toInt + shift} 0 R")
+          // old Pages parent now dangles → point pages at the new root
+          val fixed = shifted.replaceAll(s"/Parent\\s+${d.pagesNum + shift}\\s+0\\s+R", "/Parent 2 0 R")
+          outObjs += ((n + shift, fixed))
+        }
+      }
+      allPageRefs ++= d.pageNums.map(_ + shift)
+      offset += d.objects.keys.max
+    }
+    val pages = allPageRefs.result()
+    val head = Seq(
+      1 -> " << /Type /Catalog /Pages 2 0 R >> ",
+      2 -> s" << /Type /Pages /Kids [${pages.map(n => s"$n 0 R").mkString(" ")}] /Count ${pages.size} >> ")
+    serialize(head ++ outObjs.result(), 1)
+  }
+
+  /** J6: extract one group of (1-based, pre-clamped) pages as a new doc. */
+  def extractPages(bytes: Array[Byte], group: Seq[Int]): Array[Byte] = {
+    val d = parse(bytes)
+    val picked = group.flatMap(p => d.pageNums.lift(p - 1))
+    val kept = d.objects.toSeq.collect {
+      case (n, body) if n != d.catalogNum && n != d.pagesNum =>
+        val shifted = refRe.replaceAllIn(body, m => s"${m.group(1).toInt + 2} 0 R")
+        (n + 2, shifted.replaceAll(s"/Parent\\s+${d.pagesNum + 2}\\s+0\\s+R", "/Parent 2 0 R"))
+    }
+    val head = Seq(
+      1 -> " << /Type /Catalog /Pages 2 0 R >> ",
+      2 -> s" << /Type /Pages /Kids [${picked.map(n => s"${n + 2} 0 R").mkString(" ")}] /Count ${picked.size} >> ")
+    serialize(head ++ kept, 1)
+  }
+}

@@ -1,0 +1,95 @@
+package graft.packs
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.QueryPack
+import graft.core.Tables
+import graft.ops.Pdf
+import graft.xlsx.Xlsx
+import graft.xml.Xml
+
+/** Oracle-checked queries for the custom formats: XML round-trip
+  * (S8/K4), XLSX round-trip (S7/K5), and the PDF page-spec algebra
+  * (J6/R2) over an inline spec fixture mirrored as VALUES in SQL. */
+object FormatsPack extends QueryPack {
+
+  private def scratchFile(name: String): String = {
+    val dir = Paths.get(System.getProperty("java.io.tmpdir"), "graft_rt")
+    Files.createDirectories(dir)
+    dir.resolve(name).toString
+  }
+
+  private def custSlice(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "customer")
+      .select(col("c_custkey").cast("string"), col("c_name"), col("c_mktsegment"))
+
+  /** The parsePages fixture: (spec, totalPages). Exercises ranges,
+    * swapped bounds, junk chunks, prefix parseInt, clamping, empties. */
+  val pageSpecs: Seq[(String, Int)] = Seq(
+    ("1,3,5-7", 10), ("7-5,2", 10), ("2,x,4", 5), ("0,12", 10),
+    (" 3 , 4-4 ,", 5), ("+2,3abc", 5), ("-3,6", 9), ("5-", 9), ("", 5))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "xml_roundtrip" -> ((s, dir) => {
+      val file = scratchFile("customer.xml")
+      Xml.writeXmlFile(custSlice(s, dir), file)
+      Xml.readXml(s, file, "row").orderBy("c_name")
+    }),
+    "xlsx_roundtrip" -> ((s, dir) => {
+      val file = scratchFile("workbook.xlsx")
+      val region = Tables.load(s, dir, "region")
+        .select(col("r_regionkey").cast("string"), col("r_name"))
+      Xlsx.writeWorkbook(Seq("customer" -> custSlice(s, dir), "region" -> region), file)
+      val sheets = Xlsx.readWorkbook(s, file).toMap
+      sheets("customer").orderBy("c_name")
+    }),
+    "pdf_parse_pages" -> ((s, dir) => {
+      import s.implicits._
+      pageSpecs.flatMap { case (spec, total) =>
+        Pdf.splitJobs("custom", spec, total).flatMap { case (gno, pages) =>
+          pages.map(p => (spec, gno, p))
+        }
+      }.toDF("spec", "gno", "page").orderBy("spec", "gno", "page")
+    }),
+  )
+
+  private val specValues = pageSpecs
+    .map { case (sp, t) => s"('${sp.replace("'", "''")}', $t)" }.mkString(", ")
+
+  val oracleSql: Map[String, String] = Map(
+    "xml_roundtrip" ->
+      """SELECT CAST(c_custkey AS VARCHAR) AS c_custkey, c_name, c_mktsegment
+        |FROM customer ORDER BY c_name""".stripMargin,
+    "xlsx_roundtrip" ->
+      """SELECT CAST(c_custkey AS VARCHAR) AS c_custkey, c_name, c_mktsegment
+        |FROM customer ORDER BY c_name""".stripMargin,
+    // Exact SQL mirror of the JS parsePages semantics: chunk split,
+    // trim, drop empties, parseInt numeric-prefix, range min/max swap,
+    // group ordinal over successfully-parsed chunks, 1..total clamp.
+    "pdf_parse_pages" ->
+      s"""WITH specs(spec, total) AS (VALUES $specValues),
+         |raw AS (SELECT spec, total,
+         |    unnest(string_split(spec, ',')) AS c0,
+         |    generate_subscripts(string_split(spec, ','), 1) AS pos
+         |  FROM specs),
+         |f AS (SELECT spec, total, trim(c0) AS c, pos FROM raw WHERE trim(c0) <> ''),
+         |parsed AS (SELECT spec, total, pos,
+         |    CASE WHEN contains(c, '-')
+         |      THEN TRY_CAST(regexp_extract(trim(string_split(c, '-')[1]), '^[+-]?[0-9]+') AS INT)
+         |      ELSE TRY_CAST(regexp_extract(c, '^[+-]?[0-9]+') AS INT) END AS s,
+         |    CASE WHEN contains(c, '-')
+         |      THEN TRY_CAST(regexp_extract(trim(string_split(c, '-')[2]), '^[+-]?[0-9]+') AS INT)
+         |      ELSE TRY_CAST(regexp_extract(c, '^[+-]?[0-9]+') AS INT) END AS e
+         |  FROM f),
+         |ok AS (SELECT spec, total, s, e,
+         |    CAST(row_number() OVER (PARTITION BY spec ORDER BY pos) AS INT) AS gno
+         |  FROM parsed WHERE s IS NOT NULL AND e IS NOT NULL),
+         |pages AS (SELECT spec, total, gno,
+         |    unnest(generate_series(LEAST(s, e), GREATEST(s, e))) AS page
+         |  FROM ok)
+         |SELECT spec, gno, CAST(page AS INT) AS page FROM pages
+         |WHERE page >= 1 AND page <= total
+         |ORDER BY spec, gno, page""".stripMargin,
+  )
+}

@@ -1,0 +1,88 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
+
+/** Structured-Streaming analogue of the reference's Firestore
+  * `onSnapshot` realtime surface (SURVEY §2.11; reference
+  * admin/page.tsx:296, app/page.tsx:155-171).
+  *
+  * The reference pushes full snapshots per change and re-sorts on the
+  * client; the Spark-native shape is: readStream → event-time windowed
+  * aggregation with a watermark (bounded state at 100 TB/day rates) →
+  * complete-mode re-rank for the "notices" top-50 view, plus a
+  * mapGroupsWithState sessionizer for custom per-key state.
+  */
+object EventsStream {
+
+  /** Windowed per-type counts with a 1-hour watermark — the streaming
+    * twin of the batch `events_hourly` query (same plan shape; state
+    * pruned by the watermark). */
+  def hourlyCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+
+  /** The notices view: latest state re-ranked per trigger
+    * (orderBy × limit in complete mode — O1+O2 on a stream). */
+  def topUsersByValue(events: DataFrame, k: Int = 50): DataFrame =
+    events
+      .groupBy(col("user_id"))
+      .agg(sum(col("value")).as("total_value"), count(lit(1)).as("n_events"))
+      .orderBy(desc("total_value"), asc("user_id"))
+      .limit(k)
+
+  case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+      event_type: String, value: Double)
+  case class SessionState(start: Long, last: Long, n: Int)
+  case class Session(user_id: Long, n_events: Int, duration_sec: Long, closed: Boolean)
+
+  /** Per-user sessionization with a processing-time gap timeout —
+    * KeyValueGroupedDataset.mapGroupsWithState custom state (SURVEY
+    * §2.11 "custom state" requirement). */
+  def sessionize(events: Dataset[Event], gapMs: Long = 30 * 60 * 1000L): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.ProcessingTimeTimeout)(
+        (uid: Long, batch: Iterator[Event], state: GroupState[SessionState]) => {
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Session(uid, s.n, (s.last - s.start) / 1000, closed = true)
+          } else {
+            val times = batch.map(_.ts.getTime).toSeq
+            val prev = state.getOption.getOrElse(
+              SessionState(times.min, times.min, 0))
+            val next = SessionState(
+              math.min(prev.start, times.min),
+              math.max(prev.last, times.max), prev.n + times.size)
+            state.update(next)
+            state.setTimeoutDuration(gapMs)
+            Session(uid, next.n, (next.last - next.start) / 1000, closed = false)
+          }
+        })
+  }
+
+  /** File-source streaming run over a directory of parquet events —
+    * the deployable entry (batch fixture dirs work as a bounded
+    * stream for tests). Handles the fixture's TIMESTAMP(NANOS) parquet
+    * the same way Tables.load does (nanos-as-long + integer µs
+    * truncation). */
+  def run(spark: SparkSession, inputDir: String, checkpoint: String,
+      outTable: String): StreamingQuery = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val events = spark.readStream
+      .schema("event_id LONG, ts LONG, user_id LONG, event_type STRING, value DOUBLE, props STRING")
+      .parquet(inputDir)
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    hourlyCounts(events).writeStream
+      .outputMode(OutputMode.Append())
+      .format("memory")
+      .queryName(outTable)
+      .option("checkpointLocation", checkpoint)
+      .start()
+  }
+}
