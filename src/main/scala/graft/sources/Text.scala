@@ -138,11 +138,27 @@ object Text {
     readCsv(spark, path, Some("\t"), encoding)
 
   /** S5 + P7: one trimmed line → one row, single column `value`, blank
-    * lines dropped (reference FileUploader.tsx:56-62). */
-  def readTxt(spark: SparkSession, path: String, encoding: String = "UTF-8"): DataFrame =
-    spark.read.option("encoding", resolveEncoding(spark, path, encoding)).text(path)
+    * lines dropped (reference FileUploader.tsx:56-62).
+    *
+    * Spark's text source always decodes UTF-8 (the `encoding` option is
+    * CSV-only), so non-UTF-8 charsets go through a per-file binary
+    * decode: still executor-side and file-parallel, but not
+    * block-splittable — acceptable for legacy-encoded inputs, which the
+    * reference caps at browser scale anyway. */
+  def readTxt(spark: SparkSession, path: String, encoding: String = "UTF-8"): DataFrame = {
+    val enc = resolveEncoding(spark, path, encoding)
+    val lines =
+      if (enc.equalsIgnoreCase("UTF-8")) spark.read.text(path)
+      else {
+        import spark.implicits._
+        spark.sparkContext.binaryFiles(path)
+          .flatMap { case (_, pds) => new String(pds.toArray(), enc).linesIterator }
+          .toDF("value")
+      }
+    lines
       .select(trim(col("value")).as("value"))
       .filter(length(col("value")) > 0)
+  }
 
   /** S13: whole file → one row, one string document
     * (reference pattern-editor/page.tsx:201-214). */

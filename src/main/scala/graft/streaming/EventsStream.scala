@@ -41,12 +41,17 @@ object EventsStream {
 
   /** Per-user sessionization with a processing-time gap timeout —
     * KeyValueGroupedDataset.mapGroupsWithState custom state (SURVEY
-    * §2.11 "custom state" requirement). */
+    * §2.11 "custom state" requirement). `gapMs <= 0` disables the
+    * timeout (bounded tests: timer batches otherwise keep the trigger
+    * loop busy and block processAllAvailable). */
   def sessionize(events: Dataset[Event], gapMs: Long = 30 * 60 * 1000L): Dataset[Session] = {
     import events.sparkSession.implicits._
+    val timeoutConf =
+      if (gapMs > 0) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
     events
       .groupByKey(_.user_id)
-      .mapGroupsWithState(GroupStateTimeout.ProcessingTimeTimeout)(
+      .mapGroupsWithState(timeoutConf)(
         (uid: Long, batch: Iterator[Event], state: GroupState[SessionState]) => {
           if (state.hasTimedOut) {
             val s = state.get
@@ -60,7 +65,7 @@ object EventsStream {
               math.min(prev.start, times.min),
               math.max(prev.last, times.max), prev.n + times.size)
             state.update(next)
-            state.setTimeoutDuration(gapMs)
+            if (gapMs > 0) state.setTimeoutDuration(gapMs)
             Session(uid, next.n, (next.last - next.start) / 1000, closed = false)
           }
         })

@@ -1,0 +1,63 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import graft.SparkSpec
+
+class FunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def keys = Seq(1L, 2L, 3L, 100L).toDF("k")
+
+  test("maskInt stays within [min, max] and is deterministic") {
+    val vs = keys.select(F.maskInt($"k", "s", "t", 10, 20)).as[Long].collect()
+    assert(vs.forall(v => v >= 10 && v <= 20))
+    val again = keys.select(F.maskInt($"k", "s", "t", 10, 20)).as[Long].collect()
+    assert(vs.toSeq == again.toSeq)
+  }
+
+  test("mask streams have the right alphabet and length") {
+    val d = keys.select(F.maskDigits($"k", "s", "t", 10)).as[String].collect()
+    assert(d.forall(v => v.length == 10 && v.forall(_.isDigit)))
+    val l = keys.select(F.maskLetters($"k", "s", "t", 40)).as[String].collect()
+    assert(l.forall(v => v.length == 40 && v.forall(c => c >= 'a' && c <= 'p')))
+  }
+
+  test("maskUuid shape and uniqueness across keys") {
+    val u = keys.select(F.maskUuid($"k", "s")).as[String].collect()
+    assert(u.forall(_.matches("[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}")))
+    assert(u.distinct.length == u.length)
+  }
+
+  test("uniqueId: CV + KST date + 6-char A-Z0-9 token (F19)") {
+    val ids = keys.select(F.uniqueId($"k", "s", lit("2026-08-12 20:00:00").cast("timestamp")))
+      .as[String].collect()
+    // 20:00 UTC = next day KST
+    assert(ids.forall(_.matches("CV20260813_[A-Z0-9]{6}")))
+  }
+
+  test("maskDate within range; guard on inverted range") {
+    val ds = keys.select(F.maskDate($"k", "s", "t", "2024-01-01", "2024-01-31")).as[String].collect()
+    assert(ds.forall(d => d >= "2024-01-01" && d <= "2024-01-31"))
+    intercept[IllegalArgumentException](F.maskDate($"k", "s", "t", "2024-02-01", "2024-01-01"))
+  }
+
+  test("scale4 fixed-point is exact on representable quarters") {
+    val vs = Seq(0.25, -0.5, 1.0, 0.0).toDF("x").select(F.scale4($"x")).as[Long].collect()
+    assert(vs.toSeq == Seq(2500L, -5000L, 10000L, 0L))
+  }
+
+  test("escapeRegex: escaped literal matches itself (scalacheck property)") {
+    val prop = Prop.forAll(Gen.asciiPrintableStr.suchThat(_.nonEmpty)) { s =>
+      java.util.regex.Pattern.compile(F.escapeRegex(s)).matcher(s).matches()
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(200), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("withFlags folds inline groups") {
+    assert(F.withFlags("abc", ignoreCase = true, multiline = false) == "(?i)abc")
+    assert(F.withFlags("abc", ignoreCase = true, multiline = true) == "(?im)abc")
+    assert(F.withFlags("abc", ignoreCase = false, multiline = false) == "abc")
+  }
+}

@@ -1,0 +1,84 @@
+package graft.llm
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class LlmSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy cat"),
+    (3L, "completely different words entirely here now then")
+  ).toDF("id", "text")
+
+  test("exact dedup finds identical texts only") {
+    val withDup = docs.unionAll(Seq((4L, "the quick brown fox jumps over the lazy dog")).toDF("id", "text"))
+    val groups = Dedup.exactDupGroups(withDup, "id", "text").collect()
+    assert(groups.length == 1 && groups(0).getAs[Long]("cnt") == 2 &&
+      groups(0).getAs[Long]("keeper") == 1L)
+  }
+
+  test("minhash LSH surfaces near-dup pair, jaccard in (0,1] (no all-pairs)") {
+    val pairs = Dedup.minhashDupPairs(docs, "id", "text", threshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.exists(p => p._1 == 1 && p._2 == 2))
+    assert(pairs.forall(p => p._3 > 0 && p._3 <= 10000))
+    assert(!pairs.exists(p => p._2 == 3)) // dissimilar doc not paired
+  }
+
+  test("shingles: n-gram construction and short-doc fallback") {
+    val sh = Dedup.shingles(Seq((1L, "a b c d")).toDF("id", "text"), "id", "text")
+      .select("sh").as[String].collect().toSet
+    assert(sh == Set("a b c", "b c d"))
+    val short = Dedup.shingles(Seq((1L, "a b")).toDF("id", "text"), "id", "text")
+      .select("sh").as[String].collect().toSet
+    assert(short == Set("a b"))
+  }
+
+  test("simhash: identical docs same hash; near docs closer than far docs") {
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val h = Dedup.simhash16(docs, "id", "text").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val same = Dedup.simhash16(
+      Seq((9L, "the quick brown fox jumps over the lazy dog")).toDF("id", "text"),
+      "id", "text").head().getLong(1)
+    assert(same == h(1L))
+    assert(ham(h(1L), h(2L)) <= ham(h(1L), h(3L)))
+  }
+
+  test("ANN: self is rank-1 with cos 1.0; ranks are dense per query") {
+    val vecs = Seq(
+      (0L, Array(1f, 0f, 0f)), (1L, Array(0.9f, 0.1f, 0f)),
+      (2L, Array(0f, 1f, 0f)), (3L, Array(0f, 0f, 1f))).toDF("vec_id", "embedding")
+    val q = vecs.filter($"vec_id" === 0).select($"vec_id".as("qid"), $"embedding".as("qe"))
+    val c = vecs.select($"vec_id", $"embedding".as("ce"))
+    val top = Ann.cosineTopK(q, c, 3).orderBy("rank").collect()
+    assert(top(0).getAs[Long]("vec_id") == 0L && top(0).getAs[Long]("cos_x1e4") == 10000L)
+    assert(top(1).getAs[Long]("vec_id") == 1L) // nearest non-self
+    assert(top.map(_.getAs[Int]("rank")).toSeq == Seq(1, 2, 3))
+  }
+
+  test("text analysis: counts, ratios, language guess, fingerprint determinism") {
+    val df = Seq("the cat and the hat!").toDF("text")
+    assert(df.select(TextAnalysis.tokenCount($"text")).head().getInt(0) == 5)
+    assert(df.select(TextAnalysis.bpeishTokenCount($"text")).head().getInt(0) == 6) // 5 words + '!'
+    assert(df.select(TextAnalysis.langGuess($"text")).head().getString(0) == "en")
+    val fp1 = df.select(TextAnalysis.fingerprint($"text")).head().getLong(0)
+    val fp2 = df.select(TextAnalysis.fingerprint($"text")).head().getLong(0)
+    assert(fp1 == fp2 && fp1 >= 0)
+    val es = Seq("el perro y la casa de que y el").toDF("text")
+    assert(es.select(TextAnalysis.langGuess($"text")).head().getString(0) == "es")
+  }
+
+  test("multimodal: decode preserves ids, derives metadata from bytes; frames sample") {
+    val media = Multimodal.fromText(Seq((1L, "some binary payload"), (2L, "x")).toDF("id", "t"), "id", "t")
+    val dec = Multimodal.decode(media).orderBy("media_id").collect()
+    assert(dec.map(_.getAs[Long]("media_id")).toSeq == Seq(1L, 2L))
+    assert(dec(0).getAs[Int]("n_bytes") == "some binary payload".length)
+    assert(dec(0).getAs[String]("sig").matches("[0-9a-f]{32}"))
+    assert(dec.forall(r => r.getAs[Int]("width") >= 16 && r.getAs[Int]("height") >= 16))
+    val frames = Multimodal.sampleFrames(media, stride = 8, len = 4).collect()
+    assert(frames.nonEmpty)
+  }
+}

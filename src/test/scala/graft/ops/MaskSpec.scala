@@ -1,0 +1,67 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.ops.Mask._
+
+class MaskSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def sheet = Seq((1L, "Alice Example", "HR"), (2L, "Bob Sample", "ENG"))
+    .toDF("id", "name", "dept")
+
+  private val rules = Seq[(String, MaskRule)](
+    "name" -> RandomString("U_", Some(10)),
+    "dept" -> Sha256)
+
+  test("masked sheet replaces ruled fields and appends ANON_ROW_ID (§2.10)") {
+    val out = Mask(sheet, "id", "s1", rules)
+    val m = out.masked.orderBy("id").collect()
+    assert(out.masked.columns.toSeq == Seq("id", "name", "dept", AnonRowId))
+    assert(m.forall(_.getAs[String]("name").startsWith("U_")))
+    assert(m.forall(_.getAs[String]("name").length == 10))
+    assert(m.forall(_.getAs[String]("dept").matches("[0-9a-f]{64}")))
+  }
+
+  test("recovery sidecar joins back to originals by ANON_ROW_ID") {
+    val out = Mask(sheet, "id", "s1", rules)
+    val joined = out.masked.as("m").join(out.keys.as("k"), AnonRowId)
+      .select(col("m.id"), col("k.name"), col("k.dept")).orderBy("id").collect()
+    assert(joined.map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq ==
+      Seq((1L, "Alice Example", "HR"), (2L, "Bob Sample", "ENG")))
+  }
+
+  test("masking is deterministic per (key, seed) and varies by seed") {
+    val m1 = Mask(sheet, "id", "s1", rules).masked.orderBy("id").collect().toSeq
+    val m2 = Mask(sheet, "id", "s1", rules).masked.orderBy("id").collect().toSeq
+    val m3 = Mask(sheet, "id", "OTHER", rules).masked.orderBy("id").collect().toSeq
+    assert(m1 == m2)
+    assert(m1.map(_.getAs[String]("name")) != m3.map(_.getAs[String]("name")))
+  }
+
+  test("RandomDigits fills to source width after fixed digits (F15/F16)") {
+    val out = Mask(sheet, "id", "s1", Seq("name" -> RandomDigits("99", None))).masked.collect()
+    out.foreach { r =>
+      val v = r.getAs[String]("name")
+      assert(v.startsWith("99") && v.matches("\\d+"))
+    }
+    // width == source width
+    val widths = Mask(sheet, "id", "s1", Seq("name" -> RandomDigits("99", None))).masked
+      .select(length(col("name"))).as[Int].collect().toSeq
+    assert(widths == Seq("Alice Example".length, "Bob Sample".length))
+  }
+
+  test("RandomDate fixedPart narrows to year / month (F13)") {
+    assert(Mask.dateRange(RandomDate("2000-01-01", "2030-12-31", "2024")) ==
+      ("2024-01-01", "2024-12-31"))
+    assert(Mask.dateRange(RandomDate("2000-01-01", "2030-12-31", "2024-02")) ==
+      ("2024-02-01", "2024-02-29")) // leap year
+  }
+
+  test("Blank rule and empty rule map") {
+    val blank = Mask(sheet, "id", "s1", Seq("dept" -> Blank)).masked
+    assert(blank.select("dept").as[String].collect().forall(_ == ""))
+    val none = Mask(sheet, "id", "s1", Nil)
+    assert(none.masked.columns.toSeq == sheet.columns.toSeq) // no ANON_ROW_ID
+  }
+}

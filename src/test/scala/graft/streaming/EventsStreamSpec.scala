@@ -1,0 +1,56 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import graft.SparkSpec
+import graft.streaming.EventsStream.Event
+
+class EventsStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("hourly windowed counts over a memory stream (§2.11)") {
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[Event]
+    src.addData(
+      Event(1, ts("2024-01-01 10:05:00"), 1, "view", 1.0),
+      Event(2, ts("2024-01-01 10:55:00"), 2, "view", 2.0),
+      Event(3, ts("2024-01-01 11:05:00"), 1, "buy", 5.0))
+    val q = EventsStream.hourlyCounts(src.toDF())
+      .writeStream.format("memory").queryName("hc").outputMode(OutputMode.Update()).start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT window.start, event_type, n FROM hc ORDER BY 1, 2").collect()
+      assert(rows.length == 2)
+      assert(rows(0).getString(1) == "view" && rows(0).getLong(2) == 2)
+      assert(rows(1).getString(1) == "buy" && rows(1).getLong(2) == 1)
+    } finally q.stop()
+  }
+
+  test("sessionize keeps per-user state across batches (mapGroupsWithState)") {
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[Event]
+    val q = EventsStream.sessionize(src.toDS(), gapMs = 0)
+      .writeStream.format("memory").queryName("sess").outputMode(OutputMode.Update()).start()
+    try {
+      src.addData(Event(1, ts("2024-01-01 10:00:00"), 7, "view", 1.0))
+      q.processAllAvailable()
+      src.addData(Event(2, ts("2024-01-01 10:10:00"), 7, "view", 1.0))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT user_id, n_events, duration_sec FROM sess ORDER BY n_events").collect()
+      assert(rows.map(_.getInt(1)).toSeq == Seq(1, 2)) // state accumulated across batches
+      assert(rows.last.getLong(2) == 600)
+    } finally q.stop()
+  }
+
+  test("top-k complete-mode view shape (O1+O2 on a stream)") {
+    val batch = Seq(
+      Event(1, ts("2024-01-01 10:00:00"), 1, "a", 10.0),
+      Event(2, ts("2024-01-01 10:01:00"), 2, "a", 30.0),
+      Event(3, ts("2024-01-01 10:02:00"), 1, "a", 5.0)).toDF()
+    val top = EventsStream.topUsersByValue(batch, 1).collect()
+    assert(top.length == 1 && top(0).getLong(0) == 2L)
+  }
+}

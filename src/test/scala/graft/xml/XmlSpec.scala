@@ -1,0 +1,74 @@
+package graft.xml
+
+import graft.SparkSpec
+
+class XmlSpec extends SparkSpec {
+
+  private val doc =
+    """<root>
+      |  <item id="1"><name> Ann </name><age>30</age></item>
+      |  <item id="2"><name>Bob</name><age>41</age><name>Override</name></item>
+      |  <single>standalone</single>
+      |</root>""".stripMargin
+
+  test("parseRows: attributes as @name, child text trimmed, repeated tag last-wins (S8)") {
+    val rows = Xml.parseRows(doc, "item")
+    assert(rows.size == 2)
+    assert(rows(0) == Map("@id" -> "1", "name" -> "Ann", "age" -> "30"))
+    assert(rows(1)("name") == "Override")
+  }
+
+  test("parseRows: childless row element contributes {tag: text}") {
+    val rows = Xml.parseRows(doc, "single")
+    assert(rows == Seq(Map("single" -> "standalone")))
+  }
+
+  test("nested child text concatenates descendants (DOM textContent semantics)") {
+    val rows = Xml.parseRows("<r><row><a><b>x</b><c>y</c></a></row></r>", "row")
+    assert(rows == Seq(Map("a" -> "xy")))
+  }
+
+  test("flatten variant: dot-path columns (S10)") {
+    val rows = Xml.parseRows("<r><row><a><b>x</b></a><c>y</c></row></r>", "row", flatten = true)
+    assert(rows == Seq(Map("a.b" -> "x", "c" -> "y")))
+  }
+
+  test("detectTables: >=2 same-tag children become path_tag tables, recursively (S9)") {
+    Xml.detectTables(doc) match {
+      // item #2's repeated <name> makes a nested table too — reference
+      // collectTables recurses into every child (FileUploader.tsx:117).
+      case Right(tables) =>
+        assert(tables == Map("root_item" -> "item", "root_item_name" -> "name"))
+      case Left(_) => fail("expected tables")
+    }
+  }
+
+  test("detectTables fallbacks: #text row and error row (S9)") {
+    Xml.detectTables("<only>hi</only>") match {
+      case Left(rows) => assert(rows == Seq(Map("#text" -> "hi")))
+      case _ => fail()
+    }
+    Xml.detectTables("not xml <<<") match {
+      case Left(rows) =>
+        assert(rows.head.contains("error") && rows.head("raw").length <= 1000)
+      case _ => fail()
+    }
+  }
+
+  test("writer: escaping, invalid names to <col name>, 2-space indent (K4/F4/F5)") {
+    val frag = Xml.xmlRowFragment(Seq("ok", "bad name"), Seq("a<b&c", "v"), "row")
+    assert(frag ==
+      "  <row>\n    <ok>a&lt;b&amp;c</ok>\n    <col name=\"bad name\">v</col>\n  </row>")
+    assert(Xml.xmlNameOk("a_b.c-1") && !Xml.xmlNameOk("1abc") && !Xml.xmlNameOk("has space"))
+  }
+
+  test("distributed read after file write round-trips (S8+K4)") {
+    import spark.implicits._
+    val df = Seq(("1", "x&y"), ("2", "<z>")).toDF("id", "v")
+    val f = java.nio.file.Files.createTempDirectory("xmlspec").resolve("out.xml").toString
+    Xml.writeXmlFile(df, f)
+    val back = Xml.readXml(spark, f, "row").orderBy("id")
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(back.toSeq == Seq(("1", "x&y"), ("2", "<z>")))
+  }
+}
