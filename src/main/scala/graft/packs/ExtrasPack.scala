@@ -1,0 +1,101 @@
+package graft.packs
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
+import graft.QueryPack
+import graft.core.{Flatten, Tables}
+import graft.ops.{Compare, KeyedUpsert}
+
+/** Remaining oracle-checked §2 rows: mismatch count (A6), keyed write
+  * semantics (K8), nested-struct flatten (R3), JSON stringify (F21). */
+object ExtrasPack extends QueryPack {
+
+  private def customer(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "customer")
+
+  /** K8 fixture: keys ≡ 0 (mod 3) get updated names; keys ≡ 0 (mod
+    * 100) are re-inserted shifted by 100000 (new documents). */
+  private def updates(s: SparkSession, dir: String): DataFrame = {
+    val c = customer(s, dir)
+    c.filter(col("c_custkey") % 3 === 0)
+      .withColumn("c_name", concat(lit("UPD_"), col("c_name")))
+      .unionAll(c.filter(col("c_custkey") % 100 === 0)
+        .withColumn("c_custkey", col("c_custkey") + 100000))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // A6: mismatch row count off the compare melt.
+    "compare_mismatch_count" -> ((s, dir) => {
+      val (a, b) = ComparePack.pair(s, dir)
+      Compare.mismatches(Compare.diff(a, b, "c_custkey"), "c_custkey")
+        .agg(count(lit(1)).as("n_mismatches"))
+    }),
+    // K8: overwrite-by-key upsert (updates win; new keys appended).
+    "keyed_upsert" -> ((s, dir) =>
+      KeyedUpsert.upsert(customer(s, dir), updates(s, dir), "c_custkey")
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy("c_custkey")),
+    // K8: setDoc(merge) — null update cells keep existing values.
+    "keyed_upsert_merge" -> ((s, dir) => {
+      val u = customer(s, dir).filter(col("c_custkey") % 5 === 0)
+        .select(col("c_custkey"), concat(lit("M_"), col("c_name")).as("c_name"),
+          col("c_nationkey"), col("c_acctbal"),
+          lit(null).cast("string").as("c_mktsegment"))
+      KeyedUpsert.upsertMerge(customer(s, dir), u, "c_custkey")
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy("c_custkey")
+    }),
+    // K8: deleteDoc — anti-join on the key set.
+    "keyed_delete" -> ((s, dir) => {
+      val keys = customer(s, dir).filter(col("c_custkey") % 7 === 0).select("c_custkey")
+      KeyedUpsert.delete(customer(s, dir), keys, "c_custkey")
+        .select("c_custkey", "c_name").orderBy("c_custkey")
+    }),
+    // R3 + S6: JSON column → struct → dot-path flatten.
+    "flatten_props" -> ((s, dir) => {
+      val schema = StructType(Seq(StructField("k", IntegerType)))
+      val parsed = Tables.load(s, dir, "events")
+        .select(col("event_id"), from_json(col("props"), schema).as("props"))
+      Flatten(parsed).withColumnRenamed("props.k", "k")
+        .orderBy("event_id")
+    }),
+    // F21: canonical JSON stringify of a struct.
+    "json_stringify" -> ((s, dir) =>
+      Tables.load(s, dir, "nation")
+        .select(col("n_nationkey"),
+          to_json(struct(col("n_nationkey"), col("n_name"))).as("doc"))
+        .orderBy("n_nationkey")),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "compare_mismatch_count" -> {
+      // reuse the ComparePack CTE: count of its mismatch arms
+      val base = ComparePack.oracleSql("compare_mismatches")
+      s"SELECT count(*) AS n_mismatches FROM ($base)"
+    },
+    "keyed_upsert" ->
+      """SELECT c_custkey,
+        |  CASE WHEN c_custkey % 3 = 0 THEN 'UPD_' || c_name ELSE c_name END AS c_name,
+        |  c_mktsegment
+        |FROM customer
+        |UNION ALL
+        |SELECT c_custkey + 100000, c_name, c_mktsegment FROM customer WHERE c_custkey % 100 = 0
+        |ORDER BY c_custkey""".stripMargin,
+    "keyed_upsert_merge" ->
+      """SELECT c_custkey,
+        |  CASE WHEN c_custkey % 5 = 0 THEN 'M_' || c_name ELSE c_name END AS c_name,
+        |  c_mktsegment
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "keyed_delete" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE c_custkey % 7 <> 0 ORDER BY c_custkey""".stripMargin,
+    "flatten_props" ->
+      """SELECT event_id, CAST(json_extract(props, '$.k') AS INT) AS k
+        |FROM events ORDER BY event_id""".stripMargin,
+    "json_stringify" ->
+      """SELECT n_nationkey,
+        |  to_json(struct_pack(n_nationkey := n_nationkey, n_name := n_name)) AS doc
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
+  )
+}
