@@ -1,7 +1,6 @@
 package graft.packs
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.QueryPack
 import graft.core.Tables
@@ -103,11 +102,15 @@ object RelationalPack extends QueryPack {
 
     // O4: deterministic "shuffle" — rank by a keyed hash instead of
     // Math.random() so retries/oracle agree (same divergence rationale
-    // as the masking functions).
+    // as the masking functions). Ranked via Rank.globalRowNumber
+    // (range-partitioned sort + partition offsets), not a partitionless
+    // window — the window variant funnels the whole table through one
+    // task at scale.
     "shuffle_rank" -> ((s, dir) => {
-      val w = Window.orderBy(md5(col("c_custkey").cast("string")), col("c_custkey"))
-      Tables.load(s, dir, "customer")
-        .select(col("c_custkey"), row_number().over(w).as("rn"))
+      val hashed = Tables.load(s, dir, "customer")
+        .select(col("c_custkey"), md5(col("c_custkey").cast("string")).as("h"))
+      graft.ops.Rank.globalRowNumber(hashed, Seq(col("h"), col("c_custkey")))
+        .select("c_custkey", "rn")
         .orderBy("c_custkey")
     }),
 
