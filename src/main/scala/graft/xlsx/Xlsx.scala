@@ -46,23 +46,26 @@ object Xlsx {
     sb.result()
   }
 
-  private def sheetXml(header: Seq[String], rows: Iterator[Seq[String]]): String = {
-    val sb = new StringBuilder
-    sb.append("""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""")
-    sb.append("""<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>""")
+  /** Stream one worksheet part row-by-row into `w` — memory stays
+    * O(row), never O(sheet), so a sheet bigger than the heap still
+    * writes (rows arrive via toLocalIterator, one partition at a
+    * time). */
+  private def writeSheetXml(w: java.io.Writer, header: Seq[String],
+      rows: Iterator[Seq[String]]): Unit = {
+    w.write("""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""")
+    w.write("""<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>""")
     def row(r: Int, vs: Seq[String]): Unit = {
-      sb.append(s"""<row r="$r">""")
+      w.write(s"""<row r="$r">""")
       vs.zipWithIndex.foreach { case (v, c) =>
         val t = graft.xml.Xml.esc(Option(v).getOrElse(""))
-        sb.append(s"""<c r="${colRef(c)}$r" t="inlineStr"><is><t xml:space="preserve">$t</t></is></c>""")
+        w.write(s"""<c r="${colRef(c)}$r" t="inlineStr"><is><t xml:space="preserve">$t</t></is></c>""")
       }
-      sb.append("</row>")
+      w.write("</row>")
     }
     row(1, header)
     var r = 2
     rows.foreach { vs => row(r, vs); r += 1 }
-    sb.append("</sheetData></worksheet>")
-    sb.result()
+    w.write("</sheetData></worksheet>")
   }
 
   /** Write a multi-sheet workbook. Sheet order preserved; names
@@ -113,7 +116,12 @@ object Xlsx {
             header.indices.map(j => Option(r.get(j)).map(_.toString).getOrElse(""))
           }
         }
-        put(s"xl/worksheets/sheet${i + 1}.xml", sheetXml(header, it))
+        zos.putNextEntry(new ZipEntry(s"xl/worksheets/sheet${i + 1}.xml"))
+        val w = new java.io.BufferedWriter(
+          new java.io.OutputStreamWriter(zos, "UTF-8"), 1 << 16)
+        writeSheetXml(w, header, it)
+        w.flush() // flush through to the zip stream, but do NOT close it
+        zos.closeEntry()
       }
     } finally zos.close()
   }

@@ -20,6 +20,40 @@ class XlsxSpec extends SparkSpec {
     assert(r2.toSeq == Seq(("only", "row")))
   }
 
+  test("writer streams large sheets row-by-row (O(row) memory, K5)") {
+    // 200k rows would OOM a whole-sheet StringBuilder long before the
+    // heap if the writer materialized the part; streaming writes it in
+    // constant memory. Verified by writing, then counting rows with a
+    // streaming scan of the zip entry (never loading it whole).
+    val n = 200000
+    val big = spark.range(1, n + 1L)
+      .selectExpr("CAST(id AS STRING) AS id", "concat('v&', id) AS v", "repeat('x', 20) AS pad")
+    val f = java.nio.file.Files.createTempDirectory("xlsxbig").resolve("big.xlsx").toString
+    Xlsx.writeWorkbook(Seq("big" -> big), f)
+    val zis = new java.util.zip.ZipInputStream(new java.io.FileInputStream(f))
+    var rows = -1L
+    try {
+      var e = zis.getNextEntry
+      while (e != null && rows < 0) {
+        if (e.getName == "xl/worksheets/sheet1.xml") {
+          val buf = new Array[Byte](1 << 16)
+          var carry = ""
+          var count = 0L
+          var read = zis.read(buf)
+          while (read > 0) {
+            val chunk = carry + new String(buf, 0, read, "UTF-8")
+            count += "<row ".r.findAllMatchIn(chunk).size
+            carry = chunk.takeRight(4) // longest proper prefix of "<row " that can straddle
+            read = zis.read(buf)
+          }
+          rows = count
+        }
+        e = zis.getNextEntry
+      }
+    } finally zis.close()
+    assert(rows == n + 1L) // header + n data rows
+  }
+
   test("sheet-name sanitizer: strip, 31-char cap, _N dedup (K5)") {
     val used = mutable.Set.empty[String]
     assert(Xlsx.sanitizeSheetName("a/b:c*?[x]", used) == "a b c   x")
