@@ -58,9 +58,23 @@ object Dedup {
     sigs.select(col("id"), explode(array(keys: _*)).as("bk"))
   }
 
-  /** Candidate pairs (a < b) sharing ≥1 band key. */
-  def lshCandidates(bandsDf: DataFrame): DataFrame = {
-    val x = bandsDf.as("x"); val y = bandsDf.as("y")
+  /** Candidate pairs (a < b) sharing ≥1 band key.
+    *
+    * Skew guard: the self-join cost is Σ bucket², so one hot band key
+    * (boilerplate-heavy corpora hash many docs into the same bucket)
+    * goes quadratic. Band keys with more than `maxBucket` members are
+    * dropped before the join (an inner join against the under-cap key
+    * set — one cheap aggregate + broadcast-able key list). Docs in a
+    * dropped bucket still pair through their other bands; with all
+    * bands saturated they are exact-dup-scale identical and belong to
+    * exact dedup, not MinHash. Default cap 10k ⇒ ≤1e8 comparisons per
+    * degenerate bucket, bounded regardless of corpus size. */
+  def lshCandidates(bandsDf: DataFrame, maxBucket: Long = 10000L): DataFrame = {
+    val okKeys = bandsDf.groupBy("bk").agg(count(lit(1)).as("bn"))
+      .filter(col("bn") <= maxBucket)
+      .select("bk")
+    val capped = bandsDf.join(okKeys, Seq("bk"))
+    val x = capped.as("x"); val y = capped.as("y")
     x.join(y, col("x.bk") === col("y.bk") && col("x.id") < col("y.id"))
       .select(col("x.id").as("a"), col("y.id").as("b"))
       .distinct()
@@ -84,9 +98,10 @@ object Dedup {
   /** MinHash-LSH near-duplicate pairs with verified Jaccard ≥ threshold
     * (threshold compared on the scaled fixed-point value). */
   def minhashDupPairs(docs: DataFrame, idCol: String, textCol: String,
-      k: Int = 8, bands: Int = 4, threshold: Double = 0.5): DataFrame = {
+      k: Int = 8, bands: Int = 4, threshold: Double = 0.5,
+      maxBucket: Long = 10000L): DataFrame = {
     val sh = shingles(docs, idCol, textCol)
-    val cand = lshCandidates(lshBands(minhashSignatures(sh, k), k, bands))
+    val cand = lshCandidates(lshBands(minhashSignatures(sh, k), k, bands), maxBucket)
     jaccard(cand, sh).filter(col("jacc_x1e4") >= (threshold * 10000).toLong)
   }
 

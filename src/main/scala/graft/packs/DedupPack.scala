@@ -68,8 +68,10 @@ object DedupPack extends QueryPack {
        |hs AS (SELECT id, sh, $hCols FROM sh),
        |sig AS (SELECT id, $mins FROM hs GROUP BY id),
        |band AS ($bandArms),
+       |band_ok AS (SELECT bk FROM band GROUP BY bk HAVING count(*) <= 10000),
+       |bandc AS (SELECT band.id, band.bk FROM band JOIN band_ok USING (bk)),
        |cand AS (SELECT DISTINCT x.id AS a, y.id AS b
-       |  FROM band x JOIN band y ON x.bk = y.bk AND x.id < y.id),
+       |  FROM bandc x JOIN bandc y ON x.bk = y.bk AND x.id < y.id),
        |sizes AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
        |inter AS (SELECT c.a, c.b, count(*) AS i FROM cand c
        |  JOIN sh sa ON sa.id = c.a

@@ -71,6 +71,25 @@ class LlmSpec extends SparkSpec {
     assert(es.select(TextAnalysis.langGuess($"text")).head().getString(0) == "es")
   }
 
+  test("LSH bucket cap drops degenerate hot buckets (skew guard)") {
+    // 3000 identical docs collapse into one band bucket per band — the
+    // uncapped self-join would be ~4 * 3000^2 = 36M pairs. With the cap
+    // they are dropped (they belong to exact dedup); a small near-dup
+    // cluster under the cap still pairs.
+    val hot = (1L to 3000L).map(i => (i, "the same exact boilerplate text repeated"))
+    val near = Seq((100001L, "a rare document about spark engines"),
+      (100002L, "a rare document about spark engines zzz"))
+    val docs = (hot ++ near).toDF("id", "text")
+    val sh = Dedup.shingles(docs, "id", "text")
+    val bands = Dedup.lshBands(Dedup.minhashSignatures(sh), 8, 4)
+    val cand = Dedup.lshCandidates(bands, maxBucket = 100).collect()
+    assert(cand.length < 10, s"cap failed: ${cand.length} candidate pairs")
+    assert(cand.exists(r => r.getLong(0) == 100001L && r.getLong(1) == 100002L))
+    // sanity: uncapped candidates on just the hot set would be quadratic
+    val hotPairs = Dedup.lshCandidates(bands, maxBucket = 10000L)
+    assert(hotPairs.count() > 3000L * 2999L / 2)
+  }
+
   test("multimodal: decode preserves ids, derives metadata from bytes; frames sample") {
     val media = Multimodal.fromText(Seq((1L, "some binary payload"), (2L, "x")).toDF("id", "t"), "id", "t")
     val dec = Multimodal.decode(media).orderBy("media_id").collect()
