@@ -1,6 +1,7 @@
 package graft.llm
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Approximate-nearest-neighbor search over an embedding column
@@ -10,14 +11,33 @@ import org.apache.spark.sql.functions._
   *  - `cosineTopK` — brute-force baseline: broadcast the (small) query
   *    set against the corpus; cosine via codegen'd higher-order array
   *    functions (zip_with + aggregate), no UDFs; per-query top-k via a
-  *    window rank. Cost O(|q|·|corpus|) — correct for small |q|, the
-  *    exact-recall baseline.
-  *  - `ivfTopK` — the scale path: corpus pre-partitioned into coarse
-  *    buckets (here the `label` column stands in for a trained k-means
-  *    centroid assignment); each query searches only its own bucket, so
-  *    cost drops to O(|q|·|corpus|/nbuckets) and the bucket join
-  *    shuffles on the bucket key. With a real IVF the bucket id would
-  *    be argmin-centroid, computed the same way.
+  *    qid-partitioned window rank. Cost O(|q|·|corpus|) — correct for
+  *    small |q|, the exact-recall baseline.
+  *  - `ivfTopK` — the scale path, a real IVF built in-engine:
+  *      1. `seedCentroids`: deterministic init — the n corpus vectors
+  *         with the smallest keyed md5 (top-n by hash compiles to
+  *         TakeOrderedAndProject, no global sort);
+  *      2. `lloydStep` × iters: k-means refinement as DataFrame
+  *         aggregations. Component sums accumulate in **integer
+  *         fixed-point** (floor(v·1e6) summed as longs) — integer
+  *         addition is order-independent, so centroids are bit-identical
+  *         regardless of partitioning, task retries, or which engine
+  *         (Spark vs the DuckDB oracle) computes them;
+  *      3. `assignBuckets`: argmax-cosine bucket per vector via one
+  *         hash aggregate (min of a (−cos, cid) struct — partial+final,
+  *         map-side combine, no window);
+  *      4. `probeBuckets`: multi-probe — each query searches its
+  *         `nprobe` nearest buckets, recovering recall at bucket edges.
+  *    Cost drops to O(|q|·nprobe·|corpus|/n); the bucket join shuffles
+  *    on the bucket key only.
+  *
+  * Recall honesty: on clustered embeddings (the realistic corpus —
+  * real text/image embeddings are strongly clustered) nprobe=2 of
+  * n=10 buckets reaches ≥0.9 recall (AnnSpec proves it on a separable
+  * fixture). On *isotropic random* vectors — the `embeddings` test
+  * fixture, within-label mean cosine ≈ 0.007 — no partitioning scheme
+  * beats recall ≈ scanned-fraction; `ann_ivf_recall` records the
+  * measured value rather than pretending otherwise.
   *
   * Cosines are emitted as floor-scaled 4-decimal fixed-point longs
   * (F.scale4) and ranked on the scaled value (ties → vec_id) so results
@@ -25,10 +45,14 @@ import org.apache.spark.sql.functions._
   */
 object Ann {
 
-  /** Sum of elementwise products in double precision (portable across
-    * engines: each float is widened before multiply). */
+  /** Sum of elementwise products in double precision, sequential fold
+    * (portable across engines: each element is widened before
+    * multiply, accumulation is left-to-right). */
   private def dotExpr(a: String, b: String) =
     expr(s"aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0 AS DOUBLE), (acc, v) -> acc + v)")
+
+  private def cosScaled(a: String, b: String): Column =
+    graft.functions.F.scale4(dotExpr(a, b) / sqrt(dotExpr(a, a) * dotExpr(b, b)))
 
   /** queries(qid, qe) × corpus(vec_id, ce) → top-k by cosine. */
   def cosineTopK(queries: DataFrame, corpus: DataFrame, k: Int = 10): DataFrame = {
@@ -37,20 +61,100 @@ object Ann {
     rankTopK(joined, k)
   }
 
-  /** Bucket-restricted search: queries(qid, qe, bucket) ⋈ corpus(vec_id,
-    * ce, bucket) on the bucket key, then per-query top-k. */
-  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int = 10): DataFrame = {
-    val joined = broadcast(queries.select(col("qid"), col("qe"), col("bucket")))
-      .join(corpus.select(col("vec_id"), col("ce"), col("bucket")), Seq("bucket"))
-    rankTopK(joined, k)
+  // -------------------------------------------------------------------
+  // IVF index build
+  // -------------------------------------------------------------------
+
+  /** Deterministic seeded init: the n corpus vectors with the smallest
+    * md5(vec_id ":" seed), cid = 0..n-1 in hash order. orderBy+limit
+    * compiles to TakeOrderedAndProject (per-partition heap + driver
+    * merge); the rank over the surviving n rows goes through the
+    * scale-safe Rank helper. Output (cid, cemb: array<double>). */
+  def seedCentroids(corpus: DataFrame, n: Int, seed: String = "ivf"): DataFrame = {
+    val h = md5(concat(col("vec_id").cast("string"), lit(s":$seed")))
+    val top = corpus.select(col("vec_id"), col("ce"), h.as("h"))
+      .orderBy(col("h"), col("vec_id")).limit(n)
+    graft.ops.Rank.globalRowNumber(top, Seq(col("h"), col("vec_id")), "rn")
+      .select((col("rn") - 1).cast("int").as("cid"),
+        expr("transform(ce, x -> CAST(x AS DOUBLE))").as("cemb"))
+  }
+
+  /** Argmax-cosine bucket per corpus vector: one hash aggregate over
+    * the corpus × broadcast(centroids) product — min of the
+    * (−cos, cid) struct gives highest cosine, ties to the smallest
+    * cid. Output (vec_id, ce, bucket). */
+  def assignBuckets(corpus: DataFrame, centroids: DataFrame): DataFrame =
+    corpus.select(col("vec_id"), col("ce"))
+      .crossJoin(broadcast(centroids))
+      .select(col("vec_id"), col("ce"),
+        struct((-cosScaled("ce", "cemb")).as("nc"), col("cid")).as("sc"))
+      .groupBy("vec_id")
+      .agg(first(col("ce")).as("ce"), min(col("sc")).as("m"))
+      .select(col("vec_id"), col("ce"), col("m.cid").as("bucket"))
+
+  /** One Lloyd iteration: reassign, then recompute each centroid as the
+    * component-wise mean of its members. Sums run in integer
+    * fixed-point (exact, order-independent); the final division is one
+    * IEEE double op, identical everywhere. Buckets that lose all
+    * members disappear (their vectors reassign next step). */
+  def lloydStep(corpus: DataFrame, centroids: DataFrame): DataFrame =
+    assignBuckets(corpus, centroids)
+      .select(col("bucket"), posexplode(col("ce")).as(Seq("pos", "v")))
+      .select(col("bucket"), col("pos"),
+        floor(col("v").cast("double") * 1000000d).cast("long").as("fx"))
+      .groupBy("bucket", "pos")
+      .agg(sum(col("fx")).as("s"), count(lit(1)).as("n"))
+      .select(col("bucket"), col("pos"),
+        (col("s").cast("double") / (col("n") * 1000000L).cast("double")).as("m"))
+      .groupBy("bucket")
+      .agg(expr("transform(array_sort(collect_list(struct(pos, m))), x -> x.m)").as("cemb"))
+      .select(col("bucket").as("cid"), col("cemb"))
+
+  /** Full index build: seeded init + `iters` Lloyd refinements. */
+  def ivfCentroids(corpus: DataFrame, n: Int, iters: Int = 2,
+      seed: String = "ivf"): DataFrame =
+    (0 until iters).foldLeft(seedCentroids(corpus, n, seed))(
+      (cent, _) => lloydStep(corpus, cent))
+
+  /** Multi-probe: each query pairs with its `nprobe` nearest centroids
+    * (qid-partitioned window over |centroids| rows per query).
+    * Output (qid, qe, bucket). */
+  def probeBuckets(queries: DataFrame, centroids: DataFrame, nprobe: Int): DataFrame = {
+    val scored = queries.select(col("qid"), col("qe"))
+      .crossJoin(broadcast(centroids))
+      .select(col("qid"), col("qe"), col("cid"), cosScaled("qe", "cemb").as("c"))
+    val w = Window.partitionBy("qid").orderBy(desc("c"), asc("cid"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= nprobe)
+      .select(col("qid"), col("qe"), col("cid").as("bucket"))
+  }
+
+  /** IVF search: assign corpus buckets, probe nprobe buckets per
+    * query, join on the bucket key, per-query top-k. */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, centroids: DataFrame,
+      k: Int = 10, nprobe: Int = 2): DataFrame = {
+    val cass = assignBuckets(corpus, centroids)
+    val probes = broadcast(probeBuckets(queries, centroids, nprobe))
+    rankTopK(probes.join(cass, Seq("bucket")), k)
   }
 
   private def rankTopK(joined: DataFrame, k: Int): DataFrame = {
     val scored = joined.select(col("qid"), col("vec_id"),
-      graft.functions.F.scale4(dotExpr("qe", "ce") /
-        sqrt(dotExpr("qe", "qe") * dotExpr("ce", "ce"))).as("cos_x1e4"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("qid").orderBy(desc("cos_x1e4"), asc("vec_id"))
+      cosScaled("qe", "ce").as("cos_x1e4"))
+    val w = Window.partitionBy("qid").orderBy(desc("cos_x1e4"), asc("vec_id"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** Per-query recall of `approx` against `exact` (both shaped
+    * (qid, vec_id, ..., rank), rank ≤ k). Output
+    * (qid, n_hits, recall_x1e4). */
+  def recallVsBrute(approx: DataFrame, exact: DataFrame, k: Int = 10): DataFrame = {
+    val a = approx.select(col("qid"), col("vec_id"))
+    val e = exact.select(col("qid"), col("vec_id"))
+    e.join(a, Seq("qid", "vec_id"), "left_semi")
+      .groupBy("qid").agg(count(lit(1)).as("n_hits"))
+      .join(e.select("qid").distinct(), Seq("qid"), "right_outer")
+      .na.fill(0, Seq("n_hits"))
+      .select(col("qid"), col("n_hits"),
+        graft.functions.F.scale4(col("n_hits").cast("double") / k).as("recall_x1e4"))
   }
 }

@@ -42,14 +42,29 @@ object LlmPack extends QueryPack {
       val c = e.select(col("vec_id"), col("embedding").as("ce"))
       Ann.cosineTopK(q, c, 10).orderBy("qid", "rank")
     }),
+    // Real in-engine IVF: seeded centroids + 2 Lloyd steps + multi-probe
+    // (Ann.scala scaladoc covers the fixed-point determinism story and
+    // why recall on this isotropic fixture tracks the scanned fraction).
     "ann_topk_ivf" -> ((s, dir) => {
       val e = emb(s, dir)
+      val c = e.select(col("vec_id"), col("embedding").as("ce"))
+      val cent = Ann.ivfCentroids(c, NC, LLOYD).cache()
       val q = e.filter(col("vec_id") < 3)
-        .select(col("vec_id").as("qid"), col("embedding").as("qe"),
-          col("label").as("bucket"))
-      val c = e.select(col("vec_id"), col("embedding").as("ce"),
-        col("label").as("bucket"))
-      Ann.ivfTopK(q, c, 10).select("qid", "vec_id", "cos_x1e4", "rank").orderBy("qid", "rank")
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      Ann.ivfTopK(q, c, cent, TOPK, NPROBE)
+        .select("qid", "vec_id", "cos_x1e4", "rank").orderBy("qid", "rank")
+    }),
+    // Measured IVF recall vs the exact baseline over 20 queries —
+    // the honest quality gate for the approximate path.
+    "ann_ivf_recall" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val c = e.select(col("vec_id"), col("embedding").as("ce"))
+      val cent = Ann.ivfCentroids(c, NC, LLOYD).cache()
+      val q = e.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      val ivf = Ann.ivfTopK(q, c, cent, TOPK, NPROBE)
+      val brute = Ann.cosineTopK(q, c, TOPK)
+      Ann.recallVsBrute(ivf, brute, TOPK).orderBy("qid")
     }),
     // Full mapPartitions decode path over binary media built from text.
     "multimodal_decode" -> ((s, dir) =>
@@ -76,20 +91,88 @@ object LlmPack extends QueryPack {
   private val dotFn =
     "list_sum(list_transform(list_zip(%s, %s), z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))"
   private def dot(a: String, b: String) = dotFn.format(a, b)
+  private def cosS(a: String, b: String) =
+    s"CAST(FLOOR(${dot(a, b)} / sqrt(${dot(a, a)} * ${dot(b, b)}) * 10000 + 0.5) AS BIGINT)"
 
-  private def annSql(bucketJoin: Boolean): String = {
-    val joinCond = if (bucketJoin) " WHERE q.label = c.label" else ""
-    val qCols = if (bucketJoin) ", label" else ""
-    s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe$qCols FROM embeddings WHERE vec_id < 3),
-       |c AS (SELECT vec_id, embedding AS ce$qCols FROM embeddings),
-       |s AS (SELECT qid, c.vec_id,
-       |  CAST(FLOOR(${dot("qe", "ce")} / sqrt(${dot("qe", "qe")} * ${dot("ce", "ce")})
-       |    * 10000 + 0.5) AS BIGINT) AS cos_x1e4
-       |  FROM q, c$joinCond)
+  // IVF parameters shared by the engine queries and the oracle mirror.
+  private val NC = 10; private val LLOYD = 2; private val NPROBE = 2; private val TOPK = 10
+
+  private def bruteSql: String =
+    s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 3),
+       |c AS (SELECT vec_id, embedding AS ce FROM embeddings),
+       |s AS (SELECT qid, c.vec_id, ${cosS("qe", "ce")} AS cos_x1e4 FROM q, c)
        |SELECT qid, vec_id, cos_x1e4, rank FROM (
        |  SELECT qid, vec_id, cos_x1e4,
        |    CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_x1e4 DESC, vec_id) AS INT) AS rank
        |  FROM s) WHERE rank <= 10 ORDER BY qid, rank""".stripMargin
+
+  /** Mirrors Ann.ivfCentroids/assignBuckets/probeBuckets/ivfTopK: the
+    * same seeded init, fixed-point Lloyd steps, argmax assignment, and
+    * multi-probe search as chained CTEs. Returns the CTE list ending in
+    * `ivf` (qid, vec_id, cos_x1e4, rank ≤ TOPK) for `maxQ` queries. */
+  private def ivfCtes(maxQ: Int): Seq[String] = {
+    def assign(cent: String, out: String) =
+      s"""$out AS (
+         |  SELECT vec_id, ce, cid AS bucket FROM (
+         |    SELECT e.vec_id, e.embedding AS ce, s.cid,
+         |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${cosS("e.embedding", "s.cemb")} DESC, s.cid) AS rn
+         |    FROM embeddings e, $cent s) WHERE rn = 1)""".stripMargin
+    def update(asg: String, out: String) =
+      s"""$out AS (
+         |  SELECT bucket AS cid, list(m ORDER BY pos) AS cemb FROM (
+         |    SELECT bucket, pos, CAST(SUM(fx) AS DOUBLE) / CAST(COUNT(*) * 1000000 AS DOUBLE) AS m
+         |    FROM (
+         |      SELECT a.bucket, t.pos, CAST(FLOOR(CAST(a.ce[t.pos] AS DOUBLE) * 1000000) AS BIGINT) AS fx
+         |      FROM $asg a, UNNEST(generate_series(1, len(a.ce))) AS t(pos))
+         |    GROUP BY bucket, pos)
+         |  GROUP BY bucket)""".stripMargin
+    val seeds =
+      s"""seeds AS (
+         |  SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cemb,
+         |    CAST(ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR) || ':ivf'), vec_id) AS INT) - 1 AS cid
+         |  FROM embeddings QUALIFY cid < $NC)""".stripMargin
+    val lloyd = (0 until LLOYD).flatMap { i =>
+      val cent = if (i == 0) "seeds" else s"cent$i"
+      Seq(assign(cent, s"asg$i"), update(s"asg$i", s"cent${i + 1}"))
+    }
+    val centFinal = if (LLOYD == 0) "seeds" else s"cent$LLOYD"
+    Seq(seeds) ++ lloyd ++ Seq(
+      assign(centFinal, "corpus_assign"),
+      s"q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < $maxQ)",
+      s"""q_probe AS (
+         |  SELECT qid, qe, cid AS bucket FROM (
+         |    SELECT q.qid, q.qe, s.cid,
+         |      ROW_NUMBER() OVER (PARTITION BY q.qid
+         |        ORDER BY ${cosS("q.qe", "s.cemb")} DESC, s.cid) AS rn
+         |    FROM q, $centFinal s) WHERE rn <= $NPROBE)""".stripMargin,
+      s"""ivf AS (
+         |  SELECT qid, vec_id, cos_x1e4, rank FROM (
+         |    SELECT qp.qid, ca.vec_id, ${cosS("qp.qe", "ca.ce")} AS cos_x1e4,
+         |      CAST(ROW_NUMBER() OVER (PARTITION BY qp.qid
+         |        ORDER BY ${cosS("qp.qe", "ca.ce")} DESC, ca.vec_id) AS INT) AS rank
+         |    FROM q_probe qp JOIN corpus_assign ca ON qp.bucket = ca.bucket)
+         |  WHERE rank <= $TOPK)""".stripMargin)
+  }
+
+  private def ivfTopkSql: String =
+    "WITH " + ivfCtes(maxQ = 3).mkString(",\n") +
+      "\nSELECT qid, vec_id, cos_x1e4, rank FROM ivf ORDER BY qid, rank"
+
+  private def ivfRecallSql: String = {
+    val brute =
+      s"""brute AS (
+         |  SELECT qid, vec_id FROM (
+         |    SELECT q.qid, e.vec_id,
+         |      ROW_NUMBER() OVER (PARTITION BY q.qid
+         |        ORDER BY ${cosS("q.qe", "e.embedding")} DESC, e.vec_id) AS rank
+         |    FROM q, embeddings e) WHERE rank <= $TOPK)""".stripMargin
+    "WITH " + (ivfCtes(maxQ = 20) :+ brute).mkString(",\n") +
+      s"""
+         |SELECT b.qid, count(i.vec_id) AS n_hits,
+         |  CAST(FLOOR(CAST(count(i.vec_id) AS DOUBLE) / $TOPK * 10000 + 0.5) AS BIGINT) AS recall_x1e4
+         |FROM brute b LEFT JOIN ivf i ON b.qid = i.qid AND b.vec_id = i.vec_id
+         |GROUP BY b.qid ORDER BY b.qid""".stripMargin
   }
 
   val oracleSql: Map[String, String] = Map(
@@ -121,8 +204,9 @@ object LlmPack extends QueryPack {
         |    generate_series(1, GREATEST(length(text) - 4, 1)),
         |    i -> CAST(CONCAT('0x', substr(md5(substr(text, i, 5) || ':fp'), 1, 8)) AS BIGINT))) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
-    "ann_topk_brute" -> annSql(bucketJoin = false),
-    "ann_topk_ivf" -> annSql(bucketJoin = true),
+    "ann_topk_brute" -> bruteSql,
+    "ann_topk_ivf" -> ivfTopkSql,
+    "ann_ivf_recall" -> ivfRecallSql,
     "multimodal_decode" ->
       """SELECT doc_id AS media_id,
         |  CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
