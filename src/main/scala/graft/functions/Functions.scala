@@ -151,8 +151,13 @@ object F {
     * token would collide at ~4.8k ids/day). */
   val tokenAlphabet: String = "ABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789"
   def uniqueId(key: Column, seed: String, atUtc: Column): Column = {
+    // One digest per row: char i draws 16 bits from hex slice [4i, 4i+4)
+    // of a single md5 (the earlier design burned 6 digests/row). The
+    // 65536 % 36 ≠ 0 bias (~0.05%) matches the old % 36 construction's
+    // own bias and is irrelevant at 36^6 id space.
+    val h = md5(concat_ws(":", key.cast("string"), lit(seed), lit("uid")))
     val chars = (0 until 6).map { i =>
-      val idx = (hash32(key, seed, s"uid$i") % 36 + 1).cast("int")
+      val idx = (conv(substring(h, i * 4 + 1, 4), 16, 10).cast("long") % 36 + 1).cast("int")
       element_at(array(tokenAlphabet.map(c => lit(c.toString)): _*), idx)
     }
     concat(lit("CV") +:

@@ -199,11 +199,18 @@ object LlmPack extends QueryPack {
          |  CAST(${reCount("text", "[^A-Za-z0-9\\s]")} AS DOUBLE) /
          |        GREATEST(length(text), 1) AS punct_ratio
          |  FROM documents) ORDER BY doc_id""".stripMargin,
-    "text_fingerprint" ->
-      """SELECT doc_id, list_min(list_transform(
-        |    generate_series(1, GREATEST(length(text) - 4, 1)),
-        |    i -> CAST(CONCAT('0x', substr(md5(substr(text, i, 5) || ':fp'), 1, 8)) AS BIGINT))) AS fp
-        |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_fingerprint" -> {
+      val poly = (0 until 5).map(j => s"cs[i + $j]")
+        .reduce((acc, c) => s"($acc * 257 + $c)")
+      s"""SELECT doc_id, list_min(list_transform(
+         |    generate_series(1, n - 4),
+         |    i -> $poly % 2147483647)) AS fp
+         |FROM (SELECT doc_id, length(p) AS n,
+         |  list_transform(string_split(p, ''), c -> CAST(ascii(c) AS BIGINT)) AS cs
+         |  FROM (SELECT doc_id,
+         |    CASE WHEN length(text) < 5 THEN rpad(text, 5, ' ') ELSE text END AS p
+         |    FROM documents)) ORDER BY doc_id""".stripMargin
+    },
     "ann_topk_brute" -> bruteSql,
     "ann_topk_ivf" -> ivfTopkSql,
     "ann_ivf_recall" -> ivfRecallSql,

@@ -60,8 +60,9 @@ object MaskPack extends QueryPack {
       s"strftime(DATE '$start' + CAST(${hash32(k, tag)} % $span AS INT), '%Y-%m-%d')"
     }
     def uniqueId(k: String, kstDate: String): String = {
+      val h = s"md5($k || ':$seed:uid')"
       val tok = (0 until 6)
-        .map(i => s"substr('${F.tokenAlphabet}', CAST(${hash32(k, s"uid$i")} % 36 AS INT) + 1, 1)")
+        .map(i => s"substr('${F.tokenAlphabet}', CAST(CAST(CONCAT('0x', substr($h, ${i * 4 + 1}, 4)) AS BIGINT) % 36 AS INT) + 1, 1)")
         .mkString(" || ")
       s"'CV$kstDate" + "_' || " + tok
     }

@@ -154,16 +154,21 @@ object Xml {
     toDf(spark, maps)
   }
 
-  /** Materialize Map rows into an all-string DataFrame. */
+  /** Materialize Map rows into an all-string DataFrame. The parsed
+    * dataset is persisted (memory, disk spill) so the 1000-row schema
+    * sample and the full pass parse each document once, not twice —
+    * bounded by input size, and XML inputs are export-scale by this
+    * module's design (see object scaladoc). */
   private[graft] def toDf(spark: SparkSession,
       maps: org.apache.spark.sql.Dataset[Map[String, String]]): DataFrame = {
+    val cached = maps.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val keys = {
       val seen = mutable.LinkedHashSet.empty[String]
-      maps.limit(1000).collect().foreach(_.keys.foreach(seen.add))
+      cached.limit(1000).collect().foreach(_.keys.foreach(seen.add))
       seen.toSeq
     }
     val schema = StructType(keys.map(k => StructField(k, StringType, nullable = false)))
-    val rows = maps.rdd.map(m => Row.fromSeq(keys.map(k => m.getOrElse(k, ""))))
+    val rows = cached.rdd.map(m => Row.fromSeq(keys.map(k => m.getOrElse(k, ""))))
     spark.createDataFrame(rows, schema)
   }
 
