@@ -43,6 +43,54 @@ object SourcesPack extends QueryPack {
       Tables.load(s, dir, "customer").select(col("c_name")).write.mode("overwrite").text(out)
       Text.readTxt(s, out).orderBy("value")
     }),
+    // K1: naive CSV sink (raw joins, reference rowsToCSV) → reference read.
+    // Values are comma/quote-free by construction — the naive mode's
+    // documented lossiness boundary.
+    "csv_naive_sink_roundtrip" -> ((s, dir) => {
+      val f = Paths.get(scratch("csv_naive"), "customer.csv").toString
+      graft.sinks.Csv.writeFile(Tables.load(s, dir, "customer")
+        .select(col("c_custkey").cast("string"), col("c_name"), col("c_mktsegment")),
+        f, naive = true)
+      Text.readCsv(s, f, Some(",")).orderBy("c_name")
+    }),
+    // K2: quoted CSV sink ("" escape) → reference read; the synthetic
+    // column embeds both the delimiter and a quote to exercise escaping.
+    "csv_quoted_sink_roundtrip" -> ((s, dir) => {
+      val f = Paths.get(scratch("csv_quoted"), "customer.csv").toString
+      graft.sinks.Csv.writeFile(Tables.load(s, dir, "customer")
+        .select(col("c_custkey").cast("string"), col("c_name"),
+          concat(col("c_mktsegment"), lit(", \"q\"")).as("noisy")), f)
+      Text.readCsv(s, f, Some(",")).orderBy("c_custkey")
+    }),
+    // K3 (JSONL branch): multi-column sheet → JSON-per-line text sink,
+    // read back through Spark's JSON reader.
+    "txt_jsonl_roundtrip" -> ((s, dir) => {
+      val out = scratch("txt_jsonl")
+      graft.sinks.Csv.writeTxt(Tables.load(s, dir, "customer")
+        .select(col("c_custkey"), col("c_name")), out)
+      s.read.json(out).select(col("c_custkey").cast("long"), col("c_name"))
+        .orderBy("c_custkey")
+    }),
+    // K3 (value-lines branch): `{value}` singleton sheet → raw lines.
+    "txt_value_sink_roundtrip" -> ((s, dir) => {
+      val out = scratch("txt_value")
+      graft.sinks.Csv.writeTxt(Tables.load(s, dir, "customer")
+        .select(col("c_name").as("value")), out)
+      Text.readTxt(s, out).orderBy("value")
+    }),
+    // P11: EUC-KR CSV fixture (Korean text) → encoding-aware read; the
+    // oracle compares against the UTF-8 originals, proving the decode.
+    "encoding_euckr_roundtrip" -> ((s, dir) => {
+      val rows = Tables.load(s, dir, "nation").orderBy("n_nationkey").collect()
+      val sb = new StringBuilder("n_nationkey,txt\n")
+      rows.foreach(r => sb.append(s"${r.getInt(0)},${r.getString(1)} 한국어\n"))
+      val out = Paths.get(scratch("euckr"))
+      Files.createDirectories(out)
+      Files.write(out.resolve("nation_kr.csv"), sb.toString.getBytes("EUC-KR"))
+      Text.readCsv(s, out.toString, Some(","), encoding = "EUC-KR")
+        .select(col("n_nationkey").cast("int"), col("txt"))
+        .orderBy("n_nationkey")
+    }),
     // S6: JSON array-under-key unwrap (fixture built from nation's 25 rows).
     "json_unwrap" -> ((s, dir) => {
       val rows = Tables.load(s, dir, "nation").orderBy("n_nationkey").collect()
@@ -68,6 +116,21 @@ object SourcesPack extends QueryPack {
         |FROM region ORDER BY r_name""".stripMargin,
     "txt_roundtrip" ->
       "SELECT c_name AS value FROM customer ORDER BY value",
+    "csv_naive_sink_roundtrip" ->
+      """SELECT CAST(c_custkey AS VARCHAR) AS c_custkey, c_name, c_mktsegment
+        |FROM customer ORDER BY c_name""".stripMargin,
+    "csv_quoted_sink_roundtrip" ->
+      """SELECT CAST(c_custkey AS VARCHAR) AS c_custkey, c_name,
+        |  c_mktsegment || ', "q"' AS noisy
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "txt_jsonl_roundtrip" ->
+      """SELECT CAST(c_custkey AS BIGINT) AS c_custkey, c_name
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "txt_value_sink_roundtrip" ->
+      "SELECT c_name AS value FROM customer ORDER BY value",
+    "encoding_euckr_roundtrip" ->
+      """SELECT n_nationkey, n_name || ' 한국어' AS txt
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
     "json_unwrap" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
   )

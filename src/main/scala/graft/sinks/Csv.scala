@@ -44,6 +44,21 @@ object Csv {
   def write(df: DataFrame, path: String, naive: Boolean = false): Unit =
     toCsvLines(df, naive).write.mode("overwrite").text(path)
 
+  /** Single-file export with header — the reference's download shape
+    * (rowsToCSV → one Blob). Lines render distributed; assembly
+    * streams through the driver via toLocalIterator (O(row) memory,
+    * same boundary as the XML/XLSX export writers). */
+  def writeFile(df: DataFrame, file: String, naive: Boolean = false): Unit = {
+    val lines = toCsvLines(df, naive)
+    val p = java.nio.file.Paths.get(file)
+    Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))
+    val w = java.nio.file.Files.newBufferedWriter(p)
+    try {
+      w.write(headerLine(df, naive)); w.newLine()
+      lines.toLocalIterator().forEachRemaining { r => w.write(r.getString(0)); w.newLine() }
+    } finally w.close()
+  }
+
   /** K3: TXT write — `{value}` singleton sheets emit raw lines, any
     * other schema emits JSON-per-line (reference rowsToTXT,
     * FileUploader.tsx:171-176). */

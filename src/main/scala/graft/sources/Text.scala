@@ -110,6 +110,12 @@ object Text {
       encoding: String = "UTF-8"): DataFrame = {
     val d = delimiter.getOrElse(detectDelimiter(readHead(spark, path)))
     val enc = resolveEncoding(spark, path, encoding)
+    // Spark 4 allows only a short charset list by default; legacy-mode
+    // opens the full java.nio set (EUC-KR/CP949, Shift_JIS — the
+    // reference's P11 encodings, FileUploader.tsx:233).
+    val builtin = Set("iso-8859-1", "us-ascii", "utf-16", "utf-16be", "utf-16le", "utf-32", "utf-8")
+    if (!builtin.contains(enc.toLowerCase))
+      spark.conf.set("spark.sql.legacy.javaCharsets", "true")
     val raw = spark.read
       .option("header", "true")
       .option("sep", d)
