@@ -44,6 +44,42 @@ object FormatsPack extends QueryPack {
       val sheets = Xlsx.readWorkbook(s, file).toMap
       sheets("customer").orderBy("c_name")
     }),
+    // S9: auto-detected multi-table document through readAutoDetected —
+    // both discovered tables (path_tag names) feed the output.
+    "xml_autodetect" -> ((s, dir) => {
+      val nations = Tables.load(s, dir, "nation").orderBy("n_nationkey").collect()
+      val regions = Tables.load(s, dir, "region").orderBy("r_regionkey").collect()
+      val sb = new StringBuilder("<db><regions>")
+      regions.foreach(r => sb.append(
+        s"<region><r_regionkey>${r.getInt(0)}</r_regionkey><r_name>${Xml.esc(r.getString(1))}</r_name></region>"))
+      sb.append("</regions><nations>")
+      nations.foreach(r => sb.append(
+        s"<nation><n_nationkey>${r.getInt(0)}</n_nationkey><n_name>${Xml.esc(r.getString(1))}</n_name></nation>"))
+      sb.append("</nations></db>")
+      val fdir = Paths.get(System.getProperty("java.io.tmpdir"), "graft_rt", "xml_auto")
+      Files.createDirectories(fdir)
+      Files.writeString(fdir.resolve("db.xml"), sb.toString)
+      val wb = Xml.readAutoDetected(s, fdir.toString)
+      val n = wb("db_nations_nation")
+        .select(lit("nation").as("tbl"), col("n_nationkey").cast("int").as("k"), col("n_name").as("nm"))
+      val r = wb("db_regions_region")
+        .select(lit("region").as("tbl"), col("r_regionkey").cast("int").as("k"), col("r_name").as("nm"))
+      n.unionAll(r).orderBy("tbl", "k")
+    }),
+    // S10: nested elements flatten to dot-path columns.
+    "xml_flatten" -> ((s, dir) => {
+      val rows = Tables.load(s, dir, "nation").orderBy("n_nationkey").collect()
+      val sb = new StringBuilder("<rows>")
+      rows.foreach(r => sb.append(
+        s"<row><k>${r.getInt(0)}</k><info><name>${Xml.esc(r.getString(1))}</name><geo><region>${r.getInt(2)}</region></geo></info></row>"))
+      sb.append("</rows>")
+      val file = scratchFile("nested.xml")
+      Files.writeString(Paths.get(file), sb.toString)
+      Xml.readXml(s, file, "row", flatten = true)
+        .select(col("k").cast("int").as("k"), col("`info.name`").as("nm"),
+          col("`info.geo.region`").cast("int").as("region"))
+        .orderBy("k")
+    }),
     "pdf_parse_pages" -> ((s, dir) => {
       import s.implicits._
       pageSpecs.flatMap { case (spec, total) =>
@@ -64,6 +100,14 @@ object FormatsPack extends QueryPack {
     "xlsx_roundtrip" ->
       """SELECT CAST(c_custkey AS VARCHAR) AS c_custkey, c_name, c_mktsegment
         |FROM customer ORDER BY c_name""".stripMargin,
+    "xml_autodetect" ->
+      """SELECT * FROM (
+        |  SELECT 'nation' AS tbl, n_nationkey AS k, n_name AS nm FROM nation
+        |  UNION ALL
+        |  SELECT 'region', r_regionkey, r_name FROM region) ORDER BY tbl, k""".stripMargin,
+    "xml_flatten" ->
+      """SELECT n_nationkey AS k, n_name AS nm, n_regionkey AS region
+        |FROM nation ORDER BY k""".stripMargin,
     // Exact SQL mirror of the JS parsePages semantics: chunk split,
     // trim, drop empties, parseInt numeric-prefix, range min/max swap,
     // group ordinal over successfully-parsed chunks, 1..total clamp.

@@ -143,6 +143,28 @@ object Xml {
       .collect { case e: org.w3c.dom.Element => e }
   }
 
+  /** S9 end-to-end: auto-detect tables on a sampled document, then run
+    * the distributed reader per detected table — the reference's
+    * parseXMLtoSheets auto path (FileUploader.tsx:95-123 feeding sheets
+    * at :319-330). The sample is one document (executor-read, collected
+    * bounded); the per-table scans are full distributed reads over
+    * every file under `path`. Zero tables → single `#text` fallback
+    * sheet; parse failure → single error sheet with the first 1 KB of
+    * raw text — both as the reference defines them. */
+  def readAutoDetected(spark: SparkSession, path: String): graft.core.Workbook = {
+    import spark.implicits._
+    val sample = spark.read.option("wholetext", "true").text(path)
+      .as[String].limit(1).collect().headOption.getOrElse("")
+    detectTables(sample) match {
+      case Right(tables) =>
+        graft.core.Workbook(tables.toSeq.map { case (name, tag) =>
+          name -> readXml(spark, path, tag)
+        }: _*)
+      case Left(fallbackRows) =>
+        graft.core.Workbook("doc" -> toDf(spark, spark.createDataset(fallbackRows)))
+    }
+  }
+
   /** Distributed row reader (S8): one row per `rowTag` element across
     * all files under path. Schema = union keys of a 1000-row sample
     * (P2), missing cells '' (P10). */

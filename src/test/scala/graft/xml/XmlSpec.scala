@@ -71,4 +71,30 @@ class XmlSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getString(1)))
     assert(back.toSeq == Seq(("1", "x&y"), ("2", "<z>")))
   }
+
+  test("readAutoDetected: detect → per-table distributed read (S9 end-to-end)") {
+    val doc = "<db><items><item><a>1</a><b>x</b></item><item><a>2</a><b>y</b></item></items>" +
+      "<tags><tag>t1</tag><tag>t2</tag><tag>t3</tag></tags></db>"
+    val d = java.nio.file.Files.createTempDirectory("xmlauto")
+    java.nio.file.Files.writeString(d.resolve("doc.xml"), doc)
+    val wb = Xml.readAutoDetected(spark, d.toString)
+    assert(wb.names.toSet == Set("db_items_item", "db_tags_tag"))
+    val items = wb("db_items_item").orderBy("a").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    assert(items.toSeq == Seq(("1", "x"), ("2", "y")))
+    assert(wb("db_tags_tag").collect().map(_.getString(0)).sorted.toSeq == Seq("t1", "t2", "t3"))
+  }
+
+  test("readAutoDetected fallbacks: #text sheet and error sheet (S9)") {
+    val d1 = java.nio.file.Files.createTempDirectory("xmlauto1")
+    java.nio.file.Files.writeString(d1.resolve("doc.xml"), "<note>just text</note>")
+    val wb1 = Xml.readAutoDetected(spark, d1.toString)
+    assert(wb1.names == Seq("doc"))
+    assert(wb1("doc").collect().map(_.getAs[String]("#text")).toSeq == Seq("just text"))
+    val d2 = java.nio.file.Files.createTempDirectory("xmlauto2")
+    java.nio.file.Files.writeString(d2.resolve("doc.xml"), "<broken><unclosed>")
+    val wb2 = Xml.readAutoDetected(spark, d2.toString)
+    val err = wb2("doc").collect().head
+    assert(err.getAs[String]("error").nonEmpty && err.getAs[String]("raw").contains("<broken>"))
+  }
 }
