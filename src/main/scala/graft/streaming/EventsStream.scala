@@ -71,23 +71,43 @@ object EventsStream {
         })
   }
 
-  /** File-source streaming run over a directory of parquet events —
-    * the deployable entry (batch fixture dirs work as a bounded
-    * stream for tests). Handles the fixture's TIMESTAMP(NANOS) parquet
-    * the same way Tables.load does (nanos-as-long + integer µs
-    * truncation). */
-  def run(spark: SparkSession, inputDir: String, checkpoint: String,
-      outTable: String): StreamingQuery = {
+  /** File-source stream over a directory of parquet events. Handles
+    * the fixture's TIMESTAMP(NANOS) parquet the same way Tables.load
+    * does (nanos-as-long + integer µs truncation). */
+  private def readEvents(spark: SparkSession, inputDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val events = spark.readStream
+    spark.readStream
       .schema("event_id LONG, ts LONG, user_id LONG, event_type STRING, value DOUBLE, props STRING")
       .parquet(inputDir)
       .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-    hourlyCounts(events).writeStream
+  }
+
+  /** The deployable entry: file source → watermarked hourly aggregate →
+    * partitioned parquet file sink (exactly-once via the checkpoint +
+    * file-sink log; every component is executor-side and restart-safe).
+    * The window struct flattens to start/end columns — parquet sinks
+    * take flat schemas. */
+  def runToFiles(spark: SparkSession, inputDir: String, checkpoint: String,
+      outDir: String): StreamingQuery =
+    hourlyCounts(readEvents(spark, inputDir))
+      .select(col("window.start").as("hour_start"), col("window.end").as("hour_end"),
+        col("event_type"), col("n"), col("total_value"))
+      .writeStream
+      .outputMode(OutputMode.Append())
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpoint)
+      .start()
+
+  /** Test/inspection harness only: the memory sink collects every
+    * batch onto the driver — never a deployment path (that is
+    * `runToFiles`). */
+  def runToMemory(spark: SparkSession, inputDir: String, checkpoint: String,
+      outTable: String): StreamingQuery =
+    hourlyCounts(readEvents(spark, inputDir)).writeStream
       .outputMode(OutputMode.Append())
       .format("memory")
       .queryName(outTable)
       .option("checkpointLocation", checkpoint)
       .start()
-  }
 }
