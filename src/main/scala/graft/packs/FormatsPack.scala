@@ -44,6 +44,12 @@ object FormatsPack extends QueryPack {
       val sheets = Xlsx.readWorkbook(s, file).toMap
       sheets("customer").orderBy("c_name")
     }),
+    // P4 legacy path: .xls (BIFF8-in-CFB) write → dispatcher read.
+    "xls_roundtrip" -> ((s, dir) => {
+      val file = scratchFile("workbook.xls")
+      graft.xlsx.Biff.writeWorkbook(Seq("customer" -> custSlice(s, dir)), file)
+      graft.xlsx.Xlsx.readAnyWorkbook(s, file).toMap.apply("customer").orderBy("c_name")
+    }),
     // S9: auto-detected multi-table document through readAutoDetected —
     // both discovered tables (path_tag names) feed the output.
     "xml_autodetect" -> ((s, dir) => {
@@ -98,6 +104,9 @@ object FormatsPack extends QueryPack {
       """SELECT CAST(c_custkey AS VARCHAR) AS c_custkey, c_name, c_mktsegment
         |FROM customer ORDER BY c_name""".stripMargin,
     "xlsx_roundtrip" ->
+      """SELECT CAST(c_custkey AS VARCHAR) AS c_custkey, c_name, c_mktsegment
+        |FROM customer ORDER BY c_name""".stripMargin,
+    "xls_roundtrip" ->
       """SELECT CAST(c_custkey AS VARCHAR) AS c_custkey, c_name, c_mktsegment
         |FROM customer ORDER BY c_name""".stripMargin,
     "xml_autodetect" ->

@@ -130,6 +130,21 @@ object Xlsx {
   // Reader
   // -------------------------------------------------------------------
 
+  /** P4 dispatch for the Compare accept-list, which admits `.xlsx`,
+    * `.xls` AND `.xlsb` (reference compare/page.tsx:638,674): OOXML and
+    * BIFF8 read natively; `.xlsb` (BIFF12) is a defined, documented
+    * error — a file passing the filter never fails silently. */
+  def readAnyWorkbook(spark: SparkSession, file: String): Seq[(String, DataFrame)] = {
+    val lower = file.toLowerCase
+    if (lower.endsWith(".xlsx")) readWorkbook(spark, file)
+    else if (lower.endsWith(".xls")) Biff.readWorkbook(spark, file)
+    else if (lower.endsWith(".xlsb"))
+      throw new UnsupportedOperationException(
+        ".xlsb (BIFF12) passes the Compare accept-list but is not implemented — " +
+          "save as .xlsx or .xls and re-upload")
+    else throw new IllegalArgumentException(s"not a workbook extension: $file")
+  }
+
   /** Read every sheet of a workbook: sheetName → all-string DataFrame
     * with row 1 as header, missing cells '' (sheet_to_json with
     * defval:'' — reference FileUploader.tsx:206-225). The zip central
@@ -269,7 +284,7 @@ object Xlsx {
     (digits.toInt, c)
   }
 
-  private def cellsToDf(spark: SparkSession, cells: Seq[(Int, Int, String)]): DataFrame = {
+  private[xlsx] def cellsToDf(spark: SparkSession, cells: Seq[(Int, Int, String)]): DataFrame = {
     val byRow = cells.groupBy(_._1)
     val headerCells = byRow.getOrElse(1, Nil).sortBy(_._2)
     val width = (cells.map(_._2).maxOption.getOrElse(-1)) + 1

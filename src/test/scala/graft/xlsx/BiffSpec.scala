@@ -1,0 +1,93 @@
+package graft.xlsx
+
+import graft.SparkSpec
+
+class BiffSpec extends SparkSpec {
+  import spark.implicits._
+
+  test(".xls write → read round-trips multiple sheets (P4 legacy path)") {
+    val s1 = Seq(("1", "a&<b>", ""), ("2", "plain", "x")).toDF("id", "v", "w")
+    val s2 = Seq(("only", "row")).toDF("p", "q")
+    val f = java.nio.file.Files.createTempDirectory("biffspec").resolve("wb.xls").toString
+    Biff.writeWorkbook(Seq("first" -> s1, "second" -> s2), f)
+    val back = Biff.readWorkbook(spark, f)
+    assert(back.map(_._1) == Seq("first", "second"))
+    val r1 = back.head._2.orderBy("id").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    assert(r1.toSeq == Seq(("1", "a&<b>", ""), ("2", "plain", "x")))
+    val r2 = back(1)._2.collect().map(r => (r.getString(0), r.getString(1)))
+    assert(r2.toSeq == Seq(("only", "row")))
+  }
+
+  test("NUMBER/RK/MULRK/BOOLERR cells decode with JS-style number images") {
+    // Hand-built worksheet with every numeric record shape.
+    def numberRec(row: Int, col: Int, d: Double): Array[Byte] = {
+      val bits = java.lang.Double.doubleToLongBits(d)
+      Biff.rec(0x0203, Biff.w16(row) ++ Biff.w16(col) ++ Biff.w16(0) ++
+        (0 until 8).map(i => ((bits >> (8 * i)) & 0xFF).toByte).toArray)
+    }
+    def rkRec(row: Int, col: Int, rk: Int): Array[Byte] =
+      Biff.rec(0x027E, Biff.w16(row) ++ Biff.w16(col) ++ Biff.w16(0) ++ Biff.w32(rk))
+    val mulrk = Biff.rec(0x00BD, Biff.w16(2) ++ Biff.w16(0) ++
+      (Biff.w16(0) ++ Biff.w32((7 << 2) | 2)) ++ // int RK 7
+      (Biff.w16(0) ++ Biff.w32(((1250 << 2) | 3))) ++ // int RK 1250/100 = 12.5
+      Biff.w16(1))
+    val boolRec = Biff.rec(0x0205, Biff.w16(3) ++ Biff.w16(0) ++ Biff.w16(0) ++
+      Array(1.toByte, 0.toByte))
+    val sheet = Biff.bof(0x0010) ++
+      Biff.labelCell(0, 0, "a") ++ Biff.labelCell(0, 1, "b") ++
+      numberRec(1, 0, 3.0) ++ numberRec(1, 1, 2.5) ++
+      mulrk ++ boolRec ++
+      Biff.rec(0x000A, Array.empty)
+    val f = java.nio.file.Files.createTempDirectory("biffnum").resolve("n.xls").toString
+    java.nio.file.Files.write(java.nio.file.Paths.get(f),
+      Biff.cfbBytes(Biff.workbookStream(Seq("nums" -> sheet))))
+    val rows = Biff.readWorkbook(spark, f).head._2.orderBy("a").collect()
+    val grid = rows.map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(grid == Seq(("3", "2.5"), ("7", "12.5"), ("TRUE", "")))
+  }
+
+  test("SST strings spanning CONTINUE records (LABELSST path)") {
+    // Two strings; the second's character data is split across the SST
+    // record and a CONTINUE record, which restates the width byte.
+    val s1 = "alpha"
+    val s2head = "long-"
+    val s2tail = "tail"
+    val sstPayload = Biff.w32(2) ++ Biff.w32(2) ++
+      (Biff.w16(s1.length) ++ Array(0.toByte) ++ s1.getBytes("ISO-8859-1")) ++
+      (Biff.w16(s2head.length + s2tail.length) ++ Array(0.toByte) ++ s2head.getBytes("ISO-8859-1"))
+    val continuePayload = Array(0.toByte) ++ s2tail.getBytes("ISO-8859-1")
+    def lsst(row: Int, col: Int, isst: Int): Array[Byte] =
+      Biff.rec(0x00FD, Biff.w16(row) ++ Biff.w16(col) ++ Biff.w16(0) ++ Biff.w32(isst))
+    val sheet = Biff.bof(0x0010) ++ lsst(0, 0, 0) ++ lsst(1, 0, 1) ++
+      Biff.rec(0x000A, Array.empty)
+    // globals assembled by hand to interleave SST + CONTINUE
+    val boundsheetLen = Biff.boundsheet(0, "s").length
+    val globalsSize = Biff.bof(0x0005).length + boundsheetLen +
+      Biff.rec(0x00FC, sstPayload).length + Biff.rec(0x003C, continuePayload).length +
+      Biff.rec(0x000A, Array.empty).length
+    val stream = Biff.bof(0x0005) ++ Biff.boundsheet(globalsSize, "s") ++
+      Biff.rec(0x00FC, sstPayload) ++ Biff.rec(0x003C, continuePayload) ++
+      Biff.rec(0x000A, Array.empty) ++ sheet
+    val f = java.nio.file.Files.createTempDirectory("biffsst").resolve("s.xls").toString
+    java.nio.file.Files.write(java.nio.file.Paths.get(f), Biff.cfbBytes(stream))
+    val df = Biff.readWorkbook(spark, f).head._2
+    // header row = "alpha"; one data row = "long-tail"
+    assert(df.columns.toSeq == Seq("alpha"))
+    assert(df.collect().map(_.getString(0)).toSeq == Seq("long-tail"))
+  }
+
+  test(".xlsb gives a defined unsupported error; dispatcher routes by extension") {
+    val f = java.nio.file.Files.createTempDirectory("xlsb").resolve("wb.xlsb")
+    java.nio.file.Files.write(f, Array[Byte](1, 2, 3))
+    val e = intercept[UnsupportedOperationException] {
+      Xlsx.readAnyWorkbook(spark, f.toString)
+    }
+    assert(e.getMessage.contains(".xlsb"))
+    // .xls routes through Biff
+    val s1 = Seq(("1", "x")).toDF("id", "v")
+    val xls = java.nio.file.Files.createTempDirectory("anyxls").resolve("wb.xls").toString
+    Biff.writeWorkbook(Seq("s" -> s1), xls)
+    assert(Xlsx.readAnyWorkbook(spark, xls).head._2.count() == 1)
+  }
+}
