@@ -36,8 +36,11 @@ object Xml {
     * `@name`, child elements as columns valued by their full descendant
     * text (trimmed), childless row elements contribute `{tag: text}`.
     * When `flatten` is set, nested elements become dot-path columns
-    * (`a.b.c`, reference random/page.tsx:159-166) instead. */
-  def parseRows(xml: String, rowTag: String, flatten: Boolean = false): Seq[Map[String, String]] = {
+    * (`a.b.c`, reference random/page.tsx:159-166) instead. `keep`
+    * restricts the materialized keys (column pruning from the DSv2
+    * scan — the parse still traverses, the row map stays narrow). */
+  def parseRows(xml: String, rowTag: String, flatten: Boolean = false,
+      keep: Option[Set[String]] = None): Seq[Map[String, String]] = {
     val factory = XMLInputFactory.newInstance()
     factory.setProperty(XMLInputFactory.IS_SUPPORTING_EXTERNAL_ENTITIES, false)
     factory.setProperty(XMLInputFactory.SUPPORT_DTD, false)
@@ -47,7 +50,8 @@ object Xml {
       while (reader.hasNext) {
         reader.next() match {
           case XMLStreamConstants.START_ELEMENT if reader.getLocalName == rowTag =>
-            rows += readRowElement(reader, flatten)
+            val row = readRowElement(reader, flatten)
+            rows += keep.fold(row)(ks => row.view.filterKeys(ks).toMap)
           case _ =>
         }
       }
@@ -166,15 +170,16 @@ object Xml {
   }
 
   /** Distributed row reader (S8): one row per `rowTag` element across
-    * all files under path. Schema = union keys of a 1000-row sample
+    * all files under path, via the DSv2 source — one partition per
+    * file, StAX parse in executors, and column pruning pushed into the
+    * scan (XmlDataSource). Schema = union keys of a 1000-row sample
     * (P2), missing cells '' (P10). */
   def readXml(spark: SparkSession, path: String, rowTag: String,
-      flatten: Boolean = false): DataFrame = {
-    import spark.implicits._
-    val maps = spark.read.option("wholetext", "true").text(path)
-      .as[String].flatMap(parseRows(_, rowTag, flatten))
-    toDf(spark, maps)
-  }
+      flatten: Boolean = false): DataFrame =
+    spark.read.format(classOf[XmlDataSource].getName)
+      .option("rowTag", rowTag)
+      .option("flatten", flatten.toString)
+      .load(path)
 
   /** Materialize Map rows into an all-string DataFrame. The parsed
     * dataset is persisted (memory, disk spill) so the 1000-row schema

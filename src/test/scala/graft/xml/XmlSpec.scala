@@ -1,5 +1,6 @@
 package graft.xml
 
+import org.apache.spark.sql.functions.col
 import graft.SparkSpec
 
 class XmlSpec extends SparkSpec {
@@ -70,6 +71,24 @@ class XmlSpec extends SparkSpec {
     val back = Xml.readXml(spark, f, "row").orderBy("id")
       .collect().map(r => (r.getString(0), r.getString(1)))
     assert(back.toSeq == Seq(("1", "x&y"), ("2", "<z>")))
+  }
+
+  test("DSv2 scan prunes columns into the source (SURVEY §4)") {
+    val doc = "<rows>" + (1 to 50).map(i =>
+      s"<row><a>$i</a><b>b$i</b><c>c$i</c><d>d$i</d></row>").mkString + "</rows>"
+    val d = java.nio.file.Files.createTempDirectory("xmlprune")
+    java.nio.file.Files.writeString(d.resolve("doc.xml"), doc)
+    val df = Xml.readXml(spark, d.toString, "row")
+    assert(df.columns.toSeq == Seq("a", "b", "c", "d"))
+    val narrow = df.select("b")
+    val plan = narrow.queryExecution.executedPlan.toString
+    // the BatchScan's output must carry only the required column
+    val scanLine = plan.linesIterator.find(_.contains("BatchScan")).getOrElse("")
+    assert(scanLine.contains("[b#") && !scanLine.matches(".*\\[(a|c|d)#.*"), plan)
+    assert(narrow.orderBy("b").head().getString(0) == "b1")
+    // full read still round-trips every column
+    assert(df.orderBy(col("a").cast("int")).collect()(4).toSeq ==
+      Seq("5", "b5", "c5", "d5"))
   }
 
   test("readAutoDetected: detect → per-table distributed read (S9 end-to-end)") {
