@@ -18,6 +18,9 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Untimed warmup: session/codegen/JIT startup otherwise lands on
+    // whichever query sorts first and misattributes ~4 s to it.
+    spark.range(1000000).selectExpr("sum(id)").write.format("noop").mode("overwrite").save()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok =

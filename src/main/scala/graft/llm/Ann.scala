@@ -110,11 +110,21 @@ object Ann {
       .agg(expr("transform(array_sort(collect_list(struct(pos, m))), x -> x.m)").as("cemb"))
       .select(col("bucket").as("cid"), col("cemb"))
 
-  /** Full index build: seeded init + `iters` Lloyd refinements. */
+  /** Full index build: seeded init + `iters` Lloyd refinements. The
+    * result materializes to the driver and returns as a local
+    * DataFrame — the centroid set is small by construction (n rows),
+    * this is the "index build" boundary every IVF system has, and it
+    * keeps the search plans flat: assignment and probing each
+    * broadcast a literal table instead of re-reading a cached
+    * multi-stage lineage. */
   def ivfCentroids(corpus: DataFrame, n: Int, iters: Int = 2,
-      seed: String = "ivf"): DataFrame =
-    (0 until iters).foldLeft(seedCentroids(corpus, n, seed))(
+      seed: String = "ivf"): DataFrame = {
+    val built = (0 until iters).foldLeft(seedCentroids(corpus, n, seed))(
       (cent, _) => lloydStep(corpus, cent))
+    val spark = corpus.sparkSession
+    spark.createDataFrame(
+      java.util.Arrays.asList(built.collect(): _*), built.schema)
+  }
 
   /** Multi-probe: each query pairs with its `nprobe` nearest centroids
     * (qid-partitioned window over |centroids| rows per query).

@@ -48,7 +48,7 @@ object LlmPack extends QueryPack {
     "ann_topk_ivf" -> ((s, dir) => {
       val e = emb(s, dir)
       val c = e.select(col("vec_id"), col("embedding").as("ce"))
-      val cent = Ann.ivfCentroids(c, NC, LLOYD).cache()
+      val cent = Ann.ivfCentroids(c, NC, LLOYD)
       val q = e.filter(col("vec_id") < 3)
         .select(col("vec_id").as("qid"), col("embedding").as("qe"))
       Ann.ivfTopK(q, c, cent, TOPK, NPROBE)
@@ -59,7 +59,7 @@ object LlmPack extends QueryPack {
     "ann_ivf_recall" -> ((s, dir) => {
       val e = emb(s, dir)
       val c = e.select(col("vec_id"), col("embedding").as("ce"))
-      val cent = Ann.ivfCentroids(c, NC, LLOYD).cache()
+      val cent = Ann.ivfCentroids(c, NC, LLOYD)
       val q = e.filter(col("vec_id") < 20)
         .select(col("vec_id").as("qid"), col("embedding").as("qe"))
       val ivf = Ann.ivfTopK(q, c, cent, TOPK, NPROBE)
