@@ -8,11 +8,14 @@ import scala.collection.mutable
   * The page-spec algebra (`parsePages`) is an exact port of the
   * reference's JS semantics — including parseInt's numeric-prefix
   * parsing and min/max range normalization. Merge/split operate on a
-  * minimal COS object model bounded to well-formed classic-xref PDFs
-  * with uncompressed object bodies (SURVEY §7.4 risk #2 documents this
-  * subset): objects are re-numbered with an offset per source document
-  * and page trees rebuilt. Binary payload paths (zip packaging, naming)
-  * follow the reference.
+  * minimal COS object model (SURVEY §7.4 risk #2 documents the
+  * subset): object scan by syntax (no xref dependence), FlateDecode
+  * `/ObjStm` compressed object streams expanded (so PDF 1.5+ files
+  * with xref streams — essentially all modern writers — parse), xref
+  * streams themselves ignored, predictors/encrypted files out of
+  * scope. Objects are re-numbered with an offset per source document,
+  * page trees rebuilt, and output always serializes to classic xref.
+  * Binary payload paths (zip packaging, naming) follow the reference.
   *
   * Scale note: document surgery is inherently per-file; the distributed
   * shape is binaryFile scan → per-file map (validation, page counts) →
@@ -82,11 +85,79 @@ object Pdf {
   private val kidsRe = """(?s)/Kids\s*\[(.*?)\]""".r
   private val refRe = """(\d+)\s+0\s+R""".r
 
+  /** Raw DEFLATE inflate (PDF /FlateDecode without predictors —
+    * DecodeParms predictors are out of the documented subset). */
+  private def inflate(data: Array[Byte]): Array[Byte] = {
+    val inf = new java.util.zip.Inflater()
+    inf.setInput(data)
+    val out = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](8192)
+    while (!inf.finished() && !(inf.needsInput() && inf.getRemaining == 0)) {
+      val n = inf.inflate(buf)
+      if (n > 0) out.write(buf, 0, n)
+      else if (inf.needsDictionary()) throw new IllegalArgumentException("FlateDecode: preset dictionary unsupported")
+      else if (inf.needsInput()) throw new IllegalArgumentException("FlateDecode: truncated stream")
+    }
+    out.toByteArray
+  }
+
+  private val objStmHeadRe =
+    """(?s)(\d+)\s+0\s+obj\s*(<<(?:[^<>]|<<[^<>]*>>)*>>)\s*stream\r?\n""".r
+  private def dictInt(dict: String, key: String): Option[Int] =
+    (key + """\s+(\d+)""").r.findFirstMatchIn(dict).map(_.group(1).toInt)
+
+  /** Expand every `/Type /ObjStm` compressed object stream: inflate,
+    * read the N (objnum, offset) header pairs, and surface the embedded
+    * objects as top-level bodies. Modern writers put the catalog, page
+    * dicts, and most non-content objects inside these; this pass is
+    * what makes Acrobat/Chrome-produced PDFs (1.5+, xref streams)
+    * readable by the subset parser — which never needed the xref table
+    * to begin with (it scans objects), so xref *streams* need no
+    * parsing either. */
+  private def expandObjectStreams(text: String,
+      objects: mutable.LinkedHashMap[Int, String]): Unit = {
+    objStmHeadRe.findAllMatchIn(text).foreach { m =>
+      val dict = m.group(2)
+      if ("""/Type\s*/ObjStm""".r.findFirstIn(dict).isDefined) {
+        val dataStart = m.end
+        val dataEnd = dictInt(dict, "/Length") match {
+          case Some(len) if dataStart + len <= text.length => dataStart + len
+          case _ => text.indexOf("endstream", dataStart) match {
+            case -1 => text.length
+            case e => e
+          }
+        }
+        val raw = text.substring(dataStart, dataEnd).getBytes("ISO-8859-1")
+        val decoded =
+          if ("""/Filter\s*/FlateDecode""".r.findFirstIn(dict).isDefined)
+            new String(inflate(raw), "ISO-8859-1")
+          else new String(raw, "ISO-8859-1")
+        (dictInt(dict, "/N"), dictInt(dict, "/First")) match {
+          case (Some(n), Some(first)) =>
+            val header = decoded.take(first).trim.split("\\s+").filter(_.nonEmpty).map(_.toInt)
+            val pairs = header.grouped(2).collect { case Array(num, off) => (num, off) }.toSeq.take(n)
+            pairs.zipWithIndex.foreach { case ((num, off), i) =>
+              val end = if (i + 1 < pairs.length) first + pairs(i + 1)._2 else decoded.length
+              objects(num) = " " + decoded.substring(first + off, end).trim + " "
+            }
+          case _ =>
+        }
+      }
+    }
+  }
+
   private def parse(bytes: Array[Byte]): CosDoc = {
     require(hasPdfHeader(bytes), "not a PDF (missing %PDF- header)")
     val text = new String(bytes, "ISO-8859-1")
     val objects = mutable.LinkedHashMap.empty[Int, String]
-    objRe.findAllMatchIn(text).foreach(m => objects(m.group(1).toInt) = m.group(2))
+    objRe.findAllMatchIn(text).foreach { m =>
+      val body = m.group(2)
+      // container/bookkeeping streams are expanded (ObjStm) or ignored
+      // (XRef) rather than carried as opaque objects
+      if ("""/Type\s*/(ObjStm|XRef)""".r.findFirstIn(body).isEmpty)
+        objects(m.group(1).toInt) = body
+    }
+    expandObjectStreams(text, objects)
     // Token-anchored type tests: the catalog also CONTAINS "/Pages 2 0 R",
     // so a bare substring test would misidentify it as the page tree.
     val typeCatalog = """/Type\s*/Catalog""".r

@@ -37,6 +37,48 @@ class PdfSpec extends AnyFunSuite {
     assert(Pdf.hasPdfHeader(m) && Pdf.hasPdfHeader(part))
   }
 
+  /** A modern-style PDF: catalog, pages node and page dicts all live
+    * inside one FlateDecode /ObjStm; the xref is an xref *stream*
+    * object (never parsed — present to mirror real 1.5+ files). */
+  private def makeCompressedPdf(nPages: Int): Array[Byte] = {
+    val pageNums = (0 until nPages).map(3 + _)
+    val inner = Seq(
+      1 -> "<< /Type /Catalog /Pages 2 0 R >>",
+      2 -> s"<< /Type /Pages /Kids [${pageNums.map(n => s"$n 0 R").mkString(" ")}] /Count $nPages >>") ++
+      pageNums.map(n => n -> "<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] >>")
+    val bodies = inner.map(_._2)
+    val offsets = bodies.scanLeft(0)((acc, b) => acc + b.length + 1)
+    val header = inner.map(_._1).zip(offsets).map { case (n, o) => s"$n $o" }.mkString(" ") + " "
+    val payload = header + bodies.mkString("\n") + "\n"
+    val deflater = new java.util.zip.Deflater()
+    deflater.setInput(payload.getBytes("ISO-8859-1")); deflater.finish()
+    val out = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](8192)
+    while (!deflater.finished()) out.write(buf, 0, deflater.deflate(buf))
+    val flate = out.toByteArray
+    val sb = new java.io.ByteArrayOutputStream()
+    sb.write("%PDF-1.5\n".getBytes("ISO-8859-1"))
+    sb.write((s"8 0 obj << /Type /ObjStm /N ${inner.size} /First ${header.length} " +
+      s"/Filter /FlateDecode /Length ${flate.length} >> stream\n").getBytes("ISO-8859-1"))
+    sb.write(flate)
+    sb.write("\nendstream endobj\n".getBytes("ISO-8859-1"))
+    sb.write(("9 0 obj << /Type /XRef /Size 10 /W [1 2 2] >> stream\nxxxx\nendstream endobj\n" +
+      "startxref\n0\n%%EOF\n").getBytes("ISO-8859-1"))
+    sb.toByteArray
+  }
+
+  test("compressed object streams: ObjStm-packed docs parse, split, merge") {
+    val c = makeCompressedPdf(4)
+    assert(Pdf.pageCount(c) == 4)
+    val part = Pdf.extractPages(c, Seq(1, 3))
+    assert(Pdf.pageCount(part) == 2)
+    // mixed merge: classic + compressed sources
+    val merged = Pdf.merge(Seq(Pdf.makePdf(2), c, part))
+    assert(Pdf.pageCount(merged) == 8)
+    // output is classic-xref: re-parse and re-split round-trips
+    assert(Pdf.pageCount(Pdf.extractPages(merged, Seq(1, 8))) == 2)
+  }
+
   test("part naming (K9)") {
     assert(Pdf.partName("doc", 1) == "doc_part001.pdf")
     assert(Pdf.partName("doc", 12) == "doc_part012.pdf")
