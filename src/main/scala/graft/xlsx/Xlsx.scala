@@ -164,7 +164,7 @@ object Xlsx {
     }
   }
 
-  private def readZip(bytes: Array[Byte]): Map[String, String] = {
+  private[xlsx] def readZip(bytes: Array[Byte]): Map[String, String] = {
     val zis = new ZipInputStream(new ByteArrayInputStream(bytes))
     val out = mutable.LinkedHashMap.empty[String, String]
     try {
@@ -190,7 +190,7 @@ object Xlsx {
     f.createXMLStreamReader(new StringReader(xml))
   }
 
-  private def parseSharedStrings(xml: String): Vector[String] = {
+  private[xlsx] def parseSharedStrings(xml: String): Vector[String] = {
     val r = stax(xml)
     val out = Vector.newBuilder[String]
     var cur: StringBuilder = null
@@ -203,7 +203,7 @@ object Xlsx {
     out.result()
   }
 
-  private def parseSheetNames(xml: String): Seq[(String, String)] = {
+  private[xlsx] def parseSheetNames(xml: String): Seq[(String, String)] = {
     val r = stax(xml)
     val out = Seq.newBuilder[(String, String)]
     try while (r.hasNext) r.next() match {
@@ -216,7 +216,7 @@ object Xlsx {
     out.result()
   }
 
-  private def parseRels(xml: String): Map[String, String] = {
+  private[xlsx] def parseRels(xml: String): Map[String, String] = {
     val r = stax(xml)
     val out = mutable.Map.empty[String, String]
     try while (r.hasNext) r.next() match {
@@ -230,7 +230,7 @@ object Xlsx {
   }
 
   /** (rowIndex, colIndex, value) triples of one worksheet. */
-  private def parseSheetCells(xml: String, shared: Vector[String]): Seq[(Int, Int, String)] = {
+  private[xlsx] def parseSheetCells(xml: String, shared: Vector[String]): Seq[(Int, Int, String)] = {
     val r = stax(xml)
     val out = Seq.newBuilder[(Int, Int, String)]
     var row = 0; var colInRow = 0
@@ -284,7 +284,10 @@ object Xlsx {
     (digits.toInt, c)
   }
 
-  private[xlsx] def cellsToDf(spark: SparkSession, cells: Seq[(Int, Int, String)]): DataFrame = {
+  /** (header, data rows) from 1-based-row cell triples: row 1 = header
+    * (empty header cell c → `col{c+1}`), rows padded to grid width
+    * with ''. */
+  private[xlsx] def cellGrid(cells: Seq[(Int, Int, String)]): (Seq[String], Seq[Seq[String]]) = {
     val byRow = cells.groupBy(_._1)
     val headerCells = byRow.getOrElse(1, Nil).sortBy(_._2)
     val width = (cells.map(_._2).maxOption.getOrElse(-1)) + 1
@@ -293,9 +296,35 @@ object Xlsx {
     }
     val dataRows = byRow.view.filterKeys(_ > 1).toSeq.sortBy(_._1).map { case (_, cs) =>
       val m = cs.map(t => t._2 -> t._3).toMap
-      Row.fromSeq((0 until width).map(c => m.getOrElse(c, "")))
+      (0 until width).map(c => m.getOrElse(c, ""))
     }
+    (header, dataRows)
+  }
+
+  private[xlsx] def cellsToDf(spark: SparkSession, cells: Seq[(Int, Int, String)]): DataFrame = {
+    val (header, dataRows) = cellGrid(cells)
     val schema = StructType(header.map(h => StructField(h, StringType, nullable = false)))
-    spark.createDataFrame(spark.sparkContext.parallelize(dataRows.toSeq), schema)
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(dataRows.map(Row.fromSeq(_))), schema)
+  }
+
+  /** One sheet of a workbook byte image as (header, data rows) —
+    * shared by the driver reader and the DSv2 executor-side reader.
+    * `sheet` = None → first sheet. */
+  private[xlsx] def parseSheetGrid(bytes: Array[Byte],
+      sheet: Option[String]): (Seq[String], Seq[Seq[String]]) = {
+    val entries = readZip(bytes)
+    val shared = entries.get("xl/sharedStrings.xml").map(parseSharedStrings).getOrElse(Vector.empty)
+    val sheetNames = entries.get("xl/workbook.xml").map(parseSheetNames).getOrElse(Nil)
+    val rels = entries.get("xl/_rels/workbook.xml.rels").map(parseRels).getOrElse(Map.empty)
+    val idx = sheet.fold(0) { s =>
+      val i = sheetNames.indexWhere(_._1 == s)
+      require(i >= 0, s"no sheet '$s' (sheets: ${sheetNames.map(_._1).mkString(", ")})")
+      i
+    }
+    val (_, rid) = sheetNames.lift(idx).getOrElse(("", ""))
+    val target = rels.getOrElse(rid, s"worksheets/sheet${idx + 1}.xml")
+    val path = if (target.startsWith("/")) target.drop(1) else s"xl/$target"
+    cellGrid(entries.get(path).map(parseSheetCells(_, shared)).getOrElse(Nil))
   }
 }

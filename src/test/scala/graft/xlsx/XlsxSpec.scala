@@ -54,6 +54,27 @@ class XlsxSpec extends SparkSpec {
     assert(rows == n + 1L) // header + n data rows
   }
 
+  test("DSv2 table read: directory of workbooks, executor parse, pruning (SURVEY §4)") {
+    val d = java.nio.file.Files.createTempDirectory("xlsxdsv2")
+    (1 to 3).foreach { i =>
+      val df = Seq((s"$i-1", s"v$i", "x"), (s"$i-2", s"w$i", "y")).toDF("id", "v", "extra")
+      Xlsx.writeWorkbook(Seq("data" -> df), d.resolve(s"f$i.xlsx").toString)
+    }
+    val t = XlsxDataSource.readTable(spark, d.toString)
+    assert(t.columns.toSeq == Seq("id", "v", "extra"))
+    assert(t.count() == 6)
+    assert(t.rdd.getNumPartitions == 3) // one partition per workbook
+    val narrow = t.select("v")
+    val scanLine = narrow.queryExecution.executedPlan.toString
+      .linesIterator.find(_.contains("BatchScan")).getOrElse("")
+    assert(scanLine.contains("[v#") && !scanLine.matches(".*\\[(id|extra)#.*"), scanLine)
+    assert(narrow.orderBy("v").collect().map(_.getString(0)).toSeq ==
+      Seq("v1", "v2", "v3", "w1", "w2", "w3"))
+    // named-sheet option routes to the right sheet
+    val named = XlsxDataSource.readTable(spark, d.resolve("f1.xlsx").toString, Some("data"))
+    assert(named.count() == 2)
+  }
+
   test("sheet-name sanitizer: strip, 31-char cap, _N dedup (K5)") {
     val used = mutable.Set.empty[String]
     assert(Xlsx.sanitizeSheetName("a/b:c*?[x]", used) == "a b c   x")
