@@ -51,7 +51,8 @@ object Ann {
   private def dotExpr(a: String, b: String) =
     expr(s"aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0 AS DOUBLE), (acc, v) -> acc + v)")
 
-  private def cosScaled(a: String, b: String): Column =
+  /** Cosine similarity as the portable 4-decimal fixed-point long. */
+  def cosScaled(a: String, b: String): Column =
     graft.functions.F.scale4(dotExpr(a, b) / sqrt(dotExpr(a, a) * dotExpr(b, b)))
 
   /** queries(qid, qe) × corpus(vec_id, ce) → top-k by cosine. */
@@ -152,6 +153,23 @@ object Ann {
       cosScaled("qe", "ce").as("cos_x1e4"))
     val w = Window.partitionBy("qid").orderBy(desc("cos_x1e4"), asc("vec_id"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** Embedding-cosine near-duplicate pairs (a < b, cosine ≥
+    * threshold/1e4), bucket-restricted through the IVF assignment: the
+    * self-join runs per bucket, so cost is Σ bucket² instead of
+    * |corpus|² — the embedding twin of MinHash-LSH banding. Like any
+    * locality partitioning it can miss cross-bucket pairs right at a
+    * boundary; identical/near-identical vectors assign identically by
+    * construction. */
+  def embeddingDupPairs(corpus: DataFrame, centroids: DataFrame,
+      threshold4: Long = 9500L): DataFrame = {
+    val assigned = assignBuckets(corpus, centroids)
+    val x = assigned.as("x"); val y = assigned.as("y")
+    x.join(y, col("x.bucket") === col("y.bucket") && col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"),
+        cosScaled("x.ce", "y.ce").as("cos_x1e4"))
+      .filter(col("cos_x1e4") >= threshold4)
   }
 
   /** Per-query recall of `approx` against `exact` (both shaped

@@ -41,12 +41,22 @@ object Dedup {
       .distinct()
   }
 
+  /** Permutation hash i of a shingle: an md5 digest yields four
+    * independent 32-bit values (hex slices), so k permutations cost
+    * ⌈k/4⌉ digests per shingle instead of k — the digest is the
+    * dominant cost of MinHash at corpus scale. */
+  def permHash(c: Column, i: Int): Column = {
+    val block = i / 4
+    val slice = (i % 4) * 8 + 1
+    conv(substring(md5(concat(c, lit(s":mhb$block"))), slice, 8), 16, 10).cast("long")
+  }
+
   /** MinHash signatures: k permutations → k min-hash columns m0..m{k-1}.
     * One shuffle (groupBy id) with map-side partial mins. */
   def minhashSignatures(sh: DataFrame, k: Int = 8): DataFrame =
     sh.groupBy("id")
-      .agg(min(hash32(col("sh"), "mh0")).as("m0"),
-        (1 until k).map(i => min(hash32(col("sh"), s"mh$i")).as(s"m$i")): _*)
+      .agg(min(permHash(col("sh"), 0)).as("m0"),
+        (1 until k).map(i => min(permHash(col("sh"), i)).as(s"m$i")): _*)
 
   /** LSH band keys: k columns split into `bands` bands of k/bands rows;
     * band key = bandIndex + its min-hashes. Output (id, bk). */

@@ -36,12 +36,27 @@ object DedupPack extends QueryPack {
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhash16(Tables.load(s, dir, "documents"), "doc_id", "text")
         .orderBy("id")),
+    // Standalone exact n-gram Jaccard over a given pair list (the
+    // known original↔shifted-copy pairs) — the verification primitive
+    // of the LSH pipeline, gated directly.
+    "text_ngram_jaccard" -> ((s, dir) => {
+      val pairs = Tables.load(s, dir, "documents")
+        .select(col("doc_id").as("a"), (col("doc_id") + 1000000).as("b"))
+      Dedup.jaccard(pairs, Dedup.shingles(corpus(s, dir), "id", "text"))
+        .orderBy("a")
+    }),
   )
 
   // ---- DuckDB mirrors -------------------------------------------------
 
   private def h32(e: String, tag: String) =
     s"CAST(CONCAT('0x', substr(md5($e || ':$tag'), 1, 8)) AS BIGINT)"
+
+  /** Mirror of Dedup.permHash: hex slice (i%4) of digest block i/4. */
+  private def permHashSql(e: String, i: Int) = {
+    val block = i / 4; val slice = (i % 4) * 8 + 1
+    s"CAST(CONCAT('0x', substr(md5($e || ':mhb$block'), $slice, 8)) AS BIGINT)"
+  }
 
   private val corpusSql =
     """corpus AS (
@@ -52,19 +67,23 @@ object DedupPack extends QueryPack {
       |  FROM documents
       |)""".stripMargin
 
+  /** words + distinct-shingles CTEs over `corpus`. */
+  private val shingleSql =
+    """words AS (SELECT id, string_split(text, ' ') AS w FROM corpus),
+      |sh AS (SELECT DISTINCT id, unnest(
+      |  CASE WHEN len(w) >= 3
+      |  THEN list_transform(generate_series(1, len(w) - 2), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+      |  ELSE [array_to_string(w, ' ')] END) AS sh FROM words)""".stripMargin
+
   private val minhashSql: String = {
-    val hCols = (0 until K).map(i => s"${h32("sh", s"mh$i")} AS h$i").mkString(", ")
+    val hCols = (0 until K).map(i => s"${permHashSql("sh", i)} AS h$i").mkString(", ")
     val mins = (0 until K).map(i => s"min(h$i) AS m$i").mkString(", ")
     val bandArms = (0 until BANDS).map { b =>
       val parts = (0 until K / BANDS).map(r => s"CAST(m${b * (K / BANDS) + r} AS VARCHAR)")
       s"SELECT id, '${b}_' || ${parts.mkString(" || '_' || ")} AS bk FROM sig"
     }.mkString(" UNION ALL ")
     s"""WITH $corpusSql,
-       |words AS (SELECT id, string_split(text, ' ') AS w FROM corpus),
-       |sh AS (SELECT DISTINCT id, unnest(
-       |  CASE WHEN len(w) >= 3
-       |  THEN list_transform(generate_series(1, len(w) - 2), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
-       |  ELSE [array_to_string(w, ' ')] END) AS sh FROM words),
+       |$shingleSql,
        |hs AS (SELECT id, sh, $hCols FROM sh),
        |sig AS (SELECT id, $mins FROM hs GROUP BY id),
        |band AS ($bandArms),
@@ -106,5 +125,19 @@ object DedupPack extends QueryPack {
          |FROM corpus GROUP BY md5(text) HAVING count(*) > 1 ORDER BY h""".stripMargin,
     "dedup_minhash" -> minhashSql,
     "dedup_simhash" -> simhashSql,
+    "text_ngram_jaccard" ->
+      s"""WITH $corpusSql,
+         |$shingleSql,
+         |pairs AS (SELECT doc_id AS a, doc_id + 1000000 AS b FROM documents),
+         |sizes AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
+         |inter AS (SELECT p.a, p.b, count(*) AS i FROM pairs p
+         |  JOIN sh sa ON sa.id = p.a
+         |  JOIN sh sb ON sb.id = p.b AND sa.sh = sb.sh
+         |  GROUP BY p.a, p.b)
+         |SELECT i2.a, i2.b,
+         |  CAST(FLOOR(CAST(i2.i AS DOUBLE) / (na.n + nb.n - i2.i) * 10000 + 0.5) AS BIGINT) AS jacc_x1e4
+         |FROM inter i2
+         |JOIN sizes na ON na.id = i2.a
+         |JOIN sizes nb ON nb.id = i2.b ORDER BY i2.a""".stripMargin,
   )
 }

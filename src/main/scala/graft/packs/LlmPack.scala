@@ -66,6 +66,17 @@ object LlmPack extends QueryPack {
       val brute = Ann.cosineTopK(q, c, TOPK)
       Ann.recallVsBrute(ivf, brute, TOPK).orderBy("qid")
     }),
+    // Embedding-cosine near-dup: the corpus doubles with exact-copy
+    // vectors (known positives at cos=1.0); the self-join is
+    // bucket-restricted through the IVF assignment — the embedding
+    // twin of MinHash-LSH banding, never all-pairs.
+    "dedup_embedding" -> ((s, dir) => {
+      val base = emb(s, dir).select(col("vec_id"), col("embedding").as("ce"))
+      val c = base.unionAll(
+        base.select((col("vec_id") + 1000000).as("vec_id"), col("ce")))
+      val cent = Ann.ivfCentroids(base, NC, LLOYD)
+      Ann.embeddingDupPairs(c, cent, DUP_T).orderBy("a", "b")
+    }),
     // Full mapPartitions decode path over binary media built from text.
     "multimodal_decode" -> ((s, dir) =>
       Multimodal.decode(Multimodal.fromText(docs(s, dir), "doc_id", "text"))
@@ -96,6 +107,7 @@ object LlmPack extends QueryPack {
 
   // IVF parameters shared by the engine queries and the oracle mirror.
   private val NC = 10; private val LLOYD = 2; private val NPROBE = 2; private val TOPK = 10
+  private val DUP_T = 9500L // near-dup cosine threshold (×1e4)
 
   private def bruteSql: String =
     s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 3),
@@ -110,23 +122,29 @@ object LlmPack extends QueryPack {
     * same seeded init, fixed-point Lloyd steps, argmax assignment, and
     * multi-probe search as chained CTEs. Returns the CTE list ending in
     * `ivf` (qid, vec_id, cos_x1e4, rank ≤ TOPK) for `maxQ` queries. */
-  private def ivfCtes(maxQ: Int): Seq[String] = {
-    def assign(cent: String, out: String) =
-      s"""$out AS (
-         |  SELECT vec_id, ce, cid AS bucket FROM (
-         |    SELECT e.vec_id, e.embedding AS ce, s.cid,
-         |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
-         |        ORDER BY ${cosS("e.embedding", "s.cemb")} DESC, s.cid) AS rn
-         |    FROM embeddings e, $cent s) WHERE rn = 1)""".stripMargin
-    def update(asg: String, out: String) =
-      s"""$out AS (
-         |  SELECT bucket AS cid, list(m ORDER BY pos) AS cemb FROM (
-         |    SELECT bucket, pos, CAST(SUM(fx) AS DOUBLE) / CAST(COUNT(*) * 1000000 AS DOUBLE) AS m
-         |    FROM (
-         |      SELECT a.bucket, t.pos, CAST(FLOOR(CAST(a.ce[t.pos] AS DOUBLE) * 1000000) AS BIGINT) AS fx
-         |      FROM $asg a, UNNEST(generate_series(1, len(a.ce))) AS t(pos))
-         |    GROUP BY bucket, pos)
-         |  GROUP BY bucket)""".stripMargin
+  /** Assignment CTE: argmax-cosine bucket per vector of `src`
+    * (columns vec_id, ce) against centroid set `cent`. */
+  private def assignSql(cent: String, out: String,
+      src: String = "(SELECT vec_id, embedding AS ce FROM embeddings)") =
+    s"""$out AS (
+       |  SELECT vec_id, ce, cid AS bucket FROM (
+       |    SELECT e.vec_id, e.ce, s.cid,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${cosS("e.ce", "s.cemb")} DESC, s.cid) AS rn
+       |    FROM $src e, $cent s) WHERE rn = 1)""".stripMargin
+
+  private def updateSql(asg: String, out: String) =
+    s"""$out AS (
+       |  SELECT bucket AS cid, list(m ORDER BY pos) AS cemb FROM (
+       |    SELECT bucket, pos, CAST(SUM(fx) AS DOUBLE) / CAST(COUNT(*) * 1000000 AS DOUBLE) AS m
+       |    FROM (
+       |      SELECT a.bucket, t.pos, CAST(FLOOR(CAST(a.ce[t.pos] AS DOUBLE) * 1000000) AS BIGINT) AS fx
+       |      FROM $asg a, UNNEST(generate_series(1, len(a.ce))) AS t(pos))
+       |    GROUP BY bucket, pos)
+       |  GROUP BY bucket)""".stripMargin
+
+  /** seeds + Lloyd chain CTEs; returns (ctes, final centroid CTE name). */
+  private def centroidCtes: (Seq[String], String) = {
     val seeds =
       s"""seeds AS (
          |  SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cemb,
@@ -134,11 +152,15 @@ object LlmPack extends QueryPack {
          |  FROM embeddings QUALIFY cid < $NC)""".stripMargin
     val lloyd = (0 until LLOYD).flatMap { i =>
       val cent = if (i == 0) "seeds" else s"cent$i"
-      Seq(assign(cent, s"asg$i"), update(s"asg$i", s"cent${i + 1}"))
+      Seq(assignSql(cent, s"asg$i"), updateSql(s"asg$i", s"cent${i + 1}"))
     }
-    val centFinal = if (LLOYD == 0) "seeds" else s"cent$LLOYD"
-    Seq(seeds) ++ lloyd ++ Seq(
-      assign(centFinal, "corpus_assign"),
+    (Seq(seeds) ++ lloyd, if (LLOYD == 0) "seeds" else s"cent$LLOYD")
+  }
+
+  private def ivfCtes(maxQ: Int): Seq[String] = {
+    val (build, centFinal) = centroidCtes
+    build ++ Seq(
+      assignSql(centFinal, "corpus_assign"),
       s"q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < $maxQ)",
       s"""q_probe AS (
          |  SELECT qid, qe, cid AS bucket FROM (
@@ -153,6 +175,18 @@ object LlmPack extends QueryPack {
          |        ORDER BY ${cosS("qp.qe", "ca.ce")} DESC, ca.vec_id) AS INT) AS rank
          |    FROM q_probe qp JOIN corpus_assign ca ON qp.bucket = ca.bucket)
          |  WHERE rank <= $TOPK)""".stripMargin)
+  }
+
+  private def embeddingDupSql: String = {
+    val (build, centFinal) = centroidCtes
+    val ec = """ec AS (SELECT vec_id, embedding AS ce FROM embeddings
+               |  UNION ALL SELECT vec_id + 1000000, embedding FROM embeddings)""".stripMargin
+    "WITH " + (build ++ Seq(ec, assignSql(centFinal, "dup_assign", "ec"))).mkString(",\n") +
+      s"""
+         |SELECT a, b, cos_x1e4 FROM (
+         |  SELECT x.vec_id AS a, y.vec_id AS b, ${cosS("x.ce", "y.ce")} AS cos_x1e4
+         |  FROM dup_assign x JOIN dup_assign y ON x.bucket = y.bucket AND x.vec_id < y.vec_id)
+         |WHERE cos_x1e4 >= $DUP_T ORDER BY a, b""".stripMargin
   }
 
   private def ivfTopkSql: String =
@@ -214,6 +248,7 @@ object LlmPack extends QueryPack {
     "ann_topk_brute" -> bruteSql,
     "ann_topk_ivf" -> ivfTopkSql,
     "ann_ivf_recall" -> ivfRecallSql,
+    "dedup_embedding" -> embeddingDupSql,
     "multimodal_decode" ->
       """SELECT doc_id AS media_id,
         |  CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
