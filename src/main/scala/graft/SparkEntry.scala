@@ -24,6 +24,7 @@ object SparkEntry {
     FormatsPack,
     PolicyPack,
     ExtrasPack,
+    CoveragePack,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -95,6 +95,7 @@ object Workbook {
     val glob = exts.map(e => s"*$e").mkString("{", ",", "}")
     spark.read.format("binaryFile")
       .option("pathGlobFilter", glob)
+      .option("recursiveFileLookup", "true")
       .load(dir)
       .select(element_at(split(col("path"), "/"), -1).as("name"), col("length"), col("path"))
       .dropDuplicates("name", "length")

@@ -1,0 +1,155 @@
+package graft.packs
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.QueryPack
+import graft.core.{Tables, Workbook}
+import graft.ops.{Compare, Pdf}
+
+/** Oracle gates for the §2 rows previously covered only by unit specs:
+  * S13 whole-text read, K6/K9 zip-container sink + naming, J5/K7/S11
+  * PDF merge through real bytes, J4 key auto-selection, P3 preview
+  * projection, P4/P5 extension-filtered dedup'd file listing, and O3
+  * user-defined row order. Where the output is inherently synthetic
+  * (PDF page counts, listings of fixture files with fixed content) the
+  * oracle is a literal VALUES mirror — the engine side still runs the
+  * real operator over real bytes. */
+object CoveragePack extends QueryPack {
+
+  private def scratch(name: String): java.nio.file.Path = {
+    val d = Paths.get(System.getProperty("java.io.tmpdir"), "graft_rt", name)
+    Files.createDirectories(d)
+    d
+  }
+
+  /** Deterministic single-file CSV image of a sheet: header + rows
+    * sorted by the first column (string sort). */
+  private def csvBytes(df: DataFrame): Array[Byte] = {
+    val cols = df.columns
+    val sorted = df.orderBy(col(cols.head)).collect()
+    val sb = new StringBuilder(cols.mkString(",")).append('\n')
+    sorted.foreach { r =>
+      sb.append(cols.indices.map(i => Option(r.get(i)).map(_.toString).getOrElse(""))
+        .mkString(",")).append('\n')
+    }
+    sb.toString.getBytes("UTF-8")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // S13: whole file → one row, one string document.
+    "wholetext_read" -> ((s, dir) => {
+      val names = Tables.load(s, dir, "region").orderBy("r_regionkey")
+        .collect().map(_.getString(1))
+      val d = scratch("wholetext")
+      Files.writeString(d.resolve("doc.txt"), names.mkString("\n"))
+      graft.sources.Text.readWholeText(s, d.toString)
+    }),
+    // K6+K9: zip-container sink with {base}_{sheet}.{ext} naming; the
+    // query returns the zip directory listing (entry name, byte size).
+    "zip_sink_entries" -> ((s, dir) => {
+      import s.implicits._
+      val wb = Workbook(
+        "customer" -> Tables.load(s, dir, "customer")
+          .select(col("c_custkey").cast("string"), col("c_name"), col("c_mktsegment")),
+        "region" -> Tables.load(s, dir, "region")
+          .select(col("r_regionkey").cast("string"), col("r_name")))
+      val zip = scratch("zipsink").resolve("out.zip").toString
+      wb.writeZip(zip, "out", "csv")(csvBytes)
+      val zin = new java.util.zip.ZipInputStream(new java.io.FileInputStream(zip))
+      val entries = Iterator.continually(zin.getNextEntry).takeWhile(_ != null)
+        .map { e =>
+          var n = 0L; val buf = new Array[Byte](8192)
+          var r = zin.read(buf)
+          while (r > 0) { n += r; r = zin.read(buf) }
+          (e.getName, n)
+        }.toSeq
+      zin.close()
+      entries.toDF("entry", "n_bytes").orderBy("entry")
+    }),
+    // J5+K7+S11 through real bytes: merge classic PDFs, split a group,
+    // re-validate headers; the oracle pins the expected page algebra.
+    "pdf_merge_pages" -> ((s, dir) => {
+      import s.implicits._
+      val merged = Pdf.merge(Seq(Pdf.makePdf(3), Pdf.makePdf(4)))
+      val part = Pdf.extractPages(merged, Seq(2, 5, 7))
+      Seq(
+        ("merged", Pdf.pageCount(merged), Pdf.hasPdfHeader(merged)),
+        ("part", Pdf.pageCount(part), Pdf.hasPdfHeader(part)))
+        .toDF("label", "n_pages", "header_ok").orderBy("label")
+    }),
+    // J4: first column of A present in B.
+    "compare_autokey" -> ((s, dir) => {
+      import s.implicits._
+      val (a, b) = ComparePack.pair(s, dir)
+      Seq(Compare.autoKey(a, b).getOrElse("")).toDF("key_field")
+    }),
+    // P3: preview = first 20 columns × 30 rows of a 26-wide sheet
+    // (input pre-sorted so the row slice is deterministic).
+    "preview_projection" -> ((s, dir) => {
+      val wide = Tables.load(s, dir, "customer")
+        .select(col("c_custkey") +: (1 to 25).map(i =>
+          concat(col("c_name"), lit(s"_$i")).as(s"c$i")): _*)
+        .orderBy("c_custkey")
+      Workbook("wide" -> wide).preview("wide").orderBy("c_custkey")
+    }),
+    // P4+P5: extension accept-list filter + (name, size) dedup over a
+    // recursive listing — fixture files have fixed content, and the
+    // nested duplicate of a.csv must collapse.
+    "files_dedup_listing" -> ((s, dir) => {
+      val d = scratch("listing")
+      Files.writeString(d.resolve("a.csv"), CoveragePack.contentA)
+      Files.writeString(d.resolve("b.txt"), CoveragePack.contentB)
+      Files.writeString(d.resolve("skip.xlsx"), "not-accepted-in-this-mode")
+      val sub = d.resolve("sub"); Files.createDirectories(sub)
+      Files.writeString(sub.resolve("a.csv"), CoveragePack.contentA) // same (name, size)
+      Workbook.listInputs(s, d.toString, "other-to-excel")
+        .select(col("name"), col("length")).orderBy("name")
+    }),
+    // O3: user-defined row order via an explicit sequence column.
+    "user_order" -> ((s, dir) => {
+      import s.implicits._
+      val seq = Seq((3, 1), (1, 2), (5, 3), (2, 4), (4, 5)).toDF("c_custkey", "ord")
+      Tables.load(s, dir, "customer").join(broadcast(seq), "c_custkey")
+        .select(col("ord"), col("c_custkey"), col("c_name"))
+        .orderBy("ord")
+    }),
+  )
+
+  private[packs] val contentA = "k,v\n1,alpha\n2,beta\n"
+  private[packs] val contentB = "line one\nline two\n"
+
+  val oracleSql: Map[String, String] = Map(
+    "wholetext_read" ->
+      "SELECT string_agg(r_name, chr(10) ORDER BY r_regionkey) AS value FROM region",
+    "zip_sink_entries" ->
+      """SELECT entry, n_bytes FROM (
+        |  SELECT 'out/out_customer.csv' AS entry,
+        |    CAST(len('c_custkey,c_name,c_mktsegment') + 1 +
+        |      SUM(len(CAST(c_custkey AS VARCHAR)) + len(c_name) + len(c_mktsegment) + 3) AS BIGINT) AS n_bytes
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT 'out/out_region.csv',
+        |    CAST(len('r_regionkey,r_name') + 1 +
+        |      SUM(len(CAST(r_regionkey AS VARCHAR)) + len(r_name) + 2) AS BIGINT)
+        |  FROM region) ORDER BY entry""".stripMargin,
+    "pdf_merge_pages" ->
+      """SELECT * FROM (VALUES ('merged', 7, true), ('part', 3, true))
+        |  AS t(label, n_pages, header_ok) ORDER BY label""".stripMargin,
+    "compare_autokey" -> "SELECT 'c_custkey' AS key_field",
+    "preview_projection" -> {
+      val cols = "c_custkey" +: (1 to 19).map(i => s"c_name || '_$i' AS c$i")
+      s"""SELECT ${cols.mkString(", ")} FROM customer
+         |ORDER BY c_custkey LIMIT 30""".stripMargin
+    },
+    "files_dedup_listing" ->
+      s"""SELECT * FROM (VALUES
+         |  ('a.csv', CAST(${contentA.getBytes("UTF-8").length} AS BIGINT)),
+         |  ('b.txt', CAST(${contentB.getBytes("UTF-8").length} AS BIGINT)))
+         |  AS t(name, length) ORDER BY name""".stripMargin,
+    "user_order" ->
+      """SELECT ord, c_custkey, c_name FROM customer
+        |JOIN (VALUES (3, 1), (1, 2), (5, 3), (2, 4), (4, 5)) AS t(k, ord)
+        |  ON c_custkey = k ORDER BY ord""".stripMargin,
+  )
+}

@@ -100,6 +100,17 @@ object MaskPack extends QueryPack {
         F.uniqueId(key, seed, lit("2026-01-15 00:00:00").cast("timestamp")).as("uid"))
         .orderBy("c_custkey")
     }),
+    // F16: randomString length default — no strLen ⇒ target length =
+    // the source value's own length.
+    "mask_len_default" -> ((s, dir) => {
+      val df = Tables.load(s, dir, "customer")
+        .select(col("c_custkey"), col("c_name").as("name"))
+      Mask(df, "c_custkey", seed, Seq(
+        "name" -> RandomString(fixedPart = "", strLen = None, fill = Alnum)))
+        .masked
+        .select(col("c_custkey"), col("name"), length(col("name")).as("n"))
+        .orderBy("c_custkey")
+    }),
     // F15 digit-width mode + F14 blank + F9 letters fill, dynamic width.
     "mask_widths" -> ((s, dir) => {
       val df = Tables.load(s, dir, "customer")
@@ -129,6 +140,11 @@ object MaskPack extends QueryPack {
          |  ${MaskSql.fakePhone(k, "010")} AS fphone,
          |  ${MaskSql.maskDate(k, "dt", "2020-01-01", "2021-12-31")} AS fdate,
          |  ${MaskSql.uniqueId(k, "20260115")} AS uid
+         |FROM customer ORDER BY c_custkey""".stripMargin,
+    "mask_len_default" ->
+      s"""SELECT c_custkey,
+         |  substr(${MaskSql.hexStream(k, "name", 64)}, 1, length(c_name)) AS name,
+         |  CAST(length(c_name) AS INT) AS n
          |FROM customer ORDER BY c_custkey""".stripMargin,
     "mask_widths" ->
       s"""SELECT c_custkey,
