@@ -1,11 +1,12 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, TernaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, TernaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graftshim.ExprShim
-import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Scalar-function registry (SURVEY.md §2.8).
@@ -188,6 +189,65 @@ object F {
     val flags = (if (ignoreCase) "i" else "") + (if (multiline) "m" else "")
     if (flags.isEmpty) pattern else s"(?$flags)$pattern"
   }
+}
+
+/** `array_dot(a, b)` — sum of element-wise products of two numeric
+  * arrays (float or double elements), accumulated left-to-right in
+  * double precision: the exact IEEE fold `aggregate(zip_with(a, b,
+  * (x, y) -> double(x)*double(y)), 0d, +)` computes, so the DuckDB
+  * oracle's `list_sum(list_transform(list_zip(...)))` reproduces it
+  * bit-for-bit.
+  *
+  * Exists because Spark's higher-order functions are CodegenFallback —
+  * every lambda step is interpreted with boxing. At Σ bucket² candidate
+  * pairs (embedding dedup) or |q|·|corpus| scoring (ANN) the dot
+  * product IS the workload; this expression compiles to a primitive
+  * loop over ArrayData (~10× the HOF throughput). Assumes non-null
+  * elements (embedding vectors). */
+case class ArrayDot(left: Expression, right: Expression) extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "array_dot"
+
+  private def isFloat(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val lf = isFloat(left); val rf = isFloat(right)
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      val xv = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
+      val yv = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
+      s += xv * yv
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val sum = ctx.freshName("sum")
+      val getA = if (isFloat(left)) s"(double) $a.getFloat($i)" else s"$a.getDouble($i)"
+      val getB = if (isFloat(right)) s"(double) $b.getFloat($i)" else s"$b.getDouble($i)"
+      s"""
+         |int $n = Math.min($a.numElements(), $b.numElements());
+         |double $sum = 0.0;
+         |for (int $i = 0; $i < $n; $i++) { $sum += $getA * $getB; }
+         |${ev.value} = $sum;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
 }
 
 /** `regexp_replace_first(src, pattern, repl)` — Java `Matcher.replaceFirst`

@@ -47,9 +47,14 @@ object Ann {
 
   /** Sum of elementwise products in double precision, sequential fold
     * (portable across engines: each element is widened before
-    * multiply, accumulation is left-to-right). */
-  private def dotExpr(a: String, b: String) =
-    expr(s"aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0 AS DOUBLE), (acc, v) -> acc + v)")
+    * multiply, accumulation is left-to-right). Runs on the codegen'd
+    * ArrayDot expression — Spark's higher-order functions are
+    * CodegenFallback, and the dot product is the hot loop of every
+    * operator in this file. */
+  private def dotExpr(a: String, b: String) = {
+    import graft.functions.F
+    F.toColumn(graft.functions.ArrayDot(F.toExpr(expr(a)), F.toExpr(expr(b))))
+  }
 
   /** Cosine similarity as the portable 4-decimal fixed-point long. */
   def cosScaled(a: String, b: String): Column =
@@ -164,11 +169,17 @@ object Ann {
     * construction. */
   def embeddingDupPairs(corpus: DataFrame, centroids: DataFrame,
       threshold4: Long = 9500L): DataFrame = {
+    // Norms precompute once per vector (narrow map), so each candidate
+    // pair costs ONE dot product, not three — at Σ bucket² pairs the
+    // per-pair cost is the whole game. sqrt is taken per side (not
+    // sqrt(na²·nb²)) so the oracle can mirror the exact IEEE ops.
     val assigned = assignBuckets(corpus, centroids)
+      .withColumn("nrm", sqrt(dotExpr("ce", "ce")))
     val x = assigned.as("x"); val y = assigned.as("y")
     x.join(y, col("x.bucket") === col("y.bucket") && col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"),
-        cosScaled("x.ce", "y.ce").as("cos_x1e4"))
+        graft.functions.F.scale4(
+          dotExpr("x.ce", "y.ce") / (col("x.nrm") * col("y.nrm"))).as("cos_x1e4"))
       .filter(col("cos_x1e4") >= threshold4)
   }
 

@@ -74,7 +74,7 @@ object LlmPack extends QueryPack {
       val base = emb(s, dir).select(col("vec_id"), col("embedding").as("ce"))
       val c = base.unionAll(
         base.select((col("vec_id") + 1000000).as("vec_id"), col("ce")))
-      val cent = Ann.ivfCentroids(base, NC, LLOYD)
+      val cent = Ann.ivfCentroids(base, DUP_NC, LLOYD)
       Ann.embeddingDupPairs(c, cent, DUP_T).orderBy("a", "b")
     }),
     // Full mapPartitions decode path over binary media built from text.
@@ -108,6 +108,10 @@ object LlmPack extends QueryPack {
   // IVF parameters shared by the engine queries and the oracle mirror.
   private val NC = 10; private val LLOYD = 2; private val NPROBE = 2; private val TOPK = 10
   private val DUP_T = 9500L // near-dup cosine threshold (×1e4)
+  // Dedup wants pair-pruning, not probe recall: centroid count scales
+  // toward √N so Σ bucket² stays near-linear (independent of the ANN
+  // search NC, which trades recall instead).
+  private val DUP_NC = 32
 
   private def bruteSql: String =
     s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 3),
@@ -144,12 +148,12 @@ object LlmPack extends QueryPack {
        |  GROUP BY bucket)""".stripMargin
 
   /** seeds + Lloyd chain CTEs; returns (ctes, final centroid CTE name). */
-  private def centroidCtes: (Seq[String], String) = {
+  private def centroidCtes(nc: Int = NC): (Seq[String], String) = {
     val seeds =
       s"""seeds AS (
          |  SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cemb,
          |    CAST(ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR) || ':ivf'), vec_id) AS INT) - 1 AS cid
-         |  FROM embeddings QUALIFY cid < $NC)""".stripMargin
+         |  FROM embeddings QUALIFY cid < $nc)""".stripMargin
     val lloyd = (0 until LLOYD).flatMap { i =>
       val cent = if (i == 0) "seeds" else s"cent$i"
       Seq(assignSql(cent, s"asg$i"), updateSql(s"asg$i", s"cent${i + 1}"))
@@ -158,7 +162,7 @@ object LlmPack extends QueryPack {
   }
 
   private def ivfCtes(maxQ: Int): Seq[String] = {
-    val (build, centFinal) = centroidCtes
+    val (build, centFinal) = centroidCtes()
     build ++ Seq(
       assignSql(centFinal, "corpus_assign"),
       s"q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < $maxQ)",
@@ -178,14 +182,19 @@ object LlmPack extends QueryPack {
   }
 
   private def embeddingDupSql: String = {
-    val (build, centFinal) = centroidCtes
+    val (build, centFinal) = centroidCtes(DUP_NC)
     val ec = """ec AS (SELECT vec_id, embedding AS ce FROM embeddings
                |  UNION ALL SELECT vec_id + 1000000, embedding FROM embeddings)""".stripMargin
-    "WITH " + (build ++ Seq(ec, assignSql(centFinal, "dup_assign", "ec"))).mkString(",\n") +
+    val assignedWithNorm =
+      s"""dup_n AS (SELECT vec_id, ce, bucket, sqrt(${dot("ce", "ce")}) AS nrm
+         |  FROM dup_assign)""".stripMargin
+    "WITH " + (build ++ Seq(ec, assignSql(centFinal, "dup_assign", "ec"),
+      assignedWithNorm)).mkString(",\n") +
       s"""
          |SELECT a, b, cos_x1e4 FROM (
-         |  SELECT x.vec_id AS a, y.vec_id AS b, ${cosS("x.ce", "y.ce")} AS cos_x1e4
-         |  FROM dup_assign x JOIN dup_assign y ON x.bucket = y.bucket AND x.vec_id < y.vec_id)
+         |  SELECT x.vec_id AS a, y.vec_id AS b,
+         |    CAST(FLOOR(${dot("x.ce", "y.ce")} / (x.nrm * y.nrm) * 10000 + 0.5) AS BIGINT) AS cos_x1e4
+         |  FROM dup_n x JOIN dup_n y ON x.bucket = y.bucket AND x.vec_id < y.vec_id)
          |WHERE cos_x1e4 >= $DUP_T ORDER BY a, b""".stripMargin
   }
 

@@ -60,4 +60,23 @@ class FunctionsSpec extends SparkSpec {
     assert(F.withFlags("abc", ignoreCase = true, multiline = true) == "(?im)abc")
     assert(F.withFlags("abc", ignoreCase = false, multiline = false) == "abc")
   }
+
+  test("ArrayDot: bit-identical to the HOF fold, mixed float/double elements") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val df = Seq(
+      (Seq(1.5f, -2.25f, 3.125f), Seq(0.5, 4.0, -1.0)),
+      (Seq(0.1f, 0.2f, 0.3f), Seq(7.0, 8.0, 9.0))).toDF("f", "d")
+    val viaHof = df.select(expr(
+      "aggregate(zip_with(f, d, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0 AS DOUBLE), (acc, v) -> acc + v)"))
+      .collect().map(_.getDouble(0))
+    val viaExpr = df.select(F.toColumn(
+      ArrayDot(F.toExpr(col("f")), F.toExpr(col("d")))))
+      .collect().map(_.getDouble(0))
+    assert(viaHof.toSeq == viaExpr.toSeq) // exact ==, not approx: same IEEE fold
+    // float×float and double×double paths
+    val ff = df.select(F.toColumn(ArrayDot(F.toExpr(col("f")), F.toExpr(col("f")))))
+      .head().getDouble(0)
+    assert(ff == (1.5 * 1.5 + 2.25 * 2.25 + 3.125 * 3.125))
+  }
 }
