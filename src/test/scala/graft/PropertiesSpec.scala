@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Test => SCTest}
+import org.scalacheck.Prop
+import org.scalacheck.Prop.propBoolean
+import graft.ops.{Compare, Mask}
+import graft.ops.Mask.{Alnum, RandomString}
+
+/** Property-based invariants (SURVEY §5.2): round-trips, diff algebra,
+  * mask-recovery. Each property runs few Spark jobs per case, so the
+  * case counts stay small — the generators still cover quoting edge
+  * characters, ragged keys, and duplicate values. */
+class PropertiesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val params = SCTest.Parameters.default.withMinSuccessfulTests(8)
+
+  private val cellGen: Gen[String] =
+    Gen.oneOf(
+      Gen.alphaNumStr.map(_.take(12)),
+      Gen.oneOf("", "a,b", "q\"q", "x y", "semi;colon", "tab\tchar"))
+
+  test("CSV sink → reference reader round-trips arbitrary cells (K2+S1)") {
+    val rows3 = Gen.listOfN(6, Gen.zip(Gen.choose(1, 999999), cellGen, cellGen))
+    val prop = Prop.forAll(rows3) { rows =>
+      val distinctRows = rows.distinctBy(_._1)
+      distinctRows.nonEmpty ==> {
+        val df = distinctRows.map { case (k, a, b) => (k.toString, a.trim, b.trim) }
+          .toDF("k", "a", "b")
+        val f = java.nio.file.Files.createTempDirectory("prop_csv").resolve("t.csv").toString
+        graft.sinks.Csv.writeFile(df, f)
+        val back = graft.sources.Text.readCsv(spark, f, Some(","))
+          .orderBy(col("k").cast("int")).collect()
+          .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSeq
+        val expect = distinctRows.sortBy(_._1)
+          .map { case (k, a, b) => (k.toString, a.trim, b.trim) }
+        back == expect
+      }
+    }
+    // tab is not the delimiter here but readCsv trims cells — mirror that
+    // by trimming the expectation (reference S1 semantics: trim after unquote)
+    val res = SCTest.check(params, prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("diff algebra: added+deleted+changed+same = |key union|; diff(x,x) is all-same") {
+    val rowsGen = Gen.listOfN(12, Gen.zip(Gen.choose(1, 30), cellGen))
+    val prop = Prop.forAll(rowsGen, rowsGen) { (ra, rb) =>
+      val a = ra.distinctBy(_._1).map { case (k, v) => (k, v) }.toDF("k", "v")
+      val b = rb.distinctBy(_._1).map { case (k, v) => (k, v) }.toDF("k", "v")
+      (ra.nonEmpty && rb.nonEmpty) ==> {
+        val d = Compare.diff(a, b, "k")
+        val counts = d.groupBy("status").count().collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
+        val keyUnion = a.select("k").union(b.select("k")).distinct().count()
+        val sums = counts.values.sum == keyUnion
+        val selfAllSame = {
+          val dd = Compare.diff(a, a, "k")
+          dd.filter(col("status") =!= "same").count() == 0 &&
+            Compare.mismatches(dd, "k").count() == 0 // melt of same is empty
+        }
+        sums && selfAllSame
+      }
+    }
+    val res = SCTest.check(params, prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("mask recovery: ANON__KEY join restores originals; width targets hold") {
+    val rowsGen = Gen.listOfN(10, Gen.zip(Gen.choose(1, 100000), Gen.alphaNumStr.map(s => (s + "x").take(10))))
+    val prop = Prop.forAll(rowsGen) { rows =>
+      val distinct = rows.distinctBy(_._1)
+      distinct.nonEmpty ==> {
+        val df = distinct.toDF("k", "secret")
+        val m = Mask(df, "k", "propseed", Seq(
+          "secret" -> RandomString(fixedPart = "", strLen = None, fill = Alnum)))
+        val masked = m.masked
+        val keys = m.keys
+        // recovery: joining the sidecar by ANON_ROW_ID restores originals
+        val restored = masked.join(keys.withColumnRenamed("secret", "orig"), "ANON_ROW_ID")
+          .select("k", "orig").collect().map(r => (r.getInt(0), r.getString(1))).toSet
+        // F16 width target: masked length = source value length
+        val lens = masked.select("k", "secret").collect()
+          .map(r => r.getInt(0) -> r.getString(1).length).toMap
+        val srcLens = distinct.map { case (k, v) => k -> v.length }.toMap
+        restored == distinct.toSet && lens == srcLens
+      }
+    }
+    val res = SCTest.check(params, prop)
+    assert(res.passed, res.status.toString)
+  }
+}
