@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import graft.functions.{ArrayDot, RegexpReplaceFirst}
+
+/** SQL surface for the engine's custom Catalyst expressions (SURVEY
+  * §2.13): `regexp_replace_first(src, pattern, repl)` and
+  * `array_dot(a, b)`.
+  *
+  * Two registration paths:
+  *  - new sessions: `--conf spark.sql.extensions=graft.GraftExtensions`
+  *    (the idiomatic SparkSessionExtensions hook);
+  *  - existing sessions (tests, notebooks): `GraftExtensions.register(spark)`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach { case (name, info, builder) =>
+      ext.injectFunction((FunctionIdentifier(name), info, builder))
+    }
+}
+
+object GraftExtensions {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
+
+  val functions: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    ("regexp_replace_first",
+      info("regexp_replace_first", "replaces the first regex match (Java Matcher.replaceFirst semantics)"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3, "regexp_replace_first(src, pattern, repl) takes 3 arguments")
+        RegexpReplaceFirst(args(0), args(1), args(2))
+      }),
+    ("array_dot",
+      info("array_dot", "sum of element-wise products of two float/double arrays, in double precision"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "array_dot(a, b) takes 2 arguments")
+        ArrayDot(args(0), args(1))
+      }),
+  )
+
+  /** Register on an already-built session. */
+  def register(spark: SparkSession): Unit =
+    functions.foreach { case (name, _, builder) =>
+      org.apache.spark.sql.graftshim.ExprShim.registerFunction(spark, name, builder)
+    }
+}

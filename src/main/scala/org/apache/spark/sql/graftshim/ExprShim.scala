@@ -12,4 +12,12 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object ExprShim {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Register a function builder on an EXISTING session's registry
+    * (sessionState is `private[sql]`; new sessions should prefer
+    * `spark.sql.extensions=graft.GraftExtensions`). */
+  def registerFunction(spark: org.apache.spark.sql.SparkSession, name: String,
+      builder: Seq[Expression] => Expression): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      name, builder, "built-in")
 }

@@ -1,0 +1,23 @@
+package graft
+
+class GraftExtensionsSpec extends SparkSpec {
+
+  test("custom expressions are callable from spark.sql after register()") {
+    GraftExtensions.register(spark)
+    assert(spark.sql("SELECT regexp_replace_first('aaa', 'a', 'b')")
+      .head().getString(0) == "baa")
+    assert(spark.sql("SELECT regexp_replace_first('x1y2', '(\\\\d)', '[$1]')")
+      .head().getString(0) == "x[1]y2")
+    assert(spark.sql(
+      "SELECT array_dot(array(CAST(1.5 AS FLOAT), CAST(2 AS FLOAT)), array(CAST(4 AS DOUBLE), CAST(0.5 AS DOUBLE)))")
+      .head().getDouble(0) == 7.0)
+  }
+
+  test("extensions class injects into a fresh session builder") {
+    // SparkSessionExtensions instances apply cleanly (the actual
+    // injection into a brand-new session needs a new JVM-level session;
+    // here we verify the hook wires every function without error).
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new GraftExtensions()(ext)
+  }
+}
