@@ -85,18 +85,23 @@ object Ann {
         expr("transform(ce, x -> CAST(x AS DOUBLE))").as("cemb"))
   }
 
-  /** Argmax-cosine bucket per corpus vector: one hash aggregate over
-    * the corpus × broadcast(centroids) product — min of the
-    * (−cos, cid) struct gives highest cosine, ties to the smallest
-    * cid. Output (vec_id, ce, bucket). */
-  def assignBuckets(corpus: DataFrame, centroids: DataFrame): DataFrame =
-    corpus.select(col("vec_id"), col("ce"))
+  /** Argmax-cosine bucket per corpus vector. (−cos, cid) packs into a
+    * single long — `(20000 − cos)·65536 + cid`, lexicographic order
+    * preserved for cid < 65536 — so the argmax runs as a true
+    * HashAggregate with map-side partial mins (a struct-min or an
+    * array-carrying `first` would force SortAggregate), and the
+    * embedding column joins back by key afterwards. Highest cosine
+    * wins, ties to the smallest cid. Output (vec_id, ce, bucket). */
+  def assignBuckets(corpus: DataFrame, centroids: DataFrame): DataFrame = {
+    val slim = corpus.select(col("vec_id"), col("ce"))
+    val buckets = slim
       .crossJoin(broadcast(centroids))
-      .select(col("vec_id"), col("ce"),
-        struct((-cosScaled("ce", "cemb")).as("nc"), col("cid")).as("sc"))
-      .groupBy("vec_id")
-      .agg(first(col("ce")).as("ce"), min(col("sc")).as("m"))
-      .select(col("vec_id"), col("ce"), col("m.cid").as("bucket"))
+      .select(col("vec_id"),
+        ((lit(20000L) - cosScaled("ce", "cemb")) * 65536L + col("cid")).as("p"))
+      .groupBy("vec_id").agg(min(col("p")).as("p"))
+      .select(col("vec_id"), (col("p") % 65536L).cast("int").as("bucket"))
+    slim.join(buckets, Seq("vec_id"))
+  }
 
   /** One Lloyd iteration: reassign, then recompute each centroid as the
     * component-wise mean of its members. Sums run in integer
@@ -173,8 +178,11 @@ object Ann {
     // pair costs ONE dot product, not three — at Σ bucket² pairs the
     // per-pair cost is the whole game. sqrt is taken per side (not
     // sqrt(na²·nb²)) so the oracle can mirror the exact IEEE ops.
+    // The assignment persists across the self-join — without it the
+    // whole assignment subtree computes twice (once per join side).
     val assigned = assignBuckets(corpus, centroids)
       .withColumn("nrm", sqrt(dotExpr("ce", "ce")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val x = assigned.as("x"); val y = assigned.as("y")
     x.join(y, col("x.bucket") === col("y.bucket") && col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"),
