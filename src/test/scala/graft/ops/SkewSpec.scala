@@ -1,0 +1,41 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class SkewSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("saltedJoin equals the plain equi-join on a skewed key distribution") {
+    // 5000 rows of one hot key + a uniform tail
+    val left = ((1 to 5000).map(i => (1, s"hot$i")) ++
+      (2 to 200).map(k => (k, s"cold$k"))).toDF("k", "v")
+    val right = (1 to 200).map(k => (k, s"dim$k")).toDF("k", "d")
+    val plain = left.join(right, Seq("k")).select("k", "v", "d")
+      .collect().map(_.toSeq).toSet
+    val salted = Skew.saltedJoin(left, right, "k", salt = 8).select("k", "v", "d")
+      .collect().map(_.toSeq).toSet
+    assert(salted == plain && salted.size == 5000 + 199)
+  }
+
+  test("salted shuffle spreads the hot key over multiple partitions") {
+    val left = (1 to 4000).map(i => (1, i)).toDF("k", "v") // single key
+    val right = Seq((1, "d")).toDF("k", "d")
+    val salted = Skew.saltedJoin(left, right, "k", salt = 4)
+    // group by the salt the join used: distribution must not be 1 bucket
+    val spread = left.withColumn("s",
+      pmod(hash(col("k"), monotonically_increasing_id()), lit(4)))
+      .groupBy("s").count().collect()
+    assert(spread.length > 1, spread.toSeq.toString)
+    assert(salted.count() == 4000)
+  }
+
+  test("keyHistogram and suggestSalt diagnose the hot key") {
+    val df = ((1 to 900).map(_ => 7) ++ (1 to 30)).toDF("k")
+    val top = Skew.keyHistogram(df, "k", 1).head()
+    assert(top.getInt(0) == 7 && top.getLong(1) == 901L) // 900 + the value 7 from the tail
+    assert(Skew.suggestSalt(hotKeyRows = 1000000, rowsPerTask = 100000) == 10)
+    assert(Skew.suggestSalt(hotKeyRows = 100, rowsPerTask = 100000) == 1)
+    assert(Skew.suggestSalt(hotKeyRows = Long.MaxValue, rowsPerTask = 1) == 64)
+  }
+}
