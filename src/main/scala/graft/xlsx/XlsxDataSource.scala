@@ -25,7 +25,9 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * Options: `path`, `sheet` (name; default = each file's first sheet).
   */
-class XlsxDataSource extends TableProvider {
+class XlsxDataSource extends TableProvider
+    with org.apache.spark.sql.sources.DataSourceRegister {
+  override def shortName(): String = "graft-xlsx"
   override def supportsExternalMetadata(): Boolean = true
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     XlsxDataSource.sampleSchema(options)

@@ -29,7 +29,9 @@ import org.apache.spark.unsafe.types.UTF8String
   * sampling, driver-side pre-pass — mirroring the reference's
   * two-phase collectTables), all StringType, missing cells ''.
   */
-class XmlDataSource extends TableProvider {
+class XmlDataSource extends TableProvider
+    with org.apache.spark.sql.sources.DataSourceRegister {
+  override def shortName(): String = "graft-xml"
   override def supportsExternalMetadata(): Boolean = true
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     XmlDataSource.sampleSchema(options)

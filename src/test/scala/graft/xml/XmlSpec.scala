@@ -91,6 +91,14 @@ class XmlSpec extends SparkSpec {
       Seq("5", "b5", "c5", "d5"))
   }
 
+  test("DSv2 short name: spark.read.format(\"graft-xml\") resolves") {
+    val doc = "<rows><row><a>1</a></row><row><a>2</a></row></rows>"
+    val d = java.nio.file.Files.createTempDirectory("xmlshort")
+    java.nio.file.Files.writeString(d.resolve("doc.xml"), doc)
+    val df = spark.read.format("graft-xml").option("rowTag", "row").load(d.toString)
+    assert(df.orderBy("a").collect().map(_.getString(0)).toSeq == Seq("1", "2"))
+  }
+
   test("readAutoDetected: detect → per-table distributed read (S9 end-to-end)") {
     val doc = "<db><items><item><a>1</a><b>x</b></item><item><a>2</a><b>y</b></item></items>" +
       "<tags><tag>t1</tag><tag>t2</tag><tag>t3</tag></tags></db>"
