@@ -52,11 +52,15 @@ object Dedup {
   }
 
   /** MinHash signatures: k permutations → k min-hash columns m0..m{k-1}.
-    * One shuffle (groupBy id) with map-side partial mins. */
+    * One shuffle (groupBy id) with map-side partial mins. The k hash
+    * columns project BEFORE the aggregate so the ⌈k/4⌉ shared digests
+    * are eliminated by the project stage's subexpression elimination —
+    * not left to the aggregate codegen's discretion. */
   def minhashSignatures(sh: DataFrame, k: Int = 8): DataFrame =
-    sh.groupBy("id")
-      .agg(min(permHash(col("sh"), 0)).as("m0"),
-        (1 until k).map(i => min(permHash(col("sh"), i)).as(s"m$i")): _*)
+    sh.select(col("id") +: (0 until k).map(i => permHash(col("sh"), i).as(s"h$i")): _*)
+      .groupBy("id")
+      .agg(min(col("h0")).as("m0"),
+        (1 until k).map(i => min(col(s"h$i")).as(s"m$i")): _*)
 
   /** LSH band keys: k columns split into `bands` bands of k/bands rows;
     * band key = bandIndex + its min-hashes. Output (id, bk). */

@@ -77,6 +77,27 @@ object LlmPack extends QueryPack {
       val cent = Ann.ivfCentroids(base, DUP_NC, LLOYD)
       Ann.embeddingDupPairs(c, cent, DUP_T).orderBy("a", "b")
     }),
+    // Composite curation pass — the end-to-end shape of a training-data
+    // pipeline: language gate + quality gate + exact-dedup keeper
+    // filter in one pull over the doubled corpus (known duplicates).
+    // Every stage is a narrow map or one hash aggregate; the keeper
+    // filter is a semi-join on doc_id.
+    "curation_pipeline" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val corpus = d.select(col("doc_id"), col("text")).unionAll(
+        d.select((col("doc_id") + 1000000).as("doc_id"),
+          when(col("doc_id") % 50 === 0, col("text"))
+            .otherwise(concat(col("text"), lit(" zzz9"))).as("text")))
+      val scored = corpus
+        .withColumn("lang", TA.langGuess(col("text")))
+        .withColumn("q_x1e4", graft.functions.F.scale4(TA.qualityScore(col("text"))))
+        .filter(col("lang") === "en" && col("q_x1e4") >= QUALITY_MIN)
+      val keepers = corpus.groupBy(md5(col("text")).as("h"))
+        .agg(min("doc_id").as("doc_id"))
+      scored.join(keepers.select("doc_id"), Seq("doc_id"), "left_semi")
+        .select(col("doc_id"), col("lang"), col("q_x1e4"))
+        .orderBy("doc_id")
+    }),
     // Full mapPartitions decode path over binary media built from text.
     "multimodal_decode" -> ((s, dir) =>
       Multimodal.decode(Multimodal.fromText(docs(s, dir), "doc_id", "text"))
@@ -108,6 +129,7 @@ object LlmPack extends QueryPack {
   // IVF parameters shared by the engine queries and the oracle mirror.
   private val NC = 10; private val LLOYD = 2; private val NPROBE = 2; private val TOPK = 10
   private val DUP_T = 9500L // near-dup cosine threshold (×1e4)
+  private val QUALITY_MIN = 2500L // curation quality gate (×1e4)
   // Dedup wants pair-pruning, not probe recall: centroid count scales
   // toward √N so Σ bucket² stays near-linear (independent of the ANN
   // search NC, which trades recall instead).
@@ -258,6 +280,30 @@ object LlmPack extends QueryPack {
     "ann_topk_ivf" -> ivfTopkSql,
     "ann_ivf_recall" -> ivfRecallSql,
     "dedup_embedding" -> embeddingDupSql,
+    "curation_pipeline" -> {
+      val scores = TA.langProfiles.map { case (l, _) =>
+        s"${reCount("text", langRe(l))} AS s_$l"
+      }.mkString(", ")
+      s"""WITH corpus AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 1000000,
+         |    CASE WHEN doc_id % 50 = 0 THEN text ELSE text || ' zzz9' END FROM documents),
+         |feat AS (SELECT doc_id, text, $scores,
+         |  len(string_split_regex(text, '\\s+')) AS n_tokens,
+         |  CAST(${reCount("text", langRe("en"))} AS DOUBLE) /
+         |    len(string_split_regex(text, '\\s+')) AS stop_ratio
+         |  FROM corpus),
+         |scored AS (SELECT doc_id, $guessSql AS lang,
+         |  CAST(FLOOR((LEAST(CAST(n_tokens AS DOUBLE) / 100, 1) * 0.5 +
+         |    LEAST(stop_ratio * 5, 1) * 0.5) * 10000 + 0.5) AS BIGINT) AS q_x1e4
+         |  FROM feat),
+         |keepers AS (SELECT min(doc_id) AS doc_id FROM corpus GROUP BY md5(text))
+         |SELECT s.doc_id, s.lang, s.q_x1e4 FROM scored s
+         |WHERE s.lang = 'en' AND s.q_x1e4 >= $QUALITY_MIN
+         |  AND s.doc_id IN (SELECT doc_id FROM keepers)
+         |ORDER BY s.doc_id""".stripMargin
+    },
     "multimodal_decode" ->
       """SELECT doc_id AS media_id,
         |  CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
