@@ -24,8 +24,8 @@ import org.apache.spark.sql.functions._
   *         regardless of partitioning, task retries, or which engine
   *         (Spark vs the DuckDB oracle) computes them;
   *      3. `assignBuckets`: argmax-cosine bucket per vector via one
-  *         hash aggregate (min of a (−cos, cid) struct — partial+final,
-  *         map-side combine, no window);
+  *         hash aggregate (the (−cos, cid) pair packed into one long —
+  *         partial+final, map-side combine, no window, no sort-agg);
   *      4. `probeBuckets`: multi-probe — each query searches its
   *         `nprobe` nearest buckets, recovering recall at bucket edges.
   *    Cost drops to O(|q|·nprobe·|corpus|/n); the bucket join shuffles

@@ -14,7 +14,10 @@ import org.apache.spark.sql.types.{StringType, StructField, StructType}
   * Scope (bounded to the reference's sheet_to_json/json_to_sheet use):
   * row 1 = header, all values read as strings, missing cells '',
   * sharedStrings + inlineStr + numeric cells on read; writer emits
-  * inline strings only. XLSX is a workbook-export format — the writer
+  * inline strings only. Date cells surface as their raw serial
+  * numbers — the reference parity choice: SheetJS `sheet_to_json`
+  * defaults to `raw: true`, so the reference app itself sees serials,
+  * not formatted dates. XLSX is a workbook-export format — the writer
   * assembles on the driver via toLocalIterator (bounded memory); bulk
   * data paths stay parquet/CSV.
   */
