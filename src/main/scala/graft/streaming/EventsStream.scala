@@ -25,6 +25,14 @@ object EventsStream {
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
 
+  /** Streaming ingest dedup: at-least-once sources redeliver events;
+    * dropDuplicatesWithinWatermark keys state by event_id and prunes
+    * it past the watermark — bounded state at any ingest rate (the
+    * streaming twin of the batch exact-dedup operator). */
+  def dedupEvents(events: DataFrame, watermark: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** The notices view: latest state re-ranked per trigger
     * (orderBy × limit in complete mode — O1+O2 on a stream). */
   def topUsersByValue(events: DataFrame, k: Int = 50): DataFrame =

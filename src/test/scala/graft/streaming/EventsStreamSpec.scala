@@ -68,6 +68,24 @@ class EventsStreamSpec extends SparkSpec {
     assert(written.count() > 0, "no finalized windows written")
   }
 
+  test("streaming ingest dedup drops redelivered events within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[Event]
+    val q = EventsStream.dedupEvents(src.toDF())
+      .writeStream.format("memory").queryName("dedup").outputMode(OutputMode.Append()).start()
+    try {
+      src.addData(
+        Event(1, ts("2024-01-01 10:00:00"), 1, "view", 1.0),
+        Event(1, ts("2024-01-01 10:00:00"), 1, "view", 1.0), // same-batch dup
+        Event(2, ts("2024-01-01 10:01:00"), 2, "view", 2.0))
+      q.processAllAvailable()
+      src.addData(Event(1, ts("2024-01-01 10:00:01"), 1, "view", 1.0)) // redelivery
+      q.processAllAvailable()
+      val ids = spark.sql("SELECT event_id FROM dedup").collect().map(_.getLong(0)).sorted
+      assert(ids.toSeq == Seq(1L, 2L))
+    } finally q.stop()
+  }
+
   test("top-k complete-mode view shape (O1+O2 on a stream)") {
     val batch = Seq(
       Event(1, ts("2024-01-01 10:00:00"), 1, "a", 10.0),
