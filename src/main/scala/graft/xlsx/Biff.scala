@@ -301,6 +301,11 @@ object Biff {
     header.zipWithIndex.foreach { case (h, c) => out.write(labelCell(0, c, h)) }
     var r = 1
     rows.foreach { vs =>
+      // BIFF8 row index is 16-bit: the format's own 65536-row ceiling.
+      // Silently wrapping would corrupt the grid — fail loud instead
+      // (big data belongs in xlsx/parquet; .xls is legacy compat).
+      require(r <= 0xFFFF,
+        ".xls sheets cap at 65536 rows (BIFF8 16-bit row index); use the .xlsx writer for larger sheets")
       vs.zipWithIndex.foreach { case (v, c) => if (v.nonEmpty) out.write(labelCell(r, c, v)) }
       r += 1
     }
@@ -340,6 +345,11 @@ object Biff {
     val nStream = (stream.length + sectorSize - 1) / sectorSize
     var nFat = 1
     while ((nFat + 1 + nStream) > nFat * 128) nFat += 1
+    // The header DIFAT holds 109 FAT sector ids (≈7 MB of stream);
+    // this writer does not chain DIFAT sectors — fail loud rather
+    // than emit a file whose tail sectors are unreachable.
+    require(nFat <= 109,
+      s".xls workbook stream exceeds the writer's ${109 * 128 * sectorSize / (1 << 20)} MiB cap (DIFAT chaining unimplemented); use .xlsx")
     val nTotal = nFat + 1 + nStream
     val dirSector = nFat // sector index of the directory
     val streamStart = nFat + 1
