@@ -27,7 +27,9 @@ object Rank {
   /** Append a 1-based global `row_number` over the total order given by
     * `sortCols`. `sortCols` must define a total order (include a unique
     * tie-break column) or ranks across equal rows are partition-order
-    * dependent. */
+    * dependent. Ranks are Int to mirror `row_number()`'s type — like
+    * the built-in, this caps at 2^31−1 rows (emit the Long zip index
+    * directly if a table ever exceeds that). */
   def globalRowNumber(df: DataFrame, sortCols: Seq[Column],
       rankCol: String = "rn"): DataFrame = {
     val sorted = df.orderBy(sortCols: _*)

@@ -26,6 +26,12 @@ object Skew {
   def saltedJoin(left: DataFrame, right: DataFrame, key: String, salt: Int,
       joinType: String = "inner"): DataFrame = {
     require(salt >= 1, s"salt must be >= 1, got $salt")
+    // Right/full outer would emit each unmatched RIGHT row once per
+    // salt replica — silently wrong. Salt the other side instead.
+    require(Set("inner", "left", "leftouter", "leftsemi", "leftanti")
+      .contains(joinType.toLowerCase.replaceAll("[_ ]", "")),
+      s"saltedJoin supports inner/left joins only (got '$joinType'): " +
+        "an outer right side would duplicate unmatched rows per salt replica")
     val saltCol = "__graft_salt"
     // Per-row salt from (key, row position): spreads one key's rows
     // uniformly. The salt VALUE never affects join output (the right

@@ -30,6 +30,16 @@ class SkewSpec extends SparkSpec {
     assert(salted.count() == 4000)
   }
 
+  test("saltedJoin rejects right/full outer (would duplicate unmatched right rows)") {
+    val l = Seq((1, "a")).toDF("k", "v")
+    val r = Seq((2, "b")).toDF("k", "d")
+    intercept[IllegalArgumentException](Skew.saltedJoin(l, r, "k", 4, "right_outer"))
+    intercept[IllegalArgumentException](Skew.saltedJoin(l, r, "k", 4, "full_outer"))
+    // left_anti is safe: right carries every salt for each key
+    val anti = Skew.saltedJoin(l, r, "k", 4, "left_anti").collect()
+    assert(anti.map(_.getString(1)).toSeq == Seq("a"))
+  }
+
   test("keyHistogram and suggestSalt diagnose the hot key") {
     val df = ((1 to 900).map(_ => 7) ++ (1 to 30)).toDF("k")
     val top = Skew.keyHistogram(df, "k", 1).head()
