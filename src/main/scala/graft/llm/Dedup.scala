@@ -114,7 +114,13 @@ object Dedup {
   def minhashDupPairs(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 8, bands: Int = 4, threshold: Double = 0.5,
       maxBucket: Long = 10000L): DataFrame = {
+    // The shingle scan (split+explode+distinct — the most expensive
+    // subtree) feeds the signature aggregate AND three derivations
+    // inside jaccard (sizes, sa, sb). The persist materializes it once
+    // and every consumer reads the cached relation — same pattern as
+    // the assignment persist in Ann.embeddingDupPairs.
     val sh = shingles(docs, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cand = lshCandidates(lshBands(minhashSignatures(sh, k), k, bands), maxBucket)
     jaccard(cand, sh).filter(col("jacc_x1e4") >= (threshold * 10000).toLong)
   }

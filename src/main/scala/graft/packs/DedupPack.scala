@@ -42,8 +42,11 @@ object DedupPack extends QueryPack {
     "text_ngram_jaccard" -> ((s, dir) => {
       val pairs = Tables.load(s, dir, "documents")
         .select(col("doc_id").as("a"), (col("doc_id") + 1000000).as("b"))
-      Dedup.jaccard(pairs, Dedup.shingles(corpus(s, dir), "id", "text"))
-        .orderBy("a")
+      // jaccard derives the shingle scan three times (sizes + both join
+      // sides); persist it once, as minhashDupPairs does.
+      val sh = Dedup.shingles(corpus(s, dir), "id", "text")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      Dedup.jaccard(pairs, sh).orderBy("a")
     }),
   )
 
