@@ -36,6 +36,13 @@ object FormatsPack extends QueryPack {
       Xml.writeXmlFile(custSlice(s, dir), file)
       Xml.readXml(s, file, "row").orderBy("c_name")
     }),
+    // K4 scale path: distributed multi-part XML write (one well-formed
+    // document per partition, no driver assembly) re-read by readXml.
+    "xml_parts_roundtrip" -> ((s, dir) => {
+      val out = Paths.get(System.getProperty("java.io.tmpdir"), "graft_rt", "xml_parts").toString
+      Xml.writeXmlParts(custSlice(s, dir).repartition(4), out)
+      Xml.readXml(s, out, "row").orderBy("c_name")
+    }),
     "xlsx_roundtrip" -> ((s, dir) => {
       val file = scratchFile("workbook.xlsx")
       val region = Tables.load(s, dir, "region")
@@ -101,6 +108,9 @@ object FormatsPack extends QueryPack {
 
   val oracleSql: Map[String, String] = Map(
     "xml_roundtrip" ->
+      """SELECT CAST(c_custkey AS VARCHAR) AS c_custkey, c_name, c_mktsegment
+        |FROM customer ORDER BY c_name""".stripMargin,
+    "xml_parts_roundtrip" ->
       """SELECT CAST(c_custkey AS VARCHAR) AS c_custkey, c_name, c_mktsegment
         |FROM customer ORDER BY c_name""".stripMargin,
     "xlsx_roundtrip" ->

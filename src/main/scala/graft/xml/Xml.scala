@@ -40,23 +40,46 @@ object Xml {
     * restricts the materialized keys (column pruning from the DSv2
     * scan — the parse still traverses, the row map stays narrow). */
   def parseRows(xml: String, rowTag: String, flatten: Boolean = false,
-      keep: Option[Set[String]] = None): Seq[Map[String, String]] = {
-    val factory = XMLInputFactory.newInstance()
-    factory.setProperty(XMLInputFactory.IS_SUPPORTING_EXTERNAL_ENTITIES, false)
-    factory.setProperty(XMLInputFactory.SUPPORT_DTD, false)
-    val reader = factory.createXMLStreamReader(new StringReader(xml))
-    val rows = mutable.ArrayBuffer.empty[Map[String, String]]
-    try {
-      while (reader.hasNext) {
-        reader.next() match {
-          case XMLStreamConstants.START_ELEMENT if reader.getLocalName == rowTag =>
-            val row = readRowElement(reader, flatten)
-            rows += keep.fold(row)(ks => row.view.filterKeys(ks).toMap)
-          case _ =>
+      keep: Option[Set[String]] = None): Seq[Map[String, String]] =
+    parseRowsIter(xml, rowTag, flatten, keep).toSeq
+
+  /** Lazy early-exit variant of [[parseRows]]: rows parse on demand, so
+    * a bounded consumer (the 1000-row schema probe, a preview head)
+    * stops the StAX cursor at its last requested row instead of paying
+    * a full-document parse. Content past the last consumed row —
+    * including a malformed tail — is never touched. */
+  def parseRowsIter(xml: String, rowTag: String, flatten: Boolean = false,
+      keep: Option[Set[String]] = None): Iterator[Map[String, String]] = {
+    // `flatten`/`drop` etc. are Iterator methods — bind the params
+    // outside the anonymous subclass to avoid shadowing.
+    val doFlatten = flatten
+    new Iterator[Map[String, String]] {
+      private val factory = XMLInputFactory.newInstance()
+      factory.setProperty(XMLInputFactory.IS_SUPPORTING_EXTERNAL_ENTITIES, false)
+      factory.setProperty(XMLInputFactory.SUPPORT_DTD, false)
+      private val reader = factory.createXMLStreamReader(new StringReader(xml))
+      private var pending: Map[String, String] = _
+      private var exhausted = false
+      // Seek the cursor to the next rowTag element; parse only that
+      // element. Called from hasNext, never eagerly, so next() on row N
+      // does not look ahead past row N's END_ELEMENT.
+      private def advance(): Unit = {
+        while (pending == null && !exhausted) {
+          if (!reader.hasNext) { exhausted = true; reader.close() }
+          else reader.next() match {
+            case XMLStreamConstants.START_ELEMENT if reader.getLocalName == rowTag =>
+              val row = readRowElement(reader, doFlatten)
+              pending = keep.fold(row)(ks => row.view.filterKeys(ks).toMap)
+            case _ =>
+          }
         }
       }
-    } finally reader.close()
-    rows.toSeq
+      override def hasNext: Boolean = { if (pending == null) advance(); pending != null }
+      override def next(): Map[String, String] = {
+        if (!hasNext) throw new NoSuchElementException("parseRowsIter")
+        val r = pending; pending = null; r
+      }
+    }
   }
 
   /** Consume one row element (cursor on its START_ELEMENT). */
@@ -218,10 +241,34 @@ object Xml {
     sb.result()
   }
 
-  /** Full pretty document for a DataFrame. Fragments are computed
-    * distributed; assembly streams through the driver (an export-sized
-    * path, like the reference's single-file download — large datasets
-    * should use row-fragment output files instead). */
+  /** Distributed XML sink: each partition writes one complete
+    * well-formed XML document (declaration + `rootTag` wrapping its row
+    * fragments) through `df.write.text` — executors write their part
+    * files in parallel, nothing streams through the driver, and output
+    * bandwidth scales with partition count. Because every part is a
+    * valid document, [[readXml]] over the output directory re-unions
+    * the rows (one scan partition per part file). This is the
+    * large-export path; [[writeXmlFile]] remains for the reference's
+    * single-file browser-download shape. */
+  def writeXmlParts(df: DataFrame, dir: String, rootTag: String = "rows",
+      rowTag: String = "row"): Unit = {
+    import df.sparkSession.implicits._
+    val keys = df.columns.toSeq
+    df.mapPartitions { it =>
+      val frags = it.map { r =>
+        xmlRowFragment(keys, keys.indices.map(i =>
+          Option(r.get(i)).map(_.toString).getOrElse("")), rowTag)
+      }
+      Iterator("""<?xml version="1.0" encoding="UTF-8"?>""", s"<$rootTag>") ++
+        frags ++ Iterator(s"</$rootTag>")
+    }.write.mode("overwrite").text(dir)
+  }
+
+  /** Full pretty document for a DataFrame, as ONE file. Fragments are
+    * computed distributed; assembly streams through the driver — an
+    * export-sized path matching the reference's single-file download.
+    * Large datasets must use [[writeXmlParts]], which keeps the write
+    * fully distributed. */
   def writeXmlFile(df: DataFrame, file: String, rootTag: String = "rows",
       rowTag: String = "row"): Unit = {
     import df.sparkSession.implicits._

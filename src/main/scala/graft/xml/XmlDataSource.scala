@@ -65,8 +65,11 @@ object XmlDataSource {
     } finally in.close()
   }
 
+  /** P2 schema probe: union keys of the first 1000 rows. The lazy
+    * parseRowsIter cursor stops at row 1000 — a 1 GB document costs a
+    * 1000-row parse here, not a full-file materialization. */
   private[xml] def sampleSchema(options: CaseInsensitiveStringMap): StructType = {
-    val rows = Xml.parseRows(
+    val rows = Xml.parseRowsIter(
       readFile(listFiles(options.get("path")).head),
       options.get("rowTag"),
       options.getBoolean("flatten", false)).take(1000)
@@ -113,8 +116,8 @@ private[xml] class XmlReaderFactory(cols: Array[String], rowTag: String,
     val file = p.asInstanceOf[XmlFilePartition].file
     new PartitionReader[InternalRow] {
       private lazy val it: Iterator[Map[String, String]] =
-        Xml.parseRows(XmlDataSource.readFile(file), rowTag, flatten,
-          keep = Some(cols.toSet)).iterator
+        Xml.parseRowsIter(XmlDataSource.readFile(file), rowTag, flatten,
+          keep = Some(cols.toSet))
       private var cur: Map[String, String] = _
       override def next(): Boolean =
         if (it.hasNext) { cur = it.next(); true } else false

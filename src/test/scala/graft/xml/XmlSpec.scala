@@ -73,6 +73,34 @@ class XmlSpec extends SparkSpec {
     assert(back.toSeq == Seq(("1", "x&y"), ("2", "<z>")))
   }
 
+  test("distributed multi-part write round-trips through readXml (K4 scale path)") {
+    import spark.implicits._
+    val df = (1 to 30).map(i => (i.toString, s"v$i&")).toDF("id", "v").repartition(3)
+    val dir = java.nio.file.Files.createTempDirectory("xmlparts").toString
+    Xml.writeXmlParts(df, dir)
+    // genuinely multi-part: one well-formed document per partition
+    val parts = new java.io.File(dir).listFiles().filter(_.getName.startsWith("part-"))
+    assert(parts.length == 3, parts.map(_.getName).mkString(","))
+    val back = Xml.readXml(spark, dir, "row")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(back == (1 to 30).map(i => (i.toString, s"v$i&")).toSet)
+  }
+
+  test("schema probe early-exits at 1000 rows; malformed tail past the probe is never parsed (P2)") {
+    // 1000 valid rows, then garbage: an eager full-document parse
+    // throws; the lazy probe must succeed and the first-1000 keys win.
+    val good = (1 to 1000).map(i => s"<row><a>$i</a></row>").mkString
+    val doc = s"<rows>$good<row><zz>late</zz></row><broken <<<"
+    intercept[Exception] { Xml.parseRows(doc, "row") }
+    val probed = Xml.parseRowsIter(doc, "row").take(1000).toSeq
+    assert(probed.size == 1000 && probed.last == Map("a" -> "1000"))
+    val d = java.nio.file.Files.createTempDirectory("xmllazy")
+    java.nio.file.Files.writeString(d.resolve("doc.xml"), doc)
+    val schema = XmlDataSource.sampleSchema(new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+      java.util.Map.of("path", d.toString, "rowTag", "row")))
+    assert(schema.fieldNames.toSeq == Seq("a"))
+  }
+
   test("DSv2 scan prunes columns into the source (SURVEY §4)") {
     val doc = "<rows>" + (1 to 50).map(i =>
       s"<row><a>$i</a><b>b$i</b><c>c$i</c><d>d$i</d></row>").mkString + "</rows>"
