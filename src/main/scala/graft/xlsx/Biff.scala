@@ -11,10 +11,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * Scope mirrors the `.xlsx` module: row 1 = header, every value read
   * as a string, missing cells ''. Reader handles the common cell
   * records (LABELSST via SST incl. CONTINUE spans, LABEL, NUMBER, RK,
-  * MULRK, BOOLERR) in both regular and mini-stream layouts; formulas
-  * and rich-text runs are skipped (cached formula results are not
-  * emitted — documented cut). Writer emits inline LABEL cells only
-  * (no SST), one sheet per DataFrame, via toLocalIterator.
+  * MULRK, BOOLERR) in both regular and mini-stream layouts. FORMULA
+  * cells emit their cached result (numeric from the 8-byte num field;
+  * string via the trailing STRING record; boolean from the special
+  * encoding) — the formula expression itself is not evaluated,
+  * matching the reference's xlsx-lib behavior of surfacing cached
+  * values (compare/page.tsx:110-124). Rich-text runs are skipped.
+  * Writer emits inline LABEL cells only (no SST), one sheet per
+  * DataFrame, via toLocalIterator.
   *
   * Like the OOXML module, `.xls` is a workbook-export format: the
   * container parses on the driver; bulk data paths stay parquet/CSV.
@@ -219,6 +223,10 @@ object Biff {
     // Pass 2 — one worksheet substream per BOUNDSHEET.
     bounds.toSeq.map { case (name, pos) =>
       val cells = mutable.ArrayBuffer.empty[(Int, Int, String)]
+      // A FORMULA whose cached result is a string defers its value to
+      // the trailing STRING record (reference parity: the xlsx lib
+      // surfaces a formula cell's cached value, compare/page.tsx:110-124).
+      var pendingString: Option[(Int, Int)] = None
       var o = pos
       var done = false
       var sawBof = false
@@ -228,6 +236,25 @@ object Biff {
         id match {
           case 0x0809 => sawBof = true
           case 0x000A if sawBof => done = true
+          case 0x0006 => // FORMULA: cached result in bytes 6-13
+            val row = u16(b, 0); val c = u16(b, 2)
+            if (u16(b, 12) == 0xFFFF) u8(b, 6) match {
+              case 0 => pendingString = Some((row, c)) // string → STRING record follows
+              case 1 => cells += ((row, c, if (u8(b, 8) != 0) "TRUE" else "FALSE"))
+              case _ => // 2 = error, 3 = blank: no value (same as BOOLERR errors)
+            }
+            else {
+              val bits = (0 until 8).map(i => (b(6 + i).toLong & 0xFF) << (8 * i)).sum
+              cells += ((row, c, numToString(java.lang.Double.longBitsToDouble(bits))))
+            }
+          case 0x0207 => // STRING: cached text of the preceding FORMULA
+            pendingString.foreach { case (row, c) =>
+              val cch = u16(b, 0); val grbit = u8(b, 2)
+              val v = if ((grbit & 1) != 0) new String(b, 3, cch * 2, "UTF-16LE")
+                else new String(b, 3, cch, "ISO-8859-1")
+              cells += ((row, c, v))
+            }
+            pendingString = None
           case 0x00FD => // LABELSST
             cells += ((u16(b, 0), u16(b, 2), sst.lift(i32(b, 6)).getOrElse("")))
           case 0x0204 => // LABEL (inline BIFF8 string, 2-byte cch)

@@ -47,6 +47,39 @@ class BiffSpec extends SparkSpec {
     assert(grid == Seq(("3", "2.5"), ("7", "12.5"), ("TRUE", "")))
   }
 
+  test("FORMULA cells emit cached results: numeric, string via STRING record, boolean") {
+    // FORMULA record: row, col, ixfe, num[8], grbit, chn, cce(=0 tokens).
+    def formulaRec(row: Int, col: Int, num: Array[Byte]): Array[Byte] =
+      Biff.rec(0x0006, Biff.w16(row) ++ Biff.w16(col) ++ Biff.w16(0) ++ num ++
+        Biff.w16(0) ++ Biff.w32(0) ++ Biff.w16(0))
+    def dblNum(d: Double): Array[Byte] = {
+      val bits = java.lang.Double.doubleToLongBits(d)
+      (0 until 8).map(i => ((bits >> (8 * i)) & 0xFF).toByte).toArray
+    }
+    // special encodings: num[0]=kind, num[6..7]=0xFFFF
+    def specialNum(kind: Int, v: Int): Array[Byte] =
+      Array(kind.toByte, 0, v.toByte, 0, 0, 0, 0xFF.toByte, 0xFF.toByte)
+    val strPayload = {
+      val s = "cached!"
+      Biff.w16(s.length) ++ Array(0.toByte) ++ s.getBytes("ISO-8859-1")
+    }
+    val sheet = Biff.bof(0x0010) ++
+      Biff.labelCell(0, 0, "a") ++ Biff.labelCell(0, 1, "b") ++
+      Biff.labelCell(0, 2, "c") ++ Biff.labelCell(0, 3, "d") ++
+      formulaRec(1, 0, dblNum(42.5)) ++            // numeric cached result
+      formulaRec(1, 1, specialNum(0, 0)) ++        // string → STRING record
+      Biff.rec(0x0207, strPayload) ++
+      formulaRec(1, 2, specialNum(1, 1)) ++        // boolean TRUE
+      formulaRec(1, 3, specialNum(2, 0x2A)) ++     // error → no value → ''
+      Biff.rec(0x000A, Array.empty)
+    val f = java.nio.file.Files.createTempDirectory("bifffml").resolve("f.xls").toString
+    java.nio.file.Files.write(java.nio.file.Paths.get(f),
+      Biff.cfbBytes(Biff.workbookStream(Seq("fml" -> sheet))))
+    val rows = Biff.readWorkbook(spark, f).head._2.collect()
+    assert(rows.length == 1)
+    assert(rows.head.toSeq == Seq("42.5", "cached!", "TRUE", ""))
+  }
+
   test("SST strings spanning CONTINUE records (LABELSST path)") {
     // Two strings; the second's character data is split across the SST
     // record and a CONTINUE record, which restates the width byte.
