@@ -57,6 +57,13 @@ object FormatsPack extends QueryPack {
       graft.xlsx.Biff.writeWorkbook(Seq("customer" -> custSlice(s, dir)), file)
       graft.xlsx.Xlsx.readAnyWorkbook(s, file).toMap.apply("customer").orderBy("c_name")
     }),
+    // P4 BIFF12 path: .xlsb write → dispatcher read — the last Compare
+    // accept-list extension, previously a defined error.
+    "xlsb_roundtrip" -> ((s, dir) => {
+      val file = scratchFile("workbook.xlsb")
+      graft.xlsx.Xlsb.writeWorkbook(Seq("customer" -> custSlice(s, dir)), file)
+      Xlsx.readAnyWorkbook(s, file).toMap.apply("customer").orderBy("c_name")
+    }),
     // S9: auto-detected multi-table document through readAutoDetected —
     // both discovered tables (path_tag names) feed the output.
     "xml_autodetect" -> ((s, dir) => {
@@ -117,6 +124,9 @@ object FormatsPack extends QueryPack {
       """SELECT CAST(c_custkey AS VARCHAR) AS c_custkey, c_name, c_mktsegment
         |FROM customer ORDER BY c_name""".stripMargin,
     "xls_roundtrip" ->
+      """SELECT CAST(c_custkey AS VARCHAR) AS c_custkey, c_name, c_mktsegment
+        |FROM customer ORDER BY c_name""".stripMargin,
+    "xlsb_roundtrip" ->
       """SELECT CAST(c_custkey AS VARCHAR) AS c_custkey, c_name, c_mktsegment
         |FROM customer ORDER BY c_name""".stripMargin,
     "xml_autodetect" ->

@@ -169,10 +169,12 @@ object Biff {
 
   /** JS-style number image: integral doubles print without a decimal
     * point (matching the xlsx path, where sheet_to_json stringifies). */
-  private def numToString(d: Double): String =
+  private[xlsx] def numToString(d: Double): String =
     if (d.isWhole && math.abs(d) < 1e15) d.toLong.toString else d.toString
 
-  private def rkToDouble(rk: Int): Double = {
+  /** RK-packed number — the same 30-bit encoding is reused by BIFF12
+    * (.xlsb) RkNumber, so Xlsb shares this decoder. */
+  private[xlsx] def rkToDouble(rk: Int): Double = {
     val base =
       if ((rk & 2) != 0) (rk >> 2).toDouble
       else java.lang.Double.longBitsToDouble((rk.toLong & 0xFFFFFFFCL) << 32)

@@ -134,17 +134,14 @@ object Xlsx {
   // -------------------------------------------------------------------
 
   /** P4 dispatch for the Compare accept-list, which admits `.xlsx`,
-    * `.xls` AND `.xlsb` (reference compare/page.tsx:638,674): OOXML and
-    * BIFF8 read natively; `.xlsb` (BIFF12) is a defined, documented
-    * error — a file passing the filter never fails silently. */
+    * `.xls` AND `.xlsb` (reference compare/page.tsx:638,674): OOXML,
+    * BIFF8, and BIFF12 all read natively — every extension passing the
+    * filter yields data. */
   def readAnyWorkbook(spark: SparkSession, file: String): Seq[(String, DataFrame)] = {
     val lower = file.toLowerCase
     if (lower.endsWith(".xlsx")) readWorkbook(spark, file)
     else if (lower.endsWith(".xls")) Biff.readWorkbook(spark, file)
-    else if (lower.endsWith(".xlsb"))
-      throw new UnsupportedOperationException(
-        ".xlsb (BIFF12) passes the Compare accept-list but is not implemented — " +
-          "save as .xlsx or .xls and re-upload")
+    else if (lower.endsWith(".xlsb")) Xlsb.readWorkbook(spark, file)
     else throw new IllegalArgumentException(s"not a workbook extension: $file")
   }
 

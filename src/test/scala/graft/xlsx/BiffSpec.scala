@@ -110,17 +110,13 @@ class BiffSpec extends SparkSpec {
     assert(df.collect().map(_.getString(0)).toSeq == Seq("long-tail"))
   }
 
-  test(".xlsb gives a defined unsupported error; dispatcher routes by extension") {
-    val f = java.nio.file.Files.createTempDirectory("xlsb").resolve("wb.xlsb")
-    java.nio.file.Files.write(f, Array[Byte](1, 2, 3))
-    val e = intercept[UnsupportedOperationException] {
-      Xlsx.readAnyWorkbook(spark, f.toString)
-    }
-    assert(e.getMessage.contains(".xlsb"))
-    // .xls routes through Biff
+  test("dispatcher routes .xls through Biff and rejects unknown extensions") {
     val s1 = Seq(("1", "x")).toDF("id", "v")
     val xls = java.nio.file.Files.createTempDirectory("anyxls").resolve("wb.xls").toString
     Biff.writeWorkbook(Seq("s" -> s1), xls)
     assert(Xlsx.readAnyWorkbook(spark, xls).head._2.count() == 1)
+    intercept[IllegalArgumentException] {
+      Xlsx.readAnyWorkbook(spark, "/tmp/nope.ods")
+    }
   }
 }
