@@ -11,9 +11,12 @@ import scala.collection.mutable
   * minimal COS object model (SURVEY §7.4 risk #2 documents the
   * subset): object scan by syntax (no xref dependence), FlateDecode
   * `/ObjStm` compressed object streams expanded (so PDF 1.5+ files
-  * with xref streams — essentially all modern writers — parse), xref
-  * streams themselves ignored, predictors/encrypted files out of
-  * scope. Objects are re-numbered with an offset per source document,
+  * with xref streams — essentially all modern writers — parse), with
+  * /DecodeParms TIFF and PNG Sub/Up/Average/Paeth predictors undone
+  * after inflate; xref streams themselves ignored (the object scan
+  * never needs them, predictor-compressed or not). Encrypted files
+  * remain out of scope. Objects are re-numbered with an offset per
+  * source document,
   * page trees rebuilt, and output always serializes to classic xref.
   * Binary payload paths (zip packaging, naming) follow the reference.
   *
@@ -85,8 +88,59 @@ object Pdf {
   private val kidsRe = """(?s)/Kids\s*\[(.*?)\]""".r
   private val refRe = """(\d+)\s+0\s+R""".r
 
-  /** Raw DEFLATE inflate (PDF /FlateDecode without predictors —
-    * DecodeParms predictors are out of the documented subset). */
+  /** Undo a /DecodeParms predictor after inflate ([PDF 32000] 7.4.4.4).
+    * Predictor 2 = TIFF horizontal differencing over `stride` rows;
+    * >= 10 = PNG: each row is one filter-tag byte + stride data bytes,
+    * the tag selecting None/Sub/Up/Average/Paeth per row regardless of
+    * the declared predictor value. Returns `data` untouched for
+    * predictor 1/absent. */
+  private[ops] def unpredict(data: Array[Byte], predictor: Int,
+      columns: Int, colors: Int = 1, bpc: Int = 8): Array[Byte] = {
+    if (predictor <= 1) return data
+    val bpp = math.max(1, colors * bpc / 8)
+    val stride = math.max(1, columns * colors * bpc / 8)
+    if (predictor == 2) {
+      val out = data.clone()
+      for (r <- 0 until out.length / stride; i <- bpp until stride) {
+        val o = r * stride + i
+        out(o) = (out(o) + out(o - bpp)).toByte
+      }
+      return out
+    }
+    val rowLen = stride + 1
+    val nRows = data.length / rowLen
+    val out = new Array[Byte](nRows * stride)
+    var prev = new Array[Byte](stride) // implicit zero row above row 0
+    for (r <- 0 until nRows) {
+      val tag = data(r * rowLen) & 0xFF
+      val row = java.util.Arrays.copyOfRange(data, r * rowLen + 1, r * rowLen + 1 + stride)
+      tag match {
+        case 0 => // None
+        case 1 => for (i <- bpp until stride) row(i) = (row(i) + row(i - bpp)).toByte
+        case 2 => for (i <- 0 until stride) row(i) = (row(i) + prev(i)).toByte
+        case 3 => for (i <- 0 until stride) {
+          val left = if (i >= bpp) row(i - bpp) & 0xFF else 0
+          row(i) = (row(i) + ((left + (prev(i) & 0xFF)) / 2)).toByte
+        }
+        case 4 => for (i <- 0 until stride) {
+          val a = if (i >= bpp) row(i - bpp) & 0xFF else 0
+          val b = prev(i) & 0xFF
+          val c = if (i >= bpp) prev(i - bpp) & 0xFF else 0
+          val p = a + b - c
+          val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+          val pred = if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+          row(i) = (row(i) + pred).toByte
+        }
+        case t => throw new IllegalArgumentException(s"unknown PNG filter tag $t")
+      }
+      System.arraycopy(row, 0, out, r * stride, stride)
+      prev = row
+    }
+    out
+  }
+
+  /** Raw DEFLATE inflate (PDF /FlateDecode; predictors undone by the
+    * caller via [[unpredict]]). */
   private def inflate(data: Array[Byte]): Array[Byte] = {
     val inf = new java.util.zip.Inflater()
     inf.setInput(data)
@@ -129,9 +183,17 @@ object Pdf {
         }
         val raw = text.substring(dataStart, dataEnd).getBytes("ISO-8859-1")
         val decoded =
-          if ("""/Filter\s*/FlateDecode""".r.findFirstIn(dict).isDefined)
-            new String(inflate(raw), "ISO-8859-1")
-          else new String(raw, "ISO-8859-1")
+          if ("""/Filter\s*/FlateDecode""".r.findFirstIn(dict).isDefined) {
+            // Writers may predictor-compress any Flate stream via
+            // /DecodeParms (xref streams almost always; ObjStm legally).
+            val parms = """/DecodeParms\s*(<<[^<>]*>>)""".r
+              .findFirstMatchIn(dict).map(_.group(1))
+            val predictor = parms.flatMap(dictInt(_, "/Predictor")).getOrElse(1)
+            val columns = parms.flatMap(dictInt(_, "/Columns")).getOrElse(1)
+            val colors = parms.flatMap(dictInt(_, "/Colors")).getOrElse(1)
+            val bpc = parms.flatMap(dictInt(_, "/BitsPerComponent")).getOrElse(8)
+            new String(unpredict(inflate(raw), predictor, columns, colors, bpc), "ISO-8859-1")
+          } else new String(raw, "ISO-8859-1")
         (dictInt(dict, "/N"), dictInt(dict, "/First")) match {
           case (Some(n), Some(first)) =>
             val header = decoded.take(first).trim.split("\\s+").filter(_.nonEmpty).map(_.toInt)

@@ -79,6 +79,82 @@ class PdfSpec extends AnyFunSuite {
     assert(Pdf.pageCount(Pdf.extractPages(merged, Seq(1, 8))) == 2)
   }
 
+  /** PNG-predictor-encode `payload` with a chosen filter tag per row
+    * (the inverse of Pdf.unpredict), pad the tail row with spaces. */
+  private def pngEncode(payload: Array[Byte], stride: Int): Array[Byte] = {
+    val padded = java.util.Arrays.copyOf(payload,
+      ((payload.length + stride - 1) / stride) * stride)
+    java.util.Arrays.fill(padded, payload.length, padded.length, ' '.toByte)
+    val nRows = padded.length / stride
+    val out = new java.io.ByteArrayOutputStream()
+    var prev = new Array[Byte](stride)
+    for (r <- 0 until nRows) {
+      val row = java.util.Arrays.copyOfRange(padded, r * stride, (r + 1) * stride)
+      val tag = r % 5 // cycle None/Sub/Up/Average/Paeth across rows
+      out.write(tag)
+      for (i <- 0 until stride) {
+        val a = if (i >= 1) row(i - 1) & 0xFF else 0
+        val b = prev(i) & 0xFF
+        val c = if (i >= 1) prev(i - 1) & 0xFF else 0
+        val pred = tag match {
+          case 0 => 0
+          case 1 => a
+          case 2 => b
+          case 3 => (a + b) / 2
+          case 4 =>
+            val p = a + b - c
+            val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+            if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+        }
+        out.write(((row(i) & 0xFF) - pred) & 0xFF)
+      }
+      prev = row
+    }
+    out.toByteArray
+  }
+
+  test("predictor-compressed ObjStm decodes: PNG Sub/Up/Average/Paeth row filters") {
+    val nPages = 3
+    val pageNums = (0 until nPages).map(3 + _)
+    val inner = Seq(
+      1 -> "<< /Type /Catalog /Pages 2 0 R >>",
+      2 -> s"<< /Type /Pages /Kids [${pageNums.map(n => s"$n 0 R").mkString(" ")}] /Count $nPages >>") ++
+      pageNums.map(n => n -> "<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] >>")
+    val bodies = inner.map(_._2)
+    val offsets = bodies.scanLeft(0)((acc, b) => acc + b.length + 1)
+    val header = inner.map(_._1).zip(offsets).map { case (n, o) => s"$n $o" }.mkString(" ") + " "
+    val payload = header + bodies.mkString("\n") + "\n"
+    val columns = 24
+    val filtered = pngEncode(payload.getBytes("ISO-8859-1"), columns)
+    val deflater = new java.util.zip.Deflater()
+    deflater.setInput(filtered); deflater.finish()
+    val out = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](8192)
+    while (!deflater.finished()) out.write(buf, 0, deflater.deflate(buf))
+    val flate = out.toByteArray
+    val sb = new java.io.ByteArrayOutputStream()
+    sb.write("%PDF-1.5\n".getBytes("ISO-8859-1"))
+    sb.write((s"8 0 obj << /Type /ObjStm /N ${inner.size} /First ${header.length} " +
+      s"/Filter /FlateDecode /DecodeParms << /Predictor 12 /Columns $columns >> " +
+      s"/Length ${flate.length} >> stream\n").getBytes("ISO-8859-1"))
+    sb.write(flate)
+    sb.write(("\nendstream endobj\nstartxref\n0\n%%EOF\n").getBytes("ISO-8859-1"))
+    val doc = sb.toByteArray
+    assert(Pdf.pageCount(doc) == 3)
+    assert(Pdf.pageCount(Pdf.extractPages(doc, Seq(2, 3))) == 2)
+    assert(Pdf.pageCount(Pdf.merge(Seq(doc, Pdf.makePdf(1)))) == 4)
+  }
+
+  test("unpredict: TIFF predictor 2 and exact PNG filter inverses") {
+    // TIFF horizontal differencing: rows of deltas re-accumulate
+    val tiff = Array[Byte](10, 5, 5, 20, 1, 2)
+    assert(Pdf.unpredict(tiff, 2, 3).toSeq == Seq[Byte](10, 15, 20, 20, 21, 23).toSeq)
+    // PNG Up with modular arithmetic across the 0xFF boundary:
+    // rows (tag=None, 0xFE) then (tag=Up, +4) → 0xFE, 0x02
+    val up = Array[Byte](0, 0xFE.toByte, 2, 4)
+    assert(Pdf.unpredict(up, 12, 1).toSeq == Seq[Byte](0xFE.toByte, 2).toSeq)
+  }
+
   test("part naming (K9)") {
     assert(Pdf.partName("doc", 1) == "doc_part001.pdf")
     assert(Pdf.partName("doc", 12) == "doc_part012.pdf")
