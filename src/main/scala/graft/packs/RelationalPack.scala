@@ -91,6 +91,29 @@ object RelationalPack extends QueryPack {
         .agg(count(lit(1)).as("n"))
         .orderBy("hour", "event_type")),
 
+    // 100-TB skew path: events→type-dim equi-join where the key has
+    // only a handful of distinct values — every key is hot. saltedJoin
+    // spreads each key over 8 sub-partitions (right side replicated
+    // per salt); the decimal aggregate must hash-match the plain SQL
+    // join, proving salting changes partitioning, never results.
+    "skew_salted_join" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+      val dim = ev.select("event_type").distinct()
+        .withColumn("type_weight", length(col("event_type")).cast("long"))
+      graft.ops.Skew.saltedJoin(ev, dim, "event_type", salt = 8)
+        .groupBy("event_type", "type_weight")
+        .agg(count(lit(1)).as("n"), dsum("value").as("total_value"))
+        .orderBy("event_type")
+    }),
+
+    // §2.11 oracle gate for the DEPLOYABLE streaming path: the same
+    // hourly aggregate as events_hourly, but computed by runToFiles
+    // (file source → watermarked window agg → exactly-once parquet
+    // sink) and batch-read back from the sink. Hash-matching the batch
+    // twin's oracle proves the streaming pipeline end-to-end.
+    "events_hourly_stream" -> ((s, dir) =>
+      graft.streaming.EventsStream.hourlyViaFileSink(s, dir)),
+
     // O1 multi-key sort + O2 limit (the notices query shape:
     // orderBy pinned desc, createdAt desc limit 50).
     "multikey_sort_limit" -> ((s, dir) =>
@@ -166,6 +189,17 @@ object RelationalPack extends QueryPack {
       """SELECT strftime(date_trunc('hour', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:00:00') AS hour,
         |  event_type, count(*) AS n
         |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+    "events_hourly_stream" ->
+      """SELECT strftime(date_trunc('hour', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:00:00') AS hour,
+        |  event_type, count(*) AS n
+        |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+    "skew_salted_join" ->
+      s"""WITH dim AS (
+         |  SELECT DISTINCT event_type, CAST(length(event_type) AS BIGINT) AS type_weight
+         |  FROM events)
+         |SELECT e.event_type, d.type_weight, count(*) AS n, ${dsumSql("value")} AS total_value
+         |FROM events e JOIN dim d USING (event_type)
+         |GROUP BY 1, 2 ORDER BY e.event_type""".stripMargin,
     "multikey_sort_limit" ->
       """SELECT event_id, event_type,
         |  strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S.%f') AS ts

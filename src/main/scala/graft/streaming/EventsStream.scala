@@ -82,11 +82,13 @@ object EventsStream {
   /** File-source stream over a directory of parquet events. Handles
     * the fixture's TIMESTAMP(NANOS) parquet the same way Tables.load
     * does (nanos-as-long + integer µs truncation). */
-  private def readEvents(spark: SparkSession, inputDir: String): DataFrame = {
+  private def readEvents(spark: SparkSession, inputDir: String,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream
+    val reader = spark.readStream
       .schema("event_id LONG, ts LONG, user_id LONG, event_type STRING, value DOUBLE, props STRING")
-      .parquet(inputDir)
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    reader.parquet(inputDir)
       .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
   }
 
@@ -96,8 +98,8 @@ object EventsStream {
     * The window struct flattens to start/end columns — parquet sinks
     * take flat schemas. */
   def runToFiles(spark: SparkSession, inputDir: String, checkpoint: String,
-      outDir: String): StreamingQuery =
-    hourlyCounts(readEvents(spark, inputDir))
+      outDir: String, maxFilesPerTrigger: Option[Int] = None): StreamingQuery =
+    hourlyCounts(readEvents(spark, inputDir, maxFilesPerTrigger))
       .select(col("window.start").as("hour_start"), col("window.end").as("hour_end"),
         col("event_type"), col("n"), col("total_value"))
       .writeStream
@@ -106,6 +108,57 @@ object EventsStream {
       .option("path", outDir)
       .option("checkpointLocation", checkpoint)
       .start()
+
+  /** Correctness-gate harness for [[runToFiles]]: run the deployable
+    * file-sink pipeline over a staged copy of `<sfDir>/events.parquet`
+    * plus two watermark-advancing sentinel files, each its own
+    * micro-batch (maxFilesPerTrigger=1, mtime-ordered), then batch-read
+    * the sink shaped like the `events_hourly` batch twin.
+    *
+    * Append mode only emits a window once the watermark passes its end;
+    * a single bounded batch would therefore withhold the trailing
+    * windows forever. The sentinels sit 3 h and 6 h past the max real
+    * event time: the second sentinel's batch runs with the watermark
+    * already past every real window, so ALL real windows emit
+    * deterministically — no reliance on no-data batches — while the
+    * sentinels' own windows never close and never reach the sink. */
+  def hourlyViaFileSink(spark: SparkSession, sfDir: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val base = Files.createTempDirectory("graft_stream_gate")
+    val in = base.resolve("in"); Files.createDirectories(in)
+    Files.copy(Paths.get(s"$sfDir/events.parquet"), in.resolve("events.parquet"))
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val maxNanos = spark.read.parquet(s"$sfDir/events.parquet")
+      .agg(max(col("ts").cast("long"))).head.getLong(0)
+    val hourNs = 3600L * 1000 * 1000 * 1000
+    Seq(1, 2).foreach { i =>
+      val stage = base.resolve(s"stage$i")
+      spark.createDataFrame(
+        java.util.List.of(org.apache.spark.sql.Row(
+          -i.toLong, maxNanos + 3 * i * hourNs, -1L, "sentinel", 0.0, "")),
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "event_id LONG, ts LONG, user_id LONG, event_type STRING, value DOUBLE, props STRING"))
+        .coalesce(1).write.parquet(stage.toString)
+      val part = Files.list(stage).filter(_.getFileName.toString.endsWith(".parquet"))
+        .findFirst.get
+      val dst = in.resolve(s"sentinel$i.parquet")
+      Files.copy(part, dst)
+      // the file source orders batches by modification time
+      Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() + i * 10000L))
+    }
+    val out = base.resolve("out").toString
+    val q = runToFiles(spark, in.toString, base.resolve("ckpt").toString, out,
+      maxFilesPerTrigger = Some(1))
+    try q.processAllAvailable() finally q.stop()
+    // a trailing no-data batch may close the first sentinel's window
+    // too — the sentinels are harness scaffolding, not data
+    spark.read.parquet(out)
+      .filter(col("event_type") =!= "sentinel")
+      .select(date_format(col("hour_start"), "yyyy-MM-dd HH:00:00").as("hour"),
+        col("event_type"), col("n"))
+      .orderBy("hour", "event_type")
+  }
 
   /** Test/inspection harness only: the memory sink collects every
     * batch onto the driver — never a deployment path (that is
