@@ -130,11 +130,17 @@ object Ann {
     * multi-stage lineage. */
   def ivfCentroids(corpus: DataFrame, n: Int, iters: Int = 2,
       seed: String = "ivf"): DataFrame = {
-    val built = (0 until iters).foldLeft(seedCentroids(corpus, n, seed))(
-      (cent, _) => lloydStep(corpus, cent))
-    val spark = corpus.sparkSession
-    spark.createDataFrame(
-      java.util.Arrays.asList(built.collect(): _*), built.schema)
+    // The build scans the corpus iters+1 times (seeding + one
+    // assignment per Lloyd step). collect() below is a real action, so
+    // the persist has a bounded lifetime inside this function —
+    // materialize once, refine from cache, release.
+    val cached = corpus.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val built = (0 until iters).foldLeft(seedCentroids(cached, n, seed))(
+        (cent, _) => lloydStep(cached, cent))
+      corpus.sparkSession.createDataFrame(
+        java.util.Arrays.asList(built.collect(): _*), built.schema)
+    } finally cached.unpersist(blocking = false)
   }
 
   /** Multi-probe: each query pairs with its `nprobe` nearest centroids
