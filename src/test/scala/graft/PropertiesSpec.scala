@@ -44,6 +44,37 @@ class PropertiesSpec extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
+  test("workbook sinks round-trip identical grids across xlsx/xls/xlsb (S7/S7b/P4)") {
+    // escape chars exercise the OOXML writer; non-ASCII exercises the
+    // UTF-16 paths of both binary formats
+    val wbCell: Gen[String] = Gen.oneOf(
+      Gen.alphaNumStr.map(_.take(10)),
+      Gen.oneOf("", "a<b&c", "\"q\"", "한글值", "x y"))
+    val rows3 = Gen.listOfN(5, Gen.zip(Gen.choose(1, 999999), wbCell, wbCell))
+    val prop = Prop.forAll(rows3) { rows =>
+      val distinctRows = rows.distinctBy(_._1)
+      distinctRows.nonEmpty ==> {
+        val df = distinctRows.map { case (k, a, b) => (k.toString, a, b) }.toDF("k", "a", "b")
+        val dir = java.nio.file.Files.createTempDirectory("prop_wb")
+        val expect = distinctRows.sortBy(_._1).map { case (k, a, b) => (k.toString, a, b) }
+        Seq("xlsx", "xls", "xlsb").forall { ext =>
+          val f = dir.resolve(s"t.$ext").toString
+          ext match {
+            case "xlsx" => graft.xlsx.Xlsx.writeWorkbook(Seq("s" -> df), f)
+            case "xls" => graft.xlsx.Biff.writeWorkbook(Seq("s" -> df), f)
+            case _ => graft.xlsx.Xlsb.writeWorkbook(Seq("s" -> df), f)
+          }
+          val back = graft.xlsx.Xlsx.readAnyWorkbook(spark, f).head._2
+            .orderBy(col("k").cast("int")).collect()
+            .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSeq
+          back == expect
+        }
+      }
+    }
+    val res = SCTest.check(params, prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("diff algebra: added+deleted+changed+same = |key union|; diff(x,x) is all-same") {
     val rowsGen = Gen.listOfN(12, Gen.zip(Gen.choose(1, 30), cellGen))
     val prop = Prop.forAll(rowsGen, rowsGen) { (ra, rb) =>
