@@ -125,6 +125,43 @@ object Dedup {
     jaccard(cand, sh).filter(col("jacc_x1e4") >= (threshold * 10000).toLong)
   }
 
+  /** Resolve duplicate PAIRS into clusters: connected components with
+    * the minimum member id as the canonical keeper — the step that
+    * turns (a,b) near-dup evidence into a per-document keep/drop
+    * decision. Min-label propagation: every node starts as its own
+    * label, and each iteration takes the min label over direct
+    * neighbors (one equi-join + one hash aggregate), so labels travel
+    * one hop per iteration and the loop converges in graph-diameter
+    * iterations — near-dup graphs are short chains in practice, and
+    * `maxIter` caps pathological components. Each iteration persists
+    * its labels and releases the previous generation; the convergence
+    * check is one count per iteration. Output (id, cluster). */
+  def dupClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val e = pairs.select(col("a").as("x"), col("b").as("y"))
+      .unionAll(pairs.select(col("b").as("x"), col("a").as("y")))
+      .persist(MEMORY_AND_DISK)
+    var labels = e.groupBy(col("x").as("id")).agg(min(col("y")).as("nmin"))
+      .select(col("id"), least(col("id"), col("nmin")).as("cluster"))
+      .persist(MEMORY_AND_DISK)
+    var changed = 1L
+    var it = 0
+    while (changed > 0 && it < maxIter) {
+      val prop = e.join(labels.withColumnRenamed("id", "y2"), col("y") === col("y2"))
+        .select(col("x").as("id"), col("cluster"))
+      val next = labels.unionAll(prop)
+        .groupBy("id").agg(min(col("cluster")).as("cluster"))
+        .persist(MEMORY_AND_DISK)
+      changed = next.join(labels.withColumnRenamed("cluster", "prev"), "id")
+        .filter(col("cluster") =!= col("prev")).count()
+      labels.unpersist(blocking = false)
+      labels = next
+      it += 1
+    }
+    e.unpersist(blocking = false)
+    labels
+  }
+
   /** Exact duplicate groups: digest → group size + keeper (min id). */
   def exactDupGroups(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.groupBy(md5(col(textCol)).as("h"))

@@ -36,6 +36,16 @@ object DedupPack extends QueryPack {
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhash16(Tables.load(s, dir, "documents"), "doc_id", "text")
         .orderBy("id")),
+    // Pair→cluster resolution: connected components over a chain-shaped
+    // pair list ((d, d+1) for doc_id % 10 < 3 → components of diameter
+    // 3), so the gate exercises real multi-hop label propagation, not
+    // just pair mirroring. Cluster = min member id (the keeper).
+    "dedup_clusters" -> ((s, dir) => {
+      val pairs = Tables.load(s, dir, "documents")
+        .select(col("doc_id").as("a"), (col("doc_id") + 1).as("b"))
+        .filter(col("a") % 10 < 3)
+      Dedup.dupClusters(pairs).orderBy("id")
+    }),
     // Standalone exact n-gram Jaccard over a given pair list (the
     // known original↔shifted-copy pairs) — the verification primitive
     // of the LSH pipeline, gated directly.
@@ -128,6 +138,18 @@ object DedupPack extends QueryPack {
          |FROM corpus GROUP BY md5(text) HAVING count(*) > 1 ORDER BY h""".stripMargin,
     "dedup_minhash" -> minhashSql,
     "dedup_simhash" -> simhashSql,
+    // Transitive closure via recursive CTE mirrors the label-propagation
+    // fixpoint: cluster(x) = min over everything reachable from x.
+    "dedup_clusters" ->
+      """WITH RECURSIVE pairs AS (
+        |  SELECT doc_id AS a, doc_id + 1 AS b FROM documents WHERE doc_id % 10 < 3),
+        |edges AS (SELECT a AS x, b AS y FROM pairs UNION SELECT b, a FROM pairs),
+        |reach(x, y) AS (
+        |  SELECT x, y FROM edges
+        |  UNION
+        |  SELECT r.x, e.y FROM reach r JOIN edges e ON r.y = e.x)
+        |SELECT x AS id, LEAST(x, MIN(y)) AS cluster FROM reach
+        |GROUP BY x ORDER BY id""".stripMargin,
     "text_ngram_jaccard" ->
       s"""WITH $corpusSql,
          |$shingleSql,

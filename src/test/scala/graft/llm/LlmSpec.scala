@@ -71,6 +71,16 @@ class LlmSpec extends SparkSpec {
     assert(es.select(TextAnalysis.langGuess($"text")).head().getString(0) == "es")
   }
 
+  test("dupClusters: multi-hop chains, cycles and disjoint pairs resolve to min-id keeper") {
+    // chain 1-2-3-4 (diameter 3), triangle 10-11-12 (cycle), pair 20-21
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L),
+      (10L, 11L), (11L, 12L), (12L, 10L), (20L, 21L)).toDF("a", "b")
+    val got = Dedup.dupClusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
   test("LSH bucket cap drops degenerate hot buckets (skew guard)") {
     // 3000 identical docs collapse into one band bucket per band — the
     // uncapped self-join would be ~4 * 3000^2 = 36M pairs. With the cap
