@@ -35,6 +35,25 @@ object LlmPack extends QueryPack {
     "text_fingerprint" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"), TA.fingerprint(col("text")).as("fp"))
         .orderBy("doc_id")),
+    // The full curation decision: resolve dup clusters (same chain
+    // fixture as dedup_clusters), then keep the HIGHEST-QUALITY member
+    // of each cluster — argmax via the packed-long min idiom (ties →
+    // smallest id), one hash aggregate, no window.
+    "dedup_keeper_quality" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val pairs = d.select(col("doc_id").as("a"), (col("doc_id") + 1).as("b"))
+        .filter(col("a") % 10 < 3)
+      val clusters = graft.llm.Dedup.dupClusters(pairs)
+      val scored = d.select(col("doc_id").as("id"),
+        graft.functions.F.scale4(TA.qualityScore(col("text"))).as("q"))
+      clusters.join(scored, "id")
+        .select(col("cluster"),
+          ((lit(10000L) - col("q")) * 4294967296L + col("id")).as("p"))
+        .groupBy("cluster").agg(min(col("p")).as("p"))
+        .select(col("cluster"), expr("p % 4294967296").as("keeper_id"),
+          (lit(10000L) - expr("p DIV 4294967296")).as("keeper_q_x1e4"))
+        .orderBy("cluster")
+    }),
     "ann_topk_brute" -> ((s, dir) => {
       val e = emb(s, dir)
       val q = e.filter(col("vec_id") < 3)
@@ -276,6 +295,31 @@ object LlmPack extends QueryPack {
          |    CASE WHEN length(text) < 5 THEN rpad(text, 5, ' ') ELSE text END AS p
          |    FROM documents)) ORDER BY doc_id""".stripMargin
     },
+    // Same recursive-closure clustering as dedup_clusters, same quality
+    // expression as text_quality, same packed-long argmax as the Spark
+    // side — the IEEE double shapes must match op for op.
+    "dedup_keeper_quality" ->
+      s"""WITH RECURSIVE pairs AS (
+         |  SELECT doc_id AS a, doc_id + 1 AS b FROM documents WHERE doc_id % 10 < 3),
+         |edges AS (SELECT a AS x, b AS y FROM pairs UNION SELECT b, a FROM pairs),
+         |reach(x, y) AS (
+         |  SELECT x, y FROM edges
+         |  UNION
+         |  SELECT r.x, e.y FROM reach r JOIN edges e ON r.y = e.x),
+         |labels AS (SELECT x AS id, LEAST(x, MIN(y)) AS cluster FROM reach GROUP BY x),
+         |q AS (SELECT doc_id AS id,
+         |  CAST(FLOOR((LEAST(CAST(n_tokens AS DOUBLE) / 100, 1) * 0.5 +
+         |        LEAST(stop_ratio * 5, 1) * 0.5) * 10000 + 0.5) AS BIGINT) AS q
+         |  FROM (SELECT doc_id,
+         |    len(string_split_regex(text, '\\s+')) AS n_tokens,
+         |    CAST(${reCount("text", langRe("en"))} AS DOUBLE) /
+         |          len(string_split_regex(text, '\\s+')) AS stop_ratio
+         |    FROM documents)),
+         |packed AS (SELECT l.cluster, MIN((10000 - q.q) * 4294967296 + q.id) AS p
+         |  FROM labels l JOIN q ON q.id = l.id GROUP BY l.cluster)
+         |SELECT cluster, p % 4294967296 AS keeper_id,
+         |  10000 - (p // 4294967296) AS keeper_q_x1e4
+         |FROM packed ORDER BY cluster""".stripMargin,
     "ann_topk_brute" -> bruteSql,
     "ann_topk_ivf" -> ivfTopkSql,
     "ann_ivf_recall" -> ivfRecallSql,
