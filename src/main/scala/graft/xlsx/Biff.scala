@@ -364,24 +364,29 @@ object Biff {
     out.toByteArray
   }
 
-  /** Wrap a stream in a minimal CFB: header, n FAT sectors, 1 directory
-    * sector, stream sectors. The stream pads to the 4096-byte mini
-    * cutoff so it always lives in regular sectors (the reader handles
-    * mini streams; the writer avoids them). */
+  /** Wrap a stream in a minimal CFB: header, n FAT sectors, chained
+    * DIFAT sectors when the FAT outgrows the header's 109 slots
+    * (≈7 MiB of stream), 1 directory sector, stream sectors. The
+    * stream pads to the 4096-byte mini cutoff so it always lives in
+    * regular sectors (the reader handles mini streams; the writer
+    * avoids them). */
   private[xlsx] def cfbBytes(stream0: Array[Byte]): Array[Byte] = {
     val sectorSize = 512
     val stream = java.util.Arrays.copyOf(stream0, math.max(stream0.length, 4096))
     val nStream = (stream.length + sectorSize - 1) / sectorSize
+    // Fixpoint sizing: each DIFAT sector carries 127 FAT ids + a next
+    // pointer, and FAT/DIFAT/dir/stream sectors all need FAT entries.
     var nFat = 1
-    while ((nFat + 1 + nStream) > nFat * 128) nFat += 1
-    // The header DIFAT holds 109 FAT sector ids (≈7 MB of stream);
-    // this writer does not chain DIFAT sectors — fail loud rather
-    // than emit a file whose tail sectors are unreachable.
-    require(nFat <= 109,
-      s".xls workbook stream exceeds the writer's ${109 * 128 * sectorSize / (1 << 20)} MiB cap (DIFAT chaining unimplemented); use .xlsx")
-    val nTotal = nFat + 1 + nStream
-    val dirSector = nFat // sector index of the directory
-    val streamStart = nFat + 1
+    var nDifat = 0
+    var sized = false
+    while (!sized) {
+      nDifat = math.max(0, nFat - 109 + 126) / 127
+      if (nFat * 128 >= nFat + nDifat + 1 + nStream) sized = true else nFat += 1
+    }
+    val difatStart = nFat
+    val dirSector = nFat + nDifat // sector index of the directory
+    val streamStart = dirSector + 1
+    val nTotal = streamStart + nStream
 
     val out = java.nio.ByteBuffer.allocate(sectorSize * (nTotal + 1))
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
@@ -398,19 +403,30 @@ object Biff {
     out.putInt(4096) // mini cutoff
     out.putInt(ENDOFCHAIN) // first miniFAT
     out.putInt(0) // miniFAT count
-    out.putInt(ENDOFCHAIN) // first DIFAT
-    out.putInt(0) // DIFAT count
+    out.putInt(if (nDifat > 0) difatStart else ENDOFCHAIN) // first DIFAT
+    out.putInt(nDifat) // DIFAT sector count
     (0 until 109).foreach(i => out.putInt(if (i < nFat) i else FREESECT))
     // FAT sectors
     out.position(sectorSize)
     (0 until nFat * 128).foreach { i =>
       out.putInt {
         if (i < nFat) -3 // FATSECT
+        else if (i < nFat + nDifat) -4 // DIFSECT
         else if (i == dirSector) ENDOFCHAIN
         else if (i >= streamStart && i < streamStart + nStream)
           if (i == streamStart + nStream - 1) ENDOFCHAIN else i + 1
         else FREESECT
       }
+    }
+    // DIFAT sectors: FAT ids 109.. in runs of 127, chained by the
+    // trailing next pointer
+    (0 until nDifat).foreach { d =>
+      out.position(sectorSize * (1 + difatStart + d))
+      (0 until 127).foreach { j =>
+        val fi = 109 + d * 127 + j
+        out.putInt(if (fi < nFat) fi else FREESECT)
+      }
+      out.putInt(if (d + 1 < nDifat) difatStart + d + 1 else ENDOFCHAIN)
     }
     // directory sector
     def dirEntry(pos: Int, name: String, objType: Int, child: Int, start: Int, size: Int): Unit = {

@@ -110,6 +110,20 @@ class BiffSpec extends SparkSpec {
     assert(df.collect().map(_.getString(0)).toSeq == Seq("long-tail"))
   }
 
+  test("streams beyond the header DIFAT capacity round-trip (chained DIFAT sectors)") {
+    // ~11 MB of label cells → >109 FAT sectors → the header's DIFAT
+    // overflows into chained DIFAT sectors, which the reader follows.
+    val df = spark.range(30000).selectExpr(
+      ("CAST(id AS STRING) AS id" +: (1 to 9).map(i => s"repeat('x', 30) AS c$i")): _*)
+    val f = java.nio.file.Files.createTempDirectory("biffdifat").resolve("big.xls").toString
+    Biff.writeWorkbook(Seq("big" -> df), f)
+    assert(java.nio.file.Files.size(java.nio.file.Paths.get(f)) > 109 * 128 * 512L)
+    val back = Biff.readWorkbook(spark, f).head._2
+    assert(back.count() == 30000)
+    val row = back.filter(org.apache.spark.sql.functions.col("id") === "29999").collect()
+    assert(row.length == 1 && row.head.getString(9) == "x" * 30)
+  }
+
   test("dispatcher routes .xls through Biff and rejects unknown extensions") {
     val s1 = Seq(("1", "x")).toDF("id", "v")
     val xls = java.nio.file.Files.createTempDirectory("anyxls").resolve("wb.xls").toString
