@@ -91,6 +91,19 @@ object SourcesPack extends QueryPack {
         .select(col("n_nationkey").cast("int"), col("txt"))
         .orderBy("n_nationkey")
     }),
+    // P11 second legacy charset: Shift_JIS (Japanese) — the decode path
+    // must hold beyond the single EUC-KR case.
+    "encoding_sjis_roundtrip" -> ((s, dir) => {
+      val rows = Tables.load(s, dir, "nation").orderBy("n_nationkey").collect()
+      val sb = new StringBuilder("n_nationkey,txt\n")
+      rows.foreach(r => sb.append(s"${r.getInt(0)},${r.getString(1)} 日本語\n"))
+      val out = Paths.get(scratch("sjis"))
+      Files.createDirectories(out)
+      Files.write(out.resolve("nation_jp.csv"), sb.toString.getBytes("Shift_JIS"))
+      Text.readCsv(s, out.toString, Some(","), encoding = "Shift_JIS")
+        .select(col("n_nationkey").cast("int"), col("txt"))
+        .orderBy("n_nationkey")
+    }),
     // S6: JSON array-under-key unwrap (fixture built from nation's 25 rows).
     "json_unwrap" -> ((s, dir) => {
       val rows = Tables.load(s, dir, "nation").orderBy("n_nationkey").collect()
@@ -130,6 +143,9 @@ object SourcesPack extends QueryPack {
       "SELECT c_name AS value FROM customer ORDER BY value",
     "encoding_euckr_roundtrip" ->
       """SELECT n_nationkey, n_name || ' 한국어' AS txt
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
+    "encoding_sjis_roundtrip" ->
+      """SELECT n_nationkey, n_name || ' 日本語' AS txt
         |FROM nation ORDER BY n_nationkey""".stripMargin,
     "json_unwrap" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
