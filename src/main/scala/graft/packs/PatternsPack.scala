@@ -40,6 +40,16 @@ object PatternsPack extends QueryPack {
         Patterns.replaceAll(concat(col("lang"), lit(","), col("source")),
           """,(\S)""", ", $1").as("out"))
         .orderBy("doc_id")),
+    // F3 end-to-end: ALL presets chained in library order over a
+    // fixture that gives every preset work (leading spaces, injected
+    // newlines, tabs, commas, periods). Output hashed — any divergence
+    // in any preset's semantics breaks the gate.
+    "pattern_presets_pipeline" -> ((s, dir) => {
+      val src: org.apache.spark.sql.Column = expr(
+        "concat('  ', replace(text, 'e', concat('e', chr(10))), chr(9), 'tail,  end. Done')")
+      val out = Patterns.presets.foldLeft(src)((c, p) => Patterns.applyPreset(c, p.id))
+      docs(s, dir).select(col("doc_id"), md5(out).as("h")).orderBy("doc_id")
+    }),
     // A2: per-document match counts + document total.
     "pattern_count_matches" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"),
@@ -54,7 +64,23 @@ object PatternsPack extends QueryPack {
         .orderBy("lang")),
   )
 
+  /** Mirror of the chained preset fold: same inline-flag patterns
+    * (RE2 supports `(?m)` too), replacements translated `$1` → `\1`,
+    * 'g' for global. */
+  private val presetPipelineSql: String = {
+    val src = "concat('  ', replace(text, 'e', concat('e', chr(10))), chr(9), 'tail,  end. Done')"
+    val folded = Patterns.presets.foldLeft(src) { (e, p) =>
+      val find = graft.functions.F
+        .withFlags(p.find, ignoreCase = false, multiline = p.multiline)
+        .replace("'", "''")
+      val repl = p.replace.replace("$1", "\\1").replace("'", "''")
+      s"regexp_replace($e, '$find', '$repl', 'g')"
+    }
+    s"SELECT doc_id, md5($folded) AS h FROM documents ORDER BY doc_id"
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "pattern_presets_pipeline" -> presetPipelineSql,
     "pattern_replace_all" ->
       """SELECT doc_id, regexp_replace(replace(text, ' ', '  '), ' {2,}', ' ', 'g') AS out
         |FROM documents ORDER BY doc_id""".stripMargin,
