@@ -110,6 +110,16 @@ object CoveragePack extends QueryPack {
       Workbook.listInputs(s, d.toString, "other-to-excel")
         .select(col("name"), col("length")).orderBy("name")
     }),
+    // P6: empty sheets drop on export; survivors keep name + rows.
+    "workbook_nonempty" -> ((s, dir) => {
+      import s.implicits._
+      val region = Tables.load(s, dir, "region")
+      val wb = Workbook(
+        "regions" -> region,
+        "empty" -> region.filter(col("r_regionkey") < -1),
+        "nations" -> Tables.load(s, dir, "nation")).nonEmpty
+      wb.names.map(n => (n, wb(n).count())).toDF("sheet", "n_rows").orderBy("sheet")
+    }),
     // O3: user-defined row order via an explicit sequence column.
     "user_order" -> ((s, dir) => {
       import s.implicits._
@@ -141,6 +151,11 @@ object CoveragePack extends QueryPack {
       """SELECT * FROM (VALUES ('merged', 7, true), ('part', 3, true))
         |  AS t(label, n_pages, header_ok) ORDER BY label""".stripMargin,
     "compare_autokey" -> "SELECT 'c_custkey' AS key_field",
+    "workbook_nonempty" ->
+      """SELECT * FROM (
+        |  SELECT 'regions' AS sheet, count(*) AS n_rows FROM region
+        |  UNION ALL
+        |  SELECT 'nations', count(*) FROM nation) ORDER BY sheet""".stripMargin,
     "preview_projection" -> {
       val cols = "c_custkey" +: (1 to 19).map(i => s"c_name || '_$i' AS c$i")
       s"""SELECT ${cols.mkString(", ")} FROM customer
