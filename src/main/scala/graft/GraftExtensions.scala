@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{ArrayDot, RegexpReplaceFirst}
+import graft.functions.{ArrayDot, RegexpReplaceFirst, WordShingles}
 
 /** SQL surface for the engine's custom Catalyst expressions (SURVEY
   * §2.13): `regexp_replace_first(src, pattern, repl)` and
@@ -38,6 +38,17 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         require(args.length == 2, "array_dot(a, b) takes 2 arguments")
         ArrayDot(args(0), args(1))
+      }),
+    ("word_shingles",
+      info("word_shingles", "word n-gram shingles of a text column (MinHash kernel); second argument must be a literal int"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "word_shingles(text, n) takes 2 arguments")
+        val n = args(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"word_shingles n must be a literal int, got $other")
+        }
+        WordShingles(args(0), n)
       }),
   )
 

@@ -287,3 +287,60 @@ case class RegexpReplaceFirst(src: Expression, regexp: Expression, rep: Expressi
 
   override def prettyName: String = "regexp_replace_first"
 }
+
+/** Static host for the shingle kernel — a plain object (no companion
+  * class) so Scala emits a static forwarder that Janino-generated code
+  * can call directly. */
+object ShingleOps {
+  private val SPACE = UTF8String.fromString(" ")
+
+  /** Word n-gram shingles of `text`, split on single spaces with
+    * trailing empties kept (`split(text, ' ')` limit -1 semantics) and
+    * joined by single spaces; shorter-than-n texts collapse to one
+    * shingle of all words — byte-identical to the former
+    * `transform(sequence(...), concat_ws(...))` HOF chain and its
+    * DuckDB mirror. */
+  def compute(text: UTF8String, n: Int): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val w = text.split(SPACE, -1)
+    if (w.length >= n) {
+      val m = w.length - n + 1
+      val out = new Array[Any](m)
+      var i = 0
+      while (i < m) {
+        val grams = new Array[UTF8String](n)
+        var j = 0
+        while (j < n) { grams(j) = w(i + j); j += 1 }
+        out(i) = UTF8String.concatWs(SPACE, grams: _*)
+        i += 1
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    } else {
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array[Any](UTF8String.concatWs(SPACE, w: _*)))
+    }
+  }
+}
+
+/** `word_shingles(text, n)` — the MinHash shingle kernel as a codegen'd
+  * expression. Exists for the same reason as [[ArrayDot]]: the
+  * equivalent `transform(sequence(...), i -> concat_ws(...))` chain is
+  * CodegenFallback — every shingle pays an interpreted lambda with n
+  * array extracts — and shingling is the first stage of every dedup
+  * scan over the corpus. Codegen emits one static call per row into
+  * the JIT-compiled kernel. */
+case class WordShingles(child: Expression, n: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  require(n >= 1, s"shingle size must be >= 1, got $n")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "word_shingles"
+
+  override protected def nullSafeEval(t: Any): Any =
+    ShingleOps.compute(t.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ShingleOps.compute($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

@@ -29,15 +29,15 @@ object Dedup {
 
   /** Distinct word n-gram shingles per document: (id, sh).
     * Documents shorter than n words contribute their whole text as a
-    * single shingle. */
+    * single shingle. Shingle construction runs through the codegen'd
+    * WordShingles kernel — the equivalent transform/sequence/concat_ws
+    * HOF chain is CodegenFallback and pays an interpreted lambda per
+    * shingle, and this is the first stage of every dedup corpus scan. */
   def shingles(docs: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame = {
-    val mids = (0 until n).map(j => if (j == 0) "w[i-1]" else s"w[i+${j - 1}]").mkString(", ")
+    import graft.functions.F
     docs
-      .select(col(idCol).as("id"), split(col(textCol), " ").as("w"))
-      .select(col("id"), explode(expr(
-        s"""CASE WHEN size(w) >= $n
-           |THEN transform(sequence(1, size(w) - ${n - 1}), i -> concat_ws(' ', $mids))
-           |ELSE array(concat_ws(' ', w)) END""".stripMargin)).as("sh"))
+      .select(col(idCol).as("id"),
+        explode(F.toColumn(graft.functions.WordShingles(F.toExpr(col(textCol)), n))).as("sh"))
       .distinct()
   }
 

@@ -71,6 +71,36 @@ class LlmSpec extends SparkSpec {
     assert(es.select(TextAnalysis.langGuess($"text")).head().getString(0) == "es")
   }
 
+  test("WordShingles kernel matches the HOF construction byte-for-byte and stays in codegen") {
+    import org.apache.spark.sql.functions.{col, explode, expr, split}
+    val texts = Seq("a b c d e", "one two", "", "x", "two  spaces here", "a b c ")
+      .zipWithIndex.map(_.swap).toDF("id", "text")
+    val kernel = graft.llm.Dedup.shingles(texts, "id", "text")
+      .orderBy("id", "sh").collect().map(r => (r.getInt(0), r.getString(1))).toSeq
+    val hof = texts
+      .select(col("id"), split(col("text"), " ").as("w"))
+      .select(col("id"), explode(expr(
+        """CASE WHEN size(w) >= 3
+          |THEN transform(sequence(1, size(w) - 2), i -> concat_ws(' ', w[i-1], w[i], w[i+1]))
+          |ELSE array(concat_ws(' ', w)) END""".stripMargin)).as("sh"))
+      .distinct().orderBy("id", "sh").collect().map(r => (r.getInt(0), r.getString(1))).toSeq
+    assert(kernel == hof)
+    // the projection must run inside whole-stage codegen, not fall back
+    // (over a non-local source — a local Seq collapses to LocalTableScan)
+    val plan = spark.range(10).selectExpr("repeat('w ', CAST(id AS INT)) AS text")
+      .select(graft.functions.F.toColumn(
+        graft.functions.WordShingles(graft.functions.F.toExpr(col("text")), 3)))
+      .queryExecution.executedPlan.toString
+    // "*(n)" is the WholeStageCodegen marker in executedPlan.toString;
+    // a fallback expression would print an unstarred Project
+    assert(plan.linesIterator.next().trim.startsWith("*("), plan)
+    // SQL registration
+    graft.GraftExtensions.register(spark)
+    val viaSql = texts.selectExpr("explode(word_shingles(text, 3)) AS sh")
+      .distinct().count()
+    assert(viaSql == kernel.map(_._2).distinct.size)
+  }
+
   test("dupClusters: multi-hop chains, cycles and disjoint pairs resolve to min-id keeper") {
     // chain 1-2-3-4 (diameter 3), triangle 10-11-12 (cycle), pair 20-21
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L),
