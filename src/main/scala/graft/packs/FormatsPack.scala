@@ -57,6 +57,18 @@ object FormatsPack extends QueryPack {
       graft.xlsx.Biff.writeWorkbook(Seq("customer" -> custSlice(s, dir)), file)
       graft.xlsx.Xlsx.readAnyWorkbook(s, file).toMap.apply("customer").orderBy("c_name")
     }),
+    // F4+F5 writer branch: a column whose name fails the XML name rule
+    // serializes as <col name="..."> with & < > escaped in BOTH the
+    // attribute and the value — gated on the emitted bytes themselves.
+    "xml_colname_escape" -> ((s, dir) => {
+      import s.implicits._
+      val df = Seq(("1", "a<b&c")).toDF("ok", "bad <name>")
+      val file = scratchFile("colname.xml")
+      Xml.writeXmlFile(df, file)
+      s.read.option("wholetext", "true").text(file)
+        .selectExpr("explode(split(value, '\n')) AS line")
+        .filter(col("line").contains("col name"))
+    }),
     // P4 BIFF12 path: .xlsb write → dispatcher read — the last Compare
     // accept-list extension, previously a defined error.
     "xlsb_roundtrip" -> ((s, dir) => {
@@ -117,6 +129,8 @@ object FormatsPack extends QueryPack {
     "xml_roundtrip" ->
       """SELECT CAST(c_custkey AS VARCHAR) AS c_custkey, c_name, c_mktsegment
         |FROM customer ORDER BY c_name""".stripMargin,
+    "xml_colname_escape" ->
+      """SELECT '    <col name="bad &lt;name&gt;">a&lt;b&amp;c</col>' AS line""",
     "xml_parts_roundtrip" ->
       """SELECT CAST(c_custkey AS VARCHAR) AS c_custkey, c_name, c_mktsegment
         |FROM customer ORDER BY c_name""".stripMargin,
