@@ -162,6 +162,15 @@ object Dedup {
     labels
   }
 
+  /** Apply cluster resolution: keep every document that is its own
+    * cluster keeper (or belongs to no cluster). One broadcast-able
+    * anti-join against the non-keeper id set — the final "write the
+    * deduplicated corpus" step. */
+  def keepAfterDedup(docs: DataFrame, idCol: String, clusters: DataFrame): DataFrame = {
+    val drop = clusters.filter(col("id") =!= col("cluster")).select(col("id"))
+    docs.join(drop, docs(idCol) === drop("id"), "left_anti")
+  }
+
   /** Exact duplicate groups: digest → group size + keeper (min id). */
   def exactDupGroups(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.groupBy(md5(col(textCol)).as("h"))

@@ -46,6 +46,15 @@ object DedupPack extends QueryPack {
         .filter(col("a") % 10 < 3)
       Dedup.dupClusters(pairs).orderBy("id")
     }),
+    // The applied result: documents surviving cluster resolution
+    // (keepers + never-paired docs) — the deduplicated corpus itself.
+    "dedup_apply" -> ((s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+      val pairs = d.select(col("doc_id").as("a"), (col("doc_id") + 1).as("b"))
+        .filter(col("a") % 10 < 3)
+      Dedup.keepAfterDedup(d, "doc_id", Dedup.dupClusters(pairs))
+        .select(col("doc_id")).orderBy("doc_id")
+    }),
     // Standalone exact n-gram Jaccard over a given pair list (the
     // known original↔shifted-copy pairs) — the verification primitive
     // of the LSH pipeline, gated directly.
@@ -150,6 +159,18 @@ object DedupPack extends QueryPack {
         |  SELECT r.x, e.y FROM reach r JOIN edges e ON r.y = e.x)
         |SELECT x AS id, LEAST(x, MIN(y)) AS cluster FROM reach
         |GROUP BY x ORDER BY id""".stripMargin,
+    "dedup_apply" ->
+      """WITH RECURSIVE pairs AS (
+        |  SELECT doc_id AS a, doc_id + 1 AS b FROM documents WHERE doc_id % 10 < 3),
+        |edges AS (SELECT a AS x, b AS y FROM pairs UNION SELECT b, a FROM pairs),
+        |reach(x, y) AS (
+        |  SELECT x, y FROM edges
+        |  UNION
+        |  SELECT r.x, e.y FROM reach r JOIN edges e ON r.y = e.x),
+        |labels AS (SELECT x AS id, LEAST(x, MIN(y)) AS cluster FROM reach GROUP BY x)
+        |SELECT doc_id FROM documents
+        |WHERE doc_id NOT IN (SELECT id FROM labels WHERE id <> cluster)
+        |ORDER BY doc_id""".stripMargin,
     "text_ngram_jaccard" ->
       s"""WITH $corpusSql,
          |$shingleSql,
