@@ -51,6 +51,20 @@ class Workbook private (val sheets: mutable.LinkedHashMap[String, DataFrame]) {
       zos.closeEntry()
     } finally zos.close()
   }
+
+  /** Streaming variant of [[writeZip]]: each sheet renders directly
+    * into the open zip entry (the renderer typically walks
+    * toLocalIterator — see Csv.writeTo), so container exports stay
+    * O(row) in driver memory no matter the sheet size. */
+  def writeZipStreamed(file: String, base: String, ext: String)
+      (render: (DataFrame, java.io.OutputStream) => Unit): Unit = {
+    val zos = new ZipOutputStream(Files.newOutputStream(Paths.get(file)))
+    try sheets.foreach { case (name, df) =>
+      zos.putNextEntry(new ZipEntry(s"$base/${Workbook.outputName(base, name, ext)}"))
+      render(df, zos)
+      zos.closeEntry()
+    } finally zos.close()
+  }
 }
 
 object Workbook {

@@ -59,6 +59,20 @@ object Csv {
     } finally w.close()
   }
 
+  /** Stream CSV (header + rows) into an already-open byte stream
+    * without closing it — the O(row) renderer for container sinks
+    * (Workbook.writeZipStreamed): rows arrive via toLocalIterator one
+    * partition at a time, so a sheet larger than the heap still
+    * exports. */
+  def writeTo(df: DataFrame, out: java.io.OutputStream, naive: Boolean = false): Unit = {
+    val w = new java.io.BufferedWriter(
+      new java.io.OutputStreamWriter(out, "UTF-8"), 1 << 16)
+    w.write(headerLine(df, naive)); w.write("\n")
+    toCsvLines(df, naive).toLocalIterator()
+      .forEachRemaining { r => w.write(r.getString(0)); w.write("\n") }
+    w.flush() // flush through; the container owns the stream
+  }
+
   /** K3: TXT write — `{value}` singleton sheets emit raw lines, any
     * other schema emits JSON-per-line (reference rowsToTXT,
     * FileUploader.tsx:171-176). */

@@ -50,6 +50,22 @@ class CoreSpec extends SparkSpec {
     assert(Workbook.mergedName(0L) == "merged_19700101_000000.xlsx")
   }
 
+  test("streamed zip export: sheets render straight into entries, O(row) memory (K6)") {
+    val wb = Workbook(
+      "one" -> Seq(("1", "a,b"), ("2", "q\"q")).toDF("k", "v"),
+      "two" -> Seq(("x", "y")).toDF("p", "q"))
+    val zip = java.nio.file.Files.createTempDirectory("wbzips").resolve("out.zip")
+    wb.writeZipStreamed(zip.toString, "base", "csv")(graft.sinks.Csv.writeTo(_, _))
+    val zis = new ZipInputStream(java.nio.file.Files.newInputStream(zip))
+    val entries = Iterator.continually(zis.getNextEntry).takeWhile(_ != null).map { e =>
+      e.getName -> new String(zis.readAllBytes(), "UTF-8")
+    }.toMap
+    zis.close()
+    assert(entries.keySet == Set("base/base_one.csv", "base/base_two.csv"))
+    assert(entries("base/base_one.csv") == "k,v\n1,\"a,b\"\n2,\"q\"\"q\"\n")
+    assert(entries("base/base_two.csv") == "p,q\nx,y\n")
+  }
+
   test("extension accept lists and (name,size) input dedup (P4/P5)") {
     assert(Workbook.accepted("compare", "A.JSON"))
     assert(!Workbook.accepted("excel-to-other", "a.csv"))
