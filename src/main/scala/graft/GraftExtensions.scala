@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{ArrayDot, RegexpReplaceFirst, WordShingles}
+import graft.functions.{ArrayDot, MinFingerprint, RegexpReplaceFirst, WordShingles}
 
 /** SQL surface for the engine's custom Catalyst expressions (SURVEY
   * §2.13): `regexp_replace_first(src, pattern, repl)` and
@@ -49,6 +49,12 @@ object GraftExtensions {
             s"word_shingles n must be a literal int, got $other")
         }
         WordShingles(args(0), n)
+      }),
+    ("min_fingerprint",
+      info("min_fingerprint", "min base-257 polynomial hash over codepoint 5-grams (document fingerprint)"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "min_fingerprint(text) takes 1 argument")
+        MinFingerprint(args(0))
       }),
   )
 

@@ -344,3 +344,56 @@ case class WordShingles(child: Expression, n: Int)
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
+
+/** Static host for the fingerprint kernel (see [[ShingleOps]] for why
+  * a plain object). */
+object FingerprintOps {
+  /** Min base-257 polynomial hash (mod 2^31−1) over codepoint 5-grams,
+    * right-padding with spaces below one window — exactly the
+    * split('')/ascii/transform Column construction it replaces:
+    * Pattern-based split('') breaks at codepoint boundaries and
+    * `ascii` yields the full codepoint, so the kernel iterates
+    * codepoints, matching DuckDB's string_split('') mirror. */
+  def compute(text: UTF8String): Long = {
+    val s = text.toString
+    var cps = s.codePoints().toArray
+    if (cps.length < 5) {
+      val padded = java.util.Arrays.copyOf(cps, 5)
+      java.util.Arrays.fill(padded, cps.length, 5, ' '.toInt)
+      cps = padded
+    }
+    var min = Long.MaxValue
+    var i = 0
+    val last = cps.length - 5
+    while (i <= last) {
+      var acc = 0L
+      var j = 0
+      while (j < 5) { acc = acc * 257L + cps(i + j); j += 1 }
+      val h = acc % 2147483647L
+      if (h < min) min = h
+      i += 1
+    }
+    min
+  }
+}
+
+/** `min_fingerprint(text)` — the document-fingerprint kernel as a
+  * codegen'd expression. The Column construction it replaces ran two
+  * nested CodegenFallback transforms — an interpreted lambda per
+  * CHARACTER and per window position — on every document; this is one
+  * static call per row into a compiled loop. */
+case class MinFingerprint(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "min_fingerprint"
+
+  override protected def nullSafeEval(t: Any): Any =
+    FingerprintOps.compute(t.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.FingerprintOps.compute($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

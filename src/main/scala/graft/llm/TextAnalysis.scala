@@ -63,28 +63,20 @@ object TextAnalysis {
     least(tokenCount(text).cast("double") / 100.0, lit(1.0)) * 0.5 +
       least(stopwordRatio(text) * 5.0, lit(1.0)) * 0.5
 
-  /** Document fingerprint: min polynomial hash over char 5-grams —
+  /** Document fingerprint: min polynomial hash over codepoint 5-grams —
     * winnowing with a single global window. The polynomial
     * (base 257 mod 2^31−1 over character codes) costs 5 integer ops
     * per position vs a full digest for the earlier md5-per-position
     * design; short docs right-pad with spaces to one full window.
     *
-    * Two O(len) traps deliberately avoided: per-position `substr` on a
-    * UTF8 string scans from the start (O(len²) total — measured 45 s
-    * vs 6.5 s at sf0.1), so the text splits into a char-code array
-    * once; and a bare array-valued subexpression inside a `transform`
-    * lambda re-evaluates per element, so the code array is bound once
-    * via a 1-element array-wrap (the "let" of Column algebra). Scope:
-    * code values are UTF-16 units in Spark and codepoints in DuckDB —
-    * identical over BMP text (the fixture is ASCII). */
+    * Runs on the codegen'd MinFingerprint kernel: the equivalent
+    * split('')/ascii/nested-transform Column construction is
+    * CodegenFallback — an interpreted lambda per CHARACTER and per
+    * window — and an earlier per-position `substr` variant was O(len²)
+    * (measured 45 s vs 6.5 s at sf0.1). One compiled loop per row;
+    * DuckDB's string_split('') mirror iterates the same codepoints. */
   def fingerprint(text: Column): Column = {
-    val t = when(length(text) < 5, rpad(text, 5, " ")).otherwise(text)
-    val codes = transform(split(t, ""), c => ascii(c).cast("long"))
-    val idxs = sequence(lit(1), length(t) - 4)
-    element_at(transform(array(codes), cs =>
-      array_min(transform(idxs, i => {
-        val ch = (0 until 5).map(j => element_at(cs, i + lit(j)))
-        ch.reduce((acc, c) => acc * 257L + c) % 2147483647L
-      }))), 1)
+    import graft.functions.F
+    F.toColumn(graft.functions.MinFingerprint(F.toExpr(text)))
   }
 }

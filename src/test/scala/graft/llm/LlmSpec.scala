@@ -101,6 +101,30 @@ class LlmSpec extends SparkSpec {
     assert(viaSql == kernel.map(_._2).distinct.size)
   }
 
+  test("MinFingerprint kernel matches the HOF construction on edge cases, stays in codegen") {
+    import org.apache.spark.sql.functions._
+    val texts = Seq("", "ab", "abcde", "exactly five!", "the quick brown fox",
+      "  spaces  every where ", "ünïcødé bmp text here").zipWithIndex.map(_.swap)
+      .toDF("id", "text")
+    // the former Column construction, verbatim
+    val t = when(length(col("text")) < 5, rpad(col("text"), 5, " ")).otherwise(col("text"))
+    val codes = transform(split(t, ""), c => ascii(c).cast("long"))
+    val idxs = sequence(lit(1), length(t) - 4)
+    val hof = element_at(transform(array(codes), cs =>
+      array_min(transform(idxs, i => {
+        val ch = (0 until 5).map(j => element_at(cs, i + lit(j)))
+        ch.reduce((acc, c) => acc * 257L + c) % 2147483647L
+      }))), 1)
+    val rows = texts.select(col("id"),
+      graft.llm.TextAnalysis.fingerprint(col("text")).as("k"), hof.as("h"))
+      .collect()
+    rows.foreach(r => assert(r.getLong(1) == r.getLong(2), r.toString))
+    val plan = spark.range(5).selectExpr("CAST(id AS STRING) AS text")
+      .select(graft.llm.TextAnalysis.fingerprint(col("text")))
+      .queryExecution.executedPlan.toString
+    assert(plan.linesIterator.next().trim.startsWith("*("), plan)
+  }
+
   test("dupClusters: multi-hop chains, cycles and disjoint pairs resolve to min-id keeper") {
     // chain 1-2-3-4 (diameter 3), triangle 10-11-12 (cycle), pair 20-21
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L),
