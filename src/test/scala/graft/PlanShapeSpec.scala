@@ -57,6 +57,47 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("SortAggregate"), p)
   }
 
+  test("bucket-aligned tables join with ZERO shuffle exchanges (co-located join)") {
+    // The 100-TB repeated-join pattern: pre-bucket both sides on the
+    // join key → the sort-merge join reads buckets in place, no
+    // Exchange on either side. Broadcast disabled so the SMJ path is
+    // what's proven.
+    val prevBroadcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      spark.sql("DROP TABLE IF EXISTS graft_bkt_orders")
+      spark.sql("DROP TABLE IF EXISTS graft_bkt_customer")
+      graft.core.Tables.load(spark, sf, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .write.bucketBy(8, "o_custkey").sortBy("o_custkey")
+        .saveAsTable("graft_bkt_orders")
+      graft.core.Tables.load(spark, sf, "customer")
+        .select("c_custkey", "c_mktsegment")
+        .write.bucketBy(8, "c_custkey").sortBy("c_custkey")
+        .saveAsTable("graft_bkt_customer")
+      val joined = spark.table("graft_bkt_orders")
+        .join(spark.table("graft_bkt_customer"),
+          org.apache.spark.sql.functions.col("o_custkey") ===
+            org.apache.spark.sql.functions.col("c_custkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan)
+      assert(!plan.contains("Exchange"), plan)
+      // and the join is still correct
+      val expected = graft.core.Tables.load(spark, sf, "orders")
+        .join(graft.core.Tables.load(spark, sf, "customer"),
+          org.apache.spark.sql.functions.col("o_custkey") ===
+            org.apache.spark.sql.functions.col("c_custkey")).count()
+      assert(joined.count() == expected)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.sql("DROP TABLE IF EXISTS graft_bkt_orders")
+      spark.sql("DROP TABLE IF EXISTS graft_bkt_customer")
+    }
+  }
+
   test("dedup_exact is one hash aggregate over the digest — no join, no window") {
     val p = plan("dedup_exact")
     assert(p.contains("HashAggregate"), p)
