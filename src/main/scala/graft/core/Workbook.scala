@@ -43,14 +43,8 @@ class Workbook private (val sheets: mutable.LinkedHashMap[String, DataFrame]) {
     * zip container (reference saveAsZip, FileUploader.tsx:189-203,
     * naming :287,296-301). `render` turns one sheet into file bytes. */
   def writeZip(file: String, base: String, ext: String)
-      (render: DataFrame => Array[Byte]): Unit = {
-    val zos = new ZipOutputStream(Files.newOutputStream(Paths.get(file)))
-    try sheets.foreach { case (name, df) =>
-      zos.putNextEntry(new ZipEntry(s"$base/${Workbook.outputName(base, name, ext)}"))
-      zos.write(render(df))
-      zos.closeEntry()
-    } finally zos.close()
-  }
+      (render: DataFrame => Array[Byte]): Unit =
+    writeZipStreamed(file, base, ext)((df, os) => os.write(render(df)))
 
   /** Streaming variant of [[writeZip]]: each sheet renders directly
     * into the open zip entry (the renderer typically walks

@@ -135,7 +135,13 @@ object Dedup {
     * iterations — near-dup graphs are short chains in practice, and
     * `maxIter` caps pathological components. Each iteration persists
     * its labels and releases the previous generation; the convergence
-    * check is one count per iteration. Output (id, cluster). */
+    * check is one count per iteration. Output (id, cluster), persisted
+    * (the caller's consumption reuses the fixpoint result; release
+    * with unpersist/clearCache when done).
+    *
+    * Fails loud if the fixpoint is not reached within `maxIter` —
+    * silently returning split components would let near-duplicates
+    * survive dedup; raise `maxIter` for graphs of larger diameter. */
   def dupClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val e = pairs.select(col("a").as("x"), col("b").as("y"))
@@ -159,6 +165,9 @@ object Dedup {
       it += 1
     }
     e.unpersist(blocking = false)
+    if (changed > 0) throw new IllegalStateException(
+      s"dupClusters did not converge in $maxIter iterations ($changed labels still moving) — " +
+        "a component's diameter exceeds maxIter; raise it to cover the longest duplicate chain")
     labels
   }
 

@@ -186,7 +186,11 @@ object Pdf {
           if ("""/Filter\s*/FlateDecode""".r.findFirstIn(dict).isDefined) {
             // Writers may predictor-compress any Flate stream via
             // /DecodeParms (xref streams almost always; ObjStm legally).
-            val parms = """/DecodeParms\s*(<<[^<>]*>>)""".r
+            // Both the inline-dict form and the single-element array
+            // form `[<<...>>]` (legal, and required when /Filter is an
+            // array) are accepted; indirect-reference parms stay out of
+            // the documented subset.
+            val parms = """/DecodeParms\s*\[?\s*(<<[^<>]*>>)""".r
               .findFirstMatchIn(dict).map(_.group(1))
             val predictor = parms.flatMap(dictInt(_, "/Predictor")).getOrElse(1)
             val columns = parms.flatMap(dictInt(_, "/Columns")).getOrElse(1)

@@ -139,8 +139,9 @@ object EventsStream {
         org.apache.spark.sql.types.StructType.fromDDL(
           "event_id LONG, ts LONG, user_id LONG, event_type STRING, value DOUBLE, props STRING"))
         .coalesce(1).write.parquet(stage.toString)
-      val part = Files.list(stage).filter(_.getFileName.toString.endsWith(".parquet"))
-        .findFirst.get
+      val listing = Files.list(stage)
+      val part = try listing.filter(_.getFileName.toString.endsWith(".parquet")).findFirst.get
+        finally listing.close()
       val dst = in.resolve(s"sentinel$i.parquet")
       Files.copy(part, dst)
       // the file source orders batches by modification time
@@ -151,6 +152,16 @@ object EventsStream {
     val q = runToFiles(spark, in.toString, base.resolve("ckpt").toString, out,
       maxFilesPerTrigger = Some(1))
     try q.processAllAvailable() finally q.stop()
+    // the staged input (a full copy of the events fixture), sentinel
+    // scratch and checkpoint are dead once the query stops — only the
+    // sink parquet (read lazily below) survives. Repeated gate/bench
+    // invocations must not accumulate fixture copies in tmp.
+    Seq(in, base.resolve("ckpt")) ++ Seq(1, 2).map(i => base.resolve(s"stage$i")) foreach { d =>
+      val walk = Files.walk(d)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => Files.deleteIfExists(p))
+      finally walk.close()
+    }
     // a trailing no-data batch may close the first sentinel's window
     // too — the sentinels are harness scaffolding, not data
     spark.read.parquet(out)

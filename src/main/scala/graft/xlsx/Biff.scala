@@ -229,12 +229,32 @@ object Biff {
       // the trailing STRING record (reference parity: the xlsx lib
       // surfaces a formula cell's cached value, compare/page.tsx:110-124).
       var pendingString: Option[(Int, Int)] = None
+      // A cached string longer than one record spans CONTINUE records,
+      // each restating the width byte: (row, col, chars still due, acc).
+      var strCont: (Int, Int, Int, StringBuilder) = null
+      // Decode up to `want` chars from b[off..]; returns chars read.
+      def readChars(b: Array[Byte], off0: Int, want: Int, high: Boolean,
+          acc: StringBuilder): Int = {
+        var off = off0; var i = 0
+        while (i < want && (if (high) off + 2 <= b.length else off + 1 <= b.length)) {
+          if (high) { acc.append(((b(off) & 0xFF) | ((b(off + 1) & 0xFF) << 8)).toChar); off += 2 }
+          else { acc.append((b(off) & 0xFF).toChar); off += 1 }
+          i += 1
+        }
+        i
+      }
       var o = pos
       var done = false
       var sawBof = false
       while (!done && o + 4 <= wb.length) {
         val id = u16(wb, o); val len = u16(wb, o + 2)
         val b = java.util.Arrays.copyOfRange(wb, o + 4, o + 4 + len)
+        // CONTINUE must immediately follow; anything else flushes the
+        // partial value (best effort on malformed files).
+        if (strCont != null && id != 0x003C) {
+          cells += ((strCont._1, strCont._2, strCont._4.toString))
+          strCont = null
+        }
         id match {
           case 0x0809 => sawBof = true
           case 0x000A if sawBof => done = true
@@ -252,11 +272,18 @@ object Biff {
           case 0x0207 => // STRING: cached text of the preceding FORMULA
             pendingString.foreach { case (row, c) =>
               val cch = u16(b, 0); val grbit = u8(b, 2)
-              val v = if ((grbit & 1) != 0) new String(b, 3, cch * 2, "UTF-16LE")
-                else new String(b, 3, cch, "ISO-8859-1")
-              cells += ((row, c, v))
+              val acc = new StringBuilder
+              val got = readChars(b, 3, cch, (grbit & 1) != 0, acc)
+              if (got < cch) strCont = (row, c, cch - got, acc)
+              else cells += ((row, c, acc.toString))
             }
             pendingString = None
+          case 0x003C if strCont != null => // CONTINUE of a cached STRING
+            val (row, c, want, acc) = strCont
+            val got = readChars(b, 1, want, (u8(b, 0) & 1) != 0, acc)
+            strCont =
+              if (got < want) (row, c, want - got, acc)
+              else { cells += ((row, c, acc.toString)); null }
           case 0x00FD => // LABELSST
             cells += ((u16(b, 0), u16(b, 2), sst.lift(i32(b, 6)).getOrElse("")))
           case 0x0204 => // LABEL (inline BIFF8 string, 2-byte cch)
@@ -455,15 +482,7 @@ object Biff {
   def writeWorkbook(sheets: Seq[(String, DataFrame)], file: String): Unit = {
     val used = mutable.LinkedHashSet.empty[String]
     val parts = sheets.map { case (n, df) =>
-      val header = df.columns.toSeq
-      val it = new Iterator[Seq[String]] {
-        private val rows = df.toLocalIterator()
-        def hasNext: Boolean = rows.hasNext
-        def next(): Seq[String] = {
-          val r = rows.next()
-          header.indices.map(j => Option(r.get(j)).map(_.toString).getOrElse(""))
-        }
-      }
+      val (header, it) = Xlsx.rowStrings(df)
       Xlsx.sanitizeSheetName(n, used) -> sheetBytes(header, it)
     }
     java.nio.file.Files.write(java.nio.file.Paths.get(file), cfbBytes(workbookStream(parts)))

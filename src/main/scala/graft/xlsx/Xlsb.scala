@@ -93,25 +93,6 @@ object Xlsb {
   // Read
   // -------------------------------------------------------------------
 
-  private def readZipBytes(bytes: Array[Byte]): Map[String, Array[Byte]] = {
-    val zis = new ZipInputStream(new java.io.ByteArrayInputStream(bytes))
-    val out = mutable.LinkedHashMap.empty[String, Array[Byte]]
-    try {
-      var e = zis.getNextEntry
-      while (e != null) {
-        if (!e.isDirectory) {
-          val bos = new java.io.ByteArrayOutputStream()
-          val buf = new Array[Byte](8192)
-          var n = zis.read(buf)
-          while (n > 0) { bos.write(buf, 0, n); n = zis.read(buf) }
-          out(e.getName) = bos.toByteArray
-        }
-        e = zis.getNextEntry
-      }
-    } finally zis.close()
-    out.toMap
-  }
-
   /** Sheet directory of workbook.bin: (name, relId) in tab order. */
   private def parseBundle(wb: Array[Byte]): Seq[(String, String)] =
     records(wb).collect { case (BundleSh, p) =>
@@ -154,7 +135,7 @@ object Xlsb {
     * DataFrame, row 1 = header, missing cells '' — the same contract as
     * Xlsx.readWorkbook / Biff.readWorkbook. */
   def readWorkbook(spark: SparkSession, file: String): Seq[(String, DataFrame)] = {
-    val entries = readZipBytes(
+    val entries = Xlsx.readZipBytes(
       java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(file)))
     val sst = entries.get("xl/sharedStrings.bin").map(parseSst).getOrElse(Vector.empty)
     // the rels part is plain OOXML relationship XML even in .xlsb
@@ -256,15 +237,7 @@ object Xlsb {
             s"""<Relationship Id="rId${i + 1}" Type="http://schemas.microsoft.com/office/2006/relationships/xlBinaryWorksheet" Target="worksheets/sheet${i + 1}.bin"/>""").mkString +
           "</Relationships>").getBytes("UTF-8"))
       named.zipWithIndex.foreach { case ((_, df), i) =>
-        val header = df.columns.toSeq
-        val it = new Iterator[Seq[String]] {
-          private val rows = df.toLocalIterator()
-          def hasNext: Boolean = rows.hasNext
-          def next(): Seq[String] = {
-            val r = rows.next()
-            header.indices.map(j => Option(r.get(j)).map(_.toString).getOrElse(""))
-          }
-        }
+        val (header, it) = Xlsx.rowStrings(df)
         put(s"xl/worksheets/sheet${i + 1}.bin", sheetBytes(header, it))
       }
     } finally zos.close()

@@ -110,15 +110,7 @@ object Xlsx {
             s"""<Relationship Id="rId${i + 1}" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet${i + 1}.xml"/>""").mkString +
           "</Relationships>")
       named.zipWithIndex.foreach { case ((_, df), i) =>
-        val header = df.columns.toSeq
-        val it = new Iterator[Seq[String]] {
-          private val rows = df.toLocalIterator()
-          def hasNext: Boolean = rows.hasNext
-          def next(): Seq[String] = {
-            val r = rows.next()
-            header.indices.map(j => Option(r.get(j)).map(_.toString).getOrElse(""))
-          }
-        }
+        val (header, it) = rowStrings(df)
         zos.putNextEntry(new ZipEntry(s"xl/worksheets/sheet${i + 1}.xml"))
         val w = new java.io.BufferedWriter(
           new java.io.OutputStreamWriter(zos, "UTF-8"), 1 << 16)
@@ -164,9 +156,11 @@ object Xlsx {
     }
   }
 
-  private[xlsx] def readZip(bytes: Array[Byte]): Map[String, String] = {
+  /** All zip entries as raw bytes — the one entry walker shared by the
+    * OOXML (.xlsx) and BIFF12 (.xlsb) containers. */
+  private[xlsx] def readZipBytes(bytes: Array[Byte]): Map[String, Array[Byte]] = {
     val zis = new ZipInputStream(new ByteArrayInputStream(bytes))
-    val out = mutable.LinkedHashMap.empty[String, String]
+    val out = mutable.LinkedHashMap.empty[String, Array[Byte]]
     try {
       var e = zis.getNextEntry
       while (e != null) {
@@ -175,12 +169,31 @@ object Xlsx {
           val buf = new Array[Byte](8192)
           var n = zis.read(buf)
           while (n > 0) { bos.write(buf, 0, n); n = zis.read(buf) }
-          out(e.getName) = bos.toString("UTF-8")
+          out(e.getName) = bos.toByteArray
         }
         e = zis.getNextEntry
       }
     } finally zis.close()
     out.toMap
+  }
+
+  private[xlsx] def readZip(bytes: Array[Byte]): Map[String, String] =
+    readZipBytes(bytes).view.mapValues(new String(_, "UTF-8")).toMap
+
+  /** (header, rows-as-strings via toLocalIterator) — the one
+    * Row-stringify adapter shared by the three workbook writers, so
+    * their null/toString semantics stay provably identical. */
+  private[xlsx] def rowStrings(df: DataFrame): (Seq[String], Iterator[Seq[String]]) = {
+    val header = df.columns.toSeq
+    val it = new Iterator[Seq[String]] {
+      private val rows = df.toLocalIterator()
+      def hasNext: Boolean = rows.hasNext
+      def next(): Seq[String] = {
+        val r = rows.next()
+        header.indices.map(j => Option(r.get(j)).map(_.toString).getOrElse(""))
+      }
+    }
+    (header, it)
   }
 
   private def stax(xml: String) = {

@@ -47,7 +47,9 @@ object Xml {
     * a bounded consumer (the 1000-row schema probe, a preview head)
     * stops the StAX cursor at its last requested row instead of paying
     * a full-document parse. Content past the last consumed row —
-    * including a malformed tail — is never touched. */
+    * including a malformed tail — is never touched. The reader closes
+    * on exhaustion; an early-exited iterator holds only an in-memory
+    * StringReader (no OS handle), released by GC. */
   def parseRowsIter(xml: String, rowTag: String, flatten: Boolean = false,
       keep: Option[Set[String]] = None): Iterator[Map[String, String]] = {
     // `flatten`/`drop` etc. are Iterator methods — bind the params

@@ -132,17 +132,25 @@ class PdfSpec extends AnyFunSuite {
     val buf = new Array[Byte](8192)
     while (!deflater.finished()) out.write(buf, 0, deflater.deflate(buf))
     val flate = out.toByteArray
-    val sb = new java.io.ByteArrayOutputStream()
-    sb.write("%PDF-1.5\n".getBytes("ISO-8859-1"))
-    sb.write((s"8 0 obj << /Type /ObjStm /N ${inner.size} /First ${header.length} " +
-      s"/Filter /FlateDecode /DecodeParms << /Predictor 12 /Columns $columns >> " +
-      s"/Length ${flate.length} >> stream\n").getBytes("ISO-8859-1"))
-    sb.write(flate)
-    sb.write(("\nendstream endobj\nstartxref\n0\n%%EOF\n").getBytes("ISO-8859-1"))
-    val doc = sb.toByteArray
-    assert(Pdf.pageCount(doc) == 3)
-    assert(Pdf.pageCount(Pdf.extractPages(doc, Seq(2, 3))) == 2)
-    assert(Pdf.pageCount(Pdf.merge(Seq(doc, Pdf.makePdf(1)))) == 4)
+    // both legal DecodeParms shapes: inline dict and 1-element array
+    // (the array form is required when /Filter is itself an array)
+    def doc(parms: String): Array[Byte] = {
+      val sb = new java.io.ByteArrayOutputStream()
+      sb.write("%PDF-1.5\n".getBytes("ISO-8859-1"))
+      sb.write((s"8 0 obj << /Type /ObjStm /N ${inner.size} /First ${header.length} " +
+        s"/Filter /FlateDecode /DecodeParms $parms " +
+        s"/Length ${flate.length} >> stream\n").getBytes("ISO-8859-1"))
+      sb.write(flate)
+      sb.write(("\nendstream endobj\nstartxref\n0\n%%EOF\n").getBytes("ISO-8859-1"))
+      sb.toByteArray
+    }
+    Seq(s"<< /Predictor 12 /Columns $columns >>",
+        s"[<< /Predictor 12 /Columns $columns >>]").foreach { parms =>
+      val d = doc(parms)
+      assert(Pdf.pageCount(d) == 3, parms)
+      assert(Pdf.pageCount(Pdf.extractPages(d, Seq(2, 3))) == 2, parms)
+      assert(Pdf.pageCount(Pdf.merge(Seq(d, Pdf.makePdf(1)))) == 4, parms)
+    }
   }
 
   test("unpredict: TIFF predictor 2 and exact PNG filter inverses") {

@@ -80,6 +80,31 @@ class BiffSpec extends SparkSpec {
     assert(rows.head.toSeq == Seq("42.5", "cached!", "TRUE", ""))
   }
 
+  test("FORMULA cached string spanning a CONTINUE record decodes whole") {
+    def formulaRec(row: Int, col: Int): Array[Byte] =
+      Biff.rec(0x0006, Biff.w16(row) ++ Biff.w16(col) ++ Biff.w16(0) ++
+        Array[Byte](0, 0, 0, 0, 0, 0, 0xFF.toByte, 0xFF.toByte) ++
+        Biff.w16(0) ++ Biff.w32(0) ++ Biff.w16(0))
+    val head = "front-"
+    val tail = "continued"
+    // STRING declares the full cch but carries only the head; the
+    // CONTINUE restates the width byte and carries the rest.
+    val strPayload = Biff.w16(head.length + tail.length) ++ Array(0.toByte) ++
+      head.getBytes("ISO-8859-1")
+    val contPayload = Array(0.toByte) ++ tail.getBytes("ISO-8859-1")
+    val sheet = Biff.bof(0x0010) ++
+      Biff.labelCell(0, 0, "a") ++
+      formulaRec(1, 0) ++
+      Biff.rec(0x0207, strPayload) ++
+      Biff.rec(0x003C, contPayload) ++
+      Biff.rec(0x000A, Array.empty)
+    val f = java.nio.file.Files.createTempDirectory("biffstrc").resolve("c.xls").toString
+    java.nio.file.Files.write(java.nio.file.Paths.get(f),
+      Biff.cfbBytes(Biff.workbookStream(Seq("s" -> sheet))))
+    val rows = Biff.readWorkbook(spark, f).head._2.collect()
+    assert(rows.length == 1 && rows.head.getString(0) == "front-continued")
+  }
+
   test("SST strings spanning CONTINUE records (LABELSST path)") {
     // Two strings; the second's character data is split across the SST
     // record and a CONTINUE record, which restates the width byte.
