@@ -75,6 +75,32 @@ class PropertiesSpec extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
+  test("distributed XML sink round-trips arbitrary cells through readXml (K4 scale path)") {
+    // XML writer escapes &<>; the reader trims element text — mirror
+    // the trim in the expectation (reference S8 semantics).
+    val xmlCell: Gen[String] = Gen.oneOf(
+      Gen.alphaNumStr.map(_.take(10)),
+      Gen.oneOf("", "a<b&c", ">&<", "mid dle", "한글值"))
+    val rows3 = Gen.listOfN(6, Gen.zip(Gen.choose(1, 999999), xmlCell, xmlCell))
+    val prop = Prop.forAll(rows3) { rows =>
+      val distinctRows = rows.distinctBy(_._1)
+      distinctRows.nonEmpty ==> {
+        val df = distinctRows.map { case (k, a, b) => (k.toString, a, b) }
+          .toDF("k", "a", "b").repartition(2)
+        val dir = java.nio.file.Files.createTempDirectory("prop_xml").toString
+        graft.xml.Xml.writeXmlParts(df, dir)
+        val back = graft.xml.Xml.readXml(spark, dir, "row")
+          .orderBy(col("k").cast("int")).collect()
+          .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSeq
+        val expect = distinctRows.sortBy(_._1)
+          .map { case (k, a, b) => (k.toString, a.trim, b.trim) }
+        back == expect
+      }
+    }
+    val res = SCTest.check(params, prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("diff algebra: added+deleted+changed+same = |key union|; diff(x,x) is all-same") {
     val rowsGen = Gen.listOfN(12, Gen.zip(Gen.choose(1, 30), cellGen))
     val prop = Prop.forAll(rowsGen, rowsGen) { (ra, rb) =>
