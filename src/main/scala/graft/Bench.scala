@@ -44,6 +44,12 @@ object Bench {
         // Queries that persist intermediates (dedup, ANN) must not hold
         // cache into the next run's timing — every run starts cold.
         spark.catalog.clearCache()
+        // Heap isolation: without this, the GC/JIT churn a heavy query
+        // leaves behind lands on whichever small query runs next (the
+        // r5 bench showed sub-second queries breaching their gates
+        // right after the 15 s dedup block). One explicit collection
+        // between timed runs keeps min-of-N a steady-state estimate.
+        System.gc()
         if (ok) sec else -1.0
       }
       name -> (if (secs.contains(-1.0)) -1.0 else secs.min)

@@ -63,8 +63,14 @@ object Dedup {
         (1 until k).map(i => min(col(s"h$i")).as(s"m$i")): _*)
 
   /** LSH band keys: k columns split into `bands` bands of k/bands rows;
-    * band key = bandIndex + its min-hashes. Output (id, bk). */
+    * band key = bandIndex + its min-hashes. Output (id, bk).
+    * `bands` must divide `k` — otherwise the trailing k mod bands
+    * signature rows would silently drop out of every band key,
+    * weakening candidate recall with no error. */
   def lshBands(sigs: DataFrame, k: Int = 8, bands: Int = 4): DataFrame = {
+    require(k % bands == 0,
+      s"lshBands: bands=$bands must divide k=$k — otherwise the trailing " +
+        s"${k % bands} signature rows would be silently excluded from every band")
     val rows = k / bands
     val keys = (0 until bands).map { b =>
       concat_ws("_", lit(b) +: (0 until rows).map(r => col(s"m${b * rows + r}")): _*)
@@ -110,7 +116,15 @@ object Dedup {
   }
 
   /** MinHash-LSH near-duplicate pairs with verified Jaccard ≥ threshold
-    * (threshold compared on the scaled fixed-point value). */
+    * (threshold compared on the scaled fixed-point value).
+    *
+    * CACHE LIFECYCLE: the returned plan reads a shingle relation
+    * persisted inside this call (see below); it stays cached after the
+    * caller's action so repeated invocations in a long-lived session
+    * accumulate MEMORY_AND_DISK relations. Release it once the result
+    * is consumed — `spark.catalog.clearCache()` or
+    * `spark.sharedState.cacheManager.uncacheQuery` — the same contract
+    * [[dupClusters]] documents for its label relation. */
   def minhashDupPairs(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 8, bands: Int = 4, threshold: Double = 0.5,
       maxBucket: Long = 10000L): DataFrame = {
@@ -134,10 +148,17 @@ object Dedup {
     * one hop per iteration and the loop converges in graph-diameter
     * iterations — near-dup graphs are short chains in practice, and
     * `maxIter` caps pathological components. Each iteration persists
-    * its labels and releases the previous generation; the convergence
-    * check is one count per iteration. Output (id, cluster), persisted
-    * (the caller's consumption reuses the fixpoint result; release
-    * with unpersist/clearCache when done).
+    * its labels and releases the previous generation.
+    *
+    * One Spark action per iteration: the previous label rides through
+    * the propagation union as a null-padded `prev` column (min ignores
+    * nulls; each id has exactly one labels row, so min(prev) IS the
+    * previous label), and the convergence count filters the persisted
+    * result directly — materializing the new generation and measuring
+    * movement in the same job, with no second join against the old
+    * labels. Output (id, cluster), persisted (the caller's consumption
+    * reuses the fixpoint result; release with unpersist/clearCache
+    * when done).
     *
     * Fails loud if the fixpoint is not reached within `maxIter` —
     * silently returning split components would let near-duplicates
@@ -150,18 +171,24 @@ object Dedup {
     var labels = e.groupBy(col("x").as("id")).agg(min(col("y")).as("nmin"))
       .select(col("id"), least(col("id"), col("nmin")).as("cluster"))
       .persist(MEMORY_AND_DISK)
+    var handle = labels
     var changed = 1L
     var it = 0
     while (changed > 0 && it < maxIter) {
       val prop = e.join(labels.withColumnRenamed("id", "y2"), col("y") === col("y2"))
-        .select(col("x").as("id"), col("cluster"))
-      val next = labels.unionAll(prop)
-        .groupBy("id").agg(min(col("cluster")).as("cluster"))
+        .select(col("x").as("id"), col("cluster"),
+          lit(null).cast("long").as("prev"))
+      val next = labels.select(col("id"), col("cluster"), col("cluster").as("prev"))
+        .unionAll(prop)
+        .groupBy("id").agg(min(col("cluster")).as("cluster"), min(col("prev")).as("prev"))
         .persist(MEMORY_AND_DISK)
-      changed = next.join(labels.withColumnRenamed("cluster", "prev"), "id")
-        .filter(col("cluster") =!= col("prev")).count()
-      labels.unpersist(blocking = false)
-      labels = next
+      // Labels only decrease (the old label is in the union), so the
+      // count scans every partition — caching next — and counts movers
+      // in the same single action.
+      changed = next.filter(col("cluster") < col("prev")).count()
+      handle.unpersist(blocking = false)
+      handle = next
+      labels = next.select("id", "cluster")
       it += 1
     }
     e.unpersist(blocking = false)

@@ -30,14 +30,22 @@ object TextAnalysis {
     regexp_count(text, lit(s"\\b($words)\\b"))
   }
 
-  /** Arg-max language guess; ties resolve in profile order. */
-  def langGuess(text: Column): Column = {
-    val scores = langProfiles.map { case (l, _) => l -> langScore(text, l) }
+  /** Arg-max guess from precomputed score columns (one per language, in
+    * profile order); ties resolve in profile order. Prefer this over
+    * [[langGuess]] whenever the scores are already projected: the fold
+    * references up to n² score pairs, so feeding it attribute
+    * references instead of raw `regexp_count` trees guarantees each
+    * score is evaluated once per row regardless of how far codegen's
+    * subexpression elimination reaches. */
+  def langGuessFrom(scores: Seq[(String, Column)]): Column =
     scores.foldRight(lit(scores.last._1)) { case ((l, s), acc) =>
       val geAll = scores.map(_._2).map(s >= _).reduce(_ && _)
       when(geAll, lit(l)).otherwise(acc)
     }
-  }
+
+  /** Arg-max language guess; ties resolve in profile order. */
+  def langGuess(text: Column): Column =
+    langGuessFrom(langProfiles.map { case (l, _) => l -> langScore(text, l) })
 
   /** Whitespace token count. */
   def tokenCount(text: Column): Column = size(split(text, "\\s+"))

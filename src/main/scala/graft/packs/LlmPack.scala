@@ -16,13 +16,21 @@ object LlmPack extends QueryPack {
     Tables.load(s, dir, "embeddings")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Two-step projection: score each language ONCE in the lower
+    // select, then fold the guess over the projected attributes.
+    // CollapseProject keeps the projects separate (regexp_count is
+    // non-cheap and multiply-referenced), so the 4 regex scans run
+    // once per row instead of once per comparison arm.
     "text_lang_id" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"),
         TA.langScore(col("text"), "en").as("s_en"),
         TA.langScore(col("text"), "es").as("s_es"),
         TA.langScore(col("text"), "de").as("s_de"),
-        TA.langScore(col("text"), "fr").as("s_fr"),
-        TA.langGuess(col("text")).as("lang_guess"))
+        TA.langScore(col("text"), "fr").as("s_fr"))
+        .select(col("doc_id"), col("s_en"), col("s_es"), col("s_de"),
+          col("s_fr"),
+          TA.langGuessFrom(Seq("en" -> col("s_en"), "es" -> col("s_es"),
+            "de" -> col("s_de"), "fr" -> col("s_fr"))).as("lang_guess"))
         .orderBy("doc_id")),
     "text_quality" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"),

@@ -135,6 +135,26 @@ class LlmSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
   }
 
+  test("lshBands rejects bands that do not divide k (silent recall loss)") {
+    val sigs = Dedup.minhashSignatures(Dedup.shingles(docs, "id", "text"))
+    val ex = intercept[IllegalArgumentException](Dedup.lshBands(sigs, 8, 3))
+    assert(ex.getMessage.contains("must divide"))
+  }
+
+  test("langGuessFrom over projected scores matches langGuess") {
+    val df = Seq("the cat and the hat", "el perro y la casa de que",
+      "der hund ist und das", "le chat et les des une", "zzz qqq").toDF("text")
+    val projected = df.select(col("text") +:
+      TextAnalysis.langProfiles.map { case (l, _) =>
+        TextAnalysis.langScore(col("text"), l).as(s"s_$l") }: _*)
+      .select(TextAnalysis.langGuessFrom(
+        TextAnalysis.langProfiles.map { case (l, _) => l -> col(s"s_$l") }).as("g"))
+      .as[String].collect().toSeq
+    val direct = df.select(TextAnalysis.langGuess(col("text")).as("g"))
+      .as[String].collect().toSeq
+    assert(projected == direct)
+  }
+
   test("LSH bucket cap drops degenerate hot buckets (skew guard)") {
     // 3000 identical docs collapse into one band bucket per band — the
     // uncapped self-join would be ~4 * 3000^2 = 36M pairs. With the cap
