@@ -97,9 +97,17 @@ object Pdf {
   private[ops] def unpredict(data: Array[Byte], predictor: Int,
       columns: Int, colors: Int = 1, bpc: Int = 8): Array[Byte] = {
     if (predictor <= 1) return data
-    val bpp = math.max(1, colors * bpc / 8)
-    val stride = math.max(1, columns * colors * bpc / 8)
+    // Ceil, not floor ([PNG] 9. Filtering; [PDF 32000] 7.4.4.4): with
+    // bpc < 8 (e.g. Columns=10, BitsPerComponent=1) a floor stride
+    // mis-frames every row and decodes garbage with no error.
+    val bpp = math.max(1, (colors * bpc + 7) / 8)
+    val stride = math.max(1, (columns * colors * bpc + 7) / 8)
     if (predictor == 2) {
+      // TIFF differencing below 8 bpc operates on sub-byte samples —
+      // a byte-wise undo would silently decode garbage. Out of subset,
+      // reject loudly like the other defined-error paths.
+      if (bpc < 8) throw new IllegalArgumentException(
+        s"TIFF predictor with BitsPerComponent=$bpc unsupported (sub-byte samples)")
       val out = data.clone()
       for (r <- 0 until out.length / stride; i <- bpp until stride) {
         val o = r * stride + i
@@ -212,9 +220,26 @@ object Pdf {
     }
   }
 
+  private val encryptRe = """/Encrypt\s+\d+\s+\d+\s+R""".r
+
+  /** Encrypted-document probe: an encrypted PDF carries an `/Encrypt N
+    * G R` entry in its trailer dictionary (classic xref) or xref-stream
+    * dict ([PDF 32000] 7.6.1). Matched over the raw text — the entry
+    * only legally appears in those dicts, and page content rarely
+    * carries the literal uncompressed. */
+  def isEncrypted(bytes: Array[Byte]): Boolean =
+    hasPdfHeader(bytes) && encryptRe.findFirstIn(new String(bytes, "ISO-8859-1")).isDefined
+
   private def parse(bytes: Array[Byte]): CosDoc = {
     require(hasPdfHeader(bytes), "not a PDF (missing %PDF- header)")
     val text = new String(bytes, "ISO-8859-1")
+    // Defined error before the object scan: an encrypted file's strings
+    // and streams are ciphertext, so downstream failures would be
+    // confusing ("no /Catalog object") rather than actionable. The
+    // reference's pdf-lib path also refuses these unless
+    // ignoreEncryption is forced (pdf-tool/page.tsx:338,383).
+    if (encryptRe.findFirstIn(text).isDefined)
+      throw new IllegalArgumentException("encrypted PDF (/Encrypt) unsupported")
     val objects = mutable.LinkedHashMap.empty[Int, String]
     objRe.findAllMatchIn(text).foreach { m =>
       val body = m.group(2)
@@ -241,6 +266,22 @@ object Pdf {
   }
 
   def pageCount(bytes: Array[Byte]): Int = parse(bytes).pageNums.size
+
+  /** Reference catch-and-log semantics (pdf-tool/page.tsx:98-118 log
+    * utility, :140-176 add-flow rejects, :355/:441 operation catches):
+    * a batch over many files degrades to per-file defined error rows
+    * instead of failing wholesale. Size-0 and headerless inputs are
+    * rejected up front exactly like the add flow; operation-time
+    * failures (encrypted, malformed) become that file's error row.
+    * Output (name, ok, pages, error), driver-side like all document
+    * surgery — the distributed shape maps this over a binaryFile scan. */
+  def describeFiles(files: Seq[(String, Array[Byte])]): Seq[(String, Boolean, Option[Int], String)] =
+    files.map { case (name, bytes) =>
+      if (bytes.isEmpty) (name, false, None, "size 0B")
+      else if (!hasPdfHeader(bytes)) (name, false, None, "no %PDF- header")
+      else try (name, true, Some(pageCount(bytes)), "")
+      catch { case e: IllegalArgumentException => (name, false, None, e.getMessage) }
+    }
 
   /** Serialize a doc with a classic xref table. */
   private def serialize(objects: Seq[(Int, String)], rootNum: Int): Array[Byte] = {

@@ -120,6 +120,23 @@ object CoveragePack extends QueryPack {
         "nations" -> Tables.load(s, dir, "nation")).nonEmpty
       wb.names.map(n => (n, wb(n).count())).toDF("sheet", "n_rows").orderBy("sheet")
     }),
+    // S11 error semantics: a batch with a 0-byte file, a non-PDF, and
+    // an encrypted document degrades to defined per-file error rows
+    // (reference add-flow rejects + operation-time catch-and-log,
+    // pdf-tool/page.tsx:140-176, 98-118) — never an exception.
+    "pdf_error_rows" -> ((s, dir) => {
+      import s.implicits._
+      val encrypted = new String(Pdf.makePdf(2), "ISO-8859-1")
+        .replace("trailer\n<< ", "trailer\n<< /Encrypt 9 0 R ")
+        .getBytes("ISO-8859-1")
+      Pdf.describeFiles(Seq(
+        ("ok.pdf", Pdf.makePdf(3)),
+        ("empty.pdf", Array.empty[Byte]),
+        ("notes.txt", "just text".getBytes("UTF-8")),
+        ("secret.pdf", encrypted)))
+        .map { case (n, ok, pages, err) => (n, ok, pages.map(_.toLong), err) }
+        .toDF("name", "ok", "n_pages", "error").orderBy("name")
+    }),
     // O3: user-defined row order via an explicit sequence column.
     "user_order" -> ((s, dir) => {
       import s.implicits._
@@ -166,6 +183,13 @@ object CoveragePack extends QueryPack {
          |  ('a.csv', CAST(${contentA.getBytes("UTF-8").length} AS BIGINT)),
          |  ('b.txt', CAST(${contentB.getBytes("UTF-8").length} AS BIGINT)))
          |  AS t(name, length) ORDER BY name""".stripMargin,
+    "pdf_error_rows" ->
+      """SELECT * FROM (VALUES
+        |  ('empty.pdf', false, CAST(NULL AS BIGINT), 'size 0B'),
+        |  ('notes.txt', false, CAST(NULL AS BIGINT), 'no %PDF- header'),
+        |  ('ok.pdf', true, CAST(3 AS BIGINT), ''),
+        |  ('secret.pdf', false, CAST(NULL AS BIGINT), 'encrypted PDF (/Encrypt) unsupported'))
+        |  AS t(name, ok, n_pages, error) ORDER BY name""".stripMargin,
     "user_order" ->
       """SELECT ord, c_custkey, c_name FROM customer
         |JOIN (VALUES (3, 1), (1, 2), (5, 3), (2, 4), (4, 5)) AS t(k, ord)

@@ -129,6 +129,15 @@ object LlmPack extends QueryPack {
     "multimodal_decode" -> ((s, dir) =>
       Multimodal.decode(Multimodal.fromText(docs(s, dir), "doc_id", "text"))
         .orderBy("media_id")),
+    // Frame sampling: explode-per-frame over byte windows of the binary
+    // column — the plan shape a video pipeline samples frames with.
+    // Hex the binary frame for the oracle (documents text is ASCII, so
+    // DuckDB's char substring mirrors the byte window exactly).
+    "multimodal_frames" -> ((s, dir) =>
+      Multimodal.sampleFrames(
+          Multimodal.fromText(docs(s, dir), "doc_id", "text"))
+        .select(col("media_id"), col("frame_no"), hex(col("frame")).as("frame_hex"))
+        .orderBy("media_id", "frame_no")),
   )
 
   // ---- DuckDB mirrors -------------------------------------------------
@@ -364,5 +373,13 @@ object LlmPack extends QueryPack {
         |  CAST(16 + (octet_length(encode(text)) * 31) % 480 AS INT) AS height,
         |  md5(text) AS sig
         |FROM documents ORDER BY media_id""".stripMargin,
+    "multimodal_frames" ->
+      """WITH n AS (SELECT doc_id AS media_id, text,
+        |    GREATEST(octet_length(encode(text)) // 64, 1) AS nf FROM documents),
+        |f AS (SELECT media_id, CAST(i - 1 AS INT) AS frame_no,
+        |    hex(encode(substring(text, CAST((i-1)*64+1 AS INT), 16))) AS frame_hex
+        |  FROM n, unnest(generate_series(1, nf)) AS t(i))
+        |SELECT media_id, frame_no, frame_hex FROM f
+        |ORDER BY media_id, frame_no""".stripMargin,
   )
 }

@@ -25,9 +25,20 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Xlsb {
 
-  private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xFF
-  private def i32(b: Array[Byte], i: Int): Int =
+  /** All payload reads are bounds-guarded: a truncated or corrupt
+    * `.xlsb` must fail with the module's defined error (like the
+    * `.xlsx`/`.xls` paths), never a raw ArrayIndexOutOfBoundsException. */
+  private def malformed(what: String): Nothing =
+    throw new IllegalArgumentException(s"malformed .xlsb record: $what")
+
+  private def u8(b: Array[Byte], i: Int): Int = {
+    if (i < 0 || i >= b.length) malformed(s"read at $i past end (${b.length} bytes)")
+    b(i) & 0xFF
+  }
+  private def i32(b: Array[Byte], i: Int): Int = {
+    if (i < 0 || i + 4 > b.length) malformed(s"int32 at $i past end (${b.length} bytes)")
     u8(b, i) | (u8(b, i + 1) << 8) | (u8(b, i + 2) << 16) | (u8(b, i + 3) << 24)
+  }
 
   // Record ids ([MS-XLSB] 2.3 record enumeration)
   private val RowHdr = 0
@@ -70,7 +81,9 @@ object Xlsb {
           len |= (v & 0x7F) << shift; shift += 7
           more = (v & 0x80) != 0 && shift < 28
         }
-        val payload = java.util.Arrays.copyOfRange(b, off, math.min(off + len, b.length))
+        if (len < 0 || off + len > b.length)
+          malformed(s"declared length $len at offset $off exceeds part size ${b.length}")
+        val payload = java.util.Arrays.copyOfRange(b, off, off + len)
         off += len
         (id, payload)
       }
@@ -80,6 +93,8 @@ object Xlsb {
     * Returns (value, bytes consumed). */
   private def wideString(b: Array[Byte], off: Int): (String, Int) = {
     val cch = i32(b, off)
+    if (cch < 0 || off + 4 + cch * 2L > b.length)
+      malformed(s"string of $cch chars at $off exceeds payload (${b.length} bytes)")
     (new String(b, off + 4, cch * 2, "UTF-16LE"), 4 + cch * 2)
   }
 
@@ -218,11 +233,19 @@ object Xlsb {
       zos.putNextEntry(new ZipEntry(name)); zos.write(content); zos.closeEntry()
     }
     try {
+      // Per-part Override content types (what Excel itself writes): the
+      // workbook part carries the binary-workbook main type and each
+      // worksheet part the binary-worksheet type — one Default mapping
+      // every .bin to the workbook type misidentifies the sheets to
+      // content-type-aware consumers.
       put("[Content_Types].xml",
         ("""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
           """<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">""" +
           """<Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/>""" +
           """<Default Extension="bin" ContentType="application/vnd.ms-excel.sheet.binary.macroEnabled.main"/>""" +
+          """<Override PartName="/xl/workbook.bin" ContentType="application/vnd.ms-excel.sheet.binary.macroEnabled.main"/>""" +
+          named.indices.map(i =>
+            s"""<Override PartName="/xl/worksheets/sheet${i + 1}.bin" ContentType="application/vnd.ms-excel.worksheet"/>""").mkString +
           "</Types>").getBytes("UTF-8"))
       put("_rels/.rels",
         ("""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +

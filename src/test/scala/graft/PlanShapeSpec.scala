@@ -103,4 +103,15 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("HashAggregate"), p)
     assert(!p.contains("SortMergeJoin") && !p.contains("Window"), p)
   }
+
+  test("dedup_minhash reads the shingle relation from cache — InMemoryTableScan in the plan") {
+    // The r3 regression (shingle scan recomputed by all four consumers,
+    // tripling the heaviest bench query) must never silently return:
+    // the persisted shingle relation has to appear as an in-memory scan
+    // in the executed plan.
+    try {
+      val p = plan("dedup_minhash")
+      assert(p.contains("InMemoryTableScan"), p)
+    } finally spark.catalog.clearCache()
+  }
 }

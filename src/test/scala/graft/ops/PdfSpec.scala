@@ -163,6 +163,19 @@ class PdfSpec extends AnyFunSuite {
     assert(Pdf.unpredict(up, 12, 1).toSeq == Seq[Byte](0xFE.toByte, 2).toSeq)
   }
 
+  test("unpredict: sub-byte bpc uses ceil row stride; TIFF sub-byte rejected") {
+    // Columns=10, 1 bit/component → stride = ceil(10/8) = 2 bytes
+    // (floor = 1 would misframe every row). Rows: None then Up.
+    val png = Array[Byte](0, 0xAA.toByte, 0x80.toByte, 2, 0x0F, 0x40)
+    assert(Pdf.unpredict(png, 15, 10, 1, 1).toSeq ==
+      Seq[Byte](0xAA.toByte, 0x80.toByte, 0xB9.toByte, 0xC0.toByte).toSeq)
+    // TIFF differencing on sub-byte samples is out of subset: loud error,
+    // not a byte-wise decode of garbage.
+    val ex = intercept[IllegalArgumentException](
+      Pdf.unpredict(Array[Byte](1, 2), 2, 10, 1, 1))
+    assert(ex.getMessage.contains("BitsPerComponent"))
+  }
+
   test("part naming (K9)") {
     assert(Pdf.partName("doc", 1) == "doc_part001.pdf")
     assert(Pdf.partName("doc", 12) == "doc_part012.pdf")
@@ -170,5 +183,24 @@ class PdfSpec extends AnyFunSuite {
 
   test("non-PDF input fails fast") {
     intercept[IllegalArgumentException](Pdf.pageCount("nope".getBytes))
+  }
+
+  test("encrypted PDF: defined error + catch-and-log error row, not an exception") {
+    val encrypted = new String(Pdf.makePdf(2), "ISO-8859-1")
+      .replace("trailer\n<< ", "trailer\n<< /Encrypt 9 0 R ")
+      .getBytes("ISO-8859-1")
+    assert(Pdf.isEncrypted(encrypted))
+    assert(!Pdf.isEncrypted(Pdf.makePdf(2)))
+    val ex = intercept[IllegalArgumentException](Pdf.pageCount(encrypted))
+    assert(ex.getMessage.contains("encrypted PDF"))
+    // The batch flow degrades to the reference's error-row semantics.
+    val rows = Pdf.describeFiles(Seq(
+      ("secret.pdf", encrypted), ("ok.pdf", Pdf.makePdf(1)),
+      ("empty.pdf", Array.empty[Byte]), ("x.txt", "hi".getBytes)))
+    assert(rows == Seq(
+      ("secret.pdf", false, None, "encrypted PDF (/Encrypt) unsupported"),
+      ("ok.pdf", true, Some(1), ""),
+      ("empty.pdf", false, None, "size 0B"),
+      ("x.txt", false, None, "no %PDF- header")))
   }
 }

@@ -58,6 +58,31 @@ class XlsbSpec extends SparkSpec {
     assert(rows.head.toSeq == Seq("12.5", "2.75", "TRUE", "shared2", "7"))
   }
 
+  test("truncated/corrupt .xlsb fails with the defined malformed-record error") {
+    // Chop a valid workbook part mid-record: the reader must raise the
+    // module's defined error, never a raw ArrayIndexOutOfBoundsException.
+    val wb = Xlsb.workbookBin(Seq("sheet_with_a_name"))
+    val truncated = wb.take(wb.length - 7)
+    val f = java.nio.file.Files.createTempDirectory("xlsbtrunc").resolve("wb.xlsb").toString
+    val zos = new java.util.zip.ZipOutputStream(new java.io.FileOutputStream(f))
+    zos.putNextEntry(new java.util.zip.ZipEntry("xl/workbook.bin")); zos.write(truncated); zos.closeEntry()
+    zos.close()
+    val ex = intercept[IllegalArgumentException](Xlsb.readWorkbook(spark, f))
+    assert(ex.getMessage.contains("malformed .xlsb record"))
+  }
+
+  test("written [Content_Types].xml carries per-part Overrides (workbook + sheets)") {
+    val df = Seq(("1", "a")).toDF("id", "v")
+    val f = java.nio.file.Files.createTempDirectory("xlsbct").resolve("wb.xlsb").toString
+    Xlsb.writeWorkbook(Seq("s1" -> df, "s2" -> df), f)
+    val entries = Xlsx.readZipBytes(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(f)))
+    val ct = new String(entries("[Content_Types].xml"), "UTF-8")
+    assert(ct.contains("""PartName="/xl/workbook.bin""""))
+    assert(ct.contains("""PartName="/xl/worksheets/sheet1.bin" ContentType="application/vnd.ms-excel.worksheet""""))
+    assert(ct.contains("""PartName="/xl/worksheets/sheet2.bin""""))
+  }
+
   test("two-byte record ids and multi-byte lengths frame correctly") {
     // id 156 (BundleSh) needs two id bytes; a >127-byte payload needs a
     // two-byte length. Round-trip through the writer's framing.
