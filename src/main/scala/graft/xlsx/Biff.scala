@@ -16,7 +16,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * string via the trailing STRING record; boolean from the special
   * encoding) — the formula expression itself is not evaluated,
   * matching the reference's xlsx-lib behavior of surfacing cached
-  * values (compare/page.tsx:110-124). Rich-text runs are skipped.
+  * values (compare/page.tsx:110-124). Rich-text cells surface their
+  * TEXT content (SST strings with formatting runs, and inline RSTRING
+  * records); only the run formatting itself is dropped, matching the
+  * reference's plain-value reads.
   * Writer emits inline LABEL cells only (no SST), one sheet per
   * DataFrame, via toLocalIterator.
   *
@@ -286,7 +289,10 @@ object Biff {
               else { cells += ((row, c, acc.toString)); null }
           case 0x00FD => // LABELSST
             cells += ((u16(b, 0), u16(b, 2), sst.lift(i32(b, 6)).getOrElse("")))
-          case 0x0204 => // LABEL (inline BIFF8 string, 2-byte cch)
+          case 0x0204 | 0x00D6 => // LABEL / RSTRING (2-byte cch; RSTRING
+            // carries trailing rich-text runs after the chars — the text
+            // content is surfaced, the formatting runs ignored, matching
+            // the reference xlsx-lib's plain-value reads)
             val cch = u16(b, 6); val grbit = u8(b, 8)
             val v = if ((grbit & 1) != 0) new String(b, 9, cch * 2, "UTF-16LE")
               else new String(b, 9, cch, "ISO-8859-1")

@@ -135,6 +135,36 @@ class BiffSpec extends SparkSpec {
     assert(df.collect().map(_.getString(0)).toSeq == Seq("long-tail"))
   }
 
+  test("rich-text cells surface text content: inline RSTRING and rich SST strings") {
+    // RSTRING (0x00D6): same layout as LABEL but with trailing
+    // formatting runs (cRuns word + 4 bytes/run) after the chars —
+    // the text decodes, the runs are ignored.
+    val rsText = "styled"
+    val rstring = Biff.rec(0x00D6, Biff.w16(1) ++ Biff.w16(0) ++ Biff.w16(0) ++
+      Biff.w16(rsText.length) ++ Array(0.toByte) ++ rsText.getBytes("ISO-8859-1") ++
+      Biff.w16(2) ++ Biff.w16(0) ++ Biff.w16(5) ++ Biff.w16(3) ++ Biff.w16(7))
+    // Rich SST string (grbit bit 0x08): cch, grbit, cRuns, chars, runs.
+    val richText = "richsst"
+    val sstPayload = Biff.w32(1) ++ Biff.w32(1) ++
+      (Biff.w16(richText.length) ++ Array(0x08.toByte) ++ Biff.w16(1) ++
+        richText.getBytes("ISO-8859-1") ++ Biff.w16(0) ++ Biff.w16(4))
+    val lsst = Biff.rec(0x00FD, Biff.w16(1) ++ Biff.w16(1) ++ Biff.w16(0) ++ Biff.w32(0))
+    val sheet = Biff.bof(0x0010) ++
+      Biff.labelCell(0, 0, "a") ++ Biff.labelCell(0, 1, "b") ++
+      rstring ++ lsst ++
+      Biff.rec(0x000A, Array.empty)
+    val boundsheetLen = Biff.boundsheet(0, "s").length
+    val globalsSize = Biff.bof(0x0005).length + boundsheetLen +
+      Biff.rec(0x00FC, sstPayload).length + Biff.rec(0x000A, Array.empty).length
+    val stream = Biff.bof(0x0005) ++ Biff.boundsheet(globalsSize, "s") ++
+      Biff.rec(0x00FC, sstPayload) ++ Biff.rec(0x000A, Array.empty) ++ sheet
+    val f = java.nio.file.Files.createTempDirectory("biffrs").resolve("r.xls").toString
+    java.nio.file.Files.write(java.nio.file.Paths.get(f), Biff.cfbBytes(stream))
+    val rows = Biff.readWorkbook(spark, f).head._2.collect()
+    assert(rows.length == 1)
+    assert(rows.head.toSeq == Seq("styled", "richsst"))
+  }
+
   test("streams beyond the header DIFAT capacity round-trip (chained DIFAT sectors)") {
     // ~11 MB of label cells → >109 FAT sectors → the header's DIFAT
     // overflows into chained DIFAT sectors, which the reader follows.
