@@ -52,9 +52,17 @@ object FormatsPack extends QueryPack {
       sheets("customer").orderBy("c_name")
     }),
     // P4 legacy path: .xls (BIFF8-in-CFB) write → dispatcher read.
+    // BIFF8 caps sheets at 65536 rows (16-bit row index) and the writer
+    // fails loud beyond it, so the round-trip bounds its slice to the
+    // format's domain with a deterministic key filter — a no-op at the
+    // gate scales (sf0.01/sf0.1 customer keys all ≤ 60000), a bound at
+    // sf1+ where the full table exceeds what ANY .xls file can hold.
     "xls_roundtrip" -> ((s, dir) => {
       val file = scratchFile("workbook.xls")
-      graft.xlsx.Biff.writeWorkbook(Seq("customer" -> custSlice(s, dir)), file)
+      val slice = Tables.load(s, dir, "customer")
+        .filter(col("c_custkey") <= 60000)
+        .select(col("c_custkey").cast("string"), col("c_name"), col("c_mktsegment"))
+      graft.xlsx.Biff.writeWorkbook(Seq("customer" -> slice), file)
       graft.xlsx.Xlsx.readAnyWorkbook(s, file).toMap.apply("customer").orderBy("c_name")
     }),
     // F4+F5 writer branch: a column whose name fails the XML name rule
@@ -139,7 +147,7 @@ object FormatsPack extends QueryPack {
         |FROM customer ORDER BY c_name""".stripMargin,
     "xls_roundtrip" ->
       """SELECT CAST(c_custkey AS VARCHAR) AS c_custkey, c_name, c_mktsegment
-        |FROM customer ORDER BY c_name""".stripMargin,
+        |FROM customer WHERE c_custkey <= 60000 ORDER BY c_name""".stripMargin,
     "xlsb_roundtrip" ->
       """SELECT CAST(c_custkey AS VARCHAR) AS c_custkey, c_name, c_mktsegment
         |FROM customer ORDER BY c_name""".stripMargin,

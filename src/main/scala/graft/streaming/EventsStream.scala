@@ -81,15 +81,23 @@ object EventsStream {
 
   /** File-source stream over a directory of parquet events. Handles
     * the fixture's TIMESTAMP(NANOS) parquet the same way Tables.load
-    * does (nanos-as-long + integer µs truncation). */
+    * does (nanos-as-long + integer µs truncation), type-gated by a
+    * one-off batch schema probe so standard µs-timestamp parquet (any
+    * real deployment) streams through the same entry unchanged —
+    * readStream needs the schema declared up front, so the gate cannot
+    * live inside the plan. */
   private def readEvents(spark: SparkSession, inputDir: String,
       maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val tsIsLong = spark.read.parquet(inputDir).schema("ts").dataType ==
+      org.apache.spark.sql.types.LongType
+    val tsDdl = if (tsIsLong) "ts LONG" else "ts TIMESTAMP_NTZ"
     val reader = spark.readStream
-      .schema("event_id LONG, ts LONG, user_id LONG, event_type STRING, value DOUBLE, props STRING")
+      .schema(s"event_id LONG, $tsDdl, user_id LONG, event_type STRING, value DOUBLE, props STRING")
     maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
-    reader.parquet(inputDir)
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val raw = reader.parquet(inputDir)
+    if (tsIsLong) raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    else raw.withColumn("ts", col("ts").cast("timestamp"))
   }
 
   /** The deployable entry: file source → watermarked hourly aggregate →
@@ -128,16 +136,26 @@ object EventsStream {
     val in = base.resolve("in"); Files.createDirectories(in)
     Files.copy(Paths.get(s"$sfDir/events.parquet"), in.resolve("events.parquet"))
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val maxNanos = spark.read.parquet(s"$sfDir/events.parquet")
-      .agg(max(col("ts").cast("long"))).head.getLong(0)
-    val hourNs = 3600L * 1000 * 1000 * 1000
+    val probe = spark.read.parquet(s"$sfDir/events.parquet")
+    val tsIsLong = probe.schema("ts").dataType ==
+      org.apache.spark.sql.types.LongType
+    // Max event time in µs regardless of physical layout (long nanos in
+    // the driver fixture; µs timestamp in regenerated/real data) — the
+    // sentinels are written in the SAME layout so the one declared
+    // stream schema reads fixture and sentinel files alike.
+    val maxMicros =
+      if (tsIsLong) probe.agg(max(expr("ts DIV 1000"))).head.getLong(0)
+      else probe.agg(max(unix_micros(col("ts").cast("timestamp")))).head.getLong(0)
+    val hourUs = 3600L * 1000 * 1000
     Seq(1, 2).foreach { i =>
       val stage = base.resolve(s"stage$i")
-      spark.createDataFrame(
-        java.util.List.of(org.apache.spark.sql.Row(
-          -i.toLong, maxNanos + 3 * i * hourNs, -1L, "sentinel", 0.0, "")),
-        org.apache.spark.sql.types.StructType.fromDDL(
-          "event_id LONG, ts LONG, user_id LONG, event_type STRING, value DOUBLE, props STRING"))
+      val sentUs = maxMicros + 3L * i * hourUs
+      spark.range(1).select(
+        lit(-i.toLong).as("event_id"),
+        (if (tsIsLong) lit(sentUs * 1000L)
+         else timestamp_micros(lit(sentUs)).cast("timestamp_ntz")).as("ts"),
+        lit(-1L).as("user_id"), lit("sentinel").as("event_type"),
+        lit(0.0).as("value"), lit("").as("props"))
         .coalesce(1).write.parquet(stage.toString)
       val listing = Files.list(stage)
       val part = try listing.filter(_.getFileName.toString.endsWith(".parquet")).findFirst.get
