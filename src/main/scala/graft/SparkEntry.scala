@@ -21,6 +21,7 @@ object SparkEntry {
     PatternsPack,
     DedupPack,
     LlmPack,
+    CurationPack,
     FormatsPack,
     PolicyPack,
     ExtrasPack,

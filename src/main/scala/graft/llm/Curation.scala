@@ -1,0 +1,87 @@
+package graft.llm
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators a large-scale training-data pipeline runs
+  * between dedup and tokenization: per-domain caps, sequence packing,
+  * and benchmark-contamination checks. The reference has no analogue
+  * (its pipeline stops at workbook compare/mask); these extend the
+  * LLM-pipeline stack (SURVEY §2 extensions) in the same oracle-gated
+  * style as Dedup/TextAnalysis.
+  *
+  * Scale notes are per-operator; the common theme is that nothing here
+  * sorts globally — every window is keyed by a shard column (source /
+  * domain), so partitions stay bounded by shard size, not corpus size.
+  */
+object Curation {
+
+  /** Keep at most `k` rows per key, ranked by `ord` (ties broken by the
+    * caller folding a unique id into `ord`). The crawl-curation cap:
+    * "at most k documents per domain, best first".
+    *
+    * Two-phase so a hot key (a domain with 10^8 pages at 100 TB) never
+    * lands in one window partition's sort:
+    * phase 1 ranks within (key, salt) — `salt` buckets keyed by
+    * `saltOn` (any roughly-uniform column, e.g. the doc id) —
+    * and keeps each bucket's top k, shrinking a hot key to `salt × k`
+    * rows; phase 2 ranks the survivors per key. Any row in the true
+    * global top-k of its key is also in the top-k of its salt bucket
+    * (rank only shrinks when rows are removed), so the two-phase result
+    * is exactly the single-window result — at ~2× the shuffle of the
+    * naive window but 1/salt'th the peak partition. */
+  def topKPerKey(df: DataFrame, keyCol: String, ord: Seq[org.apache.spark.sql.Column],
+      saltOn: org.apache.spark.sql.Column, k: Int, salt: Int = 16): DataFrame = {
+    require(k > 0 && salt > 0, s"topKPerKey: k=$k and salt=$salt must be positive")
+    val bucketed = df.withColumn("_salt", pmod(hash(saltOn), lit(salt)))
+    val partial = bucketed
+      .withColumn("_prk", row_number().over(
+        Window.partitionBy(col(keyCol), col("_salt")).orderBy(ord: _*)))
+      .filter(col("_prk") <= k)
+      .drop("_salt", "_prk")
+    partial
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col(keyCol)).orderBy(ord: _*)))
+      .filter(col("rk") <= k)
+  }
+
+  /** Concat-and-chunk sequence packing: the standard pretraining shape
+    * (documents concatenate in a deterministic shard order; a document
+    * belongs to the sequence its first token lands in). Output adds
+    * `n_tok` (whitespace tokens) and `seq` (0-based sequence index
+    * within the shard).
+    *
+    * Packing is per-shard (`shardCol`) on purpose — real pipelines pack
+    * within a shard/file, never globally, precisely so the running sum
+    * is a partition-local window: shuffle by shard, sort by `orderCol`
+    * within it, one pass. A global pack would serialize the corpus
+    * through one task. */
+  def packSequences(docs: DataFrame, shardCol: String, orderCol: String,
+      textCol: String, budget: Int): DataFrame = {
+    require(budget > 0, s"packSequences: budget=$budget must be positive")
+    val w = Window.partitionBy(shardCol).orderBy(orderCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .withColumn("n_tok", size(split(col(textCol), "\\s+")))
+      .withColumn("seq", ((sum(col("n_tok")).over(w) - col("n_tok")) / budget)
+        .cast("long"))
+  }
+
+  /** Benchmark-contamination check: corpus documents sharing ≥1 word
+    * n-gram with the eval set, with the overlap count. Inputs are
+    * (id, text) projections; output (id, n_overlap) for hits only.
+    *
+    * The eval side is DISTINCT shingles of the (small) benchmark suite —
+    * broadcast it: at 100 TB the corpus side never shuffles, each task
+    * streams its shingles against the in-memory eval set. The shingle
+    * scan itself is the codegen'd word_shingles kernel shared with
+    * MinHash. */
+  def contaminatedDocs(corpus: DataFrame, eval: DataFrame): DataFrame = {
+    val corpusSh = Dedup.shingles(corpus, "id", "text")
+    val evalSh = Dedup.shingles(eval, "id", "text")
+      .select(col("sh")).distinct()
+    corpusSh.join(broadcast(evalSh), "sh")
+      .groupBy("id").agg(count(lit(1)).as("n_overlap"))
+  }
+}

@@ -1,0 +1,80 @@
+package graft.packs
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.QueryPack
+import graft.core.Tables
+import graft.llm.Curation
+
+/** Oracle-checked queries for the corpus-curation operators
+  * (llm/Curation.scala): per-domain caps, sequence packing, and
+  * benchmark-contamination checks over the documents fixture. */
+object CurationPack extends QueryPack {
+
+  private val CAP = 10        // docs kept per source
+  private val SALT = 4        // salt buckets in the two-phase top-k
+  private val BUDGET = 512    // tokens per packed sequence
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Crawl-style per-domain cap: keep the CAP longest docs per source
+    // (ties → smallest doc_id), via the two-phase salted top-k so a hot
+    // domain never concentrates in one window partition.
+    "curation_domain_cap" -> ((s, dir) =>
+      Curation.topKPerKey(
+          docs(s, dir).select(col("source"), col("doc_id"), col("n_chars")),
+          "source", Seq(col("n_chars").desc, col("doc_id")),
+          saltOn = col("doc_id"), k = CAP, salt = SALT)
+        .select(col("source"), col("doc_id"), col("n_chars"), col("rk").cast("long"))
+        .orderBy("source", "rk")),
+    // Concat-and-chunk packing within each source shard: a doc belongs
+    // to the sequence its first token lands in.
+    "curation_pack_sequences" -> ((s, dir) =>
+      Curation.packSequences(
+          docs(s, dir).select(col("source"), col("doc_id"), col("text")),
+          "source", "doc_id", "text", BUDGET)
+        .select(col("source"), col("doc_id"), col("n_tok").cast("long"), col("seq"))
+        .orderBy("source", "doc_id")),
+    // Contamination: docs sharing any 3-gram shingle with the "eval
+    // suite" (every 97th doc), eval side broadcast.
+    "curation_contamination" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id").as("id"), col("text"))
+      val eval = d.filter(col("id") % 97 === 0)
+      val corpus = d.filter(col("id") % 97 =!= 0)
+      Curation.contaminatedDocs(corpus, eval).orderBy("id")
+    }),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "curation_domain_cap" ->
+      s"""WITH ranked AS (SELECT source, doc_id, n_chars,
+         |  row_number() OVER (PARTITION BY source
+         |    ORDER BY n_chars DESC, doc_id) AS rk
+         |  FROM documents)
+         |SELECT source, doc_id, n_chars, rk FROM ranked WHERE rk <= $CAP
+         |ORDER BY source, rk""".stripMargin,
+    "curation_pack_sequences" ->
+      s"""WITH toks AS (SELECT source, doc_id,
+         |    len(string_split_regex(text, '\\s+')) AS n_tok FROM documents),
+         |packed AS (SELECT source, doc_id, n_tok,
+         |  sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+         |    ROWS UNBOUNDED PRECEDING) AS cum
+         |  FROM toks)
+         |SELECT source, doc_id, n_tok,
+         |  CAST(FLOOR((cum - n_tok) / $BUDGET.0) AS BIGINT) AS seq
+         |FROM packed ORDER BY source, doc_id""".stripMargin,
+    "curation_contamination" ->
+      """WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, unnest(
+        |  CASE WHEN len(w) >= 3
+        |  THEN list_transform(generate_series(1, len(w) - 2), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+        |  ELSE [array_to_string(w, ' ')] END) AS sh FROM words),
+        |ev AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 97 = 0)
+        |SELECT s.doc_id AS id, count(*) AS n_overlap
+        |FROM sh s JOIN ev ON s.sh = ev.sh
+        |WHERE s.doc_id % 97 <> 0
+        |GROUP BY s.doc_id ORDER BY id""".stripMargin,
+  )
+}
