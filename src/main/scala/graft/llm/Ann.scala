@@ -197,6 +197,24 @@ object Ann {
       .filter(col("cos_x1e4") >= threshold4)
   }
 
+  /** Measured IVF recall against the exact baseline from ONE corpus
+    * scan: the bucket assignment persists and serves as both the IVF
+    * candidate source and the brute-force corpus (it already carries
+    * the embedding column), so the recall measurement costs one
+    * assignment pass instead of rebuilding the corpus subtree for each
+    * side. Same cache contract as [[embeddingDupPairs]]: the
+    * assignment relation stays cached after the caller's action —
+    * release with unpersist/clearCache once consumed. */
+  def ivfRecall(queries: DataFrame, corpus: DataFrame, centroids: DataFrame,
+      k: Int = 10, nprobe: Int = 2): DataFrame = {
+    val cass = assignBuckets(corpus, centroids)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val probes = broadcast(probeBuckets(queries, centroids, nprobe))
+    val ivf = rankTopK(probes.join(cass, Seq("bucket")), k)
+    val brute = cosineTopK(queries, cass.select(col("vec_id"), col("ce")), k)
+    recallVsBrute(ivf, brute, k)
+  }
+
   /** Per-query recall of `approx` against `exact` (both shaped
     * (qid, vec_id, ..., rank), rank ≤ k). Output
     * (qid, n_hits, recall_x1e4). */

@@ -127,7 +127,25 @@ object Dedup {
     * [[dupClusters]] documents for its label relation. */
   def minhashDupPairs(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 8, bands: Int = 4, threshold: Double = 0.5,
-      maxBucket: Long = 10000L): DataFrame = {
+      maxBucket: Long = 10000L): DataFrame =
+    buildMinhashDupPairs(docs, idCol, textCol, k, bands, threshold, maxBucket)._1
+
+  /** Leak-free entry point: runs `use` over the dup-pair result, then
+    * RELEASES the internal shingle cache before returning — for
+    * long-lived sessions that would otherwise accumulate a
+    * MEMORY_AND_DISK relation per invocation. The DataFrame handed to
+    * `use` reads the cached relation, so every action on it must
+    * happen inside the callback; the plan must not escape. */
+  def withMinhashDupPairs[T](docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, bands: Int = 4, threshold: Double = 0.5,
+      maxBucket: Long = 10000L)(use: DataFrame => T): T = {
+    val (pairs, sh) = buildMinhashDupPairs(docs, idCol, textCol, k, bands, threshold, maxBucket)
+    try use(pairs)
+    finally sh.unpersist(blocking = true)
+  }
+
+  private def buildMinhashDupPairs(docs: DataFrame, idCol: String, textCol: String,
+      k: Int, bands: Int, threshold: Double, maxBucket: Long): (DataFrame, DataFrame) = {
     // The shingle scan (split+explode+distinct — the most expensive
     // subtree) feeds the signature aggregate AND three derivations
     // inside jaccard (sizes, sa, sb). The persist materializes it once
@@ -136,7 +154,7 @@ object Dedup {
     val sh = shingles(docs, idCol, textCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cand = lshCandidates(lshBands(minhashSignatures(sh, k), k, bands), maxBucket)
-    jaccard(cand, sh).filter(col("jacc_x1e4") >= (threshold * 10000).toLong)
+    (jaccard(cand, sh).filter(col("jacc_x1e4") >= (threshold * 10000).toLong), sh)
   }
 
   /** Resolve duplicate PAIRS into clusters: connected components with

@@ -45,6 +45,27 @@ object CurationPack extends QueryPack {
       val corpus = d.filter(col("id") % 97 =!= 0)
       Curation.contaminatedDocs(corpus, eval).orderBy("id")
     }),
+    // The stages composed end-to-end — dup pairs → cluster resolution →
+    // keeper filter → per-domain cap → sequence packing — proving the
+    // pipeline chains without re-shaping between operators. Each stage
+    // keeps its standalone plan (the cluster fixpoint's persisted
+    // labels feed an anti-join; the cap and packing windows are both
+    // shard-keyed); composing adds no new exchanges beyond them.
+    "llm_pipeline_full" -> ((s, dir) => {
+      import graft.llm.Dedup
+      val d = docs(s, dir)
+      val pairs = d.select(col("doc_id").as("a"), (col("doc_id") + 1).as("b"))
+        .filter(col("a") % 10 < 3)
+      val kept = Dedup.keepAfterDedup(d, "doc_id", Dedup.dupClusters(pairs))
+      val capped = Curation.topKPerKey(
+          kept.select(col("source"), col("doc_id"), col("n_chars"), col("text")),
+          "source", Seq(col("n_chars").desc, col("doc_id")),
+          saltOn = col("doc_id"), k = CAP, salt = SALT)
+        .select(col("source"), col("doc_id"), col("text"))
+      Curation.packSequences(capped, "source", "doc_id", "text", BUDGET)
+        .select(col("source"), col("doc_id"), col("n_tok").cast("long"), col("seq"))
+        .orderBy("source", "doc_id")
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -76,5 +97,29 @@ object CurationPack extends QueryPack {
         |FROM sh s JOIN ev ON s.sh = ev.sh
         |WHERE s.doc_id % 97 <> 0
         |GROUP BY s.doc_id ORDER BY id""".stripMargin,
+    "llm_pipeline_full" ->
+      s"""WITH RECURSIVE pairs AS (
+         |  SELECT doc_id AS a, doc_id + 1 AS b FROM documents WHERE doc_id % 10 < 3),
+         |edges AS (SELECT a AS x, b AS y FROM pairs UNION SELECT b, a FROM pairs),
+         |reach(x, y) AS (
+         |  SELECT x, y FROM edges
+         |  UNION
+         |  SELECT r.x, e.y FROM reach r JOIN edges e ON r.y = e.x),
+         |labels AS (SELECT x AS id, LEAST(x, MIN(y)) AS cluster FROM reach GROUP BY x),
+         |kept AS (SELECT source, doc_id, n_chars, text FROM documents
+         |  WHERE doc_id NOT IN (SELECT id FROM labels WHERE id <> cluster)),
+         |ranked AS (SELECT source, doc_id, n_chars, text,
+         |  row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rk
+         |  FROM kept),
+         |capped AS (SELECT source, doc_id, text FROM ranked WHERE rk <= $CAP),
+         |toks AS (SELECT source, doc_id,
+         |  len(string_split_regex(text, '\\s+')) AS n_tok FROM capped),
+         |packed AS (SELECT source, doc_id, n_tok,
+         |  sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+         |    ROWS UNBOUNDED PRECEDING) AS cum
+         |  FROM toks)
+         |SELECT source, doc_id, n_tok,
+         |  CAST(FLOOR((cum - n_tok) / $BUDGET.0) AS BIGINT) AS seq
+         |FROM packed ORDER BY source, doc_id""".stripMargin,
   )
 }

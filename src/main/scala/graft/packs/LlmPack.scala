@@ -82,16 +82,17 @@ object LlmPack extends QueryPack {
         .select("qid", "vec_id", "cos_x1e4", "rank").orderBy("qid", "rank")
     }),
     // Measured IVF recall vs the exact baseline over 20 queries —
-    // the honest quality gate for the approximate path.
+    // the honest quality gate for the approximate path. Ann.ivfRecall
+    // shares ONE persisted bucket assignment between the IVF side and
+    // the brute baseline (it doubles as the brute corpus), so the
+    // query costs one assignment pass, not two corpus rebuilds.
     "ann_ivf_recall" -> ((s, dir) => {
       val e = emb(s, dir)
       val c = e.select(col("vec_id"), col("embedding").as("ce"))
       val cent = Ann.ivfCentroids(c, NC, LLOYD)
       val q = e.filter(col("vec_id") < 20)
         .select(col("vec_id").as("qid"), col("embedding").as("qe"))
-      val ivf = Ann.ivfTopK(q, c, cent, TOPK, NPROBE)
-      val brute = Ann.cosineTopK(q, c, TOPK)
-      Ann.recallVsBrute(ivf, brute, TOPK).orderBy("qid")
+      Ann.ivfRecall(q, c, cent, TOPK, NPROBE).orderBy("qid")
     }),
     // Embedding-cosine near-dup: the corpus doubles with exact-copy
     // vectors (known positives at cos=1.0); the self-join is

@@ -167,9 +167,23 @@ object EventsStream {
         java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() + i * 10000L))
     }
     val out = base.resolve("out").toString
-    val q = runToFiles(spark, in.toString, base.resolve("ckpt").toString, out,
-      maxFilesPerTrigger = Some(1))
-    try q.processAllAvailable() finally q.stop()
+    // State-store partitioning: the windowed agg keys on (hour, type) —
+    // O(hundreds) of groups at ANY data scale (cardinality grows with
+    // the time span, not the row count) — so inheriting the session's
+    // shuffle partitioning (32 in the bench) makes every micro-batch
+    // commit 32 near-empty state-store deltas + 32 sink files of pure
+    // fixed overhead. Pin the stream to 4 state partitions; a real
+    // deployment sizes this to key cardinality × ingest rate, and the
+    // checkpoint locks it for the query's lifetime either way.
+    // (restored only after the query stops — micro-batch 0 plans
+    // asynchronously after start(), so an early restore would race it)
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try {
+      val q = runToFiles(spark, in.toString, base.resolve("ckpt").toString, out,
+        maxFilesPerTrigger = Some(1))
+      try q.processAllAvailable() finally q.stop()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
     // the staged input (a full copy of the events fixture), sentinel
     // scratch and checkpoint are dead once the query stops — only the
     // sink parquet (read lazily below) survives. Repeated gate/bench

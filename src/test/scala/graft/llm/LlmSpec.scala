@@ -27,6 +27,19 @@ class LlmSpec extends SparkSpec {
     assert(!pairs.exists(p => p._2 == 3)) // dissimilar doc not paired
   }
 
+  test("withMinhashDupPairs releases the shingle cache after consumption") {
+    spark.catalog.clearCache() // isolate: no pre-existing cached relations
+    val (found, cachedDuring) = Dedup.withMinhashDupPairs(docs, "id", "text",
+      threshold = 0.3) { pairs =>
+      (pairs.collect().exists(r => r.getLong(0) == 1 && r.getLong(1) == 2),
+        !spark.sharedState.cacheManager.isEmpty)
+    }
+    assert(found, "dup pair must still surface through the callback path")
+    assert(cachedDuring, "the shingle relation must be cached while the callback runs")
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "the shingle relation must be unpersisted after withMinhashDupPairs returns")
+  }
+
   test("shingles: n-gram construction and short-doc fallback") {
     val sh = Dedup.shingles(Seq((1L, "a b c d")).toDF("id", "text"), "id", "text")
       .select("sh").as[String].collect().toSet
