@@ -60,10 +60,22 @@ object Ann {
   def cosScaled(a: String, b: String): Column =
     graft.functions.F.scale4(dotExpr(a, b) / sqrt(dotExpr(a, a) * dotExpr(b, b)))
 
+  /** Cosine from PRECOMPUTED per-side self-dots: scale4(dot(a,b) /
+    * sqrt(a2*b2)) — the exact IEEE op sequence of [[cosScaled]] (the
+    * self-dot is a pure per-row function, so hoisting it into a
+    * projection changes nothing bit-wise), but each side's self-dot is
+    * computed once per ROW instead of once per candidate PAIR. At
+    * Σ bucket² / |q|·|corpus| pair counts this removes 2 of the 3
+    * array dots from every hot loop in this file. */
+  private def cosScaledPre(a: String, b: String, a2: Column, b2: Column): Column =
+    graft.functions.F.scale4(dotExpr(a, b) / sqrt(a2 * b2))
+
   /** queries(qid, qe) × corpus(vec_id, ce) → top-k by cosine. */
   def cosineTopK(queries: DataFrame, corpus: DataFrame, k: Int = 10): DataFrame = {
-    val q = broadcast(queries.select(col("qid"), col("qe")))
-    val joined = q.crossJoin(corpus.select(col("vec_id"), col("ce")))
+    val q = broadcast(queries.select(col("qid"), col("qe"),
+      dotExpr("qe", "qe").as("qe2")))
+    val joined = q.crossJoin(corpus.select(col("vec_id"), col("ce"),
+      dotExpr("ce", "ce").as("ce2")))
     rankTopK(joined, k)
   }
 
@@ -93,11 +105,15 @@ object Ann {
     * embedding column joins back by key afterwards. Highest cosine
     * wins, ties to the smallest cid. Output (vec_id, ce, bucket). */
   def assignBuckets(corpus: DataFrame, centroids: DataFrame): DataFrame = {
-    val slim = corpus.select(col("vec_id"), col("ce"))
+    val slim = corpus.select(col("vec_id"), col("ce"),
+      dotExpr("ce", "ce").as("ce2"))
+    val cents = centroids.select(col("cid"), col("cemb"),
+      dotExpr("cemb", "cemb").as("cemb2"))
     val buckets = slim
-      .crossJoin(broadcast(centroids))
+      .crossJoin(broadcast(cents))
       .select(col("vec_id"),
-        ((lit(20000L) - cosScaled("ce", "cemb")) * 65536L + col("cid")).as("p"))
+        ((lit(20000L) - cosScaledPre("ce", "cemb", col("ce2"), col("cemb2")))
+          * 65536L + col("cid")).as("p"))
       .groupBy("vec_id").agg(min(col("p")).as("p"))
       .select(col("vec_id"), (col("p") % 65536L).cast("int").as("bucket"))
     slim.join(buckets, Seq("vec_id"))
@@ -107,19 +123,24 @@ object Ann {
     * component-wise mean of its members. Sums run in integer
     * fixed-point (exact, order-independent); the final division is one
     * IEEE double op, identical everywhere. Buckets that lose all
-    * members disappear (their vectors reassign next step). */
-  def lloydStep(corpus: DataFrame, centroids: DataFrame): DataFrame =
+    * members disappear (their vectors reassign next step).
+    *
+    * The component sums run as ONE wide hash aggregate — `dim` sum
+    * columns over `element_at` — instead of posexplode + groupBy
+    * (bucket, pos): same values (integer sums commute), but the shuffle
+    * carries |buckets| rows of partial sums rather than N×dim exploded
+    * rows, and the second collect_list aggregate disappears. */
+  def lloydStep(corpus: DataFrame, centroids: DataFrame, dim: Int): DataFrame =
     assignBuckets(corpus, centroids)
-      .select(col("bucket"), posexplode(col("ce")).as(Seq("pos", "v")))
-      .select(col("bucket"), col("pos"),
-        floor(col("v").cast("double") * 1000000d).cast("long").as("fx"))
-      .groupBy("bucket", "pos")
-      .agg(sum(col("fx")).as("s"), count(lit(1)).as("n"))
-      .select(col("bucket"), col("pos"),
-        (col("s").cast("double") / (col("n") * 1000000L).cast("double")).as("m"))
       .groupBy("bucket")
-      .agg(expr("transform(array_sort(collect_list(struct(pos, m))), x -> x.m)").as("cemb"))
-      .select(col("bucket").as("cid"), col("cemb"))
+      .agg(count(lit(1)).as("n"),
+        (0 until dim).map(p =>
+          sum(floor(element_at(col("ce"), p + 1).cast("double") * 1000000d)
+            .cast("long")).as(s"s$p")): _*)
+      .select(col("bucket").as("cid"),
+        array((0 until dim).map(p =>
+          col(s"s$p").cast("double") / (col("n") * 1000000L).cast("double")): _*)
+          .as("cemb"))
 
   /** Full index build: seeded init + `iters` Lloyd refinements. The
     * result materializes to the driver and returns as a local
@@ -136,8 +157,12 @@ object Ann {
     // materialize once, refine from cache, release.
     val cached = corpus.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
+      // Bounded 1-row probe for the embedding dimensionality (the
+      // schema types it array<float> without a length) — lloydStep
+      // builds one sum column per component.
+      val dim = cached.select(size(col("ce")).as("d")).head.getInt(0)
       val built = (0 until iters).foldLeft(seedCentroids(cached, n, seed))(
-        (cent, _) => lloydStep(cached, cent))
+        (cent, _) => lloydStep(cached, cent, dim))
       corpus.sparkSession.createDataFrame(
         java.util.Arrays.asList(built.collect(): _*), built.schema)
     } finally cached.unpersist(blocking = false)
@@ -147,12 +172,15 @@ object Ann {
     * (qid-partitioned window over |centroids| rows per query).
     * Output (qid, qe, bucket). */
   def probeBuckets(queries: DataFrame, centroids: DataFrame, nprobe: Int): DataFrame = {
-    val scored = queries.select(col("qid"), col("qe"))
-      .crossJoin(broadcast(centroids))
-      .select(col("qid"), col("qe"), col("cid"), cosScaled("qe", "cemb").as("c"))
+    val cents = centroids.select(col("cid"), col("cemb"),
+      dotExpr("cemb", "cemb").as("cemb2"))
+    val scored = queries.select(col("qid"), col("qe"), dotExpr("qe", "qe").as("qe2"))
+      .crossJoin(broadcast(cents))
+      .select(col("qid"), col("qe"), col("qe2"), col("cid"),
+        cosScaledPre("qe", "cemb", col("qe2"), col("cemb2")).as("c"))
     val w = Window.partitionBy("qid").orderBy(desc("c"), asc("cid"))
     scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= nprobe)
-      .select(col("qid"), col("qe"), col("cid").as("bucket"))
+      .select(col("qid"), col("qe"), col("qe2"), col("cid").as("bucket"))
   }
 
   /** IVF search: assign corpus buckets, probe nprobe buckets per
@@ -164,9 +192,12 @@ object Ann {
     rankTopK(probes.join(cass, Seq("bucket")), k)
   }
 
+  /** Expects qe2/ce2 (the per-side self-dots) already projected onto
+    * `joined` — see [[cosScaledPre]] for why this is value-identical
+    * to the inline cosine. */
   private def rankTopK(joined: DataFrame, k: Int): DataFrame = {
     val scored = joined.select(col("qid"), col("vec_id"),
-      cosScaled("qe", "ce").as("cos_x1e4"))
+      cosScaledPre("qe", "ce", col("qe2"), col("ce2")).as("cos_x1e4"))
     val w = Window.partitionBy("qid").orderBy(desc("cos_x1e4"), asc("vec_id"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
@@ -183,11 +214,13 @@ object Ann {
     // Norms precompute once per vector (narrow map), so each candidate
     // pair costs ONE dot product, not three — at Σ bucket² pairs the
     // per-pair cost is the whole game. sqrt is taken per side (not
-    // sqrt(na²·nb²)) so the oracle can mirror the exact IEEE ops.
+    // sqrt(na²·nb²)) so the oracle can mirror the exact IEEE ops; the
+    // self-dot under it reuses the assignment's ce2 column (same value,
+    // computed once).
     // The assignment persists across the self-join — without it the
     // whole assignment subtree computes twice (once per join side).
     val assigned = assignBuckets(corpus, centroids)
-      .withColumn("nrm", sqrt(dotExpr("ce", "ce")))
+      .withColumn("nrm", sqrt(col("ce2")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val x = assigned.as("x"); val y = assigned.as("y")
     x.join(y, col("x.bucket") === col("y.bucket") && col("x.vec_id") < col("y.vec_id"))
