@@ -136,6 +136,7 @@ object Xlsb {
         case CellBool | FmlaBool =>
           cells += ((row, col, if (u8(p, 8) != 0) "TRUE" else "FALSE"))
         case CellReal | FmlaNum =>
+          if (p.length < 16) malformed(s"xnum cell payload of ${p.length} bytes (needs 16)")
           val bits = (0 until 8).map(i => (p(8 + i).toLong & 0xFF) << (8 * i)).sum
           cells += ((row, col, Biff.numToString(java.lang.Double.longBitsToDouble(bits))))
         case CellSt | FmlaString => cells += ((row, col, wideString(p, 8)._1))
