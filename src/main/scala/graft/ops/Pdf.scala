@@ -220,7 +220,7 @@ object Pdf {
     }
   }
 
-  private val encryptRe = """/Encrypt\s+\d+\s+\d+\s+R""".r
+  private val encryptRe = """/Encrypt\s+(\d+)\s+\d+\s+R""".r
 
   /** Encrypted-document probe: an encrypted PDF carries an `/Encrypt N
     * G R` entry in its trailer dictionary (classic xref) or xref-stream
@@ -230,22 +230,97 @@ object Pdf {
   def isEncrypted(bytes: Array[Byte]): Boolean =
     hasPdfHeader(bytes) && encryptRe.findFirstIn(new String(bytes, "ISO-8859-1")).isDefined
 
+  private val streamTokenRe = """stream\r?\n""".r
+  private def setLength(dictPart: String, len: Int): String =
+    """/Length\s+\d+""".r.replaceAllIn(dictPart, s"/Length $len")
+
+  /** Rewrite every `N 0 obj ... endobj` body through `f` (encryption
+    * integration point; everything outside object bodies — header,
+    * xref, trailer — passes through untouched). */
+  private[ops] def transformObjects(text: String, f: (Int, String) => String): String =
+    objRe.replaceAllIn(text, m => scala.util.matching.Regex.quoteReplacement(
+      s"${m.group(1)} 0 obj${f(m.group(1).toInt, m.group(2))}endobj"))
+
+  /** Apply `fStream` to an object's stream payload (direct /Length
+    * framing; [PDF 32000] 7.3.8) and `fString` to every literal or hex
+    * string outside it, re-emitting strings in hex form. The per-object
+    * crypt transforms of the standard security handler act exactly on
+    * these two lexical classes. */
+  private[ops] def transformStreamsAndStrings(body: String,
+      fStream: Array[Byte] => Array[Byte],
+      fString: Array[Byte] => Array[Byte]): String =
+    streamTokenRe.findFirstMatchIn(body) match {
+      case None => transformStrings(body, fString)
+      case Some(m) =>
+        val dataStart = m.end
+        val dataEnd = dictInt(body.substring(0, m.start), "/Length") match {
+          case Some(len) if dataStart + len <= body.length => dataStart + len
+          case Some(len) => throw new IllegalArgumentException(
+            s"stream /Length $len overruns object body (${body.length - dataStart} bytes left)")
+          case None => throw new IllegalArgumentException(
+            "stream without direct /Length unsupported in crypt transform")
+        }
+        val out = fStream(body.substring(dataStart, dataEnd).getBytes("ISO-8859-1"))
+        val pre = setLength(transformStrings(body.substring(0, m.start), fString), out.length)
+        val post = body.substring(dataEnd).dropWhile(c => c == '\r' || c == '\n')
+        pre + "stream\n" + new String(out, "ISO-8859-1") + "\n" + post
+    }
+
+  private def transformStrings(s: String, f: Array[Byte] => Array[Byte]): String = {
+    def hexOf(b: Array[Byte]) = "<" + b.map(x => f"${x & 0xFF}%02x").mkString + ">"
+    val sb = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      s.charAt(i) match {
+        case '(' =>
+          val (bytes, next) = PdfCrypt.readLiteralString(s, i)
+          sb.append(hexOf(f(bytes))); i = next
+        case '<' if i + 1 < s.length && s.charAt(i + 1) == '<' =>
+          sb.append("<<"); i += 2
+        case '<' =>
+          val end = s.indexOf('>', i)
+          require(end >= 0, "unterminated hex string")
+          val hx = s.substring(i + 1, end).filterNot(_.isWhitespace)
+          val padded = if (hx.length % 2 == 1) hx + "0" else hx
+          sb.append(hexOf(f(padded.grouped(2)
+            .map(h => Integer.parseInt(h, 16).toByte).toArray)))
+          i = end + 1
+        case c => sb.append(c); i += 1
+      }
+    }
+    sb.result()
+  }
+
   private def parse(bytes: Array[Byte]): CosDoc = {
     require(hasPdfHeader(bytes), "not a PDF (missing %PDF- header)")
-    val text = new String(bytes, "ISO-8859-1")
-    // Defined error before the object scan: an encrypted file's strings
-    // and streams are ciphertext, so downstream failures would be
-    // confusing ("no /Catalog object") rather than actionable. The
-    // reference's pdf-lib path also refuses these unless
-    // ignoreEncryption is forced (pdf-tool/page.tsx:338,383).
-    if (encryptRe.findFirstIn(text).isDefined)
-      throw new IllegalArgumentException("encrypted PDF (/Encrypt) unsupported")
+    var text = new String(bytes, "ISO-8859-1")
+    // Encrypted documents decrypt up front (standard security handler,
+    // empty user password — PdfCrypt scaladoc; the reference instead
+    // forces pdf-lib's ignoreEncryption and operates on ciphertext,
+    // pdf-tool/page.tsx:338,383). After this block the text is
+    // plaintext and every downstream pass is oblivious to encryption;
+    // outputs serialize without /Encrypt. Unsupported schemes and
+    // non-empty user passwords raise defined errors.
+    val encNum = encryptRe.findFirstMatchIn(text).map(_.group(1).toInt)
+    encNum.foreach { num =>
+      val body = s"""(?s)(?<![0-9])$num\\s+0\\s+obj(.*?)endobj""".r
+        .findFirstMatchIn(text).map(_.group(1)).getOrElse(
+          throw new IllegalArgumentException("encrypted PDF: /Encrypt dictionary not found"))
+      val id0 = """/ID\s*\[\s*""".r.findFirstMatchIn(text)
+        .map(m => PdfCrypt.readStringAt(text, m.end)._1).getOrElse(Array.empty[Byte])
+      val h = PdfCrypt.forDocument(body, id0)
+      text = transformObjects(text, (n, b) =>
+        if (n == num) b
+        else transformStreamsAndStrings(b, d => h.decrypt(n, 0, d), s => h.decrypt(n, 0, s)))
+    }
     val objects = mutable.LinkedHashMap.empty[Int, String]
     objRe.findAllMatchIn(text).foreach { m =>
       val body = m.group(2)
       // container/bookkeeping streams are expanded (ObjStm) or ignored
-      // (XRef) rather than carried as opaque objects
-      if ("""/Type\s*/(ObjStm|XRef)""".r.findFirstIn(body).isEmpty)
+      // (XRef) rather than carried as opaque objects; a decrypted
+      // /Encrypt dict is bookkeeping too
+      if ("""/Type\s*/(ObjStm|XRef)""".r.findFirstIn(body).isEmpty &&
+          !encNum.contains(m.group(1).toInt))
         objects(m.group(1).toInt) = body
     }
     expandObjectStreams(text, objects)
@@ -304,13 +379,24 @@ object Pdf {
     sb.result().getBytes("ISO-8859-1")
   }
 
-  /** Generate a minimal n-page PDF (test fixture + writer baseline). */
-  def makePdf(nPages: Int): Array[Byte] = {
+  /** Generate a minimal n-page PDF (test fixture + writer baseline).
+    * `withContent` adds a /Contents stream and a catalog string so the
+    * crypt transforms have both lexical classes to act on. */
+  def makePdf(nPages: Int, withContent: Boolean = false): Array[Byte] = {
     val pageNums = (0 until nPages).map(3 + _)
+    val contentNums = pageNums.map(_ + nPages)
+    val catalogTag = if (withContent) " /GraftTag (fixture) " else ""
     val objs = Seq(
-      1 -> " << /Type /Catalog /Pages 2 0 R >> ",
+      1 -> s" << /Type /Catalog /Pages 2 0 R$catalogTag>> ",
       2 -> s" << /Type /Pages /Kids [${pageNums.map(n => s"$n 0 R").mkString(" ")}] /Count $nPages >> ") ++
-      pageNums.map(n => n -> s" << /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] >> ")
+      pageNums.zipWithIndex.map { case (n, i) =>
+        val contents = if (withContent) s" /Contents ${contentNums(i)} 0 R" else ""
+        n -> s" << /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792]$contents >> "
+      } ++
+      (if (withContent) contentNums.zipWithIndex.map { case (n, i) =>
+        val cs = s"BT /F1 12 Tf 72 720 Td (Page ${i + 1}) Tj ET"
+        n -> s" << /Length ${cs.length} >> stream\n$cs\nendstream "
+      } else Nil)
     serialize(objs, 1)
   }
 

@@ -5,7 +5,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.QueryPack
 import graft.core.{Tables, Workbook}
-import graft.ops.{Compare, Pdf}
+import graft.ops.{Compare, Pdf, PdfCrypt}
 
 /** Oracle gates for the §2 rows previously covered only by unit specs:
   * S13 whole-text read, K6/K9 zip-container sink + naming, J5/K7/S11
@@ -121,19 +121,40 @@ object CoveragePack extends QueryPack {
       wb.names.map(n => (n, wb(n).count())).toDF("sheet", "n_rows").orderBy("sheet")
     }),
     // S11 error semantics: a batch with a 0-byte file, a non-PDF, and
-    // an encrypted document degrades to defined per-file error rows
-    // (reference add-flow rejects + operation-time catch-and-log,
-    // pdf-tool/page.tsx:140-176, 98-118) — never an exception.
+    // a malformed-encryption document degrades to defined per-file
+    // error rows (reference add-flow rejects + operation-time
+    // catch-and-log, pdf-tool/page.tsx:140-176, 98-118) — never an
+    // exception.
     "pdf_error_rows" -> ((s, dir) => {
       import s.implicits._
-      val encrypted = new String(Pdf.makePdf(2), "ISO-8859-1")
+      val bogusEncrypt = new String(Pdf.makePdf(2), "ISO-8859-1")
         .replace("trailer\n<< ", "trailer\n<< /Encrypt 9 0 R ")
         .getBytes("ISO-8859-1")
       Pdf.describeFiles(Seq(
         ("ok.pdf", Pdf.makePdf(3)),
         ("empty.pdf", Array.empty[Byte]),
         ("notes.txt", "just text".getBytes("UTF-8")),
-        ("secret.pdf", encrypted)))
+        ("secret.pdf", bogusEncrypt)))
+        .map { case (n, ok, pages, err) => (n, ok, pages.map(_.toLong), err) }
+        .toDF("name", "ok", "n_pages", "error").orderBy("name")
+    }),
+    // S11 encrypted-document support (standard security handler, empty
+    // user password — PdfCrypt): RC4-128 and AES-128 documents parse
+    // and decrypt (page counts work; merge/split output plaintext),
+    // a password-protected file and an unsupported /V degrade to
+    // defined error rows. The reference merely force-loads ciphertext
+    // via pdf-lib ignoreEncryption (pdf-tool/page.tsx:338,383).
+    "pdf_encrypted_pages" -> ((s, dir) => {
+      import s.implicits._
+      val rc4Doc = PdfCrypt.encrypt(Pdf.makePdf(4, withContent = true))
+      val aesDoc = PdfCrypt.encrypt(Pdf.makePdf(2, withContent = true), aes128 = true)
+      val pwDoc = PdfCrypt.encrypt(Pdf.makePdf(3), userPw = "secret")
+      val merged = Pdf.merge(Seq(rc4Doc, aesDoc))
+      Pdf.describeFiles(Seq(
+        ("rc4.pdf", rc4Doc),
+        ("aes128.pdf", aesDoc),
+        ("locked.pdf", pwDoc),
+        ("merged_plain.pdf", merged)))
         .map { case (n, ok, pages, err) => (n, ok, pages.map(_.toLong), err) }
         .toDF("name", "ok", "n_pages", "error").orderBy("name")
     }),
@@ -188,7 +209,15 @@ object CoveragePack extends QueryPack {
         |  ('empty.pdf', false, CAST(NULL AS BIGINT), 'size 0B'),
         |  ('notes.txt', false, CAST(NULL AS BIGINT), 'no %PDF- header'),
         |  ('ok.pdf', true, CAST(3 AS BIGINT), ''),
-        |  ('secret.pdf', false, CAST(NULL AS BIGINT), 'encrypted PDF (/Encrypt) unsupported'))
+        |  ('secret.pdf', false, CAST(NULL AS BIGINT), 'encrypted PDF: /Encrypt dictionary not found'))
+        |  AS t(name, ok, n_pages, error) ORDER BY name""".stripMargin,
+    "pdf_encrypted_pages" ->
+      """SELECT * FROM (VALUES
+        |  ('aes128.pdf', true, CAST(2 AS BIGINT), ''),
+        |  ('locked.pdf', false, CAST(NULL AS BIGINT),
+        |   'password-protected PDF (non-empty user password) unsupported'),
+        |  ('merged_plain.pdf', true, CAST(6 AS BIGINT), ''),
+        |  ('rc4.pdf', true, CAST(4 AS BIGINT), ''))
         |  AS t(name, ok, n_pages, error) ORDER BY name""".stripMargin,
     "user_order" ->
       """SELECT ord, c_custkey, c_name FROM customer

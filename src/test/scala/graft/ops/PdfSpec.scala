@@ -198,7 +198,7 @@ class PdfSpec extends AnyFunSuite {
       ("secret.pdf", encrypted), ("ok.pdf", Pdf.makePdf(1)),
       ("empty.pdf", Array.empty[Byte]), ("x.txt", "hi".getBytes)))
     assert(rows == Seq(
-      ("secret.pdf", false, None, "encrypted PDF (/Encrypt) unsupported"),
+      ("secret.pdf", false, None, "encrypted PDF: /Encrypt dictionary not found"),
       ("ok.pdf", true, Some(1), ""),
       ("empty.pdf", false, None, "size 0B"),
       ("x.txt", false, None, "no %PDF- header")))
