@@ -8,11 +8,20 @@ import org.apache.spark.sql.types._
   * columns with typed metadata, processed batch-at-a-time via
   * mapPartitions (the JVM analogue of arrow-batched pandas UDFs).
   *
-  * The decode step is STUBBED (no media libraries in this build): the
-  * "decoder" derives deterministic fake metadata from the bytes. The
-  * Spark-side contract — schema, binary column handling, per-partition
-  * batching, frame sampling by byte ranges — is real and tested; swap
-  * `fakeDecode` for a real codec binding at deployment.
+  * The decode step is REAL for the formats the JDK ships codecs or
+  * public container specs for — no external libraries:
+  *  - images (PNG/JPEG/GIF/BMP): `javax.imageio.ImageIO` full decode,
+  *    width × height from the decoded raster;
+  *  - audio (WAV/AIFF/AU): `javax.sound.sampled.AudioSystem` header
+  *    decode, duration from frame count / frame rate;
+  *  - video (MP4/ISO-BMFF): a hand-rolled box walker ([ISO 14496-12]:
+  *    size+type framing, `moov > mvhd` timescale/duration,
+  *    `moov > trak > tkhd` 16.16 fixed-point width/height). Frame
+  *    PIXEL decode stays out of scope (no video codec in the JDK);
+  *    frame sampling below operates on byte windows.
+  * Unrecognized bytes take the deterministic `raw` fallback (metadata
+  * derived from the bytes) so heterogeneous batches never throw —
+  * the reference-shaped catch-and-degrade contract.
   */
 object Multimodal {
 
@@ -24,9 +33,11 @@ object Multimodal {
   val decodedSchema: StructType = StructType(Seq(
     StructField("media_id", LongType, nullable = false),
     StructField("kind", StringType, nullable = true),
+    StructField("fmt", StringType, nullable = false),
     StructField("n_bytes", IntegerType, nullable = false),
     StructField("width", IntegerType, nullable = false),
     StructField("height", IntegerType, nullable = false),
+    StructField("duration_ms", LongType, nullable = true),
     StructField("sig", StringType, nullable = false)))
 
   /** Wrap a string column as a media table (test harness for the
@@ -37,24 +48,95 @@ object Multimodal {
       when(col(idCol) % 3 === 0, "image")
         .when(col(idCol) % 3 === 1, "audio").otherwise("video").as("kind"))
 
-  /** STUB decoder: deterministic fake metadata from the raw bytes.
-    * A real build replaces the body with a codec call; the partition
-    * iteration, null handling and output schema stay identical. */
-  def fakeDecode(content: Array[Byte]): (Int, Int, Int, String) = {
-    val n = content.length
-    val digest = java.security.MessageDigest.getInstance("MD5").digest(content)
-    val hex = digest.map("%02x".format(_)).mkString
-    (n, 16 + math.floorMod(n, 640), 16 + math.floorMod(n * 31, 480), hex)
+  /** Container sniff by magic bytes. */
+  def sniff(b: Array[Byte]): String =
+    if (b.length >= 8 && (b(0) & 0xFF) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G') "png"
+    else if (b.length >= 2 && (b(0) & 0xFF) == 0xFF && (b(1) & 0xFF) == 0xD8) "jpeg"
+    else if (b.length >= 6 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F') "gif"
+    else if (b.length >= 2 && b(0) == 'B' && b(1) == 'M') "bmp"
+    else if (b.length >= 12 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+      b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E') "wav"
+    else if (b.length >= 12 && b(4) == 'f' && b(5) == 't' && b(6) == 'y' && b(7) == 'p') "mp4"
+    else "raw"
+
+  final case class Meta(fmt: String, nBytes: Int, width: Int, height: Int,
+      durationMs: Option[Long], sig: String)
+
+  /** MP4/ISO-BMFF metadata: (width, height, durationMs) from the moov
+    * box tree. Returns None when the tree is absent/truncated. */
+  private[llm] def mp4Meta(b: Array[Byte]): Option[(Int, Int, Long)] = {
+    def u32(i: Int): Long =
+      ((b(i) & 0xFFL) << 24) | ((b(i + 1) & 0xFFL) << 16) |
+        ((b(i + 2) & 0xFFL) << 8) | (b(i + 3) & 0xFFL)
+    var timescale = 0L; var duration = -1L; var w = 0; var h = 0
+    def walk(start: Int, end: Int): Unit = {
+      var i = start
+      while (i + 8 <= end) {
+        val size = u32(i).toInt
+        if (size < 8 || i + size > end) return
+        val typ = new String(b, i + 4, 4, "ISO-8859-1")
+        typ match {
+          case "moov" | "trak" | "mdia" => walk(i + 8, i + size)
+          case "mvhd" if (b(i + 8) & 0xFF) == 0 && i + 8 + 20 <= end =>
+            timescale = u32(i + 8 + 12); duration = u32(i + 8 + 16)
+          case "tkhd" if (b(i + 8) & 0xFF) == 0 && size >= 92 =>
+            // v0 tkhd: width/height are the final two 16.16 fields
+            w = (u32(i + size - 8) >> 16).toInt
+            h = (u32(i + size - 4) >> 16).toInt
+          case _ =>
+        }
+        i += size
+      }
+    }
+    walk(0, b.length)
+    if (duration >= 0 && timescale > 0)
+      Some((w, h, duration * 1000L / timescale))
+    else None
   }
 
-  /** Batch "decode" over partitions — the mapInPandas-shaped hot path.
+  /** Deterministic fallback for unrecognized bytes (the former stub —
+    * now only the degrade path, never the contract). */
+  private def rawMeta(n: Int): (Int, Int) =
+    (16 + math.floorMod(n, 640), 16 + math.floorMod(n * 31, 480))
+
+  /** Decode one payload: real codec/container metadata where the JDK
+    * can, `raw` fallback otherwise. Never throws — a corrupt payload
+    * of a recognized format degrades to `raw` too (batch semantics). */
+  def decodeBytes(content: Array[Byte]): Meta = {
+    val n = content.length
+    val digest = java.security.MessageDigest.getInstance("MD5").digest(content)
+    val sig = digest.map("%02x".format(_)).mkString
+    def raw = { val (w, h) = rawMeta(n); Meta("raw", n, w, h, None, sig) }
+    try sniff(content) match {
+      case f @ ("png" | "jpeg" | "gif" | "bmp") =>
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(content))
+        if (img == null) raw
+        else Meta(f, n, img.getWidth, img.getHeight, None, sig)
+      case "wav" =>
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(content))
+        try {
+          val fmt = in.getFormat
+          val ms = (in.getFrameLength * 1000.0 / fmt.getFrameRate).toLong
+          Meta("wav", n, 0, 0, Some(ms), sig)
+        } finally in.close()
+      case "mp4" => mp4Meta(content) match {
+        case Some((w, h, ms)) => Meta("mp4", n, w, h, Some(ms), sig)
+        case None => raw
+      }
+      case _ => raw
+    } catch { case scala.util.control.NonFatal(_) => raw }
+  }
+
+  /** Batch decode over partitions — the mapInPandas-shaped hot path.
     * No driver collect; each task decodes its partition's rows. */
   def decode(media: DataFrame): DataFrame = {
     val spark = media.sparkSession
     val rdd = media.select("media_id", "content", "kind").rdd.mapPartitions(_.map { r =>
       val bytes = Option(r.getAs[Array[Byte]]("content")).getOrElse(Array.emptyByteArray)
-      val (n, w, h, sig) = fakeDecode(bytes)
-      Row(r.getAs[Long]("media_id"), r.getAs[String]("kind"), n, w, h, sig)
+      val m = decodeBytes(bytes)
+      Row(r.getAs[Long]("media_id"), r.getAs[String]("kind"), m.fmt,
+        m.nBytes, m.width, m.height, m.durationMs.map(Long.box).orNull, m.sig)
     })
     spark.createDataFrame(rdd, decodedSchema)
   }

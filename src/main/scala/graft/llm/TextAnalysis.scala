@@ -71,6 +71,15 @@ object TextAnalysis {
     least(tokenCount(text).cast("double") / 100.0, lit(1.0)) * 0.5 +
       least(stopwordRatio(text) * 5.0, lit(1.0)) * 0.5
 
+  /** [[qualityScore]] with the en-score already projected (same
+    * expression tree with the attribute substituted for the regex
+    * scan, so values are bit-identical) — pair with [[langGuessFrom]]
+    * when a pipeline needs language AND quality in one pass: the en
+    * regex then runs once per row instead of once per consumer. */
+  def qualityScoreFrom(sEn: Column, text: Column): Column =
+    least(tokenCount(text).cast("double") / 100.0, lit(1.0)) * 0.5 +
+      least((sEn.cast("double") / tokenCount(text)) * 5.0, lit(1.0)) * 0.5
+
   /** Document fingerprint: min polynomial hash over codepoint 5-grams —
     * winnowing with a single global window. The polynomial
     * (base 257 mod 2^31−1 over character codes) costs 5 integer ops

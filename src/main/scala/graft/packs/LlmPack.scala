@@ -1,6 +1,6 @@
 package graft.packs
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.QueryPack
 import graft.core.Tables
@@ -116,9 +116,21 @@ object LlmPack extends QueryPack {
         d.select((col("doc_id") + 1000000).as("doc_id"),
           when(col("doc_id") % 50 === 0, col("text"))
             .otherwise(concat(col("text"), lit(" zzz9"))).as("text")))
+      // Scores project ONCE, then the n²-pair argmax fold and the
+      // quality gate read attributes (the text_lang_id one-pass fix;
+      // TA.langGuess inline would re-run the 4 regex scans per
+      // comparison arm).
       val scored = corpus
-        .withColumn("lang", TA.langGuess(col("text")))
-        .withColumn("q_x1e4", graft.functions.F.scale4(TA.qualityScore(col("text"))))
+        .select(col("doc_id"), col("text"),
+          TA.langScore(col("text"), "en").as("s_en"),
+          TA.langScore(col("text"), "es").as("s_es"),
+          TA.langScore(col("text"), "de").as("s_de"),
+          TA.langScore(col("text"), "fr").as("s_fr"))
+        .select(col("doc_id"),
+          TA.langGuessFrom(Seq("en" -> col("s_en"), "es" -> col("s_es"),
+            "de" -> col("s_de"), "fr" -> col("s_fr"))).as("lang"),
+          graft.functions.F.scale4(
+            TA.qualityScoreFrom(col("s_en"), col("text"))).as("q_x1e4"))
         .filter(col("lang") === "en" && col("q_x1e4") >= QUALITY_MIN)
       val keepers = corpus.groupBy(md5(col("text")).as("h"))
         .agg(min("doc_id").as("doc_id"))
@@ -130,6 +142,65 @@ object LlmPack extends QueryPack {
     "multimodal_decode" -> ((s, dir) =>
       Multimodal.decode(Multimodal.fromText(docs(s, dir), "doc_id", "text"))
         .orderBy("media_id")),
+    // REAL codec decode over executor partitions: a PNG and a JPEG
+    // rendered through javax.imageio, a WAV synthesized through
+    // javax.sound (1 s of 8 kHz PCM), an MP4 with a hand-built
+    // ISO-BMFF moov tree, and an unrecognized payload degrading to the
+    // raw fallback — all decoded by Multimodal.decode's mapPartitions
+    // path, metadata asserted against construction-time constants.
+    "multimodal_real_decode" -> ((s, dir) => {
+      import s.implicits._
+      def png(w: Int, h: Int, fmt: String): Array[Byte] = {
+        val img = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        (0 until w).foreach(x => (0 until h).foreach(y =>
+          img.setRGB(x, y, (x * 31 + y * 7) & 0xFFFFFF)))
+        val out = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, fmt, out)
+        out.toByteArray
+      }
+      def wav(frames: Int, rateHz: Int): Array[Byte] = {
+        val pcm = Array.tabulate(frames)(i => (i % 251).toByte) // 8-bit mono
+        val afmt = new javax.sound.sampled.AudioFormat(rateHz.toFloat, 8, 1, false, false)
+        val ais = new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(pcm), afmt, frames.toLong)
+        val out = new java.io.ByteArrayOutputStream()
+        javax.sound.sampled.AudioSystem.write(ais,
+          javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+        out.toByteArray
+      }
+      def box(typ: String, payload: Array[Byte]): Array[Byte] = {
+        val size = payload.length + 8
+        Array[Byte](((size >> 24) & 0xFF).toByte, ((size >> 16) & 0xFF).toByte,
+          ((size >> 8) & 0xFF).toByte, (size & 0xFF).toByte) ++
+          typ.getBytes("ISO-8859-1") ++ payload
+      }
+      def be32(v: Long): Array[Byte] = Array[Byte](((v >> 24) & 0xFF).toByte,
+        ((v >> 16) & 0xFF).toByte, ((v >> 8) & 0xFF).toByte, (v & 0xFF).toByte)
+      val mp4: Array[Byte] = {
+        // v0 mvhd: ver/flags + ctime + mtime + timescale=1000 + duration=2500
+        val mvhd = box("mvhd", be32(0) ++ be32(0) ++ be32(0) ++ be32(1000) ++
+          be32(2500) ++ Array.fill(80)(0.toByte))
+        // v0 tkhd: 84-byte payload, width/height 16.16 at the tail
+        val tkhd = box("tkhd", Array.fill(76)(0.toByte) ++
+          be32(320L << 16) ++ be32(240L << 16))
+        box("ftyp", "isom0000isom".getBytes("ISO-8859-1")) ++
+          box("moov", mvhd ++ box("trak", tkhd))
+      }
+      val media = s.createDataFrame(
+        java.util.Arrays.asList(
+          Row(1L, png(12, 8, "png"), "image"),
+          Row(2L, png(20, 10, "jpg"), "image"),
+          Row(3L, wav(8000, 8000), "audio"),
+          Row(4L, mp4, "video"),
+          Row(5L, "not a media file".getBytes("UTF-8"), "image")),
+        Multimodal.mediaSchema)
+      Multimodal.decode(media)
+        .select(col("media_id"), col("fmt"), col("n_bytes") > 0,
+          col("width"), col("height"), col("duration_ms"))
+        .toDF("media_id", "fmt", "nonempty", "width", "height", "duration_ms")
+        .orderBy("media_id")
+    }),
     // Frame sampling: explode-per-frame over byte windows of the binary
     // column — the plan shape a video pipeline samples frames with.
     // Hex the binary frame for the oracle (documents text is ASCII, so
@@ -369,11 +440,22 @@ object LlmPack extends QueryPack {
     "multimodal_decode" ->
       """SELECT doc_id AS media_id,
         |  CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+        |  'raw' AS fmt,
         |  CAST(octet_length(encode(text)) AS INT) AS n_bytes,
         |  CAST(16 + octet_length(encode(text)) % 640 AS INT) AS width,
         |  CAST(16 + (octet_length(encode(text)) * 31) % 480 AS INT) AS height,
+        |  CAST(NULL AS BIGINT) AS duration_ms,
         |  md5(text) AS sig
         |FROM documents ORDER BY media_id""".stripMargin,
+    "multimodal_real_decode" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(1 AS BIGINT), 'png', true, 12, 8, CAST(NULL AS BIGINT)),
+        |  (CAST(2 AS BIGINT), 'jpeg', true, 20, 10, CAST(NULL AS BIGINT)),
+        |  (CAST(3 AS BIGINT), 'wav', true, 0, 0, CAST(1000 AS BIGINT)),
+        |  (CAST(4 AS BIGINT), 'mp4', true, 320, 240, CAST(2500 AS BIGINT)),
+        |  (CAST(5 AS BIGINT), 'raw', true, 32, 32, CAST(NULL AS BIGINT)))
+        |  AS t(media_id, fmt, nonempty, width, height, duration_ms)
+        |ORDER BY media_id""".stripMargin,
     "multimodal_frames" ->
       """WITH n AS (SELECT doc_id AS media_id, text,
         |    GREATEST(octet_length(encode(text)) // 64, 1) AS nf FROM documents),

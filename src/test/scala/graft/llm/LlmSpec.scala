@@ -187,6 +187,24 @@ class LlmSpec extends SparkSpec {
     assert(hotPairs.count() > 3000L * 2999L / 2)
   }
 
+  test("multimodal: real codecs — PNG via ImageIO, WAV duration, MP4 box walk, raw fallback") {
+    val img = new java.awt.image.BufferedImage(7, 5, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val po = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", po)
+    val m1 = Multimodal.decodeBytes(po.toByteArray)
+    assert(m1.fmt == "png" && m1.width == 7 && m1.height == 5 && m1.durationMs.isEmpty)
+    val afmt = new javax.sound.sampled.AudioFormat(4000f, 8, 1, false, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(new Array[Byte](2000)), afmt, 2000L)
+    val wo = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, wo)
+    val m2 = Multimodal.decodeBytes(wo.toByteArray)
+    assert(m2.fmt == "wav" && m2.durationMs.contains(500L))
+    // truncated PNG magic degrades to raw, never throws
+    val m3 = Multimodal.decodeBytes(Array[Byte](0x89.toByte, 'P', 'N', 'G', 0, 0, 0, 0))
+    assert(m3.fmt == "raw")
+  }
+
   test("multimodal: decode preserves ids, derives metadata from bytes; frames sample") {
     val media = Multimodal.fromText(Seq((1L, "some binary payload"), (2L, "x")).toDF("id", "t"), "id", "t")
     val dec = Multimodal.decode(media).orderBy("media_id").collect()
