@@ -1,0 +1,61 @@
+package graft.llm
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("topKPerKey equals the single-window result, including a hot key bigger than salt*k") {
+    // key "hot" has 200 rows (≫ k), "cold" has 3 (< k), "edge" exactly k
+    val rows = (1 to 200).map(i => ("hot", i.toLong, (i * 37 % 97).toLong)) ++
+      (1 to 3).map(i => ("cold", (1000 + i).toLong, i.toLong)) ++
+      (1 to 5).map(i => ("edge", (2000 + i).toLong, 50L))
+    val df = rows.toDF("key", "id", "score")
+    val k = 5
+    val got = Curation.topKPerKey(df, "key", Seq(col("score").desc, col("id")),
+        saltOn = col("id"), k = k, salt = 4)
+      .select("key", "id", "score", "rk").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+    val w = Window.partitionBy("key").orderBy(col("score").desc, col("id"))
+    val want = df.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+    assert(got == want)
+    assert(got.count(_._1 == "hot") == k && got.count(_._1 == "cold") == 3 &&
+      got.count(_._1 == "edge") == k)
+  }
+
+  test("packSequences: doc belongs to the sequence its first token lands in; per-shard reset") {
+    val docs = Seq(
+      ("a", 1L, "w1 w2 w3"),        // 3 tok, cum 3  → seq 0
+      ("a", 2L, "w w w w"),         // 4 tok, cum 7  → starts at 3 → seq 0
+      ("a", 3L, "x x x"),           // cum 10 → starts at 7 → seq 1 (budget 5)
+      ("b", 4L, "y y y y y y"))     // new shard → seq 0
+      .toDF("shard", "id", "text")
+    val out = Curation.packSequences(docs, "shard", "id", "text", budget = 5)
+      .select("id", "n_tok", "seq").collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2)))).toMap
+    assert(out(1L) == (3, 0L) && out(2L) == (4, 0L) && out(3L) == (3, 1L) && out(4L) == (6, 0L))
+  }
+
+  test("packSequences and topKPerKey reject non-positive budget/k loudly") {
+    val df = Seq(("a", 1L, "x")).toDF("shard", "id", "text")
+    intercept[IllegalArgumentException](
+      Curation.packSequences(df, "shard", "id", "text", budget = 0))
+    intercept[IllegalArgumentException](
+      Curation.topKPerKey(df, "shard", Seq(col("id")), col("id"), k = 0))
+  }
+
+  test("contaminatedDocs: only docs sharing an eval shingle hit, with overlap counts") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps"),   // shares 3-grams with eval doc
+      (2L, "totally unrelated words here"))
+      .toDF("id", "text")
+    val eval = Seq((100L, "the quick brown fox sleeps")).toDF("id", "text")
+    val hits = Curation.contaminatedDocs(corpus, eval).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    // shared distinct 3-grams: "the quick brown", "quick brown fox"
+    assert(hits == Map(1L -> 2L))
+  }
+}
