@@ -114,6 +114,13 @@ object RelationalPack extends QueryPack {
     "events_hourly_stream" -> ((s, dir) =>
       graft.streaming.EventsStream.hourlyViaFileSink(s, dir)),
 
+    // §2.11 streaming ingest-dedup: the whole feed redelivered as a
+    // second micro-batch (at-least-once source), deduplicated by
+    // dropDuplicatesWithinWatermark through the exactly-once file
+    // sink — per-type counts must equal the plain batch aggregate.
+    "events_dedup_stream" -> ((s, dir) =>
+      graft.streaming.EventsStream.dedupViaFileSink(s, dir)),
+
     // O1 multi-key sort + O2 limit (the notices query shape:
     // orderBy pinned desc, createdAt desc limit 50).
     "multikey_sort_limit" -> ((s, dir) =>
@@ -193,6 +200,11 @@ object RelationalPack extends QueryPack {
       """SELECT strftime(date_trunc('hour', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:00:00') AS hour,
         |  event_type, count(*) AS n
         |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+    // the deduplicated stream must equal the plain batch aggregate —
+    // one surviving copy per event despite the full redelivery
+    "events_dedup_stream" ->
+      """SELECT event_type, count(*) AS n
+        |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
     "skew_salted_join" ->
       s"""WITH dim AS (
          |  SELECT DISTINCT event_type, CAST(length(event_type) AS BIGINT) AS type_weight

@@ -203,6 +203,53 @@ object EventsStream {
       .orderBy("hour", "event_type")
   }
 
+  /** Correctness gate for the streaming ingest-dedup operator
+    * ([[dedupEvents]]): stage the events fixture TWICE (the second
+    * copy a later micro-batch — an at-least-once source redelivering
+    * the whole feed), stream through
+    * `dropDuplicatesWithinWatermark(event_id)` into a parquet file
+    * sink, batch-read the sink and aggregate per type. Batch 1
+    * delivers every event once; batch 2's copies are dropped either
+    * by the dedup state (within the watermark) or as late rows
+    * (behind it) — both the correct at-least-once outcome — so the
+    * sink holds exactly one copy of each event and the per-type
+    * counts hash-match the plain batch aggregate. */
+  def dedupViaFileSink(spark: SparkSession, sfDir: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val base = Files.createTempDirectory("graft_dedup_gate")
+    val in = base.resolve("in"); Files.createDirectories(in)
+    Files.copy(Paths.get(s"$sfDir/events.parquet"), in.resolve("events.parquet"))
+    val dup = in.resolve("events_redelivered.parquet")
+    Files.copy(Paths.get(s"$sfDir/events.parquet"), dup)
+    Files.setLastModifiedTime(dup, // mtime orders the micro-batches
+      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() + 10000L))
+    val out = base.resolve("out").toString
+    // Same state-partition sizing rationale as hourlyViaFileSink.
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try {
+      val q = dedupEvents(readEvents(spark, in.toString, maxFilesPerTrigger = Some(1)))
+        .select(col("event_id"), col("event_type"), col("value"))
+        .writeStream
+        .outputMode(OutputMode.Append())
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", base.resolve("ckpt").toString)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    Seq(in, base.resolve("ckpt")).foreach { d =>
+      val walk = Files.walk(d)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => Files.deleteIfExists(p))
+      finally walk.close()
+    }
+    spark.read.parquet(out)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("event_type")
+  }
+
   /** Test/inspection harness only: the memory sink collects every
     * batch onto the driver — never a deployment path (that is
     * `runToFiles`). */
