@@ -121,6 +121,12 @@ object RelationalPack extends QueryPack {
     "events_dedup_stream" -> ((s, dir) =>
       graft.streaming.EventsStream.dedupViaFileSink(s, dir)),
 
+    // §2.11 custom state: per-user sessionization through
+    // mapGroupsWithState (one micro-batch → one Session row per user;
+    // counts + spans mirror the batch aggregate).
+    "events_sessionize_stream" -> ((s, dir) =>
+      graft.streaming.EventsStream.sessionizeViaMemory(s, dir)),
+
     // O1 multi-key sort + O2 limit (the notices query shape:
     // orderBy pinned desc, createdAt desc limit 50).
     "multikey_sort_limit" -> ((s, dir) =>
@@ -205,6 +211,13 @@ object RelationalPack extends QueryPack {
     "events_dedup_stream" ->
       """SELECT event_type, count(*) AS n
         |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
+    // one session row per user (single micro-batch, timeout off):
+    // count + millisecond-floor time span mirror the batch aggregate
+    "events_sessionize_stream" ->
+      """SELECT user_id, CAST(count(*) AS INT) AS n_events,
+        |  (epoch_ms(max(CAST(ts AS TIMESTAMP))) - epoch_ms(min(CAST(ts AS TIMESTAMP)))) // 1000
+        |    AS duration_sec
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     "skew_salted_join" ->
       s"""WITH dim AS (
          |  SELECT DISTINCT event_type, CAST(length(event_type) AS BIGINT) AS type_weight

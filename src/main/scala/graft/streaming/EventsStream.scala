@@ -261,4 +261,48 @@ object EventsStream {
       .queryName(outTable)
       .option("checkpointLocation", checkpoint)
       .start()
+
+  /** Correctness gate for the [[sessionize]] custom-state operator:
+    * stream the events fixture as ONE micro-batch (single staged file,
+    * no trigger cap) through mapGroupsWithState, so each user's group
+    * sees its whole feed and emits exactly one Session row — per-user
+    * event counts and time spans then mirror the plain batch
+    * aggregate. mapGroupsWithState only supports Update output, which
+    * file sinks reject ([SPARK] UnsupportedOperationChecker), so the
+    * gate drives the documented memory-sink harness; the deployable
+    * file-sink path is gated separately by [[hourlyViaFileSink]] /
+    * [[dedupViaFileSink]]. Timeout disabled (gapMs=0): wall-clock
+    * timers cannot cross the engine/oracle boundary. */
+  def sessionizeViaMemory(spark: SparkSession, sfDir: String): org.apache.spark.sql.DataFrame = {
+    import java.nio.file.{Files, Paths}
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_sess_gate")
+    val in = base.resolve("in"); Files.createDirectories(in)
+    Files.copy(Paths.get(s"$sfDir/events.parquet"), in.resolve("events.parquet"))
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try {
+      val events = readEvents(spark, in.toString)
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+        .as[Event]
+      val q = sessionize(events, gapMs = 0).writeStream
+        .outputMode(OutputMode.Update())
+        .format("memory")
+        .queryName("graft_sessions")
+        .option("checkpointLocation", base.resolve("ckpt").toString)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    // the memory sink's rows live on the driver (harness contract) —
+    // the staged input and checkpoint are safe to delete immediately
+    Seq(in, base.resolve("ckpt")).foreach { d =>
+      val walk = Files.walk(d)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => Files.deleteIfExists(p))
+      finally walk.close()
+    }
+    spark.table("graft_sessions")
+      .select(col("user_id"), col("n_events"), col("duration_sec"))
+      .orderBy("user_id")
+  }
 }
