@@ -114,4 +114,30 @@ class PlanShapeSpec extends SparkSpec {
       assert(p.contains("InMemoryTableScan"), p)
     } finally spark.catalog.clearCache()
   }
+
+  test("llm_pipeline_full composes without cartesian products or partitionless windows") {
+    // The end-to-end chain (clusters → anti-join → salted cap →
+    // packing) must keep each stage's scale shape: every Window is
+    // keyed (a partitionless one funnels the corpus through one task),
+    // the keeper filter stays a broadcastable anti-join, and nothing
+    // degenerates into a cartesian product.
+    try {
+      val p = plan("llm_pipeline_full")
+      assert(!p.contains("CartesianProduct"), p)
+      // A partitionless window (or a global sort feeding one) shows up
+      // as a single-partition exchange — the one shape that funnels
+      // the corpus through one task. The final orderBy is the only
+      // allowed global sort and compiles to rangepartitioning, not
+      // SinglePartition.
+      assert(!p.contains("Exchange SinglePartition"), p)
+      assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"), p)
+    } finally spark.catalog.clearCache()
+  }
+
+  test("ivfRecall shares ONE cached assignment between the IVF and brute sides") {
+    try {
+      val p = plan("ann_ivf_recall")
+      assert(p.contains("InMemoryTableScan"), p)
+    } finally spark.catalog.clearCache()
+  }
 }
