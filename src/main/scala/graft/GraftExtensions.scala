@@ -56,6 +56,17 @@ object GraftExtensions {
         require(args.length == 1, "min_fingerprint(text) takes 1 argument")
         MinFingerprint(args(0))
       }),
+    ("kmv_distinct",
+      info("kmv_distinct", "KMV distinct-count sketch over a 60-bit hash column; second argument (k) must be a literal int"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "kmv_distinct(hash60, k) takes 2 arguments")
+        val k = args(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"kmv_distinct k must be a literal int, got $other")
+        }
+        graft.functions.KmvDistinct(args(0), k).toAggregateExpression()
+      }),
   )
 
   /** Register on an already-built session. */

@@ -397,3 +397,80 @@ case class MinFingerprint(child: Expression)
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
+
+/** `kmv_distinct(hash60, k)` — distinct-count estimation as a real
+  * Catalyst TypedImperativeAggregate (SURVEY §2.13's stated north-star
+  * sketch surface): keep the `k` smallest DISTINCT 60-bit hashes per
+  * group; estimate = (k−1)·2⁶⁰ / h₍ₖ₎ (the classic KMV estimator),
+  * exact count below k. Partial aggregation works the natural sketch
+  * way — per-partition buffers hold ≤ k longs, merge is a capped set
+  * union — so a 100 TB group costs O(k) state per task instead of a
+  * count-distinct shuffle of every key.
+  *
+  * ORACLE-REPRODUCIBLE, unlike HLL++: the input is a keyed-md5 hash
+  * column (take 15 hex chars → 60 bits) and the estimate is exact
+  * integer arithmetic (BigInt intermediate ÷ floor), so DuckDB mirrors
+  * it bit-for-bit with a row_number window + HUGEINT division —
+  * determinism over task retries/partitionings comes free with the
+  * order-independent buffer. */
+case class KmvDistinct(child: Expression, k: Int,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+  extends org.apache.spark.sql.catalyst.expressions.aggregate
+    .TypedImperativeAggregate[java.util.TreeSet[java.lang.Long]]
+  with org.apache.spark.sql.catalyst.trees.UnaryLike[Expression] {
+
+  require(k >= 2, s"kmv_distinct: k=$k must be >= 2")
+
+  override def createAggregationBuffer(): java.util.TreeSet[java.lang.Long] =
+    new java.util.TreeSet[java.lang.Long]()
+
+  private def insert(buf: java.util.TreeSet[java.lang.Long], h: Long): Unit =
+    if (buf.size < k) { buf.add(h); () }
+    else if (h < buf.last) {
+      buf.add(h)
+      if (buf.size > k) { buf.pollLast(); () }
+    }
+
+  override def update(buf: java.util.TreeSet[java.lang.Long],
+      input: org.apache.spark.sql.catalyst.InternalRow): java.util.TreeSet[java.lang.Long] = {
+    val v = child.eval(input)
+    if (v != null) insert(buf, v.asInstanceOf[Long])
+    buf
+  }
+
+  override def merge(buf: java.util.TreeSet[java.lang.Long],
+      other: java.util.TreeSet[java.lang.Long]): java.util.TreeSet[java.lang.Long] = {
+    other.forEach(h => insert(buf, h))
+    buf
+  }
+
+  override def eval(buf: java.util.TreeSet[java.lang.Long]): Any =
+    if (buf.size < k) buf.size.toLong
+    else (BigInt(k - 1) * BigInt(1L << 60) / BigInt(buf.last)).toLong
+
+  override def serialize(buf: java.util.TreeSet[java.lang.Long]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(4 + 8 * buf.size)
+    bb.putInt(buf.size)
+    buf.forEach(h => { bb.putLong(h); () })
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): java.util.TreeSet[java.lang.Long] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val buf = createAggregationBuffer()
+    (0 until n).foreach(_ => buf.add(bb.getLong))
+    buf
+  }
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def nullable: Boolean = false
+  override def prettyName: String = "kmv_distinct"
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): KmvDistinct =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): KmvDistinct =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): KmvDistinct =
+    copy(child = newChild)
+}

@@ -127,6 +127,24 @@ object RelationalPack extends QueryPack {
     "events_sessionize_stream" -> ((s, dir) =>
       graft.streaming.EventsStream.sessionizeViaMemory(s, dir)),
 
+    // §2.13 custom TypedImperativeAggregate: KMV distinct-count sketch
+    // (k smallest distinct keyed-md5 hashes; O(k) state per group at
+    // any scale) next to the exact count it approximates. The sketch
+    // is integer-deterministic, so the oracle reproduces the ESTIMATE
+    // bit-for-bit — a correctness gate no HLL-based approx could pass.
+    "kmv_distinct_segments" -> ((s, dir) => {
+      import graft.functions.{F, KmvDistinct}
+      val h = conv(substring(md5(concat(col("c_custkey").cast("string"),
+        lit(":kmv"))), 1, 15), 16, 10).cast("long")
+      Tables.load(s, dir, "customer")
+        .select(col("c_mktsegment"), col("c_custkey"), h.as("h"))
+        .groupBy("c_mktsegment")
+        .agg(count_distinct(col("c_custkey")).as("n_exact"),
+          F.toColumn(KmvDistinct(F.toExpr(col("h")), 64)
+            .toAggregateExpression()).as("n_kmv"))
+        .orderBy("c_mktsegment")
+    }),
+
     // O1 multi-key sort + O2 limit (the notices query shape:
     // orderBy pinned desc, createdAt desc limit 50).
     "multikey_sort_limit" -> ((s, dir) =>
@@ -218,6 +236,21 @@ object RelationalPack extends QueryPack {
         |  (epoch_ms(max(CAST(ts AS TIMESTAMP))) - epoch_ms(min(CAST(ts AS TIMESTAMP)))) // 1000
         |    AS duration_sec
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // mirrors KmvDistinct exactly: k-th smallest distinct 60-bit hash
+    // via a row_number window, estimate in HUGEINT floor division
+    "kmv_distinct_segments" ->
+      """WITH h AS (SELECT DISTINCT c_mktsegment,
+        |    CAST(CONCAT('0x', substr(md5(CAST(c_custkey AS VARCHAR) || ':kmv'), 1, 15)) AS BIGINT) AS h
+        |  FROM customer),
+        |ranked AS (SELECT c_mktsegment, h,
+        |    row_number() OVER (PARTITION BY c_mktsegment ORDER BY h) AS rn FROM h),
+        |agg AS (SELECT c_mktsegment, count(*) AS nh,
+        |    max(CASE WHEN rn = 64 THEN h END) AS hk FROM ranked GROUP BY 1),
+        |ex AS (SELECT c_mktsegment, count(DISTINCT c_custkey) AS n_exact FROM customer GROUP BY 1)
+        |SELECT ex.c_mktsegment, ex.n_exact,
+        |  CASE WHEN agg.nh < 64 THEN agg.nh
+        |       ELSE CAST(CAST(63 AS HUGEINT) * 1152921504606846976 // agg.hk AS BIGINT) END AS n_kmv
+        |FROM ex JOIN agg USING (c_mktsegment) ORDER BY c_mktsegment""".stripMargin,
     "skew_salted_join" ->
       s"""WITH dim AS (
          |  SELECT DISTINCT event_type, CAST(length(event_type) AS BIGINT) AS type_weight

@@ -79,4 +79,29 @@ class FunctionsSpec extends SparkSpec {
       .head().getDouble(0)
     assert(ff == (1.5 * 1.5 + 2.25 * 2.25 + 3.125 * 3.125))
   }
+
+  test("KmvDistinct: exact below k, ~accurate above, identical across partitionings, SQL-callable") {
+    import spark.implicits._
+    def kmvCol(k: Int) = F.toColumn(
+      KmvDistinct(F.toExpr(col("h")), k).toAggregateExpression()).as("est")
+    def hashed(n: Int, dup: Int) = spark.range(n)
+      .selectExpr(s"id % ${n / dup} AS v")
+      .select(conv(substring(md5(concat(col("v").cast("string"), lit(":kmv"))), 1, 15), 16, 10)
+        .cast("long").as("h"))
+    // below k: exact distinct count
+    assert(hashed(100, 4).select(kmvCol(64)).head.getLong(0) == 25L)
+    // above k: within 25% of the true 10k distinct (k=256)
+    val est = hashed(20000, 2).select(kmvCol(256)).head.getLong(0)
+    assert(math.abs(est - 10000L) < 2500, s"estimate $est too far from 10000")
+    // partial-aggregation path: 1 vs 16 partitions must agree exactly
+    // (serialize/merge round-trips the buffer; the sketch is a pure
+    // function of the value SET)
+    val one = hashed(20000, 2).coalesce(1).select(kmvCol(256)).head.getLong(0)
+    val many = hashed(20000, 2).repartition(16).select(kmvCol(256)).head.getLong(0)
+    assert(one == est && many == est)
+    // SQL surface via GraftExtensions
+    graft.GraftExtensions.register(spark)
+    hashed(100, 4).createOrReplaceTempView("kmv_t")
+    assert(spark.sql("SELECT kmv_distinct(h, 64) FROM kmv_t").head.getLong(0) == 25L)
+  }
 }
