@@ -1,0 +1,61 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** As-of (most-recent-prior) join — the canonical timeseries operator
+  * Spark lacks natively (SPARK-22947): for each left row, attach the
+  * right row with the greatest `rightTime <= leftTime` within the same
+  * key. Composed from existing operators per the custom-operator
+  * preference order — a union + keyed carry-forward window:
+  *
+  *   1. tag both sides and union them (right side = 0, left = 1, so a
+  *      right row at the exact same timestamp sorts BEFORE the left
+  *      row and is eligible — the `<=` in ASOF semantics);
+  *   2. one window per key ordered by (time, side): `last(payload,
+  *      ignoreNulls)` carries the latest right-side row forward — the
+  *      payload travels as ONE struct so a null field inside a right
+  *      row can never mix with an earlier row's value;
+  *   3. keep the left rows, unpack the struct.
+  *
+  * Scale shape: ONE shuffle on the key and a per-key sort — the same
+  * cost as any keyed window; no range-explosion, no per-key loop, no
+  * broadcast requirement on either side. A pathologically hot key
+  * serializes its partition like any window would; carry-forward
+  * crosses every row of the key, so salting cannot apply — partition
+  * by a finer natural key (e.g. user × day) when a key's history
+  * outgrows a task. */
+object AsOf {
+
+  /** leftDf(key, leftTime, ...) ⟕ rightDf(key, rightTime, payload...):
+    * left rows + `payload` columns from the as-of match (null when no
+    * right row precedes). `payloadCols` must exist on the right side
+    * and not collide with left columns. */
+  def joinAsOf(leftDf: DataFrame, rightDf: DataFrame, keyCol: String,
+      leftTime: String, rightTime: String, payloadCols: Seq[String]): DataFrame = {
+    require(payloadCols.nonEmpty, "joinAsOf: at least one payload column")
+    val leftCols = leftDf.columns.toSeq
+    require(!payloadCols.exists(leftCols.contains),
+      s"joinAsOf: payload ${payloadCols.mkString(",")} collides with left columns")
+    val t = "_asof_t"; val side = "_asof_side"; val p = "_asof_p"
+    val pType = StructType(payloadCols.map(c => rightDf.schema(c)))
+    val taggedRight = rightDf.select(
+      (col(keyCol) +: col(rightTime).as(t) +: lit(0).as(side) +:
+        struct(payloadCols.map(col): _*).as(p) +:
+        leftCols.filterNot(_ == keyCol)
+          .map(c => lit(null).cast(leftDf.schema(c).dataType).as(c))): _*)
+    val taggedLeft = leftDf.select(
+      (col(keyCol) +: col(leftTime).as(t) +: lit(1).as(side) +:
+        lit(null).cast(pType).as(p) +:
+        leftCols.filterNot(_ == keyCol).map(col)): _*)
+    val w = Window.partitionBy(keyCol).orderBy(col(t), col(side))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    taggedRight.unionByName(taggedLeft)
+      .withColumn(p, last(col(p), ignoreNulls = true).over(w))
+      .filter(col(side) === 1)
+      .select((col(keyCol) +: leftCols.filterNot(_ == keyCol).map(col)) ++
+        payloadCols.map(c => col(s"$p.$c").as(c)): _*)
+  }
+}

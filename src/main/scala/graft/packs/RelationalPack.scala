@@ -127,6 +127,27 @@ object RelationalPack extends QueryPack {
     "events_sessionize_stream" -> ((s, dir) =>
       graft.streaming.EventsStream.sessionizeViaMemory(s, dir)),
 
+    // As-of join (most-recent-prior view per purchase, per user) —
+    // the timeseries operator Spark lacks natively, composed as a
+    // union + keyed carry-forward window (ops/AsOf.scala). Views
+    // dedupe to max event_id per (user, ts) first: ASOF tie-breaking
+    // among equal timestamps is engine-defined, so the right side must
+    // be unique per instant for a bit-stable oracle.
+    "events_asof_join" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"), col("ts"))
+      val views = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id"), col("ts").as("vts"))
+        .agg(max(col("event_id")).as("view_event_id"))
+      graft.ops.AsOf.joinAsOf(purchases, views, "user_id", "ts", "vts",
+          Seq("view_event_id"))
+        .select(col("user_id"), col("event_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts"),
+          col("view_event_id"))
+        .orderBy("user_id", "event_id")
+    }),
+
     // §2.13 custom TypedImperativeAggregate: KMV distinct-count sketch
     // (k smallest distinct keyed-md5 hashes; O(k) state per group at
     // any scale) next to the exact count it approximates. The sketch
@@ -236,6 +257,17 @@ object RelationalPack extends QueryPack {
         |  (epoch_ms(max(CAST(ts AS TIMESTAMP))) - epoch_ms(min(CAST(ts AS TIMESTAMP)))) // 1000
         |    AS duration_sec
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // DuckDB's native ASOF JOIN is the independent semantics check for
+    // the union+window construction
+    "events_asof_join" ->
+      """WITH p AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'),
+        |v AS (SELECT user_id, ts AS vts, max(event_id) AS view_event_id
+        |  FROM events WHERE event_type = 'view' GROUP BY 1, 2)
+        |SELECT p.user_id, p.event_id,
+        |  strftime(CAST(p.ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S.%f') AS ts,
+        |  v.view_event_id
+        |FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND v.vts <= p.ts
+        |ORDER BY p.user_id, p.event_id""".stripMargin,
     // mirrors KmvDistinct exactly: k-th smallest distinct 60-bit hash
     // via a row_number window, estimate in HUGEINT floor division
     "kmv_distinct_segments" ->

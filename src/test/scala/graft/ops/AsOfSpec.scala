@@ -1,0 +1,43 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class AsOfSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def left = Seq(
+    (1L, 100L, "p1"), (1L, 200L, "p2"), (2L, 50L, "p3"))
+    .toDF("k", "lt", "name")
+  private def right = Seq(
+    (1L, 100L, "r_at_100", 7.0), (1L, 150L, "r_at_150", 8.0), (2L, 60L, "r_late", 9.0))
+    .toDF("k", "rt", "tag", "v")
+
+  test("as-of: greatest right time <= left time; equal timestamps match; no-prior gives null") {
+    val out = AsOf.joinAsOf(left, right, "k", "lt", "rt", Seq("tag", "v"))
+      .orderBy("k", "lt").collect()
+      .map(r => (r.getAs[Long]("k"), r.getAs[String]("name"), r.getAs[String]("tag")))
+    assert(out.toSeq == Seq(
+      (1L, "p1", "r_at_100"), // rt == lt is eligible (the <= of ASOF)
+      (1L, "p2", "r_at_150"), // most recent prior, not the first
+      (2L, "p3", null)))      // right row at 60 > 50: no match
+  }
+
+  test("as-of: payload travels as one struct — a null field never mixes rows") {
+    val r2 = Seq((1L, 10L, null.asInstanceOf[String], 1.0), (1L, 20L, "second", 2.0))
+      .toDF("k", "rt", "tag", "v")
+    val l2 = Seq((1L, 15L, "a"), (1L, 25L, "b")).toDF("k", "lt", "name")
+    val out = AsOf.joinAsOf(l2, r2, "k", "lt", "rt", Seq("tag", "v"))
+      .orderBy("lt").collect()
+      .map(r => (r.getAs[String]("name"), r.getAs[String]("tag"), r.getAs[Double]("v")))
+    // row at lt=15 matches the rt=10 row WHOLE: tag null, v=1.0 — a
+    // per-column carry would have left tag null but pulled nothing, or
+    // worse, mixed a later tag with an earlier v.
+    assert(out.toSeq == Seq(("a", null, 1.0), ("b", "second", 2.0)))
+  }
+
+  test("as-of: payload collision with left columns fails loud") {
+    intercept[IllegalArgumentException](
+      AsOf.joinAsOf(left, right.withColumnRenamed("tag", "name"), "k", "lt", "rt", Seq("name")))
+  }
+}
