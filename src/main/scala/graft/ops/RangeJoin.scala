@@ -1,0 +1,57 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Range (point-in-interval) join — the second timeseries/numeric
+  * operator Spark lacks natively (alongside [[AsOf]]): attach to each
+  * point row every interval row with `lo <= point < hi`. A naive
+  * formulation is a cross join + filter — O(|points|·|intervals|),
+  * which Catalyst can only plan as BroadcastNestedLoopJoin and which
+  * dies at scale the moment the interval side outgrows a broadcast.
+  *
+  * Binned equi-join instead: pick a bin width `w`, replicate each
+  * interval to the bins it overlaps (`floor(lo/w) .. ceil(hi/w)-1`,
+  * one `explode(sequence(...))`), map each point to its single bin
+  * (`floor(p/w)`), equi-join on the bin, then apply the exact range
+  * predicate as a post-join filter. Semantics are exactly the cross
+  * join + filter; the plan is a hash-partitioned join.
+  *
+  * Scale shape: ONE shuffle keyed on the bin (or zero when the
+  * replicated interval side still broadcasts — Catalyst decides).
+  * Cost scales with Σ per-bin |points_b|·|intervals_b|, not the
+  * global product; the replication factor is len/w + 1 per interval,
+  * so `w` should sit near the median interval length. Skewed bins
+  * (one bin holding most points) fall back to the same AQE skew-join
+  * machinery as any hot equi-join key.
+  */
+object RangeJoin {
+
+  /** points ⋈ intervals on `loCol <= pointCol < hiCol`, both sides
+    * keyed into `binWidth`-sized bins. All three columns must be
+    * numeric (cast doubles/longs alike); column sets must not collide.
+    */
+  def pointInInterval(points: DataFrame, intervals: DataFrame,
+      pointCol: String, loCol: String, hiCol: String,
+      binWidth: Double): DataFrame = {
+    require(binWidth > 0, s"pointInInterval: binWidth=$binWidth must be > 0")
+    require(!points.columns.exists(intervals.columns.contains),
+      "pointInInterval: point/interval column names collide")
+    val bin = "_rj_bin"
+    // interval [lo, hi) overlaps bin b = [b·w, (b+1)·w) iff
+    // floor(lo/w) <= b <= ceil(hi/w)-1. Spark's 2-arg sequence runs
+    // DESCENDING when start > stop, so an empty interval (hi <= lo)
+    // must map to an empty array explicitly — explode then drops it,
+    // matching the `lo <= p < hi` predicate (nothing matches).
+    val loBin = floor(col(loCol) / binWidth).cast("long")
+    val hiBin = ceil(col(hiCol) / binWidth).cast("long") - 1
+    val binned = intervals
+      .withColumn(bin, explode(when(hiBin >= loBin,
+        sequence(loBin, hiBin, lit(1L))).otherwise(array().cast("array<long>"))))
+    points
+      .withColumn(bin, floor(col(pointCol) / binWidth).cast("long"))
+      .join(binned, bin)
+      .filter(col(pointCol) >= col(loCol) && col(pointCol) < col(hiCol))
+      .drop(bin)
+  }
+}

@@ -1,6 +1,7 @@
 package graft.packs
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.QueryPack
 import graft.core.Tables
@@ -206,6 +207,101 @@ object RelationalPack extends QueryPack {
     "distinct_mktsegments" -> ((s, dir) =>
       Tables.load(s, dir, "customer").select("c_mktsegment").distinct()
         .orderBy("c_mktsegment")),
+
+    // Range (point-in-interval) join via binned equi-join
+    // (ops/RangeJoin.scala): overlapping price bands × orders. The
+    // naive plan is BroadcastNestedLoopJoin (cross × filter); the
+    // binned form is a plain hash join keyed on floor(price/width),
+    // which survives an interval side too big to broadcast.
+    "range_join_bands" -> ((s, dir) => {
+      val bands = s.range(20).select(col("id").as("band"),
+        (col("id") * 25000.0).as("lo"), (col("id") * 25000.0 + 40000.0).as("hi"))
+      val pts = Tables.load(s, dir, "orders").select("o_orderkey", "o_totalprice")
+      graft.ops.RangeJoin.pointInInterval(pts, bands, "o_totalprice", "lo", "hi",
+          binWidth = 25000.0)
+        .groupBy("band")
+        .agg(count(lit(1)).as("n_orders"), dsum("o_totalprice").as("sum_price"))
+        .orderBy("band")
+    }),
+
+    // Hierarchical aggregate: ROLLUP + grouping_id — one shuffle
+    // computes all levels (Expand feeds a single hash aggregate).
+    "agg_rollup" -> ((s, dir) =>
+      Tables.load(s, dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(grouping_id().as("gid"), dsum("l_quantity").as("sum_qty"),
+          count(lit(1)).as("n"))
+        .select("l_returnflag", "l_linestatus", "gid", "sum_qty", "n")
+        .orderBy("gid", "l_returnflag", "l_linestatus")),
+
+    // Pivot with an explicit value list (never the implicit-distinct
+    // variant — that one runs a blocking distinct job before planning,
+    // a driver round-trip you don't want at 100 TB). Missing cells are
+    // 0 to match the oracle's FILTER counts.
+    "pivot_event_types" -> ((s, dir) => {
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      Tables.load(s, dir, "events")
+        .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+        .pivot("event_type", types)
+        .agg(count(lit(1)))
+        .na.fill(0, types)
+        .orderBy("day")
+    }),
+
+    // Analytic-function breadth on a properly keyed window (never a
+    // partitionless orderBy — that funnels the table through one
+    // task): row_number / lag / lead / ntile per customer, ordered by
+    // a deterministic (date, key) pair.
+    "window_suite" -> ((s, dir) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      Tables.load(s, dir, "orders").select(
+        col("o_orderkey"), col("o_custkey"),
+        row_number().over(w).cast("long").as("rn"),
+        lag("o_totalprice", 1).over(w).as("prev_price"),
+        lead("o_totalprice", 1).over(w).as("next_price"),
+        ntile(4).over(w).cast("long").as("quartile"))
+        .orderBy("o_custkey", "rn")
+    }),
+
+    // Exact interpolated percentiles (Spark `percentile`, a single
+    // partial+final aggregate — no sort job). Crossing the oracle
+    // boundary as scale4 fixed-point longs absorbs the two engines'
+    // ulp-level interpolation differences.
+    "agg_percentiles" -> ((s, dir) =>
+      Tables.load(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          graft.functions.F.scale4(expr("percentile(l_extendedprice, 0.25D)")).as("p25"),
+          graft.functions.F.scale4(expr("percentile(l_extendedprice, 0.5D)")).as("p50"),
+          graft.functions.F.scale4(expr("percentile(l_extendedprice, 0.95D)")).as("p95"))
+        .orderBy("l_returnflag")),
+
+    // §2.13 sketch surface, join-pruning form: bloom_build aggregates
+    // the SMALL side's keys into one binary filter (partial merge =
+    // bitwise OR), broadcast to pre-filter the BIG side before its
+    // shuffle — at 100 TB the rows that can't join never leave their
+    // scan partition. False positives pass through to the exact
+    // semi-join, so results (and the oracle: the plain semi-join) are
+    // unchanged.
+    "bloom_prefilter_join" -> ((s, dir) => {
+      import graft.functions.{BloomBuild, BloomMightContain, F}
+      val hot = Tables.load(s, dir, "orders")
+        .filter(col("o_totalprice") > 400000.0).select("o_custkey")
+      val bloomDf = hot.agg(F.toColumn(
+        BloomBuild(F.toExpr(col("o_custkey")), numBits = 1 << 16, numHashes = 5)
+          .toAggregateExpression()).as("bf"))
+      val pre = Tables.load(s, dir, "customer")
+        .crossJoin(broadcast(bloomDf))
+        .filter(F.toColumn(BloomMightContain(
+          F.toExpr(col("bf")), F.toExpr(col("c_custkey")))))
+        .drop("bf")
+      val hotD = hot.distinct()
+      pre.join(hotD, pre("c_custkey") === hotD("o_custkey"), "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_customers"), dsum("c_acctbal").as("sum_bal"))
+        .orderBy("c_mktsegment")
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -306,5 +402,50 @@ object RelationalPack extends QueryPack {
         |  SELECT s_name, '', 'supplier' FROM supplier) ORDER BY side, name""".stripMargin,
     "distinct_mktsegments" ->
       "SELECT DISTINCT c_mktsegment FROM customer ORDER BY c_mktsegment",
+    // semantics check for the binned construction: DuckDB runs the
+    // plain interval predicate join
+    "range_join_bands" ->
+      s"""SELECT b.band, count(*) AS n_orders, ${dsumSql("o.o_totalprice")} AS sum_price
+         |FROM (SELECT k AS band, k*25000.0 AS lo, k*25000.0+40000.0 AS hi
+         |      FROM (SELECT unnest(range(20)) AS k)) b
+         |JOIN orders o ON o.o_totalprice >= b.lo AND o.o_totalprice < b.hi
+         |GROUP BY b.band ORDER BY b.band""".stripMargin,
+    "agg_rollup" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+         |  ${dsumSql("l_quantity")} AS sum_qty, count(*) AS n
+         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+         |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin,
+    "pivot_event_types" ->
+      """SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day,
+        |  count(*) FILTER (WHERE event_type='click') AS click,
+        |  count(*) FILTER (WHERE event_type='error') AS error,
+        |  count(*) FILTER (WHERE event_type='purchase') AS purchase,
+        |  count(*) FILTER (WHERE event_type='signup') AS signup,
+        |  count(*) FILTER (WHERE event_type='view') AS view
+        |FROM events GROUP BY 1 ORDER BY day""".stripMargin,
+    "window_suite" ->
+      """SELECT o_orderkey, o_custkey,
+        |  row_number() OVER w AS rn,
+        |  lag(o_totalprice) OVER w AS prev_price,
+        |  lead(o_totalprice) OVER w AS next_price,
+        |  ntile(4) OVER w AS quartile
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, rn""".stripMargin,
+    "agg_percentiles" ->
+      """SELECT l_returnflag,
+        |  CAST(floor(quantile_cont(l_extendedprice, 0.25)*1e4 + 0.5) AS BIGINT) AS p25,
+        |  CAST(floor(quantile_cont(l_extendedprice, 0.5)*1e4 + 0.5) AS BIGINT) AS p50,
+        |  CAST(floor(quantile_cont(l_extendedprice, 0.95)*1e4 + 0.5) AS BIGINT) AS p95
+        |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
+    // the bloom prefilter is result-invariant: the oracle is the exact
+    // semi-join with no filter at all
+    "bloom_prefilter_join" ->
+      s"""SELECT c.c_mktsegment, count(*) AS n_customers, ${dsumSql("c.c_acctbal")} AS sum_bal
+         |FROM customer c
+         |WHERE EXISTS (SELECT 1 FROM orders o
+         |              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000.0)
+         |GROUP BY 1 ORDER BY c.c_mktsegment""".stripMargin,
   )
 }
