@@ -84,4 +84,42 @@ object Curation {
     corpusSh.join(broadcast(evalSh), "sh")
       .groupBy("id").agg(count(lit(1)).as("n_overlap"))
   }
+
+  /** Deterministic hash-threshold sampler: keep a row iff its keyed
+    * 32-bit hash falls below `rate`·2³². The sampling primitive every
+    * curation stage shares (stratified sampling, corpus mixing):
+    * a NARROW filter — no shuffle, no RNG state, idempotent under task
+    * retry/speculation (same rows survive every re-run), and the kept
+    * set is monotone in `rate` (raising a stratum's rate only adds
+    * rows — reproducible ablations). `rate` may be any per-row Column
+    * (a literal, a CASE over strata, a joined-in per-source rate). */
+  def hashSample(df: DataFrame, keyCol: String, seed: String,
+      rate: org.apache.spark.sql.Column, tag: String = "strat"): DataFrame =
+    df.filter(graft.functions.F.hash32(col(keyCol), seed, tag) <
+      floor(rate * lit(4294967296.0)).cast("long"))
+
+  /** Corpus mixing: downsample each `groupCol` stratum toward a target
+    * composition. `weights` maps stratum → target weight; a stratum's
+    * keep-rate is `min(1, weight · budgetRows / stratumCount)` — i.e.
+    * the mix that `budgetRows · weight` rows per stratum would need,
+    * capped where the stratum is too small (the standard
+    * sampling-with-cap mix, cf. the public Pile/ROOTS recipes).
+    *
+    * Scale shape: one small per-stratum count aggregate (|strata|
+    * rows, broadcast back), then the narrow hashSample filter — the
+    * corpus itself never shuffles. Missing strata default to weight 0
+    * (dropped), so an unexpected source can't flood the mix. */
+  def weightedMix(df: DataFrame, groupCol: String, keyCol: String, seed: String,
+      weights: Map[String, Double], budgetRows: Long): DataFrame = {
+    require(budgetRows > 0, s"weightedMix: budgetRows=$budgetRows must be positive")
+    require(weights.values.forall(_ >= 0), "weightedMix: negative weight")
+    val counts = df.groupBy(groupCol).agg(count(lit(1)).as("_mix_n"))
+    val weight = weights.foldLeft(lit(0.0)) { case (acc, (k, w)) =>
+      when(col(groupCol) === k, lit(w)).otherwise(acc)
+    }
+    val rated = df.join(broadcast(counts), groupCol)
+      .withColumn("_mix_rate",
+        least(lit(1.0), weight * lit(budgetRows.toDouble) / col("_mix_n")))
+    hashSample(rated, keyCol, seed, col("_mix_rate"), tag = "mix")
+  }
 }

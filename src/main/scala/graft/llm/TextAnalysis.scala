@@ -80,6 +80,35 @@ object TextAnalysis {
     least(tokenCount(text).cast("double") / 100.0, lit(1.0)) * 0.5 +
       least((sEn.cast("double") / tokenCount(text)) * 5.0, lit(1.0)) * 0.5
 
+  /** Gopher-style rule columns (Rae et al. 2021 §A1.1, the published
+    * quality heuristics): word count bounds, mean word length band,
+    * alphabetic-character fraction, stopword presence. Returns the
+    * audit columns plus the composite `keep` — pipelines usually keep
+    * the flags, not just the verdict, so threshold ablations don't
+    * re-scan the corpus. All codegen'd Column math (regexp_count /
+    * translate / length — no HOFs, no UDFs), document-parallel.
+    *
+    * `stopwords` defaults to the en profile; `keep` requires n_words ∈
+    * [minWords, maxWords], mean word length ∈ [3, 10], and ≥ minStop
+    * distinct stopwords present. */
+  def gopherRules(text: Column, minWords: Int = 20, maxWords: Int = 100000,
+      minStop: Int = 1): Seq[(String, Column)] = {
+    val toks = split(text, " ")
+    val nWords = size(toks).cast("long")
+    val nCharsNoSp = length(translate(text, " ", "")).cast("double")
+    val nAlpha = length(regexp_replace(text, "[^a-z]", "")).cast("double")
+    val meanLen = nCharsNoSp / nWords
+    val nStop = langProfiles.toMap.apply("en")
+      .map(w => array_contains(toks, w).cast("long")).reduce(_ + _)
+    Seq(
+      "n_words" -> nWords,
+      "mean_word_len" -> meanLen,
+      "alpha_frac" -> (nAlpha / nCharsNoSp),
+      "n_stop" -> nStop,
+      "keep" -> (nWords >= minWords && nWords <= maxWords &&
+        meanLen >= 3.0 && meanLen <= 10.0 && nStop >= minStop))
+  }
+
   /** Document fingerprint: min polynomial hash over codepoint 5-grams —
     * winnowing with a single global window. The polynomial
     * (base 257 mod 2^31−1 over character codes) costs 5 integer ops

@@ -66,6 +66,43 @@ object CurationPack extends QueryPack {
         .select(col("source"), col("doc_id"), col("n_tok").cast("long"), col("seq"))
         .orderBy("source", "doc_id")
     }),
+    // Deterministic stratified sampling (Curation.hashSample): per-lang
+    // keep-rates applied as a keyed-hash threshold — a NARROW filter
+    // (no shuffle, no RNG state, idempotent under retry); the output
+    // audits in/out counts per stratum.
+    "sample_stratified" -> ((s, dir) => {
+      val d = docs(s, dir).select("doc_id", "lang")
+      val rate = when(col("lang") === "en", 0.5)
+        .when(col("lang") === "zh", 0.35).otherwise(0.2)
+      val sampled = Curation.hashSample(d, "doc_id", "s7", rate)
+        .groupBy("lang").agg(count(lit(1)).as("n_sampled"))
+      d.groupBy("lang").agg(count(lit(1)).as("n_in"))
+        .join(sampled, Seq("lang"), "left")
+        .select(col("lang"), col("n_in"),
+          coalesce(col("n_sampled"), lit(0L)).as("n_sampled"))
+        .orderBy("lang")
+    }),
+    // Corpus mixing (Curation.weightedMix): downsample each source
+    // toward a target composition — head sources weighted 10× — with
+    // per-source rate = min(1, w·budget/count). One |strata|-row count
+    // aggregate broadcast back; the corpus side stays narrow.
+    "curation_mix" -> ((s, dir) => {
+      val weights = (0 until 20)
+        .map(i => s"src$i" -> (if (i < 3) 0.4 else 0.04)).toMap
+      val d = docs(s, dir).select("doc_id", "source")
+      val mixed = Curation.weightedMix(d, "source", "doc_id", "s7", weights, 400L)
+        .groupBy("source").agg(count(lit(1)).as("n_sampled"))
+      val weight = weights.foldLeft(lit(0.0)) { case (acc, (k, w)) =>
+        when(col("source") === k, lit(w)).otherwise(acc)
+      }
+      d.groupBy("source").agg(count(lit(1)).as("n_in"))
+        .join(mixed, Seq("source"), "left")
+        .select(col("source"), col("n_in"),
+          graft.functions.F.scale4(
+            least(lit(1.0), weight * lit(400.0) / col("n_in"))).as("rate4"),
+          coalesce(col("n_sampled"), lit(0L)).as("n_sampled"))
+        .orderBy("source")
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -121,5 +158,27 @@ object CurationPack extends QueryPack {
          |SELECT source, doc_id, n_tok,
          |  CAST(FLOOR((cum - n_tok) / $BUDGET.0) AS BIGINT) AS seq
          |FROM packed ORDER BY source, doc_id""".stripMargin,
+    // hash32(doc_id, 's7', 'strat') mirrored as md5 hex-slice; the
+    // threshold floor(rate·2^32) is exact integer math on both sides
+    "sample_stratified" ->
+      """WITH h AS (SELECT lang,
+        |    CAST(CONCAT('0x', substr(md5(CAST(doc_id AS VARCHAR) || ':s7:strat'), 1, 8)) AS BIGINT) AS h32,
+        |    CASE lang WHEN 'en' THEN 0.5 WHEN 'zh' THEN 0.35 ELSE 0.2 END AS rate
+        |  FROM documents)
+        |SELECT lang, count(*) AS n_in,
+        |  count(*) FILTER (WHERE h32 < CAST(floor(rate * 4294967296.0) AS BIGINT)) AS n_sampled
+        |FROM h GROUP BY lang ORDER BY lang""".stripMargin,
+    "curation_mix" ->
+      """WITH cnt AS (SELECT source, count(*) AS n_in FROM documents GROUP BY source),
+        |r AS (SELECT source, n_in,
+        |    least(1.0, (CASE WHEN source IN ('src0','src1','src2') THEN 0.4 ELSE 0.04 END) * 400.0 / n_in) AS rate
+        |  FROM cnt),
+        |h AS (SELECT d.source, r.n_in, r.rate,
+        |    CAST(CONCAT('0x', substr(md5(CAST(d.doc_id AS VARCHAR) || ':s7:mix'), 1, 8)) AS BIGINT) AS h32
+        |  FROM documents d JOIN r USING (source))
+        |SELECT source, any_value(n_in) AS n_in,
+        |  CAST(floor(any_value(rate) * 1e4 + 0.5) AS BIGINT) AS rate4,
+        |  count(*) FILTER (WHERE h32 < CAST(floor(rate * 4294967296.0) AS BIGINT)) AS n_sampled
+        |FROM h GROUP BY source ORDER BY source""".stripMargin,
   )
 }

@@ -43,6 +43,30 @@ object LlmPack extends QueryPack {
     "text_fingerprint" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"), TA.fingerprint(col("text")).as("fp"))
         .orderBy("doc_id")),
+    // Gopher-style rule filter (Rae et al. 2021 §A1.1): audit columns
+    // + composite keep per doc, all codegen'd Column math; ratios
+    // cross the oracle boundary as scale4 longs, the keep verdict
+    // compares the RAW doubles (same IEEE divisions on both sides).
+    "text_gopher_rules" -> ((s, dir) => {
+      val r = TA.gopherRules(col("text")).toMap
+      docs(s, dir).select(col("doc_id"),
+        r("n_words").as("n_words"),
+        graft.functions.F.scale4(r("mean_word_len")).as("mean_word_len"),
+        graft.functions.F.scale4(r("alpha_frac")).as("alpha_frac"),
+        r("n_stop").as("n_stop"),
+        r("keep").as("keep"))
+        .orderBy("doc_id")
+    }),
+    // Vocabulary head: explode whitespace tokens → partial+final hash
+    // aggregate → TakeOrderedAndProject top-20 (count desc, term) —
+    // the corpus-frequency query every tokenizer build starts with;
+    // no global sort at any scale.
+    "text_top_terms" -> ((s, dir) =>
+      docs(s, dir)
+        .select(explode(split(col("text"), " ")).as("term"))
+        .filter(col("term") =!= "")
+        .groupBy("term").agg(count(lit(1)).as("n"))
+        .orderBy(desc("n"), asc("term")).limit(20)),
     // The full curation decision: resolve dup clusters (same chain
     // fixture as dedup_clusters), then keep the HIGHEST-QUALITY member
     // of each cluster — argmax via the packed-long min idiom (ties →
@@ -372,6 +396,30 @@ object LlmPack extends QueryPack {
          |  CAST(${reCount("text", "[^A-Za-z0-9\\s]")} AS DOUBLE) /
          |        GREATEST(length(text), 1) AS punct_ratio
          |  FROM documents) ORDER BY doc_id""".stripMargin,
+    "text_gopher_rules" ->
+      """WITH s AS (SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+        |    CAST(length(replace(text, ' ', '')) AS DOUBLE) AS n_chars_nosp,
+        |    CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE) AS n_alpha,
+        |    CAST(list_contains(string_split(text, ' '), 'the') AS BIGINT)
+        |      + CAST(list_contains(string_split(text, ' '), 'a') AS BIGINT)
+        |      + CAST(list_contains(string_split(text, ' '), 'of') AS BIGINT)
+        |      + CAST(list_contains(string_split(text, ' '), 'and') AS BIGINT)
+        |      + CAST(list_contains(string_split(text, ' '), 'to') AS BIGINT) AS n_stop
+        |  FROM documents)
+        |SELECT doc_id, n_words,
+        |  CAST(floor(n_chars_nosp / n_words * 1e4 + 0.5) AS BIGINT) AS mean_word_len,
+        |  CAST(floor(n_alpha / n_chars_nosp * 1e4 + 0.5) AS BIGINT) AS alpha_frac,
+        |  n_stop,
+        |  (n_words >= 20 AND n_words <= 100000
+        |   AND n_chars_nosp / n_words >= 3.0 AND n_chars_nosp / n_words <= 10.0
+        |   AND n_stop >= 1) AS keep
+        |FROM s ORDER BY doc_id""".stripMargin,
+    "text_top_terms" ->
+      """SELECT term, count(*) AS n
+        |FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+        |WHERE term <> ''
+        |GROUP BY term ORDER BY n DESC, term LIMIT 20""".stripMargin,
     "text_fingerprint" -> {
       val poly = (0 until 5).map(j => s"cs[i + $j]")
         .reduce((acc, c) => s"($acc * 257 + $c)")
