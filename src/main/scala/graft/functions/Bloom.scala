@@ -76,13 +76,18 @@ object BloomOps {
   * sketch surface, next to [[KmvDistinct]]).
   *
   * The 100-TB use: build the filter over the SMALL side's join keys
-  * (one aggregate row), broadcast the few-KB binary, and pre-filter
-  * the BIG side with [[BloomMightContain]] BEFORE its shuffle — rows
-  * that can't join never leave their input partition. False positives
-  * only let extra rows through to the exact join; results are
-  * unchanged, which is why the oracle for the composed query is the
-  * plain semi-join. Partial aggregation is the natural sketch merge
-  * (bitwise OR), so the build itself is one O(filter-size)-state pass. */
+  * (a distributed aggregate — partial merge is bitwise OR), land the
+  * few-KB binary on the driver, and pre-filter the BIG side with
+  * [[BloomMightContain]] over the LITERAL filter BEFORE its shuffle —
+  * rows that can't join never leave their scan partition. The literal
+  * embedding (see [[Bloom.buildFilter]]/[[Bloom.mightContain]]) is
+  * deliberate: a crossJoin-with-one-row formulation leaves Catalyst
+  * free to reorder the probe ABOVE the exact join (observed — the
+  * prefilter became decorative); a scan-side Filter cannot float.
+  * This mirrors Spark's own InjectRuntimeFilter design. False
+  * positives only let extra rows through to the exact join; results
+  * are unchanged, which is why the oracle for the composed query is
+  * the plain semi-join. */
 case class BloomBuild(child: Expression, numBits: Int, numHashes: Int,
     mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[Array[Long]] with UnaryLike[Expression] {
@@ -144,4 +149,28 @@ case class BloomMightContain(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
+}
+
+/** User-facing bloom join-pruning API: distributed build → driver
+  * literal → scan-side probe. */
+object Bloom {
+  import org.apache.spark.sql.{Column, DataFrame}
+  import org.apache.spark.sql.catalyst.expressions.Literal
+
+  /** Aggregate `keys(keyCol)` into a serialized filter. Executors do
+    * the hashing and partial ORs; only the final `numBits/8`-byte
+    * blob crosses to the driver — the same bounded index-build
+    * boundary as the ANN centroid collect. */
+  def buildFilter(keys: DataFrame, keyCol: String,
+      numBits: Int, numHashes: Int): Array[Byte] =
+    keys.agg(F.toColumn(
+        BloomBuild(F.toExpr(org.apache.spark.sql.functions.col(keyCol)),
+          numBits, numHashes).toAggregateExpression()).as("bf"))
+      .head().getAs[Array[Byte]](0)
+
+  /** Probe column over a driver-built filter, embedded as a literal so
+    * the optimizer treats it as a plain deterministic scan filter. */
+  def mightContain(filter: Array[Byte], key: Column): Column =
+    F.toColumn(BloomMightContain(Literal.create(filter, BinaryType),
+      F.toExpr(key)))
 }

@@ -278,24 +278,21 @@ object RelationalPack extends QueryPack {
         .orderBy("l_returnflag")),
 
     // §2.13 sketch surface, join-pruning form: bloom_build aggregates
-    // the SMALL side's keys into one binary filter (partial merge =
-    // bitwise OR), broadcast to pre-filter the BIG side before its
-    // shuffle — at 100 TB the rows that can't join never leave their
-    // scan partition. False positives pass through to the exact
-    // semi-join, so results (and the oracle: the plain semi-join) are
-    // unchanged.
+    // the SMALL side's keys (partial merge = bitwise OR), the few-KB
+    // filter lands on the driver and probes the BIG side as a LITERAL
+    // scan filter before the shuffle — at 100 TB the rows that can't
+    // join never leave their scan partition. (A crossJoin-with-one-row
+    // formulation lets Catalyst hoist the probe above the join —
+    // PlanShapeSpec locks the scan-side placement.) False positives
+    // pass through to the exact semi-join, so results (and the oracle:
+    // the plain semi-join) are unchanged.
     "bloom_prefilter_join" -> ((s, dir) => {
-      import graft.functions.{BloomBuild, BloomMightContain, F}
+      import graft.functions.Bloom
       val hot = Tables.load(s, dir, "orders")
         .filter(col("o_totalprice") > 400000.0).select("o_custkey")
-      val bloomDf = hot.agg(F.toColumn(
-        BloomBuild(F.toExpr(col("o_custkey")), numBits = 1 << 16, numHashes = 5)
-          .toAggregateExpression()).as("bf"))
+      val bf = Bloom.buildFilter(hot, "o_custkey", numBits = 1 << 16, numHashes = 5)
       val pre = Tables.load(s, dir, "customer")
-        .crossJoin(broadcast(bloomDf))
-        .filter(F.toColumn(BloomMightContain(
-          F.toExpr(col("bf")), F.toExpr(col("c_custkey")))))
-        .drop("bf")
+        .filter(Bloom.mightContain(bf, col("c_custkey")))
       val hotD = hot.distinct()
       pre.join(hotD, pre("c_custkey") === hotD("o_custkey"), "left_semi")
         .groupBy("c_mktsegment")

@@ -1,6 +1,7 @@
 package graft
 
 import graft.SparkSpec
+import org.apache.spark.sql.functions.lit
 
 /** Regression locks on the PHYSICAL PLAN SHAPES the 100-TB design
   * depends on. Correctness gates prove the right rows come back; these
@@ -139,5 +140,57 @@ class PlanShapeSpec extends SparkSpec {
       val p = plan("ann_ivf_recall")
       assert(p.contains("InMemoryTableScan"), p)
     } finally spark.catalog.clearCache()
+  }
+
+  test("range_join_bands is an equi-join on the bin — never a nested-loop/cartesian plan") {
+    // The whole point of the binned construction: the interval
+    // predicate alone would force BroadcastNestedLoopJoin (and a
+    // cartesian once neither side broadcasts); the bin key makes it a
+    // plain hash-joinable equi-join at any scale.
+    val p = plan("range_join_bands")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
+      p.contains("ShuffledHashJoin"), p)
+  }
+
+  test("bloom_prefilter_join probes the filter on the big side BEFORE the exact semi-join") {
+    // The probe must sit in a Filter under the join (rows that can't
+    // match die at the scan), and the exact recovery join must stay a
+    // semi-join — if the probe migrates above the join, the prefilter
+    // is decorative.
+    val df = SparkEntry.queries("bloom_prefilter_join")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("bloom_might_contain"), p)
+    assert(p.contains("LeftSemi"), p)
+    val filterIdx = p.indexOf("bloom_might_contain")
+    val joinIdx = p.indexOf("LeftSemi")
+    // executedPlan prints top-down: the probe Filter must appear BELOW
+    // (= after in the string) the semi-join it feeds.
+    assert(filterIdx > joinIdx, p)
+  }
+
+  test("text_top_terms is explode → hash aggregate → TakeOrderedAndProject") {
+    val p = plan("text_top_terms")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("HashAggregate"), p)
+    assert(!p.contains("SortAggregate"), p)
+  }
+
+  test("agg_rollup runs Expand into ONE hash aggregate — all levels in a single shuffle") {
+    val p = plan("agg_rollup")
+    assert(p.contains("Expand"), p)
+    assert(p.contains("HashAggregate"), p)
+    assert(!p.contains("SortAggregate"), p)
+  }
+
+  test("sample_stratified's sampler side is a narrow filter — no shuffle before the audit aggregate") {
+    // hashSample itself must stay shuffle-free: the filter sits on the
+    // scan; the only exchanges in the query belong to the audit
+    // groupBy/join, never between scan and filter.
+    val d = graft.core.Tables.load(spark, sf, "documents").select("doc_id", "lang")
+    val sampled = graft.llm.Curation.hashSample(d, "doc_id", "t", lit(0.5))
+    val p = sampled.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), p)
+    assert(p.contains("Filter"), p)
   }
 }

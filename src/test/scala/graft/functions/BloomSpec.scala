@@ -43,12 +43,8 @@ class BloomSpec extends SparkSpec {
   test("aggregate + probe end-to-end in a query: prefilter passes a superset, exact join exact") {
     val keys = spark.range(1000).select(col("id"))
     val hot = keys.filter(col("id") % 37 === 0)
-    val bloom = hot.agg(F.toColumn(
-      BloomBuild(F.toExpr(col("id")), numBits = 1 << 12, numHashes = 5)
-        .toAggregateExpression()).as("bf"))
-    val pre = keys.crossJoin(broadcast(bloom))
-      .filter(F.toColumn(BloomMightContain(F.toExpr(col("bf")), F.toExpr(col("id")))))
-      .drop("bf")
+    val bf = Bloom.buildFilter(hot, "id", numBits = 1 << 12, numHashes = 5)
+    val pre = keys.filter(Bloom.mightContain(bf, col("id")))
     val preIds = pre.as[Long].collect().toSet
     val hotIds = hot.as[Long].collect().toSet
     assert(hotIds.subsetOf(preIds), "prefilter dropped a real member")
