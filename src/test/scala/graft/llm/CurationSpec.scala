@@ -58,4 +58,51 @@ class CurationSpec extends SparkSpec {
     // shared distinct 3-grams: "the quick brown", "quick brown fox"
     assert(hits == Map(1L -> 2L))
   }
+
+  test("hashSample: deterministic, rate-monotone, and roughly proportional") {
+    val d = spark.range(2000).toDF("k")
+    def ids(rate: Double) =
+      Curation.hashSample(d, "k", "seed1", lit(rate)).collect().map(_.getLong(0)).toSet
+    val a1 = ids(0.3); val a2 = ids(0.3)
+    assert(a1 == a2, "same seed+rate must select identical rows")
+    val half = ids(0.6)
+    assert(a1.subsetOf(half), "raising the rate must only ADD rows")
+    assert(math.abs(a1.size - 600) < 120, s"${a1.size} not ≈ 600")
+    assert(ids(0.0).isEmpty && ids(1.0).size == 2000)
+    assert(ids(0.3) != Curation.hashSample(d, "k", "seed2", lit(0.3))
+      .collect().map(_.getLong(0)).toSet, "different seed → different sample")
+  }
+
+  test("weightedMix: per-stratum rates hit the target mix, capped at 1.0; unknown strata drop") {
+    val d = (0L until 900L).map(i => (i, if (i < 600) "big" else if (i < 870) "small" else "junk"))
+      .toDF("k", "g")
+    // budget 300, weights big=0.8 small=0.2 → rates big: 240/600=0.4,
+    // small: 60/270≈0.222; junk has no weight → dropped entirely.
+    val out = Curation.weightedMix(d, "g", "k", "s", Map("big" -> 0.8, "small" -> 0.2), 300L)
+      .groupBy("g").count().collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(!out.contains("junk"), s"unknown stratum leaked: $out")
+    assert(math.abs(out("big") - 240L) < 60, s"$out")
+    assert(math.abs(out("small") - 60L) < 30, s"$out")
+    // a stratum smaller than its target keeps everything (rate capped at 1)
+    val capped = Curation.weightedMix(d, "g", "k", "s", Map("small" -> 1.0), 5000L)
+      .groupBy("g").count().collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(capped == Map("small" -> 270L), s"$capped")
+  }
+
+  test("gopherRules: flags fire on the documented boundaries") {
+    import graft.llm.TextAnalysis
+    val rows = Seq(
+      (1L, Seq.fill(30)("word").mkString(" ")),        // no stopword → reject
+      (2L, ("the " * 10 + "word " * 20).trim),          // short words ok, has 'the'
+      (3L, Seq.fill(25)("supercalifragilistic").mkString(" ") + " the"), // mean len > 10
+      (4L, "the tiny doc"))                             // < 20 words
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.gopherRules(col("text")).toMap
+    val out = rows.select(col("doc_id"), r("keep").as("keep"), r("n_stop").as("n_stop"))
+      .collect().map(x => (x.getLong(0), (x.getBoolean(1), x.getLong(2)))).toMap
+    assert(out(1L) == ((false, 0L)), s"$out")
+    assert(out(2L) == ((true, 1L)), s"$out")
+    assert(out(3L)._1 == false, s"$out")
+    assert(out(4L)._1 == false, s"$out")
+  }
 }
