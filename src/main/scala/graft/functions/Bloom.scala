@@ -1,11 +1,11 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.trees.{BinaryLike, UnaryLike}
-import org.apache.spark.sql.types.{BinaryType, BooleanType, DataType}
+import org.apache.spark.sql.types.{AbstractDataType, BinaryType, BooleanType, DataType, LongType}
 
 /** Static Bloom-filter kernel shared by the aggregate (build), the
   * membership expression (probe, called from generated code), and
@@ -90,7 +90,16 @@ object BloomOps {
   * the plain semi-join. */
 case class BloomBuild(child: Expression, numBits: Int, numHashes: Int,
     mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[Array[Long]] with UnaryLike[Expression] {
+  extends TypedImperativeAggregate[Array[Long]] with UnaryLike[Expression]
+  with ExpectsInputTypes {
+
+  // Analysis-time type gate: the hash kernel consumes a 64-bit key, so
+  // a non-Long column (e.g. Int) must fail resolution, not throw
+  // ClassCastException from `asInstanceOf[Long]` mid-job. Deliberately
+  // NOT ImplicitCastInputTypes: a silent Int→Long widen would let two
+  // call sites hash "the same" key from differently-typed columns and
+  // still be a trap — the caller should cast explicitly.
+  override def inputTypes: Seq[AbstractDataType] = Seq(LongType)
 
   require(numBits >= 64, s"bloom_build: numBits=$numBits must be >= 64")
   require(numHashes >= 1 && numHashes <= 16,
@@ -135,7 +144,10 @@ case class BloomBuild(child: Expression, numBits: Int, numHashes: Int,
   * join, so it must stay inside whole-stage codegen). Null filter or
   * null key → null, mirroring built-in binary expressions. */
 case class BloomMightContain(left: Expression, right: Expression)
-    extends BinaryExpression with BinaryLike[Expression] {
+    extends BinaryExpression with BinaryLike[Expression] with ExpectsInputTypes {
+
+  // Same analysis-time gate as BloomBuild (see rationale there).
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType, LongType)
 
   override def dataType: DataType = BooleanType
   override def prettyName: String = "bloom_might_contain"

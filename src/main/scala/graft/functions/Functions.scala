@@ -417,7 +417,15 @@ case class KmvDistinct(child: Expression, k: Int,
     mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
   extends org.apache.spark.sql.catalyst.expressions.aggregate
     .TypedImperativeAggregate[java.util.TreeSet[java.lang.Long]]
-  with org.apache.spark.sql.catalyst.trees.UnaryLike[Expression] {
+  with org.apache.spark.sql.catalyst.trees.UnaryLike[Expression]
+  with org.apache.spark.sql.catalyst.expressions.ExpectsInputTypes {
+
+  // Analysis-time type gate: the sketch buffers 60-bit hashes as
+  // longs; a non-Long column must fail resolution, not throw
+  // ClassCastException from `asInstanceOf[Long]` mid-job (same
+  // no-implicit-cast rationale as BloomBuild).
+  override def inputTypes: Seq[org.apache.spark.sql.types.AbstractDataType] =
+    Seq(org.apache.spark.sql.types.LongType)
 
   require(k >= 2, s"kmv_distinct: k=$k must be >= 2")
 

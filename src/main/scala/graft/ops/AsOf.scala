@@ -32,7 +32,14 @@ object AsOf {
   /** leftDf(key, leftTime, ...) ⟕ rightDf(key, rightTime, payload...):
     * left rows + `payload` columns from the as-of match (null when no
     * right row precedes). `payloadCols` must exist on the right side
-    * and not collide with left columns. */
+    * and not collide with left columns.
+    *
+    * Right rows with a NULL `rightTime` are dropped: a row with no
+    * timestamp can never be a most-recent-prior match (`null <= t` is
+    * never true in predicate-ASOF semantics). Without the filter Spark
+    * sorts nulls FIRST ascending, so a null-timestamp row would head
+    * every key's window and its payload would carry into left rows
+    * that have no genuine prior match. */
   def joinAsOf(leftDf: DataFrame, rightDf: DataFrame, keyCol: String,
       leftTime: String, rightTime: String, payloadCols: Seq[String]): DataFrame = {
     require(payloadCols.nonEmpty, "joinAsOf: at least one payload column")
@@ -41,7 +48,7 @@ object AsOf {
       s"joinAsOf: payload ${payloadCols.mkString(",")} collides with left columns")
     val t = "_asof_t"; val side = "_asof_side"; val p = "_asof_p"
     val pType = StructType(payloadCols.map(c => rightDf.schema(c)))
-    val taggedRight = rightDf.select(
+    val taggedRight = rightDf.filter(col(rightTime).isNotNull).select(
       (col(keyCol) +: col(rightTime).as(t) +: lit(0).as(side) +:
         struct(payloadCols.map(col): _*).as(p) +:
         leftCols.filterNot(_ == keyCol)

@@ -39,14 +39,21 @@ object RangeJoin {
       "pointInInterval: point/interval column names collide")
     val bin = "_rj_bin"
     // interval [lo, hi) overlaps bin b = [b·w, (b+1)·w) iff
-    // floor(lo/w) <= b <= ceil(hi/w)-1. Spark's 2-arg sequence runs
+    // floor(lo/w) <= b <= ceil(hi/w)-1 in REAL arithmetic — but the
+    // join key on the point side is computed in FLOATING POINT, and
+    // when hi/w is exactly integral a point at hi−ulp can divide/round
+    // up to exactly hi/w, landing in bin hi/w that ceil(hi/w)-1 never
+    // replicated into: the equi-join drops a row the post-filter would
+    // have kept. Replicate through floor(hi/w) instead — identical to
+    // ceil(hi/w)-1 when hi/w is fractional, one extra (harmless,
+    // post-filtered) copy when integral. Spark's 2-arg sequence runs
     // DESCENDING when start > stop, so an empty interval (hi <= lo)
     // must map to an empty array explicitly — explode then drops it,
     // matching the `lo <= p < hi` predicate (nothing matches).
     val loBin = floor(col(loCol) / binWidth).cast("long")
-    val hiBin = ceil(col(hiCol) / binWidth).cast("long") - 1
+    val hiBin = greatest(floor(col(hiCol) / binWidth).cast("long"), loBin)
     val binned = intervals
-      .withColumn(bin, explode(when(hiBin >= loBin,
+      .withColumn(bin, explode(when(col(hiCol) > col(loCol),
         sequence(loBin, hiBin, lit(1L))).otherwise(array().cast("array<long>"))))
     points
       .withColumn(bin, floor(col(pointCol) / binWidth).cast("long"))

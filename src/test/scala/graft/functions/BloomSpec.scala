@@ -58,4 +58,19 @@ class BloomSpec extends SparkSpec {
     intercept[IllegalArgumentException] { BloomBuild(F.toExpr(lit(1L)), 32, 5) }
     intercept[IllegalArgumentException] { BloomBuild(F.toExpr(lit(1L)), 1 << 10, 0) }
   }
+
+  test("non-Long key column is an analysis-time error, not a runtime ClassCastException") {
+    // ExpectsInputTypes(LongType): an Int key must fail resolution —
+    // before the fix it ClassCastException'd mid-job from asInstanceOf.
+    val intKeys = spark.range(10).select(col("id").cast("int").as("id"))
+    val buildErr = intercept[org.apache.spark.sql.AnalysisException] {
+      Bloom.buildFilter(intKeys, "id", numBits = 1 << 10, numHashes = 5)
+    }
+    assert(buildErr.getMessage.toLowerCase.contains("type"))
+    val bf = Bloom.buildFilter(spark.range(10).toDF("id"), "id", 1 << 10, 5)
+    val probeErr = intercept[org.apache.spark.sql.AnalysisException] {
+      intKeys.filter(Bloom.mightContain(bf, col("id"))).collect()
+    }
+    assert(probeErr.getMessage.toLowerCase.contains("type"))
+  }
 }

@@ -104,4 +104,16 @@ class FunctionsSpec extends SparkSpec {
     hashed(100, 4).createOrReplaceTempView("kmv_t")
     assert(spark.sql("SELECT kmv_distinct(h, 64) FROM kmv_t").head.getLong(0) == 25L)
   }
+
+  test("KmvDistinct: non-Long input is an analysis-time error, not ClassCastException") {
+    // ExpectsInputTypes(LongType): the sketch buffers 60-bit hashes as
+    // longs; an Int column must fail resolution, not mid-job.
+    val ints = spark.range(10).select(col("id").cast("int").as("h"))
+    val err = intercept[org.apache.spark.sql.AnalysisException] {
+      ints.agg(F.toColumn(
+        KmvDistinct(F.toExpr(col("h")), 16).toAggregateExpression()).as("est"))
+        .collect()
+    }
+    assert(err.getMessage.toLowerCase.contains("type"))
+  }
 }

@@ -36,6 +36,25 @@ class AsOfSpec extends SparkSpec {
     assert(out.toSeq == Seq(("a", null, 1.0), ("b", "second", 2.0)))
   }
 
+  test("as-of: null right timestamps never match — dropped, not carried forward") {
+    // Spark sorts nulls FIRST ascending: unfiltered, a null-rt row
+    // would head every key's window and its payload would carry into
+    // left rows with no genuine prior match (k=2 here). Predicate-ASOF
+    // (`rt <= lt`) says a null timestamp matches nothing.
+    val r2 = Seq(
+      (1L, Some(100L), "r_at_100", 7.0),
+      (1L, None, "r_null", 6.0),
+      (2L, None, "r_null2", 9.0))
+      .toDF("k", "rt", "tag", "v")
+    val out = AsOf.joinAsOf(left, r2, "k", "lt", "rt", Seq("tag", "v"))
+      .orderBy("k", "lt").collect()
+      .map(r => (r.getAs[Long]("k"), r.getAs[String]("name"), r.getAs[String]("tag")))
+    assert(out.toSeq == Seq(
+      (1L, "p1", "r_at_100"), // genuine match unaffected by the null row
+      (1L, "p2", "r_at_100"), // carries the real row, never the null-rt one
+      (2L, "p3", null)))      // ONLY right row has null rt: no match
+  }
+
   test("as-of: payload collision with left columns fails loud") {
     intercept[IllegalArgumentException](
       AsOf.joinAsOf(left, right.withColumnRenamed("tag", "name"), "k", "lt", "rt", Seq("name")))

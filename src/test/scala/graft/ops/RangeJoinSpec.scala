@@ -42,6 +42,21 @@ class RangeJoinSpec extends SparkSpec {
     assert(binned(points, intervals, 5.0) === naive(points, intervals))
   }
 
+  test("FP knife-edge: hi/w exactly integral — point just below hi still matches") {
+    // 17 * 0.1 rounds UP in FP (1.7000000000000002) so hi/w is exactly
+    // 17.0, and the point 1.7's own division 1.7/0.1 ALSO rounds to
+    // exactly 17.0: the point lands in bin 17 while a ceil(hi/w)-1
+    // replication bound stops at bin 16 — the equi-join would drop a
+    // row the exact post-filter keeps. floor(hi/w) must be replicated.
+    val hi = 17 * 0.1
+    assert(hi / 0.1 == 17.0 && 1.7 / 0.1 == 17.0 && 1.7 < hi,
+      "fixture drifted: the FP knife-edge premise no longer holds")
+    val intervals = Seq((1, 1.0, hi))
+    val points = Seq(1.7)
+    assert(naive(points, intervals).nonEmpty)
+    assert(binned(points, intervals, 0.1) === naive(points, intervals))
+  }
+
   test("interval side with zero rows / empty result") {
     val pts = Seq(1.0, 2.0).toDF("p")
     val ivs = Seq.empty[(Int, Double, Double)].toDF("iid", "lo", "hi")
