@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInput
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.trees.{BinaryLike, UnaryLike}
-import org.apache.spark.sql.types.{AbstractDataType, BinaryType, BooleanType, DataType, LongType}
+import org.apache.spark.sql.types.{BinaryType, BooleanType, DataType, LongType}
 
 /** Static Bloom-filter kernel shared by the aggregate (build), the
   * membership expression (probe, called from generated code), and
@@ -99,7 +99,7 @@ case class BloomBuild(child: Expression, numBits: Int, numHashes: Int,
   // NOT ImplicitCastInputTypes: a silent Int→Long widen would let two
   // call sites hash "the same" key from differently-typed columns and
   // still be a trap — the caller should cast explicitly.
-  override def inputTypes: Seq[AbstractDataType] = Seq(LongType)
+  override def inputTypes: Seq[DataType] = Seq(LongType)
 
   require(numBits >= 64, s"bloom_build: numBits=$numBits must be >= 64")
   require(numHashes >= 1 && numHashes <= 16,
@@ -147,7 +147,7 @@ case class BloomMightContain(left: Expression, right: Expression)
     extends BinaryExpression with BinaryLike[Expression] with ExpectsInputTypes {
 
   // Same analysis-time gate as BloomBuild (see rationale there).
-  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType, LongType)
+  override def inputTypes: Seq[DataType] = Seq(BinaryType, LongType)
 
   override def dataType: DataType = BooleanType
   override def prettyName: String = "bloom_might_contain"

@@ -424,7 +424,7 @@ case class KmvDistinct(child: Expression, k: Int,
   // longs; a non-Long column must fail resolution, not throw
   // ClassCastException from `asInstanceOf[Long]` mid-job (same
   // no-implicit-cast rationale as BloomBuild).
-  override def inputTypes: Seq[org.apache.spark.sql.types.AbstractDataType] =
+  override def inputTypes: Seq[org.apache.spark.sql.types.DataType] =
     Seq(org.apache.spark.sql.types.LongType)
 
   require(k >= 2, s"kmv_distinct: k=$k must be >= 2")
