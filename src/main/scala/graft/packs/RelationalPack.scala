@@ -149,6 +149,31 @@ object RelationalPack extends QueryPack {
         .orderBy("user_id", "event_id")
     }),
 
+    // As-of join null-timestamp lock: ~1/7 of right rows get a NULL
+    // vts (deterministic on view_event_id), and ASOF semantics say a
+    // null timestamp can never be a most-recent-prior match. Pinned by
+    // DuckDB's native ASOF JOIN (null never satisfies vts <= ts); the
+    // pre-fix carry-forward window instead sorted nulls FIRST and bled
+    // their payload into left rows with no genuine prior match.
+    "events_asof_nulls" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"), col("ts"))
+      val views = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("event_id")).as("view_event_id"))
+        .select(col("user_id"),
+          when(pmod(col("view_event_id"), lit(7)) === 0, lit(null))
+            .otherwise(col("ts")).as("vts"),
+          col("view_event_id"))
+      graft.ops.AsOf.joinAsOf(purchases, views, "user_id", "ts", "vts",
+          Seq("view_event_id"))
+        .select(col("user_id"), col("event_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts"),
+          col("view_event_id"))
+        .orderBy("user_id", "event_id")
+    }),
+
     // §2.13 custom TypedImperativeAggregate: KMV distinct-count sketch
     // (k smallest distinct keyed-md5 hashes; O(k) state per group at
     // any scale) next to the exact count it approximates. The sketch
@@ -356,6 +381,20 @@ object RelationalPack extends QueryPack {
       """WITH p AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'),
         |v AS (SELECT user_id, ts AS vts, max(event_id) AS view_event_id
         |  FROM events WHERE event_type = 'view' GROUP BY 1, 2)
+        |SELECT p.user_id, p.event_id,
+        |  strftime(CAST(p.ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S.%f') AS ts,
+        |  v.view_event_id
+        |FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND v.vts <= p.ts
+        |ORDER BY p.user_id, p.event_id""".stripMargin,
+    // null-vts lock: DuckDB ASOF never matches a NULL timestamp, so
+    // any carry-forward leak from the nulled rows mismatches here
+    "events_asof_nulls" ->
+      """WITH p AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'),
+        |v0 AS (SELECT user_id, ts, max(event_id) AS view_event_id
+        |  FROM events WHERE event_type = 'view' GROUP BY 1, 2),
+        |v AS (SELECT user_id,
+        |    CASE WHEN view_event_id % 7 = 0 THEN NULL ELSE ts END AS vts,
+        |    view_event_id FROM v0)
         |SELECT p.user_id, p.event_id,
         |  strftime(CAST(p.ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S.%f') AS ts,
         |  v.view_event_id
