@@ -84,7 +84,6 @@ object Pdf {
   private case class CosDoc(objects: mutable.LinkedHashMap[Int, String],
       catalogNum: Int, pagesNum: Int, pageNums: Seq[Int])
 
-  private val objRe = """(?s)(\d+)\s+0\s+obj(.*?)endobj""".r
   private val kidsRe = """(?s)/Kids\s*\[(.*?)\]""".r
   private val refRe = """(\d+)\s+0\s+R""".r
 
@@ -234,12 +233,76 @@ object Pdf {
   private def setLength(dictPart: String, len: Int): String =
     """/Length\s+\d+""".r.replaceAllIn(dictPart, s"/Length $len")
 
+  /** Frame every top-level `N 0 obj … endobj` extent with a
+    * length-aware sequential lexer instead of a reluctant
+    * regex-to-`endobj`: a stream payload is jumped by its direct
+    * /Length ([PDF 32000] 7.3.8) and string tokens are skipped as
+    * tokens, so ciphertext or binary payload containing the literal
+    * bytes `endobj` can never truncate an object — the failure mode
+    * the old regex had on encrypted documents. A stream with a
+    * missing or indirect /Length falls back to the `endstream` token
+    * (indirect lengths stay outside the documented subset; the crypt
+    * transform still raises its defined error for them). Returns
+    * (num, bodyStart, bodyEnd); body = text between the `obj`
+    * keyword and its `endobj`. */
+  private[ops] def scanObjects(text: String): Seq[(Int, Int, Int)] = {
+    val head = java.util.regex.Pattern.compile("""(\d+)\s+0\s+obj""").matcher(text)
+    val out = Seq.newBuilder[(Int, Int, Int)]
+    var cursor = 0
+    while (cursor < text.length && head.find(cursor)) {
+      val num = head.group(1).toInt
+      val bodyStart = head.end
+      var i = bodyStart
+      var end = -1
+      while (end < 0 && i < text.length) {
+        text.charAt(i) match {
+          case 'e' if text.startsWith("endobj", i) => end = i
+          case 's' if (text.startsWith("stream\n", i) ||
+              text.startsWith("stream\r\n", i)) &&
+              (i == bodyStart || !text.charAt(i - 1).isLetter) =>
+            val dataStart = i + (if (text.charAt(i + 6) == '\r') 8 else 7)
+            val skipTo = dictInt(text.substring(bodyStart, i), "/Length") match {
+              case Some(len) if dataStart + len <= text.length => dataStart + len
+              case _ => dataStart // fall back to the endstream token
+            }
+            val es = text.indexOf("endstream", skipTo)
+            i = if (es < 0) text.length else es + "endstream".length
+          case '(' =>
+            // tokenized skip; a malformed string degrades to one char
+            i = try PdfCrypt.readLiteralString(text, i)._2
+            catch { case _: RuntimeException => i + 1 }
+          case '<' if text.startsWith("<<", i) => i += 2
+          case '<' =>
+            val e = text.indexOf('>', i)
+            i = if (e < 0) text.length else e + 1
+          case '%' =>
+            val e = text.indexWhere(c => c == '\r' || c == '\n', i)
+            i = if (e < 0) text.length else e
+          case _ => i += 1
+        }
+      }
+      if (end >= 0) { out += ((num, bodyStart, end)); cursor = end + "endobj".length }
+      else cursor = text.length
+    }
+    out.result()
+  }
+
   /** Rewrite every `N 0 obj ... endobj` body through `f` (encryption
     * integration point; everything outside object bodies — header,
-    * xref, trailer — passes through untouched). */
-  private[ops] def transformObjects(text: String, f: (Int, String) => String): String =
-    objRe.replaceAllIn(text, m => scala.util.matching.Regex.quoteReplacement(
-      s"${m.group(1)} 0 obj${f(m.group(1).toInt, m.group(2))}endobj"))
+    * xref, trailer — passes through untouched). Framing is
+    * [[scanObjects]], so `f` always receives a whole body even when
+    * stream bytes contain `endobj`. */
+  private[ops] def transformObjects(text: String, f: (Int, String) => String): String = {
+    val sb = new java.lang.StringBuilder(text.length)
+    var last = 0
+    scanObjects(text).foreach { case (num, bs, be) =>
+      sb.append(text, last, bs)
+      sb.append(f(num, text.substring(bs, be)))
+      last = be
+    }
+    sb.append(text, last, text.length)
+    sb.toString
+  }
 
   /** Apply `fStream` to an object's stream payload (direct /Length
     * framing; [PDF 32000] 7.3.8) and `fString` to every literal or hex
@@ -303,9 +366,12 @@ object Pdf {
     // non-empty user passwords raise defined errors.
     val encNum = encryptRe.findFirstMatchIn(text).map(_.group(1).toInt)
     encNum.foreach { num =>
-      val body = s"""(?s)(?<![0-9])$num\\s+0\\s+obj(.*?)endobj""".r
-        .findFirstMatchIn(text).map(_.group(1)).getOrElse(
-          throw new IllegalArgumentException("encrypted PDF: /Encrypt dictionary not found"))
+      // scanObjects framing, not regex-to-endobj: the /O and /U
+      // entries are 32 raw bytes that may themselves contain `endobj`
+      val body = scanObjects(text).collectFirst {
+        case (n, bs, be) if n == num => text.substring(bs, be)
+      }.getOrElse(
+        throw new IllegalArgumentException("encrypted PDF: /Encrypt dictionary not found"))
       val id0 = """/ID\s*\[\s*""".r.findFirstMatchIn(text)
         .map(m => PdfCrypt.readStringAt(text, m.end)._1).getOrElse(Array.empty[Byte])
       val h = PdfCrypt.forDocument(body, id0)
@@ -314,14 +380,14 @@ object Pdf {
         else transformStreamsAndStrings(b, d => h.decrypt(n, 0, d), s => h.decrypt(n, 0, s)))
     }
     val objects = mutable.LinkedHashMap.empty[Int, String]
-    objRe.findAllMatchIn(text).foreach { m =>
-      val body = m.group(2)
+    scanObjects(text).foreach { case (n, bs, be) =>
+      val body = text.substring(bs, be)
       // container/bookkeeping streams are expanded (ObjStm) or ignored
       // (XRef) rather than carried as opaque objects; a decrypted
       // /Encrypt dict is bookkeeping too
       if ("""/Type\s*/(ObjStm|XRef)""".r.findFirstIn(body).isEmpty &&
-          !encNum.contains(m.group(1).toInt))
-        objects(m.group(1).toInt) = body
+          !encNum.contains(n))
+        objects(n) = body
     }
     expandObjectStreams(text, objects)
     // Token-anchored type tests: the catalog also CONTAINS "/Pages 2 0 R",

@@ -135,8 +135,14 @@ object EventsStream {
     val base = Files.createTempDirectory("graft_stream_gate")
     val in = base.resolve("in"); Files.createDirectories(in)
     Files.copy(Paths.get(s"$sfDir/events.parquet"), in.resolve("events.parquet"))
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val probe = spark.read.parquet(s"$sfDir/events.parquet")
+    // Cloned session: shares the SparkContext (executors, cache) but
+    // owns its runtime conf, so the gate's stream-specific settings
+    // (state partitioning below, the nanosAsLong probe flag inside
+    // readEvents) never leak into — or race with — the caller's
+    // session. The harness borrows the session; it must not mutate it.
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val probe = ss.read.parquet(s"$sfDir/events.parquet")
     val tsIsLong = probe.schema("ts").dataType ==
       org.apache.spark.sql.types.LongType
     // Max event time in µs regardless of physical layout (long nanos in
@@ -150,7 +156,7 @@ object EventsStream {
     Seq(1, 2).foreach { i =>
       val stage = base.resolve(s"stage$i")
       val sentUs = maxMicros + 3L * i * hourUs
-      spark.range(1).select(
+      ss.range(1).select(
         lit(-i.toLong).as("event_id"),
         (if (tsIsLong) lit(sentUs * 1000L)
          else timestamp_micros(lit(sentUs)).cast("timestamp_ntz")).as("ts"),
@@ -174,16 +180,14 @@ object EventsStream {
     // commit 32 near-empty state-store deltas + 32 sink files of pure
     // fixed overhead. Pin the stream to 4 state partitions; a real
     // deployment sizes this to key cardinality × ingest rate, and the
-    // checkpoint locks it for the query's lifetime either way.
-    // (restored only after the query stops — micro-batch 0 plans
-    // asynchronously after start(), so an early restore would race it)
-    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
-    try {
-      val q = runToFiles(spark, in.toString, base.resolve("ckpt").toString, out,
-        maxFilesPerTrigger = Some(1))
-      try q.processAllAvailable() finally q.stop()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    // checkpoint locks it for the query's lifetime either way. Set on
+    // the cloned session only — the stream plans micro-batches
+    // asynchronously after start(), so a set/restore on the shared
+    // session would race every other query on it.
+    ss.conf.set("spark.sql.shuffle.partitions", "4")
+    val q = runToFiles(ss, in.toString, base.resolve("ckpt").toString, out,
+      maxFilesPerTrigger = Some(1))
+    try q.processAllAvailable() finally q.stop()
     // the staged input (a full copy of the events fixture), sentinel
     // scratch and checkpoint are dead once the query stops — only the
     // sink parquet (read lazily below) survives. Repeated gate/bench
@@ -224,20 +228,19 @@ object EventsStream {
     Files.setLastModifiedTime(dup, // mtime orders the micro-batches
       java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() + 10000L))
     val out = base.resolve("out").toString
-    // Same state-partition sizing rationale as hourlyViaFileSink.
-    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
-    try {
-      val q = dedupEvents(readEvents(spark, in.toString, maxFilesPerTrigger = Some(1)))
-        .select(col("event_id"), col("event_type"), col("value"))
-        .writeStream
-        .outputMode(OutputMode.Append())
-        .format("parquet")
-        .option("path", out)
-        .option("checkpointLocation", base.resolve("ckpt").toString)
-        .start()
-      try q.processAllAvailable() finally q.stop()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    // Same cloned-session + state-partition rationale as
+    // hourlyViaFileSink: conf stays on the clone, caller untouched.
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "4")
+    val q = dedupEvents(readEvents(ss, in.toString, maxFilesPerTrigger = Some(1)))
+      .select(col("event_id"), col("event_type"), col("value"))
+      .writeStream
+      .outputMode(OutputMode.Append())
+      .format("parquet")
+      .option("path", out)
+      .option("checkpointLocation", base.resolve("ckpt").toString)
+      .start()
+    try q.processAllAvailable() finally q.stop()
     Seq(in, base.resolve("ckpt")).foreach { d =>
       val walk = Files.walk(d)
       try walk.sorted(java.util.Comparator.reverseOrder())
@@ -275,24 +278,24 @@ object EventsStream {
     * timers cannot cross the engine/oracle boundary. */
   def sessionizeViaMemory(spark: SparkSession, sfDir: String): org.apache.spark.sql.DataFrame = {
     import java.nio.file.{Files, Paths}
-    import spark.implicits._
     val base = Files.createTempDirectory("graft_sess_gate")
     val in = base.resolve("in"); Files.createDirectories(in)
     Files.copy(Paths.get(s"$sfDir/events.parquet"), in.resolve("events.parquet"))
-    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
-    try {
-      val events = readEvents(spark, in.toString)
-        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
-        .as[Event]
-      val q = sessionize(events, gapMs = 0).writeStream
-        .outputMode(OutputMode.Update())
-        .format("memory")
-        .queryName("graft_sessions")
-        .option("checkpointLocation", base.resolve("ckpt").toString)
-        .start()
-      try q.processAllAvailable() finally q.stop()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    // Cloned session (see hourlyViaFileSink): conf and the memory-sink
+    // table registration stay off the caller's session and catalog.
+    val ss = spark.newSession()
+    import ss.implicits._
+    ss.conf.set("spark.sql.shuffle.partitions", "4")
+    val events = readEvents(ss, in.toString)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[Event]
+    val q = sessionize(events, gapMs = 0).writeStream
+      .outputMode(OutputMode.Update())
+      .format("memory")
+      .queryName("graft_sessions")
+      .option("checkpointLocation", base.resolve("ckpt").toString)
+      .start()
+    try q.processAllAvailable() finally q.stop()
     // the memory sink's rows live on the driver (harness contract) —
     // the staged input and checkpoint are safe to delete immediately
     Seq(in, base.resolve("ckpt")).foreach { d =>
@@ -301,7 +304,7 @@ object EventsStream {
         .forEach(p => Files.deleteIfExists(p))
       finally walk.close()
     }
-    spark.table("graft_sessions")
+    ss.table("graft_sessions")
       .select(col("user_id"), col("n_events"), col("duration_sec"))
       .orderBy("user_id")
   }

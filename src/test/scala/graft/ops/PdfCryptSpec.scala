@@ -92,4 +92,43 @@ class PdfCryptSpec extends AnyFunSuite {
       == "hello aes256 world")
     assert(h.fileKey.toSeq == fileKey.toSeq)
   }
+
+  test("ciphertext containing literal 'endobj' cannot truncate object framing") {
+    // RC4 is a stream cipher, so for any target ciphertext there is a
+    // plaintext that encrypts to it — craft a stream whose CIPHERTEXT
+    // spells `endobj` (and a fake object header) and splice it into a
+    // real encrypted document. The old regex-to-endobj framing
+    // truncated the object mid-stream and failed the crypt transform;
+    // /Length-framed scanning must parse the document unharmed.
+    val enc = new String(PdfCrypt.encrypt(Pdf.makePdf(2, withContent = true)), "ISO-8859-1")
+    val encNum = """/Encrypt\s+(\d+)\s+0\s+R""".r.findFirstMatchIn(enc).get.group(1).toInt
+    val encBody = Pdf.scanObjects(enc).collectFirst {
+      case (n, s, e) if n == encNum => enc.substring(s, e)
+    }.get
+    val id0 = """/ID\s*\[\s*""".r.findFirstMatchIn(enc)
+      .map(m => PdfCrypt.readStringAt(enc, m.end)._1).get
+    val h = PdfCrypt.forDocument(encBody, id0)
+    val evilCipher = "q endobj 3 0 obj BT (gotcha) Tj ET".getBytes("ISO-8859-1")
+    val plaintext = h.decrypt(50, 0, evilCipher)
+    assert(h.encrypt(50, 0, plaintext).toSeq == evilCipher.toSeq) // cipher really emits endobj
+    val evilObj = s"50 0 obj << /Length ${evilCipher.length} >> stream\n" +
+      new String(evilCipher, "ISO-8859-1") + "\nendstream endobj\n"
+    val doc = enc.replaceFirst("trailer",
+      java.util.regex.Matcher.quoteReplacement(evilObj) + "trailer")
+    assert(Pdf.pageCount(doc.getBytes("ISO-8859-1")) == 2)
+  }
+
+  test("scanObjects frames /Length streams, strings and comments over 'endobj' bytes") {
+    val payload = "raw endobj 7 0 obj stream\n bytes"
+    val text = "%PDF-1.4\n" +
+      s"1 0 obj << /Length ${payload.length} >> stream\n$payload\nendstream endobj\n" +
+      "2 0 obj << /S (a literal with endobj inside) % comment endobj\n /T <0a1b> >> endobj\n" +
+      "trailer << /Size 3 >>"
+    val framed = Pdf.scanObjects(text)
+    assert(framed.map(_._1) == Seq(1, 2))
+    val body2 = text.substring(framed(1)._2, framed(1)._3)
+    assert(body2.contains("<0a1b>")) // survived past the string + comment
+    // transformObjects round-trips identity framing
+    assert(Pdf.transformObjects(text, (_, b) => b) == text)
+  }
 }

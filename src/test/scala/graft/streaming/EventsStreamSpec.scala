@@ -86,6 +86,19 @@ class EventsStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("gate harnesses leave the caller's session conf and catalog untouched") {
+    val shuffleBefore = spark.conf.get("spark.sql.shuffle.partitions")
+    val nanosBefore = spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
+    val out = EventsStream.sessionizeViaMemory(spark, sf)
+    assert(out.count() > 0)
+    // the stream pinned 4 state partitions and set the nanosAsLong
+    // probe flag — on its cloned session only
+    assert(spark.conf.get("spark.sql.shuffle.partitions") == shuffleBefore)
+    assert(spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong") == nanosBefore)
+    // the memory-sink table registered on the clone's catalog, not ours
+    assert(!spark.catalog.tableExists("graft_sessions"))
+  }
+
   test("top-k complete-mode view shape (O1+O2 on a stream)") {
     val batch = Seq(
       Event(1, ts("2024-01-01 10:00:00"), 1, "a", 10.0),
