@@ -161,10 +161,17 @@ object Ann {
       // schema types it array<float> without a length) — lloydStep
       // builds one sum column per component.
       val dim = cached.select(size(col("ce")).as("d")).head.getInt(0)
-      val built = (0 until iters).foldLeft(seedCentroids(cached, n, seed))(
-        (cent, _) => lloydStep(cached, cent, dim))
-      corpus.sparkSession.createDataFrame(
-        java.util.Arrays.asList(built.collect(): _*), built.schema)
+      // Materialize EVERY step to a local ≤n-row table, not just the
+      // final result: a lazily-folded chain embeds step i's whole plan
+      // inside step i+1, so iters Lloyd steps would re-execute
+      // 1+2+…+iters assignment passes and carry an ever-deeper lineage
+      // into the last one. With per-step localization each step runs
+      // exactly one assignment over the cached corpus against a
+      // literal centroid table — iters+1 flat jobs total.
+      def localize(df: DataFrame): DataFrame = corpus.sparkSession.createDataFrame(
+        java.util.Arrays.asList(df.collect(): _*), df.schema)
+      (0 until iters).foldLeft(localize(seedCentroids(cached, n, seed)))(
+        (cent, _) => localize(lloydStep(cached, cent, dim)))
     } finally cached.unpersist(blocking = false)
   }
 
