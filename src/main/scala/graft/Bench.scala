@@ -56,7 +56,10 @@ object Bench {
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // repeat/estimator metadata makes the artifact self-describing:
+    // a reader comparing rounds can tell min-of-2 from single-run.
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","runs":$repeat,""" +
+      s""""estimator":"min","queries":$qs,"sf":"$sfDir"}"""
     println(line)
     // The driver captures stdout tails that can truncate the first
     // queries of the JSON line; persist the whole line to a file the
