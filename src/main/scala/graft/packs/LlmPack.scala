@@ -67,6 +67,30 @@ object LlmPack extends QueryPack {
         .filter(col("term") =!= "")
         .groupBy("term").agg(count(lit(1)).as("n"))
         .orderBy(desc("n"), asc("term")).limit(20)),
+    // §2.13 sketch surface, frequency form: Count-Min (d=3, w=1024)
+    // over the token stream — ONE pass, O(d·w) bounded state per
+    // partial, element-wise-sum merge — next to the exact top-20 it
+    // approximates. At 100 TB the exact form shuffles every distinct
+    // term; the sketch ships 24 KB. Buckets are keyed-md5 built-ins
+    // (codegen'd), so the DuckDB oracle reproduces the ESTIMATE
+    // bit-for-bit — the same contract as kmv_distinct/bloom. The
+    // estimate column is CMS-inflated wherever buckets collide, and
+    // the oracle agrees on every collision.
+    "cms_heavy_hitters" -> ((s, dir) => {
+      import graft.functions.Cms
+      val w = 1024
+      val terms = docs(s, dir)
+        .select(explode(split(col("text"), " ")).as("term"))
+        .filter(col("term") =!= "")
+      val Seq(b0, b1, b2) = Cms.buckets(col("term"), w)
+      val sketch = terms.agg(Cms.build(b0, b1, b2, w).as("cms"))
+      terms.groupBy("term").agg(count(lit(1)).as("n_exact"))
+        .orderBy(desc("n_exact"), asc("term")).limit(20)
+        .crossJoin(broadcast(sketch))
+        .select(col("term"), col("n_exact"),
+          Cms.estimate(col("cms"), b0, b1, b2).as("n_cms"))
+        .orderBy(desc("n_exact"), asc("term"))
+    }),
     // The full curation decision: resolve dup clusters (same chain
     // fixture as dedup_clusters), then keep the HIGHEST-QUALITY member
     // of each cluster — argmax via the packed-long min idiom (ties →
@@ -420,6 +444,25 @@ object LlmPack extends QueryPack {
         |FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
         |WHERE term <> ''
         |GROUP BY term ORDER BY n DESC, term LIMIT 20""".stripMargin,
+    // mirrors CmsBuild/CmsEstimate exactly: per-row md5 buckets, one
+    // count per (row, bucket), LEAST of the three joined counts
+    "cms_heavy_hitters" -> {
+      def b(i: Int) =
+        s"CAST(CONCAT('0x', substr(md5(term || ':cms$i'), 1, 15)) AS BIGINT) % 1024"
+      s"""WITH tt AS (
+         |  SELECT term FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+         |  WHERE term <> ''),
+         |b AS (SELECT term, ${b(0)} AS b0, ${b(1)} AS b1, ${b(2)} AS b2 FROM tt),
+         |c0 AS (SELECT b0, count(*) AS n0 FROM b GROUP BY 1),
+         |c1 AS (SELECT b1, count(*) AS n1 FROM b GROUP BY 1),
+         |c2 AS (SELECT b2, count(*) AS n2 FROM b GROUP BY 1),
+         |top AS (SELECT term, count(*) AS n_exact FROM tt
+         |        GROUP BY 1 ORDER BY n_exact DESC, term LIMIT 20),
+         |tb AS (SELECT term, n_exact, ${b(0)} AS b0, ${b(1)} AS b1, ${b(2)} AS b2 FROM top)
+         |SELECT tb.term, tb.n_exact, LEAST(c0.n0, c1.n1, c2.n2) AS n_cms
+         |FROM tb JOIN c0 USING (b0) JOIN c1 USING (b1) JOIN c2 USING (b2)
+         |ORDER BY n_exact DESC, term""".stripMargin
+    },
     "text_fingerprint" -> {
       val poly = (0 until 5).map(j => s"cs[i + $j]")
         .reduce((acc, c) => s"($acc * 257 + $c)")
