@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, Codege
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graftshim.ExprShim
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, StringType}
+import org.apache.spark.sql.types.{ArrayType, ByteType, DataType, DoubleType, FloatType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Scalar-function registry (SURVEY.md §2.8).
@@ -241,6 +241,54 @@ case class ArrayDot(left: Expression, right: Expression) extends BinaryExpressio
          |int $n = Math.min($a.numElements(), $b.numElements());
          |double $sum = 0.0;
          |for (int $i = 0; $i < $n; $i++) { $sum += $getA * $getB; }
+         |${ev.value} = $sum;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** `array_dot_int8(a, b)` → long: integer dot product of two
+  * `array<tinyint>` int8-quantized vectors. Same reason to exist as
+  * [[ArrayDot]] (primitive codegen loop, no HOF boxing), but the
+  * accumulation is EXACT — 64 dims × 127² fits a long with ~2^40 to
+  * spare — so quantized similarity scores are bit-reproducible by any
+  * integer-arithmetic oracle, with no IEEE summation-order caveat.
+  * Assumes non-null elements (quantized vectors). */
+case class ArrayDotInt8(left: Expression, right: Expression)
+    extends BinaryExpression with org.apache.spark.sql.catalyst.expressions.ExpectsInputTypes {
+
+  // Analysis-time gate (BloomBuild rationale): a float/double array
+  // here means the caller skipped quantization — fail resolution.
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(ByteType), ArrayType(ByteType))
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "array_dot_int8"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0L
+    var i = 0
+    while (i < n) { s += x.getByte(i).toLong * y.getByte(i).toLong; i += 1 }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val sum = ctx.freshName("sum")
+      s"""
+         |int $n = Math.min($a.numElements(), $b.numElements());
+         |long $sum = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $sum += (long) $a.getByte($i) * (long) $b.getByte($i);
+         |}
          |${ev.value} = $sum;
        """.stripMargin
     })

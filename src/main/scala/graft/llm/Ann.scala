@@ -70,6 +70,48 @@ object Ann {
   private def cosScaledPre(a: String, b: String, a2: Column, b2: Column): Column =
     graft.functions.F.scale4(dotExpr(a, b) / sqrt(a2 * b2))
 
+  /** Symmetric per-vector int8 quantization: scale = max|x|/127, q_i =
+    * clamp(round(x_i / scale)) — one byte per component, 4× smaller
+    * than float32, which is the storage/IO lever for a 100 TB
+    * embedding corpus. Built-in HOFs are fine HERE (one interpreted
+    * pass per stored vector at write time); the per-PAIR hot path runs
+    * the codegen'd integer [[graft.functions.ArrayDotInt8]]. Quantized
+    * cosine is iab / sqrt(iaa·ibb) — the scales cancel and every term
+    * is an EXACT integer, so scores are oracle-reproducible with no
+    * IEEE summation-order caveat. Zero vectors quantize to all-zero. */
+  def quantizeInt8(df: DataFrame, vec: String, q: String): DataFrame =
+    df.withColumn("_qscale",
+        expr(s"array_max(transform($vec, x -> abs(CAST(x AS DOUBLE)))) / 127.0D"))
+      .withColumn(q, expr(
+        s"""CASE WHEN _qscale = 0.0D THEN transform($vec, x -> CAST(0 AS TINYINT))
+           |ELSE transform($vec, x -> CAST(LEAST(127.0D, GREATEST(-127.0D,
+           |  round(CAST(x AS DOUBLE) / _qscale))) AS TINYINT)) END""".stripMargin))
+      .drop("_qscale")
+
+  /** Brute-force cosine top-k over int8-QUANTIZED vectors — the same
+    * contract and plan shape as [[cosineTopK]] (broadcast query side,
+    * per-query window rank) at a quarter of the candidate-side bytes.
+    * Self-dots precompute per row like [[cosScaledPre]]; the pair loop
+    * is one integer dot. Zero vectors (self-dot 0) score null and rank
+    * last, on both engines. */
+  def cosineTopKInt8(queries: DataFrame, corpus: DataFrame, k: Int = 10): DataFrame = {
+    import graft.functions.{ArrayDotInt8, F}
+    def dotq(a: Column, b: Column): Column =
+      F.toColumn(ArrayDotInt8(F.toExpr(a), F.toExpr(b)))
+    val q = quantizeInt8(queries, "qe", "qq")
+      .select(col("qid"), col("qq"), dotq(col("qq"), col("qq")).as("qqq"))
+    val c = quantizeInt8(corpus, "ce", "cq")
+      .select(col("vec_id"), col("cq"), dotq(col("cq"), col("cq")).as("cqq"))
+    val scored = broadcast(q).crossJoin(c)
+      .select(col("qid"), col("vec_id"),
+        when(col("qqq") === 0L || col("cqq") === 0L, lit(null))
+          .otherwise(F.scale4(dotq(col("qq"), col("cq")).cast("double")
+            / sqrt((col("qqq") * col("cqq")).cast("double"))))
+          .as("cos_x1e4"))
+    val w = Window.partitionBy("qid").orderBy(desc("cos_x1e4"), asc("vec_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   /** queries(qid, qe) × corpus(vec_id, ce) → top-k by cosine. */
   def cosineTopK(queries: DataFrame, corpus: DataFrame, k: Int = 10): DataFrame = {
     val q = broadcast(queries.select(col("qid"), col("qe"),

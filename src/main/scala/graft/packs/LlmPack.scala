@@ -117,6 +117,19 @@ object LlmPack extends QueryPack {
       val c = e.select(col("vec_id"), col("embedding").as("ce"))
       Ann.cosineTopK(q, c, 10).orderBy("qid", "rank")
     }),
+    // Int8-quantized brute cosine: same contract as ann_topk_brute at
+    // a quarter of the candidate-side bytes — the storage/IO lever for
+    // an embedding corpus at scale. Scales cancel in the cosine, so
+    // every score term is an exact integer and the oracle reproduces
+    // the quantized ranking bit-for-bit.
+    "ann_topk_quantized" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val q = e.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      val c = e.select(col("vec_id"), col("embedding").as("ce"))
+      Ann.cosineTopKInt8(q, c, TOPK)
+        .select("qid", "vec_id", "cos_x1e4", "rank").orderBy("qid", "rank")
+    }),
     // Real in-engine IVF: seeded centroids + 2 Lloyd steps + multi-probe
     // (Ann.scala scaladoc covers the fixed-point determinism story and
     // why recall on this isotropic fixture tracks the scanned fraction).
@@ -501,6 +514,31 @@ object LlmPack extends QueryPack {
          |  10000 - (p // 4294967296) AS keeper_q_x1e4
          |FROM packed ORDER BY cluster""".stripMargin,
     "ann_topk_brute" -> bruteSql,
+    // mirrors Ann.quantizeInt8/cosineTopKInt8: same scale, clamp and
+    // round rules; integer dots; scale4's ratio-then-x1e4 IEEE order
+    "ann_topk_quantized" ->
+      """WITH base AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |sc AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) / 127.0 AS s FROM base),
+        |qz AS (SELECT vec_id,
+        |    CASE WHEN s = 0 THEN list_transform(v, x -> CAST(0 AS BIGINT))
+        |         ELSE list_transform(v, x -> CAST(LEAST(127.0, GREATEST(-127.0, round(x / s))) AS BIGINT)) END AS q
+        |  FROM sc),
+        |qd AS (SELECT vec_id, q,
+        |    list_sum(list_transform(generate_series(1, len(q)), i -> q[i] * q[i])) AS qq FROM qz),
+        |qs AS (SELECT vec_id AS qid, q AS qv, qq AS qqq FROM qd WHERE vec_id < 3),
+        |cs AS (SELECT vec_id, q AS cv, qq AS cqq FROM qd),
+        |p AS (SELECT qid, vec_id,
+        |    list_sum(list_transform(generate_series(1, len(qv)), i -> qv[i] * cv[i])) AS iab,
+        |    qqq, cqq FROM qs CROSS JOIN cs),
+        |s2 AS (SELECT qid, vec_id,
+        |    CASE WHEN qqq = 0 OR cqq = 0 THEN NULL
+        |         ELSE CAST(FLOOR(CAST(iab AS DOUBLE) / sqrt(CAST(qqq * cqq AS DOUBLE)) * 10000 + 0.5) AS BIGINT)
+        |    END AS cos_x1e4
+        |  FROM p)
+        |SELECT qid, vec_id, cos_x1e4, rank FROM (
+        |  SELECT qid, vec_id, cos_x1e4,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_x1e4 DESC, vec_id) AS INT) AS rank
+        |  FROM s2) WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
     "ann_topk_ivf" -> ivfTopkSql,
     "ann_ivf_recall" -> ivfRecallSql,
     "dedup_embedding" -> embeddingDupSql,

@@ -68,4 +68,46 @@ class AnnSpec extends SparkSpec {
       .agg(avg(when(col("bucket") === col("mb"), 1.0).otherwise(0.0))).head().getDouble(0)
     assert(pure >= 0.9, s"cluster purity $pure < 0.9")
   }
+
+  test("int8 quantization: tinyint output, |q| <= 127, zero vector -> all zero") {
+    val df = Seq(
+      (0L, Array(1.0f, -2.0f, 0.5f)),
+      (1L, Array(0.0f, 0.0f, 0.0f)),
+      (2L, Array(127.5f, -127.5f, 63.75f))).toDF("vec_id", "ce")
+    val q = Ann.quantizeInt8(df, "ce", "q").orderBy("vec_id").collect()
+    assert(q.head.schema("q").dataType ==
+      org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.ByteType))
+    val rows = q.map(_.getSeq[Byte](2))
+    assert(rows(0) == Seq[Byte](64, -127, 32)) // scale = 2/127
+    assert(rows(1) == Seq[Byte](0, 0, 0))
+    assert(rows(2) == Seq[Byte](127, -127, 64)) // scale = 127.5/127
+    assert(rows.flatten.forall(b => b >= -127 && b <= 127))
+  }
+
+  test("quantized cosine ranks like exact cosine on well-separated vectors") {
+    // self-similarity must dominate: the quantized top-1 of each query
+    // is the query itself at cos_x1e4 = 10000 exactly (iab = iaa = ibb)
+    val corpus = clustered
+    val queries = corpus.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("qid"), col("ce").as("qe"))
+    val top = Ann.cosineTopKInt8(queries, corpus, k = 5)
+      .filter(col("rank") === 1).orderBy("qid").collect()
+    assert(top.length == 3)
+    assert(top.forall(r => r.getLong(0) == r.getLong(1)), "top-1 must be self")
+    assert(top.forall(_.getLong(2) == 10000L), "self-cosine must be exactly 1.0")
+  }
+
+  test("ArrayDotInt8 is exact and gated to tinyint arrays") {
+    import graft.functions.{ArrayDotInt8, F}
+    // Seq[Byte], not Array[Byte]: the latter encodes as BINARY
+    val df = Seq((Seq[Byte](1, -2, 3), Seq[Byte](4, 5, -6))).toDF("a", "b")
+    val d = df.select(F.toColumn(ArrayDotInt8(F.toExpr(col("a")), F.toExpr(col("b")))).as("d"))
+      .head.getLong(0)
+    assert(d == 1 * 4 + -2 * 5 + 3 * -6)
+    val floats = Seq((Array(1.0f), Array(2.0f))).toDF("a", "b")
+    val ex = intercept[Exception] {
+      floats.select(F.toColumn(ArrayDotInt8(F.toExpr(col("a")), F.toExpr(col("b"))))).collect()
+    }
+    assert(ex.getMessage.toLowerCase.contains("type"))
+  }
 }
