@@ -193,4 +193,26 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("Exchange"), p)
     assert(p.contains("Filter"), p)
   }
+
+  test("cms_heavy_hitters builds the sketch as ONE object aggregate with map-side partials") {
+    val p = plan("cms_heavy_hitters")
+    // TypedImperativeAggregate → ObjectHashAggregate, partial + final:
+    // executors fold their token slices into local d×w matrices and
+    // only the 24 KB partials cross the wire — never the token stream.
+    assert(p.contains("ObjectHashAggregate"), p)
+    assert(!p.contains("SortAggregate"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("ann_topk_quantized broadcasts the quantized query side; HOFs stay per-row") {
+    val df = SparkEntry.queries("ann_topk_quantized")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("array_dot_int8"), p)
+    // the interpreted transform() lambdas (quantize) must run per ROW
+    // below the join — the per-PAIR projection above it carries only
+    // the codegen'd integer dot, never a HOF
+    val pairProject = p.linesIterator.find(l => l.contains("AS cos_x1e4")).get
+    assert(!pairProject.contains("transform("), pairProject)
+  }
 }
