@@ -41,7 +41,24 @@ object AsOf {
     * every key's window and its payload would carry into left rows
     * that have no genuine prior match. */
   def joinAsOf(leftDf: DataFrame, rightDf: DataFrame, keyCol: String,
-      leftTime: String, rightTime: String, payloadCols: Seq[String]): DataFrame = {
+      leftTime: String, rightTime: String, payloadCols: Seq[String]): DataFrame =
+    joinAsOfImpl(leftDf, rightDf, keyCol, leftTime, rightTime, payloadCols,
+      forward = false)
+
+  /** Forward (next-at-or-after) as-of: for each left row, the right
+    * row with the SMALLEST `rightTime >= leftTime` within the key —
+    * the mirror of [[joinAsOf]], same single-shuffle carry-forward
+    * construction traversed in descending time order (right rows sort
+    * before left at an equal timestamp, so `>=` includes the exact
+    * instant). Null right timestamps are dropped identically. */
+  def joinAsOfForward(leftDf: DataFrame, rightDf: DataFrame, keyCol: String,
+      leftTime: String, rightTime: String, payloadCols: Seq[String]): DataFrame =
+    joinAsOfImpl(leftDf, rightDf, keyCol, leftTime, rightTime, payloadCols,
+      forward = true)
+
+  private def joinAsOfImpl(leftDf: DataFrame, rightDf: DataFrame, keyCol: String,
+      leftTime: String, rightTime: String, payloadCols: Seq[String],
+      forward: Boolean): DataFrame = {
     require(payloadCols.nonEmpty, "joinAsOf: at least one payload column")
     val leftCols = leftDf.columns.toSeq
     require(!payloadCols.exists(leftCols.contains),
@@ -57,7 +74,8 @@ object AsOf {
       (col(keyCol) +: col(leftTime).as(t) +: lit(1).as(side) +:
         lit(null).cast(pType).as(p) +:
         leftCols.filterNot(_ == keyCol).map(col)): _*)
-    val w = Window.partitionBy(keyCol).orderBy(col(t), col(side))
+    val tOrd = if (forward) col(t).desc else col(t).asc
+    val w = Window.partitionBy(keyCol).orderBy(tOrd, col(side))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     taggedRight.unionByName(taggedLeft)
       .withColumn(p, last(col(p), ignoreNulls = true).over(w))

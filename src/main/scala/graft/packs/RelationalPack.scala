@@ -149,6 +149,24 @@ object RelationalPack extends QueryPack {
         .orderBy("user_id", "event_id")
     }),
 
+    // Forward as-of (next view at-or-after each purchase) — the mirror
+    // direction, same one-shuffle construction traversed descending;
+    // DuckDB's native ASOF with vts >= ts is the independent check.
+    "events_asof_forward" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"), col("ts"))
+      val views = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id"), col("ts").as("vts"))
+        .agg(max(col("event_id")).as("view_event_id"))
+      graft.ops.AsOf.joinAsOfForward(purchases, views, "user_id", "ts", "vts",
+          Seq("view_event_id"))
+        .select(col("user_id"), col("event_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts"),
+          col("view_event_id"))
+        .orderBy("user_id", "event_id")
+    }),
+
     // As-of join null-timestamp lock: ~1/7 of right rows get a NULL
     // vts (deterministic on view_event_id), and ASOF semantics say a
     // null timestamp can never be a most-recent-prior match. Pinned by
@@ -385,6 +403,16 @@ object RelationalPack extends QueryPack {
         |  strftime(CAST(p.ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S.%f') AS ts,
         |  v.view_event_id
         |FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND v.vts <= p.ts
+        |ORDER BY p.user_id, p.event_id""".stripMargin,
+    // forward direction: smallest vts >= ts
+    "events_asof_forward" ->
+      """WITH p AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'),
+        |v AS (SELECT user_id, ts AS vts, max(event_id) AS view_event_id
+        |  FROM events WHERE event_type = 'view' GROUP BY 1, 2)
+        |SELECT p.user_id, p.event_id,
+        |  strftime(CAST(p.ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S.%f') AS ts,
+        |  v.view_event_id
+        |FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND v.vts >= p.ts
         |ORDER BY p.user_id, p.event_id""".stripMargin,
     // null-vts lock: DuckDB ASOF never matches a NULL timestamp, so
     // any carry-forward leak from the nulled rows mismatches here

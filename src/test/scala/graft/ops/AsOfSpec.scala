@@ -59,4 +59,29 @@ class AsOfSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       AsOf.joinAsOf(left, right.withColumnRenamed("tag", "name"), "k", "lt", "rt", Seq("name")))
   }
+
+  test("forward as-of: smallest right time >= left time; equal timestamps match") {
+    val out = AsOf.joinAsOfForward(left, right, "k", "lt", "rt", Seq("tag", "v"))
+      .orderBy("k", "lt").collect()
+      .map(r => (r.getAs[Long]("k"), r.getAs[String]("name"), r.getAs[String]("tag")))
+    assert(out.toSeq == Seq(
+      (1L, "p1", "r_at_100"), // rt == lt is eligible (the >= of forward ASOF)
+      (1L, "p2", null),       // nothing at-or-after 200
+      (2L, "p3", "r_late")))  // 60 is the nearest following 50
+  }
+
+  test("forward as-of: nearest following wins over later ones; null rt dropped") {
+    val r2 = Seq(
+      (1L, Some(120L), "r_at_120", 1.0),
+      (1L, Some(150L), "r_at_150", 2.0),
+      (1L, None, "r_null", 3.0))
+      .toDF("k", "rt", "tag", "v")
+    val out = AsOf.joinAsOfForward(left, r2, "k", "lt", "rt", Seq("tag", "v"))
+      .orderBy("k", "lt").collect()
+      .map(r => (r.getAs[String]("name"), r.getAs[String]("tag")))
+    assert(out.toSeq == Seq(
+      ("p1", "r_at_120"), // 120, not 150: NEAREST at-or-after
+      ("p2", null),       // null rt can never match
+      ("p3", null)))
+  }
 }
