@@ -128,6 +128,13 @@ object RelationalPack extends QueryPack {
     "events_sessionize_stream" -> ((s, dir) =>
       graft.streaming.EventsStream.sessionizeViaMemory(s, dir)),
 
+    // §2.11 stream-stream join: watermarked purchase×view interval
+    // self-join through the exactly-once file sink — inner matches
+    // emit as they arrive; the watermark bounds join state. The
+    // oracle is the plain batch interval join.
+    "events_stream_join" -> ((s, dir) =>
+      graft.streaming.EventsStream.purchaseViewJoinViaFileSink(s, dir)),
+
     // As-of join (most-recent-prior view per purchase, per user) —
     // the timeseries operator Spark lacks natively, composed as a
     // union + keyed carry-forward window (ops/AsOf.scala). Views
@@ -404,6 +411,14 @@ object RelationalPack extends QueryPack {
         |  v.view_event_id
         |FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND v.vts <= p.ts
         |ORDER BY p.user_id, p.event_id""".stripMargin,
+    // the stream-stream join's batch twin: same interval condition
+    "events_stream_join" ->
+      """SELECT p.user_id, p.event_id AS purchase_id, v.event_id AS view_id
+        |FROM (SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase') p
+        |JOIN (SELECT user_id, event_id, ts FROM events WHERE event_type = 'view') v
+        |  ON p.user_id = v.user_id
+        | AND v.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts
+        |ORDER BY p.user_id, purchase_id, view_id""".stripMargin,
     // forward direction: smallest vts >= ts
     "events_asof_forward" ->
       """WITH p AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'),

@@ -33,6 +33,26 @@ object EventsStream {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream-stream interval join (§2.11): each purchase pairs with the
+    * views of the same user in the preceding `horizon`. Both sides
+    * carry event-time watermarks and the join condition bounds the
+    * time range, so Spark can prune join state past the watermark —
+    * bounded state at any rate, the canonical watermarked
+    * stream-stream join shape. Inner-join matches emit as they arrive
+    * (no window-close wait); the watermark only governs state cleanup. */
+  def purchaseViewJoin(events: DataFrame, horizon: String = "1 hour"): DataFrame = {
+    val p = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"), col("ts").as("pts"))
+      .withWatermark("pts", horizon)
+    val v = events.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user_id"), col("event_id").as("view_id"),
+        col("ts").as("vts"))
+      .withWatermark("vts", horizon)
+    p.join(v, expr(
+        s"user_id = v_user_id AND vts BETWEEN pts - INTERVAL $horizon AND pts"))
+      .select(col("user_id"), col("purchase_id"), col("view_id"))
+  }
+
   /** The notices view: latest state re-ranked per trigger
     * (orderBy × limit in complete mode — O1+O2 on a stream). */
   def topUsersByValue(events: DataFrame, k: Int = 50): DataFrame =
@@ -251,6 +271,39 @@ object EventsStream {
       .groupBy("event_type")
       .agg(count(lit(1)).as("n"))
       .orderBy("event_type")
+  }
+
+  /** Correctness gate for the stream-stream join ([[purchaseViewJoin]]):
+    * stream the events fixture as one micro-batch, self-join the
+    * purchase and view sides through a parquet file sink, batch-read
+    * the sink. Inner-join rows emit in the batch that matches them, so
+    * a bounded run is complete without sentinel batches; the result
+    * hash-matches the plain batch interval join the oracle runs. */
+  def purchaseViewJoinViaFileSink(spark: SparkSession, sfDir: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val base = Files.createTempDirectory("graft_ssjoin_gate")
+    val in = base.resolve("in"); Files.createDirectories(in)
+    Files.copy(Paths.get(s"$sfDir/events.parquet"), in.resolve("events.parquet"))
+    val out = base.resolve("out").toString
+    // Cloned session (see hourlyViaFileSink): conf stays off the caller.
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "4")
+    val q = purchaseViewJoin(readEvents(ss, in.toString))
+      .writeStream
+      .outputMode(OutputMode.Append())
+      .format("parquet")
+      .option("path", out)
+      .option("checkpointLocation", base.resolve("ckpt").toString)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    Seq(in, base.resolve("ckpt")).foreach { d =>
+      val walk = Files.walk(d)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => Files.deleteIfExists(p))
+      finally walk.close()
+    }
+    spark.read.parquet(out)
+      .orderBy("user_id", "purchase_id", "view_id")
   }
 
   /** Test/inspection harness only: the memory sink collects every

@@ -86,6 +86,26 @@ class EventsStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join matches within the horizon, excludes outside it") {
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[Event]
+    val q = EventsStream.purchaseViewJoin(src.toDF(), horizon = "1 hour")
+      .writeStream.format("memory").queryName("ssj").outputMode(OutputMode.Append()).start()
+    try {
+      src.addData(
+        Event(10, ts("2024-01-01 09:30:00"), 1, "view", 1.0),     // 30 min before: in
+        Event(11, ts("2024-01-01 08:30:00"), 1, "view", 1.0),     // 90 min before: out
+        Event(12, ts("2024-01-01 10:00:00"), 1, "view", 1.0),     // same instant: in
+        Event(13, ts("2024-01-01 10:10:00"), 1, "view", 1.0),     // after: out
+        Event(14, ts("2024-01-01 09:45:00"), 2, "view", 1.0),     // other user: out
+        Event(20, ts("2024-01-01 10:00:00"), 1, "purchase", 5.0))
+      q.processAllAvailable()
+      val got = spark.sql("SELECT purchase_id, view_id FROM ssj ORDER BY view_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(got.toSeq == Seq((20L, 10L), (20L, 12L)))
+    } finally q.stop()
+  }
+
   test("gate harnesses leave the caller's session conf and catalog untouched") {
     val shuffleBefore = spark.conf.get("spark.sql.shuffle.partitions")
     val nanosBefore = spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
