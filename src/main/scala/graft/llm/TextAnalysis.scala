@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for training-data curation: language ID
@@ -107,6 +107,43 @@ object TextAnalysis {
       "n_stop" -> nStop,
       "keep" -> (nWords >= minWords && nWords <= maxWords &&
         meanLen >= 3.0 && meanLen <= 10.0 && nStop >= minStop))
+  }
+
+  /** Gopher-style repetition metrics (the COUNTING complement to the
+    * ratio rules in [[gopherRules]]): duplicate-token fraction
+    * (1 − distinct/total) and top-bigram fraction (share of all bigram
+    * occurrences taken by the most frequent one — Gopher flags docs
+    * where it exceeds ~0.18). Token-level stats are per-row collection
+    * functions; the bigram mode runs the DISTRIBUTED counting shape
+    * (explode → (doc, bigram) hash agg → per-doc max) — the same plan
+    * family as `text_top_terms`, shuffling token counts, never text.
+    * Fractions cross the oracle boundary as scale4 fixed-point; the
+    * `repetitive` flag compares the fixed-point value so both engines
+    * branch on the same integer. Docs with < 2 tokens drop (no
+    * bigrams). */
+  def repetitionMetrics(docs: DataFrame, idCol: String, textCol: String,
+      topBigramMax4: Long = 1800L): DataFrame = {
+    val toks = docs.select(col(idCol),
+      expr(s"filter(split($textCol, ' '), t -> t <> '')").as("toks"))
+    val base = toks
+      .select(col(idCol), size(col("toks")).cast("long").as("n_tokens"),
+        size(array_distinct(col("toks"))).cast("long").as("n_distinct"))
+      .filter(col("n_tokens") >= 2)
+    val bigrams = toks.filter(size(col("toks")) >= 2)
+      .select(col(idCol), explode(expr(
+        "transform(sequence(0, size(toks) - 2), " +
+          "i -> concat(element_at(toks, i + 1), ' ', element_at(toks, i + 2)))")).as("b"))
+      .groupBy(idCol, "b").agg(count(lit(1)).as("c"))
+      .groupBy(idCol).agg(max(col("c")).as("maxc"), sum(col("c")).as("nbi"))
+    val top4 = graft.functions.F.scale4(
+      col("maxc").cast("double") / col("nbi").cast("double"))
+    base.join(bigrams, Seq(idCol))
+      .select(col(idCol), col("n_tokens"),
+        graft.functions.F.scale4(lit(1.0) -
+          col("n_distinct").cast("double") / col("n_tokens").cast("double"))
+          .as("dup_tok_x1e4"),
+        top4.as("top_bigram_x1e4"),
+        (top4 > topBigramMax4).as("repetitive"))
   }
 
   /** Document fingerprint: min polynomial hash over codepoint 5-grams —

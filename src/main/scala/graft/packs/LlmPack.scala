@@ -57,6 +57,11 @@ object LlmPack extends QueryPack {
         r("keep").as("keep"))
         .orderBy("doc_id")
     }),
+    // Gopher repetition rules: duplicate-token + top-bigram fractions
+    // (the counting complement to text_gopher_rules' ratio tests);
+    // distributed bigram counting, fixed-point fractions.
+    "text_repetition" -> ((s, dir) =>
+      TA.repetitionMetrics(docs(s, dir), "doc_id", "text").orderBy("doc_id")),
     // Vocabulary head: explode whitespace tokens → partial+final hash
     // aggregate → TakeOrderedAndProject top-20 (count desc, term) —
     // the corpus-frequency query every tokenizer build starts with;
@@ -457,6 +462,22 @@ object LlmPack extends QueryPack {
         |FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
         |WHERE term <> ''
         |GROUP BY term ORDER BY n DESC, term LIMIT 20""".stripMargin,
+    // mirrors repetitionMetrics: same tokenization, same scale4
+    // fixed-point order, flag compared on the fixed-point integer
+    "text_repetition" ->
+      """WITH d AS (SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks FROM documents),
+        |base AS (SELECT doc_id, len(toks) AS n_tokens, len(list_distinct(toks)) AS n_distinct
+        |  FROM d WHERE len(toks) >= 2),
+        |bg AS (SELECT doc_id,
+        |    unnest(list_transform(generate_series(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1])) AS b
+        |  FROM d WHERE len(toks) >= 2),
+        |bc AS (SELECT doc_id, b, count(*) AS c FROM bg GROUP BY 1, 2),
+        |bm AS (SELECT doc_id, max(c) AS maxc, sum(c) AS nbi FROM bc GROUP BY 1)
+        |SELECT base.doc_id, base.n_tokens,
+        |  CAST(FLOOR((1.0 - CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE)) * 10000 + 0.5) AS BIGINT) AS dup_tok_x1e4,
+        |  CAST(FLOOR(CAST(maxc AS DOUBLE) / CAST(nbi AS DOUBLE) * 10000 + 0.5) AS BIGINT) AS top_bigram_x1e4,
+        |  (CAST(FLOOR(CAST(maxc AS DOUBLE) / CAST(nbi AS DOUBLE) * 10000 + 0.5) AS BIGINT) > 1800) AS repetitive
+        |FROM base JOIN bm USING (doc_id) ORDER BY doc_id""".stripMargin,
     // mirrors CmsBuild/CmsEstimate exactly: per-row md5 buckets, one
     // count per (row, bucket), LEAST of the three joined counts
     "cms_heavy_hitters" -> {

@@ -105,4 +105,21 @@ class CurationSpec extends SparkSpec {
     assert(out(3L)._1 == false, s"$out")
     assert(out(4L)._1 == false, s"$out")
   }
+
+  test("repetitionMetrics: fractions exact, repetitive flag fires, short docs drop") {
+    import graft.llm.TextAnalysis
+    val rows = Seq(
+      (1L, "a b a b a b a b a b"),   // 10 toks, 2 distinct; top bigram "a b" 5/9
+      (2L, "one two three four five"), // all distinct, all bigrams unique
+      (3L, "solo"))                   // < 2 tokens: dropped
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.repetitionMetrics(rows, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+    assert(out.keySet == Set(1L, 2L))
+    // doc 1: dup = 1 - 2/10 = 0.8; top bigram 5 of 9 = 0.5556
+    assert(out(1L) == ((10L, 8000L, 5556L, true)), s"$out")
+    // doc 2: dup 0; 4 unique bigrams → top = 1/4
+    assert(out(2L) == ((5L, 0L, 2500L, true)), s"$out")
+  }
 }
