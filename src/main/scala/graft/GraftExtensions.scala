@@ -67,7 +67,46 @@ object GraftExtensions {
         }
         graft.functions.KmvDistinct(args(0), k).toAggregateExpression()
       }),
+    ("bloom_build",
+      info("bloom_build", "aggregate a long key column into a serialized Bloom filter; numBits/numHashes must be literal ints"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3, "bloom_build(key, numBits, numHashes) takes 3 arguments")
+        (litInt(args(1), "bloom_build numBits"), litInt(args(2), "bloom_build numHashes")) match {
+          case (bits, hashes) =>
+            graft.functions.BloomBuild(args(0), bits, hashes).toAggregateExpression()
+        }
+      }),
+    ("bloom_might_contain",
+      info("bloom_might_contain", "probe a serialized Bloom filter with a long key"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "bloom_might_contain(filter, key) takes 2 arguments")
+        graft.functions.BloomMightContain(args(0), args(1))
+      }),
+    ("cms_build",
+      info("cms_build", "aggregate three bucket columns (each in [0,w)) into a d=3 Count-Min sketch; w must be a literal int"),
+      (args: Seq[Expression]) => {
+        require(args.length == 4, "cms_build(b0, b1, b2, w) takes 4 arguments")
+        graft.functions.CmsBuild(args(0), args(1), args(2), litInt(args(3), "cms_build w"))
+          .toAggregateExpression()
+      }),
+    ("cms_estimate",
+      info("cms_estimate", "point-frequency estimate from a serialized Count-Min sketch and three bucket columns"),
+      (args: Seq[Expression]) => {
+        require(args.length == 4, "cms_estimate(sketch, b0, b1, b2) takes 4 arguments")
+        graft.functions.CmsEstimate(args(0), args(1), args(2), args(3))
+      }),
+    ("array_dot_int8",
+      info("array_dot_int8", "exact integer dot product of two array<tinyint> quantized vectors"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "array_dot_int8(a, b) takes 2 arguments")
+        graft.functions.ArrayDotInt8(args(0), args(1))
+      }),
   )
+
+  private def litInt(e: Expression, what: String): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(s"$what must be a literal int, got $other")
+  }
 
   /** Register on an already-built session. */
   def register(spark: SparkSession): Unit =

@@ -63,6 +63,32 @@ class CmsSpec extends SparkSpec {
     assert(nullEst.isNullAt(0))
   }
 
+  test("SQL surface: cms_build/cms_estimate, bloom_build/might_contain, array_dot_int8") {
+    graft.GraftExtensions.register(spark)
+    val data = Seq.fill(5)("x") ++ Seq.fill(2)("y")
+    termsDf(data).selectExpr(
+      "term",
+      "CAST(pmod(conv(substring(md5(concat(term, ':cms0')), 1, 15), 16, 10), 512) AS LONG) AS b0",
+      "CAST(pmod(conv(substring(md5(concat(term, ':cms1')), 1, 15), 16, 10), 512) AS LONG) AS b1",
+      "CAST(pmod(conv(substring(md5(concat(term, ':cms2')), 1, 15), 16, 10), 512) AS LONG) AS b2")
+      .createOrReplaceTempView("cms_t")
+    val est = spark.sql(
+      """WITH sk AS (SELECT cms_build(b0, b1, b2, 512) AS s FROM cms_t)
+        |SELECT cms_estimate(sk.s, b0, b1, b2) AS n FROM cms_t JOIN sk
+        |WHERE term = 'x' LIMIT 1""".stripMargin).head.getLong(0)
+    assert(est == 5L)
+    spark.range(100).selectExpr("id AS k").createOrReplaceTempView("bloom_t")
+    val probes = spark.sql(
+      """WITH f AS (SELECT bloom_build(k, 1024, 4) AS bf FROM bloom_t)
+        |SELECT sum(CAST(bloom_might_contain(f.bf, k) AS INT)) FROM bloom_t JOIN f""".stripMargin)
+      .head.getLong(0)
+    assert(probes == 100L) // no false negatives, ever
+    val d = spark.sql(
+      "SELECT array_dot_int8(array(CAST(2 AS TINYINT), CAST(-3 AS TINYINT)), " +
+        "array(CAST(5 AS TINYINT), CAST(7 AS TINYINT)))").head.getLong(0)
+    assert(d == 2 * 5 + -3 * 7)
+  }
+
   test("non-long bucket input fails analysis, not execution") {
     val df = Seq("x").toDF("term")
     val bad = col("term") // string, not a long bucket
