@@ -135,6 +135,13 @@ object RelationalPack extends QueryPack {
     "events_stream_join" -> ((s, dir) =>
       graft.streaming.EventsStream.purchaseViewJoinViaFileSink(s, dir)),
 
+    // §2.11 stream-stream LEFT-OUTER join: unmatched purchases emit
+    // null-padded only after the watermark passes their window —
+    // sentinel micro-batches advance both branches' watermarks so the
+    // bounded run completes. Oracle: the batch left join.
+    "events_stream_join_outer" -> ((s, dir) =>
+      graft.streaming.EventsStream.purchaseViewJoinOuterViaFileSink(s, dir)),
+
     // As-of join (most-recent-prior view per purchase, per user) —
     // the timeseries operator Spark lacks natively, composed as a
     // union + keyed carry-forward window (ops/AsOf.scala). Views
@@ -416,6 +423,14 @@ object RelationalPack extends QueryPack {
       """SELECT p.user_id, p.event_id AS purchase_id, v.event_id AS view_id
         |FROM (SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase') p
         |JOIN (SELECT user_id, event_id, ts FROM events WHERE event_type = 'view') v
+        |  ON p.user_id = v.user_id
+        | AND v.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts
+        |ORDER BY p.user_id, purchase_id, view_id""".stripMargin,
+    // left-outer twin: null-padded rows for match-less purchases
+    "events_stream_join_outer" ->
+      """SELECT p.user_id, p.event_id AS purchase_id, v.event_id AS view_id
+        |FROM (SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase') p
+        |LEFT JOIN (SELECT user_id, event_id, ts FROM events WHERE event_type = 'view') v
         |  ON p.user_id = v.user_id
         | AND v.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts
         |ORDER BY p.user_id, purchase_id, view_id""".stripMargin,

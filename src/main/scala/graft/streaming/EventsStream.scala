@@ -40,7 +40,8 @@ object EventsStream {
     * bounded state at any rate, the canonical watermarked
     * stream-stream join shape. Inner-join matches emit as they arrive
     * (no window-close wait); the watermark only governs state cleanup. */
-  def purchaseViewJoin(events: DataFrame, horizon: String = "1 hour"): DataFrame = {
+  def purchaseViewJoin(events: DataFrame, horizon: String = "1 hour",
+      joinType: String = "inner"): DataFrame = {
     val p = events.filter(col("event_type") === "purchase")
       .select(col("user_id"), col("event_id").as("purchase_id"), col("ts").as("pts"))
       .withWatermark("pts", horizon)
@@ -49,7 +50,8 @@ object EventsStream {
         col("ts").as("vts"))
       .withWatermark("vts", horizon)
     p.join(v, expr(
-        s"user_id = v_user_id AND vts BETWEEN pts - INTERVAL $horizon AND pts"))
+        s"user_id = v_user_id AND vts BETWEEN pts - INTERVAL $horizon AND pts"),
+        joinType)
       .select(col("user_id"), col("purchase_id"), col("view_id"))
   }
 
@@ -279,16 +281,63 @@ object EventsStream {
     * the sink. Inner-join rows emit in the batch that matches them, so
     * a bounded run is complete without sentinel batches; the result
     * hash-matches the plain batch interval join the oracle runs. */
-  def purchaseViewJoinViaFileSink(spark: SparkSession, sfDir: String): DataFrame = {
+  def purchaseViewJoinViaFileSink(spark: SparkSession, sfDir: String): DataFrame =
+    ssJoinGate(spark, sfDir, "inner", sentinels = false)
+
+  /** LEFT-OUTER gate: unmatched purchases only emit their null-padded
+    * row once the watermark has passed their join window (the engine
+    * must be sure no matching view can still arrive), so the staged
+    * input appends two sentinel micro-batches — each one purchase AND
+    * one view far in the future, advancing BOTH branches' watermarks
+    * (the query watermark is the min across branches; a single-type
+    * sentinel would stall the other branch at its old value). Sentinel
+    * rows are dropped from the output. */
+  def purchaseViewJoinOuterViaFileSink(spark: SparkSession, sfDir: String): DataFrame =
+    ssJoinGate(spark, sfDir, "left_outer", sentinels = true)
+
+  private def ssJoinGate(spark: SparkSession, sfDir: String, joinType: String,
+      sentinels: Boolean): DataFrame = {
     import java.nio.file.{Files, Paths}
     val base = Files.createTempDirectory("graft_ssjoin_gate")
     val in = base.resolve("in"); Files.createDirectories(in)
     Files.copy(Paths.get(s"$sfDir/events.parquet"), in.resolve("events.parquet"))
-    val out = base.resolve("out").toString
     // Cloned session (see hourlyViaFileSink): conf stays off the caller.
     val ss = spark.newSession()
     ss.conf.set("spark.sql.shuffle.partitions", "4")
-    val q = purchaseViewJoin(readEvents(ss, in.toString))
+    if (sentinels) {
+      ss.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val probe = ss.read.parquet(s"$sfDir/events.parquet")
+      val tsIsLong = probe.schema("ts").dataType ==
+        org.apache.spark.sql.types.LongType
+      val maxMicros =
+        if (tsIsLong) probe.agg(max(expr("ts DIV 1000"))).head.getLong(0)
+        else probe.agg(max(unix_micros(col("ts").cast("timestamp")))).head.getLong(0)
+      val hourUs = 3600L * 1000 * 1000
+      Seq(1, 2).foreach { i =>
+        val stage = base.resolve(s"stage$i")
+        val sentUs = maxMicros + 3L * i * hourUs
+        val tsCol =
+          if (tsIsLong) lit(sentUs * 1000L)
+          else timestamp_micros(lit(sentUs)).cast("timestamp_ntz")
+        // one purchase AND one view per sentinel batch
+        ss.range(2).select(
+          (lit(-2L) * col("id") - i).as("event_id"), tsCol.as("ts"),
+          lit(-1L).as("user_id"),
+          when(col("id") === 0, "purchase").otherwise("view").as("event_type"),
+          lit(0.0).as("value"), lit("").as("props"))
+          .coalesce(1).write.parquet(stage.toString)
+        val listing = Files.list(stage)
+        val part = try listing.filter(_.getFileName.toString.endsWith(".parquet")).findFirst.get
+          finally listing.close()
+        val dst = in.resolve(s"sentinel$i.parquet")
+        Files.copy(part, dst)
+        Files.setLastModifiedTime(dst, // mtime orders the micro-batches
+          java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() + i * 10000L))
+      }
+    }
+    val out = base.resolve("out").toString
+    val q = purchaseViewJoin(readEvents(ss, in.toString,
+        maxFilesPerTrigger = if (sentinels) Some(1) else None), joinType = joinType)
       .writeStream
       .outputMode(OutputMode.Append())
       .format("parquet")
@@ -296,13 +345,15 @@ object EventsStream {
       .option("checkpointLocation", base.resolve("ckpt").toString)
       .start()
     try q.processAllAvailable() finally q.stop()
-    Seq(in, base.resolve("ckpt")).foreach { d =>
+    (Seq(in, base.resolve("ckpt")) ++
+      (if (sentinels) Seq(1, 2).map(i => base.resolve(s"stage$i")) else Nil)).foreach { d =>
       val walk = Files.walk(d)
       try walk.sorted(java.util.Comparator.reverseOrder())
         .forEach(p => Files.deleteIfExists(p))
       finally walk.close()
     }
     spark.read.parquet(out)
+      .filter(col("user_id") >= 0) // sentinel scaffolding, not data
       .orderBy("user_id", "purchase_id", "view_id")
   }
 

@@ -106,6 +106,37 @@ class EventsStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("left-outer stream join: null-pad emits only after the watermark passes") {
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[Event]
+    val q = EventsStream.purchaseViewJoin(src.toDF(), horizon = "1 hour",
+        joinType = "left_outer")
+      .writeStream.format("memory").queryName("ssjo").outputMode(OutputMode.Append()).start()
+    try {
+      src.addData(
+        Event(10, ts("2024-01-01 09:30:00"), 1, "view", 1.0),
+        Event(20, ts("2024-01-01 10:00:00"), 1, "purchase", 5.0),  // matched
+        Event(21, ts("2024-01-01 10:00:00"), 2, "purchase", 5.0))  // no view
+      q.processAllAvailable()
+      // matched row emits immediately; the unmatched one is withheld —
+      // a view inside its window could still arrive
+      val early = spark.sql("SELECT purchase_id, view_id FROM ssjo").collect()
+      assert(early.map(r => (r.getLong(0), r.isNullAt(1))).toSeq == Seq((20L, false)))
+      // watermark advance on BOTH branches closes purchase 21's window
+      src.addData(
+        Event(30, ts("2024-01-01 20:00:00"), 9, "view", 1.0),
+        Event(31, ts("2024-01-01 20:00:00"), 9, "purchase", 1.0))
+      q.processAllAvailable()
+      src.addData( // second advance: state eviction lags one batch
+        Event(32, ts("2024-01-02 08:00:00"), 9, "view", 1.0),
+        Event(33, ts("2024-01-02 08:00:00"), 9, "purchase", 1.0))
+      q.processAllAvailable()
+      val ids = spark.sql("SELECT purchase_id FROM ssjo WHERE view_id IS NULL")
+        .collect().map(_.getLong(0))
+      assert(ids.contains(21L), s"unmatched purchase never null-padded: ${ids.toSeq}")
+    } finally q.stop()
+  }
+
   test("gate harnesses leave the caller's session conf and catalog untouched") {
     val shuffleBefore = spark.conf.get("spark.sql.shuffle.partitions")
     val nanosBefore = spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
