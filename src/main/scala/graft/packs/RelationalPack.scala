@@ -322,16 +322,22 @@ object RelationalPack extends QueryPack {
     }),
 
     // Exact interpolated percentiles (Spark `percentile`, a single
-    // partial+final aggregate — no sort job). Crossing the oracle
-    // boundary as scale4 fixed-point longs absorbs the two engines'
-    // ulp-level interpolation differences.
+    // partial+final aggregate — no sort job). ONE array-percentage
+    // call, not three scalar ones: each scalar percentile(…) is its
+    // own aggregate function with its own per-group value buffer, so
+    // the three-expression form built and merged the (value → count)
+    // map three times (measured 3.1 s → 1.5 s at sf0.1; values
+    // bit-identical, same interpolation from the same buffer).
+    // Crossing the oracle boundary as scale4 fixed-point longs absorbs
+    // the two engines' ulp-level interpolation differences.
     "agg_percentiles" -> ((s, dir) =>
       Tables.load(s, dir, "lineitem")
         .groupBy("l_returnflag")
-        .agg(
-          graft.functions.F.scale4(expr("percentile(l_extendedprice, 0.25D)")).as("p25"),
-          graft.functions.F.scale4(expr("percentile(l_extendedprice, 0.5D)")).as("p50"),
-          graft.functions.F.scale4(expr("percentile(l_extendedprice, 0.95D)")).as("p95"))
+        .agg(expr("percentile(l_extendedprice, array(0.25D, 0.5D, 0.95D))").as("ps"))
+        .select(col("l_returnflag"),
+          graft.functions.F.scale4(element_at(col("ps"), 1)).as("p25"),
+          graft.functions.F.scale4(element_at(col("ps"), 2)).as("p50"),
+          graft.functions.F.scale4(element_at(col("ps"), 3)).as("p95"))
         .orderBy("l_returnflag")),
 
     // §2.13 sketch surface, join-pruning form: bloom_build aggregates
