@@ -147,4 +147,5 @@ class PropertiesSpec extends SparkSpec {
     val res = SCTest.check(params, prop)
     assert(res.passed, res.status.toString)
   }
+
 }

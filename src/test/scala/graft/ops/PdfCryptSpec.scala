@@ -118,6 +118,32 @@ class PdfCryptSpec extends AnyFunSuite {
     assert(Pdf.pageCount(doc.getBytes("ISO-8859-1")) == 2)
   }
 
+  test("property: /Length-framed scan survives arbitrary stream payloads") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    // The r10 scanObjects contract: whatever bytes a stream payload
+    // carries — including 'endobj', 'stream', parens, '%' — framing
+    // follows the declared /Length and transformObjects is an exact
+    // identity. Payload chars stay in ISO-8859-1 range (the parser's
+    // charset); the generator salts in the exact token strings the old
+    // regex framing tripped over.
+    val payloadGen: Gen[String] = Gen.listOf(Gen.oneOf(
+      Gen.choose(32, 255).map(_.toChar.toString),
+      Gen.oneOf("endobj", "stream\n", "endstream", "(", ")", "%", "<<", "1 0 obj")))
+      .map(_.mkString.take(200))
+    val prop = Prop.forAll(payloadGen, payloadGen) { (p1, p2) =>
+      val text = "%PDF-1.4\n" +
+        s"1 0 obj << /Length ${p1.length} >> stream\n$p1\nendstream endobj\n" +
+        "2 0 obj << /S (plain) >> endobj\n" +
+        s"3 0 obj << /Length ${p2.length} >> stream\n$p2\nendstream endobj\n" +
+        "trailer << /Size 4 >>\n%%EOF"
+      val framed = Pdf.scanObjects(text)
+      framed.map(_._1) == Seq(1, 2, 3) &&
+        Pdf.transformObjects(text, (_, b) => b) == text
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(60), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("scanObjects frames /Length streams, strings and comments over 'endobj' bytes") {
     val payload = "raw endobj 7 0 obj stream\n bytes"
     val text = "%PDF-1.4\n" +
