@@ -142,6 +142,42 @@ object RelationalPack extends QueryPack {
     "events_stream_join_outer" -> ((s, dir) =>
       graft.streaming.EventsStream.purchaseViewJoinOuterViaFileSink(s, dir)),
 
+    // SCD2 temporal build: each purchase becomes a validity interval
+    // [ts, next ts) per user via ONE keyed window lead() — the
+    // slowly-changing-dimension shape every warehouse derives from an
+    // event stream. Integer/timestamp-only, no FP anywhere.
+    "events_scd2" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      Tables.load(s, dir, "events").filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"), col("ts"),
+          lead(col("ts"), 1).over(w).as("next_ts"))
+        .select(col("user_id"), col("event_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("valid_from"),
+          date_format(col("next_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("valid_to"),
+          col("next_ts").isNull.as("is_current"))
+        .orderBy("user_id", "valid_from", "event_id")
+    }),
+
+    // Batch gap-sessionization (the batch twin of
+    // events_sessionize_stream's custom state): new-session flag from
+    // a lag() gap test, session number from the running sum of flags —
+    // two passes of the SAME keyed window, one shuffle total. 30-min
+    // gap; durations in whole seconds (integer millis DIV — no FP).
+    "events_sessionize_batch" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val flagged = Tables.load(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("ts"),
+          when(lag(col("ts"), 1).over(w).isNull ||
+              unix_millis(col("ts")) - unix_millis(lag(col("ts"), 1).over(w)) > 1800000L,
+            1L).otherwise(0L).as("new_sess"))
+      flagged.withColumn("sess_no", sum(col("new_sess")).over(w))
+        .groupBy("user_id", "sess_no")
+        .agg(count(lit(1)).as("n_events"),
+          ((unix_millis(max(col("ts"))) - unix_millis(min(col("ts"))))
+            .divide(lit(1000))).cast("long").as("duration_sec"))
+        .orderBy("user_id", "sess_no")
+    }),
+
     // As-of join (most-recent-prior view per purchase, per user) —
     // the timeseries operator Spark lacks natively, composed as a
     // union + keyed carry-forward window (ops/AsOf.scala). Views
@@ -424,6 +460,27 @@ object RelationalPack extends QueryPack {
         |  v.view_event_id
         |FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND v.vts <= p.ts
         |ORDER BY p.user_id, p.event_id""".stripMargin,
+    // one lead() window, formatted timestamps, null next = current
+    "events_scd2" ->
+      """SELECT user_id, event_id,
+        |  strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S.%f') AS valid_from,
+        |  strftime(CAST(lead(ts) OVER w AS TIMESTAMP), '%Y-%m-%d %H:%M:%S.%f') AS valid_to,
+        |  (lead(ts) OVER w IS NULL) AS is_current
+        |FROM events WHERE event_type = 'purchase'
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY user_id, valid_from, event_id""".stripMargin,
+    // lag-gap flag → running-sum session number → per-session aggregate
+    "events_sessionize_batch" ->
+      """WITH g AS (SELECT user_id, event_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |         OR epoch_ms(CAST(ts AS TIMESTAMP)) - epoch_ms(CAST(lag(ts) OVER w AS TIMESTAMP)) > 1800000
+        |         THEN 1 ELSE 0 END AS new_sess
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (SELECT user_id, event_id, ts,
+        |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS sess_no FROM g)
+        |SELECT user_id, CAST(sess_no AS BIGINT) AS sess_no, count(*) AS n_events,
+        |  (epoch_ms(max(CAST(ts AS TIMESTAMP))) - epoch_ms(min(CAST(ts AS TIMESTAMP)))) // 1000 AS duration_sec
+        |FROM s GROUP BY user_id, sess_no ORDER BY user_id, sess_no""".stripMargin,
     // the stream-stream join's batch twin: same interval condition
     "events_stream_join" ->
       """SELECT p.user_id, p.event_id AS purchase_id, v.event_id AS view_id
