@@ -56,6 +56,26 @@ object AsOf {
     joinAsOfImpl(leftDf, rightDf, keyCol, leftTime, rightTime, payloadCols,
       forward = true)
 
+  /** Backward as-of with a match-window bound (pandas
+    * `merge_asof(tolerance=...)` semantics): the most-recent-prior row
+    * still wins, but its payload is nulled when `within(leftTime,
+    * rightTime)` is false — a stale quote is NOT a match. Same single
+    * shuffle; the bound is a post-window projection, so it composes
+    * with any time representation (`within` receives the two time
+    * columns and returns a boolean Column). */
+  def joinAsOfWithin(leftDf: DataFrame, rightDf: DataFrame, keyCol: String,
+      leftTime: String, rightTime: String, payloadCols: Seq[String],
+      within: (org.apache.spark.sql.Column, org.apache.spark.sql.Column) =>
+        org.apache.spark.sql.Column): DataFrame = {
+    require(!leftDf.columns.contains(rightTime),
+      s"joinAsOfWithin: right time column $rightTime collides with a left column")
+    val j = joinAsOfImpl(leftDf, rightDf, keyCol, leftTime, rightTime,
+      payloadCols :+ rightTime, forward = false)
+    val keep = col(rightTime).isNotNull && within(col(leftTime), col(rightTime))
+    j.select((leftDf.columns.toSeq.map(col) ++
+      payloadCols.map(c => when(keep, col(c)).as(c))): _*)
+  }
+
   private def joinAsOfImpl(leftDf: DataFrame, rightDf: DataFrame, keyCol: String,
       leftTime: String, rightTime: String, payloadCols: Seq[String],
       forward: Boolean): DataFrame = {

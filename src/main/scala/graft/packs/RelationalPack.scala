@@ -199,6 +199,25 @@ object RelationalPack extends QueryPack {
         .orderBy("user_id", "event_id")
     }),
 
+    // As-of with a 1-hour tolerance (pandas merge_asof(tolerance)):
+    // the most-recent-prior view still wins, but a match older than
+    // the bound is nulled — a stale observation is not a match.
+    "events_asof_tolerance" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"), col("ts"))
+      val views = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id"), col("ts").as("vts"))
+        .agg(max(col("event_id")).as("view_event_id"))
+      graft.ops.AsOf.joinAsOfWithin(purchases, views, "user_id", "ts", "vts",
+          Seq("view_event_id"),
+          (lt, rt) => unix_micros(lt) - unix_micros(rt) <= 3600L * 1000 * 1000)
+        .select(col("user_id"), col("event_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts"),
+          col("view_event_id"))
+        .orderBy("user_id", "event_id")
+    }),
+
     // Forward as-of (next view at-or-after each purchase) — the mirror
     // direction, same one-shuffle construction traversed descending;
     // DuckDB's native ASOF with vts >= ts is the independent check.
@@ -497,6 +516,17 @@ object RelationalPack extends QueryPack {
         |  ON p.user_id = v.user_id
         | AND v.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts
         |ORDER BY p.user_id, purchase_id, view_id""".stripMargin,
+    // tolerance: the prior match nulls out beyond the 1-hour bound
+    "events_asof_tolerance" ->
+      """WITH p AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'),
+        |v AS (SELECT user_id, ts AS vts, max(event_id) AS view_event_id
+        |  FROM events WHERE event_type = 'view' GROUP BY 1, 2)
+        |SELECT p.user_id, p.event_id,
+        |  strftime(CAST(p.ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S.%f') AS ts,
+        |  CASE WHEN CAST(p.ts AS TIMESTAMP) - CAST(v.vts AS TIMESTAMP) <= INTERVAL 1 HOUR
+        |       THEN v.view_event_id END AS view_event_id
+        |FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND v.vts <= p.ts
+        |ORDER BY p.user_id, p.event_id""".stripMargin,
     // forward direction: smallest vts >= ts
     "events_asof_forward" ->
       """WITH p AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'),

@@ -70,6 +70,21 @@ class AsOfSpec extends SparkSpec {
       (2L, "p3", "r_late")))  // 60 is the nearest following 50
   }
 
+  test("tolerance as-of: in-window match kept, stale match nulled, no-match stays null") {
+    val out = AsOf.joinAsOfWithin(left, right, "k", "lt", "rt", Seq("tag", "v"),
+        (lt, rt) => lt - rt <= 60L) // long fixture times; window of 60
+      .orderBy("k", "lt").collect()
+      .map(r => (r.getAs[String]("name"), r.getAs[String]("tag")))
+    assert(out.toSeq == Seq(
+      ("p1", "r_at_100"), // lt=100, rt=100: within
+      ("p2", "r_at_150"), // lt=200, rt=150: gap 50 <= 60, within
+      ("p3", null)))      // no prior at all
+    val tight = AsOf.joinAsOfWithin(left, right, "k", "lt", "rt", Seq("tag", "v"),
+        (lt, rt) => lt - rt <= 10L)
+      .orderBy("k", "lt").collect().map(r => r.getAs[String]("tag"))
+    assert(tight.toSeq == Seq("r_at_100", null, null)) // p2's match went stale
+  }
+
   test("forward as-of: nearest following wins over later ones; null rt dropped") {
     val r2 = Seq(
       (1L, Some(120L), "r_at_120", 1.0),
