@@ -241,6 +241,33 @@ object Ann {
     rankTopK(probes.join(cass, Seq("bucket")), k)
   }
 
+  /** The full scale composition: IVF bucket restriction AND int8
+    * scoring. Assignment and probing run on full precision (centroid
+    * geometry should not inherit quantization error); the candidate
+    * pair loop — the only O(|q|·nprobe·|corpus|/n) part — runs the
+    * codegen'd integer dot over quarter-size vectors. Same output
+    * contract as [[ivfTopK]]; scores carry the quantized cosine. */
+  def ivfTopKInt8(queries: DataFrame, corpus: DataFrame, centroids: DataFrame,
+      k: Int = 10, nprobe: Int = 2): DataFrame = {
+    import graft.functions.{ArrayDotInt8, F}
+    def dotq(a: Column, b: Column): Column =
+      F.toColumn(ArrayDotInt8(F.toExpr(a), F.toExpr(b)))
+    val cass = quantizeInt8(assignBuckets(corpus, centroids), "ce", "cq")
+      .select(col("vec_id"), col("bucket"), col("cq"),
+        dotq(col("cq"), col("cq")).as("cqq"))
+    val probes = quantizeInt8(probeBuckets(queries, centroids, nprobe), "qe", "qq")
+      .select(col("qid"), col("bucket"), col("qq"),
+        dotq(col("qq"), col("qq")).as("qqq"))
+    val scored = broadcast(probes).join(cass, Seq("bucket"))
+      .select(col("qid"), col("vec_id"),
+        when(col("qqq") === 0L || col("cqq") === 0L, lit(null))
+          .otherwise(F.scale4(dotq(col("qq"), col("cq")).cast("double")
+            / sqrt((col("qqq") * col("cqq")).cast("double"))))
+          .as("cos_x1e4"))
+    val w = Window.partitionBy("qid").orderBy(desc("cos_x1e4"), asc("vec_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   /** Expects qe2/ce2 (the per-side self-dots) already projected onto
     * `joined` — see [[cosScaledPre]] for why this is value-identical
     * to the inline cosine. */

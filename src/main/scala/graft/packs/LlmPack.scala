@@ -151,6 +151,20 @@ object LlmPack extends QueryPack {
       Ann.ivfTopK(q, c, cent, TOPK, NPROBE)
         .select("qid", "vec_id", "cos_x1e4", "rank").orderBy("qid", "rank")
     }),
+    // IVF × int8: bucket restriction AND quantized scoring in one
+    // query — the full 100 TB composition (assignment geometry full
+    // precision; the candidate pair loop integer-only on quarter-size
+    // vectors). Oracle composes the ivf CTEs with the quantization
+    // CTEs — bit-exact like both parents.
+    "ann_topk_ivf_quantized" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val c = e.select(col("vec_id"), col("embedding").as("ce"))
+      val cent = Ann.ivfCentroids(c, NC, LLOYD)
+      val q = e.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      Ann.ivfTopKInt8(q, c, cent, TOPK, NPROBE)
+        .select("qid", "vec_id", "cos_x1e4", "rank").orderBy("qid", "rank")
+    }),
     // Measured IVF recall vs the exact baseline over 20 queries —
     // the honest quality gate for the approximate path. Ann.ivfRecall
     // shares ONE persisted bucket assignment between the IVF side and
@@ -402,6 +416,44 @@ object LlmPack extends QueryPack {
     "WITH " + ivfCtes(maxQ = 3).mkString(",\n") +
       "\nSELECT qid, vec_id, cos_x1e4, rank FROM ivf ORDER BY qid, rank"
 
+  /** The ivf CTEs' bucket structure composed with the int8
+    * quantization CTEs: full-precision assignment/probing, quantized
+    * candidate scoring — mirrors [[graft.llm.Ann.ivfTopKInt8]]. */
+  private def ivfQuantSql: String = {
+    val (build, centFinal) = centroidCtes()
+    val quant = Seq(
+      "qbase AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)",
+      "qsc AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) / 127.0 AS s FROM qbase)",
+      """qz8 AS (SELECT vec_id,
+        |    CASE WHEN s = 0 THEN list_transform(v, x -> CAST(0 AS BIGINT))
+        |         ELSE list_transform(v, x -> CAST(LEAST(127.0, GREATEST(-127.0, round(x / s))) AS BIGINT)) END AS q
+        |  FROM qsc)""".stripMargin,
+      """qd8 AS (SELECT vec_id, q,
+        |    list_sum(list_transform(generate_series(1, len(q)), i -> q[i] * q[i])) AS qq FROM qz8)""".stripMargin)
+    val score = "CASE WHEN cq.qq = 0 OR cc.qq = 0 THEN NULL ELSE " +
+      "CAST(FLOOR(CAST(list_sum(list_transform(generate_series(1, len(cq.q)), i -> cq.q[i] * cc.q[i])) AS DOUBLE)" +
+      " / sqrt(CAST(cq.qq * cc.qq AS DOUBLE)) * 10000 + 0.5) AS BIGINT) END"
+    val ctes = build ++ Seq(
+      assignSql(centFinal, "corpus_assign"),
+      "q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 3)",
+      s"""q_probe AS (
+         |  SELECT qid, qe, cid AS bucket FROM (
+         |    SELECT q.qid, q.qe, s.cid,
+         |      ROW_NUMBER() OVER (PARTITION BY q.qid
+         |        ORDER BY ${cosS("q.qe", "s.cemb")} DESC, s.cid) AS rn
+         |    FROM q, $centFinal s) WHERE rn <= $NPROBE)""".stripMargin) ++ quant
+    "WITH " + ctes.mkString(",\n") +
+      s"""
+         |SELECT qid, vec_id, cos_x1e4, rank FROM (
+         |  SELECT qp.qid, ca.vec_id, $score AS cos_x1e4,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY qp.qid
+         |      ORDER BY $score DESC, ca.vec_id) AS INT) AS rank
+         |  FROM q_probe qp JOIN corpus_assign ca ON qp.bucket = ca.bucket
+         |    JOIN qd8 cq ON cq.vec_id = qp.qid
+         |    JOIN qd8 cc ON cc.vec_id = ca.vec_id)
+         |WHERE rank <= $TOPK ORDER BY qid, rank""".stripMargin
+  }
+
   private def ivfRecallSql: String = {
     val brute =
       s"""brute AS (
@@ -565,6 +617,7 @@ object LlmPack extends QueryPack {
         |    CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_x1e4 DESC, vec_id) AS INT) AS rank
         |  FROM s2) WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
     "ann_topk_ivf" -> ivfTopkSql,
+    "ann_topk_ivf_quantized" -> ivfQuantSql,
     "ann_ivf_recall" -> ivfRecallSql,
     "dedup_embedding" -> embeddingDupSql,
     "curation_pipeline" -> {
