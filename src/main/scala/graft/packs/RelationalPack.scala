@@ -165,15 +165,21 @@ object RelationalPack extends QueryPack {
     // gap; durations in whole seconds (integer millis DIV — no FP).
     "events_sessionize_batch" -> ((s, dir) => {
       val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      // cast NTZ→TIMESTAMP before unix_millis: regenerated parquet (sf1,
+      // real deployments) types ts as TIMESTAMP_NTZ, which unix_millis
+      // rejects; the session timezone is pinned UTC so the cast is
+      // value-stable across fixtures
       val flagged = Tables.load(s, dir, "events")
         .select(col("user_id"), col("event_id"), col("ts"),
           when(lag(col("ts"), 1).over(w).isNull ||
-              unix_millis(col("ts")) - unix_millis(lag(col("ts"), 1).over(w)) > 1800000L,
+              unix_millis(col("ts").cast("timestamp")) -
+                unix_millis(lag(col("ts"), 1).over(w).cast("timestamp")) > 1800000L,
             1L).otherwise(0L).as("new_sess"))
       flagged.withColumn("sess_no", sum(col("new_sess")).over(w))
         .groupBy("user_id", "sess_no")
         .agg(count(lit(1)).as("n_events"),
-          ((unix_millis(max(col("ts"))) - unix_millis(min(col("ts"))))
+          ((unix_millis(max(col("ts")).cast("timestamp")) -
+            unix_millis(min(col("ts")).cast("timestamp")))
             .divide(lit(1000))).cast("long").as("duration_sec"))
         .orderBy("user_id", "sess_no")
     }),
@@ -209,9 +215,11 @@ object RelationalPack extends QueryPack {
       val views = ev.filter(col("event_type") === "view")
         .groupBy(col("user_id"), col("ts").as("vts"))
         .agg(max(col("event_id")).as("view_event_id"))
+      // NTZ-safe: cast before unix_micros (see events_sessionize_batch)
       graft.ops.AsOf.joinAsOfWithin(purchases, views, "user_id", "ts", "vts",
           Seq("view_event_id"),
-          (lt, rt) => unix_micros(lt) - unix_micros(rt) <= 3600L * 1000 * 1000)
+          (lt, rt) => unix_micros(lt.cast("timestamp")) -
+            unix_micros(rt.cast("timestamp")) <= 3600L * 1000 * 1000)
         .select(col("user_id"), col("event_id"),
           date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts"),
           col("view_event_id"))
