@@ -128,6 +128,13 @@ object RelationalPack extends QueryPack {
     "events_sessionize_stream" -> ((s, dir) =>
       graft.streaming.EventsStream.sessionizeViaMemory(s, dir)),
 
+    // §2.11 CHAINED stateful operators: ingest-dedup → hourly window
+    // agg in ONE streaming query over a redelivered feed — counts must
+    // equal the batch aggregate of the unduplicated feed (a dropped
+    // dedup would double them).
+    "events_stream_pipeline" -> ((s, dir) =>
+      graft.streaming.EventsStream.dedupHourlyViaFileSink(s, dir)),
+
     // §2.11 stream-stream join: watermarked purchase×view interval
     // self-join through the exactly-once file sink — inner matches
     // emit as they arrive; the watermark bounds join state. The
@@ -461,6 +468,12 @@ object RelationalPack extends QueryPack {
         |  event_type, count(*) AS n
         |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
     "events_hourly_stream" ->
+      """SELECT strftime(date_trunc('hour', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:00:00') AS hour,
+        |  event_type, count(*) AS n
+        |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+    // chained dedup→window: identical to the plain hourly aggregate —
+    // the redelivered copies must vanish inside the streaming query
+    "events_stream_pipeline" ->
       """SELECT strftime(date_trunc('hour', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:00:00') AS hour,
         |  event_type, count(*) AS n
         |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,

@@ -20,8 +20,13 @@ object EventsStream {
     * twin of the batch `events_hourly` query (same plan shape; state
     * pruned by the watermark). */
   def hourlyCounts(events: DataFrame): DataFrame =
+    hourlyAgg(events.withWatermark("ts", "1 hour"))
+
+  /** The aggregate half of [[hourlyCounts]], watermark supplied
+    * upstream — chained stateful operators (dedup → window agg) must
+    * set the watermark ONCE; redefining it downstream is disallowed. */
+  def hourlyAgg(events: DataFrame): DataFrame =
     events
-      .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
 
@@ -273,6 +278,77 @@ object EventsStream {
       .groupBy("event_type")
       .agg(count(lit(1)).as("n"))
       .orderBy("event_type")
+  }
+
+  /** Chained-stateful-operator gate: ingest-dedup FOLLOWED BY the
+    * watermarked hourly aggregate in ONE streaming query (Spark's
+    * multiple-stateful-operators support) — the realistic deployment
+    * shape, where an at-least-once feed is deduplicated before
+    * aggregation in the same job. Staging combines both harness
+    * tricks: the fixture redelivered as a second micro-batch (dedup
+    * must drop it — per-hour counts would double otherwise) plus two
+    * far-future sentinel batches that advance the watermark so append
+    * mode releases every real window. Oracle: the plain batch hourly
+    * aggregate over the ORIGINAL (unduplicated) feed. */
+  def dedupHourlyViaFileSink(spark: SparkSession, sfDir: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val base = Files.createTempDirectory("graft_deduphourly_gate")
+    val in = base.resolve("in"); Files.createDirectories(in)
+    Files.copy(Paths.get(s"$sfDir/events.parquet"), in.resolve("events.parquet"))
+    val dup = in.resolve("events_redelivered.parquet")
+    Files.copy(Paths.get(s"$sfDir/events.parquet"), dup)
+    Files.setLastModifiedTime(dup,
+      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() + 5000L))
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "4")
+    ss.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val probe = ss.read.parquet(s"$sfDir/events.parquet")
+    val tsIsLong = probe.schema("ts").dataType ==
+      org.apache.spark.sql.types.LongType
+    val maxMicros =
+      if (tsIsLong) probe.agg(max(expr("ts DIV 1000"))).head.getLong(0)
+      else probe.agg(max(unix_micros(col("ts").cast("timestamp")))).head.getLong(0)
+    val hourUs = 3600L * 1000 * 1000
+    Seq(1, 2).foreach { i =>
+      val stage = base.resolve(s"stage$i")
+      val sentUs = maxMicros + 3L * i * hourUs
+      ss.range(1).select(
+        lit(-i.toLong).as("event_id"),
+        (if (tsIsLong) lit(sentUs * 1000L)
+         else timestamp_micros(lit(sentUs)).cast("timestamp_ntz")).as("ts"),
+        lit(-1L).as("user_id"), lit("sentinel").as("event_type"),
+        lit(0.0).as("value"), lit("").as("props"))
+        .coalesce(1).write.parquet(stage.toString)
+      val listing = Files.list(stage)
+      val part = try listing.filter(_.getFileName.toString.endsWith(".parquet")).findFirst.get
+        finally listing.close()
+      val dst = in.resolve(s"sentinel$i.parquet")
+      Files.copy(part, dst)
+      Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() + 10000L + i * 10000L))
+    }
+    val out = base.resolve("out").toString
+    val q = hourlyAgg(dedupEvents(readEvents(ss, in.toString,
+        maxFilesPerTrigger = Some(1))))
+      .select(col("window.start").as("hour_start"), col("event_type"), col("n"))
+      .writeStream
+      .outputMode(OutputMode.Append())
+      .format("parquet")
+      .option("path", out)
+      .option("checkpointLocation", base.resolve("ckpt").toString)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    (Seq(in, base.resolve("ckpt")) ++ Seq(1, 2).map(i => base.resolve(s"stage$i"))).foreach { d =>
+      val walk = Files.walk(d)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => Files.deleteIfExists(p))
+      finally walk.close()
+    }
+    spark.read.parquet(out)
+      .filter(col("event_type") =!= "sentinel")
+      .select(date_format(col("hour_start"), "yyyy-MM-dd HH:00:00").as("hour"),
+        col("event_type"), col("n"))
+      .orderBy("hour", "event_type")
   }
 
   /** Correctness gate for the stream-stream join ([[purchaseViewJoin]]):
