@@ -432,6 +432,48 @@ object RelationalPack extends QueryPack {
         .agg(count(lit(1)).as("n_customers"), dsum("c_acctbal").as("sum_bal"))
         .orderBy("c_mktsegment")
     }),
+
+    // Bucketed co-located join: both sides pre-hashed into the same 8
+    // buckets on the join key at WRITE time, so the join itself plans
+    // with zero Exchange operators (PlanShapeSpec locks this). The
+    // at-scale contract: pay the shuffle once when the table lands,
+    // amortize it over every subsequent join on that key.
+    "join_bucketed_colocated" -> ((s, dir) => {
+      import java.nio.file.Paths
+      val scratch = Paths.get(System.getProperty("java.io.tmpdir"), "graft_bucketed").toString
+      graft.ops.Bucketing.writeBucketed(
+        Tables.load(s, dir, "orders").select("o_orderkey", "o_orderpriority"),
+        "graft_orders_bkt", s"$scratch/orders", 8, "o_orderkey")
+      graft.ops.Bucketing.writeBucketed(
+        Tables.load(s, dir, "lineitem")
+          .select(col("l_orderkey").as("o_orderkey"), col("l_extendedprice")),
+        "graft_lineitem_bkt", s"$scratch/lineitem", 8, "o_orderkey")
+      graft.ops.Bucketing.colocatedJoin(s, "graft_orders_bkt", "graft_lineitem_bkt", "o_orderkey")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_items"), dsum("l_extendedprice").as("sum_price"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // Hive-style partition pruning: events laid out as
+    // event_type=<v>/... at write time, so the predicate on the
+    // partition column never touches the other partitions' files AT
+    // PLANNING TIME (PartitionFilters in the scan — locked by
+    // PlanShapeSpec). At 100 TB this is the difference between
+    // scanning one directory and scanning the lake; the agg result is
+    // oracle-identical to filtering the unpartitioned table.
+    "scan_partition_pruned" -> ((s, dir) => {
+      import java.nio.file.Paths
+      val out = Paths.get(System.getProperty("java.io.tmpdir"),
+        "graft_part", "events_by_type").toString
+      Tables.load(s, dir, "events")
+        .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+        .write.mode("overwrite").partitionBy("event_type").parquet(out)
+      s.read.parquet(out)
+        .filter(col("event_type") === "purchase")
+        .groupBy("day")
+        .agg(count(lit(1)).as("n"), dsum("value").as("total_value"))
+        .orderBy("day")
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -446,6 +488,15 @@ object RelationalPack extends QueryPack {
       s"""SELECT c_mktsegment, count(*) AS n_orders, ${dsumSql("o_totalprice")} AS revenue
          |FROM orders JOIN customer ON o_custkey = c_custkey
          |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "join_bucketed_colocated" ->
+      s"""SELECT o_orderpriority, count(*) AS n_items, ${dsumSql("l_extendedprice")} AS sum_price
+         |FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "scan_partition_pruned" ->
+      s"""SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day,
+         |  count(*) AS n, ${dsumSql("value")} AS total_value
+         |FROM events WHERE event_type = 'purchase'
+         |GROUP BY 1 ORDER BY day""".stripMargin,
     "join_customer_nation_count" ->
       """SELECT n_name, count(*) AS n_customers
         |FROM customer JOIN nation ON c_nationkey = n_nationkey

@@ -67,24 +67,32 @@ class PlanShapeSpec extends SparkSpec {
     val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
+    // Sorted-bucket scan ordering is opt-in since Spark 3.1 (the planner
+    // no longer trusts per-bucket sort order by default because it's only
+    // valid at ONE file per bucket — exactly what writeBucketed enforces).
+    spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
     try {
-      spark.sql("DROP TABLE IF EXISTS graft_bkt_orders")
-      spark.sql("DROP TABLE IF EXISTS graft_bkt_customer")
-      graft.core.Tables.load(spark, sf, "orders")
-        .select("o_orderkey", "o_custkey", "o_totalprice")
-        .write.bucketBy(8, "o_custkey").sortBy("o_custkey")
-        .saveAsTable("graft_bkt_orders")
-      graft.core.Tables.load(spark, sf, "customer")
-        .select("c_custkey", "c_mktsegment")
-        .write.bucketBy(8, "c_custkey").sortBy("c_custkey")
-        .saveAsTable("graft_bkt_customer")
-      val joined = spark.table("graft_bkt_orders")
-        .join(spark.table("graft_bkt_customer"),
-          org.apache.spark.sql.functions.col("o_custkey") ===
-            org.apache.spark.sql.functions.col("c_custkey"))
+      val scratch = java.nio.file.Files.createTempDirectory("graft_bkt").toString
+      graft.ops.Bucketing.writeBucketed(
+        graft.core.Tables.load(spark, sf, "orders")
+          .select("o_orderkey", "o_custkey", "o_totalprice")
+          .withColumnRenamed("o_custkey", "custkey"),
+        "graft_bkt_orders", s"$scratch/orders", 8, "custkey")
+      graft.ops.Bucketing.writeBucketed(
+        graft.core.Tables.load(spark, sf, "customer")
+          .select("c_custkey", "c_mktsegment")
+          .withColumnRenamed("c_custkey", "custkey"),
+        "graft_bkt_customer", s"$scratch/customer", 8, "custkey")
+      val joined = graft.ops.Bucketing.colocatedJoin(
+        spark, "graft_bkt_orders", "graft_bkt_customer", "custkey")
       val plan = joined.queryExecution.executedPlan.toString
       assert(plan.contains("SortMergeJoin"), plan)
       assert(!plan.contains("Exchange"), plan)
+      // writeBucketed's repartition guarantees ONE file per bucket, so
+      // the scan advertises its sortBy order and the SMJ elides the
+      // per-task Sort too ("Sort [" is SortExec; SortMergeJoin's own
+      // node name doesn't match the bracket form).
+      assert(!plan.contains("Sort ["), plan)
       // and the join is still correct
       val expected = graft.core.Tables.load(spark, sf, "orders")
         .join(graft.core.Tables.load(spark, sf, "customer"),
@@ -94,9 +102,35 @@ class PlanShapeSpec extends SparkSpec {
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
       spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.conf.unset("spark.sql.legacy.bucketedTableScan.outputOrdering")
       spark.sql("DROP TABLE IF EXISTS graft_bkt_orders")
       spark.sql("DROP TABLE IF EXISTS graft_bkt_customer")
     }
+  }
+
+  test("scan_partition_pruned plans the predicate as a PartitionFilter — pruned at planning time") {
+    val df = SparkEntry.queries("scan_partition_pruned")(spark, sf)
+    val scanLine = df.queryExecution.executedPlan.toString
+      .linesIterator.find(_.contains("FileScan")).getOrElse("")
+    // The event_type predicate must live in PartitionFilters (directory
+    // pruning), NOT in PushedFilters/DataFilters (row-group evaluation
+    // after the file is already opened).
+    val pf = scanLine.drop(scanLine.indexOf("PartitionFilters:"))
+      .takeWhile(_ != ']')
+    assert(pf.contains("event_type"), scanLine)
+    assert(scanLine.contains("ReadSchema: struct<day:string,value:double>") ||
+      scanLine.contains("ReadSchema: struct<value:double,day:string>"), scanLine)
+  }
+
+  test("join_bucketed_colocated's join subtree is exchange-free even with AQE on") {
+    val df = SparkEntry.queries("join_bucketed_colocated")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("SortMergeJoin"), p)
+    // The ONLY exchanges allowed are the ones the aggregation/orderBy
+    // above the join introduce; the join's children must read buckets
+    // in place. Locate the SMJ and assert no Exchange appears below it.
+    val below = p.substring(p.indexOf("SortMergeJoin"))
+    assert(!below.contains("Exchange"), p)
   }
 
   test("dedup_exact is one hash aggregate over the digest — no join, no window") {
