@@ -101,6 +101,12 @@ object GraftExtensions {
         require(args.length == 2, "array_dot_int8(a, b) takes 2 arguments")
         graft.functions.ArrayDotInt8(args(0), args(1))
       }),
+    ("zorder_key",
+      info("zorder_key", "64-bit Morton code of two int columns (space-filling-curve clustering key for 2-D data skipping)"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "zorder_key(a, b) takes 2 arguments")
+        graft.functions.ZOrderKey(args(0), args(1))
+      }),
   )
 
   private def litInt(e: Expression, what: String): Int = e match {

@@ -474,6 +474,33 @@ object RelationalPack extends QueryPack {
         .agg(count(lit(1)).as("n"), dsum("value").as("total_value"))
         .orderBy("day")
     }),
+
+    // Z-order clustering: events rewritten ordered along a Morton
+    // curve over (day-of-month, hour-of-day), so every output file's
+    // min/max footer covers a small RECTANGLE of the 2-D plane and a
+    // box predicate skips most files (ZOrderSpec measures the skip
+    // rate vs a shuffled layout). The query itself is the box
+    // aggregate, oracle-identical to filtering the raw table — the
+    // layout changes cost, never answers.
+    "zorder_skipping" -> ((s, dir) => {
+      import java.nio.file.Paths
+      import graft.functions.ZOrderKey
+      val out = Paths.get(System.getProperty("java.io.tmpdir"),
+        "graft_zorder", "events").toString
+      val dims = Tables.load(s, dir, "events").select(
+        dayofmonth(col("ts")).as("dom"), hour(col("ts")).as("hod"),
+        col("event_type"), col("value"))
+      dims.withColumn("zk", ZOrderKey(col("dom"), col("hod")))
+        .repartitionByRange(8, col("zk"))
+        .sortWithinPartitions("zk")
+        .drop("zk")
+        .write.mode("overwrite").parquet(out)
+      s.read.parquet(out)
+        .filter(col("dom").between(5, 10) && col("hod").between(6, 11))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), dsum("value").as("total_value"))
+        .orderBy("event_type")
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -497,6 +524,12 @@ object RelationalPack extends QueryPack {
          |  count(*) AS n, ${dsumSql("value")} AS total_value
          |FROM events WHERE event_type = 'purchase'
          |GROUP BY 1 ORDER BY day""".stripMargin,
+    "zorder_skipping" ->
+      s"""SELECT event_type, count(*) AS n, ${dsumSql("value")} AS total_value
+         |FROM events
+         |WHERE EXTRACT(day FROM CAST(ts AS TIMESTAMP)) BETWEEN 5 AND 10
+         |  AND EXTRACT(hour FROM CAST(ts AS TIMESTAMP)) BETWEEN 6 AND 11
+         |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "join_customer_nation_count" ->
       """SELECT n_name, count(*) AS n_customers
         |FROM customer JOIN nation ON c_nationkey = n_nationkey
