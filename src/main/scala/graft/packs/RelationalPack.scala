@@ -128,6 +128,14 @@ object RelationalPack extends QueryPack {
     "events_sessionize_stream" -> ((s, dir) =>
       graft.streaming.EventsStream.sessionizeViaMemory(s, dir)),
 
+    // §2.11 EVENT-TIME custom state: gap sessionization through
+    // flatMapGroupsWithState + EventTimeTimeout — sessions close when
+    // the WATERMARK passes last-event + 30 min, emit exactly once
+    // (Append mode → real file sink), and must reproduce the batch
+    // gap-sessionization twin aggregated per user.
+    "events_sessionize_et_stream" -> ((s, dir) =>
+      graft.streaming.EventsStream.sessionizeEventTimeViaFileSink(s, dir)),
+
     // §2.11 CHAINED stateful operators: ingest-dedup → hourly window
     // agg in ONE streaming query over a redelivered feed — counts must
     // equal the batch aggregate of the unduplicated feed (a dropped
@@ -605,6 +613,24 @@ object RelationalPack extends QueryPack {
         |SELECT user_id, CAST(sess_no AS BIGINT) AS sess_no, count(*) AS n_events,
         |  (epoch_ms(max(CAST(ts AS TIMESTAMP))) - epoch_ms(min(CAST(ts AS TIMESTAMP)))) // 1000 AS duration_sec
         |FROM s GROUP BY user_id, sess_no ORDER BY user_id, sess_no""".stripMargin,
+    // the event-time streaming sessionizer's twin: the SAME per-session
+    // CTE as events_sessionize_batch, re-aggregated per user (the
+    // stream emits one row per CLOSED session; the gate groups them)
+    "events_sessionize_et_stream" ->
+      """WITH g AS (SELECT user_id, event_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |         OR epoch_ms(CAST(ts AS TIMESTAMP)) - epoch_ms(CAST(lag(ts) OVER w AS TIMESTAMP)) > 1800000
+        |         THEN 1 ELSE 0 END AS new_sess
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (SELECT user_id, event_id, ts,
+        |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS sess_no FROM g),
+        |per_sess AS (SELECT user_id, sess_no, count(*) AS n_events,
+        |    (epoch_ms(max(CAST(ts AS TIMESTAMP))) - epoch_ms(min(CAST(ts AS TIMESTAMP)))) // 1000 AS duration_sec
+        |  FROM s GROUP BY user_id, sess_no)
+        |SELECT user_id, count(*) AS n_sessions,
+        |  CAST(SUM(n_events) AS BIGINT) AS n_events,
+        |  CAST(SUM(duration_sec) AS BIGINT) AS total_duration_sec
+        |FROM per_sess GROUP BY user_id ORDER BY user_id""".stripMargin,
     // the stream-stream join's batch twin: same interval condition
     "events_stream_join" ->
       """SELECT p.user_id, p.event_id AS purchase_id, v.event_id AS view_id

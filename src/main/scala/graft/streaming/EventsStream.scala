@@ -106,6 +106,62 @@ object EventsStream {
         })
   }
 
+  case class ClosedSession(user_id: Long, start_ms: Long, n_events: Int, duration_sec: Long)
+
+  /** Event-time gap sessionization — the scale-correct sibling of
+    * [[sessionize]]: flatMapGroupsWithState with EventTimeTimeout, so
+    * a session CLOSES when the WATERMARK (not the wall clock) passes
+    * its last event + gap. Closed sessions are emitted exactly once,
+    * which makes the operator Append-mode compatible → it can feed a
+    * parquet file sink (Update-mode mapGroupsWithState cannot).
+    *
+    * Semantics match the batch twin (`events_sessionize_batch`): a
+    * strictly-greater-than-gap gap between consecutive events starts a
+    * new session, INCLUDING within one micro-batch — the per-batch
+    * fold splits eagerly and emits the finished sessions immediately;
+    * only the trailing open session waits for its timeout. Late rows
+    * landing behind an already-closed session start a fresh one — the
+    * documented at-least-once recovery behavior; the watermark bounds
+    * how long that window stays open. */
+  def sessionizeEventTime(events: Dataset[Event],
+      gapMs: Long = 30 * 60 * 1000L,
+      watermarkDelay: String = "0 seconds"): Dataset[ClosedSession] = {
+    import events.sparkSession.implicits._
+    def close(uid: Long, s: SessionState) =
+      ClosedSession(uid, s.start, s.n, (s.last - s.start) / 1000)
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout)(
+        (uid: Long, batch: Iterator[Event], state: GroupState[SessionState]) => {
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(close(uid, s))
+          } else {
+            val times = batch.map(_.ts.getTime).toArray.sorted
+            val closed = Seq.newBuilder[ClosedSession]
+            var open = state.getOption.orNull
+            times.foreach { t =>
+              open =
+                if (open == null) SessionState(t, t, 1)
+                else if (t - open.last > gapMs) {
+                  closed += close(uid, open)
+                  SessionState(t, t, 1)
+                } else SessionState(open.start, math.max(open.last, t), open.n + 1)
+            }
+            state.update(open)
+            // the timeout must sit strictly past the current watermark
+            // (Spark rejects earlier values); for a session that is
+            // already expired relative to the watermark, +1 ms fires
+            // it on the very next trigger.
+            state.setTimeoutTimestamp(
+              math.max(open.last + gapMs, state.getCurrentWatermarkMs() + 1))
+            closed.result().iterator
+          }
+        })
+  }
+
   /** File-source stream over a directory of parquet events. Handles
     * the fixture's TIMESTAMP(NANOS) parquet the same way Tables.load
     * does (nanos-as-long + integer µs truncation), type-gated by a
@@ -349,6 +405,77 @@ object EventsStream {
       .select(date_format(col("hour_start"), "yyyy-MM-dd HH:00:00").as("hour"),
         col("event_type"), col("n"))
       .orderBy("hour", "event_type")
+  }
+
+  /** Correctness gate for [[sessionizeEventTime]]: stream the events
+    * fixture (one micro-batch) followed by two sentinel micro-batches
+    * whose event times sit 3 h and 6 h past the fixture maximum. The
+    * first sentinel batch advances the watermark to the fixture max —
+    * timing out every session more than `gap` behind it; the second
+    * advances it 3 h further, closing the stragglers. Every REAL
+    * session is therefore emitted exactly once through the Append-mode
+    * parquet sink; the sentinel user's own session stays open (or is
+    * filtered) and never reaches the result. Aggregated per user, the
+    * sink must hash-match the batch gap-sessionization twin. */
+  def sessionizeEventTimeViaFileSink(spark: SparkSession, sfDir: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val base = Files.createTempDirectory("graft_sess_et_gate")
+    val in = base.resolve("in"); Files.createDirectories(in)
+    Files.copy(Paths.get(s"$sfDir/events.parquet"), in.resolve("events.parquet"))
+    val ss = spark.newSession()
+    import ss.implicits._
+    ss.conf.set("spark.sql.shuffle.partitions", "4")
+    ss.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val probe = ss.read.parquet(s"$sfDir/events.parquet")
+    val tsIsLong = probe.schema("ts").dataType ==
+      org.apache.spark.sql.types.LongType
+    val maxMicros =
+      if (tsIsLong) probe.agg(max(expr("ts DIV 1000"))).head.getLong(0)
+      else probe.agg(max(unix_micros(col("ts").cast("timestamp")))).head.getLong(0)
+    val hourUs = 3600L * 1000 * 1000
+    Seq(1, 2).foreach { i =>
+      val stage = base.resolve(s"stage$i")
+      val sentUs = maxMicros + 3L * i * hourUs
+      ss.range(1).select(
+        lit(-i.toLong).as("event_id"),
+        (if (tsIsLong) lit(sentUs * 1000L)
+         else timestamp_micros(lit(sentUs)).cast("timestamp_ntz")).as("ts"),
+        lit(-1L).as("user_id"), lit("sentinel").as("event_type"),
+        lit(0.0).as("value"), lit("").as("props"))
+        .coalesce(1).write.parquet(stage.toString)
+      val listing = Files.list(stage)
+      val part = try listing.filter(_.getFileName.toString.endsWith(".parquet")).findFirst.get
+        finally listing.close()
+      val dst = in.resolve(s"sentinel$i.parquet")
+      Files.copy(part, dst)
+      Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() + 10000L + i * 10000L))
+    }
+    val out = base.resolve("out").toString
+    val events = readEvents(ss, in.toString, maxFilesPerTrigger = Some(1))
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[Event]
+    val q = sessionizeEventTime(events)
+      .writeStream
+      .outputMode(OutputMode.Append())
+      .format("parquet")
+      .option("path", out)
+      .option("checkpointLocation", base.resolve("ckpt").toString)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    (Seq(in, base.resolve("ckpt")) ++ Seq(1, 2).map(i => base.resolve(s"stage$i"))).foreach { d =>
+      val walk = Files.walk(d)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => Files.deleteIfExists(p))
+      finally walk.close()
+    }
+    spark.read.parquet(out)
+      .filter(col("user_id") >= 0)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(col("n_events")).cast("long").as("n_events"),
+        sum(col("duration_sec")).cast("long").as("total_duration_sec"))
+      .orderBy("user_id")
   }
 
   /** Correctness gate for the stream-stream join ([[purchaseViewJoin]]):

@@ -45,6 +45,36 @@ class EventsStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("event-time sessionizer splits on the gap within a batch and closes via the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[Event]
+    val q = EventsStream.sessionizeEventTime(src.toDS(), gapMs = 30 * 60 * 1000L)
+      .writeStream.format("memory").queryName("sess_et").outputMode(OutputMode.Append()).start()
+    try {
+      // user 7: two bursts 2 h apart INSIDE one batch → the first
+      // session must close immediately (no timeout involved).
+      src.addData(
+        Event(1, ts("2024-01-01 10:00:00"), 7, "view", 1.0),
+        Event(2, ts("2024-01-01 10:10:00"), 7, "view", 1.0),
+        Event(3, ts("2024-01-01 12:10:00"), 7, "view", 1.0),
+        Event(4, ts("2024-01-01 12:00:00"), 8, "view", 1.0))
+      q.processAllAvailable()
+      val afterBatch1 = spark.sql("SELECT user_id, n_events, duration_sec FROM sess_et").collect()
+      assert(afterBatch1.map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq ==
+        Seq((7L, 2, 600L)), afterBatch1.mkString(","))
+      // watermark sentinel far in the future: both open sessions
+      // (user 7's second burst, user 8's singleton) time out and emit.
+      src.addData(Event(99, ts("2024-01-02 12:00:00"), 99, "view", 1.0))
+      q.processAllAvailable()
+      src.addData(Event(100, ts("2024-01-03 12:00:00"), 99, "view", 1.0))
+      q.processAllAvailable()
+      val all = spark.sql(
+        "SELECT user_id, n_events, duration_sec FROM sess_et ORDER BY user_id, duration_sec").collect()
+      val real = all.map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).filter(_._1 < 99)
+      assert(real.toSeq == Seq((7L, 1, 0L), (7L, 2, 600L), (8L, 1, 0L)), all.mkString(","))
+    } finally q.stop()
+  }
+
   test("runToFiles: deployable file-source → parquet-sink pipeline (§2.11)") {
     val base = java.nio.file.Files.createTempDirectory("evstream")
     val out = base.resolve("out").toString
