@@ -66,6 +66,28 @@ object ExtrasPack extends QueryPack {
         .select(col("n_nationkey"),
           to_json(struct(col("n_nationkey"), col("n_name"))).as("doc"))
         .orderBy("n_nationkey")),
+    // P2/P3 at engine scale: one-pass per-column profile (nulls,
+    // exact distincts, min/max) — the lake-side replacement for the
+    // reference's 1000-row browser sampling.
+    "profile_columns" -> ((s, dir) =>
+      graft.ops.Profile.profile(
+        Tables.load(s, dir, "customer"),
+        Seq("c_custkey", "c_name", "c_nationkey", "c_mktsegment"))
+        .orderBy("column_name")),
+    // Lake maintenance: fragment documents into 64 tiny files (a
+    // streaming sink's worth of debris), compact back to ~4 MB
+    // outputs, and prove the rewrite is lossless — the aggregate over
+    // the compacted table must equal the aggregate over the original.
+    "compact_roundtrip" -> ((s, dir) => {
+      import java.nio.file.Paths
+      val base = Paths.get(System.getProperty("java.io.tmpdir"), "graft_compact").toString
+      Tables.load(s, dir, "documents").select("doc_id", "source", "n_chars")
+        .repartition(64).write.mode("overwrite").parquet(s"$base/frag")
+      graft.ops.Compact.compacted(s, s"$base/frag", s"$base/packed", targetBytes = 4L << 20)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).cast("long").as("sum_chars"))
+        .orderBy("source")
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -97,5 +119,18 @@ object ExtrasPack extends QueryPack {
       """SELECT n_nationkey,
         |  to_json(struct_pack(n_nationkey := n_nationkey, n_name := n_name)) AS doc
         |FROM nation ORDER BY n_nationkey""".stripMargin,
+    "profile_columns" -> {
+      val per = Seq("c_custkey", "c_name", "c_nationkey", "c_mktsegment").map { c =>
+        s"""SELECT '$c' AS column_name,
+           |  count(*) - count($c) AS n_nulls,
+           |  count(DISTINCT $c) AS n_distinct,
+           |  CAST(min($c) AS VARCHAR) AS min_value,
+           |  CAST(max($c) AS VARCHAR) AS max_value FROM customer""".stripMargin
+      }
+      per.mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
+    },
+    "compact_roundtrip" ->
+      """SELECT source, count(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
   )
 }

@@ -1,0 +1,30 @@
+package graft.ops
+
+import graft.SparkSpec
+import graft.core.Tables
+import org.apache.spark.sql.functions._
+
+class ProfileSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("profile computes nulls/distincts/min/max per column") {
+    val df = Seq(
+      (Some(1), Some("a")), (Some(2), None), (None, Some("b")), (Some(2), Some("b"))
+    ).toDF("k", "v")
+    val p = Profile.profile(df, Seq("k", "v")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getString(3), r.getString(4)))
+      .sortBy(_._1)
+    assert(p(0) == ("k", 1L, 2L, "1", "2"))
+    assert(p(1) == ("v", 1L, 2L, "a", "b"))
+  }
+
+  test("profile is ONE pass: a single scan feeds every column's stats") {
+    val df = Profile.profile(Tables.load(spark, sf, "customer"),
+      Seq("c_custkey", "c_name", "c_nationkey", "c_mktsegment"))
+    val plan = df.queryExecution.executedPlan.toString
+    val scans = plan.linesIterator.count(_.contains("FileScan"))
+    assert(scans == 1, s"expected 1 scan, got $scans:\n$plan")
+    // rows come back, one per column
+    assert(df.count() == 4)
+  }
+}
