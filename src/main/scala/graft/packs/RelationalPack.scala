@@ -136,6 +136,14 @@ object RelationalPack extends QueryPack {
     "events_sessionize_et_stream" -> ((s, dir) =>
       graft.streaming.EventsStream.sessionizeEventTimeViaFileSink(s, dir)),
 
+    // §2.11 × K8: CDC-style streaming materialization — foreachBatch
+    // merges each micro-batch's per-key latest rows into a versioned
+    // keyed store, last-writer-wins by EVENT time (idempotent under
+    // at-least-once redelivery). Batch 2 is an updates feed touching
+    // every key; the state must equal the window-top-1 of the union.
+    "events_stream_upsert" -> ((s, dir) =>
+      graft.streaming.EventsStream.latestStateViaFileSink(s, dir)),
+
     // §2.11 CHAINED stateful operators: ingest-dedup → hourly window
     // agg in ONE streaming query over a redelivered feed — counts must
     // equal the batch aggregate of the unduplicated feed (a dropped
@@ -631,6 +639,18 @@ object RelationalPack extends QueryPack {
         |  CAST(SUM(n_events) AS BIGINT) AS n_events,
         |  CAST(SUM(duration_sec) AS BIGINT) AS total_duration_sec
         |FROM per_sess GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // the CDC materialization's twin: latest row per user over the
+    // original feed unioned with the +1 h / doubled-value updates feed
+    "events_stream_upsert" ->
+      """WITH feed AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, value FROM events
+        |  UNION ALL
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) + INTERVAL 1 HOUR,
+        |    event_id + 1000000, value * 2 FROM events),
+        |r AS (SELECT *, row_number() OVER (
+        |    PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn FROM feed)
+        |SELECT user_id, strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts, event_id, value
+        |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin,
     // the stream-stream join's batch twin: same interval condition
     "events_stream_join" ->
       """SELECT p.user_id, p.event_id AS purchase_id, v.event_id AS view_id

@@ -118,9 +118,34 @@ object SourcesPack extends QueryPack {
         .select(col("n_nationkey").cast("int"), col("n_name"), col("n_regionkey").cast("int"))
         .orderBy("n_nationkey")
     }),
+    // Schema evolution on a lake path: an old writer lands (key, name)
+    // files, a new writer adds c_mktsegment; mergeSchema unifies the
+    // directory and null-fills the legacy files' missing column. At
+    // 100 TB, footer-merging every file on each read is the wrong
+    // default — evolve once, then declare the merged schema — but the
+    // semantics locked here (union-by-name + nulls) are the contract
+    // either way, the same union-keys rule as the P1 sheet merge.
+    "scan_schema_evolution" -> ((s, dir) => {
+      val out = scratch("schema_evolution")
+      val c = Tables.load(s, dir, "customer")
+      c.filter(col("c_custkey") % 2 === 0)
+        .select("c_custkey", "c_name")
+        .write.mode("overwrite").parquet(s"$out/old")
+      c.filter(col("c_custkey") % 2 === 1)
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .write.mode("overwrite").parquet(s"$out/new")
+      s.read.option("mergeSchema", "true")
+        .parquet(s"$out/old", s"$out/new")
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy("c_custkey")
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
+    "scan_schema_evolution" ->
+      """SELECT c_custkey, c_name,
+        |  CASE WHEN c_custkey % 2 = 1 THEN c_mktsegment END AS c_mktsegment
+        |FROM customer ORDER BY c_custkey""".stripMargin,
     "csv_roundtrip" ->
       """SELECT CAST(c_custkey AS VARCHAR) AS c_custkey, c_name, c_mktsegment
         |FROM customer ORDER BY c_name""".stripMargin,

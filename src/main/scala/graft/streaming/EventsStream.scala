@@ -407,6 +407,124 @@ object EventsStream {
       .orderBy("hour", "event_type")
   }
 
+  /** Last-writer-wins reducer for [[materializeLatest]]: one row per
+    * key, the row with the greatest (ts, event_id) — a single hash
+    * aggregate over a packed struct (no window, no sort), so merging
+    * N state rows with M batch rows is one shuffle at any scale. */
+  def latestPerKey(rows: DataFrame): DataFrame =
+    rows.groupBy(col("user_id"))
+      .agg(max(struct(col("ts"), col("event_id"), col("value"))).as("m"))
+      .select(col("user_id"), col("m.ts").as("ts"),
+        col("m.event_id").as("event_id"), col("m.value").as("value"))
+
+  /** §2.11 × K8: CDC-style streaming materialization. Each micro-batch
+    * merges its per-key latest rows into a versioned parquet state dir
+    * via foreachBatch — the streaming form of the reference's keyed
+    * setDoc overwrite (reference: lib/firebase/saveUser.ts:34-78).
+    *
+    * Merge = latestPerKey(previous state ∪ batch), i.e. last-writer-
+    * wins by EVENT TIME, not arrival order — a redelivered or
+    * out-of-order batch can never regress a key to an older row, which
+    * is what makes the sink idempotent under the source's at-least-once
+    * contract. Each version lands in `state/v<batchId>`: foreachBatch
+    * re-runs after a restart reuse the same batch id, so the overwrite
+    * is the exactly-once mechanism (the same reason the version dir is
+    * keyed by batch id, not a timestamp). Old versions are the
+    * caller's vacuum concern; at scale the version flip is a
+    * table-format pointer swap. */
+  def materializeLatest(events: DataFrame, stateBase: String,
+      checkpoint: String): StreamingQuery =
+    events.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val ss = batch.sparkSession
+        val latest = latestPerKey(
+          batch.select(col("user_id"), col("ts"), col("event_id"), col("value")))
+        val merged = currentStateVersion(ss, stateBase) match {
+          case Some(dir) => latestPerKey(ss.read.parquet(dir).unionByName(latest))
+          case None => latest
+        }
+        merged.write.mode("overwrite").parquet(s"$stateBase/v$batchId")
+        ()
+      }
+      .start()
+
+  /** Highest-numbered `v<k>` state dir under `stateBase`, if any. */
+  def currentStateVersion(spark: SparkSession, stateBase: String): Option[String] = {
+    val base = new org.apache.hadoop.fs.Path(stateBase)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(base)) None
+    else {
+      val versions = fs.listStatus(base).toSeq
+        .filter(_.isDirectory)
+        .map(_.getPath)
+        .flatMap(p => p.getName.stripPrefix("v").toLongOption.map(_ -> p))
+      versions.sortBy(_._1).lastOption.map(_._2.toString)
+    }
+  }
+
+  /** Correctness gate for [[materializeLatest]]: batch 1 is the events
+    * fixture; batch 2 is the SAME feed shifted +1 h with new event ids
+    * and doubled values — an updates feed touching every key. The
+    * final state version must hold, per user, the latest row of the
+    * combined feed (every row from the shifted batch), matching the
+    * window-top-1 oracle over the unioned feed. */
+  def latestStateViaFileSink(spark: SparkSession, sfDir: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val base = Files.createTempDirectory("graft_cdc_gate")
+    val in = base.resolve("in"); Files.createDirectories(in)
+    Files.copy(Paths.get(s"$sfDir/events.parquet"), in.resolve("events.parquet"))
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "4")
+    ss.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val probe = ss.read.parquet(s"$sfDir/events.parquet")
+    val tsIsLong = probe.schema("ts").dataType ==
+      org.apache.spark.sql.types.LongType
+    // updates feed in the SAME physical layout as the fixture
+    val stage = base.resolve("stage")
+    probe.select(
+      (col("event_id") + 1000000L).as("event_id"),
+      (if (tsIsLong) col("ts") + lit(3600L * 1000 * 1000 * 1000)
+       else (col("ts").cast("timestamp") + expr("INTERVAL 1 HOUR")).cast("timestamp_ntz")).as("ts"),
+      col("user_id"), col("event_type"), (col("value") * 2).as("value"), col("props"))
+      .coalesce(1).write.parquet(stage.toString)
+    val listing = Files.list(stage)
+    val part = try listing.filter(_.getFileName.toString.endsWith(".parquet")).findFirst.get
+      finally listing.close()
+    val dst = in.resolve("events_updates.parquet")
+    Files.copy(part, dst)
+    Files.setLastModifiedTime(dst,
+      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() + 10000L))
+    val state = base.resolve("state").toString
+    val q = materializeLatest(
+      readEvents(ss, in.toString, maxFilesPerTrigger = Some(1)),
+      state, base.resolve("ckpt").toString)
+    try q.processAllAvailable() finally q.stop()
+    val current = currentStateVersion(ss, state).get
+    val currentName = new org.apache.hadoop.fs.Path(current).getName
+    // scratch (staged input, checkpoint, superseded state versions) is
+    // dead once the query stops — only the current version (read
+    // lazily below) survives, same contract as the other gates.
+    val oldVersions = {
+      val l = Files.list(Paths.get(state))
+      try {
+        import scala.jdk.CollectionConverters._
+        l.iterator().asScala.toSeq.filter(_.getFileName.toString != currentName)
+      } finally l.close()
+    }
+    (Seq(in, stage, base.resolve("ckpt")) ++ oldVersions).foreach { d =>
+      val walk = Files.walk(d)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => Files.deleteIfExists(p))
+      finally walk.close()
+    }
+    spark.read.parquet(current)
+      .select(col("user_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts"),
+        col("event_id"), col("value"))
+      .orderBy("user_id")
+  }
+
   /** Correctness gate for [[sessionizeEventTime]]: stream the events
     * fixture (one micro-batch) followed by two sentinel micro-batches
     * whose event times sit 3 h and 6 h past the fixture maximum. The

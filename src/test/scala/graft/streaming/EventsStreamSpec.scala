@@ -75,6 +75,30 @@ class EventsStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("materializeLatest never regresses a key to an older row (out-of-order redelivery)") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("cdc_spec")
+    val src = MemoryStream[Event]
+    val q = EventsStream.materializeLatest(src.toDF(),
+      base.resolve("state").toString, base.resolve("ckpt").toString)
+    try {
+      // batch 0: the NEWER row arrives first
+      src.addData(Event(10, ts("2024-01-01 12:00:00"), 7, "view", 5.0))
+      q.processAllAvailable()
+      // batch 1: an OLDER row for the same key is redelivered late —
+      // arrival order must not win over event time
+      src.addData(
+        Event(9, ts("2024-01-01 10:00:00"), 7, "view", 1.0),
+        Event(20, ts("2024-01-01 11:00:00"), 8, "view", 2.0))
+      q.processAllAvailable()
+      val cur = EventsStream.currentStateVersion(spark, base.resolve("state").toString).get
+      val rows = spark.read.parquet(cur)
+        .select("user_id", "event_id", "value").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(_._1)
+      assert(rows.toSeq == Seq((7L, 10L, 5.0), (8L, 20L, 2.0)), rows.mkString(","))
+    } finally q.stop()
+  }
+
   test("runToFiles: deployable file-source → parquet-sink pipeline (§2.11)") {
     val base = java.nio.file.Files.createTempDirectory("evstream")
     val out = base.resolve("out").toString
