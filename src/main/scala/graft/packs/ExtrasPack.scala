@@ -15,13 +15,20 @@ object ExtrasPack extends QueryPack {
     Tables.load(s, dir, "customer")
 
   /** K8 fixture: keys ≡ 0 (mod 3) get updated names; keys ≡ 0 (mod
-    * 100) are re-inserted shifted by 100000 (new documents). */
+    * 100) are re-inserted shifted past max(c_custkey) (new documents).
+    * The shift is DERIVED, not a constant: a fixed 100000 collided
+    * with real keys once the fixture scaled past sf0.1 — the engine
+    * then (correctly) upserts where the oracle's UNION ALL assumes an
+    * append, and the row counts diverge. */
   private def updates(s: SparkSession, dir: String): DataFrame = {
     val c = customer(s, dir)
+    // max+1, not max: custkey 0 exists, and 0 + max would collide with
+    // the real max-key row
+    val shift = c.agg(max(col("c_custkey"))).head.getLong(0) + 1
     c.filter(col("c_custkey") % 3 === 0)
       .withColumn("c_name", concat(lit("UPD_"), col("c_name")))
       .unionAll(c.filter(col("c_custkey") % 100 === 0)
-        .withColumn("c_custkey", col("c_custkey") + 100000))
+        .withColumn("c_custkey", col("c_custkey") + shift))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -102,7 +109,8 @@ object ExtrasPack extends QueryPack {
         |  c_mktsegment
         |FROM customer
         |UNION ALL
-        |SELECT c_custkey + 100000, c_name, c_mktsegment FROM customer WHERE c_custkey % 100 = 0
+        |SELECT c_custkey + (SELECT max(c_custkey) + 1 FROM customer), c_name, c_mktsegment
+        |FROM customer WHERE c_custkey % 100 = 0
         |ORDER BY c_custkey""".stripMargin,
     "keyed_upsert_merge" ->
       """SELECT c_custkey,

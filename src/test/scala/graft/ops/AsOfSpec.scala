@@ -99,4 +99,38 @@ class AsOfSpec extends SparkSpec {
       ("p2", null),       // null rt can never match
       ("p3", null)))
   }
+
+  test("property: both directions agree with an in-memory brute force on random data") {
+    // The carry-forward window construction vs the O(n·m) definition.
+    // Right (key, rt) pairs are unique — ASOF tie-breaking among equal
+    // right timestamps is engine-defined, so only the unambiguous
+    // space is property-tested (the oracle queries pre-dedupe the same
+    // way).
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val keyG = Gen.chooseNum(1L, 4L)
+    val tG = Gen.chooseNum(0L, 50L)
+    val leftG = Gen.listOfN(30, Gen.zip(keyG, tG))
+    val rightG = Gen.listOfN(30, Gen.zip(keyG, tG)).map(_.distinct)
+    val prop = Prop.forAll(leftG, rightG) { (ls, rs0) =>
+      val rs = rs0.zipWithIndex.map { case ((k, t), i) => (k, t, s"tag$i") }
+      val lDf = ls.zipWithIndex.map { case ((k, t), i) => (k, t, s"L$i") }
+        .toDF("k", "lt", "name")
+      val rDf = rs.toDF("k", "rt", "tag")
+      def run(forward: Boolean) = {
+        val df = if (forward) AsOf.joinAsOfForward(lDf, rDf, "k", "lt", "rt", Seq("tag"))
+          else AsOf.joinAsOf(lDf, rDf, "k", "lt", "rt", Seq("tag"))
+        df.collect().map(r => (r.getAs[String]("name"), r.getAs[String]("tag"))).toMap
+      }
+      def brute(forward: Boolean) = ls.zipWithIndex.map { case ((k, t), i) =>
+        val cands = rs.filter(r => r._1 == k && (if (forward) r._2 >= t else r._2 <= t))
+        val best = if (cands.isEmpty) null
+          else (if (forward) cands.minBy(_._2) else cands.maxBy(_._2))._3
+        s"L$i" -> best
+      }.toMap
+      run(forward = false) == brute(forward = false) &&
+        run(forward = true) == brute(forward = true)
+    }
+    val r = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(8), prop)
+    assert(r.passed, r.status.toString)
+  }
 }
