@@ -136,6 +136,12 @@ object RelationalPack extends QueryPack {
     "events_sessionize_et_stream" -> ((s, dir) =>
       graft.streaming.EventsStream.sessionizeEventTimeViaFileSink(s, dir)),
 
+    // §2.11 sliding (hopping) windows: 2-hour windows every hour —
+    // each event lands in exactly two window slots; counts must match
+    // the batch identity over both covering window starts.
+    "events_sliding_stream" -> ((s, dir) =>
+      graft.streaming.EventsStream.slidingViaFileSink(s, dir)),
+
     // §2.11 × K8: CDC-style streaming materialization — foreachBatch
     // merges each micro-batch's per-key latest rows into a versioned
     // keyed store, last-writer-wins by EVENT time (idempotent under
@@ -639,6 +645,16 @@ object RelationalPack extends QueryPack {
         |  CAST(SUM(n_events) AS BIGINT) AS n_events,
         |  CAST(SUM(duration_sec) AS BIGINT) AS total_duration_sec
         |FROM per_sess GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // the sliding-window twin: a 2h/1h window at start W holds events
+    // with trunc(ts) in {W, W+1h} — i.e. each event contributes to
+    // window starts trunc(ts) and trunc(ts)-1h
+    "events_sliding_stream" ->
+      """WITH w AS (
+        |  SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS ws, event_type FROM events
+        |  UNION ALL
+        |  SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) - INTERVAL 1 HOUR, event_type FROM events)
+        |SELECT strftime(ws, '%Y-%m-%d %H:00:00') AS win_start, event_type, count(*) AS n
+        |FROM w GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin,
     // the CDC materialization's twin: latest row per user over the
     // original feed unioned with the +1 h / doubled-value updates feed
     "events_stream_upsert" ->

@@ -30,6 +30,99 @@ object EventsStream {
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
 
+  /** Sliding (hopping) windowed counts — every event lands in the TWO
+    * 2-hour windows that cover it (slide = 1 h). Same bounded-state
+    * shape as the tumbling aggregate: the watermark closes a window
+    * slot once no event can still fall into it; the only cost delta is
+    * the 2× state fan-out (duration/slide slots per event), which is a
+    * constant, not a function of rate. */
+  def slidingCounts(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "2 hours", "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+
+  /** Correctness gate for [[slidingCounts]]: the fixture plus the two
+    * watermark sentinels (hourlyViaFileSink rationale — Append mode
+    * only emits a window once the watermark passes its END, and
+    * sliding windows end up to 2 h past their last event). The oracle
+    * is the batch identity "a 2h/1h window at start W counts events
+    * with trunc(ts) ∈ {W, W+1h}": each event contributes to exactly
+    * two window starts. */
+  def slidingViaFileSink(spark: SparkSession, sfDir: String): DataFrame = {
+    val (ss, in, base) = stageWithSentinels(spark, sfDir)
+    val out = base.resolve("out").toString
+    val q = slidingCounts(readEvents(ss, in.toString, maxFilesPerTrigger = Some(1)))
+      .select(col("window.start").as("win_start"), col("event_type"),
+        col("n"), col("total_value"))
+      .writeStream
+      .outputMode(OutputMode.Append())
+      .format("parquet")
+      .option("path", out)
+      .option("checkpointLocation", base.resolve("ckpt").toString)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    cleanupStaged(base, in)
+    spark.read.parquet(out)
+      .filter(col("event_type") =!= "sentinel")
+      .select(date_format(col("win_start"), "yyyy-MM-dd HH:00:00").as("win_start"),
+        col("event_type"), col("n"))
+      .orderBy("win_start", "event_type")
+  }
+
+  /** Shared gate scaffolding: a cloned 4-partition session, the events
+    * fixture staged into a scratch input dir, and two sentinel
+    * micro-batches 3 h and 6 h past the fixture's max event time (in
+    * the fixture's own physical layout — long nanos or NTZ µs). */
+  private def stageWithSentinels(spark: SparkSession, sfDir: String):
+      (SparkSession, java.nio.file.Path, java.nio.file.Path) = {
+    import java.nio.file.{Files, Paths}
+    val base = Files.createTempDirectory("graft_stream_gate")
+    val in = base.resolve("in"); Files.createDirectories(in)
+    Files.copy(Paths.get(s"$sfDir/events.parquet"), in.resolve("events.parquet"))
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "4")
+    ss.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val probe = ss.read.parquet(s"$sfDir/events.parquet")
+    val tsIsLong = probe.schema("ts").dataType ==
+      org.apache.spark.sql.types.LongType
+    val maxMicros =
+      if (tsIsLong) probe.agg(max(expr("ts DIV 1000"))).head.getLong(0)
+      else probe.agg(max(unix_micros(col("ts").cast("timestamp")))).head.getLong(0)
+    val hourUs = 3600L * 1000 * 1000
+    Seq(1, 2).foreach { i =>
+      val stage = base.resolve(s"stage$i")
+      val sentUs = maxMicros + 3L * i * hourUs
+      ss.range(1).select(
+        lit(-i.toLong).as("event_id"),
+        (if (tsIsLong) lit(sentUs * 1000L)
+         else timestamp_micros(lit(sentUs)).cast("timestamp_ntz")).as("ts"),
+        lit(-1L).as("user_id"), lit("sentinel").as("event_type"),
+        lit(0.0).as("value"), lit("").as("props"))
+        .coalesce(1).write.parquet(stage.toString)
+      val listing = Files.list(stage)
+      val part = try listing.filter(_.getFileName.toString.endsWith(".parquet")).findFirst.get
+        finally listing.close()
+      val dst = in.resolve(s"sentinel$i.parquet")
+      Files.copy(part, dst)
+      Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() + i * 10000L))
+    }
+    (ss, in, base)
+  }
+
+  /** Delete a gate's staged input, checkpoint and sentinel scratch —
+    * everything except the sink dir the caller reads lazily. */
+  private def cleanupStaged(base: java.nio.file.Path, in: java.nio.file.Path): Unit = {
+    import java.nio.file.Files
+    (Seq(in, base.resolve("ckpt")) ++ Seq(1, 2).map(i => base.resolve(s"stage$i")))
+      .filter(Files.exists(_)).foreach { d =>
+        val walk = Files.walk(d)
+        try walk.sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => Files.deleteIfExists(p))
+        finally walk.close()
+      }
+  }
+
   /** Streaming ingest dedup: at-least-once sources redeliver events;
     * dropDuplicatesWithinWatermark keys state by event_id and prunes
     * it past the watermark — bounded state at any ingest rate (the

@@ -70,4 +70,29 @@ class RangeJoinSpec extends SparkSpec {
       RangeJoin.pointInInterval(pts, ivs, "p", "lo", "hi", 1.0)
     }
   }
+
+  test("property: binned join equals the cross-join definition on random data, any bin width") {
+    // The binned construction vs the O(n·m) definition `lo <= p < hi`,
+    // across bin widths smaller/comparable/larger than the intervals
+    // (replication factor 1..many) and degenerate hi <= lo intervals.
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val vG = Gen.chooseNum(-40, 40).map(_ / 4.0) // quarter-step grid incl. negatives
+    val ptsG = Gen.listOfN(20, vG)
+    val ivsG = Gen.listOfN(12, Gen.zip(vG, vG)) // unordered endpoints: ~half degenerate
+    val widthG = Gen.oneOf(0.25, 1.0, 3.0, 10.0)
+    val prop = Prop.forAll(ptsG, ivsG, widthG) { (ps, ivs0, w) =>
+      val ivs = ivs0.zipWithIndex.map { case ((a, b), i) => (i, a, b) }
+      val pDf = ps.zipWithIndex.map { case (p, i) => (i, p) }.toDF("pid", "p")
+      val iDf = ivs.toDF("iid", "lo", "hi")
+      val got = RangeJoin.pointInInterval(pDf, iDf, "p", "lo", "hi", w)
+        .select("pid", "iid").collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+      val want = (for {
+        (pid, p) <- ps.zipWithIndex.map { case (p, i) => (i, p) }
+        (iid, lo, hi) <- ivs if lo <= p && p < hi
+      } yield (pid, iid)).toSet
+      got == want
+    }
+    val r = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(8), prop)
+    assert(r.passed, r.status.toString)
+  }
 }
