@@ -98,6 +98,35 @@ object Curation {
     df.filter(graft.functions.F.hash32(col(keyCol), seed, tag) <
       floor(rate * lit(4294967296.0)).cast("long"))
 
+  /** Deterministic train/val/test assignment: each row's keyed hash
+    * buckets it into exactly one split per `fractions` (which must sum
+    * to ~1). The properties a training pipeline actually needs, all by
+    * construction: DISJOINT (one hash, contiguous bucket ranges),
+    * EXHAUSTIVE (ranges cover [0, 2³²)), STABLE (a row's split never
+    * changes when other rows come or go — no shuffle/RNG, safe under
+    * retries, and an incremental corpus refresh keeps every old row's
+    * assignment). A narrow projection; the corpus never shuffles. */
+  def assignSplits(df: DataFrame, keyCol: String, seed: String,
+      fractions: Seq[(String, Double)]): DataFrame = {
+    require(fractions.nonEmpty && fractions.forall(_._2 >= 0),
+      "assignSplits: non-negative fractions required")
+    val total = fractions.map(_._2).sum
+    require(math.abs(total - 1.0) < 1e-9,
+      s"assignSplits: fractions sum to $total, expected 1")
+    val h = graft.functions.F.hash32(col(keyCol), seed, "split")
+    val bounds = fractions.scanLeft(0.0) { case (acc, (_, f)) => acc + f }
+    // nested whens over CUMULATIVE upper bounds, smallest first — the
+    // first true branch wins, so bucket ranges are contiguous and the
+    // final otherwise() absorbs the last split's range up to 2^32
+    val assigned = fractions.init.zipWithIndex.foldRight(
+        lit(fractions.last._1): org.apache.spark.sql.Column) {
+      case (((name, _), i), rest) =>
+        when(h < floor(lit(bounds(i + 1) * 4294967296.0)).cast("long"), lit(name))
+          .otherwise(rest)
+    }
+    df.withColumn("split", assigned)
+  }
+
   /** Corpus mixing: downsample each `groupCol` stratum toward a target
     * composition. `weights` maps stratum → target weight; a stratum's
     * keep-rate is `min(1, weight · budgetRows / stratumCount)` — i.e.

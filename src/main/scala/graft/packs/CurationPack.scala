@@ -103,6 +103,15 @@ object CurationPack extends QueryPack {
           coalesce(col("n_sampled"), lit(0L)).as("n_sampled"))
         .orderBy("source")
     }),
+    // Deterministic train/val/test split (Curation.assignSplits):
+    // keyed-hash bucketing into 80/10/10 — disjoint, exhaustive, and
+    // STABLE (a row's split survives corpus refreshes and retries);
+    // the output audits counts per (split, lang).
+    "curation_split" -> ((s, dir) =>
+      Curation.assignSplits(docs(s, dir).select("doc_id", "lang"),
+          "doc_id", "s7", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .groupBy("split", "lang").agg(count(lit(1)).as("n"))
+        .orderBy("split", "lang")),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -180,5 +189,18 @@ object CurationPack extends QueryPack {
         |  CAST(floor(any_value(rate) * 1e4 + 0.5) AS BIGINT) AS rate4,
         |  count(*) FILTER (WHERE h32 < CAST(floor(rate * 4294967296.0) AS BIGINT)) AS n_sampled
         |FROM h GROUP BY source ORDER BY source""".stripMargin,
+    // hash32(doc_id, 's7', 'split') bucketed by cumulative bounds
+    // 0.8/0.9 — the same first-true-branch-wins CASE as the engine's
+    // nested when
+    "curation_split" ->
+      """WITH h AS (SELECT lang,
+        |    CAST(CONCAT('0x', substr(md5(CAST(doc_id AS VARCHAR) || ':s7:split'), 1, 8)) AS BIGINT) AS h32
+        |  FROM documents)
+        |SELECT CASE
+        |    WHEN h32 < CAST(floor(CAST(0.8 AS DOUBLE) * 4294967296.0) AS BIGINT) THEN 'train'
+        |    WHEN h32 < CAST(floor((CAST(0.8 AS DOUBLE) + CAST(0.1 AS DOUBLE)) * 4294967296.0) AS BIGINT) THEN 'val'
+        |    ELSE 'test' END AS split,
+        |  lang, count(*) AS n
+        |FROM h GROUP BY 1, 2 ORDER BY split, lang""".stripMargin,
   )
 }

@@ -122,4 +122,31 @@ class CurationSpec extends SparkSpec {
     // doc 2: dup 0; 4 unique bigrams → top = 1/4
     assert(out(2L) == ((5L, 0L, 2500L, true)), s"$out")
   }
+
+  test("assignSplits: disjoint+exhaustive by construction, stable under corpus changes") {
+    import graft.llm.Curation
+    val d = graft.core.Tables.load(spark, sf, "documents").select("doc_id")
+    val fr = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val full = Curation.assignSplits(d, "doc_id", "s1", fr)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // exhaustive: every row got exactly one split
+    assert(full.values.forall(Set("train", "val", "test")))
+    // roughly proportional (hash uniformity; fixture has 500 docs)
+    val n = full.size.toDouble
+    val trainFrac = full.values.count(_ == "train") / n
+    assert(trainFrac > 0.7 && trainFrac < 0.9, s"train frac $trainFrac")
+    // STABLE: assignments computed on a half-corpus agree row-for-row
+    val half = Curation.assignSplits(
+        d.filter(org.apache.spark.sql.functions.col("doc_id") % 2 === 0), "doc_id", "s1", fr)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(half.forall { case (id, s) => full(id) == s })
+    // different seed ⇒ different assignment for at least some rows
+    val reseeded = Curation.assignSplits(d, "doc_id", "s2", fr)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(reseeded.exists { case (id, s) => full(id) != s })
+    // fractions must sum to 1
+    intercept[IllegalArgumentException] {
+      Curation.assignSplits(d, "doc_id", "s1", Seq("a" -> 0.5, "b" -> 0.4))
+    }
+  }
 }

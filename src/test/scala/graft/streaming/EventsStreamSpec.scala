@@ -75,6 +75,27 @@ class EventsStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sliding windows: each event lands in exactly its two covering 2h slots") {
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[Event]
+    src.addData(
+      Event(1, ts("2024-01-01 10:30:00"), 1, "view", 1.0), // windows 09:00, 10:00
+      Event(2, ts("2024-01-01 10:45:00"), 2, "view", 2.0), // windows 09:00, 10:00
+      Event(3, ts("2024-01-01 11:05:00"), 1, "buy", 5.0))  // windows 10:00, 11:00
+    val q = EventsStream.slidingCounts(src.toDF())
+      .writeStream.format("memory").queryName("slide").outputMode(OutputMode.Complete()).start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT date_format(window.start, 'HH:mm') AS ws, event_type, n FROM slide ORDER BY ws, event_type")
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      assert(rows.toSeq == Seq(
+        ("09:00", "view", 2L),
+        ("10:00", "buy", 1L), ("10:00", "view", 2L),
+        ("11:00", "buy", 1L)), rows.mkString(","))
+    } finally q.stop()
+  }
+
   test("materializeLatest never regresses a key to an older row (out-of-order redelivery)") {
     implicit val sqlCtx = spark.sqlContext
     val base = java.nio.file.Files.createTempDirectory("cdc_spec")
