@@ -120,6 +120,44 @@ class EventsStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("materializeLatest restarts from its checkpoint: old batches never re-run, new files process") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val base = java.nio.file.Files.createTempDirectory("cdc_restart")
+    val in = base.resolve("in"); java.nio.file.Files.createDirectories(in)
+    val state = base.resolve("state").toString
+    val ckpt = base.resolve("ckpt").toString
+    def writeFeed(name: String, eid: Long, t: String, v: Double): Unit =
+      Seq((eid, ts(t), 7L, "view", v))
+        .toDF("event_id", "ts", "user_id", "event_type", "value")
+        .coalesce(1).write.mode("append").parquet(in.resolve(name).toString)
+    def stream() = spark.readStream
+      .schema("event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(in.toString + "/*")
+    // instance 1: one batch
+    writeFeed("f1", 1L, "2024-01-01 10:00:00", 1.0)
+    val q1 = EventsStream.materializeLatest(stream(), state, ckpt)
+    try q1.processAllAvailable() finally q1.stop()
+    val v1 = EventsStream.currentStateVersion(spark, state).get
+    // instance 2, SAME checkpoint, no new data: no batch re-runs, the
+    // state version is untouched
+    val q2 = EventsStream.materializeLatest(stream(), state, ckpt)
+    try q2.processAllAvailable() finally q2.stop()
+    assert(EventsStream.currentStateVersion(spark, state).get == v1,
+      "restart with no new data must not produce a new state version")
+    // instance 3: one NEW file — exactly one more batch processes and
+    // the state advances to the newer row
+    writeFeed("f2", 2L, "2024-01-01 11:00:00", 9.0)
+    val q3 = EventsStream.materializeLatest(stream(), state, ckpt)
+    try q3.processAllAvailable() finally q3.stop()
+    val v3 = EventsStream.currentStateVersion(spark, state).get
+    assert(v3 != v1)
+    val rows = spark.read.parquet(v3)
+      .select("user_id", "event_id", "value").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.toSeq == Seq((7L, 2L, 9.0)), rows.mkString(","))
+  }
+
   test("runToFiles: deployable file-source → parquet-sink pipeline (§2.11)") {
     val base = java.nio.file.Files.createTempDirectory("evstream")
     val out = base.resolve("out").toString
