@@ -222,6 +222,39 @@ object LlmPack extends QueryPack {
         .select(col("doc_id"), col("lang"), col("q_x1e4"))
         .orderBy("doc_id")
     }),
+    // Resize + perceptual feature-extract (average hash) on the same
+    // executor-side mapPartitions path. The fixture images are built
+    // so their 8x8 aHash is INVARIANT to interpolation details: solid
+    // images hash to 0 (strict > mean), half-split images set exactly
+    // the half's bits regardless of how the resampler weights the
+    // boundary; a non-image payload degrades to fmt='skip' with nulls.
+    "multimodal_resize_ahash" -> ((s, dir) => {
+      import s.implicits._
+      def img(w: Int, h: Int)(rgb: (Int, Int) => Int): Array[Byte] = {
+        val b = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        (0 until w).foreach(x => (0 until h).foreach(y => b.setRGB(x, y, rgb(x, y))))
+        val out = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(b, "png", out)
+        out.toByteArray
+      }
+      val media = Seq(
+        (1L, img(32, 32)((_, _) => 0x000000)),
+        (2L, img(16, 48)((_, _) => 0xFFFFFF)),
+        (3L, img(64, 64)((x, _) => if (x < 32) 0xFFFFFF else 0x000000)),
+        (4L, img(40, 40)((_, y) => if (y < 20) 0xFFFFFF else 0x000000)),
+        (5L, "not an image".getBytes("UTF-8"))).toDF("media_id", "content")
+      // skip-row nulls crossed as sentinels: a nullable bool/int64
+      // column degrades to float64/object on the compare boundary
+      // (and a >2^53 ahash would lose bits in float64)
+      Multimodal.resizeAndHash(media, 8, 8)
+        .select(col("media_id"), col("fmt"),
+          coalesce(col("width"), lit(-1)).as("width"),
+          coalesce(col("height"), lit(-1)).as("height"),
+          coalesce(col("n_bytes") > 0, lit(false)).as("nonempty"),
+          coalesce(col("ahash"), lit(-1L)).as("ahash"))
+        .orderBy("media_id")
+    }),
     // Full mapPartitions decode path over binary media built from text.
     "multimodal_decode" -> ((s, dir) =>
       Multimodal.decode(Multimodal.fromText(docs(s, dir), "doc_id", "text"))
@@ -654,6 +687,17 @@ object LlmPack extends QueryPack {
         |  CAST(NULL AS BIGINT) AS duration_ms,
         |  md5(text) AS sig
         |FROM documents ORDER BY media_id""".stripMargin,
+    // left-half-white = bits x<4 of every row = 0x0F0F0F0F0F0F0F0F;
+    // top-half-white = bits 0..31 = 4294967295; solids = 0 (strict >)
+    "multimodal_resize_ahash" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(1 AS BIGINT), 'png', CAST(8 AS INT), CAST(8 AS INT), true, CAST(0 AS BIGINT)),
+        |  (CAST(2 AS BIGINT), 'png', CAST(8 AS INT), CAST(8 AS INT), true, CAST(0 AS BIGINT)),
+        |  (CAST(3 AS BIGINT), 'png', CAST(8 AS INT), CAST(8 AS INT), true, CAST(1085102592571150095 AS BIGINT)),
+        |  (CAST(4 AS BIGINT), 'png', CAST(8 AS INT), CAST(8 AS INT), true, CAST(4294967295 AS BIGINT)),
+        |  (CAST(5 AS BIGINT), 'skip', CAST(-1 AS INT), CAST(-1 AS INT), false, CAST(-1 AS BIGINT)))
+        |  AS t(media_id, fmt, width, height, nonempty, ahash)
+        |ORDER BY media_id""".stripMargin,
     "multimodal_real_decode" ->
       """SELECT * FROM (VALUES
         |  (CAST(1 AS BIGINT), 'png', true, 12, 8, CAST(NULL AS BIGINT)),

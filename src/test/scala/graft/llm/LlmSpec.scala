@@ -215,4 +215,37 @@ class LlmSpec extends SparkSpec {
     val frames = Multimodal.sampleFrames(media, stride = 8, len = 4).collect()
     assert(frames.nonEmpty)
   }
+
+  test("aHash: near-dup images land within a few Hamming bits; distinct images don't") {
+    import graft.llm.Multimodal
+    def render(w: Int, h: Int, fmt: String)(rgb: (Int, Int) => Int): Array[Byte] = {
+      val b = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      (0 until w).foreach(x => (0 until h).foreach(y => b.setRGB(x, y, rgb(x, y))))
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(b, fmt, out)
+      out.toByteArray
+    }
+    // a structured gradient-ish image, then the SAME content as a
+    // JPEG recompression and a 2x upscale — classic near-dups
+    def pattern(x: Int, y: Int): Int = {
+      val v = ((x / 8 + y / 8) % 2) * 200 + 30
+      (v << 16) | (v << 8) | v
+    }
+    val base = render(64, 64, "png")(pattern)
+    val jpeg = render(64, 64, "jpg")(pattern)
+    val scaled = render(128, 128, "png")((x, y) => pattern(x / 2, y / 2))
+    val inverse = render(64, 64, "png")((x, y) => pattern(x, y) ^ 0xFFFFFF)
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val h0 = Multimodal.aHashBytes(base).get
+    assert(hamming(h0, Multimodal.aHashBytes(jpeg).get) <= 4)
+    assert(hamming(h0, Multimodal.aHashBytes(scaled).get) <= 4)
+    assert(hamming(h0, Multimodal.aHashBytes(inverse).get) >= 48,
+      "inverted image must flip most bits")
+    // undecodable → None, and resize preserves the requested shape
+    assert(Multimodal.aHashBytes("nope".getBytes).isEmpty)
+    val r = Multimodal.resizeBytes(base, 12, 6).get
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r))
+    assert(img.getWidth == 12 && img.getHeight == 6)
+  }
 }
