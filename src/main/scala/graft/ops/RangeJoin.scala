@@ -29,13 +29,22 @@ object RangeJoin {
 
   /** points ⋈ intervals on `loCol <= pointCol < hiCol`, both sides
     * keyed into `binWidth`-sized bins. All three columns must be
-    * numeric (cast doubles/longs alike); column sets must not collide.
-    */
+    * numeric (cast doubles/longs alike); column sets must not collide
+    * except `extraKeys`, which must exist on BOTH sides and join as
+    * additional equi-keys — real range joins almost always carry one
+    * (per-entity time intervals: user × validity window), and folding
+    * the entity into the join key keeps each bin's candidate product
+    * per-entity instead of corpus-wide. */
   def pointInInterval(points: DataFrame, intervals: DataFrame,
       pointCol: String, loCol: String, hiCol: String,
-      binWidth: Double): DataFrame = {
+      binWidth: Double, extraKeys: Seq[String] = Nil): DataFrame = {
     require(binWidth > 0, s"pointInInterval: binWidth=$binWidth must be > 0")
-    require(!points.columns.exists(intervals.columns.contains),
+    extraKeys.foreach { k =>
+      require(points.columns.contains(k) && intervals.columns.contains(k),
+        s"pointInInterval: extra key $k must exist on both sides")
+    }
+    require(!points.columns.filterNot(extraKeys.contains)
+        .exists(intervals.columns.filterNot(extraKeys.contains).contains),
       "pointInInterval: point/interval column names collide")
     val bin = "_rj_bin"
     // interval [lo, hi) overlaps bin b = [b·w, (b+1)·w) iff
@@ -57,7 +66,7 @@ object RangeJoin {
         sequence(loBin, hiBin, lit(1L))).otherwise(array().cast("array<long>"))))
     points
       .withColumn(bin, floor(col(pointCol) / binWidth).cast("long"))
-      .join(binned, bin)
+      .join(binned, bin +: extraKeys)
       .filter(col(pointCol) >= col(loCol) && col(pointCol) < col(hiCol))
       .drop(bin)
   }

@@ -187,6 +187,34 @@ object RelationalPack extends QueryPack {
         .orderBy("user_id", "valid_from", "event_id")
     }),
 
+    // SCD2 dimension lookup: each VIEW joins the purchase version
+    // valid at its instant — the warehouse fact→dimension-version
+    // pattern, composed from the SCD2 build (lead() intervals) and the
+    // keyed binned range join (user_id as equi-key, day-sized time
+    // bins; the open current version capped past max view time so its
+    // bin replication stays bounded). One window shuffle + one
+    // equi-join — no as-of machinery needed once intervals exist.
+    "events_scd2_lookup" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+      val w = Window.partitionBy("dim_user").orderBy(col("pts"), col("dim_event_id"))
+      val dayUs = 86400L * 1000 * 1000
+      val cap = ev.agg(max(unix_micros(col("ts").cast("timestamp"))))
+        .head.getLong(0) + 1
+      val dims = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("dim_user"), col("event_id").as("dim_event_id"),
+          unix_micros(col("ts").cast("timestamp")).as("pts"))
+        .select(col("dim_user").as("user_id"), col("dim_event_id"),
+          col("pts").as("lo"),
+          coalesce(lead(col("pts"), 1).over(w), lit(cap)).as("hi"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("event_id").as("view_id"),
+          unix_micros(col("ts").cast("timestamp")).as("vt"))
+      graft.ops.RangeJoin.pointInInterval(views, dims, "vt", "lo", "hi",
+          binWidth = dayUs.toDouble, extraKeys = Seq("user_id"))
+        .select(col("user_id"), col("view_id"), col("dim_event_id"))
+        .orderBy("user_id", "view_id", "dim_event_id")
+    }),
+
     // Batch gap-sessionization (the batch twin of
     // events_sessionize_stream's custom state): new-session flag from
     // a lag() gap test, session number from the running sum of flags —
@@ -615,6 +643,21 @@ object RelationalPack extends QueryPack {
         |FROM events WHERE event_type = 'purchase'
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         |ORDER BY user_id, valid_from, event_id""".stripMargin,
+    // fact→dimension-version: each view against the purchase interval
+    // containing it (lead() validity windows per user; open current
+    // version unbounded above)
+    "events_scd2_lookup" ->
+      """WITH p AS (SELECT user_id, event_id AS dim_event_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS lo,
+        |    lead(epoch_us(CAST(ts AS TIMESTAMP))) OVER
+        |      (PARTITION BY user_id ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id) AS hi
+        |  FROM events WHERE event_type = 'purchase'),
+        |v AS (SELECT user_id, event_id AS view_id, epoch_us(CAST(ts AS TIMESTAMP)) AS vt
+        |  FROM events WHERE event_type = 'view')
+        |SELECT v.user_id AS user_id, v.view_id, p.dim_event_id
+        |FROM v JOIN p ON v.user_id = p.user_id
+        |  AND v.vt >= p.lo AND (p.hi IS NULL OR v.vt < p.hi)
+        |ORDER BY v.user_id, view_id, dim_event_id""".stripMargin,
     // lag-gap flag → running-sum session number → per-session aggregate
     "events_sessionize_batch" ->
       """WITH g AS (SELECT user_id, event_id, ts,

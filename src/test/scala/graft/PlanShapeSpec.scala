@@ -176,6 +176,13 @@ class PlanShapeSpec extends SparkSpec {
     } finally spark.catalog.clearCache()
   }
 
+  test("events_scd2_lookup joins on (bin, user) — never a nested-loop/cartesian plan") {
+    val p = plan("events_scd2_lookup")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
+      p.contains("ShuffledHashJoin"), p)
+  }
+
   test("range_join_bands is an equi-join on the bin — never a nested-loop/cartesian plan") {
     // The whole point of the binned construction: the interval
     // predicate alone would force BroadcastNestedLoopJoin (and a

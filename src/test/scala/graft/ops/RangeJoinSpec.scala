@@ -71,6 +71,23 @@ class RangeJoinSpec extends SparkSpec {
     }
   }
 
+  test("extra equi-keys: a point only matches intervals of its own entity") {
+    val pts = Seq((1L, 10.0, 100), (2L, 10.0, 200)).toDF("k", "p", "pid")
+    val ivs = Seq((1L, 0.0, 20.0, 7), (2L, 15.0, 30.0, 8)).toDF("k", "lo", "hi", "iid")
+    val out = RangeJoin.pointInInterval(pts, ivs, "p", "lo", "hi", 5.0,
+        extraKeys = Seq("k"))
+      .select("k", "pid", "iid").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    // k=1's point 10 is inside k=1's [0,20) but NOT k=2's [15,30);
+    // k=2's point 10 matches nothing even though k=1's interval covers it
+    assert(out == Set((1L, 100, 7)), out.toString)
+    // missing key fails loud
+    intercept[IllegalArgumentException] {
+      RangeJoin.pointInInterval(pts, ivs.drop("k"), "p", "lo", "hi", 5.0,
+        extraKeys = Seq("k"))
+    }
+  }
+
   test("property: binned join equals the cross-join definition on random data, any bin width") {
     // The binned construction vs the O(n·m) definition `lo <= p < hi`,
     // across bin widths smaller/comparable/larger than the intervals
