@@ -148,6 +148,34 @@ class LlmSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
   }
 
+  test("property: dupClusters equals in-memory union-find on random graphs") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val nodeG = Gen.chooseNum(0L, 30L)
+    val edgesG = Gen.listOfN(25, Gen.zip(nodeG, nodeG))
+      .map(_.filter { case (a, b) => a != b }.distinct)
+      .suchThat(_.nonEmpty)
+    val prop = Prop.forAll(edgesG) { edges =>
+      // brute force: union-find with path compression, min-id root
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElse(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      def union(a: Long, b: Long): Unit = {
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+      }
+      edges.foreach { case (a, b) => union(a, b) }
+      val want = edges.flatMap { case (a, b) => Seq(a, b) }.distinct
+        .map(n => n -> find(n)).toMap
+      val got = Dedup.dupClusters(edges.toDF("a", "b")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      got == want
+    }
+    val r = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(6), prop)
+    assert(r.passed, r.status.toString)
+  }
+
   test("lshBands rejects bands that do not divide k (silent recall loss)") {
     val sigs = Dedup.minhashSignatures(Dedup.shingles(docs, "id", "text"))
     val ex = intercept[IllegalArgumentException](Dedup.lshBands(sigs, 8, 3))

@@ -40,6 +40,25 @@ class SkewSpec extends SparkSpec {
     assert(anti.map(_.getString(1)).toSeq == Seq("a"))
   }
 
+  test("property: saltedJoin equals the plain join on random data, inner/left/semi/anti, any salt") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val keyG = Gen.chooseNum(1, 6)
+    val leftG = Gen.listOfN(20, Gen.zip(keyG, Gen.alphaNumStr.map(_.take(4))))
+    val rightG = Gen.listOfN(8, Gen.zip(keyG, Gen.alphaNumStr.map(_.take(4)))).map(_.distinctBy(_._1))
+    val saltG = Gen.oneOf(1, 3, 8)
+    val typeG = Gen.oneOf("inner", "left_outer", "left_semi", "left_anti")
+    val prop = Prop.forAll(leftG, rightG, saltG, typeG) { (ls, rs, salt, jt) =>
+      val l = ls.toDF("k", "v"); val r = rs.toDF("k", "d")
+      val cols = if (jt == "left_semi" || jt == "left_anti") Seq("k", "v") else Seq("k", "v", "d")
+      def img(df: org.apache.spark.sql.DataFrame) =
+        df.select(cols.map(col): _*).collect()
+          .map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
+      img(Skew.saltedJoin(l, r, "k", salt, jt)) == img(l.join(r, Seq("k"), jt))
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(6), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("keyHistogram and suggestSalt diagnose the hot key") {
     val df = ((1 to 900).map(_ => 7) ++ (1 to 30)).toDF("k")
     val top = Skew.keyHistogram(df, "k", 1).head()
