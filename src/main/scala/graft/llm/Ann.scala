@@ -306,22 +306,47 @@ object Ann {
       .filter(col("cos_x1e4") >= threshold4)
   }
 
-  /** Measured IVF recall against the exact baseline from ONE corpus
-    * scan: the bucket assignment persists and serves as both the IVF
-    * candidate source and the brute-force corpus (it already carries
-    * the embedding column), so the recall measurement costs one
-    * assignment pass instead of rebuilding the corpus subtree for each
-    * side. Same cache contract as [[embeddingDupPairs]]: the
-    * assignment relation stays cached after the caller's action —
-    * release with unpersist/clearCache once consumed. */
+  /** Measured IVF recall against the exact baseline from ONE scored
+    * relation and ONE window sort. Every (query, corpus-vector) pair
+    * is scored exactly once — the IVF candidate set is by construction
+    * a subset of the brute all-pairs set, so scoring it separately (as
+    * a naive ivfTopK + cosineTopK composition would) repeats nprobe/n
+    * of the dot products and pays a second qid-keyed sort. Instead the
+    * single ranked pass carries both ranks:
+    *  - `r_all`   — row_number over (desc cos, asc vec_id): the exact
+    *    rank, identical to [[cosineTopK]]'s;
+    *  - `r_cand`  — a running sum of the candidate flag over the SAME
+    *    ordered frame: the rank among IVF candidates (pairs whose
+    *    assigned bucket is probed for that query). The flagged subset
+    *    ranks in the same (desc cos, asc vec_id) order [[ivfTopK]]
+    *    uses, so `cand && r_cand <= k` IS the ivfTopK result set.
+    * recall = |{r_all ≤ k} ∩ {cand ∧ r_cand ≤ k}| / k, one hash
+    * aggregate on qid (every qid appears — the cross product keys all
+    * of them), replacing the old semi-join + right-outer repair. The
+    * two window frames share one partition/order spec, so CollapseWindow
+    * fuses them into a single sort — no persist, no second pass. */
   def ivfRecall(queries: DataFrame, corpus: DataFrame, centroids: DataFrame,
       k: Int = 10, nprobe: Int = 2): DataFrame = {
     val cass = assignBuckets(corpus, centroids)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val probes = broadcast(probeBuckets(queries, centroids, nprobe))
-    val ivf = rankTopK(probes.join(cass, Seq("bucket")), k)
-    val brute = cosineTopK(queries, cass.select(col("vec_id"), col("ce")), k)
-    recallVsBrute(ivf, brute, k)
+    val probes = probeBuckets(queries, centroids, nprobe)
+      .select(col("qid").as("_pqid"), col("bucket").as("_pbucket"))
+    val q = queries.select(col("qid"), col("qe"), dotExpr("qe", "qe").as("qe2"))
+    val scored = broadcast(q).crossJoin(cass)
+      .join(broadcast(probes),
+        col("qid") === col("_pqid") && col("bucket") === col("_pbucket"), "left")
+      .select(col("qid"), col("vec_id"),
+        cosScaledPre("qe", "ce", col("qe2"), col("ce2")).as("cos_x1e4"),
+        col("_pqid").isNotNull.as("cand"))
+    val w = Window.partitionBy("qid").orderBy(desc("cos_x1e4"), asc("vec_id"))
+    scored
+      .withColumn("r_all", row_number().over(w))
+      .withColumn("r_cand", sum(when(col("cand"), 1L).otherwise(0L))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("qid")
+      .agg(sum(when(col("r_all") <= k && col("cand") && col("r_cand") <= k, 1L)
+        .otherwise(0L)).as("n_hits"))
+      .select(col("qid"), col("n_hits"),
+        graft.functions.F.scale4(col("n_hits").cast("double") / k).as("recall_x1e4"))
   }
 
   /** Per-query recall of `approx` against `exact` (both shaped

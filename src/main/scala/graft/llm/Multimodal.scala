@@ -150,61 +150,82 @@ object Multimodal {
         s"transform(sequence(1, greatest(int(octet_length(content)) div $stride, 1)), " +
           s"i -> substring(content, (i - 1) * $stride + 1, $len))")).as(Seq("frame_no", "frame")))
 
+  /** Decode-once image entry point: None when the payload isn't a
+    * decodable image. Every image transform below starts here so a
+    * pipeline stage that needs N derived artifacts (resized PNG +
+    * perceptual hash) pays ONE codec pass — image decode dominates
+    * this work at scale. */
+  private def decodeImage(content: Array[Byte]): Option[java.awt.image.BufferedImage] =
+    try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(content)))
+    catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Bilinear resample of an already-decoded image into a fresh
+    * (w, h) RGB raster. */
+  private def resizeImage(src: java.awt.image.BufferedImage, w: Int,
+      h: Int): java.awt.image.BufferedImage = {
+    val dst = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g = dst.createGraphics()
+    try {
+      g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+        java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+      g.drawImage(src, 0, 0, w, h, null)
+    } finally g.dispose()
+    dst
+  }
+
+  private def encodePng(img: java.awt.image.BufferedImage): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
   /** Bilinear resize to (w, h), re-encoded PNG. None when the payload
     * isn't a decodable image (callers keep the raw row or drop it). */
   def resizeBytes(content: Array[Byte], w: Int, h: Int): Option[Array[Byte]] = {
     require(w > 0 && h > 0, s"resizeBytes: $w x $h")
-    try {
-      val src = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(content))
-      if (src == null) None
-      else {
-        val dst = new java.awt.image.BufferedImage(w, h,
-          java.awt.image.BufferedImage.TYPE_INT_RGB)
-        val g = dst.createGraphics()
-        try {
-          g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
-            java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
-          g.drawImage(src, 0, 0, w, h, null)
-        } finally g.dispose()
-        val out = new java.io.ByteArrayOutputStream()
-        javax.imageio.ImageIO.write(dst, "png", out)
-        Some(out.toByteArray)
-      }
-    } catch { case scala.util.control.NonFatal(_) => None }
+    decodeImage(content).map(src => encodePng(resizeImage(src, w, h)))
   }
 
-  /** 64-bit average hash (aHash): downscale to 8×8, grayscale via the
-    * integer BT.601 luma, set bit y·8+x when the pixel's luma exceeds
-    * the image mean. The classic perceptual fingerprint — near-dup
-    * images (recompress, mild resize) land within a few Hamming bits,
-    * so it slots into the same band-join dedup machinery as SimHash.
-    * None for undecodable payloads. */
-  def aHashBytes(content: Array[Byte]): Option[Long] =
-    resizeBytes(content, 8, 8).map { png =>
-      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
-      val lumas = for (y <- 0 until 8; x <- 0 until 8) yield {
-        val rgb = img.getRGB(x, y)
-        (299 * ((rgb >> 16) & 0xFF) + 587 * ((rgb >> 8) & 0xFF) + 114 * (rgb & 0xFF)) / 1000
-      }
-      val mean = lumas.sum.toDouble / 64
-      lumas.zipWithIndex.foldLeft(0L) { case (acc, (l, i)) =>
-        if (l > mean) acc | (1L << i) else acc
-      }
+  /** aHash core over an already-downscaled 8×8 RGB raster: grayscale
+    * via the integer BT.601 luma, set bit y·8+x when the pixel's luma
+    * exceeds the image mean. (PNG is lossless over TYPE_INT_RGB, so
+    * hashing the raster directly is bit-identical to the former
+    * encode-PNG-then-rehash round-trip — minus a codec pass.) */
+  private def aHashImage(img: java.awt.image.BufferedImage): Long = {
+    val lumas = for (y <- 0 until 8; x <- 0 until 8) yield {
+      val rgb = img.getRGB(x, y)
+      (299 * ((rgb >> 16) & 0xFF) + 587 * ((rgb >> 8) & 0xFF) + 114 * (rgb & 0xFF)) / 1000
     }
+    val mean = lumas.sum.toDouble / 64
+    lumas.zipWithIndex.foldLeft(0L) { case (acc, (l, i)) =>
+      if (l > mean) acc | (1L << i) else acc
+    }
+  }
+
+  /** 64-bit average hash (aHash): downscale to 8×8 and threshold each
+    * pixel's luma against the image mean. The classic perceptual
+    * fingerprint — near-dup images (recompress, mild resize) land
+    * within a few Hamming bits, so it slots into the same band-join
+    * dedup machinery as SimHash. None for undecodable payloads. */
+  def aHashBytes(content: Array[Byte]): Option[Long] =
+    decodeImage(content).map(src => aHashImage(resizeImage(src, 8, 8)))
 
   /** Executor-side resize + feature-extract over a media table: one
     * mapPartitions pass computing the resized PNG's dimensions/bytes
-    * and the aHash. Undecodable rows surface fmt='skip' with nulls —
+    * and the aHash — the source image decodes ONCE and feeds both
+    * rasters. Undecodable rows surface fmt='skip' with nulls —
     * heterogeneous batches survive, same contract as [[decode]]. */
   def resizeAndHash(media: DataFrame, w: Int, h: Int): DataFrame = {
+    require(w > 0 && h > 0, s"resizeAndHash: $w x $h")
     val spark = media.sparkSession
     val rdd = media.select("media_id", "content").rdd.mapPartitions(_.map { r =>
       val bytes = Option(r.getAs[Array[Byte]]("content")).getOrElse(Array.emptyByteArray)
-      resizeBytes(bytes, w, h) match {
-        case Some(png) =>
-          val m = decodeBytes(png)
-          Row(r.getAs[Long]("media_id"), m.fmt, m.width, m.height, m.nBytes,
-            aHashBytes(bytes).map(Long.box).orNull)
+      decodeImage(bytes) match {
+        case Some(src) =>
+          val png = encodePng(resizeImage(src, w, h))
+          Row(r.getAs[Long]("media_id"), "png", Int.box(w), Int.box(h),
+            Int.box(png.length), Long.box(aHashImage(resizeImage(src, 8, 8))))
         case None =>
           Row(r.getAs[Long]("media_id"), "skip", null, null, null, null)
       }

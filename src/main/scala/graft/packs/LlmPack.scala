@@ -167,9 +167,9 @@ object LlmPack extends QueryPack {
     }),
     // Measured IVF recall vs the exact baseline over 20 queries —
     // the honest quality gate for the approximate path. Ann.ivfRecall
-    // shares ONE persisted bucket assignment between the IVF side and
-    // the brute baseline (it doubles as the brute corpus), so the
-    // query costs one assignment pass, not two corpus rebuilds.
+    // scores every (query, vector) pair ONCE and derives both the
+    // exact rank and the candidate rank from a single fused window
+    // sort — no persist, no second scoring pass (Ann.scala scaladoc).
     "ann_ivf_recall" -> ((s, dir) => {
       val e = emb(s, dir)
       val c = e.select(col("vec_id"), col("embedding").as("ce"))

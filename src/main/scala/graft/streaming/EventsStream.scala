@@ -530,20 +530,36 @@ object EventsStream {
     events.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val ss = batch.sparkSession
-        val latest = latestPerKey(
-          batch.select(col("user_id"), col("ts"), col("event_id"), col("value")))
-        val merged = currentStateVersion(ss, stateBase) match {
-          case Some(dir) => latestPerKey(ss.read.parquet(dir).unionByName(latest))
-          case None => latest
-        }
-        merged.write.mode("overwrite").parquet(s"$stateBase/v$batchId")
-        ()
+        mergeBatchIntoState(batch, batchId, stateBase)
       }
       .start()
 
-  /** Highest-numbered `v<k>` state dir under `stateBase`, if any. */
-  def currentStateVersion(spark: SparkSession, stateBase: String): Option[String] = {
+  /** One [[materializeLatest]] micro-batch commit: merge the batch's
+    * per-key latest rows into the newest state version STRICTLY BELOW
+    * `batchId` and write `v<batchId>`. The strict bound is the retry
+    * safety: a foreachBatch re-run after a crash that wrote v<N> but
+    * died before the checkpoint commit would otherwise pick v<N>
+    * itself as the merge input and overwrite the very path it is
+    * reading ("Cannot overwrite a path that is also being read from"
+    * — an unrecoverable restart loop). Bounding to id < batchId makes
+    * the retry read exactly what the first attempt read (v<N-1>'s
+    * state), so re-running batch N is idempotent by construction:
+    * same input version + same batch rows → same v<N>. */
+  def mergeBatchIntoState(batch: DataFrame, batchId: Long, stateBase: String): Unit = {
+    val ss = batch.sparkSession
+    val latest = latestPerKey(
+      batch.select(col("user_id"), col("ts"), col("event_id"), col("value")))
+    val merged = currentStateVersion(ss, stateBase, below = batchId) match {
+      case Some(dir) => latestPerKey(ss.read.parquet(dir).unionByName(latest))
+      case None => latest
+    }
+    merged.write.mode("overwrite").parquet(s"$stateBase/v$batchId")
+  }
+
+  /** Highest-numbered `v<k>` state dir under `stateBase` with
+    * `k < below`, if any. */
+  def currentStateVersion(spark: SparkSession, stateBase: String,
+      below: Long = Long.MaxValue): Option[String] = {
     val base = new org.apache.hadoop.fs.Path(stateBase)
     val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(base)) None
@@ -552,6 +568,7 @@ object EventsStream {
         .filter(_.isDirectory)
         .map(_.getPath)
         .flatMap(p => p.getName.stripPrefix("v").toLongOption.map(_ -> p))
+        .filter(_._1 < below)
       versions.sortBy(_._1).lastOption.map(_._2.toString)
     }
   }

@@ -169,10 +169,19 @@ class PlanShapeSpec extends SparkSpec {
     } finally spark.catalog.clearCache()
   }
 
-  test("ivfRecall shares ONE cached assignment between the IVF and brute sides") {
+  test("ivfRecall scores each pair once: both ranks fuse into ONE window sort, no cache") {
     try {
       val p = plan("ann_ivf_recall")
-      assert(p.contains("InMemoryTableScan"), p)
+      // The r_all/r_cand windows share one partition/order spec, so the
+      // (qid, cos desc, vec_id) sort — the only per-pair sort in the
+      // query — must appear exactly ONCE. A second one means the
+      // brute/IVF sides split back into two scoring passes; an
+      // InMemoryTableScan means the old persist-and-score-twice shape
+      // came back.
+      val pairSorts =
+        "Sort \\[qid#\\d+L? ASC NULLS FIRST, cos_x1e4#\\d+L? DESC".r.findAllIn(p).size
+      assert(pairSorts == 1, s"expected 1 pair-ranking sort, got $pairSorts:\n$p")
+      assert(!p.contains("InMemoryTableScan"), p)
     } finally spark.catalog.clearCache()
   }
 
