@@ -120,6 +120,33 @@ object FormatsPack extends QueryPack {
           col("`info.geo.region`").cast("int").as("region"))
         .orderBy("k")
     }),
+    // S8 pushdown half (SURVEY §4): a selective string predicate over
+    // the DSv2 XML source evaluates INSIDE the StAX parse loop — the
+    // scan node carries it as PushedFilters (plan-locked in
+    // PlanShapeSpec) and no post-scan Filter remains. The projection
+    // also drops the filter column, exercising the keep-for-filter
+    // path (the parser must retain a pruned-but-filtered column).
+    "xml_pushdown_filter" -> ((s, dir) => {
+      val file = scratchFile("customer_push.xml")
+      Xml.writeXmlFile(custSlice(s, dir), file)
+      Xml.readXml(s, file, "row")
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select("c_custkey", "c_name")
+        .orderBy("c_name")
+    }),
+    // S7 twin over the DSv2 XLSX directory scan: equality + contains
+    // composed with AND, both fully pushed into the sheet parse.
+    "xlsx_pushdown_filter" -> ((s, dir) => {
+      val out = Paths.get(System.getProperty("java.io.tmpdir"), "graft_rt", "xlsx_push")
+      Files.createDirectories(out)
+      val file = out.resolve("customer.xlsx").toString
+      Xlsx.writeWorkbook(Seq("customer" -> custSlice(s, dir)), file)
+      graft.xlsx.XlsxDataSource.readTable(s, file)
+        .filter(col("c_mktsegment") === "MACHINERY" &&
+          col("c_name").contains("01"))
+        .select("c_custkey", "c_name")
+        .orderBy("c_name")
+    }),
     "pdf_parse_pages" -> ((s, dir) => {
       import s.implicits._
       pageSpecs.flatMap { case (spec, total) =>
@@ -151,6 +178,13 @@ object FormatsPack extends QueryPack {
     "xlsb_roundtrip" ->
       """SELECT CAST(c_custkey AS VARCHAR) AS c_custkey, c_name, c_mktsegment
         |FROM customer ORDER BY c_name""".stripMargin,
+    "xml_pushdown_filter" ->
+      """SELECT CAST(c_custkey AS VARCHAR) AS c_custkey, c_name
+        |FROM customer WHERE c_mktsegment = 'BUILDING' ORDER BY c_name""".stripMargin,
+    "xlsx_pushdown_filter" ->
+      """SELECT CAST(c_custkey AS VARCHAR) AS c_custkey, c_name
+        |FROM customer WHERE c_mktsegment = 'MACHINERY' AND contains(c_name, '01')
+        |ORDER BY c_name""".stripMargin,
     "xml_autodetect" ->
       """SELECT * FROM (
         |  SELECT 'nation' AS tbl, n_nationkey AS k, n_name AS nm FROM nation

@@ -14,14 +14,16 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
 
 /** DataSource V2 XLSX reader (SURVEY §4: `SupportsPushDownRequiredColumns`
-  * for the custom sources).
+  * + `SupportsPushDownFilters` for the custom sources).
   *
   * Where `Xlsx.readWorkbook` parses one workbook on the driver (the
   * workbook-export path), this connector reads a *directory of
   * workbooks* as one table: one InputPartition per file, zip + StAX
   * parse inside executors, schema from the first file's chosen sheet,
   * and column pruning pushed into the scan — a select over a wide
-  * sheet materializes only the required columns.
+  * sheet materializes only the required columns. Accepted string
+  * predicates (see [[graft.sources.StringFilters]]) evaluate inside
+  * the sheet parse, before any row materializes.
   *
   * Options: `path`, `sheet` (name; default = each file's first sheet).
   */
@@ -91,36 +93,71 @@ private[xlsx] class XlsxTable(tableSchema: StructType, options: CaseInsensitiveS
 }
 
 private[xlsx] class XlsxScanBuilder(full: StructType, options: CaseInsensitiveStringMap)
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters {
   private var required: StructType = full
+  private var pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty
   override def pruneColumns(r: StructType): Unit = required = r
-  override def build(): Scan = new XlsxScan(required, options)
+  /** Same contract as the XML builder: accepted filters are FULLY
+    * handled (rows die inside the sheet parse), residual goes back to
+    * Spark. Evaluation semantics in [[graft.sources.StringFilters]]. */
+  override def pushFilters(filters: Array[org.apache.spark.sql.sources.Filter])
+      : Array[org.apache.spark.sql.sources.Filter] = {
+    val names = full.fieldNames.toSet
+    val (ok, residual) =
+      filters.partition(graft.sources.StringFilters.supported(_, names))
+    pushed = ok
+    residual
+  }
+  override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] = pushed
+  override def build(): Scan = new XlsxScan(required, pushed, options)
 }
 
-private[xlsx] class XlsxScan(required: StructType, options: CaseInsensitiveStringMap)
-    extends Scan with Batch {
+private[xlsx] class XlsxScan(required: StructType,
+    pushed: Array[org.apache.spark.sql.sources.Filter],
+    options: CaseInsensitiveStringMap) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+  override def description(): String =
+    s"graft-xlsx ${options.get("path")} " +
+      s"PushedFilters: [${pushed.mkString(", ")}], " +
+      s"ReadSchema: ${required.catalogString}"
   override def planInputPartitions(): Array[InputPartition] =
     XlsxDataSource.listFiles(options.get("path"))
       .map(f => XlsxFilePartition(f): InputPartition).toArray
   override def createReaderFactory(): PartitionReaderFactory =
-    new XlsxReaderFactory(required.fieldNames, XlsxDataSource.sheetOpt(options).orNull)
+    new XlsxReaderFactory(required.fieldNames, pushed,
+      XlsxDataSource.sheetOpt(options).orNull)
 }
 
 private[xlsx] case class XlsxFilePartition(file: String) extends InputPartition
 
-private[xlsx] class XlsxReaderFactory(cols: Array[String], sheetOrNull: String)
+private[xlsx] class XlsxReaderFactory(cols: Array[String],
+    pushed: Array[org.apache.spark.sql.sources.Filter], sheetOrNull: String)
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val file = p.asInstanceOf[XlsxFilePartition].file
     new PartitionReader[InternalRow] {
       // (header→required-index mapping, data rows) parsed lazily in the
-      // executor; only required columns materialize into rows
+      // executor; only required columns materialize into rows. Pushed
+      // filters read cells through the FULL header (their columns may
+      // be pruned from the projection), so rows fail inside the parse
+      // iterator before any InternalRow materializes.
       private lazy val (idx, it): (Array[Int], Iterator[Seq[String]]) = {
         val (header, rows) = Xlsx.parseSheetGrid(
           XlsxDataSource.readBytes(file), Option(sheetOrNull))
-        (cols.map(header.indexOf), rows.iterator)
+        val base = rows.iterator
+        val filtered =
+          if (pushed.isEmpty) base
+          else {
+            val at = header.zipWithIndex.toMap
+            base.filter { r =>
+              val get = (c: String) => at.get(c)
+                .collect { case i if i < r.length => r(i) }.getOrElse("")
+              pushed.forall(graft.sources.StringFilters.eval(_, get))
+            }
+          }
+        (cols.map(header.indexOf), filtered)
       }
       private var cur: Seq[String] = _
       override def next(): Boolean =

@@ -14,7 +14,7 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
 
 /** DataSource V2 XML reader (SURVEY §4: `SupportsPushDownRequiredColumns`
-  * for the custom sources).
+  * + `SupportsPushDownFilters` for the custom sources).
   *
   * Shape: XML is not block-splittable, so the unit of parallelism is
   * the file — one InputPartition per file, StAX parse inside the
@@ -23,7 +23,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * those columns into rows (`.explain` shows the pruned ReadSchema),
   * and the parser skips storing non-required keys — a
   * `select(one_col)` over wide XML no longer pays memory for every
-  * column.
+  * column. String predicates push the same way: accepted filters
+  * (see [[graft.sources.StringFilters]]) drop rows inside the parse
+  * loop and vanish from the post-scan plan — a selective predicate
+  * over a big extract no longer materializes every row.
   *
   * Schema = union keys of the first 1000 rows of the first file (P2
   * sampling, driver-side pre-pass — mirroring the reference's
@@ -90,34 +93,65 @@ private[xml] class XmlTable(tableSchema: StructType, options: CaseInsensitiveStr
 }
 
 private[xml] class XmlScanBuilder(full: StructType, options: CaseInsensitiveStringMap)
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters {
   private var required: StructType = full
+  private var pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty
   override def pruneColumns(r: StructType): Unit = required = r
-  override def build(): Scan = new XmlScan(required, options)
+  /** Accept the filters [[graft.sources.StringFilters]] evaluates with
+    * exactly Spark's semantics; they are FULLY handled (rows die inside
+    * the StAX parse loop), so only the residual returns for post-scan
+    * evaluation. */
+  override def pushFilters(filters: Array[org.apache.spark.sql.sources.Filter])
+      : Array[org.apache.spark.sql.sources.Filter] = {
+    val names = full.fieldNames.toSet
+    val (ok, residual) =
+      filters.partition(graft.sources.StringFilters.supported(_, names))
+    pushed = ok
+    residual
+  }
+  override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] = pushed
+  override def build(): Scan = new XmlScan(required, pushed, options)
 }
 
-private[xml] class XmlScan(required: StructType, options: CaseInsensitiveStringMap)
-    extends Scan with Batch {
+private[xml] class XmlScan(required: StructType,
+    pushed: Array[org.apache.spark.sql.sources.Filter],
+    options: CaseInsensitiveStringMap) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+  override def description(): String =
+    s"graft-xml ${options.get("path")} " +
+      s"PushedFilters: [${pushed.mkString(", ")}], " +
+      s"ReadSchema: ${required.catalogString}"
   override def planInputPartitions(): Array[InputPartition] =
     XmlDataSource.listFiles(options.get("path"))
       .map(f => XmlFilePartition(f): InputPartition).toArray
   override def createReaderFactory(): PartitionReaderFactory =
-    new XmlReaderFactory(required.fieldNames, options.get("rowTag"),
+    new XmlReaderFactory(required.fieldNames, pushed, options.get("rowTag"),
       options.getBoolean("flatten", false))
 }
 
 private[xml] case class XmlFilePartition(file: String) extends InputPartition
 
-private[xml] class XmlReaderFactory(cols: Array[String], rowTag: String,
+private[xml] class XmlReaderFactory(cols: Array[String],
+    pushed: Array[org.apache.spark.sql.sources.Filter], rowTag: String,
     flatten: Boolean) extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val file = p.asInstanceOf[XmlFilePartition].file
     new PartitionReader[InternalRow] {
-      private lazy val it: Iterator[Map[String, String]] =
-        Xml.parseRowsIter(XmlDataSource.readFile(file), rowTag, flatten,
-          keep = Some(cols.toSet))
+      // The parser must retain filter-referenced columns even when the
+      // projection pruned them away (a fully-pushed predicate's column
+      // drops out of readSchema); output rows still carry only `cols`.
+      private lazy val it: Iterator[Map[String, String]] = {
+        val keep = cols.toSet ++ pushed.flatMap(_.references)
+        val rows = Xml.parseRowsIter(XmlDataSource.readFile(file), rowTag,
+          flatten, keep = Some(keep))
+        if (pushed.isEmpty) rows
+        else rows.filter { r =>
+          val get = (c: String) => r.getOrElse(c, "")
+          pushed.forall(graft.sources.StringFilters.eval(_, get))
+        }
+      }
       private var cur: Map[String, String] = _
       override def next(): Boolean =
         if (it.hasNext) { cur = it.next(); true } else false

@@ -185,6 +185,24 @@ class PlanShapeSpec extends SparkSpec {
     } finally spark.catalog.clearCache()
   }
 
+  // A Filter node renders as "+- Filter" or "+- *(1) Filter" under
+  // whole-stage codegen — the negative lock must match both.
+  private def hasFilterNode(p: String): Boolean =
+    "[-+] (\\*\\(\\d+\\) )?Filter ".r.findFirstIn(p).isDefined
+
+  test("xml_pushdown_filter: predicate lives in the graft-xml scan, nothing filters post-scan") {
+    val p = plan("xml_pushdown_filter")
+    assert(p.contains("PushedFilters: [EqualTo(c_mktsegment,BUILDING)"), p)
+    assert(!hasFilterNode(p), p)
+  }
+
+  test("xlsx_pushdown_filter: composite predicate fully pushed into the graft-xlsx scan") {
+    val p = plan("xlsx_pushdown_filter")
+    assert(p.contains("EqualTo(c_mktsegment,MACHINERY)") &&
+      p.contains("StringContains(c_name,01)"), p)
+    assert(!hasFilterNode(p), p)
+  }
+
   test("events_scd2_lookup joins on (bin, user) — never a nested-loop/cartesian plan") {
     val p = plan("events_scd2_lookup")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)

@@ -119,6 +119,41 @@ class XmlSpec extends SparkSpec {
       Seq("5", "b5", "c5", "d5"))
   }
 
+  test("DSv2 filter pushdown: accepted predicates evaluate in the parse loop, residual stays") {
+    val doc = "<rows>" + ((1 to 30).map(i =>
+      s"<row><a>$i</a><seg>${if (i % 3 == 0) "HOT" else "COLD"}</seg><v>v$i</v></row>") ++
+      // a row with a MISSING seg cell — pushdown must read it as ""
+      Seq("<row><a>99</a><v>v99</v></row>")).mkString + "</rows>"
+    val d = java.nio.file.Files.createTempDirectory("xmlpush")
+    java.nio.file.Files.writeString(d.resolve("doc.xml"), doc)
+    val df = Xml.readXml(spark, d.toString, "row")
+    // equality on a column the projection then DROPS (keep-for-filter)
+    // a Filter node renders as "+- Filter" or "+- *(1) Filter" under
+    // whole-stage codegen — match both
+    def hasFilterNode(p: String): Boolean =
+      "[-+] (\\*\\(\\d+\\) )?Filter ".r.findFirstIn(p).isDefined
+    val hot = df.filter(col("seg") === "HOT").select("a")
+    val hotPlan = hot.queryExecution.executedPlan.toString
+    assert(hotPlan.contains("PushedFilters: [EqualTo(seg,HOT)"), hotPlan)
+    assert(!hasFilterNode(hotPlan), hotPlan)
+    assert(hot.collect().map(_.getString(0).toInt).sorted.toSeq ==
+      (3 to 30 by 3).toSeq)
+    // missing cell reads "" — both the pushed and unpushed reading agree
+    assert(df.filter(col("seg") === "").select("a").head().getString(0) == "99")
+    // composite boolean: Or over accepted leaves pushes whole
+    val or = df.filter(col("seg") === "HOT" || col("v").endsWith("9")).select("a")
+    assert(or.queryExecution.executedPlan.toString.contains("Or("), or.queryExecution.executedPlan.toString)
+    assert(or.collect().map(_.getString(0).toInt).sorted.toSeq ==
+      ((3 to 30 by 3) ++ Seq(9, 19, 29, 99)).distinct.sorted)
+    // an ordering comparison is NOT accepted: it must stay a residual
+    // post-scan Filter and still produce the right rows
+    val gt = df.filter(col("a") > "28").select("a")  // string compare
+    val gtPlan = gt.queryExecution.executedPlan.toString
+    assert(hasFilterNode(gtPlan), gtPlan)
+    val expectGt = ((1 to 30).map(_.toString) :+ "99").filter(_ > "28").sorted
+    assert(gt.collect().map(_.getString(0)).sorted.toSeq == expectGt)
+  }
+
   test("DSv2 short name: spark.read.format(\"graft-xml\") resolves") {
     val doc = "<rows><row><a>1</a></row><row><a>2</a></row></rows>"
     val d = java.nio.file.Files.createTempDirectory("xmlshort")
