@@ -33,12 +33,16 @@ object Skew {
       s"saltedJoin supports inner/left joins only (got '$joinType'): " +
         "an outer right side would duplicate unmatched rows per salt replica")
     val saltCol = "__graft_salt"
-    // Per-row salt from (key, row position): spreads one key's rows
-    // uniformly. The salt VALUE never affects join output (the right
-    // side carries every salt), so task retries stay correct even
-    // though monotonically_increasing_id itself isn't replay-stable.
+    // Per-row salt = pure hash of the FULL row content: a function of
+    // the row alone, so a task retry recomputes the identical salt —
+    // retry-idempotence is structural, with no dependence on row
+    // position or partition id. The salt VALUE never affects join
+    // output either way (the right side carries every salt value).
+    // Distribution caveat: byte-identical duplicate rows share a salt
+    // bucket; a hot key whose rows are all identical won't spread —
+    // dedup first, or that "skew" is really a cross-product problem.
     val l = left.withColumn(saltCol,
-      pmod(hash(col(key), monotonically_increasing_id()), lit(salt)))
+      pmod(hash(left.columns.map(col): _*), lit(salt)))
     val r = right.withColumn(saltCol,
       explode(array((0 until salt).map(lit): _*)))
     l.join(r, Seq(key, saltCol), joinType).drop(saltCol)

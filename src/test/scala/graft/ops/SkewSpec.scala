@@ -22,12 +22,53 @@ class SkewSpec extends SparkSpec {
     val left = (1 to 4000).map(i => (1, i)).toDF("k", "v") // single key
     val right = Seq((1, "d")).toDF("k", "d")
     val salted = Skew.saltedJoin(left, right, "k", salt = 4)
-    // group by the salt the join used: distribution must not be 1 bucket
+    // group by the salt the join uses (pure row-content hash): the
+    // distribution must not collapse into 1 bucket
     val spread = left.withColumn("s",
-      pmod(hash(col("k"), monotonically_increasing_id()), lit(4)))
+      pmod(hash(col("k"), col("v")), lit(4)))
       .groupBy("s").count().collect()
     assert(spread.length > 1, spread.toSeq.toString)
     assert(salted.count() == 4000)
+  }
+
+  test("retry-idempotence is structural: the salt is a pure function of row content") {
+    // Recomputing the salt column over a REPARTITIONED copy of the same
+    // data yields identical per-row salts — the property a lost-task
+    // retry needs, and the one a positional or partition-id salt lacks.
+    val left = (1 to 2000).map(i => (i % 7, s"v$i")).toDF("k", "v")
+    def salts(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("s", pmod(hash(col("k"), col("v")), lit(8)))
+        .collect().map(r => (r.getInt(0), r.getString(1)) -> r.getInt(2)).toMap
+    assert(salts(left) == salts(left.repartition(13)))
+  }
+
+  test("saltedJoin and AQE skew-join don't fight: same rows with skewJoin on and off") {
+    // The salted join must stay correct whether or not AQE's own skew
+    // mitigation also fires on the same shuffle (both ways plan as a
+    // sort-merge join once broadcast is off, the shape AQE skew-join
+    // targets).
+    val left = ((1 to 5000).map(i => (1, s"hot$i")) ++
+      (2 to 300).map(k => (k, s"cold$k"))).toDF("k", "v")
+    val right = (1 to 300).map(k => (k, s"dim$k")).toDF("k", "d")
+    def run(): (Set[Seq[Any]], String) = {
+      val df = Skew.saltedJoin(left, right, "k", salt = 8).select("k", "v", "d")
+      (df.collect().map(_.toSeq).toSet, df.queryExecution.executedPlan.toString)
+    }
+    val oldSkew = spark.conf.get("spark.sql.adaptive.skewJoin.enabled")
+    val oldBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      val (on, planOn) = run()
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+      val (off, planOff) = run()
+      assert(planOn.contains("SortMergeJoin") && planOff.contains("SortMergeJoin"),
+        s"expected SMJ shape under both configs:\n$planOn\n$planOff")
+      assert(on == off && on.size == 5000 + 299)
+    } finally {
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", oldSkew)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", oldBc)
+    }
   }
 
   test("saltedJoin rejects right/full outer (would duplicate unmatched right rows)") {
