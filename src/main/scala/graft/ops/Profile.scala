@@ -23,18 +23,26 @@ object Profile {
     * rendering of floats is engine-specific). */
   def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "profile: need at least one column")
-    val aggs = cols.flatMap { c =>
-      Seq(
-        (count(lit(1)) - count(col(c))).as(s"${c}__nulls"),
-        count_distinct(col(c)).as(s"${c}__distinct"),
-        min(col(c)).cast("string").as(s"${c}__min"),
-        max(col(c)).cast("string").as(s"${c}__max"))
+    // One struct of aggregates per column, melted with array+explode —
+    // all DataFrame API, so a column name carrying a quote, backtick,
+    // or dot never round-trips through SQL text (the previous
+    // stack-based melt interpolated raw names into selectExpr and
+    // mis-parsed such names). Still ONE aggregate pass: every struct
+    // field is an aggregate over the same scan.
+    val perCol = cols.map { c =>
+      // backtick-quote the reference so a name containing dots or
+      // backticks resolves as ONE column, not a nested-field path
+      val ref = col(s"`${c.replace("`", "``")}`")
+      struct(
+        lit(c).as("column_name"),
+        (count(lit(1)) - count(ref)).as("n_nulls"),
+        count_distinct(ref).as("n_distinct"),
+        min(ref).cast("string").as("min_value"),
+        max(ref).cast("string").as("max_value"))
     }
-    val one = df.agg(aggs.head, aggs.tail: _*)
-    val stackArgs = cols.map { c =>
-      s"'$c', `${c}__nulls`, `${c}__distinct`, `${c}__min`, `${c}__max`"
-    }.mkString(", ")
-    one.selectExpr(
-      s"stack(${cols.size}, $stackArgs) AS (column_name, n_nulls, n_distinct, min_value, max_value)")
+    df.agg(array(perCol: _*).as("_prof"))
+      .select(explode(col("_prof")).as("_s"))
+      .select(col("_s.column_name"), col("_s.n_nulls"), col("_s.n_distinct"),
+        col("_s.min_value"), col("_s.max_value"))
   }
 }

@@ -17,8 +17,9 @@ import graft.ops.{Compare, Pdf, PdfCrypt}
   * real operator over real bytes. */
 object CoveragePack extends QueryPack {
 
+  // per-run temp dir (graft.core.Scratch): no cross-run collisions
   private def scratch(name: String): java.nio.file.Path = {
-    val d = Paths.get(System.getProperty("java.io.tmpdir"), "graft_rt", name)
+    val d = graft.core.Scratch.dir("graft_rt").resolve(name)
     Files.createDirectories(d)
     d
   }

@@ -86,8 +86,7 @@ object ExtrasPack extends QueryPack {
     // outputs, and prove the rewrite is lossless — the aggregate over
     // the compacted table must equal the aggregate over the original.
     "compact_roundtrip" -> ((s, dir) => {
-      import java.nio.file.Paths
-      val base = Paths.get(System.getProperty("java.io.tmpdir"), "graft_compact").toString
+      val base = graft.core.Scratch.dir("graft_compact").toString
       Tables.load(s, dir, "documents").select("doc_id", "source", "n_chars")
         .repartition(64).write.mode("overwrite").parquet(s"$base/frag")
       graft.ops.Compact.compacted(s, s"$base/frag", s"$base/packed", targetBytes = 4L << 20)

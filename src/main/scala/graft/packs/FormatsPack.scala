@@ -14,11 +14,10 @@ import graft.xml.Xml
   * (J6/R2) over an inline spec fixture mirrored as VALUES in SQL. */
 object FormatsPack extends QueryPack {
 
-  private def scratchFile(name: String): String = {
-    val dir = Paths.get(System.getProperty("java.io.tmpdir"), "graft_rt")
-    Files.createDirectories(dir)
-    dir.resolve(name).toString
-  }
+  // per-run temp dir (graft.core.Scratch): concurrent harness runs on
+  // one machine must not collide on round-trip files
+  private def scratchFile(name: String): String =
+    graft.core.Scratch.dir("graft_rt").resolve(name).toString
 
   private def custSlice(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "customer")
@@ -39,7 +38,7 @@ object FormatsPack extends QueryPack {
     // K4 scale path: distributed multi-part XML write (one well-formed
     // document per partition, no driver assembly) re-read by readXml.
     "xml_parts_roundtrip" -> ((s, dir) => {
-      val out = Paths.get(System.getProperty("java.io.tmpdir"), "graft_rt", "xml_parts").toString
+      val out = graft.core.Scratch.dir("graft_rt").resolve("xml_parts").toString
       Xml.writeXmlParts(custSlice(s, dir).repartition(4), out)
       Xml.readXml(s, out, "row").orderBy("c_name")
     }),
@@ -96,7 +95,7 @@ object FormatsPack extends QueryPack {
       nations.foreach(r => sb.append(
         s"<nation><n_nationkey>${r.getInt(0)}</n_nationkey><n_name>${Xml.esc(r.getString(1))}</n_name></nation>"))
       sb.append("</nations></db>")
-      val fdir = Paths.get(System.getProperty("java.io.tmpdir"), "graft_rt", "xml_auto")
+      val fdir = graft.core.Scratch.dir("graft_rt").resolve("xml_auto")
       Files.createDirectories(fdir)
       Files.writeString(fdir.resolve("db.xml"), sb.toString)
       val wb = Xml.readAutoDetected(s, fdir.toString)
@@ -137,9 +136,8 @@ object FormatsPack extends QueryPack {
     // S7 twin over the DSv2 XLSX directory scan: equality + contains
     // composed with AND, both fully pushed into the sheet parse.
     "xlsx_pushdown_filter" -> ((s, dir) => {
-      val out = Paths.get(System.getProperty("java.io.tmpdir"), "graft_rt", "xlsx_push")
-      Files.createDirectories(out)
-      val file = out.resolve("customer.xlsx").toString
+      val file = graft.core.Scratch.dir("graft_rt")
+        .resolve("customer.xlsx").toString
       Xlsx.writeWorkbook(Seq("customer" -> custSlice(s, dir)), file)
       graft.xlsx.XlsxDataSource.readTable(s, file)
         .filter(col("c_mktsegment") === "MACHINERY" &&

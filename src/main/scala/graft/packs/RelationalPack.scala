@@ -489,16 +489,19 @@ object RelationalPack extends QueryPack {
     // at-scale contract: pay the shuffle once when the table lands,
     // amortize it over every subsequent join on that key.
     "join_bucketed_colocated" -> ((s, dir) => {
-      import java.nio.file.Paths
-      val scratch = Paths.get(System.getProperty("java.io.tmpdir"), "graft_bucketed").toString
+      // per-run scratch + table token: concurrent harness runs on one
+      // machine must not collide on paths or catalog names
+      val scratch = graft.core.Scratch.dir("graft_bucketed").toString
+      val tok = graft.core.Scratch.token()
       graft.ops.Bucketing.writeBucketed(
         Tables.load(s, dir, "orders").select("o_orderkey", "o_orderpriority"),
-        "graft_orders_bkt", s"$scratch/orders", 8, "o_orderkey")
+        s"graft_orders_bkt_$tok", s"$scratch/orders", 8, "o_orderkey")
       graft.ops.Bucketing.writeBucketed(
         Tables.load(s, dir, "lineitem")
           .select(col("l_orderkey").as("o_orderkey"), col("l_extendedprice")),
-        "graft_lineitem_bkt", s"$scratch/lineitem", 8, "o_orderkey")
-      graft.ops.Bucketing.colocatedJoin(s, "graft_orders_bkt", "graft_lineitem_bkt", "o_orderkey")
+        s"graft_lineitem_bkt_$tok", s"$scratch/lineitem", 8, "o_orderkey")
+      graft.ops.Bucketing.colocatedJoin(s,
+        s"graft_orders_bkt_$tok", s"graft_lineitem_bkt_$tok", "o_orderkey")
         .groupBy("o_orderpriority")
         .agg(count(lit(1)).as("n_items"), dsum("l_extendedprice").as("sum_price"))
         .orderBy("o_orderpriority")
@@ -512,9 +515,8 @@ object RelationalPack extends QueryPack {
     // scanning one directory and scanning the lake; the agg result is
     // oracle-identical to filtering the unpartitioned table.
     "scan_partition_pruned" -> ((s, dir) => {
-      import java.nio.file.Paths
-      val out = Paths.get(System.getProperty("java.io.tmpdir"),
-        "graft_part", "events_by_type").toString
+      val out = graft.core.Scratch.dir("graft_part")
+        .resolve("events_by_type").toString
       Tables.load(s, dir, "events")
         .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
         .write.mode("overwrite").partitionBy("event_type").parquet(out)
@@ -533,10 +535,9 @@ object RelationalPack extends QueryPack {
     // aggregate, oracle-identical to filtering the raw table — the
     // layout changes cost, never answers.
     "zorder_skipping" -> ((s, dir) => {
-      import java.nio.file.Paths
       import graft.functions.ZOrderKey
-      val out = Paths.get(System.getProperty("java.io.tmpdir"),
-        "graft_zorder", "events").toString
+      val out = graft.core.Scratch.dir("graft_zorder")
+        .resolve("events").toString
       val dims = Tables.load(s, dir, "events").select(
         dayofmonth(col("ts")).as("dom"), hour(col("ts")).as("hod"),
         col("event_type"), col("value"))

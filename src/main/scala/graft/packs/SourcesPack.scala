@@ -15,10 +15,9 @@ import graft.sources.Text
   * text boundary — double formatting is not portable. */
 object SourcesPack extends QueryPack {
 
-  private def scratch(name: String): String = {
-    val dir = Paths.get(System.getProperty("java.io.tmpdir"), "graft_rt", name)
-    dir.toString
-  }
+  // per-run temp dir (graft.core.Scratch): no cross-run collisions
+  private def scratch(name: String): String =
+    graft.core.Scratch.dir("graft_rt").resolve(name).toString
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // S1/K2: CSV write → reference-semantics CSV read.

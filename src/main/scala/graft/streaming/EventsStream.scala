@@ -112,15 +112,19 @@ object EventsStream {
 
   /** Delete a gate's staged input, checkpoint and sentinel scratch —
     * everything except the sink dir the caller reads lazily. */
-  private def cleanupStaged(base: java.nio.file.Path, in: java.nio.file.Path): Unit = {
+  private def cleanupStaged(base: java.nio.file.Path, in: java.nio.file.Path): Unit =
+    deleteDirs(Seq(in, base.resolve("ckpt")) ++
+      Seq(1, 2).map(i => base.resolve(s"stage$i")))
+
+  /** Recursive best-effort delete shared by every gate's teardown. */
+  private def deleteDirs(paths: Seq[java.nio.file.Path]): Unit = {
     import java.nio.file.Files
-    (Seq(in, base.resolve("ckpt")) ++ Seq(1, 2).map(i => base.resolve(s"stage$i")))
-      .filter(Files.exists(_)).foreach { d =>
-        val walk = Files.walk(d)
-        try walk.sorted(java.util.Comparator.reverseOrder())
-          .forEach(p => Files.deleteIfExists(p))
-        finally walk.close()
-      }
+    paths.filter(Files.exists(_)).foreach { d =>
+      val walk = Files.walk(d)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => { Files.deleteIfExists(p); () })
+      finally walk.close()
+    }
   }
 
   /** Streaming ingest dedup: at-least-once sources redeliver events;
@@ -368,12 +372,7 @@ object EventsStream {
     // scratch and checkpoint are dead once the query stops — only the
     // sink parquet (read lazily below) survives. Repeated gate/bench
     // invocations must not accumulate fixture copies in tmp.
-    Seq(in, base.resolve("ckpt")) ++ Seq(1, 2).map(i => base.resolve(s"stage$i")) foreach { d =>
-      val walk = Files.walk(d)
-      try walk.sorted(java.util.Comparator.reverseOrder())
-        .forEach(p => Files.deleteIfExists(p))
-      finally walk.close()
-    }
+    cleanupStaged(base, in)
     // a trailing no-data batch may close the first sentinel's window
     // too — the sentinels are harness scaffolding, not data
     spark.read.parquet(out)
@@ -417,12 +416,7 @@ object EventsStream {
       .option("checkpointLocation", base.resolve("ckpt").toString)
       .start()
     try q.processAllAvailable() finally q.stop()
-    Seq(in, base.resolve("ckpt")).foreach { d =>
-      val walk = Files.walk(d)
-      try walk.sorted(java.util.Comparator.reverseOrder())
-        .forEach(p => Files.deleteIfExists(p))
-      finally walk.close()
-    }
+    deleteDirs(Seq(in, base.resolve("ckpt")))
     spark.read.parquet(out)
       .groupBy("event_type")
       .agg(count(lit(1)).as("n"))
@@ -487,12 +481,7 @@ object EventsStream {
       .option("checkpointLocation", base.resolve("ckpt").toString)
       .start()
     try q.processAllAvailable() finally q.stop()
-    (Seq(in, base.resolve("ckpt")) ++ Seq(1, 2).map(i => base.resolve(s"stage$i"))).foreach { d =>
-      val walk = Files.walk(d)
-      try walk.sorted(java.util.Comparator.reverseOrder())
-        .forEach(p => Files.deleteIfExists(p))
-      finally walk.close()
-    }
+    cleanupStaged(base, in)
     spark.read.parquet(out)
       .filter(col("event_type") =!= "sentinel")
       .select(date_format(col("hour_start"), "yyyy-MM-dd HH:00:00").as("hour"),
@@ -622,12 +611,7 @@ object EventsStream {
         l.iterator().asScala.toSeq.filter(_.getFileName.toString != currentName)
       } finally l.close()
     }
-    (Seq(in, stage, base.resolve("ckpt")) ++ oldVersions).foreach { d =>
-      val walk = Files.walk(d)
-      try walk.sorted(java.util.Comparator.reverseOrder())
-        .forEach(p => Files.deleteIfExists(p))
-      finally walk.close()
-    }
+    deleteDirs(Seq(in, stage, base.resolve("ckpt")) ++ oldVersions)
     spark.read.parquet(current)
       .select(col("user_id"),
         date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts"),
@@ -646,39 +630,11 @@ object EventsStream {
     * filtered) and never reaches the result. Aggregated per user, the
     * sink must hash-match the batch gap-sessionization twin. */
   def sessionizeEventTimeViaFileSink(spark: SparkSession, sfDir: String): DataFrame = {
-    import java.nio.file.{Files, Paths}
-    val base = Files.createTempDirectory("graft_sess_et_gate")
-    val in = base.resolve("in"); Files.createDirectories(in)
-    Files.copy(Paths.get(s"$sfDir/events.parquet"), in.resolve("events.parquet"))
-    val ss = spark.newSession()
+    // Same scaffolding as every other append-mode gate: staged fixture
+    // plus two watermark-advancing sentinel batches (shared helper —
+    // this gate used to hand-roll an identical copy that could drift).
+    val (ss, in, base) = stageWithSentinels(spark, sfDir)
     import ss.implicits._
-    ss.conf.set("spark.sql.shuffle.partitions", "4")
-    ss.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val probe = ss.read.parquet(s"$sfDir/events.parquet")
-    val tsIsLong = probe.schema("ts").dataType ==
-      org.apache.spark.sql.types.LongType
-    val maxMicros =
-      if (tsIsLong) probe.agg(max(expr("ts DIV 1000"))).head.getLong(0)
-      else probe.agg(max(unix_micros(col("ts").cast("timestamp")))).head.getLong(0)
-    val hourUs = 3600L * 1000 * 1000
-    Seq(1, 2).foreach { i =>
-      val stage = base.resolve(s"stage$i")
-      val sentUs = maxMicros + 3L * i * hourUs
-      ss.range(1).select(
-        lit(-i.toLong).as("event_id"),
-        (if (tsIsLong) lit(sentUs * 1000L)
-         else timestamp_micros(lit(sentUs)).cast("timestamp_ntz")).as("ts"),
-        lit(-1L).as("user_id"), lit("sentinel").as("event_type"),
-        lit(0.0).as("value"), lit("").as("props"))
-        .coalesce(1).write.parquet(stage.toString)
-      val listing = Files.list(stage)
-      val part = try listing.filter(_.getFileName.toString.endsWith(".parquet")).findFirst.get
-        finally listing.close()
-      val dst = in.resolve(s"sentinel$i.parquet")
-      Files.copy(part, dst)
-      Files.setLastModifiedTime(dst,
-        java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() + 10000L + i * 10000L))
-    }
     val out = base.resolve("out").toString
     val events = readEvents(ss, in.toString, maxFilesPerTrigger = Some(1))
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
@@ -691,12 +647,7 @@ object EventsStream {
       .option("checkpointLocation", base.resolve("ckpt").toString)
       .start()
     try q.processAllAvailable() finally q.stop()
-    (Seq(in, base.resolve("ckpt")) ++ Seq(1, 2).map(i => base.resolve(s"stage$i"))).foreach { d =>
-      val walk = Files.walk(d)
-      try walk.sorted(java.util.Comparator.reverseOrder())
-        .forEach(p => Files.deleteIfExists(p))
-      finally walk.close()
-    }
+    cleanupStaged(base, in)
     spark.read.parquet(out)
       .filter(col("user_id") >= 0)
       .groupBy("user_id")
@@ -776,13 +727,7 @@ object EventsStream {
       .option("checkpointLocation", base.resolve("ckpt").toString)
       .start()
     try q.processAllAvailable() finally q.stop()
-    (Seq(in, base.resolve("ckpt")) ++
-      (if (sentinels) Seq(1, 2).map(i => base.resolve(s"stage$i")) else Nil)).foreach { d =>
-      val walk = Files.walk(d)
-      try walk.sorted(java.util.Comparator.reverseOrder())
-        .forEach(p => Files.deleteIfExists(p))
-      finally walk.close()
-    }
+    cleanupStaged(base, in)
     spark.read.parquet(out)
       .filter(col("user_id") >= 0) // sentinel scaffolding, not data
       .orderBy("user_id", "purchase_id", "view_id")
@@ -833,12 +778,7 @@ object EventsStream {
     try q.processAllAvailable() finally q.stop()
     // the memory sink's rows live on the driver (harness contract) —
     // the staged input and checkpoint are safe to delete immediately
-    Seq(in, base.resolve("ckpt")).foreach { d =>
-      val walk = Files.walk(d)
-      try walk.sorted(java.util.Comparator.reverseOrder())
-        .forEach(p => Files.deleteIfExists(p))
-      finally walk.close()
-    }
+    deleteDirs(Seq(in, base.resolve("ckpt")))
     ss.table("graft_sessions")
       .select(col("user_id"), col("n_events"), col("duration_sec"))
       .orderBy("user_id")

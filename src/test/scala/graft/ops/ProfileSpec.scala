@@ -18,6 +18,16 @@ class ProfileSpec extends SparkSpec {
     assert(p(1) == ("v", 1L, 2L, "a", "b"))
   }
 
+  test("profile survives hostile column names (quotes, backticks, dots)") {
+    val df = Seq((1, "x", 2.0), (2, "y", 3.0))
+      .toDF("it's", "back`tick", "dot.ted")
+    val p = Profile.profile(df, df.columns.toSeq).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    assert(p.map(_._1).toSeq == Seq("back`tick", "dot.ted", "it's"))
+    assert(p.forall { case (_, nulls, distinct) => nulls == 0L && distinct == 2L })
+  }
+
   test("profile is ONE pass: a single scan feeds every column's stats") {
     val df = Profile.profile(Tables.load(spark, sf, "customer"),
       Seq("c_custkey", "c_name", "c_nationkey", "c_mktsegment"))
