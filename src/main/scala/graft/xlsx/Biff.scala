@@ -357,8 +357,11 @@ object Biff {
       Array((if (ascii) 0 else 1).toByte) ++ chars)
   }
 
-  private def sheetBytes(header: Seq[String], rows: Iterator[Seq[String]]): Array[Byte] = {
-    val out = new java.io.ByteArrayOutputStream()
+  /** Stream one worksheet substream record-by-record into `out` —
+    * memory stays O(row), never O(sheet) (rows arrive via
+    * toLocalIterator, one partition at a time). */
+  private def writeSheet(out: java.io.OutputStream, header: Seq[String],
+      rows: Iterator[Seq[String]]): Unit = {
     out.write(bof(0x0010))
     header.zipWithIndex.foreach { case (h, c) => out.write(labelCell(0, c, h)) }
     var r = 1
@@ -372,7 +375,6 @@ object Biff {
       r += 1
     }
     out.write(rec(0x000A, Array.empty))
-    out.toByteArray
   }
 
   private[xlsx] def boundsheet(pos: Int, name: String): Array[Byte] = {
@@ -402,11 +404,28 @@ object Biff {
     * (≈7 MiB of stream), 1 directory sector, stream sectors. The
     * stream pads to the 4096-byte mini cutoff so it always lives in
     * regular sectors (the reader handles mini streams; the writer
-    * avoids them). */
+    * avoids them). Byte-compatible wrapper over [[cfbWrite]] for
+    * callers holding the whole stream (spec fixtures). */
   private[xlsx] def cfbBytes(stream0: Array[Byte]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    cfbWrite(bos, stream0.length, os => os.write(stream0))
+    bos.toByteArray
+  }
+
+  /** Streaming CFB assembly: every sector index depends only on the
+    * stream LENGTH, so the container metadata (header + FAT + DIFAT +
+    * directory) writes first from `streamLen0` alone, then
+    * `copyStream` pours the workbook stream through without ever
+    * holding it in memory, and the final sector pads with zeros.
+    * Driver memory stays O(FAT), not O(workbook). */
+  private[xlsx] def cfbWrite(outRaw: java.io.OutputStream, streamLen0: Int,
+      copyStream: java.io.OutputStream => Unit): Unit = {
     val sectorSize = 512
-    val stream = java.util.Arrays.copyOf(stream0, math.max(stream0.length, 4096))
-    val nStream = (stream.length + sectorSize - 1) / sectorSize
+    // logical stream size pads to the 4096-byte mini cutoff (zero tail
+    // records parse as no-ops) so the stream always sits in regular
+    // sectors
+    val streamLen = math.max(streamLen0, 4096)
+    val nStream = (streamLen + sectorSize - 1) / sectorSize
     // Fixpoint sizing: each DIFAT sector carries 127 FAT ids + a next
     // pointer, and FAT/DIFAT/dir/stream sectors all need FAT entries.
     var nFat = 1
@@ -419,9 +438,10 @@ object Biff {
     val difatStart = nFat
     val dirSector = nFat + nDifat // sector index of the directory
     val streamStart = dirSector + 1
-    val nTotal = streamStart + nStream
 
-    val out = java.nio.ByteBuffer.allocate(sectorSize * (nTotal + 1))
+    // header + FAT + DIFAT + directory sectors — everything BEFORE the
+    // stream sectors — assemble in one small buffer
+    val out = java.nio.ByteBuffer.allocate(sectorSize * (streamStart + 1))
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
     // header
     out.put(Array(0xD0, 0xCF, 0x11, 0xE0, 0xA1, 0xB1, 0x1A, 0xE1).map(_.toByte))
@@ -475,22 +495,66 @@ object Biff {
       out.putInt(start).putInt(size)
     }
     dirEntry(0, "Root Entry", 5, 1, ENDOFCHAIN, 0)
-    dirEntry(1, "Workbook", 2, -1, streamStart, stream.length)
+    dirEntry(1, "Workbook", 2, -1, streamStart, streamLen)
     // entries 2-3 stay zero-filled = unused
-    // stream sectors
-    out.position(sectorSize * (1 + streamStart))
-    out.put(stream)
-    out.array()
+    outRaw.write(out.array())
+    // stream sectors: caller pours exactly streamLen0 bytes, then the
+    // mini-cutoff gap and the final partial sector pad with zeros
+    copyStream(outRaw)
+    outRaw.write(new Array[Byte](nStream * sectorSize - streamLen0))
   }
 
   /** Write a multi-sheet `.xls` workbook (same naming rules as the
-    * OOXML writer; rows stream via toLocalIterator). */
+    * OOXML writer). O(row) driver memory like Xlsx.writeWorkbook: each
+    * sheet substream pours through toLocalIterator into a spooled temp
+    * file (CFB needs every stream length BEFORE the first container
+    * byte — the FAT, the directory entry, and each BOUNDSHEET's
+    * lbPlyPos all encode absolute offsets), then the container
+    * assembles by streaming the spool files through [[cfbWrite]].
+    * Driver DISK carries one workbook copy transiently; memory never
+    * holds more than a row and the FAT. */
   def writeWorkbook(sheets: Seq[(String, DataFrame)], file: String): Unit = {
+    import java.nio.file.Files
     val used = mutable.LinkedHashSet.empty[String]
-    val parts = sheets.map { case (n, df) =>
-      val (header, it) = Xlsx.rowStrings(df)
-      Xlsx.sanitizeSheetName(n, used) -> sheetBytes(header, it)
-    }
-    java.nio.file.Files.write(java.nio.file.Paths.get(file), cfbBytes(workbookStream(parts)))
+    val spools = mutable.ArrayBuffer.empty[(String, java.nio.file.Path)]
+    try {
+      sheets.foreach { case (n, df) =>
+        val name = Xlsx.sanitizeSheetName(n, used)
+        val p = Files.createTempFile("graft_xls_sheet", ".bin")
+        val os = new java.io.BufferedOutputStream(Files.newOutputStream(p), 1 << 16)
+        try {
+          val (header, it) = Xlsx.rowStrings(df)
+          writeSheet(os, header, it)
+        } finally os.close()
+        spools += name -> p
+      }
+      val sizes = spools.map(s => Files.size(s._2))
+      val globalsSize = bof(0x0005).length +
+        spools.map { case (n, _) => boundsheet(0, n).length }.sum +
+        rec(0x000A, Array.empty).length
+      val offsets = sizes.scanLeft(globalsSize.toLong)(_ + _)
+      val streamLen = globalsSize + sizes.sum
+      require(streamLen <= Int.MaxValue - 4096,
+        s".xls workbook stream would be $streamLen bytes — beyond what one CFB stream holds")
+      val globals = new java.io.ByteArrayOutputStream()
+      globals.write(bof(0x0005))
+      spools.zip(offsets).foreach { case ((n, _), pos) =>
+        globals.write(boundsheet(pos.toInt, n))
+      }
+      globals.write(rec(0x000A, Array.empty))
+      val fileOut = new java.io.BufferedOutputStream(
+        new java.io.FileOutputStream(file), 1 << 16)
+      try cfbWrite(fileOut, streamLen.toInt, { os =>
+        os.write(globals.toByteArray)
+        val buf = new Array[Byte](1 << 16)
+        spools.foreach { case (_, p) =>
+          val in = Files.newInputStream(p)
+          try {
+            var n = in.read(buf)
+            while (n > 0) { os.write(buf, 0, n); n = in.read(buf) }
+          } finally in.close()
+        }
+      }) finally fileOut.close()
+    } finally spools.foreach(s => Files.deleteIfExists(s._2))
   }
 }

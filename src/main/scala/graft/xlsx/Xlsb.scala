@@ -196,8 +196,11 @@ object Xlsb {
   private[xlsx] def stCell(col: Int, v: String): Array[Byte] =
     rec(CellSt, w32(col) ++ w32(0) ++ wide(v))
 
-  private def sheetBytes(header: Seq[String], rows: Iterator[Seq[String]]): Array[Byte] = {
-    val out = new java.io.ByteArrayOutputStream()
+  /** Stream one worksheet part record-by-record into `out` — memory
+    * stays O(row), never O(sheet), mirroring Xlsx.writeSheetXml (rows
+    * arrive via toLocalIterator, one partition at a time). */
+  private def writeSheet(out: java.io.OutputStream, header: Seq[String],
+      rows: Iterator[Seq[String]]): Unit = {
     out.write(rec(BeginSheet, Array.empty))
     out.write(rec(BeginSheetData, Array.empty))
     def row(r: Int, vs: Seq[String]): Unit = {
@@ -209,7 +212,6 @@ object Xlsb {
     rows.foreach { vs => row(r, vs); r += 1 }
     out.write(rec(EndSheetData, Array.empty))
     out.write(rec(EndSheet, Array.empty))
-    out.toByteArray
   }
 
   private[xlsx] def workbookBin(names: Seq[String]): Array[Byte] = {
@@ -262,7 +264,11 @@ object Xlsb {
           "</Relationships>").getBytes("UTF-8"))
       named.zipWithIndex.foreach { case ((_, df), i) =>
         val (header, it) = Xlsx.rowStrings(df)
-        put(s"xl/worksheets/sheet${i + 1}.bin", sheetBytes(header, it))
+        zos.putNextEntry(new ZipEntry(s"xl/worksheets/sheet${i + 1}.bin"))
+        val buf = new java.io.BufferedOutputStream(zos, 1 << 16)
+        writeSheet(buf, header, it)
+        buf.flush() // flush through to the zip stream, but do NOT close it
+        zos.closeEntry()
       }
     } finally zos.close()
   }

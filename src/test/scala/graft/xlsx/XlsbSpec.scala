@@ -19,6 +19,51 @@ class XlsbSpec extends SparkSpec {
     assert(r2.toSeq == Seq(("only", "row")))
   }
 
+  test("200k-row sheet streams through the writer — zip entry record-scanned, never loaded") {
+    // A 200k-row sheet part would strain the heap if the writer
+    // materialized it; streaming writes it in O(row) memory. Verified
+    // by writing, then counting BrtRowHdr records with a streaming
+    // record-frame scanner over the zip entry (payloads skipped, the
+    // part never held whole).
+    val n = 200000
+    val big = spark.range(1, n + 1L)
+      .selectExpr("CAST(id AS STRING) AS id", "concat('v&', id) AS v", "repeat('x', 20) AS pad")
+    val f = java.nio.file.Files.createTempDirectory("xlsbbig").resolve("big.xlsb").toString
+    Xlsb.writeWorkbook(Seq("big" -> big), f)
+    val zis = new java.util.zip.ZipInputStream(new java.io.FileInputStream(f))
+    var rows = -1L
+    try {
+      var e = zis.getNextEntry
+      while (e != null) {
+        if (e.getName == "xl/worksheets/sheet1.bin") {
+          val in = new java.io.BufferedInputStream(zis, 1 << 16)
+          var count = 0L
+          var b0 = in.read()
+          while (b0 >= 0) {
+            var recId = b0 & 0x7F
+            if ((b0 & 0x80) != 0) recId |= (in.read() & 0x7F) << 7
+            var len = 0; var shift = 0; var more = true
+            while (more) {
+              val b = in.read()
+              len |= (b & 0x7F) << shift; shift += 7
+              more = (b & 0x80) != 0
+            }
+            if (recId == 0) count += 1 // BrtRowHdr
+            var skipped = 0L
+            while (skipped < len) {
+              val s = in.skip(len - skipped)
+              skipped += (if (s > 0) s else { in.read(); 1 })
+            }
+            b0 = in.read()
+          }
+          rows = count
+        }
+        e = if (rows >= 0) null else zis.getNextEntry
+      }
+    } finally zis.close()
+    assert(rows == n + 1L) // header + n data rows
+  }
+
   test("BIFF12 cell records decode: RK, real, bool, isst, formula-cached (hand-built part)") {
     // Build the worksheet part record-by-record, including shared
     // strings and every numeric/formula record the reader handles.
