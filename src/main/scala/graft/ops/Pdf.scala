@@ -13,11 +13,12 @@ import scala.collection.mutable
   * `/ObjStm` compressed object streams expanded (so PDF 1.5+ files
   * with xref streams — essentially all modern writers — parse), with
   * /DecodeParms TIFF and PNG Sub/Up/Average/Paeth predictors undone
-  * after inflate; xref streams themselves ignored (the object scan
-  * never needs them, predictor-compressed or not). Encrypted files
-  * remain out of scope. Objects are re-numbered with an offset per
-  * source document,
-  * page trees rebuilt, and output always serializes to classic xref.
+  * after inflate; xref streams themselves ignored on READ (the object
+  * scan never needs them, predictor-compressed or not). Encrypted
+  * files decrypt via PdfCrypt. Objects are re-numbered with an offset
+  * per source document and page trees rebuilt; output serializes to
+  * classic 1.4 xref for classic sources and to the PDF 1.5 compressed
+  * form (ObjStm + xref stream) when a source carried an xref stream.
   * Binary payload paths (zip packaging, naming) follow the reference.
   *
   * Scale note: document surgery is inherently per-file; the distributed
@@ -81,8 +82,12 @@ object Pdf {
   // Minimal COS model (documented subset)
   // -------------------------------------------------------------------
 
+  /** `usedXrefStream`: the source carried a PDF 1.5+ cross-reference
+    * STREAM — outputs derived from it serialize the same way (the
+    * compressed-xref size benefit follows the source's vintage). */
   private case class CosDoc(objects: mutable.LinkedHashMap[Int, String],
-      catalogNum: Int, pagesNum: Int, pageNums: Seq[Int])
+      catalogNum: Int, pagesNum: Int, pageNums: Seq[Int],
+      usedXrefStream: Boolean)
 
   private val kidsRe = """(?s)/Kids\s*\[(.*?)\]""".r
   private val refRe = """(\d+)\s+0\s+R""".r
@@ -144,6 +149,17 @@ object Pdf {
       prev = row
     }
     out
+  }
+
+  /** DEFLATE compress (the writer half of /FlateDecode). */
+  private def deflate(data: Array[Byte]): Array[Byte] = {
+    val d = new java.util.zip.Deflater()
+    d.setInput(data); d.finish()
+    val out = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](8192)
+    while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+    d.end()
+    out.toByteArray
   }
 
   /** Raw DEFLATE inflate (PDF /FlateDecode; predictors undone by the
@@ -403,7 +419,8 @@ object Pdf {
     val kids = kidsRe.findFirstMatchIn(objects(pagesNum))
       .map(m => refRe.findAllMatchIn(m.group(1)).map(_.group(1).toInt).toSeq)
       .getOrElse(Nil)
-    CosDoc(objects, catalog, pagesNum, kids)
+    CosDoc(objects, catalog, pagesNum, kids,
+      usedXrefStream = """/Type\s*/XRef""".r.findFirstIn(text).isDefined)
   }
 
   def pageCount(bytes: Array[Byte]): Int = parse(bytes).pageNums.size
@@ -424,23 +441,98 @@ object Pdf {
       catch { case e: IllegalArgumentException => (name, false, None, e.getMessage) }
     }
 
-  /** Serialize a doc with a classic xref table. */
-  private def serialize(objects: Seq[(Int, String)], rootNum: Int): Array[Byte] = {
-    val sb = new StringBuilder("%PDF-1.4\n")
+  /** Serialize a doc: classic 1.4 xref table by default, or the PDF
+    * 1.5+ compressed form ([[serializeXrefStream]]) when the source
+    * document carried one. */
+  private def serialize(objects: Seq[(Int, String)], rootNum: Int,
+      xrefStream: Boolean = false): Array[Byte] =
+    if (xrefStream) serializeXrefStream(objects, rootNum)
+    else {
+      val sb = new StringBuilder("%PDF-1.4\n")
+      val offsets = mutable.LinkedHashMap.empty[Int, Int]
+      objects.foreach { case (n, body) =>
+        offsets(n) = sb.length
+        sb.append(s"$n 0 obj$body endobj\n")
+      }
+      val xrefPos = sb.length
+      val maxNum = objects.map(_._1).max
+      sb.append(s"xref\n0 ${maxNum + 1}\n")
+      sb.append("0000000000 65535 f \n")
+      (1 to maxNum).foreach { n =>
+        sb.append(offsets.get(n)
+          .map(o => f"$o%010d 00000 n \n").getOrElse("0000000000 65535 f \n"))
+      }
+      sb.append(s"trailer\n<< /Size ${maxNum + 1} /Root $rootNum 0 R >>\n")
+      sb.append(s"startxref\n$xrefPos\n%%EOF\n")
+      sb.result().getBytes("ISO-8859-1")
+    }
+
+  /** Serialize with a PDF 1.5 cross-reference STREAM ([PDF 32000]
+    * 7.5.8): every streamless object packs into one FlateDecode
+    * `/ObjStm` (type-2 xref entries), stream-carrying objects stay
+    * top-level (the spec forbids streams inside object streams,
+    * 7.5.7), and the xref itself is a `/Type /XRef` stream whose
+    * trailer fields live in its own dict — no `trailer` keyword. This
+    * is the form essentially all modern writers emit; large merged
+    * documents keep the compressed-xref size benefit instead of
+    * falling back to 1.4. Output re-parses under this module's own
+    * parser (the ObjStm expander + object scan). */
+  private def serializeXrefStream(objects: Seq[(Int, String)], rootNum: Int): Array[Byte] = {
+    val maxIn = objects.map(_._1).max
+    val (withStream, packable) = objects.partition { case (_, b) =>
+      streamTokenRe.findFirstIn(b).isDefined
+    }
+    val objStmNum = maxIn + 1
+    val xrefNum = if (packable.nonEmpty) maxIn + 2 else maxIn + 1
+    val sb = new StringBuilder("%PDF-1.5\n")
     val offsets = mutable.LinkedHashMap.empty[Int, Int]
-    objects.foreach { case (n, body) =>
+    withStream.foreach { case (n, body) =>
       offsets(n) = sb.length
       sb.append(s"$n 0 obj$body endobj\n")
     }
-    val xrefPos = sb.length
-    val maxNum = objects.map(_._1).max
-    sb.append(s"xref\n0 ${maxNum + 1}\n")
-    sb.append("0000000000 65535 f \n")
-    (1 to maxNum).foreach { n =>
-      sb.append(offsets.get(n)
-        .map(o => f"$o%010d 00000 n \n").getOrElse("0000000000 65535 f \n"))
+    if (packable.nonEmpty) {
+      // ObjStm payload: "num offset ..." header, then the bodies —
+      // offsets are relative to /First ([PDF 32000] 7.5.7)
+      val header = new StringBuilder
+      val data = new StringBuilder
+      packable.foreach { case (n, body) =>
+        header.append(s"$n ${data.length} ")
+        data.append(body.trim).append('\n')
+      }
+      val flate = deflate((header.toString + data).getBytes("ISO-8859-1"))
+      offsets(objStmNum) = sb.length
+      sb.append(s"$objStmNum 0 obj << /Type /ObjStm /N ${packable.size} " +
+        s"/First ${header.length} /Filter /FlateDecode /Length ${flate.length} >> stream\n")
+      sb.append(new String(flate, "ISO-8859-1"))
+      sb.append("\nendstream endobj\n")
     }
-    sb.append(s"trailer\n<< /Size ${maxNum + 1} /Root $rootNum 0 R >>\n")
+    // xref stream: W = [1 4 2] — type byte, 4-byte offset/objstm-num,
+    // 2-byte gen/index — covering every object 0..xrefNum
+    val xrefPos = sb.length
+    val packedIdx = packable.map(_._1).zipWithIndex.toMap
+    val entries = new java.io.ByteArrayOutputStream()
+    def entry(t: Int, f2: Int, f3: Int): Unit = {
+      entries.write(t)
+      entries.write((f2 >>> 24) & 0xFF); entries.write((f2 >>> 16) & 0xFF)
+      entries.write((f2 >>> 8) & 0xFF); entries.write(f2 & 0xFF)
+      entries.write((f3 >>> 8) & 0xFF); entries.write(f3 & 0xFF)
+    }
+    entry(0, 0, 0xFFFF) // object 0: head of the free list
+    (1 to xrefNum).foreach { n =>
+      if (n == xrefNum) entry(1, xrefPos, 0)
+      else offsets.get(n) match {
+        case Some(o) => entry(1, o, 0)
+        case None => packedIdx.get(n) match {
+          case Some(i) => entry(2, objStmNum, i)
+          case None => entry(0, 0, 0xFFFF)
+        }
+      }
+    }
+    val xdata = deflate(entries.toByteArray)
+    sb.append(s"$xrefNum 0 obj << /Type /XRef /Size ${xrefNum + 1} /W [1 4 2] " +
+      s"/Root $rootNum 0 R /Filter /FlateDecode /Length ${xdata.length} >> stream\n")
+    sb.append(new String(xdata, "ISO-8859-1"))
+    sb.append("\nendstream endobj\n")
     sb.append(s"startxref\n$xrefPos\n%%EOF\n")
     sb.result().getBytes("ISO-8859-1")
   }
@@ -448,7 +540,8 @@ object Pdf {
   /** Generate a minimal n-page PDF (test fixture + writer baseline).
     * `withContent` adds a /Contents stream and a catalog string so the
     * crypt transforms have both lexical classes to act on. */
-  def makePdf(nPages: Int, withContent: Boolean = false): Array[Byte] = {
+  def makePdf(nPages: Int, withContent: Boolean = false,
+      xrefStream: Boolean = false): Array[Byte] = {
     val pageNums = (0 until nPages).map(3 + _)
     val contentNums = pageNums.map(_ + nPages)
     val catalogTag = if (withContent) " /GraftTag (fixture) " else ""
@@ -463,17 +556,19 @@ object Pdf {
         val cs = s"BT /F1 12 Tf 72 720 Td (Page ${i + 1}) Tj ET"
         n -> s" << /Length ${cs.length} >> stream\n$cs\nendstream "
       } else Nil)
-    serialize(objs, 1)
+    serialize(objs, 1, xrefStream)
   }
 
   /** J5: N-way merge in caller order — objects of each source renumbered
     * by an offset, page kids concatenated under one new /Pages. */
   def merge(docs: Seq[Array[Byte]]): Array[Byte] = {
     var offset = 2 // 1 = new catalog, 2 = new pages root
+    var anyXrefStream = false // any 1.5+ source keeps the output 1.5+
     val outObjs = Seq.newBuilder[(Int, String)]
     val allPageRefs = Seq.newBuilder[Int]
     docs.foreach { bytes =>
       val d = parse(bytes)
+      anyXrefStream ||= d.usedXrefStream
       val shift = offset
       d.objects.foreach { case (n, body) =>
         if (n != d.catalogNum && n != d.pagesNum) {
@@ -491,7 +586,7 @@ object Pdf {
     val head = Seq(
       1 -> " << /Type /Catalog /Pages 2 0 R >> ",
       2 -> s" << /Type /Pages /Kids [${pages.map(n => s"$n 0 R").mkString(" ")}] /Count ${pages.size} >> ")
-    serialize(head ++ outObjs.result(), 1)
+    serialize(head ++ outObjs.result(), 1, xrefStream = anyXrefStream)
   }
 
   /** J6: extract one group of (1-based, pre-clamped) pages as a new doc. */
@@ -506,6 +601,6 @@ object Pdf {
     val head = Seq(
       1 -> " << /Type /Catalog /Pages 2 0 R >> ",
       2 -> s" << /Type /Pages /Kids [${picked.map(n => s"${n + 2} 0 R").mkString(" ")}] /Count ${picked.size} >> ")
-    serialize(head ++ kept, 1)
+    serialize(head ++ kept, 1, xrefStream = d.usedXrefStream)
   }
 }

@@ -79,6 +79,30 @@ object CoveragePack extends QueryPack {
         ("part", Pdf.pageCount(part), Pdf.hasPdfHeader(part)))
         .toDF("label", "n_pages", "header_ok").orderBy("label")
     }),
+    // K7 modern form: a PDF 1.5 fixture (catalog/pages/page dicts in a
+    // FlateDecode ObjStm, xref as a /Type /XRef stream) splits and
+    // merges, and because the SOURCE carried an xref stream the OUTPUTS
+    // serialize 1.5 too — each re-parsed by the engine's own strict
+    // parser (pageCount), with the compressed structures asserted on
+    // the emitted bytes.
+    "pdf_xref_stream_roundtrip" -> ((s, dir) => {
+      import s.implicits._
+      def txt(b: Array[Byte]) = new String(b, "ISO-8859-1")
+      def is15(b: Array[Byte]): Boolean =
+        txt(b).startsWith("%PDF-1.5") && txt(b).contains("/Type /XRef") &&
+          txt(b).contains("/Type /ObjStm")
+      val modern = Pdf.makePdf(5, withContent = true, xrefStream = true)
+      val part = Pdf.extractPages(modern, Seq(2, 4))
+      val merged = Pdf.merge(Seq(modern, part))
+      val classic = Pdf.merge(Seq(Pdf.makePdf(2), Pdf.makePdf(1)))
+      Seq(
+        ("fixture", Pdf.pageCount(modern), is15(modern)),
+        ("part", Pdf.pageCount(part), is15(part)),
+        ("merged", Pdf.pageCount(merged), is15(merged)),
+        ("classic_stays_14", Pdf.pageCount(classic),
+          txt(classic).startsWith("%PDF-1.4")))
+        .toDF("label", "n_pages", "form_ok").orderBy("label")
+    }),
     // J4: first column of A present in B.
     "compare_autokey" -> ((s, dir) => {
       import s.implicits._
@@ -189,6 +213,11 @@ object CoveragePack extends QueryPack {
     "pdf_merge_pages" ->
       """SELECT * FROM (VALUES ('merged', 7, true), ('part', 3, true))
         |  AS t(label, n_pages, header_ok) ORDER BY label""".stripMargin,
+    "pdf_xref_stream_roundtrip" ->
+      """SELECT * FROM (VALUES
+        |  ('classic_stays_14', 3, true), ('fixture', 5, true),
+        |  ('merged', 7, true), ('part', 2, true))
+        |  AS t(label, n_pages, form_ok) ORDER BY label""".stripMargin,
     "compare_autokey" -> "SELECT 'c_custkey' AS key_field",
     "workbook_nonempty" ->
       """SELECT * FROM (
