@@ -58,7 +58,12 @@ object Bench {
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     // repeat/estimator metadata makes the artifact self-describing:
     // a reader comparing rounds can tell min-of-2 from single-run.
+    // The canary (dedup_exact: one hash aggregate, workload frozen
+    // since r5) is the box-drift yardstick — tools/check_bench.py
+    // adjudicates 2x-gate breaches against it instead of raw ratios.
+    val canary = results.collectFirst { case ("dedup_exact", v) if v >= 0 => v }
     val line = s"""{"metric":"total","value":$total,"unit":"sec","runs":$repeat,""" +
+      canary.map(c => s""""canary":$c,""").getOrElse("") +
       s""""estimator":"min","queries":$qs,"sf":"$sfDir"}"""
     println(line)
     // The driver captures stdout tails that can truncate the first

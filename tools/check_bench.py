@@ -1,0 +1,93 @@
+#!/usr/bin/env python3
+"""Machine adjudication of bench-gate breaches against box drift.
+
+Usage: python3 tools/check_bench.py BENCH_FULL.json [more_bench.json ...]
+
+For each bench artifact, compares every per-query time against its
+binding baseline row (tools/baseline_rows.json, curated from
+BASELINE.md) and flags queries over the 2x gate — but only AFTER
+normalizing by the canary drift factor:
+
+    drift      = measured(dedup_exact) / canary_ref
+    normalized = (sec / baseline) / max(1.0, drift)
+
+The canary is one hash aggregate whose workload has been frozen since
+r5; when the whole box slows (shared-JVM GC pressure, co-tenant load),
+the canary moves with it and the normalization cancels the drift.
+Genuine regressions move a query WITHOUT moving the canary, so they
+still flag. Drift below 1 (a faster box) never loosens ratios — the
+factor clamps at 1.0 so a fast box can only make the gate stricter.
+
+Exit status: 0 = no query breaches the gate after normalization,
+1 = at least one breach, 2 = usage/input error.
+"""
+import json
+import sys
+import os
+
+
+def load_baseline():
+    here = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(here, "baseline_rows.json")) as f:
+        return json.load(f)
+
+
+def check(bench_path, baseline):
+    with open(bench_path) as f:
+        bench = json.load(f)
+    rows = baseline["rows"]
+    gate = baseline["gate_ratio"]
+    canary_q = baseline["canary"]["query"]
+    canary_ref = baseline["canary"]["ref_seconds"]
+    measured_canary = bench.get("canary", bench["queries"].get(canary_q))
+    if not measured_canary or measured_canary <= 0:
+        print(f"{bench_path}: no usable canary ({canary_q}) in artifact")
+        return 2
+    drift = measured_canary / canary_ref
+    factor = max(1.0, drift)
+    print(f"{bench_path}: canary {canary_q} {measured_canary:.3f}s "
+          f"vs ref {canary_ref:.3f}s -> drift {drift:.2f}x "
+          f"(normalizing by {factor:.2f}x)")
+    breaches, missing = [], []
+    for q, sec in sorted(bench["queries"].items()):
+        if sec < 0:
+            breaches.append((q, sec, None, None, "FAILED RUN"))
+            continue
+        if q not in rows:
+            missing.append(q)
+            continue
+        raw = sec / rows[q]
+        norm = raw / factor
+        if norm > gate:
+            breaches.append((q, sec, raw, norm, "BREACH"))
+        elif raw > gate:
+            print(f"  drift-absolved: {q} {sec:.2f}s = {raw:.2f}x raw, "
+                  f"{norm:.2f}x normalized (gate {gate}x)")
+    for q in missing:
+        print(f"  no binding row: {q} (baseline it in BASELINE.md "
+              f"and tools/baseline_rows.json)")
+    for q, sec, raw, norm, kind in breaches:
+        if kind == "FAILED RUN":
+            print(f"  {kind}: {q}")
+        else:
+            print(f"  {kind}: {q} {sec:.2f}s = {raw:.2f}x raw, "
+                  f"{norm:.2f}x normalized (gate {gate}x)")
+    n_checked = len([q for q in bench["queries"] if q in rows])
+    print(f"  {n_checked} queries checked, {len(breaches)} breach(es), "
+          f"{len(missing)} without rows")
+    return 1 if breaches else 0
+
+
+def main(argv):
+    if len(argv) < 2:
+        print(__doc__)
+        return 2
+    baseline = load_baseline()
+    worst = 0
+    for path in argv[1:]:
+        worst = max(worst, check(path, baseline))
+    return worst
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv))
