@@ -17,10 +17,12 @@ import org.apache.spark.sql.sources._
   *  - IsNull / IsNotNull are constant (these sources never emit null);
   *  - And / Or / Not over accepted children (no nulls → two-valued
   *    logic, so the composition is plain boolean algebra);
-  *  - ORDERING comparisons (>, >=, <, <=) are deliberately NOT
-  *    accepted: Spark orders strings by UTF-8 bytes, Java's String by
-  *    UTF-16 code units, and the two disagree above the BMP — a
-  *    residual filter is cheap, a silent ordering divergence is not.
+  *  - ordering comparisons (>, >=, <, <=) evaluate through
+  *    `UTF8String.binaryCompare` — Spark's OWN string order under the
+  *    default UTF8_BINARY collation — never Java's `String.compareTo`
+  *    (UTF-16 code-unit order, which disagrees with UTF-8 byte order
+  *    above the BMP). StringFiltersSpec property-tests the
+  *    equivalence, supplementary code points included.
   *
   * Scale intent: a selective predicate over a directory of big XML
   * extracts now drops rows inside the StAX/zip parse loop instead of
@@ -36,6 +38,10 @@ object StringFilters {
     def ok(f: Filter): Boolean = f match {
       case EqualTo(_, v) => v.isInstanceOf[String]
       case EqualNullSafe(_, v) => v.isInstanceOf[String]
+      case GreaterThan(_, v) => v.isInstanceOf[String]
+      case GreaterThanOrEqual(_, v) => v.isInstanceOf[String]
+      case LessThan(_, v) => v.isInstanceOf[String]
+      case LessThanOrEqual(_, v) => v.isInstanceOf[String]
       case In(_, vs) => vs.forall(_.isInstanceOf[String])
       case _: StringStartsWith | _: StringEndsWith | _: StringContains => true
       case _: IsNull | _: IsNotNull => true
@@ -50,12 +56,22 @@ object StringFilters {
     ok(f) && f.references.forall(names.contains)
   }
 
+  /** Spark's string order: UTF-8 byte comparison (UTF8_BINARY), NOT
+    * Java's UTF-16 code-unit order. */
+  private def cmp(a: String, b: String): Int =
+    org.apache.spark.unsafe.types.UTF8String.fromString(a)
+      .binaryCompare(org.apache.spark.unsafe.types.UTF8String.fromString(b))
+
   /** Evaluate an accepted filter against one row; `get` returns the
     * cell for a column name ("" when absent). Call only with filters
     * [[supported]] accepted. */
   def eval(f: Filter, get: String => String): Boolean = f match {
     case EqualTo(a, v) => get(a) == v
     case EqualNullSafe(a, v) => get(a) == v
+    case GreaterThan(a, v) => cmp(get(a), v.toString) > 0
+    case GreaterThanOrEqual(a, v) => cmp(get(a), v.toString) >= 0
+    case LessThan(a, v) => cmp(get(a), v.toString) < 0
+    case LessThanOrEqual(a, v) => cmp(get(a), v.toString) <= 0
     case In(a, vs) => val c = get(a); vs.exists(_ == c)
     case StringStartsWith(a, v) => get(a).startsWith(v)
     case StringEndsWith(a, v) => get(a).endsWith(v)

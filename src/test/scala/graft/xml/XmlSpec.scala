@@ -1,6 +1,6 @@
 package graft.xml
 
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, length}
 import graft.SparkSpec
 
 class XmlSpec extends SparkSpec {
@@ -145,13 +145,20 @@ class XmlSpec extends SparkSpec {
     assert(or.queryExecution.executedPlan.toString.contains("Or("), or.queryExecution.executedPlan.toString)
     assert(or.collect().map(_.getString(0).toInt).sorted.toSeq ==
       ((3 to 30 by 3) ++ Seq(9, 19, 29, 99)).distinct.sorted)
-    // an ordering comparison is NOT accepted: it must stay a residual
-    // post-scan Filter and still produce the right rows
+    // ordering comparisons push too (evaluated via UTF8String binary
+    // order — StringFiltersSpec property-tests the exactness)
     val gt = df.filter(col("a") > "28").select("a")  // string compare
     val gtPlan = gt.queryExecution.executedPlan.toString
-    assert(hasFilterNode(gtPlan), gtPlan)
+    assert(gtPlan.contains("GreaterThan(a,28)") && !hasFilterNode(gtPlan), gtPlan)
     val expectGt = ((1 to 30).map(_.toString) :+ "99").filter(_ > "28").sorted
     assert(gt.collect().map(_.getString(0)).sorted.toSeq == expectGt)
+    // a predicate V1 filters can't express (length()) stays a residual
+    // post-scan Filter and still produces the right rows
+    val res = df.filter(length(col("a")) === 1).select("a")
+    val resPlan = res.queryExecution.executedPlan.toString
+    assert(hasFilterNode(resPlan), resPlan)
+    assert(res.collect().map(_.getString(0)).sorted.toSeq ==
+      (1 to 9).map(_.toString).sorted)
   }
 
   test("DSv2 short name: spark.read.format(\"graft-xml\") resolves") {
