@@ -138,6 +138,37 @@ object Curation {
     * rows, broadcast back), then the narrow hashSample filter — the
     * corpus itself never shuffles. Missing strata default to weight 0
     * (dropped), so an unexpected source can't flood the mix. */
+  /** URL canonicalization — the URL-level dedup key a web-corpus
+    * pipeline computes BEFORE any text-level dedup (two crawls of the
+    * same page should collapse on the URL, never reach MinHash):
+    * lowercase scheme and host, strip the scheme's default port
+    * (`:80`/`:443`), drop the fragment, strip tracking query params
+    * (`utm_*`, `fbclid`, `gclid`, `ref`), sort the surviving params,
+    * and collapse/strip trailing slashes (empty path → `/`).
+    *
+    * Built entirely from codegen'd string built-ins + one array HOF —
+    * a narrow per-row projection, no shuffle; the dedup it feeds is
+    * the usual single hash aggregate on the canonical key. Every step
+    * is expressible in portable SQL, so the oracle mirrors it
+    * operation-for-operation. */
+  def canonicalUrl(url: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val scheme = lower(regexp_extract(url, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val rest = regexp_replace(url, "^[A-Za-z][A-Za-z0-9+.-]*://", "")
+    val hostport = lower(regexp_extract(rest, "^([^/?#]*)", 1))
+    val host = when(scheme === "http", regexp_replace(hostport, ":80$", ""))
+      .when(scheme === "https", regexp_replace(hostport, ":443$", ""))
+      .otherwise(hostport)
+    val pathq = regexp_replace(rest, "^[^/?#]*", "")
+    val trimmedPath = regexp_replace(regexp_extract(pathq, "^([^?#]*)", 1), "/+$", "")
+    val path = when(trimmedPath === "", lit("/")).otherwise(trimmedPath)
+    val query = regexp_extract(pathq, "\\?([^#]*)", 1)
+    val keep = filter(split(query, "&"), p =>
+      p =!= "" && !p.rlike("^(utm_[A-Za-z0-9_]*|fbclid|gclid|ref)(=|$)"))
+    val sortedQ = array_join(array_sort(keep), "&")
+    concat(scheme, lit("://"), host, path,
+      when(sortedQ === "", lit("")).otherwise(concat(lit("?"), sortedQ)))
+  }
+
   def weightedMix(df: DataFrame, groupCol: String, keyCol: String, seed: String,
       weights: Map[String, Double], budgetRows: Long): DataFrame = {
     require(budgetRows > 0, s"weightedMix: budgetRows=$budgetRows must be positive")

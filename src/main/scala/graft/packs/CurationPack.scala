@@ -66,6 +66,26 @@ object CurationPack extends QueryPack {
         .select(col("source"), col("doc_id"), col("n_tok").cast("long"), col("seq"))
         .orderBy("source", "doc_id")
     }),
+    // URL-level dedup key (Curation.canonicalUrl): canonicalize a
+    // deterministically-messy URL per doc — case-shuffled scheme/host,
+    // default :443 port, trailing slash, unsorted + tracking query
+    // params, fragment — and count collapses per canonical key. The
+    // step a web-corpus pipeline runs BEFORE text dedup; a narrow
+    // codegen projection + one hash aggregate.
+    "curation_url_canon" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val url = concat(
+        lit("HtTpS://WWW.Example"), (col("doc_id") % 5).cast("string"),
+        lit(".COM:443/Path"), (col("doc_id") % 7).cast("string"),
+        when(col("doc_id") % 2 === 0, lit("/")).otherwise(lit("")),
+        lit("?utm_source=feed&b="), (col("doc_id") % 3).cast("string"),
+        lit("&a=1"),
+        when(col("doc_id") % 4 === 0, lit("&fbclid=xyz")).otherwise(lit("")),
+        lit("#frag"), col("doc_id").cast("string"))
+      d.select(Curation.canonicalUrl(url).as("canonical_url"))
+        .groupBy("canonical_url").agg(count(lit(1)).as("n_docs"))
+        .orderBy("canonical_url")
+    }),
     // Deterministic stratified sampling (Curation.hashSample): per-lang
     // keep-rates applied as a keyed-hash threshold — a NARROW filter
     // (no shuffle, no RNG state, idempotent under retry); the output
@@ -167,6 +187,37 @@ object CurationPack extends QueryPack {
          |SELECT source, doc_id, n_tok,
          |  CAST(FLOOR((cum - n_tok) / $BUDGET.0) AS BIGINT) AS seq
          |FROM packed ORDER BY source, doc_id""".stripMargin,
+    // operation-for-operation mirror of Curation.canonicalUrl: same
+    // regexes (shared Java/RE2 subset), same lambda filter, same sort
+    "curation_url_canon" ->
+      """WITH u AS (SELECT
+        |  'HtTpS://WWW.Example' || CAST(doc_id % 5 AS VARCHAR) || '.COM:443/Path' || CAST(doc_id % 7 AS VARCHAR) ||
+        |  CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END ||
+        |  '?utm_source=feed&b=' || CAST(doc_id % 3 AS VARCHAR) || '&a=1' ||
+        |  CASE WHEN doc_id % 4 = 0 THEN '&fbclid=xyz' ELSE '' END ||
+        |  '#frag' || CAST(doc_id AS VARCHAR) AS url
+        |  FROM documents),
+        |c AS (SELECT
+        |  lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+        |  regexp_replace(url, '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS rest FROM u),
+        |d AS (SELECT scheme,
+        |  lower(regexp_extract(rest, '^([^/?#]*)', 1)) AS hostport,
+        |  regexp_replace(rest, '^[^/?#]*', '') AS pathq FROM c),
+        |e AS (SELECT scheme,
+        |  CASE WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$', '')
+        |       WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$', '')
+        |       ELSE hostport END AS host,
+        |  regexp_replace(regexp_extract(pathq, '^([^?#]*)', 1), '/+$', '') AS tpath,
+        |  regexp_extract(pathq, '\?([^#]*)', 1) AS query FROM d),
+        |f AS (SELECT scheme, host,
+        |  CASE WHEN tpath = '' THEN '/' ELSE tpath END AS path,
+        |  array_to_string(list_sort(list_filter(string_split(query, '&'),
+        |    x -> x <> '' AND NOT regexp_matches(x, '^(utm_[A-Za-z0-9_]*|fbclid|gclid|ref)(=|$)'))), '&') AS q
+        |  FROM e)
+        |SELECT scheme || '://' || host || path ||
+        |  CASE WHEN q = '' THEN '' ELSE '?' || q END AS canonical_url,
+        |  count(*) AS n_docs
+        |FROM f GROUP BY 1 ORDER BY canonical_url""".stripMargin,
     // hash32(doc_id, 's7', 'strat') mirrored as md5 hex-slice; the
     // threshold floor(rate·2^32) is exact integer math on both sides
     "sample_stratified" ->

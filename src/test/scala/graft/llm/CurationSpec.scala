@@ -149,4 +149,36 @@ class CurationSpec extends SparkSpec {
       Curation.assignSplits(d, "doc_id", "s1", Seq("a" -> 0.5, "b" -> 0.4))
     }
   }
+
+  test("canonicalUrl: case, default ports, fragments, tracking params, slashes") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val cases = Seq(
+      // scheme+host lowercase; path case PRESERVED
+      "HTTPS://Example.COM/Path" -> "https://example.com/Path",
+      // default ports strip per scheme; non-default ports stay
+      "https://example.com:443/a" -> "https://example.com/a",
+      "http://example.com:80/a" -> "http://example.com/a",
+      "http://example.com:8080/a" -> "http://example.com:8080/a",
+      // https keeps an explicit :80 (it is NOT that scheme's default)
+      "https://example.com:80/a" -> "https://example.com:80/a",
+      // trailing slashes collapse; bare host becomes '/'
+      "https://example.com/a///" -> "https://example.com/a",
+      "https://example.com" -> "https://example.com/",
+      "https://example.com/" -> "https://example.com/",
+      // fragment drops; tracking params drop; survivors sort
+      "https://example.com/a?b=2&a=1#frag" -> "https://example.com/a?a=1&b=2",
+      "https://example.com/a?utm_source=x&gclid=1&a=1" -> "https://example.com/a?a=1",
+      "https://example.com/a?utm_campaign=x&fbclid=z&ref=rss" -> "https://example.com/a",
+      // a non-tracking param NAMED like a prefix survives (refresh != ref)
+      "https://example.com/a?refresh=1" -> "https://example.com/a?refresh=1",
+      // empty query stays empty
+      "https://example.com/a?#f" -> "https://example.com/a")
+    val got = cases.map(_._1).toDF("url")
+      .select(col("url"), Curation.canonicalUrl(col("url")).as("c"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    cases.foreach { case (in, want) =>
+      assert(got(in) == want, s"$in -> ${got(in)}, want $want")
+    }
+  }
 }
