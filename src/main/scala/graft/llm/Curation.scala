@@ -138,6 +138,20 @@ object Curation {
     * rows, broadcast back), then the narrow hashSample filter — the
     * corpus itself never shuffles. Missing strata default to weight 0
     * (dropped), so an unexpected source can't flood the mix. */
+  def weightedMix(df: DataFrame, groupCol: String, keyCol: String, seed: String,
+      weights: Map[String, Double], budgetRows: Long): DataFrame = {
+    require(budgetRows > 0, s"weightedMix: budgetRows=$budgetRows must be positive")
+    require(weights.values.forall(_ >= 0), "weightedMix: negative weight")
+    val counts = df.groupBy(groupCol).agg(count(lit(1)).as("_mix_n"))
+    val weight = weights.foldLeft(lit(0.0)) { case (acc, (k, w)) =>
+      when(col(groupCol) === k, lit(w)).otherwise(acc)
+    }
+    val rated = df.join(broadcast(counts), groupCol)
+      .withColumn("_mix_rate",
+        least(lit(1.0), weight * lit(budgetRows.toDouble) / col("_mix_n")))
+    hashSample(rated, keyCol, seed, col("_mix_rate"), tag = "mix")
+  }
+
   /** URL canonicalization — the URL-level dedup key a web-corpus
     * pipeline computes BEFORE any text-level dedup (two crawls of the
     * same page should collapse on the URL, never reach MinHash):
@@ -169,17 +183,48 @@ object Curation {
       when(sortedQ === "", lit("")).otherwise(concat(lit("?"), sortedQ)))
   }
 
-  def weightedMix(df: DataFrame, groupCol: String, keyCol: String, seed: String,
-      weights: Map[String, Double], budgetRows: Long): DataFrame = {
-    require(budgetRows > 0, s"weightedMix: budgetRows=$budgetRows must be positive")
-    require(weights.values.forall(_ >= 0), "weightedMix: negative weight")
-    val counts = df.groupBy(groupCol).agg(count(lit(1)).as("_mix_n"))
-    val weight = weights.foldLeft(lit(0.0)) { case (acc, (k, w)) =>
-      when(col(groupCol) === k, lit(w)).otherwise(acc)
-    }
-    val rated = df.join(broadcast(counts), groupCol)
-      .withColumn("_mix_rate",
-        least(lit(1.0), weight * lit(budgetRows.toDouble) / col("_mix_n")))
-    hashSample(rated, keyCol, seed, col("_mix_rate"), tag = "mix")
+  /** C4-style inter-document boilerplate removal: drop every line whose
+    * normalized form (lower + trim) occurs in at least `minDocs`
+    * DISTINCT documents — cookie banners, nav menus, subscribe footers
+    * repeat across a site's every page, while real content lines are
+    * (near-)unique. Output keeps one row per input document:
+    * `text_clean` (surviving lines rejoined on `sep`, original order),
+    * `n_kept`, `n_dropped`. A document whose every line is boilerplate
+    * survives with empty text — the caller decides whether to drop it
+    * (e.g. via gopherRules' min-words flag).
+    *
+    * Scale shape, in corpus order: the line explode is NARROW; the
+    * line-frequency pass is ONE hash aggregate keyed by the normalized
+    * line, where map-side partial agg collapses the heavy repeats
+    * (boilerplate is by definition the high-frequency mass) before the
+    * shuffle; the offending-line set — small by construction, only
+    * lines crossing the cross-doc threshold — broadcasts back, so
+    * tagging is narrow; reassembly is one groupBy(id) shuffle. Two
+    * keyed shuffles total, no global sort. Grouping is on the
+    * normalized string itself, not a hash — collision-free and
+    * oracle-exact; a 100 TB deployment could pre-bucket on xxhash64 to
+    * shrink the first shuffle's keys at the cost of that exactness. */
+  def stripBoilerplate(docs: DataFrame, idCol: String, textCol: String,
+      minDocs: Long, sep: String = "\n"): DataFrame = {
+    require(minDocs > 1, s"stripBoilerplate: minDocs=$minDocs must exceed 1")
+    val lines = docs.select(col(idCol),
+        posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
+          .as(Seq("pos", "line")))
+      .withColumn("_n", lower(trim(col("line"))))
+    val bad = lines.groupBy("_n")
+      .agg(countDistinct(col(idCol)).as("_docs"))
+      .filter(col("_docs") >= minDocs)
+      .select(col("_n").as("_badn"))
+    lines
+      .join(broadcast(bad), col("_n") === col("_badn"), "left")
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(struct(col("pos"), col("line"),
+        col("_badn").isNull.as("keep")))).as("_p"))
+      .select(col(idCol),
+        array_join(transform(filter(col("_p"), p => p("keep")),
+          p => p("line")), sep).as("text_clean"),
+        size(filter(col("_p"), p => p("keep"))).cast("long").as("n_kept"),
+        (size(col("_p")) - size(filter(col("_p"), p => p("keep"))))
+          .cast("long").as("n_dropped"))
   }
 }

@@ -162,4 +162,39 @@ object TextAnalysis {
     import graft.functions.F
     F.toColumn(graft.functions.MinFingerprint(F.toExpr(text)))
   }
+
+  /** PII patterns for free-text scrubbing, applied in this order
+    * (email first — its local part may contain digits a later digit
+    * pattern would chew on; the digit shapes are mutually disjoint:
+    * SSN's middle group is 2 digits, phone's is 3–4, IP uses dots).
+    * Kept to the regex subset Java and RE2 share (`\b`, `\d`, bounded
+    * repeats, non-capturing groups) so the DuckDB oracle runs the
+    * SAME pattern strings verbatim. */
+  val piiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b", "<IP>"),
+    ("ssn", "\\b\\d{3}-\\d{2}-\\d{4}\\b", "<SSN>"),
+    ("phone", "\\b\\d{2,3}-\\d{3,4}-\\d{4}\\b", "<PHONE>"))
+
+  /** Free-text PII scrubbing — the redaction pass a corpus runs before
+    * any text ships to training: emails, IPv4s, SSN-shaped and
+    * phone-shaped digit runs each collapse to a typed placeholder
+    * token. Column-level masking (ops/Mask) anonymizes a KNOWN field;
+    * this catches PII embedded anywhere inside document text.
+    *
+    * A narrow chain of codegen'd regexp_replace calls — no shuffle,
+    * no UDF; at 100 TB it runs entirely map-side inside the scan's
+    * WholeStageCodegen span. */
+  def scrubPii(text: Column): Column =
+    piiPatterns.foldLeft(text) { case (c, (_, pat, rep)) =>
+      regexp_replace(c, pat, rep)
+    }
+
+  /** Per-kind PII match counts over the ORIGINAL text (each kind
+    * counted independently; the patterns are disjoint, see
+    * [[piiPatterns]]) — the audit metric reported next to the scrub. */
+  def piiCounts(text: Column): Seq[(String, Column)] =
+    piiPatterns.map { case (kind, pat, _) =>
+      (kind, size(regexp_extract_all(text, lit(pat), lit(0))))
+    }
 }

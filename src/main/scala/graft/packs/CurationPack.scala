@@ -86,6 +86,24 @@ object CurationPack extends QueryPack {
         .groupBy("canonical_url").agg(count(lit(1)).as("n_docs"))
         .orderBy("canonical_url")
     }),
+    // Inter-document boilerplate removal (Curation.stripBoilerplate):
+    // build line-structured docs — a cookie banner on every doc, the
+    // fixture body, a newsletter footer on every 3rd doc, a unique
+    // permalink line — and drop lines recurring in >= 50 distinct docs.
+    // The banner and footer must vanish, body and permalink survive.
+    "curation_boilerplate" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val lined = concat_ws("\n",
+        lit("Cookie Notice: this site uses cookies"),
+        col("text"),
+        when(col("doc_id") % 3 === 0, lit("Subscribe to our newsletter"))
+          .otherwise(lit(null).cast("string")),
+        concat(lit("permalink "), col("doc_id").cast("string")))
+      Curation.stripBoilerplate(
+          d.select(col("doc_id"), lined.as("text")),
+          "doc_id", "text", minDocs = 50)
+        .orderBy("doc_id")
+    }),
     // Deterministic stratified sampling (Curation.hashSample): per-lang
     // keep-rates applied as a keyed-hash threshold — a NARROW filter
     // (no shuffle, no RNG state, idempotent under retry); the output
@@ -218,6 +236,31 @@ object CurationPack extends QueryPack {
         |  CASE WHEN q = '' THEN '' ELSE '?' || q END AS canonical_url,
         |  count(*) AS n_docs
         |FROM f GROUP BY 1 ORDER BY canonical_url""".stripMargin,
+    // same synthesized lines, same lower(trim) normalization, same
+    // >= 50 distinct-doc threshold; position-indexed via the
+    // UNNEST(generate_series) zip and reassembled with an ordered
+    // string_agg (NULLs skip on both sides)
+    "curation_boilerplate" ->
+      """WITH d AS (SELECT doc_id,
+        |  concat_ws(chr(10),
+        |    'Cookie Notice: this site uses cookies',
+        |    text,
+        |    CASE WHEN doc_id % 3 = 0 THEN 'Subscribe to our newsletter' END,
+        |    'permalink ' || CAST(doc_id AS VARCHAR)) AS text
+        |  FROM documents),
+        |p AS (SELECT doc_id, string_split(text, chr(10)) AS parts FROM d),
+        |l AS (SELECT doc_id, t.pos, p.parts[t.pos] AS line,
+        |    lower(trim(p.parts[t.pos])) AS n
+        |  FROM p, UNNEST(generate_series(1, len(p.parts))) AS t(pos)),
+        |bad AS (SELECT n FROM l GROUP BY n HAVING count(DISTINCT doc_id) >= 50),
+        |k AS (SELECT doc_id, pos, line,
+        |    n IN (SELECT n FROM bad) AS isbad FROM l)
+        |SELECT doc_id,
+        |  coalesce(string_agg(CASE WHEN NOT isbad THEN line END, chr(10)
+        |    ORDER BY pos), '') AS text_clean,
+        |  count(CASE WHEN NOT isbad THEN 1 END) AS n_kept,
+        |  count(CASE WHEN isbad THEN 1 END) AS n_dropped
+        |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // hash32(doc_id, 's7', 'strat') mirrored as md5 hex-slice; the
     // threshold floor(rate·2^32) is exact integer math on both sides
     "sample_stratified" ->

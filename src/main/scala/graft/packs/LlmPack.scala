@@ -43,6 +43,29 @@ object LlmPack extends QueryPack {
     "text_fingerprint" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"), TA.fingerprint(col("text")).as("fp"))
         .orderBy("doc_id")),
+    // Free-text PII scrub (TA.scrubPii): inject deterministic PII —
+    // an email per doc, a phone on evens, an IPv4 on %3, an SSN on %5 —
+    // then redact to typed placeholders and report per-kind audit
+    // counts. A narrow regexp_replace chain, entirely map-side.
+    "text_pii_scrub" -> ((s, dir) => {
+      val injected = concat(col("text"),
+        lit(" contact u"), col("doc_id").cast("string"), lit("@example.com"),
+        when(col("doc_id") % 2 === 0,
+          concat(lit(" call 010-"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0"), lit("-1234")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 3 === 0,
+          concat(lit(" from 10.0."), (col("doc_id") % 256).cast("string"),
+            lit(".7"))).otherwise(lit("")),
+        when(col("doc_id") % 5 === 0, lit(" ssn 123-45-6789"))
+          .otherwise(lit("")))
+      val counts = TA.piiCounts(injected).map { case (k, c) =>
+        c.cast("long").as(s"n_$k") }
+      docs(s, dir)
+        .select(col("doc_id") +: TA.scrubPii(injected).as("text_clean") +:
+          counts: _*)
+        .orderBy("doc_id")
+    }),
     // Gopher-style rule filter (Rae et al. 2021 §A1.1): audit columns
     // + composite keep per doc, all codegen'd Column math; ratios
     // cross the oracle boundary as scale4 longs, the keep verdict
@@ -597,6 +620,31 @@ object LlmPack extends QueryPack {
          |  FROM (SELECT doc_id,
          |    CASE WHEN length(text) < 5 THEN rpad(text, 5, ' ') ELSE text END AS p
          |    FROM documents)) ORDER BY doc_id""".stripMargin
+    },
+    // same injected PII, same pattern strings VERBATIM (Java/RE2
+    // shared subset), same email→ip→ssn→phone replace order; counts
+    // run on the pre-scrub text on both sides
+    "text_pii_scrub" -> {
+      val Seq(email, ip, ssn, phone) = TA.piiPatterns.map(_._2)
+      s"""WITH t AS (SELECT doc_id,
+         |  text || ' contact u' || CAST(doc_id AS VARCHAR) || '@example.com' ||
+         |  CASE WHEN doc_id % 2 = 0 THEN ' call 010-' ||
+         |    lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || '-1234' ELSE '' END ||
+         |  CASE WHEN doc_id % 3 = 0 THEN ' from 10.0.' ||
+         |    CAST(doc_id % 256 AS VARCHAR) || '.7' ELSE '' END ||
+         |  CASE WHEN doc_id % 5 = 0 THEN ' ssn 123-45-6789' ELSE '' END AS text
+         |  FROM documents)
+         |SELECT doc_id,
+         |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+         |    '$email', '<EMAIL>', 'g'),
+         |    '$ip', '<IP>', 'g'),
+         |    '$ssn', '<SSN>', 'g'),
+         |    '$phone', '<PHONE>', 'g') AS text_clean,
+         |  len(regexp_extract_all(text, '$email')) AS n_email,
+         |  len(regexp_extract_all(text, '$ip')) AS n_ip,
+         |  len(regexp_extract_all(text, '$ssn')) AS n_ssn,
+         |  len(regexp_extract_all(text, '$phone')) AS n_phone
+         |FROM t ORDER BY doc_id""".stripMargin
     },
     // Same recursive-closure clustering as dedup_clusters, same quality
     // expression as text_quality, same packed-long argmax as the Spark

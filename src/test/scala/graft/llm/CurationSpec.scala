@@ -181,4 +181,51 @@ class CurationSpec extends SparkSpec {
       assert(got(in) == want, s"$in -> ${got(in)}, want $want")
     }
   }
+
+  test("stripBoilerplate: cross-doc lines drop, within-doc repeats and unique lines stay") {
+    import spark.implicits._
+    val d = Seq(
+      // "common" recurs across docs 1-3 under lower+trim normalization
+      (1L, "alpha one\ncommon\nbeta one"),
+      (2L, "COMMON \ngamma two"),
+      // a doc that is ALL boilerplate must survive with empty text
+      (3L, "common"),
+      // "thrice" repeats 3x within ONE doc only -> distinct-doc count
+      // is 1, stays below minDocs=2, so every copy is kept
+      (4L, "thrice\nthrice\nthrice")).toDF("doc_id", "text")
+    val out = Curation.stripBoilerplate(d, "doc_id", "text", minDocs = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L) == (("alpha one\nbeta one", 2L, 1L)))
+    assert(out(2L) == (("gamma two", 1L, 1L)))
+    assert(out(3L) == (("", 0L, 1L)))
+    assert(out(4L) == (("thrice\nthrice\nthrice", 3L, 0L)))
+  }
+
+  test("scrubPii: each kind redacts to its placeholder; boundaries respected") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val cases = Seq(
+      "mail bob.smith+x@sub.example.co.uk end" -> "mail <EMAIL> end",
+      "ip 192.168.0.1 end" -> "ip <IP> end",
+      "ssn 123-45-6789 end" -> "ssn <SSN> end",
+      "call 010-1234-5678 end" -> "call <PHONE> end",
+      // \b guards: digit runs glued to word chars are NOT redacted
+      "ida123-45-6789 end" -> "ida123-45-6789 end",
+      // ssn shape (2-digit middle) never matches the phone pattern
+      "plain 12-34-5678 end" -> "plain 12-34-5678 end",
+      "x u7@example.com 10.0.3.7 123-45-6789 010-0004-1234 y" ->
+        "x <EMAIL> <IP> <SSN> <PHONE> y")
+    val got = cases.map(_._1).toDF("t")
+      .select(col("t"), TextAnalysis.scrubPii(col("t")).as("c"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    cases.foreach { case (in, want) =>
+      assert(got(in) == want, s"$in -> ${got(in)}, want $want")
+    }
+    val counts = Seq("a@b.co 1.2.3.4 5.6.7.8 123-45-6789")
+      .toDF("t").select(TextAnalysis.piiCounts(col("t"))
+        .map { case (k, c) => c.as(k) }: _*).collect().head
+    assert(counts.getInt(0) == 1 && counts.getInt(1) == 2 &&
+      counts.getInt(2) == 1 && counts.getInt(3) == 0)
+  }
 }
