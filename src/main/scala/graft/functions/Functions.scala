@@ -298,6 +298,101 @@ case class ArrayDotInt8(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** The IVF assignment loop shared by [[ArgmaxBucket]]'s interpreted
+  * eval and its generated code (same single-method delegation shape as
+  * FingerprintOps). IEEE op order is EXACTLY the packed-long formation
+  * it replaces — dot and self-dots accumulate left-to-right in double,
+  * the scaled cosine is `floor(dot / sqrt(ce2·norm) · 1e4 + 0.5)` cast
+  * to long (NaN casts to 0, matching non-ANSI Cast) — and centroids
+  * iterate in ascending-cid order with a strict `>`, so the highest
+  * cosine wins with ties to the smallest cid, bit-identical to
+  * `min((20000 − cos4)·65536 + cid)`. */
+object ArgmaxOps {
+  def compute(a: ArrayData, isFloat: Boolean, m: Array[Array[Double]],
+      norms: Array[Double], cids: Array[Int]): Int = {
+    val n = a.numElements()
+    var ce2 = 0.0
+    var i = 0
+    while (i < n) {
+      val v = if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      ce2 += v * v
+      i += 1
+    }
+    var best = Long.MinValue
+    var bucket = cids(0)
+    var c = 0
+    while (c < m.length) {
+      val cemb = m(c)
+      val lim = math.min(n, cemb.length)
+      var dot = 0.0
+      var j = 0
+      while (j < lim) {
+        val v = if (isFloat) a.getFloat(j).toDouble else a.getDouble(j)
+        dot += v * cemb(j)
+        j += 1
+      }
+      val cos4 = math.floor(dot / math.sqrt(ce2 * norms(c)) * 10000d + 0.5d).toLong
+      if (cos4 > best) { best = cos4; bucket = cids(c) }
+      c += 1
+    }
+    bucket
+  }
+}
+
+/** `argmax_bucket(vec)` → int: IVF bucket assignment as ONE narrow
+  * codegen'd expression against a plan-literal centroid matrix — the
+  * nearest-centroid argmax that every IVF pass runs over the WHOLE
+  * corpus (once per Lloyd step, once per search).
+  *
+  * The expression form exists for plan shape, not per-row math: the
+  * previous formulation (crossJoin against broadcast centroids →
+  * packed-long min HashAggregate → join the bucket back by vec_id)
+  * produced bit-identical buckets but shuffled the corpus TWICE per
+  * assignment pass and materialized |corpus|·|centroids| intermediate
+  * rows. With the centroid set collected to the driver — small by
+  * construction, it IS the index — assignment is a pure per-row
+  * projection: no Exchange anywhere, which at 100 TB turns each Lloyd
+  * step into scan → argmax → one partial+final aggregate, and the
+  * search's corpus side into scan → argmax → bucket-keyed join.
+  * Numeric semantics are frozen in [[ArgmaxOps]]; `cids`/`cents` are
+  * parallel arrays sorted ascending by cid (sparse ids survive Lloyd
+  * steps that empty a bucket). */
+case class ArgmaxBucket(child: Expression, cids: Array[Int],
+    cents: Array[Array[Double]])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  require(cents.nonEmpty && cents.length == cids.length,
+    "argmax_bucket: empty or misaligned centroid set")
+
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def prettyName: String = "argmax_bucket"
+
+  private def isFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  @transient private lazy val norms: Array[Double] = cents.map { c =>
+    var s = 0.0; var i = 0
+    while (i < c.length) { s += c(i) * c(i); i += 1 }
+    s
+  }
+
+  override protected def nullSafeEval(a: Any): Any =
+    ArgmaxOps.compute(a.asInstanceOf[ArrayData], isFloat, cents, norms, cids)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val m = ctx.addReferenceObj("centMatrix", cents, "double[][]")
+    val nr = ctx.addReferenceObj("centNorms", norms, "double[]")
+    val ci = ctx.addReferenceObj("centIds", cids, "int[]")
+    defineCodeGen(ctx, ev, a =>
+      s"graft.functions.ArgmaxOps.compute($a, $isFloat, $m, $nr, $ci)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** `regexp_replace_first(src, pattern, repl)` — Java `Matcher.replaceFirst`
   * semantics (`$1` backrefs work, mirroring JS `String.replace` with a
   * non-global regex — reference pattern-editor/page.tsx:242-259).

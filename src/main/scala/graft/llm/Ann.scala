@@ -23,9 +23,10 @@ import org.apache.spark.sql.functions._
   *         addition is order-independent, so centroids are bit-identical
   *         regardless of partitioning, task retries, or which engine
   *         (Spark vs the DuckDB oracle) computes them;
-  *      3. `assignBuckets`: argmax-cosine bucket per vector via one
-  *         hash aggregate (the (−cos, cid) pair packed into one long —
-  *         partial+final, map-side combine, no window, no sort-agg);
+  *      3. `assignBuckets`: argmax-cosine bucket per vector as a
+  *         NARROW codegen'd expression over the collected centroid
+  *         matrix (no Exchange — every assignment pass is a pure
+  *         per-row projection);
   *      4. `probeBuckets`: multi-probe — each query searches its
   *         `nprobe` nearest buckets, recovering recall at bucket edges.
   *    Cost drops to O(|q|·nprobe·|corpus|/n); the bucket join shuffles
@@ -139,26 +140,24 @@ object Ann {
         expr("transform(ce, x -> CAST(x AS DOUBLE))").as("cemb"))
   }
 
-  /** Argmax-cosine bucket per corpus vector. (−cos, cid) packs into a
-    * single long — `(20000 − cos)·65536 + cid`, lexicographic order
-    * preserved for cid < 65536 — so the argmax runs as a true
-    * HashAggregate with map-side partial mins (a struct-min or an
-    * array-carrying `first` would force SortAggregate), and the
-    * embedding column joins back by key afterwards. Highest cosine
-    * wins, ties to the smallest cid. Output (vec_id, ce, bucket). */
+  /** Argmax-cosine bucket per corpus vector, as a NARROW projection:
+    * the centroid set — small by construction, it IS the index —
+    * collects to the driver and compiles into the codegen'd
+    * [[graft.functions.ArgmaxBucket]] expression, so assignment adds
+    * no Exchange at any corpus size. (An earlier formulation ran
+    * crossJoin → packed-long min HashAggregate → join-back: same
+    * buckets bit-for-bit — ArgmaxOps freezes the identical IEEE op
+    * order and ascending-cid strict-`>` tie-break — but it shuffled
+    * the corpus twice per assignment pass.) Highest cosine wins, ties
+    * to the smallest cid. Output (vec_id, ce, ce2, bucket). */
   def assignBuckets(corpus: DataFrame, centroids: DataFrame): DataFrame = {
-    val slim = corpus.select(col("vec_id"), col("ce"),
-      dotExpr("ce", "ce").as("ce2"))
-    val cents = centroids.select(col("cid"), col("cemb"),
-      dotExpr("cemb", "cemb").as("cemb2"))
-    val buckets = slim
-      .crossJoin(broadcast(cents))
-      .select(col("vec_id"),
-        ((lit(20000L) - cosScaledPre("ce", "cemb", col("ce2"), col("cemb2")))
-          * 65536L + col("cid")).as("p"))
-      .groupBy("vec_id").agg(min(col("p")).as("p"))
-      .select(col("vec_id"), (col("p") % 65536L).cast("int").as("bucket"))
-    slim.join(buckets, Seq("vec_id"))
+    import graft.functions.{ArgmaxBucket, F}
+    val cents = centroids.select(col("cid"), col("cemb")).collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray)).sortBy(_._1)
+    require(cents.nonEmpty, "assignBuckets: empty centroid set")
+    corpus.select(col("vec_id"), col("ce"), dotExpr("ce", "ce").as("ce2"),
+      F.toColumn(ArgmaxBucket(F.toExpr(col("ce")),
+        cents.map(_._1), cents.map(_._2))).as("bucket"))
   }
 
   /** One Lloyd iteration: reassign, then recompute each centroid as the
