@@ -183,6 +183,39 @@ object Curation {
       when(sortedQ === "", lit("")).otherwise(concat(lit("?"), sortedQ)))
   }
 
+  /** Multi-label public suffixes the [[registrableDomain]] heuristic
+    * recognizes — a compiled-in subset of the Public Suffix List
+    * covering the common ccTLD second levels and hosted-platform
+    * suffixes. A production deployment swaps in the full PSL (same
+    * shape, the literal set is just longer); the heuristic's default
+    * rule (last two labels) matches the PSL's `*` fallback. */
+  val MultiSuffixes: Seq[String] = Seq(
+    "ac.uk", "co.uk", "gov.uk", "org.uk", "co.jp", "ne.jp", "or.jp",
+    "co.kr", "go.kr", "com.au", "net.au", "org.au", "com.br", "com.cn",
+    "com.mx", "com.tw", "co.in", "co.nz", "github.io", "gitlab.io",
+    "blogspot.com")
+
+  /** Registrable domain (eTLD+1) from a hostname — the grouping key
+    * for per-domain caps and crawl statistics (`www.example.co.uk`,
+    * `a.b.example.co.uk` and `example.co.uk` must all cap under ONE
+    * domain, which raw-host grouping gets wrong for every ccTLD):
+    * the last two labels, or three when the last two are a recognized
+    * multi-label suffix; hosts of ≤2 labels pass through. A narrow
+    * codegen'd projection — the suffix set compiles into the plan as
+    * an array literal; no shuffle. The CASE branch order keeps every
+    * negative element_at in bounds under ANSI evaluation. */
+  def registrableDomain(host: org.apache.spark.sql.Column,
+      multiSuffixes: Seq[String] = MultiSuffixes): org.apache.spark.sql.Column = {
+    val labels = split(host, "\\.")
+    val n = size(labels)
+    val last2 = concat_ws(".", element_at(labels, -2), element_at(labels, -1))
+    val last3 = concat_ws(".", element_at(labels, -3), element_at(labels, -2),
+      element_at(labels, -1))
+    when(n <= 2, host)
+      .when(array_contains(typedLit(multiSuffixes), last2), last3)
+      .otherwise(last2)
+  }
+
   /** C4-style inter-document boilerplate removal: drop every line whose
     * normalized form (lower + trim) occurs in at least `minDocs`
     * DISTINCT documents — cookie banners, nav menus, subscribe footers

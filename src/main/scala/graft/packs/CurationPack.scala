@@ -86,6 +86,25 @@ object CurationPack extends QueryPack {
         .groupBy("canonical_url").agg(count(lit(1)).as("n_docs"))
         .orderBy("canonical_url")
     }),
+    // Registrable-domain extraction (Curation.registrableDomain):
+    // synthesized hosts across ccTLD second levels, plain TLDs,
+    // 2-label hosts, and hosted-platform suffixes collapse to their
+    // eTLD+1 and aggregate — the grouping a per-domain cap keys on.
+    "curation_domain_extract" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val m7 = (col("doc_id") % 7).cast("string")
+      val host = when(col("doc_id") % 5 === 0,
+          concat(lit("www.example"), m7, lit(".co.uk")))
+        .when(col("doc_id") % 5 === 1,
+          concat(lit("blog.example"), m7, lit(".com")))
+        .when(col("doc_id") % 5 === 2,
+          concat(lit("a.b.example"), m7, lit(".com.au")))
+        .when(col("doc_id") % 5 === 3, concat(lit("example"), m7, lit(".io")))
+        .otherwise(concat(lit("sub.shop"), m7, lit(".github.io")))
+      d.select(Curation.registrableDomain(host).as("domain"))
+        .groupBy("domain").agg(count(lit(1)).as("n_docs"))
+        .orderBy("domain")
+    }),
     // Inter-document boilerplate removal (Curation.stripBoilerplate):
     // build line-structured docs — a cookie banner on every doc, the
     // fixture body, a newsletter footer on every 3rd doc, a unique
@@ -236,6 +255,27 @@ object CurationPack extends QueryPack {
         |  CASE WHEN q = '' THEN '' ELSE '?' || q END AS canonical_url,
         |  count(*) AS n_docs
         |FROM f GROUP BY 1 ORDER BY canonical_url""".stripMargin,
+    // same hosts, same label algebra (negative list indexing = Spark's
+    // negative element_at), same suffix set — interpolated from the
+    // ONE Scala Seq so the two engines can never drift
+    "curation_domain_extract" -> {
+      val suffixes = Curation.MultiSuffixes.map(s => s"'$s'").mkString(", ")
+      s"""WITH h AS (SELECT CASE
+         |    WHEN doc_id % 5 = 0 THEN 'www.example' || CAST(doc_id % 7 AS VARCHAR) || '.co.uk'
+         |    WHEN doc_id % 5 = 1 THEN 'blog.example' || CAST(doc_id % 7 AS VARCHAR) || '.com'
+         |    WHEN doc_id % 5 = 2 THEN 'a.b.example' || CAST(doc_id % 7 AS VARCHAR) || '.com.au'
+         |    WHEN doc_id % 5 = 3 THEN 'example' || CAST(doc_id % 7 AS VARCHAR) || '.io'
+         |    ELSE 'sub.shop' || CAST(doc_id % 7 AS VARCHAR) || '.github.io' END AS host
+         |  FROM documents),
+         |s AS (SELECT host, string_split(host, '.') AS ls FROM h),
+         |r AS (SELECT CASE
+         |    WHEN len(ls) <= 2 THEN host
+         |    WHEN list_contains([$suffixes], ls[-2] || '.' || ls[-1])
+         |      THEN ls[-3] || '.' || ls[-2] || '.' || ls[-1]
+         |    ELSE ls[-2] || '.' || ls[-1] END AS domain FROM s)
+         |SELECT domain, count(*) AS n_docs FROM r
+         |GROUP BY domain ORDER BY domain""".stripMargin
+    },
     // same synthesized lines, same lower(trim) normalization, same
     // >= 50 distinct-doc threshold; position-indexed via the
     // UNNEST(generate_series) zip and reassembled with an ordered

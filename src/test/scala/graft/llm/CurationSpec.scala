@@ -182,6 +182,30 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("registrableDomain: ccTLD second levels, platform suffixes, short hosts") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val cases = Seq(
+      "www.example.co.uk" -> "example.co.uk",
+      "a.b.example.co.uk" -> "example.co.uk",
+      "deep.a.b.example.com" -> "example.com",
+      "example.com" -> "example.com",
+      // <= 2 labels pass through, even a bare suffix
+      "localhost" -> "localhost",
+      "co.uk" -> "co.uk",
+      // hosted platforms: the platform domain is the eTLD
+      "x.github.io" -> "x.github.io",
+      "a.x.github.io" -> "x.github.io",
+      "foo.blogspot.com" -> "foo.blogspot.com",
+      "shop.example.com.au" -> "example.com.au")
+    val got = cases.map(_._1).toDF("h")
+      .select(col("h"), Curation.registrableDomain(col("h")).as("d"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    cases.foreach { case (in, want) =>
+      assert(got(in) == want, s"$in -> ${got(in)}, want $want")
+    }
+  }
+
   test("stripBoilerplate: cross-doc lines drop, within-doc repeats and unique lines stay") {
     import spark.implicits._
     val d = Seq(
