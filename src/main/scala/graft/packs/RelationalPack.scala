@@ -157,6 +157,13 @@ object RelationalPack extends QueryPack {
     "events_stream_pipeline" -> ((s, dir) =>
       graft.streaming.EventsStream.dedupHourlyViaFileSink(s, dir)),
 
+    // §2.11 stream-STATIC join: stateless per-batch broadcast of the
+    // customer dimension against the event feed — no watermark, no
+    // join state; unmatched rows (the sentinels) prove the LEFT miss
+    // path emits. Aggregate must equal the batch left-join twin.
+    "events_stream_enrich" -> ((s, dir) =>
+      graft.streaming.EventsStream.enrichViaFileSink(s, dir)),
+
     // §2.11 stream-stream join: watermarked purchase×view interval
     // self-join through the exactly-once file sink — inner matches
     // emit as they arrive; the watermark bounds join state. The
@@ -606,6 +613,12 @@ object RelationalPack extends QueryPack {
       """SELECT strftime(date_trunc('hour', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:00:00') AS hour,
         |  event_type, count(*) AS n
         |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+    // the streamed enrichment must equal the plain batch left join
+    "events_stream_enrich" ->
+      s"""SELECT c.c_mktsegment AS segment, count(*) AS n_events,
+         |  ${dsumSql("e.value")} AS total_value
+         |FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+         |GROUP BY 1 ORDER BY segment""".stripMargin,
     // chained dedup→window: identical to the plain hourly aggregate —
     // the redelivered copies must vanish inside the streaming query
     "events_stream_pipeline" ->

@@ -657,6 +657,44 @@ object EventsStream {
       .orderBy("user_id")
   }
 
+  /** Stream-static enrichment: each micro-batch of the event feed
+    * joins the STATIC customer dimension (user_id → market segment) —
+    * the stateless lookup every streaming pipeline front-ends. No
+    * watermark and no join state: rows emit in the micro-batch they
+    * arrive, the static side re-broadcasts per batch, and at any feed
+    * rate the only cost is that broadcast of the small dim (unmatched
+    * stream rows pass through null-padded, LEFT semantics). The gate
+    * streams the staged fixture in three micro-batches through the
+    * exactly-once parquet sink, then aggregates per segment — which
+    * must equal the batch left-join twin; sentinel rows (user_id < 0)
+    * are filtered in the gate aggregate, not the query, so they prove
+    * the miss path emits. */
+  def enrichViaFileSink(spark: SparkSession, sfDir: String): DataFrame = {
+    val (ss, in, base) = stageWithSentinels(spark, sfDir)
+    val out = base.resolve("out").toString
+    val dim = ss.read.parquet(s"$sfDir/customer.parquet")
+      .select(col("c_custkey").as("user_id"), col("c_mktsegment").as("segment"))
+    val q = readEvents(ss, in.toString, maxFilesPerTrigger = Some(1))
+      .join(broadcast(dim), Seq("user_id"), "left")
+      .select(col("event_id"), col("user_id"), col("segment"),
+        col("event_type"), col("value"))
+      .writeStream
+      .outputMode(OutputMode.Append())
+      .format("parquet")
+      .option("path", out)
+      .option("checkpointLocation", base.resolve("ckpt").toString)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    cleanupStaged(base, in)
+    spark.read.parquet(out)
+      .filter(col("user_id") >= 0)
+      .groupBy("segment")
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value").cast("decimal(18,2)")), 2).cast("double")
+          .as("total_value"))
+      .orderBy("segment")
+  }
+
   /** Correctness gate for the stream-stream join ([[purchaseViewJoin]]):
     * stream the events fixture as one micro-batch, self-join the
     * purchase and view sides through a parquet file sink, batch-read

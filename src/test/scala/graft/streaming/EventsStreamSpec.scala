@@ -29,6 +29,29 @@ class EventsStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static join enriches per batch; a dim miss passes through null-padded") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{broadcast, col}
+    val src = MemoryStream[Event]
+    val dim = Seq((1L, "GOLD"), (2L, "SILVER")).toDF("user_id", "segment")
+    val q = src.toDF()
+      .join(broadcast(dim), Seq("user_id"), "left")
+      .select(col("event_id"), col("user_id"), col("segment"))
+      .writeStream.format("memory").queryName("enr")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      src.addData(Event(1, ts("2024-01-01 10:05:00"), 1, "view", 1.0))
+      q.processAllAvailable()
+      // user 99 has no dim row — the LEFT miss must still emit
+      src.addData(Event(2, ts("2024-01-01 10:06:00"), 99, "view", 1.0))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT event_id, segment FROM enr ORDER BY event_id")
+        .collect().map(r => r.getLong(0) -> Option(r.getString(1)))
+      assert(rows.toSeq == Seq(1L -> Some("GOLD"), 2L -> None))
+    } finally q.stop()
+  }
+
   test("sessionize keeps per-user state across batches (mapGroupsWithState)") {
     implicit val sqlCtx = spark.sqlContext
     val src = MemoryStream[Event]
