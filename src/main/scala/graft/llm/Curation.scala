@@ -183,6 +183,41 @@ object Curation {
       when(sortedQ === "", lit("")).otherwise(concat(lit("?"), sortedQ)))
   }
 
+  /** Training-shard delivery — the pipeline's last mile: every
+    * document lands in a deterministic (split, shard) cell — split via
+    * [[assignSplits]], shard via the keyed hash mod `nShards` — and
+    * the corpus writes as hive-partitioned parquet
+    * (`out/split=…/shard=…/`), returning the manifest a training job
+    * consumes: (split, shard, n_docs, n_tokens), aggregated from the
+    * files actually written (read back from `outDir`, so the manifest
+    * proves the write, not the plan).
+    *
+    * Scale shape: assignment is the narrow keyed-hash projection both
+    * parents use — stable under corpus refresh, so an incremental
+    * re-delivery moves no old document between cells — and the single
+    * shuffle is `repartition(split, shard)` so each task writes into
+    * few partition dirs (the small-files guard: without it every task
+    * appends a fragment to every cell, splits × shards × tasks files).
+    * Shard count is per-split-uniform by design — the hash is
+    * independent of the split hash (different tag), so cells stay
+    * balanced. */
+  def writeShards(docs: DataFrame, keyCol: String, textCol: String,
+      seed: String, fractions: Seq[(String, Double)], nShards: Int,
+      outDir: String): DataFrame = {
+    require(nShards > 0, s"writeShards: nShards=$nShards must be positive")
+    assignSplits(docs, keyCol, seed, fractions)
+      .withColumn("shard",
+        pmod(graft.functions.F.hash32(col(keyCol), seed, "shard"),
+          lit(nShards.toLong)).cast("int"))
+      .withColumn("n_tok", size(split(col(textCol), "\\s+")))
+      .repartition(col("split"), col("shard"))
+      .write.mode("overwrite").partitionBy("split", "shard").parquet(outDir)
+    docs.sparkSession.read.parquet(outDir)
+      .groupBy("split", "shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).cast("long").as("n_tokens"))
+  }
+
   /** Multi-label public suffixes the [[registrableDomain]] heuristic
     * recognizes — a compiled-in subset of the Public Suffix List
     * covering the common ccTLD second levels and hosted-platform

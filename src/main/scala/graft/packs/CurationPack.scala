@@ -169,6 +169,19 @@ object CurationPack extends QueryPack {
           "doc_id", "s7", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
         .groupBy("split", "lang").agg(count(lit(1)).as("n"))
         .orderBy("split", "lang")),
+    // Shard delivery (Curation.writeShards): deterministic
+    // (split, shard) cells, hive-partitioned write, manifest read back
+    // from the files actually written — the oracle recomputes the
+    // manifest from the same keyed hashes, so a row lost or duplicated
+    // anywhere in the write/read path breaks the match.
+    "curation_shards" -> ((s, dir) => {
+      val base = graft.core.Scratch.dir("graft_shards").toString
+      Curation.writeShards(docs(s, dir).select("doc_id", "text"),
+          "doc_id", "text", "s11",
+          Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05),
+          nShards = 4, s"$base/out")
+        .orderBy("split", "shard")
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -336,5 +349,20 @@ object CurationPack extends QueryPack {
         |    ELSE 'test' END AS split,
         |  lang, count(*) AS n
         |FROM h GROUP BY 1, 2 ORDER BY split, lang""".stripMargin,
+    // same split hash as curation_split (seed s11), same shard hash
+    // (tag 'shard', mod 4), token count via the shared \s+ split
+    "curation_shards" ->
+      """WITH h AS (SELECT
+        |    CAST(CONCAT('0x', substr(md5(CAST(doc_id AS VARCHAR) || ':s11:split'), 1, 8)) AS BIGINT) AS hsplit,
+        |    CAST(CONCAT('0x', substr(md5(CAST(doc_id AS VARCHAR) || ':s11:shard'), 1, 8)) AS BIGINT) AS hshard,
+        |    len(string_split_regex(text, '\s+')) AS n_tok
+        |  FROM documents)
+        |SELECT CASE
+        |    WHEN hsplit < CAST(floor(CAST(0.9 AS DOUBLE) * 4294967296.0) AS BIGINT) THEN 'train'
+        |    WHEN hsplit < CAST(floor((CAST(0.9 AS DOUBLE) + CAST(0.05 AS DOUBLE)) * 4294967296.0) AS BIGINT) THEN 'val'
+        |    ELSE 'test' END AS split,
+        |  CAST(hshard % 4 AS INTEGER) AS shard,
+        |  count(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+        |FROM h GROUP BY 1, 2 ORDER BY split, shard""".stripMargin,
   )
 }

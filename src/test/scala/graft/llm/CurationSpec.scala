@@ -182,6 +182,24 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("writeShards: manifest matches the written files and is deterministic") {
+    import spark.implicits._
+    val d = (0L until 200L).map(i => (i, s"w$i text $i")).toDF("doc_id", "text")
+    val base = graft.core.Scratch.dir("shards_spec").toString
+    val m = Curation.writeShards(d, "doc_id", "text", "t1",
+      Seq("train" -> 0.5, "test" -> 0.5), nShards = 2, s"$base/o")
+    val rows = m.collect()
+    assert(rows.map(_.getLong(2)).sum == 200L, "every doc lands in exactly one cell")
+    assert(rows.length > 2, "multiple (split, shard) cells populated")
+    val dirs = new java.io.File(s"$base/o").listFiles
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(dirs.nonEmpty && dirs.subsetOf(Set("split=train", "split=test")), dirs)
+    // re-delivery to a fresh dir reproduces the manifest cell-for-cell
+    val m2 = Curation.writeShards(d, "doc_id", "text", "t1",
+      Seq("train" -> 0.5, "test" -> 0.5), nShards = 2, s"$base/o2")
+    assert(rows.toSet == m2.collect().toSet)
+  }
+
   test("registrableDomain: ccTLD second levels, platform suffixes, short hosts") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
