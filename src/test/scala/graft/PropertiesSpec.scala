@@ -124,6 +124,48 @@ class PropertiesSpec extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
+  test("ArgmaxBucket equals the packed-long-min formulation (random vectors, ties, zero vector)") {
+    // Scala replica of the OLD crossJoin + min((20000 − cos4)·65536 + cid)
+    // assignment, IEEE op for op — the formulation ArgmaxBucket replaced.
+    def brute(ce: Array[Float], cents: Seq[(Int, Array[Double])]): Int = {
+      var ce2 = 0.0
+      var i = 0
+      while (i < ce.length) { ce2 += ce(i).toDouble * ce(i).toDouble; i += 1 }
+      cents.map { case (cid, cemb) =>
+        val n = math.min(ce.length, cemb.length)
+        var d = 0.0
+        var j = 0
+        while (j < n) { d += ce(j).toDouble * cemb(j); j += 1 }
+        var c2 = 0.0
+        var k = 0
+        while (k < cemb.length) { c2 += cemb(k) * cemb(k); k += 1 }
+        val cos4 = math.floor(d / math.sqrt(ce2 * c2) * 10000d + 0.5d).toLong
+        (20000L - cos4) * 65536L + cid
+      }.min.%(65536L).toInt
+    }
+    val vecGen = Gen.listOfN(4, Gen.chooseNum(-2.0f, 2.0f))
+    val corpusGen = Gen.listOfN(8, vecGen).map(_ :+ List(0f, 0f, 0f, 0f))
+    val centGen = Gen.choose(1, 3).flatMap(k =>
+      Gen.listOfN(k, Gen.listOfN(4, Gen.chooseNum(-2.0, 2.0))))
+    val prop = Prop.forAll(corpusGen, centGen) { (vecs, cents0) =>
+      // repeat the first centroid under a higher SPARSE cid: the tie
+      // must resolve to the smaller cid in both formulations
+      val cents = (cents0 :+ cents0.head).zipWithIndex
+        .map { case (c, i) => (i * 3 + 2, c.toArray) }
+      val corpus = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v.toArray) }
+        .toDF("vec_id", "ce")
+      val centDf = cents.map { case (cid, c) => (cid, c.toSeq) }.toDF("cid", "cemb")
+      val got = graft.llm.Ann.assignBuckets(corpus, centDf)
+        .select("vec_id", "bucket").collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap
+      val want = vecs.zipWithIndex
+        .map { case (v, i) => i.toLong -> brute(v.toArray, cents) }.toMap
+      got == want
+    }
+    val res = SCTest.check(params, prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("mask recovery: ANON__KEY join restores originals; width targets hold") {
     val rowsGen = Gen.listOfN(10, Gen.zip(Gen.choose(1, 100000), Gen.alphaNumStr.map(s => (s + "x").take(10))))
     val prop = Prop.forAll(rowsGen) { rows =>
