@@ -36,6 +36,24 @@ object SourcesPack extends QueryPack {
         .write.mode("overwrite").option("header", "true").option("sep", "\t").csv(out)
       Text.readCsv(s, out, delimiter = None).orderBy("r_name")
     }),
+    // Built-in ORC as the interchange format: parquet fixture → ORC
+    // write → ORC scan with the filter pushed into the reader →
+    // aggregate. The oracle recomputes from the parquet original, so
+    // the ORC write/read path must be lossless (types included — the
+    // double survives bit-for-bit into the DECIMAL sum).
+    "orc_roundtrip" -> ((s, dir) => {
+      val out = scratch("orc_lineitem")
+      Tables.load(s, dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+        .write.mode("overwrite").orc(out)
+      s.read.orc(out)
+        .filter(col("l_quantity") >= 10.0)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("l_quantity").cast("decimal(18,2)")), 2).cast("double")
+            .as("sum_qty"))
+        .orderBy("l_returnflag")
+    }),
     // S5+P7: TXT lines → value column.
     "txt_roundtrip" -> ((s, dir) => {
       val out = scratch("txt_names")
@@ -141,6 +159,13 @@ object SourcesPack extends QueryPack {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // recomputed from the parquet original — any loss in the ORC
+    // write/read path (rows, values, double precision) breaks the hash
+    "orc_roundtrip" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |  CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_qty
+        |FROM lineitem WHERE l_quantity >= 10.0
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "scan_schema_evolution" ->
       """SELECT c_custkey, c_name,
         |  CASE WHEN c_custkey % 2 = 1 THEN c_mktsegment END AS c_mktsegment

@@ -195,6 +195,13 @@ class PlanShapeSpec extends SparkSpec {
   private def hasFilterNode(p: String): Boolean =
     "[-+] (\\*\\(\\d+\\) )?Filter ".r.findFirstIn(p).isDefined
 
+  test("orc_roundtrip: the quantity predicate pushes into the ORC scan") {
+    val p = plan("orc_roundtrip")
+    assert(p.contains("Format: ORC") || p.contains("FileScan orc"), p)
+    assert(p.contains("PushedFilters: [IsNotNull(l_quantity)") ||
+      p.contains("GreaterThanOrEqual(l_quantity,10.0)"), p)
+  }
+
   test("xml_pushdown_filter: predicate lives in the graft-xml scan, nothing filters post-scan") {
     val p = plan("xml_pushdown_filter")
     assert(p.contains("PushedFilters: [EqualTo(c_mktsegment,BUILDING)"), p)
