@@ -123,6 +123,37 @@ object CurationPack extends QueryPack {
           "doc_id", "text", minDocs = 50)
         .orderBy("doc_id")
     }),
+    // The web-curation stages composed end-to-end: messy URL →
+    // canonicalUrl → URL-level dedup (first crawl wins: min doc_id per
+    // canonical key) → registrableDomain of the canonical host →
+    // two-phase per-domain cap → per-domain audit. Proves the four
+    // r11 operators chain without re-shaping; the only exchanges are
+    // the dedup aggregate, its keeper join, and the cap windows.
+    "curation_web_pipeline" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val url = concat(
+        lit("HtTpS://WWW.Example"), (col("doc_id") % 5).cast("string"),
+        lit(".COM:443/Path"), (col("doc_id") % 7).cast("string"),
+        when(col("doc_id") % 2 === 0, lit("/")).otherwise(lit("")),
+        lit("?utm_source=feed&b="), (col("doc_id") % 3).cast("string"),
+        lit("&a=1"),
+        when(col("doc_id") % 4 === 0, lit("&fbclid=xyz")).otherwise(lit("")),
+        lit("#frag"), col("doc_id").cast("string"))
+      val canon = d.select(col("doc_id"), col("n_chars"),
+        Curation.canonicalUrl(url).as("curl"))
+      val keepers = canon.groupBy("curl").agg(min(col("doc_id")).as("doc_id"))
+        .join(canon, Seq("curl", "doc_id"))
+      val host = regexp_extract(col("curl"), "^[a-z][a-z0-9+.-]*://([^/?#]*)", 1)
+      val domained = keepers.withColumn("domain", Curation.registrableDomain(host))
+      Curation.topKPerKey(
+          domained.select(col("domain"), col("doc_id"), col("n_chars")),
+          "domain", Seq(col("n_chars").desc, col("doc_id")),
+          saltOn = col("doc_id"), k = CAP, salt = SALT)
+        .groupBy("domain")
+        .agg(count(lit(1)).as("n_kept"),
+          sum(col("n_chars")).cast("long").as("sum_chars"))
+        .orderBy("domain")
+    }),
     // Deterministic stratified sampling (Curation.hashSample): per-lang
     // keep-rates applied as a keyed-hash threshold — a NARROW filter
     // (no shuffle, no RNG state, idempotent under retry); the output
@@ -349,6 +380,52 @@ object CurationPack extends QueryPack {
         |    ELSE 'test' END AS split,
         |  lang, count(*) AS n
         |FROM h GROUP BY 1, 2 ORDER BY split, lang""".stripMargin,
+    // the url_canon CTE chain carried per-doc, then min-doc_id keeper
+    // join, the domain_extract label algebra on the canonical host,
+    // and the single-window cap (== the two-phase salted cap by the
+    // proven containment property)
+    "curation_web_pipeline" -> {
+      val suffixes = Curation.MultiSuffixes.map(s => s"'$s'").mkString(", ")
+      s"""WITH u AS (SELECT doc_id, n_chars,
+         |  'HtTpS://WWW.Example' || CAST(doc_id % 5 AS VARCHAR) || '.COM:443/Path' || CAST(doc_id % 7 AS VARCHAR) ||
+         |  CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END ||
+         |  '?utm_source=feed&b=' || CAST(doc_id % 3 AS VARCHAR) || '&a=1' ||
+         |  CASE WHEN doc_id % 4 = 0 THEN '&fbclid=xyz' ELSE '' END ||
+         |  '#frag' || CAST(doc_id AS VARCHAR) AS url
+         |  FROM documents),
+         |c AS (SELECT doc_id, n_chars,
+         |  lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+         |  regexp_replace(url, '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS rest FROM u),
+         |d AS (SELECT doc_id, n_chars, scheme,
+         |  lower(regexp_extract(rest, '^([^/?#]*)', 1)) AS hostport,
+         |  regexp_replace(rest, '^[^/?#]*', '') AS pathq FROM c),
+         |e AS (SELECT doc_id, n_chars, scheme,
+         |  CASE WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$$', '')
+         |       WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$$', '')
+         |       ELSE hostport END AS host,
+         |  regexp_replace(regexp_extract(pathq, '^([^?#]*)', 1), '/+$$', '') AS tpath,
+         |  regexp_extract(pathq, '\\?([^#]*)', 1) AS query FROM d),
+         |f AS (SELECT doc_id, n_chars, scheme || '://' || host ||
+         |  CASE WHEN tpath = '' THEN '/' ELSE tpath END ||
+         |  CASE WHEN q = '' THEN '' ELSE '?' || q END AS curl
+         |  FROM (SELECT *, array_to_string(list_sort(list_filter(string_split(query, '&'),
+         |    x -> x <> '' AND NOT regexp_matches(x, '^(utm_[A-Za-z0-9_]*|fbclid|gclid|ref)(=|$$)'))), '&') AS q
+         |    FROM e)),
+         |k AS (SELECT curl, min(doc_id) AS doc_id FROM f GROUP BY curl),
+         |kj AS (SELECT f.curl, f.doc_id, f.n_chars FROM f JOIN k USING (curl, doc_id)),
+         |dom AS (SELECT doc_id, n_chars, CASE
+         |    WHEN len(ls) <= 2 THEN host
+         |    WHEN list_contains([$suffixes], ls[-2] || '.' || ls[-1])
+         |      THEN ls[-3] || '.' || ls[-2] || '.' || ls[-1]
+         |    ELSE ls[-2] || '.' || ls[-1] END AS domain
+         |  FROM (SELECT *, string_split(host, '.') AS ls
+         |    FROM (SELECT *, regexp_extract(curl, '^[a-z][a-z0-9+.-]*://([^/?#]*)', 1) AS host FROM kj))),
+         |ranked AS (SELECT domain, doc_id, n_chars,
+         |    row_number() OVER (PARTITION BY domain ORDER BY n_chars DESC, doc_id) AS rk
+         |  FROM dom)
+         |SELECT domain, count(*) AS n_kept, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+         |FROM ranked WHERE rk <= $CAP GROUP BY 1 ORDER BY domain""".stripMargin
+    },
     // same split hash as curation_split (seed s11), same shard hash
     // (tag 'shard', mod 4), token count via the shared \s+ split
     "curation_shards" ->
