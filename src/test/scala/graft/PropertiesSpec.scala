@@ -166,6 +166,39 @@ class PropertiesSpec extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
+  test("stripBoilerplate is the identity when no line crosses the threshold; scrubPii is idempotent") {
+    val lineGen = Gen.nonEmptyListOf(Gen.alphaNumStr.map(s => (s + "u").take(8)))
+    val docsGen = Gen.listOfN(5, lineGen)
+    val prop = Prop.forAll(docsGen) { docLines =>
+      // make every line globally unique by prefixing (doc, pos) — no
+      // cross-doc repeat can reach minDocs=2, so reassembly must be
+      // byte-identical to the input (order, joins, counts)
+      val rows = docLines.zipWithIndex.map { case (ls, i) =>
+        (i.toLong, ls.zipWithIndex.map { case (l, j) => s"d${i}p$j $l" }.mkString("\n"))
+      }
+      val df = rows.toDF("doc_id", "text")
+      val out = graft.llm.Curation.stripBoilerplate(df, "doc_id", "text", minDocs = 2)
+        .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(3)))).toMap
+      rows.forall { case (id, text) => out(id) == ((text, 0L)) }
+    }
+    val res = SCTest.check(params, prop)
+    assert(res.passed, res.status.toString)
+
+    // scrubbed text contains no residual PII shape, so a second scrub
+    // is a no-op — placeholders never re-match any pattern
+    val piiGen = Gen.oneOf(
+      "a@b.co", "10.1.2.3", "123-45-6789", "010-1234-5678", "plain words")
+    val textGen = Gen.listOfN(4, piiGen).map(_.mkString(" "))
+    val prop2 = Prop.forAll(Gen.listOfN(6, textGen)) { texts =>
+      val df = texts.toDF("t")
+        .select(graft.llm.TextAnalysis.scrubPii(col("t")).as("once"))
+        .select(col("once"), graft.llm.TextAnalysis.scrubPii(col("once")).as("twice"))
+      df.collect().forall(r => r.getString(0) == r.getString(1))
+    }
+    val res2 = SCTest.check(params, prop2)
+    assert(res2.passed, res2.status.toString)
+  }
+
   test("mask recovery: ANON__KEY join restores originals; width targets hold") {
     val rowsGen = Gen.listOfN(10, Gen.zip(Gen.choose(1, 100000), Gen.alphaNumStr.map(s => (s + "x").take(10))))
     val prop = Prop.forAll(rowsGen) { rows =>
