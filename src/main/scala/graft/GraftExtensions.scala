@@ -67,6 +67,26 @@ object GraftExtensions {
         }
         graft.functions.KmvDistinct(args(0), k).toAggregateExpression()
       }),
+    ("kmv_quantiles",
+      info("kmv_quantiles", "hash-min-k quantile sketch: kmv_quantiles(hash60, value, k, q1, q2, ...) with literal k and quantile fractions"),
+      (args: Seq[Expression]) => {
+        require(args.length >= 4,
+          "kmv_quantiles(hash60, value, k, q...) takes at least 4 arguments")
+        val k = args(2) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"kmv_quantiles k must be a literal int, got $other")
+        }
+        val qs = args.drop(3).map {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Double, _) => v
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: org.apache.spark.sql.types.Decimal, _) =>
+            v.toDouble
+          case other => throw new IllegalArgumentException(
+            s"kmv_quantiles fractions must be literal doubles, got $other")
+        }
+        graft.functions.KmvQuantiles(args(0), args(1), k, qs.toSeq)
+          .toAggregateExpression()
+      }),
     ("bloom_build",
       info("bloom_build", "aggregate a long key column into a serialized Bloom filter; numBits/numHashes must be literal ints"),
       (args: Seq[Expression]) => {

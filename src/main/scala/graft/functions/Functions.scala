@@ -625,3 +625,105 @@ case class KmvDistinct(child: Expression, k: Int,
   override protected def withNewChildInternal(newChild: Expression): KmvDistinct =
     copy(child = newChild)
 }
+
+/** `kmv_quantiles(hash60, value, k, qs…)` — quantile sketch as a
+  * TypedImperativeAggregate over a DETERMINISTIC hash-min-k row
+  * sample: keep the k lexicographically smallest DISTINCT
+  * (hash, value) pairs per group — the hash is a keyed md5 of the row
+  * key, so the kept set is a uniform sample that no partitioning,
+  * task retry, or merge order can change — then answer each requested
+  * quantile by nearest rank over the sample's values sorted
+  * ascending: `values[floor(q·(m−1))]`, m = |sample| (exact over all
+  * rows while a group is smaller than k). O(k) state per group at any
+  * scale, merge is a capped set union — the quantile sibling of
+  * [[KmvDistinct]], same oracle-reproducibility story: integer values
+  * in, integer values out, the only double op is the q·(m−1) index
+  * product, identical IEEE in DuckDB's mirror. */
+case class KmvQuantiles(left: Expression, right: Expression, k: Int,
+    qs: Seq[Double],
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+  extends org.apache.spark.sql.catalyst.expressions.aggregate
+    .TypedImperativeAggregate[java.util.TreeSet[Array[Long]]]
+  with org.apache.spark.sql.catalyst.trees.BinaryLike[Expression]
+  with org.apache.spark.sql.catalyst.expressions.ExpectsInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(LongType, LongType)
+
+  require(k >= 2, s"kmv_quantiles: k=$k must be >= 2")
+  require(qs.nonEmpty && qs.forall(q => q >= 0.0 && q <= 1.0),
+    s"kmv_quantiles: quantiles $qs must lie in [0, 1]")
+
+  private def cmp: java.util.Comparator[Array[Long]] =
+    new java.util.Comparator[Array[Long]] with Serializable {
+      override def compare(a: Array[Long], b: Array[Long]): Int = {
+        val c = java.lang.Long.compare(a(0), b(0))
+        if (c != 0) c else java.lang.Long.compare(a(1), b(1))
+      }
+    }
+
+  override def createAggregationBuffer(): java.util.TreeSet[Array[Long]] =
+    new java.util.TreeSet[Array[Long]](cmp)
+
+  private def insert(buf: java.util.TreeSet[Array[Long]], p: Array[Long]): Unit =
+    if (buf.size < k) { buf.add(p); () }
+    else if (buf.comparator.compare(p, buf.last) < 0) {
+      buf.add(p)
+      if (buf.size > k) { buf.pollLast(); () }
+    }
+
+  override def update(buf: java.util.TreeSet[Array[Long]],
+      input: org.apache.spark.sql.catalyst.InternalRow): java.util.TreeSet[Array[Long]] = {
+    val h = left.eval(input)
+    val v = right.eval(input)
+    if (h != null && v != null)
+      insert(buf, Array(h.asInstanceOf[Long], v.asInstanceOf[Long]))
+    buf
+  }
+
+  override def merge(buf: java.util.TreeSet[Array[Long]],
+      other: java.util.TreeSet[Array[Long]]): java.util.TreeSet[Array[Long]] = {
+    other.forEach(p => insert(buf, p))
+    buf
+  }
+
+  override def eval(buf: java.util.TreeSet[Array[Long]]): Any = {
+    val m = buf.size
+    if (m == 0) null
+    else {
+      val vals = new Array[Long](m)
+      var i = 0
+      buf.forEach(p => { vals(i) = p(1); i += 1 })
+      java.util.Arrays.sort(vals)
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        qs.map(q => vals(math.floor(q * (m - 1)).toInt)).toArray)
+    }
+  }
+
+  override def serialize(buf: java.util.TreeSet[Array[Long]]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(4 + 16 * buf.size)
+    bb.putInt(buf.size)
+    buf.forEach(p => { bb.putLong(p(0)); bb.putLong(p(1)); () })
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): java.util.TreeSet[Array[Long]] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val buf = createAggregationBuffer()
+    (0 until n).foreach(_ => buf.add(Array(bb.getLong, bb.getLong)))
+    buf
+  }
+
+  override def dataType: DataType =
+    ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "kmv_quantiles"
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): KmvQuantiles =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): KmvQuantiles =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): KmvQuantiles =
+    copy(left = newLeft, right = newRight)
+}

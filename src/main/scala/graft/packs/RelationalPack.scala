@@ -351,6 +351,28 @@ object RelationalPack extends QueryPack {
         .orderBy("c_mktsegment")
     }),
 
+    // §2.13 quantile sketch sibling of kmv_distinct: deterministic
+    // hash-min-k row sample per group (O(k) state, mergeable capped
+    // set union), nearest-rank quantiles over the sample's values in
+    // exact integer math. Every group exceeds k=256 even at sf0.001,
+    // so the capped-sample path is what's gated.
+    "kmv_quantiles_price" -> ((s, dir) => {
+      import graft.functions.{F, KmvQuantiles}
+      val h = conv(substring(md5(concat(col("o_orderkey").cast("string"),
+        lit(":kq"))), 1, 15), 16, 10).cast("long")
+      val v = floor(col("o_totalprice") * 100).cast("long")
+      Tables.load(s, dir, "orders")
+        .select(col("o_orderpriority"), h.as("h"), v.as("v"))
+        .groupBy("o_orderpriority")
+        .agg(F.toColumn(KmvQuantiles(F.toExpr(col("h")), F.toExpr(col("v")),
+          256, Seq(0.25, 0.5, 0.75)).toAggregateExpression()).as("ps"))
+        .select(col("o_orderpriority"),
+          element_at(col("ps"), 1).as("p25_cents"),
+          element_at(col("ps"), 2).as("p50_cents"),
+          element_at(col("ps"), 3).as("p75_cents"))
+        .orderBy("o_orderpriority")
+    }),
+
     // O1 multi-key sort + O2 limit (the notices query shape:
     // orderBy pinned desc, createdAt desc limit 50).
     "multikey_sort_limit" -> ((s, dir) =>
@@ -790,6 +812,25 @@ object RelationalPack extends QueryPack {
         |  CASE WHEN agg.nh < 64 THEN agg.nh
         |       ELSE CAST(CAST(63 AS HUGEINT) * 1152921504606846976 // agg.hk AS BIGINT) END AS n_kmv
         |FROM ex JOIN agg USING (c_mktsegment) ORDER BY c_mktsegment""".stripMargin,
+    // mirrors KmvQuantiles: DISTINCT (group, hash, value) pairs, the
+    // k=256 smallest by (hash, value) via a row_number window, then
+    // nearest-rank picks values[1 + floor(q*(m-1))] over the sample
+    "kmv_quantiles_price" ->
+      """WITH h AS (SELECT DISTINCT o_orderpriority,
+        |    CAST(CONCAT('0x', substr(md5(CAST(o_orderkey AS VARCHAR) || ':kq'), 1, 15)) AS BIGINT) AS h,
+        |    CAST(floor(o_totalprice * 100) AS BIGINT) AS v
+        |  FROM orders),
+        |ranked AS (SELECT o_orderpriority, v,
+        |    row_number() OVER (PARTITION BY o_orderpriority ORDER BY h, v) AS rn FROM h),
+        |samp AS (SELECT o_orderpriority, v FROM ranked WHERE rn <= 256),
+        |rv AS (SELECT o_orderpriority, v,
+        |    row_number() OVER (PARTITION BY o_orderpriority ORDER BY v) AS r,
+        |    count(*) OVER (PARTITION BY o_orderpriority) AS m FROM samp)
+        |SELECT o_orderpriority,
+        |  max(CASE WHEN r = 1 + CAST(floor(CAST(0.25 AS DOUBLE) * (m - 1)) AS BIGINT) THEN v END) AS p25_cents,
+        |  max(CASE WHEN r = 1 + CAST(floor(CAST(0.5 AS DOUBLE) * (m - 1)) AS BIGINT) THEN v END) AS p50_cents,
+        |  max(CASE WHEN r = 1 + CAST(floor(CAST(0.75 AS DOUBLE) * (m - 1)) AS BIGINT) THEN v END) AS p75_cents
+        |FROM rv GROUP BY 1 ORDER BY o_orderpriority""".stripMargin,
     "skew_salted_join" ->
       s"""WITH dim AS (
          |  SELECT DISTINCT event_type, CAST(length(event_type) AS BIGINT) AS type_weight

@@ -105,6 +105,37 @@ class FunctionsSpec extends SparkSpec {
     assert(spark.sql("SELECT kmv_distinct(h, 64) FROM kmv_t").head.getLong(0) == 25L)
   }
 
+  test("KmvQuantiles: exact below k, near-true above, partition-invariant, SQL-callable") {
+    import spark.implicits._
+    import graft.functions.KmvQuantiles
+    def qCol(k: Int) = F.toColumn(KmvQuantiles(F.toExpr(col("h")),
+      F.toExpr(col("v")), k, Seq(0.25, 0.5, 0.75)).toAggregateExpression()).as("ps")
+    def rows(n: Int) = spark.range(n)
+      .select(col("id").as("v"),
+        conv(substring(md5(concat(col("id").cast("string"), lit(":kq"))), 1, 15), 16, 10)
+          .cast("long").as("h"))
+    // below k the sample IS the group: nearest-rank over 0..99 —
+    // floor(q*99) = 24, 49, 74
+    val exact = rows(100).select(qCol(256)).head.getSeq[Long](0)
+    assert(exact == Seq(24L, 49L, 74L), exact.toString)
+    // above k (uniform 0..19999, k=512): each quantile within 10% of truth
+    val est = rows(20000).select(qCol(512)).head.getSeq[Long](0)
+    Seq(5000L, 10000L, 15000L).zip(est).foreach { case (truth, e) =>
+      assert(math.abs(e - truth) < 2000, s"$e vs $truth") }
+    // the sample is a pure function of the (hash, value) SET: any
+    // partitioning/merge order yields the identical array
+    val one = rows(20000).coalesce(1).select(qCol(512)).head.getSeq[Long](0)
+    val many = rows(20000).repartition(16).select(qCol(512)).head.getSeq[Long](0)
+    assert(one == est && many == est)
+    // SQL surface via GraftExtensions (literal k + fraction varargs)
+    graft.GraftExtensions.register(spark)
+    rows(100).createOrReplaceTempView("kq_t")
+    val viaSql = spark.sql(
+      "SELECT kmv_quantiles(h, v, 256, 0.25D, 0.5D, 0.75D) FROM kq_t")
+      .head.getSeq[Long](0)
+    assert(viaSql == Seq(24L, 49L, 74L), viaSql.toString)
+  }
+
   test("KmvDistinct: non-Long input is an analysis-time error, not ClassCastException") {
     // ExpectsInputTypes(LongType): the sketch buffers 60-bit hashes as
     // longs; an Int column must fail resolution, not mid-job.
