@@ -70,4 +70,54 @@ object RangeJoin {
       .filter(col(pointCol) >= col(loCol) && col(pointCol) < col(hiCol))
       .drop(bin)
   }
+
+  /** Interval × interval overlap join: all pairs whose half-open
+    * intervals truly intersect — `max(lLo,rLo) < min(lHi,rHi)`, i.e.
+    * the pairwise predicate `lLo < rHi && rLo < lHi` restricted to
+    * non-empty intervals (an empty `[x,x)` intersects nothing, even
+    * where the bare predicate would claim otherwise). Same binning idea
+    * as [[pointInInterval]], with both sides replicated to the bins
+    * they cover — but a pair of long intervals now meets in EVERY
+    * shared bin, so each pair is emitted only from the single bin
+    * containing the overlap START `max(lLo, rLo)`: that bin is always
+    * covered by both sides (the start lies inside both intervals),
+    * making the dedup a cheap post-join predicate instead of a
+    * `distinct` shuffle over the pair output.
+    *
+    * FP safety: `max(lLo, rLo)` is one side's own lo, whose bin that
+    * side replicated by the identical `floor(lo/w)` computation; for
+    * the other side, FP division is weakly monotone, so the start's
+    * bin stays within `floor(lo/w)..floor(hi/w)` — no pair is lost to
+    * rounding. Empty intervals (`hi <= lo`) replicate to no bins and
+    * so never reach the join — which is what gives the true
+    * intersection semantics above.
+    *
+    * Scale shape: ONE shuffle keyed on (bin, extraKeys); cost is
+    * Σ per-bin |L_b|·|R_b|. As with [[pointInInterval]], fold any
+    * natural entity key into `extraKeys` so a dense value range never
+    * goes corpus-quadratic inside a bin. */
+  def intervalOverlap(left: DataFrame, right: DataFrame,
+      lLo: String, lHi: String, rLo: String, rHi: String,
+      binWidth: Double, extraKeys: Seq[String] = Nil): DataFrame = {
+    require(binWidth > 0, s"intervalOverlap: binWidth=$binWidth must be > 0")
+    extraKeys.foreach { k =>
+      require(left.columns.contains(k) && right.columns.contains(k),
+        s"intervalOverlap: extra key $k must exist on both sides")
+    }
+    require(!left.columns.filterNot(extraKeys.contains)
+        .exists(right.columns.filterNot(extraKeys.contains).contains),
+      "intervalOverlap: left/right column names collide")
+    val bin = "_rj_bin"
+    def binned(df: DataFrame, lo: String, hi: String): DataFrame = {
+      val loBin = floor(col(lo) / binWidth).cast("long")
+      val hiBin = greatest(floor(col(hi) / binWidth).cast("long"), loBin)
+      df.withColumn(bin, explode(when(col(hi) > col(lo),
+        sequence(loBin, hiBin, lit(1L))).otherwise(array().cast("array<long>"))))
+    }
+    binned(left, lLo, lHi)
+      .join(binned(right, rLo, rHi), bin +: extraKeys)
+      .filter(col(lLo) < col(rHi) && col(rLo) < col(lHi) &&
+        col(bin) === floor(greatest(col(lLo), col(rLo)) / binWidth).cast("long"))
+      .drop(bin)
+  }
 }

@@ -22,6 +22,8 @@ object RelationalPack extends QueryPack {
 
   private def dsum(c: String) =
     round(sum(col(c).cast("decimal(18,2)")), 2).cast("double")
+  private def dsum2(c: org.apache.spark.sql.Column) =
+    round(sum(c.cast("decimal(18,2)")), 2).cast("double")
   private def dsumSql(c: String) =
     s"CAST(ROUND(SUM(CAST($c AS DECIMAL(18,2))), 2) AS DOUBLE)"
 
@@ -430,6 +432,29 @@ object RelationalPack extends QueryPack {
         .orderBy("band")
     }),
 
+    // Interval × interval overlap join (ops/RangeJoin.intervalOverlap):
+    // price-similarity pairs within a brand — parts whose ±5 price
+    // windows overlap (⇔ |Δprice| < 10). The naive plan is a per-brand
+    // cross × inequality filter (BNL); the binned form is a hash join
+    // on (bin, brand), each pair deduped by the overlap-start bin
+    // predicate instead of a distinct shuffle. The brand extra-key
+    // keeps a dense price range entity-local, never corpus-quadratic.
+    "range_join_overlap" -> ((s, dir) => {
+      val p = Tables.load(s, dir, "part").filter(col("p_size") <= 10)
+      val a = p.select(col("p_partkey").as("a_key"), col("p_brand"),
+        (col("p_retailprice") - 5.0).as("a_lo"), (col("p_retailprice") + 5.0).as("a_hi"))
+      val b = p.select(col("p_partkey").as("b_key"), col("p_brand"),
+        (col("p_retailprice") - 5.0).as("b_lo"), (col("p_retailprice") + 5.0).as("b_hi"))
+      graft.ops.RangeJoin.intervalOverlap(
+          a, b, "a_lo", "a_hi", "b_lo", "b_hi", binWidth = 10.0,
+          extraKeys = Seq("p_brand"))
+        .filter(col("a_key") < col("b_key"))
+        .groupBy("p_brand")
+        .agg(count(lit(1)).as("n_pairs"),
+          dsum2(greatest(col("b_lo"), col("a_lo")) - least(col("b_lo"), col("a_lo"))).as("sum_gap"))
+        .orderBy("p_brand")
+    }),
+
     // Hierarchical aggregate: ROLLUP + grouping_id — one shuffle
     // computes all levels (Expand feeds a single hash aggregate).
     "agg_rollup" -> ((s, dir) =>
@@ -439,6 +464,42 @@ object RelationalPack extends QueryPack {
           count(lit(1)).as("n"))
         .select("l_returnflag", "l_linestatus", "gid", "sum_qty", "n")
         .orderBy("gid", "l_returnflag", "l_linestatus")),
+
+    // CUBE sibling of the rollup: all 2^n grouping combinations from
+    // the same Expand-into-one-hash-aggregate plan — the (flag)-only
+    // and (status)-only marginals rollup can't produce. Still ONE
+    // shuffle regardless of the number of grouping sets.
+    "agg_cube" -> ((s, dir) =>
+      Tables.load(s, dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(grouping_id().as("gid"), dsum("l_quantity").as("sum_qty"),
+          count(lit(1)).as("n"))
+        .select("l_returnflag", "l_linestatus", "gid", "sum_qty", "n")
+        .orderBy("gid", "l_returnflag", "l_linestatus")),
+
+    // Existence joins — the reference derives added/deleted classes
+    // from its full-outer diff (SURVEY §2.4); here they are first-class
+    // LEFT SEMI / LEFT ANTI plans. The probe side streams; the build
+    // side is the filtered orders projection (one column), so the
+    // hash table holds keys only — at 100 TB the filter and the
+    // single-column projection push into the parquet scan and the
+    // join never materializes non-key order columns.
+    "join_semi_urgent" -> ((s, dir) => {
+      val urgent = Tables.load(s, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT").select("o_custkey")
+      Tables.load(s, dir, "customer")
+        .join(urgent, col("c_custkey") === col("o_custkey"), "left_semi")
+        .groupBy("c_mktsegment").agg(count(lit(1)).as("n_customers"))
+        .orderBy("c_mktsegment")
+    }),
+    "join_anti_urgent" -> ((s, dir) => {
+      val urgent = Tables.load(s, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT").select("o_custkey")
+      Tables.load(s, dir, "customer")
+        .join(urgent, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment").agg(count(lit(1)).as("n_customers"))
+        .orderBy("c_mktsegment")
+    }),
 
     // Pivot with an explicit value list (never the implicit-distinct
     // variant — that one runs a blocking distinct job before planning,
@@ -862,12 +923,44 @@ object RelationalPack extends QueryPack {
          |      FROM (SELECT unnest(range(20)) AS k)) b
          |JOIN orders o ON o.o_totalprice >= b.lo AND o.o_totalprice < b.hi
          |GROUP BY b.band ORDER BY b.band""".stripMargin,
+    // semantics check for the binned overlap construction: DuckDB runs
+    // the plain inequality self-join. The gap expression repeats the
+    // engine's exact FP steps ((p-5.0) diffs, not raw price diffs) so
+    // both sides round the identical double into DECIMAL(18,2).
+    "range_join_overlap" ->
+      """SELECT a.p_brand, count(*) AS n_pairs,
+        |  CAST(ROUND(SUM(CAST(
+        |    greatest(a.p_retailprice-5.0, b.p_retailprice-5.0)
+        |    - least(a.p_retailprice-5.0, b.p_retailprice-5.0)
+        |    AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_gap
+        |FROM part a JOIN part b
+        |  ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+        |  AND (a.p_retailprice-5.0) < (b.p_retailprice+5.0)
+        |  AND (b.p_retailprice-5.0) < (a.p_retailprice+5.0)
+        |WHERE a.p_size <= 10 AND b.p_size <= 10
+        |GROUP BY a.p_brand ORDER BY a.p_brand""".stripMargin,
     "agg_rollup" ->
       s"""SELECT l_returnflag, l_linestatus,
          |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
          |  ${dsumSql("l_quantity")} AS sum_qty, count(*) AS n
          |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
          |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin,
+    "agg_cube" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+         |  ${dsumSql("l_quantity")} AS sum_qty, count(*) AS n
+         |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+         |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin,
+    "join_semi_urgent" ->
+      """SELECT c_mktsegment, count(*) AS n_customers FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "join_anti_urgent" ->
+      """SELECT c_mktsegment, count(*) AS n_customers FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     "pivot_event_types" ->
       """SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day,
         |  count(*) FILTER (WHERE event_type='click') AS click,

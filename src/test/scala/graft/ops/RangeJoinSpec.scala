@@ -112,4 +112,70 @@ class RangeJoinSpec extends SparkSpec {
     val r = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(8), prop)
     assert(r.passed, r.status.toString)
   }
+
+  // ---- intervalOverlap ----
+
+  /** Ground truth for overlap: cross join + non-empty-intersection test.
+    * `max(lo) < min(hi)` — unlike the bare `alo < bhi && blo < ahi`
+    * predicate, this correctly excludes empty intervals (`hi <= lo`),
+    * whose half-open intersection with anything is empty. */
+  private def naiveOverlap(as: Seq[(Int, Double, Double)],
+      bs: Seq[(Int, Double, Double)]) =
+    (for {
+      (aid, alo, ahi) <- as
+      (bid, blo, bhi) <- bs
+      if math.max(alo, blo) < math.min(ahi, bhi)
+    } yield (aid, bid)).sorted
+
+  private def binnedOverlap(as: Seq[(Int, Double, Double)],
+      bs: Seq[(Int, Double, Double)], w: Double) = {
+    val aDf = as.toDF("aid", "a_lo", "a_hi")
+    val bDf = bs.toDF("bid", "b_lo", "b_hi")
+    RangeJoin.intervalOverlap(aDf, bDf, "a_lo", "a_hi", "b_lo", "b_hi", w)
+      .select("aid", "bid").as[(Int, Int)].collect().toSeq.sorted
+  }
+
+  test("overlap join ≡ cross+filter, each pair exactly once (no bin dup)") {
+    // Long intervals sharing MANY bins are the dedup trap: without the
+    // overlap-start-bin predicate every shared bin re-emits the pair.
+    val as = Seq((1, -10.0, 50.0), (2, 0.0, 0.0), (3, 2.0, 2.5), (4, 49.9, 60.0))
+    val bs = Seq((10, -100.0, 100.0), (11, 2.4, 2.6), (12, 55.0, 55.0 + 1e-9),
+      (13, 5.0, 5.0))
+    for (w <- Seq(0.5, 3.0, 1000.0)) {
+      val got = binnedOverlap(as, bs, w)
+      assert(got === naiveOverlap(as, bs), s"binWidth=$w")
+      assert(got.distinct === got, s"duplicate pairs at binWidth=$w")
+    }
+  }
+
+  test("overlap boundary: touching intervals (a.hi == b.lo) do NOT overlap") {
+    val as = Seq((1, 0.0, 10.0))
+    val bs = Seq((2, 10.0, 20.0), (3, 9.999, 10.0))
+    assert(binnedOverlap(as, bs, 10.0) === Seq((1, 3)))
+    assert(binnedOverlap(as, bs, 7.0) === Seq((1, 3)))
+  }
+
+  test("overlap extra keys: pairs stay entity-local") {
+    val as = Seq((1L, 100, 0.0, 10.0), (2L, 101, 0.0, 10.0)).toDF("k", "aid", "a_lo", "a_hi")
+    val bs = Seq((1L, 200, 5.0, 15.0), (2L, 201, 50.0, 60.0)).toDF("k", "bid", "b_lo", "b_hi")
+    val got = RangeJoin.intervalOverlap(as, bs, "a_lo", "a_hi", "b_lo", "b_hi",
+        5.0, extraKeys = Seq("k"))
+      .select("aid", "bid").as[(Int, Int)].collect().toSet
+    assert(got === Set((100, 200))) // 101×200 blocked by key, 101×201 no overlap
+  }
+
+  test("property: overlap join equals the cross-join definition on random data") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val vG = Gen.chooseNum(-40, 40).map(_ / 4.0)
+    val side = Gen.listOfN(12, Gen.zip(vG, vG)) // unordered: ~half degenerate
+    val widthG = Gen.oneOf(0.25, 1.0, 3.0, 10.0)
+    val prop = Prop.forAll(side, side, widthG) { (as0, bs0, w) =>
+      val as = as0.zipWithIndex.map { case ((a, b), i) => (i, a, b) }
+      val bs = bs0.zipWithIndex.map { case ((a, b), i) => (i, a, b) }
+      val got = binnedOverlap(as, bs, w)
+      got == naiveOverlap(as, bs) && got.distinct == got
+    }
+    val r = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(8), prop)
+    assert(r.passed, r.status.toString)
+  }
 }
