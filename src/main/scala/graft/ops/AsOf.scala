@@ -76,6 +76,68 @@ object AsOf {
       payloadCols.map(c => when(keep, col(c)).as(c))): _*)
   }
 
+  /** Nearest as-of (pandas `merge_asof(direction='nearest')`): for
+    * each left row, whichever of the most-recent-prior and
+    * next-at-or-after right rows is closer in absolute time distance —
+    * ties go BACKWARD (the prior row), matching the backward-biased
+    * convention of the rest of the family. One-sided misses fall back
+    * to the side that matched; a null left time matches nothing (as
+    * does a null right time, dropped identically to [[joinAsOf]]).
+    *
+    * Scale shape: ONE shuffle — both carry directions are windows over
+    * the same key partitioning (ascending and side-flipped orderings),
+    * so the plan is a single Exchange with two local sorts, not two
+    * joins. Times must be castable to timestamp (timestamps, NTZ
+    * timestamps, or epoch-second numerics); distances compare in
+    * microseconds. */
+  def joinAsOfNearest(leftDf: DataFrame, rightDf: DataFrame, keyCol: String,
+      leftTime: String, rightTime: String, payloadCols: Seq[String]): DataFrame = {
+    require(payloadCols.nonEmpty, "joinAsOfNearest: at least one payload column")
+    val leftCols = leftDf.columns.toSeq
+    require(!payloadCols.exists(leftCols.contains),
+      s"joinAsOfNearest: payload ${payloadCols.mkString(",")} collides with left columns")
+    val t = "_asof_t"; val side = "_asof_side"; val p = "_asof_p"
+    // payload struct leads with the right time so the chooser can
+    // compare distances without a second pass
+    val pType = StructType(rightDf.schema(rightTime) +: payloadCols.map(c => rightDf.schema(c)))
+    val taggedRight = rightDf.filter(col(rightTime).isNotNull).select(
+      (col(keyCol) +: col(rightTime).as(t) +: lit(0).as(side) +:
+        struct((col(rightTime) +: payloadCols.map(col)): _*).as(p) +:
+        leftCols.filterNot(_ == keyCol)
+          .map(c => lit(null).cast(leftDf.schema(c).dataType).as(c))): _*)
+    val taggedLeft = leftDf.select(
+      (col(keyCol) +: col(leftTime).as(t) +: lit(1).as(side) +:
+        lit(null).cast(pType).as(p) +:
+        leftCols.filterNot(_ == keyCol).map(col)): _*)
+    // backward: right rows sort BEFORE left at an equal instant, so
+    // the frame up to current row sees them (`<=`); forward flips the
+    // side order so equal-instant right rows land AFTER the left row
+    // inside the following frame (`>=`)
+    val wB = Window.partitionBy(keyCol).orderBy(col(t).asc, col(side).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wF = Window.partitionBy(keyCol).orderBy(col(t).asc, col(side).desc)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    def micros(c: org.apache.spark.sql.Column) = unix_micros(c.cast("timestamp"))
+    val back = last(col(p), ignoreNulls = true).over(wB)
+    val fwd = first(col(p), ignoreNulls = true).over(wF)
+    val chosen = {
+      val b = col("_asof_b"); val f = col("_asof_f"); val tM = micros(col(t))
+      when(col(t).isNull, lit(null).cast(pType))
+        .when(b.isNull, f)
+        .when(f.isNull, b)
+        .otherwise(when(
+          tM - micros(b.getField(rightTime)) <= micros(f.getField(rightTime)) - tM,
+          b).otherwise(f))
+    }
+    taggedRight.unionByName(taggedLeft)
+      .withColumn("_asof_b", back)
+      .withColumn("_asof_f", fwd)
+      .filter(col(side) === 1)
+      .withColumn(p, chosen)
+      .select((col(keyCol) +: leftCols.filterNot(_ == keyCol).map(col)) ++
+        payloadCols.map(c => col(s"$p.$c").as(c)): _*)
+  }
+
   private def joinAsOfImpl(leftDf: DataFrame, rightDf: DataFrame, keyCol: String,
       leftTime: String, rightTime: String, payloadCols: Seq[String],
       forward: Boolean): DataFrame = {

@@ -1,0 +1,63 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Fuzzy (edit-distance) join — match strings within Levenshtein
+  * distance `k` across two tables without the cross join Catalyst
+  * would otherwise plan (BroadcastNestedLoopJoin, O(|L|·|R|) distance
+  * evaluations — dead at corpus scale).
+  *
+  * Candidate generation is the symmetric-delete scheme (SymSpell): if
+  * `ed(s, t) <= k` then some string is reachable from BOTH s and t by
+  * at most k character deletions (delete the aligned edit positions
+  * from each side), so the deletion neighborhoods intersect. The
+  * converse does not hold (intersection only bounds `ed <= 2k`), so
+  * candidates are confirmed with the exact codegen'd `levenshtein`.
+  *
+  * Scale shape: each side expands to its deletion variants (`len+1`
+  * per row at k=1 — bounded, data-independent), ONE equi-join shuffle
+  * on the variant string, then a `distinct` + exact-distance filter
+  * over the CANDIDATE set only — which the variant equality has
+  * already cut from |L|·|R| to near the true match count. This is the
+  * dirty-batch × master-table record-linkage shape: the master side
+  * expands narrowly and joins hash-partitioned at any scale.
+  */
+object Fuzzy {
+
+  /** All distinct strings reachable from `c` by deleting at most `k`
+    * characters (includes `c` itself), as an array column. k is a
+    * structural constant: each level multiplies worst-case variants by
+    * the string length, so keep k <= 2 (SymSpell practice). */
+  def deletionVariants(c: Column, k: Int): Column = {
+    require(k >= 1 && k <= 2, s"deletionVariants: k=$k outside 1..2")
+    // single-character deletions of every element of an array column;
+    // empty strings delete to nothing (sequence(0,-1) would DESCEND,
+    // so guard the degenerate length explicitly)
+    def del1(arr: Column): Column = array_distinct(flatten(transform(arr, v =>
+      when(length(v) > 0,
+        transform(sequence(lit(0), length(v) - 1), i =>
+          concat(v.substr(lit(1), i), v.substr(i + lit(2), length(v)))))
+        .otherwise(array().cast("array<string>")))))
+    (1 to k).foldLeft(array(c)) { (acc, _) =>
+      array_distinct(concat(acc, del1(acc)))
+    }
+  }
+
+  /** left ⋈ right on `levenshtein(lCol, rCol) <= k`. Column names
+    * must not collide across sides (rename before calling — same
+    * contract as [[RangeJoin]]). Null strings match nothing. The
+    * `distinct` runs over joined candidates, deduping pairs that share
+    * several variants; input rows are assumed distinct (keyed). */
+  def editJoin(left: DataFrame, right: DataFrame,
+      lCol: String, rCol: String, k: Int): DataFrame = {
+    require(!left.columns.exists(right.columns.contains),
+      "editJoin: left/right column names collide")
+    val v = "_fz_variant"
+    val lv = left.withColumn(v, explode(deletionVariants(col(lCol), k)))
+    val rv = right.withColumn(v, explode(deletionVariants(col(rCol), k)))
+    lv.join(rv, v).drop(v)
+      .distinct()
+      .filter(levenshtein(col(lCol), col(rCol)) <= k)
+  }
+}

@@ -335,6 +335,26 @@ object RelationalPack extends QueryPack {
         .orderBy("user_id", "event_id")
     }),
 
+    // Nearest as-of (merge_asof direction='nearest'): the closer of
+    // the prior and next view wins, ties backward. Completes the
+    // direction family; still ONE shuffle — both carry directions are
+    // windows over the same key partitioning. Oracle composes DuckDB's
+    // backward and forward native ASOF joins with the same tie rule.
+    "events_asof_nearest" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"), col("ts"))
+      val views = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id"), col("ts").as("vts"))
+        .agg(max(col("event_id")).as("view_event_id"))
+      graft.ops.AsOf.joinAsOfNearest(purchases, views, "user_id", "ts", "vts",
+          Seq("view_event_id"))
+        .select(col("user_id"), col("event_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts"),
+          col("view_event_id"))
+        .orderBy("user_id", "event_id")
+    }),
+
     // §2.13 custom TypedImperativeAggregate: KMV distinct-count sketch
     // (k smallest distinct keyed-md5 hashes; O(k) state per group at
     // any scale) next to the exact count it approximates. The sketch
@@ -499,6 +519,25 @@ object RelationalPack extends QueryPack {
         .join(urgent, col("c_custkey") === col("o_custkey"), "left_anti")
         .groupBy("c_mktsegment").agg(count(lit(1)).as("n_customers"))
         .orderBy("c_mktsegment")
+    }),
+
+    // Fuzzy (edit-distance) join — ops/Fuzzy.editJoin: a dirty batch
+    // of corrupted names (last char -> 'X') linked back to the master
+    // table within Levenshtein 1. SymSpell deletion-variant candidates
+    // make it ONE equi-join shuffle; the exact levenshtein confirms
+    // candidates only. The naive plan (DuckDB's, and Catalyst's if
+    // asked directly) is a nested-loop over |master|x|dirty|.
+    "fuzzy_join_names" -> ((s, dir) => {
+      val cust = Tables.load(s, dir, "customer").filter(col("c_nationkey") === 7)
+      val master = cust.select(col("c_custkey").as("a_key"), col("c_name").as("a_name"))
+      val dirty = cust.filter(col("c_custkey") % 3 === 0)
+        .select(col("c_custkey").as("b_key"),
+          concat(expr("substring(c_name, 1, length(c_name)-1)"), lit("X")).as("b_name"))
+      graft.ops.Fuzzy.editJoin(master, dirty, "a_name", "b_name", 1)
+        .groupBy("b_key")
+        .agg(count(lit(1)).as("n_matches"), min("a_key").as("min_a_key"),
+          sum(levenshtein(col("a_name"), col("b_name"))).as("sum_dist"))
+        .orderBy("b_key")
     }),
 
     // Pivot with an explicit value list (never the implicit-distinct
@@ -858,6 +897,24 @@ object RelationalPack extends QueryPack {
         |  v.view_event_id
         |FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND v.vts <= p.ts
         |ORDER BY p.user_id, p.event_id""".stripMargin,
+    // nearest = the closer of DuckDB's native backward and forward
+    // ASOF matches, ties backward — the same rule the engine applies
+    "events_asof_nearest" ->
+      """WITH p AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'),
+        |v AS (SELECT user_id, ts AS vts, max(event_id) AS view_event_id
+        |  FROM events WHERE event_type = 'view' GROUP BY 1, 2),
+        |b AS (SELECT p.user_id, p.event_id, p.ts, v.vts AS bts, v.view_event_id AS bid
+        |  FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND v.vts <= p.ts),
+        |f AS (SELECT p.user_id, p.event_id, v.vts AS fts, v.view_event_id AS fid
+        |  FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND v.vts >= p.ts)
+        |SELECT b.user_id, b.event_id,
+        |  strftime(CAST(b.ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S.%f') AS ts,
+        |  CASE WHEN b.bid IS NOT NULL AND (f.fid IS NULL OR
+        |         CAST(b.ts AS TIMESTAMP) - CAST(b.bts AS TIMESTAMP)
+        |           <= CAST(f.fts AS TIMESTAMP) - CAST(b.ts AS TIMESTAMP))
+        |       THEN b.bid ELSE f.fid END AS view_event_id
+        |FROM b JOIN f ON b.user_id = f.user_id AND b.event_id = f.event_id
+        |ORDER BY b.user_id, b.event_id""".stripMargin,
     // mirrors KmvDistinct exactly: k-th smallest distinct 60-bit hash
     // via a row_number window, estimate in HUGEINT floor division
     "kmv_distinct_segments" ->
@@ -961,6 +1018,19 @@ object RelationalPack extends QueryPack {
         |WHERE NOT EXISTS (SELECT 1 FROM orders o
         |  WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    // the oracle states the SEMANTICS as the plain distance join;
+    // DuckDB nested-loops it (fine at oracle scale), the engine runs
+    // the deletion-variant equi-join instead
+    "fuzzy_join_names" ->
+      """SELECT b.b_key, count(*) AS n_matches, min(a.c_custkey) AS min_a_key,
+        |  CAST(sum(levenshtein(a.c_name, b.b_name)) AS BIGINT) AS sum_dist
+        |FROM customer a JOIN
+        |  (SELECT c_custkey AS b_key,
+        |          substr(c_name, 1, length(c_name)-1) || 'X' AS b_name
+        |   FROM customer WHERE c_nationkey = 7 AND c_custkey % 3 = 0) b
+        |  ON levenshtein(a.c_name, b.b_name) <= 1
+        |WHERE a.c_nationkey = 7
+        |GROUP BY b.b_key ORDER BY b.b_key""".stripMargin,
     "pivot_event_types" ->
       """SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day,
         |  count(*) FILTER (WHERE event_type='click') AS click,

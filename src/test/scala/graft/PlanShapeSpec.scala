@@ -284,6 +284,39 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("agg_cube runs Expand into ONE hash aggregate — 2^n grouping sets, one shuffle") {
+    val p = plan("agg_cube")
+    assert(p.contains("Expand"), p)
+    assert(p.contains("HashAggregate"), p)
+    assert(!p.contains("SortAggregate"), p)
+  }
+
+  test("join_semi_urgent: LEFT SEMI whose build side scans keys-only with the priority filter pushed down") {
+    val df = SparkEntry.queries("join_semi_urgent")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("LeftSemi"), p)
+    val scan = df.queryExecution.sparkPlan.toString.linesIterator
+      .filter(_.contains("FileScan")).find(_.contains("o_custkey")).getOrElse("")
+    // the filter reaches the parquet scan and the read schema carries
+    // only the join key + filter column — at 100 TB the hash table
+    // holds keys, never whole order rows
+    assert(scan.contains("EqualTo(o_orderpriority,1-URGENT)"), scan)
+    assert(!scan.contains("o_totalprice") && !scan.contains("o_orderdate"), scan)
+  }
+
+  test("join_anti_urgent is a LEFT ANTI plan — not a full-outer + null filter") {
+    val p = plan("join_anti_urgent")
+    assert(p.contains("LeftAnti"), p)
+    assert(!p.contains("FullOuter"), p)
+  }
+
+  test("range_join_overlap stays an equi-join on (bin, brand) — never nested-loop/cartesian") {
+    val p = plan("range_join_overlap")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
+      p.contains("ShuffledHashJoin"), p)
+  }
+
   test("ann_topk_quantized broadcasts the quantized query side; HOFs stay per-row") {
     val df = SparkEntry.queries("ann_topk_quantized")(spark, sf)
     val p = df.queryExecution.executedPlan.toString

@@ -133,4 +133,61 @@ class AsOfSpec extends SparkSpec {
     val r = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(8), prop)
     assert(r.passed, r.status.toString)
   }
+
+  test("nearest as-of: closer side wins, ties go backward, one-sided misses fall back") {
+    val l = Seq((1L, 100L, "fwd_closer"), (1L, 200L, "back_closer"),
+      (1L, 300L, "tie_back"), (2L, 10L, "only_fwd"), (3L, 10L, "no_rights"))
+      .toDF("k", "lt", "name")
+    val r = Seq(
+      (1L, 90L, "r90"), (1L, 105L, "r105"),   // 100: 10 back vs 5 fwd
+      (1L, 260L, "r260"),                      // 200: 95 back (r105) vs 60 fwd
+      (1L, 295L, "r295"), (1L, 305L, "r305"),  // 300: 5 == 5 -> backward
+      (2L, 50L, "r50"))                        // 10: nothing prior
+      .toDF("k", "rt", "tag")
+    val out = AsOf.joinAsOfNearest(l, r, "k", "lt", "rt", Seq("tag"))
+      .collect().map(x => (x.getAs[String]("name"), x.getAs[String]("tag"))).toMap
+    assert(out === Map("fwd_closer" -> "r105", "back_closer" -> "r260",
+      "tie_back" -> "r295", "only_fwd" -> "r50", "no_rights" -> null))
+  }
+
+  test("nearest as-of: equal instant matches itself; null right times dropped") {
+    val l = Seq((1L, 100L, "exact")).toDF("k", "lt", "name")
+    val r = Seq((1L, Some(100L), "self"), (1L, Some(101L), "later"),
+      (1L, None, "null_rt")).toDF("k", "rt", "tag")
+    val out = AsOf.joinAsOfNearest(l, r, "k", "lt", "rt", Seq("tag"))
+      .collect().map(x => (x.getAs[String]("name"), x.getAs[String]("tag"))).toMap
+    assert(out === Map("exact" -> "self"))
+  }
+
+  test("property: nearest agrees with brute force (closer of back/fwd, ties backward)") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val keyG = Gen.chooseNum(1L, 4L)
+    val tG = Gen.chooseNum(0L, 50L)
+    val leftG = Gen.listOfN(25, Gen.zip(keyG, tG))
+    val rightG = Gen.listOfN(25, Gen.zip(keyG, tG)).map(_.distinct)
+    val prop = Prop.forAll(leftG, rightG) { (ls, rs0) =>
+      val rs = rs0.zipWithIndex.map { case ((k, t), i) => (k, t, s"tag$i") }
+      val lDf = ls.zipWithIndex.map { case ((k, t), i) => (k, t, s"L$i") }
+        .toDF("k", "lt", "name")
+      val got = AsOf.joinAsOfNearest(lDf, rs.toDF("k", "rt", "tag"),
+          "k", "lt", "rt", Seq("tag"))
+        .collect().map(x => (x.getAs[String]("name"), x.getAs[String]("tag"))).toMap
+      val want = ls.zipWithIndex.map { case ((k, t), i) =>
+        val mine = rs.filter(_._1 == k)
+        val b = mine.filter(_._2 <= t).sortBy(_._2).lastOption
+        val f = mine.filter(_._2 >= t).sortBy(_._2).headOption
+        val best = (b, f) match {
+          case (Some(bb), Some(ff)) =>
+            if (t - bb._2 <= ff._2 - t) bb._3 else ff._3
+          case (Some(bb), None) => bb._3
+          case (None, Some(ff)) => ff._3
+          case _ => null
+        }
+        s"L$i" -> best
+      }.toMap
+      got == want
+    }
+    val r = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(8), prop)
+    assert(r.passed, r.status.toString)
+  }
 }
