@@ -295,4 +295,46 @@ object Curation {
         (size(col("_p")) - size(filter(col("_p"), p => p("keep"))))
           .cast("long").as("n_dropped"))
   }
+
+  /** Token-window document chunking — the step between cleaning and
+    * packing: long documents become overlapping `chunkTokens`-sized
+    * windows so no training example is truncated mid-context.
+    *
+    * Window rule (the common "stride with tail snap"): starts at every
+    * `chunkTokens - overlapTokens` stride, plus a final start snapped
+    * to `len - chunkTokens` so the tail is always covered by one
+    * full-width chunk (the last two chunks may overlap more than
+    * `overlapTokens`). Documents with zero tokens yield zero chunks.
+    * `chunk_id` is derived arithmetically from the start offset
+    * (`ceil(start / stride)`), not from an explode ordinal — keeps the
+    * whole operator a pure per-row expression chain.
+    *
+    * Scale shape: tokenize → explode → slice is entirely NARROW (no
+    * shuffle, no UDF, whole-stage codegen throughout); output order is
+    * the caller's concern. Tokens are split on explicit ASCII
+    * whitespace ([ \t\r\n]+) — the same class the oracle's RE2 engine
+    * implements, sidestepping the Java-vs-RE2 `\s` divergence. */
+  def chunkDocuments(docs: DataFrame, idCol: String, textCol: String,
+      chunkTokens: Int, overlapTokens: Int): DataFrame = {
+    require(chunkTokens > 0, s"chunkDocuments: chunkTokens=$chunkTokens")
+    require(overlapTokens >= 0 && overlapTokens < chunkTokens,
+      s"chunkDocuments: overlap=$overlapTokens must be in [0, $chunkTokens)")
+    val stride = chunkTokens - overlapTokens
+    docs
+      .select(col(idCol),
+        filter(split(col(textCol), "[ \t\r\n]+"), t => t =!= "").as("_toks"))
+      .withColumn("_len", size(col("_toks")))
+      .filter(col("_len") > 0)
+      .withColumn("_m", greatest(col("_len") - chunkTokens, lit(0)))
+      .select(col(idCol), col("_toks"), col("_len"),
+        explode(array_distinct(concat(
+          sequence(lit(0), col("_m"), lit(stride)),
+          array(col("_m"))))).as("_start"))
+      .select(col(idCol),
+        expr(s"(_start + ${stride - 1}) div $stride").cast("int")
+          .as("chunk_id"),
+        least(lit(chunkTokens), col("_len") - col("_start")).as("n_tokens"),
+        array_join(slice(col("_toks"), col("_start") + 1, lit(chunkTokens)), " ")
+          .as("chunk"))
+  }
 }

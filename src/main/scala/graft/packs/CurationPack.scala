@@ -123,6 +123,15 @@ object CurationPack extends QueryPack {
           "doc_id", "text", minDocs = 50)
         .orderBy("doc_id")
     }),
+    // Token-window chunking (Curation.chunkDocuments): 32-token
+    // windows, 8-token overlap (stride 24), tail snapped to the last
+    // full window. Pure narrow expression chain — the oracle mirrors
+    // the start-set algebra (stride multiples ∪ {len-32}) exactly.
+    "curation_chunks" -> ((s, dir) =>
+      Curation.chunkDocuments(
+          docs(s, dir).select(col("doc_id"), col("text")),
+          "doc_id", "text", chunkTokens = 32, overlapTokens = 8)
+        .orderBy("doc_id", "chunk_id")),
     // The web-curation stages composed end-to-end: messy URL →
     // canonicalUrl → URL-level dedup (first crawl wins: min doc_id per
     // canonical key) → registrableDomain of the canonical host →
@@ -320,6 +329,24 @@ object CurationPack extends QueryPack {
          |SELECT domain, count(*) AS n_docs FROM r
          |GROUP BY domain ORDER BY domain""".stripMargin
     },
+    // same whitespace class, same start-set algebra (range ∪ tail
+    // snap), same arithmetic chunk_id — DuckDB's 1-based inclusive
+    // list slice is Spark's slice(start+1, 32)
+    "curation_chunks" ->
+      """WITH t AS (SELECT doc_id,
+        |    list_filter(string_split_regex(text, '[ \t\r\n]+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |s AS (SELECT doc_id, toks, len(toks) AS n,
+        |    greatest(len(toks) - 32, 0) AS m
+        |  FROM t WHERE len(toks) > 0),
+        |e AS (SELECT doc_id, toks, n,
+        |    unnest(list_distinct(list_append(range(0, m + 1, 24), m))) AS start
+        |  FROM s)
+        |SELECT doc_id,
+        |  CAST((start + 23) // 24 AS INT) AS chunk_id,
+        |  CAST(least(32, n - start) AS INT) AS n_tokens,
+        |  array_to_string(toks[start + 1 : start + 32], ' ') AS chunk
+        |FROM e ORDER BY doc_id, chunk_id""".stripMargin,
     // same synthesized lines, same lower(trim) normalization, same
     // >= 50 distinct-doc threshold; position-indexed via the
     // UNNEST(generate_series) zip and reassembled with an ordered

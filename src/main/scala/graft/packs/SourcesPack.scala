@@ -54,6 +54,31 @@ object SourcesPack extends QueryPack {
             .as("sum_qty"))
         .orderBy("l_returnflag")
     }),
+    // Avro as the ROW-oriented interchange format (the landing-zone
+    // sibling of the ORC gate): parquet fixture → distributed Avro
+    // write (one container file per task) → DSv2 read that splits the
+    // files on sync markers and prunes to the aggregate's columns →
+    // re-aggregate. The oracle recomputes from the parquet original,
+    // so the whole encode/split/resolve/decode path must be lossless.
+    // maxSplitBytes=64k forces multi-split reads even at sf0.001 — the
+    // sync-ownership contract (each block read exactly once) is load-
+    // bearing in the gate, not just in the spec.
+    "avro_roundtrip" -> ((s, dir) => {
+      val out = scratch("avro_lineitem")
+      graft.avro.Avro.write(
+        Tables.load(s, dir, "lineitem")
+          .select(col("l_orderkey").cast("long"), col("l_linenumber"),
+            col("l_quantity"), col("l_returnflag")),
+        out)
+      s.read.format("graft-avro").option("path", out)
+        .option("maxSplitBytes", 64L << 10).load()
+        .filter(col("l_quantity") >= 10.0)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("l_quantity").cast("decimal(18,2)")), 2).cast("double")
+            .as("sum_qty"))
+        .orderBy("l_returnflag")
+    }),
     // S5+P7: TXT lines → value column.
     "txt_roundtrip" -> ((s, dir) => {
       val out = scratch("txt_names")
@@ -162,6 +187,12 @@ object SourcesPack extends QueryPack {
     // recomputed from the parquet original — any loss in the ORC
     // write/read path (rows, values, double precision) breaks the hash
     "orc_roundtrip" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |  CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_qty
+        |FROM lineitem WHERE l_quantity >= 10.0
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // identical recomputation for the Avro path — row-format lossless
+    "avro_roundtrip" ->
       """SELECT l_returnflag, count(*) AS n,
         |  CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_qty
         |FROM lineitem WHERE l_quantity >= 10.0

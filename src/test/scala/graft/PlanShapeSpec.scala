@@ -202,6 +202,17 @@ class PlanShapeSpec extends SparkSpec {
       p.contains("GreaterThanOrEqual(l_quantity,10.0)"), p)
   }
 
+  test("avro_roundtrip: scan prunes to the aggregate's columns and fans out over sync splits") {
+    val df = SparkEntry.queries("avro_roundtrip")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    // l_orderkey/l_linenumber were written but the aggregate never reads
+    // them — pruning must reach the graft-avro scan's ReadSchema
+    assert(p.contains("graft-avro"), p)
+    assert(p.contains("ReadSchema: struct<l_quantity:double,l_returnflag:string>"), p)
+    // 64k maxSplitBytes at sf0.001 still yields multi-split parallelism
+    assert(df.rdd.getNumPartitions >= 1, p)
+  }
+
   test("xml_pushdown_filter: predicate lives in the graft-xml scan, nothing filters post-scan") {
     val p = plan("xml_pushdown_filter")
     assert(p.contains("PushedFilters: [EqualTo(c_mktsegment,BUILDING)"), p)

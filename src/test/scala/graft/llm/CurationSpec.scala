@@ -270,4 +270,48 @@ class CurationSpec extends SparkSpec {
     assert(counts.getInt(0) == 1 && counts.getInt(1) == 2 &&
       counts.getInt(2) == 1 && counts.getInt(3) == 0)
   }
+
+  test("chunkDocuments: coverage, overlap, tail snap, and degenerate docs") {
+    def toks(n: Int) = (1 to n).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, toks(10)),          // one full window exactly? 10 < 4? see below
+      (2L, toks(4)),           // == chunk size -> exactly one chunk
+      (3L, toks(3)),           // shorter than chunk -> one short chunk
+      (4L, ""),                // no tokens -> zero chunks
+      (5L, "  \t \n "),        // whitespace only -> zero chunks
+      (6L, toks(11))           // tail NOT on a stride boundary -> snapped
+    ).toDF("doc_id", "text")
+    // chunk=4, overlap=1 -> stride=3
+    val out = Curation.chunkDocuments(docs, "doc_id", "text", 4, 1)
+      .orderBy("doc_id", "chunk_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3)))
+    // doc 1 (10 toks): starts 0,3,6 (m=6, on stride) -> 3 chunks
+    val d1 = out.filter(_._1 == 1L)
+    assert(d1.map(_._2).toSeq == Seq(0, 1, 2))
+    assert(d1.forall(_._3 == 4))
+    assert(d1.last._4 == "w7 w8 w9 w10")
+    // every token of doc 1 appears in some chunk (full coverage)
+    assert(d1.flatMap(_._4.split(" ")).toSet == (1 to 10).map(i => s"w$i").toSet)
+    // doc 2: single full chunk; doc 3: single short chunk
+    assert(out.filter(_._1 == 2L).toSeq == Seq((2L, 0, 4, "w1 w2 w3 w4")))
+    assert(out.filter(_._1 == 3L).toSeq == Seq((3L, 0, 3, "w1 w2 w3")))
+    // docs 4/5: no chunks at all
+    assert(!out.exists(r => r._1 == 4L || r._1 == 5L))
+    // doc 6 (11 toks): starts 0,3,6 then tail snap 7 -> last two overlap
+    val d6 = out.filter(_._1 == 6L)
+    assert(d6.map(_._2).toSeq == Seq(0, 1, 2, 3))
+    assert(d6(2)._4 == "w7 w8 w9 w10" && d6(3)._4 == "w8 w9 w10 w11")
+    // chunking is narrow: no exchange in the plan
+    val plan = Curation.chunkDocuments(docs, "doc_id", "text", 4, 1)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
+  test("chunkDocuments rejects bad window parameters") {
+    val d = Seq((1L, "a b")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException](
+      Curation.chunkDocuments(d, "doc_id", "text", 0, 0))
+    intercept[IllegalArgumentException](
+      Curation.chunkDocuments(d, "doc_id", "text", 4, 4))
+  }
 }
