@@ -245,4 +245,61 @@ object Dedup {
       (0 until 16).map(b =>
         when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L))).reduce(_ + _).as("simhash"))
   }
+
+  /** 64-bit SimHash per document: bits 0–31 vote with one 32-bit token
+    * hash, bits 32–63 with a second independently-salted one. Same
+    * narrow-map + one-groupBy shape as [[simhash16]], just 64 small
+    * sums wide; bit 63's weight is `Long.MinValue`, so the bit-sum
+    * reconstruction is exact two's-complement (no overflow on either
+    * engine — the remaining bits sum below 2^63). */
+  def simhash64(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = docs
+      .select(col(idCol).as("id"), explode(split(col(textCol), " ")).as("tok"))
+      .select(col("id"), hash32(col("tok"), "sh64a").as("h1"),
+        hash32(col("tok"), "sh64b").as("h2"))
+    def vote(src: String, b: Int, out: Int) =
+      sum(when(expr(s"($src >> $b) & 1") === 1, 1).otherwise(-1)).as(s"s$out")
+    val votes = toks.groupBy("id").agg(vote("h1", 0, 0),
+      ((1 until 32).map(b => vote("h1", b, b)) ++
+        (0 until 32).map(b => vote("h2", b, b + 32))): _*)
+    votes.select(col("id"),
+      (0 until 64).map(b =>
+        when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L))).reduce(_ + _)
+        .as("simhash"))
+  }
+
+  /** SimHash near-duplicate pairs via banded Hamming search — the
+    * scale path that makes the fingerprint useful: the 64-bit simhash
+    * splits into four 16-bit bands, candidates are pairs sharing ≥1
+    * band value (equi-self-join, never all-pairs), and candidates are
+    * verified with an exact popcount on the XOR. By pigeonhole, a pair
+    * within `maxBits ≤ 3` differing bits cannot miss all four bands,
+    * so for the default threshold the banded result is EXACTLY the
+    * brute-force result (SimhashSpec property-checks this); above 3
+    * bits the bands become a recall filter, documented not hidden.
+    *
+    * Same Σ bucket² skew guard as [[lshCandidates]]: band values held
+    * by more than `maxBucket` docs are dropped before the join.
+    * Output (a, b, dist), a < b. */
+  def simhashBandedPairs(docs: DataFrame, idCol: String, textCol: String,
+      maxBits: Int = 3, maxBucket: Long = 10000L): DataFrame = {
+    require(maxBits >= 0 && maxBits <= 63, s"maxBits=$maxBits")
+    val sig = simhash64(docs, idCol, textCol)
+    val bands = sig.select(col("id"), col("simhash"),
+        explode(array((0 until 4).map(b => struct(lit(b).as("band"),
+          expr(s"(simhash >> ${16 * b}) & 65535").as("v"))): _*)).as("bv"))
+      .select(col("id"), col("simhash"),
+        col("bv.band").as("band"), col("bv.v").as("v"))
+    val ok = bands.groupBy("band", "v").agg(count(lit(1)).as("bn"))
+      .filter(col("bn") <= maxBucket)
+      .select("band", "v")
+    val capped = bands.join(ok, Seq("band", "v"))
+    val x = capped.as("x"); val y = capped.as("y")
+    x.join(y, col("x.band") === col("y.band") && col("x.v") === col("y.v") &&
+        col("x.id") < col("y.id"))
+      .select(col("x.id").as("a"), col("y.id").as("b"),
+        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("dist"))
+      .distinct()
+      .filter(col("dist") <= maxBits)
+  }
 }

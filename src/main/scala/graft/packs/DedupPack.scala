@@ -36,6 +36,15 @@ object DedupPack extends QueryPack {
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhash16(Tables.load(s, dir, "documents"), "doc_id", "text")
         .orderBy("id")),
+    // Banded Hamming near-dup over the doubled corpus: the appended-
+    // token copies land within a few simhash bits of their originals,
+    // the band self-join finds them without an all-pairs pass, and the
+    // popcount verify keeps dist <= 3 (where banding is lossless by
+    // pigeonhole). The oracle mirrors the band algebra arm for arm,
+    // cap included.
+    "dedup_simhash_banded" -> ((s, dir) =>
+      Dedup.simhashBandedPairs(corpus(s, dir), "id", "text")
+        .orderBy("a", "b")),
     // Pair→cluster resolution: connected components over a chain-shaped
     // pair list ((d, d+1) for doc_id % 10 < 3 → components of diameter
     // 3), so the gate exercises real multi-hop label propagation, not
@@ -127,6 +136,34 @@ object DedupPack extends QueryPack {
        |WHERE t.jacc_x1e4 >= 5000 ORDER BY t.a, t.b""".stripMargin
   }
 
+  /** Arm-for-arm mirror of Dedup.simhashBandedPairs over corpusSql:
+    * same two-salt 64-bit vote, same four 16-bit band arms, same
+    * ≤10000 bucket cap, same popcount-on-xor verify. */
+  private val simhashBandedSql: String = {
+    def votes(src: String, off: Int) = (0 until 32).map(b =>
+      s"CAST(SUM(CASE WHEN ($src >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS BIGINT) AS s${b + off}")
+    val allVotes = (votes("h1", 0) ++ votes("h2", 32)).mkString(", ")
+    val bits = (0 until 64)
+      .map(b => s"CASE WHEN s$b > 0 THEN CAST(${1L << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END")
+      .mkString(" + ")
+    val bandArms = (0 until 4).map(b =>
+      s"SELECT id, simhash, $b AS band, (simhash >> ${16 * b}) & 65535 AS v FROM sig")
+      .mkString("\n  UNION ALL ")
+    s"""WITH $corpusSql,
+       |toks AS (SELECT id, unnest(string_split(text, ' ')) AS tok FROM corpus),
+       |h AS (SELECT id, ${h32("tok", "sh64a")} AS h1, ${h32("tok", "sh64b")} AS h2 FROM toks),
+       |votes AS (SELECT id, $allVotes FROM h GROUP BY id),
+       |sig AS (SELECT id, CAST($bits AS BIGINT) AS simhash FROM votes),
+       |band AS ($bandArms),
+       |band_ok AS (SELECT band, v FROM band GROUP BY band, v HAVING count(*) <= 10000),
+       |bandc AS (SELECT band.id, band.simhash, band.band, band.v
+       |  FROM band JOIN band_ok USING (band, v)),
+       |cand AS (SELECT DISTINCT x.id AS a, y.id AS b,
+       |    CAST(bit_count(xor(x.simhash, y.simhash)) AS INT) AS dist
+       |  FROM bandc x JOIN bandc y ON x.band = y.band AND x.v = y.v AND x.id < y.id)
+       |SELECT a, b, dist FROM cand WHERE dist <= 3 ORDER BY a, b""".stripMargin
+  }
+
   private val simhashSql: String = {
     val votes = (0 until 16)
       .map(b => s"CAST(SUM(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS BIGINT) AS s$b")
@@ -147,6 +184,7 @@ object DedupPack extends QueryPack {
          |FROM corpus GROUP BY md5(text) HAVING count(*) > 1 ORDER BY h""".stripMargin,
     "dedup_minhash" -> minhashSql,
     "dedup_simhash" -> simhashSql,
+    "dedup_simhash_banded" -> simhashBandedSql,
     // Transitive closure via recursive CTE mirrors the label-propagation
     // fixpoint: cluster(x) = min over everything reachable from x.
     "dedup_clusters" ->

@@ -276,4 +276,40 @@ class LlmSpec extends SparkSpec {
     val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r))
     assert(img.getWidth == 12 && img.getHeight == 6)
   }
+
+  test("simhashBandedPairs equals brute force at maxBits <= 3 (pigeonhole completeness)") {
+    // deterministic corpus with planted structure: 40 base docs of
+    // varying length, 10 exact copies, 10 one-token edits
+    val words = Array("spark", "scan", "join", "sort", "merge", "hash",
+      "row", "key", "data", "query", "batch", "window")
+    def text(seed: Int, n: Int) =
+      (0 until n).map(i => words((seed * 31 + i * 7) % words.length)).mkString(" ")
+    val base = (0 until 40).map(i => (i.toLong, text(i, 20 + i % 30)))
+    val copies = (0 until 10).map(i => (100L + i, base(i * 3)._2))
+    val edits = (0 until 10).map(i => (200L + i, base(i * 2 + 1)._2 + " extra"))
+    val docs = (base ++ copies ++ edits).toDF("id", "text")
+    val banded = Dedup.simhashBandedPairs(docs, "id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val sig = Dedup.simhash64(docs, "id", "text")
+    val brute = sig.as("x").join(sig.as("y"), col("x.id") < col("y.id"))
+      .select(col("x.id"), col("y.id"),
+        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("d"))
+      .filter(col("d") <= 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(banded == brute, s"banded ${banded.size} vs brute ${brute.size}")
+    // the planted exact copies are found at distance 0
+    (0 until 10).foreach { i =>
+      assert(banded.contains((base(i * 3)._1, 100L + i, 0)), s"copy $i missing")
+    }
+  }
+
+  test("simhash band bucket cap: fully saturated identical docs drop to exact dedup") {
+    val docs = (0 until 50).map(i => (i.toLong, "all docs identical text here"))
+      .toDF("id", "text")
+    // every band bucket holds all 50 docs -> over an maxBucket of 10,
+    // all four bands drop and no pair survives (exact dedup's job)
+    assert(Dedup.simhashBandedPairs(docs, "id", "text", maxBucket = 10).count() == 0)
+    // uncapped, the same corpus pairs completely at distance 0
+    assert(Dedup.simhashBandedPairs(docs, "id", "text").count() == 50L * 49 / 2)
+  }
 }
