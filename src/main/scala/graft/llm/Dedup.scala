@@ -268,6 +268,61 @@ object Dedup {
         .as("simhash"))
   }
 
+  /** Persistable MinHash state for incremental ingest: one row per
+    * document, `k` signature columns m0..m{k-1} — k longs per doc, so
+    * the state table for a 100 TB corpus is gigabytes, not terabytes.
+    * Write this to parquet once; every future batch dedups against it
+    * without touching old text. */
+  def minhashState(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 8): DataFrame =
+    minhashSignatures(shingles(docs, idCol, textCol), k)
+
+  /** Incremental near-dup ingest — the realistic shape at corpus
+    * scale: a new batch is checked against the EXISTING corpus via its
+    * compact signature state ([[minhashState]]), never by reprocessing
+    * old text. Candidates are (old∪new) × new band matches — old×old
+    * never re-pairs — and similarity is the standard MinHash estimate
+    * (matching signature components / k, exact-integer scaled ×1e4),
+    * so old shingle sets are never needed. Doc-id spaces of state and
+    * batch must be disjoint.
+    *
+    * Output (a, b, est_x1e4): b is always a new doc; for new×new
+    * pairs a < b. Same Σ bucket² cap as [[lshCandidates]], computed
+    * over the UNION's band table (a bucket hot across corpus+batch is
+    * just as quadratic as one hot within a single run). Append
+    * `minhashState(newDocs)` to the state table afterwards — the two
+    * steps share the batch's signature scan under one persist if the
+    * caller caches it. */
+  def incrementalDupPairs(state: DataFrame, newDocs: DataFrame,
+      idCol: String, textCol: String, k: Int = 8, bands: Int = 4,
+      threshold: Double = 0.5, maxBucket: Long = 10000L): DataFrame = {
+    val newSigs = minhashState(newDocs, idCol, textCol, k)
+    val allSigs = state.unionByName(newSigs)
+    val oldBands = lshBands(state, k, bands).withColumn("is_new", lit(false))
+    val newBands = lshBands(newSigs, k, bands).withColumn("is_new", lit(true))
+    val allBands = oldBands.unionByName(newBands)
+    val ok = allBands.groupBy("bk").agg(count(lit(1)).as("bn"))
+      .filter(col("bn") <= maxBucket).select("bk")
+    val x = allBands.join(ok, Seq("bk")).as("x")
+    val y = newBands.join(ok, Seq("bk")).as("y")
+    val cand = x.join(y, col("x.bk") === col("y.bk") &&
+        col("x.id") =!= col("y.id") &&
+        (!col("x.is_new") || col("x.id") < col("y.id")))
+      .select(col("x.id").as("a"), col("y.id").as("b"))
+      .distinct()
+    val matches = (0 until k)
+      .map(i => when(col(s"sa.m$i") === col(s"sb.m$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    cand
+      .join(allSigs.as("sa"), col("sa.id") === col("a"))
+      .join(newSigs.as("sb"), col("sb.id") === col("b"))
+      .select(col("a"), col("b"),
+        (matches.cast("long") * 10000L).as("_m10k"))
+      .select(col("a"), col("b"),
+        expr(s"_m10k div $k").as("est_x1e4"))
+      .filter(col("est_x1e4") >= (threshold * 10000).toLong)
+  }
+
   /** SimHash near-duplicate pairs via banded Hamming search — the
     * scale path that makes the fingerprint useful: the 64-bit simhash
     * splits into four 16-bit bands, candidates are pairs sharing ≥1

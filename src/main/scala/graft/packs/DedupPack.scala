@@ -36,6 +36,23 @@ object DedupPack extends QueryPack {
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhash16(Tables.load(s, dir, "documents"), "doc_id", "text")
         .orderBy("id")),
+    // Incremental ingest: the originals are the standing corpus (as a
+    // compact signature state), the shifted copies arrive as the new
+    // batch — pairs are (corpus ∪ batch) × batch only, similarity is
+    // the integer-exact k-component MinHash estimate. Old ids all sit
+    // below the batch's +1000000 shift, so the oracle's a<b ∧ b≥1e6
+    // restriction is exactly the operator's old×new ∪ new×new set.
+    "dedup_incremental" -> ((s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+      val old = d.select(col("doc_id").as("id"), col("text"))
+      val batch = d.select((col("doc_id") + 1000000).as("id"),
+        when(col("doc_id") % 50 === 0, col("text"))
+          .otherwise(concat(col("text"), lit(" zzz9"))).as("text"))
+      Dedup.incrementalDupPairs(
+          Dedup.minhashState(old, "id", "text", K), batch, "id", "text",
+          K, BANDS, 0.5)
+        .orderBy("a", "b")
+    }),
     // Banded Hamming near-dup over the doubled corpus: the appended-
     // token copies land within a few simhash bits of their originals,
     // the band self-join finds them without an all-pairs pass, and the
@@ -136,6 +153,35 @@ object DedupPack extends QueryPack {
        |WHERE t.jacc_x1e4 >= 5000 ORDER BY t.a, t.b""".stripMargin
   }
 
+  /** Mirror of Dedup.incrementalDupPairs over corpusSql: identical
+    * signature/band/cap algebra as minhashSql, the candidate join
+    * restricted to batch-side b (id ≥ 1e6 — the shifted batch), and
+    * the k-component match estimate in place of exact Jaccard. */
+  private val incrementalSql: String = {
+    val hCols = (0 until K).map(i => s"${permHashSql("sh", i)} AS h$i").mkString(", ")
+    val mins = (0 until K).map(i => s"min(h$i) AS m$i").mkString(", ")
+    val bandArms = (0 until BANDS).map { b =>
+      val parts = (0 until K / BANDS).map(r => s"CAST(m${b * (K / BANDS) + r} AS VARCHAR)")
+      s"SELECT id, '${b}_' || ${parts.mkString(" || '_' || ")} AS bk FROM sig"
+    }.mkString(" UNION ALL ")
+    val matches = (0 until K)
+      .map(i => s"(CASE WHEN sa.m$i = sb.m$i THEN 1 ELSE 0 END)").mkString(" + ")
+    s"""WITH $corpusSql,
+       |$shingleSql,
+       |hs AS (SELECT id, sh, $hCols FROM sh),
+       |sig AS (SELECT id, $mins FROM hs GROUP BY id),
+       |band AS ($bandArms),
+       |band_ok AS (SELECT bk FROM band GROUP BY bk HAVING count(*) <= 10000),
+       |bandc AS (SELECT band.id, band.bk FROM band JOIN band_ok USING (bk)),
+       |cand AS (SELECT DISTINCT x.id AS a, y.id AS b
+       |  FROM bandc x JOIN bandc y ON x.bk = y.bk AND x.id < y.id AND y.id >= 1000000),
+       |est AS (SELECT c.a, c.b,
+       |    CAST((($matches) * 10000) // $K AS BIGINT) AS est_x1e4
+       |  FROM cand c JOIN sig sa ON sa.id = c.a JOIN sig sb ON sb.id = c.b)
+       |SELECT a, b, est_x1e4 FROM est WHERE est_x1e4 >= 5000
+       |ORDER BY a, b""".stripMargin
+  }
+
   /** Arm-for-arm mirror of Dedup.simhashBandedPairs over corpusSql:
     * same two-salt 64-bit vote, same four 16-bit band arms, same
     * ≤10000 bucket cap, same popcount-on-xor verify. */
@@ -185,6 +231,7 @@ object DedupPack extends QueryPack {
     "dedup_minhash" -> minhashSql,
     "dedup_simhash" -> simhashSql,
     "dedup_simhash_banded" -> simhashBandedSql,
+    "dedup_incremental" -> incrementalSql,
     // Transitive closure via recursive CTE mirrors the label-propagation
     // fixpoint: cluster(x) = min over everything reachable from x.
     "dedup_clusters" ->

@@ -303,6 +303,33 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("incremental dedup: sequential ingest equals single-shot; exact copies hit est 10000") {
+    val words = Array("alpha", "beta", "gamma", "delta", "eps", "zeta", "eta")
+    def text(seed: Int) =
+      (0 until 25).map(i => words((seed * 13 + i * 5) % words.length)).mkString(" ")
+    val a = (0 until 20).map(i => (i.toLong, text(i)))                  // corpus
+    val b1 = (0 until 6).map(i => (100L + i, text(i * 3)))              // batch 1: copies of A
+    val b2 = (0 until 6).map(i => (200L + i, text(i) + " tail"))        // batch 2: edits of A
+    val (da, db1, db2) = (a.toDF("id", "text"), b1.toDF("id", "text"), b2.toDF("id", "text"))
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val stateA = Dedup.minhashState(da, "id", "text")
+    // sequential: ingest b1 against A, then b2 against A ∪ b1
+    val seq = pairs(Dedup.incrementalDupPairs(stateA, db1, "id", "text")) ++
+      pairs(Dedup.incrementalDupPairs(
+        stateA.unionByName(Dedup.minhashState(db1, "id", "text")), db2, "id", "text"))
+    // single-shot: ingest b1 ∪ b2 at once
+    val once = pairs(Dedup.incrementalDupPairs(stateA, db1.unionByName(db2), "id", "text"))
+    assert(seq == once, s"sequential ${seq.size} vs single-shot ${once.size}")
+    // planted exact copies estimate at exactly 10000 (all k components match)
+    (0 until 6).foreach { i =>
+      assert(seq.contains((i * 3L, 100L + i, 10000L)), s"copy $i missing from $seq")
+    }
+    // old×old never re-pairs: ids 0 and 3 share no pair even though docs
+    // 0..19 include near matches of each other in a full run
+    assert(seq.forall { case (x, y, _) => y >= 100L && (x < y || x < 100L) })
+  }
+
   test("simhash band bucket cap: fully saturated identical docs drop to exact dedup") {
     val docs = (0 until 50).map(i => (i.toLong, "all docs identical text here"))
       .toDF("id", "text")
