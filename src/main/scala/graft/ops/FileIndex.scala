@@ -1,0 +1,75 @@
+package graft.ops
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** File-skipping statistics manifest — the lakehouse-table mechanism
+  * (per-file column min/max consulted BEFORE planning the scan), hand
+  * carried because this engine manages bare parquet directories, not a
+  * table format. Completes the skipping triad: hive partition pruning
+  * (`scan_partition_pruned`) skips directories, this skips FILES, and
+  * parquet row-group stats (`zorder_skipping`) skip within a file.
+  *
+  * At 100 TB the difference from row-group skipping is driver-side
+  * cost: Spark still lists/opens every file to read footers, so a
+  * million-file table pays a million opens even when 99% of row groups
+  * then skip. The manifest is one small parquet read (KBs per thousand
+  * files) and the pruned scan receives only the surviving paths —
+  * driver work scales with the MANIFEST, not the table.
+  *
+  * The manifest lives under `<dir>/_index` — an underscore-prefixed
+  * path, which Spark's file listing treats as hidden, so a plain
+  * `spark.read.parquet(dir)` of the data is unaffected by the index's
+  * presence. Stats are recomputed FROM the written files (grouped by
+  * `input_file_name`), not from the pre-write DataFrame — the manifest
+  * can never disagree with the bytes on disk. */
+object FileIndex {
+
+  /** Write `df` range-clustered on `clusterCol` into `partitions`
+    * files under `dir`, plus the `_index` manifest of per-file
+    * (file, lo, hi, rows). Range clustering is what makes the index
+    * selective: each file owns a narrow span of the cluster column, so
+    * a point or range predicate prunes all but a few files. */
+  def writeIndexed(df: DataFrame, dir: String, clusterCol: String,
+      partitions: Int): Unit = {
+    require(partitions > 0, s"writeIndexed: partitions=$partitions")
+    df.repartitionByRange(partitions, col(clusterCol))
+      .sortWithinPartitions(clusterCol)
+      .write.mode("overwrite").parquet(dir)
+    val spark = df.sparkSession
+    spark.read.parquet(dir)
+      .groupBy(input_file_name().as("file"))
+      .agg(min(col(clusterCol)).as("lo"), max(col(clusterCol)).as("hi"),
+        count(lit(1)).as("rows"))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/_index")
+  }
+
+  /** Scan of `dir` pruned to files whose [lo, hi] span intersects
+    * [lower, upper] on the indexed column. The manifest collect is
+    * driver-side by design (it IS the planning step — the same place
+    * a table format consults its metadata layer) and is bounded by
+    * file count, not rows. Returns the pruned DataFrame WITH the
+    * residual predicate applied — the manifest prunes at file
+    * granularity; rows inside a surviving file still need the filter
+    * (which parquet row-group stats then accelerate). */
+  def readPruned(spark: SparkSession, dir: String, lower: Column,
+      upper: Column): DataFrame = {
+    val files = survivingFiles(spark, dir, lower, upper)
+    if (files.isEmpty) spark.read.parquet(dir).limit(0)
+    else spark.read.parquet(files.toIndexedSeq: _*)
+  }
+
+  /** Files the manifest would keep for [lower, upper] — planning
+    * introspection for tests and ops tooling. */
+  def survivingFiles(spark: SparkSession, dir: String, lower: Column,
+      upper: Column): Seq[String] =
+    spark.read.parquet(s"$dir/_index")
+      .filter(!(col("hi") < lower || col("lo") > upper))
+      .select("file").collect().map(_.getString(0)).toIndexedSeq
+
+  /** Total file count recorded in the manifest. */
+  def indexedFileCount(spark: SparkSession, dir: String): Long =
+    spark.read.parquet(s"$dir/_index").count()
+}

@@ -663,6 +663,23 @@ object RelationalPack extends QueryPack {
     // rate vs a shuffled layout). The query itself is the box
     // aggregate, oracle-identical to filtering the raw table — the
     // layout changes cost, never answers.
+    // File-skipping manifest (ops/FileIndex): orders range-clustered
+    // on o_orderkey into 16 files + a per-file min/max index; the read
+    // consults ONLY the manifest to drop files outside the key range
+    // (FileIndexSpec locks that most files are skipped), then applies
+    // the residual predicate. Oracle recomputes from the original.
+    "fileindex_pruned_scan" -> ((s, dir) => {
+      val out = graft.core.Scratch.dir("graft_fidx").resolve("orders").toString
+      graft.ops.FileIndex.writeIndexed(
+        Tables.load(s, dir, "orders")
+          .select("o_orderkey", "o_orderstatus", "o_totalprice"),
+        out, "o_orderkey", partitions = 16)
+      graft.ops.FileIndex.readPruned(s, out, lit(1000L), lit(5000L))
+        .filter(col("o_orderkey").between(1000L, 5000L))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"), dsum("o_totalprice").as("total"))
+        .orderBy("o_orderstatus")
+    }),
     "zorder_skipping" -> ((s, dir) => {
       import graft.functions.ZOrderKey
       val out = graft.core.Scratch.dir("graft_zorder")
@@ -704,6 +721,10 @@ object RelationalPack extends QueryPack {
          |  count(*) AS n, ${dsumSql("value")} AS total_value
          |FROM events WHERE event_type = 'purchase'
          |GROUP BY 1 ORDER BY day""".stripMargin,
+    "fileindex_pruned_scan" ->
+      s"""SELECT o_orderstatus, count(*) AS n, ${dsumSql("o_totalprice")} AS total
+         |FROM orders WHERE o_orderkey BETWEEN 1000 AND 5000
+         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "zorder_skipping" ->
       s"""SELECT event_type, count(*) AS n, ${dsumSql("value")} AS total_value
          |FROM events
