@@ -73,18 +73,25 @@ private[avro] class AvroTable(tableSchema: StructType, options: CaseInsensitiveS
 }
 
 private[avro] class AvroScanBuilder(full: StructType, options: CaseInsensitiveStringMap)
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownLimit {
   private var required: StructType = full
+  private var limit: Int = -1
   override def pruneColumns(r: StructType): Unit = required = r
-  override def build(): Scan = new AvroScan(required, options)
+  /** Per-SPLIT cap: each byte-range reader stops decoding after `l`
+    * records; Spark keeps the global Limit (hence false). */
+  override def pushLimit(l: Int): Boolean = { limit = l; false }
+  override def build(): Scan = new AvroScan(required, limit, options)
 }
 
-private[avro] class AvroScan(required: StructType,
+private[avro] class AvroScan(required: StructType, limit: Int,
     options: CaseInsensitiveStringMap) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
-    s"graft-avro ${options.get("path")} ReadSchema: ${required.catalogString}"
+    s"graft-avro ${options.get("path")} " +
+      (if (limit >= 0) s"PushedLimit: $limit, " else "") +
+      s"ReadSchema: ${required.catalogString}"
   override def planInputPartitions(): Array[InputPartition] = {
     val splitBytes = options.getLong("maxSplitBytes", 32L << 20)
     AvroDataSource.listFiles(options.get("path")).flatMap { case (f, len) =>
@@ -93,13 +100,13 @@ private[avro] class AvroScan(required: StructType,
     }.toArray
   }
   override def createReaderFactory(): PartitionReaderFactory =
-    new AvroReaderFactory(required)
+    new AvroReaderFactory(required, limit)
 }
 
 private[avro] case class AvroSplitPartition(file: String, start: Long, length: Long)
     extends InputPartition
 
-private[avro] class AvroReaderFactory(required: StructType)
+private[avro] class AvroReaderFactory(required: StructType, limit: Int)
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val part = p.asInstanceOf[AvroSplitPartition]
@@ -126,9 +133,11 @@ private[avro] class AvroReaderFactory(required: StructType)
       private val converters: Array[AnyRef => Any] =
         required.fields.map(f => converter(f.dataType))
       private var cur: GenericRecord = _
+      private var emitted = 0
       override def next(): Boolean =
-        if (reader.hasNext && !reader.pastSync(part.start + part.length)) {
-          cur = reader.next(); true
+        if ((limit < 0 || emitted < limit) && reader.hasNext &&
+            !reader.pastSync(part.start + part.length)) {
+          cur = reader.next(); emitted += 1; true
         } else false
       override def get(): InternalRow = {
         val vals = new Array[Any](required.length)

@@ -94,10 +94,15 @@ private[xlsx] class XlsxTable(tableSchema: StructType, options: CaseInsensitiveS
 
 private[xlsx] class XlsxScanBuilder(full: StructType, options: CaseInsensitiveStringMap)
     extends ScanBuilder with SupportsPushDownRequiredColumns
-    with SupportsPushDownFilters {
+    with SupportsPushDownFilters with SupportsPushDownLimit {
   private var required: StructType = full
   private var pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty
+  private var limit: Int = -1
   override def pruneColumns(r: StructType): Unit = required = r
+  /** Per-partition cap, same contract as the XML builder: each sheet's
+    * row cursor stops after `l` surviving rows; Spark keeps the global
+    * Limit (hence false). */
+  override def pushLimit(l: Int): Boolean = { limit = l; false }
   /** Same contract as the XML builder: accepted filters are FULLY
     * handled (rows die inside the sheet parse), residual goes back to
     * Spark. Evaluation semantics in [[graft.sources.StringFilters]]. */
@@ -110,31 +115,32 @@ private[xlsx] class XlsxScanBuilder(full: StructType, options: CaseInsensitiveSt
     residual
   }
   override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] = pushed
-  override def build(): Scan = new XlsxScan(required, pushed, options)
+  override def build(): Scan = new XlsxScan(required, pushed, limit, options)
 }
 
 private[xlsx] class XlsxScan(required: StructType,
-    pushed: Array[org.apache.spark.sql.sources.Filter],
+    pushed: Array[org.apache.spark.sql.sources.Filter], limit: Int,
     options: CaseInsensitiveStringMap) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
     s"graft-xlsx ${options.get("path")} " +
       s"PushedFilters: [${pushed.mkString(", ")}], " +
+      (if (limit >= 0) s"PushedLimit: $limit, " else "") +
       s"ReadSchema: ${required.catalogString}"
   override def planInputPartitions(): Array[InputPartition] =
     XlsxDataSource.listFiles(options.get("path"))
       .map(f => XlsxFilePartition(f): InputPartition).toArray
   override def createReaderFactory(): PartitionReaderFactory =
-    new XlsxReaderFactory(required.fieldNames, pushed,
+    new XlsxReaderFactory(required.fieldNames, pushed, limit,
       XlsxDataSource.sheetOpt(options).orNull)
 }
 
 private[xlsx] case class XlsxFilePartition(file: String) extends InputPartition
 
 private[xlsx] class XlsxReaderFactory(cols: Array[String],
-    pushed: Array[org.apache.spark.sql.sources.Filter], sheetOrNull: String)
-    extends PartitionReaderFactory {
+    pushed: Array[org.apache.spark.sql.sources.Filter], limit: Int,
+    sheetOrNull: String) extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val file = p.asInstanceOf[XlsxFilePartition].file
     new PartitionReader[InternalRow] {
@@ -157,7 +163,8 @@ private[xlsx] class XlsxReaderFactory(cols: Array[String],
               pushed.forall(graft.sources.StringFilters.eval(_, get))
             }
           }
-        (cols.map(header.indexOf), filtered)
+        val capped = if (limit >= 0) filtered.take(limit) else filtered
+        (cols.map(header.indexOf), capped)
       }
       private var cur: Seq[String] = _
       override def next(): Boolean =

@@ -94,10 +94,17 @@ private[xml] class XmlTable(tableSchema: StructType, options: CaseInsensitiveStr
 
 private[xml] class XmlScanBuilder(full: StructType, options: CaseInsensitiveStringMap)
     extends ScanBuilder with SupportsPushDownRequiredColumns
-    with SupportsPushDownFilters {
+    with SupportsPushDownFilters with SupportsPushDownLimit {
   private var required: StructType = full
   private var pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty
+  private var limit: Int = -1
   override def pruneColumns(r: StructType): Unit = required = r
+  /** Per-PARTITION cap: each file's parse cursor stops after `l`
+    * surviving rows, so a preview over a huge extract parses a handful
+    * of rows instead of the document. Returns false — the source spans
+    * many files, so Spark keeps the global Limit node; the win is the
+    * parse work saved inside each partition, not plan surgery. */
+  override def pushLimit(l: Int): Boolean = { limit = l; false }
   /** Accept the filters [[graft.sources.StringFilters]] evaluates with
     * exactly Spark's semantics; they are FULLY handled (rows die inside
     * the StAX parse loop), so only the residual returns for post-scan
@@ -111,46 +118,50 @@ private[xml] class XmlScanBuilder(full: StructType, options: CaseInsensitiveStri
     residual
   }
   override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] = pushed
-  override def build(): Scan = new XmlScan(required, pushed, options)
+  override def build(): Scan = new XmlScan(required, pushed, limit, options)
 }
 
 private[xml] class XmlScan(required: StructType,
-    pushed: Array[org.apache.spark.sql.sources.Filter],
+    pushed: Array[org.apache.spark.sql.sources.Filter], limit: Int,
     options: CaseInsensitiveStringMap) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
     s"graft-xml ${options.get("path")} " +
       s"PushedFilters: [${pushed.mkString(", ")}], " +
+      (if (limit >= 0) s"PushedLimit: $limit, " else "") +
       s"ReadSchema: ${required.catalogString}"
   override def planInputPartitions(): Array[InputPartition] =
     XmlDataSource.listFiles(options.get("path"))
       .map(f => XmlFilePartition(f): InputPartition).toArray
   override def createReaderFactory(): PartitionReaderFactory =
-    new XmlReaderFactory(required.fieldNames, pushed, options.get("rowTag"),
-      options.getBoolean("flatten", false))
+    new XmlReaderFactory(required.fieldNames, pushed, limit,
+      options.get("rowTag"), options.getBoolean("flatten", false))
 }
 
 private[xml] case class XmlFilePartition(file: String) extends InputPartition
 
 private[xml] class XmlReaderFactory(cols: Array[String],
-    pushed: Array[org.apache.spark.sql.sources.Filter], rowTag: String,
-    flatten: Boolean) extends PartitionReaderFactory {
+    pushed: Array[org.apache.spark.sql.sources.Filter], limit: Int,
+    rowTag: String, flatten: Boolean) extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val file = p.asInstanceOf[XmlFilePartition].file
     new PartitionReader[InternalRow] {
       // The parser must retain filter-referenced columns even when the
       // projection pruned them away (a fully-pushed predicate's column
       // drops out of readSchema); output rows still carry only `cols`.
+      // The pushed limit caps SURVIVING rows (it sits after the filter
+      // in the iterator chain), stopping the StAX cursor early.
       private lazy val it: Iterator[Map[String, String]] = {
         val keep = cols.toSet ++ pushed.flatMap(_.references)
         val rows = Xml.parseRowsIter(XmlDataSource.readFile(file), rowTag,
           flatten, keep = Some(keep))
-        if (pushed.isEmpty) rows
+        val filtered = if (pushed.isEmpty) rows
         else rows.filter { r =>
           val get = (c: String) => r.getOrElse(c, "")
           pushed.forall(graft.sources.StringFilters.eval(_, get))
         }
+        if (limit >= 0) filtered.take(limit) else filtered
       }
       private var cur: Map[String, String] = _
       override def next(): Boolean =

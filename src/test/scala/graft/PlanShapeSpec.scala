@@ -213,6 +213,33 @@ class PlanShapeSpec extends SparkSpec {
     assert(df.rdd.getNumPartitions >= 1, p)
   }
 
+  test("limit pushdown reaches all three DSv2 scans (PushedLimit in the scan node)") {
+    val dir = java.nio.file.Files.createTempDirectory("limit_push")
+    // avro: 3-row limit over a written container dir
+    val avroOut = dir.resolve("a").toString
+    graft.avro.Avro.write(spark.range(1000).toDF("id"), avroOut)
+    val aq = spark.read.format("graft-avro").option("path", avroOut).load().limit(3)
+    assert(aq.queryExecution.executedPlan.toString.contains("PushedLimit: 3"),
+      aq.queryExecution.executedPlan.toString)
+    assert(aq.count() == 3)
+    // xml: write a small doc through the engine's own writer
+    val xmlOut = dir.resolve("x").toString
+    java.nio.file.Files.createDirectories(dir.resolve("x"))
+    graft.xml.Xml.writeXmlFile(
+      spark.range(100).selectExpr("CAST(id AS STRING) AS id"), xmlOut + "/d.xml")
+    val xq = spark.read.format("graft-xml").option("path", xmlOut + "/d.xml")
+      .option("rowTag", "row").load().limit(5)
+    assert(xq.queryExecution.executedPlan.toString.contains("PushedLimit: 5"),
+      xq.queryExecution.executedPlan.toString)
+    assert(xq.count() == 5)
+    // the pushed limit caps SURVIVING rows — a pushed filter still sees
+    // every row, so filter+limit returns filtered rows, not a prefix
+    val fq = spark.read.format("graft-xml").option("path", xmlOut + "/d.xml")
+      .option("rowTag", "row").load()
+      .filter(org.apache.spark.sql.functions.col("id") === "97").limit(5)
+    assert(fq.collect().map(_.getString(0)).toSeq == Seq("97"))
+  }
+
   test("xml_pushdown_filter: predicate lives in the graft-xml scan, nothing filters post-scan") {
     val p = plan("xml_pushdown_filter")
     assert(p.contains("PushedFilters: [EqualTo(c_mktsegment,BUILDING)"), p)
