@@ -295,8 +295,16 @@ object Dedup {
     * caller caches it. */
   def incrementalDupPairs(state: DataFrame, newDocs: DataFrame,
       idCol: String, textCol: String, k: Int = 8, bands: Int = 4,
-      threshold: Double = 0.5, maxBucket: Long = 10000L): DataFrame = {
-    val newSigs = minhashState(newDocs, idCol, textCol, k)
+      threshold: Double = 0.5, maxBucket: Long = 10000L): DataFrame =
+    incrementalDupPairsFromSigs(state,
+      minhashState(newDocs, idCol, textCol, k), k, bands, threshold, maxBucket)
+
+  /** [[incrementalDupPairs]] with the batch's signatures already in
+    * hand — the streaming path computes them once and feeds BOTH this
+    * pair search and the state-version append from the same relation. */
+  def incrementalDupPairsFromSigs(state: DataFrame, newSigs: DataFrame,
+      k: Int = 8, bands: Int = 4, threshold: Double = 0.5,
+      maxBucket: Long = 10000L): DataFrame = {
     val allSigs = state.unionByName(newSigs)
     val oldBands = lshBands(state, k, bands).withColumn("is_new", lit(false))
     val newBands = lshBands(newSigs, k, bands).withColumn("is_new", lit(true))

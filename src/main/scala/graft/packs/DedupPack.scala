@@ -53,6 +53,13 @@ object DedupPack extends QueryPack {
           K, BANDS, 0.5)
         .orderBy("a", "b")
     }),
+    // The STREAMING twin of dedup_incremental: same corpus, same batch
+    // of shifted copies, but delivered as a real file-source stream in
+    // two micro-batches through DocsStream's versioned-state
+    // foreachBatch loop. Union of per-batch emissions must equal the
+    // single-shot result — so it shares the single-shot oracle SQL.
+    "dedup_incremental_stream" -> ((s, dir) =>
+      graft.streaming.DocsStream.incrementalDedupViaFileSink(s, dir)),
     // Banded Hamming near-dup over the doubled corpus: the appended-
     // token copies land within a few simhash bits of their originals,
     // the band self-join finds them without an all-pairs pass, and the
@@ -232,6 +239,7 @@ object DedupPack extends QueryPack {
     "dedup_simhash" -> simhashSql,
     "dedup_simhash_banded" -> simhashBandedSql,
     "dedup_incremental" -> incrementalSql,
+    "dedup_incremental_stream" -> incrementalSql,
     // Transitive closure via recursive CTE mirrors the label-propagation
     // fixpoint: cluster(x) = min over everything reachable from x.
     "dedup_clusters" ->
