@@ -163,6 +163,66 @@ object TextAnalysis {
     F.toColumn(graft.functions.MinFingerprint(F.toExpr(text)))
   }
 
+  /** HTML → text extraction — the step BEFORE every other text
+    * operator when the corpus is a web crawl: script/style bodies and
+    * comments drop wholesale, remaining tags drop, the six core named
+    * entities decode (tags first, entities after — an encoded
+    * `&lt;tags&gt;` in prose must surface as literal text, never be
+    * re-interpreted as markup; `&amp;` decodes LAST so `&amp;lt;`
+    * yields the literal string `&lt;`), and whitespace collapses.
+    * A narrow chain of codegen'd regexp_replace/replace calls — no
+    * shuffle, no UDF — kept to the Java∩RE2 regex subset ((?is)
+    * inline flags, non-greedy repeats) so the DuckDB oracle runs the
+    * SAME patterns verbatim (with its explicit 'g' flag). Numeric
+    * character references are out of scope (a regexp cannot compute a
+    * codepoint); they survive as visible `&#NN;` text. */
+  val htmlEntities: Seq[(String, String)] = Seq(
+    "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+    "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+
+  def stripHtml(html: Column): Column = {
+    val noScript = regexp_replace(html, "(?is)<script\\b[^>]*>.*?</script>", " ")
+    val noStyle = regexp_replace(noScript, "(?is)<style\\b[^>]*>.*?</style>", " ")
+    val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
+    val noTags = regexp_replace(noComment, "<[^>]+>", " ")
+    val decoded = htmlEntities.foldLeft(noTags) { case (c, (e, r)) =>
+      // literal (non-regex) substitution on both engines
+      replace(c, lit(e), lit(r))
+    }
+    trim(regexp_replace(decoded, "[ \t\r\n]+", " "))
+  }
+
+  /** Corpus-rarity quality signal — the integer-exact stand-in for a
+    * unigram language-model score: a token's rarity is
+    * `bitlength(total_tokens div token_count)` (a floor-log2 of the
+    * inverse frequency — pure integer ops, so Spark and the oracle
+    * agree to the bit, where a float `ln` would flake at ULP
+    * boundaries), and a document scores the floor of 100× the mean
+    * rarity of its tokens. High = rare-token content; boilerplate and
+    * stop-word soup score low.
+    *
+    * Shape: one token explode (narrow) → one frequency aggregate
+    * (map-side combined) → one broadcast of the 1-row total → one
+    * equi-join back on token → one per-doc aggregate. At 100 TB the
+    * frequency table is the only large shuffle and is exactly the
+    * term-frequency relation every other corpus statistic shares. */
+  def rarityScores(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = docs
+      .select(col(idCol).as("id"), explode(split(col(textCol), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+    val freq = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+    val total = freq.agg(sum(col("cnt")).as("total"))
+    toks.join(freq, Seq("tok"))
+      .join(broadcast(total))
+      .select(col("id"),
+        length(bin(expr("total div cnt"))).as("rb"))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("rb")).as("_sr"))
+      .select(col("id"), col("n_tokens"),
+        expr("(_sr * 100) div n_tokens").as("rarity_x100"))
+  }
+
   /** PII patterns for free-text scrubbing, applied in this order
     * (email first — its local part may contain digits a later digit
     * pattern would chew on; the digit shapes are mutually disjoint:

@@ -43,6 +43,28 @@ object LlmPack extends QueryPack {
     "text_fingerprint" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"), TA.fingerprint(col("text")).as("fp"))
         .orderBy("doc_id")),
+    // HTML → text (TA.stripHtml): wrap each doc in a synthesized page
+    // (style + script bodies, headings, an encoded-entity sentence, a
+    // comment) and extract the prose back out. Tag-strip before
+    // entity-decode, whitespace collapsed. Narrow, map-side only.
+    "text_strip_html" -> ((s, dir) => {
+      val page = concat(
+        lit("<html><head><style>body{color:red}</style>"),
+        lit("<script type=\"text/javascript\">var x=1;</script></head>"),
+        lit("<body><h1>Doc "), col("doc_id").cast("string"), lit("</h1>"),
+        lit("<p class=\"main\">"), col("text"), lit("</p>"),
+        lit("<p>5 &lt; 7 &amp;&amp; 9 &gt; 2, &quot;q&#39;s&quot;&nbsp;end</p>"),
+        lit("<!-- hidden note --></body></html>"))
+      docs(s, dir)
+        .select(col("doc_id"), TA.stripHtml(page).as("text_clean"))
+        .orderBy("doc_id")
+    }),
+    // Corpus-rarity scoring (TA.rarityScores): integer-exact unigram
+    // rarity (bitlength of inverse frequency), floor-100× mean per doc.
+    "text_rarity" -> ((s, dir) =>
+      TA.rarityScores(docs(s, dir), "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")),
     // Free-text PII scrub (TA.scrubPii): inject deterministic PII —
     // an email per doc, a phone on evens, an IPv4 on %3, an SSN on %5 —
     // then redact to typed placeholders and report per-kind audit
@@ -621,6 +643,44 @@ object LlmPack extends QueryPack {
          |    CASE WHEN length(text) < 5 THEN rpad(text, 5, ' ') ELSE text END AS p
          |    FROM documents)) ORDER BY doc_id""".stripMargin
     },
+    // same synthesized page, same strip order (script/style →
+    // comments → tags → entities, &amp; last), DuckDB's explicit 'g'
+    // flag standing in for Java's default-global replace
+    "text_strip_html" -> {
+      val ent = TA.htmlEntities
+        .foldLeft("s") { case (acc, (e, r)) =>
+          s"replace($acc, '${e.replace("'", "''")}', '${r.replace("'", "''")}')"
+        }
+      s"""WITH p AS (SELECT doc_id,
+         |  '<html><head><style>body{color:red}</style>' ||
+         |  '<script type="text/javascript">var x=1;</script></head>' ||
+         |  '<body><h1>Doc ' || CAST(doc_id AS VARCHAR) || '</h1>' ||
+         |  '<p class="main">' || text || '</p>' ||
+         |  '<p>5 &lt; 7 &amp;&amp; 9 &gt; 2, &quot;q&#39;s&quot;&nbsp;end</p>' ||
+         |  '<!-- hidden note --></body></html>' AS h FROM documents),
+         |s1 AS (SELECT doc_id, regexp_replace(h, '(?is)<script\\b[^>]*>.*?</script>', ' ', 'g') AS s FROM p),
+         |s2 AS (SELECT doc_id, regexp_replace(s, '(?is)<style\\b[^>]*>.*?</style>', ' ', 'g') AS s FROM s1),
+         |s3 AS (SELECT doc_id, regexp_replace(s, '(?s)<!--.*?-->', ' ', 'g') AS s FROM s2),
+         |s4 AS (SELECT doc_id, regexp_replace(s, '<[^>]+>', ' ', 'g') AS s FROM s3),
+         |s5 AS (SELECT doc_id, $ent AS s FROM s4)
+         |SELECT doc_id,
+         |  trim(regexp_replace(s, '[ \t\r\n]+', ' ', 'g')) AS text_clean
+         |FROM s5 ORDER BY doc_id""".stripMargin
+    },
+    // same tokenization, same integer rarity (bitlength of total//cnt
+    // via binary format), same floor-100× mean
+    "text_rarity" ->
+      """WITH toks AS (SELECT doc_id AS id, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |t2 AS (SELECT id, tok FROM toks WHERE tok <> ''),
+        |freq AS (SELECT tok, count(*) AS cnt FROM t2 GROUP BY tok),
+        |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM freq),
+        |r AS (SELECT t2.id,
+        |    length(format('{:b}', CAST(tot.total // f.cnt AS BIGINT))) AS rb
+        |  FROM t2 JOIN freq f USING (tok) CROSS JOIN tot)
+        |SELECT id AS doc_id, count(*) AS n_tokens,
+        |  CAST((sum(rb) * 100) // count(*) AS BIGINT) AS rarity_x100
+        |FROM r GROUP BY id ORDER BY doc_id""".stripMargin,
     // same injected PII, same pattern strings VERBATIM (Java/RE2
     // shared subset), same email→ip→ssn→phone replace order; counts
     // run on the pre-scrub text on both sides

@@ -277,6 +277,37 @@ class LlmSpec extends SparkSpec {
     assert(img.getWidth == 12 && img.getHeight == 6)
   }
 
+  test("stripHtml: script/style/comments drop, entities decode after tags, &amp; last") {
+    val cases = Seq(
+      "<p>a<br/>b</p>" -> "a b",
+      "x<script>\nvar a = '<p>not text</p>';\n</script>y" -> "x y",
+      "<STYLE media=\"all\">h1 { color: blue }</STYLE>done" -> "done",
+      "keep<!-- drop\nme -->this" -> "keep this",
+      // encoded markup surfaces as text, never re-strips
+      "<p>&lt;b&gt;bold&lt;/b&gt;</p>" -> "<b>bold</b>",
+      // &amp;lt; must yield the literal four chars &lt;
+      "a &amp;lt; b" -> "a &lt; b",
+      "5 &lt; 7 &amp;&amp; &quot;q&#39;s&quot;&nbsp;end" -> "5 < 7 && \"q's\" end")
+    val got = cases.map(_._1).toDF("h")
+      .select(col("h"), TextAnalysis.stripHtml(col("h")).as("t"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    cases.foreach { case (in, want) =>
+      assert(got(in) == want, s"[$in] -> [${got(in)}], want [$want]")
+    }
+  }
+
+  test("rarityScores: rare tokens score high, uniform docs score bitlength(n_docs)") {
+    // 8 docs of one shared token + 1 doc of a unique token:
+    // total=18 tokens; shared cnt=17 -> 18 div 17 = 1 -> rb=1;
+    // unique cnt=1 -> 18 div 1 = 18 -> bin 10010 -> rb=5
+    val docs = ((0 until 8).map(i => (i.toLong, "common common"))
+      :+ (99L, "common singular")).toDF("id", "text")
+    val out = TextAnalysis.rarityScores(docs, "id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out(0L) == (2L, 100L))        // two 'common' tokens, rb=1 each
+    assert(out(99L) == (2L, 300L))       // (1 + 5) * 100 div 2 = 300
+  }
+
   test("simhashBandedPairs equals brute force at maxBits <= 3 (pigeonhole completeness)") {
     // deterministic corpus with planted structure: 40 base docs of
     // varying length, 10 exact copies, 10 one-token edits
