@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import graft.QueryPack
 import graft.core.Tables
 import graft.llm.Curation
+import graft.llm.{TextAnalysis => TA}
 
 /** Oracle-checked queries for the corpus-curation operators
   * (llm/Curation.scala): per-domain caps, sequence packing, and
@@ -132,6 +133,23 @@ object CurationPack extends QueryPack {
           docs(s, dir).select(col("doc_id"), col("text")),
           "doc_id", "text", chunkTokens = 32, overlapTokens = 8)
         .orderBy("doc_id", "chunk_id")),
+    // The TEXT-side pipeline composed end-to-end — the crawl-to-
+    // training-example chain: raw HTML page → stripHtml → scrubPii →
+    // token-window chunking. The URL-side twin is
+    // curation_web_pipeline; together they cover both halves of web
+    // curation. Entirely narrow (regexp chains + explode/slice — zero
+    // exchanges), so composing adds nothing to the plan.
+    "curation_text_pipeline" -> ((s, dir) => {
+      val page = concat(
+        lit("<html><body><h1>T</h1><p>"), col("text"),
+        lit(" mail u"), col("doc_id").cast("string"),
+        lit("@example.com</p><script>var s=1;</script><!-- c --></body></html>"))
+      val scrubbed = docs(s, dir)
+        .select(col("doc_id"), TA.scrubPii(TA.stripHtml(page)).as("t"))
+      Curation.chunkDocuments(scrubbed, "doc_id", "t",
+          chunkTokens = 32, overlapTokens = 8)
+        .orderBy("doc_id", "chunk_id")
+    }),
     // The web-curation stages composed end-to-end: messy URL →
     // canonicalUrl → URL-level dedup (first crawl wins: min doc_id per
     // canonical key) → registrableDomain of the canonical host →
@@ -328,6 +346,47 @@ object CurationPack extends QueryPack {
          |    ELSE ls[-2] || '.' || ls[-1] END AS domain FROM s)
          |SELECT domain, count(*) AS n_docs FROM r
          |GROUP BY domain ORDER BY domain""".stripMargin
+    },
+    // the three stages' oracle algebras chained as CTEs: the strip
+    // chain (script → style → comments → tags → entities, 'g' flags),
+    // the verbatim PII patterns, then the chunk start-set algebra
+    "curation_text_pipeline" -> {
+      val Seq(email, ip, ssn, phone) = TA.piiPatterns.map(_._2)
+      val ent = TA.htmlEntities
+        .foldLeft("s") { case (acc, (e, r)) =>
+          s"replace($acc, '${e.replace("'", "''")}', '${r.replace("'", "''")}')"
+        }
+      s"""WITH p AS (SELECT doc_id,
+         |  '<html><body><h1>T</h1><p>' || text || ' mail u' ||
+         |  CAST(doc_id AS VARCHAR) ||
+         |  '@example.com</p><script>var s=1;</script><!-- c --></body></html>' AS h
+         |  FROM documents),
+         |s1 AS (SELECT doc_id, regexp_replace(h, '(?is)<script\\b[^>]*>.*?</script>', ' ', 'g') AS s FROM p),
+         |s2 AS (SELECT doc_id, regexp_replace(s, '(?is)<style\\b[^>]*>.*?</style>', ' ', 'g') AS s FROM s1),
+         |s3 AS (SELECT doc_id, regexp_replace(s, '(?s)<!--.*?-->', ' ', 'g') AS s FROM s2),
+         |s4 AS (SELECT doc_id, regexp_replace(s, '<[^>]+>', ' ', 'g') AS s FROM s3),
+         |s5 AS (SELECT doc_id, $ent AS s FROM s4),
+         |c0 AS (SELECT doc_id, trim(regexp_replace(s, '[ \t\r\n]+', ' ', 'g')) AS t1 FROM s5),
+         |sc AS (SELECT doc_id,
+         |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(t1,
+         |    '$email', '<EMAIL>', 'g'),
+         |    '$ip', '<IP>', 'g'),
+         |    '$ssn', '<SSN>', 'g'),
+         |    '$phone', '<PHONE>', 'g') AS t2 FROM c0),
+         |tk AS (SELECT doc_id,
+         |    list_filter(string_split_regex(t2, '[ \t\r\n]+'), x -> x <> '') AS toks
+         |  FROM sc),
+         |ss AS (SELECT doc_id, toks, len(toks) AS n,
+         |    greatest(len(toks) - 32, 0) AS m
+         |  FROM tk WHERE len(toks) > 0),
+         |e AS (SELECT doc_id, toks, n,
+         |    unnest(list_distinct(list_append(range(0, m + 1, 24), m))) AS start
+         |  FROM ss)
+         |SELECT doc_id,
+         |  CAST((start + 23) // 24 AS INT) AS chunk_id,
+         |  CAST(least(32, n - start) AS INT) AS n_tokens,
+         |  array_to_string(toks[start + 1 : start + 32], ' ') AS chunk
+         |FROM e ORDER BY doc_id, chunk_id""".stripMargin
     },
     // same whitespace class, same start-set algebra (range ∪ tail
     // snap), same arithmetic chunk_id — DuckDB's 1-based inclusive
