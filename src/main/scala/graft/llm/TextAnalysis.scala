@@ -223,6 +223,24 @@ object TextAnalysis {
         expr("(_sr * 100) div n_tokens").as("rarity_x100"))
   }
 
+  /** Sentence segmentation — the granularity between document and
+    * token: each sentence is a maximal run of non-terminator
+    * characters plus its trailing `.!?` run, trimmed; empty segments
+    * drop. Deliberately extraction-based (`regexp_extract_all` on
+    * `[^.!?]+[.!?]*`) rather than split-on-lookbehind — RE2 has no
+    * lookbehind, and this formulation runs VERBATIM on both engines.
+    * Naive by design about abbreviations ("Dr. Smith" splits) — the
+    * documented cost of a regex segmenter; a model-based splitter is
+    * out of scope for an engine. Narrow: one extract + posexplode,
+    * no shuffle. Output (id, sent_id, sentence). */
+  def sentences(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .select(col(idCol).as("id"),
+        posexplode(regexp_extract_all(col(textCol),
+          lit("[^.!?]+[.!?]*"), lit(0))).as(Seq("sent_id", "raw")))
+      .select(col("id"), col("sent_id"), trim(col("raw")).as("sentence"))
+      .filter(col("sentence") =!= "")
+
   /** PII patterns for free-text scrubbing, applied in this order
     * (email first — its local part may contain digits a later digit
     * pattern would chew on; the digit shapes are mutually disjoint:

@@ -59,6 +59,17 @@ object LlmPack extends QueryPack {
         .select(col("doc_id"), TA.stripHtml(page).as("text_clean"))
         .orderBy("doc_id")
     }),
+    // Sentence segmentation (TA.sentences): the fixture text carries
+    // no terminators, so append a deterministic multi-sentence tail —
+    // each doc must yield its body plus three tail sentences, with
+    // terminator runs kept and positions preserved.
+    "text_sentences" -> ((s, dir) =>
+      TA.sentences(
+          docs(s, dir).select(col("doc_id"),
+            concat(col("text"), lit(". Tail one! Tail two? End")).as("text")),
+          "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id", "sent_id")),
     // Corpus-rarity scoring (TA.rarityScores): integer-exact unigram
     // rarity (bitlength of inverse frequency), floor-100× mean per doc.
     "text_rarity" -> ((s, dir) =>
@@ -667,6 +678,17 @@ object LlmPack extends QueryPack {
          |  trim(regexp_replace(s, '[ \t\r\n]+', ' ', 'g')) AS text_clean
          |FROM s5 ORDER BY doc_id""".stripMargin
     },
+    // same extraction pattern VERBATIM (no lookbehind — RE2), same
+    // trim + empty-drop, positions via the generate_series zip
+    "text_sentences" ->
+      """WITH p AS (SELECT doc_id, text || '. Tail one! Tail two? End' AS t
+        |  FROM documents),
+        |x AS (SELECT doc_id, regexp_extract_all(t, '[^.!?]+[.!?]*') AS parts FROM p),
+        |e AS (SELECT doc_id, CAST(u.pos - 1 AS INT) AS sent_id,
+        |    trim(parts[u.pos]) AS sentence
+        |  FROM x, UNNEST(generate_series(1, len(parts))) AS u(pos))
+        |SELECT doc_id, sent_id, sentence FROM e WHERE sentence <> ''
+        |ORDER BY doc_id, sent_id""".stripMargin,
     // same tokenization, same integer rarity (bitlength of total//cnt
     // via binary format), same floor-100× mean
     "text_rarity" ->

@@ -296,6 +296,24 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("sentences: terminator runs, whitespace tails, and the documented abbreviation naivety") {
+    val docs = Seq(
+      (1L, "One. Two! Three?"),
+      (2L, "Wait... really?! yes"),
+      (3L, "no terminators here"),
+      (4L, "trailing space. "),
+      (5L, "Dr. Smith arrived.")   // naive split — documented behavior
+    ).toDF("id", "text")
+    val got = TextAnalysis.sentences(docs, "id", "text")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    assert(got(1L) == Seq("One.", "Two!", "Three?"))
+    assert(got(2L) == Seq("Wait...", "really?!", "yes"))
+    assert(got(3L) == Seq("no terminators here"))
+    assert(got(4L) == Seq("trailing space."))   // whitespace tail drops
+    assert(got(5L) == Seq("Dr.", "Smith arrived."))
+  }
+
   test("rarityScores: rare tokens score high, uniform docs score bitlength(n_docs)") {
     // 8 docs of one shared token + 1 doc of a unique token:
     // total=18 tokens; shared cnt=17 -> 18 div 17 = 1 -> rb=1;
