@@ -15,7 +15,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * (RK, real, bool, inline string, shared string, and the cached
   * results of the four formula-cell records) plus the SST and the
   * workbook sheet directory; writer emits inline-string cells only,
-  * one sheet per DataFrame, rows streamed via toLocalIterator.
+  * one sheet per DataFrame, row records ENCODED on executors, byte stream spooled through the driver.
   *
   * BIFF12 framing ([MS-XLSB] 2.1.4): record id is 1-2 bytes (7 bits
   * per byte, high bit = continuation), record length is 1-4 bytes of
@@ -196,22 +196,48 @@ object Xlsb {
   private[xlsx] def stCell(col: Int, v: String): Array[Byte] =
     rec(CellSt, w32(col) ++ w32(0) ++ wide(v))
 
+  /** One row's BIFF12 bytes: the row header record plus a string cell
+    * per non-empty value. The row index is the record's ONLY global
+    * state, which is what lets encoding distribute (each executor
+    * task encodes its rows against pre-assigned absolute indexes). */
+  private[xlsx] def encodeRow(r: Int, vs: Seq[String]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(rec(RowHdr, w32(r)))
+    vs.zipWithIndex.foreach { case (v, c) => if (v.nonEmpty) out.write(stCell(c, v)) }
+    out.toByteArray
+  }
+
   /** Stream one worksheet part record-by-record into `out` — memory
-    * stays O(row), never O(sheet), mirroring Xlsx.writeSheetXml (rows
-    * arrive via toLocalIterator, one partition at a time). */
+    * stays O(row), never O(sheet), mirroring Xlsx.writeSheetXml.
+    * `rows` yields PRE-ENCODED per-row byte records (computed on the
+    * executors); the driver's remaining work is framing + byte copy. */
   private def writeSheet(out: java.io.OutputStream, header: Seq[String],
-      rows: Iterator[Seq[String]]): Unit = {
+      rows: Iterator[Array[Byte]]): Unit = {
     out.write(rec(BeginSheet, Array.empty))
     out.write(rec(BeginSheetData, Array.empty))
-    def row(r: Int, vs: Seq[String]): Unit = {
-      out.write(rec(RowHdr, w32(r)))
-      vs.zipWithIndex.foreach { case (v, c) => if (v.nonEmpty) out.write(stCell(c, v)) }
-    }
-    row(0, header)
-    var r = 1
-    rows.foreach { vs => row(r, vs); r += 1 }
+    out.write(encodeRow(0, header))
+    rows.foreach(out.write)
     out.write(rec(EndSheetData, Array.empty))
     out.write(rec(EndSheet, Array.empty))
+  }
+
+  /** Distributed sheet encoding: absolute row indexes come from ONE
+    * zipWithIndex pass (a count job per partition boundary — the price
+    * of a single-file format with global row numbers), then each
+    * partition encodes its own rows to BIFF12 bytes in the executor.
+    * What crosses to the driver is the encoded byte stream in order,
+    * not cells — the toLocalIterator spool that remains is IO-bound
+    * concatenation, the irreducible driver share of a one-file export.
+    * Byte-identical to the previous driver-side encoder by
+    * construction (same records, same order). */
+  private def encodedRows(df: DataFrame): Iterator[Array[Byte]] = {
+    val n = df.columns.length
+    df.rdd.zipWithIndex().mapPartitions { it =>
+      it.map { case (row, idx) =>
+        encodeRow((idx + 1).toInt,
+          (0 until n).map(j => Option(row.get(j)).map(_.toString).getOrElse("")))
+      }
+    }.toLocalIterator
   }
 
   private[xlsx] def workbookBin(names: Seq[String]): Array[Byte] = {
@@ -227,7 +253,7 @@ object Xlsb {
   }
 
   /** Write a multi-sheet `.xlsb` workbook (same naming rules as the
-    * OOXML writer; rows stream via toLocalIterator). */
+    * OOXML writer; row encoding distributed, see encodedRows). */
   def writeWorkbook(sheets: Seq[(String, DataFrame)], file: String): Unit = {
     val used = mutable.LinkedHashSet.empty[String]
     val named = sheets.map { case (n, df) => (Xlsx.sanitizeSheetName(n, used), df) }
@@ -263,10 +289,9 @@ object Xlsb {
             s"""<Relationship Id="rId${i + 1}" Type="http://schemas.microsoft.com/office/2006/relationships/xlBinaryWorksheet" Target="worksheets/sheet${i + 1}.bin"/>""").mkString +
           "</Relationships>").getBytes("UTF-8"))
       named.zipWithIndex.foreach { case ((_, df), i) =>
-        val (header, it) = Xlsx.rowStrings(df)
         zos.putNextEntry(new ZipEntry(s"xl/worksheets/sheet${i + 1}.bin"))
         val buf = new java.io.BufferedOutputStream(zos, 1 << 16)
-        writeSheet(buf, header, it)
+        writeSheet(buf, df.columns.toSeq, encodedRows(df))
         buf.flush() // flush through to the zip stream, but do NOT close it
         zos.closeEntry()
       }
