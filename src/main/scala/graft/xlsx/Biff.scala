@@ -21,7 +21,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * records); only the run formatting itself is dropped, matching the
   * reference's plain-value reads.
   * Writer emits inline LABEL cells only (no SST), one sheet per
-  * DataFrame, via toLocalIterator.
+  * DataFrame, row records ENCODED on executors (see encodedRows).
   *
   * Like the OOXML module, `.xls` is a workbook-export format: the
   * container parses on the driver; bulk data paths stay parquet/CSV.
@@ -358,22 +358,43 @@ object Biff {
   }
 
   /** Stream one worksheet substream record-by-record into `out` —
-    * memory stays O(row), never O(sheet) (rows arrive via
+    * memory stays O(row), never O(sheet) (pre-encoded row bytes arrive via
     * toLocalIterator, one partition at a time). */
+  /** One row's BIFF8 bytes: a LABEL record per non-empty cell. The
+    * 16-bit row index is the only global state — what lets encoding
+    * distribute (the executor-side require is the safety net; the
+    * caller pre-checks the count so the cap error surfaces as a plain
+    * IllegalArgumentException on the driver). */
+  private[xlsx] def encodeRowXls(r: Int, vs: Seq[String]): Array[Byte] = {
+    // BIFF8 row index is 16-bit: the format's own 65536-row ceiling.
+    // Silently wrapping would corrupt the grid — fail loud instead
+    // (big data belongs in xlsx/parquet; .xls is legacy compat).
+    require(r <= 0xFFFF,
+      ".xls sheets cap at 65536 rows (BIFF8 16-bit row index); use the .xlsx writer for larger sheets")
+    val out = new java.io.ByteArrayOutputStream()
+    vs.zipWithIndex.foreach { case (v, c) => if (v.nonEmpty) out.write(labelCell(r, c, v)) }
+    out.toByteArray
+  }
+
+  /** Distributed sheet encoding, the BIFF8 twin of Xlsb.encodedRows:
+    * one zipWithIndex pass assigns absolute row indexes, each
+    * partition encodes its rows to LABEL-record bytes in the executor,
+    * and the driver spools the ordered byte stream. */
+  private def encodedRows(df: DataFrame): Iterator[Array[Byte]] = {
+    val n = df.columns.length
+    df.rdd.zipWithIndex().mapPartitions { it =>
+      it.map { case (row, idx) =>
+        encodeRowXls((idx + 1).toInt,
+          (0 until n).map(j => Option(row.get(j)).map(_.toString).getOrElse("")))
+      }
+    }.toLocalIterator
+  }
+
   private def writeSheet(out: java.io.OutputStream, header: Seq[String],
-      rows: Iterator[Seq[String]]): Unit = {
+      rows: Iterator[Array[Byte]]): Unit = {
     out.write(bof(0x0010))
     header.zipWithIndex.foreach { case (h, c) => out.write(labelCell(0, c, h)) }
-    var r = 1
-    rows.foreach { vs =>
-      // BIFF8 row index is 16-bit: the format's own 65536-row ceiling.
-      // Silently wrapping would corrupt the grid — fail loud instead
-      // (big data belongs in xlsx/parquet; .xls is legacy compat).
-      require(r <= 0xFFFF,
-        ".xls sheets cap at 65536 rows (BIFF8 16-bit row index); use the .xlsx writer for larger sheets")
-      vs.zipWithIndex.foreach { case (v, c) => if (v.nonEmpty) out.write(labelCell(r, c, v)) }
-      r += 1
-    }
+    rows.foreach(out.write)
     out.write(rec(0x000A, Array.empty))
   }
 
@@ -506,7 +527,7 @@ object Biff {
 
   /** Write a multi-sheet `.xls` workbook (same naming rules as the
     * OOXML writer). O(row) driver memory like Xlsx.writeWorkbook: each
-    * sheet substream pours through toLocalIterator into a spooled temp
+    * sheet substream (rows encoded DISTRIBUTED, see encodedRows) pours into a spooled temp
     * file (CFB needs every stream length BEFORE the first container
     * byte — the FAT, the directory entry, and each BOUNDSHEET's
     * lbPlyPos all encode absolute offsets), then the container
@@ -520,12 +541,15 @@ object Biff {
     try {
       sheets.foreach { case (n, df) =>
         val name = Xlsx.sanitizeSheetName(n, used)
+        // driver-side pre-check keeps the cap error a plain
+        // IllegalArgumentException (not a wrapped task failure); the
+        // count is cheap relative to a legacy-format export
+        require(df.count() <= 0xFFFF,
+          ".xls sheets cap at 65536 rows (BIFF8 16-bit row index); use the .xlsx writer for larger sheets")
         val p = Files.createTempFile("graft_xls_sheet", ".bin")
         val os = new java.io.BufferedOutputStream(Files.newOutputStream(p), 1 << 16)
-        try {
-          val (header, it) = Xlsx.rowStrings(df)
-          writeSheet(os, header, it)
-        } finally os.close()
+        try writeSheet(os, df.columns.toSeq, encodedRows(df))
+        finally os.close()
         spools += name -> p
       }
       val sizes = spools.map(s => Files.size(s._2))
