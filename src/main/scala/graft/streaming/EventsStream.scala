@@ -545,6 +545,31 @@ object EventsStream {
     merged.write.mode("overwrite").parquet(s"$stateBase/v$batchId")
   }
 
+  /** Retire superseded state versions under `stateBase`, keeping the
+    * newest `keep` (≥1). The versioned stores ([[materializeLatest]],
+    * DocsStream's signature state) otherwise grow one full copy per
+    * micro-batch. Keeping more than one version preserves the retry
+    * window: batch N's re-run reads v<N-1>, so `keep = 2` is the
+    * operational floor while a query is live; `keep = 1` is safe only
+    * on a stopped query. Returns the deleted version dirs. */
+  def vacuumStateVersions(spark: SparkSession, stateBase: String,
+      keep: Int): Seq[String] = {
+    require(keep >= 1, s"vacuumStateVersions: keep=$keep must be >= 1")
+    val base = new org.apache.hadoop.fs.Path(stateBase)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(base)) Seq.empty
+    else {
+      val versions = fs.listStatus(base).toSeq
+        .filter(_.isDirectory)
+        .map(_.getPath)
+        .flatMap(p => p.getName.stripPrefix("v").toLongOption.map(_ -> p))
+        .sortBy(_._1)
+      versions.dropRight(keep).map { case (_, p) =>
+        fs.delete(p, true); p.toString
+      }
+    }
+  }
+
   /** Highest-numbered `v<k>` state dir under `stateBase` with
     * `k < below`, if any. */
   def currentStateVersion(spark: SparkSession, stateBase: String,

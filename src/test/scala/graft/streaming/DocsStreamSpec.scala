@@ -39,6 +39,28 @@ class DocsStreamSpec extends SparkSpec {
     assert(firstPairs.count(_._3 == 10000L) >= 15)
   }
 
+  test("vacuumStateVersions keeps the newest N, deletes the rest, respects v-1 seeds") {
+    val base = Files.createTempDirectory("docs_vacuum")
+    val stateBase = base.resolve("state").toString
+    val a = corpus(8)
+    Dedup.minhashState(a, "id", "text").write.parquet(s"$stateBase/v-1")
+    DocsStream.dedupBatch(a.select((col("id") + 100).as("id"), col("text")),
+      0L, stateBase, base.resolve("p").toString, 8, 4, 0.5, 10000L)
+    DocsStream.dedupBatch(a.select((col("id") + 200).as("id"), col("text")),
+      1L, stateBase, base.resolve("p").toString, 8, 4, 0.5, 10000L)
+    // three versions on disk: v-1, v0, v1 -> keep 2 deletes only v-1
+    val deleted = EventsStream.vacuumStateVersions(spark, stateBase, keep = 2)
+    assert(deleted.map(p => p.substring(p.lastIndexOf('/') + 1)) == Seq("v-1"))
+    // the newest version still resolves and holds all three generations' sigs
+    val cur = EventsStream.currentStateVersion(spark, stateBase).get
+    assert(cur.endsWith("v1"))
+    assert(spark.read.parquet(cur).count() == 24)
+    // vacuum on a missing dir is a no-op, keep=0 rejected
+    assert(EventsStream.vacuumStateVersions(spark, s"$stateBase/nope", 1).isEmpty)
+    intercept[IllegalArgumentException](
+      EventsStream.vacuumStateVersions(spark, stateBase, 0))
+  }
+
   test("two-batch stream state accumulates: batch 1 pairs against batch 0's docs") {
     val base = Files.createTempDirectory("docs_accum")
     val stateBase = base.resolve("state").toString
