@@ -234,10 +234,20 @@ object Ann {
   /** IVF search: assign corpus buckets, probe nprobe buckets per
     * query, join on the bucket key, per-query top-k. */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, centroids: DataFrame,
-      k: Int = 10, nprobe: Int = 2): DataFrame = {
-    val cass = assignBuckets(corpus, centroids)
+      k: Int = 10, nprobe: Int = 2): DataFrame =
+    ivfTopKPreassigned(queries, assignBuckets(corpus, centroids), centroids,
+      k, nprobe)
+
+  /** [[ivfTopK]] against a PREASSIGNED corpus — the serving shape:
+    * bucket assignment (the expensive corpus-side pass) runs once at
+    * index-build time and persists; each query batch pays only its own
+    * probing plus the bucket-restricted join. The streaming retrieval
+    * path ([[graft.streaming.AnnStream]]) reuses one assignment
+    * relation across every micro-batch. */
+  def ivfTopKPreassigned(queries: DataFrame, assigned: DataFrame,
+      centroids: DataFrame, k: Int = 10, nprobe: Int = 2): DataFrame = {
     val probes = broadcast(probeBuckets(queries, centroids, nprobe))
-    rankTopK(probes.join(cass, Seq("bucket")), k)
+    rankTopK(probes.join(assigned, Seq("bucket")), k)
   }
 
   /** The full scale composition: IVF bucket restriction AND int8

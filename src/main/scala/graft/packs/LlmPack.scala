@@ -198,6 +198,14 @@ object LlmPack extends QueryPack {
     // Real in-engine IVF: seeded centroids + 2 Lloyd steps + multi-probe
     // (Ann.scala scaladoc covers the fixed-point determinism story and
     // why recall on this isotropic fixture tracks the scanned fraction).
+    // STREAMING retrieval over the static IVF index (AnnStream): six
+    // query vectors arrive in two real micro-batches; the corpus-side
+    // bucket assignment is computed ONCE and reused across batches
+    // (the serving shape). Union of emissions ≡ single-shot ivfTopK,
+    // which the oracle recomputes with the shared ivf CTEs at maxQ=6.
+    "ann_stream_topk" -> ((s, dir) =>
+      graft.streaming.AnnStream.retrieveViaFileSink(
+        s, dir, NC, LLOYD, TOPK, NPROBE)),
     "ann_topk_ivf" -> ((s, dir) => {
       val e = emb(s, dir)
       val c = e.select(col("vec_id"), col("embedding").as("ce"))
@@ -780,6 +788,9 @@ object LlmPack extends QueryPack {
         |    CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_x1e4 DESC, vec_id) AS INT) AS rank
         |  FROM s2) WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
     "ann_topk_ivf" -> ivfTopkSql,
+    // identical ivf algebra, query set widened to the stream's six
+    "ann_stream_topk" -> ("WITH " + ivfCtes(maxQ = 6).mkString(",\n") +
+      "\nSELECT qid, vec_id, cos_x1e4, rank FROM ivf ORDER BY qid, rank"),
     "ann_topk_ivf_quantized" -> ivfQuantSql,
     "ann_ivf_recall" -> ivfRecallSql,
     "dedup_embedding" -> embeddingDupSql,
