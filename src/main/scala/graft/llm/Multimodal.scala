@@ -94,6 +94,73 @@ object Multimodal {
     else None
   }
 
+  /** Header-only dimensions: (fmt, width, height) from the container
+    * header, NO pixel decode — the metadata pass at corpus scale.
+    * A full decode allocates and converts every pixel to answer
+    * "how big is this"; this touches ≲100 header bytes per asset
+    * (PNG IHDR, GIF/BMP fixed fields, a JPEG marker walk to the first
+    * SOF). None for unrecognized/truncated headers — callers fall
+    * back to [[decodeBytes]] for the degrade path. */
+  def sniffDims(b: Array[Byte]): Option[(String, Int, Int)] = {
+    def u16be(i: Int) = ((b(i) & 0xFF) << 8) | (b(i + 1) & 0xFF)
+    def u32be(i: Int) = ((b(i) & 0xFF) << 24) | ((b(i + 1) & 0xFF) << 16) |
+      ((b(i + 2) & 0xFF) << 8) | (b(i + 3) & 0xFF)
+    def u16le(i: Int) = (b(i) & 0xFF) | ((b(i + 1) & 0xFF) << 8)
+    def i32le(i: Int) = u16le(i) | (u16le(i + 2) << 16)
+    sniff(b) match {
+      case "png" if b.length >= 24 => Some(("png", u32be(16), u32be(20)))
+      case "gif" if b.length >= 10 => Some(("gif", u16le(6), u16le(8)))
+      case "bmp" if b.length >= 26 =>
+        Some(("bmp", i32le(18), math.abs(i32le(22)))) // negative = top-down
+      case "jpeg" =>
+        // marker walk: skip segments until a frame header (SOF0-15
+        // minus the non-frame C4/C8/CC); height then width, big-endian
+        var i = 2
+        while (i + 9 < b.length) {
+          if ((b(i) & 0xFF) != 0xFF) return None
+          val m = b(i + 1) & 0xFF
+          if (m == 0x01 || (m >= 0xD0 && m <= 0xD8)) i += 2 // bare markers
+          else {
+            val len = u16be(i + 2)
+            if (len < 2) return None
+            if (m >= 0xC0 && m <= 0xCF && m != 0xC4 && m != 0xC8 && m != 0xCC)
+              return Some(("jpeg", u16be(i + 7), u16be(i + 5)))
+            i += 2 + len
+          }
+        }
+        None
+      case _ => None
+    }
+  }
+
+  /** Batch header sniff over partitions — same distribution shape as
+    * [[decode]], a fraction of its cost. Unrecognized payloads emit
+    * null fmt/dims rather than degrading (the point of this pass is
+    * to know, cheaply, which assets need the real decoder). */
+  def sniffMeta(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val rdd = media.select("media_id", "content").rdd.mapPartitions(_.map { r =>
+      val bytes = Option(r.getAs[Array[Byte]]("content")).getOrElse(Array.emptyByteArray)
+      sniffDims(bytes) match {
+        case Some((f, w, h)) => Row(r.getAs[Long]("media_id"), f,
+          Int.box(w), Int.box(h), Int.box(bytes.length))
+        case None => Row(r.getAs[Long]("media_id"), null, null, null,
+          Int.box(bytes.length))
+      }
+    })
+    spark.createDataFrame(rdd, org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("media_id",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("fmt",
+        org.apache.spark.sql.types.StringType, nullable = true),
+      org.apache.spark.sql.types.StructField("width",
+        org.apache.spark.sql.types.IntegerType, nullable = true),
+      org.apache.spark.sql.types.StructField("height",
+        org.apache.spark.sql.types.IntegerType, nullable = true),
+      org.apache.spark.sql.types.StructField("n_bytes",
+        org.apache.spark.sql.types.IntegerType, nullable = false))))
+  }
+
   /** Deterministic fallback for unrecognized bytes (the former stub —
     * now only the degrade path, never the contract). */
   private def rawMeta(n: Int): (Int, Int) =

@@ -382,6 +382,33 @@ object LlmPack extends QueryPack {
         .toDF("media_id", "fmt", "nonempty", "width", "height", "duration_ms")
         .orderBy("media_id")
     }),
+    // Header-only dimension sniff (Multimodal.sniffMeta): same fixture
+    // family as the real-decode gate, but the operator may touch only
+    // header bytes — LlmSpec separately locks sniff ≡ full decode on
+    // every recognized format. Unrecognized bytes emit null (the
+    // "needs the real decoder" signal), not a degrade.
+    "multimodal_sniff_dims" -> ((s, dir) => {
+      def img(w: Int, h: Int, fmt: String): Array[Byte] = {
+        val bi = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        (0 until w).foreach(x => (0 until h).foreach(y =>
+          bi.setRGB(x, y, (x * 31 + y * 7) & 0xFFFFFF)))
+        val out = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(bi, fmt, out)
+        out.toByteArray
+      }
+      val media = s.createDataFrame(
+        java.util.Arrays.asList(
+          Row(1L, img(12, 8, "png"), "image"),
+          Row(2L, img(20, 10, "jpg"), "image"),
+          Row(3L, img(9, 7, "gif"), "image"),
+          Row(4L, img(15, 5, "bmp"), "image"),
+          Row(5L, "not a media file".getBytes("UTF-8"), "image")),
+        Multimodal.mediaSchema)
+      Multimodal.sniffMeta(media)
+        .select("media_id", "fmt", "width", "height")
+        .orderBy("media_id")
+    }),
     // Frame sampling: explode-per-frame over byte windows of the binary
     // column — the plan shape a video pipeline samples frames with.
     // Hex the binary frame for the oracle (documents text is ASCII, so
@@ -847,6 +874,15 @@ object LlmPack extends QueryPack {
         |  (CAST(4 AS BIGINT), 'mp4', true, 320, 240, CAST(2500 AS BIGINT)),
         |  (CAST(5 AS BIGINT), 'raw', true, 32, 32, CAST(NULL AS BIGINT)))
         |  AS t(media_id, fmt, nonempty, width, height, duration_ms)
+        |ORDER BY media_id""".stripMargin,
+    "multimodal_sniff_dims" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(1 AS BIGINT), 'png', 12, 8),
+        |  (CAST(2 AS BIGINT), 'jpeg', 20, 10),
+        |  (CAST(3 AS BIGINT), 'gif', 9, 7),
+        |  (CAST(4 AS BIGINT), 'bmp', 15, 5),
+        |  (CAST(5 AS BIGINT), CAST(NULL AS VARCHAR), CAST(NULL AS INT), CAST(NULL AS INT)))
+        |  AS t(media_id, fmt, width, height)
         |ORDER BY media_id""".stripMargin,
     "multimodal_frames" ->
       """WITH n AS (SELECT doc_id AS media_id, text,

@@ -296,6 +296,34 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("sniffDims equals the full decode on every recognized format; truncation yields None") {
+    def img(w: Int, h: Int, fmt: String): Array[Byte] = {
+      val bi = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(bi, fmt, out)
+      out.toByteArray
+    }
+    Seq("png", "jpg", "gif", "bmp").foreach { fmt =>
+      val bytes = img(33, 21, fmt)
+      val sniffed = Multimodal.sniffDims(bytes)
+      val decoded = Multimodal.decodeBytes(bytes)
+      assert(sniffed.isDefined, fmt)
+      assert(sniffed.get._1 == decoded.fmt, fmt)
+      assert((sniffed.get._2, sniffed.get._3) == (decoded.width, decoded.height),
+        s"$fmt: sniff ${sniffed.get} vs decode (${decoded.width},${decoded.height})")
+    }
+    // a JPEG cut before its SOF marker sniffs to None, never garbage
+    assert(Multimodal.sniffDims(img(10, 10, "jpg").take(12)).isEmpty)
+    assert(Multimodal.sniffDims("plain".getBytes("UTF-8")).isEmpty)
+    // top-down BMP (negative height) reports |height|
+    val bmp = img(6, 4, "bmp")
+    val neg = bmp.clone()
+    val hNeg = -4
+    (0 until 4).foreach(i => neg(22 + i) = ((hNeg >> (8 * i)) & 0xFF).toByte)
+    assert(Multimodal.sniffDims(neg).contains(("bmp", 6, 4)))
+  }
+
   test("sentences: terminator runs, whitespace tails, and the documented abbreviation naivety") {
     val docs = Seq(
       (1L, "One. Two! Three?"),
