@@ -296,6 +296,56 @@ object Curation {
           .cast("long").as("n_dropped"))
   }
 
+  /** Integer-exact PageRank — domain authority as a curation weight
+    * (crawl frontiers and quality priors both want "how linked-to is
+    * this domain"). Fixed-point arithmetic throughout (ranks scaled to
+    * `scale`, contributions `rank div out_degree`, damping applied as
+    * `(85 · Σ) div 100`): every operation is integer, so the result is
+    * independent of float summation order — the property that lets a
+    * distributed aggregation match the oracle bit-for-bit, and the
+    * same trick as rarityScores. Standard simplifications, documented:
+    * dangling nodes leak their mass (no redistribution), and the
+    * per-division floor loses ≤1 unit per edge per iteration —
+    * acceptable for a WEIGHT, not for probability-sum invariants.
+    *
+    * Scale shape per iteration: one equi-join (edges × ranks on src,
+    * out-degrees folded in), one keyed aggregate, one left join back
+    * to the node set — all on the node/src key; `iters` is a handful
+    * (authority stabilizes fast), so the loop materializes each
+    * generation and releases the last, like dupClusters. */
+  def pageRankInt(edges: DataFrame, iters: Int,
+      scale: Long = 1000000L): DataFrame = {
+    require(iters >= 1 && iters <= 50, s"pageRankInt: iters=$iters")
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val e = edges.select(col("src"), col("dst")).distinct()
+      .persist(MEMORY_AND_DISK)
+    val nodes = e.select(col("src").as("id"))
+      .unionAll(e.select(col("dst").as("id"))).distinct()
+      .persist(MEMORY_AND_DISK)
+    val deg = e.groupBy("src").agg(count(lit(1)).as("outd"))
+    var ranks = nodes.select(col("id"), lit(scale).as("rank"))
+      .persist(MEMORY_AND_DISK)
+    var prev = ranks
+    (1 to iters).foreach { _ =>
+      val contrib = e
+        .join(deg, Seq("src"))
+        .join(ranks.withColumnRenamed("id", "src"), Seq("src"))
+        .select(col("dst"), expr("rank div outd").as("c"))
+      val sums = contrib.groupBy("dst").agg(sum(col("c")).as("s"))
+      val next = nodes
+        .join(sums.withColumnRenamed("dst", "id"), Seq("id"), "left")
+        .select(col("id"),
+          (lit(scale * 15L / 100L) +
+            expr("(85 * coalesce(s, 0)) div 100")).as("rank"))
+        .persist(MEMORY_AND_DISK)
+      next.count(): Unit // materialize before releasing the parent
+      prev.unpersist(blocking = false)
+      prev = next
+      ranks = next
+    }
+    ranks
+  }
+
   /** Token-window document chunking — the step between cleaning and
     * packing: long documents become overlapping `chunkTokens`-sized
     * windows so no training example is truncated mid-context.

@@ -133,6 +133,20 @@ object CurationPack extends QueryPack {
           docs(s, dir).select(col("doc_id"), col("text")),
           "doc_id", "text", chunkTokens = 32, overlapTokens = 8)
         .orderBy("doc_id", "chunk_id")),
+    // Integer-exact PageRank over a synthesized 20-node domain link
+    // graph (src = doc_id % 20 → dst = (doc_id * 7 + 3) % 20,
+    // self-loops dropped): 3 damped iterations in pure fixed-point,
+    // so the distributed aggregate matches the oracle's unrolled CTE
+    // chain bit-for-bit.
+    "curation_domain_authority" -> ((s, dir) => {
+      val edges = docs(s, dir).select(
+          (col("doc_id") % 20).as("src"),
+          ((col("doc_id") * 7 + 3) % 20).as("dst"))
+        .filter(col("src") =!= col("dst"))
+      val r = Curation.pageRankInt(edges, iters = 3).orderBy("id")
+      val out = r.select(col("id"), col("rank"))
+      out
+    }),
     // The TEXT-side pipeline composed end-to-end — the crawl-to-
     // training-example chain: raw HTML page → stripHtml → scrubPii →
     // token-window chunking. The URL-side twin is
@@ -346,6 +360,28 @@ object CurationPack extends QueryPack {
          |    ELSE ls[-2] || '.' || ls[-1] END AS domain FROM s)
          |SELECT domain, count(*) AS n_docs FROM r
          |GROUP BY domain ORDER BY domain""".stripMargin
+    },
+    // same graph, same fixed-point update (rank div outd per edge,
+    // 150000 + (85·Σ) div 100), three iterations unrolled as CTEs
+    "curation_domain_authority" -> {
+      def iter(prev: String, out: String) =
+        s"""$out AS (SELECT n.id,
+           |  150000 + (85 * coalesce(s.s, 0)) // 100 AS rank
+           |  FROM nodes n LEFT JOIN (
+           |    SELECT e.dst AS id, CAST(sum(p.rank // d.outd) AS BIGINT) AS s
+           |    FROM edges e JOIN deg d ON d.src = e.src
+           |    JOIN $prev p ON p.id = e.src
+           |    GROUP BY e.dst) s ON s.id = n.id)""".stripMargin
+      s"""WITH raw AS (SELECT DISTINCT doc_id % 20 AS src,
+         |    (doc_id * 7 + 3) % 20 AS dst FROM documents),
+         |edges AS (SELECT src, dst FROM raw WHERE src <> dst),
+         |nodes AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges),
+         |deg AS (SELECT src, count(*) AS outd FROM edges GROUP BY src),
+         |r0 AS (SELECT id, CAST(1000000 AS BIGINT) AS rank FROM nodes),
+         |${iter("r0", "r1")},
+         |${iter("r1", "r2")},
+         |${iter("r2", "r3")}
+         |SELECT id, CAST(rank AS BIGINT) AS rank FROM r3 ORDER BY id""".stripMargin
     },
     // the three stages' oracle algebras chained as CTEs: the strip
     // chain (script → style → comments → tags → entities, 'g' flags),

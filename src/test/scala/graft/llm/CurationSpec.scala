@@ -271,6 +271,28 @@ class CurationSpec extends SparkSpec {
       counts.getInt(2) == 1 && counts.getInt(3) == 0)
   }
 
+  test("pageRankInt: ring fixpoint, star concentration, partition invariance") {
+    // 3-ring: every node keeps exactly `scale` (150000 + 85% of 1e6)
+    val ring = Seq((0L, 1L), (1L, 2L), (2L, 0L)).toDF("src", "dst")
+    val r = Curation.pageRankInt(ring, iters = 4)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r.values.toSet == Set(1000000L), r)
+    // star (all spokes -> hub): the hub outranks every spoke
+    val star = (1L to 6L).map(i => (i, 0L)).toDF("src", "dst")
+    val s = Curation.pageRankInt(star, iters = 3)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(s(0L) > s(1L) && (1L to 6L).map(s).toSet.size == 1, s)
+    // integer arithmetic makes the result partition-count invariant
+    val edges = (0 until 60).map(i => (i.toLong % 12, (i * 5 + 1).toLong % 12))
+      .filter(e => e._1 != e._2)
+    val one = Curation.pageRankInt(edges.toDF("src", "dst").coalesce(1), 3)
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    val many = Curation.pageRankInt(edges.toDF("src", "dst").repartition(7), 3)
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(one == many)
+    spark.catalog.clearCache()
+  }
+
   test("chunkDocuments: coverage, overlap, tail snap, and degenerate docs") {
     def toks(n: Int) = (1 to n).map(i => s"w$i").mkString(" ")
     val docs = Seq(
