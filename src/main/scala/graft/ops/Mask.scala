@@ -121,4 +121,21 @@ object Mask {
       else df.select(F.maskUuid(key, seed).as(AnonRowId) +: ruled.map(col): _*)
     MaskedSheet(masked, keys)
   }
+
+  /** k-anonymity audit — the check that belongs NEXT TO masking: after
+    * direct identifiers are masked, quasi-identifier combinations can
+    * still single people out. One hash aggregate over the quasi
+    * columns; each combination reports its group size and whether it
+    * violates the `k` floor. The release decision (suppress/
+    * generalize violating groups) is the caller's — this is the audit,
+    * not the fix. Map-side partial aggregation collapses the heavy
+    * combinations, so the shuffle carries one row per distinct
+    * combination, not per person. */
+  def kAnonymity(df: DataFrame, quasi: Seq[String], k: Long): DataFrame = {
+    require(quasi.nonEmpty, "kAnonymity: at least one quasi-identifier column")
+    require(k >= 2, s"kAnonymity: k=$k must be >= 2")
+    df.groupBy(quasi.map(col): _*)
+      .agg(count(lit(1)).as("n"))
+      .select(quasi.map(col) :+ col("n") :+ (col("n") < k).as("violates"): _*)
+  }
 }

@@ -409,6 +409,31 @@ object LlmPack extends QueryPack {
         .select("media_id", "fmt", "width", "height")
         .orderBy("media_id")
     }),
+    // Real media ingestion path: files on disk → Spark's binaryFile
+    // source (the documented production entry, vs the fromText test
+    // harness) → header sniff. The id comes from the filename, the
+    // bytes from the source's content column — proving the media
+    // pipeline runs off an actual directory scan.
+    "multimodal_binaryfile_scan" -> ((s, dir) => {
+      def img(w: Int, h: Int, fmt: String): Array[Byte] = {
+        val bi = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val out = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(bi, fmt, out)
+        out.toByteArray
+      }
+      val out = java.nio.file.Files.createTempDirectory("graft_binmedia")
+      Seq((1, "png", 16, 9), (2, "jpg", 24, 11), (3, "gif", 7, 6))
+        .foreach { case (i, f, w, h) =>
+          java.nio.file.Files.write(out.resolve(s"m$i.$f"), img(w, h, f)): Unit
+        }
+      val bin = s.read.format("binaryFile").load(out.toString)
+        .select(regexp_extract(col("path"), "m(\\d+)\\.", 1).cast("long")
+          .as("media_id"), col("content"))
+      Multimodal.sniffMeta(bin)
+        .select("media_id", "fmt", "width", "height")
+        .orderBy("media_id")
+    }),
     // Frame sampling: explode-per-frame over byte windows of the binary
     // column — the plan shape a video pipeline samples frames with.
     // Hex the binary frame for the oracle (documents text is ASCII, so
@@ -874,6 +899,13 @@ object LlmPack extends QueryPack {
         |  (CAST(4 AS BIGINT), 'mp4', true, 320, 240, CAST(2500 AS BIGINT)),
         |  (CAST(5 AS BIGINT), 'raw', true, 32, 32, CAST(NULL AS BIGINT)))
         |  AS t(media_id, fmt, nonempty, width, height, duration_ms)
+        |ORDER BY media_id""".stripMargin,
+    "multimodal_binaryfile_scan" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(1 AS BIGINT), 'png', 16, 9),
+        |  (CAST(2 AS BIGINT), 'jpeg', 24, 11),
+        |  (CAST(3 AS BIGINT), 'gif', 7, 6))
+        |  AS t(media_id, fmt, width, height)
         |ORDER BY media_id""".stripMargin,
     "multimodal_sniff_dims" ->
       """SELECT * FROM (VALUES

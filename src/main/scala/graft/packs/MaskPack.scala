@@ -88,6 +88,18 @@ object MaskPack extends QueryPack {
     // §2.10 recovery sidecar: ANON_ROW_ID + original ruled values.
     "mask_sheet_keys" -> ((s, dir) =>
       Mask(sheet(s, dir), "c_custkey", seed, rules).keys.orderBy(AnonRowId)),
+    // k-anonymity audit (Mask.kAnonymity): quasi-identifier =
+    // (c_mktsegment, c_custkey % 25) — ~12-person cells at sf0.001
+    // scaling with sf — with k=10 splitting the cells into passes and
+    // violations. The audit that belongs next to the masking pipeline:
+    // masked direct identifiers do not prevent quasi-identifier
+    // re-identification.
+    "mask_k_anonymity" -> ((s, dir) =>
+      Mask.kAnonymity(
+          Tables.load(s, dir, "customer")
+            .select(col("c_mktsegment"), (col("c_custkey") % 25).as("cohort")),
+          Seq("c_mktsegment", "cohort"), k = 10)
+        .orderBy("c_mktsegment", "cohort")),
     // F10-F13, F19 scalar generators, one column each.
     "mask_fakes" -> ((s, dir) => {
       val key = col("c_custkey")
@@ -125,6 +137,10 @@ object MaskPack extends QueryPack {
   private val maskedNationSql = MaskSql.maskInt(k, "nation", 1, 25)
 
   val oracleSql: Map[String, String] = Map(
+    "mask_k_anonymity" ->
+      """SELECT c_mktsegment, c_custkey % 25 AS cohort,
+        |  count(*) AS n, count(*) < 10 AS violates
+        |FROM customer GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "mask_sheet_masked" ->
       s"""SELECT c_custkey, $maskedNameSql AS name, sha256(c_mktsegment) AS segment,
          |  $maskedNationSql AS nation, ${MaskSql.uuid(k)} AS ANON_ROW_ID
