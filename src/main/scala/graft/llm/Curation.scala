@@ -85,6 +85,28 @@ object Curation {
       .groupBy("id").agg(count(lit(1)).as("n_overlap"))
   }
 
+  /** Contamination SCORE — the fraction form of [[contaminatedDocs]]:
+    * per corpus document, the share of its distinct shingles present
+    * in the (broadcast) eval shingle set, for every document including
+    * clean ones. A boolean flag forces a single global threshold; the
+    * fraction lets release policy grade by severity (drop >50%,
+    * quarantine >5%, log the rest). Ratio of two longs through
+    * scale4 — IEEE-exact on both engines. Same scale shape as the
+    * flag: one broadcast semi-ish join + two keyed aggregates. */
+  def contaminationScore(corpus: DataFrame, eval: DataFrame): DataFrame = {
+    val corpusSh = Dedup.shingles(corpus, "id", "text")
+    val evalSh = Dedup.shingles(eval, "id", "text").select(col("sh")).distinct()
+    val tot = corpusSh.groupBy("id").agg(count(lit(1)).as("n_shingles"))
+    val ov = corpusSh.join(broadcast(evalSh), Seq("sh"))
+      .groupBy("id").agg(count(lit(1)).as("n_overlap"))
+    tot.join(ov, Seq("id"), "left")
+      .select(col("id"), col("n_shingles"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+        graft.functions.F.scale4(
+          coalesce(col("n_overlap"), lit(0L)).cast("double") /
+            col("n_shingles").cast("double")).as("frac_x1e4"))
+  }
+
   /** Deterministic hash-threshold sampler: keep a row iff its keyed
     * 32-bit hash falls below `rate`·2³². The sampling primitive every
     * curation stage shares (stratified sampling, corpus mixing):

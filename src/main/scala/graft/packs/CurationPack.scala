@@ -46,6 +46,15 @@ object CurationPack extends QueryPack {
       val corpus = d.filter(col("id") % 97 =!= 0)
       Curation.contaminatedDocs(corpus, eval).orderBy("id")
     }),
+    // Contamination as a FRACTION (Curation.contaminationScore): every
+    // corpus doc reports its overlap share, clean docs included —
+    // severity-graded release policy instead of one global flag.
+    "curation_contamination_score" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id").as("id"), col("text"))
+      val eval = d.filter(col("id") % 97 === 0)
+      val corpus = d.filter(col("id") % 97 =!= 0)
+      Curation.contaminationScore(corpus, eval).orderBy("id")
+    }),
     // The stages composed end-to-end — dup pairs → cluster resolution →
     // keeper filter → per-domain cap → sequence packing — proving the
     // pipeline chains without re-shaping between operators. Each stage
@@ -285,6 +294,24 @@ object CurationPack extends QueryPack {
         |FROM sh s JOIN ev ON s.sh = ev.sh
         |WHERE s.doc_id % 97 <> 0
         |GROUP BY s.doc_id ORDER BY id""".stripMargin,
+    // same shingle CTEs, totals via a second aggregate, ratio through
+    // the shared scale4 (floor(x*1e4 + 0.5))
+    "curation_contamination_score" ->
+      """WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, unnest(
+        |  CASE WHEN len(w) >= 3
+        |  THEN list_transform(generate_series(1, len(w) - 2), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+        |  ELSE [array_to_string(w, ' ')] END) AS sh FROM words),
+        |ev AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 97 = 0),
+        |corp AS (SELECT doc_id, sh FROM sh WHERE doc_id % 97 <> 0),
+        |tot AS (SELECT doc_id AS id, count(*) AS n_shingles FROM corp GROUP BY doc_id),
+        |ov AS (SELECT c.doc_id AS id, count(*) AS n_overlap
+        |  FROM corp c JOIN ev ON c.sh = ev.sh GROUP BY c.doc_id)
+        |SELECT t.id, t.n_shingles,
+        |  CAST(coalesce(o.n_overlap, 0) AS BIGINT) AS n_overlap,
+        |  CAST(FLOOR(CAST(coalesce(o.n_overlap, 0) AS DOUBLE) /
+        |    CAST(t.n_shingles AS DOUBLE) * 10000 + 0.5) AS BIGINT) AS frac_x1e4
+        |FROM tot t LEFT JOIN ov o ON o.id = t.id ORDER BY t.id""".stripMargin,
     "llm_pipeline_full" ->
       s"""WITH RECURSIVE pairs AS (
          |  SELECT doc_id AS a, doc_id + 1 AS b FROM documents WHERE doc_id % 10 < 3),
