@@ -45,4 +45,25 @@ object Profile {
       .select(col("_s.column_name"), col("_s.n_nulls"), col("_s.n_distinct"),
         col("_s.min_value"), col("_s.max_value"))
   }
+
+  /** Equi-width histogram of a numeric column over [lo, hi): `nBins`
+    * bins, the last bin additionally catching v = hi (the usual
+    * closed-top convention); values outside [lo, hi] are COUNTED in
+    * `n_out` rather than silently dropped — a distribution report that
+    * hides out-of-range mass misleads. One aggregate pass; the bin
+    * arithmetic (`floor((v − lo) · nBins / (hi − lo))` in doubles) is
+    * a single IEEE expression both engines evaluate identically.
+    * Output: (bin, n) per non-empty bin plus a (−1, n_out) row when
+    * out-of-range values exist. */
+  def histogram(df: DataFrame, c: String, lo: Double, hi: Double,
+      nBins: Int): DataFrame = {
+    require(nBins > 0 && hi > lo, s"histogram: [$lo, $hi) x $nBins")
+    val v = col(c).cast("double")
+    val bin = when(v < lo || v > hi, lit(-1))
+      .otherwise(least(lit(nBins - 1),
+        floor((v - lit(lo)) * lit(nBins.toDouble) / lit(hi - lo)).cast("int")))
+    df.filter(v.isNotNull)
+      .groupBy(bin.as("bin"))
+      .agg(count(lit(1)).as("n"))
+  }
 }

@@ -1,0 +1,42 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed statistics with ORACLE-EXACT semantics. The trap with
+  * naive float aggregation is summation order: a double Σxy differs
+  * run to run under shuffle, so closed-form regression over float sums
+  * is not reproducible, let alone oracle-matchable. Here every SUM
+  * runs over DECIMAL(18,2)-cast inputs — exact, order-independent —
+  * and floats only appear AFTER aggregation, in a fixed expression
+  * tree both engines evaluate identically (the same IEEE ops in the
+  * same order on the same exact inputs). */
+object Stats {
+
+  /** Group-wise simple linear regression y = a·x + b via the closed
+    * form over exact decimal moments. Output per group:
+    * (group, n, slope_x1e6, intercept_x1e6) — fixed-point ×1e6 through
+    * the floor(+0.5) convention shared with scale4. Groups with zero
+    * x-variance (the denominator of the closed form = 0) emit null
+    * slope/intercept rather than ±Inf. One aggregate pass: five
+    * map-side-combined moments per group, nothing else. */
+  def linregGroups(df: DataFrame, groupCol: String, xCol: String,
+      yCol: String): DataFrame = {
+    val x = col(xCol).cast("decimal(18,2)")
+    val y = col(yCol).cast("decimal(18,2)")
+    val m = df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"),
+        sum(x).as("sx"), sum(y).as("sy"),
+        sum(x * y).as("sxy"), sum(x * x).as("sxx"))
+    // exact decimals → double ONCE, then a fixed IEEE expression tree
+    val num = (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+    val den = (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
+    val slope = when(den === 0.0, lit(null)).otherwise(num / den)
+    val icept = when(den === 0.0, lit(null)).otherwise(
+      (col("sy").cast("double") - (num / den) * col("sx").cast("double")) /
+        col("n").cast("double"))
+    m.select(col(groupCol), col("n"),
+      floor(slope * lit(1000000d) + lit(0.5d)).cast("long").as("slope_x1e6"),
+      floor(icept * lit(1000000d) + lit(0.5d)).cast("long").as("intercept_x1e6"))
+  }
+}

@@ -81,6 +81,23 @@ object ExtrasPack extends QueryPack {
         Tables.load(s, dir, "customer"),
         Seq("c_custkey", "c_name", "c_nationkey", "c_mktsegment"))
         .orderBy("column_name")),
+    // Group-wise linear regression (ops/Stats.linregGroups): price vs
+    // quantity per return flag, closed form over DECIMAL-exact moments
+    // (float sums would be shuffle-order dependent and unmatchable) —
+    // the oracle replays the identical expression tree.
+    "agg_linreg" -> ((s, dir) =>
+      graft.ops.Stats.linregGroups(
+          Tables.load(s, dir, "lineitem"),
+          "l_returnflag", "l_quantity", "l_extendedprice")
+        .orderBy("l_returnflag")),
+    // Distribution profile: 12 equi-width bins of l_quantity over
+    // [0, 60), out-of-range counted under bin -1 (none here — the
+    // fixture range is within bounds, locking the no-silent-drop
+    // contract trivially true).
+    "profile_histogram" -> ((s, dir) =>
+      graft.ops.Profile.histogram(
+          Tables.load(s, dir, "lineitem"), "l_quantity", 0.0, 60.0, 12)
+        .orderBy("bin")),
     // Lake maintenance: fragment documents into 64 tiny files (a
     // streaming sink's worth of debris), compact back to ~4 MB
     // outputs, and prove the rewrite is lossless — the aggregate over
@@ -126,6 +143,36 @@ object ExtrasPack extends QueryPack {
       """SELECT n_nationkey,
         |  to_json(struct_pack(n_nationkey := n_nationkey, n_name := n_name)) AS doc
         |FROM nation ORDER BY n_nationkey""".stripMargin,
+    // same decimal moments, same double-conversion points, same IEEE
+    // expression order
+    "agg_linreg" ->
+      """WITH m AS (SELECT l_returnflag, count(*) AS n,
+        |    sum(CAST(l_quantity AS DECIMAL(18,2))) AS sx,
+        |    sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sy,
+        |    sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS sxy,
+        |    sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS sxx
+        |  FROM lineitem GROUP BY l_returnflag),
+        |d AS (SELECT l_returnflag, n,
+        |    CAST(n * sxy - sx * sy AS DOUBLE) AS num,
+        |    CAST(n * sxx - sx * sx AS DOUBLE) AS den,
+        |    CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd
+        |  FROM m)
+        |SELECT l_returnflag, n,
+        |  CASE WHEN den = 0 THEN NULL
+        |    ELSE CAST(FLOOR((num / den) * 1000000 + 0.5) AS BIGINT) END AS slope_x1e6,
+        |  CASE WHEN den = 0 THEN NULL
+        |    ELSE CAST(FLOOR(((syd - (num / den) * sxd) / n) * 1000000 + 0.5) AS BIGINT) END
+        |    AS intercept_x1e6
+        |FROM d ORDER BY l_returnflag""".stripMargin,
+    // same single IEEE bin expression; -1 arm mirrors the out-of-range
+    // counting contract
+    "profile_histogram" ->
+      """SELECT CAST(CASE WHEN v < 0.0 OR v > 60.0 THEN -1
+        |    ELSE LEAST(11, CAST(FLOOR((v - 0.0) * 12.0 / 60.0) AS INT)) END AS INT) AS bin,
+        |  count(*) AS n
+        |FROM (SELECT CAST(l_quantity AS DOUBLE) AS v FROM lineitem
+        |      WHERE l_quantity IS NOT NULL)
+        |GROUP BY 1 ORDER BY bin""".stripMargin,
     "profile_columns" -> {
       val per = Seq("c_custkey", "c_name", "c_nationkey", "c_mktsegment").map { c =>
         s"""SELECT '$c' AS column_name,

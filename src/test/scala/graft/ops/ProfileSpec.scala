@@ -37,4 +37,18 @@ class ProfileSpec extends SparkSpec {
     // rows come back, one per column
     assert(df.count() == 4)
   }
+
+  test("histogram: closed-top last bin, out-of-range counted under -1, nulls dropped") {
+    import spark.implicits._
+    val vals = Seq[java.lang.Double](0.0, 4.9, 5.0, 9.9, 10.0, // bins 0,0,1,1,last
+      -0.1, 10.1, null)                                        // out, out, dropped
+      .toDF("v")
+    val got = Profile.histogram(vals, "v", 0.0, 10.0, 2)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // [0,5) -> 2 values; [5,10) -> 2; v=10.0 snaps into the last bin
+    assert(got == Map(0 -> 2L, 1 -> 3L, -1 -> 2L), got.toString)
+    // zero-width or non-positive bins rejected
+    intercept[IllegalArgumentException](Profile.histogram(vals, "v", 5.0, 5.0, 2))
+    intercept[IllegalArgumentException](Profile.histogram(vals, "v", 0.0, 1.0, 0))
+  }
 }
