@@ -25,6 +25,7 @@ object SparkEntry {
     FormatsPack,
     PolicyPack,
     ExtrasPack,
+    TimeSeriesPack,
     CoveragePack,
   )
 

@@ -1,0 +1,73 @@
+package graft.llm
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Keyword retrieval over the corpus: an inverted-index build and an
+  * integer-exact BM25 scorer — the lexical half of a retrieval stack,
+  * next to the ANN embedding half (`llm/Ann.scala`).
+  *
+  * Scoring is BM25 with k1 = 6/5, b = 3/4, made INTEGER-EXACT so the
+  * distributed result is reproducible (and oracle-matchable) bit for
+  * bit — a float `ln` idf would differ between libm implementations:
+  *  - avgdl := ⌊Σdl / N⌋ — the corpus average document length as an
+  *    integer, fixed at index time;
+  *  - idf(t) := bitlength(⌊N / df(t)⌋) — the same integer-log2
+  *    convention as `TextAnalysis.rarityScores`;
+  *  - per-(doc,term): clearing k1, b from
+  *    tf·(k1+1) / (tf + k1·(1−b) + k1·b·dl/avgdl) by 10·avgdl gives
+  *    22·avgdl·tf / (10·avgdl·tf + 3·avgdl + 9·dl) — all integers —
+  *    carried as a ×10000 fixed point via integer division;
+  *  - doc score := Σ over matched query terms.
+  *
+  * Scale shape: the postings build is one explode + one (term, doc)
+  * hash aggregate — the same term-frequency relation every corpus
+  * statistic shares. Scoring filters postings to the query's term set
+  * FIRST (a literal isin pushed into the aggregate's input), joins the
+  * surviving slice to the doc-length table on doc_id, and broadcasts
+  * the per-term idf (≤|q| rows) and the 1-row corpus totals. Top-k is
+  * an orderBy+limit → TakeOrderedAndProject, never a global sort.
+  */
+object Search {
+
+  /** (term, doc_id, tf) postings from space-tokenized text. */
+  def postings(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        explode(split(col(textCol), " ")).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
+
+  /** (doc_id, dl) document lengths under the same tokenization. */
+  def docLengths(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        size(filter(split(col(textCol), " "), t => t =!= "")).cast("long").as("dl"))
+      .filter(col("dl") > 0)
+
+  /** Top-k documents for a bag of query terms, by integer-exact BM25.
+    * Output: doc_id, n_terms_hit, score_x1e4 (desc, doc_id tiebreak). */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String], k: Int): DataFrame = {
+    require(queryTerms.nonEmpty && k > 0, s"bm25TopK: $queryTerms / $k")
+    val post = postings(docs, idCol, textCol)
+    val lens = docLengths(docs, idCol, textCol)
+    // corpus constants: one row (N docs, avgdl = Σdl div N)
+    val totals = lens.agg(count(lit(1)).as("n_docs"),
+      expr("sum(dl) div count(1)").as("avgdl"))
+    // query-term slice of the postings + per-term document frequency
+    val qp = post.filter(col("term").isin(queryTerms: _*))
+    val dfreq = qp.groupBy("term").agg(count(lit(1)).as("df"))
+    val idf = dfreq.join(broadcast(totals))
+      .select(col("term"),
+        length(bin(expr("n_docs div df"))).cast("long").as("idf"))
+    val scored = qp
+      .join(broadcast(idf), Seq("term"))
+      .join(lens, Seq("doc_id"))
+      .join(broadcast(totals))
+      .select(col("doc_id"),
+        expr("""(10000L * idf * 22L * avgdl * tf)
+                div (10L * avgdl * tf + 3L * avgdl + 9L * dl)""").as("comp"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_terms_hit"), sum(col("comp")).as("score_x1e4"))
+    scored.orderBy(desc("score_x1e4"), asc("doc_id")).limit(k)
+  }
+}

@@ -39,4 +39,36 @@ object Stats {
       floor(slope * lit(1000000d) + lit(0.5d)).cast("long").as("slope_x1e6"),
       floor(icept * lit(1000000d) + lit(0.5d)).cast("long").as("intercept_x1e6"))
   }
+
+  /** Group-wise z-score outlier scoring. Moments (n, Σx, Σx²) are
+    * DECIMAL-exact per group; the per-row score is the algebraically
+    * cleared form z = (n·x − Σx) / sqrt(n·Σx² − (Σx)²) evaluated in
+    * doubles AFTER aggregation — a fixed IEEE tree over exact inputs,
+    * so both engines produce bit-identical doubles and the scale4
+    * fixed point never knife-edges. The tiny per-group moment table
+    * broadcasts back onto the rows (3–6 groups here; at 100 TB the
+    * group count is what it is — a dimension-sized broadcast), so
+    * scoring adds ZERO shuffles beyond the one aggregate.
+    * Zero-variance groups emit null z rather than ±Inf.
+    * `is_outlier` derives from the integer fixed point (|z|·1e4 >
+    * threshold·1e4) — an integer compare, no float boundary. */
+  def outlierScores(df: DataFrame, groupCol: String, xCol: String,
+      thresholdX1e4: Long): DataFrame = {
+    val x = col(xCol).cast("decimal(18,2)")
+    val m = df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"), sum(x).as("sx"), sum(x * x).as("sxx"))
+    val joined = df.join(broadcast(m), Seq(groupCol))
+    val num = col("n").cast("double") * col(xCol).cast("double") -
+      col("sx").cast("double")
+    // gate on the RADICAND, not the sqrt: a rounding-negative argument
+    // must yield null in both engines, never sqrt(neg) = NaN
+    val arg = col("n").cast("double") * col("sxx").cast("double") -
+      col("sx").cast("double") * col("sx").cast("double")
+    val z4 = when(arg <= 0.0, lit(null))
+      .otherwise(floor(num / sqrt(arg) * lit(10000d) + lit(0.5d)).cast("long"))
+    joined.withColumn("z_x1e4", z4)
+      .withColumn("is_outlier",
+        when(col("z_x1e4").isNull, lit(0))
+          .otherwise((abs(col("z_x1e4")) > thresholdX1e4).cast("int")))
+  }
 }

@@ -128,6 +128,13 @@ object LlmPack extends QueryPack {
         .filter(col("term") =!= "")
         .groupBy("term").agg(count(lit(1)).as("n"))
         .orderBy(desc("n"), asc("term")).limit(20)),
+    // Lexical retrieval (llm/Search.scala): integer-exact BM25 top-25
+    // for a 4-term query over the inverted index — postings filtered
+    // to the query's term set before any join, per-term idf and the
+    // 1-row corpus totals broadcast, TakeOrderedAndProject top-k.
+    "search_bm25_topk" -> ((s, dir) =>
+      graft.llm.Search.bm25TopK(docs(s, dir), "doc_id", "text",
+        Seq("spark", "join", "window", "stream"), k = 25)),
     // §2.13 sketch surface, frequency form: Count-Min (d=3, w=1024)
     // over the token stream — ONE pass, O(d·w) bounded state per
     // partial, element-wise-sum merge — next to the exact top-20 it
@@ -667,6 +674,30 @@ object LlmPack extends QueryPack {
         |FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
         |WHERE term <> ''
         |GROUP BY term ORDER BY n DESC, term LIMIT 20""".stripMargin,
+    // mirrors Search.bm25TopK's integer algebra exactly: avgdl and idf
+    // are integer-division/bitlength constants, each (doc,term)
+    // component is one ×10000 fixed-point integer division
+    "search_bm25_topk" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |t2 AS (SELECT doc_id, term FROM toks WHERE term <> ''),
+        |post AS (SELECT term, doc_id, count(*) AS tf FROM t2 GROUP BY 1, 2),
+        |lens AS (SELECT doc_id, count(*) AS dl FROM t2 GROUP BY 1),
+        |tot AS (SELECT count(*) AS n_docs,
+        |    CAST(sum(dl) // count(*) AS BIGINT) AS avgdl FROM lens),
+        |qp AS (SELECT * FROM post
+        |  WHERE term IN ('spark', 'join', 'window', 'stream')),
+        |dfreq AS (SELECT term, count(*) AS df FROM qp GROUP BY 1),
+        |idf AS (SELECT term,
+        |    CAST(length(format('{:b}', CAST(tot.n_docs // df AS BIGINT))) AS BIGINT) AS idf
+        |  FROM dfreq CROSS JOIN tot),
+        |comp AS (SELECT qp.doc_id,
+        |    (10000 * idf.idf * 22 * tot.avgdl * qp.tf)
+        |      // (10 * tot.avgdl * qp.tf + 3 * tot.avgdl + 9 * lens.dl) AS comp
+        |  FROM qp JOIN idf USING (term) JOIN lens USING (doc_id) CROSS JOIN tot)
+        |SELECT doc_id, count(*) AS n_terms_hit,
+        |  CAST(sum(comp) AS BIGINT) AS score_x1e4
+        |FROM comp GROUP BY doc_id
+        |ORDER BY score_x1e4 DESC, doc_id LIMIT 25""".stripMargin,
     // mirrors repetitionMetrics: same tokenization, same scale4
     // fixed-point order, flag compared on the fixed-point integer
     "text_repetition" ->

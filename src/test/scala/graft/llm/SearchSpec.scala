@@ -1,0 +1,51 @@
+package graft.llm
+
+import graft.SparkSpec
+
+class SearchSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Seq(
+    (1L, "a b a"),
+    (2L, "a c"),
+    (3L, "b b b b"))
+    .toDF("doc_id", "text")
+
+  test("bm25TopK: hand-computed integer algebra (avgdl=3, idf=bitlen(N div df))") {
+    // N=3, T=9 → avgdl=3; df(a)=df(b)=2 → idf = bitlen(3 div 2) = 1
+    // comp(d1,a) = 10000·1·22·3·2 div (10·3·2+3·3+9·3) = 1320000 div 96 = 13750
+    // comp(d1,b) = 660000 div 66 = 10000 → d1 = 23750
+    // comp(d2,a) = 660000 div (30+9+18) = 11578
+    // comp(d3,b) = 2640000 div (120+9+36) = 16000
+    val out = Search.bm25TopK(docs, "doc_id", "text", Seq("a", "b"), k = 10)
+      .collect().map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[Long]("n_terms_hit"), r.getAs[Long]("score_x1e4")))
+    assert(out.toSeq == Seq((1L, 2L, 23750L), (3L, 1L, 16000L), (2L, 1L, 11578L)))
+  }
+
+  test("bm25TopK: unmatched query terms contribute nothing; k truncates after the doc_id tiebreak") {
+    val out = Search.bm25TopK(docs, "doc_id", "text", Seq("a", "zzz"), k = 1)
+      .collect().map(_.getAs[Long]("doc_id"))
+    // only a matches; d1 (tf=2, dl=3) outscores d2 (tf=1, dl=2)
+    assert(out.toSeq == Seq(1L))
+  }
+
+  test("postings/docLengths: blank tokens drop, multi-space runs never mint empty terms") {
+    val messy = Seq((7L, "  x  y x ")).toDF("doc_id", "text")
+    val p = Search.postings(messy, "doc_id", "text")
+      .orderBy("term").collect().map(r => (r.getString(0), r.getAs[Long]("tf")))
+    assert(p.toSeq == Seq(("x", 2L), ("y", 1L)))
+    val l = Search.docLengths(messy, "doc_id", "text").collect()
+    assert(l.map(r => r.getAs[Long]("dl")).toSeq == Seq(3L))
+  }
+
+  test("bm25TopK: tf saturation — score grows sublinearly in tf, monotone nonetheless") {
+    val d = Seq((1L, "t"), (2L, "t t"), (3L, "t t t t t t t t"))
+      .toDF("doc_id", "text")
+    val scores = Search.bm25TopK(d, "doc_id", "text", Seq("t"), 10)
+      .orderBy("doc_id").collect().map(r => r.getAs[Long]("score_x1e4"))
+    assert(scores(0) < scores(1) && scores(1) < scores(2))
+    // saturation: doubling tf from 1→2 gains more than the next doubling per unit
+    assert(scores(1) - scores(0) > (scores(2) - scores(1)) / 4)
+  }
+}

@@ -1,0 +1,74 @@
+package graft.ops
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class ResampleSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(sec: Long) = new Timestamp(sec * 1000L)
+
+  // key 1: observations in buckets 0 and 7200 (gap at 3600);
+  // bucket 0 has two rows — the later one (sec=500, id=11) must win.
+  // key 2: single observation — one-bucket grid, no fill.
+  private def feed = Seq(
+    (10L, ts(100L), 1L, 2.5),
+    (11L, ts(500L), 1L, 7.25),
+    (12L, ts(7300L), 1L, 9.0),
+    (20L, ts(4000L), 2L, 3.0))
+    .toDF("event_id", "ts", "user_id", "value")
+
+  test("resampleLocf: grid spans min..max bucket, gaps fill carried-forward, latest-in-bucket wins") {
+    val out = Resample.resampleLocf(feed, "user_id", "ts", "value", "event_id", 3600L)
+      .orderBy("user_id", "bucket").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("bucket"),
+        r.getAs[Long]("n_events"), r.getAs[Int]("filled"), r.getAs[Long]("v_locf_x1e4")))
+    assert(out.toSeq == Seq(
+      (1L, 0L, 2L, 0, 72500L),    // two obs; sec=500 wins over sec=100
+      (1L, 3600L, 0L, 1, 72500L), // gap: filled, value carried forward
+      (1L, 7200L, 1L, 0, 90000L),
+      (2L, 3600L, 1L, 0, 30000L)))
+  }
+
+  test("rollingRange: trailing window includes same-second peers, excludes older than windowSec-1") {
+    // user 1: secs 100, 500, 7300 — at 500 the 100-row is inside the
+    // 3600 s frame; at 7300 neither earlier row is.
+    val out = Resample.rollingRange(feed, "user_id", "ts", "value", "event_id", 3600L)
+      .orderBy("user_id", "sec").collect()
+      .map(r => (r.getAs[Long]("event_id"), r.getAs[Long]("n_win"), r.getAs[Long]("sum_v_x1e4")))
+    assert(out.toSeq == Seq(
+      (10L, 1L, 25000L),
+      (11L, 2L, 97500L),
+      (12L, 1L, 90000L),
+      (20L, 1L, 30000L)))
+  }
+
+  test("rollingRange: simultaneous events aggregate symmetrically (RANGE frame peers)") {
+    val peers = Seq((1L, ts(50L), 9L, 1.0), (2L, ts(50L), 9L, 2.0))
+      .toDF("event_id", "ts", "user_id", "value")
+    val out = Resample.rollingRange(peers, "user_id", "ts", "value", "event_id", 60L)
+      .orderBy("event_id").collect()
+      .map(r => (r.getAs[Long]("n_win"), r.getAs[Long]("sum_v_x1e4")))
+    // both rows see both peers — a ROWS frame would have made the
+    // result depend on an undefined tie order
+    assert(out.toSeq == Seq((2L, 30000L), (2L, 30000L)))
+  }
+
+  test("outlierScores: zero-variance group emits null z and flag 0; cleared form matches hand calc") {
+    val df = Seq(
+      ("a", 10.0), ("a", 20.0), ("a", 30.0),
+      ("b", 5.0), ("b", 5.0))
+      .toDF("g", "x")
+    val out = Stats.outlierScores(df, "g", "x", thresholdX1e4 = 10000L)
+      .orderBy("g", "x").collect()
+      .map(r => (r.getAs[String]("g"), r.getAs[java.lang.Long]("z_x1e4"), r.getAs[Int]("is_outlier")))
+    // group a: cleared form z(10) = (3*10-60)/sqrt(3*1400-60^2)
+    //   = -30/sqrt(600) = -1.2247448…; scale4: floor(∓12247.448+0.5)
+    assert(out(0) == (("a", java.lang.Long.valueOf(-12247L), 1)))
+    assert(out(1) == (("a", java.lang.Long.valueOf(0L), 0)))
+    assert(out(2) == (("a", java.lang.Long.valueOf(12247L), 1)))
+    assert(out(3)._2 == null && out(3)._3 == 0)
+    assert(out(4)._2 == null && out(4)._3 == 0)
+  }
+}
