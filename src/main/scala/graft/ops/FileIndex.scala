@@ -72,4 +72,55 @@ object FileIndex {
   /** Total file count recorded in the manifest. */
   def indexedFileCount(spark: SparkSession, dir: String): Long =
     spark.read.parquet(s"$dir/_index").count()
+
+  // ---- per-file Bloom manifests -------------------------------------
+
+  /** Like [[writeIndexed]], plus a per-file Bloom filter over a SECOND
+    * column in the manifest. Range stats only prune on the cluster
+    * column; a point lookup on any other column scans everything. The
+    * bloom closes that gap for equality predicates: each file carries
+    * a `numBits`-bit filter of its `bloomCol` values (built by the
+    * same distributed `BloomBuild` aggregate the join prefilter uses,
+    * grouped by `input_file_name` — so the filter, like the min/max,
+    * can never disagree with the bytes on disk). Manifest cost is
+    * numBits/8 bytes per file — KBs, read once at planning. */
+  def writeIndexedBloom(df: DataFrame, dir: String, clusterCol: String,
+      bloomCol: String, partitions: Int, numBits: Int = 1 << 16,
+      numHashes: Int = 5): Unit = {
+    require(partitions > 0, s"writeIndexedBloom: partitions=$partitions")
+    df.repartitionByRange(partitions, col(clusterCol))
+      .sortWithinPartitions(clusterCol)
+      .write.mode("overwrite").parquet(dir)
+    val spark = df.sparkSession
+    spark.read.parquet(dir)
+      .groupBy(input_file_name().as("file"))
+      .agg(min(col(clusterCol)).as("lo"), max(col(clusterCol)).as("hi"),
+        count(lit(1)).as("rows"),
+        graft.functions.F.toColumn(graft.functions.BloomBuild(
+          graft.functions.F.toExpr(col(bloomCol)),
+          numBits, numHashes).toAggregateExpression()).as("bloom"))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/_index")
+  }
+
+  /** Scan pruned to files whose bloom MIGHT contain `key` — the
+    * planning step for a point lookup on the bloom-indexed column.
+    * False positives only admit files the residual filter then
+    * empties; a false negative is impossible (every written value was
+    * hashed into its file's filter), so the pruned scan is
+    * result-identical to the full one. */
+  def readPrunedBloom(spark: SparkSession, dir: String, key: Long): DataFrame = {
+    val files = bloomSurvivingFiles(spark, dir, key)
+    if (files.isEmpty) spark.read.parquet(dir).limit(0)
+    else spark.read.parquet(files.toIndexedSeq: _*)
+  }
+
+  /** Files whose per-file bloom admits `key`. Driver-side by design —
+    * bounded by manifest size, it IS the metadata-layer consult. */
+  def bloomSurvivingFiles(spark: SparkSession, dir: String,
+      key: Long): Seq[String] =
+    spark.read.parquet(s"$dir/_index").select("file", "bloom").collect()
+      .filter(r => graft.functions.BloomOps.mightContain(
+        r.getAs[Array[Byte]]("bloom"), key))
+      .map(_.getString(0)).toIndexedSeq
 }

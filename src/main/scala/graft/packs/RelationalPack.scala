@@ -680,6 +680,23 @@ object RelationalPack extends QueryPack {
         .agg(count(lit(1)).as("n"), dsum("o_totalprice").as("total"))
         .orderBy("o_orderstatus")
     }),
+    // Point lookup on a NON-cluster column via the per-file bloom
+    // manifest: orders laid out by o_orderkey, looked up by o_custkey
+    // — min/max can't prune that, the bloom can. The oracle is the
+    // plain filter (bloom pruning is result-invariant: false
+    // positives only admit files the residual filter then empties).
+    "fileindex_bloom_scan" -> ((s, dir) => {
+      val out = graft.core.Scratch.dir("graft_fbloom").resolve("orders").toString
+      graft.ops.FileIndex.writeIndexedBloom(
+        Tables.load(s, dir, "orders")
+          .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"),
+        out, "o_orderkey", "o_custkey", partitions = 16)
+      graft.ops.FileIndex.readPrunedBloom(s, out, 97L)
+        .filter(col("o_custkey") === 97L)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"), dsum("o_totalprice").as("total"))
+        .orderBy("o_orderstatus")
+    }),
     "zorder_skipping" -> ((s, dir) => {
       import graft.functions.ZOrderKey
       val out = graft.core.Scratch.dir("graft_zorder")
@@ -724,6 +741,10 @@ object RelationalPack extends QueryPack {
     "fileindex_pruned_scan" ->
       s"""SELECT o_orderstatus, count(*) AS n, ${dsumSql("o_totalprice")} AS total
          |FROM orders WHERE o_orderkey BETWEEN 1000 AND 5000
+         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "fileindex_bloom_scan" ->
+      s"""SELECT o_orderstatus, count(*) AS n, ${dsumSql("o_totalprice")} AS total
+         |FROM orders WHERE o_custkey = 97
          |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "zorder_skipping" ->
       s"""SELECT event_type, count(*) AS n, ${dsumSql("value")} AS total_value

@@ -50,6 +50,54 @@ class FileIndexSpec extends SparkSpec {
     assert(spark.read.parquet(dir).count() == 500L)
   }
 
+  private def bloomIndexed(n: Int, parts: Int): String = {
+    val dir = Files.createTempDirectory("fbloom").resolve("t").toString
+    // cluster by id; the lookup column `u` is id-scrambled so each
+    // value lands in exactly one file but min/max on id can't see it
+    val df = spark.range(n)
+      .select(col("id"), ((col("id") * 2654435761L) % 100000L).as("u"))
+    FileIndex.writeIndexedBloom(df.toDF("id", "u"), dir, "id", "u", parts)
+    dir
+  }
+
+  test("bloom manifest prunes a point lookup on the non-cluster column") {
+    val dir = bloomIndexed(10000, 10)
+    // pick an existing u value and its expected rows from a full scan
+    val probe = spark.read.parquet(dir).filter(col("id") === 4321L)
+      .head().getAs[Long]("u")
+    val full = spark.read.parquet(dir).filter(col("u") === probe).count()
+    val surv = FileIndex.bloomSurvivingFiles(spark, dir, probe)
+    // 10k distinct values over 10 files, 64k-bit filters: the true
+    // file survives, near-zero false positives admit few others
+    assert(surv.nonEmpty && surv.size <= 3, s"expected <=3 files, got ${surv.size}")
+    val pruned = FileIndex.readPrunedBloom(spark, dir, probe)
+      .filter(col("u") === probe).count()
+    assert(pruned == full && full >= 1L)
+  }
+
+  test("bloom pruning never false-negatives: every present value's file survives") {
+    val dir = bloomIndexed(2000, 8)
+    val sample = spark.read.parquet(dir).select("u").distinct()
+      .orderBy("u").limit(50).collect().map(_.getLong(0))
+    val fullByU = spark.read.parquet(dir)
+      .groupBy("u").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    sample.foreach { u =>
+      val got = FileIndex.readPrunedBloom(spark, dir, u)
+        .filter(col("u") === u).count()
+      assert(got == fullByU(u), s"u=$u: pruned $got != full ${fullByU(u)}")
+    }
+  }
+
+  test("bloom lookup of an absent value prunes to empty (schema kept)") {
+    val dir = bloomIndexed(1000, 4)
+    // 1e9 is outside the (x*2654435761 % 100000) image upper bound
+    val out = FileIndex.readPrunedBloom(spark, dir, 1000000000L)
+      .filter(col("u") === 1000000000L)
+    assert(out.count() == 0L)
+    assert(out.columns.toSeq == Seq("id", "u"))
+  }
+
   test("manifest agrees with the bytes on disk (recomputed post-write)") {
     val dir = indexed(3000, 6)
     val m = spark.read.parquet(s"$dir/_index")
