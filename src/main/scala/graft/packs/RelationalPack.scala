@@ -138,6 +138,14 @@ object RelationalPack extends QueryPack {
     "events_sessionize_et_stream" -> ((s, dir) =>
       graft.streaming.EventsStream.sessionizeEventTimeViaFileSink(s, dir)),
 
+    // §2.11 built-in session windows: the declarative session_window
+    // aggregate (vs the flatMapGroupsWithState custom sessionizer of
+    // events_sessionize_et_stream) — closed sessions through the file
+    // sink must reproduce the batch gap-split with session_window's
+    // own >= gap boundary and end = last_ts + gap.
+    "events_session_window_stream" -> ((s, dir) =>
+      graft.streaming.EventsStream.sessionWindowViaFileSink(s, dir)),
+
     // §2.11 sliding (hopping) windows: 2-hour windows every hour —
     // each event lands in exactly two window slots; counts must match
     // the batch identity over both covering window starts.
@@ -866,6 +874,23 @@ object RelationalPack extends QueryPack {
         |  CAST(SUM(n_events) AS BIGINT) AS n_events,
         |  CAST(SUM(duration_sec) AS BIGINT) AS total_duration_sec
         |FROM per_sess GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // session_window's twin: gap split at > 30 min (exactly-gap events
+    // MERGE — spec-locked inclusive boundary), end = last event + gap
+    "events_session_window_stream" ->
+      """WITH g AS (SELECT user_id, event_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |         OR epoch_us(CAST(ts AS TIMESTAMP)) - epoch_us(CAST(lag(ts) OVER w AS TIMESTAMP)) > 1800000000
+        |         THEN 1 ELSE 0 END AS new_sess
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (SELECT user_id, ts,
+        |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS sess_no FROM g)
+        |SELECT user_id,
+        |  strftime(min(CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S.%f') AS sess_start,
+        |  strftime(max(CAST(ts AS TIMESTAMP)) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S.%f') AS sess_end,
+        |  count(*) AS n_events
+        |FROM s GROUP BY user_id, sess_no
+        |ORDER BY user_id, sess_start""".stripMargin,
+
     // the sliding-window twin: a 2h/1h window at start W holds events
     // with trunc(ts) in {W, W+1h} — i.e. each event contributes to
     // window starts trunc(ts) and trunc(ts)-1h

@@ -69,6 +69,52 @@ object EventsStream {
       .orderBy("win_start", "event_type")
   }
 
+  /** Built-in gap sessions: `session_window` is the DECLARATIVE twin
+    * of the flatMapGroupsWithState sessionizer ([[sessionizeEventTime]])
+    * — Spark merges each key's overlapping [ts, ts+gap) windows into
+    * sessions inside the aggregate, the watermark closes them, Append
+    * emits each exactly once. Prefer this form wherever the per-event
+    * output of the custom sessionizer isn't needed: it keeps the whole
+    * query in Catalyst (state pruning, no Encoder round-trips).
+    * Boundary (spec-locked): Spark merges INCLUSIVELY — an event at
+    * exactly prev + gap still joins prev's session; only a strictly
+    * larger gap splits. Same `> gap` split convention as the batch
+    * sessionization twin, so the gate oracle reuses its CTE shape. */
+  def sessionWindowAgg(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events.withWatermark("ts", "1 hour")
+      .groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(count(lit(1)).as("n_events"))
+
+  /** Correctness gate for [[sessionWindowAgg]]: staged fixture + the
+    * two sentinel batches (the second pushes the watermark past every
+    * real session's end), file sink, then the closed sessions compared
+    * to the batch gap-split twin. Sentinel sessions belong to user −1
+    * and are filtered after the batch read-back. */
+  def sessionWindowViaFileSink(spark: SparkSession, sfDir: String): DataFrame = {
+    val (ss, in, base) = stageWithSentinels(spark, sfDir)
+    val out = base.resolve("out").toString
+    val q = sessionWindowAgg(readEvents(ss, in.toString, maxFilesPerTrigger = Some(1)))
+      .select(col("user_id"),
+        col("session_window.start").as("sess_start"),
+        col("session_window.end").as("sess_end"),
+        col("n_events"))
+      .writeStream
+      .outputMode(OutputMode.Append())
+      .format("parquet")
+      .option("path", out)
+      .option("checkpointLocation", base.resolve("ckpt").toString)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    cleanupStaged(base, in)
+    spark.read.parquet(out)
+      .filter(col("user_id") >= 0)
+      .select(col("user_id"),
+        date_format(col("sess_start"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("sess_start"),
+        date_format(col("sess_end"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("sess_end"),
+        col("n_events"))
+      .orderBy("user_id", "sess_start")
+  }
+
   /** Shared gate scaffolding: a cloned 4-partition session, the events
     * fixture staged into a scratch input dir, and two sentinel
     * micro-batches 3 h and 6 h past the fixture's max event time (in

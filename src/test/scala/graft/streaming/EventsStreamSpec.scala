@@ -318,6 +318,38 @@ class EventsStreamSpec extends SparkSpec {
     assert(!spark.catalog.tableExists("graft_sessions"))
   }
 
+  test("session_window boundary: exactly-gap events MERGE (inclusive), a millisecond over splits") {
+    import org.apache.spark.sql.functions.{col, count, lit, session_window}
+    // batch evaluation of the same aggregate sessionWindowAgg uses:
+    // u1 events at 0 and +30:00.000 — touching windows MERGE (Spark
+    // treats session end as inclusive for the merge test);
+    // u2 events at 0 and +30:00.001 — past the gap, two sessions.
+    val df = Seq(
+      (1L, Timestamp.valueOf("2024-01-01 10:00:00"), 1L),
+      (2L, Timestamp.valueOf("2024-01-01 10:30:00"), 1L),
+      (3L, Timestamp.valueOf("2024-01-01 10:00:00"), 2L),
+      (4L, new Timestamp(Timestamp.valueOf("2024-01-01 10:30:00").getTime + 1L), 2L))
+      .toDF("event_id", "ts", "user_id")
+    val out = df.groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n"))
+      .select("user_id", "n").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(out.toSeq == Seq((1L, 2L), (2L, 1L), (2L, 1L)))
+  }
+
+  test("sessionWindowAgg end-to-end file-sink gate emits well-formed closed sessions") {
+    val out = EventsStream.sessionWindowViaFileSink(spark, sf)
+    val rows = out.collect()
+    assert(rows.length > 0)
+    // session invariants: end = start + at least the gap; n >= 1
+    rows.foreach { r =>
+      val start = java.sql.Timestamp.valueOf(r.getAs[String]("sess_start"))
+      val end = java.sql.Timestamp.valueOf(r.getAs[String]("sess_end"))
+      assert(end.getTime - start.getTime >= 30 * 60 * 1000L)
+      assert(r.getAs[Long]("n_events") >= 1L)
+    }
+  }
+
   test("top-k complete-mode view shape (O1+O2 on a stream)") {
     val batch = Seq(
       Event(1, ts("2024-01-01 10:00:00"), 1, "a", 10.0),
