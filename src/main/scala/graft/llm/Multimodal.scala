@@ -305,4 +305,81 @@ object Multimodal {
       org.apache.spark.sql.types.StructField("n_bytes", org.apache.spark.sql.types.IntegerType),
       org.apache.spark.sql.types.StructField("ahash", org.apache.spark.sql.types.LongType))))
   }
+
+  // ---- audio features -----------------------------------------------
+
+  /** PCM samples of a WAV payload as centered ints (8-bit unsigned →
+    * −128-shift; 16-bit signed, either endianness; stereo interleaved
+    * in channel order; a trailing partial sample is dropped). None
+    * when the bytes aren't decodable PCM audio. */
+  private def pcmSamples(content: Array[Byte]): Option[Array[Int]] =
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(content))
+      try {
+        val fmt = in.getFormat
+        val bits = fmt.getSampleSizeInBits
+        if (bits != 8 && bits != 16) None
+        else {
+          val raw = in.readAllBytes()
+          val signed = fmt.getEncoding ==
+            javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
+          if (bits == 8)
+            Some(raw.map(b => if (signed) b.toInt else (b & 0xFF) - 128))
+          else {
+            val n = raw.length / 2
+            val out = new Array[Int](n)
+            var i = 0
+            while (i < n) {
+              val (lo, hi) = if (fmt.isBigEndian) (raw(2 * i + 1), raw(2 * i))
+                else (raw(2 * i), raw(2 * i + 1))
+              out(i) = ((hi.toInt << 8) | (lo & 0xFF)) - (if (signed) 0 else 32768)
+              i += 1
+            }
+            Some(out)
+          }
+        }
+      } finally in.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** INTEGER-EXACT audio features per row: sample count, energy
+    * (Σ s² as a long — exact for any realistic clip: 16-bit² × count
+    * overflows only past 2^32 samples), peak |s|, and zero crossings
+    * (sign flips across the interleaved sample stream, negative vs
+    * non-negative — the deterministic convention). Integer outputs
+    * mean the gate oracle is plain VALUES literals — no float
+    * tolerance. Non-audio payloads emit fmt='skip' with nulls, same
+    * heterogeneous-batch contract as [[decode]]/[[resizeAndHash]];
+    * executor-side mapPartitions like the rest of this module (the
+    * JDK sound stack has no Catalyst vehicle). */
+  def audioFeatures(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val rdd = media.select("media_id", "content").rdd.mapPartitions(_.map { r =>
+      val bytes = Option(r.getAs[Array[Byte]]("content")).getOrElse(Array.emptyByteArray)
+      pcmSamples(bytes) match {
+        case Some(s) =>
+          var sumSq = 0L; var maxAbs = 0L; var zc = 0L
+          var i = 0
+          while (i < s.length) {
+            val v = s(i).toLong
+            sumSq += v * v
+            val a = math.abs(v)
+            if (a > maxAbs) maxAbs = a
+            if (i > 0 && ((s(i - 1) < 0) != (s(i) < 0))) zc += 1
+            i += 1
+          }
+          Row(r.getAs[Long]("media_id"), "wav", Long.box(s.length.toLong),
+            Long.box(sumSq), Long.box(maxAbs), Long.box(zc))
+        case None =>
+          Row(r.getAs[Long]("media_id"), "skip", null, null, null, null)
+      }
+    })
+    spark.createDataFrame(rdd, StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("fmt", StringType, nullable = false),
+      StructField("n_samples", LongType),
+      StructField("sum_sq", LongType),
+      StructField("max_abs", LongType),
+      StructField("zero_crossings", LongType))))
+  }
 }

@@ -389,6 +389,45 @@ object LlmPack extends QueryPack {
         .toDF("media_id", "fmt", "nonempty", "width", "height", "duration_ms")
         .orderBy("media_id")
     }),
+    // Integer-exact audio features (Multimodal.audioFeatures): PCM
+    // energy / peak / zero-crossings over hand-built WAVs — 8-bit
+    // unsigned, 16-bit mono, 16-bit stereo interleave, plus a junk
+    // payload that must degrade to 'skip'. Every output is an integer
+    // computed from the PCM definition, so the oracle is VALUES.
+    "multimodal_audio_features" -> ((s, dir) => {
+      def wav8(samples: Array[Int], rateHz: Int): Array[Byte] = {
+        val pcm = samples.map(v => (v + 128).toByte)
+        val afmt = new javax.sound.sampled.AudioFormat(rateHz.toFloat, 8, 1, false, false)
+        val ais = new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(pcm), afmt, samples.length.toLong)
+        val out = new java.io.ByteArrayOutputStream()
+        javax.sound.sampled.AudioSystem.write(ais,
+          javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+        out.toByteArray
+      }
+      def wav16(samples: Array[Int], rateHz: Int, channels: Int): Array[Byte] = {
+        val pcm = new Array[Byte](samples.length * 2)
+        samples.indices.foreach { i =>
+          pcm(2 * i) = (samples(i) & 0xFF).toByte
+          pcm(2 * i + 1) = ((samples(i) >> 8) & 0xFF).toByte
+        }
+        val afmt = new javax.sound.sampled.AudioFormat(rateHz.toFloat, 16, channels, true, false)
+        val ais = new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(pcm), afmt, (samples.length / channels).toLong)
+        val out = new java.io.ByteArrayOutputStream()
+        javax.sound.sampled.AudioSystem.write(ais,
+          javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+        out.toByteArray
+      }
+      val media = s.createDataFrame(
+        java.util.Arrays.asList(
+          Row(1L, wav8(Array(0, 2, -2, 0), 8000), "audio"),
+          Row(2L, wav16(Array(1000, -1000, 0, 500, -500), 16000, 1), "audio"),
+          Row(3L, wav16(Array(100, -100, 200, -200), 16000, 2), "audio"),
+          Row(4L, "not audio at all".getBytes("UTF-8"), "audio")),
+        Multimodal.mediaSchema)
+      Multimodal.audioFeatures(media).orderBy("media_id")
+    }),
     // Header-only dimension sniff (Multimodal.sniffMeta): same fixture
     // family as the real-decode gate, but the operator may touch only
     // header bytes — LlmSpec separately locks sniff ≡ full decode on
@@ -937,6 +976,16 @@ object LlmPack extends QueryPack {
         |  (CAST(2 AS BIGINT), 'jpeg', 24, 11),
         |  (CAST(3 AS BIGINT), 'gif', 7, 6))
         |  AS t(media_id, fmt, width, height)
+        |ORDER BY media_id""".stripMargin,
+    // hand-derived from the PCM fixtures: sum of squares, peak, and
+    // negative/non-negative sign flips across the interleaved stream
+    "multimodal_audio_features" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(1 AS BIGINT), 'wav', CAST(4 AS BIGINT), CAST(8 AS BIGINT), CAST(2 AS BIGINT), CAST(2 AS BIGINT)),
+        |  (CAST(2 AS BIGINT), 'wav', CAST(5 AS BIGINT), CAST(2500000 AS BIGINT), CAST(1000 AS BIGINT), CAST(3 AS BIGINT)),
+        |  (CAST(3 AS BIGINT), 'wav', CAST(4 AS BIGINT), CAST(100000 AS BIGINT), CAST(200 AS BIGINT), CAST(3 AS BIGINT)),
+        |  (CAST(4 AS BIGINT), 'skip', CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)))
+        |  AS t(media_id, fmt, n_samples, sum_sq, max_abs, zero_crossings)
         |ORDER BY media_id""".stripMargin,
     "multimodal_sniff_dims" ->
       """SELECT * FROM (VALUES

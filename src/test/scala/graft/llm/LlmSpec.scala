@@ -407,6 +407,35 @@ class LlmSpec extends SparkSpec {
     assert(seq.forall { case (x, y, _) => y >= 100L && (x < y || x < 100L) })
   }
 
+  test("audioFeatures: 16-bit big-endian AIFF decodes through the BE branch; junk skips") {
+    import org.apache.spark.sql.Row
+    // samples [300, -300]: sum_sq=180000, max=300, one sign flip
+    val samples = Array(300, -300)
+    val pcm = new Array[Byte](4)
+    samples.indices.foreach { i =>
+      pcm(2 * i) = ((samples(i) >> 8) & 0xFF).toByte      // big-endian: hi first
+      pcm(2 * i + 1) = (samples(i) & 0xFF).toByte
+    }
+    val afmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, true)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), afmt, 2L)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.AIFF, out)
+    val media = spark.createDataFrame(
+      java.util.Arrays.asList(
+        Row(1L, out.toByteArray, "audio"),
+        Row(2L, Array[Byte](1, 2, 3), "audio")),
+      Multimodal.mediaSchema)
+    val got = Multimodal.audioFeatures(media).orderBy("media_id").collect()
+    assert(got(0).getAs[String]("fmt") == "wav")
+    assert(got(0).getAs[Long]("n_samples") == 2L)
+    assert(got(0).getAs[Long]("sum_sq") == 180000L)
+    assert(got(0).getAs[Long]("max_abs") == 300L)
+    assert(got(0).getAs[Long]("zero_crossings") == 1L)
+    assert(got(1).getAs[String]("fmt") == "skip" && got(1).isNullAt(2))
+  }
+
   test("simhash band bucket cap: fully saturated identical docs drop to exact dedup") {
     val docs = (0 until 50).map(i => (i.toLong, "all docs identical text here"))
       .toDF("id", "text")
