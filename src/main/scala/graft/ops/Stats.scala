@@ -40,6 +40,34 @@ object Stats {
       floor(icept * lit(1000000d) + lit(0.5d)).cast("long").as("intercept_x1e6"))
   }
 
+  /** Group-wise Pearson correlation via the same exact-moment recipe
+    * as [[linregGroups]]: five DECIMAL-exact sums per group, then
+    * r = (n·Σxy − Σx·Σy) / sqrt((n·Σx² − Σx²)·(n·Σy² − Σy²)) in a
+    * fixed IEEE tree, crossed as a ×1e6 fixed point. Zero variance on
+    * either side → null (not NaN). One aggregate pass, map-side
+    * combined — the built-in `corr` aggregates FLOATS and is
+    * shuffle-order dependent; this is the reproducible form. */
+  def corrGroups(df: DataFrame, groupCol: String, xCol: String,
+      yCol: String): DataFrame = {
+    val x = col(xCol).cast("decimal(18,2)")
+    val y = col(yCol).cast("decimal(18,2)")
+    val m = df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"),
+        sum(x).as("sx"), sum(y).as("sy"), sum(x * y).as("sxy"),
+        sum(x * x).as("sxx"), sum(y * y).as("syy"))
+    val n = col("n").cast("double")
+    val num = n * col("sxy").cast("double") -
+      col("sx").cast("double") * col("sy").cast("double")
+    val vx = n * col("sxx").cast("double") -
+      col("sx").cast("double") * col("sx").cast("double")
+    val vy = n * col("syy").cast("double") -
+      col("sy").cast("double") * col("sy").cast("double")
+    val r = when(vx <= 0.0 || vy <= 0.0, lit(null))
+      .otherwise(num / sqrt(vx * vy))
+    m.select(col(groupCol), col("n"),
+      floor(r * lit(1000000d) + lit(0.5d)).cast("long").as("corr_x1e6"))
+  }
+
   /** Group-wise z-score outlier scoring. Moments (n, Σx, Σx²) are
     * DECIMAL-exact per group; the per-row score is the algebraically
     * cleared form z = (n·x − Σx) / sqrt(n·Σx² − (Σx)²) evaluated in

@@ -45,6 +45,57 @@ object TimeSeriesPack extends QueryPack {
         .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
           col("z_x1e4"), col("is_outlier"))
         .orderBy("l_orderkey", "l_linenumber")),
+    // Group-wise Pearson correlation from decimal-exact moments (the
+    // float built-in is shuffle-order dependent; this is reproducible).
+    "agg_corr" -> ((s, dir) =>
+      Stats.corrGroups(Tables.load(s, dir, "lineitem"),
+          "l_returnflag", "l_quantity", "l_extendedprice")
+        .orderBy("l_returnflag")),
+    // Retention cohorts: users grouped by first-seen day, counted on
+    // each later active day offset — the engagement matrix every
+    // product-analytics stack computes. Pure integer counts; output
+    // bounded by span² regardless of sf.
+    "events_retention_cohort" -> ((s, dir) => {
+      val days = Tables.load(s, dir, "events")
+        .select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+      val cohorts = days.groupBy("user_id").agg(min(col("d")).as("cohort_day"))
+      days.join(cohorts, Seq("user_id"))
+        .groupBy(date_format(col("cohort_day"), "yyyy-MM-dd").as("cohort_day"),
+          datediff(col("d"), col("cohort_day")).as("offset_days"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+        .orderBy("cohort_day", "offset_days")
+    }),
+    // Conversion funnel: of all users, how many ever viewed, and how
+    // many purchased within 1 h of their FIRST view — the sequenced
+    // two-stage funnel (ordering matters: a purchase before the first
+    // view does not convert).
+    "events_funnel" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+      val total = ev.agg(countDistinct(col("user_id")).as("users_total"))
+      val firstView = ev.filter(col("event_type") === "view")
+        .groupBy("user_id")
+        .agg(min(graft.ops.Resample.epochSec(col("ts"))).as("vsec"))
+      val viewed = firstView.agg(count(lit(1)).as("users_viewed"))
+      val converted = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), graft.ops.Resample.epochSec(col("ts")).as("psec"))
+        .join(firstView, Seq("user_id"))
+        .filter(col("psec") >= col("vsec") && col("psec") <= col("vsec") + 3600L)
+        .agg(countDistinct(col("user_id")).as("users_converted"))
+      total.join(viewed).join(converted)
+    }),
+    // Rank-position windows: percent_rank / cume_dist per order status
+    // (ties share ranks in both engines; values are tie-order
+    // independent, crossed as scale4 fixed point).
+    "window_percent_rank" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("o_orderstatus").orderBy(col("o_totalprice"))
+      Tables.load(s, dir, "orders")
+        .filter(col("o_custkey") < 100)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          graft.functions.F.scale4(percent_rank().over(w)).as("pr_x1e4"),
+          graft.functions.F.scale4(cume_dist().over(w)).as("cd_x1e4"))
+        .orderBy("o_orderkey")
+    }),
   )
 
   /** Shared event-slice CTE: integer epoch seconds + scale4 value. */
@@ -123,5 +174,55 @@ object TimeSeriesPack extends QueryPack {
         |FROM lineitem l JOIN m ON l.l_returnflag = m.l_returnflag
         |WHERE l.l_orderkey < 400
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    // replays corrGroups' fixed tree: exact decimal moments, one
+    // double conversion each, num / sqrt(vx·vy), floor ×1e6
+    "agg_corr" ->
+      """WITH m AS (
+        |  SELECT l_returnflag, count(*) AS n,
+        |    sum(CAST(l_quantity AS DECIMAL(18,2))) AS sx,
+        |    sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sy,
+        |    sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS sxy,
+        |    sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS sxx,
+        |    sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS syy
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l_returnflag, n,
+        |  CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) <= 0
+        |         OR CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) <= 0
+        |    THEN NULL
+        |    ELSE CAST(floor(
+        |      (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+        |      sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+        |           (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+        |      * 1e6 + 0.5) AS BIGINT) END AS corr_x1e6
+        |FROM m ORDER BY l_returnflag""".stripMargin,
+    "events_retention_cohort" ->
+      """WITH days AS (
+        |  SELECT DISTINCT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d FROM events),
+        |cohorts AS (SELECT user_id, min(d) AS cohort_day FROM days GROUP BY 1)
+        |SELECT strftime(c.cohort_day, '%Y-%m-%d') AS cohort_day,
+        |  CAST(date_diff('day', c.cohort_day, d.d) AS INTEGER) AS offset_days,
+        |  count(DISTINCT d.user_id) AS n_users
+        |FROM days d JOIN cohorts c USING (user_id)
+        |GROUP BY 1, 2 ORDER BY cohort_day, offset_days""".stripMargin,
+    "events_funnel" ->
+      """WITH fv AS (
+        |  SELECT user_id, min(epoch_us(CAST(ts AS TIMESTAMP)) // 1000000) AS vsec
+        |  FROM events WHERE event_type = 'view' GROUP BY 1),
+        |conv AS (
+        |  SELECT count(DISTINCT e.user_id) AS users_converted
+        |  FROM events e JOIN fv USING (user_id)
+        |  WHERE e.event_type = 'purchase'
+        |    AND epoch_us(CAST(e.ts AS TIMESTAMP)) // 1000000 BETWEEN fv.vsec AND fv.vsec + 3600)
+        |SELECT (SELECT count(DISTINCT user_id) FROM events) AS users_total,
+        |  (SELECT count(*) FROM fv) AS users_viewed,
+        |  users_converted
+        |FROM conv""".stripMargin,
+    "window_percent_rank" ->
+      """SELECT o_orderkey, o_orderstatus,
+        |  CAST(floor(percent_rank() OVER w * 1e4 + 0.5) AS BIGINT) AS pr_x1e4,
+        |  CAST(floor(cume_dist() OVER w * 1e4 + 0.5) AS BIGINT) AS cd_x1e4
+        |FROM orders WHERE o_custkey < 100
+        |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice)
+        |ORDER BY o_orderkey""".stripMargin,
   )
 }

@@ -55,6 +55,21 @@ class ResampleSpec extends SparkSpec {
     assert(out.toSeq == Seq((2L, 30000L), (2L, 30000L)))
   }
 
+  test("corrGroups: perfect correlation hits 1e6 exactly; zero variance yields null") {
+    val df = Seq(
+      ("a", 1.0, 2.0), ("a", 2.0, 4.0), ("a", 3.0, 6.0),     // y = 2x → r = 1
+      ("b", 1.0, 5.0), ("b", 2.0, 3.0), ("b", 3.0, 10.0),    // generic
+      ("c", 4.0, 1.0), ("c", 4.0, 2.0))                      // x constant → null
+      .toDF("g", "x", "y")
+    val out = Stats.corrGroups(df, "g", "x", "y").orderBy("g").collect()
+      .map(r => (r.getAs[String]("g"), r.getAs[java.lang.Long]("corr_x1e6")))
+    assert(out(0) == (("a", java.lang.Long.valueOf(1000000L))))
+    // group b moments: num=15, vx=6, vy=78 — same fixed tree as the engine
+    val expB = math.floor(15.0 / math.sqrt(6.0 * 78.0) * 1e6 + 0.5).toLong
+    assert(out(1) == (("b", java.lang.Long.valueOf(expB))))
+    assert(out(2)._2 == null)
+  }
+
   test("outlierScores: zero-variance group emits null z and flag 0; cleared form matches hand calc") {
     val df = Seq(
       ("a", 10.0), ("a", 20.0), ("a", 30.0),
