@@ -188,6 +188,13 @@ object RelationalPack extends QueryPack {
     "events_stream_join_outer" -> ((s, dir) =>
       graft.streaming.EventsStream.purchaseViewJoinOuterViaFileSink(s, dir)),
 
+    // §2.11 stream-stream FULL-outer interval join — both sides'
+    // unmatched rows null-pad after the watermark clears their window;
+    // the batch FULL JOIN with the identical interval condition is the
+    // oracle.
+    "events_stream_join_full" -> ((s, dir) =>
+      graft.streaming.EventsStream.purchaseViewJoinFullViaFileSink(s, dir)),
+
     // SCD2 temporal build: each purchase becomes a validity interval
     // [ts, next ts) per user via ONE keyed window lead() — the
     // slowly-changing-dimension shape every warehouse derives from an
@@ -929,6 +936,15 @@ object RelationalPack extends QueryPack {
         |  ON p.user_id = v.user_id
         | AND v.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts
         |ORDER BY p.user_id, purchase_id, view_id""".stripMargin,
+    // full outer: both unmatched sides null-pad, key coalesced
+    "events_stream_join_full" ->
+      """SELECT COALESCE(p.user_id, v.user_id) AS user_id,
+        |  p.event_id AS purchase_id, v.event_id AS view_id
+        |FROM (SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase') p
+        |FULL JOIN (SELECT user_id, event_id, ts FROM events WHERE event_type = 'view') v
+        |  ON p.user_id = v.user_id
+        | AND v.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts
+        |ORDER BY user_id, purchase_id, view_id""".stripMargin,
     // tolerance: the prior match nulls out beyond the 1-hour bound
     "events_asof_tolerance" ->
       """WITH p AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'),

@@ -200,7 +200,10 @@ object EventsStream {
     p.join(v, expr(
         s"user_id = v_user_id AND vts BETWEEN pts - INTERVAL $horizon AND pts"),
         joinType)
-      .select(col("user_id"), col("purchase_id"), col("view_id"))
+      // coalesce keeps the key on view-side-only rows (full outer);
+      // for inner/left joins it is the purchase key unchanged
+      .select(coalesce(col("user_id"), col("v_user_id")).as("user_id"),
+        col("purchase_id"), col("view_id"))
   }
 
   /** The notices view: latest state re-ranked per trigger
@@ -785,6 +788,13 @@ object EventsStream {
     * rows are dropped from the output. */
   def purchaseViewJoinOuterViaFileSink(spark: SparkSession, sfDir: String): DataFrame =
     ssJoinGate(spark, sfDir, "left_outer", sentinels = true)
+
+  /** FULL-OUTER gate: BOTH sides' unmatched rows emit null-padded once
+    * the watermark clears their window — unmatched views (no purchase
+    * within the following hour) surface too, keyed via the coalesced
+    * user id. Same dual-type sentinel staging as the left-outer gate. */
+  def purchaseViewJoinFullViaFileSink(spark: SparkSession, sfDir: String): DataFrame =
+    ssJoinGate(spark, sfDir, "full_outer", sentinels = true)
 
   private def ssJoinGate(spark: SparkSession, sfDir: String, joinType: String,
       sentinels: Boolean): DataFrame = {

@@ -305,6 +305,36 @@ class EventsStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("full-outer stream join: an unmatched VIEW null-pads with its own user id") {
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[Event]
+    val q = EventsStream.purchaseViewJoin(src.toDF(), horizon = "1 hour",
+        joinType = "full_outer")
+      .writeStream.format("memory").queryName("ssjf").outputMode(OutputMode.Append()).start()
+    try {
+      src.addData(
+        Event(10, ts("2024-01-01 09:30:00"), 1, "view", 1.0),
+        Event(20, ts("2024-01-01 10:00:00"), 1, "purchase", 5.0),  // matched pair
+        Event(11, ts("2024-01-01 10:00:00"), 3, "view", 1.0))     // no purchase follows
+      q.processAllAvailable()
+      // two watermark advances on both branches close view 11's window
+      Seq("2024-01-01 20:00:00", "2024-01-02 08:00:00").zipWithIndex.foreach {
+        case (t, i) =>
+          src.addData(
+            Event(40 + i, ts(t), 9, "view", 1.0),
+            Event(50 + i, ts(t), 9, "purchase", 1.0))
+          q.processAllAvailable()
+      }
+      val unmatchedViews = spark.sql(
+        "SELECT user_id, view_id FROM ssjf WHERE purchase_id IS NULL")
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      // the view-side row keeps its key through the coalesce — a
+      // null user_id here would mean the select dropped the v-side key
+      assert(unmatchedViews.contains((3L, 11L)),
+        s"unmatched view never emitted: ${unmatchedViews.toSeq}")
+    } finally q.stop()
+  }
+
   test("gate harnesses leave the caller's session conf and catalog untouched") {
     val shuffleBefore = spark.conf.get("spark.sql.shuffle.partitions")
     val nanosBefore = spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
