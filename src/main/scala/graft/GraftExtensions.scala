@@ -56,6 +56,12 @@ object GraftExtensions {
         require(args.length == 1, "min_fingerprint(text) takes 1 argument")
         MinFingerprint(args(0))
       }),
+    ("nfc_normalize",
+      info("nfc_normalize", "Unicode NFC canonical normalization (dedup-key normalizer)"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "nfc_normalize(text) takes 1 argument")
+        graft.functions.NfcNormalize(args(0))
+      }),
     ("kmv_distinct",
       info("kmv_distinct", "KMV distinct-count sketch over a 60-bit hash column; second argument (k) must be a literal int"),
       (args: Seq[Expression]) => {

@@ -525,6 +525,43 @@ object FingerprintOps {
   * nested CodegenFallback transforms — an interpreted lambda per
   * CHARACTER and per window position — on every document; this is one
   * static call per row into a compiled loop. */
+/** Static kernel for [[NfcNormalize]] — a plain JDK call, factored so
+  * codegen and interpreted eval share one body. */
+object NfcOps {
+  def nfc(s: UTF8String): UTF8String = {
+    val str = s.toString
+    // fast path: already-normalized ASCII/NFC text skips the rebuild
+    if (java.text.Normalizer.isNormalized(str, java.text.Normalizer.Form.NFC)) s
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC))
+  }
+}
+
+/** `nfc_normalize(s)` — Unicode NFC canonical normalization, the
+  * dedup-key normalizer: composed (U+00E9) and decomposed (e +
+  * U+0301) spellings of identical text must hash identically before
+  * any exact/near dedup, or visually-equal documents survive as
+  * "distinct". The JDK and DuckDB (`nfc_normalize`) both implement
+  * the Unicode canonical-composition algorithm, so oracles run the
+  * same normalization verbatim. Codegen'd via the shared static
+  * kernel — stays inside whole-stage codegen like the other text
+  * kernels. */
+case class NfcNormalize(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = StringType
+  override def prettyName: String = "nfc_normalize"
+
+  override protected def nullSafeEval(s: Any): Any =
+    NfcOps.nfc(s.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.NfcOps.nfc($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 case class MinFingerprint(child: Expression)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
 

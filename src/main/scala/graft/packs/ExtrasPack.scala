@@ -102,6 +102,41 @@ object ExtrasPack extends QueryPack {
     // streaming sink's worth of debris), compact back to ~4 MB
     // outputs, and prove the rewrite is lossless — the aggregate over
     // the compacted table must equal the aggregate over the original.
+    // Referential-integrity audit: orphan counts per FK edge via LEFT
+    // ANTI joins (keys-only build sides — the same shape as the
+    // semi/anti join gates). The orders→customer edge is broken
+    // DELIBERATELY: every 300th order re-keyed past max(c_custkey),
+    // with the shift DERIVED like the upsert fixture's, so the audit
+    // must count exactly the injected orphans at every sf; the
+    // lineitem→orders edge stays intact and must report zero.
+    "audit_referential" -> ((s, dir) => {
+      val cust = Tables.load(s, dir, "customer")
+      val ords = Tables.load(s, dir, "orders")
+      val li = Tables.load(s, dir, "lineitem")
+      val shift = cust.agg(max(col("c_custkey"))).head.getLong(0) + 1
+      val broken = ords.select("o_orderkey", "o_custkey")
+        .withColumn("o_custkey",
+          when(col("o_orderkey") % 300 === 0, col("o_custkey") + shift)
+            .otherwise(col("o_custkey")))
+      val orphanOrders = broken.join(cust,
+          broken("o_custkey") === cust("c_custkey"), "left_anti")
+        .agg(count(lit(1)).as("n"))
+        .select(lit("orders_without_customer").as("fk_edge"), col("n"))
+      val orphanLines = li.select("l_orderkey").join(ords,
+          li("l_orderkey") === ords("o_orderkey"), "left_anti")
+        .agg(count(lit(1)).as("n"))
+        .select(lit("lineitem_without_order").as("fk_edge"), col("n"))
+      orphanLines.unionAll(orphanOrders).orderBy("fk_edge")
+    }),
+    // Benford-style data quality: leading-digit distribution of order
+    // totals, derived through exact integer/string ops (no log10
+    // float) — the screening pass that flags fabricated numerics.
+    "profile_benford" -> ((s, dir) =>
+      Tables.load(s, dir, "orders")
+        .select(substring(floor(col("o_totalprice")).cast("long").cast("string"), 1, 1)
+          .as("lead_digit"))
+        .groupBy("lead_digit").agg(count(lit(1)).as("n"))
+        .orderBy("lead_digit")),
     "compact_roundtrip" -> ((s, dir) => {
       val base = graft.core.Scratch.dir("graft_compact").toString
       Tables.load(s, dir, "documents").select("doc_id", "source", "n_chars")
@@ -128,6 +163,24 @@ object ExtrasPack extends QueryPack {
         |SELECT c_custkey + (SELECT max(c_custkey) + 1 FROM customer), c_name, c_mktsegment
         |FROM customer WHERE c_custkey % 100 = 0
         |ORDER BY c_custkey""".stripMargin,
+    "audit_referential" ->
+      """SELECT 'lineitem_without_order' AS fk_edge,
+        |  (SELECT count(*) FROM lineitem l
+        |   WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)) AS n
+        |UNION ALL
+        |SELECT 'orders_without_customer',
+        |  (SELECT count(*) FROM (
+        |     SELECT o_orderkey,
+        |       CASE WHEN o_orderkey % 300 = 0
+        |         THEN o_custkey + (SELECT max(c_custkey) + 1 FROM customer)
+        |         ELSE o_custkey END AS o_custkey
+        |     FROM orders) b
+        |   WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = b.o_custkey))
+        |ORDER BY fk_edge""".stripMargin,
+    "profile_benford" ->
+      """SELECT substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1) AS lead_digit,
+        |  count(*) AS n
+        |FROM orders GROUP BY 1 ORDER BY lead_digit""".stripMargin,
     "keyed_upsert_merge" ->
       """SELECT c_custkey,
         |  CASE WHEN c_custkey % 5 = 0 THEN 'M_' || c_name ELSE c_name END AS c_name,

@@ -389,6 +389,28 @@ object LlmPack extends QueryPack {
         .toDF("media_id", "fmt", "nonempty", "width", "height", "duration_ms")
         .orderBy("media_id")
     }),
+    // Unicode NFC dedup keys (functions.NfcNormalize, SQL
+    // nfc_normalize): composed (U+00E9) and decomposed (e+U+0301)
+    // spellings — byte-distinct, visually identical — must collapse
+    // to ONE key before any exact dedup. Controlled VALUES fixture;
+    // DuckDB runs its own nfc_normalize over chr()-built twins.
+    "text_nfc_dedup_key" -> ((s, dir) => {
+      import s.implicits._
+      val fx = Seq(
+        (1L, "Café Latte"),   // composed é
+        (2L, "Café Latte"),  // decomposed e + combining acute
+        (3L, "cafe latte"),        // plain ascii — stays distinct
+        (4L, "Café LATTE"),   // composed, case-folded twin
+        (5L, "naïve"),        // composed ï
+        (6L, "naïve"))       // decomposed i + combining diaeresis
+        .toDF("doc_id", "text")
+      fx.select(col("doc_id"),
+          lower(graft.functions.F.toColumn(graft.functions.NfcNormalize(
+            graft.functions.F.toExpr(col("text"))))).as("key"))
+        .groupBy("key")
+        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keeper"))
+        .orderBy("key")
+    }),
     // Integer-exact audio features (Multimodal.audioFeatures): PCM
     // energy / peak / zero-crossings over hand-built WAVs — 8-bit
     // unsigned, 16-bit mono, 16-bit stereo interleave, plus a junk
@@ -977,6 +999,20 @@ object LlmPack extends QueryPack {
         |  (CAST(3 AS BIGINT), 'gif', 7, 6))
         |  AS t(media_id, fmt, width, height)
         |ORDER BY media_id""".stripMargin,
+    // chr()-built twins of the Scala fixture literals; DuckDB's own
+    // nfc_normalize must agree with the engine's on every key
+    "text_nfc_dedup_key" ->
+      """WITH fx AS (SELECT * FROM (VALUES
+        |    (CAST(1 AS BIGINT), 'Caf' || chr(233) || ' Latte'),
+        |    (CAST(2 AS BIGINT), 'Cafe' || chr(769) || ' Latte'),
+        |    (CAST(3 AS BIGINT), 'cafe latte'),
+        |    (CAST(4 AS BIGINT), 'Caf' || chr(233) || ' LATTE'),
+        |    (CAST(5 AS BIGINT), 'na' || chr(239) || 've'),
+        |    (CAST(6 AS BIGINT), 'nai' || chr(776) || 've'))
+        |  AS t(doc_id, text))
+        |SELECT lower(nfc_normalize(text)) AS key,
+        |  count(*) AS n_docs, min(doc_id) AS keeper
+        |FROM fx GROUP BY 1 ORDER BY key""".stripMargin,
     // hand-derived from the PCM fixtures: sum of squares, peak, and
     // negative/non-negative sign flips across the interleaved stream
     "multimodal_audio_features" ->

@@ -13,6 +13,23 @@ class GraftExtensionsSpec extends SparkSpec {
       .head().getDouble(0) == 7.0)
   }
 
+  test("nfc_normalize collapses decomposed sequences; already-NFC text is identity") {
+    GraftExtensions.register(spark)
+    // Spark SQL chr() is mod-256, so the combining mark (U+0301) is
+    // embedded via Scala escapes into the SQL text instead
+    val composed = "Café"
+    val decomposed = "Café"
+    val out = spark.sql(
+      s"SELECT nfc_normalize('$decomposed'), nfc_normalize('plain')").head()
+    assert(out.getString(0) == composed)
+    assert(out.getString(1) == "plain")
+    // null propagates, and composed/decomposed meet at the same fixpoint
+    assert(spark.sql("SELECT nfc_normalize(CAST(NULL AS STRING))").head().isNullAt(0))
+    assert(spark.sql(
+      s"SELECT nfc_normalize('$composed') = nfc_normalize('$decomposed')")
+      .head().getBoolean(0))
+  }
+
   test("extensions class injects into a fresh session builder") {
     // SparkSessionExtensions instances apply cleanly (the actual
     // injection into a brand-new session needs a new JVM-level session;
