@@ -355,6 +355,35 @@ class PlanShapeSpec extends SparkSpec {
       p.contains("ShuffledHashJoin"), p)
   }
 
+  test("search_bm25_topk: idf/totals broadcast, top-k is TakeOrderedAndProject, no cartesian") {
+    val p = plan("search_bm25_topk")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // the postings slice filters on the literal term set BEFORE any join
+    assert(p.contains("term#") && p.contains("IN (") || p.contains("INSET"), p)
+  }
+
+  test("window_rolling_range is ONE keyed window over one exchange — no join, no extra shuffle") {
+    val p = plan("window_rolling_range")
+    assert(p.contains("RunningWindowFunction") || p.contains("Window"), p)
+    assert(!p.contains("Join"), p)
+    // exactly one shuffle: the user_id hash partitioning for the window
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+  }
+
+  test("events_resample_locf: grid explode adds no shuffle beyond the keyed agg/join/window set") {
+    val p = plan("events_resample_locf")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("Generate explode"), p)
+  }
+
+  test("stats_outliers broadcasts the per-group moment table back onto the rows") {
+    val p = plan("stats_outliers")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("ann_topk_quantized broadcasts the quantized query side; HOFs stay per-row") {
     val df = SparkEntry.queries("ann_topk_quantized")(spark, sf)
     val p = df.queryExecution.executedPlan.toString
