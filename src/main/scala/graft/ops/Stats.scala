@@ -68,6 +68,27 @@ object Stats {
       floor(r * lit(1000000d) + lit(0.5d)).cast("long").as("corr_x1e6"))
   }
 
+  /** Group-wise median absolute deviation — the robust spread measure
+    * (outlier-resistant where stddev is not). Two aggregate passes:
+    * the group median, then the median of |x − median| with the tiny
+    * per-group table broadcast back. The intermediate median is
+    * FIXED-POINTED (scale4) before the deviations are computed — both
+    * engines then derive deviations from the identical double
+    * (med_x1e4 / 1e4), so the second interpolated percentile sees
+    * bit-identical inputs and its own ulp wiggle is absorbed by the
+    * final scale4, the same contract as `agg_percentiles`. */
+  def madGroups(df: DataFrame, groupCol: String, xCol: String): DataFrame = {
+    import graft.functions.F.scale4
+    val med = df.groupBy(col(groupCol))
+      .agg(scale4(expr(s"percentile($xCol, 0.5D)")).as("med_x1e4"))
+    df.join(broadcast(med), Seq(groupCol))
+      .withColumn("dev",
+        abs(col(xCol) - col("med_x1e4").cast("double") / lit(10000d)))
+      .groupBy(col(groupCol))
+      .agg(first(col("med_x1e4")).as("med_x1e4"),
+        scale4(expr("percentile(dev, 0.5D)")).as("mad_x1e4"))
+  }
+
   /** Group-wise z-score outlier scoring. Moments (n, Σx, Σx²) are
     * DECIMAL-exact per group; the per-row score is the algebraically
     * cleared form z = (n·x − Σx) / sqrt(n·Σx² − (Σx)²) evaluated in

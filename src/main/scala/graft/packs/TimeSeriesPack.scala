@@ -83,6 +83,47 @@ object TimeSeriesPack extends QueryPack {
         .agg(countDistinct(col("user_id")).as("users_converted"))
       total.join(viewed).join(converted)
     }),
+    // Robust spread: median absolute deviation per return flag — the
+    // two-pass percentile recipe with the intermediate median
+    // fixed-pointed so both engines derive deviations from the same
+    // double.
+    "stats_mad" -> ((s, dir) =>
+      Stats.madGroups(Tables.load(s, dir, "lineitem"),
+          "l_returnflag", "l_extendedprice")
+        .orderBy("l_returnflag")),
+    // Top-k per group: row_number window + rank filter — the grouped
+    // twin of topk_orders (which is global TakeOrderedAndProject).
+    "topk_per_group" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("o_orderstatus")
+        .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+      Tables.load(s, dir, "orders")
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 5)
+        .select(col("o_orderstatus"), col("rn"), col("o_orderkey"), col("o_totalprice"))
+        .orderBy("o_orderstatus", "rn")
+    }),
+    // Null-safe join (<=>): per-k counts of two event types FULL-joined
+    // with null-safe key equality, so the null-key groups pair up
+    // instead of disappearing — the semantics a plain equi-join
+    // silently drops.
+    "join_null_safe" -> ((s, dir) => {
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("k",
+          org.apache.spark.sql.types.IntegerType)))
+      val ev = Tables.load(s, dir, "events")
+        .select(col("event_type"), from_json(col("props"), schema).getField("k").as("k"))
+      val a = ev.filter(col("event_type") === "click")
+        .groupBy("k").agg(count(lit(1)).as("n_click"))
+      val b = ev.filter(col("event_type") === "view")
+        .groupBy("k").agg(count(lit(1)).as("n_view"))
+        .withColumnRenamed("k", "kb")
+      a.join(b, col("k") <=> col("kb"), "full_outer")
+        .select(coalesce(col("k"), col("kb")).as("k"),
+          coalesce(col("n_click"), lit(0L)).as("n_click"),
+          coalesce(col("n_view"), lit(0L)).as("n_view"))
+        .orderBy(asc_nulls_first("k"))
+    }),
     // Rank-position windows: percent_rank / cume_dist per order status
     // (ties share ranks in both engines; values are tie-order
     // independent, crossed as scale4 fixed point).
@@ -217,6 +258,35 @@ object TimeSeriesPack extends QueryPack {
         |  (SELECT count(*) FROM fv) AS users_viewed,
         |  users_converted
         |FROM conv""".stripMargin,
+    // same two-pass recipe: scale4 the median, derive deviations from
+    // med_x1e4/1e4, scale4 the second percentile
+    "stats_mad" ->
+      """WITH m AS (
+        |  SELECT l_returnflag,
+        |    CAST(floor(quantile_cont(l_extendedprice, 0.5) * 1e4 + 0.5) AS BIGINT) AS med_x1e4
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l.l_returnflag, m.med_x1e4,
+        |  CAST(floor(quantile_cont(abs(l.l_extendedprice - CAST(m.med_x1e4 AS DOUBLE) / 1e4), 0.5)
+        |    * 1e4 + 0.5) AS BIGINT) AS mad_x1e4
+        |FROM lineitem l JOIN m USING (l_returnflag)
+        |GROUP BY 1, 2 ORDER BY l_returnflag""".stripMargin,
+    "topk_per_group" ->
+      """SELECT o_orderstatus, rn, o_orderkey, o_totalprice FROM (
+        |  SELECT o_orderstatus, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_orderstatus
+        |                       ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders)
+        |WHERE rn <= 5 ORDER BY o_orderstatus, rn""".stripMargin,
+    "join_null_safe" ->
+      """WITH ev AS (SELECT event_type,
+        |    CAST(json_extract(props, '$.k') AS INTEGER) AS k FROM events),
+        |a AS (SELECT k, count(*) AS n_click FROM ev WHERE event_type = 'click' GROUP BY 1),
+        |b AS (SELECT k, count(*) AS n_view FROM ev WHERE event_type = 'view' GROUP BY 1)
+        |SELECT COALESCE(a.k, b.k) AS k,
+        |  COALESCE(a.n_click, 0) AS n_click,
+        |  COALESCE(b.n_view, 0) AS n_view
+        |FROM a FULL JOIN b ON a.k IS NOT DISTINCT FROM b.k
+        |ORDER BY k NULLS FIRST""".stripMargin,
     "window_percent_rank" ->
       """SELECT o_orderkey, o_orderstatus,
         |  CAST(floor(percent_rank() OVER w * 1e4 + 0.5) AS BIGINT) AS pr_x1e4,

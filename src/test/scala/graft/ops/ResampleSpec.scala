@@ -55,6 +55,17 @@ class ResampleSpec extends SparkSpec {
     assert(out.toSeq == Seq((2L, 30000L), (2L, 30000L)))
   }
 
+  test("madGroups: hand-computed median absolute deviation; robust to one wild outlier") {
+    val df = Seq(
+      ("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 4.0), ("a", 1000000.0))
+      .toDF("g", "x")
+    // median = 3.0; |x-3| = {2,1,0,1,999997} → MAD = 1.0 — the wild
+    // outlier moves the MAD not at all (stddev would explode)
+    val out = Stats.madGroups(df, "g", "x").collect()
+    assert(out(0).getAs[Long]("med_x1e4") == 30000L)
+    assert(out(0).getAs[Long]("mad_x1e4") == 10000L)
+  }
+
   test("corrGroups: perfect correlation hits 1e6 exactly; zero variance yields null") {
     val df = Seq(
       ("a", 1.0, 2.0), ("a", 2.0, 4.0), ("a", 3.0, 6.0),     // y = 2x → r = 1
