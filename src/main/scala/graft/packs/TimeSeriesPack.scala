@@ -83,6 +83,63 @@ object TimeSeriesPack extends QueryPack {
         .agg(countDistinct(col("user_id")).as("users_converted"))
       total.join(viewed).join(converted)
     }),
+    // Exact weighted average (price weighted by quantity) — decimal
+    // sums, double once, scale4 across the boundary.
+    "agg_weighted_avg" -> ((s, dir) =>
+      Tables.load(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          sum(col("l_extendedprice").cast("decimal(18,2)") *
+            col("l_quantity").cast("decimal(18,2)")).as("swx"),
+          sum(col("l_quantity").cast("decimal(18,2)")).as("sw"))
+        .select(col("l_returnflag"),
+          graft.functions.F.scale4(
+            col("swx").cast("double") / col("sw").cast("double")).as("wavg_x1e4"))
+        .orderBy("l_returnflag")),
+    // Deterministic argmax: the event carrying each type's maximum
+    // value — max over (value, event_id) STRUCTS, so ties resolve by
+    // the id instead of nondeterministically (the max_by trap).
+    "agg_argmax" -> ((s, dir) =>
+      Tables.load(s, dir, "events")
+        .groupBy("event_type")
+        .agg(max(struct(col("value"), col("event_id"))).as("m"))
+        .select(col("event_type"), col("m.event_id").as("event_id"),
+          col("m.value").as("value"))
+        .orderBy("event_type")),
+    // Sequence-gap detection (islands & gaps), scale-safe form: an id
+    // starts a gap iff id−1 exists and id doesn't — ONE equi-anti-join
+    // on id+1, never a partitionless window over the whole sequence.
+    // The fixture deliberately removes every 97th id, so the expected
+    // gaps are known at every sf.
+    "events_id_gaps" -> ((s, dir) => {
+      val present = Tables.load(s, dir, "events")
+        .select(col("event_id")).filter(col("event_id") % 97 =!= 0)
+      val maxId = present.agg(max(col("event_id")).as("mx"))
+      val gapStarts = present
+        .select((col("event_id") + 1L).as("gap_start"))
+        .join(present.withColumnRenamed("event_id", "gap_start"),
+          Seq("gap_start"), "left_anti")
+      gapStarts.join(broadcast(maxId))
+        .filter(col("gap_start") <= col("mx"))
+        .select("gap_start")
+        .orderBy("gap_start")
+    }),
+    // Daily acquisition curve: new users per first-seen day + running
+    // cumulative total. The running sum is a partitionless window — on
+    // the ALREADY-AGGREGATED day table (≤ span rows at any sf), where
+    // it is the correct tool, not a scale hazard.
+    "events_cumulative_users" -> ((s, dir) => {
+      val firstDay = Tables.load(s, dir, "events")
+        .groupBy("user_id")
+        .agg(min(to_date(col("ts"))).as("d"))
+      val daily = firstDay.groupBy("d")
+        .agg(count(lit(1)).as("n_new"))
+      val w = org.apache.spark.sql.expressions.Window.orderBy("d")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      daily.select(date_format(col("d"), "yyyy-MM-dd").as("day"),
+          col("n_new"), sum(col("n_new")).over(w).as("n_cumulative"))
+        .orderBy("day")
+    }),
     // Robust spread: median absolute deviation per return flag — the
     // two-pass percentile recipe with the intermediate median
     // fixed-pointed so both engines derive deviations from the same
@@ -258,6 +315,36 @@ object TimeSeriesPack extends QueryPack {
         |  (SELECT count(*) FROM fv) AS users_viewed,
         |  users_converted
         |FROM conv""".stripMargin,
+    "agg_weighted_avg" ->
+      """SELECT l_returnflag,
+        |  CAST(floor(
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) /
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |    * 1e4 + 0.5) AS BIGINT) AS wavg_x1e4
+        |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
+    "agg_argmax" ->
+      """SELECT event_type, event_id, value FROM (
+        |  SELECT event_type, event_id, value,
+        |    row_number() OVER (PARTITION BY event_type
+        |                       ORDER BY value DESC, event_id DESC) AS rn
+        |  FROM events)
+        |WHERE rn = 1 ORDER BY event_type""".stripMargin,
+    "events_id_gaps" ->
+      """WITH present AS (SELECT event_id FROM events WHERE event_id % 97 <> 0)
+        |SELECT p.event_id + 1 AS gap_start
+        |FROM present p
+        |WHERE NOT EXISTS (SELECT 1 FROM present q WHERE q.event_id = p.event_id + 1)
+        |  AND p.event_id + 1 <= (SELECT max(event_id) FROM present)
+        |ORDER BY gap_start""".stripMargin,
+    "events_cumulative_users" ->
+      """WITH fd AS (
+        |  SELECT user_id, min(CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS d
+        |  FROM events GROUP BY 1),
+        |daily AS (SELECT d, count(*) AS n_new FROM fd GROUP BY 1)
+        |SELECT strftime(d, '%Y-%m-%d') AS day, n_new,
+        |  CAST(sum(n_new) OVER (ORDER BY d
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_cumulative
+        |FROM daily ORDER BY day""".stripMargin,
     // same two-pass recipe: scale4 the median, derive deviations from
     // med_x1e4/1e4, scale4 the second percentile
     "stats_mad" ->
