@@ -66,6 +66,36 @@ object Resample {
       last(col("v_x1e4"), ignoreNulls = true).over(locf).as("v_locf_x1e4"))
   }
 
+  /** Trailing-window anomaly flags, INTEGER-EXACT end to end: over the
+    * same keyed RANGE frame as [[rollingRange]], accumulate count n,
+    * sum s and sum-of-squares q of the ×100 fixed-point value, then
+    * flag rows where the cleared-form z² test
+    *   (n·v − s)² > k² · (n·q − s²)   (and n ≥ minN)
+    * holds — algebraically z > k without ever forming a float, so the
+    * distributed result is bit-reproducible and the oracle replays
+    * pure integer ops. Overflow budget: v2 ≤ 1e6 (values ≤ 1e4),
+    * frame rows ≤ 1e4 → every product stays under 1e17 < 2⁶³.
+    * Output: id, key, sec, n_win, v_x100, is_anomaly. */
+  def rollingAnomaly(df: DataFrame, keyCol: String, tsCol: String,
+      valueCol: String, idCol: String, windowSec: Long, k: Long,
+      minN: Long): DataFrame = {
+    require(windowSec > 0 && k > 0 && minN >= 2,
+      s"rollingAnomaly: $windowSec/$k/$minN")
+    val base = df.select(col(idCol), col(keyCol), epochSec(col(tsCol)).as("sec"),
+      floor(col(valueCol) * lit(100d) + lit(0.5d)).cast("long").as("v2"))
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("sec"))
+      .rangeBetween(-(windowSec - 1), 0)
+    val stats = base.select(col(idCol), col(keyCol), col("sec"), col("v2"),
+      count(lit(1)).over(w).as("n"),
+      sum(col("v2")).over(w).as("s"),
+      sum(col("v2") * col("v2")).over(w).as("q"))
+    val lhs = (col("n") * col("v2") - col("s")) * (col("n") * col("v2") - col("s"))
+    val rhs = lit(k * k) * (col("n") * col("q") - col("s") * col("s"))
+    stats.select(col(idCol), col(keyCol), col("sec"),
+      col("n").as("n_win"), col("v2").as("v_x100"),
+      when(col("n") >= minN && lhs > rhs, lit(1)).otherwise(lit(0)).as("is_anomaly"))
+  }
+
   /** Trailing time-range rolling aggregate: for every row, the count
     * and scale4-exact sum of `valueCol` over the same key within the
     * last `windowSec` seconds (inclusive of same-second peers — a

@@ -83,6 +83,22 @@ object TimeSeriesPack extends QueryPack {
         .agg(countDistinct(col("user_id")).as("users_converted"))
       total.join(viewed).join(converted)
     }),
+    // Integer-exact trailing-window anomaly flags: the cleared-form
+    // z² > k² test over ×100 fixed-point rolling moments — never a
+    // float, so the flags are bit-stable under any shuffle order.
+    "events_rolling_anomaly" -> ((s, dir) =>
+      Resample.rollingAnomaly(events(s, dir), "user_id", "ts", "value",
+          "event_id", windowSec = 7200L, k = 2L, minN = 3L)
+        .orderBy("user_id", "sec", "event_id")),
+    // Activity heatmap: ISO weekday × hour counts — Spark weekday()
+    // (0=Mon) + 1 aligns with DuckDB isodow (1=Mon); never the
+    // 1=Sunday dayofweek() trap.
+    "events_heatmap_dow_hour" -> ((s, dir) =>
+      Tables.load(s, dir, "events")
+        .groupBy((expr("weekday(ts)") + 1).cast("int").as("iso_dow"),
+          hour(col("ts")).cast("int").as("hod"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("iso_dow", "hod")),
     // Exact weighted average (price weighted by quantity) — decimal
     // sums, double once, scale4 across the boundary.
     "agg_weighted_avg" -> ((s, dir) =>
@@ -315,6 +331,27 @@ object TimeSeriesPack extends QueryPack {
         |  (SELECT count(*) FROM fv) AS users_viewed,
         |  users_converted
         |FROM conv""".stripMargin,
+    "events_rolling_anomaly" ->
+      s"""WITH base AS (SELECT event_id, user_id,
+         |    epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 AS sec,
+         |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS v2
+         |  FROM events WHERE user_id < 40),
+         |st AS (SELECT event_id, user_id, sec, v2,
+         |    count(*) OVER w AS n,
+         |    CAST(sum(v2) OVER w AS BIGINT) AS s,
+         |    CAST(sum(v2 * v2) OVER w AS BIGINT) AS q
+         |  FROM base
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY sec
+         |               RANGE BETWEEN 7199 PRECEDING AND CURRENT ROW))
+         |SELECT event_id, user_id, sec, n AS n_win, v2 AS v_x100,
+         |  CASE WHEN n >= 3 AND (n * v2 - s) * (n * v2 - s) > 4 * (n * q - s * s)
+         |    THEN 1 ELSE 0 END AS is_anomaly
+         |FROM st ORDER BY user_id, sec, event_id""".stripMargin,
+    "events_heatmap_dow_hour" ->
+      """SELECT CAST(isodow(CAST(ts AS TIMESTAMP)) AS INTEGER) AS iso_dow,
+        |  CAST(EXTRACT(hour FROM CAST(ts AS TIMESTAMP)) AS INTEGER) AS hod,
+        |  count(*) AS n
+        |FROM events GROUP BY 1, 2 ORDER BY iso_dow, hod""".stripMargin,
     "agg_weighted_avg" ->
       """SELECT l_returnflag,
         |  CAST(floor(

@@ -55,6 +55,23 @@ class ResampleSpec extends SparkSpec {
     assert(out.toSeq == Seq((2L, 30000L), (2L, 30000L)))
   }
 
+  test("rollingAnomaly: a spike among enough stable peers flags; peers never do") {
+    // 9 stable values + one 100.0 spike, all inside one 2 h window.
+    // Cleared-form check at the spike (v2=10000, n=10, s=10900,
+    // q=100090000): lhs=89100² ≈ 7.9e9 > rhs=4·(n·q−s²) ≈ 3.5e9 → flag.
+    // NOTE the spike inflates its own window variance: z² can never
+    // exceed n−1, so a lone spike needs n ≥ k²+2 peers to flag at all.
+    val rows = (0 until 9).map(i => (i.toLong, ts(i * 60L), 1L, 1.0)) :+
+      (99L, ts(540L), 1L, 100.0)
+    val df = rows.toDF("event_id", "ts", "user_id", "value")
+    val out = Resample.rollingAnomaly(df, "user_id", "ts", "value",
+        "event_id", windowSec = 7200L, k = 2L, minN = 3L)
+      .orderBy("event_id").collect()
+      .map(r => (r.getAs[Long]("event_id"), r.getAs[Int]("is_anomaly")))
+    assert(out.last == ((99L, 1)), s"spike not flagged: ${out.toSeq}")
+    assert(out.init.forall(_._2 == 0), s"stable rows flagged: ${out.toSeq}")
+  }
+
   test("madGroups: hand-computed median absolute deviation; robust to one wild outlier") {
     val df = Seq(
       ("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 4.0), ("a", 1000000.0))
