@@ -83,6 +83,54 @@ object TimeSeriesPack extends QueryPack {
         .agg(countDistinct(col("user_id")).as("users_converted"))
       total.join(viewed).join(converted)
     }),
+    // Deterministic string aggregation: sorted-distinct list as one
+    // string — collect_set is unordered by contract, so the sort is
+    // what makes the result reproducible (and oracle-matchable).
+    "agg_stringagg" -> ((s, dir) => {
+      val o = Tables.load(s, dir, "orders").select("o_orderstatus", "o_custkey")
+      val c = Tables.load(s, dir, "customer").select("c_custkey", "c_mktsegment")
+      o.join(c, o("o_custkey") === c("c_custkey"))
+        .groupBy("o_orderstatus")
+        .agg(array_join(array_sort(collect_set(col("c_mktsegment"))), ",")
+          .as("segments"))
+        .orderBy("o_orderstatus")
+    }),
+    // Interval-union coverage (dwell time): each event opens a 5-min
+    // presence window; overlapping/touching windows merge into
+    // islands (classic gaps-and-islands: new island iff start >
+    // running max end over PRECEDING rows), total covered seconds per
+    // user. Pure integer epoch algebra, two keyed windows + two
+    // aggregates — one shuffle on the key.
+    "events_coverage_seconds" -> ((s, dir) => {
+      val horizon = 300L
+      val base = Tables.load(s, dir, "events")
+        .select(col("user_id"), col("event_id"),
+          Resample.epochSec(col("ts")).as("sec"))
+        .withColumn("end", col("sec") + horizon)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("sec"), col("event_id"))
+      val prevMax = max(col("end")).over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1))
+      val flagged = base.withColumn("new_island",
+        when(prevMax.isNull || col("sec") > prevMax, 1L).otherwise(0L))
+      flagged.withColumn("island", sum(col("new_island")).over(
+          w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+        .groupBy("user_id", "island")
+        .agg(min(col("sec")).as("lo"), max(col("end")).as("hi"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_islands"),
+          sum(col("hi") - col("lo")).as("covered_sec"))
+        .orderBy("user_id")
+    }),
+    // Hot-key histogram (Skew.keyHistogram): the pre-mitigation skew
+    // diagnostic — top-10 hottest keys with integer-fixed-point share
+    // of total.
+    "skew_key_histogram" -> ((s, dir) => {
+      val total = Tables.load(s, dir, "events").count()
+      graft.ops.Skew.keyHistogram(Tables.load(s, dir, "events"), "user_id", 10)
+        .select(col("user_id"), col("n"),
+          expr(s"(n * 10000L) div ${total}L").as("share_x1e4"))
+    }),
     // Integer-exact trailing-window anomaly flags: the cleared-form
     // z² > k² test over ×100 fixed-point rolling moments — never a
     // float, so the flags are bit-stable under any shuffle order.
@@ -331,6 +379,38 @@ object TimeSeriesPack extends QueryPack {
         |  (SELECT count(*) FROM fv) AS users_viewed,
         |  users_converted
         |FROM conv""".stripMargin,
+    "agg_stringagg" ->
+      """SELECT o_orderstatus,
+        |  string_agg(DISTINCT c_mktsegment, ',' ORDER BY c_mktsegment) AS segments
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1 ORDER BY o_orderstatus""".stripMargin,
+    "events_coverage_seconds" ->
+      """WITH base AS (SELECT user_id, event_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 AS sec,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 + 300 AS e
+        |  FROM events),
+        |f AS (SELECT user_id, sec, e,
+        |    CASE WHEN max(e) OVER (PARTITION BY user_id ORDER BY sec, event_id
+        |                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+        |           OR sec > max(e) OVER (PARTITION BY user_id ORDER BY sec, event_id
+        |                                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      THEN 1 ELSE 0 END AS new_island,
+        |    event_id
+        |  FROM base),
+        |isl AS (SELECT user_id, sec, e,
+        |    CAST(sum(new_island) OVER (PARTITION BY user_id ORDER BY sec, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS island
+        |  FROM f),
+        |per AS (SELECT user_id, island, min(sec) AS lo, max(e) AS hi
+        |  FROM isl GROUP BY 1, 2)
+        |SELECT user_id, count(*) AS n_islands,
+        |  CAST(sum(hi - lo) AS BIGINT) AS covered_sec
+        |FROM per GROUP BY 1 ORDER BY user_id""".stripMargin,
+    "skew_key_histogram" ->
+      """SELECT user_id, count(*) AS n,
+        |  (count(*) * 10000) // (SELECT count(*) FROM events) AS share_x1e4
+        |FROM events GROUP BY user_id
+        |ORDER BY n DESC, user_id LIMIT 10""".stripMargin,
     "events_rolling_anomaly" ->
       s"""WITH base AS (SELECT event_id, user_id,
          |    epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 AS sec,
