@@ -68,6 +68,36 @@ object Stats {
       floor(r * lit(1000000d) + lit(0.5d)).cast("long").as("corr_x1e6"))
   }
 
+  /** Chi-square test of independence between two categorical columns,
+    * reproducible across engines: each cell's term
+    *   (o·N − r·c)² / (r·c·N) · 1e4
+    * is evaluated in doubles whose INPUTS are exact (all products of
+    * counts stay under 2⁵³ for any realistic N), floored to a long
+    * PER CELL, then integer-summed — the sum over cells is where
+    * float order-dependence would creep in, and integers close that
+    * door. Output: one row (n, dof, chi2_x1e4). Shape: one cell
+    * aggregate + two broadcast marginal joins over the ≤|A|·|B|-row
+    * cell table — the input scans once. */
+  def chi2Independence(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val cells = df.groupBy(col(aCol).as("a"), col(bCol).as("b"))
+      .agg(count(lit(1)).as("o"))
+    val ra = cells.groupBy("a").agg(sum(col("o")).as("r"))
+    val cb = cells.groupBy("b").agg(sum(col("o")).as("c"))
+    val n = cells.agg(sum(col("o")).as("n"),
+      countDistinct(col("a")).as("ka"), countDistinct(col("b")).as("kb"))
+    val t = cells.join(broadcast(ra), Seq("a")).join(broadcast(cb), Seq("b"))
+      .join(broadcast(n))
+    val oN = col("o").cast("double") * col("n").cast("double")
+    val rc = col("r").cast("double") * col("c").cast("double")
+    val term = floor((oN - rc) * (oN - rc) * lit(10000d) /
+      (rc * col("n").cast("double"))).cast("long")
+    t.select(col("n"), col("ka"), col("kb"), term.as("term"))
+      .groupBy("n", "ka", "kb")
+      .agg(sum(col("term")).as("chi2_x1e4"))
+      .select(col("n"), ((col("ka") - 1) * (col("kb") - 1)).as("dof"),
+        col("chi2_x1e4"))
+  }
+
   /** Group-wise median absolute deviation — the robust spread measure
     * (outlier-resistant where stddev is not). Two aggregate passes:
     * the group median, then the median of |x − median| with the tiny

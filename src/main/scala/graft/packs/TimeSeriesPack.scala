@@ -83,6 +83,28 @@ object TimeSeriesPack extends QueryPack {
         .agg(countDistinct(col("user_id")).as("users_converted"))
       total.join(viewed).join(converted)
     }),
+    // Chi-square independence of event_type × user cohort (user_id%3):
+    // per-cell fixed-point terms from exact-count doubles, integer-
+    // summed — float sum order never touches the result.
+    "stats_chi2" -> ((s, dir) =>
+      Stats.chi2Independence(
+        Tables.load(s, dir, "events")
+          .select(col("event_type"), (col("user_id") % 3).as("cohort")),
+        "event_type", "cohort")),
+    // Deterministic fixed-N per-group sample: row_number over the
+    // keyed-hash order — stable under retries, exactly n per group
+    // (fewer iff the group is smaller).
+    "sample_fixed_n" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("c_mktsegment")
+        .orderBy(graft.functions.F.hash32(col("c_custkey"), "s7", "fixn"),
+          col("c_custkey"))
+      Tables.load(s, dir, "customer")
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 3)
+        .select(col("c_mktsegment"), col("rn"), col("c_custkey"))
+        .orderBy("c_mktsegment", "rn")
+    }),
     // Deterministic string aggregation: sorted-distinct list as one
     // string — collect_set is unordered by contract, so the sort is
     // what makes the result reproducible (and oracle-matchable).
@@ -379,6 +401,34 @@ object TimeSeriesPack extends QueryPack {
         |  (SELECT count(*) FROM fv) AS users_viewed,
         |  users_converted
         |FROM conv""".stripMargin,
+    "stats_chi2" ->
+      """WITH cells AS (
+        |  SELECT event_type AS a, user_id % 3 AS b, count(*) AS o
+        |  FROM events GROUP BY 1, 2),
+        |ra AS (SELECT a, CAST(sum(o) AS BIGINT) AS r FROM cells GROUP BY 1),
+        |cb AS (SELECT b, CAST(sum(o) AS BIGINT) AS c FROM cells GROUP BY 1),
+        |tot AS (SELECT CAST(sum(o) AS BIGINT) AS n,
+        |    count(DISTINCT a) AS ka, count(DISTINCT b) AS kb FROM cells),
+        |t AS (SELECT cells.o, ra.r, cb.c, tot.n, tot.ka, tot.kb,
+        |    CAST(floor(
+        |      (CAST(cells.o AS DOUBLE) * CAST(tot.n AS DOUBLE) -
+        |       CAST(ra.r AS DOUBLE) * CAST(cb.c AS DOUBLE)) *
+        |      (CAST(cells.o AS DOUBLE) * CAST(tot.n AS DOUBLE) -
+        |       CAST(ra.r AS DOUBLE) * CAST(cb.c AS DOUBLE)) * 1e4 /
+        |      (CAST(ra.r AS DOUBLE) * CAST(cb.c AS DOUBLE) * CAST(tot.n AS DOUBLE)))
+        |      AS BIGINT) AS term
+        |  FROM cells JOIN ra USING (a) JOIN cb USING (b) CROSS JOIN tot)
+        |SELECT any_value(n) AS n, CAST((any_value(ka) - 1) * (any_value(kb) - 1) AS BIGINT) AS dof,
+        |  CAST(sum(term) AS BIGINT) AS chi2_x1e4
+        |FROM t""".stripMargin,
+    "sample_fixed_n" ->
+      """SELECT c_mktsegment, rn, c_custkey FROM (
+        |  SELECT c_mktsegment, c_custkey,
+        |    row_number() OVER (PARTITION BY c_mktsegment
+        |      ORDER BY CAST(CONCAT('0x', substr(md5(CAST(c_custkey AS VARCHAR) || ':s7:fixn'), 1, 8)) AS BIGINT),
+        |        c_custkey) AS rn
+        |  FROM customer)
+        |WHERE rn <= 3 ORDER BY c_mktsegment, rn""".stripMargin,
     "agg_stringagg" ->
       """SELECT o_orderstatus,
         |  string_agg(DISTINCT c_mktsegment, ',' ORDER BY c_mktsegment) AS segments

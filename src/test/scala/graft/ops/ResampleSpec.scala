@@ -83,6 +83,18 @@ class ResampleSpec extends SparkSpec {
     assert(out(0).getAs[Long]("mad_x1e4") == 10000L)
   }
 
+  test("chi2Independence: hand-computed 2x2 table; per-cell floor convention") {
+    // o = [[10,20],[20,10]], N=60, marginals all 30, e=15 per cell.
+    // Per cell: floor((600-900)^2 * 1e4 / (900*60)) = floor(16666.67)
+    // = 16666; x4 cells = 66664 (vs the unfloored 66666.67).
+    val rows = Seq.fill(10)(("x", 0)) ++ Seq.fill(20)(("x", 1)) ++
+      Seq.fill(20)(("y", 0)) ++ Seq.fill(10)(("y", 1))
+    val out = Stats.chi2Independence(rows.toDF("a", "b"), "a", "b").head()
+    assert(out.getAs[Long]("n") == 60L)
+    assert(out.getAs[Long]("dof") == 1L)
+    assert(out.getAs[Long]("chi2_x1e4") == 66664L)
+  }
+
   test("corrGroups: perfect correlation hits 1e6 exactly; zero variance yields null") {
     val df = Seq(
       ("a", 1.0, 2.0), ("a", 2.0, 4.0), ("a", 3.0, 6.0),     // y = 2x → r = 1
