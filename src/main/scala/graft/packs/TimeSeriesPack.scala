@@ -83,6 +83,64 @@ object TimeSeriesPack extends QueryPack {
         .agg(countDistinct(col("user_id")).as("users_converted"))
       total.join(viewed).join(converted)
     }),
+    // Week-over-week movers: per-type weekly counts, lag window, delta
+    // + integer fixed-point percent change ((cur−prev)·1e4 div prev).
+    "events_top_movers" -> ((s, dir) => {
+      val weekly = Tables.load(s, dir, "events")
+        .groupBy(col("event_type"),
+          weekofyear(col("ts")).cast("int").as("wk"))
+        .agg(count(lit(1)).as("n"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type").orderBy("wk")
+      weekly.select(col("event_type"), col("wk"), col("n"),
+          lag(col("n"), 1).over(w).as("prev_n"))
+        .withColumn("delta", col("n") - col("prev_n"))
+        .withColumn("pct_x1e4",
+          expr("CASE WHEN prev_n IS NULL OR prev_n = 0 THEN NULL " +
+            "ELSE ((n - prev_n) * 10000L) div prev_n END"))
+        .orderBy("event_type", "wk")
+    }),
+    // Share of total: per-flag revenue share as integer fixed point of
+    // exact decimal sums — the percent-of-total every report needs,
+    // computed with one aggregate + a 1-row broadcast (never a
+    // partitionless window over the fact table).
+    "agg_share_of_total" -> ((s, dir) => {
+      val per = Tables.load(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg((sum(col("l_extendedprice").cast("decimal(18,2)")) * 100)
+          .cast("long").as("rev_c"))   // exact integer cents
+      val tot = per.agg(sum(col("rev_c")).as("tot_c"))
+      per.join(broadcast(tot))
+        .select(col("l_returnflag"),
+          expr("(rev_c * 10000L) div tot_c").as("share_x1e4"))
+        .orderBy("l_returnflag")
+    }),
+    // Conversion-time distribution: seconds from each user's first
+    // view to their first purchase AT-OR-AFTER it; p50/p90 cross as
+    // scale4 (the agg_percentiles interpolation contract).
+    "events_conversion_time" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+      val fv = ev.filter(col("event_type") === "view").groupBy("user_id")
+        .agg(min(Resample.epochSec(col("ts"))).as("vsec"))
+      val fp = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), Resample.epochSec(col("ts")).as("psec"))
+        .join(fv, Seq("user_id"))
+        .filter(col("psec") >= col("vsec"))
+        .groupBy("user_id").agg(min(col("psec") - col("vsec")).as("lag_sec"))
+      fp.agg(count(lit(1)).as("n_converted"),
+        graft.functions.F.scale4(expr("percentile(lag_sec, 0.5D)")).as("p50_x1e4"),
+        graft.functions.F.scale4(expr("percentile(lag_sec, 0.9D)")).as("p90_x1e4"))
+    }),
+    // Keyword-in-context: ±24-char windows around a term, extracted
+    // with a Java∩RE2-shared pattern so the oracle runs it verbatim;
+    // narrow projection + posexplode, no shuffle.
+    "text_kwic" -> ((s, dir) =>
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          posexplode(regexp_extract_all(col("text"),
+            lit(".{0,24}\\bspark\\b.{0,24}"), lit(0))).as(Seq("hit_no", "ctx")))
+        .filter(col("doc_id") < 100)
+        .orderBy("doc_id", "hit_no")),
     // Chi-square independence of event_type × user cohort (user_id%3):
     // per-cell fixed-point terms from exact-count doubles, integer-
     // summed — float sum order never touches the result.
@@ -401,6 +459,52 @@ object TimeSeriesPack extends QueryPack {
         |  (SELECT count(*) FROM fv) AS users_viewed,
         |  users_converted
         |FROM conv""".stripMargin,
+    "events_top_movers" ->
+      """WITH weekly AS (
+        |  SELECT event_type,
+        |    CAST(weekofyear(CAST(ts AS TIMESTAMP)) AS INTEGER) AS wk,
+        |    count(*) AS n
+        |  FROM events GROUP BY 1, 2)
+        |SELECT event_type, wk, n,
+        |  lag(n) OVER w AS prev_n,
+        |  n - lag(n) OVER w AS delta,
+        |  CASE WHEN lag(n) OVER w IS NULL OR lag(n) OVER w = 0 THEN NULL
+        |    ELSE ((n - lag(n) OVER w) * 10000) // lag(n) OVER w END AS pct_x1e4
+        |FROM weekly
+        |WINDOW w AS (PARTITION BY event_type ORDER BY wk)
+        |ORDER BY event_type, wk""".stripMargin,
+    "agg_share_of_total" ->
+      """WITH per AS (
+        |  SELECT l_returnflag,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS rev_c
+        |  FROM lineitem GROUP BY 1),
+        |tot AS (SELECT CAST(sum(rev_c) AS BIGINT) AS tot_c FROM per)
+        |SELECT l_returnflag, (rev_c * 10000) // tot_c AS share_x1e4
+        |FROM per CROSS JOIN tot ORDER BY l_returnflag""".stripMargin,
+    "events_conversion_time" ->
+      """WITH fv AS (
+        |  SELECT user_id, min(epoch_us(CAST(ts AS TIMESTAMP)) // 1000000) AS vsec
+        |  FROM events WHERE event_type = 'view' GROUP BY 1),
+        |lags AS (
+        |  SELECT e.user_id,
+        |    min(epoch_us(CAST(e.ts AS TIMESTAMP)) // 1000000 - fv.vsec) AS lag_sec
+        |  FROM events e JOIN fv USING (user_id)
+        |  WHERE e.event_type = 'purchase'
+        |    AND epoch_us(CAST(e.ts AS TIMESTAMP)) // 1000000 >= fv.vsec
+        |  GROUP BY 1)
+        |SELECT count(*) AS n_converted,
+        |  CAST(floor(quantile_cont(lag_sec, 0.5) * 1e4 + 0.5) AS BIGINT) AS p50_x1e4,
+        |  CAST(floor(quantile_cont(lag_sec, 0.9) * 1e4 + 0.5) AS BIGINT) AS p90_x1e4
+        |FROM lags""".stripMargin,
+    "text_kwic" ->
+      """WITH m AS (
+        |  SELECT doc_id, regexp_extract_all(text, '.{0,24}\bspark\b.{0,24}') AS hits
+        |  FROM documents WHERE doc_id < 100)
+        |SELECT doc_id,
+        |  CAST(unnest(generate_series(1, len(hits))) - 1 AS INTEGER) AS hit_no,
+        |  unnest(hits) AS ctx
+        |FROM m WHERE len(hits) > 0
+        |ORDER BY doc_id, hit_no""".stripMargin,
     "stats_chi2" ->
       """WITH cells AS (
         |  SELECT event_type AS a, user_id % 3 AS b, count(*) AS o
