@@ -150,4 +150,42 @@ object Stats {
         when(col("z_x1e4").isNull, lit(0))
           .otherwise((abs(col("z_x1e4")) > thresholdX1e4).cast("int")))
   }
+
+  /** Equi-count bucket profile — SQL `ntile(k)` semantics (first
+    * N mod k buckets get the extra row) WITHOUT the single-task global
+    * window: the total order comes from [[Rank.globalRowNumber]]
+    * (range-partitioned sort + zipWithIndex), the bucket id from the
+    * ntile closed form over (rn, N), then one map-side-combined
+    * aggregate per bucket. `tieCols` must complete a total order over
+    * `xCol` or bucket boundaries are partition-order dependent.
+    *
+    * Output per bucket: row count, min/max of x (exact decimals), and
+    * the exact decimal sum — the distribution profile a monitoring
+    * pipeline wants from a 100 TB column without ever sorting it
+    * through one executor. */
+  def ntileProfile(df: DataFrame, xCol: String, tieCols: Seq[String],
+      k: Int): DataFrame = {
+    require(k > 0, s"ntileProfile: k must be positive, got $k")
+    val ordered = Rank.globalRowNumber(
+      df.select((xCol +: tieCols).map(col): _*),
+      (xCol +: tieCols).map(col(_).asc), rankCol = "rn")
+    val n = df.count()
+    val base = n / k
+    val rem = n % k
+    // SQL ntile: bucket b ∈ [1, rem] spans (base+1) rows, the rest
+    // base. Integer `div`, never `/` (long / long is DOUBLE division
+    // in Spark). The when() guard keeps the base=0 (n<k) case out of
+    // the zero-divisor branch.
+    val bucket = when(lit(base == 0L) ||
+        col("rn") <= lit(rem * (base + 1L)),
+        expr(s"(rn - 1L) div ${base + 1L}L + 1L"))
+      .otherwise(expr(s"${rem}L + (rn - 1L - ${rem * (base + 1L)}L) div ${base}L + 1L"))
+    ordered
+      .withColumn("bucket", bucket.cast("int"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col(xCol).cast("decimal(18,2)")).as("x_min"),
+        max(col(xCol).cast("decimal(18,2)")).as("x_max"),
+        sum(col(xCol).cast("decimal(18,2)")).as("x_sum"))
+  }
 }

@@ -338,6 +338,36 @@ object TimeSeriesPack extends QueryPack {
           graft.functions.F.scale4(cume_dist().over(w)).as("cd_x1e4"))
         .orderBy("o_orderkey")
     }),
+    // Longest consecutive-day activity streak per user — gaps-and-
+    // islands over the collapsed (user, day) set; dates cross the
+    // oracle boundary as formatted strings.
+    "events_streaks" -> ((s, dir) =>
+      graft.ops.Streaks.longestDailyStreak(
+          Tables.load(s, dir, "events"), "user_id", "ts")
+        .select(col("user_id"), col("n_active_days"), col("best_streak"),
+          date_format(col("streak_start"), "yyyy-MM-dd").as("streak_start"),
+          date_format(col("streak_end"), "yyyy-MM-dd").as("streak_end"))
+        .orderBy("user_id")),
+    // First-order Markov transition matrix of event types per user
+    // timeline: counts + integer fixed-point transition probability.
+    "events_markov" -> ((s, dir) =>
+      graft.ops.Transitions.transitionCounts(
+          Tables.load(s, dir, "events"), "user_id", "ts", "event_type",
+          "event_id")
+        .orderBy("prev_state", "next_state")),
+    // Equi-count quartile profile of account balances — SQL ntile(4)
+    // semantics without the single-task global window (range-
+    // partitioned rank + closed-form bucket id). Exact decimal
+    // endpoints/sums crossed as integer cents.
+    "agg_quartiles" -> ((s, dir) =>
+      Stats.ntileProfile(Tables.load(s, dir, "customer"),
+          "c_acctbal", Seq("c_custkey"), k = 4)
+        .select(col("bucket"),
+          col("n_rows"),
+          (col("x_min") * 100).cast("long").as("min_c"),
+          (col("x_max") * 100).cast("long").as("max_c"),
+          (col("x_sum") * 100).cast("long").as("sum_c"))
+        .orderBy("bucket")),
   )
 
   /** Shared event-slice CTE: integer epoch seconds + scale4 value. */
@@ -652,5 +682,58 @@ object TimeSeriesPack extends QueryPack {
         |FROM orders WHERE o_custkey < 100
         |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice)
         |ORDER BY o_orderkey""".stripMargin,
+    // same islands algebra: epochday − row_number constant per run;
+    // best = longest, earliest start on ties
+    "events_streaks" ->
+      """WITH days AS (
+        |  SELECT DISTINCT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d
+        |  FROM events),
+        |isl AS (
+        |  SELECT user_id, d,
+        |    CAST(d - DATE '1970-01-01' AS BIGINT)
+        |      - row_number() OVER (PARTITION BY user_id ORDER BY d) AS island
+        |  FROM days),
+        |per AS (
+        |  SELECT user_id, island, count(*) AS len,
+        |    min(d) AS s, max(d) AS e
+        |  FROM isl GROUP BY 1, 2),
+        |best AS (
+        |  SELECT user_id, len, s, e,
+        |    row_number() OVER (PARTITION BY user_id
+        |                       ORDER BY len DESC, s ASC) AS rk,
+        |    CAST(sum(len) OVER (PARTITION BY user_id) AS BIGINT) AS n_active_days
+        |  FROM per)
+        |SELECT user_id, n_active_days, len AS best_streak,
+        |  strftime(s, '%Y-%m-%d') AS streak_start,
+        |  strftime(e, '%Y-%m-%d') AS streak_end
+        |FROM best WHERE rk = 1 ORDER BY user_id""".stripMargin,
+    "events_markov" ->
+      """WITH p AS (
+        |  SELECT event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |                          ORDER BY CAST(ts AS TIMESTAMP), event_id)
+        |      AS prev_state
+        |  FROM events),
+        |pairs AS (
+        |  SELECT prev_state, event_type AS next_state, count(*) AS n
+        |  FROM p WHERE prev_state IS NOT NULL GROUP BY 1, 2),
+        |tot AS (SELECT prev_state, CAST(sum(n) AS BIGINT) AS total_from
+        |  FROM pairs GROUP BY 1)
+        |SELECT prev_state, next_state, n, total_from,
+        |  (n * 10000) // total_from AS p_x1e4
+        |FROM pairs JOIN tot USING (prev_state)
+        |ORDER BY prev_state, next_state""".stripMargin,
+    // the built-in ntile IS the spec the closed form reproduces
+    "agg_quartiles" ->
+      """WITH b AS (
+        |  SELECT CAST(ntile(4) OVER (ORDER BY c_acctbal, c_custkey) AS INTEGER)
+        |      AS bucket,
+        |    CAST(c_acctbal AS DECIMAL(18,2)) AS x
+        |  FROM customer)
+        |SELECT bucket, count(*) AS n_rows,
+        |  CAST(min(x) * 100 AS BIGINT) AS min_c,
+        |  CAST(max(x) * 100 AS BIGINT) AS max_c,
+        |  CAST(sum(x) * 100 AS BIGINT) AS sum_c
+        |FROM b GROUP BY 1 ORDER BY bucket""".stripMargin,
   )
 }
