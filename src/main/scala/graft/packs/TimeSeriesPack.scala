@@ -368,6 +368,42 @@ object TimeSeriesPack extends QueryPack {
           (col("x_max") * 100).cast("long").as("max_c"),
           (col("x_sum") * 100).cast("long").as("sum_c"))
         .orderBy("bucket")),
+    // Order→ship handoff in BUSINESS days — closed-form weekday
+    // arithmetic on epoch days (no calendar table, no UDF, stays in
+    // codegen), histogrammed over the full join.
+    "lineitem_business_days" -> ((s, dir) => {
+      val o = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), to_date(col("o_orderdate")).as("od"))
+      val l = Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey"), to_date(col("l_shipdate")).as("sd"))
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .groupBy(graft.ops.Dates.businessDaysBetween(col("od"), col("sd"))
+          .as("bdays"))
+        .agg(count(lit(1)).as("n_items"))
+        .orderBy("bdays")
+    }),
+    // Incremental materialized view: per (type, hour) moments built
+    // from two DISJOINT batches and merged state-to-state — the
+    // refresh path that never rescans history. The oracle is the full
+    // recompute the merge must equal.
+    "matview_incremental" -> ((s, dir) => {
+      val base = Tables.load(s, dir, "events")
+        .select(col("event_id"), col("event_type"),
+          Resample.epochSec(col("ts")).as("sec"),
+          floor(col("value") * 100 + lit(0.5)).cast("long").as("v_x100"))
+        .withColumn("hr", expr("sec div 3600")).drop("sec")
+      val keys = Seq("event_type", "hr")
+      val s1 = graft.ops.IncrementalAgg.state(
+        base.filter(col("event_id") % 2 === 0), keys, "v_x100")
+      val s2 = graft.ops.IncrementalAgg.state(
+        base.filter(col("event_id") % 2 =!= 0), keys, "v_x100")
+      graft.ops.IncrementalAgg.finalizeView(
+          graft.ops.IncrementalAgg.merge(Seq(s1, s2), keys), avgScale = 100L)
+        .select(col("event_type"), col("hr"), col("n"),
+          col("s").as("sum_x100"), col("mn").as("min_x100"),
+          col("mx").as("max_x100"), col("avg_scaled").as("avg_x1e4"))
+        .orderBy("event_type", "hr")
+    }),
   )
 
   /** Shared event-slice CTE: integer epoch seconds + scale4 value. */
@@ -735,5 +771,36 @@ object TimeSeriesPack extends QueryPack {
         |  CAST(max(x) * 100 AS BIGINT) AS max_c,
         |  CAST(sum(x) * 100 AS BIGINT) AS sum_c
         |FROM b GROUP BY 1 ORDER BY bucket""".stripMargin,
+    // the same closed form: epoch day 0 = Thursday, W(e) = weekdays in
+    // [0,e) = 5·(e div 7) + prefix[e mod 7]; bdays = W(e2+1) − W(e1+1)
+    "lineitem_business_days" ->
+      """WITH j AS (
+        |  SELECT CAST(CAST(CAST(o_orderdate AS TIMESTAMP) AS DATE)
+        |           - DATE '1970-01-01' AS BIGINT) + 1 AS e1,
+        |    CAST(CAST(CAST(l_shipdate AS TIMESTAMP) AS DATE)
+        |           - DATE '1970-01-01' AS BIGINT) + 1 AS e2
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |w AS (SELECT
+        |    5 * ((e1 - e1 % 7) // 7) +
+        |      (CASE e1 % 7 WHEN 1 THEN 1 WHEN 2 THEN 2 WHEN 3 THEN 2
+        |        WHEN 4 THEN 2 WHEN 5 THEN 3 WHEN 6 THEN 4 ELSE 0 END) AS w1,
+        |    5 * ((e2 - e2 % 7) // 7) +
+        |      (CASE e2 % 7 WHEN 1 THEN 1 WHEN 2 THEN 2 WHEN 3 THEN 2
+        |        WHEN 4 THEN 2 WHEN 5 THEN 3 WHEN 6 THEN 4 ELSE 0 END) AS w2
+        |  FROM j)
+        |SELECT CAST(w2 - w1 AS BIGINT) AS bdays, count(*) AS n_items
+        |FROM w GROUP BY 1 ORDER BY bdays""".stripMargin,
+    // the full recompute the incremental merge must equal
+    "matview_incremental" ->
+      """WITH base AS (
+        |  SELECT event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 // 3600 AS hr,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+        |  FROM events)
+        |SELECT event_type, hr, count(*) AS n,
+        |  CAST(sum(v) AS BIGINT) AS sum_x100,
+        |  min(v) AS min_x100, max(v) AS max_x100,
+        |  (CAST(sum(v) AS BIGINT) * 100) // count(*) AS avg_x1e4
+        |FROM base GROUP BY 1, 2 ORDER BY event_type, hr""".stripMargin,
   )
 }

@@ -1,0 +1,50 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class IncrementalAggSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def fixture: DataFrame = {
+    val rng = new scala.util.Random(7)
+    (1 to 500).map { i =>
+      (i.toLong, s"k${rng.nextInt(5)}", rng.nextInt(2000).toLong - 400L)
+    }.toDF("id", "k", "v")
+  }
+
+  private def snap(df: DataFrame): Seq[(String, Long, Long, Long, Long)] =
+    df.orderBy("k").collect().map(r => (r.getAs[String]("k"),
+      r.getAs[Long]("n"), r.getAs[Long]("s"),
+      r.getAs[Long]("mn"), r.getAs[Long]("mx"))).toSeq
+
+  test("merge of disjoint batch states equals the full recompute") {
+    val df = fixture
+    val full = IncrementalAgg.state(df, Seq("k"), "v")
+    val parts = Seq(
+      IncrementalAgg.state(df.filter(col("id") % 3 === 0), Seq("k"), "v"),
+      IncrementalAgg.state(df.filter(col("id") % 3 === 1), Seq("k"), "v"),
+      IncrementalAgg.state(df.filter(col("id") % 3 === 2), Seq("k"), "v"))
+    assert(snap(IncrementalAgg.merge(parts, Seq("k"))) == snap(full))
+  }
+
+  test("merge is fold-order independent and idempotent over regrouping") {
+    val df = fixture
+    val a = IncrementalAgg.state(df.filter(col("id") <= 250), Seq("k"), "v")
+    val b = IncrementalAgg.state(df.filter(col("id") > 250), Seq("k"), "v")
+    val ab = IncrementalAgg.merge(Seq(a, b), Seq("k"))
+    val ba = IncrementalAgg.merge(Seq(b, a), Seq("k"))
+    assert(snap(ab) == snap(ba))
+    // merging a merged state with an empty-keyed extra state is a no-op
+    val again = IncrementalAgg.merge(Seq(ab), Seq("k"))
+    assert(snap(again) == snap(ab))
+  }
+
+  test("finalizeView derives the fixed-point avg from (s, n)") {
+    val st = Seq(("a", 4L, 10L, 1L, 4L)).toDF("k", "n", "s", "mn", "mx")
+    val out = IncrementalAgg.finalizeView(st, avgScale = 100L)
+      .select("avg_scaled").head.getLong(0)
+    assert(out == 250L) // 10·100 div 4
+  }
+}
