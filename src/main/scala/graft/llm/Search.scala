@@ -43,6 +43,24 @@ object Search {
         size(filter(split(col(textCol), " "), t => t =!= "")).cast("long").as("dl"))
       .filter(col("dl") > 0)
 
+  /** Positional postings for a term set: (term, doc_id, tf, first_pos)
+    * where positions are 1-based token indices in the RAW space-split
+    * array (empties included in the numbering, matching what a phrase
+    * or proximity scorer needs to reconstruct adjacency). The isin
+    * filter lands directly on the exploded stream — the scan prunes to
+    * (id, text) and the aggregate only ever sees the query terms'
+    * rows, so the shuffled slice is query-sized, not corpus-sized. */
+  def positionalPostings(docs: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String]): DataFrame = {
+    require(terms.nonEmpty, "positionalPostings: empty term set")
+    docs.select(col(idCol).as("doc_id"),
+        posexplode(split(col(textCol), " ")).as(Seq("pos0", "term")))
+      .filter(col("term").isin(terms: _*))
+      .groupBy("term", "doc_id")
+      .agg(count(lit(1)).as("tf"),
+        (min(col("pos0")) + 1).cast("long").as("first_pos"))
+  }
+
   /** Top-k documents for a bag of query terms, by integer-exact BM25.
     * Output: doc_id, n_terms_hit, score_x1e4 (desc, doc_id tiebreak). */
   def bm25TopK(docs: DataFrame, idCol: String, textCol: String,

@@ -135,6 +135,29 @@ object LlmPack extends QueryPack {
     "search_bm25_topk" -> ((s, dir) =>
       graft.llm.Search.bm25TopK(docs(s, dir), "doc_id", "text",
         Seq("spark", "join", "window", "stream"), k = 25)),
+    // Positional postings (llm/Search.scala): 1-based first position +
+    // tf per (query term, doc) — the index slice a phrase/proximity
+    // scorer consumes; bounded output via doc_id < 120.
+    "search_positions" -> ((s, dir) =>
+      graft.llm.Search.positionalPostings(docs(s, dir), "doc_id", "text",
+          Seq("spark", "join", "window", "stream"))
+        .filter(col("doc_id") < 120)
+        .orderBy("term", "doc_id")),
+    // Vocabulary profile per source: token volume, distinct vocabulary
+    // and type-token ratio (×1e6 integer fixed point) — the Heaps-law
+    // corpus health check, one aggregate over the exploded stream.
+    "text_vocab_by_source" -> ((s, dir) =>
+      docs(s, dir)
+        .select(col("source"), col("doc_id"),
+          explode(split(col("text"), " ")).as("term"))
+        .filter(col("term") =!= "")
+        .groupBy("source")
+        .agg(countDistinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("total_tokens"),
+          countDistinct(col("term")).as("distinct_terms"))
+        .withColumn("ttr_x1e6",
+          expr("distinct_terms * 1000000L div total_tokens"))
+        .orderBy("source")),
     // §2.13 sketch surface, frequency form: Count-Min (d=3, w=1024)
     // over the token stream — ONE pass, O(d·w) bounded state per
     // partial, element-wise-sum merge — next to the exact top-20 it
@@ -735,6 +758,28 @@ object LlmPack extends QueryPack {
         |FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
         |WHERE term <> ''
         |GROUP BY term ORDER BY n DESC, term LIMIT 20""".stripMargin,
+    // 1-based positions over the RAW split array, same numbering as
+    // posexplode+1 (empties counted)
+    "search_positions" ->
+      """WITH arrs AS (
+        |  SELECT doc_id, string_split(text, ' ') AS a
+        |  FROM documents WHERE doc_id < 120),
+        |tok AS (
+        |  SELECT doc_id, CAST(u.p AS BIGINT) AS pos, a[u.p] AS term
+        |  FROM arrs, UNNEST(generate_series(1, len(a))) AS u(p))
+        |SELECT term, doc_id, count(*) AS tf, min(pos) AS first_pos
+        |FROM tok WHERE term IN ('spark', 'join', 'window', 'stream')
+        |GROUP BY 1, 2 ORDER BY term, doc_id""".stripMargin,
+    "text_vocab_by_source" ->
+      """WITH tok AS (
+        |  SELECT source, doc_id, unnest(string_split(text, ' ')) AS term
+        |  FROM documents)
+        |SELECT source, count(DISTINCT doc_id) AS n_docs,
+        |  count(*) AS total_tokens,
+        |  count(DISTINCT term) AS distinct_terms,
+        |  (count(DISTINCT term) * 1000000) // count(*) AS ttr_x1e6
+        |FROM tok WHERE term <> ''
+        |GROUP BY 1 ORDER BY source""".stripMargin,
     // mirrors Search.bm25TopK's integer algebra exactly: avgdl and idf
     // are integer-division/bitlength constants, each (doc,term)
     // component is one ×10000 fixed-point integer division

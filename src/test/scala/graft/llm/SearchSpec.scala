@@ -48,4 +48,15 @@ class SearchSpec extends SparkSpec {
     // saturation: doubling tf from 1→2 gains more than the next doubling per unit
     assert(scores(1) - scores(0) > (scores(2) - scores(1)) / 4)
   }
+
+  test("positionalPostings: 1-based positions over the RAW split (empties counted)") {
+    // doc 4 has a double space: tokens [x, '', y] — y is position 3,
+    // because phrase adjacency must see the raw token numbering.
+    val d = Seq((1L, "a b a"), (4L, "x  y")).toDF("doc_id", "text")
+    val out = Search.positionalPostings(d, "doc_id", "text", Seq("a", "y"))
+      .orderBy("term", "doc_id").collect()
+      .map(r => (r.getAs[String]("term"), r.getAs[Long]("doc_id"),
+        r.getAs[Long]("tf"), r.getAs[Long]("first_pos")))
+    assert(out.toSeq == Seq(("a", 1L, 2L, 1L), ("y", 4L, 1L, 3L)))
+  }
 }
