@@ -61,6 +61,43 @@ object Search {
         (min(col("pos0")) + 1).cast("long").as("first_pos"))
   }
 
+  /** Hybrid retrieval: reciprocal-rank fusion of the lexical (BM25)
+    * and semantic (brute cosine) top-k lists —
+    * rrf(d) = Σ_src 1e6 div (kRrf + rank_src(d)), absent source → 0.
+    * Integer division keeps the fused score oracle-exact; kRrf = 60 is
+    * the published default (Cormack & Clarke SIGIR'09).
+    *
+    * Scale shape: both inputs are ALREADY top-k (k rows each), so the
+    * fusion itself — full-outer join + rank windows — runs on ≤2k rows
+    * no matter the corpus size; the heavy lifting stays in the two
+    * retrievers, each with their own scale story (postings slice /
+    * IVF-bucketed search). The partitionless windows here are on k-row
+    * frames, where they are the correct tool. */
+  def hybridRrf(docs: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String], emb: DataFrame, queryVecId: Long,
+      k: Int, kRrf: Long = 60L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lex = bm25TopK(docs, idCol, textCol, queryTerms, k)
+      .select(col("doc_id"), col("score_x1e4"))
+      .withColumn("lex_rank", row_number()
+        .over(Window.orderBy(desc("score_x1e4"), asc("doc_id"))).cast("long"))
+      .drop("score_x1e4")
+    val q = emb.filter(col("vec_id") === queryVecId)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val sem = Ann.cosineTopK(q,
+        emb.select(col("vec_id"), col("embedding").as("ce")), k)
+      .select(col("vec_id").as("doc_id"), col("rank").cast("long").as("sem_rank"))
+    lex.join(sem, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        coalesce(col("lex_rank"), lit(0L)).as("lex_rank"),
+        coalesce(col("sem_rank"), lit(0L)).as("sem_rank"))
+      .withColumn("rrf_x1e6", expr(
+        s"CASE WHEN lex_rank > 0 THEN 1000000L div (${kRrf}L + lex_rank) ELSE 0L END + " +
+        s"CASE WHEN sem_rank > 0 THEN 1000000L div (${kRrf}L + sem_rank) ELSE 0L END"))
+      .orderBy(desc("rrf_x1e6"), asc("doc_id"))
+      .limit(k)
+  }
+
   /** Top-k documents for a bag of query terms, by integer-exact BM25.
     * Output: doc_id, n_terms_hit, score_x1e4 (desc, doc_id tiebreak). */
   def bm25TopK(docs: DataFrame, idCol: String, textCol: String,

@@ -135,6 +135,13 @@ object LlmPack extends QueryPack {
     "search_bm25_topk" -> ((s, dir) =>
       graft.llm.Search.bm25TopK(docs(s, dir), "doc_id", "text",
         Seq("spark", "join", "window", "stream"), k = 25)),
+    // Hybrid retrieval: reciprocal-rank fusion of the BM25 list and
+    // the brute-cosine list for query vector 0 (doc_id ≡ vec_id in the
+    // fixture) — integer-exact fused scores, k=20 both sides.
+    "search_hybrid_rrf" -> ((s, dir) =>
+      graft.llm.Search.hybridRrf(docs(s, dir), "doc_id", "text",
+        Seq("spark", "join", "window", "stream"),
+        emb(s, dir), queryVecId = 0L, k = 20)),
     // Positional postings (llm/Search.scala): 1-based first position +
     // tf per (query term, doc) — the index slice a phrase/proximity
     // scorer consumes; bounded output via doc_id < 120.
@@ -567,6 +574,30 @@ object LlmPack extends QueryPack {
   // search NC, which trades recall instead).
   private val DUP_NC = 32
 
+  /** BM25 top-k oracle, parameterized on k so the hybrid-RRF oracle
+    * can nest the same statement at its own cut. */
+  private def bm25Sql(k: Int): String =
+    s"""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+       |t2 AS (SELECT doc_id, term FROM toks WHERE term <> ''),
+       |post AS (SELECT term, doc_id, count(*) AS tf FROM t2 GROUP BY 1, 2),
+       |lens AS (SELECT doc_id, count(*) AS dl FROM t2 GROUP BY 1),
+       |tot AS (SELECT count(*) AS n_docs,
+       |    CAST(sum(dl) // count(*) AS BIGINT) AS avgdl FROM lens),
+       |qp AS (SELECT * FROM post
+       |  WHERE term IN ('spark', 'join', 'window', 'stream')),
+       |dfreq AS (SELECT term, count(*) AS df FROM qp GROUP BY 1),
+       |idf AS (SELECT term,
+       |    CAST(length(format('{:b}', CAST(tot.n_docs // df AS BIGINT))) AS BIGINT) AS idf
+       |  FROM dfreq CROSS JOIN tot),
+       |comp AS (SELECT qp.doc_id,
+       |    (10000 * idf.idf * 22 * tot.avgdl * qp.tf)
+       |      // (10 * tot.avgdl * qp.tf + 3 * tot.avgdl + 9 * lens.dl) AS comp
+       |  FROM qp JOIN idf USING (term) JOIN lens USING (doc_id) CROSS JOIN tot)
+       |SELECT doc_id, count(*) AS n_terms_hit,
+       |  CAST(sum(comp) AS BIGINT) AS score_x1e4
+       |FROM comp GROUP BY doc_id
+       |ORDER BY score_x1e4 DESC, doc_id LIMIT $k""".stripMargin
+
   private def bruteSql: String =
     s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 3),
        |c AS (SELECT vec_id, embedding AS ce FROM embeddings),
@@ -783,27 +814,32 @@ object LlmPack extends QueryPack {
     // mirrors Search.bm25TopK's integer algebra exactly: avgdl and idf
     // are integer-division/bitlength constants, each (doc,term)
     // component is one ×10000 fixed-point integer division
-    "search_bm25_topk" ->
-      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
-        |t2 AS (SELECT doc_id, term FROM toks WHERE term <> ''),
-        |post AS (SELECT term, doc_id, count(*) AS tf FROM t2 GROUP BY 1, 2),
-        |lens AS (SELECT doc_id, count(*) AS dl FROM t2 GROUP BY 1),
-        |tot AS (SELECT count(*) AS n_docs,
-        |    CAST(sum(dl) // count(*) AS BIGINT) AS avgdl FROM lens),
-        |qp AS (SELECT * FROM post
-        |  WHERE term IN ('spark', 'join', 'window', 'stream')),
-        |dfreq AS (SELECT term, count(*) AS df FROM qp GROUP BY 1),
-        |idf AS (SELECT term,
-        |    CAST(length(format('{:b}', CAST(tot.n_docs // df AS BIGINT))) AS BIGINT) AS idf
-        |  FROM dfreq CROSS JOIN tot),
-        |comp AS (SELECT qp.doc_id,
-        |    (10000 * idf.idf * 22 * tot.avgdl * qp.tf)
-        |      // (10 * tot.avgdl * qp.tf + 3 * tot.avgdl + 9 * lens.dl) AS comp
-        |  FROM qp JOIN idf USING (term) JOIN lens USING (doc_id) CROSS JOIN tot)
-        |SELECT doc_id, count(*) AS n_terms_hit,
-        |  CAST(sum(comp) AS BIGINT) AS score_x1e4
-        |FROM comp GROUP BY doc_id
-        |ORDER BY score_x1e4 DESC, doc_id LIMIT 25""".stripMargin,
+    "search_bm25_topk" -> bm25Sql(25),
+    // RRF fusion over the two k=20 retriever lists: the bm25 oracle
+    // nests as a subquery, the semantic side is the brute-cosine rank
+    // for query vector 0, and the fused score is pure integer algebra.
+    "search_hybrid_rrf" ->
+      s"""WITH lexfull AS (SELECT * FROM (${bm25Sql(20)})),
+         |lex AS (SELECT doc_id,
+         |    ROW_NUMBER() OVER (ORDER BY score_x1e4 DESC, doc_id) AS lex_rank
+         |  FROM lexfull),
+         |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         |sc AS (SELECT c.vec_id AS doc_id, ${cosS("q.qe", "c.ce")} AS cos
+         |  FROM q, (SELECT vec_id, embedding AS ce FROM embeddings) c),
+         |sem AS (SELECT doc_id, sem_rank FROM (
+         |    SELECT doc_id,
+         |      ROW_NUMBER() OVER (ORDER BY cos DESC, doc_id) AS sem_rank
+         |    FROM sc) WHERE sem_rank <= 20),
+         |j AS (SELECT COALESCE(lex.doc_id, sem.doc_id) AS doc_id,
+         |    COALESCE(lex.lex_rank, 0) AS lex_rank,
+         |    COALESCE(sem.sem_rank, 0) AS sem_rank
+         |  FROM lex FULL JOIN sem ON lex.doc_id = sem.doc_id)
+         |SELECT doc_id, CAST(lex_rank AS BIGINT) AS lex_rank,
+         |  CAST(sem_rank AS BIGINT) AS sem_rank,
+         |  CAST((CASE WHEN lex_rank > 0 THEN 1000000 // (60 + lex_rank) ELSE 0 END) +
+         |       (CASE WHEN sem_rank > 0 THEN 1000000 // (60 + sem_rank) ELSE 0 END)
+         |    AS BIGINT) AS rrf_x1e6
+         |FROM j ORDER BY rrf_x1e6 DESC, doc_id LIMIT 20""".stripMargin,
     // mirrors repetitionMetrics: same tokenization, same scale4
     // fixed-point order, flag compared on the fixed-point integer
     "text_repetition" ->

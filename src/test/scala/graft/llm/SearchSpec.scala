@@ -59,4 +59,21 @@ class SearchSpec extends SparkSpec {
         r.getAs[Long]("tf"), r.getAs[Long]("first_pos")))
     assert(out.toSeq == Seq(("a", 1L, 2L, 1L), ("y", 4L, 1L, 3L)))
   }
+
+  test("hybridRrf: hand-computed fusion, absent-source rank contributes 0") {
+    // lex (term a): d2 (tf2) rank 1, d1 rank 2, d3 absent.
+    // sem (query = v1 = (1,0)): d1 rank 1, d3 rank 2, d2 rank 3.
+    // rrf = 1e6 div (60 + rank) summed over present sources.
+    val d = Seq((1L, "a"), (2L, "a a"), (3L, "b")).toDF("doc_id", "text")
+    val e = Seq((1L, Array(1f, 0f)), (2L, Array(0f, 1f)), (3L, Array(1f, 1f)))
+      .toDF("vec_id", "embedding")
+    val out = Search.hybridRrf(d, "doc_id", "text", Seq("a"), e,
+        queryVecId = 1L, k = 3)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("lex_rank"),
+        r.getAs[Long]("sem_rank"), r.getAs[Long]("rrf_x1e6")))
+    assert(out.toSeq == Seq(
+      (1L, 2L, 1L, 16129L + 16393L),
+      (2L, 1L, 3L, 16393L + 15873L),
+      (3L, 0L, 2L, 16129L)))
+  }
 }
