@@ -512,6 +512,62 @@ object RelationalPack extends QueryPack {
         .select("l_returnflag", "l_linestatus", "gid", "sum_qty", "n")
         .orderBy("gid", "l_returnflag", "l_linestatus")),
 
+    // Explicit GROUPING SETS — the two DISJOINT marginals ((flag),
+    // (status)) that neither rollup (hierarchical) nor this pair's
+    // cube (which adds the cross and grand total) would emit alone.
+    // Same Expand-into-one-hash-aggregate plan, one shuffle.
+    "agg_grouping_sets" -> ((s, dir) =>
+      Tables.load(s, dir, "lineitem")
+        .groupingSets(Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus"))),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(grouping_id().as("gid"), dsum("l_quantity").as("sum_qty"),
+          count(lit(1)).as("n"))
+        .select("l_returnflag", "l_linestatus", "gid", "sum_qty", "n")
+        .orderBy("gid", "l_returnflag", "l_linestatus")),
+
+    // Window navigation surface: first/last/nth over the full-frame
+    // per-user window — one row per user (rn = 1 off the same sort),
+    // so the gate output is |users|-bounded at any sf.
+    "window_navigation" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.load(s, dir, "events")
+        .select(col("user_id"),
+          row_number().over(w).as("rn"),
+          first(col("event_type")).over(wf).as("first_type"),
+          last(col("event_type")).over(wf).as("last_type"),
+          nth_value(col("event_type"), 2).over(wf).as("second_type"),
+          count(lit(1)).over(wf).as("n_events"))
+        .filter(col("rn") === 1).drop("rn")
+        .orderBy("user_id")
+    }),
+
+    // Market-basket association: distinct (order, part), per-order
+    // self-join bounded by items-per-order (≤21 pairs from 7 lines),
+    // pair support + integer fixed-point lift against the part
+    // marginals. Top-50 by support with a total tiebreak.
+    "market_basket_pairs" -> ((s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .groupBy("ok", "pk").agg(count(lit(1)).as("_n")).drop("_n")
+      val nOrders = li.select("ok").distinct().count()
+      val pc = li.groupBy("pk").agg(count(lit(1)).as("np"))
+      val a = li.select(col("ok"), col("pk").as("part_a"))
+      val b = li.select(col("ok"), col("pk").as("part_b"))
+      a.join(b, Seq("ok"))
+        .filter(col("part_a") < col("part_b"))
+        .groupBy("part_a", "part_b").agg(count(lit(1)).as("n_ab"))
+        .join(pc.withColumnRenamed("pk", "part_a")
+          .withColumnRenamed("np", "na"), Seq("part_a"))
+        .join(pc.withColumnRenamed("pk", "part_b")
+          .withColumnRenamed("np", "nb"), Seq("part_b"))
+        .withColumn("lift_x1e4",
+          expr(s"n_ab * ${nOrders}L * 10000L div (na * nb)"))
+        .select("part_a", "part_b", "n_ab", "lift_x1e4")
+        .orderBy(desc("n_ab"), asc("part_a"), asc("part_b"))
+        .limit(50)
+    }),
+
     // Existence joins — the reference derives added/deleted classes
     // from its full-outer diff (SURVEY §2.4); here they are first-class
     // LEFT SEMI / LEFT ANTI plans. The probe side streams; the build
@@ -1091,6 +1147,41 @@ object RelationalPack extends QueryPack {
          |  ${dsumSql("l_quantity")} AS sum_qty, count(*) AS n
          |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
          |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin,
+    "agg_grouping_sets" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+         |  ${dsumSql("l_quantity")} AS sum_qty, count(*) AS n
+         |FROM lineitem
+         |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+         |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin,
+    "window_navigation" ->
+      """SELECT user_id, first_type, last_type, second_type, n_events FROM (
+        |  SELECT user_id,
+        |    row_number() OVER w AS rn,
+        |    first_value(event_type) OVER wf AS first_type,
+        |    last_value(event_type) OVER wf AS last_type,
+        |    nth_value(event_type, 2) OVER wf AS second_type,
+        |    count(*) OVER wf AS n_events
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id),
+        |    wf AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+    "market_basket_pairs" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |n AS (SELECT CAST(count(DISTINCT ok) AS BIGINT) AS n_orders FROM li),
+        |pc AS (SELECT pk, count(*) AS np FROM li GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.pk AS part_a, b.pk AS part_b, count(*) AS n_ab
+        |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+        |  GROUP BY 1, 2)
+        |SELECT part_a, part_b, n_ab,
+        |  (n_ab * n.n_orders * 10000) // (pa.np * pb.np) AS lift_x1e4
+        |FROM pairs
+        |JOIN pc pa ON pairs.part_a = pa.pk
+        |JOIN pc pb ON pairs.part_b = pb.pk
+        |CROSS JOIN n
+        |ORDER BY n_ab DESC, part_a, part_b LIMIT 50""".stripMargin,
     "join_semi_urgent" ->
       """SELECT c_mktsegment, count(*) AS n_customers FROM customer c
         |WHERE EXISTS (SELECT 1 FROM orders o
