@@ -568,6 +568,65 @@ object RelationalPack extends QueryPack {
         .limit(50)
     }),
 
+    // TPC-H Q3 shape: segment-filtered customers ⋈ unshipped orders ⋈
+    // future-shipping lineitems, revenue = Σ price·(1−discount) as an
+    // EXACT ×1e4 integer (cents × (100 − disc_pct) — no float sum
+    // crosses the boundary). Filters sit on every scan (pushed), the
+    // segment side reduces before the join, top-10 is
+    // TakeOrderedAndProject.
+    "tpch_q3_priority" -> ((s, dir) => {
+      val cutoff = lit("1998-01-01").cast("timestamp")
+      val c = Tables.load(s, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+      val o = Tables.load(s, dir, "orders")
+        .filter(col("o_orderdate") < cutoff)
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+      val l = Tables.load(s, dir, "lineitem")
+        .filter(col("l_shipdate") > cutoff)
+        .select(col("l_orderkey"),
+          (floor(col("l_extendedprice") * 100 + lit(0.5)).cast("long") *
+            (lit(100L) - floor(col("l_discount") * 100 + lit(0.5)).cast("long")))
+            .as("rev_x1e4"))
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .groupBy(col("l_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+          col("o_orderpriority"))
+        .agg(sum(col("rev_x1e4")).as("revenue_x1e4"))
+        .orderBy(desc("revenue_x1e4"), asc("l_orderkey"))
+        .limit(10)
+    }),
+
+    // TPC-H Q5 shape: five-way star join — local (customer-nation =
+    // supplier-nation) 1996 revenue per ASIA nation. The region→nation
+    // slice broadcasts (25 rows); the nationkey equality filters the
+    // supplier join; facts shuffle once per key.
+    "tpch_q5_region_volume" -> ((s, dir) => {
+      val asia = Tables.load(s, dir, "nation")
+        .join(Tables.load(s, dir, "region"),
+          col("n_regionkey") === col("r_regionkey"))
+        .filter(col("r_name") === "ASIA")
+        .select(col("n_nationkey"), col("n_name"))
+      val c = Tables.load(s, dir, "customer").select("c_custkey", "c_nationkey")
+      val sup = Tables.load(s, dir, "supplier").select("s_suppkey", "s_nationkey")
+      val o = Tables.load(s, dir, "orders")
+        .filter(year(col("o_orderdate")) === 1996)
+        .select("o_orderkey", "o_custkey")
+      val l = Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"),
+          (floor(col("l_extendedprice") * 100 + lit(0.5)).cast("long") *
+            (lit(100L) - floor(col("l_discount") * 100 + lit(0.5)).cast("long")))
+            .as("rev_x1e4"))
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .join(sup, l("l_suppkey") === sup("s_suppkey") &&
+          col("c_nationkey") === sup("s_nationkey"))
+        .join(broadcast(asia), col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(col("rev_x1e4")).as("revenue_x1e4"))
+        .orderBy(desc("revenue_x1e4"), asc("n_name"))
+    }),
+
     // Existence joins — the reference derives added/deleted classes
     // from its full-outer diff (SURVEY §2.4); here they are first-class
     // LEFT SEMI / LEFT ANTI plans. The probe side streams; the build
@@ -1182,6 +1241,36 @@ object RelationalPack extends QueryPack {
         |JOIN pc pb ON pairs.part_b = pb.pk
         |CROSS JOIN n
         |ORDER BY n_ab DESC, part_a, part_b LIMIT 50""".stripMargin,
+    "tpch_q3_priority" ->
+      """SELECT l_orderkey,
+        |  strftime(CAST(CAST(o_orderdate AS TIMESTAMP) AS DATE), '%Y-%m-%d')
+        |    AS o_orderdate,
+        |  o_orderpriority,
+        |  CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) *
+        |           (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT)))
+        |    AS BIGINT) AS revenue_x1e4
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND CAST(o_orderdate AS TIMESTAMP) < TIMESTAMP '1998-01-01'
+        |  AND CAST(l_shipdate AS TIMESTAMP) > TIMESTAMP '1998-01-01'
+        |GROUP BY 1, 2, 3
+        |ORDER BY revenue_x1e4 DESC, l_orderkey LIMIT 10""".stripMargin,
+    "tpch_q5_region_volume" ->
+      """SELECT n_name,
+        |  CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) *
+        |           (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT)))
+        |    AS BIGINT) AS revenue_x1e4
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND EXTRACT(year FROM CAST(o_orderdate AS TIMESTAMP)) = 1996
+        |GROUP BY 1 ORDER BY revenue_x1e4 DESC, n_name""".stripMargin,
     "join_semi_urgent" ->
       """SELECT c_mktsegment, count(*) AS n_customers FROM customer c
         |WHERE EXISTS (SELECT 1 FROM orders o
