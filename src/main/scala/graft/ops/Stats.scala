@@ -164,8 +164,20 @@ object Stats {
     * pipeline wants from a 100 TB column without ever sorting it
     * through one executor. */
   def ntileProfile(df: DataFrame, xCol: String, tieCols: Seq[String],
+      k: Int): DataFrame =
+    ntileAssign(df, xCol, tieCols, k)
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col(xCol).cast("decimal(18,2)")).as("x_min"),
+        max(col(xCol).cast("decimal(18,2)")).as("x_max"),
+        sum(col(xCol).cast("decimal(18,2)")).as("x_sum"))
+
+  /** Per-row SQL-ntile bucket assignment with the same scale story:
+    * range-partitioned rank, closed-form bucket id. Returns the input
+    * columns (xCol + tieCols only) plus `bucket`. */
+  def ntileAssign(df: DataFrame, xCol: String, tieCols: Seq[String],
       k: Int): DataFrame = {
-    require(k > 0, s"ntileProfile: k must be positive, got $k")
+    require(k > 0, s"ntileAssign: k must be positive, got $k")
     val ordered = Rank.globalRowNumber(
       df.select((xCol +: tieCols).map(col): _*),
       (xCol +: tieCols).map(col(_).asc), rankCol = "rn")
@@ -180,12 +192,52 @@ object Stats {
         col("rn") <= lit(rem * (base + 1L)),
         expr(s"(rn - 1L) div ${base + 1L}L + 1L"))
       .otherwise(expr(s"${rem}L + (rn - 1L - ${rem * (base + 1L)}L) div ${base}L + 1L"))
-    ordered
-      .withColumn("bucket", bucket.cast("int"))
-      .groupBy(col("bucket"))
-      .agg(count(lit(1)).as("n_rows"),
-        min(col(xCol).cast("decimal(18,2)")).as("x_min"),
-        max(col(xCol).cast("decimal(18,2)")).as("x_max"),
-        sum(col(xCol).cast("decimal(18,2)")).as("x_sum"))
+    ordered.withColumn("bucket", bucket.cast("int")).drop("rn")
+  }
+
+  /** RFM segmentation off an already-aggregated per-entity table:
+    * quartile-code each of the three metrics independently (SQL-ntile
+    * semantics via [[ntileAssign]] — recency ascending so 1 = most
+    * recent, frequency/monetary DESCENDING-by-negation so 1 = best),
+    * then count entities per 3-digit cell. The three rank passes run
+    * over the |entities| aggregate, never the fact table. */
+  def rfmSegments(perEntity: DataFrame, idCol: String, recencyCol: String,
+      freqCol: String, monetaryCol: String, k: Int = 4): DataFrame = {
+    def assign(src: DataFrame, m: String, flip: Boolean, out: String) = {
+      val base = if (flip) src.withColumn("_m", -col(m)) else
+        src.withColumn("_m", col(m))
+      ntileAssign(base.select(col(idCol), col("_m")), "_m", Seq(idCol), k)
+        .select(col(idCol), col("bucket").as(out))
+    }
+    val r = assign(perEntity, recencyCol, flip = false, "r_q")
+    val f = assign(perEntity, freqCol, flip = true, "f_q")
+    val m = assign(perEntity, monetaryCol, flip = true, "m_q")
+    r.join(f, idCol).join(m, idCol)
+      .groupBy((col("r_q") * 100 + col("f_q") * 10 + col("m_q"))
+        .cast("int").as("rfm_code"))
+      .agg(count(lit(1)).as("n_entities"))
+  }
+
+  /** ABC (Pareto) classification over an aggregated (entity, value)
+    * table: descending cumulative share of the total (×1e4 integer),
+    * A ≤ aX1e4, B ≤ bX1e4, C above. The running sum is a partitionless
+    * window on the ALREADY-AGGREGATED entity table — dimension-sized,
+    * orders below the fact table it summarizes (the same contract as
+    * the cumulative-users gate); a truly fact-sized entity set would
+    * swap in a two-phase per-partition prefix sum. valueCol must be an
+    * integer fixed point so the shares divide exactly. */
+  def abcClassify(perEntity: DataFrame, idCol: String, valueCol: String,
+      aX1e4: Long = 8000L, bX1e4: Long = 9500L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col(valueCol).desc, col(idCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = perEntity.agg(sum(col(valueCol)).as("tot"))
+    perEntity.join(broadcast(tot))
+      .withColumn("cum", sum(col(valueCol)).over(w))
+      .withColumn("cum_x1e4", expr("cum * 10000L div tot"))
+      .withColumn("abc_class",
+        when(col("cum_x1e4") <= aX1e4, "A")
+          .when(col("cum_x1e4") <= bX1e4, "B").otherwise("C"))
+      .drop("cum", "tot")
   }
 }

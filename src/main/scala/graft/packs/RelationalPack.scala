@@ -627,6 +627,40 @@ object RelationalPack extends QueryPack {
         .orderBy(desc("revenue_x1e4"), asc("n_name"))
     }),
 
+    // RFM segmentation: per-customer (recency, frequency, monetary)
+    // quartile codes via the scale-safe ntile assignment (three rank
+    // passes over the |customers| aggregate, never the fact table),
+    // counted per 3-digit cell.
+    "customer_rfm" -> ((s, dir) => {
+      val o = Tables.load(s, dir, "orders")
+        .select(col("o_custkey"), to_date(col("o_orderdate")).as("d"),
+          floor(col("o_totalprice") * 100 + lit(0.5)).cast("long").as("p_c"))
+      val per = o.groupBy("o_custkey")
+        .agg(max(col("d")).as("last_d"), count(lit(1)).as("freq"),
+          sum(col("p_c")).as("monetary_c"))
+      val maxD = per.agg(max(col("last_d")).as("mxd"))
+      val withR = per.join(broadcast(maxD))
+        .withColumn("recency_days", datediff(col("mxd"), col("last_d")).cast("long"))
+      graft.ops.Stats.rfmSegments(withR, "o_custkey", "recency_days",
+          "freq", "monetary_c", k = 4)
+        .orderBy("rfm_code")
+    }),
+
+    // ABC / Pareto classification of suppliers by exact ×1e4 revenue:
+    // cumulative-share classes (A ≤ 80 %, B ≤ 95 %, C rest) summarized
+    // per class.
+    "supplier_abc" -> ((s, dir) => {
+      val per = Tables.load(s, dir, "lineitem")
+        .groupBy(col("l_suppkey"))
+        .agg(sum(floor(col("l_extendedprice") * 100 + lit(0.5)).cast("long") *
+            (lit(100L) - floor(col("l_discount") * 100 + lit(0.5)).cast("long")))
+          .as("rev"))
+      graft.ops.Stats.abcClassify(per, "l_suppkey", "rev")
+        .groupBy("abc_class")
+        .agg(count(lit(1)).as("n_suppliers"), sum(col("rev")).as("revenue_x1e4"))
+        .orderBy("abc_class")
+    }),
+
     // Existence joins — the reference derives added/deleted classes
     // from its full-outer diff (SURVEY §2.4); here they are first-class
     // LEFT SEMI / LEFT ANTI plans. The probe side streams; the build
@@ -1271,6 +1305,45 @@ object RelationalPack extends QueryPack {
         |WHERE r_name = 'ASIA'
         |  AND EXTRACT(year FROM CAST(o_orderdate AS TIMESTAMP)) = 1996
         |GROUP BY 1 ORDER BY revenue_x1e4 DESC, n_name""".stripMargin,
+    // ntile(4) with the identical (metric, id) total orders — the
+    // negation flip mirrors rfmSegments exactly
+    "customer_rfm" ->
+      """WITH o AS (SELECT o_custkey,
+        |    CAST(CAST(o_orderdate AS TIMESTAMP) AS DATE) AS d,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS p_c
+        |  FROM orders),
+        |per AS (SELECT o_custkey, max(d) AS last_d, count(*) AS freq,
+        |    CAST(sum(p_c) AS BIGINT) AS mon
+        |  FROM o GROUP BY 1),
+        |mx AS (SELECT max(last_d) AS mxd FROM per),
+        |r AS (SELECT o_custkey,
+        |    CAST(ntile(4) OVER (ORDER BY CAST(date_diff('day', last_d, mx.mxd) AS BIGINT), o_custkey) AS INTEGER) AS r_q,
+        |    CAST(ntile(4) OVER (ORDER BY -freq, o_custkey) AS INTEGER) AS f_q,
+        |    CAST(ntile(4) OVER (ORDER BY -mon, o_custkey) AS INTEGER) AS m_q
+        |  FROM per, mx)
+        |SELECT CAST(r_q * 100 + f_q * 10 + m_q AS INTEGER) AS rfm_code,
+        |  count(*) AS n_entities
+        |FROM r GROUP BY 1 ORDER BY rfm_code""".stripMargin,
+    "supplier_abc" ->
+      """WITH per AS (
+        |  SELECT l_suppkey,
+        |    CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) *
+        |             (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT)))
+        |      AS BIGINT) AS rev
+        |  FROM lineitem GROUP BY 1),
+        |tot AS (SELECT CAST(sum(rev) AS BIGINT) AS t FROM per),
+        |c AS (SELECT rev,
+        |    CAST(sum(rev) OVER (ORDER BY rev DESC, l_suppkey
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        |  FROM per),
+        |cl AS (SELECT rev,
+        |    CASE WHEN cum * 10000 // t.t <= 8000 THEN 'A'
+        |         WHEN cum * 10000 // t.t <= 9500 THEN 'B'
+        |         ELSE 'C' END AS abc_class
+        |  FROM c, tot t)
+        |SELECT abc_class, count(*) AS n_suppliers,
+        |  CAST(sum(rev) AS BIGINT) AS revenue_x1e4
+        |FROM cl GROUP BY 1 ORDER BY abc_class""".stripMargin,
     "join_semi_urgent" ->
       """SELECT c_mktsegment, count(*) AS n_customers FROM customer c
         |WHERE EXISTS (SELECT 1 FROM orders o
