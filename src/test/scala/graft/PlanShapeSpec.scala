@@ -395,4 +395,27 @@ class PlanShapeSpec extends SparkSpec {
     val pairProject = p.linesIterator.find(l => l.contains("AS cos_x1e4")).get
     assert(!pairProject.contains("transform("), pairProject)
   }
+
+  test("market_basket_pairs: the pair build is an equi-join on the order key — never cartesian") {
+    val p = plan("market_basket_pairs")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("TakeOrderedAndProject"), p) // top-50, no global sort
+  }
+
+  test("tpch_q5_region_volume: the region-nation slice broadcasts; no cartesian anywhere") {
+    val p = plan("tpch_q5_region_volume")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("tpch_q3_priority: both date filters push into their parquet scans; top-10 is TakeOrdered") {
+    val df = SparkEntry.queries("tpch_q3_priority")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"), p)
+    val scans = df.queryExecution.sparkPlan.toString
+      .linesIterator.filter(_.contains("FileScan")).mkString("\n")
+    assert(scans.contains("GreaterThan(l_shipdate"), scans)
+    assert(scans.contains("LessThan(o_orderdate"), scans)
+  }
 }
