@@ -26,6 +26,7 @@ object SparkEntry {
     PolicyPack,
     ExtrasPack,
     TimeSeriesPack,
+    InsightsPack,
     CoveragePack,
   )
 

@@ -1,0 +1,390 @@
+package graft.packs
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.QueryPack
+import graft.core.Tables
+import graft.ops.Graph
+
+/** Fifth-session analytics additions: graph triangle features, dense
+  * calendar spines, rolling distinct-user reach, time-weighted
+  * averages, per-group mode, ML feature prep (min-max scaling, the
+  * hashing trick), PMI collocations, and entity-resolution clustering.
+  *
+  * Same contract discipline as every pack: integer-exact or fixed-point
+  * outputs, total ORDER BY, oracle aliases matching the Spark side.
+  */
+object InsightsPack extends QueryPack {
+
+  private def events(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "events")
+
+  /** Epoch seconds (µs-truncated) — same image as DuckDB's
+    * `epoch_us(ts) // 1000000`; cast absorbs TIMESTAMP_NTZ fixtures. */
+  private def sec(c: org.apache.spark.sql.Column) =
+    graft.ops.Resample.epochSec(c)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Per-supplier triangle count over the "suppliers sharing a part"
+    // projection — the clustering-coefficient numerator, computed with
+    // the degree-ordered orientation (ops/Graph.scala) so wedge
+    // generation is O(m^1.5) instead of Σ deg² on skewed graphs.
+    "graph_triangles" -> ((s, dir) => {
+      val sp = Tables.load(s, dir, "lineitem")
+        .select(col("l_suppkey"), col("l_partkey"))
+      val edges = Graph.projectByMember(sp, "l_suppkey", "l_partkey")
+      Graph.triangleCounts(edges).orderBy("v")
+    }),
+
+    // LOCF time-weighted average per user: each event's value is held
+    // until the next event; the average weights by hold duration.
+    // Fixed-point cents × integer seconds — exact in both engines.
+    "events_time_weighted_avg" -> ((s, dir) => {
+      val base = events(s, dir).select(
+        col("user_id"), col("event_id"), sec(col("ts")).as("s"),
+        floor(col("value") * 100 + 0.5).cast("long").as("v2"))
+      val w = Window.partitionBy("user_id").orderBy("s", "event_id")
+      base.withColumn("nsec", lead(col("s"), 1).over(w))
+        .filter(col("nsec").isNotNull)
+        .groupBy("user_id")
+        .agg(sum(col("v2") * (col("nsec") - col("s"))).as("vdur_x100"),
+          sum(col("nsec") - col("s")).as("dur_sec"))
+        .filter(col("dur_sec") > 0)
+        .withColumn("twa_x100", expr("vdur_x100 DIV dur_sec"))
+        .orderBy("user_id")
+    }),
+
+    // Dense calendar spine × event-type dimension, zero-filled daily
+    // counts — the "no missing bars in the chart" reporting op. The
+    // spine is time-axis × tiny dim (broadcast); counts join on
+    // (day, type). Bounded by span × |types| at any sf.
+    "events_dense_daily" -> ((s, dir) => {
+      val e = events(s, dir)
+        .select(to_date(col("ts")).as("d"), col("event_type"))
+      val span = e.agg(min(col("d")).as("lo"), max(col("d")).as("hi"))
+      val days = span.select(explode(sequence(col("lo"), col("hi"))).as("d"))
+      val types = e.select("event_type").distinct()
+      val daily = e.groupBy("d", "event_type").agg(count(lit(1)).as("n0"))
+      days.crossJoin(broadcast(types))
+        .join(daily, Seq("d", "event_type"), "left")
+        .select(date_format(col("d"), "yyyy-MM-dd").as("day"),
+          col("event_type"), coalesce(col("n0"), lit(0L)).as("n"))
+        .orderBy("day", "event_type")
+    }),
+
+    // Trailing-7-day distinct-user reach (rolling WAU) per day —
+    // computed LINEARLY: each (day, user) pair contributes to at most
+    // 7 target days via explode, then one distinct + count. No range
+    // join, no per-day rescan; at 100 TB the fan-out stays 7× the
+    // distinct-pairs set (which is ≤ |users|·span).
+    "events_rolling_wau" -> ((s, dir) => {
+      val pairs = events(s, dir)
+        .select(to_date(col("ts")).as("d"), col("user_id")).distinct()
+      val span = events(s, dir).agg(max(to_date(col("ts"))).as("hi"))
+      pairs.crossJoin(broadcast(span))
+        .select(explode(sequence(col("d"),
+          least(date_add(col("d"), 6), col("hi")))).as("day"), col("user_id"))
+        .distinct()
+        .groupBy("day").agg(count(lit(1)).as("wau7"))
+        .select(date_format(col("day"), "yyyy-MM-dd").as("day"), col("wau7"))
+        .orderBy("day")
+    }),
+
+    // Mode per group with a deterministic tie-break (highest count,
+    // then lexicographically smallest value).
+    "agg_mode" -> ((s, dir) => {
+      val counts = Tables.load(s, dir, "orders")
+        .groupBy("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy("o_orderstatus")
+        .orderBy(desc("n"), asc("o_orderpriority"))
+      counts.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("o_orderstatus"), col("o_orderpriority").as("mode_priority"),
+          col("n"))
+        .orderBy("o_orderstatus")
+    }),
+
+    // Min-max feature scaling within segment, ppm fixed-point. Group
+    // stats come from a window over the FULL table; the output is a
+    // bounded key slice so the compare stays small at any sf.
+    "features_minmax_scale" -> ((s, dir) => {
+      val w = Window.partitionBy("c_mktsegment")
+      Tables.load(s, dir, "customer")
+        .withColumn("mn", min(col("c_acctbal")).over(w))
+        .withColumn("mx", max(col("c_acctbal")).over(w))
+        .filter(col("mx") > col("mn"))
+        .select(col("c_custkey"), col("c_mktsegment"),
+          floor((col("c_acctbal") - col("mn")) / (col("mx") - col("mn")) * 1e6 + 0.5)
+            .cast("long").as("scaled_ppm"))
+        .filter(col("c_custkey") < 500)
+        .orderBy("c_custkey")
+    }),
+
+    // The hashing trick: md5-derived stable bucket for a categorical
+    // column — the fixed-width feature encoding that needs no
+    // vocabulary pass (and therefore no extra job at 100 TB).
+    "features_hash_bucket" -> ((s, dir) =>
+      Tables.load(s, dir, "part")
+        .select((conv(substring(md5(col("p_type")), 1, 8), 16, 10)
+          .cast("long") % 64).as("bucket"))
+        .groupBy("bucket").agg(count(lit(1)).as("n"))
+        .orderBy("bucket")),
+
+    // PMI collocations over a bounded corpus slice: top bigrams by
+    // count with the PMI score in integer ppm — all-integer math
+    // (counts bounded by the doc_id slice, so no 2^63 overflow at any
+    // sf). Tokenization mirrors text_top_terms (whitespace split,
+    // empties dropped).
+    "text_pmi_bigrams" -> ((s, dir) => {
+      val toks = Tables.load(s, dir, "documents")
+        .filter(col("doc_id") < 2000)
+        .select(col("doc_id"),
+          filter(split(col("text"), " "), t => t =!= "").as("l"))
+      // slice+zip_with, not sequence(1, size-1): Spark's sequence
+      // DESCENDS when stop < start, so a 1-token doc would fabricate a
+      // bogus pair; zero-length slices are just empty.
+      val bg = toks.select(explode(expr(
+        "zip_with(slice(l, 1, size(l) - 1), slice(l, 2, size(l) - 1)," +
+          " (a, b) -> struct(a AS w1, b AS w2))")).as("p"))
+        .select(col("p.w1"), col("p.w2"))
+      val uni = toks.select(explode(col("l")).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("c"))
+      val tot = toks.select(size(col("l")).as("k")).agg(sum(col("k")).as("n_tokens"))
+      val pair = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c_xy"))
+        .filter(col("c_xy") >= 5)
+      pair
+        .join(uni.select(col("w").as("w1"), col("c").as("c_x")), "w1")
+        .join(uni.select(col("w").as("w2"), col("c").as("c_y")), "w2")
+        .crossJoin(broadcast(tot))
+        .select(col("w1"), col("w2"), col("c_xy"),
+          expr("(c_xy * n_tokens * 1000000) DIV (c_x * c_y)").as("pmi_ppm"))
+        .orderBy(desc("c_xy"), asc("w1"), asc("w2"))
+        .limit(20)
+    }),
+
+    // Spatial radius join (ops/Geo.scala): all customer pairs within
+    // 100 km on md5-derived synthetic coordinates (|lat| ≤ 30, so the
+    // 1.5° grid cell spans ≥ 144 km of longitude everywhere — the
+    // 3×3 neighborhood provably covers the radius). The oracle
+    // cross-joins the same bounded slice; the engine's grid join must
+    // find the identical pair set — recall 1.0 by construction, at
+    // banded-join cost instead of n².
+    "geo_radius_pairs" -> ((s, dir) => {
+      def h(tag: String) =
+        conv(substring(md5(concat(col("c_custkey").cast("string"),
+          lit(tag))), 1, 15), 16, 10).cast("long")
+      val pts = Tables.load(s, dir, "customer")
+        .filter(col("c_custkey") < 3000)
+        .select(col("c_custkey").as("k"),
+          (h(":lat") % 6000 / 100.0 - 30).as("lat"),
+          (h(":lon") % 6000 / 100.0 - 30).as("lon"))
+      graft.ops.Geo.radiusJoinPairs(pts, maxMeters = 100000, cellDeg = 1.5)
+        .orderBy("a_key", "b_key")
+    }),
+
+    // HyperLogLog distinct parts per return flag, next to the exact
+    // count — the RAW estimator mode is exact integer math over the
+    // register state, so DuckDB reproduces it bit-for-bit (corrected
+    // mode, with its transcendental linear-counting branch, is
+    // spec-gated in HllSpec instead). m=512 one-byte registers per
+    // group regardless of scale.
+    "hll_distinct_parts" -> ((s, dir) => {
+      import graft.functions.{F, HllDistinct}
+      val h = conv(substring(md5(concat(col("l_partkey").cast("string"),
+        lit(":hll"))), 1, 15), 16, 10).cast("long")
+      Tables.load(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_partkey"), h.as("h"))
+        .groupBy("l_returnflag")
+        .agg(count_distinct(col("l_partkey")).as("n_exact"),
+          F.toColumn(HllDistinct(F.toExpr(col("h")), p = 9, corrected = false)
+            .toAggregateExpression()).as("hll_est"))
+        .orderBy("l_returnflag")
+    }),
+
+    // Entity resolution end-to-end: fuzzy candidate edges (deletion-
+    // variant blocked edit-distance join, ops/Fuzzy.scala) → connected
+    // components (llm/Dedup.dupClusters min-label propagation) →
+    // per-cluster summary. The fixture's components have diameter ≤ 2
+    // (dirty variants match every master in their ten-block), so the
+    // SQL oracle's bounded 3-round min-propagation reaches the same
+    // fixpoint the engine's iterate-to-convergence loop does.
+    "er_cluster_customers" -> ((s, dir) => {
+      val cust = Tables.load(s, dir, "customer").filter(col("c_nationkey") === 7)
+      val shift = lit(10000000L)
+      val master = cust.select(col("c_custkey").as("a_key"), col("c_name").as("a_name"))
+      val dirty = cust.filter(col("c_custkey") % 3 === 0)
+        .select((col("c_custkey") + shift).as("b_key"),
+          concat(expr("substring(c_name, 1, length(c_name)-1)"), lit("X")).as("b_name"))
+      val pairs = graft.ops.Fuzzy.editJoin(master, dirty, "a_name", "b_name", 1)
+        .select(col("a_key").as("a"), col("b_key").as("b"))
+      val clusters = graft.llm.Dedup.dupClusters(pairs)
+      clusters.groupBy("cluster").agg(count(lit(1)).as("n_members"))
+        .orderBy("cluster")
+    }),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+
+    "graph_triangles" ->
+      """WITH sp AS (SELECT DISTINCT l_partkey AS m, l_suppkey AS s FROM lineitem),
+        |e AS (SELECT DISTINCT a.s AS a, b.s AS b
+        |      FROM sp a JOIN sp b ON a.m = b.m AND a.s < b.s),
+        |t AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        |      FROM e e1
+        |      JOIN e e2 ON e1.a = e2.a AND e1.b < e2.b
+        |      JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b)
+        |SELECT v, count(*) AS n_triangles FROM (
+        |  SELECT x AS v FROM t
+        |  UNION ALL SELECT y FROM t
+        |  UNION ALL SELECT z FROM t)
+        |GROUP BY v ORDER BY v""".stripMargin,
+
+    "events_time_weighted_avg" ->
+      """WITH base AS (SELECT user_id, event_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 AS s,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS v2
+        |  FROM events),
+        |seg AS (SELECT user_id, v2, s,
+        |    lead(s) OVER (PARTITION BY user_id ORDER BY s, event_id) AS nsec
+        |  FROM base)
+        |SELECT user_id,
+        |  CAST(sum(v2 * (nsec - s)) AS BIGINT) AS vdur_x100,
+        |  CAST(sum(nsec - s) AS BIGINT) AS dur_sec,
+        |  CAST(sum(v2 * (nsec - s)) // sum(nsec - s) AS BIGINT) AS twa_x100
+        |FROM seg WHERE nsec IS NOT NULL
+        |GROUP BY user_id HAVING sum(nsec - s) > 0
+        |ORDER BY user_id""".stripMargin,
+
+    "events_dense_daily" ->
+      """WITH span AS (SELECT min(CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS lo,
+        |    max(CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS hi FROM events),
+        |days AS (SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS d
+        |  FROM span),
+        |types AS (SELECT DISTINCT event_type FROM events),
+        |daily AS (SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d, event_type,
+        |    count(*) AS n0
+        |  FROM events GROUP BY 1, 2)
+        |SELECT strftime(dy.d, '%Y-%m-%d') AS day, t.event_type,
+        |  CAST(coalesce(d2.n0, 0) AS BIGINT) AS n
+        |FROM days dy CROSS JOIN types t
+        |LEFT JOIN daily d2 ON d2.d = dy.d AND d2.event_type = t.event_type
+        |ORDER BY day, t.event_type""".stripMargin,
+
+    "events_rolling_wau" ->
+      """WITH pairs AS (SELECT DISTINCT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d, user_id
+        |  FROM events),
+        |hi AS (SELECT max(CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS hi FROM events),
+        |ex AS (SELECT DISTINCT
+        |    CAST(unnest(generate_series(p.d, least(p.d + 6, h.hi), INTERVAL 1 DAY)) AS DATE) AS day,
+        |    p.user_id
+        |  FROM pairs p CROSS JOIN hi h)
+        |SELECT strftime(day, '%Y-%m-%d') AS day, count(*) AS wau7
+        |FROM ex GROUP BY day ORDER BY day""".stripMargin,
+
+    "agg_mode" ->
+      """SELECT o_orderstatus, o_orderpriority AS mode_priority, n FROM (
+        |  SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        |    row_number() OVER (PARTITION BY o_orderstatus
+        |                       ORDER BY count(*) DESC, o_orderpriority) AS rn
+        |  FROM orders GROUP BY 1, 2)
+        |WHERE rn = 1 ORDER BY o_orderstatus""".stripMargin,
+
+    "features_minmax_scale" ->
+      """WITH s AS (SELECT c_custkey, c_mktsegment, c_acctbal,
+        |    min(c_acctbal) OVER (PARTITION BY c_mktsegment) AS mn,
+        |    max(c_acctbal) OVER (PARTITION BY c_mktsegment) AS mx
+        |  FROM customer)
+        |SELECT c_custkey, c_mktsegment,
+        |  CAST(floor((c_acctbal - mn) / (mx - mn) * 1e6 + 0.5) AS BIGINT) AS scaled_ppm
+        |FROM s WHERE mx > mn AND c_custkey < 500
+        |ORDER BY c_custkey""".stripMargin,
+
+    "features_hash_bucket" ->
+      """SELECT CAST(('0x' || substr(md5(p_type), 1, 8)) AS BIGINT) % 64 AS bucket,
+        |  count(*) AS n
+        |FROM part GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+    "text_pmi_bigrams" ->
+      """WITH toks AS (SELECT doc_id,
+        |    list_filter(string_split(text, ' '), t -> t <> '') AS l
+        |  FROM documents WHERE doc_id < 2000),
+        |bg AS (SELECT l[i] AS w1, l[i+1] AS w2
+        |  FROM toks, unnest(range(1, len(l))) AS t(i)),
+        |uni AS (SELECT unnest(l) AS w FROM toks),
+        |uc AS (SELECT w, count(*) AS c FROM uni GROUP BY w),
+        |tot AS (SELECT count(*) AS n_tokens FROM uni),
+        |pair AS (SELECT w1, w2, count(*) AS c_xy FROM bg GROUP BY 1, 2
+        |  HAVING count(*) >= 5)
+        |SELECT p.w1, p.w2, p.c_xy,
+        |  (p.c_xy * t.n_tokens * 1000000) // (x.c * y.c) AS pmi_ppm
+        |FROM pair p
+        |JOIN uc x ON x.w = p.w1
+        |JOIN uc y ON y.w = p.w2
+        |CROSS JOIN tot t
+        |ORDER BY p.c_xy DESC, p.w1, p.w2 LIMIT 20""".stripMargin,
+
+    "geo_radius_pairs" ->
+      """WITH pts AS (SELECT c_custkey AS k,
+        |    CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR) || ':lat'), 1, 15)) AS BIGINT) % 6000 / 100.0 - 30 AS lat,
+        |    CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR) || ':lon'), 1, 15)) AS BIGINT) % 6000 / 100.0 - 30 AS lon
+        |  FROM customer WHERE c_custkey < 3000),
+        |p AS (SELECT a.k AS a_key, b.k AS b_key,
+        |    CAST(floor(2 * 6371000 * asin(sqrt(
+        |      pow(sin(radians(b.lat - a.lat) / 2), 2) +
+        |      cos(radians(a.lat)) * cos(radians(b.lat)) *
+        |      pow(sin(radians(b.lon - a.lon) / 2), 2))) + 0.5) AS BIGINT) AS dist_m
+        |  FROM pts a JOIN pts b ON a.k < b.k)
+        |SELECT a_key, b_key, dist_m FROM p WHERE dist_m < 100000
+        |ORDER BY a_key, b_key""".stripMargin,
+
+    // register state mirrored relationally: bucket = top 9 bits,
+    // rho = first '1' position in the 51-bit suffix via bin()/strpos,
+    // harmonic sum scaled by 2^52 so every term is integral, and the
+    // rational α_m — 7213·m/(10·(1000·m+1079)) — folded into one
+    // HUGEINT floor division.
+    "hll_distinct_parts" ->
+      """WITH h AS (SELECT DISTINCT l_returnflag,
+        |    CAST(('0x' || substr(md5(CAST(l_partkey AS VARCHAR) || ':hll'), 1, 15)) AS BIGINT) AS h
+        |  FROM lineitem),
+        |r AS (SELECT l_returnflag, h >> 51 AS bucket,
+        |    CASE WHEN (h & 2251799813685247) = 0 THEN 52
+        |         ELSE strpos(lpad(bin(h & 2251799813685247), 51, '0'), '1') END AS rho
+        |  FROM h),
+        |regs AS (SELECT l_returnflag, bucket, max(rho) AS reg FROM r GROUP BY 1, 2),
+        |s AS (SELECT l_returnflag, count(*) AS nb,
+        |    sum(CAST(1 AS HUGEINT) << (52 - reg)) AS numpart
+        |  FROM regs GROUP BY 1),
+        |ex AS (SELECT l_returnflag, count(DISTINCT l_partkey) AS n_exact
+        |  FROM lineitem GROUP BY 1)
+        |SELECT ex.l_returnflag, ex.n_exact,
+        |  CAST((CAST(7213 AS HUGEINT) * 134217728 * 4503599627370496) //
+        |    (10 * (512000 + 1079) *
+        |      (s.numpart + (512 - s.nb) * CAST(4503599627370496 AS HUGEINT)))
+        |    AS BIGINT) AS hll_est
+        |FROM ex JOIN s USING (l_returnflag)
+        |ORDER BY l_returnflag""".stripMargin,
+
+    // 3 bounded min-propagation rounds ≡ the engine's fixpoint because
+    // the fixture's components have diameter ≤ 2 (see the query note).
+    "er_cluster_customers" ->
+      """WITH cust AS (SELECT c_custkey, c_name FROM customer WHERE c_nationkey = 7),
+        |dirty AS (SELECT c_custkey + 10000000 AS b_key,
+        |    substr(c_name, 1, length(c_name)-1) || 'X' AS b_name
+        |  FROM cust WHERE c_custkey % 3 = 0),
+        |e AS (SELECT a.c_custkey AS x, d.b_key AS y
+        |  FROM cust a JOIN dirty d ON levenshtein(a.c_name, d.b_name) <= 1),
+        |edges AS (SELECT x, y FROM e UNION ALL SELECT y, x FROM e),
+        |l0 AS (SELECT x AS id, least(x, min(y)) AS lbl FROM edges GROUP BY x),
+        |l1 AS (SELECT e.x AS id, least(min(l.lbl), min(e.x)) AS lbl
+        |  FROM edges e JOIN l0 l ON l.id = e.y GROUP BY e.x),
+        |l2 AS (SELECT e.x AS id, least(min(l.lbl), min(e.x)) AS lbl
+        |  FROM edges e JOIN l1 l ON l.id = e.y GROUP BY e.x),
+        |l3 AS (SELECT e.x AS id, least(min(l.lbl), min(e.x)) AS lbl
+        |  FROM edges e JOIN l2 l ON l.id = e.y GROUP BY e.x)
+        |SELECT lbl AS cluster, count(*) AS n_members
+        |FROM l3 GROUP BY lbl ORDER BY cluster""".stripMargin,
+  )
+}

@@ -418,4 +418,28 @@ class PlanShapeSpec extends SparkSpec {
     assert(scans.contains("GreaterThan(l_shipdate"), scans)
     assert(scans.contains("LessThan(o_orderdate"), scans)
   }
+
+  test("graph_triangles: every stage is an equi-join — no cartesian wedge build") {
+    val p = plan("graph_triangles")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("events_rolling_wau: linear explode fan-out, no range join, no cartesian beyond the 1-row span broadcast") {
+    val p = plan("events_rolling_wau")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("Generate explode"), p)
+  }
+
+  test("text_pmi_bigrams: unigram joins stay equi-joins; the 1-row total broadcasts; top-k never global-sorts") {
+    val p = plan("text_pmi_bigrams")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("hll_distinct_parts: the sketch partial-aggregates map-side (two HashAggregate phases)") {
+    val p = plan("hll_distinct_parts")
+    assert("hll_distinct".r.findAllIn(p).size >= 2, p) // partial + final
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
