@@ -165,6 +165,45 @@ object InsightsPack extends QueryPack {
         .limit(20)
     }),
 
+    // Hierarchy flatten + rollup (ops/Hierarchy.scala): synthetic
+    // base-7 parent forest over customer keys (roots = keys < 7),
+    // resolved by POINTER DOUBLING — ⌈log₂ depth⌉ equi-join rounds,
+    // not depth — then an exact cents rollup per root.
+    "hierarchy_rollup" -> ((s, dir) => {
+      val cust = Tables.load(s, dir, "customer")
+      val edges = cust.select(col("c_custkey").as("id"),
+        when(col("c_custkey") < 7, lit(null).cast("long"))
+          .otherwise(expr("c_custkey DIV 7")).as("parent"))
+      val values = cust.select(col("c_custkey"),
+        floor(col("c_acctbal") * 100 + 0.5).cast("long").as("v2"))
+      val flat = graft.ops.Hierarchy.flattenToRoot(edges)
+      graft.ops.Hierarchy.rollupByRoot(flat, values, "c_custkey", "v2")
+        .withColumnRenamed("sum_x100", "bal_x100")
+        .orderBy("root")
+    }),
+
+    // Running-peak drawdown over daily revenue — the change-surfacing
+    // prefix-scan every finance/ops dashboard wants. Aggregate to the
+    // bounded day axis FIRST (one shuffle over the fact table), then
+    // the inherently-sequential running window runs over |days| rows,
+    // not |orders| — that's what keeps a global ORDER BY window sane
+    // at 100 TB.
+    "orders_daily_drawdown" -> ((s, dir) => {
+      val daily = Tables.load(s, dir, "orders")
+        .groupBy(to_date(col("o_orderdate")).as("d"))
+        .agg(sum(floor(col("o_totalprice") * 100 + 0.5).cast("long")).as("rev_x100"))
+      val w = Window.orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      daily
+        .withColumn("cum_x100", sum(col("rev_x100")).over(w))
+        .withColumn("peak_x100", max(col("cum_x100")).over(
+          Window.orderBy("d").rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .select(date_format(col("d"), "yyyy-MM-dd").as("day"), col("rev_x100"),
+          col("cum_x100"), col("peak_x100"),
+          (col("peak_x100") - col("cum_x100")).as("dd_x100"))
+        .orderBy("day")
+    }),
+
     // Spatial radius join (ops/Geo.scala): all customer pairs within
     // 100 km on md5-derived synthetic coordinates (|lat| ≤ 30, so the
     // 1.5° grid cell spans ≥ 144 km of longitude everywhere — the
@@ -325,6 +364,37 @@ object InsightsPack extends QueryPack {
         |JOIN uc y ON y.w = p.w2
         |CROSS JOIN tot t
         |ORDER BY p.c_xy DESC, p.w1, p.w2 LIMIT 20""".stripMargin,
+
+    "hierarchy_rollup" ->
+      """WITH RECURSIVE e AS (SELECT c_custkey AS id,
+        |    CASE WHEN c_custkey < 7 THEN NULL ELSE c_custkey // 7 END AS parent,
+        |    CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS v2
+        |  FROM customer),
+        |walk AS (
+        |  SELECT id, id AS root, CAST(0 AS BIGINT) AS depth FROM e WHERE parent IS NULL
+        |  UNION ALL
+        |  SELECT e.id, w.root, w.depth + 1 FROM e JOIN walk w ON e.parent = w.id)
+        |SELECT w.root, count(*) AS n_nodes,
+        |  CAST(max(w.depth) AS BIGINT) AS max_depth,
+        |  CAST(sum(e.v2) AS BIGINT) AS bal_x100
+        |FROM walk w JOIN e ON e.id = w.id
+        |GROUP BY w.root ORDER BY w.root""".stripMargin,
+
+    "orders_daily_drawdown" ->
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS d,
+        |    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS rev_x100
+        |  FROM orders GROUP BY 1),
+        |c AS (SELECT d, rev_x100,
+        |    CAST(sum(rev_x100) OVER (ORDER BY d
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_x100
+        |  FROM daily),
+        |p AS (SELECT d, rev_x100, cum_x100,
+        |    CAST(max(cum_x100) OVER (ORDER BY d
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS peak_x100
+        |  FROM c)
+        |SELECT strftime(d, '%Y-%m-%d') AS day, rev_x100, cum_x100, peak_x100,
+        |  peak_x100 - cum_x100 AS dd_x100
+        |FROM p ORDER BY day""".stripMargin,
 
     "geo_radius_pairs" ->
       """WITH pts AS (SELECT c_custkey AS k,
