@@ -70,4 +70,32 @@ object Geo {
     // straddling lon ±180° are not candidates (fine for continental
     // data; wrap-sensitive callers normalize longitudes first).
   }
+
+  /** Containment test against a CONVEX polygon with integer-scaled
+    * vertices (e.g. centidegrees): a point is inside iff it lies on
+    * the non-negative side of every edge of the counter-clockwise
+    * ring. Cross products stay in Long arithmetic — bit-exact on any
+    * engine, no ray-casting epsilon cases. Boundary points count as
+    * inside (cross = 0).
+    *
+    * The polygon is a tiny constant, so the predicate folds into the
+    * scan as a conjunction of codegen'd comparisons — a geofence over
+    * 100 TB of points is a full-scan filter with NO join, and any
+    * min/max file index on x/y prunes via the polygon's bbox, which
+    * the caller can prepend (`bboxFilter`).
+    */
+  def insideConvex(x: Column, y: Column, ringCcw: Seq[(Long, Long)]): Column = {
+    require(ringCcw.size >= 3, s"insideConvex: need ≥3 vertices, got ${ringCcw.size}")
+    val edges = ringCcw.zip(ringCcw.tail :+ ringCcw.head)
+    edges.map { case ((x1, y1), (x2, y2)) =>
+      (lit(x2 - x1) * (y - lit(y1)) - lit(y2 - y1) * (x - lit(x1))) >= 0
+    }.reduce(_ && _)
+  }
+
+  /** Bounding-box prefilter for a polygon ring — semantically redundant
+    * before [[insideConvex]] but it is the part a min/max manifest or
+    * parquet row-group stats can actually prune on. */
+  def bboxFilter(x: Column, y: Column, ring: Seq[(Long, Long)]): Column =
+    x >= ring.map(_._1).min && x <= ring.map(_._1).max &&
+      y >= ring.map(_._2).min && y <= ring.map(_._2).max
 }

@@ -263,6 +263,138 @@ object InsightsPack extends QueryPack {
       clusters.groupBy("cluster").agg(count(lit(1)).as("n_members"))
         .orderBy("cluster")
     }),
+
+    // Peak concurrency per event type (ops/Sweep.scala): +1/−1 sweep
+    // with deltas AGGREGATED TO THE TIME AXIS before the sequential
+    // running sum — |type × distinct seconds| window rows, never
+    // |events|. Intervals [sec, sec+300) mirror the coverage query.
+    "events_peak_concurrency" -> ((s, dir) => {
+      graft.ops.Sweep.peakConcurrency(
+          events(s, dir).select(col("event_type"), sec(col("ts")).as("t")),
+          "event_type", col("t"), durSec = 300L)
+        .orderBy("event_type")
+    }),
+
+    // Cohort LTV curve: cohort = first-order month (year*12+month−1
+    // integer, no locale-able formatting), age in months, cumulative
+    // cents per cohort. Two hash shuffles over orders; the sequential
+    // cumsum runs over |cohorts × ages| — bounded axis.
+    "cohort_ltv" -> ((s, dir) => {
+      val o = Tables.load(s, dir, "orders").select(col("o_custkey"),
+        (year(to_date(col("o_orderdate"))) * 12 +
+          month(to_date(col("o_orderdate"))) - 1).cast("long").as("ym"),
+        floor(col("o_totalprice") * 100 + 0.5).cast("long").as("c"))
+      val first = o.groupBy("o_custkey").agg(min(col("ym")).as("cym"))
+      val monthly = o.join(first, "o_custkey")
+        .groupBy(col("cym").as("cohort_ym"), (col("ym") - col("cym")).as("age_months"))
+        .agg(count(lit(1)).as("n_orders"), sum(col("c")).as("rev_x100"))
+      val w = Window.partitionBy("cohort_ym").orderBy("age_months")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      monthly.withColumn("cum_rev_x100", sum(col("rev_x100")).over(w))
+        .orderBy("cohort_ym", "age_months")
+    }),
+
+    // 2-D Pareto frontier (skyline): parts nobody beats on BOTH price
+    // (min) and size (max). Collapse to |distinct prices| levels
+    // first, frontier = levels whose best size exceeds every strictly
+    // cheaper level's running max, then join back for the member
+    // parts. NOT EXISTS-free: the n² dominance test becomes one
+    // bounded-axis window — the formulation that survives sf1, where
+    // the quadratic oracle shape would not.
+    "part_pareto_frontier" -> ((s, dir) => {
+      val p = Tables.load(s, dir, "part").select(col("p_partkey"),
+        floor(col("p_retailprice") * 100 + 0.5).cast("long").as("price_x100"),
+        col("p_size").cast("long").as("size"))
+      val lvl = p.groupBy("price_x100").agg(max(col("size")).as("best"))
+      val w = Window.orderBy("price_x100")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val frontier = lvl.withColumn("prev", max(col("best")).over(w))
+        .filter(col("prev").isNull || col("best") > col("prev"))
+      p.join(frontier, "price_x100").filter(col("size") === col("best"))
+        .select(col("p_partkey"), col("price_x100"), col("size").as("sz"))
+        .orderBy("p_partkey")
+    }),
+
+    // Top-20 3-event paths: per-user ordered lead×2, then one count
+    // shuffle over the trigram key. The per-user window is the only
+    // sort and it parallelizes across users.
+    "events_path_trigrams" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      events(s, dir)
+        .select(col("user_id"), col("event_type").as("e1"),
+          lead(col("event_type"), 1).over(w).as("e2"),
+          lead(col("event_type"), 2).over(w).as("e3"))
+        .filter(col("e2").isNotNull && col("e3").isNotNull)
+        .groupBy("e1", "e2", "e3").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("e1"), col("e2"), col("e3"))
+        .limit(20)
+    }),
+
+    // Session entry/exit matrix + bounce counts: 30-min-gap sessions
+    // (same convention as events_sessionize_batch), entry/exit picked
+    // by row_number from either end — no argmin/argmax engine
+    // dependence — then one count shuffle over the (entry, exit) key.
+    "events_entry_exit" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val flagged = events(s, dir)
+        .select(col("user_id"), col("event_id"), col("ts"), col("event_type"),
+          when(lag(col("ts"), 1).over(w).isNull ||
+              unix_millis(col("ts").cast("timestamp")) -
+                unix_millis(lag(col("ts"), 1).over(w).cast("timestamp")) > 1800000L,
+            1L).otherwise(0L).as("new_sess"))
+        .withColumn("sess_no", sum(col("new_sess")).over(w))
+      val sw = Window.partitionBy("user_id", "sess_no")
+      val ordered = flagged
+        .withColumn("rn_a", row_number().over(sw.orderBy(col("ts"), col("event_id"))))
+        .withColumn("rn_d", row_number().over(sw.orderBy(col("ts").desc, col("event_id").desc)))
+      ordered.groupBy("user_id", "sess_no")
+        .agg(max(when(col("rn_a") === 1, col("event_type"))).as("entry_type"),
+          max(when(col("rn_d") === 1, col("event_type"))).as("exit_type"),
+          count(lit(1)).as("n_events"))
+        .groupBy("entry_type", "exit_type")
+        .agg(count(lit(1)).as("n_sessions"),
+          sum(when(col("n_events") === 1, 1L).otherwise(0L)).as("n_bounces"))
+        .orderBy("entry_type", "exit_type")
+    }),
+
+    // Exact weighted median: revenue-weighted median quantity per
+    // return flag. Weight collapses to the |flag × quantity levels|
+    // axis first, so the sequential cumsum is over ≤50 rows per flag
+    // no matter the fact-table size; lower-median convention
+    // (first level where 2·cum ≥ total).
+    "stats_weighted_median" -> ((s, dir) => {
+      val lvl = Tables.load(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_quantity").cast("long").as("qty"))
+        .agg(sum(floor(col("l_extendedprice") * 100 + 0.5).cast("long")).as("w"))
+      val p = Window.partitionBy("l_returnflag")
+      val cum = lvl
+        .withColumn("cw", sum(col("w")).over(p.orderBy("qty")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("tw", sum(col("w")).over(p))
+      cum.filter(col("cw") * 2 >= col("tw"))
+        .groupBy("l_returnflag").agg(min(col("qty")).as("wmedian_qty"))
+        .orderBy("l_returnflag")
+    }),
+
+    // Convex geofence (ops/Geo.insideConvex): integer-centidegree
+    // synthetic coords, CCW hexagon, all-Long cross products — the
+    // predicate folds into the scan as codegen'd comparisons (no
+    // join), and the bbox prefilter is what file-level min/max stats
+    // would prune on at 100 TB.
+    "geo_fence_contains" -> ((s, dir) => {
+      def h(tag: String) =
+        conv(substring(md5(concat(col("c_custkey").cast("string"),
+          lit(tag))), 1, 15), 16, 10).cast("long")
+      val hex = Seq((1500L, 0L), (750L, 1300L), (-750L, 1300L),
+        (-1500L, 0L), (-750L, -1300L), (750L, -1300L))
+      val pts = Tables.load(s, dir, "customer")
+        .select(col("c_mktsegment"), (h(":x") % 6000 - 3000).as("x"),
+          (h(":y") % 6000 - 3000).as("y"))
+      pts.filter(graft.ops.Geo.bboxFilter(col("x"), col("y"), hex) &&
+          graft.ops.Geo.insideConvex(col("x"), col("y"), hex))
+        .groupBy("c_mktsegment").agg(count(lit(1)).as("n_inside"))
+        .orderBy("c_mktsegment")
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -456,5 +588,107 @@ object InsightsPack extends QueryPack {
         |  FROM edges e JOIN l2 l ON l.id = e.y GROUP BY e.x)
         |SELECT lbl AS cluster, count(*) AS n_members
         |FROM l3 GROUP BY lbl ORDER BY cluster""".stripMargin,
+
+    "events_peak_concurrency" ->
+      """WITH d AS (SELECT event_type AS k,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 AS t, 1 AS d FROM events
+        |  UNION ALL
+        |  SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 + 300, -1 FROM events),
+        |g AS (SELECT k, t, CAST(sum(d) AS BIGINT) AS d FROM d GROUP BY k, t),
+        |r AS (SELECT k, t, CAST(sum(d) OVER (PARTITION BY k ORDER BY t
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS live FROM g),
+        |m AS (SELECT k, max(live) AS peak FROM r GROUP BY k)
+        |SELECT r.k AS event_type, m.peak, min(r.t) AS peak_at_sec
+        |FROM r JOIN m ON r.k = m.k AND r.live = m.peak
+        |GROUP BY 1, 2 ORDER BY event_type""".stripMargin,
+
+    "cohort_ltv" ->
+      """WITH o AS (SELECT o_custkey,
+        |    CAST(year(CAST(o_orderdate AS DATE)) * 12
+        |      + month(CAST(o_orderdate AS DATE)) - 1 AS BIGINT) AS ym,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS c
+        |  FROM orders),
+        |f AS (SELECT o_custkey, min(ym) AS cym FROM o GROUP BY 1),
+        |m AS (SELECT f.cym AS cohort_ym, o.ym - f.cym AS age_months,
+        |    count(*) AS n_orders, CAST(sum(o.c) AS BIGINT) AS rev_x100
+        |  FROM o JOIN f USING (o_custkey) GROUP BY 1, 2)
+        |SELECT cohort_ym, age_months, n_orders, rev_x100,
+        |  CAST(sum(rev_x100) OVER (PARTITION BY cohort_ym ORDER BY age_months
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_rev_x100
+        |FROM m ORDER BY cohort_ym, age_months""".stripMargin,
+
+    "part_pareto_frontier" ->
+      """WITH p AS (SELECT p_partkey,
+        |    CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT) AS price_x100,
+        |    CAST(p_size AS BIGINT) AS sz
+        |  FROM part),
+        |lvl AS (SELECT price_x100, max(sz) AS best FROM p GROUP BY 1),
+        |f AS (SELECT price_x100, best, max(best) OVER (ORDER BY price_x100
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev FROM lvl)
+        |SELECT p.p_partkey, p.price_x100, p.sz
+        |FROM p JOIN f USING (price_x100)
+        |WHERE (f.prev IS NULL OR f.best > f.prev) AND p.sz = f.best
+        |ORDER BY p.p_partkey""".stripMargin,
+
+    "events_path_trigrams" ->
+      """WITH t AS (SELECT user_id, event_type AS e1,
+        |    lead(event_type, 1) OVER w AS e2,
+        |    lead(event_type, 2) OVER w AS e3
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT e1, e2, e3, count(*) AS n
+        |FROM t WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+        |GROUP BY e1, e2, e3
+        |ORDER BY n DESC, e1, e2, e3 LIMIT 20""".stripMargin,
+
+    "events_entry_exit" ->
+      """WITH f AS (SELECT user_id, event_id, ts, event_type,
+        |    CASE WHEN lag(ts, 1) OVER w IS NULL
+        |      OR epoch_ms(CAST(ts AS TIMESTAMP)) - epoch_ms(CAST(lag(ts, 1) OVER w AS TIMESTAMP)) > 1800000
+        |      THEN 1 ELSE 0 END AS new_sess
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (SELECT user_id, event_id, ts, event_type,
+        |    CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess_no
+        |  FROM f),
+        |o AS (SELECT user_id, sess_no, event_type,
+        |    row_number() OVER (PARTITION BY user_id, sess_no ORDER BY ts, event_id) AS rn_a,
+        |    row_number() OVER (PARTITION BY user_id, sess_no ORDER BY ts DESC, event_id DESC) AS rn_d
+        |  FROM s),
+        |per AS (SELECT user_id, sess_no,
+        |    max(CASE WHEN rn_a = 1 THEN event_type END) AS entry_type,
+        |    max(CASE WHEN rn_d = 1 THEN event_type END) AS exit_type,
+        |    count(*) AS n_events
+        |  FROM o GROUP BY 1, 2)
+        |SELECT entry_type, exit_type, count(*) AS n_sessions,
+        |  CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bounces
+        |FROM per GROUP BY 1, 2 ORDER BY entry_type, exit_type""".stripMargin,
+
+    "stats_weighted_median" ->
+      """WITH lvl AS (SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS qty,
+        |    CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS w
+        |  FROM lineitem GROUP BY 1, 2),
+        |c AS (SELECT l_returnflag, qty,
+        |    CAST(sum(w) OVER (PARTITION BY l_returnflag ORDER BY qty
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cw,
+        |    CAST(sum(w) OVER (PARTITION BY l_returnflag) AS BIGINT) AS tw
+        |  FROM lvl)
+        |SELECT l_returnflag, min(qty) AS wmedian_qty
+        |FROM c WHERE cw * 2 >= tw
+        |GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
+
+    "geo_fence_contains" ->
+      """WITH pts AS (SELECT c_mktsegment,
+        |    CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR) || ':x'), 1, 15)) AS BIGINT) % 6000 - 3000 AS x,
+        |    CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR) || ':y'), 1, 15)) AS BIGINT) % 6000 - 3000 AS y
+        |  FROM customer)
+        |SELECT c_mktsegment, count(*) AS n_inside
+        |FROM pts
+        |WHERE (750 - 1500) * (y - 0) - (1300 - 0) * (x - 1500) >= 0
+        |  AND (-750 - 750) * (y - 1300) - (1300 - 1300) * (x - 750) >= 0
+        |  AND (-1500 - -750) * (y - 1300) - (0 - 1300) * (x - -750) >= 0
+        |  AND (-750 - -1500) * (y - 0) - (-1300 - 0) * (x - -1500) >= 0
+        |  AND (750 - -750) * (y - -1300) - (-1300 - -1300) * (x - -750) >= 0
+        |  AND (1500 - 750) * (y - -1300) - (0 - -1300) * (x - 750) >= 0
+        |GROUP BY 1 ORDER BY c_mktsegment""".stripMargin,
   )
 }
