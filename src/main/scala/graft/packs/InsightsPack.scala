@@ -395,6 +395,82 @@ object InsightsPack extends QueryPack {
         .groupBy("c_mktsegment").agg(count(lit(1)).as("n_inside"))
         .orderBy("c_mktsegment")
     }),
+
+    // Data-quality expectations audit (ops/Expectations.scala): six
+    // rules over orders in ONE scan for the row rules + one distinct
+    // agg + one anti join — the pre-promotion gate for a snapshot.
+    "dq_orders_expectations" -> ((s, dir) => {
+      import graft.ops.Expectations
+      val orders = Tables.load(s, dir, "orders")
+      val cust = Tables.load(s, dir, "customer")
+      Expectations.audit(orders, Seq(
+        Expectations.notNull("o_custkey"),
+        Expectations.inRange("o_totalprice", lit(0), lit(300000.0)),
+        Expectations.inSet("o_orderstatus", Seq("O", "F", "P")),
+        Expectations.matches("o_orderpriority", "^[1-5]-"),
+        Expectations.Unique("unique:o_orderkey", Seq("o_orderkey")),
+        Expectations.RefIntegrity("ref:o_custkey", "o_custkey", cust, "c_custkey"),
+      )).orderBy("rule")
+    }),
+
+    // Debounce: drop events landing within 60 s of the PREVIOUS event
+    // of the same (user, type) — the sensor/click noise filter. Gap is
+    // measured against the previous raw event (window-expressible and
+    // deterministic), not the previous kept one (inherently
+    // sequential); the report counts kept/dropped per type.
+    "events_debounce" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id", "event_type")
+        .orderBy(col("ts"), col("event_id"))
+      events(s, dir)
+        .select(col("event_type"),
+          when(lag(col("ts"), 1).over(w).isNull ||
+              unix_millis(col("ts").cast("timestamp")) -
+                unix_millis(lag(col("ts"), 1).over(w).cast("timestamp")) > 60000L,
+            1L).otherwise(0L).as("keep"))
+        .groupBy("event_type")
+        .agg(sum(col("keep")).as("n_kept"),
+          sum(lit(1L) - col("keep")).as("n_dropped"))
+        .orderBy("event_type")
+    }),
+
+    // Per-key rate limit: first 3 events per user per day survive —
+    // row_number inside the (user, day) window, then one count
+    // shuffle to the daily report. The cap is what an ingest tier
+    // applies before an expensive enrichment at 100 TB.
+    "events_rate_limit" -> ((s, dir) => {
+      val base = events(s, dir).select(col("user_id"), col("event_id"),
+        col("ts"), to_date(col("ts").cast("timestamp")).as("d"))
+      val w = Window.partitionBy("user_id", "d").orderBy(col("ts"), col("event_id"))
+      base.withColumn("rn", row_number().over(w))
+        .groupBy(date_format(col("d"), "yyyy-MM-dd").as("day"))
+        .agg(sum(when(col("rn") <= 3, 1L).otherwise(0L)).as("n_kept"),
+          count(lit(1)).as("n_total"))
+        .orderBy("day")
+    }),
+
+    // Late-arrival profile: lateness = how far behind the per-user
+    // running max event-time an event lands, in ARRIVAL order — the
+    // batch-side answer to "what watermark delay would this stream
+    // need?". The fixture carries no arrival column (event_id is
+    // time-ordered), so arrival is a deterministic md5 shuffle of
+    // event_id — same derivation in the oracle. Bucketed report.
+    "events_late_arrivals" -> ((s, dir) => {
+      val arr = conv(substring(md5(col("event_id").cast("string")), 1, 15), 16, 10)
+        .cast("long")
+      val w = Window.partitionBy("user_id").orderBy(col("arr"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      events(s, dir)
+        .select(sec(col("ts")).as("t"), col("user_id"), col("event_id"),
+          arr.as("arr"))
+        .withColumn("late_sec",
+          greatest(lit(0L), coalesce(max(col("t")).over(w) - col("t"), lit(0L))))
+        .select(when(col("late_sec") === 0, "a_on_time")
+          .when(col("late_sec") <= 60, "b_1_to_60s")
+          .when(col("late_sec") <= 600, "c_61_to_600s")
+          .otherwise("d_gt_600s").as("bucket"))
+        .groupBy("bucket").agg(count(lit(1)).as("n"))
+        .orderBy("bucket")
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -690,5 +766,68 @@ object InsightsPack extends QueryPack {
         |  AND (750 - -750) * (y - -1300) - (-1300 - -1300) * (x - -750) >= 0
         |  AND (1500 - 750) * (y - -1300) - (0 - -1300) * (x - 750) >= 0
         |GROUP BY 1 ORDER BY c_mktsegment""".stripMargin,
+
+    "dq_orders_expectations" ->
+      """WITH t AS (SELECT count(*) AS n FROM orders)
+        |SELECT * FROM (
+        |  SELECT 'not_null:o_custkey' AS rule,
+        |    CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_violations,
+        |    (SELECT n FROM t) AS n_rows FROM orders
+        |  UNION ALL
+        |  SELECT 'in_range:o_totalprice',
+        |    CAST(sum(CASE WHEN o_totalprice IS NULL OR o_totalprice < 0
+        |      OR o_totalprice > 300000.0 THEN 1 ELSE 0 END) AS BIGINT),
+        |    (SELECT n FROM t) FROM orders
+        |  UNION ALL
+        |  SELECT 'in_set:o_orderstatus',
+        |    CAST(sum(CASE WHEN o_orderstatus IS NULL
+        |      OR o_orderstatus NOT IN ('O','F','P') THEN 1 ELSE 0 END) AS BIGINT),
+        |    (SELECT n FROM t) FROM orders
+        |  UNION ALL
+        |  SELECT 'matches:o_orderpriority',
+        |    CAST(sum(CASE WHEN o_orderpriority IS NULL
+        |      OR NOT regexp_matches(o_orderpriority, '^[1-5]-') THEN 1 ELSE 0 END) AS BIGINT),
+        |    (SELECT n FROM t) FROM orders
+        |  UNION ALL
+        |  SELECT 'unique:o_orderkey',
+        |    (SELECT n FROM t) - count(DISTINCT o_orderkey), (SELECT n FROM t) FROM orders
+        |  UNION ALL
+        |  SELECT 'ref:o_custkey',
+        |    (SELECT CAST(count(*) AS BIGINT) FROM orders o
+        |      LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+        |      WHERE o.o_custkey IS NOT NULL AND c.c_custkey IS NULL),
+        |    (SELECT n FROM t)
+        |) ORDER BY rule""".stripMargin,
+
+    "events_debounce" ->
+      """WITH k AS (SELECT event_type,
+        |    CASE WHEN lag(ts, 1) OVER w IS NULL
+        |      OR epoch_ms(CAST(ts AS TIMESTAMP)) - epoch_ms(CAST(lag(ts, 1) OVER w AS TIMESTAMP)) > 60000
+        |      THEN 1 ELSE 0 END AS keep
+        |  FROM events WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id))
+        |SELECT event_type, CAST(sum(keep) AS BIGINT) AS n_kept,
+        |  CAST(sum(1 - keep) AS BIGINT) AS n_dropped
+        |FROM k GROUP BY 1 ORDER BY event_type""".stripMargin,
+
+    "events_rate_limit" ->
+      """WITH b AS (SELECT user_id, event_id, ts, CAST(ts AS DATE) AS d FROM events),
+        |r AS (SELECT d, row_number() OVER (PARTITION BY user_id, d ORDER BY ts, event_id) AS rn FROM b)
+        |SELECT strftime(d, '%Y-%m-%d') AS day,
+        |  CAST(sum(CASE WHEN rn <= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  count(*) AS n_total
+        |FROM r GROUP BY d ORDER BY day""".stripMargin,
+
+    "events_late_arrivals" ->
+      """WITH base AS (SELECT user_id, event_id,
+        |    CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15)) AS BIGINT) AS arr,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 AS t FROM events),
+        |l AS (SELECT greatest(0, coalesce(max(t) OVER (PARTITION BY user_id ORDER BY arr, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) - t, 0)) AS late_sec
+        |  FROM base),
+        |b AS (SELECT CASE WHEN late_sec = 0 THEN 'a_on_time'
+        |    WHEN late_sec <= 60 THEN 'b_1_to_60s'
+        |    WHEN late_sec <= 600 THEN 'c_61_to_600s'
+        |    ELSE 'd_gt_600s' END AS bucket FROM l)
+        |SELECT bucket, count(*) AS n FROM b GROUP BY 1 ORDER BY bucket""".stripMargin,
   )
 }
