@@ -40,6 +40,20 @@ object Resample {
   def resampleLocf(df: DataFrame, keyCol: String, tsCol: String,
       valueCol: String, tieCol: String, stepSec: Long): DataFrame = {
     require(stepSec > 0, s"resampleLocf: step $stepSec")
+    val joined = gridJoined(df, keyCol, tsCol, valueCol, tieCol, stepSec)
+    val locf = Window.partitionBy(col(keyCol)).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    joined.select(col(keyCol), col("bucket"),
+      coalesce(col("n_events"), lit(0L)).as("n_events"),
+      when(col("v_x1e4").isNull, lit(1)).otherwise(lit(0)).as("filled"),
+      last(col("v_x1e4"), ignoreNulls = true).over(locf).as("v_locf_x1e4"))
+  }
+
+  /** Shared resample plumbing: per-(key, bucket) latest observation +
+    * event count, left-joined onto the key's dense min..max bucket
+    * grid. Null v_x1e4 marks a gap bucket. */
+  private def gridJoined(df: DataFrame, keyCol: String, tsCol: String,
+      valueCol: String, tieCol: String, stepSec: Long): DataFrame = {
     val step = lit(stepSec)
     val obs = df.select(col(keyCol), epochSec(col(tsCol)).as("sec"),
       graft.functions.F.scale4(col(valueCol)).as("v_x1e4"), col(tieCol).as("tie"))
@@ -57,13 +71,41 @@ object Resample {
       .agg(min(col("bucket")).as("mnb"), max(col("bucket")).as("mxb"))
       .select(col(keyCol),
         explode(sequence(col("mnb"), col("mxb"), step)).as("bucket"))
-    val joined = grid.join(perBucket, Seq(keyCol, "bucket"), "left")
-    val locf = Window.partitionBy(col(keyCol)).orderBy(col("bucket"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(perBucket, Seq(keyCol, "bucket"), "left")
+  }
+
+  /** Linear-interpolation resample onto the same grid as
+    * [[resampleLocf]]: gap buckets take the weighted mean of the
+    * nearest earlier and later observed buckets,
+    *   v = (v_p·(bn−b) + v_n·(b−bp)) div (bn−bp),
+    * computed in ×1e4 fixed point with integer floor division —
+    * REQUIRES non-negative values (Spark `div` truncates toward zero,
+    * SQL `//` floors; they agree only on a non-negative numerator).
+    * Leading/trailing gaps fall back to nearest-known (back-/forward-
+    * fill). Output: key, bucket, n_events, filled, v_lerp_x1e4. */
+  def resampleLerp(df: DataFrame, keyCol: String, tsCol: String,
+      valueCol: String, tieCol: String, stepSec: Long): DataFrame = {
+    require(stepSec > 0, s"resampleLerp: step $stepSec")
+    val joined = gridJoined(df, keyCol, tsCol, valueCol, tieCol, stepSec)
+    val byB = Window.partitionBy(col(keyCol)).orderBy(col("bucket"))
+    val back = byB.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fwd = byB.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val obsBucket = when(col("v_x1e4").isNotNull, col("bucket"))
+    val vp = last(col("v_x1e4"), ignoreNulls = true).over(back)
+    val bp = last(obsBucket, ignoreNulls = true).over(back)
+    val vn = first(col("v_x1e4"), ignoreNulls = true).over(fwd)
+    val bn = first(obsBucket, ignoreNulls = true).over(fwd)
     joined.select(col(keyCol), col("bucket"),
-      coalesce(col("n_events"), lit(0L)).as("n_events"),
-      when(col("v_x1e4").isNull, lit(1)).otherwise(lit(0)).as("filled"),
-      last(col("v_x1e4"), ignoreNulls = true).over(locf).as("v_locf_x1e4"))
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        when(col("v_x1e4").isNull, lit(1)).otherwise(lit(0)).as("filled"),
+        vp.as("vp"), bp.as("bp"), vn.as("vn"), bn.as("bn"))
+      .withColumn("v_lerp_x1e4",
+        when(col("vp").isNull, col("vn"))
+          .when(col("vn").isNull, col("vp"))
+          .when(col("bn") === col("bp"), col("vp"))
+          .otherwise(expr(
+            "(vp * (bn - bucket) + vn * (bucket - bp)) div (bn - bp)")))
+      .drop("vp", "bp", "vn", "bn")
   }
 
   /** Trailing-window anomaly flags, INTEGER-EXACT end to end: over the

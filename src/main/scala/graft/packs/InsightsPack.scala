@@ -471,6 +471,37 @@ object InsightsPack extends QueryPack {
         .groupBy("bucket").agg(count(lit(1)).as("n"))
         .orderBy("bucket")
     }),
+
+    // FIFO inventory costing (ops/Fifo.scala): 'F' lineitems restock,
+    // 'O' lineitems consume; each sell month's cost of goods priced
+    // at the FIFO-matched buy lots' unit cents. Cumulative-interval
+    // overlap join on the part key — per-key pair count is linear
+    // (merge, not product), and the windows parallelize across parts.
+    // ord only needs to induce (shipdate, orderkey, linenumber) order
+    // — its value never reaches the output.
+    "fifo_cogs_monthly" -> ((s, dir) => {
+      val li = Tables.load(s, dir, "lineitem").select(
+          col("l_partkey").as("k"), col("l_linestatus"),
+          col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity").cast("long").as("qty"),
+          floor(col("l_extendedprice") * 100 + 0.5).cast("long").as("cents"))
+        .withColumn("ord",
+          datediff(to_date(col("l_shipdate")), lit("1992-01-01").cast("date"))
+              .cast("long") * 1000000000000L
+            + col("l_orderkey") * 10L + col("l_linenumber"))
+      val buys = li.filter(col("l_linestatus") === "F")
+        .select(col("k"), col("ord"), col("qty"),
+          expr("cents div qty").as("unit_x100"))
+      val sells = li.filter(col("l_linestatus") === "O")
+        .select(col("k"), col("ord"), col("qty"),
+          substring(col("l_shipdate").cast("string"), 1, 7).as("m"))
+      graft.ops.Fifo.matchLots(buys, sells, "k", "ord", "qty")
+        .groupBy(col("s_m").as("sell_month"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(col("matched_qty")).as("qty_matched"),
+          sum(col("matched_qty") * col("b_unit_x100")).as("cogs_x100"))
+        .orderBy("sell_month")
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -829,5 +860,32 @@ object InsightsPack extends QueryPack {
         |    WHEN late_sec <= 600 THEN 'c_61_to_600s'
         |    ELSE 'd_gt_600s' END AS bucket FROM l)
         |SELECT bucket, count(*) AS n FROM b GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+    "fifo_cogs_monthly" ->
+      """WITH li AS (SELECT l_partkey AS k, l_linestatus,
+        |    CAST(date_diff('day', DATE '1992-01-01', CAST(l_shipdate AS DATE)) AS BIGINT)
+        |      * 1000000000000 + l_orderkey * 10 + l_linenumber AS ord,
+        |    CAST(l_quantity AS BIGINT) AS qty,
+        |    CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents,
+        |    substr(CAST(l_shipdate AS VARCHAR), 1, 7) AS m
+        |  FROM lineitem),
+        |b AS (SELECT k, ord, qty, cents // qty AS unit_x100,
+        |    CAST(sum(qty) OVER w AS BIGINT) AS hi,
+        |    CAST(sum(qty) OVER w AS BIGINT) - qty AS lo
+        |  FROM li WHERE l_linestatus = 'F'
+        |  WINDOW w AS (PARTITION BY k ORDER BY ord
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |s AS (SELECT k, ord, qty, m,
+        |    CAST(sum(qty) OVER w AS BIGINT) AS hi,
+        |    CAST(sum(qty) OVER w AS BIGINT) - qty AS lo
+        |  FROM li WHERE l_linestatus = 'O'
+        |  WINDOW w AS (PARTITION BY k ORDER BY ord
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |p AS (SELECT s.m, least(b.hi, s.hi) - greatest(b.lo, s.lo) AS mq, b.unit_x100
+        |  FROM b JOIN s ON b.k = s.k AND b.lo < s.hi AND s.lo < b.hi)
+        |SELECT m AS sell_month, count(*) AS n_pairs,
+        |  CAST(sum(mq) AS BIGINT) AS qty_matched,
+        |  CAST(sum(mq * unit_x100) AS BIGINT) AS cogs_x100
+        |FROM p GROUP BY 1 ORDER BY sell_month""".stripMargin,
   )
 }

@@ -28,6 +28,14 @@ object TimeSeriesPack extends QueryPack {
       Resample.resampleLocf(events(s, dir), "user_id", "ts", "value",
           "event_id", stepSec = 3600L)
         .orderBy("user_id", "bucket")),
+    // Linear-interpolation resample on the same hourly grid: gap
+    // buckets take the fixed-point weighted mean of the nearest
+    // observed neighbors (integer div — values are non-negative, so
+    // truncation ≡ floor in both engines); edges back-/forward-fill.
+    "events_resample_lerp" -> ((s, dir) =>
+      Resample.resampleLerp(events(s, dir), "user_id", "ts", "value",
+          "event_id", stepSec = 3600L)
+        .orderBy("user_id", "bucket")),
     // Trailing 1-hour rolling count + exact fixed-point sum per user,
     // RANGE frame over integer epoch seconds (same-second peers
     // aggregate symmetrically in both engines).
@@ -443,6 +451,50 @@ object TimeSeriesPack extends QueryPack {
          |    PARTITION BY user_id ORDER BY bucket
          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_locf_x1e4
          |FROM j ORDER BY user_id, bucket""".stripMargin,
+    "events_resample_lerp" ->
+      s"""WITH base AS ($evBase),
+         |obs AS (
+         |  SELECT *, (sec // 3600) * 3600 AS bucket,
+         |    row_number() OVER (PARTITION BY user_id, (sec // 3600) * 3600
+         |                       ORDER BY sec DESC, event_id DESC) AS rn
+         |  FROM base),
+         |per_bucket AS (
+         |  SELECT user_id, bucket, count(*) AS n_events,
+         |    max(CASE WHEN rn = 1 THEN v_x1e4 END) AS v_x1e4
+         |  FROM obs GROUP BY 1, 2),
+         |bounds AS (
+         |  SELECT user_id, min(bucket) AS mnb, max(bucket) AS mxb
+         |  FROM per_bucket GROUP BY 1),
+         |grid AS (
+         |  SELECT user_id, unnest(generate_series(mnb, mxb, 3600)) AS bucket
+         |  FROM bounds),
+         |j AS (
+         |  SELECT g.user_id, g.bucket,
+         |    coalesce(p.n_events, 0) AS n_events,
+         |    CASE WHEN p.v_x1e4 IS NULL THEN 1 ELSE 0 END AS filled,
+         |    p.v_x1e4
+         |  FROM grid g LEFT JOIN per_bucket p
+         |    ON g.user_id = p.user_id AND g.bucket = p.bucket),
+         |nb AS (
+         |  SELECT user_id, bucket, n_events, filled,
+         |    last_value(v_x1e4 IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY bucket
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS vp,
+         |    last_value(CASE WHEN v_x1e4 IS NOT NULL THEN bucket END IGNORE NULLS)
+         |      OVER (PARTITION BY user_id ORDER BY bucket
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS bp,
+         |    first_value(v_x1e4 IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY bucket
+         |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS vn,
+         |    first_value(CASE WHEN v_x1e4 IS NOT NULL THEN bucket END IGNORE NULLS)
+         |      OVER (PARTITION BY user_id ORDER BY bucket
+         |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS bn
+         |  FROM j)
+         |SELECT user_id, bucket, n_events, filled,
+         |  CASE WHEN vp IS NULL THEN vn
+         |       WHEN vn IS NULL THEN vp
+         |       WHEN bn = bp THEN vp
+         |       ELSE (vp * (bn - bucket) + vn * (bucket - bp)) // (bn - bp)
+         |  END AS v_lerp_x1e4
+         |FROM nb ORDER BY user_id, bucket""".stripMargin,
     "window_rolling_range" ->
       s"""WITH base AS ($evBase)
          |SELECT event_id, user_id, sec,

@@ -31,6 +31,31 @@ class ResampleSpec extends SparkSpec {
       (2L, 3600L, 1L, 0, 30000L)))
   }
 
+  test("resampleLerp: gap takes weighted mean of neighbors; edges nearest-fill") {
+    // key 1 gap at 3600 sits midway between 72500 (b=0) and 90000
+    // (b=7200): (72500*3600 + 90000*3600) div 7200 = 81250
+    val out = Resample.resampleLerp(feed, "user_id", "ts", "value", "event_id", 3600L)
+      .orderBy("user_id", "bucket").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("bucket"),
+        r.getAs[Long]("n_events"), r.getAs[Int]("filled"), r.getAs[Long]("v_lerp_x1e4")))
+    assert(out.toSeq == Seq(
+      (1L, 0L, 2L, 0, 72500L),
+      (1L, 3600L, 0L, 1, 81250L),
+      (1L, 7200L, 1L, 0, 90000L),
+      (2L, 3600L, 1L, 0, 30000L)))
+  }
+
+  test("resampleLerp: asymmetric gap interpolates by distance, flooring") {
+    // obs at b=0 (v=10000) and b=10800 (v=10001): b=3600 →
+    // (10000*7200 + 10001*3600) div 10800 = 10000 (floor of 10000.33)
+    val f = Seq((1L, ts(10L), 9L, 1.0), (2L, ts(10801L), 9L, 1.0001))
+      .toDF("event_id", "ts", "user_id", "value")
+    val got = Resample.resampleLerp(f, "user_id", "ts", "value", "event_id", 3600L)
+      .orderBy("bucket").collect()
+      .map(r => (r.getAs[Long]("bucket"), r.getAs[Long]("v_lerp_x1e4")))
+    assert(got.toSeq == Seq((0L, 10000L), (3600L, 10000L), (7200L, 10000L), (10800L, 10001L)))
+  }
+
   test("rollingRange: trailing window includes same-second peers, excludes older than windowSec-1") {
     // user 1: secs 100, 500, 7300 — at 500 the 100-row is inside the
     // 3600 s frame; at 7300 neither earlier row is.
