@@ -63,13 +63,17 @@ object Expectations {
           (col("n_rows") - col("nd")).as("n_violations"), col("n_rows"))
     }
     rules.collect { case r: RefIntegrity => r }.foreach { r =>
-      val orphans = df.filter(col(r.col).isNotNull)
-        .join(r.dim.select(col(r.dimCol).as("__ref")),
-          col(r.col) === col("__ref"), "left_anti")
-        .agg(count(lit(1)).as("n_violations"))
-      val total = df.agg(count(lit(1)).as("n_rows"))
-      reports += orphans.crossJoin(total)
-        .select(lit(r.name).as("rule"), col("n_violations"), col("n_rows"))
+      // ONE scan of df: left join the deduped dimension key, count
+      // orphans and rows in the same aggregate (an anti join would
+      // need a second scan for the total)
+      val dimKeys = r.dim.select(col(r.dimCol).as("__ref")).distinct()
+      reports += df
+        .join(dimKeys, col(r.col) === col("__ref"), "left_outer")
+        .agg(sum(when(col(r.col).isNotNull && col("__ref").isNull, 1L)
+            .otherwise(0L)).as("n_violations"),
+          count(lit(1)).as("n_rows"))
+        .select(lit(r.name).as("rule"),
+          coalesce(col("n_violations"), lit(0L)).as("n_violations"), col("n_rows"))
     }
     reports.reduce(_ unionAll _)
   }

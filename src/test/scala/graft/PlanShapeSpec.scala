@@ -442,4 +442,39 @@ class PlanShapeSpec extends SparkSpec {
     assert("hll_distinct".r.findAllIn(p).size >= 2, p) // partial + final
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("fifo_cogs_monthly: lot pairing is an equi-join on the part key, overlap as residual") {
+    val p = plan("fifo_cogs_monthly")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("events_peak_concurrency: both window frames share ONE exchange on the key") {
+    val p = plan("events_peak_concurrency")
+    assert(!p.contains("CartesianProduct"), p)
+    // delta agg + final agg + the single window partitioning — a self-join
+    // regression would add a 4th hashpartitioning on k
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges <= 3, s"expected <=3 hash exchanges, got $exchanges\n$p")
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("geo_fence_contains: the fence is a scan-side filter — no join in the plan") {
+    val p = plan("geo_fence_contains")
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("hierarchy_rollup: pointer doubling stays equi-join — no cartesian, no nested loop") {
+    val p = plan("hierarchy_rollup")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("dq_orders_expectations: all four row rules share ONE orders scan") {
+    val p = plan("dq_orders_expectations")
+    // branches: row-rule scan + unique scan + ref join (orders, customer)
+    val scans = "Scan parquet".r.findAllIn(p).size
+    assert(scans <= 4, s"expected <=4 parquet scans, got $scans\n$p")
+  }
 }
