@@ -502,6 +502,64 @@ object InsightsPack extends QueryPack {
           sum(col("matched_qty") * col("b_unit_x100")).as("cogs_x100"))
         .orderBy("sell_month")
     }),
+
+    // Largest-remainder proration (ops/Allocate.scala): each order's
+    // total cents split across its lineitems by quantity, Σ preserved
+    // exactly — two keyed windows, zero joins beyond the fact↔order
+    // equi-join. Bounded key slice keeps the compare small; the
+    // allocation is per-order independent, so the filter commutes.
+    "orders_penny_allocation" -> ((s, dir) => {
+      val li = Tables.load(s, dir, "lineitem").filter(col("l_orderkey") < 200)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity").cast("long").as("qty"))
+      val o = Tables.load(s, dir, "orders").filter(col("o_orderkey") < 200)
+        .select(col("o_orderkey"),
+          floor(col("o_totalprice") * 100 + 0.5).cast("long").as("total_x100"))
+      val j = li.join(o, col("l_orderkey") === col("o_orderkey"))
+      graft.ops.Allocate.largestRemainder(j, "l_orderkey", "qty",
+          "total_x100", "l_linenumber")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("alloc").as("alloc_x100"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    // Winsorization by EXACT rank percentiles: per return flag, clamp
+    // price cents to [P05, P95] where the cut points are the values
+    // at ceil-rank — three window passes sharing ONE exchange on the
+    // flag, then a single aggregate. The ML feature-prep step that
+    // kills outliers without a float quantile sketch.
+    "features_winsorize" -> ((s, dir) => {
+      val p = Window.partitionBy("l_returnflag")
+      val v = Tables.load(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+          floor(col("l_extendedprice") * 100 + 0.5).cast("long").as("v"))
+        .withColumn("r", row_number().over(
+          p.orderBy(col("v"), col("l_orderkey"), col("l_linenumber"))))
+        .withColumn("n", count(lit(1)).over(p))
+        .withColumn("lo", max(when(col("r") === expr("(n + 19) div 20"), col("v"))).over(p))
+        .withColumn("hi", max(when(col("r") === expr("(19 * n + 19) div 20"), col("v"))).over(p))
+      v.groupBy("l_returnflag")
+        .agg(max(col("n")).as("n"), max(col("lo")).as("lo_x100"),
+          max(col("hi")).as("hi_x100"),
+          sum(least(greatest(col("v"), col("lo")), col("hi"))).as("sum_winsorized_x100"))
+        .orderBy("l_returnflag")
+    }),
+
+    // Relational set-op coverage: INTERSECT / EXCEPT over the 1994 vs
+    // 1995 buyer sets — Spark's dedicated set operators (hash
+    // aggregate + join under the hood), not a hand-rolled outer join.
+    "set_ops_customers" -> ((s, dir) => {
+      def buyers(y: Int) = Tables.load(s, dir, "orders")
+        .filter(year(to_date(col("o_orderdate"))) === y)
+        .select(col("o_custkey")).distinct()
+      val a = buyers(1994); val b = buyers(1995)
+      def tag(t: String, df: DataFrame) =
+        df.agg(count(lit(1)).as("n")).select(lit(t).as("cohort"), col("n"))
+      tag("both", a.intersect(b))
+        .unionAll(tag("only_1994", a.except(b)))
+        .unionAll(tag("only_1995", b.except(a)))
+        .orderBy("cohort")
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -887,5 +945,56 @@ object InsightsPack extends QueryPack {
         |  CAST(sum(mq) AS BIGINT) AS qty_matched,
         |  CAST(sum(mq * unit_x100) AS BIGINT) AS cogs_x100
         |FROM p GROUP BY 1 ORDER BY sell_month""".stripMargin,
+
+    "orders_penny_allocation" ->
+      """WITH li AS (SELECT l_orderkey AS k, l_linenumber AS tie,
+        |    CAST(l_quantity AS BIGINT) AS w FROM lineitem WHERE l_orderkey < 200),
+        |o AS (SELECT o_orderkey, CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS t
+        |  FROM orders WHERE o_orderkey < 200),
+        |j AS (SELECT k, tie, w, t FROM li JOIN o ON k = o_orderkey),
+        |b AS (SELECT k, tie, w, t, CAST(sum(w) OVER (PARTITION BY k) AS BIGINT) AS tw FROM j),
+        |c AS (SELECT k, tie, t, (t * w) // tw AS base, (t * w) % tw AS rem FROM b),
+        |d AS (SELECT k, tie, base,
+        |    t - CAST(sum(base) OVER (PARTITION BY k) AS BIGINT) AS leftu,
+        |    row_number() OVER (PARTITION BY k ORDER BY rem DESC, tie) AS rk FROM c)
+        |SELECT k AS l_orderkey, tie AS l_linenumber,
+        |  CAST(base + CASE WHEN rk <= leftu THEN 1 ELSE 0 END AS BIGINT) AS alloc_x100
+        |FROM d ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "features_winsorize" ->
+      """WITH v AS (SELECT l_returnflag, l_orderkey, l_linenumber,
+        |    CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS v FROM lineitem),
+        |r AS (SELECT l_returnflag, v,
+        |    row_number() OVER (PARTITION BY l_returnflag
+        |      ORDER BY v, l_orderkey, l_linenumber) AS r,
+        |    CAST(count(*) OVER (PARTITION BY l_returnflag) AS BIGINT) AS n
+        |  FROM v),
+        |c AS (SELECT l_returnflag, v, n,
+        |    max(CASE WHEN r = (n + 19) // 20 THEN v END)
+        |      OVER (PARTITION BY l_returnflag) AS lo,
+        |    max(CASE WHEN r = (19 * n + 19) // 20 THEN v END)
+        |      OVER (PARTITION BY l_returnflag) AS hi
+        |  FROM r)
+        |SELECT l_returnflag, max(n) AS n, max(lo) AS lo_x100, max(hi) AS hi_x100,
+        |  CAST(sum(least(greatest(v, lo), hi)) AS BIGINT) AS sum_winsorized_x100
+        |FROM c GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
+
+    "set_ops_customers" ->
+      """SELECT * FROM (
+        |  SELECT 'both' AS cohort, count(*) AS n FROM (
+        |    SELECT o_custkey FROM orders WHERE year(CAST(o_orderdate AS DATE)) = 1994
+        |    INTERSECT
+        |    SELECT o_custkey FROM orders WHERE year(CAST(o_orderdate AS DATE)) = 1995)
+        |  UNION ALL
+        |  SELECT 'only_1994', count(*) FROM (
+        |    SELECT o_custkey FROM orders WHERE year(CAST(o_orderdate AS DATE)) = 1994
+        |    EXCEPT
+        |    SELECT o_custkey FROM orders WHERE year(CAST(o_orderdate AS DATE)) = 1995)
+        |  UNION ALL
+        |  SELECT 'only_1995', count(*) FROM (
+        |    SELECT o_custkey FROM orders WHERE year(CAST(o_orderdate AS DATE)) = 1995
+        |    EXCEPT
+        |    SELECT o_custkey FROM orders WHERE year(CAST(o_orderdate AS DATE)) = 1994)
+        |) ORDER BY cohort""".stripMargin,
   )
 }
