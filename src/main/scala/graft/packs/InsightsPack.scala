@@ -560,6 +560,90 @@ object InsightsPack extends QueryPack {
         .unionAll(tag("only_1995", b.except(a)))
         .orderBy("cohort")
     }),
+
+    // Pre-flight self-join blowup estimate: Σ n_k² over the key's
+    // frequency table IS the exact output cardinality of an equi-self-
+    // join — the diagnostic to run BEFORE a pairwise dedup/similarity
+    // pass decides whether it needs banding. One aggregate, no join.
+    "join_cardinality_estimate" -> ((s, dir) => {
+      Tables.load(s, dir, "lineitem")
+        .groupBy("l_partkey").agg(count(lit(1)).as("n"))
+        .agg(count(lit(1)).as("n_keys"), max(col("n")).as("max_freq"),
+          sum(col("n") * col("n")).as("selfjoin_pairs"))
+    }),
+
+    // Bitmap rollup: nation presence per market segment packed into
+    // one BIGINT via bit_or(1 << nationkey) — the bitmap-index
+    // building block (nationkey < 25 fits a word); popcount must
+    // equal the exact distinct count.
+    "agg_nation_bitmask" -> ((s, dir) => {
+      Tables.load(s, dir, "customer")
+        .groupBy("c_mktsegment")
+        .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), c_nationkey))").as("nation_mask"),
+          count_distinct(col("c_nationkey")).as("n_nations"))
+        .withColumn("mask_popcount", expr("CAST(bit_count(nation_mask) AS BIGINT)"))
+        .orderBy("c_mktsegment")
+    }),
+
+    // First-touch attribution: each purchase's value lands on its
+    // session's ENTRY event type (30-min-gap sessions, same
+    // convention as events_entry_exit) — the marketing-credit query.
+    // Entry propagates inside the session window; one count shuffle.
+    "events_attribution_first_touch" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val flagged = events(s, dir)
+        .select(col("user_id"), col("event_id"), col("ts"), col("event_type"),
+          floor(col("value") * 100 + 0.5).cast("long").as("v_x100"),
+          when(lag(col("ts"), 1).over(w).isNull ||
+              unix_millis(col("ts").cast("timestamp")) -
+                unix_millis(lag(col("ts"), 1).over(w).cast("timestamp")) > 1800000L,
+            1L).otherwise(0L).as("new_sess"))
+        .withColumn("sess_no", sum(col("new_sess")).over(w))
+      val sw = Window.partitionBy("user_id", "sess_no")
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      flagged.withColumn("entry_type", first(col("event_type")).over(sw))
+        .filter(col("event_type") === "purchase")
+        .groupBy("entry_type")
+        .agg(count(lit(1)).as("n_purchases"),
+          sum(col("v_x100")).as("attributed_x100"))
+        .orderBy("entry_type")
+    }),
+
+    // Inter-arrival time histogram per user stream, order-of-magnitude
+    // buckets — the rate profile that sizes watermark and session-gap
+    // parameters. One keyed window + one count shuffle.
+    "events_interarrival_histogram" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      events(s, dir)
+        .select(sec(col("ts")).as("t"), col("user_id"), col("event_id"),
+          col("ts"))
+        .withColumn("gap", col("t") - lag(col("t"), 1).over(
+          Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))))
+        .filter(col("gap").isNotNull)
+        .select(when(col("gap") < 60, "a_lt_1m")
+          .when(col("gap") < 600, "b_1m_to_10m")
+          .when(col("gap") < 3600, "c_10m_to_1h")
+          .when(col("gap") < 86400, "d_1h_to_1d")
+          .otherwise("e_ge_1d").as("bucket"))
+        .groupBy("bucket").agg(count(lit(1)).as("n"))
+        .orderBy("bucket")
+    }),
+
+    // Native unpivot (melt) coverage: the wide per-flag aggregate
+    // turned long via Dataset.unpivot — ids stay, three metric
+    // columns become (metric, value_x100) pairs.
+    "lineitem_unpivot_metrics" -> ((s, dir) => {
+      val wide = Tables.load(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(sum(col("l_quantity").cast("long") * 100).as("sum_qty_x100"),
+          sum(floor(col("l_extendedprice") * 100 + 0.5).cast("long")).as("sum_price_x100"),
+          sum(floor(col("l_discount") * 100 + 0.5).cast("long")).as("sum_disc_x100"))
+      wide.unpivot(Array(col("l_returnflag")),
+          Array(col("sum_qty_x100"), col("sum_price_x100"), col("sum_disc_x100")),
+          "metric", "value_x100")
+        .orderBy("l_returnflag", "metric")
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -996,5 +1080,61 @@ object InsightsPack extends QueryPack {
         |    EXCEPT
         |    SELECT o_custkey FROM orders WHERE year(CAST(o_orderdate AS DATE)) = 1994)
         |) ORDER BY cohort""".stripMargin,
+
+    "join_cardinality_estimate" ->
+      """WITH f AS (SELECT l_partkey, count(*) AS n FROM lineitem GROUP BY 1)
+        |SELECT count(*) AS n_keys, max(n) AS max_freq,
+        |  CAST(sum(n * n) AS BIGINT) AS selfjoin_pairs FROM f""".stripMargin,
+
+    "agg_nation_bitmask" ->
+      """SELECT c_mktsegment,
+        |  CAST(bit_or(CAST(1 AS BIGINT) << c_nationkey) AS BIGINT) AS nation_mask,
+        |  count(DISTINCT c_nationkey) AS n_nations,
+        |  CAST(bit_count(bit_or(CAST(1 AS BIGINT) << c_nationkey)) AS BIGINT) AS mask_popcount
+        |FROM customer GROUP BY 1 ORDER BY c_mktsegment""".stripMargin,
+
+    "events_attribution_first_touch" ->
+      """WITH f AS (SELECT user_id, event_id, ts, event_type,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS v_x100,
+        |    CASE WHEN lag(ts, 1) OVER w IS NULL
+        |      OR epoch_ms(CAST(ts AS TIMESTAMP)) - epoch_ms(CAST(lag(ts, 1) OVER w AS TIMESTAMP)) > 1800000
+        |      THEN 1 ELSE 0 END AS new_sess
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (SELECT *, CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess_no FROM f),
+        |e AS (SELECT *, first_value(event_type) OVER (PARTITION BY user_id, sess_no
+        |    ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS entry_type
+        |  FROM s)
+        |SELECT entry_type, count(*) AS n_purchases,
+        |  CAST(sum(v_x100) AS BIGINT) AS attributed_x100
+        |FROM e WHERE event_type = 'purchase'
+        |GROUP BY 1 ORDER BY entry_type""".stripMargin,
+
+    "events_interarrival_histogram" ->
+      """WITH g AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 1000000
+        |      - lag(epoch_us(CAST(ts AS TIMESTAMP)) // 1000000, 1)
+        |        OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+        |  FROM events),
+        |b AS (SELECT CASE WHEN gap < 60 THEN 'a_lt_1m'
+        |    WHEN gap < 600 THEN 'b_1m_to_10m'
+        |    WHEN gap < 3600 THEN 'c_10m_to_1h'
+        |    WHEN gap < 86400 THEN 'd_1h_to_1d'
+        |    ELSE 'e_ge_1d' END AS bucket
+        |  FROM g WHERE gap IS NOT NULL)
+        |SELECT bucket, count(*) AS n FROM b GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+    "lineitem_unpivot_metrics" ->
+      """WITH wide AS (SELECT l_returnflag,
+        |    CAST(sum(CAST(l_quantity AS BIGINT) * 100) AS BIGINT) AS sum_qty_x100,
+        |    CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_price_x100,
+        |    CAST(sum(CAST(floor(l_discount * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_disc_x100
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l_returnflag, metric, value_x100 FROM (
+        |  SELECT l_returnflag, 'sum_qty_x100' AS metric, sum_qty_x100 AS value_x100 FROM wide
+        |  UNION ALL
+        |  SELECT l_returnflag, 'sum_price_x100', sum_price_x100 FROM wide
+        |  UNION ALL
+        |  SELECT l_returnflag, 'sum_disc_x100', sum_disc_x100 FROM wide)
+        |ORDER BY l_returnflag, metric""".stripMargin,
   )
 }
