@@ -644,6 +644,36 @@ object InsightsPack extends QueryPack {
           "metric", "value_x100")
         .orderBy("l_returnflag", "metric")
     }),
+
+    // Survivorship on top of the ER clusters (ops/Golden.scala): fuse
+    // each cluster into one golden record — name from the highest-
+    // priority source (masters beat dirty feeds, unique priority so
+    // ties can't flap), balance by numeric max — ONE hash aggregate
+    // for all fields, no per-field joins.
+    "er_golden_record" -> ((s, dir) => {
+      val cust = Tables.load(s, dir, "customer").filter(col("c_nationkey") === 7)
+      val shift = lit(10000000L)
+      val bal = floor(col("c_acctbal") * 100 + 0.5).cast("long")
+      val mangled = concat(expr("substring(c_name, 1, length(c_name)-1)"), lit("X"))
+      val master = cust.select(col("c_custkey").as("a_key"), col("c_name").as("a_name"))
+      val dirty = cust.filter(col("c_custkey") % 3 === 0)
+        .select((col("c_custkey") + shift).as("b_key"), mangled.as("b_name"))
+      val pairs = graft.ops.Fuzzy.editJoin(master, dirty, "a_name", "b_name", 1)
+        .select(col("a_key").as("a"), col("b_key").as("b"))
+      val clusters = graft.llm.Dedup.dupClusters(pairs)
+      val members = cust.select(col("c_custkey").as("id"), col("c_name").as("name"),
+          bal.as("bal_x100"), lit(1L).as("src"))
+        .unionAll(cust.filter(col("c_custkey") % 3 === 0)
+          .select((col("c_custkey") + shift).as("id"), mangled.as("name"),
+            (bal + 999L).as("bal_x100"), lit(2L).as("src")))
+      members.join(clusters, "id")
+        .groupBy("cluster")
+        .agg(graft.ops.Golden.pickByPriority(
+            col("src") * lit(100000000L) + col("id"), col("name")).as("golden_name"),
+          max(col("bal_x100")).as("best_bal_x100"),
+          count(lit(1)).as("n_members"))
+        .orderBy("cluster")
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1136,5 +1166,35 @@ object InsightsPack extends QueryPack {
         |  UNION ALL
         |  SELECT l_returnflag, 'sum_disc_x100', sum_disc_x100 FROM wide)
         |ORDER BY l_returnflag, metric""".stripMargin,
+
+    // Same bounded 3-round propagation as er_cluster_customers (the
+    // fixture's components have diameter ≤ 2), then survivorship.
+    "er_golden_record" ->
+      """WITH cust AS (SELECT c_custkey, c_name,
+        |    CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS bal
+        |  FROM customer WHERE c_nationkey = 7),
+        |dirty AS (SELECT c_custkey + 10000000 AS b_key,
+        |    substr(c_name, 1, length(c_name)-1) || 'X' AS b_name,
+        |    bal + 999 AS b_bal
+        |  FROM cust WHERE c_custkey % 3 = 0),
+        |e AS (SELECT a.c_custkey AS x, d.b_key AS y
+        |  FROM cust a JOIN dirty d ON levenshtein(a.c_name, d.b_name) <= 1),
+        |edges AS (SELECT x, y FROM e UNION ALL SELECT y, x FROM e),
+        |l0 AS (SELECT x AS id, least(x, min(y)) AS lbl FROM edges GROUP BY x),
+        |l1 AS (SELECT e.x AS id, least(min(l.lbl), min(e.x)) AS lbl
+        |  FROM edges e JOIN l0 l ON l.id = e.y GROUP BY e.x),
+        |l2 AS (SELECT e.x AS id, least(min(l.lbl), min(e.x)) AS lbl
+        |  FROM edges e JOIN l1 l ON l.id = e.y GROUP BY e.x),
+        |l3 AS (SELECT e.x AS id, least(min(l.lbl), min(e.x)) AS lbl
+        |  FROM edges e JOIN l2 l ON l.id = e.y GROUP BY e.x),
+        |mem AS (SELECT c_custkey AS id, c_name AS name, bal, 1 AS src FROM cust
+        |  UNION ALL SELECT b_key, b_name, b_bal, 2 FROM dirty),
+        |m AS (SELECT l3.lbl AS cluster, mem.id, mem.name, mem.bal, mem.src
+        |  FROM l3 JOIN mem ON mem.id = l3.id)
+        |SELECT cluster,
+        |  arg_min(name, src * 100000000 + id) AS golden_name,
+        |  CAST(max(bal) AS BIGINT) AS best_bal_x100,
+        |  count(*) AS n_members
+        |FROM m GROUP BY 1 ORDER BY cluster""".stripMargin,
   )
 }
