@@ -27,14 +27,21 @@ object InsightsPack extends QueryPack {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
-    // Per-supplier triangle count over the "suppliers sharing a part"
-    // projection — the clustering-coefficient numerator, computed with
-    // the degree-ordered orientation (ops/Graph.scala) so wedge
-    // generation is O(m^1.5) instead of Σ deg² on skewed graphs.
+    // Per-part triangle count over the CO-PURCHASE projection (parts
+    // sharing an order) — the clustering-coefficient numerator on the
+    // market-basket graph, computed with the degree-ordered
+    // orientation (ops/Graph.scala) so wedge generation is O(m^1.5)
+    // instead of Σ deg² on skewed graphs. Member fan-out is bounded
+    // by basket size (≤7 lines/order), so the projection stays SPARSE
+    // at every sf — the supplier-sharing-a-part projection this
+    // replaced densified toward a complete graph as sf grew (Σ wedges
+    // ~n³), which is exactly the degenerate input projectByMember's
+    // contract tells callers to bound.
     "graph_triangles" -> ((s, dir) => {
-      val sp = Tables.load(s, dir, "lineitem")
-        .select(col("l_suppkey"), col("l_partkey"))
-      val edges = Graph.projectByMember(sp, "l_suppkey", "l_partkey")
+      val po = Tables.load(s, dir, "lineitem")
+        .filter(col("l_partkey") % 2 === 0)
+        .select(col("l_partkey"), col("l_orderkey"))
+      val edges = Graph.projectByMember(po, "l_partkey", "l_orderkey")
       Graph.triangleCounts(edges).orderBy("v")
     }),
 
@@ -679,7 +686,8 @@ object InsightsPack extends QueryPack {
   val oracleSql: Map[String, String] = Map(
 
     "graph_triangles" ->
-      """WITH sp AS (SELECT DISTINCT l_partkey AS m, l_suppkey AS s FROM lineitem),
+      """WITH sp AS (SELECT DISTINCT l_orderkey AS m, l_partkey AS s
+        |      FROM lineitem WHERE l_partkey % 2 = 0),
         |e AS (SELECT DISTINCT a.s AS a, b.s AS b
         |      FROM sp a JOIN sp b ON a.m = b.m AND a.s < b.s),
         |t AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
