@@ -681,6 +681,28 @@ object InsightsPack extends QueryPack {
           count(lit(1)).as("n_members"))
         .orderBy("cluster")
     }),
+
+    // AQP: 1/64 deterministic hash sample (md5-derived, so resample-
+    // stable across runs AND engines), revenue estimate = 64 × sample
+    // sum, audited against the exact total with basis-point error —
+    // the "answer in 1/64th the scan" mode plus its own honesty
+    // check. Both aggregates are one-pass; the sample predicate folds
+    // into the scan.
+    "aqp_sampled_revenue" -> ((s, dir) => {
+      val cents = floor(col("l_extendedprice") * 100 + 0.5).cast("long")
+      val h = conv(substring(md5(concat(col("l_orderkey").cast("string"),
+        lit(":"), col("l_linenumber").cast("string"))), 1, 15), 16, 10).cast("long")
+      val li = Tables.load(s, dir, "lineitem")
+        .select(cents.as("c"), (h % 64).as("bucket"))
+      li.agg(sum(col("c")).as("exact_x100"),
+          sum(when(col("bucket") === 0, col("c"))).as("sample_x100"),
+          sum(when(col("bucket") === 0, 1L).otherwise(0L)).as("n_sampled"),
+          count(lit(1)).as("n_rows"))
+        .select(col("exact_x100"), (col("sample_x100") * 64).as("est_x100"),
+          col("n_sampled"), col("n_rows"),
+          expr("(abs(sample_x100 * 64 - exact_x100) * 10000) div exact_x100")
+            .as("err_bps"))
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1204,5 +1226,18 @@ object InsightsPack extends QueryPack {
         |  CAST(max(bal) AS BIGINT) AS best_bal_x100,
         |  count(*) AS n_members
         |FROM m GROUP BY 1 ORDER BY cluster""".stripMargin,
+
+    "aqp_sampled_revenue" ->
+      """WITH li AS (SELECT CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS c,
+        |    CAST(('0x' || substr(md5(CAST(l_orderkey AS VARCHAR) || ':'
+        |      || CAST(l_linenumber AS VARCHAR)), 1, 15)) AS BIGINT) % 64 AS bucket
+        |  FROM lineitem),
+        |a AS (SELECT CAST(sum(c) AS BIGINT) AS exact_x100,
+        |    CAST(sum(CASE WHEN bucket = 0 THEN c END) AS BIGINT) AS sample_x100,
+        |    CAST(sum(CASE WHEN bucket = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+        |    count(*) AS n_rows FROM li)
+        |SELECT exact_x100, sample_x100 * 64 AS est_x100, n_sampled, n_rows,
+        |  (abs(sample_x100 * 64 - exact_x100) * 10000) // exact_x100 AS err_bps
+        |FROM a""".stripMargin,
   )
 }
