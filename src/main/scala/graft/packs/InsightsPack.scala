@@ -703,6 +703,54 @@ object InsightsPack extends QueryPack {
           expr("(abs(sample_x100 * 64 - exact_x100) * 10000) div exact_x100")
             .as("err_bps"))
     }),
+
+    // OHLC + VWAP bars: hourly open/high/low/close of the event value
+    // stream plus the volume-weighted average (integer cents, floor
+    // div). Open/close via min/max over (ts, event_id, v) structs —
+    // one hash aggregate, no window, no sort; the downsampling shape
+    // a market-data pipeline runs per instrument at scale.
+    "events_ohlc_hourly" -> ((s, dir) => {
+      val v = floor(col("value") * 100 + 0.5).cast("long")
+      val base = events(s, dir).select(
+        ((sec(col("ts")) / 3600L).cast("long") * 3600L).as("bar"),
+        sec(col("ts")).as("t"), col("event_id"), v.as("v"))
+      base.groupBy("bar")
+        .agg(min(struct(col("t"), col("event_id"), col("v"))).getField("v").as("open_x100"),
+          max(col("v")).as("high_x100"),
+          min(col("v")).as("low_x100"),
+          max(struct(col("t"), col("event_id"), col("v"))).getField("v").as("close_x100"),
+          count(lit(1)).as("n"),
+          expr("sum(v) div count(1)").as("vwap_x100"))
+        .orderBy("bar")
+    }),
+
+    // FIFO leftover aging: stock bought but never consumed, by buy
+    // month — the matched pairs aggregate per buy lot, a left join
+    // back marks the unmatched tail. Complements fifo_cogs_monthly
+    // off the same interval algebra.
+    "fifo_unmatched_aging" -> ((s, dir) => {
+      val li = Tables.load(s, dir, "lineitem").select(
+          col("l_partkey").as("k"), col("l_linestatus"),
+          col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity").cast("long").as("qty"))
+        .withColumn("ord",
+          datediff(to_date(col("l_shipdate")), lit("1992-01-01").cast("date"))
+              .cast("long") * 1000000000000L
+            + col("l_orderkey") * 10L + col("l_linenumber"))
+      val buys = li.filter(col("l_linestatus") === "F")
+        .select(col("k"), col("ord"), col("qty"),
+          substring(col("l_shipdate").cast("string"), 1, 7).as("m"))
+      val sells = li.filter(col("l_linestatus") === "O")
+        .select(col("k"), col("ord"), col("qty"))
+      val matched = graft.ops.Fifo.matchLots(buys, sells, "k", "ord", "qty")
+        .groupBy(col("b_k").as("k"), col("b_ord").as("ord"))
+        .agg(sum(col("matched_qty")).as("mq"))
+      buys.join(matched, Seq("k", "ord"), "left_outer")
+        .groupBy(col("m").as("buy_month"))
+        .agg(sum(col("qty")).as("bought_qty"),
+          sum(col("qty") - coalesce(col("mq"), lit(0L))).as("leftover_qty"))
+        .orderBy("buy_month")
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1239,5 +1287,48 @@ object InsightsPack extends QueryPack {
         |SELECT exact_x100, sample_x100 * 64 AS est_x100, n_sampled, n_rows,
         |  (abs(sample_x100 * 64 - exact_x100) * 10000) // exact_x100 AS err_bps
         |FROM a""".stripMargin,
+
+    "events_ohlc_hourly" ->
+      """WITH base AS (SELECT
+        |    (epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 // 3600) * 3600 AS bar,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 AS t, event_id,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+        |  FROM events)
+        |SELECT bar,
+        |  first(v ORDER BY t, event_id) AS open_x100,
+        |  max(v) AS high_x100,
+        |  min(v) AS low_x100,
+        |  last(v ORDER BY t, event_id) AS close_x100,
+        |  count(*) AS n,
+        |  CAST(sum(v) AS BIGINT) // count(*) AS vwap_x100
+        |FROM base GROUP BY bar ORDER BY bar""".stripMargin,
+
+    "fifo_unmatched_aging" ->
+      """WITH li AS (SELECT l_partkey AS k, l_linestatus,
+        |    CAST(date_diff('day', DATE '1992-01-01', CAST(l_shipdate AS DATE)) AS BIGINT)
+        |      * 1000000000000 + l_orderkey * 10 + l_linenumber AS ord,
+        |    CAST(l_quantity AS BIGINT) AS qty,
+        |    substr(CAST(l_shipdate AS VARCHAR), 1, 7) AS m
+        |  FROM lineitem),
+        |b AS (SELECT k, ord, qty, m,
+        |    CAST(sum(qty) OVER w AS BIGINT) AS hi,
+        |    CAST(sum(qty) OVER w AS BIGINT) - qty AS lo
+        |  FROM li WHERE l_linestatus = 'F'
+        |  WINDOW w AS (PARTITION BY k ORDER BY ord
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |s AS (SELECT k, ord, qty,
+        |    CAST(sum(qty) OVER w AS BIGINT) AS hi,
+        |    CAST(sum(qty) OVER w AS BIGINT) - qty AS lo
+        |  FROM li WHERE l_linestatus = 'O'
+        |  WINDOW w AS (PARTITION BY k ORDER BY ord
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |mp AS (SELECT b.k, b.ord,
+        |    CAST(sum(least(b.hi, s.hi) - greatest(b.lo, s.lo)) AS BIGINT) AS mq
+        |  FROM b JOIN s ON b.k = s.k AND b.lo < s.hi AND s.lo < b.hi
+        |  GROUP BY 1, 2)
+        |SELECT b.m AS buy_month, CAST(sum(b.qty) AS BIGINT) AS bought_qty,
+        |  CAST(sum(b.qty - coalesce(mp.mq, 0)) AS BIGINT) AS leftover_qty
+        |FROM b LEFT JOIN mp ON b.k = mp.k AND b.ord = mp.ord
+        |GROUP BY 1 ORDER BY buy_month""".stripMargin,
   )
 }
