@@ -751,6 +751,53 @@ object InsightsPack extends QueryPack {
           sum(col("qty") - coalesce(col("mq"), lit(0L))).as("leftover_qty"))
         .orderBy("buy_month")
     }),
+
+    // TPC-H Q7-shape nation trade flows: revenue shipped between the
+    // buyer's nation and the supplier's nation, by year, for the
+    // (7, 8) nation pair both directions. Exact ×1e4 revenue
+    // (cents × (100 − disc_pct)); the two dim chains (customer→
+    // nation, supplier→nation) broadcast, the lineitem↔orders spine
+    // is the one big join.
+    "tpch_q7_nation_flows" -> ((s, dir) => {
+      val li = Tables.load(s, dir, "lineitem").select(col("l_orderkey"),
+        col("l_suppkey"), col("l_shipdate"),
+        (floor(col("l_extendedprice") * 100 + 0.5).cast("long") *
+          (lit(100L) - floor(col("l_discount") * 100 + 0.5).cast("long"))).as("rev_x1e4"))
+      val o = Tables.load(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+      val c = Tables.load(s, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey").as("cust_nation"))
+      val su = Tables.load(s, dir, "supplier")
+        .select(col("s_suppkey"), col("s_nationkey").as("supp_nation"))
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(su), col("l_suppkey") === col("s_suppkey"))
+        .filter((col("supp_nation") === 7 && col("cust_nation") === 8) ||
+          (col("supp_nation") === 8 && col("cust_nation") === 7))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(to_date(col("l_shipdate"))).cast("long").as("l_year"))
+        .agg(count(lit(1)).as("n_lines"), sum(col("rev_x1e4")).as("revenue_x1e4"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    }),
+
+    // Supplier lead time: days from order date to line ship date —
+    // the ops SLA metric. Exact integer min/max plus a ×100 floor-div
+    // average per supplier for a bounded supplier slice; the
+    // lineitem↔orders spine join is the scale path, the slice filter
+    // only bounds the compare.
+    "supplier_lead_time" -> ((s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+        .filter(col("l_suppkey") < 30)
+        .select(col("l_orderkey"), col("l_suppkey"), to_date(col("l_shipdate")).as("sd"))
+      val o = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), to_date(col("o_orderdate")).as("od"))
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_suppkey"), datediff(col("sd"), col("od")).cast("long").as("lag_days"))
+        .groupBy("l_suppkey")
+        .agg(count(lit(1)).as("n_lines"), min(col("lag_days")).as("min_days"),
+          max(col("lag_days")).as("max_days"),
+          expr("(sum(lag_days) * 100) div count(1)").as("avg_days_x100"))
+        .orderBy("l_suppkey")
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1330,5 +1377,30 @@ object InsightsPack extends QueryPack {
         |  CAST(sum(b.qty - coalesce(mp.mq, 0)) AS BIGINT) AS leftover_qty
         |FROM b LEFT JOIN mp ON b.k = mp.k AND b.ord = mp.ord
         |GROUP BY 1 ORDER BY buy_month""".stripMargin,
+
+    "tpch_q7_nation_flows" ->
+      """SELECT s.s_nationkey AS supp_nation, c.c_nationkey AS cust_nation,
+        |  CAST(year(CAST(l.l_shipdate AS DATE)) AS BIGINT) AS l_year,
+        |  count(*) AS n_lines,
+        |  CAST(sum(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT)
+        |    * (100 - CAST(floor(l.l_discount * 100 + 0.5) AS BIGINT))) AS BIGINT) AS revenue_x1e4
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |WHERE (s.s_nationkey = 7 AND c.c_nationkey = 8)
+        |   OR (s.s_nationkey = 8 AND c.c_nationkey = 7)
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
+    "supplier_lead_time" ->
+      """WITH j AS (SELECT l.l_suppkey,
+        |    CAST(date_diff('day', CAST(o.o_orderdate AS DATE),
+        |      CAST(l.l_shipdate AS DATE)) AS BIGINT) AS lag_days
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  WHERE l.l_suppkey < 30)
+        |SELECT l_suppkey, count(*) AS n_lines,
+        |  min(lag_days) AS min_days, max(lag_days) AS max_days,
+        |  (CAST(sum(lag_days) AS BIGINT) * 100) // count(*) AS avg_days_x100
+        |FROM j GROUP BY 1 ORDER BY l_suppkey""".stripMargin,
   )
 }
