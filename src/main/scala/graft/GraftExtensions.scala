@@ -133,6 +133,12 @@ object GraftExtensions {
         require(args.length == 2, "zorder_key(a, b) takes 2 arguments")
         graft.functions.ZOrderKey(args(0), args(1))
       }),
+    ("hilbert_key",
+      info("hilbert_key", "64-bit Hilbert-curve index of two int columns (tighter box locality than zorder_key, no diagonal jumps)"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "hilbert_key(a, b) takes 2 arguments")
+        graft.functions.HilbertKey(args(0), args(1))
+      }),
   )
 
   private def litInt(e: Expression, what: String): Int = e match {

@@ -879,6 +879,31 @@ object RelationalPack extends QueryPack {
         .agg(count(lit(1)).as("n"), dsum("value").as("total_value"))
         .orderBy("event_type")
     }),
+    // Hilbert-clustered layout + box scan: same write-sort-scan shape
+    // as zorder_skipping but keyed by the Hilbert curve
+    // (functions/Hilbert.scala) — no diagonal jumps, so consecutive
+    // key ranges cover tighter rectangles and box predicates touch
+    // fewer files at the same file count (HilbertSpec measures it).
+    // Correctness is layout-independent: the oracle is the plain
+    // filter aggregate.
+    "hilbert_skipping" -> ((s, dir) => {
+      import graft.functions.HilbertKey
+      val out = graft.core.Scratch.dir("graft_hilbert")
+        .resolve("events").toString
+      val dims = Tables.load(s, dir, "events").select(
+        dayofmonth(col("ts")).as("dom"), hour(col("ts")).as("hod"),
+        col("event_type"), col("value"))
+      dims.withColumn("hk", HilbertKey(col("dom"), col("hod")))
+        .repartitionByRange(8, col("hk"))
+        .sortWithinPartitions("hk")
+        .drop("hk")
+        .write.mode("overwrite").parquet(out)
+      s.read.parquet(out)
+        .filter(col("dom").between(12, 20) && col("hod").between(0, 5))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), dsum("value").as("total_value"))
+        .orderBy("event_type")
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -915,6 +940,12 @@ object RelationalPack extends QueryPack {
          |FROM events
          |WHERE EXTRACT(day FROM CAST(ts AS TIMESTAMP)) BETWEEN 5 AND 10
          |  AND EXTRACT(hour FROM CAST(ts AS TIMESTAMP)) BETWEEN 6 AND 11
+         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "hilbert_skipping" ->
+      s"""SELECT event_type, count(*) AS n, ${dsumSql("value")} AS total_value
+         |FROM events
+         |WHERE EXTRACT(day FROM CAST(ts AS TIMESTAMP)) BETWEEN 12 AND 20
+         |  AND EXTRACT(hour FROM CAST(ts AS TIMESTAMP)) BETWEEN 0 AND 5
          |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "join_customer_nation_count" ->
       """SELECT n_name, count(*) AS n_customers

@@ -11,6 +11,8 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(spark.sql(
       "SELECT array_dot(array(CAST(1.5 AS FLOAT), CAST(2 AS FLOAT)), array(CAST(4 AS DOUBLE), CAST(0.5 AS DOUBLE)))")
       .head().getDouble(0) == 7.0)
+    assert(spark.sql("SELECT hilbert_key(3, 5), zorder_key(3, 5)").head().getLong(0)
+      == graft.functions.HilbertOps.xy2d(3, 5))
   }
 
   test("nfc_normalize collapses decomposed sequences; already-NFC text is identity") {
