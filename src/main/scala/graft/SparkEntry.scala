@@ -25,6 +25,7 @@ object SparkEntry {
     FormatsPack,
     PolicyPack,
     ExtrasPack,
+    TpchPack,
     TimeSeriesPack,
     InsightsPack,
     CoveragePack,

@@ -231,6 +231,34 @@ object Dedup {
       .agg(count(lit(1)).as("cnt"), min(col(idCol)).as("keeper"))
       .filter(col("cnt") > 1)
 
+  /** Cross-document duplicated n-gram statistics — the exact-substring
+    * half of training-data dedup (the "dedup by duplicated spans"
+    * family): a document whose text is mostly n-grams that also occur
+    * in OTHER documents is a near-copy even when no whole-text hash
+    * matches and MinHash similarity sits below the pair threshold.
+    *
+    * Granularity is the DISTINCT n-gram: per document, the share of
+    * its distinct n-grams that occur in ≥2 distinct documents, as ×1e4
+    * integer basis points (no float division crosses engines). Output:
+    * (id, n_grams, n_dup_grams, dup_bps).
+    *
+    * Scale shape: one shingle scan (codegen'd WordShingles), grams
+    * digested to fixed-width md5 hex BEFORE the shuffle (the shuffle
+    * carries 32-char keys, not arbitrary-length text), one hash
+    * aggregate for document frequencies, one equi-join back on the
+    * digest, one per-doc aggregate. Never all-pairs; the frequency
+    * table has vocabulary cardinality, same as the postings index. */
+  def ngramSpanStats(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3): DataFrame = {
+    val g = shingles(docs, idCol, textCol, n).select(col("id"), md5(col("sh")).as("gh"))
+    val freq = g.groupBy("gh").agg(count(lit(1)).as("ndocs"))
+    g.join(freq, "gh")
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("ndocs") >= 2, 1L).otherwise(0L)).as("n_dup_grams"))
+      .withColumn("dup_bps", expr("n_dup_grams * 10000 DIV n_grams"))
+  }
+
   /** 16-bit SimHash per document: token-occurrence weighted bit votes.
     * Narrow map + one groupBy(doc) carrying 16 small sums. */
   def simhash16(docs: DataFrame, idCol: String, textCol: String): DataFrame = {

@@ -88,6 +88,30 @@ object DedupPack extends QueryPack {
       Dedup.keepAfterDedup(d, "doc_id", Dedup.dupClusters(pairs))
         .select(col("doc_id")).orderBy("doc_id")
     }),
+    // Exact duplicated-span detection (the Lee-et-al-style exact
+    // substring half of training-data dedup): per doc, the share of
+    // its distinct 3-grams occurring in >= 2 documents — catches
+    // template/boilerplate near-copies that sit below the MinHash
+    // pair threshold. Grams are md5-digested BEFORE the shuffle.
+    "dedup_ngram_spans" -> ((s, dir) =>
+      Dedup.ngramSpanStats(Tables.load(s, dir, "documents"), "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")),
+    // The applied corpus filter: per-source kept/flagged counts at the
+    // >= 8000 bps duplicated-gram threshold — the release-gate summary
+    // a curation run reports before writing shards.
+    "dedup_ngram_prune" -> ((s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+      val stats = Dedup.ngramSpanStats(d, "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")
+      d.select(col("doc_id"), col("source"))
+        .join(stats, "doc_id")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("dup_bps") >= 8000, 1L).otherwise(0L)).as("n_flagged"))
+        .withColumn("n_kept", col("n_docs") - col("n_flagged"))
+        .orderBy("source")
+    }),
     // Standalone exact n-gram Jaccard over a given pair list (the
     // known original↔shifted-copy pairs) — the verification primitive
     // of the LSH pipeline, gated directly.
@@ -129,6 +153,20 @@ object DedupPack extends QueryPack {
       |  CASE WHEN len(w) >= 3
       |  THEN list_transform(generate_series(1, len(w) - 2), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
       |  ELSE [array_to_string(w, ' ')] END) AS sh FROM words)""".stripMargin
+
+  /** shingleSql twin over `documents` directly (no corpus doubling),
+    * grams digested to md5 like Dedup.ngramSpanStats. */
+  private val docSpanSql =
+    """words AS (SELECT doc_id AS id, string_split(text, ' ') AS w FROM documents),
+      |sh AS (SELECT DISTINCT id, unnest(
+      |  CASE WHEN len(w) >= 3
+      |  THEN list_transform(generate_series(1, len(w) - 2), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+      |  ELSE [array_to_string(w, ' ')] END) AS sh FROM words),
+      |g AS (SELECT id, md5(sh) AS gh FROM sh),
+      |freq AS (SELECT gh, count(*) AS ndocs FROM g GROUP BY gh),
+      |per AS (SELECT id, count(*) AS n_grams,
+      |    CAST(SUM(CASE WHEN ndocs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_grams
+      |  FROM g JOIN freq USING (gh) GROUP BY id)""".stripMargin
 
   private val minhashSql: String = {
     val hCols = (0 until K).map(i => s"${permHashSql("sh", i)} AS h$i").mkString(", ")
@@ -264,6 +302,20 @@ object DedupPack extends QueryPack {
         |SELECT doc_id FROM documents
         |WHERE doc_id NOT IN (SELECT id FROM labels WHERE id <> cluster)
         |ORDER BY doc_id""".stripMargin,
+    "dedup_ngram_spans" ->
+      s"""WITH $docSpanSql
+         |SELECT id AS doc_id, n_grams, n_dup_grams,
+         |  CAST(n_dup_grams * 10000 // n_grams AS BIGINT) AS dup_bps
+         |FROM per ORDER BY doc_id""".stripMargin,
+    "dedup_ngram_prune" ->
+      s"""WITH $docSpanSql,
+         |st AS (SELECT id AS doc_id,
+         |    CAST(n_dup_grams * 10000 // n_grams AS BIGINT) AS dup_bps FROM per)
+         |SELECT d.source, count(*) AS n_docs,
+         |  CAST(SUM(CASE WHEN st.dup_bps >= 8000 THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+         |  CAST(count(*) - SUM(CASE WHEN st.dup_bps >= 8000 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+         |FROM documents d JOIN st ON st.doc_id = d.doc_id
+         |GROUP BY d.source ORDER BY d.source""".stripMargin,
     "text_ngram_jaccard" ->
       s"""WITH $corpusSql,
          |$shingleSql,
