@@ -137,6 +137,50 @@ object ExtrasPack extends QueryPack {
           .as("lead_digit"))
         .groupBy("lead_digit").agg(count(lit(1)).as("n"))
         .orderBy("lead_digit")),
+    // Order-independent table fingerprint: Σ of per-row 32-bit digests
+    // + row count per group — proves two table copies identical
+    // without sorting or co-locating either side (the replication /
+    // migration audit primitive). ONE hash aggregate; any row order,
+    // any partitioning yields the same sum, so the comparison is two
+    // tiny result sets, not a row-level join. Floats enter the digest
+    // only as ×100 integer cents — a double-formatting difference
+    // can't flip the checksum.
+    "table_checksum" -> ((s, dir) => {
+      val rowStr = concat_ws("|",
+        col("l_orderkey").cast("string"), col("l_linenumber").cast("string"),
+        floor(col("l_quantity") * 100 + lit(0.5)).cast("long").cast("string"),
+        floor(col("l_extendedprice") * 100 + lit(0.5)).cast("long").cast("string"),
+        col("l_returnflag"))
+      Tables.load(s, dir, "lineitem")
+        .select(col("l_returnflag"), graft.llm.Dedup.hash32(rowStr, "ck").as("h"))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_rows"), sum(col("h")).as("checksum"))
+        .orderBy("l_returnflag")
+    }),
+    // Distribution drift between release periods: 12-bin quantity
+    // histograms for 1995 vs 1996 shipments, per-bin shares as ×1e4
+    // integer bp, per-bin L1 gap — the PSI-style drift check without
+    // the float logarithm (ln(p/q) would ULP-flake across engines;
+    // the L1 distance ranks drifting bins identically). Facts
+    // collapse to ≤12 rows per period in ONE aggregate; the share
+    // windows run on that bounded grid.
+    "drift_l1_quantity" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val li = Tables.load(s, dir, "lineitem")
+        .select(year(col("l_shipdate")).as("y"),
+          least(lit(11), floor(col("l_quantity") * 12 / 60).cast("int")).as("bin"))
+        .filter(col("y").isin(1995, 1996))
+      li.groupBy("bin")
+        .agg(sum(when(col("y") === 1995, 1L).otherwise(0L)).as("n_a"),
+          sum(when(col("y") === 1996, 1L).otherwise(0L)).as("n_b"))
+        .withColumn("t_a", sum(col("n_a")).over(Window.partitionBy()))
+        .withColumn("t_b", sum(col("n_b")).over(Window.partitionBy()))
+        .select(col("bin"), col("n_a"), col("n_b"),
+          expr("n_a * 10000 DIV t_a").as("bp_a"),
+          expr("n_b * 10000 DIV t_b").as("bp_b"))
+        .withColumn("l1_bp", abs(col("bp_a") - col("bp_b")))
+        .orderBy("bin")
+    }),
     "compact_roundtrip" -> ((s, dir) => {
       val base = graft.core.Scratch.dir("graft_compact").toString
       Tables.load(s, dir, "documents").select("doc_id", "source", "n_chars")
@@ -239,5 +283,30 @@ object ExtrasPack extends QueryPack {
     "compact_roundtrip" ->
       """SELECT source, count(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    "table_checksum" ->
+      """SELECT l_returnflag, count(*) AS n_rows,
+        |  CAST(SUM(CAST(CONCAT('0x', substr(md5(
+        |    CAST(l_orderkey AS VARCHAR) || '|' || CAST(l_linenumber AS VARCHAR) || '|' ||
+        |    CAST(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) AS VARCHAR) || '|' ||
+        |    CAST(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS VARCHAR) || '|' ||
+        |    l_returnflag || ':ck'), 1, 8)) AS BIGINT)) AS BIGINT) AS checksum
+        |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
+    "drift_l1_quantity" ->
+      """WITH b AS (SELECT year(l_shipdate) AS y,
+        |    least(11, CAST(floor(l_quantity * 12 / 60) AS INT)) AS bin
+        |  FROM lineitem WHERE year(l_shipdate) IN (1995, 1996)),
+        |g AS (SELECT bin,
+        |    CAST(SUM(CASE WHEN y = 1995 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |    CAST(SUM(CASE WHEN y = 1996 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+        |  FROM b GROUP BY 1),
+        |w AS (SELECT bin, n_a, n_b,
+        |    CAST(SUM(n_a) OVER () AS BIGINT) AS t_a,
+        |    CAST(SUM(n_b) OVER () AS BIGINT) AS t_b
+        |  FROM g)
+        |SELECT bin, n_a, n_b,
+        |  CAST(n_a * 10000 // t_a AS BIGINT) AS bp_a,
+        |  CAST(n_b * 10000 // t_b AS BIGINT) AS bp_b,
+        |  CAST(abs(n_a * 10000 // t_a - n_b * 10000 // t_b) AS BIGINT) AS l1_bp
+        |FROM w ORDER BY bin""".stripMargin,
   )
 }

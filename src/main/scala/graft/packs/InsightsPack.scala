@@ -617,6 +617,36 @@ object InsightsPack extends QueryPack {
         .orderBy("entry_type")
     }),
 
+    // Linear multi-touch attribution: each session's purchase cents
+    // split EQUALLY across the session's distinct event types,
+    // penny-exact via the largest-remainder allocator (Σ credit ≡
+    // Σ purchase cents structurally — no float split ever reconciles).
+    // Same 30-min-gap sessions as first-touch; the allocator runs on
+    // the |sessions × ≤|event types|| grid, never on raw events.
+    // Sessions whose purchase total is ≤ 0 are excluded by contract
+    // (integer-division allocation is defined for positive totals).
+    "events_attribution_linear" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val sess = events(s, dir)
+        .select(col("user_id"), col("event_id"), col("ts"), col("event_type"),
+          floor(col("value") * 100 + 0.5).cast("long").as("v_x100"),
+          when(lag(col("ts"), 1).over(w).isNull ||
+              unix_millis(col("ts").cast("timestamp")) -
+                unix_millis(lag(col("ts"), 1).over(w).cast("timestamp")) > 1800000L,
+            1L).otherwise(0L).as("new_sess"))
+        .withColumn("sess_no", sum(col("new_sess")).over(w))
+        .withColumn("sess_key", concat_ws("#", col("user_id"), col("sess_no")))
+      val purch = sess.filter(col("event_type") === "purchase")
+        .groupBy("sess_key").agg(sum(col("v_x100")).as("p_x100"))
+        .filter(col("p_x100") > 0)
+      val grid = sess.select("sess_key", "event_type").distinct()
+        .join(purch, "sess_key").withColumn("one", lit(1L))
+      graft.ops.Allocate.largestRemainder(grid, "sess_key", "one", "p_x100", "event_type")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_sessions"), sum(col("alloc")).as("credit_x100"))
+        .orderBy("event_type")
+    }),
+
     // Inter-arrival time histogram per user stream, order-of-magnitude
     // buckets — the rate profile that sizes watermark and session-gap
     // parameters. One keyed window + one count shuffle.
@@ -1248,6 +1278,29 @@ object InsightsPack extends QueryPack {
         |  CAST(bit_count(bit_or(CAST(1 AS BIGINT) << c_nationkey)) AS BIGINT) AS mask_popcount
         |FROM customer GROUP BY 1 ORDER BY c_mktsegment""".stripMargin,
 
+    "events_attribution_linear" ->
+      """WITH f AS (SELECT user_id, event_id, ts, event_type,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS v_x100,
+        |    CASE WHEN lag(ts, 1) OVER w IS NULL
+        |      OR epoch_ms(CAST(ts AS TIMESTAMP)) - epoch_ms(CAST(lag(ts, 1) OVER w AS TIMESTAMP)) > 1800000
+        |      THEN 1 ELSE 0 END AS new_sess
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (SELECT *, CAST(user_id AS VARCHAR) || '#' ||
+        |    CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS VARCHAR) AS sess_key FROM f),
+        |p AS (SELECT sess_key, CAST(SUM(v_x100) AS BIGINT) AS p_x100 FROM s
+        |  WHERE event_type = 'purchase' GROUP BY 1 HAVING SUM(v_x100) > 0),
+        |t AS (SELECT DISTINCT sess_key, event_type FROM s),
+        |g AS (SELECT t.sess_key, t.event_type, p.p_x100,
+        |    count(*) OVER (PARTITION BY t.sess_key) AS W,
+        |    row_number() OVER (PARTITION BY t.sess_key ORDER BY t.event_type) AS rk
+        |  FROM t JOIN p USING (sess_key)),
+        |a AS (SELECT event_type,
+        |    p_x100 // W + (CASE WHEN rk <= p_x100 % W THEN 1 ELSE 0 END) AS alloc
+        |  FROM g)
+        |SELECT event_type, count(*) AS n_sessions,
+        |  CAST(SUM(alloc) AS BIGINT) AS credit_x100
+        |FROM a GROUP BY 1 ORDER BY event_type""".stripMargin,
     "events_attribution_first_touch" ->
       """WITH f AS (SELECT user_id, event_id, ts, event_type,
         |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS v_x100,

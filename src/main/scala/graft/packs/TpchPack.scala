@@ -137,6 +137,58 @@ object TpchPack extends QueryPack {
         .agg(countDistinct("l_suppkey").as("supplier_cnt"))
         .orderBy(desc("supplier_cnt"), asc("p_type"), asc("p_size"))
     }),
+    // Q22 shape — "idle rich customers": a correlated scalar subquery
+    // (balance above the positive-balance average) plus NOT EXISTS
+    // (no premium order — the fixture has essentially no order-less
+    // customers, so the quantifier targets orders over 400k). The
+    // global average is ONE 1-row aggregate broadcast back (the
+    // comparison clears to bal·n > Σbal — no division), and the NOT
+    // EXISTS is a keys-only LEFT ANTI join whose probe-side filter is
+    // pushed into the orders scan.
+    "tpch_q22_idle_rich" -> ((s, dir) => {
+      val c = Tables.load(s, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey"),
+          cents(col("c_acctbal")).as("bal_c"))
+      val avgPos = c.filter(col("bal_c") > 0)
+        .agg(sum(col("bal_c")).as("sbal"), count(lit(1)).as("nbal"))
+      val ords = Tables.load(s, dir, "orders")
+        .filter(col("o_totalprice") > 400000).select("o_custkey")
+      c.join(broadcast(avgPos))
+        .filter(col("bal_c") * col("nbal") > col("sbal"))
+        .join(ords, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy("c_nationkey")
+        .agg(count(lit(1)).as("numcust"), sum(col("bal_c")).as("totacctbal_c"))
+        .orderBy("c_nationkey")
+    }),
+
+    // Percent-of-parent hierarchy: each nation's order revenue as a
+    // share of its region, and each region as a share of the grand
+    // total — the drill-down ratio every BI rollup renders. Facts
+    // aggregate FIRST to the 25-row nation grain; both parent shares
+    // are windows over that bounded aggregate (the partitionless
+    // window runs on 25 rows, never on facts), as ×1e4 integer bp.
+    "share_of_parent" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val c = Tables.load(s, dir, "customer").select("c_custkey", "c_nationkey")
+      val o = Tables.load(s, dir, "orders")
+        .select(col("o_custkey"), cents(col("o_totalprice")).as("rev_c"))
+      val n = Tables.load(s, dir, "nation")
+        .join(Tables.load(s, dir, "region"),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"), col("n_name"), col("r_name"))
+      val perNation = o.join(c, col("o_custkey") === col("c_custkey"))
+        .groupBy("c_nationkey").agg(sum(col("rev_c")).as("rev_c"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      perNation
+        .withColumn("region_rev_c", sum(col("rev_c")).over(
+          Window.partitionBy(col("r_name"))))
+        .withColumn("total_rev_c", sum(col("rev_c")).over(
+          Window.partitionBy()))
+        .select(col("r_name"), col("n_name"), col("rev_c"),
+          expr("rev_c * 10000 DIV region_rev_c").as("nation_share_bp"),
+          expr("region_rev_c * 10000 DIV total_rev_c").as("region_share_bp"))
+        .orderBy("r_name", "n_name")
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -193,6 +245,35 @@ object TpchPack extends QueryPack {
         |JOIN supplier s ON s.s_suppkey = per.s_suppkey
         |JOIN nation n ON n.n_nationkey = s.s_nationkey
         |ORDER BY n_sole_orders DESC, per.s_suppkey""".stripMargin,
+    "tpch_q22_idle_rich" ->
+      """WITH c AS (SELECT c_custkey, c_nationkey,
+        |    CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS bal_c
+        |  FROM customer),
+        |a AS (SELECT CAST(SUM(bal_c) AS BIGINT) AS sbal, count(*) AS nbal
+        |  FROM c WHERE bal_c > 0)
+        |SELECT c.c_nationkey, count(*) AS numcust,
+        |  CAST(SUM(c.bal_c) AS BIGINT) AS totacctbal_c
+        |FROM c, a
+        |WHERE c.bal_c * a.nbal > a.sbal
+        |  AND NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+        |GROUP BY 1 ORDER BY c_nationkey""".stripMargin,
+    "share_of_parent" ->
+      """WITH pn AS (
+        |  SELECT c.c_nationkey, CAST(SUM(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS rev_c
+        |  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+        |  GROUP BY 1),
+        |j AS (SELECT r.r_name, n.n_name, pn.rev_c
+        |  FROM pn JOIN nation n ON n.n_nationkey = pn.c_nationkey
+        |  JOIN region r ON r.r_regionkey = n.n_regionkey),
+        |w AS (SELECT r_name, n_name, rev_c,
+        |    CAST(SUM(rev_c) OVER (PARTITION BY r_name) AS BIGINT) AS region_rev_c,
+        |    CAST(SUM(rev_c) OVER () AS BIGINT) AS total_rev_c
+        |  FROM j)
+        |SELECT r_name, n_name, rev_c,
+        |  CAST(rev_c * 10000 // region_rev_c AS BIGINT) AS nation_share_bp,
+        |  CAST(region_rev_c * 10000 // total_rev_c AS BIGINT) AS region_share_bp
+        |FROM w ORDER BY r_name, n_name""".stripMargin,
     "tpch_q16_supplier_variety" ->
       """SELECT p.p_type, p.p_size, count(DISTINCT l.l_suppkey) AS supplier_cnt
         |FROM lineitem l
