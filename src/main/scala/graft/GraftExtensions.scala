@@ -73,6 +73,17 @@ object GraftExtensions {
         }
         graft.functions.KmvDistinct(args(0), k).toAggregateExpression()
       }),
+    ("kmv_sketch",
+      info("kmv_sketch", "mergeable KMV sketch: the k smallest distinct hashes as a sorted array; second argument (k) must be a literal int"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "kmv_sketch(hash, k) takes 2 arguments")
+        val k = args(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"kmv_sketch k must be a literal int, got $other")
+        }
+        graft.functions.KmvSketch(args(0), k).toAggregateExpression()
+      }),
     ("kmv_quantiles",
       info("kmv_quantiles", "hash-min-k quantile sketch: kmv_quantiles(hash60, value, k, q1, q2, ...) with literal k and quantile fractions"),
       (args: Seq[Expression]) => {

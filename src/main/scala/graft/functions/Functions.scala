@@ -663,6 +663,85 @@ case class KmvDistinct(child: Expression, k: Int,
     copy(child = newChild)
 }
 
+/** `kmv_sketch(hash, k)` — the MERGEABLE form of [[KmvDistinct]]: the
+  * same k-smallest-distinct-hashes buffer, but eval emits the kept
+  * hashes as a sorted array instead of collapsing to the estimate.
+  * Two sketches support the full KMV set algebra downstream with
+  * plain array functions — union = k smallest of the concatenation,
+  * intersection estimate = (matching fraction of the union sketch) ×
+  * union estimate — so segment-overlap questions cost O(k) state per
+  * segment instead of a distinct-join of the raw key sets. Same
+  * oracle-reproducibility story as KmvDistinct: the buffer is a
+  * deterministic function of the input SET, any partitioning. */
+case class KmvSketch(child: Expression, k: Int,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+  extends org.apache.spark.sql.catalyst.expressions.aggregate
+    .TypedImperativeAggregate[java.util.TreeSet[java.lang.Long]]
+  with org.apache.spark.sql.catalyst.trees.UnaryLike[Expression]
+  with org.apache.spark.sql.catalyst.expressions.ExpectsInputTypes {
+
+  override def inputTypes: Seq[org.apache.spark.sql.types.DataType] =
+    Seq(org.apache.spark.sql.types.LongType)
+
+  require(k >= 2, s"kmv_sketch: k=$k must be >= 2")
+
+  override def createAggregationBuffer(): java.util.TreeSet[java.lang.Long] =
+    new java.util.TreeSet[java.lang.Long]()
+
+  private def insert(buf: java.util.TreeSet[java.lang.Long], h: Long): Unit =
+    if (buf.size < k) { buf.add(h); () }
+    else if (h < buf.last) {
+      buf.add(h)
+      if (buf.size > k) { buf.pollLast(); () }
+    }
+
+  override def update(buf: java.util.TreeSet[java.lang.Long],
+      input: org.apache.spark.sql.catalyst.InternalRow): java.util.TreeSet[java.lang.Long] = {
+    val v = child.eval(input)
+    if (v != null) insert(buf, v.asInstanceOf[Long])
+    buf
+  }
+
+  override def merge(buf: java.util.TreeSet[java.lang.Long],
+      other: java.util.TreeSet[java.lang.Long]): java.util.TreeSet[java.lang.Long] = {
+    other.forEach(h => insert(buf, h))
+    buf
+  }
+
+  override def eval(buf: java.util.TreeSet[java.lang.Long]): Any = {
+    val arr = new Array[Any](buf.size)
+    var i = 0
+    buf.forEach(h => { arr(i) = h.longValue(); i += 1 }) // TreeSet iterates ascending
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(arr)
+  }
+
+  override def serialize(buf: java.util.TreeSet[java.lang.Long]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(4 + 8 * buf.size)
+    bb.putInt(buf.size)
+    buf.forEach(h => { bb.putLong(h); () })
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): java.util.TreeSet[java.lang.Long] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val buf = createAggregationBuffer()
+    (0 until n).foreach(_ => buf.add(bb.getLong))
+    buf
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "kmv_sketch"
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): KmvSketch =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): KmvSketch =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): KmvSketch =
+    copy(child = newChild)
+}
+
 /** `kmv_quantiles(hash60, value, k, qs…)` — quantile sketch as a
   * TypedImperativeAggregate over a DETERMINISTIC hash-min-k row
   * sample: keep the k lexicographically smallest DISTINCT

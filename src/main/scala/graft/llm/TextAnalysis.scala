@@ -223,6 +223,40 @@ object TextAnalysis {
         expr("(_sr * 100) div n_tokens").as("rarity_x100"))
   }
 
+  /** Bigram-surprisal quality scoring — the contextual sibling of
+    * [[rarityScores]] and the engine's perplexity proxy: per doc, the
+    * mean log2 of 1/P(w2|w1) under the corpus bigram model, in pure
+    * integer arithmetic (one bigram's surprisal = bitlength(cnt(w1)
+    * div cnt(w1,w2)) where cnt(w1) counts w1 as a bigram HEAD — the
+    * LM denominator Σ_y cnt(w1,y) — so the ratio is ≥ 1 by
+    * construction; doc score = ×100 floor mean). A doc full of
+    * improbable transitions (shuffled tokens, template mashups)
+    * scores high even when every token is individually common — the
+    * signal unigram rarity cannot see.
+    *
+    * Scale shape: bigram construction is NARROW (an index-transform
+    * over the split array — no window, no per-doc shuffle); corpus
+    * counts are two hash aggregates; scoring joins are keyed on the
+    * bigram/head. Docs with < 2 tokens drop (no bigram, no score). */
+  def bigramSurprisal(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val base = docs
+      .select(col(idCol).as("id"),
+        filter(split(col(textCol), " "), x => x =!= "").as("w"))
+      .filter(size(col("w")) >= 2)
+    val bp = base
+      .select(col("id"), explode(expr(
+        "transform(sequence(1, size(w) - 1), i -> struct(w[i-1] AS w1, w[i] AS w2))")).as("bg"))
+      .select(col("id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val heads = bp.groupBy("w1").agg(count(lit(1)).as("c1"))
+    val pairs = bp.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+    bp.join(pairs, Seq("w1", "w2")).join(heads, Seq("w1"))
+      .select(col("id"), length(bin(expr("c1 div cb"))).as("sb"))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("sb")).as("_ss"))
+      .select(col("id"), col("n_bigrams"),
+        expr("(_ss * 100) div n_bigrams").as("surprisal_x100"))
+  }
+
   /** Sentence segmentation — the granularity between document and
     * token: each sentence is a maximal run of non-terminator
     * characters plus its trailing `.!?` run, trimmed; empty segments

@@ -76,6 +76,14 @@ object LlmPack extends QueryPack {
       TA.rarityScores(docs(s, dir), "doc_id", "text")
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id")),
+    // Perplexity-proxy: per-doc mean bigram surprisal under the corpus
+    // bigram model, pure integer ops (bitlength of the head/pair count
+    // ratio) — flags shuffled/mashed text that unigram rarity scores
+    // as ordinary.
+    "text_bigram_surprisal" -> ((s, dir) =>
+      TA.bigramSurprisal(docs(s, dir), "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")),
     // Free-text PII scrub (TA.scrubPii): inject deterministic PII —
     // an email per doc, a phone on evens, an IPv4 on %3, an SSN on %5 —
     // then redact to typed placeholders and report per-kind audit
@@ -924,6 +932,23 @@ object LlmPack extends QueryPack {
         |ORDER BY doc_id, sent_id""".stripMargin,
     // same tokenization, same integer rarity (bitlength of total//cnt
     // via binary format), same floor-100× mean
+    // same head-count denominator (w1 as bigram head), same binary-
+    // format bitlength, same ×100 floor mean
+    "text_bigram_surprisal" ->
+      """WITH base AS (SELECT doc_id AS id,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS w
+        |  FROM documents),
+        |b2 AS (SELECT id, w FROM base WHERE len(w) >= 2),
+        |bi AS (SELECT id, unnest(generate_series(1, len(w) - 1)) AS i, w FROM b2),
+        |bp AS (SELECT id, w[i] AS w1, w[i+1] AS w2 FROM bi),
+        |c1 AS (SELECT w1, count(*) AS c1 FROM bp GROUP BY 1),
+        |cb AS (SELECT w1, w2, count(*) AS cb FROM bp GROUP BY 1, 2),
+        |r AS (SELECT bp.id,
+        |    length(format('{:b}', CAST(c1.c1 // cb.cb AS BIGINT))) AS sb
+        |  FROM bp JOIN cb USING (w1, w2) JOIN c1 USING (w1))
+        |SELECT id AS doc_id, count(*) AS n_bigrams,
+        |  CAST((sum(sb) * 100) // count(*) AS BIGINT) AS surprisal_x100
+        |FROM r GROUP BY id ORDER BY doc_id""".stripMargin,
     "text_rarity" ->
       """WITH toks AS (SELECT doc_id AS id, unnest(string_split(text, ' ')) AS tok
         |  FROM documents),

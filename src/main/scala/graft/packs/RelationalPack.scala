@@ -388,6 +388,44 @@ object RelationalPack extends QueryPack {
         .orderBy("c_mktsegment")
     }),
 
+    // KMV SET ALGEBRA — segment audience overlap from two mergeable
+    // sketches (functions.KmvSketch): est(∪) from the combined min-k,
+    // est(∩) = (matching fraction of the union sketch) × est(∪). Each
+    // segment costs O(k) state however many users it has; the exact
+    // intersection rides along as the audit column. 40-bit hash space
+    // so every estimator step stays in exact long arithmetic
+    // ((k−1)·2⁴⁰ ≈ 6.9e13 — the 60-bit space would force decimal
+    // division and its cross-engine rounding hazards).
+    "kmv_segment_overlap" -> ((s, dir) => {
+      import graft.functions.{F, KmvSketch}
+      val h = conv(substring(md5(concat(col("user_id").cast("string"),
+        lit(":kvo"))), 1, 10), 16, 10).cast("long")
+      val ev = Tables.load(s, dir, "events")
+      val sk = ev.filter(col("event_type").isin("purchase", "view"))
+        .select(col("event_type"), h.as("h"))
+        .groupBy("event_type")
+        .agg(F.toColumn(KmvSketch(F.toExpr(col("h")), 64)
+          .toAggregateExpression()).as("sk"))
+      val a = sk.filter(col("event_type") === "purchase").select(col("sk").as("ska"))
+      val b = sk.filter(col("event_type") === "view").select(col("sk").as("skb"))
+      val exact = ev.filter(col("event_type") === "purchase")
+        .select("user_id").distinct()
+        .join(ev.filter(col("event_type") === "view")
+          .select("user_id").distinct(), "user_id")
+        .agg(count(lit(1)).as("n_exact_inter"))
+      a.crossJoin(b).crossJoin(exact) // three 1-row sides
+        .withColumn("ku", expr("slice(array_sort(array_union(ska, skb)), 1, 64)"))
+        .withColumn("nk", size(col("ku")))
+        .withColumn("hk", expr("element_at(ku, nk)"))
+        .withColumn("est_union", when(col("nk") < 64, col("nk").cast("long"))
+          .otherwise(expr("63 * 1099511627776 DIV hk")))
+        .withColumn("rho", expr(
+          "size(filter(ku, x -> array_contains(ska, x) AND array_contains(skb, x)))"))
+        .withColumn("est_inter", expr("rho * est_union DIV nk"))
+        .select(col("n_exact_inter"), col("rho").cast("long").as("rho"),
+          col("est_union"), col("est_inter"))
+    }),
+
     // §2.13 quantile sketch sibling of kmv_distinct: deterministic
     // hash-min-k row sample per group (O(k) state, mergeable capped
     // set union), nearest-rank quantiles over the sample's values in
@@ -1193,6 +1231,37 @@ object RelationalPack extends QueryPack {
         |  CASE WHEN agg.nh < 64 THEN agg.nh
         |       ELSE CAST(CAST(63 AS HUGEINT) * 1152921504606846976 // agg.hk AS BIGINT) END AS n_kmv
         |FROM ex JOIN agg USING (c_mktsegment) ORDER BY c_mktsegment""".stripMargin,
+    // mirror of the KMV set algebra: per-segment min-64 via
+    // row_number, union sketch = min-64 of the merged kept sets, rho
+    // counts union-sketch hashes present in BOTH kept sets, identical
+    // integer estimator arms
+    "kmv_segment_overlap" ->
+      """WITH h AS (SELECT DISTINCT event_type,
+        |    CAST(CONCAT('0x', substr(md5(CAST(user_id AS VARCHAR) || ':kvo'), 1, 10)) AS BIGINT) AS h
+        |  FROM events WHERE event_type IN ('purchase', 'view')),
+        |rk AS (SELECT event_type, h,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn FROM h),
+        |keep AS (SELECT event_type, h FROM rk WHERE rn <= 64),
+        |uni AS (SELECT DISTINCT h FROM keep),
+        |urk AS (SELECT h, row_number() OVER (ORDER BY h) AS rn FROM uni),
+        |ku AS (SELECT h FROM urk WHERE rn <= 64),
+        |st AS (SELECT count(*) AS nk, max(h) AS hk,
+        |    CAST(SUM(CASE WHEN EXISTS (SELECT 1 FROM keep a
+        |          WHERE a.event_type = 'purchase' AND a.h = ku.h)
+        |        AND EXISTS (SELECT 1 FROM keep b
+        |          WHERE b.event_type = 'view' AND b.h = ku.h)
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS rho
+        |  FROM ku),
+        |ex AS (SELECT count(*) AS n_exact_inter FROM
+        |  (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase') p
+        |  JOIN (SELECT DISTINCT user_id FROM events WHERE event_type = 'view') v
+        |  USING (user_id))
+        |SELECT ex.n_exact_inter, st.rho,
+        |  CASE WHEN st.nk < 64 THEN st.nk
+        |       ELSE 63 * 1099511627776 // st.hk END AS est_union,
+        |  st.rho * (CASE WHEN st.nk < 64 THEN st.nk
+        |       ELSE 63 * 1099511627776 // st.hk END) // st.nk AS est_inter
+        |FROM ex, st""".stripMargin,
     // mirrors KmvQuantiles: DISTINCT (group, hash, value) pairs, the
     // k=256 smallest by (hash, value) via a row_number window, then
     // nearest-rank picks values[1 + floor(q*(m-1))] over the sample

@@ -105,6 +105,31 @@ class FunctionsSpec extends SparkSpec {
     assert(spark.sql("SELECT kmv_distinct(h, 64) FROM kmv_t").head.getLong(0) == 25L)
   }
 
+  test("KmvSketch: sorted min-k array, partition-invariant, estimator-consistent with KmvDistinct, SQL-callable") {
+    def hashed(n: Int, dup: Int) = spark.range(n)
+      .selectExpr(s"id % ${n / dup} AS v")
+      .select(conv(substring(md5(concat(col("v").cast("string"), lit(":kmv"))), 1, 15), 16, 10)
+        .cast("long").as("h"))
+    def skCol(k: Int) = F.toColumn(
+      KmvSketch(F.toExpr(col("h")), k).toAggregateExpression()).as("sk")
+    // below k: the sketch IS the distinct hash set, sorted ascending
+    val small = hashed(100, 4).select(skCol(64)).head.getSeq[Long](0)
+    assert(small.length == 25 && small == small.sorted)
+    // partition invariance: identical array under 1 vs 16 partitions
+    val one = hashed(20000, 2).coalesce(1).select(skCol(256)).head.getSeq[Long](0)
+    val many = hashed(20000, 2).repartition(16).select(skCol(256)).head.getSeq[Long](0)
+    assert(one == many && one.length == 256)
+    // estimator consistency: (k-1)*2^60 / sketch.last == kmv_distinct
+    val viaSketch = (BigInt(255) * BigInt(1L << 60) / BigInt(one.last)).toLong
+    val viaAgg = hashed(20000, 2).select(F.toColumn(
+      KmvDistinct(F.toExpr(col("h")), 256).toAggregateExpression())).head.getLong(0)
+    assert(viaSketch == viaAgg)
+    // SQL surface
+    graft.GraftExtensions.register(spark)
+    hashed(100, 4).createOrReplaceTempView("kmvsk_t")
+    assert(spark.sql("SELECT kmv_sketch(h, 64) FROM kmvsk_t").head.getSeq[Long](0).length == 25)
+  }
+
   test("KmvQuantiles: exact below k, near-true above, partition-invariant, SQL-callable") {
     import spark.implicits._
     import graft.functions.KmvQuantiles
