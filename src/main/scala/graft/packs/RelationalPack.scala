@@ -858,6 +858,33 @@ object RelationalPack extends QueryPack {
         .orderBy("day")
     }),
 
+    // DYNAMIC partition pruning: the fact side is partitioned by
+    // order year, the dim side's surviving years are only known at
+    // RUNTIME (a filter on nation derives them), and Catalyst injects
+    // the dim's year set into the fact scan's partition filters as a
+    // dynamicpruning subquery — so the fact scan reads only the
+    // partitions the join can use, without any static predicate. The
+    // static sibling is scan_partition_pruned; PlanShapeSpec locks the
+    // dynamicpruningexpression in this plan.
+    "scan_dpp_join" -> ((s, dir) => {
+      val out = graft.core.Scratch.dir("graft_dpp")
+        .resolve("orders_by_year").toString
+      Tables.load(s, dir, "orders")
+        .withColumn("o_year", year(col("o_orderdate")))
+        .write.mode("overwrite").partitionBy("o_year").parquet(out)
+      val fact = s.read.parquet(out)
+        .select(col("o_year"),
+          floor(col("o_totalprice") * 100 + lit(0.5)).cast("long").as("rev_c"))
+      val dim = Tables.load(s, dir, "nation")
+        .filter(col("n_name").isin("NATION_14", "NATION_17"))
+        .select((lit(1995) + col("n_nationkey") % 4).as("y"))
+        .distinct()
+      fact.join(dim, col("o_year") === col("y"))
+        .groupBy("y")
+        .agg(count(lit(1)).as("n_orders"), sum(col("rev_c")).as("rev_c"))
+        .orderBy("y")
+    }),
+
     // Z-order clustering: events rewritten ordered along a Morton
     // curve over (day-of-month, hour-of-day), so every output file's
     // min/max footer covers a small RECTANGLE of the 2-D plane and a
@@ -965,6 +992,13 @@ object RelationalPack extends QueryPack {
          |  count(*) AS n, ${dsumSql("value")} AS total_value
          |FROM events WHERE event_type = 'purchase'
          |GROUP BY 1 ORDER BY day""".stripMargin,
+    "scan_dpp_join" ->
+      """WITH dim AS (SELECT DISTINCT 1995 + n_nationkey % 4 AS y
+        |  FROM nation WHERE n_name IN ('NATION_14', 'NATION_17'))
+        |SELECT d.y, count(*) AS n_orders,
+        |  CAST(SUM(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS rev_c
+        |FROM orders o JOIN dim d ON year(o.o_orderdate) = d.y
+        |GROUP BY 1 ORDER BY y""".stripMargin,
     "fileindex_pruned_scan" ->
       s"""SELECT o_orderstatus, count(*) AS n, ${dsumSql("o_totalprice")} AS total
          |FROM orders WHERE o_orderkey BETWEEN 1000 AND 5000

@@ -478,6 +478,12 @@ class PlanShapeSpec extends SparkSpec {
     assert(scans <= 4, s"expected <=4 parquet scans, got $scans\n$p")
   }
 
+  test("scan_dpp_join: the fact scan carries a dynamicpruning partition filter from the dim side") {
+    val df = SparkEntry.queries("scan_dpp_join")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString.toLowerCase
+    assert(p.contains("dynamicpruning"), p)
+  }
+
   test("tpch_q16: the supplier denylist is a broadcast LEFT ANTI — excluded lines drop before the part join") {
     val p = plan("tpch_q16_supplier_variety")
     assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"), p)
