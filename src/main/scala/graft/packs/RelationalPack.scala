@@ -160,6 +160,16 @@ object RelationalPack extends QueryPack {
     "events_stream_upsert" -> ((s, dir) =>
       graft.streaming.EventsStream.latestStateViaFileSink(s, dir)),
 
+    // §2.11 × sketches: streaming distinct-user estimation with
+    // MERGEABLE KMV state — per-hour min-k sketches merged across
+    // micro-batches by pure set union (O(k) state per hour forever;
+    // a streaming count(distinct) would hold every key). Batch 2 is a
+    // full REDELIVERY (new event ids, same users): set semantics must
+    // absorb it, so the state equals the single-shot sketch of the
+    // original feed — the oracle mirrors that single-shot algebra.
+    "events_kmv_stream" -> ((s, dir) =>
+      graft.streaming.EventsStream.kmvStateViaFileSink(s, dir)),
+
     // §2.11 CHAINED stateful operators: ingest-dedup → hourly window
     // agg in ONE streaming query over a redelivered feed — counts must
     // equal the batch aggregate of the unduplicated feed (a dropped
@@ -1172,6 +1182,20 @@ object RelationalPack extends QueryPack {
         |    PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn FROM feed)
         |SELECT user_id, strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts, event_id, value
         |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin,
+    // single-shot per-hour KMV mirror: the redelivered batch adds no
+    // new users, so the streamed state must reduce to exactly this
+    "events_kmv_stream" ->
+      """WITH h AS (SELECT DISTINCT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H') AS hour,
+        |    CAST(CONCAT('0x', substr(md5(CAST(user_id AS VARCHAR) || ':kmw'), 1, 10)) AS BIGINT) AS h
+        |  FROM events),
+        |rk AS (SELECT hour, h,
+        |    row_number() OVER (PARTITION BY hour ORDER BY h) AS rn FROM h),
+        |keep AS (SELECT hour, h FROM rk WHERE rn <= 64),
+        |agg AS (SELECT hour, count(*) AS nk, max(h) AS hk FROM keep GROUP BY 1)
+        |SELECT hour, CAST(nk AS BIGINT) AS nk,
+        |  CAST(CASE WHEN nk < 64 THEN nk
+        |       ELSE 63 * 1099511627776 // hk END AS BIGINT) AS est_users
+        |FROM agg ORDER BY hour""".stripMargin,
     // the stream-stream join's batch twin: same interval condition
     "events_stream_join" ->
       """SELECT p.user_id, p.event_id AS purchase_id, v.event_id AS view_id

@@ -594,6 +594,111 @@ object EventsStream {
     merged.write.mode("overwrite").parquet(s"$stateBase/v$batchId")
   }
 
+  /** Hourly distinct-user KMV sketch of one slice of the feed: the
+    * mergeable min-k array (functions.KmvSketch, k=64) over a 40-bit
+    * keyed hash of the user id, per event hour. 40 bits so the
+    * estimator arithmetic downstream stays in exact longs. */
+  def kmvHourly(events: DataFrame): DataFrame = {
+    import graft.functions.{F, KmvSketch}
+    val h = conv(substring(md5(concat(col("user_id").cast("string"),
+      lit(":kmw"))), 1, 10), 16, 10).cast("long")
+    events.select(date_format(col("ts"), "yyyy-MM-dd HH").as("hour"), h.as("h"))
+      .groupBy("hour")
+      .agg(F.toColumn(KmvSketch(F.toExpr(col("h")), 64)
+        .toAggregateExpression()).as("sk"))
+  }
+
+  /** §2.11 × sketches: streaming distinct-user estimation via
+    * MERGEABLE KMV state. Each micro-batch reduces to (hour, min-k
+    * sketch) and merges into the versioned store by pure sketch union
+    * (flatten → distinct → sort → first k) — O(k) state per hour
+    * FOREVER, at any event rate, where a streaming count(distinct)
+    * would hold every key. Set semantics absorb redelivered users, so
+    * the source's at-least-once contract cannot inflate the estimate.
+    * Exactly-once mechanism shared with [[materializeLatest]]: merge
+    * reads the newest version STRICTLY BELOW the batch id and
+    * overwrites `v<batchId>`, so a torn-batch retry reproduces
+    * identical state. */
+  def kmvStreamState(events: DataFrame, stateBase: String,
+      checkpoint: String): StreamingQuery =
+    events.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        mergeSketchIntoState(batch, batchId, stateBase)
+      }
+      .start()
+
+  /** One [[kmvStreamState]] micro-batch commit. The union aggregate's
+    * collect_list is bounded by construction: per hour it sees at most
+    * one state row plus one batch row, each an array of ≤ k longs, and
+    * the flatten→distinct→sort→slice pipeline is order-insensitive —
+    * merge order can never change the kept set. */
+  def mergeSketchIntoState(batch: DataFrame, batchId: Long,
+      stateBase: String): Unit = {
+    val ss = batch.sparkSession
+    val b = kmvHourly(batch)
+    val merged = currentStateVersion(ss, stateBase, below = batchId) match {
+      case Some(dir) =>
+        ss.read.parquet(dir).unionByName(b)
+          .groupBy("hour")
+          .agg(expr("slice(array_sort(array_distinct(flatten(collect_list(sk)))), 1, 64)")
+            .as("sk"))
+      case None => b
+    }
+    merged.write.mode("overwrite").parquet(s"$stateBase/v$batchId")
+  }
+
+  /** Correctness gate for [[kmvStreamState]]: the events fixture
+    * streams in TWO micro-batches — the original plus a full
+    * REDELIVERY (new event ids, same users, same timestamps). The
+    * final state's per-hour estimates must equal the single-shot KMV
+    * of the original fixture alone: the duplicate delivery is fully
+    * absorbed by set semantics. Output (hour, nk, est_users) via the
+    * estimator arms shared with kmv_segment_overlap. */
+  def kmvStateViaFileSink(spark: SparkSession, sfDir: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val base = Files.createTempDirectory("graft_kmv_gate")
+    val in = base.resolve("in"); Files.createDirectories(in)
+    Files.copy(Paths.get(s"$sfDir/events.parquet"), in.resolve("events.parquet"))
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "4")
+    ss.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val probe = ss.read.parquet(s"$sfDir/events.parquet")
+    val stage = base.resolve("stage")
+    probe.select((col("event_id") + 1000000L).as("event_id"), col("ts"),
+      col("user_id"), col("event_type"), col("value"), col("props"))
+      .coalesce(1).write.parquet(stage.toString)
+    val listing = Files.list(stage)
+    val part = try listing.filter(_.getFileName.toString.endsWith(".parquet")).findFirst.get
+      finally listing.close()
+    val dst = in.resolve("events_redelivery.parquet")
+    Files.copy(part, dst)
+    Files.setLastModifiedTime(dst,
+      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() + 10000L))
+    val state = base.resolve("state").toString
+    val q = kmvStreamState(
+      readEvents(ss, in.toString, maxFilesPerTrigger = Some(1)),
+      state, base.resolve("ckpt").toString)
+    try q.processAllAvailable() finally q.stop()
+    val current = currentStateVersion(ss, state).get
+    val currentName = new org.apache.hadoop.fs.Path(current).getName
+    val oldVersions = {
+      val l = Files.list(Paths.get(state))
+      try {
+        import scala.jdk.CollectionConverters._
+        l.iterator().asScala.toSeq.filter(_.getFileName.toString != currentName)
+      } finally l.close()
+    }
+    deleteDirs(Seq(in, stage, base.resolve("ckpt")) ++ oldVersions)
+    spark.read.parquet(current)
+      .withColumn("nk", size(col("sk")))
+      .withColumn("hk", expr("element_at(sk, nk)"))
+      .select(col("hour"), col("nk").cast("long").as("nk"),
+        when(col("nk") < 64, col("nk").cast("long"))
+          .otherwise(expr("63 * 1099511627776 DIV hk")).as("est_users"))
+      .orderBy("hour")
+  }
+
   /** Retire superseded state versions under `stateBase`, keeping the
     * newest `keep` (≥1). The versioned stores ([[materializeLatest]],
     * DocsStream's signature state) otherwise grow one full copy per

@@ -213,6 +213,35 @@ class EventsStreamSpec extends SparkSpec {
     assert(rows.toSeq == Seq((7L, 2L, 9.0), (8L, 3L, 2.0)), rows.mkString(","))
   }
 
+  test("kmv sketch state: redelivery is absorbed, merge accumulates, torn-batch retry is idempotent") {
+    val base = java.nio.file.Files.createTempDirectory("kmv_retry")
+    val state = base.resolve("state").toString
+    def batchDf(rows: (Long, String, Long)*) =
+      rows.map { case (eid, t, uid) => Event(eid, ts(t), uid, "view", 1.0) }.toDF()
+    // batch 0: three users in hour 10
+    EventsStream.mergeSketchIntoState(
+      batchDf((1L, "2024-01-01 10:00:00", 7L), (2L, "2024-01-01 10:10:00", 8L),
+        (3L, "2024-01-01 10:20:00", 9L)), 0L, state)
+    def sketch(dir: String) = spark.read.parquet(dir)
+      .select("hour", "sk").collect()
+      .map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    val s0 = sketch(EventsStream.currentStateVersion(spark, state).get)
+    assert(s0("2024-01-01 10").length == 3)
+    // batch 1: full redelivery of user 7 + one NEW user in a new hour
+    val b1 = batchDf((4L, "2024-01-01 10:05:00", 7L), (5L, "2024-01-01 11:00:00", 10L))
+    EventsStream.mergeSketchIntoState(b1, 1L, state)
+    // torn-batch retry: same id again must reproduce identical state
+    EventsStream.mergeSketchIntoState(b1, 1L, state)
+    val cur = EventsStream.currentStateVersion(spark, state).get
+    assert(cur.endsWith("/v1"), cur)
+    val s1 = sketch(cur)
+    // hour 10 unchanged (user 7 was already in the sketch); hour 11 new
+    assert(s1("2024-01-01 10") == s0("2024-01-01 10"), s1)
+    assert(s1("2024-01-01 11").length == 1)
+    // arrays stay sorted min-k
+    s1.values.foreach(a => assert(a == a.sorted))
+  }
+
   test("runToFiles: deployable file-source → parquet-sink pipeline (§2.11)") {
     val base = java.nio.file.Files.createTempDirectory("evstream")
     val out = base.resolve("out").toString
