@@ -157,6 +157,36 @@ object ExtrasPack extends QueryPack {
         .agg(count(lit(1)).as("n_rows"), sum(col("h")).as("checksum"))
         .orderBy("l_returnflag")
     }),
+    // The checksum audit APPLIED: reconcile two copies of a table —
+    // copy B carries an injected one-cent corruption on the 'R' rows
+    // of every 1000th order — by comparing per-group fingerprints.
+    // Only the corrupted group surfaces; no row-level join between
+    // the copies ever runs (at 100 TB the copies may live in
+    // different systems — each side ships 3 rows, not a table).
+    "table_checksum_diff" -> ((s, dir) => {
+      def fingerprint(priceAdj: org.apache.spark.sql.Column) = {
+        val li = Tables.load(s, dir, "lineitem")
+          .withColumn("price_c",
+            floor(col("l_extendedprice") * 100 + lit(0.5)).cast("long") + priceAdj)
+        val rowStr = concat_ws("|",
+          col("l_orderkey").cast("string"), col("l_linenumber").cast("string"),
+          floor(col("l_quantity") * 100 + lit(0.5)).cast("long").cast("string"),
+          col("price_c").cast("string"), col("l_returnflag"))
+        li.select(col("l_returnflag"), graft.llm.Dedup.hash32(rowStr, "ck").as("h"))
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n"), sum(col("h")).as("ck"))
+      }
+      val a = fingerprint(lit(0L))
+        .select(col("l_returnflag"), col("n").as("n_a"), col("ck").as("ck_a"))
+      val b = fingerprint(
+          when(col("l_returnflag") === "R" && col("l_orderkey") % 1000 === 0, 1L)
+            .otherwise(0L))
+        .select(col("l_returnflag"), col("n").as("n_b"), col("ck").as("ck_b"))
+      a.join(b, Seq("l_returnflag"), "full_outer")
+        .select(col("l_returnflag"), col("n_a"), col("n_b"),
+          (col("n_a") === col("n_b") && col("ck_a") === col("ck_b")).as("checksums_match"))
+        .orderBy("l_returnflag")
+    }),
     // Distribution drift between release periods: 12-bin quantity
     // histograms for 1995 vs 1996 shipments, per-bin shares as ×1e4
     // integer bp, per-bin L1 gap — the PSI-style drift check without
@@ -291,6 +321,31 @@ object ExtrasPack extends QueryPack {
         |    CAST(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS VARCHAR) || '|' ||
         |    l_returnflag || ':ck'), 1, 8)) AS BIGINT)) AS BIGINT) AS checksum
         |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
+    "table_checksum_diff" ->
+      """WITH rows_a AS (SELECT l_returnflag,
+        |    CAST(CONCAT('0x', substr(md5(
+        |      CAST(l_orderkey AS VARCHAR) || '|' || CAST(l_linenumber AS VARCHAR) || '|' ||
+        |      CAST(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) AS VARCHAR) || '|' ||
+        |      CAST(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS VARCHAR) || '|' ||
+        |      l_returnflag || ':ck'), 1, 8)) AS BIGINT) AS h
+        |  FROM lineitem),
+        |rows_b AS (SELECT l_returnflag,
+        |    CAST(CONCAT('0x', substr(md5(
+        |      CAST(l_orderkey AS VARCHAR) || '|' || CAST(l_linenumber AS VARCHAR) || '|' ||
+        |      CAST(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) AS VARCHAR) || '|' ||
+        |      CAST(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) +
+        |        (CASE WHEN l_returnflag = 'R' AND l_orderkey % 1000 = 0 THEN 1 ELSE 0 END)
+        |        AS VARCHAR) || '|' ||
+        |      l_returnflag || ':ck'), 1, 8)) AS BIGINT) AS h
+        |  FROM lineitem),
+        |a AS (SELECT l_returnflag, count(*) AS n_a, CAST(SUM(h) AS BIGINT) AS ck_a
+        |  FROM rows_a GROUP BY 1),
+        |b AS (SELECT l_returnflag, count(*) AS n_b, CAST(SUM(h) AS BIGINT) AS ck_b
+        |  FROM rows_b GROUP BY 1)
+        |SELECT a.l_returnflag, a.n_a, b.n_b,
+        |  (a.n_a = b.n_b AND a.ck_a = b.ck_b) AS checksums_match
+        |FROM a FULL OUTER JOIN b USING (l_returnflag)
+        |ORDER BY l_returnflag""".stripMargin,
     "drift_l1_quantity" ->
       """WITH b AS (SELECT year(l_shipdate) AS y,
         |    least(11, CAST(floor(l_quantity * 12 / 60) AS INT)) AS bin

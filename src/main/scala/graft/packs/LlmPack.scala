@@ -76,6 +76,27 @@ object LlmPack extends QueryPack {
       TA.rarityScores(docs(s, dir), "doc_id", "text")
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id")),
+    // Release-tier composition: the scoring operators (unigram rarity
+    // + bigram surprisal) combined into the keep/review/reject
+    // decision a curation run ships — per (lang, tier) counts. The
+    // thresholds are integer constants sitting at the corpus's upper
+    // quantiles; composing adds two doc-keyed equi-joins and nothing
+    // else to the plan.
+    "curation_quality_tiers" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val r = TA.rarityScores(d, "doc_id", "text")
+        .select(col("id").as("doc_id"), col("rarity_x100"))
+      val sp = TA.bigramSurprisal(d, "doc_id", "text")
+        .select(col("id").as("doc_id"), col("surprisal_x100"))
+      d.select(col("doc_id"), col("lang"))
+        .join(r, "doc_id").join(sp, "doc_id")
+        .withColumn("tier",
+          when(col("surprisal_x100") >= 538 || col("rarity_x100") >= 507, lit("reject"))
+            .when(col("surprisal_x100") >= 532 || col("rarity_x100") >= 504, lit("review"))
+            .otherwise(lit("keep")))
+        .groupBy("lang", "tier").agg(count(lit(1)).as("n_docs"))
+        .orderBy("lang", "tier")
+    }),
     // Perplexity-proxy: per-doc mean bigram surprisal under the corpus
     // bigram model, pure integer ops (bitlength of the head/pair count
     // ratio) — flags shuffled/mashed text that unigram rarity scores
@@ -932,6 +953,37 @@ object LlmPack extends QueryPack {
         |ORDER BY doc_id, sent_id""".stripMargin,
     // same tokenization, same integer rarity (bitlength of total//cnt
     // via binary format), same floor-100× mean
+    // the rarity and surprisal CTE algebras chained per doc, same
+    // integer thresholds
+    "curation_quality_tiers" ->
+      """WITH toks AS (SELECT doc_id AS id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |t2 AS (SELECT id, tok FROM toks WHERE tok <> ''),
+        |freq AS (SELECT tok, count(*) AS cnt FROM t2 GROUP BY tok),
+        |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM freq),
+        |r AS (SELECT t2.id, length(format('{:b}', CAST(tot.total // f.cnt AS BIGINT))) AS rb
+        |  FROM t2 JOIN freq f USING (tok) CROSS JOIN tot),
+        |rar AS (SELECT id, CAST((sum(rb) * 100) // count(*) AS BIGINT) AS rarity_x100
+        |  FROM r GROUP BY id),
+        |base AS (SELECT doc_id AS id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+        |  FROM documents),
+        |b2 AS (SELECT id, w FROM base WHERE len(w) >= 2),
+        |bi AS (SELECT id, unnest(generate_series(1, len(w) - 1)) AS i, w FROM b2),
+        |bp AS (SELECT id, w[i] AS w1, w[i+1] AS w2 FROM bi),
+        |c1 AS (SELECT w1, count(*) AS c1 FROM bp GROUP BY 1),
+        |cb AS (SELECT w1, w2, count(*) AS cb FROM bp GROUP BY 1, 2),
+        |r2 AS (SELECT bp.id, length(format('{:b}', CAST(c1.c1 // cb.cb AS BIGINT))) AS sb
+        |  FROM bp JOIN cb USING (w1, w2) JOIN c1 USING (w1)),
+        |sur AS (SELECT id, CAST((sum(sb) * 100) // count(*) AS BIGINT) AS surprisal_x100
+        |  FROM r2 GROUP BY id),
+        |tiers AS (SELECT d.lang,
+        |    CASE WHEN sur.surprisal_x100 >= 538 OR rar.rarity_x100 >= 507 THEN 'reject'
+        |         WHEN sur.surprisal_x100 >= 532 OR rar.rarity_x100 >= 504 THEN 'review'
+        |         ELSE 'keep' END AS tier
+        |  FROM documents d
+        |  JOIN rar ON rar.id = d.doc_id
+        |  JOIN sur ON sur.id = d.doc_id)
+        |SELECT lang, tier, count(*) AS n_docs
+        |FROM tiers GROUP BY 1, 2 ORDER BY lang, tier""".stripMargin,
     // same head-count denominator (w1 as bigram head), same binary-
     // format bitlength, same ×100 floor mean
     "text_bigram_surprisal" ->
