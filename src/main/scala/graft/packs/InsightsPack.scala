@@ -647,6 +647,41 @@ object InsightsPack extends QueryPack {
         .orderBy("event_type")
     }),
 
+    // Time-decay attribution — the third member of the family
+    // (first-touch, linear, decay): each touch at or before the
+    // session's LAST purchase gets weight 2^max(0, 5 − age/10min) —
+    // integer halving per 10 minutes of age, so no float exp ever
+    // crosses engines — and the session's purchase cents split by
+    // largest remainder over those weights (Σ credit ≡ Σ purchase
+    // cents structurally). Same 30-min sessions; the allocator grid is
+    // |touches ≤ anchor|, tie-broken by event id.
+    "events_attribution_decay" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val sess = events(s, dir)
+        .select(col("user_id"), col("event_id"), col("ts"), col("event_type"),
+          sec(col("ts")).as("t"),
+          floor(col("value") * 100 + 0.5).cast("long").as("v_x100"),
+          when(lag(col("ts"), 1).over(w).isNull ||
+              unix_millis(col("ts").cast("timestamp")) -
+                unix_millis(lag(col("ts"), 1).over(w).cast("timestamp")) > 1800000L,
+            1L).otherwise(0L).as("new_sess"))
+        .withColumn("sess_no", sum(col("new_sess")).over(w))
+        .withColumn("sess_key", concat_ws("#", col("user_id"), col("sess_no")))
+      val anchors = sess.filter(col("event_type") === "purchase")
+        .groupBy("sess_key")
+        .agg(max(col("t")).as("anchor"), sum(col("v_x100")).as("p_x100"))
+        .filter(col("p_x100") > 0)
+      val touches = sess.select("sess_key", "event_id", "event_type", "t")
+        .join(anchors, "sess_key")
+        .filter(col("t") <= col("anchor"))
+        .withColumn("wgt", expr(
+          "shiftleft(CAST(1 AS BIGINT), CAST(greatest(0, 5 - (anchor - t) DIV 600) AS INT))"))
+      graft.ops.Allocate.largestRemainder(touches, "sess_key", "wgt", "p_x100", "event_id")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_touches"), sum(col("alloc")).as("credit_x100"))
+        .orderBy("event_type")
+    }),
+
     // Inter-arrival time histogram per user stream, order-of-magnitude
     // buckets — the rate profile that sizes watermark and session-gap
     // parameters. One keyed window + one count shuffle.
@@ -1278,6 +1313,32 @@ object InsightsPack extends QueryPack {
         |  CAST(bit_count(bit_or(CAST(1 AS BIGINT) << c_nationkey)) AS BIGINT) AS mask_popcount
         |FROM customer GROUP BY 1 ORDER BY c_mktsegment""".stripMargin,
 
+    "events_attribution_decay" ->
+      """WITH f AS (SELECT user_id, event_id, ts, event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 AS t,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS v_x100,
+        |    CASE WHEN lag(ts, 1) OVER w IS NULL
+        |      OR epoch_ms(CAST(ts AS TIMESTAMP)) - epoch_ms(CAST(lag(ts, 1) OVER w AS TIMESTAMP)) > 1800000
+        |      THEN 1 ELSE 0 END AS new_sess
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (SELECT *, CAST(user_id AS VARCHAR) || '#' ||
+        |    CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS VARCHAR) AS sess_key FROM f),
+        |a AS (SELECT sess_key, max(t) AS anchor, CAST(SUM(v_x100) AS BIGINT) AS p_x100
+        |  FROM s WHERE event_type = 'purchase' GROUP BY 1 HAVING SUM(v_x100) > 0),
+        |touch AS (SELECT s.sess_key, s.event_id AS tie, s.event_type, a.p_x100 AS t_total,
+        |    CAST(1 AS BIGINT) << CAST(greatest(0, 5 - (a.anchor - s.t) // 600) AS INT) AS w
+        |  FROM s JOIN a USING (sess_key) WHERE s.t <= a.anchor),
+        |b AS (SELECT sess_key, tie, event_type, w, t_total,
+        |    CAST(sum(w) OVER (PARTITION BY sess_key) AS BIGINT) AS tw FROM touch),
+        |c AS (SELECT sess_key, tie, event_type, t_total,
+        |    (t_total * w) // tw AS base, (t_total * w) % tw AS rem FROM b),
+        |d AS (SELECT sess_key, tie, event_type, base,
+        |    t_total - CAST(sum(base) OVER (PARTITION BY sess_key) AS BIGINT) AS leftu,
+        |    row_number() OVER (PARTITION BY sess_key ORDER BY rem DESC, tie) AS rk FROM c)
+        |SELECT event_type, count(*) AS n_touches,
+        |  CAST(SUM(base + CASE WHEN rk <= leftu THEN 1 ELSE 0 END) AS BIGINT) AS credit_x100
+        |FROM d GROUP BY 1 ORDER BY event_type""".stripMargin,
     "events_attribution_linear" ->
       """WITH f AS (SELECT user_id, event_id, ts, event_type,
         |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS v_x100,

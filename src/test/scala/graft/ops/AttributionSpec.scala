@@ -32,5 +32,12 @@ class AttributionSpec extends SparkSpec {
 
     assert(credit === total, s"credit=$credit purchase_total=$total")
     assert(total > 0)
+
+    // decay attribution allocates the SAME session purchase totals
+    // (same positive-purchase sessions, different weights) — its
+    // credit must re-add to the identical grand total
+    val decay = SparkEntry.queries("events_attribution_decay")(spark, sf)
+      .agg(sum(col("credit_x100"))).head.getLong(0)
+    assert(decay === total, s"decay=$decay purchase_total=$total")
   }
 }
