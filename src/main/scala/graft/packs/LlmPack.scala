@@ -1,6 +1,7 @@
 package graft.packs
 
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.QueryPack
 import graft.core.Tables
@@ -157,6 +158,31 @@ object LlmPack extends QueryPack {
         .filter(col("term") =!= "")
         .groupBy("term").agg(count(lit(1)).as("n"))
         .orderBy(desc("n"), asc("term")).limit(20)),
+    // TF-IDF keyword extraction per source — the weighted sibling of
+    // text_top_terms: score = tf(source, term) × bitlength(N_docs div
+    // df_docs(term)), pure integers so both engines rank identically.
+    // Terms common to every doc get idf=bitlength(1)=1 and sink; the
+    // per-source top-5 comes from a row_number over the |sources ×
+    // vocab| aggregate, never the token stream.
+    "text_tfidf_terms" -> ((s, dir) => {
+      val toks = docs(s, dir)
+        .select(col("source"), col("doc_id"),
+          explode(split(col("text"), " ")).as("term"))
+        .filter(col("term") =!= "")
+      val tf = toks.groupBy("source", "term").agg(count(lit(1)).as("tf"))
+      val df = toks.select("doc_id", "term").distinct()
+        .groupBy("term").agg(count(lit(1)).as("dfd"))
+      val n = docs(s, dir).agg(countDistinct(col("doc_id")).as("nd"))
+      val scored = tf.join(df, "term").join(broadcast(n))
+        .withColumn("score", col("tf") * length(bin(expr("nd div dfd"))))
+      val w = Window.partitionBy("source")
+        .orderBy(desc("score"), asc("term"))
+      scored.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 5)
+        .select(col("source"), col("rk").cast("long").as("rk"),
+          col("term"), col("score"))
+        .orderBy("source", "rk")
+    }),
     // Lexical retrieval (llm/Search.scala): integer-exact BM25 top-25
     // for a 4-term query over the inverted index — postings filtered
     // to the query's term set before any join, per-term idf and the
@@ -813,6 +839,22 @@ object LlmPack extends QueryPack {
         |   AND n_chars_nosp / n_words >= 3.0 AND n_chars_nosp / n_words <= 10.0
         |   AND n_stop >= 1) AS keep
         |FROM s ORDER BY doc_id""".stripMargin,
+    "text_tfidf_terms" ->
+      """WITH toks AS (SELECT source, doc_id, unnest(string_split(text, ' ')) AS term
+        |  FROM documents),
+        |t2 AS (SELECT * FROM toks WHERE term <> ''),
+        |tf AS (SELECT source, term, count(*) AS tf FROM t2 GROUP BY 1, 2),
+        |df AS (SELECT term, count(*) AS dfd
+        |  FROM (SELECT DISTINCT doc_id, term FROM t2) GROUP BY 1),
+        |n AS (SELECT count(DISTINCT doc_id) AS nd FROM documents),
+        |sc AS (SELECT tf.source, tf.term,
+        |    tf.tf * length(format('{:b}', CAST(n.nd // df.dfd AS BIGINT))) AS score
+        |  FROM tf JOIN df USING (term) CROSS JOIN n),
+        |r AS (SELECT source, term, score,
+        |    row_number() OVER (PARTITION BY source ORDER BY score DESC, term) AS rk
+        |  FROM sc)
+        |SELECT source, CAST(rk AS BIGINT) AS rk, term, CAST(score AS BIGINT) AS score
+        |FROM r WHERE rk <= 5 ORDER BY source, rk""".stripMargin,
     "text_top_terms" ->
       """SELECT term, count(*) AS n
         |FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
