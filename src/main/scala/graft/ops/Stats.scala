@@ -232,12 +232,25 @@ object Stats {
     val w = Window.orderBy(col(valueCol).desc, col(idCol).asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val tot = perEntity.agg(sum(col(valueCol)).as("tot"))
+    // Class membership is the RATIONAL comparison cum/tot ≤ a/10000,
+    // cross-multiplied with the fraction REDUCED by gcd(a, 10000):
+    // the original cum*10000 div tot formulation overflows INT64 once
+    // the cumulative total passes ~9.2e14 — the sf1 standing gate
+    // caught exactly that (DuckDB raised; a non-ANSI engine would
+    // wrap silently and misclassify). With the default thresholds the
+    // products are cum*5 and cum*20, good to totals ~4.6e17; the
+    // overflow margin scales with 10000/gcd for custom thresholds.
+    @annotation.tailrec
+    def gcd(a: Long, b: Long): Long = if (b == 0) a else gcd(b, a % b)
+    def below(x1e4: Long) = {
+      val g = gcd(x1e4, 10000L)
+      col("cum") * lit(10000L / g) <= col("tot") * lit(x1e4 / g)
+    }
     perEntity.join(broadcast(tot))
       .withColumn("cum", sum(col(valueCol)).over(w))
-      .withColumn("cum_x1e4", expr("cum * 10000L div tot"))
       .withColumn("abc_class",
-        when(col("cum_x1e4") <= aX1e4, "A")
-          .when(col("cum_x1e4") <= bX1e4, "B").otherwise("C"))
+        when(below(aX1e4), "A")
+          .when(below(bX1e4), "B").otherwise("C"))
       .drop("cum", "tot")
   }
 }

@@ -1495,8 +1495,8 @@ object RelationalPack extends QueryPack {
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
         |  FROM per),
         |cl AS (SELECT rev,
-        |    CASE WHEN cum * 10000 // t.t <= 8000 THEN 'A'
-        |         WHEN cum * 10000 // t.t <= 9500 THEN 'B'
+        |    CASE WHEN cum * 5 <= t.t * 4 THEN 'A'
+        |         WHEN cum * 20 <= t.t * 19 THEN 'B'
         |         ELSE 'C' END AS abc_class
         |  FROM c, tot t)
         |SELECT abc_class, count(*) AS n_suppliers,
