@@ -167,6 +167,10 @@ object InsightsPack extends QueryPack {
         .join(uni.select(col("w").as("w2"), col("c").as("c_y")), "w2")
         .crossJoin(broadcast(tot))
         .select(col("w1"), col("w2"), col("c_xy"),
+          // overflow margin (the supplier_abc lesson, audited): the
+          // product c_xy·n_tokens·1e6 stays under INT64 while
+          // c_xy·n_tokens < 9.2e12 — sf1 sits at ~3e10 for the
+          // hottest pair; a 100× corpus needs the DECIMAL form
           expr("(c_xy * n_tokens * 1000000) DIV (c_x * c_y)").as("pmi_ppm"))
         .orderBy(desc("c_xy"), asc("w1"), asc("w2"))
         .limit(20)

@@ -185,6 +185,10 @@ object TpchPack extends QueryPack {
         .withColumn("total_rev_c", sum(col("rev_c")).over(
           Window.partitionBy()))
         .select(col("r_name"), col("n_name"), col("rev_c"),
+          // overflow margin (the supplier_abc lesson, audited): the
+          // grand total must stay under ~9.2e14 cents for the ×1e4
+          // products — sf1 sits at ~3.8e13 (24× headroom); a 100×
+          // table needs the reduced-fraction/DECIMAL form
           expr("rev_c * 10000 DIV region_rev_c").as("nation_share_bp"),
           expr("region_rev_c * 10000 DIV total_rev_c").as("region_share_bp"))
         .orderBy("r_name", "n_name")
