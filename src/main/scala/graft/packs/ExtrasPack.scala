@@ -137,6 +137,43 @@ object ExtrasPack extends QueryPack {
           .as("lead_digit"))
         .groupBy("lead_digit").agg(count(lit(1)).as("n"))
         .orderBy("lead_digit")),
+    // Write-Audit-Publish — the lakehouse promotion pattern: the
+    // candidate lands in STAGING, the expectations audit runs on the
+    // staged files (not the source — what you audit must be what you
+    // publish), and only a clean audit promotes it via an atomic
+    // directory rename (at scale: a table-format pointer swap, the
+    // same single-writer metadata operation). Consumers read only
+    // the published path, so a failing audit leaves the previous
+    // table intact — no torn reads at any scale. Output = the
+    // published table's per-status aggregate + the audit verdict.
+    "wap_publish" -> ((s, dir) => {
+      import graft.ops.Expectations
+      val base = graft.core.Scratch.dir("graft_wap")
+      val staging = base.resolve("staging")
+      val published = base.resolve("published")
+      Tables.load(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+        .write.mode("overwrite").parquet(staging.toString)
+      val audit = Expectations.audit(s.read.parquet(staging.toString), Seq(
+        Expectations.notNull("o_custkey"),
+        Expectations.inSet("o_orderstatus", Seq("O", "F", "P")),
+        Expectations.Unique("unique:o_orderkey", Seq("o_orderkey"))))
+        .agg(count(lit(1)).as("n_rules"),
+          sum(col("n_violations")).as("n_violations"))
+      val Array(nRules, nViolations) =
+        audit.head.toSeq.map(_.asInstanceOf[Long]).toArray
+      if (nViolations == 0L)
+        java.nio.file.Files.move(staging, published)
+      require(java.nio.file.Files.exists(published),
+        s"wap_publish: audit failed ($nViolations violations) — staging not promoted")
+      s.read.parquet(published.toString)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(floor(col("o_totalprice") * 100 + lit(0.5)).cast("long")).as("total_c"))
+        .withColumn("audit_rules", lit(nRules))
+        .withColumn("audit_violations", lit(nViolations))
+        .orderBy("o_orderstatus")
+    }),
     // Order-independent table fingerprint: Σ of per-row 32-bit digests
     // + row count per group — proves two table copies identical
     // without sorting or co-locating either side (the replication /
@@ -321,6 +358,14 @@ object ExtrasPack extends QueryPack {
         |    CAST(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS VARCHAR) || '|' ||
         |    l_returnflag || ':ck'), 1, 8)) AS BIGINT)) AS BIGINT) AS checksum
         |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
+    // the audit passes by construction on this fixture, so published
+    // ≡ candidate; 3 rules, 0 violations ride along as literals
+    "wap_publish" ->
+      """SELECT o_orderstatus, count(*) AS n_orders,
+        |  CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS total_c,
+        |  CAST(3 AS BIGINT) AS audit_rules,
+        |  CAST(0 AS BIGINT) AS audit_violations
+        |FROM orders GROUP BY 1 ORDER BY o_orderstatus""".stripMargin,
     "table_checksum_diff" ->
       """WITH rows_a AS (SELECT l_returnflag,
         |    CAST(CONCAT('0x', substr(md5(

@@ -651,6 +651,24 @@ object InsightsPack extends QueryPack {
         .orderBy("event_type")
     }),
 
+    // Deterministic dictionary encoding (the StringIndexer shape):
+    // codes by frequency rank (most frequent = 0, ties by value) over
+    // the |distinct values| AGGREGATE — the window runs on the
+    // dictionary, never the fact table; facts encode via ONE
+    // broadcast equi-join. No fit/transform state object: the
+    // dictionary IS a table, so it versions, audits and joins like
+    // any other.
+    "features_dict_encode" -> ((s, dir) => {
+      val p = Tables.load(s, dir, "part")
+      val dict = p.groupBy("p_brand").agg(count(lit(1)).as("n"))
+        .withColumn("code",
+          (row_number().over(Window.orderBy(desc("n"), asc("p_brand"))) - 1)
+            .cast("long"))
+      p.join(broadcast(dict.select("p_brand", "code")), "p_brand")
+        .groupBy("code", "p_brand").agg(count(lit(1)).as("n_parts"))
+        .orderBy("code")
+    }),
+
     // Time-decay attribution — the third member of the family
     // (first-touch, linear, decay): each touch at or before the
     // session's LAST purchase gets weight 2^max(0, 5 − age/10min) —
@@ -1317,6 +1335,14 @@ object InsightsPack extends QueryPack {
         |  CAST(bit_count(bit_or(CAST(1 AS BIGINT) << c_nationkey)) AS BIGINT) AS mask_popcount
         |FROM customer GROUP BY 1 ORDER BY c_mktsegment""".stripMargin,
 
+    "features_dict_encode" ->
+      """WITH d AS (SELECT p_brand, count(*) AS n FROM part GROUP BY 1),
+        |c AS (SELECT p_brand,
+        |    CAST(row_number() OVER (ORDER BY n DESC, p_brand) - 1 AS BIGINT) AS code
+        |  FROM d)
+        |SELECT c.code, p.p_brand, count(*) AS n_parts
+        |FROM part p JOIN c ON c.p_brand = p.p_brand
+        |GROUP BY 1, 2 ORDER BY code""".stripMargin,
     "events_attribution_decay" ->
       """WITH f AS (SELECT user_id, event_id, ts, event_type,
         |    epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 AS t,

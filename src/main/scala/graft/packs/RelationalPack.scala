@@ -868,6 +868,24 @@ object RelationalPack extends QueryPack {
         .orderBy("day")
     }),
 
+    // Explicit join-strategy control: a dim too big to broadcast
+    // safely at 100 TB but small enough to hash per partition — the
+    // SHUFFLE_HASH hint skips BOTH the broadcast OOM risk AND the
+    // sort-merge join's double sort (the strategy Spark picks
+    // unhinted once the dim passes the broadcast threshold).
+    // PlanShapeSpec locks the ShuffledHashJoin.
+    "join_shuffle_hash_hint" -> ((s, dir) => {
+      val c = Tables.load(s, dir, "customer")
+        .select("c_custkey", "c_mktsegment").hint("SHUFFLE_HASH")
+      val o = Tables.load(s, dir, "orders")
+        .select(col("o_custkey"),
+          floor(col("o_totalprice") * 100 + lit(0.5)).cast("long").as("p_c"))
+      o.join(c, col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"), sum(col("p_c")).as("revenue_c"))
+        .orderBy("c_mktsegment")
+    }),
+
     // DYNAMIC partition pruning: the fact side is partitioned by
     // order year, the dim side's surviving years are only known at
     // RUNTIME (a filter on nation derives them), and Catalyst injects
@@ -1002,6 +1020,11 @@ object RelationalPack extends QueryPack {
          |  count(*) AS n, ${dsumSql("value")} AS total_value
          |FROM events WHERE event_type = 'purchase'
          |GROUP BY 1 ORDER BY day""".stripMargin,
+    "join_shuffle_hash_hint" ->
+      """SELECT c.c_mktsegment, count(*) AS n_orders,
+        |  CAST(SUM(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_c
+        |FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+        |GROUP BY 1 ORDER BY c_mktsegment""".stripMargin,
     "scan_dpp_join" ->
       """WITH dim AS (SELECT DISTINCT 1995 + n_nationkey % 4 AS y
         |  FROM nation WHERE n_name IN ('NATION_14', 'NATION_17'))

@@ -478,6 +478,12 @@ class PlanShapeSpec extends SparkSpec {
     assert(scans <= 4, s"expected <=4 parquet scans, got $scans\n$p")
   }
 
+  test("join_shuffle_hash_hint compiles to ShuffledHashJoin — not broadcast, not sort-merge") {
+    val p = plan("join_shuffle_hash_hint")
+    assert(p.contains("ShuffledHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("scan_dpp_join: the fact scan carries a dynamicpruning partition filter from the dim side") {
     val df = SparkEntry.queries("scan_dpp_join")(spark, sf)
     val p = df.queryExecution.executedPlan.toString.toLowerCase
