@@ -223,6 +223,34 @@ object TextAnalysis {
         expr("(_sr * 100) div n_tokens").as("rarity_x100"))
   }
 
+  /** Stopword-filtered S-stemmer normalization: tokens lowercased,
+    * stopwords dropped, and plural surface forms collapsed by the
+    * classic three-rule S-stemmer (sses→ss, ies→i, trailing s drops
+    * unless the token ends in ss) — the deterministic, regex-free
+    * normalizer that merges inflected forms before counting. Several
+    * surface forms map to one stem, so downstream term statistics
+    * stop splitting their mass. Entirely narrow (one explode + a CASE
+    * chain); the stopword set is a broadcast-literal isin. A real
+    * Porter stemmer is a model decision, not an engine one — the
+    * three S-rules are the documented scope. Output (id, stem). */
+  def stemmedTokens(docs: DataFrame, idCol: String, textCol: String,
+      stopwords: Seq[String]): DataFrame = {
+    val toks = docs
+      .select(col(idCol).as("id"),
+        explode(split(col(textCol), " ")).as("raw"))
+      .select(col("id"), lower(col("raw")).as("tok"))
+      .filter(col("tok") =!= "" && !col("tok").isin(stopwords: _*))
+    toks.select(col("id"),
+      when(col("tok").endsWith("sses"),
+        expr("substring(tok, 1, length(tok) - 2)"))
+        .when(col("tok").endsWith("ies"),
+          concat(expr("substring(tok, 1, length(tok) - 3)"), lit("i")))
+        .when(col("tok").endsWith("ss"), col("tok"))
+        .when(col("tok").endsWith("s") && length(col("tok")) > 1,
+          expr("substring(tok, 1, length(tok) - 1)"))
+        .otherwise(col("tok")).as("stem"))
+  }
+
   /** Bigram-surprisal quality scoring — the contextual sibling of
     * [[rarityScores]] and the engine's perplexity proxy: per doc, the
     * mean log2 of 1/P(w2|w1) under the corpus bigram model, in pure

@@ -158,6 +158,18 @@ object LlmPack extends QueryPack {
         .filter(col("term") =!= "")
         .groupBy("term").agg(count(lit(1)).as("n"))
         .orderBy(desc("n"), asc("term")).limit(20)),
+    // Token normalization: stopword removal + S-stemmer, then the
+    // top-20 stems with how many surface forms each collapsed — the
+    // pre-count normalizer that stops term statistics splitting
+    // their mass across inflections.
+    "text_stem_tokens" -> ((s, dir) => {
+      val stems = TA.stemmedTokens(docs(s, dir), "doc_id", "text",
+        Seq("the", "a", "an", "of", "and", "to", "in", "is", "it", "for"))
+      stems
+        .groupBy("stem")
+        .agg(count(lit(1)).as("n"))
+        .orderBy(desc("n"), asc("stem")).limit(20)
+    }),
     // TF-IDF keyword extraction per source — the weighted sibling of
     // text_top_terms: score = tf(source, term) × bitlength(N_docs div
     // df_docs(term)), pure integers so both engines rank identically.
@@ -839,6 +851,19 @@ object LlmPack extends QueryPack {
         |   AND n_chars_nosp / n_words >= 3.0 AND n_chars_nosp / n_words <= 10.0
         |   AND n_stop >= 1) AS keep
         |FROM s ORDER BY doc_id""".stripMargin,
+    // same lowercase, same stopword literal set, same three S-rules
+    "text_stem_tokens" ->
+      """WITH toks AS (SELECT lower(unnest(string_split(text, ' '))) AS tok FROM documents),
+        |t2 AS (SELECT tok FROM toks WHERE tok <> ''
+        |  AND tok NOT IN ('the','a','an','of','and','to','in','is','it','for')),
+        |st AS (SELECT CASE
+        |    WHEN tok LIKE '%sses' THEN substr(tok, 1, length(tok) - 2)
+        |    WHEN tok LIKE '%ies' THEN substr(tok, 1, length(tok) - 3) || 'i'
+        |    WHEN tok LIKE '%ss' THEN tok
+        |    WHEN tok LIKE '%s' AND length(tok) > 1 THEN substr(tok, 1, length(tok) - 1)
+        |    ELSE tok END AS stem FROM t2)
+        |SELECT stem, count(*) AS n
+        |FROM st GROUP BY 1 ORDER BY n DESC, stem LIMIT 20""".stripMargin,
     "text_tfidf_terms" ->
       """WITH toks AS (SELECT source, doc_id, unnest(string_split(text, ' ')) AS term
         |  FROM documents),

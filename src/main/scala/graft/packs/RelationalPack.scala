@@ -868,6 +868,30 @@ object RelationalPack extends QueryPack {
         .orderBy("day")
     }),
 
+    // Null-skew guard: in a LEFT join over a nullable key, null keys
+    // can never match — yet an unguarded plan still ships them
+    // through the shuffle, where they all hash to ONE partition (the
+    // classic null-hot-spot). Segregate: the not-null slice joins,
+    // the null slice takes a NARROW null-padded branch that never
+    // touches the exchange, and a union reassembles LEFT semantics
+    // exactly. PlanShapeSpec locks the isnotnull filter + Union.
+    "join_null_skew_guard" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "events").select(
+        when(col("event_id") % 5 === 0, lit(null).cast("long"))
+          .otherwise(col("user_id")).as("k"),
+        floor(col("value") * 100 + lit(0.5)).cast("long").as("v_c"))
+      val dim = Tables.load(s, dir, "customer")
+        .filter(col("c_custkey") < 100)
+        .select(col("c_custkey").as("k"), col("c_mktsegment"))
+      val matched = e.filter(col("k").isNotNull).join(dim, Seq("k"), "left")
+      val nulls = e.filter(col("k").isNull)
+        .withColumn("c_mktsegment", lit(null).cast("string"))
+      matched.unionByName(nulls)
+        .groupBy(coalesce(col("c_mktsegment"), lit("<unmatched>")).as("segment"))
+        .agg(count(lit(1)).as("n_events"), sum(col("v_c")).as("value_c"))
+        .orderBy("segment")
+    }),
+
     // Explicit join-strategy control: a dim too big to broadcast
     // safely at 100 TB but small enough to hash per partition — the
     // SHUFFLE_HASH hint skips BOTH the broadcast OOM risk AND the
@@ -1020,6 +1044,16 @@ object RelationalPack extends QueryPack {
          |  count(*) AS n, ${dsumSql("value")} AS total_value
          |FROM events WHERE event_type = 'purchase'
          |GROUP BY 1 ORDER BY day""".stripMargin,
+    // plain LEFT JOIN — the segregated union must be semantically
+    // invisible
+    "join_null_skew_guard" ->
+      """WITH e AS (SELECT CASE WHEN event_id % 5 = 0 THEN NULL ELSE user_id END AS k,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS v_c FROM events),
+        |d AS (SELECT c_custkey AS k, c_mktsegment FROM customer WHERE c_custkey < 100)
+        |SELECT coalesce(d.c_mktsegment, '<unmatched>') AS segment,
+        |  count(*) AS n_events, CAST(SUM(e.v_c) AS BIGINT) AS value_c
+        |FROM e LEFT JOIN d ON e.k = d.k
+        |GROUP BY 1 ORDER BY segment""".stripMargin,
     "join_shuffle_hash_hint" ->
       """SELECT c.c_mktsegment, count(*) AS n_orders,
         |  CAST(SUM(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_c

@@ -478,6 +478,16 @@ class PlanShapeSpec extends SparkSpec {
     assert(scans <= 4, s"expected <=4 parquet scans, got $scans\n$p")
   }
 
+  test("join_null_skew_guard: null keys bypass the join via a Union; the join input filters not-null") {
+    val p = plan("join_null_skew_guard")
+    assert(p.contains("Union"), p)
+    // Catalyst rewrites isnotnull(k) through the null-injecting CASE
+    // into isnotnull(user_id) on the scan side — the null slice never
+    // reaches the join branch
+    assert(p.toLowerCase.contains("isnotnull(user_id"), p)
+    assert(p.contains("LeftOuter"), p)
+  }
+
   test("join_shuffle_hash_hint compiles to ShuffledHashJoin — not broadcast, not sort-merge") {
     val p = plan("join_shuffle_hash_hint")
     assert(p.contains("ShuffledHashJoin"), p)
