@@ -20,6 +20,43 @@ object SourcesPack extends QueryPack {
     graft.core.Scratch.dir("graft_rt").resolve(name).toString
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Batch incremental ingest (ops/Ledger): run 1 sees the first two
+    // files, run 2 only the two files that landed between runs, run 3
+    // nothing — the scheduled-pipeline "new files since last run"
+    // contract, with the ledger itself a parquet audit table.
+    // Discovery is a metadata listing minus the ledger; data volume
+    // never re-scans. Deterministic file counts via repartition(2).
+    "scan_incremental_ledger" -> ((s, dir) => {
+      import graft.ops.Ledger
+      val base = graft.core.Scratch.dir("graft_ledger")
+      val in = base.resolve("in").toString
+      val led = base.resolve("ledger").toString
+      val o = Tables.load(s, dir, "orders").select(col("o_orderkey"),
+        floor(col("o_totalprice") * 100 + lit(0.5)).cast("long").as("p_c"))
+      def land(m: Int): Unit =
+        o.filter(col("o_orderkey") % 3 === m)
+          .withColumn("slice", lit(m))
+          .repartition(2).write.mode("append").parquet(in)
+      def run(id: Long): (Long, Long, Long, Long) = {
+        val (files, batch) = Ledger.newBatch(s, in, led)
+        val (rows, cents) = batch match {
+          case Some(df) =>
+            val r = df.agg(count(lit(1)), sum(col("p_c"))).head
+            (r.getLong(0), r.getLong(1))
+          case None => (0L, 0L)
+        }
+        Ledger.commit(s, led, files, id)
+        (id, files.size.toLong, rows, cents)
+      }
+      land(0)
+      val r1 = run(1)
+      land(1)
+      val r2 = run(2)
+      val r3 = run(3) // nothing new — must be a no-op
+      import s.implicits._
+      Seq(r1, r2, r3).toDF("run_id", "n_files", "n_rows", "total_c")
+        .orderBy("run_id")
+    }),
     // S1/K2: CSV write → reference-semantics CSV read.
     "csv_roundtrip" -> ((s, dir) => {
       val out = scratch("csv_customer")
@@ -184,6 +221,22 @@ object SourcesPack extends QueryPack {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // slice aggregates recomputed from orders; file counts are the
+    // repartition(2) contract; run 3 is the structural no-op
+    "scan_incremental_ledger" ->
+      """WITH s0 AS (SELECT count(*) AS n,
+        |    CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS c
+        |  FROM orders WHERE o_orderkey % 3 = 0),
+        |s1 AS (SELECT count(*) AS n,
+        |    CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS c
+        |  FROM orders WHERE o_orderkey % 3 = 1)
+        |SELECT CAST(1 AS BIGINT) AS run_id, CAST(2 AS BIGINT) AS n_files,
+        |  n AS n_rows, c AS total_c FROM s0
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), CAST(2 AS BIGINT), n, c FROM s1
+        |UNION ALL
+        |SELECT CAST(3 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+        |ORDER BY run_id""".stripMargin,
     // recomputed from the parquet original — any loss in the ORC
     // write/read path (rows, values, double precision) breaks the hash
     "orc_roundtrip" ->
