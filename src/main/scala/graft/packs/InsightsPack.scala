@@ -651,6 +651,29 @@ object InsightsPack extends QueryPack {
         .orderBy("event_type")
     }),
 
+    // Root-cause delta attribution: the revenue change between two
+    // periods decomposed per segment and ranked by |contribution| —
+    // the first question after any metric moves ("what drove it?").
+    // Facts collapse to the |segments| grain in ONE conditional
+    // aggregate (both periods in the same pass — never two scans);
+    // the ranking window runs on that bounded aggregate.
+    "insights_delta_attribution" -> ((s, dir) => {
+      val c = Tables.load(s, dir, "customer").select("c_custkey", "c_mktsegment")
+      val o = Tables.load(s, dir, "orders")
+        .select(col("o_custkey"), year(col("o_orderdate")).as("y"),
+          floor(col("o_totalprice") * 100 + lit(0.5)).cast("long").as("p_c"))
+        .filter(col("y").isin(1997, 1998))
+      val per = o.join(c, col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(sum(when(col("y") === 1997, col("p_c")).otherwise(0L)).as("rev_a"),
+          sum(when(col("y") === 1998, col("p_c")).otherwise(0L)).as("rev_b"))
+        .withColumn("delta_c", col("rev_b") - col("rev_a"))
+      per.withColumn("impact_rank",
+          row_number().over(Window.orderBy(abs(col("delta_c")).desc,
+            col("c_mktsegment"))).cast("long"))
+        .orderBy("impact_rank")
+    }),
+
     // Deterministic dictionary encoding (the StringIndexer shape):
     // codes by frequency rank (most frequent = 0, ties by value) over
     // the |distinct values| AGGREGATE — the window runs on the
@@ -1335,6 +1358,20 @@ object InsightsPack extends QueryPack {
         |  CAST(bit_count(bit_or(CAST(1 AS BIGINT) << c_nationkey)) AS BIGINT) AS mask_popcount
         |FROM customer GROUP BY 1 ORDER BY c_mktsegment""".stripMargin,
 
+    "insights_delta_attribution" ->
+      """WITH per AS (
+        |  SELECT c.c_mktsegment,
+        |    CAST(SUM(CASE WHEN year(o.o_orderdate) = 1997
+        |      THEN CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT) ELSE 0 END) AS BIGINT) AS rev_a,
+        |    CAST(SUM(CASE WHEN year(o.o_orderdate) = 1998
+        |      THEN CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT) ELSE 0 END) AS BIGINT) AS rev_b
+        |  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+        |  WHERE year(o.o_orderdate) IN (1997, 1998)
+        |  GROUP BY 1)
+        |SELECT c_mktsegment, rev_a, rev_b, rev_b - rev_a AS delta_c,
+        |  CAST(row_number() OVER (ORDER BY abs(rev_b - rev_a) DESC, c_mktsegment)
+        |    AS BIGINT) AS impact_rank
+        |FROM per ORDER BY impact_rank""".stripMargin,
     "features_dict_encode" ->
       """WITH d AS (SELECT p_brand, count(*) AS n FROM part GROUP BY 1),
         |c AS (SELECT p_brand,
