@@ -158,6 +158,24 @@ object LlmPack extends QueryPack {
         .filter(col("term") =!= "")
         .groupBy("term").agg(count(lit(1)).as("n"))
         .orderBy(desc("n"), asc("term")).limit(20)),
+    // Corpus diversity per source: distinct-trigram share of all
+    // trigram occurrences (×1e6) — the self-repetition screen that
+    // scores templated/boilerplate-heavy sources low while the vocab
+    // profile (unigram TTR) still looks healthy. One shingle scan
+    // (codegen'd WordShingles, occurrences NOT deduped — repetition
+    // is the signal), one aggregate.
+    "text_trigram_diversity" -> ((s, dir) => {
+      import graft.functions.F
+      docs(s, dir)
+        .select(col("source"),
+          explode(F.toColumn(graft.functions.WordShingles(
+            F.toExpr(col("text")), 3))).as("sh"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_trigrams"),
+          countDistinct(col("sh")).as("n_distinct"))
+        .withColumn("diversity_ppm", expr("n_distinct * 1000000 DIV n_trigrams"))
+        .orderBy("source")
+    }),
     // Token normalization: stopword removal + S-stemmer, then the
     // top-20 stems with how many surface forms each collapsed — the
     // pre-count normalizer that stops term statistics splitting
@@ -851,6 +869,18 @@ object LlmPack extends QueryPack {
         |   AND n_chars_nosp / n_words >= 3.0 AND n_chars_nosp / n_words <= 10.0
         |   AND n_stop >= 1) AS keep
         |FROM s ORDER BY doc_id""".stripMargin,
+    // same shingle algebra as the dedup oracles (whole-text fallback
+    // under 3 words), occurrences kept — no DISTINCT before counting
+    "text_trigram_diversity" ->
+      """WITH words AS (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents),
+        |sh AS (SELECT source, unnest(
+        |  CASE WHEN len(w) >= 3
+        |  THEN list_transform(generate_series(1, len(w) - 2), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+        |  ELSE [array_to_string(w, ' ')] END) AS sh FROM words)
+        |SELECT source, count(*) AS n_trigrams,
+        |  count(DISTINCT sh) AS n_distinct,
+        |  CAST(count(DISTINCT sh) * 1000000 // count(*) AS BIGINT) AS diversity_ppm
+        |FROM sh GROUP BY source ORDER BY source""".stripMargin,
     // same lowercase, same stopword literal set, same three S-rules
     "text_stem_tokens" ->
       """WITH toks AS (SELECT lower(unnest(string_split(text, ' '))) AS tok FROM documents),
