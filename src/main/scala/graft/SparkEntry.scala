@@ -26,6 +26,7 @@ object SparkEntry {
     PolicyPack,
     ExtrasPack,
     TpchPack,
+    TpchCompletePack,
     TimeSeriesPack,
     InsightsPack,
     CoveragePack,

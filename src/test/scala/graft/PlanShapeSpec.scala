@@ -533,6 +533,47 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("tpch_q6: every predicate reaches the lineitem scan as a pushed row-group filter") {
+    // The plan's toString truncates PushedFilters at
+    // spark.sql.maxMetadataStringLength chars, so read the scan node's
+    // un-truncated metadata instead of grepping the rendered tree.
+    val df = SparkEntry.queries("tpch_q6_forecast_revenue")(spark, sf)
+    val pushed = df.queryExecution.sparkPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+        s.metadata.getOrElse("PushedFilters", "")
+    }.mkString("\n")
+    assert(pushed.contains("GreaterThanOrEqual(l_shipdate"), pushed)
+    assert(pushed.contains("LessThan(l_quantity,24.0)"), pushed)
+    assert(pushed.contains("GreaterThan(l_discount,0.04)"), pushed)
+  }
+
+  test("tpch_q4: the late-line EXISTS is one LEFT SEMI join — orders never duplicate") {
+    val p = plan("tpch_q4_order_priority")
+    assert(p.contains("LeftSemi"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("tpch_q19: disjunctive residual stays on an equi-join; the brand/size disjunction is pushed to the part scan") {
+    val df = SparkEntry.queries("tpch_q19_disjunctive_revenue")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    val scans = df.queryExecution.sparkPlan.toString
+      .linesIterator.filter(_.contains("FileScan")).mkString("\n")
+    assert(scans.contains("Or(And(EqualTo(p_brand,Brand#12)"), scans)
+  }
+
+  test("tpch_q10: filtered aggregate runs before the dimension joins; top-20 is TakeOrderedAndProject") {
+    val p = plan("tpch_q10_returned_revenue")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("tpch_q15: the 1-row max broadcasts back onto the per-supplier aggregate") {
+    val p = plan("tpch_q15_top_supplier")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("share_of_parent: facts aggregate to the nation grain BEFORE any window runs") {
     val p = plan("share_of_parent")
     assert(!p.contains("CartesianProduct"), p)
