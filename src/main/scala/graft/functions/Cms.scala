@@ -141,6 +141,64 @@ case class CmsEstimate(first: Expression, second: Expression,
     copy(first = newFirst, second = newSecond, third = newThird, fourth = newFourth)
 }
 
+/** `cms_merge(sketch)` → binary: union SERIALIZED sketches by
+  * element-wise counter add — the mergeability that makes Count-Min a
+  * streaming/state citizen, not just a one-shot aggregate. A batch
+  * sketch merges into a persisted state sketch (or partial sketches
+  * from N table shards merge into one) without revisiting any raw
+  * row; the result is bit-identical to cms_build over the
+  * concatenated inputs because integer adds commute and the d×w
+  * geometry is fixed by the serialized header. Width mismatches fail
+  * loud (merging different-w sketches would silently mis-count).
+  * Null inputs are skipped; an all-null group yields the empty w=`w`
+  * sketch so downstream estimates read 0, not NPE. */
+case class CmsMerge(child: Expression, w: Int,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Long]]
+  with org.apache.spark.sql.catalyst.trees.UnaryLike[Expression]
+  with ExpectsInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(BinaryType)
+
+  require(w >= 2 && w <= (1 << 24), s"cms_merge: w=$w out of [2, 2^24]")
+
+  override def createAggregationBuffer(): Array[Long] = CmsOps.empty(w)
+
+  override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val (other, ow) = CmsOps.deserialize(v.asInstanceOf[Array[Byte]])
+      require(ow == w, s"cms_merge: sketch width $ow != declared $w")
+      var i = 0
+      while (i < buf.length) { buf(i) += other(i); i += 1 }
+    }
+    buf
+  }
+
+  override def merge(buf: Array[Long], other: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < buf.length) { buf(i) += other(i); i += 1 }
+    buf
+  }
+
+  override def eval(buf: Array[Long]): Any = CmsOps.serialize(buf, w)
+
+  override def serialize(buf: Array[Long]): Array[Byte] = CmsOps.serialize(buf, w)
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = CmsOps.deserialize(bytes)._1
+
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+  override def prettyName: String = "cms_merge"
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): CmsMerge =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): CmsMerge =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): CmsMerge =
+    copy(child = newChild)
+}
+
 /** User-facing CMS API: one-pass distributed build, in-plan estimate. */
 object Cms {
   import org.apache.spark.sql.Column
@@ -165,4 +223,8 @@ object Cms {
   /** Point estimate of `key`'s frequency from a sketch column. */
   def estimate(sketch: Column, b0: Column, b1: Column, b2: Column): Column =
     F.toColumn(CmsEstimate(F.toExpr(sketch), F.toExpr(b0), F.toExpr(b1), F.toExpr(b2)))
+
+  /** Union serialized sketch columns by counter add (state merge). */
+  def merge(sketch: Column, w: Int): Column =
+    F.toColumn(CmsMerge(F.toExpr(sketch), w).toAggregateExpression())
 }

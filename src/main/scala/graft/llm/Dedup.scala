@@ -373,13 +373,26 @@ object Dedup {
     * by more than `maxBucket` docs are dropped before the join.
     * Output (a, b, dist), a < b. */
   def simhashBandedPairs(docs: DataFrame, idCol: String, textCol: String,
-      maxBits: Int = 3, maxBucket: Long = 10000L): DataFrame = {
+      maxBits: Int = 3, maxBucket: Long = 10000L): DataFrame =
+    bandedHammingPairs(
+      simhash64(docs, idCol, textCol).select(col("id"), col("simhash").as("sig")),
+      maxBits, maxBucket)
+
+  /** Banded Hamming-radius self-join over ANY 64-bit signature column
+    * — the shared kernel under [[simhashBandedPairs]] (text simhash)
+    * and [[Multimodal.ahashNearDupPairs]] (image perceptual hash).
+    * Input (id, sig); output (a, b, dist) with a < b and
+    * dist = popcount(sig_a XOR sig_b) ≤ maxBits. Four 16-bit bands →
+    * pairs within 3 bits cannot miss every band (pigeonhole), so the
+    * default radius is exact; the Σ bucket² cap drops degenerate band
+    * values (e.g. the all-black-image band) before the join. */
+  def bandedHammingPairs(sigs: DataFrame, maxBits: Int = 3,
+      maxBucket: Long = 10000L): DataFrame = {
     require(maxBits >= 0 && maxBits <= 63, s"maxBits=$maxBits")
-    val sig = simhash64(docs, idCol, textCol)
-    val bands = sig.select(col("id"), col("simhash"),
+    val bands = sigs.select(col("id"), col("sig"),
         explode(array((0 until 4).map(b => struct(lit(b).as("band"),
-          expr(s"(simhash >> ${16 * b}) & 65535").as("v"))): _*)).as("bv"))
-      .select(col("id"), col("simhash"),
+          expr(s"(sig >> ${16 * b}) & 65535").as("v"))): _*)).as("bv"))
+      .select(col("id"), col("sig"),
         col("bv.band").as("band"), col("bv.v").as("v"))
     val ok = bands.groupBy("band", "v").agg(count(lit(1)).as("bn"))
       .filter(col("bn") <= maxBucket)
@@ -389,7 +402,7 @@ object Dedup {
     x.join(y, col("x.band") === col("y.band") && col("x.v") === col("y.v") &&
         col("x.id") < col("y.id"))
       .select(col("x.id").as("a"), col("y.id").as("b"),
-        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("dist"))
+        bit_count(col("x.sig").bitwiseXOR(col("y.sig"))).as("dist"))
       .distinct()
       .filter(col("dist") <= maxBits)
   }

@@ -278,6 +278,31 @@ object Multimodal {
   def aHashBytes(content: Array[Byte]): Option[Long] =
     decodeImage(content).map(src => aHashImage(resizeImage(src, 8, 8)))
 
+  /** Perceptual near-duplicate image pairs — the multimodal member of
+    * the dedup family. One mapPartitions decode pass computes each
+    * image's 64-bit aHash; candidates then come from the SAME banded
+    * Hamming self-join that powers text SimHash dedup
+    * ([[Dedup.bandedHammingPairs]]): four 16-bit bands, equi-join on
+    * band value, popcount verify — never all-pairs, hot bands capped.
+    * A recompressed / mildly-resized copy of an image lands within a
+    * few Hamming bits of the original, so `maxBits = 3` (the exact-
+    * by-pigeonhole radius) catches byte-level-different visual dups
+    * that exact binary dedup cannot. Undecodable payloads drop out
+    * before the join (no hash ⇒ no pair). Output (a, b, dist), a < b. */
+  def ahashNearDupPairs(media: DataFrame, maxBits: Int = 3,
+      maxBucket: Long = 10000L): DataFrame = {
+    val spark = media.sparkSession
+    val rdd = media.select("media_id", "content").rdd.flatMap { r =>
+      Option(r.getAs[Array[Byte]]("content"))
+        .flatMap(aHashBytes)
+        .map(h => Row(r.getAs[Long]("media_id"), h))
+    }
+    val sigs = spark.createDataFrame(rdd, StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("sig", LongType, nullable = false))))
+    Dedup.bandedHammingPairs(sigs, maxBits, maxBucket)
+  }
+
   /** Executor-side resize + feature-extract over a media table: one
     * mapPartitions pass computing the resized PNG's dimensions/bytes
     * and the aHash — the source image decodes ONCE and feeds both

@@ -441,6 +441,34 @@ object LlmPack extends QueryPack {
           coalesce(col("ahash"), lit(-1L)).as("ahash"))
         .orderBy("media_id")
     }),
+    // Perceptual near-dup pairs: the banded-Hamming kernel shared with
+    // text SimHash, fed by executor-side aHash. 8x8 sources make the
+    // hash exact by construction (identity resize, extreme lumas that
+    // no mean shift can re-threshold): a one-cell edit sits 1 bit from
+    // the checkerboard, an exact copy 0 bits, the half-split image
+    // shares no band, the non-image payload drops before the join.
+    "multimodal_ahash_neardup" -> ((s, dir) => {
+      import s.implicits._
+      def img8(rgb: (Int, Int) => Int): Array[Byte] = {
+        val b = new java.awt.image.BufferedImage(8, 8,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        (0 until 8).foreach(x => (0 until 8).foreach(y => b.setRGB(x, y, rgb(x, y))))
+        val out = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(b, "png", out)
+        out.toByteArray
+      }
+      def checker(x: Int, y: Int): Int =
+        if ((x + y) % 2 == 0) 0xFFFFFF else 0x000000
+      val media = Seq(
+        (1L, img8(checker)),
+        (2L, img8((x, y) => if (x == 0 && y == 0) 0x000000 else checker(x, y))),
+        (3L, img8(checker)),
+        (4L, img8((x, _) => if (x < 4) 0xFFFFFF else 0x000000)),
+        (5L, "not an image".getBytes("UTF-8"))).toDF("media_id", "content")
+      Multimodal.ahashNearDupPairs(media)
+        .select(col("a"), col("b"), col("dist").cast("long").as("dist"))
+        .orderBy("a", "b")
+    }),
     // Full mapPartitions decode path over binary media built from text.
     "multimodal_decode" -> ((s, dir) =>
       Multimodal.decode(Multimodal.fromText(docs(s, dir), "doc_id", "text"))
@@ -1238,6 +1266,12 @@ object LlmPack extends QueryPack {
         |  (CAST(5 AS BIGINT), 'skip', CAST(-1 AS INT), CAST(-1 AS INT), false, CAST(-1 AS BIGINT)))
         |  AS t(media_id, fmt, width, height, nonempty, ahash)
         |ORDER BY media_id""".stripMargin,
+    "multimodal_ahash_neardup" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(1 AS BIGINT), CAST(2 AS BIGINT), CAST(1 AS BIGINT)),
+        |  (CAST(1 AS BIGINT), CAST(3 AS BIGINT), CAST(0 AS BIGINT)),
+        |  (CAST(2 AS BIGINT), CAST(3 AS BIGINT), CAST(1 AS BIGINT)))
+        |  AS t(a, b, dist) ORDER BY a, b""".stripMargin,
     "multimodal_real_decode" ->
       """SELECT * FROM (VALUES
         |  (CAST(1 AS BIGINT), 'png', true, 12, 8, CAST(NULL AS BIGINT)),

@@ -170,6 +170,15 @@ object RelationalPack extends QueryPack {
     "events_kmv_stream" -> ((s, dir) =>
       graft.streaming.EventsStream.kmvStateViaFileSink(s, dir)),
 
+    // §2.11 × sketches, additive twin: streaming per-(hour, type)
+    // FREQUENCY estimation with mergeable Count-Min state. The feed
+    // arrives in two DISJOINT micro-batches (event_id parity), so the
+    // counter-additive merge must reproduce the exact full-feed counts
+    // — the oracle is the plain GROUP BY count, which also proves the
+    // d=3/w=1024 estimate is collision-free on this key domain.
+    "events_cms_stream" -> ((s, dir) =>
+      graft.streaming.EventsStream.cmsStateViaFileSink(s, dir)),
+
     // §2.11 CHAINED stateful operators: ingest-dedup → hourly window
     // agg in ONE streaming query over a redelivered feed — counts must
     // equal the batch aggregate of the unduplicated feed (a dropped
@@ -1253,6 +1262,12 @@ object RelationalPack extends QueryPack {
         |  CAST(CASE WHEN nk < 64 THEN nk
         |       ELSE 63 * 1099511627776 // hk END AS BIGINT) AS est_users
         |FROM agg ORDER BY hour""".stripMargin,
+    // additive-CMS state mirror: disjoint batches merged counter-wise
+    // must equal the exact full-feed counts (no collision at w=1024)
+    "events_cms_stream" ->
+      """SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H') AS hour,
+        |  event_type, CAST(count(*) AS BIGINT) AS n_est
+        |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
     // the stream-stream join's batch twin: same interval condition
     "events_stream_join" ->
       """SELECT p.user_id, p.event_id AS purchase_id, v.event_id AS view_id

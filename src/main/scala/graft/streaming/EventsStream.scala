@@ -680,23 +680,130 @@ object EventsStream {
       readEvents(ss, in.toString, maxFilesPerTrigger = Some(1)),
       state, base.resolve("ckpt").toString)
     try q.processAllAvailable() finally q.stop()
-    val current = currentStateVersion(ss, state).get
-    val currentName = new org.apache.hadoop.fs.Path(current).getName
-    val oldVersions = {
-      val l = Files.list(Paths.get(state))
-      try {
-        import scala.jdk.CollectionConverters._
-        l.iterator().asScala.toSeq.filter(_.getFileName.toString != currentName)
-      } finally l.close()
-    }
-    deleteDirs(Seq(in, stage, base.resolve("ckpt")) ++ oldVersions)
-    spark.read.parquet(current)
+    finalStateAndCleanup(spark, state, Seq(in, stage, base.resolve("ckpt")))
       .withColumn("nk", size(col("sk")))
       .withColumn("hk", expr("element_at(sk, nk)"))
       .select(col("hour"), col("nk").cast("long").as("nk"),
         when(col("nk") < 64, col("nk").cast("long"))
           .otherwise(expr("63 * 1099511627776 DIV hk")).as("est_users"))
       .orderBy("hour")
+  }
+
+  /** §2.11 × sketches: streaming FREQUENCY estimation via mergeable
+    * Count-Min state — the additive sibling of [[kmvStreamState]]'s
+    * set-union state. Each micro-batch reduces to one (hour, type-set,
+    * d×w sketch) row per hour and merges into the versioned store by
+    * element-wise counter ADD ([[graft.functions.CmsMerge]]), so state
+    * stays O(d·w + |type domain|) per hour forever where a streaming
+    * exact count would key state by every distinct term. Counts are
+    * additive (unlike KMV's sets), so redelivery is NOT absorbed by
+    * the sketch itself — exactly-once rests entirely on the shared
+    * versioned-state mechanism: merge reads the newest version
+    * STRICTLY BELOW the batch id and overwrites `v<batchId>`, making a
+    * torn-batch retry reproduce identical counters. */
+  def cmsHourly(events: DataFrame, w: Int = 1024): DataFrame = {
+    import graft.functions.Cms
+    val Seq(b0, b1, b2) = Cms.buckets(col("event_type"), w)
+    events.select(date_format(col("ts"), "yyyy-MM-dd HH").as("hour"),
+        col("event_type"), b0.as("b0"), b1.as("b1"), b2.as("b2"))
+      .groupBy("hour")
+      .agg(array_sort(collect_set(col("event_type"))).as("types"),
+        Cms.build(col("b0"), col("b1"), col("b2"), w).as("cms"))
+  }
+
+  def cmsStreamState(events: DataFrame, stateBase: String,
+      checkpoint: String, w: Int = 1024): StreamingQuery =
+    events.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        mergeCmsIntoState(batch, batchId, stateBase, w)
+      }
+      .start()
+
+  /** One [[cmsStreamState]] micro-batch commit. Per hour the merge
+    * aggregate sees at most one state row plus one batch row; the
+    * type set unions (bounded by contract — event_type is the
+    * low-cardinality heavy-hitter domain the sketch answers for) and
+    * the sketches add counter-wise, which commutes, so merge order
+    * can never change the state. */
+  def mergeCmsIntoState(batch: DataFrame, batchId: Long,
+      stateBase: String, w: Int = 1024): Unit = {
+    val ss = batch.sparkSession
+    val b = cmsHourly(batch, w)
+    val merged = currentStateVersion(ss, stateBase, below = batchId) match {
+      case Some(dir) =>
+        ss.read.parquet(dir).unionByName(b)
+          .groupBy("hour")
+          .agg(array_sort(array_distinct(flatten(collect_list(col("types")))))
+            .as("types"),
+            graft.functions.Cms.merge(col("cms"), w).as("cms"))
+      case None => b
+    }
+    merged.write.mode("overwrite").parquet(s"$stateBase/v$batchId")
+  }
+
+  /** Correctness gate for [[cmsStreamState]]: the events fixture
+    * streams in TWO DISJOINT micro-batches (split by event_id parity),
+    * so the final state's additive counters must reproduce the exact
+    * per-(hour, type) counts of the whole feed — a dropped batch,
+    * double-merged batch, or wrong-version merge input each shift a
+    * count and fail the compare. Estimates equal exact counts because
+    * the per-hour key domain (≈5 types) is far under w=1024 and the
+    * estimate takes the min over d=3 independently-hashed rows. */
+  def cmsStateViaFileSink(spark: SparkSession, sfDir: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val w = 1024
+    val base = Files.createTempDirectory("graft_cms_gate")
+    val in = base.resolve("in"); Files.createDirectories(in)
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "4")
+    ss.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val probe = ss.read.parquet(s"$sfDir/events.parquet")
+    Seq(0, 1).foreach { p =>
+      val stage = base.resolve(s"stage$p")
+      probe.filter(col("event_id") % 2 === p)
+        .coalesce(1).write.parquet(stage.toString)
+      val listing = Files.list(stage)
+      val part = try listing.filter(_.getFileName.toString.endsWith(".parquet"))
+        .findFirst.get finally listing.close()
+      val dst = in.resolve(s"half$p.parquet")
+      Files.copy(part, dst)
+      Files.setLastModifiedTime(dst, java.nio.file.attribute.FileTime
+        .fromMillis(System.currentTimeMillis() + 10000L + p * 10000L))
+    }
+    val state = base.resolve("state").toString
+    val q = cmsStreamState(
+      readEvents(ss, in.toString, maxFilesPerTrigger = Some(1)),
+      state, base.resolve("ckpt").toString, w)
+    try q.processAllAvailable() finally q.stop()
+    val fin = finalStateAndCleanup(spark, state,
+      Seq(in, base.resolve("stage0"), base.resolve("stage1"), base.resolve("ckpt")))
+    import graft.functions.Cms
+    val Seq(b0, b1, b2) = Cms.buckets(col("event_type"), w)
+    fin.select(col("hour"), explode(col("types")).as("event_type"), col("cms"))
+      .select(col("hour"), col("event_type"),
+        Cms.estimate(col("cms"), b0, b1, b2).as("n_est"))
+      .orderBy("hour", "event_type")
+  }
+
+  /** Shared tail of the versioned-state gates: resolve the final state
+    * version, delete the gate's staging dirs plus every superseded
+    * version, and hand the surviving state back on the CALLER's
+    * session (the gate ran on a scratch newSession). */
+  private def finalStateAndCleanup(spark: SparkSession, stateBase: String,
+      scratch: Seq[java.nio.file.Path]): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val current = currentStateVersion(spark, stateBase).get
+    val currentName = new org.apache.hadoop.fs.Path(current).getName
+    val oldVersions = {
+      val l = Files.list(Paths.get(stateBase))
+      try {
+        import scala.jdk.CollectionConverters._
+        l.iterator().asScala.toSeq.filter(_.getFileName.toString != currentName)
+      } finally l.close()
+    }
+    deleteDirs(scratch ++ oldVersions)
+    spark.read.parquet(current)
   }
 
   /** Retire superseded state versions under `stateBase`, keeping the

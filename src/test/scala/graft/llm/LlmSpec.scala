@@ -277,6 +277,43 @@ class LlmSpec extends SparkSpec {
     assert(img.getWidth == 12 && img.getHeight == 6)
   }
 
+  test("ahashNearDupPairs: recompressed copy pairs with the original; banded equals brute force") {
+    import graft.llm.Multimodal
+    import spark.implicits._
+    def render(w: Int, h: Int, fmt: String)(rgb: (Int, Int) => Int): Array[Byte] = {
+      val b = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      (0 until w).foreach(x => (0 until h).foreach(y => b.setRGB(x, y, rgb(x, y))))
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(b, fmt, out)
+      out.toByteArray
+    }
+    def pattern(x: Int, y: Int): Int = {
+      val v = ((x / 8 + y / 8) % 2) * 200 + 30
+      (v << 16) | (v << 8) | v
+    }
+    val imgs: Seq[(Long, Array[Byte])] = Seq(
+      1L -> render(64, 64, "png")(pattern),
+      2L -> render(64, 64, "jpg")(pattern), // recompression: bytes differ, hash close
+      3L -> render(128, 128, "png")((x, y) => pattern(x / 2, y / 2)),
+      4L -> render(64, 64, "png")((x, y) => pattern(x, y) ^ 0xFFFFFF),
+      5L -> "junk".getBytes)
+    val media = imgs.toDF("media_id", "content")
+    val got = Multimodal.ahashNearDupPairs(media, maxBits = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // brute-force reference on the same hashes
+    val hs = imgs.flatMap { case (id, b) => Multimodal.aHashBytes(b).map(id -> _) }
+    val brute = (for {
+      (a, ha) <- hs; (b, hb) <- hs if a < b
+      d = java.lang.Long.bitCount(ha ^ hb) if d <= 3
+    } yield (a, b, d)).toSet
+    assert(got == brute, s"got=$got brute=$brute")
+    // the scaled copy is a true near-dup of the original
+    assert(got.exists { case (a, b, _) => a == 1L && b == 3L }, got)
+    // the inverse image and the undecodable row pair with nothing
+    assert(!got.exists { case (a, b, _) => a == 4L || b == 4L || a == 5L || b == 5L })
+  }
+
   test("stripHtml: script/style/comments drop, entities decode after tags, &amp; last") {
     val cases = Seq(
       "<p>a<br/>b</p>" -> "a b",

@@ -242,6 +242,61 @@ class EventsStreamSpec extends SparkSpec {
     s1.values.foreach(a => assert(a == a.sorted))
   }
 
+  test("cms sketch state: disjoint batches add, torn-batch retry is idempotent, estimates exact") {
+    import graft.functions.Cms
+    import org.apache.spark.sql.functions.{col, explode}
+    val w = 1024
+    val base = java.nio.file.Files.createTempDirectory("cms_retry")
+    val state = base.resolve("state").toString
+    def batchDf(rows: (Long, String, String)*) =
+      rows.map { case (eid, t, typ) => Event(eid, ts(t), 1L, typ, 1.0) }.toDF()
+    // batch 0: hour 10 sees view×2 + click×1
+    EventsStream.mergeCmsIntoState(
+      batchDf((1L, "2024-01-01 10:00:00", "view"), (2L, "2024-01-01 10:10:00", "view"),
+        (3L, "2024-01-01 10:20:00", "click")), 0L, state, w)
+    def est(dir: String): Map[(String, String), Long] = {
+      val Seq(b0, b1, b2) = Cms.buckets(col("event_type"), w)
+      spark.read.parquet(dir)
+        .select(col("hour"), explode(col("types")).as("event_type"), col("cms"))
+        .select(col("hour"), col("event_type"),
+          Cms.estimate(col("cms"), b0, b1, b2).as("n"))
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    }
+    val s0 = est(EventsStream.currentStateVersion(spark, state).get)
+    assert(s0 == Map(("2024-01-01 10", "view") -> 2L, ("2024-01-01 10", "click") -> 1L), s0)
+    // batch 1: one more view in hour 10 (counters must ADD), a new hour 11
+    val b1 = batchDf((4L, "2024-01-01 10:05:00", "view"), (5L, "2024-01-01 11:00:00", "click"))
+    EventsStream.mergeCmsIntoState(b1, 1L, state, w)
+    // torn-batch retry: same id must reproduce identical state, not double-add
+    EventsStream.mergeCmsIntoState(b1, 1L, state, w)
+    val cur = EventsStream.currentStateVersion(spark, state).get
+    assert(cur.endsWith("/v1"), cur)
+    val s1 = est(cur)
+    assert(s1 == Map(("2024-01-01 10", "view") -> 3L, ("2024-01-01 10", "click") -> 1L,
+      ("2024-01-01 11", "click") -> 1L), s1)
+  }
+
+  test("cms_merge of per-shard sketches is bit-identical to one cms_build over the union") {
+    import graft.functions.Cms
+    import org.apache.spark.sql.functions.col
+    val w = 64
+    val terms = Seq("a", "b", "a", "c", "a", "b").zipWithIndex
+      .map { case (t, i) => (i % 3, t) }.toDF("shard", "term")
+    val Seq(b0, b1, b2) = Cms.buckets(col("term"), w)
+    val single = terms.agg(Cms.build(b0, b1, b2, w).as("cms"))
+      .head.getAs[Array[Byte]]("cms")
+    val merged = terms.groupBy("shard").agg(Cms.build(b0, b1, b2, w).as("cms"))
+      .agg(Cms.merge(col("cms"), w).as("cms"))
+      .head.getAs[Array[Byte]]("cms")
+    assert(java.util.Arrays.equals(single, merged))
+    // width mismatch fails loud, not silently mis-counts
+    val bad = intercept[Exception] {
+      terms.groupBy("shard").agg(Cms.build(b0, b1, b2, w).as("cms"))
+        .agg(Cms.merge(col("cms"), 128).as("cms")).collect()
+    }
+    assert(bad.getMessage != null)
+  }
+
   test("runToFiles: deployable file-source → parquet-sink pipeline (§2.11)") {
     val base = java.nio.file.Files.createTempDirectory("evstream")
     val out = base.resolve("out").toString
