@@ -1,0 +1,168 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Byte-Pair-Encoding merge learning — the tokenizer-training half of
+  * an LLM data pipeline (Sennrich et al. 2016 shape), restructured for
+  * Spark's execution model.
+  *
+  * The naive formulation rescans the corpus once per merge — k ≈ 32k
+  * merges × a 100 TB corpus is absurd. The standard distributed trick
+  * makes the corpus cost ONE pass: aggregate to the word histogram
+  * (vocab-sized — hundreds of thousands of rows no matter how many
+  * petabytes feed it, by Heaps' law), then run every merge iteration
+  * against the histogram with pair counts weighted by word frequency.
+  * Each iteration is a vocab-sized aggregate (the argmax pair — ONE
+  * row to the driver) plus a narrow per-row re-tokenization; nothing
+  * corpus-sized moves after the first shuffle.
+  *
+  * Merge application is a fold over the token array via the typed
+  * `aggregate` higher-order function — Column lambdas, so corpus
+  * tokens never interpolate into SQL text (no quoting surface), and
+  * the greedy left-to-right non-overlap semantics of classic BPE
+  * ("aaa" + merge(a,a) → [aa, a]) are implemented structurally:
+  * carry a pending token; emit the merged token and clear the
+  * pending slot when (pending, next) matches the merge pair.
+  */
+object Bpe {
+
+  /** The one corpus-scale pass: whitespace-split word histogram. */
+  def wordHistogram(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(explode(split(col(textCol), "\\s+")).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+
+  /** Character-level token sequences of the histogram words. */
+  private def charSeqs(hist: DataFrame): DataFrame =
+    hist.select(expr("filter(split(word, ''), x -> x != '')").as("toks"),
+      col("cnt"))
+
+  /** Adjacent-pair counts of a (toks, cnt) table, one row per distinct
+    * (left, right) pair, weighted by word frequency. */
+  private def pairCounts(seqs: DataFrame): DataFrame =
+    // sequence(1, 0) counts DOWN in Spark, so a single-token word must
+    // short-circuit: when() yields null there and explode(null) emits
+    // no rows — the pairless word simply leaves the aggregate.
+    seqs.select(explode(when(size(col("toks")) >= 2, expr(
+        "transform(sequence(1, size(toks) - 1), j -> struct(toks[j-1] AS l, toks[j] AS r))")))
+        .as("p"), col("cnt"))
+      .groupBy(col("p.l").as("left"), col("p.r").as("right"))
+      .agg(sum(col("cnt")).as("n"))
+
+  /** Initial (character-level) pair statistics, descending — the
+    * iteration-0 view a SQL oracle can mirror exactly. `asciiOnly`
+    * restricts to printable-ASCII words so engines with different
+    * code-unit vs code-point splitting conventions agree. */
+  def topPairs(docs: DataFrame, textCol: String, limit: Int,
+      asciiOnly: Boolean = true): DataFrame = {
+    val hist0 = wordHistogram(docs, textCol)
+    val hist = if (asciiOnly) hist0.filter(col("word").rlike("^[\\x20-\\x7E]+$"))
+      else hist0
+    pairCounts(charSeqs(hist))
+      .orderBy(desc("n"), asc("left"), asc("right"))
+      .limit(limit)
+  }
+
+  /** Apply ONE merge (l, r) → l+r to every token sequence: greedy
+    * left-to-right, structural fold (no SQL-string interpolation). */
+  private[llm] def applyMerge(toks: Column, l: String, r: String): Column = {
+    val merged = l + r
+    val init = struct(
+      expr("CAST(array() AS array<string>)").as("arr"),
+      lit(null).cast("string").as("pend"))
+    val folded = aggregate(toks, init,
+      (acc, t) =>
+        when(acc("pend").isNull, struct(acc("arr").as("arr"), t.as("pend")))
+          .when(acc("pend") === lit(l) && t === lit(r),
+            struct(concat(acc("arr"), array(lit(merged))).as("arr"),
+              lit(null).cast("string").as("pend")))
+          .otherwise(struct(concat(acc("arr"), array(acc("pend"))).as("arr"),
+            t.as("pend"))),
+      acc => when(acc("pend").isNull, acc("arr"))
+        .otherwise(concat(acc("arr"), array(acc("pend")))))
+    folded
+  }
+
+  /** Learn the top-k BPE merges over the corpus. Returns
+    * (rank, left, right, n) — rank 1 is the first (highest-count)
+    * merge; ties break lexicographically so the result is
+    * deterministic under any partitioning. Stops early when no
+    * adjacent pair remains (every word fully merged).
+    *
+    * Iteration state (the tokenized vocab) is localCheckpointed each
+    * round: the table is vocab-sized by construction, and truncating
+    * lineage keeps iteration i's plan O(1) instead of O(i). */
+  def learnMerges(docs: DataFrame, textCol: String, k: Int): DataFrame = {
+    require(k >= 1 && k <= 4096, s"learnMerges: k=$k out of [1, 4096]")
+    val spark = docs.sparkSession
+    var seqs = charSeqs(wordHistogram(docs, textCol)).localCheckpoint(true)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var rank = 1
+    var done = false
+    while (rank <= k && !done) {
+      val top = pairCounts(seqs)
+        .orderBy(desc("n"), asc("left"), asc("right"))
+        .limit(1).collect()
+      top.headOption match {
+        case None => done = true
+        case Some(row) =>
+          val l = row.getString(0); val r = row.getString(1); val n = row.getLong(2)
+          merges += ((rank, l, r, n))
+          val next = seqs.select(applyMerge(col("toks"), l, r).as("toks"),
+            col("cnt")).localCheckpoint(true)
+          seqs.unpersist()
+          seqs = next
+          rank += 1
+      }
+    }
+    seqs.unpersist()
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(merges.toSeq.map {
+        case (rk, l, r, n) => Row(rk, l, r, n)
+      }, 1),
+      StructType(Seq(
+        StructField("rank", IntegerType, nullable = false),
+        StructField("left", StringType, nullable = false),
+        StructField("right", StringType, nullable = false),
+        StructField("n", LongType, nullable = false))))
+  }
+
+  /** Single-machine reference implementation (test oracle): the
+    * textbook in-memory BPE over a word histogram. */
+  private[llm] def referenceMerges(words: Seq[(String, Long)], k: Int): Seq[(Int, String, String, Long)] = {
+    var seqs: Seq[(Vector[String], Long)] =
+      words.map { case (w, c) => (w.map(_.toString).toVector, c) }
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var rank = 1
+    var cont = true
+    while (rank <= k && cont) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      seqs.foreach { case (ts, c) =>
+        ts.sliding(2).foreach {
+          case Seq(a, b) => counts((a, b)) = counts.getOrElse((a, b), 0L) + c
+          case _ =>
+        }
+      }
+      if (counts.isEmpty) cont = false
+      else {
+        val ((l, r), n) = counts.toSeq.minBy { case ((a, b), c) => (-c, a, b) }
+        out += ((rank, l, r, n))
+        seqs = seqs.map { case (ts, c) =>
+          val buf = Vector.newBuilder[String]
+          var pend: String = null
+          ts.foreach { t =>
+            if (pend == null) pend = t
+            else if (pend == l && t == r) { buf += (l + r); pend = null }
+            else { buf += pend; pend = t }
+          }
+          if (pend != null) buf += pend
+          (buf.result(), c)
+        }
+        rank += 1
+      }
+    }
+    out.toSeq
+  }
+}

@@ -158,6 +158,23 @@ object LlmPack extends QueryPack {
         .filter(col("term") =!= "")
         .groupBy("term").agg(count(lit(1)).as("n"))
         .orderBy(desc("n"), asc("term")).limit(20)),
+    // BPE tokenizer build, iteration-0 view: adjacent character-pair
+    // counts over the word HISTOGRAM (vocab-sized — the corpus itself
+    // is touched exactly once, by the histogram aggregate), weighted
+    // by word frequency. Printable-ASCII words only so code-unit vs
+    // code-point splitting conventions can't diverge across engines.
+    "text_bpe_top_pairs" -> ((s, dir) =>
+      graft.llm.Bpe.topPairs(docs(s, dir), "text", 20)),
+    // Full BPE merge learning (k=8): each iteration is one vocab-sized
+    // aggregate (argmax pair — a single row to the driver) plus a
+    // narrow fold re-tokenization; localCheckpoint keeps iteration
+    // plans O(1). No SQL-expressible oracle exists for the iterated
+    // greedy merge (the driver records rows-only); LlmSpec property-
+    // checks the distributed path against an in-memory reference BPE
+    // on random corpora and fixture samples.
+    "text_bpe_merges" -> ((s, dir) =>
+      graft.llm.Bpe.learnMerges(
+        docs(s, dir).filter(col("text").rlike("^[\\x20-\\x7E]*$")), "text", 8)),
     // Corpus diversity per source: distinct-trigram share of all
     // trigram occurrences (×1e6) — the self-repetition screen that
     // scores templated/boilerplate-heavy sources low while the vocab
@@ -335,6 +352,28 @@ object LlmPack extends QueryPack {
       val q = e.filter(col("vec_id") < 3)
         .select(col("vec_id").as("qid"), col("embedding").as("qe"))
       Ann.ivfTopK(q, c, cent, TOPK, NPROBE)
+        .select("qid", "vec_id", "cos_x1e4", "rank").orderBy("qid", "rank")
+    }),
+    // INCREMENTAL index maintenance: yesterday's corpus (6/7 of the
+    // vectors) trains the centroids; today's arrivals assign to the
+    // FROZEN geometry and append — no re-cluster, no touch of the old
+    // assignment. Because assignment is a narrow row-wise expression,
+    // the incremental union is definitionally equal to a full
+    // reassignment under the same centroids, which is exactly what
+    // the oracle computes (centroid CTEs restricted to the base
+    // subset, corpus assignment over everything). The search result
+    // over the merged index is the gate.
+    "ann_incremental_ivf" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val all = e.select(col("vec_id"), col("embedding").as("ce"))
+      val base = all.filter(col("vec_id") % 7 =!= 0)
+      val fresh = all.filter(col("vec_id") % 7 === 0)
+      val cent = Ann.ivfCentroids(base, NC, LLOYD)
+      val assigned = Ann.assignBuckets(base, cent)
+        .unionByName(Ann.assignBuckets(fresh, cent))
+      val q = e.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      Ann.ivfTopKPreassigned(q, assigned, cent, TOPK, NPROBE)
         .select("qid", "vec_id", "cos_x1e4", "rank").orderBy("qid", "rank")
     }),
     // IVF × int8: bucket restriction AND quantized scoring in one
@@ -746,21 +785,26 @@ object LlmPack extends QueryPack {
        |  GROUP BY bucket)""".stripMargin
 
   /** seeds + Lloyd chain CTEs; returns (ctes, final centroid CTE name). */
-  private def centroidCtes(nc: Int = NC): (Seq[String], String) = {
+  /** seeds + Lloyd chain over `embeddings` rows passing `centWhere`
+    * (empty = the whole table) — the restriction is what lets the
+    * incremental-index oracle train on yesterday's subset. */
+  private def centroidCtes(nc: Int = NC, centWhere: String = ""): (Seq[String], String) = {
     val seeds =
       s"""seeds AS (
          |  SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cemb,
          |    CAST(ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR) || ':ivf'), vec_id) AS INT) - 1 AS cid
-         |  FROM embeddings QUALIFY cid < $nc)""".stripMargin
+         |  FROM embeddings $centWhere QUALIFY cid < $nc)""".stripMargin
+    val lloydSrc =
+      s"(SELECT vec_id, embedding AS ce FROM embeddings $centWhere)"
     val lloyd = (0 until LLOYD).flatMap { i =>
       val cent = if (i == 0) "seeds" else s"cent$i"
-      Seq(assignSql(cent, s"asg$i"), updateSql(s"asg$i", s"cent${i + 1}"))
+      Seq(assignSql(cent, s"asg$i", lloydSrc), updateSql(s"asg$i", s"cent${i + 1}"))
     }
     (Seq(seeds) ++ lloyd, if (LLOYD == 0) "seeds" else s"cent$LLOYD")
   }
 
-  private def ivfCtes(maxQ: Int): Seq[String] = {
-    val (build, centFinal) = centroidCtes()
+  private def ivfCtes(maxQ: Int, centWhere: String = ""): Seq[String] = {
+    val (build, centFinal) = centroidCtes(NC, centWhere)
     build ++ Seq(
       assignSql(centFinal, "corpus_assign"),
       s"q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < $maxQ)",
@@ -798,6 +842,13 @@ object LlmPack extends QueryPack {
 
   private def ivfTopkSql: String =
     "WITH " + ivfCtes(maxQ = 3).mkString(",\n") +
+      "\nSELECT qid, vec_id, cos_x1e4, rank FROM ivf ORDER BY qid, rank"
+
+  /** Incremental-index mirror: centroids train on the 6/7 base subset,
+    * assignment and search cover the whole corpus — equal to the
+    * engine's frozen-centroid append by row-wise assignment. */
+  private def ivfIncrementalSql: String =
+    "WITH " + ivfCtes(maxQ = 3, centWhere = "WHERE vec_id % 7 <> 0").mkString(",\n") +
       "\nSELECT qid, vec_id, cos_x1e4, rank FROM ivf ORDER BY qid, rank"
 
   /** The ivf CTEs' bucket structure composed with the int8
@@ -938,6 +989,22 @@ object LlmPack extends QueryPack {
         |  FROM sc)
         |SELECT source, CAST(rk AS BIGINT) AS rk, term, CAST(score AS BIGINT) AS score
         |FROM r WHERE rk <= 5 ORDER BY source, rk""".stripMargin,
+    // character-pair statistics over the ASCII word histogram — the
+    // iteration-0 BPE view; substr is char-indexed on ASCII in both
+    // engines
+    "text_bpe_top_pairs" ->
+      """WITH w AS (
+        |  SELECT word, count(*) AS cnt FROM (
+        |    SELECT unnest(regexp_split_to_array(text, '\s+')) AS word
+        |    FROM documents)
+        |  WHERE length(word) > 0 AND regexp_matches(word, '^[\x20-\x7E]+$')
+        |  GROUP BY word),
+        |p AS (
+        |  SELECT substr(word, CAST(t.i AS INT), 1) AS l,
+        |    substr(word, CAST(t.i AS INT) + 1, 1) AS r, cnt
+        |  FROM w, UNNEST(generate_series(1, length(word) - 1)) AS t(i))
+        |SELECT l AS "left", r AS "right", CAST(sum(cnt) AS BIGINT) AS n
+        |FROM p GROUP BY 1, 2 ORDER BY n DESC, "left", "right" LIMIT 20""".stripMargin,
     "text_top_terms" ->
       """SELECT term, count(*) AS n
         |FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
@@ -1215,6 +1282,7 @@ object LlmPack extends QueryPack {
         |    CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_x1e4 DESC, vec_id) AS INT) AS rank
         |  FROM s2) WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
     "ann_topk_ivf" -> ivfTopkSql,
+    "ann_incremental_ivf" -> ivfIncrementalSql,
     // identical ivf algebra, query set widened to the stream's six
     "ann_stream_topk" -> ("WITH " + ivfCtes(maxQ = 6).mkString(",\n") +
       "\nSELECT qid, vec_id, cos_x1e4, rank FROM ivf ORDER BY qid, rank"),

@@ -314,6 +314,47 @@ class LlmSpec extends SparkSpec {
     assert(!got.exists { case (a, b, _) => a == 4L || b == 4L || a == 5L || b == 5L })
   }
 
+  test("BPE: hand-traced merges on a tiny corpus; greedy overlap semantics") {
+    import graft.llm.Bpe
+    import spark.implicits._
+    // corpus: "low low low lower" → hist {low:3, lower:1}
+    // pairs: (l,o)=4, (o,w)=4, (w,e)=1, (e,r)=1 → tie (l,o) vs (o,w)
+    // breaks lexicographically → merge1 = (l,o) n=4
+    // then: [lo,w]×3, [lo,w,e,r]×1 → (lo,w)=4 → merge2 = (lo,w) n=4
+    // then: [low]×3, [low,e,r] → (low,e)=1, (e,r)=1 → merge3 = (e,r) n=1
+    val docs = Seq((1L, "low low low lower")).toDF("doc_id", "text")
+    val m = Bpe.learnMerges(docs, "text", 5).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(m.take(3).toSeq == Seq((1, "l", "o", 4L), (2, "lo", "w", 4L), (3, "e", "r", 1L)), m.toSeq)
+    // greedy left-to-right non-overlap: "aaa" + merge(a,a) → [aa, a],
+    // so the second iteration sees (aa, a), not (a, aa)
+    val tri = Seq((1L, "aaa")).toDF("doc_id", "text")
+    val mt = Bpe.learnMerges(tri, "text", 2).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(mt.toSeq == Seq((1, "a", "a", 2L), (2, "aa", "a", 1L)), mt.toSeq)
+    // early stop: fully merged vocab yields no further rows
+    val one = Seq((1L, "ab")).toDF("doc_id", "text")
+    assert(Bpe.learnMerges(one, "text", 10).count() == 1)
+  }
+
+  test("property: distributed BPE equals the in-memory reference on random corpora") {
+    import graft.llm.Bpe
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    (0 until 3).foreach { trial =>
+      val words = (0 until 30).map { _ =>
+        (0 until (1 + rnd.nextInt(6))).map(_ => ('a' + rnd.nextInt(4)).toChar).mkString
+      }
+      val docs = words.grouped(6).zipWithIndex
+        .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }.toSeq.toDF("doc_id", "text")
+      val got = Bpe.learnMerges(docs, "text", 6).collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+      val hist = words.groupBy(identity).map { case (w, ws) => (w, ws.size.toLong) }.toSeq
+      val want = Bpe.referenceMerges(hist, 6)
+      assert(got == want, s"trial $trial: got=$got want=$want")
+    }
+  }
+
   test("stripHtml: script/style/comments drop, entities decode after tags, &amp; last") {
     val cases = Seq(
       "<p>a<br/>b</p>" -> "a b",
