@@ -508,6 +508,33 @@ object LlmPack extends QueryPack {
         .select(col("a"), col("b"), col("dist").cast("long").as("dist"))
         .orderBy("a", "b")
     }),
+    // The applied image-dedup decision: perceptual pairs → min-label
+    // clusters → keep one representative per cluster. The undecodable
+    // payload passes through (no hash, no pair, not a dup) — the same
+    // keep-everything-not-proven-duplicate contract as the text path.
+    "multimodal_dedup_apply" -> ((s, dir) => {
+      import s.implicits._
+      def img8(rgb: (Int, Int) => Int): Array[Byte] = {
+        val b = new java.awt.image.BufferedImage(8, 8,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        (0 until 8).foreach(x => (0 until 8).foreach(y => b.setRGB(x, y, rgb(x, y))))
+        val out = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(b, "png", out)
+        out.toByteArray
+      }
+      def checker(x: Int, y: Int): Int =
+        if ((x + y) % 2 == 0) 0xFFFFFF else 0x000000
+      val media = Seq(
+        (1L, img8(checker)),
+        (2L, img8((x, y) => if (x == 0 && y == 0) 0x000000 else checker(x, y))),
+        (3L, img8(checker)),
+        (4L, img8((x, _) => if (x < 4) 0xFFFFFF else 0x000000)),
+        (5L, "not an image".getBytes("UTF-8"))).toDF("media_id", "content")
+      val pairs = Multimodal.ahashNearDupPairs(media)
+      graft.llm.Dedup.keepAfterDedup(media, "media_id",
+          graft.llm.Dedup.dupClusters(pairs))
+        .select(col("media_id")).orderBy("media_id")
+    }),
     // Full mapPartitions decode path over binary media built from text.
     "multimodal_decode" -> ((s, dir) =>
       Multimodal.decode(Multimodal.fromText(docs(s, dir), "doc_id", "text"))
@@ -1340,6 +1367,9 @@ object LlmPack extends QueryPack {
         |  (CAST(1 AS BIGINT), CAST(3 AS BIGINT), CAST(0 AS BIGINT)),
         |  (CAST(2 AS BIGINT), CAST(3 AS BIGINT), CAST(1 AS BIGINT)))
         |  AS t(a, b, dist) ORDER BY a, b""".stripMargin,
+    "multimodal_dedup_apply" ->
+      """SELECT * FROM (VALUES (CAST(1 AS BIGINT)), (CAST(4 AS BIGINT)),
+        |  (CAST(5 AS BIGINT))) AS t(media_id) ORDER BY media_id""".stripMargin,
     "multimodal_real_decode" ->
       """SELECT * FROM (VALUES
         |  (CAST(1 AS BIGINT), 'png', true, 12, 8, CAST(NULL AS BIGINT)),

@@ -574,6 +574,25 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("multimodal_ahash_neardup: banded candidates only — no cartesian, no nested-loop join") {
+    val p = plan("multimodal_ahash_neardup")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("ann_incremental_ivf: frozen-centroid search joins on the bucket key — no cartesian") {
+    val p = plan("ann_incremental_ivf")
+    assert(!p.contains("CartesianProduct"), p)
+    // assignment stays the narrow argmax expression on both branches
+    assert(p.contains("argmax_bucket"), p)
+  }
+
+  test("text_bpe_top_pairs: ASCII prefilter and histogram both hash-aggregate; top-20 is TakeOrdered") {
+    val p = plan("text_bpe_top_pairs")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("HashAggregate"), p)
+    assert(!p.contains("SortAggregate"), p)
+  }
+
   test("share_of_parent: facts aggregate to the nation grain BEFORE any window runs") {
     val p = plan("share_of_parent")
     assert(!p.contains("CartesianProduct"), p)
