@@ -129,6 +129,27 @@ object Bpe {
         StructField("n", LongType, nullable = false))))
   }
 
+  /** Encode a (word, cnt) histogram with an ordered merge list:
+    * chars, then each merge applied greedily in rank order — exactly
+    * the tokenizer-inference contract implied by [[learnMerges]]
+    * (BPE encodes by replaying merges in learned order). Returns
+    * (word, cnt, toks, n_toks). The scale shape is the point: encode
+    * each DISTINCT word once on the vocab-sized table, then join
+    * token counts back to the corpus — never re-tokenize the corpus
+    * row-by-row. Merge count is capped so the k chained fold
+    * expressions stay a bounded codegen tree. */
+  def encodeHistogram(hist: DataFrame, merges: Seq[(String, String)]): DataFrame = {
+    require(merges.length <= 64,
+      s"encodeHistogram: ${merges.length} chained merges would blow the expression tree; " +
+        "encode in batches (checkpoint between) for longer merge lists")
+    val toks0 = expr("filter(split(word, ''), x -> x != '')")
+    val encoded = merges.foldLeft(toks0: Column) {
+      case (c, (l, r)) => applyMerge(c, l, r)
+    }
+    hist.select(col("word"), col("cnt"), encoded.as("toks"))
+      .withColumn("n_toks", size(col("toks")))
+  }
+
   /** Single-machine reference implementation (test oracle): the
     * textbook in-memory BPE over a word histogram. */
   private[llm] def referenceMerges(words: Seq[(String, Long)], k: Int): Seq[(Int, String, String, Long)] = {

@@ -337,6 +337,28 @@ class LlmSpec extends SparkSpec {
     assert(Bpe.learnMerges(one, "text", 10).count() == 1)
   }
 
+  test("BPE encode: learned merges replay in rank order; compression is monotone non-increasing") {
+    import graft.llm.Bpe
+    import spark.implicits._
+    val docs = Seq((1L, "low low low lower lowest low")).toDF("doc_id", "text")
+    val merges = Bpe.learnMerges(docs, "text", 4).collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val hist = Bpe.wordHistogram(docs, "text")
+    val enc = Bpe.encodeHistogram(hist, merges).collect()
+      .map(r => r.getString(0) -> (r.getSeq[String](2), r.getInt(3))).toMap
+    // every word re-concatenates to itself (encoding is lossless)
+    enc.foreach { case (w, (toks, n)) =>
+      assert(toks.mkString == w, s"$w -> $toks")
+      assert(n == toks.length)
+    }
+    // "low" fully merges under its own corpus's first merges
+    assert(enc("low")._2 == 1, enc("low"))
+    // applying a PREFIX of the merges never yields fewer tokens
+    val encShort = Bpe.encodeHistogram(hist, merges.take(2)).collect()
+      .map(r => r.getString(0) -> r.getInt(3)).toMap
+    enc.foreach { case (w, (_, n)) => assert(encShort(w) >= n, w) }
+  }
+
   test("property: distributed BPE equals the in-memory reference on random corpora") {
     import graft.llm.Bpe
     import spark.implicits._
