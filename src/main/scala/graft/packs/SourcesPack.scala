@@ -91,6 +91,27 @@ object SourcesPack extends QueryPack {
             .as("sum_qty"))
         .orderBy("l_returnflag")
     }),
+    // Fixed-width interchange (the mainframe/legacy-feed format):
+    // parquet fixture → distributed rpad-concat text write (overflow
+    // fails loud — a truncated field would shift every later column)
+    // → substring/trim read → re-aggregate. The oracle recomputes from
+    // the parquet original, so layout arithmetic (offsets = prefix
+    // sums of widths), padding, and trimming must all be lossless.
+    "fwf_roundtrip" -> ((s, dir) => {
+      val out = scratch("fwf_supplier")
+      graft.sources.Fwf.write(
+        Tables.load(s, dir, "supplier")
+          .select("s_suppkey", "s_name", "s_nationkey", "s_acctbal"),
+        out, Seq(12, 28, 4, 12))
+      graft.sources.Fwf.read(s, out,
+          Seq("s_suppkey" -> 12, "s_name" -> 28, "s_nationkey" -> 4, "s_acctbal" -> 12))
+        .groupBy(col("s_nationkey").cast("long").as("s_nationkey"))
+        .agg(count(lit(1)).as("n"),
+          min(col("s_name")).as("first_name"),
+          sum(col("s_acctbal").cast("decimal(18,2)"))
+            .cast("double").as("sum_bal"))
+        .orderBy("s_nationkey")
+    }),
     // Avro as the ROW-oriented interchange format (the landing-zone
     // sibling of the ORC gate): parquet fixture → distributed Avro
     // write (one container file per task) → DSv2 read that splits the
@@ -237,6 +258,13 @@ object SourcesPack extends QueryPack {
         |UNION ALL
         |SELECT CAST(3 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)
         |ORDER BY run_id""".stripMargin,
+    // recomputed from the parquet original — any loss in the
+    // fixed-width layout arithmetic (offsets, padding, trim, numeric
+    // string round-trip) breaks the hash
+    "fwf_roundtrip" ->
+      """SELECT s_nationkey, count(*) AS n, min(s_name) AS first_name,
+        |  CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+        |FROM supplier GROUP BY 1 ORDER BY 1""".stripMargin,
     // recomputed from the parquet original — any loss in the ORC
     // write/read path (rows, values, double precision) breaks the hash
     "orc_roundtrip" ->
