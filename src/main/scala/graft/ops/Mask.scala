@@ -138,4 +138,24 @@ object Mask {
       .agg(count(lit(1)).as("n"))
       .select(quasi.map(col) :+ col("n") :+ (col("n") < k).as("violates"): _*)
   }
+
+  /** l-diversity audit — k-anonymity's required companion: a group can
+    * be k-large yet still leak when every member shares one sensitive
+    * value (the homogeneity attack). Per quasi-identifier combination,
+    * count distinct sensitive values and flag groups below the `l`
+    * floor. Same one-aggregate shape as [[kAnonymity]]: the shuffle
+    * carries one row per distinct (quasi, sensitive) combination (the
+    * distinct count collapses map-side first), never per person. */
+  def lDiversity(df: DataFrame, quasi: Seq[String], sensitive: String,
+      l: Long): DataFrame = {
+    require(quasi.nonEmpty, "lDiversity: at least one quasi-identifier column")
+    require(!quasi.contains(sensitive),
+      s"lDiversity: sensitive column '$sensitive' cannot also be a quasi-identifier")
+    require(l >= 2, s"lDiversity: l=$l must be >= 2")
+    df.groupBy(quasi.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col(sensitive)).as("n_sensitive"))
+      .select(quasi.map(col) ++ Seq(col("n"), col("n_sensitive"),
+        (col("n_sensitive") < l).as("violates")): _*)
+  }
 }

@@ -100,6 +100,17 @@ object MaskPack extends QueryPack {
             .select(col("c_mktsegment"), (col("c_custkey") % 25).as("cohort")),
           Seq("c_mktsegment", "cohort"), k = 10)
         .orderBy("c_mktsegment", "cohort")),
+    // l-diversity: k-anonymity's homogeneity-attack companion. The
+    // nation cohort is the quasi-identifier, the market segment the
+    // sensitive value — a cohort whose members all share one segment
+    // leaks it even at k-size.
+    "mask_l_diversity" -> ((s, dir) =>
+      Mask.lDiversity(
+          Tables.load(s, dir, "customer")
+            .select((col("c_custkey") % 40).as("cohort"), col("c_nationkey"),
+              col("c_mktsegment")),
+          Seq("cohort", "c_nationkey"), "c_mktsegment", l = 3)
+        .orderBy("cohort", "c_nationkey")),
     // F10-F13, F19 scalar generators, one column each.
     "mask_fakes" -> ((s, dir) => {
       val key = col("c_custkey")
@@ -140,6 +151,11 @@ object MaskPack extends QueryPack {
     "mask_k_anonymity" ->
       """SELECT c_mktsegment, c_custkey % 25 AS cohort,
         |  count(*) AS n, count(*) < 10 AS violates
+        |FROM customer GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "mask_l_diversity" ->
+      """SELECT c_custkey % 40 AS cohort, c_nationkey, count(*) AS n,
+        |  count(DISTINCT c_mktsegment) AS n_sensitive,
+        |  count(DISTINCT c_mktsegment) < 3 AS violates
         |FROM customer GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "mask_sheet_masked" ->
       s"""SELECT c_custkey, $maskedNameSql AS name, sha256(c_mktsegment) AS segment,
