@@ -132,6 +132,13 @@ object GraftExtensions {
         require(args.length == 4, "cms_estimate(sketch, b0, b1, b2) takes 4 arguments")
         graft.functions.CmsEstimate(args(0), args(1), args(2), args(3))
       }),
+    ("cms_merge",
+      info("cms_merge", "union serialized Count-Min sketches by element-wise counter add; w must be a literal int matching the inputs"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "cms_merge(sketch, w) takes 2 arguments")
+        graft.functions.CmsMerge(args(0), litInt(args(1), "cms_merge w"))
+          .toAggregateExpression()
+      }),
     ("array_dot_int8",
       info("array_dot_int8", "exact integer dot product of two array<tinyint> quantized vectors"),
       (args: Seq[Expression]) => {

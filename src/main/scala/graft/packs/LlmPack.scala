@@ -321,6 +321,21 @@ object LlmPack extends QueryPack {
       val c = e.select(col("vec_id"), col("embedding").as("ce"))
       Ann.cosineTopK(q, c, 10).orderBy("qid", "rank")
     }),
+    // Matryoshka-style prefix tier: retrieval on the FIRST 8
+    // dimensions only (MRL-trained embeddings order information by
+    // prefix, so the truncation is the cheap coarse tier — the
+    // dimensionality sibling of int8 quantization's byte lever).
+    // Slicing happens in the scan projection, so the crossJoin ships
+    // quarter-size vectors; scores and ranks are exact over the
+    // truncated geometry and the oracle mirrors the same slice.
+    "ann_topk_truncated" -> ((s, dir) => {
+      val e = emb(s, dir).select(col("vec_id"),
+        expr("slice(embedding, 1, 8)").as("emb8"))
+      val q = e.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("qid"), col("emb8").as("qe"))
+      val c = e.select(col("vec_id"), col("emb8").as("ce"))
+      Ann.cosineTopK(q, c, 10).orderBy("qid", "rank")
+    }),
     // Int8-quantized brute cosine: same contract as ann_topk_brute at
     // a quarter of the candidate-side bytes — the storage/IO lever for
     // an embedding corpus at scale. Scales cancel in the cosine, so
@@ -1283,6 +1298,14 @@ object LlmPack extends QueryPack {
          |  10000 - (p // 4294967296) AS keeper_q_x1e4
          |FROM packed ORDER BY cluster""".stripMargin,
     "ann_topk_brute" -> bruteSql,
+    "ann_topk_truncated" ->
+      s"""WITH q AS (SELECT vec_id AS qid, embedding[1:8] AS qe FROM embeddings WHERE vec_id < 3),
+         |c AS (SELECT vec_id, embedding[1:8] AS ce FROM embeddings),
+         |s AS (SELECT qid, c.vec_id, ${cosS("qe", "ce")} AS cos_x1e4 FROM q, c)
+         |SELECT qid, vec_id, cos_x1e4, rank FROM (
+         |  SELECT qid, vec_id, cos_x1e4,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_x1e4 DESC, vec_id) AS INT) AS rank
+         |  FROM s) WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
     // mirrors Ann.quantizeInt8/cosineTopKInt8: same scale, clamp and
     // round rules; integer dots; scale4's ratio-then-x1e4 IEEE order
     "ann_topk_quantized" ->

@@ -15,6 +15,19 @@ class GraftExtensionsSpec extends SparkSpec {
       == graft.functions.HilbertOps.xy2d(3, 5))
   }
 
+  test("cms_merge on the SQL surface: per-group sketches union to the single-shot build") {
+    GraftExtensions.register(spark)
+    val row = spark.sql(
+      """WITH t(g, b0, b1, b2) AS (VALUES (0, 1L, 2L, 3L), (1, 1L, 2L, 3L), (0, 5L, 6L, 7L)),
+        |shards AS (SELECT cms_build(b0, b1, b2, 64) AS sk FROM t GROUP BY g),
+        |merged AS (SELECT cms_merge(sk, 64) AS sk FROM shards),
+        |single AS (SELECT cms_build(b0, b1, b2, 64) AS sk FROM t)
+        |SELECT cms_estimate(m.sk, 1L, 2L, 3L), m.sk = s.sk
+        |FROM merged m, single s""".stripMargin).head()
+    assert(row.getLong(0) == 2L)
+    assert(row.getBoolean(1), "merged sketch must be bit-identical to single-shot build")
+  }
+
   test("nfc_normalize collapses decomposed sequences; already-NFC text is identity") {
     GraftExtensions.register(spark)
     // Spark SQL chr() is mod-256, so the combining mark (U+0301) is
