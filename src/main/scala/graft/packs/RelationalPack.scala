@@ -810,6 +810,34 @@ object RelationalPack extends QueryPack {
           graft.functions.F.scale4(element_at(col("ps"), 3)).as("p95"))
         .orderBy("l_returnflag")),
 
+    // Equi-depth feature binning (the quantile bucketizer): global
+    // quartile boundaries come from ONE percentile aggregate (a 1-row
+    // result broadcast back), facts bucketize with a narrow integer
+    // CASE — never an ntile window over the corpus, which would be a
+    // global sort at scale. Boundaries cross engines as scale4
+    // integers (×1e4) and values as cents×100, so the bin compare is
+    // integer-exact — no interpolation-ULP flake at bin edges.
+    "features_quantile_bins" -> ((s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_extendedprice"),
+          floor(col("l_extendedprice") * 100 + lit(0.5)).cast("long").as("price_c"))
+      val bounds = li.agg(
+        expr("percentile(l_extendedprice, array(0.25D, 0.5D, 0.75D))").as("ps"))
+        .select(
+          graft.functions.F.scale4(element_at(col("ps"), 1)).as("q1"),
+          graft.functions.F.scale4(element_at(col("ps"), 2)).as("q2"),
+          graft.functions.F.scale4(element_at(col("ps"), 3)).as("q3"))
+      li.crossJoin(broadcast(bounds))
+        .select(col("l_returnflag"), col("price_c"),
+          when(col("price_c") * 100 <= col("q1"), 1)
+            .when(col("price_c") * 100 <= col("q2"), 2)
+            .when(col("price_c") * 100 <= col("q3"), 3)
+            .otherwise(4).as("bin"))
+        .groupBy("l_returnflag", "bin")
+        .agg(count(lit(1)).as("n"), sum(col("price_c")).as("sum_c"))
+        .orderBy("l_returnflag", "bin")
+    }),
+
     // §2.13 sketch surface, join-pruning form: bloom_build aggregates
     // the SMALL side's keys (partial merge = bitwise OR), the few-KB
     // filter lands on the driver and probes the BIG side as a LITERAL
@@ -1620,6 +1648,22 @@ object RelationalPack extends QueryPack {
         |  CAST(floor(quantile_cont(l_extendedprice, 0.5)*1e4 + 0.5) AS BIGINT) AS p50,
         |  CAST(floor(quantile_cont(l_extendedprice, 0.95)*1e4 + 0.5) AS BIGINT) AS p95
         |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
+    // equi-depth bins: same scale4 boundaries, same integer compare
+    "features_quantile_bins" ->
+      """WITH b AS (SELECT
+        |    CAST(floor(quantile_cont(l_extendedprice, 0.25)*1e4 + 0.5) AS BIGINT) AS q1,
+        |    CAST(floor(quantile_cont(l_extendedprice, 0.5)*1e4 + 0.5) AS BIGINT) AS q2,
+        |    CAST(floor(quantile_cont(l_extendedprice, 0.75)*1e4 + 0.5) AS BIGINT) AS q3
+        |  FROM lineitem),
+        |f AS (SELECT l_returnflag,
+        |    CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS price_c
+        |  FROM lineitem)
+        |SELECT l_returnflag,
+        |  CASE WHEN price_c * 100 <= q1 THEN 1
+        |       WHEN price_c * 100 <= q2 THEN 2
+        |       WHEN price_c * 100 <= q3 THEN 3 ELSE 4 END AS bin,
+        |  count(*) AS n, CAST(sum(price_c) AS BIGINT) AS sum_c
+        |FROM f, b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // the bloom prefilter is result-invariant: the oracle is the exact
     // semi-join with no filter at all
     "bloom_prefilter_join" ->
