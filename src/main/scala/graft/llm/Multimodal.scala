@@ -367,6 +367,53 @@ object Multimodal {
       } finally in.close()
     } catch { case scala.util.control.NonFatal(_) => None }
 
+  /** 64-bit audio fingerprint: split the PCM stream into 65 equal
+    * frames, take each frame's integer energy (Σ sample²), and set
+    * bit i when frame i+1 is louder than frame i — the
+    * sign-of-energy-delta hash, the audio twin of the image aHash.
+    * Uniform gain scales every frame energy by the same factor, so
+    * the comparisons (hence the hash) are GAIN-INVARIANT — a
+    * re-levelled copy of a clip fingerprints identically, which is
+    * what makes it a dedup signal rather than a checksum. None when
+    * the payload isn't decodable PCM or is shorter than 65 samples
+    * (no stable envelope to compare). */
+  def audioHashBytes(content: Array[Byte]): Option[Long] =
+    pcmSamples(content).filter(_.length >= 65).map { s =>
+      val frames = 65
+      val flen = s.length / frames
+      val energy = new Array[Long](frames)
+      var f = 0
+      while (f < frames) {
+        var e = 0L
+        var i = f * flen
+        val end = i + flen
+        while (i < end) { val v = s(i).toLong; e += v * v; i += 1 }
+        energy(f) = e
+        f += 1
+      }
+      (1 until frames).foldLeft(0L) { (acc, i) =>
+        if (energy(i) > energy(i - 1)) acc | (1L << (i - 1)) else acc
+      }
+    }
+
+  /** Perceptual near-duplicate audio pairs: executor-side fingerprint
+    * pass, then the banded Hamming self-join shared with text SimHash
+    * and image aHash ([[Dedup.bandedHammingPairs]]). Output
+    * (a, b, dist), a < b. */
+  def audioNearDupPairs(media: DataFrame, maxBits: Int = 3,
+      maxBucket: Long = 10000L): DataFrame = {
+    val spark = media.sparkSession
+    val rdd = media.select("media_id", "content").rdd.flatMap { r =>
+      Option(r.getAs[Array[Byte]]("content"))
+        .flatMap(audioHashBytes)
+        .map(h => Row(r.getAs[Long]("media_id"), h))
+    }
+    val sigs = spark.createDataFrame(rdd, StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("sig", LongType, nullable = false))))
+    Dedup.bandedHammingPairs(sigs, maxBits, maxBucket)
+  }
+
   /** INTEGER-EXACT audio features per row: sample count, energy
     * (Σ s² as a long — exact for any realistic clip: 16-bit² × count
     * overflows only past 2^32 samples), peak |s|, and zero crossings

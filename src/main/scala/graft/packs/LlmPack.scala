@@ -674,6 +674,45 @@ object LlmPack extends QueryPack {
         Multimodal.mediaSchema)
       Multimodal.audioFeatures(media).orderBy("media_id")
     }),
+    // Perceptual audio near-dup: the sign-of-energy-delta fingerprint
+    // (gain-invariant — a re-levelled copy hashes identically) through
+    // the shared banded-Hamming kernel. Square-wave frames make every
+    // energy an exact integer: clip 2 is clip 1 at exactly half
+    // amplitude (all envelope comparisons preserved ⇒ dist 0), clip 3
+    // an identical copy, clip 4 a constant-envelope clip (hash 0 —
+    // no band can match clip 1's alternating envelope), clip 5 junk.
+    "multimodal_audio_neardup" -> ((s, dir) => {
+      def wav16(samples: Array[Int], rateHz: Int): Array[Byte] = {
+        val pcm = new Array[Byte](samples.length * 2)
+        samples.indices.foreach { i =>
+          pcm(2 * i) = (samples(i) & 0xFF).toByte
+          pcm(2 * i + 1) = ((samples(i) >> 8) & 0xFF).toByte
+        }
+        val afmt = new javax.sound.sampled.AudioFormat(rateHz.toFloat, 16, 1, true, false)
+        val ais = new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(pcm), afmt, samples.length.toLong)
+        val out = new java.io.ByteArrayOutputStream()
+        javax.sound.sampled.AudioSystem.write(ais,
+          javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+        out.toByteArray
+      }
+      // 65 frames x 8 samples; frame k alternates +-A(k)
+      def clip(amp: Int => Int): Array[Int] =
+        (0 until 65).flatMap(k =>
+          (0 until 8).map(j => if (j % 2 == 0) amp(k) else -amp(k))).toArray
+      val envelope = (k: Int) => 100 + ((k * 37) % 64) * 50
+      val media = s.createDataFrame(
+        java.util.Arrays.asList(
+          Row(1L, wav16(clip(envelope), 8000), "audio"),
+          Row(2L, wav16(clip(k => envelope(k) / 2), 8000), "audio"),
+          Row(3L, wav16(clip(envelope), 8000), "audio"),
+          Row(4L, wav16(clip(_ => 500), 8000), "audio"),
+          Row(5L, "not audio".getBytes("UTF-8"), "audio")),
+        Multimodal.mediaSchema)
+      Multimodal.audioNearDupPairs(media)
+        .select(col("a"), col("b"), col("dist").cast("long").as("dist"))
+        .orderBy("a", "b")
+    }),
     // Header-only dimension sniff (Multimodal.sniffMeta): same fixture
     // family as the real-decode gate, but the operator may touch only
     // header bytes — LlmSpec separately locks sniff ≡ full decode on
@@ -1393,6 +1432,12 @@ object LlmPack extends QueryPack {
     "multimodal_dedup_apply" ->
       """SELECT * FROM (VALUES (CAST(1 AS BIGINT)), (CAST(4 AS BIGINT)),
         |  (CAST(5 AS BIGINT))) AS t(media_id) ORDER BY media_id""".stripMargin,
+    "multimodal_audio_neardup" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(1 AS BIGINT), CAST(2 AS BIGINT), CAST(0 AS BIGINT)),
+        |  (CAST(1 AS BIGINT), CAST(3 AS BIGINT), CAST(0 AS BIGINT)),
+        |  (CAST(2 AS BIGINT), CAST(3 AS BIGINT), CAST(0 AS BIGINT)))
+        |  AS t(a, b, dist) ORDER BY a, b""".stripMargin,
     "multimodal_real_decode" ->
       """SELECT * FROM (VALUES
         |  (CAST(1 AS BIGINT), 'png', true, 12, 8, CAST(NULL AS BIGINT)),

@@ -377,6 +377,42 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("audioHashBytes: gain-invariant fingerprint; short/junk payloads yield None") {
+    import graft.llm.Multimodal
+    def wav16(samples: Array[Int]): Array[Byte] = {
+      val pcm = new Array[Byte](samples.length * 2)
+      samples.indices.foreach { i =>
+        pcm(2 * i) = (samples(i) & 0xFF).toByte
+        pcm(2 * i + 1) = ((samples(i) >> 8) & 0xFF).toByte
+      }
+      val afmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), afmt, samples.length.toLong)
+      val out = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+      out.toByteArray
+    }
+    // pseudo-melody: varying per-sample waveform, strong envelope
+    val base = (0 until 650).map { i =>
+      val k = i / 10
+      val amp = 200 + ((k * 29) % 64) * 40
+      (if (i % 2 == 0) amp else -amp) + (i % 3) // small wiggle
+    }.toArray
+    val h = Multimodal.audioHashBytes(wav16(base)).get
+    // exact x4 gain preserves every energy comparison
+    val gained = base.map(_ * 4)
+    assert(Multimodal.audioHashBytes(wav16(gained)).get == h)
+    // constant envelope hashes to 0; far from the melody
+    val flat = (0 until 650).map(i => if (i % 2 == 0) 300 else -300).toArray
+    val hf = Multimodal.audioHashBytes(wav16(flat)).get
+    assert(hf == 0L)
+    assert(java.lang.Long.bitCount(h ^ hf) > 3)
+    // under 65 samples: no stable envelope
+    assert(Multimodal.audioHashBytes(wav16(Array.fill(64)(100))).isEmpty)
+    assert(Multimodal.audioHashBytes("junk".getBytes).isEmpty)
+  }
+
   test("stripHtml: script/style/comments drop, entities decode after tags, &amp; last") {
     val cases = Seq(
       "<p>a<br/>b</p>" -> "a b",
