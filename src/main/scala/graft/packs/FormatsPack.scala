@@ -50,6 +50,27 @@ object FormatsPack extends QueryPack {
       val sheets = Xlsx.readWorkbook(s, file).toMap
       sheets("customer").orderBy("c_name")
     }),
+    // Cross-format federation — the library's core pitch in one gate:
+    // a spreadsheet lands next to the warehouse and joins the parquet
+    // dimension in the SAME plan (DSv2 xlsx scan on one side, parquet
+    // scan on the other; the tiny sheet side broadcasts). All-string
+    // sheet cells re-type at the join boundary, the classic
+    // uploaded-workbook contract.
+    "join_cross_format" -> ((s, dir) => {
+      val file = scratchFile("suppliers.xlsx")
+      Xlsx.writeWorkbook(Seq("supplier" ->
+        Tables.load(s, dir, "supplier")
+          .select(col("s_suppkey").cast("string"), col("s_name"),
+            col("s_nationkey").cast("string"))), file)
+      val sheet = graft.xlsx.XlsxDataSource.readTable(s, file)
+      val nation = Tables.load(s, dir, "nation").select("n_nationkey", "n_name")
+      sheet.join(broadcast(nation),
+          sheet("s_nationkey").cast("long") === nation("n_nationkey"))
+        .groupBy("n_name")
+        .agg(count(lit(1)).as("n_suppliers"),
+          min(col("s_name")).as("first_supplier"))
+        .orderBy("n_name")
+    }),
     // P4 legacy path: .xls (BIFF8-in-CFB) write → dispatcher read.
     // BIFF8 caps sheets at 65536 rows (16-bit row index) and the writer
     // fails loud beyond it, so the round-trip bounds its slice to the
@@ -159,6 +180,10 @@ object FormatsPack extends QueryPack {
     .map { case (sp, t) => s"('${sp.replace("'", "''")}', $t)" }.mkString(", ")
 
   val oracleSql: Map[String, String] = Map(
+    "join_cross_format" ->
+      """SELECT n_name, count(*) AS n_suppliers, min(s_name) AS first_supplier
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "xml_roundtrip" ->
       """SELECT CAST(c_custkey AS VARCHAR) AS c_custkey, c_name, c_mktsegment
         |FROM customer ORDER BY c_name""".stripMargin,

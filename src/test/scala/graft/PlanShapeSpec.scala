@@ -593,6 +593,17 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("SortAggregate"), p)
   }
 
+  test("join_cross_format: the xlsx DSv2 scan and the parquet scan meet in one broadcast join") {
+    val df = SparkEntry.queries("join_cross_format")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // both source formats present in the same physical plan: the
+    // DSv2 xlsx scan (BatchScan over XlsxScan) and the parquet scan
+    assert(p.contains("BatchScan"), p)
+    assert(p.contains("FileScan parquet"), p)
+  }
+
   test("share_of_parent: facts aggregate to the nation grain BEFORE any window runs") {
     val p = plan("share_of_parent")
     assert(!p.contains("CartesianProduct"), p)
