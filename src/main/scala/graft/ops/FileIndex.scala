@@ -73,6 +73,71 @@ object FileIndex {
   def indexedFileCount(spark: SparkSession, dir: String): Long =
     spark.read.parquet(s"$dir/_index").count()
 
+  // ---- footer-only manifests ----------------------------------------
+
+  /** Per-ROW-GROUP stats of an INT64 column read from parquet FOOTERS
+    * only — the manifest builder that never re-scans data. Where
+    * [[writeIndexed]] recomputes stats with a full second pass over
+    * the written bytes (fine at write time, when the data is hot),
+    * this answers "index an EXISTING table" at metadata cost: each
+    * footer is a few KB regardless of file size, and the reads
+    * distribute over executors (one task per file batch), so indexing
+    * a 100 TB directory moves megabytes, not terabytes. Output
+    * (file, row_group, rows, lo, hi). Fails loud on a missing column
+    * or absent statistics (a silent empty manifest would make every
+    * downstream prune wrong). */
+  def footerStats(spark: SparkSession, dir: String, column: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val base = new Path(dir)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = fs.listStatus(base).toSeq
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .map(_.getPath.toString)
+    require(files.nonEmpty, s"footerStats: no parquet files under $dir")
+    val par = math.min(files.length, spark.sparkContext.defaultParallelism)
+    val rdd = spark.sparkContext.parallelize(files, par).flatMap { f =>
+      import scala.jdk.CollectionConverters._
+      // local/ephemeral conf: footer reads need no job-side settings
+      val conf = new org.apache.hadoop.conf.Configuration()
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(new Path(f), conf))
+      try {
+        reader.getFooter.getBlocks.asScala.toSeq.zipWithIndex.map { case (bg, i) =>
+          val cc = bg.getColumns.asScala
+            .find(_.getPath.toDotString == column)
+            .getOrElse(throw new IllegalArgumentException(
+              s"footerStats: column '$column' not found in $f"))
+          val st = cc.getStatistics
+          require(st != null && !st.isEmpty,
+            s"footerStats: no statistics for '$column' in $f row group $i")
+          org.apache.spark.sql.Row(f, i, bg.getRowCount,
+            st.genericGetMin.asInstanceOf[java.lang.Long].longValue(),
+            st.genericGetMax.asInstanceOf[java.lang.Long].longValue())
+        }
+      } finally reader.close()
+    }
+    spark.createDataFrame(rdd, StructType(Seq(
+      StructField("file", StringType, nullable = false),
+      StructField("row_group", IntegerType, nullable = false),
+      StructField("rows", LongType, nullable = false),
+      StructField("lo", LongType, nullable = false),
+      StructField("hi", LongType, nullable = false))))
+  }
+
+  /** Scan of `dir` pruned by a FOOTER-built manifest: files whose
+    * [lo, hi] span (over all their row groups) intersects
+    * [lower, upper]. Same planning contract as [[readPruned]], but
+    * the manifest came from metadata, not a data pass. */
+  def readFooterPruned(spark: SparkSession, dir: String, column: String,
+      lower: Long, upper: Long): DataFrame = {
+    val files = footerStats(spark, dir, column)
+      .groupBy("file").agg(min(col("lo")).as("lo"), max(col("hi")).as("hi"))
+      .filter(!(col("hi") < lower || col("lo") > upper))
+      .select("file").collect().map(_.getString(0)).toIndexedSeq
+    if (files.isEmpty) spark.read.parquet(dir).limit(0)
+    else spark.read.parquet(files: _*)
+  }
+
   // ---- per-file Bloom manifests -------------------------------------
 
   /** Like [[writeIndexed]], plus a per-file Bloom filter over a SECOND

@@ -998,6 +998,27 @@ object RelationalPack extends QueryPack {
         .agg(count(lit(1)).as("n"), dsum("o_totalprice").as("total"))
         .orderBy("o_orderstatus")
     }),
+    // Index an EXISTING table from parquet FOOTERS only — the
+    // metadata-cost manifest builder: stats come from row-group
+    // headers (KBs per file, read in executor tasks), never a second
+    // data pass. The pruned aggregate must equal the plain filtered
+    // aggregate, proving the footer lo/hi agree with the bytes on
+    // disk; FileIndexSpec separately audits the manifest itself
+    // (row-group row counts sum to the table count, lo/hi match a
+    // recomputed per-file min/max).
+    "fileindex_footer_scan" -> ((s, dir) => {
+      val out = graft.core.Scratch.dir("graft_ffoot").resolve("orders").toString
+      Tables.load(s, dir, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .repartitionByRange(16, col("o_orderkey"))
+        .sortWithinPartitions("o_orderkey")
+        .write.mode("overwrite").parquet(out)
+      graft.ops.FileIndex.readFooterPruned(s, out, "o_orderkey", 1000L, 5000L)
+        .filter(col("o_orderkey").between(1000L, 5000L))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"), dsum("o_totalprice").as("total"))
+        .orderBy("o_orderstatus")
+    }),
     // Point lookup on a NON-cluster column via the per-file bloom
     // manifest: orders laid out by o_orderkey, looked up by o_custkey
     // — min/max can't prune that, the bloom can. The oracle is the
@@ -1110,6 +1131,11 @@ object RelationalPack extends QueryPack {
     "fileindex_bloom_scan" ->
       s"""SELECT o_orderstatus, count(*) AS n, ${dsumSql("o_totalprice")} AS total
          |FROM orders WHERE o_custkey = 97
+         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    // footer pruning is result-invariant like the other manifests
+    "fileindex_footer_scan" ->
+      s"""SELECT o_orderstatus, count(*) AS n, ${dsumSql("o_totalprice")} AS total
+         |FROM orders WHERE o_orderkey BETWEEN 1000 AND 5000
          |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "zorder_skipping" ->
       s"""SELECT event_type, count(*) AS n, ${dsumSql("value")} AS total_value

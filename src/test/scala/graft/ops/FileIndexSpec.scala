@@ -60,6 +60,36 @@ class FileIndexSpec extends SparkSpec {
     dir
   }
 
+  test("footer stats agree with the bytes: row counts sum to the table, lo/hi match a recompute") {
+    val dir = Files.createTempDirectory("ffoot").resolve("t").toString
+    spark.range(5000).select(col("id"), (col("id") % 3).as("v"))
+      .repartitionByRange(5, col("id")).sortWithinPartitions("id")
+      .write.parquet(dir)
+    val stats = FileIndex.footerStats(spark, dir, "id")
+    assert(stats.agg(sum("rows")).head().getLong(0) == 5000L)
+    // per-file footer lo/hi equal a full-scan recompute per file
+    val fromFooter = stats.groupBy("file")
+      .agg(min("lo").as("lo"), max("hi").as("hi"), sum("rows").as("rows"))
+      .collect().map(r => (r.getString(0).replaceFirst("^file:/*", "/"),
+        (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val fromData = spark.read.parquet(dir)
+      .groupBy(input_file_name().as("file"))
+      .agg(min("id").as("lo"), max("id").as("hi"), count(lit(1)).as("rows"))
+      .collect().map(r => (r.getString(0).replaceFirst("^file:/*", "/"),
+        (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(fromFooter == fromData,
+      s"footer=$fromFooter\ndata=$fromData")
+    // pruned read equals plain filter
+    val pruned = FileIndex.readFooterPruned(spark, dir, "id", 1000L, 1500L)
+      .filter(col("id").between(1000L, 1500L))
+    assert(pruned.count() == 501L)
+    // missing column fails loud
+    val e = intercept[Exception] {
+      FileIndex.footerStats(spark, dir, "nope").collect()
+    }
+    assert(e.getMessage != null)
+  }
+
   test("bloom manifest prunes a point lookup on the non-cluster column") {
     val dir = bloomIndexed(10000, 10)
     // pick an existing u value and its expected rows from a full scan
