@@ -394,6 +394,28 @@ object TimeSeriesPack extends QueryPack {
     // from two DISJOINT batches and merged state-to-state — the
     // refresh path that never rescans history. The oracle is the full
     // recompute the merge must equal.
+    // JOIN-view delta maintenance (the join complement of the
+    // aggregate matview): V = orders ⋈ customer refreshed after both
+    // sides receive arrivals. delta = dO⋈C_old ∪ O_old⋈dC ∪ dO⋈dC —
+    // history only ever joins a delta. initial-view ∪ delta must
+    // equal the full recompute (the oracle), penny-exact.
+    "matview_join_delta" -> ((s, dir) => {
+      val o = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          floor(col("o_totalprice") * 100 + lit(0.5)).cast("long").as("price_c"))
+      val c = Tables.load(s, dir, "customer")
+        .select(col("c_custkey").as("o_custkey"), col("c_mktsegment"))
+      val (oOld, dO) = (o.filter(col("o_orderkey") % 5 =!= 0),
+        o.filter(col("o_orderkey") % 5 === 0))
+      val (cOld, dC) = (c.filter(col("o_custkey") % 7 =!= 0),
+        c.filter(col("o_custkey") % 7 === 0))
+      val initial = oOld.join(cOld, Seq("o_custkey"))
+      graft.ops.IncrementalJoin
+        .refresh(initial, oOld, dO, cOld, dC, Seq("o_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"), sum(col("price_c")).as("sum_c"))
+        .orderBy("c_mktsegment")
+    }),
     "matview_incremental" -> ((s, dir) => {
       val base = Tables.load(s, dir, "events")
         .select(col("event_id"), col("event_type"),
@@ -842,6 +864,12 @@ object TimeSeriesPack extends QueryPack {
         |  FROM j)
         |SELECT CAST(w2 - w1 AS BIGINT) AS bdays, count(*) AS n_items
         |FROM w GROUP BY 1 ORDER BY bdays""".stripMargin,
+    // the full recompute the join-delta refresh must equal
+    "matview_join_delta" ->
+      """SELECT c_mktsegment, count(*) AS n,
+        |  CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_c
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // the full recompute the incremental merge must equal
     "matview_incremental" ->
       """WITH base AS (

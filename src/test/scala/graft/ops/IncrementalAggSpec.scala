@@ -47,4 +47,25 @@ class IncrementalAggSpec extends SparkSpec {
       .select("avg_scaled").head.getLong(0)
     assert(out == 250L) // 10·100 div 4
   }
+
+  test("property: join-delta refresh equals the full recompute on random splits") {
+    val rnd = new scala.util.Random(7)
+    (0 until 3).foreach { trial =>
+      val a = (0 until 200).map(i => (rnd.nextInt(20).toLong, i.toLong))
+        .toDF("k", "av")
+      val b = (0 until 60).map(i => (rnd.nextInt(20).toLong, (i * 10).toLong))
+        .toDF("k", "bv")
+      val cutA = rnd.nextInt(3).toLong; val cutB = rnd.nextInt(4).toLong
+      val (aOld, dA) = (a.filter(col("av") % 3 =!= cutA), a.filter(col("av") % 3 === cutA))
+      val (bOld, dB) = (b.filter(col("bv") % 4 =!= cutB), b.filter(col("bv") % 4 === cutB))
+      val refreshed = IncrementalJoin.refresh(
+        aOld.join(bOld, Seq("k")), aOld, dA, bOld, dB, Seq("k"))
+        .groupBy("k").agg(count(lit(1)).as("n"), sum(col("av") + col("bv")).as("s"))
+      val full = a.join(b, Seq("k"))
+        .groupBy("k").agg(count(lit(1)).as("n"), sum(col("av") + col("bv")).as("s"))
+      val d1 = refreshed.exceptAll(full).count()
+      val d2 = full.exceptAll(refreshed).count()
+      assert(d1 == 0 && d2 == 0, s"trial $trial: delta algebra diverged ($d1, $d2)")
+    }
+  }
 }
