@@ -179,6 +179,12 @@ object RelationalPack extends QueryPack {
     "events_cms_stream" -> ((s, dir) =>
       graft.streaming.EventsStream.cmsStateViaFileSink(s, dir)),
 
+    // §2.11 observability: per-batch progress records must conserve
+    // the input — Σ numInputRows over every trigger equals the exact
+    // feed row count (a dropped or double-read file breaks it).
+    "events_stream_progress" -> ((s, dir) =>
+      graft.streaming.EventsStream.progressAuditViaFileSink(s, dir)),
+
     // §2.11 CHAINED stateful operators: ingest-dedup → hourly window
     // agg in ONE streaming query over a redelivered feed — counts must
     // equal the batch aggregate of the unduplicated feed (a dropped
@@ -1316,6 +1322,10 @@ object RelationalPack extends QueryPack {
         |  CAST(CASE WHEN nk < 64 THEN nk
         |       ELSE 63 * 1099511627776 // hk END AS BIGINT) AS est_users
         |FROM agg ORDER BY hour""".stripMargin,
+    // progress accounting conserves the feed
+    "events_stream_progress" ->
+      """SELECT 'input_rows' AS metric, CAST(count(*) AS BIGINT) AS value
+        |FROM events""".stripMargin,
     // additive-CMS state mirror: disjoint batches merged counter-wise
     // must equal the exact full-feed counts (no collision at w=1024)
     "events_cms_stream" ->

@@ -786,6 +786,59 @@ object EventsStream {
       .orderBy("hour", "event_type")
   }
 
+  /** Per-batch progress of a finished query as a DataFrame — the
+    * observability surface an operations team audits (rows ingested
+    * per trigger, batches fired). Reads `query.recentProgress` (a
+    * bounded ring buffer, `spark.sql.streaming.numRecentProgressUpdates`
+    * deep); a production deployment streams the same records out
+    * through a StreamingQueryListener into a metrics sink instead of
+    * polling — same payload, push not pull. */
+  def progressRows(q: StreamingQuery): Seq[(Long, Long)] =
+    q.recentProgress.toSeq.map(p => (p.batchId, p.numInputRows))
+
+  /** Observability gate: the fixture streams in two staged halves
+    * (maxFilesPerTrigger=1) through the hourly aggregate; the
+    * progress records must account for EXACTLY every input row —
+    * conservation between the source and the progress accounting.
+    * Batch count and per-batch sizes are trigger-scheduling details
+    * (empty flush batches come and go), so the gate sums — the
+    * deterministic invariant — rather than asserting shapes. */
+  def progressAuditViaFileSink(spark: SparkSession, sfDir: String): DataFrame = {
+    import java.nio.file.Files
+    val base = Files.createTempDirectory("graft_obs_gate")
+    val in = base.resolve("in"); Files.createDirectories(in)
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "4")
+    ss.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val probe = ss.read.parquet(s"$sfDir/events.parquet")
+    Seq(0, 1).foreach { p =>
+      val stage = base.resolve(s"stage$p")
+      probe.filter(col("event_id") % 2 === p)
+        .coalesce(1).write.parquet(stage.toString)
+      val listing = Files.list(stage)
+      val part = try listing.filter(_.getFileName.toString.endsWith(".parquet"))
+        .findFirst.get finally listing.close()
+      val dst = in.resolve(s"half$p.parquet")
+      Files.copy(part, dst)
+      Files.setLastModifiedTime(dst, java.nio.file.attribute.FileTime
+        .fromMillis(System.currentTimeMillis() + 10000L + p * 10000L))
+    }
+    val out = base.resolve("out").toString
+    val q = hourlyCounts(readEvents(ss, in.toString, maxFilesPerTrigger = Some(1)))
+      .select(col("window.start").as("hour_start"), col("event_type"), col("n"))
+      .writeStream
+      .outputMode(OutputMode.Append())
+      .format("parquet")
+      .option("path", out)
+      .option("checkpointLocation", base.resolve("ckpt").toString)
+      .start()
+    val rows = try { q.processAllAvailable(); progressRows(q) } finally q.stop()
+    deleteDirs(Seq(in, base.resolve("stage0"), base.resolve("stage1"),
+      base.resolve("ckpt"), base.resolve("out")))
+    import spark.implicits._
+    Seq(("input_rows", rows.map(_._2).sum)).toDF("metric", "value")
+  }
+
   /** Shared tail of the versioned-state gates: resolve the final state
     * version, delete the gate's staging dirs plus every superseded
     * version, and hand the surviving state back on the CALLER's
