@@ -604,6 +604,28 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("FileScan parquet"), p)
   }
 
+  test("matview_join_delta: every delta term is an equi-join — no cartesian, no nested loop") {
+    val p = plan("matview_join_delta")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("fileindex_footer_scan: the residual range predicate pushes into the pruned parquet scan") {
+    val df = SparkEntry.queries("fileindex_footer_scan")(spark, sf)
+    val pushed = df.queryExecution.sparkPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+        s.metadata.getOrElse("PushedFilters", "")
+    }.mkString("\n")
+    assert(pushed.contains("GreaterThanOrEqual(o_orderkey,1000)"), pushed)
+    assert(pushed.contains("LessThanOrEqual(o_orderkey,5000)"), pushed)
+  }
+
+  test("features_quantile_bins: both passes hash-aggregate; the 1-row bounds broadcast") {
+    val p = plan("features_quantile_bins")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("SortAggregate"), p)
+  }
+
   test("share_of_parent: facts aggregate to the nation grain BEFORE any window runs") {
     val p = plan("share_of_parent")
     assert(!p.contains("CartesianProduct"), p)
