@@ -115,6 +115,31 @@ object Dedup {
         col("i").cast("double") / (col("na.n") + col("nb.n") - col("i"))).as("jacc_x1e4"))
   }
 
+  /** Asymmetric n-gram CONTAINMENT per candidate pair: |A∩B| / |A|
+    * and |A∩B| / |B| — the sub-document duplication signal Jaccard
+    * misses. A short quote embedded verbatim in a long article has
+    * near-zero Jaccard (the union is article-sized) but containment
+    * ≈ 1 from the quote's side; training-data curation needs exactly
+    * that direction to catch excerpt/boilerplate reuse. Same
+    * candidates-only cost shape as [[jaccard]]: one digest-keyed
+    * intersection aggregate plus two size joins — containment never
+    * touches non-candidate pairs. */
+  def containment(cand: DataFrame, sh: DataFrame): DataFrame = {
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("n"))
+    val inter = cand
+      .join(sh.as("sa"), col("sa.id") === col("a"))
+      .join(sh.as("sb"), col("sb.id") === col("b") && col("sa.sh") === col("sb.sh"))
+      .groupBy("a", "b").agg(count(lit(1)).as("i"))
+    inter
+      .join(sizes.as("na"), col("na.id") === col("a"))
+      .join(sizes.as("nb"), col("nb.id") === col("b"))
+      .select(col("a"), col("b"),
+        graft.functions.F.scale4(col("i").cast("double") / col("na.n"))
+          .as("cont_a_x1e4"),
+        graft.functions.F.scale4(col("i").cast("double") / col("nb.n"))
+          .as("cont_b_x1e4"))
+  }
+
   /** MinHash-LSH near-duplicate pairs with verified Jaccard ≥ threshold
     * (threshold compared on the scaled fixed-point value).
     *

@@ -124,6 +124,18 @@ object DedupPack extends QueryPack {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       Dedup.jaccard(pairs, sh).orderBy("a")
     }),
+    // Asymmetric containment — the sub-document/quote-reuse signal:
+    // each doubled doc embeds its original plus a tail, so the
+    // original's shingles are (near-)fully contained in the copy
+    // while Jaccard alone under-reads the relationship. Same
+    // candidates-only shape as the Jaccard gate.
+    "text_ngram_containment" -> ((s, dir) => {
+      val pairs = Tables.load(s, dir, "documents")
+        .select(col("doc_id").as("a"), (col("doc_id") + 1000000).as("b"))
+      val sh = Dedup.shingles(corpus(s, dir), "id", "text")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      Dedup.containment(pairs, sh).orderBy("a")
+    }),
   )
 
   // ---- DuckDB mirrors -------------------------------------------------
@@ -327,6 +339,21 @@ object DedupPack extends QueryPack {
          |  GROUP BY p.a, p.b)
          |SELECT i2.a, i2.b,
          |  CAST(FLOOR(CAST(i2.i AS DOUBLE) / (na.n + nb.n - i2.i) * 10000 + 0.5) AS BIGINT) AS jacc_x1e4
+         |FROM inter i2
+         |JOIN sizes na ON na.id = i2.a
+         |JOIN sizes nb ON nb.id = i2.b ORDER BY i2.a""".stripMargin,
+    "text_ngram_containment" ->
+      s"""WITH $corpusSql,
+         |$shingleSql,
+         |pairs AS (SELECT doc_id AS a, doc_id + 1000000 AS b FROM documents),
+         |sizes AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
+         |inter AS (SELECT p.a, p.b, count(*) AS i FROM pairs p
+         |  JOIN sh sa ON sa.id = p.a
+         |  JOIN sh sb ON sb.id = p.b AND sa.sh = sb.sh
+         |  GROUP BY p.a, p.b)
+         |SELECT i2.a, i2.b,
+         |  CAST(FLOOR(CAST(i2.i AS DOUBLE) / na.n * 10000 + 0.5) AS BIGINT) AS cont_a_x1e4,
+         |  CAST(FLOOR(CAST(i2.i AS DOUBLE) / nb.n * 10000 + 0.5) AS BIGINT) AS cont_b_x1e4
          |FROM inter i2
          |JOIN sizes na ON na.id = i2.a
          |JOIN sizes nb ON nb.id = i2.b ORDER BY i2.a""".stripMargin,

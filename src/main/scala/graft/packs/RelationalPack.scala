@@ -179,6 +179,14 @@ object RelationalPack extends QueryPack {
     "events_cms_stream" -> ((s, dir) =>
       graft.streaming.EventsStream.cmsStateViaFileSink(s, dir)),
 
+    // §2.11 × stats: streaming anomaly flags from mergeable moment
+    // state — per-hour (n, Σc, Σc²) added across micro-batches, the
+    // z-score test with division and sqrt multiplied away so both
+    // engines branch on identical integers. Disjoint halves must
+    // reproduce the batch recompute exactly.
+    "events_anomaly_stream" -> ((s, dir) =>
+      graft.streaming.EventsStream.anomalyViaFileSink(s, dir)),
+
     // §2.11 observability: per-batch progress records must conserve
     // the input — Σ numInputRows over every trigger equals the exact
     // feed row count (a dropped or double-read file breaks it).
@@ -1322,6 +1330,22 @@ object RelationalPack extends QueryPack {
         |  CAST(CASE WHEN nk < 64 THEN nk
         |       ELSE 63 * 1099511627776 // hk END AS BIGINT) AS est_users
         |FROM agg ORDER BY hour""".stripMargin,
+    // the integer-algebra z-score recompute the merged moments must equal
+    "events_anomaly_stream" ->
+      """WITH m AS (
+        |  SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H') AS hour,
+        |    count(*) AS n,
+        |    CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS s,
+        |    CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)
+        |           * CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS q
+        |  FROM events GROUP BY 1),
+        |g AS (SELECT CAST(SUM(n) AS BIGINT) AS gn, CAST(SUM(s) AS BIGINT) AS gs,
+        |    CAST(SUM(q) AS BIGINT) AS gq FROM m)
+        |SELECT hour, CAST(n AS BIGINT) AS n, s // n AS mean_c,
+        |  gs // gn AS gmean_c,
+        |  (s // n - gs // gn) * (s // n - gs // gn) >
+        |    4 * (gq // gn - (gs // gn) * (gs // gn)) AS is_anomaly
+        |FROM m, g ORDER BY hour""".stripMargin,
     // progress accounting conserves the feed
     "events_stream_progress" ->
       """SELECT 'input_rows' AS metric, CAST(count(*) AS BIGINT) AS value

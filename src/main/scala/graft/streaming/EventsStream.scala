@@ -839,6 +839,99 @@ object EventsStream {
     Seq(("input_rows", rows.map(_._2).sum)).toDF("metric", "value")
   }
 
+  /** §2.11 × stats: streaming anomaly detection over MERGEABLE moment
+    * state. Each micro-batch reduces to per-hour exact integer moments
+    * (n, Σcents, Σcents²) and merges into the versioned store by
+    * element-wise ADD — O(1) state per hour forever, the same additive
+    * shape as the CMS gate, with the same strictly-below-batchId
+    * exactly-once mechanism. The flag then derives from pure integer
+    * algebra: hour mean m = Σc div n, global (N, S, Q), and
+    * "anomalous" ⟺ (m·N − S)² > k²·(N·Q − S²) — the z-score test with
+    * the division and sqrt multiplied away, so both engines branch on
+    * identical integers (no IEEE sqrt at the decision boundary). */
+  def momentsHourly(events: DataFrame): DataFrame =
+    events.select(date_format(col("ts"), "yyyy-MM-dd HH").as("hour"),
+        floor(col("value") * 100 + lit(0.5)).cast("long").as("c"))
+      .groupBy("hour")
+      .agg(count(lit(1)).as("n"), sum(col("c")).as("s"),
+        sum(col("c") * col("c")).as("q"))
+
+  def momentsStreamState(events: DataFrame, stateBase: String,
+      checkpoint: String): StreamingQuery =
+    events.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        mergeMomentsIntoState(batch, batchId, stateBase)
+      }
+      .start()
+
+  /** One micro-batch commit: moments add hour-wise (integer sums
+    * commute — merge order can never change the state). */
+  def mergeMomentsIntoState(batch: DataFrame, batchId: Long,
+      stateBase: String): Unit = {
+    val ss = batch.sparkSession
+    val b = momentsHourly(batch)
+    val merged = currentStateVersion(ss, stateBase, below = batchId) match {
+      case Some(dir) =>
+        ss.read.parquet(dir).unionByName(b)
+          .groupBy("hour")
+          .agg(sum(col("n")).as("n"), sum(col("s")).as("s"), sum(col("q")).as("q"))
+      case None => b
+    }
+    merged.write.mode("overwrite").parquet(s"$stateBase/v$batchId")
+  }
+
+  /** Correctness gate for [[momentsStreamState]]: the fixture streams
+    * in two DISJOINT halves; the final state's per-hour flags must
+    * equal the batch recompute of the whole feed (the oracle) — a
+    * dropped batch or double merge shifts a moment and flips flags or
+    * counts. k = 2 (beyond two global standard deviations). */
+  def anomalyViaFileSink(spark: SparkSession, sfDir: String): DataFrame = {
+    import java.nio.file.Files
+    val base = Files.createTempDirectory("graft_anom_gate")
+    val in = base.resolve("in"); Files.createDirectories(in)
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "4")
+    ss.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val probe = ss.read.parquet(s"$sfDir/events.parquet")
+    Seq(0, 1).foreach { p =>
+      val stage = base.resolve(s"stage$p")
+      probe.filter(col("event_id") % 2 === p)
+        .coalesce(1).write.parquet(stage.toString)
+      val listing = Files.list(stage)
+      val part = try listing.filter(_.getFileName.toString.endsWith(".parquet"))
+        .findFirst.get finally listing.close()
+      val dst = in.resolve(s"half$p.parquet")
+      Files.copy(part, dst)
+      Files.setLastModifiedTime(dst, java.nio.file.attribute.FileTime
+        .fromMillis(System.currentTimeMillis() + 10000L + p * 10000L))
+    }
+    val state = base.resolve("state").toString
+    val q = momentsStreamState(
+      readEvents(ss, in.toString, maxFilesPerTrigger = Some(1)),
+      state, base.resolve("ckpt").toString)
+    try q.processAllAvailable() finally q.stop()
+    val fin = finalStateAndCleanup(spark, state,
+      Seq(in, base.resolve("stage0"), base.resolve("stage1"), base.resolve("ckpt")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val g = fin.agg(sum(col("n")).as("gn"), sum(col("s")).as("gs"),
+      sum(col("q")).as("gq"))
+    // All quantities stay ≤ cents² after the integer divisions, so no
+    // product can overflow INT64 at any sf (the naive (m·N − S)² form
+    // would at sf0.1). Integer-div variance is biased by < 1 cent² —
+    // identical bias in both engines, so the flags compare exactly.
+    val out = fin.crossJoin(broadcast(g))
+      .select(col("hour"), col("n"),
+        expr("s DIV n").as("mean_c"),
+        expr("gs DIV gn").as("gmean_c"),
+        ((expr("s DIV n") - expr("gs DIV gn")) *
+          (expr("s DIV n") - expr("gs DIV gn")) >
+          lit(4L) * (expr("gq DIV gn") - expr("(gs DIV gn) * (gs DIV gn)")))
+          .as("is_anomaly"))
+      .orderBy("hour")
+    out
+  }
+
   /** Shared tail of the versioned-state gates: resolve the final state
     * version, delete the gate's staging dirs plus every superseded
     * version, and hand the surviving state back on the CALLER's

@@ -297,6 +297,29 @@ class EventsStreamSpec extends SparkSpec {
     assert(bad.getMessage != null)
   }
 
+  test("moments state: disjoint batches add exactly, torn-batch retry is idempotent") {
+    import org.apache.spark.sql.functions.col
+    val base = java.nio.file.Files.createTempDirectory("mom_retry")
+    val state = base.resolve("state").toString
+    def batchDf(rows: (Long, String, Double)*) =
+      rows.map { case (eid, t, v) => Event(eid, ts(t), 1L, "view", v) }.toDF()
+    EventsStream.mergeMomentsIntoState(
+      batchDf((1L, "2024-01-01 10:00:00", 1.00), (2L, "2024-01-01 10:10:00", 3.00)),
+      0L, state)
+    def st(dir: String) = spark.read.parquet(dir)
+      .select("hour", "n", "s", "q").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val s0 = st(EventsStream.currentStateVersion(spark, state).get)
+    // cents: 100 and 300 → n=2, s=400, q=100^2+300^2=100000
+    assert(s0("2024-01-01 10") == ((2L, 400L, 100000L)), s0)
+    val b1 = batchDf((3L, "2024-01-01 10:20:00", 2.00), (4L, "2024-01-01 11:00:00", 5.00))
+    EventsStream.mergeMomentsIntoState(b1, 1L, state)
+    EventsStream.mergeMomentsIntoState(b1, 1L, state) // torn-batch retry
+    val s1 = st(EventsStream.currentStateVersion(spark, state).get)
+    assert(s1("2024-01-01 10") == ((3L, 600L, 140000L)), s1)
+    assert(s1("2024-01-01 11") == ((1L, 500L, 250000L)), s1)
+  }
+
   test("runToFiles: deployable file-source → parquet-sink pipeline (§2.11)") {
     val base = java.nio.file.Files.createTempDirectory("evstream")
     val out = base.resolve("out").toString
