@@ -248,6 +248,38 @@ object ExtrasPack extends QueryPack {
         .withColumn("l1_bp", abs(col("bp_a") - col("bp_b")))
         .orderBy("bin")
     }),
+    // Two-sample Kolmogorov–Smirnov drift statistic, exact integers:
+    // D = max over distinct values v of |#A≤v · n_b − #B≤v · n_a|,
+    // reported both raw and as ×1e4 of the normalized D. The facts
+    // collapse to the |distinct quantity cents| grain (≤ ~5001 rows —
+    // continuous data would bin first, same as the L1 gate) in ONE
+    // aggregate; the cumulative window then runs over that bounded
+    // relation, never the corpus. Products stay under INT64: cum ≤ 1e7
+    // rows × counts ≤ 1e7 → ≤ 1e14. The max-CDF-gap complements the
+    // per-bin L1 report: KS localizes nothing but bounds the whole
+    // distribution shift with one number a release gate can threshold.
+    "drift_ks_quantity" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val li = Tables.load(s, dir, "lineitem")
+        .select(year(col("l_shipdate")).as("y"),
+          floor(col("l_quantity") * 100 + lit(0.5)).cast("long").as("qc"))
+        .filter(col("y").isin(1995, 1996))
+      val byV = li.groupBy("qc")
+        .agg(sum(when(col("y") === 1995, 1L).otherwise(0L)).as("n_a"),
+          sum(when(col("y") === 1996, 1L).otherwise(0L)).as("n_b"))
+      val w = Window.orderBy("qc")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      byV
+        .withColumn("t_a", sum(col("n_a")).over(Window.partitionBy()))
+        .withColumn("t_b", sum(col("n_b")).over(Window.partitionBy()))
+        .withColumn("c_a", sum(col("n_a")).over(w))
+        .withColumn("c_b", sum(col("n_b")).over(w))
+        .withColumn("gap", abs(col("c_a") * col("t_b") - col("c_b") * col("t_a")))
+        .agg(max(col("t_a")).as("n_a"), max(col("t_b")).as("n_b"),
+          max(col("gap")).as("d_num"))
+        .select(col("n_a"), col("n_b"), col("d_num"),
+          expr("d_num * 10000 DIV (n_a * n_b)").as("d_x1e4"))
+    }),
     "compact_roundtrip" -> ((s, dir) => {
       val base = graft.core.Scratch.dir("graft_compact").toString
       Tables.load(s, dir, "documents").select("doc_id", "source", "n_chars")
@@ -391,6 +423,28 @@ object ExtrasPack extends QueryPack {
         |  (a.n_a = b.n_b AND a.ck_a = b.ck_b) AS checksums_match
         |FROM a FULL OUTER JOIN b USING (l_returnflag)
         |ORDER BY l_returnflag""".stripMargin,
+    // the same exact-integer max-CDF-gap, windowed over distinct cents
+    "drift_ks_quantity" ->
+      """WITH b AS (SELECT year(l_shipdate) AS y,
+        |    CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) AS qc
+        |  FROM lineitem WHERE year(l_shipdate) IN (1995, 1996)),
+        |g AS (SELECT qc,
+        |    CAST(SUM(CASE WHEN y = 1995 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |    CAST(SUM(CASE WHEN y = 1996 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+        |  FROM b GROUP BY 1),
+        |w AS (SELECT qc, n_a, n_b,
+        |    CAST(SUM(n_a) OVER () AS BIGINT) AS t_a,
+        |    CAST(SUM(n_b) OVER () AS BIGINT) AS t_b,
+        |    CAST(SUM(n_a) OVER (ORDER BY qc
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS c_a,
+        |    CAST(SUM(n_b) OVER (ORDER BY qc
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS c_b
+        |  FROM g)
+        |SELECT max(t_a) AS n_a, max(t_b) AS n_b,
+        |  CAST(max(abs(c_a * t_b - c_b * t_a)) AS BIGINT) AS d_num,
+        |  CAST(max(abs(c_a * t_b - c_b * t_a)) * 10000
+        |    // (max(t_a) * max(t_b)) AS BIGINT) AS d_x1e4
+        |FROM w""".stripMargin,
     "drift_l1_quantity" ->
       """WITH b AS (SELECT year(l_shipdate) AS y,
         |    least(11, CAST(floor(l_quantity * 12 / 60) AS INT)) AS bin

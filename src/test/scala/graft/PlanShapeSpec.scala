@@ -626,6 +626,18 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("SortAggregate"), p)
   }
 
+  test("drift_ks_quantity: facts collapse to the distinct-cents grain BEFORE the cumulative window") {
+    val df = SparkEntry.queries("drift_ks_quantity")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), p)
+    // the single-partition window must sit ABOVE the hash aggregate —
+    // it only ever sees the bounded distinct-value relation
+    val lines = p.linesIterator.toSeq
+    val winIdx = lines.indexWhere(_.contains("Window"))
+    val aggIdx = lines.lastIndexWhere(_.contains("HashAggregate"))
+    assert(winIdx >= 0 && aggIdx > winIdx, p)
+  }
+
   test("share_of_parent: facts aggregate to the nation grain BEFORE any window runs") {
     val p = plan("share_of_parent")
     assert(!p.contains("CartesianProduct"), p)
