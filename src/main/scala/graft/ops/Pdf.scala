@@ -370,16 +370,17 @@ object Pdf {
     sb.result()
   }
 
-  private def parse(bytes: Array[Byte]): CosDoc = {
+  private def parse(bytes: Array[Byte], password: String = ""): CosDoc = {
     require(hasPdfHeader(bytes), "not a PDF (missing %PDF- header)")
     var text = new String(bytes, "ISO-8859-1")
-    // Encrypted documents decrypt up front (standard security handler,
-    // empty user password — PdfCrypt scaladoc; the reference instead
-    // forces pdf-lib's ignoreEncryption and operates on ciphertext,
-    // pdf-tool/page.tsx:338,383). After this block the text is
-    // plaintext and every downstream pass is oblivious to encryption;
-    // outputs serialize without /Encrypt. Unsupported schemes and
-    // non-empty user passwords raise defined errors.
+    // Encrypted documents decrypt up front (standard security handler —
+    // PdfCrypt scaladoc; the reference instead forces pdf-lib's
+    // ignoreEncryption and operates on ciphertext,
+    // pdf-tool/page.tsx:338,383). The supplied password is tried as
+    // user then owner password (empty = the owner-locked convention).
+    // After this block the text is plaintext and every downstream pass
+    // is oblivious to encryption; outputs serialize without /Encrypt.
+    // Unsupported schemes and wrong passwords raise defined errors.
     val encNum = encryptRe.findFirstMatchIn(text).map(_.group(1).toInt)
     encNum.foreach { num =>
       // scanObjects framing, not regex-to-endobj: the /O and /U
@@ -390,7 +391,7 @@ object Pdf {
         throw new IllegalArgumentException("encrypted PDF: /Encrypt dictionary not found"))
       val id0 = """/ID\s*\[\s*""".r.findFirstMatchIn(text)
         .map(m => PdfCrypt.readStringAt(text, m.end)._1).getOrElse(Array.empty[Byte])
-      val h = PdfCrypt.forDocument(body, id0)
+      val h = PdfCrypt.forDocument(body, id0, password.getBytes("UTF-8"))
       text = transformObjects(text, (n, b) =>
         if (n == num) b
         else transformStreamsAndStrings(b, d => h.decrypt(n, 0, d), s => h.decrypt(n, 0, s)))
@@ -423,7 +424,8 @@ object Pdf {
       usedXrefStream = """/Type\s*/XRef""".r.findFirstIn(text).isDefined)
   }
 
-  def pageCount(bytes: Array[Byte]): Int = parse(bytes).pageNums.size
+  def pageCount(bytes: Array[Byte], password: String = ""): Int =
+    parse(bytes, password).pageNums.size
 
   /** Reference catch-and-log semantics (pdf-tool/page.tsx:98-118 log
     * utility, :140-176 add-flow rejects, :355/:441 operation catches):
@@ -433,11 +435,12 @@ object Pdf {
     * failures (encrypted, malformed) become that file's error row.
     * Output (name, ok, pages, error), driver-side like all document
     * surgery — the distributed shape maps this over a binaryFile scan. */
-  def describeFiles(files: Seq[(String, Array[Byte])]): Seq[(String, Boolean, Option[Int], String)] =
+  def describeFiles(files: Seq[(String, Array[Byte])], password: String = "")
+      : Seq[(String, Boolean, Option[Int], String)] =
     files.map { case (name, bytes) =>
       if (bytes.isEmpty) (name, false, None, "size 0B")
       else if (!hasPdfHeader(bytes)) (name, false, None, "no %PDF- header")
-      else try (name, true, Some(pageCount(bytes)), "")
+      else try (name, true, Some(pageCount(bytes, password)), "")
       catch { case e: IllegalArgumentException => (name, false, None, e.getMessage) }
     }
 
@@ -561,13 +564,13 @@ object Pdf {
 
   /** J5: N-way merge in caller order — objects of each source renumbered
     * by an offset, page kids concatenated under one new /Pages. */
-  def merge(docs: Seq[Array[Byte]]): Array[Byte] = {
+  def merge(docs: Seq[Array[Byte]], password: String = ""): Array[Byte] = {
     var offset = 2 // 1 = new catalog, 2 = new pages root
     var anyXrefStream = false // any 1.5+ source keeps the output 1.5+
     val outObjs = Seq.newBuilder[(Int, String)]
     val allPageRefs = Seq.newBuilder[Int]
     docs.foreach { bytes =>
-      val d = parse(bytes)
+      val d = parse(bytes, password)
       anyXrefStream ||= d.usedXrefStream
       val shift = offset
       d.objects.foreach { case (n, body) =>
@@ -590,8 +593,8 @@ object Pdf {
   }
 
   /** J6: extract one group of (1-based, pre-clamped) pages as a new doc. */
-  def extractPages(bytes: Array[Byte], group: Seq[Int]): Array[Byte] = {
-    val d = parse(bytes)
+  def extractPages(bytes: Array[Byte], group: Seq[Int], password: String = ""): Array[Byte] = {
+    val d = parse(bytes, password)
     val picked = group.flatMap(p => d.pageNums.lift(p - 1))
     val kept = d.objects.toSeq.collect {
       case (n, body) if n != d.catalogNum && n != d.pagesNum =>

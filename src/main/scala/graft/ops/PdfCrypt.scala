@@ -239,10 +239,43 @@ object PdfCrypt {
       java.util.Arrays.equals(x, d.u.take(16))
     }
 
-  /** Resolve the handler for a document, trying the empty user
-    * password. Defined errors for unsupported schemes or a password
-    * that does not open the document. */
-  private[ops] def forDocument(encBody: String, id0: Array[Byte]): Handler = {
+  /** Algorithm 3 steps a-d: the RC4 key derived from the OWNER
+    * password, used both to produce /O (encrypt side) and to recover
+    * the user password from /O (Algorithm 7, decrypt side). */
+  private def ownerRc4Key(d: EncDict, ownerPw: Array[Byte]): Array[Byte] = {
+    val n = if (d.r == 2) 5 else d.length / 8
+    var okey = md5(pad32(ownerPw))
+    if (d.r >= 3) (0 until 50).foreach(_ => okey = md5(okey))
+    okey.take(n)
+  }
+
+  /** Algorithm 7: decrypt /O with the owner-password RC4 key to
+    * recover the PADDED user password (R2: one pass; R3/4: 19..0
+    * XOR-keyed passes, the inverse of Algorithm 3 step f). */
+  private def recoverUserPw(d: EncDict, ownerPw: Array[Byte]): Array[Byte] = {
+    val ok = ownerRc4Key(d, ownerPw)
+    if (d.r == 2) rc4(ok, d.o.take(32))
+    else {
+      var x = d.o.take(32)
+      (19 to 0 by -1).foreach(i => x = rc4(xorKey(ok, i), x))
+      x
+    }
+  }
+
+  private def pwError(supplied: Boolean): Nothing =
+    throw new IllegalArgumentException(
+      if (supplied) "encrypted PDF: wrong password"
+      else "password-protected PDF: user or owner password required")
+
+  /** Resolve the handler for a document. The supplied password is
+    * tried first as the USER password (Algorithms 4/5 for R2-4,
+    * Algorithm 11 for R5/6) and then as the OWNER password
+    * (Algorithm 7 for R2-4, Algorithm 12 for R5/6) — matching how
+    * every viewer's password prompt behaves. Empty password = the
+    * owner-locked convention. Defined errors for unsupported schemes
+    * or a password that opens neither way. */
+  private[ops] def forDocument(encBody: String, id0: Array[Byte],
+      password: Array[Byte] = Array.empty): Handler = {
     val d = parseEncDict(encBody)
     d.v match {
       case 1 | 2 | 4 if d.r >= 2 && d.r <= 4 =>
@@ -252,27 +285,38 @@ object PdfCrypt {
             throw new IllegalArgumentException(
               s"encrypted PDF: crypt filter /${d.cfm} unsupported")
           else Rc4
-        val key = fileKeyR234(d, id0, Array.empty)
-        if (!userPwMatches(d, id0, key))
-          throw new IllegalArgumentException(
-            "password-protected PDF (non-empty user password) unsupported")
-        Handler(key, algo)
+        val asUser = fileKeyR234(d, id0, password)
+        if (userPwMatches(d, id0, asUser)) Handler(asUser, algo)
+        else {
+          // Owner path: /O decrypts to the padded user password;
+          // re-derive the file key from it and re-verify against /U.
+          val asOwner = fileKeyR234(d, id0, recoverUserPw(d, password))
+          if (userPwMatches(d, id0, asOwner)) Handler(asOwner, algo)
+          else pwError(password.nonEmpty)
+        }
       case 5 =>
-        // Algorithm 2.A / 11: U = hash(32) || validation salt(8) || key salt(8)
+        // Algorithm 2.A / 11 / 12:
+        //   U = user hash(32) || validation salt(8) || key salt(8)
+        //   O = owner hash(32) || validation salt(8) || key salt(8),
+        //       owner hashes fold in U[0:48] as the extra udata
         if (d.u.length < 48 || d.ue.length < 32)
           throw new IllegalArgumentException("encrypted PDF: malformed V5 /U or /UE")
-        val valSalt = d.u.slice(32, 40); val keySalt = d.u.slice(40, 48)
-        val pw = Array.empty[Byte]
-        val hash =
-          if (d.r == 6) hash2B(pw, valSalt, Array.empty)
-          else sha(256, pw, valSalt)
-        if (!java.util.Arrays.equals(hash, d.u.take(32)))
-          throw new IllegalArgumentException(
-            "password-protected PDF (non-empty user password) unsupported")
-        val inter =
-          if (d.r == 6) hash2B(pw, keySalt, Array.empty)
-          else sha(256, pw, keySalt)
-        val fileKey = aes(Cipher.DECRYPT_MODE, inter, new Array[Byte](16), d.ue.take(32))
+        def h(salt: Array[Byte], udata: Array[Byte]) =
+          if (d.r == 6) hash2B(password, salt, udata)
+          else sha(256, password, salt, udata)
+        val u48 = d.u.take(48)
+        val userOk = java.util.Arrays.equals(
+          h(d.u.slice(32, 40), Array.empty), d.u.take(32))
+        val ownerOk = !userOk && d.o.length >= 48 && d.oe.length >= 32 &&
+          java.util.Arrays.equals(h(d.o.slice(32, 40), u48), d.o.take(32))
+        val fileKey =
+          if (userOk)
+            aes(Cipher.DECRYPT_MODE, h(d.u.slice(40, 48), Array.empty),
+              new Array[Byte](16), d.ue.take(32))
+          else if (ownerOk)
+            aes(Cipher.DECRYPT_MODE, h(d.o.slice(40, 48), u48),
+              new Array[Byte](16), d.oe.take(32))
+          else pwError(password.nonEmpty)
         Handler(fileKey, AesV3)
       case v =>
         throw new IllegalArgumentException(s"encrypted PDF: /V $v unsupported")
@@ -331,6 +375,52 @@ object PdfCrypt {
       case -1 => rebuilt
       case i => rebuilt.substring(0, i)
     }
+    val rootNum = """/Root\s+(\d+)\s+0\s+R""".r.findFirstMatchIn(text)
+      .map(_.group(1).toInt).getOrElse(1)
+    (bodyOnly + s"$encNum 0 obj$encBody endobj\n" +
+      s"trailer\n<< /Size ${encNum + 1} /Root $rootNum 0 R " +
+      s"/Encrypt $encNum 0 R /ID [${hex(id0)} ${hex(id0)}] >>\n%%EOF\n")
+      .getBytes("ISO-8859-1")
+  }
+
+  /** Encrypt a plaintext classic-xref PDF with AES-256 (V5/R6 /AESV3)
+    * per [PDF 32000-2] Algorithms 8 (U/UE), 9 (O/OE) and 2.B: a
+    * deterministic 32-byte file key wrapped once under the user
+    * password and once under the owner password, so either opens the
+    * document via [[forDocument]]'s Algorithm 11/12 checks. */
+  def encryptV5(bytes: Array[Byte], ownerPw: String = "owner",
+      userPw: String = ""): Array[Byte] = {
+    val text = new String(bytes, "ISO-8859-1")
+    // Deterministic "random" material (fixture reproducibility).
+    val fileKey = sha(256, bytes, "v5-file-key".getBytes("ISO-8859-1"))
+    def salt(tag: String) = md5(tag.getBytes("ISO-8859-1"), bytes).take(8)
+    val (uv, uk, ov, ok) = (salt("uval"), salt("ukey"), salt("oval"), salt("okey"))
+    val upw = userPw.getBytes("UTF-8"); val opw = ownerPw.getBytes("UTF-8")
+    val u = hash2B(upw, uv, Array.empty) ++ uv ++ uk
+    val ue = aes(Cipher.ENCRYPT_MODE, hash2B(upw, uk, Array.empty),
+      new Array[Byte](16), fileKey)
+    val u48 = u.take(48)
+    val o = hash2B(opw, ov, u48) ++ ov ++ ok
+    val oe = aes(Cipher.ENCRYPT_MODE, hash2B(opw, ok, u48),
+      new Array[Byte](16), fileKey)
+    val h = Handler(fileKey, AesV3)
+
+    val hex = (b: Array[Byte]) => "<" + b.map(x => f"${x & 0xFF}%02x").mkString + ">"
+    val encNum = """(\d+)\s+0\s+obj""".r.findAllMatchIn(text)
+      .map(_.group(1).toInt).max + 1
+    val encBody =
+      s" << /Filter /Standard /V 5 /R 6 /Length 256 /P -3904 " +
+        s"/O ${hex(o)} /U ${hex(u)} /OE ${hex(oe)} /UE ${hex(ue)} " +
+        "/CF << /StdCF << /CFM /AESV3 /AuthEvent /DocOpen /Length 32 >> >> " +
+        "/StmF /StdCF /StrF /StdCF >> "
+    val rebuilt = Pdf.transformObjects(text, (num, body) =>
+      Pdf.transformStreamsAndStrings(body,
+        data => h.encrypt(num, 0, data), s => h.encrypt(num, 0, s)))
+    val bodyOnly = rebuilt.indexOf("xref\n") match {
+      case -1 => rebuilt
+      case i => rebuilt.substring(0, i)
+    }
+    val id0 = md5(bytes, "fixture-id".getBytes("ISO-8859-1"))
     val rootNum = """/Root\s+(\d+)\s+0\s+R""".r.findFirstMatchIn(text)
       .map(_.group(1).toInt).getOrElse(1)
     (bodyOnly + s"$encNum 0 obj$encBody endobj\n" +

@@ -183,6 +183,36 @@ object CoveragePack extends QueryPack {
         .map { case (n, ok, pages, err) => (n, ok, pages.map(_.toLong), err) }
         .toDF("name", "ok", "n_pages", "error").orderBy("name")
     }),
+    // S11 password-protected documents: the supplied password is tried
+    // as USER password (Algorithms 4/5/11) then OWNER password
+    // (Algorithms 7/12) across RC4-128, AES-128 and AES-256 (V5/R6)
+    // revisions — the full "any encrypted file loads" contract the
+    // reference approximates with pdf-lib ignoreEncryption
+    // (pdf-tool/page.tsx:338,383); we actually decrypt, so merge
+    // output is plaintext. A wrong password degrades to a defined
+    // error row, like every other per-file failure.
+    "pdf_password_pages" -> ((s, dir) => {
+      import s.implicits._
+      val rc4User = PdfCrypt.encrypt(Pdf.makePdf(3), userPw = "secret")
+      val aesUser = PdfCrypt.encrypt(Pdf.makePdf(4, withContent = true),
+        aes128 = true, userPw = "secret")
+      val v5User = PdfCrypt.encryptV5(Pdf.makePdf(2, withContent = true),
+        ownerPw = "boss", userPw = "secret")
+      val v5Owner = PdfCrypt.encryptV5(Pdf.makePdf(6), ownerPw = "secret", userPw = "pw2")
+      val ownerOnly = PdfCrypt.encrypt(Pdf.makePdf(5), ownerPw = "secret")
+      val wrongPw = PdfCrypt.encrypt(Pdf.makePdf(2), userPw = "other")
+      val merged = Pdf.merge(Seq(rc4User, aesUser), password = "secret")
+      Pdf.describeFiles(Seq(
+        ("aes_user.pdf", aesUser),
+        ("merged_plain.pdf", merged),
+        ("owner_pw.pdf", ownerOnly),
+        ("rc4_user.pdf", rc4User),
+        ("v5_owner.pdf", v5Owner),
+        ("v5_user.pdf", v5User),
+        ("wrong_pw.pdf", wrongPw)), password = "secret")
+        .map { case (n, ok, pages, err) => (n, ok, pages.map(_.toLong), err) }
+        .toDF("name", "ok", "n_pages", "error").orderBy("name")
+    }),
     // O3: user-defined row order via an explicit sequence column.
     "user_order" -> ((s, dir) => {
       import s.implicits._
@@ -245,9 +275,19 @@ object CoveragePack extends QueryPack {
       """SELECT * FROM (VALUES
         |  ('aes128.pdf', true, CAST(2 AS BIGINT), ''),
         |  ('locked.pdf', false, CAST(NULL AS BIGINT),
-        |   'password-protected PDF (non-empty user password) unsupported'),
+        |   'password-protected PDF: user or owner password required'),
         |  ('merged_plain.pdf', true, CAST(6 AS BIGINT), ''),
         |  ('rc4.pdf', true, CAST(4 AS BIGINT), ''))
+        |  AS t(name, ok, n_pages, error) ORDER BY name""".stripMargin,
+    "pdf_password_pages" ->
+      """SELECT * FROM (VALUES
+        |  ('aes_user.pdf', true, CAST(4 AS BIGINT), ''),
+        |  ('merged_plain.pdf', true, CAST(7 AS BIGINT), ''),
+        |  ('owner_pw.pdf', true, CAST(5 AS BIGINT), ''),
+        |  ('rc4_user.pdf', true, CAST(3 AS BIGINT), ''),
+        |  ('v5_owner.pdf', true, CAST(6 AS BIGINT), ''),
+        |  ('v5_user.pdf', true, CAST(2 AS BIGINT), ''),
+        |  ('wrong_pw.pdf', false, CAST(NULL AS BIGINT), 'encrypted PDF: wrong password'))
         |  AS t(name, ok, n_pages, error) ORDER BY name""".stripMargin,
     "user_order" ->
       """SELECT ord, c_custkey, c_name FROM customer

@@ -144,6 +144,43 @@ class PdfCryptSpec extends AnyFunSuite {
     assert(res.passed, res.status.toString)
   }
 
+  test("user password opens RC4-128 and AES-128 documents (Algorithms 4/5)") {
+    val rc4 = PdfCrypt.encrypt(Pdf.makePdf(3), userPw = "secret")
+    val aes = PdfCrypt.encrypt(Pdf.makePdf(4, withContent = true),
+      aes128 = true, userPw = "secret")
+    assert(Pdf.pageCount(rc4, "secret") == 3)
+    assert(Pdf.pageCount(aes, "secret") == 4)
+    // unlock + merge yields plaintext
+    val merged = Pdf.merge(Seq(rc4, aes), password = "secret")
+    assert(!Pdf.isEncrypted(merged) && Pdf.pageCount(merged) == 7)
+  }
+
+  test("owner password opens R2-4 documents via Algorithm 7 /O recovery") {
+    val doc = PdfCrypt.encrypt(Pdf.makePdf(2), ownerPw = "boss", userPw = "secret")
+    assert(Pdf.pageCount(doc, "boss") == 2)   // owner path
+    assert(Pdf.pageCount(doc, "secret") == 2) // user path
+    val e = intercept[IllegalArgumentException](Pdf.pageCount(doc, "nope"))
+    assert(e.getMessage == "encrypted PDF: wrong password")
+  }
+
+  test("V5/R6 password-protected document opens with user or owner password (Alg 11/12)") {
+    val doc = PdfCrypt.encryptV5(Pdf.makePdf(5, withContent = true),
+      ownerPw = "boss", userPw = "secret")
+    assert(Pdf.isEncrypted(doc))
+    assert(Pdf.pageCount(doc, "secret") == 5) // Algorithm 11 (user)
+    assert(Pdf.pageCount(doc, "boss") == 5)   // Algorithm 12 (owner, folds U[0:48])
+    val e1 = intercept[IllegalArgumentException](Pdf.pageCount(doc, "nope"))
+    assert(e1.getMessage == "encrypted PDF: wrong password")
+    val e2 = intercept[IllegalArgumentException](Pdf.pageCount(doc))
+    assert(e2.getMessage.contains("password required"))
+    // empty-user-password V5 doc still opens with no password at all
+    val open = PdfCrypt.encryptV5(Pdf.makePdf(2), ownerPw = "boss")
+    assert(Pdf.pageCount(open) == 2)
+    // extract from an unlocked doc serializes plaintext
+    val part = Pdf.extractPages(doc, Seq(1, 3), password = "secret")
+    assert(!Pdf.isEncrypted(part) && Pdf.pageCount(part) == 2)
+  }
+
   test("scanObjects frames /Length streams, strings and comments over 'endobj' bytes") {
     val payload = "raw endobj 7 0 obj stream\n bytes"
     val text = "%PDF-1.4\n" +
