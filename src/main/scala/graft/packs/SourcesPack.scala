@@ -218,6 +218,28 @@ object SourcesPack extends QueryPack {
         .select(col("n_nationkey").cast("int"), col("n_name"), col("n_regionkey").cast("int"))
         .orderBy("n_nationkey")
     }),
+    // S6 document-order tie-break: when a document carries SEVERAL
+    // array-valued keys, the reference's Object.keys(...).find picks
+    // the first in JS insertion (= document) order — here "rows",
+    // even though "alpha_first" sorts before it alphabetically. The
+    // head-probe in Text.firstArrayKey resolves this without a
+    // second full scan.
+    "json_unwrap_order" -> ((s, dir) => {
+      val rows = Tables.load(s, dir, "nation").orderBy("n_nationkey").collect()
+      val json = rows.map(r =>
+        s"""{"n_nationkey": ${r.getInt(0)}, "n_name": "${r.getString(1)}", "n_regionkey": ${r.getInt(2)}}""")
+        .mkString("[", ",", "]")
+      val doc =
+        s"""{"meta": {"kind": "nations", "note": "obj [skipped] text"},
+           | "rows": $json,
+           | "alpha_first": [9, 8, 7]}""".stripMargin
+      val out = Paths.get(scratch("json_nation_order"))
+      Files.createDirectories(out)
+      Files.writeString(out.resolve("nation_order.json"), doc)
+      Text.readJson(s, out.toString)
+        .select(col("n_nationkey").cast("int"), col("n_name"), col("n_regionkey").cast("int"))
+        .orderBy("n_nationkey")
+    }),
     // Schema evolution on a lake path: an old writer lands (key, name)
     // files, a new writer adds c_mktsegment; mergeSchema unifies the
     // directory and null-fills the legacy files' missing column. At
@@ -309,6 +331,8 @@ object SourcesPack extends QueryPack {
       """SELECT n_nationkey, n_name || ' 日本語' AS txt
         |FROM nation ORDER BY n_nationkey""".stripMargin,
     "json_unwrap" ->
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
+    "json_unwrap_order" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
   )
 }

@@ -171,14 +171,108 @@ object Text {
   def readWholeText(spark: SparkSession, path: String): DataFrame =
     spark.read.option("wholetext", "true").text(path)
 
+  /** Document-order scan for the first top-level key whose value is an
+    * array — the tie-break the reference's `Object.keys(...).find(...)`
+    * applies (compare/page.tsx:87-98), which JS guarantees is insertion
+    * order, not Spark's alphabetical schema order. Returns
+    * (Some(key), true) when found, (None, true) when the scan PROVED
+    * there is none (top level not an object, or the object closed
+    * without one), and (None, false) when the sample ended mid-object
+    * (truncated — caller should retry with a bigger head). */
+  private[sources] def firstArrayKey(sample: String): (Option[String], Boolean) = {
+    val n = sample.length
+    var i = 0
+    def ws(): Unit = while (i < n && sample.charAt(i).isWhitespace) i += 1
+    // parse the quoted string at i (returning its unescaped value), or
+    // None if truncated
+    def str(): Option[String] = {
+      val sb = new StringBuilder
+      i += 1 // opening quote (caller checked)
+      while (i < n && sample.charAt(i) != '"') {
+        if (sample.charAt(i) == '\\' && i + 1 < n) {
+          sample.charAt(i + 1) match {
+            case 'n' => sb.append('\n'); i += 2
+            case 't' => sb.append('\t'); i += 2
+            case 'r' => sb.append('\r'); i += 2
+            case 'b' => sb.append('\b'); i += 2
+            case 'f' => sb.append('\f'); i += 2
+            case 'u' if i + 5 < n =>
+              sb.append(Integer.parseInt(sample.substring(i + 2, i + 6), 16).toChar)
+              i += 6
+            case c => sb.append(c); i += 2
+          }
+        } else { sb.append(sample.charAt(i)); i += 1 }
+      }
+      if (i >= n) None else { i += 1; Some(sb.toString) }
+    }
+    // skip the value starting at i; false if the sample ends inside it
+    def skipValue(): Boolean = {
+      if (i >= n) return false
+      sample.charAt(i) match {
+        case '"' => str().isDefined
+        case '{' | '[' =>
+          var depth = 0
+          while (i < n) {
+            sample.charAt(i) match {
+              case '"' => if (str().isEmpty) return false
+              case '{' | '[' => depth += 1; i += 1
+              case '}' | ']' => depth -= 1; i += 1; if (depth == 0) return true
+              case _ => i += 1
+            }
+          }
+          false
+        case _ => // number / true / false / null
+          while (i < n && !",}]".contains(sample.charAt(i)) &&
+            !sample.charAt(i).isWhitespace) i += 1
+          i < n
+      }
+    }
+    ws()
+    if (i >= n) return (None, false)
+    if (sample.charAt(i) != '{') return (None, true) // top-level array/scalar
+    i += 1
+    while (true) {
+      ws()
+      if (i >= n) return (None, false)
+      if (sample.charAt(i) == '}') return (None, true)
+      if (sample.charAt(i) == ',') { i += 1; ws() }
+      if (i >= n || sample.charAt(i) != '"') return (None, false)
+      val key = str().getOrElse(return (None, false))
+      ws()
+      if (i >= n || sample.charAt(i) != ':') return (None, false)
+      i += 1; ws()
+      if (i >= n) return (None, false)
+      if (sample.charAt(i) == '[') return (Some(key), true)
+      if (!skipValue()) return (None, false)
+    }
+    (None, false) // unreachable
+  }
+
   /** S6: JSON scan with array-under-key unwrap (reference
     * compare/page.tsx:87-98): top level not an array → first array-valued
     * key becomes the table; array of scalars → single `value` column.
-    * Divergence (documented): "first" is first in Spark's (alphabetical)
-    * inferred schema, not JSON insertion order. */
+    * "First" is first in DOCUMENT order (JS `Object.keys` insertion
+    * order), resolved by a bounded head-probe of the first file — the
+    * probe only runs when the inferred schema has two or more
+    * array-valued keys, so the common single-array case costs no extra
+    * IO. An inconclusive probe (array key past the 8 MB head) falls
+    * back to schema order. */
   def readJson(spark: SparkSession, path: String): DataFrame = {
     val raw = spark.read.option("multiLine", "true").json(path)
-    raw.schema.fields.find(_.dataType.isInstanceOf[ArrayType]) match {
+    val arrayFields = raw.schema.fields.filter(_.dataType.isInstanceOf[ArrayType])
+    val chosen =
+      if (arrayFields.length <= 1) arrayFields.headOption
+      else {
+        var headBytes = 1 << 16
+        var probe = firstArrayKey(readHead(spark, path, headBytes))
+        while (!probe._2 && headBytes < (1 << 23)) {
+          headBytes <<= 3
+          probe = firstArrayKey(readHead(spark, path, headBytes))
+        }
+        probe._1.flatMap(k => arrayFields.find(_.name == k))
+          .orElse(arrayFields.headOption)
+      }
+    chosen match {
       case Some(f) =>
         val exploded = raw.select(explode(col(s"`${f.name}`")).as("__e"))
         f.dataType.asInstanceOf[ArrayType].elementType match {

@@ -47,6 +47,27 @@ class TextSpec extends SparkSpec {
     assert(d2.columns.toSeq == Seq("value") && d2.count() == 3)
   }
 
+  test("JSON: multi-array documents unwrap the first array key in DOCUMENT order (S6)") {
+    // "rows" precedes "aaa" in the document but not alphabetically
+    val p = tmpFile("ord.json",
+      """{"meta": {"deep": [true], "s": "bracket ] in string"},
+        | "rows": [{"x": "1"}, {"x": "2"}], "aaa": [9]}""".stripMargin)
+    val d = Text.readJson(spark, p)
+    assert(d.columns.toSeq == Seq("x") && d.count() == 2)
+  }
+
+  test("firstArrayKey: document-order scan with skips, escapes and truncation") {
+    import Text.firstArrayKey
+    assert(firstArrayKey("""{"b": 1, "a": [1]}""") == (Some("a"), true))
+    assert(firstArrayKey("""{"z": {"inner": [1]}, "y": "str ] [", "k\"ey": [2]}""")
+      == (Some("k\"ey"), true))
+    assert(firstArrayKey("""{"n": 1.5e3, "t": true, "u": null}""") == (None, true))
+    assert(firstArrayKey("""[1, 2]""") == (None, true)) // top-level array: no key
+    assert(firstArrayKey("""{"a": {"unclosed": 1""") == (None, false)) // truncated
+    assert(firstArrayKey("""{"long": "tex""") == (None, false))
+    assert(firstArrayKey("""{"u": "A", "arr": []}""") == (Some("arr"), true))
+  }
+
   test("encoding: EUC-KR honored, malformed bytes fall back to UTF-8 (P11)") {
     val kr = "이름\n값\n".getBytes("EUC-KR")
     val p = tmpFile("kr.txt", kr)
