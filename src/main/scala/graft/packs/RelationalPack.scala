@@ -130,6 +130,13 @@ object RelationalPack extends QueryPack {
     "events_sessionize_stream" -> ((s, dir) =>
       graft.streaming.EventsStream.sessionizeViaMemory(s, dir)),
 
+    // §2.11 complete-mode re-rank (the Firestore notices top-50): two
+    // micro-batches through groupBy → orderBy → limit into a memory
+    // sink; the final snapshot must hash-match the batch
+    // orderBy×2+limit twin.
+    "events_notice_rerank_stream" -> ((s, dir) =>
+      graft.streaming.EventsStream.topUsersViaMemory(s, dir)),
+
     // §2.11 EVENT-TIME custom state: gap sessionization through
     // flatMapGroupsWithState + EventTimeTimeout — sessions close when
     // the WATERMARK passes last-event + 30 min, emit exactly once
@@ -1188,6 +1195,13 @@ object RelationalPack extends QueryPack {
       """SELECT strftime(date_trunc('hour', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:00:00') AS hour,
         |  event_type, count(*) AS n
         |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+    // final complete-mode snapshot ≡ batch top-k by exact decimal total
+    "events_notice_rerank_stream" ->
+      """SELECT user_id,
+        |  CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_value,
+        |  count(*) AS n_events
+        |FROM events GROUP BY user_id
+        |ORDER BY total_value DESC, user_id LIMIT 50""".stripMargin,
     // the streamed enrichment must equal the plain batch left join
     "events_stream_enrich" ->
       s"""SELECT c.c_mktsegment AS segment, count(*) AS n_events,

@@ -1233,6 +1233,64 @@ object EventsStream {
     * file-sink path is gated separately by [[hourlyViaFileSink]] /
     * [[dedupViaFileSink]]. Timeout disabled (gapMs=0): wall-clock
     * timers cannot cross the engine/oracle boundary. */
+  /** Correctness gate for the complete-mode notices re-rank
+    * ([[topUsersByValue]]; reference app/page.tsx:181-192 and
+    * admin/page.tsx:147 — the Firestore onSnapshot top-50 list,
+    * re-sorted client-side on every snapshot): stage the events
+    * fixture as TWO files split by event-id parity (the second a
+    * later micro-batch), stream the groupBy → orderBy → limit in
+    * COMPLETE output mode into a memory sink — every trigger re-emits
+    * the full re-ranked top-k, exactly the onSnapshot contract — and
+    * return the final snapshot. `value` is cast to decimal BEFORE the
+    * sum so the ranking total is exact and associative: the top-k
+    * boundary cannot flip on double summation order, which makes the
+    * snapshot hash-matchable against the batch orderBy×2+limit twin.
+    * Complete mode holds full aggregate state by design — the right
+    * tool ONLY because the keyspace is capped at k-ish scale output;
+    * unbounded-key streams use the Update/Append gates above. */
+  def topUsersViaMemory(spark: SparkSession, sfDir: String, k: Int = 50)
+      : org.apache.spark.sql.DataFrame = {
+    import java.nio.file.Files
+    val base = Files.createTempDirectory("graft_rerank_gate")
+    val in = base.resolve("in"); Files.createDirectories(in)
+    // Cloned session (see hourlyViaFileSink): conf and the memory-sink
+    // table registration stay off the caller's session and catalog.
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "4")
+    ss.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val src = ss.read.parquet(s"$sfDir/events.parquet")
+    Seq(0, 1).foreach { i =>
+      val stage = base.resolve(s"stage$i")
+      src.filter(pmod(col("event_id"), lit(2)) === i)
+        .coalesce(1).write.parquet(stage.toString)
+      val listing = Files.list(stage)
+      val part = try listing.filter(_.getFileName.toString.endsWith(".parquet")).findFirst.get
+        finally listing.close()
+      val dst = in.resolve(s"half$i.parquet")
+      Files.copy(part, dst)
+      // the file source orders batches by modification time
+      Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() + i * 10000L))
+    }
+    val events = readEvents(ss, in.toString, maxFilesPerTrigger = Some(1))
+      .withColumn("value", col("value").cast("decimal(18,2)"))
+    val q = topUsersByValue(events, k).writeStream
+      .outputMode(OutputMode.Complete())
+      .format("memory")
+      .queryName("graft_top_users")
+      .option("checkpointLocation", base.resolve("ckpt").toString)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    deleteDirs(Seq(in, base.resolve("ckpt")) ++
+      Seq(0, 1).map(i => base.resolve(s"stage$i")))
+    // complete mode: the memory table holds only the LATEST snapshot
+    ss.table("graft_top_users")
+      .select(col("user_id"),
+        round(col("total_value"), 2).cast("double").as("total_value"),
+        col("n_events"))
+      .orderBy(desc("total_value"), asc("user_id"))
+  }
+
   def sessionizeViaMemory(spark: SparkSession, sfDir: String): org.apache.spark.sql.DataFrame = {
     import java.nio.file.{Files, Paths}
     val base = Files.createTempDirectory("graft_sess_gate")

@@ -495,4 +495,31 @@ class EventsStreamSpec extends SparkSpec {
     val top = EventsStream.topUsersByValue(batch, 1).collect()
     assert(top.length == 1 && top(0).getLong(0) == 2L)
   }
+
+  test("complete-mode top-k RE-RANKS on every trigger (the onSnapshot notices contract)") {
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[Event]
+    val q = EventsStream.topUsersByValue(src.toDF(), 2).writeStream
+      .outputMode(OutputMode.Complete())
+      .format("memory").queryName("rerank_t")
+      .start()
+    try {
+      // trigger 1: user 1 leads
+      src.addData(
+        Event(1, ts("2024-01-01 10:00:00"), 1, "a", 10.0),
+        Event(2, ts("2024-01-01 10:01:00"), 2, "a", 4.0))
+      q.processAllAvailable()
+      val snap1 = spark.table("rerank_t").orderBy($"total_value".desc).collect()
+      assert(snap1.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+      // trigger 2: user 2 overtakes and user 3 pushes user 1 out of top-2 —
+      // the snapshot is a full re-rank of ALL state, not an append
+      src.addData(
+        Event(3, ts("2024-01-01 10:02:00"), 2, "a", 20.0),
+        Event(4, ts("2024-01-01 10:03:00"), 3, "a", 12.0))
+      q.processAllAvailable()
+      val snap2 = spark.table("rerank_t").orderBy($"total_value".desc).collect()
+      assert(snap2.map(_.getLong(0)).toSeq == Seq(2L, 3L))
+      assert(snap2.find(_.getLong(0) == 2L).get.getDouble(1) == 24.0)
+    } finally q.stop()
+  }
 }
