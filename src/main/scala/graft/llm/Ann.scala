@@ -371,4 +371,58 @@ object Ann {
       .select(col("qid"), col("n_hits"),
         graft.functions.F.scale4(col("n_hits").cast("double") / k).as("recall_x1e4"))
   }
+
+  // ---- index persistence (the serving boundary) ------------------------
+
+  /** Materialize an IVF index as two parquet tables under `dir`: the
+    * ≤n-row centroid table and the bucket-assigned corpus, the latter
+    * range-clustered on `bucket` with a [[graft.ops.FileIndex]]
+    * manifest. Build once, write, reload in ANY later session, query
+    * with [[ivfTopKPersisted]] — serving never re-clusters and never
+    * re-pays the Lloyd passes (the round-12 gap: centroids +
+    * assignments lived only in memory, so a serving path re-paid the
+    * build per process). Range clustering on the bucket id is what
+    * makes the probe-restricted query cheap at corpus scale: each
+    * assignment file owns a narrow bucket span, so an nprobe-bucket
+    * query reads ~nprobe/n of the corpus files. */
+  def writeIndex(corpus: DataFrame, dir: String, n: Int, iters: Int = 2,
+      files: Int = 16, seed: String = "ivf"): Unit = {
+    val cent = ivfCentroids(corpus, n, iters, seed)
+    cent.coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
+    graft.ops.FileIndex.writeIndexed(assignBuckets(corpus, cent),
+      s"$dir/assigned", "bucket", files)
+  }
+
+  /** The persisted centroid table as a LOCAL literal DataFrame (≤n
+    * rows — the same localization the build uses, keeping downstream
+    * search plans flat). */
+  def loadCentroids(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val df = spark.read.parquet(s"$dir/centroids")
+    spark.createDataFrame(java.util.Arrays.asList(df.collect(): _*), df.schema)
+  }
+
+  /** IVF search against a PERSISTED index: load centroids, probe, prune
+    * the assignment table's FILES to those whose bucket span intersects
+    * a probed bucket (one manifest read — driver-side metadata, the
+    * planning step every indexed system has), then the usual
+    * bucket-restricted join + per-query top-k. The only cluster work is
+    * the pruned scan and the search joins — zero re-clustering, which
+    * is the point: ≡ [[ivfTopK]] output over the same build. */
+  def ivfTopKPersisted(spark: org.apache.spark.sql.SparkSession, queries: DataFrame,
+      dir: String, k: Int = 10, nprobe: Int = 2): DataFrame = {
+    val cent = loadCentroids(spark, dir)
+    val probes = probeBuckets(queries, cent, nprobe)
+    // distinct probed buckets: ≤ |queries|·nprobe values — metadata-sized
+    val buckets = probes.select("bucket").distinct().collect().map(_.getInt(0)).toSet
+    val manifest = spark.read.parquet(s"$dir/assigned/_index")
+      .select("file", "lo", "hi").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getInt(2)))
+    val keep = manifest.collect {
+      case (f, lo, hi) if buckets.exists(b => b >= lo && b <= hi) => f
+    }
+    val assigned =
+      if (keep.isEmpty) spark.read.parquet(s"$dir/assigned").limit(0)
+      else spark.read.parquet(keep.toIndexedSeq: _*)
+    rankTopK(broadcast(probes).join(assigned, Seq("bucket")), k)
+  }
 }

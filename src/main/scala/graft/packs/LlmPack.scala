@@ -405,6 +405,21 @@ object LlmPack extends QueryPack {
       Ann.ivfTopKInt8(q, c, cent, TOPK, NPROBE)
         .select("qid", "vec_id", "cos_x1e4", "rank").orderBy("qid", "rank")
     }),
+    // PERSISTED index serving: build → write (centroids + bucket-
+    // clustered assignments + file manifest) → reload → query. The
+    // result must hash-match the in-memory ivfTopK build (same oracle
+    // SQL), and the serving path re-reads parquet only — zero
+    // re-clustering (AnnSpec plan-locks the pruned scan).
+    "ann_index_persisted" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val c = e.select(col("vec_id"), col("embedding").as("ce"))
+      val idx = graft.core.Scratch.dir("graft_rt").resolve("ann_idx").toString
+      Ann.writeIndex(c, idx, NC, LLOYD, files = 4)
+      val q = e.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      Ann.ivfTopKPersisted(s, q, idx, TOPK, NPROBE)
+        .select("qid", "vec_id", "cos_x1e4", "rank").orderBy("qid", "rank")
+    }),
     // Measured IVF recall vs the exact baseline over 20 queries —
     // the honest quality gate for the approximate path. Ann.ivfRecall
     // scores every (query, vector) pair ONCE and derives both the
@@ -1371,6 +1386,8 @@ object LlmPack extends QueryPack {
         |    CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_x1e4 DESC, vec_id) AS INT) AS rank
         |  FROM s2) WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
     "ann_topk_ivf" -> ivfTopkSql,
+    // persist → reload → query must reproduce the in-memory build exactly
+    "ann_index_persisted" -> ivfTopkSql,
     "ann_incremental_ivf" -> ivfIncrementalSql,
     // identical ivf algebra, query set widened to the stream's six
     "ann_stream_topk" -> ("WITH " + ivfCtes(maxQ = 6).mkString(",\n") +

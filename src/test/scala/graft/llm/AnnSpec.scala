@@ -1,5 +1,6 @@
 package graft.llm
 
+import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.functions._
 import graft.SparkSpec
 
@@ -95,6 +96,36 @@ class AnnSpec extends SparkSpec {
     assert(top.length == 3)
     assert(top.forall(r => r.getLong(0) == r.getLong(1)), "top-1 must be self")
     assert(top.forall(_.getLong(2) == 10000L), "self-cosine must be exactly 1.0")
+  }
+
+  test("persisted index: reload + query == in-memory ivfTopK; probe prunes files") {
+    val corpus = clustered
+    val idx = java.nio.file.Files.createTempDirectory("ann_idx_spec").toString
+    Ann.writeIndex(corpus, idx, nClusters, iters = 2, files = 5)
+    val q = corpus.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("qid"), col("ce").as("qe"))
+    val persisted = Ann.ivfTopKPersisted(spark, q, idx, k = 10, nprobe = 2)
+      .select("qid", "vec_id", "cos_x1e4", "rank").orderBy("qid", "rank").collect()
+    val cent = Ann.ivfCentroids(corpus, nClusters, iters = 2)
+    val mem = Ann.ivfTopK(q, corpus, cent, k = 10, nprobe = 2)
+      .select("qid", "vec_id", "cos_x1e4", "rank").orderBy("qid", "rank").collect()
+    assert(persisted.toSeq == mem.toSeq)
+    // serving reads a strict subset of the assignment files: 5 probed
+    // queries × nprobe 2 cover at most 10 of the 10 bucket spans, and
+    // the range-clustered layout packs ~2 buckets per file — a 1-query
+    // probe must prune to fewer files than the manifest holds
+    val one = q.limit(1)
+    val pruned = Ann.ivfTopKPersisted(spark, one, idx, k = 10, nprobe = 2)
+    val scannedFiles = pruned.select(input_file_name()).distinct().count()
+    val total = graft.ops.FileIndex.indexedFileCount(spark, s"$idx/assigned")
+    assert(scannedFiles < total, s"probe scanned $scannedFiles of $total files")
+    // reload-only serving path: a fresh session reads the SAME answer
+    // without any corpus access (zero re-clustering by construction)
+    val ss = spark.newSession()
+    val again = Ann.ivfTopKPersisted(ss, ss.createDataFrame(q.collect().toList.asJava, q.schema),
+      idx, k = 10, nprobe = 2)
+      .select("qid", "vec_id", "cos_x1e4", "rank").orderBy("qid", "rank").collect()
+    assert(again.toSeq == persisted.toSeq)
   }
 
   test("ArrayDotInt8 is exact and gated to tinyint arrays") {
