@@ -174,6 +174,36 @@ object ExtrasPack extends QueryPack {
         .withColumn("audit_violations", lit(nViolations))
         .orderBy("o_orderstatus")
     }),
+    // WAP under MULTI-WRITER contention (ops/Wap.scala): two stagers
+    // observe the same head (v0), race the compare-and-swap, exactly
+    // one installs v1; the loser rebases on the new head and lands v2.
+    // The published snapshot is therefore the LOSER's candidate — a
+    // deterministic interleaving of the protocol the WapSpec race test
+    // exercises with real threads. Output = per-status aggregate over
+    // the final snapshot + the commit-log facts as literal columns.
+    "wap_publish_cas" -> ((s, dir) => {
+      import graft.ops.Wap
+      val table = graft.core.Scratch.dir("graft_wap_cas").resolve("tbl").toString
+      val orders = Tables.load(s, dir, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      // writer A candidates only the open orders; writer B the full table
+      val aPath = Wap.stage(orders.filter(col("o_orderstatus") === "O"), table, "writerA")
+      val bPath = Wap.stage(orders, table, "writerB")
+      val v0 = Wap.currentVersion(table) // both writers read version 0
+      val aV = Wap.tryPublish(table, v0, aPath) // A wins the CAS → v1
+      val bConflicted =
+        try { Wap.tryPublish(table, v0, bPath); false }
+        catch { case _: Wap.Conflict => true } // B's CAS must fail
+      require(aV == 1L && bConflicted, "wap_publish_cas: protocol violated")
+      val bV = Wap.publishWithRetry(table, bPath) // rebase → v2
+      Wap.readPublished(s, table)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(floor(col("o_totalprice") * 100 + lit(0.5)).cast("long")).as("total_c"))
+        .withColumn("final_version", lit(bV))
+        .withColumn("conflicts", lit(if (bConflicted) 1L else 0L))
+        .orderBy("o_orderstatus")
+    }),
     // Order-independent table fingerprint: Σ of per-row 32-bit digests
     // + row count per group — proves two table copies identical
     // without sorting or co-locating either side (the replication /
@@ -397,6 +427,14 @@ object ExtrasPack extends QueryPack {
         |  CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS total_c,
         |  CAST(3 AS BIGINT) AS audit_rules,
         |  CAST(0 AS BIGINT) AS audit_violations
+        |FROM orders GROUP BY 1 ORDER BY o_orderstatus""".stripMargin,
+    // the loser's (full-table) candidate is the final snapshot at v2
+    // after exactly one conflict
+    "wap_publish_cas" ->
+      """SELECT o_orderstatus, count(*) AS n_orders,
+        |  CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS total_c,
+        |  CAST(2 AS BIGINT) AS final_version,
+        |  CAST(1 AS BIGINT) AS conflicts
         |FROM orders GROUP BY 1 ORDER BY o_orderstatus""".stripMargin,
     "table_checksum_diff" ->
       """WITH rows_a AS (SELECT l_returnflag,
