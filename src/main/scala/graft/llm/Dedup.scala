@@ -101,12 +101,22 @@ object Dedup {
   }
 
   /** Exact Jaccard over distinct shingle sets, computed only for the
-    * given candidate pairs. Output (a, b, jacc). */
+    * given candidate pairs. Output (a, b, jacc).
+    *
+    * Shingles are digested to 64-bit xxhash BEFORE the intersection
+    * joins (the same pre-shuffle digesting [[ngramSpanStats]] does):
+    * the two shuffles then carry an 8-byte key instead of
+    * arbitrary-length shingle text — at corpus scale that halves-plus
+    * the verify-stage shuffle bytes. Distinct shingles map 1:1 to
+    * digests (64-bit collisions are ~n²/2⁶⁵ — negligible at any
+    * per-document shingle count), so set sizes and intersection
+    * counts are unchanged. */
   def jaccard(cand: DataFrame, sh: DataFrame): DataFrame = {
-    val sizes = sh.groupBy("id").agg(count(lit(1)).as("n"))
+    val d = sh.select(col("id"), xxhash64(col("sh")).as("shd"))
+    val sizes = d.groupBy("id").agg(count(lit(1)).as("n"))
     val inter = cand
-      .join(sh.as("sa"), col("sa.id") === col("a"))
-      .join(sh.as("sb"), col("sb.id") === col("b") && col("sa.sh") === col("sb.sh"))
+      .join(d.as("sa"), col("sa.id") === col("a"))
+      .join(d.as("sb"), col("sb.id") === col("b") && col("sa.shd") === col("sb.shd"))
       .groupBy("a", "b").agg(count(lit(1)).as("i"))
     inter
       .join(sizes.as("na"), col("na.id") === col("a"))
@@ -125,10 +135,12 @@ object Dedup {
     * intersection aggregate plus two size joins — containment never
     * touches non-candidate pairs. */
   def containment(cand: DataFrame, sh: DataFrame): DataFrame = {
-    val sizes = sh.groupBy("id").agg(count(lit(1)).as("n"))
+    // same pre-shuffle 64-bit digesting as [[jaccard]]
+    val d = sh.select(col("id"), xxhash64(col("sh")).as("shd"))
+    val sizes = d.groupBy("id").agg(count(lit(1)).as("n"))
     val inter = cand
-      .join(sh.as("sa"), col("sa.id") === col("a"))
-      .join(sh.as("sb"), col("sb.id") === col("b") && col("sa.sh") === col("sb.sh"))
+      .join(d.as("sa"), col("sa.id") === col("a"))
+      .join(d.as("sb"), col("sb.id") === col("b") && col("sa.shd") === col("sb.shd"))
       .groupBy("a", "b").agg(count(lit(1)).as("i"))
     inter
       .join(sizes.as("na"), col("na.id") === col("a"))
