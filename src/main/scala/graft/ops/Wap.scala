@@ -71,6 +71,64 @@ object Wap {
         s"wap: no published version at $tableDir")
     }
 
+  /** Data path recorded by a specific published version. Loud failure
+    * on an unpublished version — a claimed-but-crashed lock (v.lock
+    * without v.json) is NOT readable history. */
+  def pathForVersion(tableDir: String, version: Long): String = {
+    val f = commitsDir(tableDir).resolve(s"v$version.json")
+    if (!Files.exists(f)) throw new IllegalStateException(
+      s"wap: version $version is not published at $tableDir " +
+        s"(head is ${currentVersion(tableDir)})")
+    new String(Files.readAllBytes(f), UTF_8).trim
+  }
+
+  /** TIME TRAVEL: the table as of `version`. Every commit's manifest
+    * stays in `_commits/` and its data directory is never rewritten,
+    * so any historical snapshot is just a parquet read of the path its
+    * manifest recorded — O(1) metadata to resolve, zero data copied.
+    * At cluster scale this is the lakehouse `VERSION AS OF` read. */
+  def readVersion(spark: SparkSession, tableDir: String, version: Long): DataFrame =
+    spark.read.parquet(pathForVersion(tableDir, version))
+
+  /** ROLLBACK: publish a new head whose data path is an EARLIER
+    * version's — history stays append-only (no manifest is deleted,
+    * the bad version remains auditable), readers atomically flip to
+    * the old snapshot, and time travel to the rolled-back version
+    * still works. Returns the new head version. */
+  def rollbackTo(tableDir: String, version: Long): Long =
+    publishWithRetry(tableDir, pathForVersion(tableDir, version))
+
+  /** CHANGE DATA FEED between two published versions: a keyed
+    * full-outer diff classifying every key as insert / delete /
+    * update / unchanged. The join shuffles both snapshots by the key
+    * — co-partitioned, executor-side only; no driver materialization
+    * at any scale (and with both snapshots bucketed by the key the
+    * exchange disappears entirely). Non-key columns are compared
+    * null-safely, so a value toggling to/from NULL is an update, not
+    * an equality. Output: key columns (coalesced across sides),
+    * `change_type`, and the new-side row's non-key columns (old-side
+    * values for deletes). */
+  def changesBetween(spark: SparkSession, tableDir: String,
+      fromVersion: Long, toVersion: Long, keys: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val a = readVersion(spark, tableDir, fromVersion).as("a")
+    val b = readVersion(spark, tableDir, toVersion).as("b")
+    val nonKey = b.columns.filterNot(keys.contains)
+    require(nonKey.nonEmpty, "wap.changesBetween: no non-key columns to compare")
+    val cond = keys.map(k => col(s"a.$k") === col(s"b.$k")).reduce(_ && _)
+    val joined = a.join(b, cond, "full_outer")
+    val inA = keys.map(k => col(s"a.$k").isNotNull).reduce(_ && _)
+    val inB = keys.map(k => col(s"b.$k").isNotNull).reduce(_ && _)
+    val anyDiff = nonKey.map(c => !(col(s"a.$c") <=> col(s"b.$c"))).reduce(_ || _)
+    val keyCols = keys.map(k => coalesce(col(s"b.$k"), col(s"a.$k")).as(k))
+    val valCols = nonKey.map(c => coalesce(col(s"b.$c"), col(s"a.$c")).as(c))
+    joined.select(keyCols ++ Seq(
+      when(!inA, lit("insert"))
+        .when(!inB, lit("delete"))
+        .when(anyDiff, lit("update"))
+        .otherwise(lit("unchanged")).as("change_type")) ++ valCols: _*)
+  }
+
   /** Stage a candidate under this writer's token. Pure data write —
     * no coordination, any number of writers stage concurrently. */
   def stage(df: DataFrame, tableDir: String, token: String): String = {

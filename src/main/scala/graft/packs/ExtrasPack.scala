@@ -204,6 +204,77 @@ object ExtrasPack extends QueryPack {
         .withColumn("conflicts", lit(if (bConflicted) 1L else 0L))
         .orderBy("o_orderstatus")
     }),
+    // TIME TRAVEL over the WAP commit log (ops/Wap.scala
+    // readVersion): v1 = every third order, v2 = the full table; the
+    // query reads the table AS OF v1 after v2 is already head —
+    // resolving the historical manifest is O(1) metadata, the data
+    // directory was never rewritten. Output = per-status aggregate of
+    // the v1 snapshot, with the version facts as literals.
+    "wap_time_travel" -> ((s, dir) => {
+      import graft.ops.Wap
+      val table = graft.core.Scratch.dir("graft_wap_tt").resolve("tbl").toString
+      val orders = Tables.load(s, dir, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      Wap.publishWithRetry(table,
+        Wap.stage(orders.filter(col("o_orderkey") % 3 === 0), table, "v1data"))
+      Wap.publishWithRetry(table, Wap.stage(orders, table, "v2data"))
+      val head = Wap.currentVersion(table)
+      Wap.readVersion(s, table, 1L)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(floor(col("o_totalprice") * 100 + lit(0.5)).cast("long")).as("total_c"))
+        .withColumn("as_of_version", lit(1L))
+        .withColumn("head_version", lit(head))
+        .orderBy("o_orderstatus")
+    }),
+    // ROLLBACK: v2 turns out bad, v3 re-publishes v1's data path —
+    // history stays append-only (v2's manifest remains auditable,
+    // time travel to it still works), but the HEAD read atomically
+    // flips back to the v1 snapshot. Output = per-status aggregate of
+    // the head after rollback (≡ v1 content) + the version facts.
+    "wap_rollback" -> ((s, dir) => {
+      import graft.ops.Wap
+      val table = graft.core.Scratch.dir("graft_wap_rb").resolve("tbl").toString
+      val orders = Tables.load(s, dir, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      Wap.publishWithRetry(table,
+        Wap.stage(orders.filter(col("o_orderkey") % 3 === 0), table, "good"))
+      Wap.publishWithRetry(table,
+        Wap.stage(orders.filter(col("o_orderkey") % 2 === 0), table, "bad"))
+      val head = Wap.rollbackTo(table, 1L)
+      require(head == 3L, s"wap_rollback: expected head v3, got v$head")
+      Wap.readPublished(s, table)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(floor(col("o_totalprice") * 100 + lit(0.5)).cast("long")).as("total_c"))
+        .withColumn("head_version", lit(head))
+        .orderBy("o_orderstatus")
+    }),
+    // CHANGE DATA FEED between two published versions (ops/Wap.scala
+    // changesBetween): v1 drops every 5th order, v2 drops every 3rd
+    // and bumps every 7th order's price — the keyed full-outer diff
+    // classifies each key insert/delete/update/unchanged. The join
+    // shuffles by the key (co-partitioned, executor-only); output =
+    // per-class row count + cents of the surviving-side price, the
+    // reconciliation summary a downstream consumer replays.
+    "wap_changes_feed" -> ((s, dir) => {
+      import graft.ops.Wap
+      val table = graft.core.Scratch.dir("graft_wap_cdf").resolve("tbl").toString
+      val orders = Tables.load(s, dir, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      Wap.publishWithRetry(table,
+        Wap.stage(orders.filter(col("o_orderkey") % 5 =!= 0), table, "v1"))
+      val v2 = orders.filter(col("o_orderkey") % 3 =!= 0)
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") % 7 === 0, col("o_totalprice") + lit(10.0))
+            .otherwise(col("o_totalprice")))
+      Wap.publishWithRetry(table, Wap.stage(v2, table, "v2"))
+      Wap.changesBetween(s, table, 1L, 2L, Seq("o_orderkey"))
+        .groupBy("change_type")
+        .agg(count(lit(1)).as("n"),
+          sum(floor(col("o_totalprice") * 100 + lit(0.5)).cast("long")).as("total_c"))
+        .orderBy("change_type")
+    }),
     // Order-independent table fingerprint: Σ of per-row 32-bit digests
     // + row count per group — proves two table copies identical
     // without sorting or co-locating either side (the replication /
@@ -436,6 +507,43 @@ object ExtrasPack extends QueryPack {
         |  CAST(2 AS BIGINT) AS final_version,
         |  CAST(1 AS BIGINT) AS conflicts
         |FROM orders GROUP BY 1 ORDER BY o_orderstatus""".stripMargin,
+    // v1 staged every third order; the as-of read sees exactly that
+    // subset even though v2 (the full table) is head
+    "wap_time_travel" ->
+      """SELECT o_orderstatus, count(*) AS n_orders,
+        |  CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS total_c,
+        |  CAST(1 AS BIGINT) AS as_of_version,
+        |  CAST(2 AS BIGINT) AS head_version
+        |FROM orders WHERE o_orderkey % 3 = 0
+        |GROUP BY 1 ORDER BY o_orderstatus""".stripMargin,
+    // after the rollback the head (v3) points at v1's data again
+    "wap_rollback" ->
+      """SELECT o_orderstatus, count(*) AS n_orders,
+        |  CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS total_c,
+        |  CAST(3 AS BIGINT) AS head_version
+        |FROM orders WHERE o_orderkey % 3 = 0
+        |GROUP BY 1 ORDER BY o_orderstatus""".stripMargin,
+    // mirror the two snapshot definitions, full-outer join on the key,
+    // classify with IS DISTINCT FROM (null-safe, same as the engine's
+    // <=> negation), aggregate per class
+    "wap_changes_feed" ->
+      """WITH a AS (SELECT o_orderkey, o_orderstatus, o_totalprice
+        |    FROM orders WHERE o_orderkey % 5 <> 0),
+        |b AS (SELECT o_orderkey, o_orderstatus,
+        |    CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 10.0
+        |         ELSE o_totalprice END AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 3 <> 0),
+        |d AS (SELECT
+        |    CASE WHEN a.o_orderkey IS NULL THEN 'insert'
+        |         WHEN b.o_orderkey IS NULL THEN 'delete'
+        |         WHEN a.o_orderstatus IS DISTINCT FROM b.o_orderstatus
+        |           OR a.o_totalprice IS DISTINCT FROM b.o_totalprice THEN 'update'
+        |         ELSE 'unchanged' END AS change_type,
+        |    COALESCE(b.o_totalprice, a.o_totalprice) AS p
+        |  FROM a FULL OUTER JOIN b ON a.o_orderkey = b.o_orderkey)
+        |SELECT change_type, count(*) AS n,
+        |  CAST(SUM(CAST(floor(p * 100 + 0.5) AS BIGINT)) AS BIGINT) AS total_c
+        |FROM d GROUP BY 1 ORDER BY change_type""".stripMargin,
     "table_checksum_diff" ->
       """WITH rows_a AS (SELECT l_returnflag,
         |    CAST(CONCAT('0x', substr(md5(

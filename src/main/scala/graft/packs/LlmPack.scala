@@ -391,6 +391,62 @@ object LlmPack extends QueryPack {
       Ann.ivfTopKPreassigned(q, assigned, cent, TOPK, NPROBE)
         .select("qid", "vec_id", "cos_x1e4", "rank").orderBy("qid", "rank")
     }),
+    // Filter-pipeline REJECTION FUNNEL: the ops view of the Gopher
+    // rule set — per rule (in pipeline order) how many docs fail it
+    // outright, how many are rejected AT this stage (failed here,
+    // passed everything earlier — the rule's marginal cost), and how
+    // many survive through it. ONE pass over the corpus: the booleans
+    // are codegen'd Column math and a single aggregate produces every
+    // counter; the 3-row funnel is a stack() over that one row, so
+    // the corpus is never touched per-rule.
+    "curation_reject_funnel" -> ((s, dir) => {
+      val r = TA.gopherRules(col("text")).toMap
+      val flags = docs(s, dir).select(
+        (r("n_words") >= 20 && r("n_words") <= 100000).as("p1"),
+        (r("mean_word_len") >= 3.0 && r("mean_word_len") <= 10.0).as("p2"),
+        (r("n_stop") >= 1).as("p3"))
+      def cnt(c: org.apache.spark.sql.Column) =
+        sum(when(c, 1L).otherwise(0L))
+      flags.agg(
+        count(lit(1)).as("n_input"),
+        cnt(!col("p1")).as("f1"), cnt(!col("p2")).as("f2"),
+        cnt(!col("p3")).as("f3"),
+        cnt(col("p1") && !col("p2")).as("m2"),
+        cnt(col("p1") && col("p2") && !col("p3")).as("m3"),
+        cnt(col("p1")).as("s1"),
+        cnt(col("p1") && col("p2")).as("s2"),
+        cnt(col("p1") && col("p2") && col("p3")).as("s3"))
+        .selectExpr(
+          """stack(3,
+            |  CAST(1 AS BIGINT), 'word_count',    f1, f1, s1,
+            |  CAST(2 AS BIGINT), 'mean_word_len', f2, m2, s2,
+            |  CAST(3 AS BIGINT), 'stopword',      f3, m3, s3)
+            |AS (rule_idx, rule, n_fail, n_marginal, n_surviving)""".stripMargin,
+          "n_input")
+        .orderBy("rule_idx")
+    }),
+    // SEMANTIC DIVERSITY CAP: the embedding-space sibling of
+    // curation_domain_cap — assign every doc's embedding to the
+    // k-means geometry (the same narrow argmax expression the IVF
+    // index uses: zero exchange per pass), then keep the CCAP longest
+    // docs per cluster via the two-phase salted top-k, so one huge
+    // topic can neither dominate the mix nor concentrate in a single
+    // window partition. doc_id ≡ vec_id in the fixture.
+    "curation_cluster_cap" -> ((s, dir) => {
+      val e = emb(s, dir).select(col("vec_id"), col("embedding").as("ce"))
+      val cent = Ann.ivfCentroids(e, NC, LLOYD)
+      val assigned = Ann.assignBuckets(e, cent).select("vec_id", "bucket")
+      val d = docs(s, dir).select(col("doc_id"), col("n_chars"))
+      val joined = assigned.join(d, col("vec_id") === col("doc_id"))
+      graft.llm.Curation.topKPerKey(
+          joined.select(col("bucket"), col("vec_id"), col("n_chars")),
+          "bucket", Seq(col("n_chars").desc, col("vec_id")),
+          saltOn = col("vec_id"), k = CCAP, salt = 4)
+        .select(col("bucket").cast("long").as("bucket"),
+          col("vec_id").as("doc_id"), col("n_chars"),
+          col("rk").cast("long").as("rk"))
+        .orderBy("bucket", "rk")
+    }),
     // IVF × int8: bucket restriction AND quantized scoring in one
     // query — the full 100 TB composition (assignment geometry full
     // precision; the candidate pair loop integer-only on quarter-size
@@ -815,6 +871,7 @@ object LlmPack extends QueryPack {
 
   // IVF parameters shared by the engine queries and the oracle mirror.
   private val NC = 10; private val LLOYD = 2; private val NPROBE = 2; private val TOPK = 10
+  private val CCAP = 5 // docs kept per embedding cluster (semantic diversity cap)
   private val DUP_T = 9500L // near-dup cosine threshold (×1e4)
   private val QUALITY_MIN = 2500L // curation quality gate (×1e4)
   // Dedup wants pair-pruning, not probe recall: centroid count scales
@@ -946,6 +1003,26 @@ object LlmPack extends QueryPack {
   private def ivfIncrementalSql: String =
     "WITH " + ivfCtes(maxQ = 3, centWhere = "WHERE vec_id % 7 <> 0").mkString(",\n") +
       "\nSELECT qid, vec_id, cos_x1e4, rank FROM ivf ORDER BY qid, rank"
+
+  /** Semantic-diversity-cap mirror: the same centroid/assignment CTE
+    * chain as the IVF oracles, joined to documents on vec_id = doc_id,
+    * then a plain per-bucket row_number cap (the salted two-phase
+    * top-k is an execution detail — the kept set is identical). */
+  private def clusterCapSql: String = {
+    val (build, centFinal) = centroidCtes()
+    "WITH " + (build ++ Seq(
+      assignSql(centFinal, "cassign"),
+      """withdoc AS (SELECT ca.bucket, ca.vec_id, d.n_chars
+        |  FROM cassign ca JOIN documents d ON ca.vec_id = d.doc_id)""".stripMargin,
+      """capped AS (SELECT bucket, vec_id, n_chars,
+        |    row_number() OVER (PARTITION BY bucket
+        |      ORDER BY n_chars DESC, vec_id) AS rk
+        |  FROM withdoc)""".stripMargin)).mkString(",\n") +
+      s"""
+         |SELECT CAST(bucket AS BIGINT) AS bucket, vec_id AS doc_id, n_chars,
+         |  CAST(rk AS BIGINT) AS rk
+         |FROM capped WHERE rk <= $CCAP ORDER BY bucket, rk""".stripMargin
+  }
 
   /** The ivf CTEs' bucket structure composed with the int8
     * quantization CTEs: full-precision assignment/probing, quantized
@@ -1389,6 +1466,40 @@ object LlmPack extends QueryPack {
     // persist → reload → query must reproduce the in-memory build exactly
     "ann_index_persisted" -> ivfTopkSql,
     "ann_incremental_ivf" -> ivfIncrementalSql,
+    "curation_cluster_cap" -> clusterCapSql,
+    // same booleans as the text_gopher_rules oracle (raw-double
+    // comparisons on both sides), one aggregate, 3-row UNION funnel
+    "curation_reject_funnel" ->
+      """WITH s AS (SELECT
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+        |    CAST(length(replace(text, ' ', '')) AS DOUBLE) AS n_chars_nosp,
+        |    CAST(list_contains(string_split(text, ' '), 'the') AS BIGINT)
+        |      + CAST(list_contains(string_split(text, ' '), 'a') AS BIGINT)
+        |      + CAST(list_contains(string_split(text, ' '), 'of') AS BIGINT)
+        |      + CAST(list_contains(string_split(text, ' '), 'and') AS BIGINT)
+        |      + CAST(list_contains(string_split(text, ' '), 'to') AS BIGINT) AS n_stop
+        |  FROM documents),
+        |f AS (SELECT
+        |    (n_words >= 20 AND n_words <= 100000) AS p1,
+        |    (n_chars_nosp / n_words >= 3.0 AND n_chars_nosp / n_words <= 10.0) AS p2,
+        |    (n_stop >= 1) AS p3
+        |  FROM s),
+        |agg AS (SELECT count(*) AS n_input,
+        |    CAST(SUM(CASE WHEN NOT p1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+        |    CAST(SUM(CASE WHEN NOT p2 THEN 1 ELSE 0 END) AS BIGINT) AS f2,
+        |    CAST(SUM(CASE WHEN NOT p3 THEN 1 ELSE 0 END) AS BIGINT) AS f3,
+        |    CAST(SUM(CASE WHEN p1 AND NOT p2 THEN 1 ELSE 0 END) AS BIGINT) AS m2,
+        |    CAST(SUM(CASE WHEN p1 AND p2 AND NOT p3 THEN 1 ELSE 0 END) AS BIGINT) AS m3,
+        |    CAST(SUM(CASE WHEN p1 THEN 1 ELSE 0 END) AS BIGINT) AS s1,
+        |    CAST(SUM(CASE WHEN p1 AND p2 THEN 1 ELSE 0 END) AS BIGINT) AS s2,
+        |    CAST(SUM(CASE WHEN p1 AND p2 AND p3 THEN 1 ELSE 0 END) AS BIGINT) AS s3
+        |  FROM f)
+        |SELECT * FROM (
+        |  SELECT CAST(1 AS BIGINT) AS rule_idx, 'word_count' AS rule,
+        |    f1 AS n_fail, f1 AS n_marginal, s1 AS n_surviving, n_input FROM agg
+        |  UNION ALL SELECT CAST(2 AS BIGINT), 'mean_word_len', f2, m2, s2, n_input FROM agg
+        |  UNION ALL SELECT CAST(3 AS BIGINT), 'stopword', f3, m3, s3, n_input FROM agg)
+        |ORDER BY rule_idx""".stripMargin,
     // identical ivf algebra, query set widened to the stream's six
     "ann_stream_topk" -> ("WITH " + ivfCtes(maxQ = 6).mkString(",\n") +
       "\nSELECT qid, vec_id, cos_x1e4, rank FROM ivf ORDER BY qid, rank"),

@@ -78,4 +78,58 @@ class WapSpec extends SparkSpec {
     val c = intercept[Wap.Conflict](Wap.publishWithRetry(table, p2, maxAttempts = 3))
     assert(c.actual >= 2L) // surfaced, not spun forever
   }
+
+  test("time travel reads any published version; unpublished versions fail loud") {
+    val table = java.nio.file.Files.createTempDirectory("wap_tt").toString
+    Wap.publishWithRetry(table, Wap.stage(Seq((1L, "a")).toDF("k", "v"), table, "v1"))
+    Wap.publishWithRetry(table,
+      Wap.stage(Seq((1L, "a2"), (2L, "b")).toDF("k", "v"), table, "v2"))
+    assert(Wap.currentVersion(table) == 2L)
+    assert(Wap.readVersion(spark, table, 1L).collect().toSet ==
+      Set(org.apache.spark.sql.Row(1L, "a")))
+    assert(Wap.readVersion(spark, table, 2L).count() == 2L)
+    // head read ≡ readVersion(head)
+    assert(Wap.readPublished(spark, table).collect().toSet ==
+      Wap.readVersion(spark, table, 2L).collect().toSet)
+    intercept[IllegalStateException](Wap.readVersion(spark, table, 3L))
+    // a claimed-but-crashed lock is not readable history either
+    java.nio.file.Files.createFile(
+      java.nio.file.Paths.get(table).resolve("_commits").resolve("v3.lock"))
+    intercept[IllegalStateException](Wap.readVersion(spark, table, 3L))
+  }
+
+  test("rollback re-publishes an old snapshot as a NEW head; history stays append-only") {
+    val table = java.nio.file.Files.createTempDirectory("wap_rb").toString
+    Wap.publishWithRetry(table, Wap.stage(Seq((1L, "good")).toDF("k", "v"), table, "v1"))
+    Wap.publishWithRetry(table, Wap.stage(Seq((9L, "bad")).toDF("k", "v"), table, "v2"))
+    val head = Wap.rollbackTo(table, 1L)
+    assert(head == 3L)
+    assert(Wap.readPublished(spark, table).collect().toSet ==
+      Set(org.apache.spark.sql.Row(1L, "good")))
+    // the bad version is still auditable via time travel
+    assert(Wap.readVersion(spark, table, 2L).collect().toSet ==
+      Set(org.apache.spark.sql.Row(9L, "bad")))
+  }
+
+  test("change feed classifies insert/delete/update/unchanged; NULL flips are updates") {
+    val table = java.nio.file.Files.createTempDirectory("wap_cdf").toString
+    val v1 = Seq((1L, Option("keep"), 10), (2L, Option("old"), 20),
+      (3L, Option("gone"), 30), (5L, None: Option[String], 50))
+      .toDF("k", "s", "n")
+    val v2 = Seq((1L, Option("keep"), 10), (2L, Option("new"), 20),
+      (4L, Option("born"), 40), (5L, Option("was-null"), 50))
+      .toDF("k", "s", "n")
+    Wap.publishWithRetry(table, Wap.stage(v1, table, "v1"))
+    Wap.publishWithRetry(table, Wap.stage(v2, table, "v2"))
+    val got = Wap.changesBetween(spark, table, 1L, 2L, Seq("k"))
+      .select("k", "change_type", "s", "n").collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getString(2), r.getInt(3)))
+      .toMap
+    assert(got(1L) == (("unchanged", "keep", 10)))
+    assert(got(2L) == (("update", "new", 20)))
+    assert(got(3L) == (("delete", "gone", 30)))
+    assert(got(4L) == (("insert", "born", 40)))
+    assert(got(5L) == (("update", "was-null", 50))) // null -> value IS a change
+    assert(got.size == 5)
+  }
 }
