@@ -125,6 +125,50 @@ object Dedup {
         col("i").cast("double") / (col("na.n") + col("nb.n") - col("i"))).as("jacc_x1e4"))
   }
 
+  /** PPJoin-style PREFIX-FILTER set-similarity self-join (Chaudhuri
+    * et al. ICDE'06 SSJoin; Xiao et al. WWW'08 PPJoin): the LOSSLESS
+    * alternative to MinHash-LSH at high thresholds — no hashing, no
+    * probabilistic recall. Give every token a global total order
+    * (ascending corpus frequency, ties by token: rarest first); two
+    * sets with Jaccard >= tau MUST share a token inside their
+    * (n - ceil(tau*n) + 1)-token prefixes under ANY fixed total
+    * order, so candidates come from an equi-join on prefix tokens
+    * only. Rare-first ordering makes those prefix postings the
+    * shortest lists in the corpus — join fan-out concentrates where
+    * buckets are smallest, the opposite of a hot-key self-join; the
+    * same `maxBucket` cap as [[lshCandidates]] guards the degenerate
+    * token anyway. Verification is the digest-keyed exact [[jaccard]]
+    * restricted to candidates, and the threshold compares the x1e4
+    * integer, so both engines branch on the same value.
+    *
+    * `sh` = DISTINCT (id, sh) shingle rows (the [[shingles]] output);
+    * prefix length arithmetic is all-integer: ceil(tau*n) =
+    * (n*tau + 9999) div 10000 at x1e4 fixed point. The recall
+    * guarantee is for TRUE Jaccard >= tau; the output filter compares
+    * the half-up-rounded x1e4 value, which can additionally admit a
+    * pair sitting within 0.5e-4 below tau when its sets are huge
+    * (>10k shingles) — a reporting-rounding nuance, not a loss. */
+  def prefixFilterPairs(sh: DataFrame, tauX1e4: Long,
+      maxBucket: Long = 10000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val freq = sh.groupBy("sh").agg(count(lit(1)).as("tf"))
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("n"))
+    val ranked = sh.join(freq, "sh")
+      .withColumn("pos", row_number().over(
+        Window.partitionBy("id").orderBy(col("tf"), col("sh"))))
+    val pref = ranked.join(sizes, "id")
+      .filter(col("pos") <=
+        col("n") - floor((col("n") * tauX1e4 + 9999L) / 10000L) + 1L)
+      .select("id", "sh")
+    val okKeys = pref.groupBy("sh").agg(count(lit(1)).as("pn"))
+      .filter(col("pn") <= maxBucket).select("sh")
+    val capped = pref.join(okKeys, Seq("sh"))
+    val cand = capped.as("x").join(capped.as("y"),
+        col("x.sh") === col("y.sh") && col("x.id") < col("y.id"))
+      .select(col("x.id").as("a"), col("y.id").as("b")).distinct()
+    jaccard(cand, sh).filter(col("jacc_x1e4") >= tauX1e4)
+  }
+
   /** Asymmetric n-gram CONTAINMENT per candidate pair: |A∩B| / |A|
     * and |A∩B| / |B| — the sub-document duplication signal Jaccard
     * misses. A short quote embedded verbatim in a long article has

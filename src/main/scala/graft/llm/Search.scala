@@ -61,6 +61,36 @@ object Search {
         (min(col("pos0")) + 1).cast("long").as("first_pos"))
   }
 
+  /** Exact PHRASE match over the positional index: a document matches
+    * when the phrase's tokens occur at CONSECUTIVE positions. The
+    * exploded token stream is filtered to the phrase's terms before
+    * any shuffle (query-sized postings, not corpus-sized — the same
+    * pruning discipline as [[positionalPostings]]), then one equi-join
+    * per additional phrase term aligns positions (`pos_k = pos_1 + k`)
+    * — all joins are on (doc_id, position), co-partitioned after the
+    * first shuffle. Output: (doc_id, n_occ, first_pos) per matching
+    * doc, 1-based positions. */
+  def phraseMatch(docs: DataFrame, idCol: String, textCol: String,
+      phrase: Seq[String]): DataFrame = {
+    require(phrase.size >= 2, "phraseMatch: need at least a 2-token phrase")
+    val tok = docs.select(col(idCol).as("doc_id"),
+        posexplode(split(col(textCol), " ")).as(Seq("pos0", "term")))
+      .filter(col("term").isin(phrase.distinct: _*))
+    val base = tok.filter(col("term") === phrase.head)
+      .select(col("doc_id"), col("pos0").as("p"))
+    val matched = phrase.zipWithIndex.tail.foldLeft(base) {
+      case (acc, (t, i)) =>
+        val next = tok.filter(col("term") === t)
+          .select(col("doc_id").as("_d"), col("pos0").as("_p"))
+        acc.join(next,
+            col("doc_id") === col("_d") && col("_p") === col("p") + i)
+          .drop("_d", "_p")
+    }
+    matched.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_occ"),
+        (min(col("p")) + 1).cast("long").as("first_pos"))
+  }
+
   /** Hybrid retrieval: reciprocal-rank fusion of the lexical (BM25)
     * and semantic (brute cosine) top-k lists —
     * rrf(d) = Σ_src 1e6 div (kRrf + rank_src(d)), absent source → 0.

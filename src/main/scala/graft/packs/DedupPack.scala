@@ -112,6 +112,35 @@ object DedupPack extends QueryPack {
         .withColumn("n_kept", col("n_docs") - col("n_flagged"))
         .orderBy("source")
     }),
+    // PPJoin-style prefix filtering (Dedup.prefixFilterPairs): the
+    // LOSSLESS high-threshold near-dup join — candidates from an
+    // equi-join on rare-first prefix tokens, verified by exact
+    // digest-keyed Jaccard. Finds the original↔shifted-copy pairs
+    // with zero probabilistic recall loss; the oracle mirrors the
+    // freq-rank/prefix/cap algebra arm for arm. The gate runs on
+    // 5-gram shingles at tau=0.8: prefix filtering lives off token
+    // rarity, and this fixture's 31-word vocabulary makes every
+    // 3-gram a hot token — 5-grams restore a sparse posting space
+    // (the realistic regime; a Zipfian corpus gives it for free),
+    // and the copies sit at Jaccard ~0.97, far above the threshold.
+    "dedup_prefix_pairs" -> ((s, dir) => {
+      val sh = Dedup.shingles(corpus(s, dir), "id", "text", n = 5)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      Dedup.prefixFilterPairs(sh, 8000L).orderBy("a", "b")
+    }),
+    // Cluster-size telemetry over the resolved duplicate components —
+    // the release-report histogram (how many pairs, triples, … did
+    // dedup collapse): two tiny aggregates on top of the cluster
+    // labels; the corpus-sized work is all in dupClusters itself.
+    "dedup_cluster_sizes" -> ((s, dir) => {
+      val pairs = Tables.load(s, dir, "documents")
+        .select(col("doc_id").as("a"), (col("doc_id") + 1).as("b"))
+        .filter(col("a") % 10 < 3)
+      Dedup.dupClusters(pairs)
+        .groupBy("cluster").agg(count(lit(1)).as("sz"))
+        .groupBy("sz").agg(count(lit(1)).as("n_clusters"))
+        .orderBy("sz")
+    }),
     // Standalone exact n-gram Jaccard over a given pair list (the
     // known original↔shifted-copy pairs) — the verification primitive
     // of the LSH pipeline, gated directly.
@@ -280,7 +309,61 @@ object DedupPack extends QueryPack {
        |SELECT id, CAST($bits AS BIGINT) AS simhash FROM votes ORDER BY id""".stripMargin
   }
 
+  /** shingleSql's 5-gram sibling (the prefix-filter gate needs the
+    * sparser gram space — see the query comment). */
+  private val shingle5Sql =
+    """words5 AS (SELECT id, string_split(text, ' ') AS w FROM corpus),
+      |sh AS (SELECT DISTINCT id, unnest(
+      |  CASE WHEN len(w) >= 5
+      |  THEN list_transform(generate_series(1, len(w) - 4),
+      |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4])
+      |  ELSE [array_to_string(w, ' ')] END) AS sh FROM words5)""".stripMargin
+
+  /** Arm-for-arm mirror of Dedup.prefixFilterPairs: global rare-first
+    * token order, integer prefix-length arithmetic, the ≤10000
+    * posting cap, candidates from the prefix equi-join, exact-Jaccard
+    * verify with the same x1e4 rounding and threshold. */
+  private val prefixFilterSql: String =
+    s"""WITH $corpusSql,
+       |$shingle5Sql,
+       |freq AS (SELECT sh, count(*) AS tf FROM sh GROUP BY sh),
+       |sizes AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
+       |ranked AS (SELECT s.id, s.sh,
+       |    row_number() OVER (PARTITION BY s.id ORDER BY f.tf, s.sh) AS pos
+       |  FROM sh s JOIN freq f USING (sh)),
+       |pref AS (SELECT r.id, r.sh FROM ranked r JOIN sizes z USING (id)
+       |  WHERE r.pos <= z.n - (z.n * 8000 + 9999) // 10000 + 1),
+       |pref_ok AS (SELECT sh FROM pref GROUP BY sh HAVING count(*) <= 10000),
+       |prefc AS (SELECT pref.id, pref.sh FROM pref JOIN pref_ok USING (sh)),
+       |cand AS (SELECT DISTINCT x.id AS a, y.id AS b
+       |  FROM prefc x JOIN prefc y ON x.sh = y.sh AND x.id < y.id),
+       |inter AS (SELECT c.a, c.b, count(*) AS i FROM cand c
+       |  JOIN sh sa ON sa.id = c.a
+       |  JOIN sh sb ON sb.id = c.b AND sa.sh = sb.sh
+       |  GROUP BY c.a, c.b)
+       |SELECT t.a, t.b, t.jacc_x1e4 FROM (
+       |  SELECT i2.a, i2.b,
+       |    CAST(FLOOR(CAST(i2.i AS DOUBLE) / (na.n + nb.n - i2.i) * 10000 + 0.5) AS BIGINT) AS jacc_x1e4
+       |  FROM inter i2
+       |  JOIN sizes na ON na.id = i2.a
+       |  JOIN sizes nb ON nb.id = i2.b) t
+       |WHERE t.jacc_x1e4 >= 8000 ORDER BY t.a, t.b""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
+    "dedup_prefix_pairs" -> prefixFilterSql,
+    // same recursive closure as dedup_clusters, then the two-level
+    // size histogram
+    "dedup_cluster_sizes" ->
+      """WITH RECURSIVE pairs AS (
+        |  SELECT doc_id AS a, doc_id + 1 AS b FROM documents WHERE doc_id % 10 < 3),
+        |edges AS (SELECT a AS x, b AS y FROM pairs UNION SELECT b, a FROM pairs),
+        |reach(x, y) AS (
+        |  SELECT x, y FROM edges
+        |  UNION
+        |  SELECT r.x, e.y FROM reach r JOIN edges e ON r.y = e.x),
+        |labels AS (SELECT x AS id, LEAST(x, MIN(y)) AS cluster FROM reach GROUP BY x),
+        |cz AS (SELECT cluster, count(*) AS sz FROM labels GROUP BY cluster)
+        |SELECT sz, count(*) AS n_clusters FROM cz GROUP BY sz ORDER BY sz""".stripMargin,
     "dedup_exact" ->
       s"""WITH $corpusSql
          |SELECT md5(text) AS h, count(*) AS cnt, min(id) AS keeper

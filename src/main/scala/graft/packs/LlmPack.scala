@@ -252,6 +252,14 @@ object LlmPack extends QueryPack {
           Seq("spark", "join", "window", "stream"))
         .filter(col("doc_id") < 120)
         .orderBy("term", "doc_id")),
+    // Exact phrase query over the positional index: consecutive-
+    // position joins on query-sized postings (the explode is filtered
+    // to the phrase's terms before any shuffle, so the joined slice
+    // is phrase-sized, not corpus-sized).
+    "search_phrase_match" -> ((s, dir) =>
+      graft.llm.Search.phraseMatch(docs(s, dir), "doc_id", "text",
+          Seq("table", "scan", "merge"))
+        .orderBy("doc_id")),
     // Vocabulary profile per source: token volume, distinct vocabulary
     // and type-token ratio (×1e6 integer fixed point) — the Heaps-law
     // corpus health check, one aggregate over the exploded stream.
@@ -1195,6 +1203,17 @@ object LlmPack extends QueryPack {
         |SELECT term, doc_id, count(*) AS tf, min(pos) AS first_pos
         |FROM tok WHERE term IN ('spark', 'join', 'window', 'stream')
         |GROUP BY 1, 2 ORDER BY term, doc_id""".stripMargin,
+    // adjacency directly on the split array: a[p]=t1 ∧ a[p+1]=t2 ∧
+    // a[p+2]=t3 over 1-based positions — same occurrences, same
+    // 1-based first_pos as the postings-join engine path
+    "search_phrase_match" ->
+      """WITH arrs AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
+        |hits AS (
+        |  SELECT doc_id, CAST(u.p AS BIGINT) AS pos
+        |  FROM arrs, UNNEST(generate_series(1, len(a) - 2)) AS u(p)
+        |  WHERE a[u.p] = 'table' AND a[u.p + 1] = 'scan' AND a[u.p + 2] = 'merge')
+        |SELECT doc_id, count(*) AS n_occ, min(pos) AS first_pos
+        |FROM hits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "text_vocab_by_source" ->
       """WITH tok AS (
         |  SELECT source, doc_id, unnest(string_split(text, ' ')) AS term

@@ -91,6 +91,42 @@ object TimeSeriesPack extends QueryPack {
         .agg(countDistinct(col("user_id")).as("users_converted"))
       total.join(viewed).join(converted)
     }),
+    // MATCH_RECOGNIZE-lite sequence pattern per occurrence: for EVERY
+    // `view`, does a `purchase` follow within 10 minutes with NO
+    // `error` strictly between the view and that FIRST purchase?
+    // (Greedy-first semantics: an error before the first subsequent
+    // purchase kills the match even if a later purchase exists.)
+    // One per-user window pass — ORDER BY t DESC with a RANGE frame
+    // ending at 1 PRECEDING gives each event the min purchase/error
+    // instant among STRICTLY-LATER events (integer µs, so range -1 ≡
+    // strict), no per-pattern self-join, no explode; the only shuffle
+    // is the per-user partition the sessionize family already uses.
+    "events_pattern_match" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy(col("t").desc)
+        .rangeBetween(Window.unboundedPreceding, -1)
+      val e = Tables.load(s, dir, "events")
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("ts").cast("timestamp")).as("t"))
+      val nexts = e
+        .withColumn("next_p",
+          min(when(col("event_type") === "purchase", col("t"))).over(w))
+        .withColumn("next_e",
+          min(when(col("event_type") === "error", col("t"))).over(w))
+      val matched = col("event_type") === "view" &&
+        col("next_p").isNotNull &&
+        col("next_p") - col("t") <= 600L * 1000000L &&
+        (col("next_e").isNull || col("next_e") >= col("next_p"))
+      nexts.select(col("user_id"),
+          when(col("event_type") === "view", 1L).otherwise(0L).as("is_v"),
+          when(matched, 1L).otherwise(0L).as("is_m"),
+          when(matched, col("next_p") - col("t")).as("lat"))
+        .groupBy("user_id")
+        .agg(sum(col("is_v")).as("n_views"),
+          sum(col("is_m")).as("n_conv"),
+          coalesce(min(col("lat")), lit(-1L)).as("min_lat_us"))
+        .orderBy("user_id")
+    }),
     // Week-over-week movers: per-type weekly counts, lag window, delta
     // + integer fixed-point percent change ((cur−prev)·1e4 div prev).
     "events_top_movers" -> ((s, dir) => {
@@ -599,6 +635,31 @@ object TimeSeriesPack extends QueryPack {
         |  (SELECT count(*) FROM fv) AS users_viewed,
         |  users_converted
         |FROM conv""".stripMargin,
+    // same desc-ordered strictly-later RANGE frames, same µs integers
+    "events_pattern_match" ->
+      """WITH e AS (SELECT user_id, event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS t FROM events),
+        |w AS (SELECT user_id, event_type, t,
+        |    min(CASE WHEN event_type = 'purchase' THEN t END) OVER
+        |      (PARTITION BY user_id ORDER BY t DESC
+        |       RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS next_p,
+        |    min(CASE WHEN event_type = 'error' THEN t END) OVER
+        |      (PARTITION BY user_id ORDER BY t DESC
+        |       RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS next_e
+        |  FROM e),
+        |m AS (SELECT user_id,
+        |    CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS is_v,
+        |    CASE WHEN event_type = 'view' AND next_p IS NOT NULL
+        |      AND next_p - t <= 600000000
+        |      AND (next_e IS NULL OR next_e >= next_p) THEN 1 ELSE 0 END AS is_m,
+        |    CASE WHEN event_type = 'view' AND next_p IS NOT NULL
+        |      AND next_p - t <= 600000000
+        |      AND (next_e IS NULL OR next_e >= next_p) THEN next_p - t END AS lat
+        |  FROM w)
+        |SELECT user_id, CAST(SUM(is_v) AS BIGINT) AS n_views,
+        |  CAST(SUM(is_m) AS BIGINT) AS n_conv,
+        |  COALESCE(min(lat), -1) AS min_lat_us
+        |FROM m GROUP BY user_id ORDER BY user_id""".stripMargin,
     "events_top_movers" ->
       """WITH weekly AS (
         |  SELECT event_type,

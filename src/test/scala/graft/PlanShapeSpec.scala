@@ -649,4 +649,21 @@ class PlanShapeSpec extends SparkSpec {
     assert(firstWindow >= 0 && lastAgg > firstWindow,
       s"window@$firstWindow agg@$lastAgg\n$p")
   }
+
+  test("dedup_prefix_pairs: candidates come from equi-joins — never a cartesian/nested-loop") {
+    val p = plan("dedup_prefix_pairs")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("wap_changes_feed diffs snapshots as a key-partitioned full-outer join") {
+    val p = plan("wap_changes_feed")
+    assert(p.contains("FullOuter"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("events_pattern_match: one window pass, no self-join on events") {
+    val p = plan("events_pattern_match")
+    assert(!p.contains("Join"), p) // window frames replace the per-pattern self-join
+    assert(p.contains("Window"), p)
+  }
 }

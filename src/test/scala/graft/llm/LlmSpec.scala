@@ -581,4 +581,36 @@ class LlmSpec extends SparkSpec {
     // uncapped, the same corpus pairs completely at distance 0
     assert(Dedup.simhashBandedPairs(docs, "id", "text").count() == 50L * 49 / 2)
   }
+
+  test("property: prefixFilterPairs equals brute-force exact Jaccard (lossless recall)") {
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector("aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh")
+    val base = (1L to 30L).map { i =>
+      (i, Vector.fill(6 + rnd.nextInt(6))(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    // guaranteed positives: one-token-appended near-copies of every 3rd doc
+    val corpus = base ++ base.collect {
+      case (i, t) if i % 3 == 0 => (i + 100L, t + " zz")
+    }
+    val df = corpus.toDF("id", "text")
+    val got = Dedup.prefixFilterPairs(
+        Dedup.shingles(df, "id", "text"), 5000L)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    def shingleSet(t: String): Set[String] = {
+      val w = t.split(" ")
+      if (w.length >= 3) w.sliding(3).map(_.mkString(" ")).toSet
+      else Set(w.mkString(" "))
+    }
+    val sets = corpus.map { case (i, t) => i -> shingleSet(t) }.toMap
+    val ids = corpus.map(_._1)
+    val want = (for {
+      a <- ids; b <- ids if a < b
+      sa = sets(a); sb = sets(b)
+      inter = (sa & sb).size
+      j = math.floor(inter.toDouble / (sa.size + sb.size - inter) * 10000 + 0.5).toLong
+      if j >= 5000L
+    } yield (a, b) -> j).toMap
+    assert(want.nonEmpty, "fixture must produce at least one qualifying pair")
+    assert(got == want)
+  }
 }

@@ -76,4 +76,21 @@ class SearchSpec extends SparkSpec {
       (2L, 1L, 3L, 16393L + 15873L),
       (3L, 0L, 2L, 16129L)))
   }
+
+  test("phraseMatch: consecutive positions only; overlapping occurrences all count") {
+    val d = Seq(
+      (1L, "x table scan merge y table scan merge"), // two occurrences
+      (2L, "table scan x merge"),                    // terms present, not adjacent
+      (3L, "merge scan table"),                      // reversed order
+      (4L, "a a a b"),                               // overlap fixture for phrase (a,a)
+      (5L, "table scan merge")                       // exact-phrase doc
+    ).toDF("doc_id", "text")
+    val m = Search.phraseMatch(d, "doc_id", "text", Seq("table", "scan", "merge"))
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(m == Map(1L -> ((2L, 2L)), 5L -> ((1L, 1L))))
+    // overlapping bigram: "a a a" contains (a,a) starting at positions 1 and 2
+    val ov = Search.phraseMatch(d, "doc_id", "text", Seq("a", "a"))
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(ov == Map(4L -> ((2L, 1L))))
+  }
 }
