@@ -337,4 +337,48 @@ object TextAnalysis {
     piiPatterns.map { case (kind, pat, _) =>
       (kind, size(regexp_extract_all(text, lit(pat), lit(0))))
     }
+
+  /** RAKE keyword extraction (Rose et al. 2010, "Automatic Keyword
+    * Extraction from Individual Documents"): candidate phrases are
+    * maximal stopword-free token runs; each word scores
+    * degree/frequency (degree = Σ length of the phrase occurrences
+    * containing it), and a phrase scores the sum of its words'
+    * scores. Corpus-level distributed shape: token islands come from
+    * the classic gaps-and-islands trick (pos − row_number over
+    * non-stop tokens per doc — one per-doc window), word stats are
+    * ONE hash aggregate over exploded phrase words, and the top-k is
+    * TakeOrderedAndProject — no global sort, no driver loop. Scores
+    * are x1e4 integer fixed point (deg·1e4 div freq; the phrase sum
+    * stays integer), so the ranking is oracle-exact.
+    * Output: (phrase, n_occ, rake_x1e4) — top `k` by score. */
+  def rakeKeywords(docs: DataFrame, idCol: String, textCol: String,
+      stopwords: Seq[String], k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col(idCol).as("id"),
+        posexplode(split(col(textCol), " ")).as(Seq("pos", "term")))
+      .filter(col("term") =!= "")
+    val w = Window.partitionBy("id").orderBy("pos")
+    val islands = toks.filter(!col("term").isin(stopwords: _*))
+      .withColumn("grp", col("pos") - row_number().over(w))
+    // one row per phrase OCCURRENCE, words kept for scoring
+    val phrases = islands.groupBy("id", "grp")
+      .agg(array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("term")))),
+          x => x.getField("term")), " ").as("phrase"),
+        count(lit(1)).as("plen"))
+    val pw = phrases.select(col("phrase"), col("plen"),
+      explode(split(col("phrase"), " ")).as("term"))
+    val scores = pw.groupBy("term")
+      .agg(count(lit(1)).as("freq"), sum(col("plen")).as("deg"))
+      .withColumn("score_x1e4", expr("deg * 10000L div freq"))
+      .select("term", "score_x1e4")
+    val occ = phrases.groupBy("phrase").agg(count(lit(1)).as("n_occ"))
+    occ.select(col("phrase"), col("n_occ"),
+        explode(split(col("phrase"), " ")).as("term"))
+      .join(scores, "term")
+      .groupBy("phrase", "n_occ")
+      .agg(sum(col("score_x1e4")).as("rake_x1e4"))
+      .orderBy(desc("rake_x1e4"), desc("n_occ"), asc("phrase"))
+      .limit(k)
+  }
 }

@@ -83,4 +83,30 @@ object Graph {
     tris.select(explode(array(col("pivot"), col("u"), col("w"))).as("v"))
       .groupBy("v").agg(count(lit(1)).as("n_triangles"))
   }
+
+  /** Bounded-depth BFS levels from a seed set over canonical edges
+    * (cols a<b): level(v) = min #hops from any seed, capped at
+    * `depth`. Each round expands ONLY the current frontier (nodes
+    * whose settled level is the previous round's) through one
+    * equi-join on the vertex key, then min-folds — so round d
+    * shuffles O(|frontier_d| · avg-degree) rows, never the whole
+    * reach set, and a bounded depth means a bounded plan (no
+    * iterate-to-fixpoint driver loop; for unbounded closure the
+    * pointer-doubling in Hierarchy/dupClusters is the right tool).
+    * `seeds` needs a `v` column; seeds not in the edge set keep
+    * level 0. Output: (v, lvl). */
+  def bfsLevels(edges: DataFrame, seeds: DataFrame, depth: Int): DataFrame = {
+    require(depth >= 1, s"bfsLevels: depth must be >= 1, got $depth")
+    val und = edges.select(col("a").as("x"), col("b").as("y"))
+      .unionAll(edges.select(col("b").as("x"), col("a").as("y")))
+    var levels = seeds.select(col("v"), lit(0L).as("lvl"))
+    for (d <- 1 to depth) {
+      val next = levels.filter(col("lvl") === (d - 1).toLong)
+        .join(und, col("v") === col("x"))
+        .select(col("y").as("v"), lit(d.toLong).as("lvl"))
+      levels = levels.unionByName(next)
+        .groupBy("v").agg(min(col("lvl")).as("lvl"))
+    }
+    levels
+  }
 }

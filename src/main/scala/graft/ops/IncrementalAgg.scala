@@ -40,4 +40,41 @@ object IncrementalAgg {
     * (s·scale div n — one integer division, oracle-exact). */
   def finalizeView(state: DataFrame, avgScale: Long = 100L): DataFrame =
     state.withColumn("avg_scaled", expr(s"s * ${avgScale}L div n"))
+
+  // ---- COUNT(DISTINCT v): the non-algebraic aggregate ---------------
+
+  /** COUNT(DISTINCT v) is not a monoid over (count) — it needs the
+    * classic counting-IVM auxiliary state (keys..., v, mult): each
+    * batch contributes per-(key, value) multiplicities, a retraction
+    * contributes NEGATIVE ones, and a value belongs to the distinct
+    * set iff its merged multiplicity is positive. State size is
+    * O(distinct (key, value) pairs) — the minimum any exact
+    * incremental distinct can hold; refresh shuffles state rows, not
+    * history. (The approximate alternative at 100 TB is the mergeable
+    * HLL state — `hll_distinct_parts` — which cannot retract; this is
+    * the exact, retraction-capable twin.) */
+  def distinctState(df: DataFrame, keyCols: Seq[String],
+      valueCol: String, sign: Int = 1): DataFrame = {
+    require(sign == 1 || sign == -1, s"distinctState: sign must be ±1, got $sign")
+    df.groupBy((keyCols :+ valueCol).map(col): _*)
+      .agg((count(lit(1)) * sign).as("mult"))
+  }
+
+  /** Fold distinct-states: value-wise multiplicity sum; zero rows are
+    * dropped so the state never accumulates tombstones. */
+  def mergeDistinct(states: Seq[DataFrame], keyCols: Seq[String],
+      valueCol: String): DataFrame = {
+    require(states.nonEmpty, "IncrementalAgg.mergeDistinct: no states")
+    states.reduce(_.unionByName(_))
+      .groupBy((keyCols :+ valueCol).map(col): _*)
+      .agg(sum(col("mult")).as("mult"))
+      .filter(col("mult") =!= 0L)
+  }
+
+  /** Read-time distinct count per key: values with positive merged
+    * multiplicity. */
+  def finalizeDistinct(state: DataFrame, keyCols: Seq[String]): DataFrame =
+    state.filter(col("mult") > 0L)
+      .groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("n_distinct"))
 }

@@ -44,6 +44,19 @@ object InsightsPack extends QueryPack {
       val edges = Graph.projectByMember(po, "l_partkey", "l_orderkey")
       Graph.triangleCounts(edges).orderBy("v")
     }),
+    // Bounded-depth BFS over the same co-purchase projection: hop
+    // distance (≤3) from the seed part set — per-round frontier
+    // expansion equi-joins + min-fold (ops/Graph.bfsLevels), a bounded
+    // plan with no driver fixpoint loop.
+    "graph_bfs_levels" -> ((s, dir) => {
+      val po = Tables.load(s, dir, "lineitem")
+        .filter(col("l_partkey") % 2 === 0)
+        .select(col("l_partkey"), col("l_orderkey"))
+      val edges = Graph.projectByMember(po, "l_partkey", "l_orderkey")
+      val seeds = po.select(col("l_partkey").as("v"))
+        .filter(col("v") % 97 === 0).distinct()
+      Graph.bfsLevels(edges, seeds, depth = 3).orderBy("v")
+    }),
 
     // LOCF time-weighted average per user: each event's value is held
     // until the next event; the average weights by hold duration.
@@ -925,6 +938,21 @@ object InsightsPack extends QueryPack {
         |  SELECT x AS v FROM t
         |  UNION ALL SELECT y FROM t
         |  UNION ALL SELECT z FROM t)
+        |GROUP BY v ORDER BY v""".stripMargin,
+    // min over all ≤3-edge paths from the seeds ≡ the engine's
+    // frontier-expansion BFS bounded at depth 3
+    "graph_bfs_levels" ->
+      """WITH RECURSIVE sp AS (SELECT DISTINCT l_orderkey AS m, l_partkey AS s
+        |      FROM lineitem WHERE l_partkey % 2 = 0),
+        |e AS (SELECT DISTINCT a.s AS a, b.s AS b
+        |      FROM sp a JOIN sp b ON a.m = b.m AND a.s < b.s),
+        |und AS (SELECT a AS x, b AS y FROM e UNION ALL SELECT b, a FROM e),
+        |seeds AS (SELECT DISTINCT s AS v FROM sp WHERE s % 97 = 0),
+        |reach(v, lvl) AS (
+        |  SELECT v, 0 FROM seeds
+        |  UNION
+        |  SELECT u.y, r.lvl + 1 FROM reach r JOIN und u ON r.v = u.x WHERE r.lvl < 3)
+        |SELECT v, CAST(min(lvl) AS BIGINT) AS lvl FROM reach
         |GROUP BY v ORDER BY v""".stripMargin,
 
     "events_time_weighted_avg" ->

@@ -260,6 +260,12 @@ object LlmPack extends QueryPack {
       graft.llm.Search.phraseMatch(docs(s, dir), "doc_id", "text",
           Seq("table", "scan", "merge"))
         .orderBy("doc_id")),
+    // RAKE keywords (TA.rakeKeywords): stopword-delimited candidate
+    // phrases via gaps-and-islands, degree/frequency word scores,
+    // integer phrase ranking, TakeOrdered top-20.
+    "text_rake_keywords" -> ((s, dir) =>
+      TA.rakeKeywords(docs(s, dir), "doc_id", "text",
+        Seq("the", "a", "an", "of", "and", "to", "in", "is", "it", "for"), 20)),
     // Vocabulary profile per source: token volume, distinct vocabulary
     // and type-token ratio (×1e6 integer fixed point) — the Heaps-law
     // corpus health check, one aggregate over the exploded stream.
@@ -1203,6 +1209,30 @@ object LlmPack extends QueryPack {
         |SELECT term, doc_id, count(*) AS tf, min(pos) AS first_pos
         |FROM tok WHERE term IN ('spark', 'join', 'window', 'stream')
         |GROUP BY 1, 2 ORDER BY term, doc_id""".stripMargin,
+    // same gaps-and-islands (1-based pos shifts grp by a constant per
+    // doc — island identity unchanged), same integer deg·1e4 div freq
+    // scores, same (score, n_occ, phrase) total order
+    "text_rake_keywords" ->
+      """WITH arrs AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
+        |toks AS (SELECT doc_id, CAST(u.p AS BIGINT) AS pos, a[u.p] AS term
+        |  FROM arrs, UNNEST(generate_series(1, len(a))) AS u(p) WHERE a[u.p] <> ''),
+        |ns AS (SELECT doc_id, pos, term,
+        |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+        |  FROM toks
+        |  WHERE term NOT IN ('the','a','an','of','and','to','in','is','it','for')),
+        |ph AS (SELECT doc_id, grp, string_agg(term, ' ' ORDER BY pos) AS phrase,
+        |    count(*) AS plen
+        |  FROM ns GROUP BY doc_id, grp),
+        |pw AS (SELECT phrase, plen, unnest(string_split(phrase, ' ')) AS term FROM ph),
+        |sc AS (SELECT term,
+        |    CAST(SUM(plen) AS BIGINT) * 10000 // count(*) AS score_x1e4
+        |  FROM pw GROUP BY term),
+        |occ AS (SELECT phrase, count(*) AS n_occ FROM ph GROUP BY phrase),
+        |ow AS (SELECT phrase, n_occ, unnest(string_split(phrase, ' ')) AS term FROM occ),
+        |ps AS (SELECT ow.phrase, ow.n_occ, CAST(SUM(sc.score_x1e4) AS BIGINT) AS rake_x1e4
+        |  FROM ow JOIN sc USING (term) GROUP BY 1, 2)
+        |SELECT phrase, n_occ, rake_x1e4 FROM ps
+        |ORDER BY rake_x1e4 DESC, n_occ DESC, phrase LIMIT 20""".stripMargin,
     // adjacency directly on the split array: a[p]=t1 ∧ a[p+1]=t2 ∧
     // a[p+2]=t3 over 1-based positions — same occurrences, same
     // 1-based first_pos as the postings-join engine path

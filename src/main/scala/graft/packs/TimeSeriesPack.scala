@@ -470,6 +470,60 @@ object TimeSeriesPack extends QueryPack {
           col("mx").as("max_x100"), col("avg_scaled").as("avg_x1e4"))
         .orderBy("event_type", "hr")
     }),
+    // Exact COUNT(DISTINCT) maintenance WITH RETRACTIONS — the
+    // counting-IVM auxiliary state (ops/IncrementalAgg
+    // distinctState/mergeDistinct/finalizeDistinct): two insert
+    // batches fold value-wise multiplicities, a retraction batch
+    // (every 10th event) folds NEGATIVE ones, and a user stays in a
+    // cell's distinct set only while some non-retracted event keeps
+    // their multiplicity positive. Refresh shuffles O(state) =
+    // distinct (key, value) pairs, never history; `hll_distinct_parts`
+    // is the approximate no-retraction twin of this exact path.
+    "matview_distinct_delta" -> ((s, dir) => {
+      import graft.ops.IncrementalAgg
+      val ev = Tables.load(s, dir, "events")
+        .select(col("event_id"), col("event_type"), col("user_id"),
+          Resample.epochSec(col("ts")).as("sec"))
+        .withColumn("hr", expr("sec div 3600")).drop("sec")
+      val keys = Seq("event_type", "hr")
+      val ins1 = IncrementalAgg.distinctState(
+        ev.filter(col("event_id") % 2 === 0), keys, "user_id")
+      val ins2 = IncrementalAgg.distinctState(
+        ev.filter(col("event_id") % 2 =!= 0), keys, "user_id")
+      val retr = IncrementalAgg.distinctState(
+        ev.filter(col("event_id") % 10 === 0), keys, "user_id", sign = -1)
+      IncrementalAgg.finalizeDistinct(
+          IncrementalAgg.mergeDistinct(Seq(ins1, ins2, retr), keys, "user_id"),
+          keys)
+        .orderBy("event_type", "hr")
+    }),
+    // POISSON BOOTSTRAP of the mean (Chamandy et al. 2012 — the
+    // distributed bootstrap): resample b draws each row with
+    // multiplicity ~ Poisson(1) via a keyed-hash uniform against the
+    // integer CDF — deterministic, seedless, and needing NO global
+    // row index (n-of-n with-replacement sampling wants a random
+    // lookup per draw; Poissonization factorizes per row, so the
+    // whole B-resample ensemble is one explode + one map-side-combined
+    // aggregate). Per-resample effective n and integer-cents mean;
+    // the spread across the 32 rows IS the sampling distribution.
+    "stats_poisson_bootstrap" -> ((s, dir) => {
+      val thresholds = Seq(1580030168L, 3160060337L, 3950075421L, 4213413783L)
+      val rows = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"),
+          floor(col("o_totalprice") * 100 + lit(0.5)).cast("long").as("cents"))
+        .withColumn("b", explode(expr("sequence(0L, 31L)")))
+      val u = graft.llm.Dedup.hash32(
+        concat(col("o_orderkey").cast("string"), lit("_"),
+          col("b").cast("string")), "boot")
+      val mult = when(u < thresholds(0), 0L).when(u < thresholds(1), 1L)
+        .when(u < thresholds(2), 2L).when(u < thresholds(3), 3L).otherwise(4L)
+      rows.withColumn("mult", mult)
+        .groupBy("b")
+        .agg(sum(col("mult")).as("n_eff"),
+          sum(col("mult") * col("cents")).as("sum_c"))
+        .withColumn("mean_c", expr("sum_c div n_eff"))
+        .orderBy("b")
+    }),
   )
 
   /** Shared event-slice CTE: integer epoch seconds + scale4 value. */
@@ -943,5 +997,32 @@ object TimeSeriesPack extends QueryPack {
         |  min(v) AS min_x100, max(v) AS max_x100,
         |  (CAST(sum(v) AS BIGINT) * 100) // count(*) AS avg_x1e4
         |FROM base GROUP BY 1, 2 ORDER BY event_type, hr""".stripMargin,
+    // ground truth = recompute over the non-retracted events; the
+    // engine must reach it through the ±multiplicity state fold
+    "matview_distinct_delta" ->
+      """SELECT event_type,
+        |  epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 // 3600 AS hr,
+        |  count(DISTINCT user_id) AS n_distinct
+        |FROM events WHERE event_id % 10 <> 0
+        |GROUP BY 1, 2 ORDER BY event_type, hr""".stripMargin,
+    // same md5-slice uniform, same integer Poisson(1) CDF thresholds
+    "stats_poisson_bootstrap" ->
+      """WITH bs AS (SELECT CAST(unnest(generate_series(0, 31)) AS BIGINT) AS b),
+        |r AS (SELECT o_orderkey,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents FROM orders),
+        |x AS (SELECT bs.b, r.cents,
+        |    CAST(CONCAT('0x', substr(md5(
+        |      CAST(r.o_orderkey AS VARCHAR) || '_' || CAST(bs.b AS VARCHAR) || ':boot'),
+        |      1, 8)) AS BIGINT) AS u
+        |  FROM r CROSS JOIN bs),
+        |m AS (SELECT b, cents,
+        |    CASE WHEN u < 1580030168 THEN 0 WHEN u < 3160060337 THEN 1
+        |         WHEN u < 3950075421 THEN 2 WHEN u < 4213413783 THEN 3
+        |         ELSE 4 END AS mult
+        |  FROM x)
+        |SELECT b, CAST(SUM(mult) AS BIGINT) AS n_eff,
+        |  CAST(SUM(mult * cents) AS BIGINT) AS sum_c,
+        |  CAST(SUM(mult * cents) // SUM(mult) AS BIGINT) AS mean_c
+        |FROM m GROUP BY b ORDER BY b""".stripMargin,
   )
 }

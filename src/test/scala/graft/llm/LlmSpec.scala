@@ -613,4 +613,21 @@ class LlmSpec extends SparkSpec {
     assert(want.nonEmpty, "fixture must produce at least one qualifying pair")
     assert(got == want)
   }
+
+  test("rakeKeywords: hand-computed islands, degree/frequency scores, ranking") {
+    val d = Seq(
+      (1L, "deep learning of deep learning systems"),
+      (2L, "learning rate")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.rakeKeywords(d, "doc_id", "text", Seq("of"), 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    // islands: "deep learning" (len 2), "deep learning systems" (3),
+    //          "learning rate" (2)
+    // deep: freq 2, deg 5 -> 25000; learning: freq 3, deg 7 -> 23333
+    // systems: freq 1, deg 3 -> 30000; rate: freq 1, deg 2 -> 20000
+    assert(got == Seq(
+      ("deep learning systems", 1L, 25000L + 23333L + 30000L),
+      ("deep learning", 1L, 25000L + 23333L),
+      ("learning rate", 1L, 23333L + 20000L)))
+  }
 }

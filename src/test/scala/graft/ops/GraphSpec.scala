@@ -61,4 +61,22 @@ class GraphSpec extends SparkSpec {
     val r = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(8), prop)
     assert(r.passed, r.status.toString)
   }
+
+  test("bfsLevels: true hop distances, multi-seed min-fold, depth cap, cycles safe") {
+    import spark.implicits._
+    // path 1-2-3-4-5-6 from seed 1: node 5 is 4 hops away — beyond depth 3
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L)).toDF("a", "b")
+    val got = Graph.bfsLevels(path, Seq(1L).toDF("v"), depth = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L))
+    // triangle with two seeds: the shared neighbor settles at 1, seeds at 0
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("a", "b")
+    val got2 = Graph.bfsLevels(tri, Seq(2L, 3L).toDF("v"), depth = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got2 == Map(2L -> 0L, 3L -> 0L, 1L -> 1L))
+    // a seed with no edges keeps level 0
+    val got3 = Graph.bfsLevels(tri, Seq(9L).toDF("v"), depth = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got3 == Map(9L -> 0L))
+  }
 }

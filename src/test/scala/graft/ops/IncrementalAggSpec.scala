@@ -68,4 +68,29 @@ class IncrementalAggSpec extends SparkSpec {
       assert(d1 == 0 && d2 == 0, s"trial $trial: delta algebra diverged ($d1, $d2)")
     }
   }
+
+  test("distinct state: inserts + retractions equal recompute; tombstones drop") {
+    val df = fixture // (id, k, v) with repeated (k, v) pairs
+    val keys = Seq("k")
+    def recompute(d: DataFrame): Map[String, Long] =
+      d.groupBy("k").agg(countDistinct(col("v")).as("nd")).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+    def viaState(parts: Seq[DataFrame]): Map[String, Long] =
+      IncrementalAgg.finalizeDistinct(
+          IncrementalAgg.mergeDistinct(parts, keys, "v"), keys)
+        .collect().map(r => r.getString(0) -> r.getAs[Long]("n_distinct")).toMap
+    // split inserts equal the full recompute
+    val ins = Seq(
+      IncrementalAgg.distinctState(df.filter(col("id") % 2 === 0), keys, "v"),
+      IncrementalAgg.distinctState(df.filter(col("id") % 2 =!= 0), keys, "v"))
+    assert(viaState(ins) == recompute(df))
+    // retracting a slice equals recomputing without it — including
+    // values that only PARTIALLY retract (multiplicity stays positive)
+    val retr = IncrementalAgg.distinctState(
+      df.filter(col("id") % 7 === 0), keys, "v", sign = -1)
+    assert(viaState(ins :+ retr) == recompute(df.filter(col("id") % 7 =!= 0)))
+    // full retraction leaves zero state rows (no tombstone accumulation)
+    val undoAll = IncrementalAgg.distinctState(df, keys, "v", sign = -1)
+    assert(IncrementalAgg.mergeDistinct(ins :+ undoAll, keys, "v").count() == 0L)
+  }
 }
