@@ -847,6 +847,45 @@ object InsightsPack extends QueryPack {
         .orderBy("bar")
     }),
 
+    // SEASONAL-TREND DECOMPOSITION (additive STL-lite) of the hourly
+    // event-count series per type: trend = centered 25-hour moving
+    // average over the DENSIFIED grid (gap hours count 0, so the
+    // window always spans 25 wall-clock hours), seasonal = per
+    // hour-of-day mean of the detrended series, remainder = what's
+    // left. Everything is ×1e4 integer fixed point (window sum ·1e4
+    // div 25; both engines truncate toward zero), so the
+    // decomposition is oracle-exact; edge rows without a full window
+    // are excluded rather than padded. The seasonal table is
+    // types×24 rows — broadcast back, no second corpus shuffle.
+    "events_stl_decompose" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val hourly = Tables.load(s, dir, "events")
+        .groupBy(col("event_type"),
+          (sec(col("ts")) / 3600L).cast("long").as("hr"))
+        .agg(count(lit(1)).as("n"))
+      val dense = hourly.groupBy("event_type")
+        .agg(min(col("hr")).as("h0"), max(col("hr")).as("h1"))
+        .select(col("event_type"), explode(expr("sequence(h0, h1)")).as("hr"))
+        .join(hourly, Seq("event_type", "hr"), "left")
+        .na.fill(0L, Seq("n"))
+      val w = Window.partitionBy("event_type").orderBy("hr")
+        .rowsBetween(-12, 12)
+      val det = dense
+        .withColumn("wn", count(lit(1)).over(w))
+        .withColumn("s25", sum(col("n")).over(w))
+        .filter(col("wn") === 25L)
+        .withColumn("trend_x1e4", expr("s25 * 10000L div 25"))
+        .withColumn("det_x1e4", col("n") * 10000L - col("trend_x1e4"))
+        .withColumn("hod", col("hr") % 24)
+      val seas = det.groupBy("event_type", "hod")
+        .agg(expr("sum(det_x1e4) div count(1)").as("seas_x1e4"))
+      det.join(seas, Seq("event_type", "hod"))
+        .select(col("event_type"), col("hr"), col("n"), col("trend_x1e4"),
+          col("seas_x1e4"),
+          (col("det_x1e4") - col("seas_x1e4")).as("remainder_x1e4"))
+        .orderBy("event_type", "hr")
+    }),
+
     // FIFO leftover aging: stock bought but never consumed, by buy
     // month — the matched pairs aggregate per buy lot, a left join
     // back marks the unmatched tail. Complements fifo_cogs_monthly
@@ -939,6 +978,37 @@ object InsightsPack extends QueryPack {
         |  UNION ALL SELECT y FROM t
         |  UNION ALL SELECT z FROM t)
         |GROUP BY v ORDER BY v""".stripMargin,
+    // same densified grid, same 25-row centered window with the
+    // full-window guard, same truncating integer divisions
+    "events_stl_decompose" ->
+      """WITH hourly AS (SELECT event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 // 3600 AS hr,
+        |    count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |bounds AS (SELECT event_type, min(hr) AS h0, max(hr) AS h1
+        |  FROM hourly GROUP BY 1),
+        |grid AS (SELECT event_type, unnest(generate_series(h0, h1)) AS hr FROM bounds),
+        |dense AS (SELECT g.event_type, g.hr, COALESCE(h.n, 0) AS n
+        |  FROM grid g LEFT JOIN hourly h
+        |    ON h.event_type = g.event_type AND h.hr = g.hr),
+        |t AS (SELECT event_type, hr, n,
+        |    count(*) OVER w AS wn, sum(n) OVER w AS s25
+        |  FROM dense
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY hr
+        |    ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)),
+        |det AS (SELECT event_type, hr, n,
+        |    CAST(s25 AS BIGINT) * 10000 // 25 AS trend_x1e4,
+        |    n * 10000 - CAST(s25 AS BIGINT) * 10000 // 25 AS det_x1e4
+        |  FROM t WHERE wn = 25),
+        |seas AS (SELECT event_type, hr % 24 AS hod,
+        |    CAST(sum(det_x1e4) AS BIGINT) // count(*) AS seas_x1e4
+        |  FROM det GROUP BY 1, 2)
+        |SELECT det.event_type, det.hr, CAST(det.n AS BIGINT) AS n,
+        |  det.trend_x1e4, seas.seas_x1e4,
+        |  det.det_x1e4 - seas.seas_x1e4 AS remainder_x1e4
+        |FROM det JOIN seas
+        |  ON seas.event_type = det.event_type AND seas.hod = det.hr % 24
+        |ORDER BY det.event_type, det.hr""".stripMargin,
     // min over all ≤3-edge paths from the seeds ≡ the engine's
     // frontier-expansion BFS bounded at depth 3
     "graph_bfs_levels" ->
