@@ -381,4 +381,52 @@ object TextAnalysis {
       .orderBy(desc("rake_x1e4"), desc("n_occ"), asc("phrase"))
       .limit(k)
   }
+
+  /** Multinomial Naive Bayes, trained and served as ONE declarative
+    * plan — the supervised sibling of the stopword-profile [[langGuess]]
+    * heuristic, and the classic fastText-shaped quality/language gate a
+    * curation pipeline runs over every document.
+    *
+    * Training is nothing but the term-frequency relation: per-(class,
+    * token) counts with add-one smoothing. The per-token class cost is
+    * the bit-length surprisal  cost(w,c) = bitlen((T_c + V) div
+    * (cnt(w,c) + 1))  ≈ log2 of the smoothed inverse class-conditional
+    * probability — the same integer-log idiom as [[rarityScores]], so
+    * the whole model crosses the oracle boundary exactly. Scoring sums
+    * costs over token OCCURRENCES and takes argmin (score, class) —
+    * struct-min, deterministic under ties.
+    *
+    * Scale shape: training = one hash aggregate on (class, token);
+    * the weight grid is vocab × classes (vocab-sized by Heaps' law,
+    * classes tiny — totals and |V| broadcast); scoring re-joins tokens
+    * on `tok`, the same single large shuffle every corpus statistic
+    * here shares. Tokens unseen in training drop from scoring (OOV =
+    * ignored, the documented smoothing choice — an OOV pseudo-token is
+    * a one-line variant). Docs whose every token is OOV drop. */
+  def nbTrain(train: DataFrame, textCol: String, classCol: String): DataFrame = {
+    val toks = train
+      .select(col(classCol).as("cls"), explode(split(col(textCol), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+    val counts = toks.groupBy("cls", "tok").agg(count(lit(1)).as("cwc"))
+    val totals = counts.groupBy("cls").agg(sum(col("cwc")).as("tc"))
+    val vocabSize = counts.agg(countDistinct(col("tok")).as("v"))
+    counts.select("tok").distinct()
+      .crossJoin(broadcast(totals))
+      .join(counts, Seq("cls", "tok"), "left").na.fill(0L, Seq("cwc"))
+      .crossJoin(broadcast(vocabSize))
+      .select(col("tok"), col("cls"),
+        length(bin(expr("(tc + v) div (cwc + 1)"))).cast("long").as("cost"))
+  }
+
+  /** Score + argmin over a [[nbTrain]] weight grid. Output
+    * (id, pred, score) — one row per doc with ≥1 in-vocabulary token. */
+  def nbScore(docs: DataFrame, idCol: String, textCol: String,
+      model: DataFrame): DataFrame =
+    docs
+      .select(col(idCol).as("id"), explode(split(col(textCol), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+      .join(model, Seq("tok"))
+      .groupBy("id", "cls").agg(sum(col("cost")).as("score"))
+      .groupBy("id").agg(min(struct(col("score"), col("cls"))).as("best"))
+      .select(col("id"), col("best.cls").as("pred"), col("best.score").as("score"))
 }

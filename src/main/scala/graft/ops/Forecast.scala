@@ -1,0 +1,73 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Holt's linear-trend double exponential smoothing (Holt 1957) — the
+  * minimal trend-aware forecaster an operational-metrics pipeline runs
+  * over every series it monitors, and the natural next step after the
+  * STL decomposition gate: STL explains a series, Holt extrapolates it.
+  *
+  * The smoothing recurrence is inherently sequential PER SERIES, so the
+  * scale axis is the series count, not the series length: each key's
+  * ordered values are packed into one array (bounded by the time grid —
+  * hours in the observation window — NOT by row count; the per-hour
+  * aggregate collapses the feed first) and folded with a higher-order
+  * `aggregate` Column lambda. No driver loop, no UDF, no shuffle beyond
+  * the one per-key aggregate; a million independent series fold in
+  * parallel, which is exactly the 100 TB shape (many series × bounded
+  * grid).
+  *
+  * All state is ×1e4 fixed point with α = aNum/10, β = bNum/10; every
+  * division is by the literal 10, and Spark's `div` and DuckDB's `//`
+  * both truncate toward zero (verified including negatives — trends go
+  * negative), so the fold is bit-identical in both engines.
+  *
+  * Contract: the seed is (l, b) = (y₀·S, (y₁−y₀)·S) — the classic
+  * first-difference slope seed (b = 0 for one-point series) — then
+  * every observation from y₁ on applies the update (y₁ re-enters, as
+  * in the standard Hyndman formulation):
+  *   l' = (aNum·y·S + (10−aNum)·(l + b)) div 10
+  *   b' = (bNum·(l' − l) + (10−bNum)·b) div 10
+  * and the h-step forecast is l + h·b.
+  */
+object Forecast {
+
+  /** Fold `series` (one row per key × grid step, PRE-DENSIFIED by the
+    * caller — gaps are a data decision, not a forecaster one) into one
+    * row per key: observation count, final level/trend, and `horizon`
+    * forecasts, all ×1e4 longs. */
+  def holtLinear(series: DataFrame, keyCol: String, ordCol: String,
+      valCol: String, aNum: Int = 8, bNum: Int = 3,
+      horizon: Int = 3): DataFrame = {
+    require(aNum > 0 && aNum < 10, s"holtLinear: aNum=$aNum must be in 1..9")
+    require(bNum > 0 && bNum < 10, s"holtLinear: bNum=$bNum must be in 1..9")
+    require(horizon >= 1, s"holtLinear: horizon=$horizon must be >= 1")
+    val packed = series
+      .groupBy(col(keyCol))
+      .agg(sort_array(collect_list(struct(
+        col(ordCol).as("t"), col(valCol).cast("long").as("y")))).as("srt"))
+      .select(col(keyCol), expr("transform(srt, x -> x.y)").as("vals"))
+    // l' appears inside b' too — SQL lambdas have no let-binding, so the
+    // expression is spelled twice; codegen's subexpression elimination
+    // collapses the duplicate.
+    val lNext = s"(($aNum * y * 10000L + ${10 - aNum} * (acc.l + acc.b)) div 10)"
+    val fold =
+      s"""aggregate(
+         |  slice(vals, 2, size(vals) - 1),
+         |  struct(vals[0] * 10000L AS l,
+         |    CASE WHEN size(vals) >= 2
+         |      THEN (vals[1] - vals[0]) * 10000L ELSE 0L END AS b),
+         |  (acc, y) -> struct(
+         |    $lNext AS l,
+         |    (($bNum * ($lNext - acc.l) + ${10 - bNum} * acc.b) div 10) AS b))
+         |""".stripMargin
+    packed
+      .select(col(keyCol), size(col("vals")).cast("long").as("n_obs"),
+        expr(fold).as("st"))
+      .select(Seq(col(keyCol), col("n_obs"),
+        col("st.l").as("level_x1e4"), col("st.b").as("trend_x1e4")) ++
+        (1 to horizon).map(h =>
+          expr(s"st.l + ${h}L * st.b").as(s"fc${h}_x1e4")): _*)
+  }
+}

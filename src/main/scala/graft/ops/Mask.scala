@@ -158,4 +158,62 @@ object Mask {
       .select(quasi.map(col) ++ Seq(col("n"), col("n_sensitive"),
         (col("n_sensitive") < l).as("violates")): _*)
   }
+
+  /** t-closeness audit (Li, Li & Venkatasubramanian, ICDE 2007) — the
+    * third leg of the release-audit trio: l-diversity still leaks when a
+    * group's sensitive values are diverse but SKEWED relative to the
+    * whole table (everyone in the cohort is "poor" vs a mixed corpus).
+    * For an ORDERED sensitive attribute the distance is the Earth
+    * Mover's / Kantorovich distance, which on ordered bins reduces to
+    * the mean absolute difference of cumulative distributions:
+    * t = (1/(m-1)) * Σ_j |P_cum(j) − Q_cum(j)|.
+    *
+    * All arithmetic is exact-integer: with group size n, table size N,
+    * and cumulative COUNTS A_j (group) and G_j (global),
+    * |A_j/n − G_j/N| = |A_j·N − G_j·n| / (n·N), so
+    * t_x1e6 = Σ_j |A_j·N − G_j·n| · 1e6 div (n·N·(m−1)) — no doubles
+    * cross the oracle boundary. Long headroom: the numerator is bounded
+    * by (m−1)·n·N ≤ 20·rows², fine through sf1; a petabyte deployment
+    * swaps the products to DECIMAL(38,0), same plan.
+    *
+    * Plan shape: ONE scan of `df` into ONE (quasi, bin) hash aggregate;
+    * the global marginal and the group totals are second-stage
+    * aggregates of that (bin-level, tiny); the dense group×bin grid is
+    * a broadcast of the m-row bin list; cumulatives are a window over m
+    * rows per group off the same quasi-key exchange. Nothing after the
+    * first aggregate is proportional to people — only to distinct
+    * (quasi, bin) combinations. */
+  def tCloseness(df: DataFrame, quasi: Seq[String], sensitive: String,
+      tX1e6: Long): DataFrame = {
+    require(quasi.nonEmpty, "tCloseness: at least one quasi-identifier column")
+    require(!quasi.contains(sensitive),
+      s"tCloseness: sensitive column '$sensitive' cannot also be a quasi-identifier")
+    val qc = quasi.map(col)
+    // One pass over people; everything below works on this contingency table.
+    val gb = df.groupBy(qc :+ col(sensitive): _*).agg(count(lit(1)).as("a"))
+    val groups = gb.groupBy(qc: _*).agg(sum(col("a")).as("n"))
+    // Global ordered marginal with cumulative counts; m bins, broadcast.
+    val globW = org.apache.spark.sql.expressions.Window
+      .orderBy(sensitive).rowsBetween(Long.MinValue, 0)
+    val glob = gb.groupBy(col(sensitive)).agg(sum(col("a")).as("g"))
+      .withColumn("g_cum", sum(col("g")).over(globW))
+      .withColumn("n_total", sum(col("g")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy()))
+      .withColumn("m_bins", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy()))
+    // Dense grid: every group × every bin (absent bins count 0).
+    val grid = groups.crossJoin(broadcast(glob))
+      .join(gb, quasi :+ sensitive, "left").na.fill(0L, Seq("a"))
+    val grpW = org.apache.spark.sql.expressions.Window
+      .partitionBy(qc: _*).orderBy(sensitive).rowsBetween(Long.MinValue, 0)
+    grid.withColumn("a_cum", sum(col("a")).over(grpW))
+      .groupBy(qc :+ col("n") :+ col("n_total") :+ col("m_bins"): _*)
+      .agg(sum(abs(col("a_cum") * col("n_total") - col("g_cum") * col("n")))
+        .as("emd_num"))
+      .select(qc ++ Seq(col("n"),
+        // m_bins=1 ⇒ numerator is structurally 0; greatest() avoids div-0.
+        expr("emd_num * 1000000L div (n * n_total * greatest(m_bins - 1, 1L))")
+          .as("t_x1e6")): _*)
+      .withColumn("violates", col("t_x1e6") > tX1e6)
+  }
 }

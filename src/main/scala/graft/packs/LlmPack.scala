@@ -266,6 +266,20 @@ object LlmPack extends QueryPack {
     "text_rake_keywords" -> ((s, dir) =>
       TA.rakeKeywords(docs(s, dir), "doc_id", "text",
         Seq("the", "a", "an", "of", "and", "to", "in", "is", "it", "for"), 20)),
+    // Supervised multinomial Naive Bayes (TA.nbTrain/nbScore): the
+    // fastText-shaped curation classifier, trained on the 9/10
+    // held-in split and scored over the WHOLE corpus in one plan.
+    // Weights are integer bit-length surprisal, so the model itself
+    // crosses the oracle boundary exactly; argmin ties break on class.
+    "text_nb_classify" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val model = TA.nbTrain(d.filter(col("doc_id") % 10 =!= 0), "text", "lang")
+      TA.nbScore(d, "doc_id", "text", model)
+        .join(d.select(col("doc_id").as("id"), col("lang").as("actual")), Seq("id"))
+        .select(col("id").as("doc_id"), col("actual"), col("pred"), col("score"),
+          (col("pred") === col("actual")).as("correct"))
+        .orderBy("doc_id")
+    }),
     // Vocabulary profile per source: token volume, distinct vocabulary
     // and type-token ratio (×1e6 integer fixed point) — the Heaps-law
     // corpus health check, one aggregate over the exploded stream.
@@ -1233,6 +1247,33 @@ object LlmPack extends QueryPack {
         |  FROM ow JOIN sc USING (term) GROUP BY 1, 2)
         |SELECT phrase, n_occ, rake_x1e4 FROM ps
         |ORDER BY rake_x1e4 DESC, n_occ DESC, phrase LIMIT 20""".stripMargin,
+    // same add-one-smoothed bit-length costs over the same 9/10
+    // held-in split; argmin via row_number ORDER BY (score, cls) =
+    // the engine's struct-min tie-break
+    "text_nb_classify" ->
+      """WITH tr AS (SELECT lang AS cls, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents WHERE doc_id % 10 <> 0),
+        |t2 AS (SELECT cls, tok FROM tr WHERE tok <> ''),
+        |counts AS (SELECT cls, tok, count(*) AS cwc FROM t2 GROUP BY 1, 2),
+        |totals AS (SELECT cls, CAST(sum(cwc) AS BIGINT) AS tc FROM counts GROUP BY 1),
+        |voc AS (SELECT DISTINCT tok FROM counts),
+        |vs AS (SELECT count(*) AS v FROM voc),
+        |grid AS (SELECT voc.tok, totals.cls,
+        |    CAST(length(format('{:b}',
+        |      (totals.tc + vs.v) // (COALESCE(c.cwc, 0) + 1))) AS BIGINT) AS cost
+        |  FROM voc CROSS JOIN totals CROSS JOIN vs
+        |  LEFT JOIN counts c ON c.cls = totals.cls AND c.tok = voc.tok),
+        |st AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |s2 AS (SELECT doc_id, lang, tok FROM st WHERE tok <> ''),
+        |scored AS (SELECT s2.doc_id, s2.lang, g.cls,
+        |    CAST(sum(g.cost) AS BIGINT) AS score
+        |  FROM s2 JOIN grid g ON g.tok = s2.tok GROUP BY 1, 2, 3),
+        |rk AS (SELECT doc_id, lang, cls, score,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY score, cls) AS rn
+        |  FROM scored)
+        |SELECT doc_id, lang AS actual, cls AS pred, score, cls = lang AS correct
+        |FROM rk WHERE rn = 1 ORDER BY doc_id""".stripMargin,
     // adjacency directly on the split array: a[p]=t1 ∧ a[p+1]=t2 ∧
     // a[p+2]=t3 over 1-based positions — same occurrences, same
     // 1-based first_pos as the postings-join engine path

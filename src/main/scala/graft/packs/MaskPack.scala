@@ -111,6 +111,19 @@ object MaskPack extends QueryPack {
               col("c_mktsegment")),
           Seq("cohort", "c_nationkey"), "c_mktsegment", l = 3)
         .orderBy("cohort", "c_nationkey")),
+    // t-closeness audit (Mask.tCloseness) — the trio's third leg: the
+    // cohort's account-balance BAND distribution must track the global
+    // one (ordered EMD ≤ t), else diverse-but-skewed cohorts still leak
+    // "this cohort is poor/rich". Bands via floor(acctbal/2000) — IEEE
+    // division + floor are bit-identical in both engines; EMD crosses
+    // the boundary as exact-integer x1e6.
+    "mask_t_closeness" -> ((s, dir) =>
+      Mask.tCloseness(
+          Tables.load(s, dir, "customer")
+            .select(col("c_mktsegment"), (col("c_custkey") % 20).as("cohort"),
+              floor(col("c_acctbal") / 2000).cast("long").as("bal_band")),
+          Seq("c_mktsegment", "cohort"), "bal_band", tX1e6 = 200000L)
+        .orderBy("c_mktsegment", "cohort")),
     // F10-F13, F19 scalar generators, one column each.
     "mask_fakes" -> ((s, dir) => {
       val key = col("c_custkey")
@@ -157,6 +170,33 @@ object MaskPack extends QueryPack {
         |  count(DISTINCT c_mktsegment) AS n_sensitive,
         |  count(DISTINCT c_mktsegment) < 3 AS violates
         |FROM customer GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "mask_t_closeness" ->
+      """WITH base AS (SELECT c_mktsegment, c_custkey % 20 AS cohort,
+        |    CAST(floor(c_acctbal / 2000) AS BIGINT) AS bal_band FROM customer),
+        |gb AS (SELECT c_mktsegment, cohort, bal_band, count(*) AS a
+        |  FROM base GROUP BY 1, 2, 3),
+        |grp AS (SELECT c_mktsegment, cohort, CAST(sum(a) AS BIGINT) AS n
+        |  FROM gb GROUP BY 1, 2),
+        |gmarg AS (SELECT bal_band, CAST(sum(a) AS BIGINT) AS g FROM gb GROUP BY 1),
+        |gmarg2 AS (SELECT bal_band,
+        |    CAST(sum(g) OVER (ORDER BY bal_band) AS BIGINT) AS g_cum,
+        |    CAST(sum(g) OVER () AS BIGINT) AS n_total,
+        |    count(*) OVER () AS m_bins FROM gmarg),
+        |grid AS (SELECT gr.c_mktsegment, gr.cohort, gr.n, g2.bal_band,
+        |    g2.g_cum, g2.n_total, g2.m_bins, COALESCE(gb.a, 0) AS a
+        |  FROM grp gr CROSS JOIN gmarg2 g2
+        |  LEFT JOIN gb ON gb.c_mktsegment = gr.c_mktsegment
+        |    AND gb.cohort = gr.cohort AND gb.bal_band = g2.bal_band),
+        |cum AS (SELECT *, CAST(sum(a) OVER (
+        |    PARTITION BY c_mktsegment, cohort ORDER BY bal_band) AS BIGINT) AS a_cum
+        |  FROM grid),
+        |e AS (SELECT c_mktsegment, cohort, n, n_total, m_bins,
+        |    CAST(sum(abs(a_cum * n_total - g_cum * n)) AS BIGINT) AS emd_num
+        |  FROM cum GROUP BY 1, 2, 3, 4, 5)
+        |SELECT c_mktsegment, cohort, n,
+        |  emd_num * 1000000 // (n * n_total * GREATEST(m_bins - 1, 1)) AS t_x1e6,
+        |  emd_num * 1000000 // (n * n_total * GREATEST(m_bins - 1, 1)) > 200000 AS violates
+        |FROM e ORDER BY c_mktsegment, cohort""".stripMargin,
     "mask_sheet_masked" ->
       s"""SELECT c_custkey, $maskedNameSql AS name, sha256(c_mktsegment) AS segment,
          |  $maskedNationSql AS nation, ${MaskSql.uuid(k)} AS ANON_ROW_ID

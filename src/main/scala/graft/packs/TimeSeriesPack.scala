@@ -524,6 +524,25 @@ object TimeSeriesPack extends QueryPack {
         .withColumn("mean_c", expr("sum_c div n_eff"))
         .orderBy("b")
     }),
+    // Holt linear-trend forecast (Forecast.holtLinear) over the dense
+    // hourly count series per event type — STL's forward-looking
+    // sibling: level + trend folded per series with ×1e4 integer
+    // state, 3-hour forecast horizon. Series length is bounded by the
+    // observation window (hours), not the row count; the per-hour
+    // aggregate collapses the feed before anything is collected.
+    "events_holt_forecast" -> ((s, dir) => {
+      val hourly = Tables.load(s, dir, "events")
+        .groupBy(col("event_type"),
+          (graft.ops.Resample.epochSec(col("ts")) / 3600L).cast("long").as("hr"))
+        .agg(count(lit(1)).as("n"))
+      val dense = hourly.groupBy("event_type")
+        .agg(min(col("hr")).as("h0"), max(col("hr")).as("h1"))
+        .select(col("event_type"), explode(expr("sequence(h0, h1)")).as("hr"))
+        .join(hourly, Seq("event_type", "hr"), "left")
+        .na.fill(0L, Seq("n"))
+      graft.ops.Forecast.holtLinear(dense, "event_type", "hr", "n")
+        .orderBy("event_type")
+    }),
   )
 
   /** Shared event-slice CTE: integer epoch seconds + scale4 value. */
@@ -534,6 +553,40 @@ object TimeSeriesPack extends QueryPack {
       |  FROM events WHERE user_id < 40""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // The Holt fold as a recursive CTE: identical dense grid, identical
+    // (y0, y1-y0) seed, identical ×1e4 integer recurrence — `//` and
+    // Spark's `div` both truncate toward zero, negatives included.
+    "events_holt_forecast" ->
+      """WITH RECURSIVE hourly AS (SELECT event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 // 3600 AS hr,
+        |    count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |bounds AS (SELECT event_type, min(hr) AS h0, max(hr) AS h1
+        |  FROM hourly GROUP BY 1),
+        |grid AS (SELECT event_type, unnest(generate_series(h0, h1)) AS hr FROM bounds),
+        |dense AS (SELECT g.event_type, g.hr, COALESCE(h.n, 0) AS n
+        |  FROM grid g LEFT JOIN hourly h
+        |    ON h.event_type = g.event_type AND h.hr = g.hr),
+        |ord AS (SELECT event_type, n,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY hr) AS t,
+        |    count(*) OVER (PARTITION BY event_type) AS nh
+        |  FROM dense),
+        |s(event_type, nh, t, l, b) AS (
+        |  SELECT o0.event_type, o0.nh, CAST(1 AS BIGINT),
+        |    o0.n * 10000, COALESCE(o1.n - o0.n, 0) * 10000
+        |  FROM ord o0 LEFT JOIN ord o1
+        |    ON o1.event_type = o0.event_type AND o1.t = 2
+        |  WHERE o0.t = 1
+        |  UNION ALL
+        |  SELECT s.event_type, s.nh, s.t + 1,
+        |    (8 * o.n * 10000 + 2 * (s.l + s.b)) // 10,
+        |    (3 * ((8 * o.n * 10000 + 2 * (s.l + s.b)) // 10 - s.l)
+        |      + 7 * s.b) // 10
+        |  FROM s JOIN ord o ON o.event_type = s.event_type AND o.t = s.t + 1
+        |  WHERE s.t < s.nh)
+        |SELECT event_type, nh AS n_obs, l AS level_x1e4, b AS trend_x1e4,
+        |  l + b AS fc1_x1e4, l + 2 * b AS fc2_x1e4, l + 3 * b AS fc3_x1e4
+        |FROM s WHERE t = nh ORDER BY event_type""".stripMargin,
     "events_resample_locf" ->
       s"""WITH base AS ($evBase),
          |obs AS (

@@ -630,4 +630,29 @@ class LlmSpec extends SparkSpec {
       ("deep learning", 1L, 25000L + 23333L),
       ("learning rate", 1L, 23333L + 20000L)))
   }
+
+  test("nbClassify: recovers classes, drops all-OOV docs, deterministic ties") {
+    val train = Seq(
+      (1L, "aa aa bb", "en"), (2L, "aa cc", "en"),
+      (3L, "xx xx yy", "fr"), (4L, "xx zz", "fr")
+    ).toDF("doc_id", "text", "lang")
+    val model = TextAnalysis.nbTrain(train, "text", "lang")
+    // Model shape: vocab × classes, integer costs, nothing else.
+    assert(model.columns.toSeq == Seq("tok", "cls", "cost"))
+    assert(model.count() == 6 * 2) // 6 distinct tokens × 2 classes
+    val score = Seq(
+      (10L, "aa aa"),   // en-heavy
+      (11L, "xx yy"),   // fr-heavy
+      (12L, "qq ww")    // fully OOV -> dropped
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.nbScore(score, "doc_id", "text", model)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got == Seq((10L, "en"), (11L, "fr")))
+    // Tie determinism: a doc equidistant from both classes lands on the
+    // lexicographically smaller class, never on partitioning luck.
+    val tied = TextAnalysis.nbScore(
+      Seq((20L, "bb zz")).toDF("doc_id", "text"), "doc_id", "text", model)
+      .collect()
+    assert(tied.length == 1 && tied(0).getString(1) == "en")
+  }
 }

@@ -1,0 +1,46 @@
+package graft.ops
+
+import graft.SparkSpec
+
+class ForecastSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def run(vals: Seq[Long]): (Long, Long, Long, Long) = {
+    val df = vals.zipWithIndex.map { case (y, t) => ("k", t.toLong, y) }
+      .toDF("key", "t", "y")
+    val r = Forecast.holtLinear(df, "key", "t", "y").collect()(0)
+    (r.getAs[Long]("n_obs"), r.getAs[Long]("level_x1e4"),
+      r.getAs[Long]("trend_x1e4"), r.getAs[Long]("fc1_x1e4"))
+  }
+
+  test("holtLinear: hand-traced fold, seed and two updates") {
+    // Hyndman seed: l=10000, b=(3-1)*1e4=20000; y1 then re-enters as
+    // the first update (the standard formulation).
+    // y=3: l' = (8*3e4 + 2*(1e4+2e4)) div 10 = 30000
+    //      b' = (3*(30000-10000) + 7*20000) div 10 = 20000
+    // y=2: l' = (8*2e4 + 2*(3e4+2e4)) div 10 = 26000
+    //      b' = (3*(26000-30000) + 7*20000) div 10 = 12800
+    assert(run(Seq(1L, 3L, 2L)) == (3L, 26000L, 12800L, 38800L))
+  }
+
+  test("holtLinear: one-point series has zero trend; flat series stays put") {
+    assert(run(Seq(5L)) == (1L, 50000L, 0L, 50000L))
+    val (_, l, b, f1) = run(Seq(4L, 4L, 4L, 4L))
+    assert(l == 40000L && b == 0L && f1 == 40000L)
+  }
+
+  test("holtLinear: negative trend survives the integer fold") {
+    // seed: l=50000, b=-40000; update on y=1:
+    // l' = (8*1e4 + 2*(50000-40000)) div 10 = 10000
+    // b' = (3*(10000-50000) + 7*(-40000)) div 10 = -40000
+    assert(run(Seq(5L, 1L)) == (2L, 10000L, -40000L, -30000L))
+  }
+
+  test("holtLinear: horizon widens linearly; input order does not matter") {
+    val df = Seq(("k", 2L, 2L), ("k", 0L, 1L), ("k", 1L, 3L))
+      .toDF("key", "t", "y") // shuffled row order, same series as trace 1
+    val r = Forecast.holtLinear(df, "key", "t", "y", horizon = 5).collect()(0)
+    assert(r.getAs[Long]("fc1_x1e4") == 38800L)
+    assert(r.getAs[Long]("fc5_x1e4") == 26000L + 5 * 12800L)
+  }
+}

@@ -64,4 +64,26 @@ class MaskSpec extends SparkSpec {
     val none = Mask(sheet, "id", "s1", Nil)
     assert(none.masked.columns.toSeq == sheet.columns.toSeq) // no ANON_ROW_ID
   }
+
+  test("tCloseness: hand-traced ordered EMD, exact integers") {
+    // Global over 2 bins: bin0=6, bin1=10, N=16.
+    // g1 = {0,0,0,1}: cum diff |3/4 - 6/16| = 0.375 -> 375000.
+    // g2 = {0*3, 1*9}: cum diff |3/12 - 6/16| = 0.125 -> 125000.
+    val df = (Seq.fill(3)(("g1", 0L)) ++ Seq(("g1", 1L)) ++
+      Seq.fill(3)(("g2", 0L)) ++ Seq.fill(9)(("g2", 1L))).toDF("grp", "sens")
+    val out = Mask.tCloseness(df, Seq("grp"), "sens", tX1e6 = 200000L)
+      .orderBy("grp").collect()
+    assert(out.map(r => (r.getString(0), r.getAs[Long]("n"),
+      r.getAs[Long]("t_x1e6"), r.getAs[Boolean]("violates"))).toSeq ==
+      Seq(("g1", 4L, 375000L, true), ("g2", 12L, 125000L, false)))
+  }
+
+  test("tCloseness: group mirroring the global scores 0; single bin is safe") {
+    val same = Seq(("a", 0L), ("a", 1L), ("b", 0L), ("b", 1L)).toDF("grp", "sens")
+    assert(Mask.tCloseness(same, Seq("grp"), "sens", 1L)
+      .select("t_x1e6").as[Long].collect().forall(_ == 0L))
+    val one = Seq(("a", 5L), ("b", 5L)).toDF("grp", "sens") // m_bins = 1
+    assert(Mask.tCloseness(one, Seq("grp"), "sens", 1L)
+      .select("t_x1e6").as[Long].collect().forall(_ == 0L))
+  }
 }
