@@ -238,6 +238,44 @@ object Dedup {
     (jaccard(cand, sh).filter(col("jacc_x1e4") >= (threshold * 10000).toLong), sh)
   }
 
+  /** Cross-corpus near-dup join — fuzzy DECONTAMINATION: find every
+    * training document that is a near-duplicate of something in a
+    * held-out/eval corpus, so it can be dropped before training. The
+    * n-gram contamination screen (Curation.contamination) catches
+    * verbatim overlap; this catches the lightly-edited copies it
+    * misses, at the same banded-LSH cost.
+    *
+    * Same signature/band algebra as [[minhashDupPairs]] (the hash
+    * family is deterministic, so signatures computed per side are
+    * identical to a union pass), but the candidate join is
+    * train-band × eval-band — strictly BIPARTITE, never within a side:
+    * cost is Σ_bk |T_bk|·|E_bk| with each side capped at `maxBucket`,
+    * and the eval side is benchmark-sized (tiny next to the corpus),
+    * so the join fans out only where an eval band actually collides.
+    * Verification is the digest-keyed exact [[jaccard]] over the
+    * union shingle relation. Id spaces of the two sides MUST be
+    * disjoint (caller contract — shift one side).
+    *
+    * Output (a = train id, b = eval id, jacc_x1e4 ≥ tauX1e4). */
+  def crossCorpusPairs(train: DataFrame, eval: DataFrame, idCol: String,
+      textCol: String, k: Int = 8, bands: Int = 4, tauX1e4: Long = 5000L,
+      maxBucket: Long = 10000L): DataFrame = {
+    val shT = shingles(train, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val shE = shingles(eval, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def capped(b: DataFrame) = {
+      val ok = b.groupBy("bk").agg(count(lit(1)).as("bn"))
+        .filter(col("bn") <= maxBucket).select("bk")
+      b.join(ok, Seq("bk"))
+    }
+    val bT = capped(lshBands(minhashSignatures(shT, k), k, bands))
+    val bE = capped(lshBands(minhashSignatures(shE, k), k, bands))
+    val cand = bT.as("x").join(bE.as("y"), col("x.bk") === col("y.bk"))
+      .select(col("x.id").as("a"), col("y.id").as("b")).distinct()
+    jaccard(cand, shT.unionAll(shE)).filter(col("jacc_x1e4") >= tauX1e4)
+  }
+
   /** Resolve duplicate PAIRS into clusters: connected components with
     * the minimum member id as the canonical keeper — the step that
     * turns (a,b) near-dup evidence into a per-document keep/drop

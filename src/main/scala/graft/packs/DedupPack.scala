@@ -141,6 +141,48 @@ object DedupPack extends QueryPack {
         .groupBy("sz").agg(count(lit(1)).as("n_clusters"))
         .orderBy("sz")
     }),
+    // Cross-corpus fuzzy DECONTAMINATION (Dedup.crossCorpusPairs): the
+    // eval corpus is every 7th doc with one appended token — each must
+    // pull its lightly-edited train original out through the bipartite
+    // band join; the per-train-doc verdict is the drop list.
+    "dedup_cross_corpus" -> ((s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+      val train = d.select(col("doc_id").as("id"), col("text"))
+      val eval = d.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 1000000).as("id"),
+          concat(col("text"), lit(" zzz9")).as("text"))
+      Dedup.crossCorpusPairs(train, eval, "id", "text", K, BANDS, 5000L)
+        .groupBy(col("a").as("doc_id"))
+        .agg(count(lit(1)).as("n_eval_matches"),
+          max(col("jacc_x1e4")).as("max_jacc_x1e4"))
+        .orderBy("doc_id")
+    }),
+    // Blocking-quality telemetry (the record-linkage release report):
+    // reduction ratio (how many of the C(n,2) comparisons blocking
+    // eliminated) and verification yield (what fraction of candidates
+    // were real) over the SAME banded pipeline as dedup_minhash — the
+    // two counters that justify a blocking scheme, computed without
+    // ever materializing the quadratic pair space.
+    "dedup_blocking_metrics" -> ((s, dir) => {
+      val c = corpus(s, dir)
+      val sh = Dedup.shingles(c, "id", "text")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val cand = Dedup.lshCandidates(
+        Dedup.lshBands(Dedup.minhashSignatures(sh, K), K, BANDS))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val verified = Dedup.jaccard(cand, sh).filter(col("jacc_x1e4") >= 5000)
+      c.agg(count(lit(1)).as("n_docs"))
+        .crossJoin(cand.agg(count(lit(1)).as("n_candidates")))
+        .crossJoin(verified.agg(count(lit(1)).as("n_verified")))
+        .select(col("n_docs"),
+          expr("n_docs * (n_docs - 1) div 2").as("n_total_pairs"),
+          col("n_candidates"), col("n_verified"))
+        .withColumn("reduction_x1e6",
+          expr("(n_total_pairs - n_candidates) * 1000000L div n_total_pairs"))
+        .withColumn("yield_x1e6",
+          expr("CASE WHEN n_candidates = 0 THEN 0L " +
+            "ELSE n_verified * 1000000L div n_candidates END"))
+    }),
     // Standalone exact n-gram Jaccard over a given pair list (the
     // known original↔shifted-copy pairs) — the verification primitive
     // of the LSH pipeline, gated directly.
@@ -237,6 +279,90 @@ object DedupPack extends QueryPack {
        |  JOIN sizes na ON na.id = i2.a
        |  JOIN sizes nb ON nb.id = i2.b) t
        |WHERE t.jacc_x1e4 >= 5000 ORDER BY t.a, t.b""".stripMargin
+  }
+
+  /** Mirror of Dedup.crossCorpusPairs: same signature/band algebra as
+    * minhashSql over the train ∪ shifted-eval corpus, the candidate
+    * join BIPARTITE (train side id < 1e6, eval side ≥ 1e6) with the
+    * ≤10000 bucket cap applied PER SIDE, exact-Jaccard verify, then
+    * the per-train-doc contamination verdict. */
+  private val crossCorpusSql: String = {
+    val hCols = (0 until K).map(i => s"${permHashSql("sh", i)} AS h$i").mkString(", ")
+    val mins = (0 until K).map(i => s"min(h$i) AS m$i").mkString(", ")
+    val bandArms = (0 until BANDS).map { b =>
+      val parts = (0 until K / BANDS).map(r => s"CAST(m${b * (K / BANDS) + r} AS VARCHAR)")
+      s"SELECT id, '${b}_' || ${parts.mkString(" || '_' || ")} AS bk FROM sig"
+    }.mkString(" UNION ALL ")
+    s"""WITH corpus AS (
+       |  SELECT doc_id AS id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 1000000, text || ' zzz9'
+       |  FROM documents WHERE doc_id % 7 = 0
+       |),
+       |$shingleSql,
+       |hs AS (SELECT id, sh, $hCols FROM sh),
+       |sig AS (SELECT id, $mins FROM hs GROUP BY id),
+       |band AS ($bandArms),
+       |bt AS (SELECT id, bk FROM band WHERE id < 1000000),
+       |be AS (SELECT id, bk FROM band WHERE id >= 1000000),
+       |okt AS (SELECT bk FROM bt GROUP BY bk HAVING count(*) <= 10000),
+       |oke AS (SELECT bk FROM be GROUP BY bk HAVING count(*) <= 10000),
+       |cand AS (SELECT DISTINCT x.id AS a, y.id AS b
+       |  FROM (SELECT bt.id, bt.bk FROM bt JOIN okt USING (bk)) x
+       |  JOIN (SELECT be.id, be.bk FROM be JOIN oke USING (bk)) y ON x.bk = y.bk),
+       |sizes AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
+       |inter AS (SELECT c.a, c.b, count(*) AS i FROM cand c
+       |  JOIN sh sa ON sa.id = c.a
+       |  JOIN sh sb ON sb.id = c.b AND sa.sh = sb.sh
+       |  GROUP BY c.a, c.b),
+       |j AS (SELECT i2.a, i2.b,
+       |    CAST(FLOOR(CAST(i2.i AS DOUBLE) / (na.n + nb.n - i2.i) * 10000 + 0.5) AS BIGINT) AS jacc_x1e4
+       |  FROM inter i2
+       |  JOIN sizes na ON na.id = i2.a
+       |  JOIN sizes nb ON nb.id = i2.b)
+       |SELECT a AS doc_id, count(*) AS n_eval_matches,
+       |  max(jacc_x1e4) AS max_jacc_x1e4
+       |FROM j WHERE jacc_x1e4 >= 5000 GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
+  /** Blocking telemetry over the minhashSql pipeline: identical corpus,
+    * candidates, and verify; the output is the three counters plus the
+    * integer reduction/yield ratios. */
+  private val blockingMetricsSql: String = {
+    val hCols = (0 until K).map(i => s"${permHashSql("sh", i)} AS h$i").mkString(", ")
+    val mins = (0 until K).map(i => s"min(h$i) AS m$i").mkString(", ")
+    val bandArms = (0 until BANDS).map { b =>
+      val parts = (0 until K / BANDS).map(r => s"CAST(m${b * (K / BANDS) + r} AS VARCHAR)")
+      s"SELECT id, '${b}_' || ${parts.mkString(" || '_' || ")} AS bk FROM sig"
+    }.mkString(" UNION ALL ")
+    s"""WITH $corpusSql,
+       |$shingleSql,
+       |hs AS (SELECT id, sh, $hCols FROM sh),
+       |sig AS (SELECT id, $mins FROM hs GROUP BY id),
+       |band AS ($bandArms),
+       |band_ok AS (SELECT bk FROM band GROUP BY bk HAVING count(*) <= 10000),
+       |bandc AS (SELECT band.id, band.bk FROM band JOIN band_ok USING (bk)),
+       |cand AS (SELECT DISTINCT x.id AS a, y.id AS b
+       |  FROM bandc x JOIN bandc y ON x.bk = y.bk AND x.id < y.id),
+       |sizes AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
+       |inter AS (SELECT c.a, c.b, count(*) AS i FROM cand c
+       |  JOIN sh sa ON sa.id = c.a
+       |  JOIN sh sb ON sb.id = c.b AND sa.sh = sb.sh
+       |  GROUP BY c.a, c.b),
+       |ver AS (SELECT i2.a FROM inter i2
+       |  JOIN sizes na ON na.id = i2.a
+       |  JOIN sizes nb ON nb.id = i2.b
+       |  WHERE CAST(FLOOR(CAST(i2.i AS DOUBLE) / (na.n + nb.n - i2.i) * 10000 + 0.5) AS BIGINT) >= 5000),
+       |nd AS (SELECT count(*) AS n_docs FROM corpus),
+       |nc AS (SELECT count(*) AS n_candidates FROM cand),
+       |nv AS (SELECT count(*) AS n_verified FROM ver)
+       |SELECT n_docs, n_docs * (n_docs - 1) // 2 AS n_total_pairs,
+       |  n_candidates, n_verified,
+       |  (n_docs * (n_docs - 1) // 2 - n_candidates) * 1000000
+       |    // (n_docs * (n_docs - 1) // 2) AS reduction_x1e6,
+       |  CASE WHEN n_candidates = 0 THEN CAST(0 AS BIGINT)
+       |    ELSE n_verified * 1000000 // n_candidates END AS yield_x1e6
+       |FROM nd CROSS JOIN nc CROSS JOIN nv""".stripMargin
   }
 
   /** Mirror of Dedup.incrementalDupPairs over corpusSql: identical
@@ -369,6 +495,8 @@ object DedupPack extends QueryPack {
          |SELECT md5(text) AS h, count(*) AS cnt, min(id) AS keeper
          |FROM corpus GROUP BY md5(text) HAVING count(*) > 1 ORDER BY h""".stripMargin,
     "dedup_minhash" -> minhashSql,
+    "dedup_cross_corpus" -> crossCorpusSql,
+    "dedup_blocking_metrics" -> blockingMetricsSql,
     "dedup_simhash" -> simhashSql,
     "dedup_simhash_banded" -> simhashBandedSql,
     "dedup_incremental" -> incrementalSql,

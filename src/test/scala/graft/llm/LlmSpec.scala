@@ -631,6 +631,27 @@ class LlmSpec extends SparkSpec {
       ("learning rate", 1L, 23333L + 20000L)))
   }
 
+  test("crossCorpusPairs: bipartite only — within-side near-dups never pair") {
+    val base = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12 w13 w14 w15 w16"
+    val train = Seq(
+      (1L, base),
+      (2L, base + " tail"), // near-dup of 1 on the SAME side
+      (3L, "one two three four five six seven eight nine ten")
+    ).toDF("id", "text")
+    val eval = Seq(
+      (100L, base),                                      // exact copy of 1
+      (101L, "unrelated totally different words here now")
+    ).toDF("id", "text")
+    val got = Dedup.crossCorpusPairs(train, eval, "id", "text", 8, 4, 5000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // Exact copy always pairs (identical signatures share every band).
+    assert(got.exists { case (a, b, j) => a == 1L && b == 100L && j == 10000L })
+    // Bipartite by construction: every pair is train-side × eval-side,
+    // so the (1,2) same-side near-dup cannot appear.
+    assert(got.forall { case (a, b, _) => a < 100L && b >= 100L })
+    spark.catalog.clearCache()
+  }
+
   test("nbClassify: recovers classes, drops all-OOV docs, deterministic ties") {
     val train = Seq(
       (1L, "aa aa bb", "en"), (2L, "aa cc", "en"),
