@@ -155,4 +155,61 @@ object Search {
       .agg(count(lit(1)).as("n_terms_hit"), sum(col("comp")).as("score_x1e4"))
     scored.orderBy(desc("score_x1e4"), asc("doc_id")).limit(k)
   }
+
+  /** Maximal Marginal Relevance re-rank (Carbonell & Goldstein, SIGIR
+    * 1998) — the diversification pass between retrieval and serving: a
+    * top-k list where every result says the same thing wastes the
+    * context window it fills, so each pick trades relevance against
+    * similarity to what is already picked:
+    *   pick_t = argmax over remaining of
+    *     (λ·rel − (1−λ)·max_{s∈picked} sim(d, s)),
+    * λ = lambdaNum/10, all ×1e4 integer arithmetic (margins go
+    * negative; `div` and `//` truncate identically). Ties break on
+    * vec_id, so the greedy trace is fully deterministic.
+    *
+    * The greedy recurrence is sequential in k but k is a SERVING
+    * constant (3–20): the loop unrolls into a bounded plan of k−1
+    * anti-join + max-aggregate + top-1-window rounds — the same
+    * bounded-round shape as Graph.bfsLevels — and every round's work
+    * is pool-sized (queries × poolK rows), never corpus-sized. The
+    * corpus-scale work already happened in the retrieval that built
+    * the pool; candidate-pool MMR is exactly how serving stacks run it.
+    *
+    * `pool`: (qid, vec_id, rel_x1e4) — the retrieval top-N per query.
+    * `sims`: (qid, a, b, sim_x1e4) — pairwise similarities WITHIN each
+    * query's pool, both directions. Output (qid, step, vec_id,
+    * rel_x1e4, mmr_x1e4), step = 1..k pick order. */
+  def mmrRerank(pool: DataFrame, sims: DataFrame, k: Int,
+      lambdaNum: Int = 7): DataFrame = {
+    require(k >= 1, s"mmrRerank: k=$k must be >= 1")
+    require(lambdaNum >= 0 && lambdaNum <= 10,
+      s"mmrRerank: lambdaNum=$lambdaNum must be in 0..10")
+    import org.apache.spark.sql.expressions.Window
+    def pick(cands: DataFrame): DataFrame = {
+      val w = Window.partitionBy("qid").orderBy(desc("mmr_x1e4"), asc("vec_id"))
+      cands.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1).drop("rn")
+    }
+    val cols = Seq("qid", "vec_id", "rel_x1e4", "mmr_x1e4", "step")
+    var acc = pick(pool.withColumn("mmr_x1e4",
+        expr(s"($lambdaNum * rel_x1e4) div 10")))
+      .withColumn("step", lit(1)).select(cols.map(col): _*)
+    for (step <- 2 to k) {
+      val selIds = acc.select(col("qid"), col("vec_id"))
+      val remaining = pool.join(selIds, Seq("qid", "vec_id"), "left_anti")
+      val maxsim = sims.join(selIds.withColumnRenamed("vec_id", "b"),
+          Seq("qid", "b"))
+        .groupBy(col("qid"), col("a").as("vec_id"))
+        .agg(max(col("sim_x1e4")).as("maxsim"))
+      val picked = pick(remaining.join(maxsim, Seq("qid", "vec_id"), "left")
+          .na.fill(0L, Seq("maxsim"))
+          .withColumn("mmr_x1e4", expr(
+            s"($lambdaNum * rel_x1e4 - ${10 - lambdaNum} * maxsim) div 10"))
+          .select("qid", "vec_id", "rel_x1e4", "mmr_x1e4"))
+        .withColumn("step", lit(step)).select(cols.map(col): _*)
+      acc = acc.unionByName(picked)
+    }
+    acc.select(col("qid"), col("step"), col("vec_id"),
+      col("rel_x1e4"), col("mmr_x1e4"))
+  }
 }

@@ -260,6 +260,31 @@ object LlmPack extends QueryPack {
       graft.llm.Search.phraseMatch(docs(s, dir), "doc_id", "text",
           Seq("table", "scan", "merge"))
         .orderBy("doc_id")),
+    // MMR diversification re-rank (Search.mmrRerank): brute top-10
+    // retrieval pool per query, pairwise in-pool cosines, then the
+    // λ=0.7 greedy as three bounded pool-sized rounds — the
+    // serving-side pass between retrieval and the context window.
+    "search_mmr_rerank" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val q = e.filter(col("vec_id") < 2)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      val c = e.select(col("vec_id"), col("embedding").as("ce"))
+      val pool = Ann.cosineTopK(q, c, 10)
+        .select(col("qid"), col("vec_id"), col("cos_x1e4").as("rel_x1e4"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val pe = pool.select("qid", "vec_id").join(e, Seq("vec_id"))
+        .select(col("qid"), col("vec_id"), col("embedding"))
+      val sims = pe
+        .select(col("qid"), col("vec_id").as("a"), col("embedding").as("xe"))
+        .as("x")
+        .join(pe.select(col("qid"), col("vec_id").as("b"),
+          col("embedding").as("ye")).as("y"),
+          col("x.qid") === col("y.qid") && col("a") =!= col("b"))
+        .select(col("x.qid").as("qid"), col("a"), col("b"),
+          Ann.cosScaled("xe", "ye").as("sim_x1e4"))
+      graft.llm.Search.mmrRerank(pool, sims, k = 3, lambdaNum = 7)
+        .orderBy("qid", "step")
+    }),
     // RAKE keywords (TA.rakeKeywords): stopword-delimited candidate
     // phrases via gaps-and-islands, degree/frequency word scores,
     // integer phrase ranking, TakeOrdered top-20.
@@ -1247,6 +1272,54 @@ object LlmPack extends QueryPack {
         |  FROM ow JOIN sc USING (term) GROUP BY 1, 2)
         |SELECT phrase, n_occ, rake_x1e4 FROM ps
         |ORDER BY rake_x1e4 DESC, n_occ DESC, phrase LIMIT 20""".stripMargin,
+    // the greedy unrolled as three explicit CTE rounds (k=3 is a
+    // constant of the gate): same pool, same pairwise cosines, same
+    // (λ·rel − (1−λ)·maxsim) // 10 margins with (mmr, vec_id) ties
+    "search_mmr_rerank" ->
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 2),
+         |c AS (SELECT vec_id, embedding AS ce FROM embeddings),
+         |scv AS (SELECT qid, c.vec_id, ${cosS("qe", "ce")} AS rel FROM q, c),
+         |pool AS (SELECT qid, vec_id, rel FROM (
+         |    SELECT qid, vec_id, rel,
+         |      row_number() OVER (PARTITION BY qid ORDER BY rel DESC, vec_id) AS rk
+         |    FROM scv) WHERE rk <= 10),
+         |pe AS (SELECT p.qid, p.vec_id, e.embedding
+         |  FROM pool p JOIN embeddings e USING (vec_id)),
+         |sims AS (SELECT x.qid, x.vec_id AS a, y.vec_id AS b,
+         |    ${cosS("x.embedding", "y.embedding")} AS sim
+         |  FROM pe x JOIN pe y ON x.qid = y.qid AND x.vec_id <> y.vec_id),
+         |s1 AS (SELECT qid, vec_id, rel, mmr FROM (
+         |    SELECT qid, vec_id, rel, (7 * rel) // 10 AS mmr,
+         |      row_number() OVER (PARTITION BY qid
+         |        ORDER BY (7 * rel) // 10 DESC, vec_id) AS rk
+         |    FROM pool) WHERE rk = 1),
+         |r2 AS (SELECT p.* FROM pool p ANTI JOIN s1
+         |  ON s1.qid = p.qid AND s1.vec_id = p.vec_id),
+         |m2 AS (SELECT r2.qid, r2.vec_id, r2.rel, max(sims.sim) AS maxsim
+         |  FROM r2 JOIN sims ON sims.qid = r2.qid AND sims.a = r2.vec_id
+         |  JOIN s1 ON s1.qid = sims.qid AND s1.vec_id = sims.b
+         |  GROUP BY 1, 2, 3),
+         |s2 AS (SELECT qid, vec_id, rel, mmr FROM (
+         |    SELECT qid, vec_id, rel, (7 * rel - 3 * maxsim) // 10 AS mmr,
+         |      row_number() OVER (PARTITION BY qid
+         |        ORDER BY (7 * rel - 3 * maxsim) // 10 DESC, vec_id) AS rk
+         |    FROM m2) WHERE rk = 1),
+         |sel2 AS (SELECT qid, vec_id FROM s1 UNION ALL SELECT qid, vec_id FROM s2),
+         |r3 AS (SELECT p.* FROM pool p ANTI JOIN sel2
+         |  ON sel2.qid = p.qid AND sel2.vec_id = p.vec_id),
+         |m3 AS (SELECT r3.qid, r3.vec_id, r3.rel, max(sims.sim) AS maxsim
+         |  FROM r3 JOIN sims ON sims.qid = r3.qid AND sims.a = r3.vec_id
+         |  JOIN sel2 ON sel2.qid = sims.qid AND sel2.vec_id = sims.b
+         |  GROUP BY 1, 2, 3),
+         |s3 AS (SELECT qid, vec_id, rel, mmr FROM (
+         |    SELECT qid, vec_id, rel, (7 * rel - 3 * maxsim) // 10 AS mmr,
+         |      row_number() OVER (PARTITION BY qid
+         |        ORDER BY (7 * rel - 3 * maxsim) // 10 DESC, vec_id) AS rk
+         |    FROM m3) WHERE rk = 1)
+         |SELECT qid, CAST(1 AS INT) AS step, vec_id, rel AS rel_x1e4, mmr AS mmr_x1e4 FROM s1
+         |UNION ALL SELECT qid, 2, vec_id, rel, mmr FROM s2
+         |UNION ALL SELECT qid, 3, vec_id, rel, mmr FROM s3
+         |ORDER BY qid, step""".stripMargin,
     // same add-one-smoothed bit-length costs over the same 9/10
     // held-in split; argmin via row_number ORDER BY (score, cls) =
     // the engine's struct-min tie-break

@@ -93,4 +93,35 @@ class SearchSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
     assert(ov == Map(4L -> ((2L, 1L))))
   }
+
+  test("mmrRerank: hand-traced greedy — diversity flips the relevance order") {
+    // Pool: A(rel 9000), B(8800), C(5000). A and B are near-identical
+    // (sim 9900), C is far from both (1000).
+    val pool = Seq((1L, 10L, 9000L), (1L, 11L, 8800L), (1L, 12L, 5000L))
+      .toDF("qid", "vec_id", "rel_x1e4")
+    val simPairs = Seq((10L, 11L, 9900L), (10L, 12L, 1000L), (11L, 12L, 1000L))
+    val sims = simPairs.flatMap { case (a, b, s) =>
+      Seq((1L, a, b, s), (1L, b, a, s)) }
+      .toDF("qid", "a", "b", "sim_x1e4")
+    val got = Search.mmrRerank(pool, sims, k = 3, lambdaNum = 7)
+      .orderBy("step")
+      .collect().map(r => (r.getInt(1), r.getLong(2), r.getLong(4))).toSeq
+    // step1: margins (7*rel)div10 = A 6300, B 6160, C 3500 -> A
+    // step2: B (7*8800-3*9900)div10 = 3190 < C (7*5000-3*1000)div10 = 3200 -> C
+    // step3: B maxsim = max(9900, 1000) = 9900 -> 3190
+    assert(got == Seq((1, 10L, 6300L), (2, 12L, 3200L), (3, 11L, 3190L)))
+    // Plain relevance would have picked B second — MMR demoted the near-dup.
+  }
+
+  test("mmrRerank: k beyond the pool exhausts gracefully; negative margins survive") {
+    val pool = Seq((1L, 10L, 100L), (1L, 11L, 90L)).toDF("qid", "vec_id", "rel_x1e4")
+    val sims = Seq((1L, 10L, 11L, 9999L), (1L, 11L, 10L, 9999L))
+      .toDF("qid", "a", "b", "sim_x1e4")
+    val got = Search.mmrRerank(pool, sims, k = 4, lambdaNum = 7)
+      .orderBy("step").collect()
+    assert(got.length == 2) // steps 3 and 4 have nothing left to pick
+    // step2 margin: (7*90 - 3*9999) div 10 = (630 - 29997) div 10 = -2936
+    // (truncation toward zero, same as DuckDB's //)
+    assert(got(1).getLong(4) == -2936L)
+  }
 }
