@@ -70,4 +70,51 @@ object Forecast {
         (1 to horizon).map(h =>
           expr(s"st.l + ${h}L * st.b").as(s"fc${h}_x1e4")): _*)
   }
+
+  /** One-sided upper CUSUM changepoint monitor (Page 1954) — the
+    * sequential drift detector next to [[holtLinear]]'s forecaster:
+    * S_t = max(0, S_{t−1} + y_t − μ − slack) accumulates only
+    * SUSTAINED excess over the series mean; crossing h raises an alarm
+    * and resets. A spike one hour tall and a 10% drift ten hours long
+    * reach h equally — exactly what a threshold-per-point monitor
+    * (events_rolling_anomaly's z-score) cannot see.
+    *
+    * Same per-series fold shape and ×1e4 fixed point as
+    * [[holtLinear]]; μ = mean·1e4 (integer div), slack = μ div
+    * slackDiv, h = max(hMult·μ, 1) — all derived per series in one
+    * pass, nothing tuned per scale factor. The max-before-reset value
+    * is tracked so a never-alarming series still reports how close it
+    * came. Output per key: n_obs, mu_x1e4, n_alarms, max_s_x1e4,
+    * final_s_x1e4. */
+  def cusum(series: DataFrame, keyCol: String, ordCol: String,
+      valCol: String, slackDiv: Int = 8, hMult: Int = 4): DataFrame = {
+    require(slackDiv >= 1, s"cusum: slackDiv=$slackDiv must be >= 1")
+    require(hMult >= 1, s"cusum: hMult=$hMult must be >= 1")
+    val packed = series
+      .groupBy(col(keyCol))
+      .agg(sort_array(collect_list(struct(
+        col(ordCol).as("t"), col(valCol).cast("long").as("y")))).as("srt"))
+      .select(col(keyCol), expr("transform(srt, x -> x.y)").as("vals"))
+      .withColumn("mu", expr(
+        "aggregate(vals, 0L, (a, y) -> a + y) * 10000L div size(vals)"))
+      .withColumn("slack", expr(s"mu div $slackDiv"))
+      .withColumn("h", expr(s"greatest(${hMult}L * mu, 1L)"))
+    // The pre-reset value appears in all three state fields — spelled
+    // out each time (no let-binding in SQL lambdas), collapsed by CSE.
+    val sPre = "greatest(0L, acc.s + y * 10000L - mu - slack)"
+    val fold =
+      s"""aggregate(vals,
+         |  struct(0L AS s, 0L AS na, 0L AS mx),
+         |  (acc, y) -> struct(
+         |    CASE WHEN $sPre >= h THEN 0L ELSE $sPre END AS s,
+         |    acc.na + (CASE WHEN $sPre >= h THEN 1L ELSE 0L END) AS na,
+         |    greatest(acc.mx, $sPre) AS mx))
+         |""".stripMargin
+    packed
+      .select(col(keyCol), size(col("vals")).cast("long").as("n_obs"),
+        col("mu").as("mu_x1e4"), expr(fold).as("st"))
+      .select(col(keyCol), col("n_obs"), col("mu_x1e4"),
+        col("st.na").as("n_alarms"), col("st.mx").as("max_s_x1e4"),
+        col("st.s").as("final_s_x1e4"))
+  }
 }

@@ -216,4 +216,49 @@ object Mask {
           .as("t_x1e6")): _*)
       .withColumn("violates", col("t_x1e6") > tX1e6)
   }
+
+  /** Exact integer CDF of the two-sided geometric distribution with
+    * α = 1/2, truncated at ±bound: unnormalized weights 2^(bound−|k|)
+    * (so P(k) ∝ (1/2)^|k| — the ε = ln 2 geometric mechanism of
+    * Ghosh-Roughgarden-Sundararajan 2009), returned as ascending
+    * (k, cumulative weight) with total weight 3·2^bound − 2. The
+    * truncation discards 2^(1−bound)/3 of the mass (~1e-5 at the
+    * default 16) — the standard bounded-noise variant. */
+  def geometricCdf(bound: Int): (Seq[(Int, Long)], Long) = {
+    require(bound >= 1 && bound <= 30, s"geometricCdf: bound=$bound")
+    var cum = 0L
+    val steps = (-bound to bound).map { k =>
+      cum += 1L << (bound - math.abs(k)); k -> cum
+    }
+    (steps, 3L * (1L << bound) - 2)
+  }
+
+  /** Differentially-private noisy counts — the release sibling of the
+    * three audits above: instead of flagging a risky aggregate, perturb
+    * it. Per-group counts get two-sided geometric noise (the DISCRETE
+    * mechanism — integer noise for integer counts, utility-optimal for
+    * counting queries per Ghosh et al. 2009) at ε = ln 2, truncated at
+    * ±`bound`.
+    *
+    * Like every "random" value in this masking module (see F's
+    * scaladoc) the noise is KEYED-DETERMINISTIC: u = hash32(group key,
+    * seed) and the inverse CDF is evaluated by exact integer
+    * cross-multiplication (u·M < C_k·2³²) — idempotent under task
+    * retries, reproducible by the oracle bit-for-bit, never two
+    * different releases from one seed. One hash aggregate; the CASE
+    * chain is a literal, so the noise costs nothing at any scale. */
+  def dpNoisyCounts(df: DataFrame, groups: Seq[String], seed: String,
+      bound: Int = 16): DataFrame = {
+    require(groups.nonEmpty, "dpNoisyCounts: at least one group column")
+    val (steps, m) = geometricCdf(bound)
+    val u = graft.functions.F.hash32(
+      concat_ws("|", groups.map(c => col(c).cast("string")): _*), seed, "dp")
+    val big = 1L << 32
+    val noise = steps.init.foldRight(lit(steps.last._1.toLong)) {
+      case ((k, cum), acc) => when(u * m < cum * big, lit(k.toLong)).otherwise(acc)
+    }
+    df.groupBy(groups.map(col): _*).agg(count(lit(1)).as("n"))
+      .withColumn("noise", noise)
+      .withColumn("n_noisy", greatest(col("n") + col("noise"), lit(0L)))
+  }
 }

@@ -124,6 +124,16 @@ object MaskPack extends QueryPack {
               floor(col("c_acctbal") / 2000).cast("long").as("bal_band")),
           Seq("c_mktsegment", "cohort"), "bal_band", tX1e6 = 200000L)
         .orderBy("c_mktsegment", "cohort")),
+    // DP noisy counts (Mask.dpNoisyCounts): the RELEASE leg next to
+    // the three audits — per-(nation, segment) counts perturbed by the
+    // eps=ln2 discrete geometric mechanism, keyed-deterministic like
+    // every masked value in this module, clamped at zero.
+    "mask_dp_counts" -> ((s, dir) =>
+      Mask.dpNoisyCounts(
+          Tables.load(s, dir, "customer")
+            .select(col("c_nationkey"), col("c_mktsegment")),
+          Seq("c_nationkey", "c_mktsegment"), seed)
+        .orderBy("c_nationkey", "c_mktsegment")),
     // F10-F13, F19 scalar generators, one column each.
     "mask_fakes" -> ((s, dir) => {
       val key = col("c_custkey")
@@ -170,6 +180,27 @@ object MaskPack extends QueryPack {
         |  count(DISTINCT c_mktsegment) AS n_sensitive,
         |  count(DISTINCT c_mktsegment) < 3 AS violates
         |FROM customer GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "mask_dp_counts" -> {
+      // Same exact-integer inverse CDF as Mask.dpNoisyCounts: u·M
+      // cross-multiplied against the cumulative weights of the
+      // truncated two-sided geometric, built from the SAME
+      // geometricCdf constants.
+      val (steps, m) = Mask.geometricCdf(16)
+      val big = 1L << 32
+      val uu = "CAST(CONCAT('0x', substr(md5(CAST(c_nationkey AS VARCHAR) " +
+        s"|| '|' || c_mktsegment || ':$seed:dp'), 1, 8)) AS BIGINT)"
+      val arms = steps.init.map { case (k, cum) =>
+        s"WHEN uu * $m < ${cum * big} THEN CAST($k AS BIGINT)" }.mkString("\n    ")
+      s"""WITH g AS (SELECT c_nationkey, c_mktsegment, count(*) AS n
+         |  FROM customer GROUP BY 1, 2),
+         |h AS (SELECT *, $uu AS uu FROM g),
+         |z AS (SELECT c_nationkey, c_mktsegment, n,
+         |    CASE $arms ELSE CAST(${steps.last._1} AS BIGINT) END AS noise
+         |  FROM h)
+         |SELECT c_nationkey, c_mktsegment, n, noise,
+         |  GREATEST(n + noise, 0) AS n_noisy
+         |FROM z ORDER BY c_nationkey, c_mktsegment""".stripMargin
+    },
     "mask_t_closeness" ->
       """WITH base AS (SELECT c_mktsegment, c_custkey % 20 AS cohort,
         |    CAST(floor(c_acctbal / 2000) AS BIGINT) AS bal_band FROM customer),

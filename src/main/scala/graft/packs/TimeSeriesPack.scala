@@ -543,6 +543,24 @@ object TimeSeriesPack extends QueryPack {
       graft.ops.Forecast.holtLinear(dense, "event_type", "hr", "n")
         .orderBy("event_type")
     }),
+    // CUSUM drift monitor (Forecast.cusum) over the same dense hourly
+    // series: sustained excess over the per-series mean accumulates
+    // toward the 4mu alarm line with mu/8 slack — the sequential
+    // changepoint detector a per-point z-score can't replicate.
+    "events_cusum_alarm" -> ((s, dir) => {
+      val hourly = Tables.load(s, dir, "events")
+        .groupBy(col("event_type"),
+          (graft.ops.Resample.epochSec(col("ts")) / 3600L).cast("long").as("hr"))
+        .agg(count(lit(1)).as("n"))
+      val dense = hourly.groupBy("event_type")
+        .agg(min(col("hr")).as("h0"), max(col("hr")).as("h1"))
+        .select(col("event_type"), explode(expr("sequence(h0, h1)")).as("hr"))
+        .join(hourly, Seq("event_type", "hr"), "left")
+        .na.fill(0L, Seq("n"))
+      graft.ops.Forecast.cusum(dense, "event_type", "hr", "n",
+          slackDiv = 8, hMult = 4)
+        .orderBy("event_type")
+    }),
   )
 
   /** Shared event-slice CTE: integer epoch seconds + scale4 value. */
@@ -587,6 +605,47 @@ object TimeSeriesPack extends QueryPack {
         |SELECT event_type, nh AS n_obs, l AS level_x1e4, b AS trend_x1e4,
         |  l + b AS fc1_x1e4, l + 2 * b AS fc2_x1e4, l + 3 * b AS fc3_x1e4
         |FROM s WHERE t = nh ORDER BY event_type""".stripMargin,
+    // The CUSUM fold as a recursive CTE: same dense grid, same
+    // mu/slack/h derivation, same max-0 / reset-on-alarm recurrence;
+    // the pre-reset value feeds all three state fields.
+    "events_cusum_alarm" ->
+      """WITH RECURSIVE hourly AS (SELECT event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 // 3600 AS hr,
+        |    count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |bounds AS (SELECT event_type, min(hr) AS h0, max(hr) AS h1
+        |  FROM hourly GROUP BY 1),
+        |grid AS (SELECT event_type, unnest(generate_series(h0, h1)) AS hr FROM bounds),
+        |dense AS (SELECT g.event_type, g.hr, COALESCE(h.n, 0) AS n
+        |  FROM grid g LEFT JOIN hourly h
+        |    ON h.event_type = g.event_type AND h.hr = g.hr),
+        |prm AS (SELECT event_type, count(*) AS nh,
+        |    CAST(sum(n) AS BIGINT) * 10000 // count(*) AS mu,
+        |    CAST(sum(n) AS BIGINT) * 10000 // count(*) // 8 AS slack,
+        |    GREATEST(4 * (CAST(sum(n) AS BIGINT) * 10000 // count(*)), 1) AS h
+        |  FROM dense GROUP BY 1),
+        |ord AS (SELECT event_type, n,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY hr) AS t
+        |  FROM dense),
+        |r(event_type, t, s, na, mx) AS (
+        |  SELECT event_type, CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+        |    CAST(0 AS BIGINT), CAST(0 AS BIGINT) FROM prm
+        |  UNION ALL
+        |  SELECT r.event_type, r.t + 1,
+        |    CASE WHEN GREATEST(0, r.s + o.n * 10000 - p.mu - p.slack) >= p.h
+        |      THEN CAST(0 AS BIGINT)
+        |      ELSE GREATEST(0, r.s + o.n * 10000 - p.mu - p.slack) END,
+        |    r.na + (CASE WHEN GREATEST(0, r.s + o.n * 10000 - p.mu - p.slack) >= p.h
+        |      THEN 1 ELSE 0 END),
+        |    GREATEST(r.mx, GREATEST(0, r.s + o.n * 10000 - p.mu - p.slack))
+        |  FROM r
+        |  JOIN prm p ON p.event_type = r.event_type
+        |  JOIN ord o ON o.event_type = r.event_type AND o.t = r.t + 1
+        |  WHERE r.t < p.nh)
+        |SELECT r.event_type, p.nh AS n_obs, p.mu AS mu_x1e4,
+        |  r.na AS n_alarms, r.mx AS max_s_x1e4, r.s AS final_s_x1e4
+        |FROM r JOIN prm p ON p.event_type = r.event_type
+        |WHERE r.t = p.nh ORDER BY r.event_type""".stripMargin,
     "events_resample_locf" ->
       s"""WITH base AS ($evBase),
          |obs AS (

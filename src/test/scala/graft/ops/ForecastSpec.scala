@@ -36,6 +36,30 @@ class ForecastSpec extends SparkSpec {
     assert(run(Seq(5L, 1L)) == (2L, 10000L, -40000L, -30000L))
   }
 
+  test("cusum: hand-traced drift — sustained excess alarms, spikes decay") {
+    // Series 1,1,1,1,20,20,20,20: mu = 84e4/8 = 105000, slack = 13125,
+    // h = 1*mu. Lows contribute 0; each 20 adds 81875; two consecutive
+    // highs cross h -> alarm+reset, twice.
+    val df = Seq(1L, 1L, 1L, 1L, 20L, 20L, 20L, 20L).zipWithIndex
+      .map { case (y, t) => ("k", t.toLong, y) }.toDF("key", "t", "y")
+    val r = Forecast.cusum(df, "key", "t", "y", slackDiv = 8, hMult = 1)
+      .collect()(0)
+    assert(r.getAs[Long]("mu_x1e4") == 105000L)
+    assert(r.getAs[Long]("n_alarms") == 2L)
+    assert(r.getAs[Long]("max_s_x1e4") == 163750L)
+    assert(r.getAs[Long]("final_s_x1e4") == 0L)
+  }
+
+  test("cusum: in-control series never alarms but reports its max excursion") {
+    // 0,10,0,0: mu = 25000, slack = 3125, h = 4*mu = 100000.
+    val df = Seq(0L, 10L, 0L, 0L).zipWithIndex
+      .map { case (y, t) => ("k", t.toLong, y) }.toDF("key", "t", "y")
+    val r = Forecast.cusum(df, "key", "t", "y").collect()(0)
+    assert(r.getAs[Long]("n_alarms") == 0L)
+    assert(r.getAs[Long]("max_s_x1e4") == 71875L) // 10e4 - 28125
+    assert(r.getAs[Long]("final_s_x1e4") == 15625L) // decayed twice
+  }
+
   test("holtLinear: horizon widens linearly; input order does not matter") {
     val df = Seq(("k", 2L, 2L), ("k", 0L, 1L), ("k", 1L, 3L))
       .toDF("key", "t", "y") // shuffled row order, same series as trace 1

@@ -78,6 +78,27 @@ class MaskSpec extends SparkSpec {
       Seq(("g1", 4L, 375000L, true), ("g2", 12L, 125000L, false)))
   }
 
+  test("dpNoisyCounts: exact geometric CDF, bounded noise, deterministic, clamped") {
+    // bound=2: weights 1,2,4,2,1 -> cumulative 1,3,7,9,10; M = 3*4-2.
+    val (steps, m) = Mask.geometricCdf(2)
+    assert(m == 10L)
+    assert(steps == Seq(-2 -> 1L, -1 -> 3L, 0 -> 7L, 1 -> 9L, 2 -> 10L))
+    val df = (1 to 50).map(i => (s"g${i % 10}", i)).toDF("grp", "v")
+    val out = Mask.dpNoisyCounts(df, Seq("grp"), "s1").orderBy("grp").collect()
+    assert(out.length == 10)
+    assert(out.forall(r => math.abs(r.getAs[Long]("noise")) <= 16L))
+    assert(out.forall(r =>
+      r.getAs[Long]("n_noisy") ==
+        math.max(r.getAs[Long]("n") + r.getAs[Long]("noise"), 0L)))
+    // Keyed-deterministic: same seed = same release; new seed = new noise.
+    val again = Mask.dpNoisyCounts(df, Seq("grp"), "s1").orderBy("grp").collect()
+    assert(out.map(_.getAs[Long]("noise")).toSeq ==
+      again.map(_.getAs[Long]("noise")).toSeq)
+    val other = Mask.dpNoisyCounts(df, Seq("grp"), "s2").orderBy("grp").collect()
+    assert(out.map(_.getAs[Long]("noise")).toSeq !=
+      other.map(_.getAs[Long]("noise")).toSeq)
+  }
+
   test("tCloseness: group mirroring the global scores 0; single bin is safe") {
     val same = Seq(("a", 0L), ("a", 1L), ("b", 0L), ("b", 1L)).toDF("grp", "sens")
     assert(Mask.tCloseness(same, Seq("grp"), "sens", 1L)
