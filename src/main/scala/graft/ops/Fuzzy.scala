@@ -60,4 +60,33 @@ object Fuzzy {
       .distinct()
       .filter(levenshtein(col(lCol), col(rCol)) <= k)
   }
+
+  /** American Soundex phonetic key (Russell 1918) — the classic
+    * PHONETIC blocking function next to [[deletionVariants]]'
+    * typographic one: "Robert"/"Rupert" key identically (R163), so a
+    * groupBy on the key blocks sound-alike names without any pairwise
+    * comparison. A narrow codegen'd expression chain (upper → strip →
+    * translate → collapse runs → drop separators → pad), zero shuffle.
+    *
+    * Documented simplification: H and W act as separators like vowels
+    * (true Soundex lets same-coded letters merge ACROSS h/w, e.g.
+    * ASHCRAFT → A261; this variant keys it A226). The rule needs
+    * lookaround or a second pass, costs recall only in the rare
+    * C-h-C same-code sandwich, and every step here runs VERBATIM as
+    * the same translate/regexp chain in the oracle. Non-letters are
+    * stripped first; an empty/symbol-only input keys to ''. */
+  def soundex(c: Column): Column = {
+    val up = regexp_replace(upper(c), "[^A-Z]", "")
+    val coded = translate(up,
+      "BFPVCGJKQSXZDTLMNRAEIOUYHW",
+      "11112222222233455600000000")
+    // Collapse each digit's runs (RE2-safe: no backreferences).
+    val collapsed = (0 to 6).foldLeft(coded)((acc, d) =>
+      regexp_replace(acc, s"$d{2,}", s"$d"))
+    // Drop the first letter-run's code, then the separators.
+    val rest = regexp_replace(substring(collapsed, 2, 128), "0", "")
+    when(length(up) === 0, lit(""))
+      .otherwise(rpad(concat(substring(up, 1, 1), substring(rest, 1, 3)),
+        4, "0"))
+  }
 }

@@ -642,6 +642,17 @@ object InsightsPack extends QueryPack {
     // the |sessions × ≤|event types|| grid, never on raw events.
     // Sessions whose purchase total is ≤ 0 are excluded by contract
     // (integer-division allocation is defined for positive totals).
+    // Markov removal-effect attribution (Attribution.markov*) — the
+    // DATA-DRIVEN closer of the attribution family: journeys truncate
+    // at first purchase, the transition matrix is metadata-sized and
+    // iterates on the driver in exact x1e9 integers (40 fixed sweeps),
+    // channels credited by how much absorption probability their
+    // removal destroys.
+    "events_attribution_markov" -> ((s, dir) => {
+      val tr = graft.ops.Attribution.journeyTransitions(
+        events(s, dir), "user_id", "ts", "event_id", "event_type", "purchase")
+      graft.ops.Attribution.markovRemovalEffects(tr).orderBy("channel")
+    }),
     "events_attribution_linear" -> ((s, dir) => {
       val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
       val sess = events(s, dir)
@@ -1504,6 +1515,66 @@ object InsightsPack extends QueryPack {
         |SELECT event_type, count(*) AS n_touches,
         |  CAST(SUM(base + CASE WHEN rk <= leftu THEN 1 ELSE 0 END) AS BIGINT) AS credit_x100
         |FROM d GROUP BY 1 ORDER BY event_type""".stripMargin,
+    // the same journey cut, transition counts, and 40 integer sweeps;
+    // zero-weight self-loops keep the recursive aggregate dense, and
+    // the removed channel's value is clamped inside the CASE — bit-
+    // identical to the driver-side integer fixpoint
+    "events_attribution_markov" ->
+      """WITH RECURSIVE ordv AS (SELECT user_id, event_type,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events),
+        |fp AS (SELECT user_id, min(rn) AS prn FROM ordv
+        |  WHERE event_type = 'purchase' GROUP BY 1),
+        |pre AS (SELECT o.user_id, o.event_type, o.rn
+        |  FROM ordv o LEFT JOIN fp ON fp.user_id = o.user_id
+        |  WHERE o.event_type <> 'purchase' AND (fp.prn IS NULL OR o.rn < fp.prn)),
+        |steps AS (SELECT COALESCE(lag(event_type) OVER
+        |      (PARTITION BY user_id ORDER BY rn), 'START') AS s,
+        |    event_type AS t FROM pre),
+        |lastch AS (SELECT user_id, arg_max(event_type, rn) AS lastc
+        |  FROM pre GROUP BY 1),
+        |usr AS (SELECT user_id,
+        |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+        |  FROM events GROUP BY 1),
+        |term AS (SELECT COALESCE(l.lastc, 'START') AS s,
+        |    CASE WHEN u.conv = 1 THEN 'CONV' ELSE 'NULL' END AS t
+        |  FROM usr u LEFT JOIN lastch l ON l.user_id = u.user_id),
+        |cnt AS (SELECT s, t, count(*) AS c FROM (
+        |  SELECT s, t FROM steps UNION ALL SELECT s, t FROM term) GROUP BY 1, 2),
+        |outs AS (SELECT s, CAST(sum(c) AS BIGINT) AS o FROM cnt GROUP BY 1),
+        |bse AS (SELECT s, CAST(SUM(CASE WHEN t = 'CONV' THEN c ELSE 0 END)
+        |    * 1000000000 AS BIGINT) AS b FROM cnt GROUP BY s),
+        |trans AS (SELECT s, t, c FROM cnt WHERE t NOT IN ('CONV', 'NULL')
+        |  UNION ALL SELECT s, s, 0 FROM outs),
+        |chans AS (SELECT DISTINCT event_type AS ch FROM events
+        |  WHERE event_type <> 'purchase'),
+        |variants AS (SELECT 'none' AS rm UNION ALL SELECT ch FROM chans),
+        |it(rm, k, s, p) AS (
+        |  SELECT v.rm, 0, o.s, CAST(0 AS BIGINT) FROM variants v CROSS JOIN outs o
+        |  UNION ALL
+        |  SELECT it.rm, it.k + 1, tr.s,
+        |    CAST((MIN(bse.b) + SUM(tr.c *
+        |        CASE WHEN tr.t = it.rm THEN 0 ELSE it.p END)) // MIN(outs.o) AS BIGINT)
+        |  FROM it
+        |  JOIN trans tr ON tr.t = it.s
+        |  JOIN outs ON outs.s = tr.s
+        |  JOIN bse ON bse.s = tr.s
+        |  WHERE it.k < 40
+        |  GROUP BY it.rm, it.k, tr.s),
+        |pf AS (SELECT p FROM it WHERE rm = 'none' AND k = 40 AND s = 'START'),
+        |re AS (SELECT rm AS channel, (SELECT p FROM pf) AS p_full_x1e9,
+        |    p AS p_removed_x1e9,
+        |    CASE WHEN (SELECT p FROM pf) = 0 THEN CAST(0 AS BIGINT)
+        |      ELSE ((SELECT p FROM pf) - p) * 1000000 // (SELECT p FROM pf) END
+        |      AS removal_x1e6
+        |  FROM it WHERE rm <> 'none' AND k = 40 AND s = 'START')
+        |SELECT channel, p_full_x1e9, p_removed_x1e9, removal_x1e6,
+        |  CASE WHEN CAST(SUM(removal_x1e6) OVER () AS BIGINT) = 0
+        |    THEN CAST(0 AS BIGINT)
+        |    ELSE removal_x1e6 * 1000000
+        |      // CAST(SUM(removal_x1e6) OVER () AS BIGINT) END
+        |    AS share_x1e6
+        |FROM re ORDER BY channel""".stripMargin,
     "events_attribution_linear" ->
       """WITH f AS (SELECT user_id, event_id, ts, event_type,
         |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS v_x100,

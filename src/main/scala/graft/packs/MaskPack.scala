@@ -70,6 +70,20 @@ object MaskPack extends QueryPack {
 
   private val k = "CAST(c_custkey AS VARCHAR)"
 
+  /** DuckDB mirror of Fuzzy.soundex, step for step (the 'g' flags are
+    * the one dialect difference: DuckDB regexp_replace is first-match
+    * by default where Spark's is global). */
+  private def soundexSql(e: String): String = {
+    val up = s"regexp_replace(upper($e), '[^A-Z]', '', 'g')"
+    val coded = s"translate($up, 'BFPVCGJKQSXZDTLMNRAEIOUYHW', " +
+      "'11112222222233455600000000')"
+    val collapsed = (0 to 6).foldLeft(coded)((acc, d) =>
+      s"regexp_replace($acc, '$d{2,}', '$d', 'g')")
+    val rest = s"regexp_replace(substring($collapsed, 2, 128), '0', '', 'g')"
+    s"CASE WHEN length($up) = 0 THEN '' " +
+      s"ELSE rpad(substring($up, 1, 1) || substring($rest, 1, 3), 4, '0') END"
+  }
+
   /** The sheet fixture: a 4-column projection of customer. */
   private def sheet(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "customer").select(
@@ -134,6 +148,16 @@ object MaskPack extends QueryPack {
             .select(col("c_nationkey"), col("c_mktsegment")),
           Seq("c_nationkey", "c_mktsegment"), seed)
         .orderBy("c_nationkey", "c_mktsegment")),
+    // Soundex phonetic blocking (Fuzzy.soundex) over the deterministic
+    // fake-name generator: sound-alike names land in one block with no
+    // pairwise comparison — the phonetic leg of the ER blocking
+    // toolkit next to the deletion-variant (typographic) one.
+    "er_soundex_blocks" -> ((s, dir) =>
+      Tables.load(s, dir, "customer")
+        .select(F.fakeName(col("c_custkey"), seed).as("name"))
+        .groupBy(graft.ops.Fuzzy.soundex(col("name")).as("sx"))
+        .agg(count(lit(1)).as("n"), countDistinct(col("name")).as("n_names"))
+        .orderBy("sx")),
     // F10-F13, F19 scalar generators, one column each.
     "mask_fakes" -> ((s, dir) => {
       val key = col("c_custkey")
@@ -180,6 +204,11 @@ object MaskPack extends QueryPack {
         |  count(DISTINCT c_mktsegment) AS n_sensitive,
         |  count(DISTINCT c_mktsegment) < 3 AS violates
         |FROM customer GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "er_soundex_blocks" ->
+      s"""WITH nm AS (SELECT ${MaskSql.fakeName(k)} AS name FROM customer)
+         |SELECT ${soundexSql("name")} AS sx, count(*) AS n,
+         |  count(DISTINCT name) AS n_names
+         |FROM nm GROUP BY 1 ORDER BY sx""".stripMargin,
     "mask_dp_counts" -> {
       // Same exact-integer inverse CDF as Mask.dpNoisyCounts: u·M
       // cross-multiplied against the cumulative weights of the

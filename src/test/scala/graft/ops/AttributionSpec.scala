@@ -40,4 +40,29 @@ class AttributionSpec extends SparkSpec {
       .agg(sum(col("credit_x100"))).head.getLong(0)
     assert(decay === total, s"decay=$decay purchase_total=$total")
   }
+
+  test("markov removal effects: hand-solved absorbing chain, journey truncation") {
+    import spark.implicits._
+    // u1: a,b,P (+ a post-purchase event that MUST be ignored)
+    // u2: a (never converts); u3: b,P; u4: P first.
+    val ev = Seq(
+      (1L, 10L, 1L, "a"), (1L, 20L, 2L, "b"), (1L, 30L, 3L, "P"),
+      (1L, 40L, 8L, "b"),
+      (2L, 10L, 4L, "a"),
+      (3L, 10L, 5L, "b"), (3L, 20L, 6L, "P"),
+      (4L, 10L, 7L, "P")
+    ).toDF("u", "ts", "eid", "et")
+    val tr = Attribution.journeyTransitions(ev, "u", "ts", "eid", "et", "P")
+    val cnt = tr.collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(cnt == Map(
+      ("START", "a") -> 2L, ("START", "b") -> 1L, ("START", "CONV") -> 1L,
+      ("a", "b") -> 1L, ("a", "NULL") -> 1L, ("b", "CONV") -> 2L))
+    // Exact chain: P(b)=1, P(a)=1/2, P(START)=3/4; removing a -> 1/2,
+    // removing b -> 1/4.
+    val out = Attribution.markovRemovalEffects(tr).orderBy("channel").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out.toSeq == Seq(
+      ("a", 750000000L, 500000000L, 333333L, 333333L),
+      ("b", 750000000L, 250000000L, 666666L, 666666L)))
+  }
 }

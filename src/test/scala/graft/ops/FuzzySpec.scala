@@ -76,4 +76,23 @@ class FuzzySpec extends SparkSpec {
     val r = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(8), prop)
     assert(r.passed, r.status.toString)
   }
+
+  test("soundex: classic keys, run collapse, vowel separation, padding, edge cases") {
+    import org.apache.spark.sql.functions.col
+    val in = Seq("Robert", "Rupert", "Pfister", "Tymczak", "Ashcraft",
+      "BOB", "bb", "A", "123!", "Kim Minjun").toDF("s")
+    val got = in.select(col("s"), Fuzzy.soundex(col("s")).as("sx"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got("Robert") == "R163" && got("Rupert") == "R163") // block together
+    assert(got("Pfister") == "P236")  // leading same-code run collapses
+    assert(got("Tymczak") == "T522")  // adjacent C/Z collapse, vowel keeps K
+    // Documented simplified variant: H separates like a vowel (true
+    // Soundex would give A261).
+    assert(got("Ashcraft") == "A226")
+    assert(got("BOB") == "B100")      // vowel separation keeps the second B
+    assert(got("bb") == "B000")       // adjacent duplicates collapse
+    assert(got("A") == "A000")        // pad to 4
+    assert(got("123!") == "")         // nothing survives the strip
+    assert(got("Kim Minjun").startsWith("K")) // space stripped, one key
+  }
 }
