@@ -99,22 +99,31 @@ object Forecast {
         "aggregate(vals, 0L, (a, y) -> a + y) * 10000L div size(vals)"))
       .withColumn("slack", expr(s"mu div $slackDiv"))
       .withColumn("h", expr(s"greatest(${hMult}L * mu, 1L)"))
-    // The pre-reset value appears in all three state fields — spelled
-    // out each time (no let-binding in SQL lambdas), collapsed by CSE.
-    val sPre = "greatest(0L, acc.s + y * 10000L - mu - slack)"
-    val fold =
-      s"""aggregate(vals,
-         |  struct(0L AS s, 0L AS na, 0L AS mx),
-         |  (acc, y) -> struct(
-         |    CASE WHEN $sPre >= h THEN 0L ELSE $sPre END AS s,
-         |    acc.na + (CASE WHEN $sPre >= h THEN 1L ELSE 0L END) AS na,
-         |    greatest(acc.mx, $sPre) AS mx))
-         |""".stripMargin
     packed
       .select(col(keyCol), size(col("vals")).cast("long").as("n_obs"),
-        col("mu").as("mu_x1e4"), expr(fold).as("st"))
+        col("mu").as("mu_x1e4"),
+        expr(cusumFoldExpr("0L", "0L", "0L")).as("st"))
       .select(col(keyCol), col("n_obs"), col("mu_x1e4"),
         col("st.na").as("n_alarms"), col("st.mx").as("max_s_x1e4"),
         col("st.s").as("final_s_x1e4"))
+  }
+
+  /** The CUSUM recurrence as an aggregate() fold over a `vals` array
+    * column, parameterized on per-row `mu`/`slack`/`h` columns and a
+    * carried-in start state — shared between the batch [[cusum]]
+    * (zero start) and the streaming monitor (state carried across
+    * micro-batches). The pre-reset value appears in all three state
+    * fields — spelled out each time (no let-binding in SQL lambdas),
+    * collapsed by CSE. */
+  private[graft] def cusumFoldExpr(s0: String, na0: String,
+      mx0: String): String = {
+    val sPre = "greatest(0L, acc.s + y * 10000L - mu - slack)"
+    s"""aggregate(vals,
+       |  struct($s0 AS s, $na0 AS na, $mx0 AS mx),
+       |  (acc, y) -> struct(
+       |    CASE WHEN $sPre >= h THEN 0L ELSE $sPre END AS s,
+       |    acc.na + (CASE WHEN $sPre >= h THEN 1L ELSE 0L END) AS na,
+       |    greatest(acc.mx, $sPre) AS mx))
+       |""".stripMargin
   }
 }

@@ -98,6 +98,59 @@ object Wap {
   def rollbackTo(tableDir: String, version: Long): Long =
     publishWithRetry(tableDir, pathForVersion(tableDir, version))
 
+  /** EXPIRE / VACUUM — the retention end of the table lifecycle:
+    * versions strictly below `keepFrom` stop being time-travelable and
+    * their data directories are reclaimed. Two invariants make this
+    * safe next to [[rollbackTo]]'s path sharing:
+    *
+    *  1. Data is REFERENCE-COUNTED across manifests: a data directory
+    *     is deleted only when NO surviving (≥ keepFrom) version still
+    *     records it — a rollback head that re-published v1's path
+    *     keeps that path alive however old v1 is.
+    *  2. Manifests tombstone FIRST (atomic rename v<N>.json →
+    *     v<N>.expired), data deletes second — a concurrent reader
+    *     either resolved the manifest before the rename (and reads
+    *     data that is still there, deletes happen strictly after) or
+    *     fails loud on an unpublished version; never a torn read.
+    *
+    * The head is never expirable (`keepFrom ≤ head`). Tombstones stay
+    * behind as an audit trail of WHAT was expired, mirroring the
+    * append-only discipline of the rest of the module. Returns
+    * (versions expired, data directories reclaimed). */
+  def expireBefore(tableDir: String, keepFrom: Long): (Long, Long) = {
+    val head = currentVersion(tableDir)
+    require(keepFrom >= 1 && keepFrom <= head,
+      s"wap: expireBefore keepFrom=$keepFrom must be in 1..head=$head")
+    val dir = commitsDir(tableDir)
+    import scala.jdk.CollectionConverters._
+    val listing = Files.list(dir)
+    val versions = try listing.iterator().asScala
+      .map(_.getFileName.toString)
+      .collect { case s if s.startsWith("v") && s.endsWith(".json") =>
+        s.stripPrefix("v").stripSuffix(".json").toLong }.toVector
+      finally listing.close()
+    val (expire, keep) = versions.partition(_ < keepFrom)
+    val keepPaths = keep.map(v => pathForVersion(tableDir, v)).toSet
+    val expirePaths = expire.map(v => pathForVersion(tableDir, v))
+    // 1) tombstone every expired manifest (readers go blind first) …
+    expire.sorted.foreach { v =>
+      Files.move(dir.resolve(s"v$v.json"), dir.resolve(s"v$v.expired"),
+        StandardCopyOption.ATOMIC_MOVE)
+    }
+    // 2) … then reclaim data nothing surviving references.
+    val doomed = expirePaths.distinct.filterNot(keepPaths.contains)
+    doomed.foreach { p =>
+      val root = Paths.get(p)
+      if (Files.exists(root)) {
+        val walk = Files.walk(root)
+        try walk.sorted(java.util.Comparator.reverseOrder())
+          .forEach(q => { Files.deleteIfExists(q); () })
+        finally walk.close()
+      }
+    }
+    (expire.size.toLong, doomed.size.toLong)
+  }
+
   /** CHANGE DATA FEED between two published versions: a keyed
     * full-outer diff classifying every key as insert / delete /
     * update / unchanged. The join shuffles both snapshots by the key

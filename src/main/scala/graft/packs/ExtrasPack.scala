@@ -250,6 +250,38 @@ object ExtrasPack extends QueryPack {
         .withColumn("head_version", lit(head))
         .orderBy("o_orderstatus")
     }),
+    // EXPIRE/VACUUM (Wap.expireBefore) — the retention close of the
+    // lifecycle: v1 (third-keys), v2 (even-keys), v3 = rollback to v1
+    // (SHARES v1's data path), v4 (fifth-keys); expiring below v3 must
+    // tombstone v1+v2, reclaim ONLY v2's directory (v1's survives via
+    // the v3 reference), keep v3 time-travelable and v1 loudly
+    // unreadable. Output = the v3 snapshot aggregate + the facts.
+    "wap_expire" -> ((s, dir) => {
+      import graft.ops.Wap
+      val table = graft.core.Scratch.dir("graft_wap_exp").resolve("tbl").toString
+      val orders = Tables.load(s, dir, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      Wap.publishWithRetry(table,
+        Wap.stage(orders.filter(col("o_orderkey") % 3 === 0), table, "v1data"))
+      Wap.publishWithRetry(table,
+        Wap.stage(orders.filter(col("o_orderkey") % 2 === 0), table, "v2data"))
+      Wap.rollbackTo(table, 1L) // v3 re-references v1's path
+      Wap.publishWithRetry(table,
+        Wap.stage(orders.filter(col("o_orderkey") % 5 === 0), table, "v4data"))
+      val (nExpired, nReclaimed) = Wap.expireBefore(table, keepFrom = 3L)
+      val v1Unreadable =
+        try { Wap.readVersion(s, table, 1L); false }
+        catch { case _: IllegalStateException => true }
+      require(v1Unreadable, "wap_expire: expired v1 must not be readable")
+      Wap.readVersion(s, table, 3L)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(floor(col("o_totalprice") * 100 + lit(0.5)).cast("long")).as("total_c"))
+        .withColumn("head_version", lit(Wap.currentVersion(table)))
+        .withColumn("n_expired", lit(nExpired))
+        .withColumn("n_reclaimed", lit(nReclaimed))
+        .orderBy("o_orderstatus")
+    }),
     // CHANGE DATA FEED between two published versions (ops/Wap.scala
     // changesBetween): v1 drops every 5th order, v2 drops every 3rd
     // and bumps every 7th order's price — the keyed full-outer diff
@@ -521,6 +553,16 @@ object ExtrasPack extends QueryPack {
       """SELECT o_orderstatus, count(*) AS n_orders,
         |  CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS total_c,
         |  CAST(3 AS BIGINT) AS head_version
+        |FROM orders WHERE o_orderkey % 3 = 0
+        |GROUP BY 1 ORDER BY o_orderstatus""".stripMargin,
+    // v3 ≡ v1's data = the third-keys slice; head v4, two versions
+    // tombstoned, one directory reclaimed (v1's survives via v3)
+    "wap_expire" ->
+      """SELECT o_orderstatus, count(*) AS n_orders,
+        |  CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS total_c,
+        |  CAST(4 AS BIGINT) AS head_version,
+        |  CAST(2 AS BIGINT) AS n_expired,
+        |  CAST(1 AS BIGINT) AS n_reclaimed
         |FROM orders WHERE o_orderkey % 3 = 0
         |GROUP BY 1 ORDER BY o_orderstatus""".stripMargin,
     // mirror the two snapshot definitions, full-outer join on the key,

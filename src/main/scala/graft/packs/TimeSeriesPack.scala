@@ -561,6 +561,14 @@ object TimeSeriesPack extends QueryPack {
           slackDiv = 8, hMult = 4)
         .orderBy("event_type")
     }),
+    // STREAMING CUSUM (EventsStream.mergeCusumIntoState) — the first
+    // order-dependent streaming state: batch 1 (feed below the median
+    // hour) calibrates mu/slack/h, batch 2 folds the monitored tail
+    // carrying (s, n_alarms, max_s) through the versioned store. The
+    // oracle recomputes the same calibrate-then-monitor contract in
+    // one pass.
+    "events_cusum_stream" -> ((s, dir) =>
+      graft.streaming.EventsStream.cusumViaFileSink(s, dir)),
   )
 
   /** Shared event-slice CTE: integer epoch seconds + scale4 value. */
@@ -605,6 +613,61 @@ object TimeSeriesPack extends QueryPack {
         |SELECT event_type, nh AS n_obs, l AS level_x1e4, b AS trend_x1e4,
         |  l + b AS fc1_x1e4, l + 2 * b AS fc2_x1e4, l + 3 * b AS fc3_x1e4
         |FROM s WHERE t = nh ORDER BY event_type""".stripMargin,
+    // the calibrate-then-monitor contract in one pass: parameters from
+    // the dense prefix below the median hour (up to the prefix's last
+    // OBSERVED hour), the recurrence over the dense tail after it
+    "events_cusum_stream" ->
+      """WITH RECURSIVE hourly AS (SELECT event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 // 3600 AS hr,
+        |    count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |g AS (SELECT (min(hr) + max(hr) + 1) // 2 AS split FROM hourly),
+        |b1max AS (SELECT max(hr) AS m FROM hourly, g WHERE hr < split),
+        |b2max AS (SELECT max(hr) AS m FROM hourly, g WHERE hr >= split),
+        |cal0 AS (SELECT event_type, min(hr) AS h0 FROM hourly, g
+        |  WHERE hr < split GROUP BY 1),
+        |calgrid AS (SELECT c.event_type, unnest(generate_series(c.h0, b1max.m)) AS hr
+        |  FROM cal0 c, b1max),
+        |caldense AS (SELECT cg.event_type, cg.hr, COALESCE(h.n, 0) AS n
+        |  FROM calgrid cg LEFT JOIN hourly h
+        |    ON h.event_type = cg.event_type AND h.hr = cg.hr),
+        |prm AS (SELECT event_type,
+        |    CAST(sum(n) AS BIGINT) * 10000 // count(*) AS mu,
+        |    CAST(sum(n) AS BIGINT) * 10000 // count(*) // 8 AS slack,
+        |    GREATEST(4 * (CAST(sum(n) AS BIGINT) * 10000 // count(*)), 1) AS h
+        |  FROM caldense GROUP BY 1),
+        |mongrid AS (SELECT p.event_type,
+        |    unnest(generate_series(b1max.m + 1, b2max.m)) AS hr
+        |  FROM prm p, b1max, b2max),
+        |mondense AS (SELECT mg.event_type, mg.hr, COALESCE(h.n, 0) AS n
+        |  FROM mongrid mg LEFT JOIN hourly h
+        |    ON h.event_type = mg.event_type AND h.hr = mg.hr),
+        |nhs AS (SELECT event_type, count(*) AS nh FROM mondense GROUP BY 1),
+        |ordm AS (SELECT event_type, n,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY hr) AS t
+        |  FROM mondense),
+        |r(event_type, t, s, na, mx) AS (
+        |  SELECT event_type, CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+        |    CAST(0 AS BIGINT), CAST(0 AS BIGINT) FROM prm
+        |  UNION ALL
+        |  SELECT r.event_type, r.t + 1,
+        |    CASE WHEN GREATEST(0, r.s + o.n * 10000 - p.mu - p.slack) >= p.h
+        |      THEN CAST(0 AS BIGINT)
+        |      ELSE GREATEST(0, r.s + o.n * 10000 - p.mu - p.slack) END,
+        |    r.na + (CASE WHEN GREATEST(0, r.s + o.n * 10000 - p.mu - p.slack) >= p.h
+        |      THEN 1 ELSE 0 END),
+        |    GREATEST(r.mx, GREATEST(0, r.s + o.n * 10000 - p.mu - p.slack))
+        |  FROM r
+        |  JOIN prm p ON p.event_type = r.event_type
+        |  JOIN nhs ON nhs.event_type = r.event_type
+        |  JOIN ordm o ON o.event_type = r.event_type AND o.t = r.t + 1
+        |  WHERE r.t < nhs.nh)
+        |SELECT r.event_type, p.mu AS mu_x1e4, nhs.nh AS n_obs,
+        |  r.na AS n_alarms, r.mx AS max_s_x1e4, r.s AS final_s_x1e4
+        |FROM r
+        |JOIN prm p ON p.event_type = r.event_type
+        |JOIN nhs ON nhs.event_type = r.event_type
+        |WHERE r.t = nhs.nh ORDER BY r.event_type""".stripMargin,
     // The CUSUM fold as a recursive CTE: same dense grid, same
     // mu/slack/h derivation, same max-0 / reset-on-alarm recurrence;
     // the pre-reset value feeds all three state fields.

@@ -932,6 +932,141 @@ object EventsStream {
     out
   }
 
+  /** Per-batch hourly counts per type — the CUSUM monitor's input
+    * relation (same hour bucketing as the batch events_cusum_alarm
+    * gate). */
+  def cusumHourly(events: DataFrame): DataFrame =
+    events.groupBy(col("event_type"),
+        (graft.ops.Resample.epochSec(col("ts")) / 3600L).cast("long").as("hr"))
+      .agg(count(lit(1)).as("n"))
+
+  /** §2.11 × monitoring: STREAMING CUSUM — the first ORDER-DEPENDENT
+    * state in this surface (every other versioned store merges
+    * order-free: latest-row, sketch union, moment addition; a CUSUM
+    * trajectory is a fold, so the state carries WHERE the fold stands).
+    * Calibrate-then-monitor contract:
+    *
+    *  - micro-batch 1 is the CALIBRATION PREFIX: per event type, the
+    *    dense hourly grid from the type's first hour to the batch's
+    *    global max hour trains (mu, slack, h) — exactly the batch
+    *    gate's derivation, on the prefix only (a streaming monitor
+    *    cannot know the future mean);
+    *  - every later batch folds its dense hours (state.last_hr + 1 ..
+    *    batch global max, zeros filled) through the shared
+    *    Forecast.cusumFoldExpr recurrence, CARRYING (s, n_alarms,
+    *    max_s) forward. Types first seen after calibration are not
+    *    monitored (documented: no parameters for them).
+    *
+    * Exactly-once is the standard versioned-store discipline: read
+    * strictly below batchId, write your own version — a torn batch
+    * retries idempotently because the fold re-runs from the same
+    * carried state over the same hours. */
+  def mergeCusumIntoState(batch: DataFrame, batchId: Long, stateBase: String,
+      slackDiv: Int = 8, hMult: Int = 4): Unit = {
+    val ss = batch.sparkSession
+    val hourly = cusumHourly(batch)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val gmaxRow = hourly.agg(max(col("hr"))).head()
+      val prev = currentStateVersion(ss, stateBase, below = batchId)
+      val newState = (prev, if (gmaxRow.isNullAt(0)) None else Some(gmaxRow.getLong(0))) match {
+        case (p, None) => // empty batch: state (if any) rides through
+          p.map(ss.read.parquet).getOrElse(
+            throw new IllegalStateException("cusum: empty calibration batch"))
+        case (None, Some(gmax)) => // calibration
+          hourly.groupBy("event_type").agg(min(col("hr")).as("h0"))
+            .select(col("event_type"),
+              explode(expr(s"sequence(h0, ${gmax}L)")).as("hr"))
+            .join(hourly, Seq("event_type", "hr"), "left")
+            .na.fill(0L, Seq("n"))
+            .groupBy("event_type")
+            .agg(expr("sum(n) * 10000L div count(1)").as("mu"))
+            .select(col("event_type"), col("mu"),
+              expr(s"mu div $slackDiv").as("slack"),
+              expr(s"greatest(${hMult}L * mu, 1L)").as("h"),
+              lit(gmax).as("last_hr"), lit(0L).as("n_obs"),
+              lit(0L).as("s"), lit(0L).as("na"), lit(0L).as("mx"))
+        case (Some(dir), Some(gmax)) => // monitor batch
+          val st = ss.read.parquet(dir)
+          val packed = st.select(col("event_type"), col("last_hr"))
+            .filter(col("last_hr") < gmax)
+            .select(col("event_type"),
+              explode(expr(s"sequence(last_hr + 1L, ${gmax}L)")).as("hr"))
+            .join(hourly, Seq("event_type", "hr"), "left")
+            .na.fill(0L, Seq("n"))
+            .groupBy("event_type")
+            .agg(expr("transform(sort_array(collect_list(struct(hr, n))), x -> x.n)")
+              .as("vals"))
+          st.join(packed, Seq("event_type"), "left")
+            .withColumn("vals",
+              coalesce(col("vals"), expr("CAST(array() AS array<bigint>)")))
+            .withColumn("st2",
+              expr(graft.ops.Forecast.cusumFoldExpr("s", "na", "mx")))
+            .select(col("event_type"), col("mu"), col("slack"), col("h"),
+              greatest(col("last_hr"), lit(gmax)).as("last_hr"),
+              (col("n_obs") + size(col("vals"))).as("n_obs"),
+              col("st2.s").as("s"), col("st2.na").as("na"),
+              col("st2.mx").as("mx"))
+      }
+      newState.write.mode("overwrite").parquet(s"$stateBase/v$batchId")
+    } finally { hourly.unpersist(); () }
+  }
+
+  /** Correctness gate for [[mergeCusumIntoState]]: the feed splits at
+    * the midpoint HOUR (batch 1 = the calibration prefix, batch 2 =
+    * the monitored tail), and the final state must equal the batch
+    * recompute under the same calibrate-then-monitor contract —
+    * a replayed/dropped batch or a fold that lost its place shifts
+    * (n_obs, n_alarms, max_s, final_s). */
+  def cusumViaFileSink(spark: SparkSession, sfDir: String): DataFrame = {
+    import java.nio.file.Files
+    val base = Files.createTempDirectory("graft_cusum_gate")
+    val in = base.resolve("in"); Files.createDirectories(in)
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "4")
+    ss.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val probe = ss.read.parquet(s"$sfDir/events.parquet")
+    val probeHr = cusumHourly(
+      if (probe.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        probe.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      else probe)
+    val (gmin, gmax) = {
+      val r = probeHr.agg(min(col("hr")), max(col("hr"))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    val split = (gmin + gmax + 1) / 2
+    Seq(0, 1).foreach { p =>
+      val stage = base.resolve(s"stage$p")
+      val hrCol = (graft.ops.Resample.epochSec(
+        if (probe.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+          timestamp_micros(expr("ts DIV 1000")) else col("ts")) / 3600L).cast("long")
+      probe.filter(if (p == 0) hrCol < split else hrCol >= split)
+        .coalesce(1).write.parquet(stage.toString)
+      val listing = Files.list(stage)
+      val part = try listing.filter(_.getFileName.toString.endsWith(".parquet"))
+        .findFirst.get finally listing.close()
+      val dst = in.resolve(s"half$p.parquet")
+      Files.copy(part, dst)
+      Files.setLastModifiedTime(dst, java.nio.file.attribute.FileTime
+        .fromMillis(System.currentTimeMillis() + 10000L + p * 10000L))
+    }
+    val state = base.resolve("state").toString
+    val q = readEvents(ss, in.toString, maxFilesPerTrigger = Some(1))
+      .writeStream
+      .option("checkpointLocation", base.resolve("ckpt").toString)
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        mergeCusumIntoState(b, id, state)
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    finalStateAndCleanup(spark, state,
+      Seq(in, base.resolve("stage0"), base.resolve("stage1"), base.resolve("ckpt")))
+      .select(col("event_type"), col("mu").as("mu_x1e4"), col("n_obs"),
+        col("na").as("n_alarms"), col("mx").as("max_s_x1e4"),
+        col("s").as("final_s_x1e4"))
+      .orderBy("event_type")
+  }
+
   /** Shared tail of the versioned-state gates: resolve the final state
     * version, delete the gate's staging dirs plus every superseded
     * version, and hand the surviving state back on the CALLER's

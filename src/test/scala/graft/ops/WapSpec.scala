@@ -132,4 +132,37 @@ class WapSpec extends SparkSpec {
     assert(got(5L) == (("update", "was-null", 50))) // null -> value IS a change
     assert(got.size == 5)
   }
+
+  test("expire: ref-counted reclaim, tombstones, head protection") {
+    val table = graft.core.Scratch.dir("wap_exp_spec").resolve("t").toString
+    def pub(rows: Seq[(Long, String)], tok: String): Long =
+      Wap.publishWithRetry(table,
+        Wap.stage(rows.toDF("k", "v"), table, tok))
+    pub(Seq((1L, "a")), "d1")              // v1
+    pub(Seq((2L, "b")), "d2")              // v2
+    Wap.rollbackTo(table, 1L)              // v3 shares v1's data path
+    pub(Seq((3L, "c")), "d4")              // v4 (head)
+    val p1 = Wap.pathForVersion(table, 1L)
+    val p2 = Wap.pathForVersion(table, 2L)
+
+    // keepFrom beyond the head is rejected outright
+    intercept[IllegalArgumentException](Wap.expireBefore(table, 5L))
+
+    val (nExp, nRec) = Wap.expireBefore(table, 3L)
+    assert((nExp, nRec) == ((2L, 1L)))
+    // v1's data survives via the v3 reference; v2's directory is gone
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(p1)))
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(p2)))
+    // expired versions fail loud; survivors still read
+    intercept[IllegalStateException](Wap.readVersion(spark, table, 1L))
+    intercept[IllegalStateException](Wap.readVersion(spark, table, 2L))
+    assert(Wap.readVersion(spark, table, 3L).count() == 1L)
+    assert(Wap.readPublished(spark, table).count() == 1L) // head v4 intact
+    // tombstones remain as the audit trail
+    val commits = java.nio.file.Paths.get(table).resolve("_commits")
+    assert(java.nio.file.Files.exists(commits.resolve("v1.expired")))
+    assert(java.nio.file.Files.exists(commits.resolve("v2.expired")))
+    // expiring again below the same floor is a no-op
+    assert(Wap.expireBefore(table, 3L) == ((0L, 0L)))
+  }
 }

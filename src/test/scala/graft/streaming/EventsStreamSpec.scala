@@ -320,6 +320,33 @@ class EventsStreamSpec extends SparkSpec {
     assert(s1("2024-01-01 11") == ((1L, 500L, 250000L)), s1)
   }
 
+  test("cusum state: calibrate-then-monitor fold carries its place; torn retry idempotent") {
+    import org.apache.spark.sql.functions.col
+    val base = java.nio.file.Files.createTempDirectory("cusum_retry")
+    val state = base.resolve("state").toString
+    def batchDf(rows: (Long, String)*) =
+      rows.zipWithIndex.map { case ((_, t), i) =>
+        Event(i.toLong, ts(t), 1L, "view", 1.0) }.toDF()
+    // Calibration hours 10..11: counts 2, 2 -> mu = 20000, slack 2500,
+    // h = 80000.
+    EventsStream.mergeCusumIntoState(batchDf(
+      (1L, "2024-01-01 10:00:00"), (2L, "2024-01-01 10:10:00"),
+      (3L, "2024-01-01 11:00:00"), (4L, "2024-01-01 11:10:00")), 0L, state)
+    def st(dir: String) = spark.read.parquet(dir).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Long]("mu"), r.getAs[Long]("n_obs"), r.getAs[Long]("na"),
+          r.getAs[Long]("mx"), r.getAs[Long]("s"))).toMap
+    val s0 = st(EventsStream.currentStateVersion(spark, state).get)
+    assert(s0("view") == ((20000L, 0L, 0L, 0L, 0L)), s0)
+    // Monitor: 13 events in hour 12 -> one dense monitor hour.
+    // sPre = 130000 - 20000 - 2500 = 107500 >= h=80000 -> alarm, reset.
+    val b2 = batchDf((1 to 13).map(i => (10L + i, s"2024-01-01 12:${i % 60}:00")): _*)
+    EventsStream.mergeCusumIntoState(b2, 1L, state)
+    EventsStream.mergeCusumIntoState(b2, 1L, state) // torn-batch retry
+    val s1 = st(EventsStream.currentStateVersion(spark, state).get)
+    assert(s1("view") == ((20000L, 1L, 1L, 107500L, 0L)), s1)
+  }
+
   test("runToFiles: deployable file-source → parquet-sink pipeline (§2.11)") {
     val base = java.nio.file.Files.createTempDirectory("evstream")
     val out = base.resolve("out").toString
