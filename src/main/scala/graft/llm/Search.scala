@@ -191,9 +191,14 @@ object Search {
         .filter(col("rn") === 1).drop("rn")
     }
     val cols = Seq("qid", "vec_id", "rel_x1e4", "mmr_x1e4", "step")
+    // Each round re-reads the selected-so-far set three times and the
+    // next round builds on it — localCheckpoint (the Bpe-iteration
+    // pattern) pins each round's tiny result so round r+1 starts from
+    // materialized rows instead of replaying rounds 1..r's plans.
     var acc = pick(pool.withColumn("mmr_x1e4",
         expr(s"($lambdaNum * rel_x1e4) div 10")))
       .withColumn("step", lit(1)).select(cols.map(col): _*)
+      .localCheckpoint(true)
     for (step <- 2 to k) {
       val selIds = acc.select(col("qid"), col("vec_id"))
       val remaining = pool.join(selIds, Seq("qid", "vec_id"), "left_anti")
@@ -207,7 +212,7 @@ object Search {
             s"($lambdaNum * rel_x1e4 - ${10 - lambdaNum} * maxsim) div 10"))
           .select("qid", "vec_id", "rel_x1e4", "mmr_x1e4"))
         .withColumn("step", lit(step)).select(cols.map(col): _*)
-      acc = acc.unionByName(picked)
+      acc = acc.unionByName(picked).localCheckpoint(true)
     }
     acc.select(col("qid"), col("step"), col("vec_id"),
       col("rel_x1e4"), col("mmr_x1e4"))

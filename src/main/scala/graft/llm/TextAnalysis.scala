@@ -407,7 +407,11 @@ object TextAnalysis {
     val toks = train
       .select(col(classCol).as("cls"), explode(split(col(textCol), " ")).as("tok"))
       .filter(col("tok") =!= "")
+    // The term-frequency relation feeds THREE consumers (class totals,
+    // vocab, smoothing grid) — persist it so the corpus explode+shuffle
+    // runs once (plan-audited: one training scan).
     val counts = toks.groupBy("cls", "tok").agg(count(lit(1)).as("cwc"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val totals = counts.groupBy("cls").agg(sum(col("cwc")).as("tc"))
     val vocabSize = counts.agg(countDistinct(col("tok")).as("v"))
     counts.select("tok").distinct()

@@ -108,6 +108,49 @@ object Forecast {
         col("st.s").as("final_s_x1e4"))
   }
 
+  /** Theil–Sen robust trend (Theil 1950, Sen 1968) — the estimator to
+    * reach for when [[holtLinear]]'s level/trend or OLS (agg_linreg)
+    * get dragged by outliers: the slope is the MEDIAN of all pairwise
+    * slopes, with a ~29% breakdown point (a third of the hours can be
+    * garbage before the trend moves).
+    *
+    * Pairwise means O(grid²) per key — but the grid is TIME-bounded
+    * (hours in the window), not row-count-bounded, so the pair relation
+    * is a fixed-size equi-self-join per key at any corpus size; the
+    * corpus-scale work is the per-hour aggregate the caller already
+    * did. Slopes are exact-rational-to-double divisions (two longs
+    * < 2⁵³ divide to the identical IEEE double in both engines), and
+    * the median is the value at deterministic rank (n+1) div 2 under a
+    * fully-keyed order — no tie luck, the oracle selects the same
+    * VALUE. Keys with fewer than two points have no pairs and drop.
+    * Output (key, n_pairs, slope_x1e6, median_y). */
+  def theilSen(series: DataFrame, keyCol: String, ordCol: String,
+      valCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = series.select(col(keyCol).as("k"), col(ordCol).cast("long").as("t"),
+      col(valCol).cast("long").as("y"))
+    val pairs = d.as("a")
+      .join(d.as("b"), col("a.k") === col("b.k") && col("b.t") > col("a.t"))
+      .select(col("a.k").as("k"),
+        ((col("b.y") - col("a.y")).cast("double") /
+          (col("b.t") - col("a.t")).cast("double")).as("slope"),
+        col("a.t").as("h1"), col("b.t").as("h2"))
+    val wp = Window.partitionBy("k").orderBy("slope", "h1", "h2")
+    val med = pairs
+      .withColumn("rn", row_number().over(wp))
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy("k")))
+      .filter(col("rn") === expr("(cnt + 1L) div 2"))
+      .select(col("k"), col("cnt").as("n_pairs"),
+        floor(col("slope") * 1000000d + 0.5d).cast("long").as("slope_x1e6"))
+    val wn = Window.partitionBy("k").orderBy("y", "t")
+    val mn = d
+      .withColumn("rn", row_number().over(wn))
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy("k")))
+      .filter(col("rn") === expr("(cnt + 1L) div 2"))
+      .select(col("k"), col("y").as("median_y"))
+    med.join(mn, Seq("k"))
+  }
+
   /** The CUSUM recurrence as an aggregate() fold over a `vals` array
     * column, parameterized on per-row `mu`/`slack`/`h` columns and a
     * carried-in start state — shared between the batch [[cusum]]

@@ -189,8 +189,12 @@ object Mask {
     require(!quasi.contains(sensitive),
       s"tCloseness: sensitive column '$sensitive' cannot also be a quasi-identifier")
     val qc = quasi.map(col)
-    // One pass over people; everything below works on this contingency table.
+    // One pass over people; everything below works on this contingency
+    // table. The table feeds THREE consumers (group totals, global
+    // marginal, dense grid) — persist it so the person-level scan runs
+    // once, not three times (plan-audited: one base scan).
     val gb = df.groupBy(qc :+ col(sensitive): _*).agg(count(lit(1)).as("a"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val groups = gb.groupBy(qc: _*).agg(sum(col("a")).as("n"))
     // Global ordered marginal with cumulative counts; m bins, broadcast.
     val globW = org.apache.spark.sql.expressions.Window

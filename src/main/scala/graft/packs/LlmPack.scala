@@ -282,6 +282,8 @@ object LlmPack extends QueryPack {
           col("x.qid") === col("y.qid") && col("a") =!= col("b"))
         .select(col("x.qid").as("qid"), col("a"), col("b"),
           Ann.cosScaled("xe", "ye").as("sim_x1e4"))
+        // every greedy round probes the pairwise sims — materialize once
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       graft.llm.Search.mmrRerank(pool, sims, k = 3, lambdaNum = 7)
         .orderBy("qid", "step")
     }),
@@ -291,6 +293,24 @@ object LlmPack extends QueryPack {
     "text_rake_keywords" -> ((s, dir) =>
       TA.rakeKeywords(docs(s, dir), "doc_id", "text",
         Seq("the", "a", "an", "of", "and", "to", "in", "is", "it", "for"), 20)),
+    // Integer Flesch reading-ease (×1000): words/sentences/syllables
+    // from three narrow regex counts (sentences = terminator runs
+    // min 1; syllables = vowel groups — the documented heuristics),
+    // folded through the classic 206.835 − 1.015·w/s − 84.6·syl/w
+    // formula in truncation-consistent fixed point. The readability
+    // leg of the quality-scoring family.
+    "text_readability" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+          TA.tokenCount(col("text")).cast("long").as("n_words"),
+          greatest(regexp_count(col("text"), lit("[.!?]+")), lit(1))
+            .cast("long").as("n_sentences"),
+          regexp_count(lower(col("text")), lit("[aeiouy]+"))
+            .cast("long").as("n_syllables"))
+        .filter(col("n_words") > 0)
+        .withColumn("flesch_x1000", expr(
+          """206835L - (1015L * (n_words * 1000L div n_sentences)) div 1000L
+            |- (84600L * (n_syllables * 1000L div n_words)) div 1000L""".stripMargin))
+        .orderBy("doc_id")),
     // Supervised multinomial Naive Bayes (TA.nbTrain/nbScore): the
     // fastText-shaped curation classifier, trained on the 9/10
     // held-in split and scored over the WHOLE corpus in one plan.
@@ -1272,6 +1292,17 @@ object LlmPack extends QueryPack {
         |  FROM ow JOIN sc USING (term) GROUP BY 1, 2)
         |SELECT phrase, n_occ, rake_x1e4 FROM ps
         |ORDER BY rake_x1e4 DESC, n_occ DESC, phrase LIMIT 20""".stripMargin,
+    // same three regex counts, same fixed-point fold
+    "text_readability" ->
+      s"""WITH b AS (SELECT doc_id,
+         |    CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS n_words,
+         |    CAST(GREATEST(${reCount("text", "[.!?]+")}, 1) AS BIGINT) AS n_sentences,
+         |    CAST(${reCount("lower(text)", "[aeiouy]+")} AS BIGINT) AS n_syllables
+         |  FROM documents)
+         |SELECT doc_id, n_words, n_sentences, n_syllables,
+         |  206835 - (1015 * (n_words * 1000 // n_sentences)) // 1000
+         |         - (84600 * (n_syllables * 1000 // n_words)) // 1000 AS flesch_x1000
+         |FROM b WHERE n_words > 0 ORDER BY doc_id""".stripMargin,
     // the greedy unrolled as three explicit CTE rounds (k=3 is a
     // constant of the gate): same pool, same pairwise cosines, same
     // (λ·rel − (1−λ)·maxsim) // 10 margins with (mmr, vec_id) ties

@@ -561,6 +561,24 @@ object TimeSeriesPack extends QueryPack {
           slackDiv = 8, hMult = 4)
         .orderBy("event_type")
     }),
+    // Theil–Sen robust trend (Forecast.theilSen) over the same dense
+    // hourly grid: median of all pairwise slopes — the outlier-proof
+    // sibling of agg_linreg's OLS and holtLinear's smoothed trend.
+    // Pairs are grid² per type and the grid is TIME-bounded.
+    "events_theil_sen" -> ((s, dir) => {
+      val hourly = Tables.load(s, dir, "events")
+        .groupBy(col("event_type"),
+          (graft.ops.Resample.epochSec(col("ts")) / 3600L).cast("long").as("hr"))
+        .agg(count(lit(1)).as("n"))
+      val dense = hourly.groupBy("event_type")
+        .agg(min(col("hr")).as("h0"), max(col("hr")).as("h1"))
+        .select(col("event_type"), explode(expr("sequence(h0, h1)")).as("hr"))
+        .join(hourly, Seq("event_type", "hr"), "left")
+        .na.fill(0L, Seq("n"))
+      graft.ops.Forecast.theilSen(dense, "event_type", "hr", "n")
+        .withColumnRenamed("k", "event_type")
+        .orderBy("event_type")
+    }),
     // STREAMING CUSUM (EventsStream.mergeCusumIntoState) — the first
     // order-dependent streaming state: batch 1 (feed below the median
     // hour) calibrates mu/slack/h, batch 2 folds the monitored tail
@@ -613,6 +631,39 @@ object TimeSeriesPack extends QueryPack {
         |SELECT event_type, nh AS n_obs, l AS level_x1e4, b AS trend_x1e4,
         |  l + b AS fc1_x1e4, l + 2 * b AS fc2_x1e4, l + 3 * b AS fc3_x1e4
         |FROM s WHERE t = nh ORDER BY event_type""".stripMargin,
+    // same dense grid, same pair relation, the median as the VALUE at
+    // deterministic rank (n+1)//2 under the fully-keyed order — exact
+    // rational-to-double slope division is IEEE-identical
+    "events_theil_sen" ->
+      """WITH hourly AS (SELECT event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 // 3600 AS hr,
+        |    count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |bounds AS (SELECT event_type, min(hr) AS h0, max(hr) AS h1
+        |  FROM hourly GROUP BY 1),
+        |grid AS (SELECT event_type, unnest(generate_series(h0, h1)) AS hr FROM bounds),
+        |dense AS (SELECT g.event_type, g.hr, COALESCE(h.n, 0) AS n
+        |  FROM grid g LEFT JOIN hourly h
+        |    ON h.event_type = g.event_type AND h.hr = g.hr),
+        |p AS (SELECT a.event_type,
+        |    CAST(b.n - a.n AS DOUBLE) / CAST(b.hr - a.hr AS DOUBLE) AS slope,
+        |    a.hr AS h1, b.hr AS h2
+        |  FROM dense a JOIN dense b
+        |    ON b.event_type = a.event_type AND b.hr > a.hr),
+        |med AS (SELECT event_type, cnt AS n_pairs,
+        |    CAST(FLOOR(slope * 1000000 + 0.5) AS BIGINT) AS slope_x1e6
+        |  FROM (SELECT event_type, slope,
+        |      row_number() OVER (PARTITION BY event_type ORDER BY slope, h1, h2) AS rn,
+        |      count(*) OVER (PARTITION BY event_type) AS cnt
+        |    FROM p) WHERE rn = (cnt + 1) // 2),
+        |mn AS (SELECT event_type, n AS median_y
+        |  FROM (SELECT event_type, n,
+        |      row_number() OVER (PARTITION BY event_type ORDER BY n, hr) AS rn,
+        |      count(*) OVER (PARTITION BY event_type) AS cnt
+        |    FROM dense) WHERE rn = (cnt + 1) // 2)
+        |SELECT med.event_type, med.n_pairs, med.slope_x1e6, mn.median_y
+        |FROM med JOIN mn ON mn.event_type = med.event_type
+        |ORDER BY med.event_type""".stripMargin,
     // the calibrate-then-monitor contract in one pass: parameters from
     // the dense prefix below the median hour (up to the prefix's last
     // OBSERVED hour), the recurrence over the dense tail after it

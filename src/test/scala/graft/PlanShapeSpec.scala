@@ -666,4 +666,25 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("Join"), p) // window frames replace the per-pattern self-join
     assert(p.contains("Window"), p)
   }
+
+  test("mask_t_closeness: the person-level contingency pass is cached and scans once") {
+    val p = plan("mask_t_closeness")
+    // three consumers (group totals, global marginal, dense grid) all
+    // read the cached table — not three base scans
+    assert(p.contains("InMemoryTableScan"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    spark.catalog.clearCache()
+  }
+
+  test("text_nb_classify: the training term-frequency relation is cached; no cartesian") {
+    val p = plan("text_nb_classify")
+    assert(p.contains("InMemoryTableScan"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    spark.catalog.clearCache()
+  }
+
+  test("events_theil_sen: the pair relation is an equi-join on the series key") {
+    val p = plan("events_theil_sen")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
 }

@@ -60,6 +60,26 @@ class ForecastSpec extends SparkSpec {
     assert(r.getAs[Long]("final_s_x1e4") == 15625L) // decayed twice
   }
 
+  test("theilSen: median slope shrugs off the outlier OLS would chase") {
+    // y = t on t=0..3, then an outlier 100 at t=4. Six of ten pairwise
+    // slopes are exactly 1; the median (rank (10+1) div 2 = 5) is 1.
+    val df = Seq(0L, 1L, 2L, 3L, 100L).zipWithIndex
+      .map { case (y, t) => ("k", t.toLong, y) }.toDF("key", "t", "y")
+    val r = Forecast.theilSen(df, "key", "t", "y").collect()(0)
+    assert(r.getAs[Long]("n_pairs") == 10L)
+    assert(r.getAs[Long]("slope_x1e6") == 1000000L)
+    assert(r.getAs[Long]("median_y") == 2L)
+  }
+
+  test("theilSen: single-point keys drop; negative slopes round half-up via floor") {
+    val df = (Seq(("lone", 0L, 5L)) ++
+      Seq(10L, 7L, 4L).zipWithIndex.map { case (y, t) => ("down", t.toLong, y) })
+      .toDF("key", "t", "y")
+    val out = Forecast.theilSen(df, "key", "t", "y").collect()
+    assert(out.length == 1 && out(0).getString(0) == "down")
+    assert(out(0).getAs[Long]("slope_x1e6") == -3000000L)
+  }
+
   test("holtLinear: horizon widens linearly; input order does not matter") {
     val df = Seq(("k", 2L, 2L), ("k", 0L, 1L), ("k", 1L, 3L))
       .toDF("key", "t", "y") // shuffled row order, same series as trace 1
