@@ -48,20 +48,11 @@ object Forecast {
       .agg(sort_array(collect_list(struct(
         col(ordCol).as("t"), col(valCol).cast("long").as("y")))).as("srt"))
       .select(col(keyCol), expr("transform(srt, x -> x.y)").as("vals"))
-    // l' appears inside b' too — SQL lambdas have no let-binding, so the
-    // expression is spelled twice; codegen's subexpression elimination
-    // collapses the duplicate.
-    val lNext = s"(($aNum * y * 10000L + ${10 - aNum} * (acc.l + acc.b)) div 10)"
-    val fold =
-      s"""aggregate(
-         |  slice(vals, 2, size(vals) - 1),
-         |  struct(vals[0] * 10000L AS l,
-         |    CASE WHEN size(vals) >= 2
-         |      THEN (vals[1] - vals[0]) * 10000L ELSE 0L END AS b),
-         |  (acc, y) -> struct(
-         |    $lNext AS l,
-         |    (($bNum * ($lNext - acc.l) + ${10 - bNum} * acc.b) div 10) AS b))
-         |""".stripMargin
+    val fold = holtFoldExpr(
+      arr = "slice(vals, 2, size(vals) - 1)",
+      l0 = "vals[0] * 10000L",
+      b0 = "CASE WHEN size(vals) >= 2 THEN (vals[1] - vals[0]) * 10000L ELSE 0L END",
+      aNum, bNum)
     packed
       .select(col(keyCol), size(col("vals")).cast("long").as("n_obs"),
         expr(fold).as("st"))
@@ -108,6 +99,24 @@ object Forecast {
         col("st.s").as("final_s_x1e4"))
   }
 
+  /** The Holt recurrence as an aggregate() fold over `arr`, from a
+    * given start state — shared between the batch [[holtLinear]]
+    * (seeded from the series head) and the streaming forecaster
+    * (state carried across micro-batches). l' appears inside b' too —
+    * SQL lambdas have no let-binding, so the expression is spelled
+    * twice; codegen's subexpression elimination collapses it. */
+  private[graft] def holtFoldExpr(arr: String, l0: String, b0: String,
+      aNum: Int = 8, bNum: Int = 3): String = {
+    val lNext = s"(($aNum * y * 10000L + ${10 - aNum} * (acc.l + acc.b)) div 10)"
+    s"""aggregate(
+       |  $arr,
+       |  struct(CAST(($l0) AS BIGINT) AS l, CAST(($b0) AS BIGINT) AS b),
+       |  (acc, y) -> struct(
+       |    $lNext AS l,
+       |    (($bNum * ($lNext - acc.l) + ${10 - bNum} * acc.b) div 10) AS b))
+       |""".stripMargin
+  }
+
   /** Theil–Sen robust trend (Theil 1950, Sen 1968) — the estimator to
     * reach for when [[holtLinear]]'s level/trend or OLS (agg_linreg)
     * get dragged by outliers: the slope is the MEDIAN of all pairwise
@@ -135,18 +144,23 @@ object Forecast {
         ((col("b.y") - col("a.y")).cast("double") /
           (col("b.t") - col("a.t")).cast("double")).as("slope"),
         col("a.t").as("h1"), col("b.t").as("h2"))
+    // Pair/point counts derive from the series SIZE (m points ⇒
+    // m(m−1)/2 pairs) — a broadcast of the tiny per-key size table,
+    // not a second whole-partition window pass over the pair relation.
+    val sizes = broadcast(d.groupBy("k").agg(count(lit(1)).as("m"))
+      .select(col("k"), expr("m * (m - 1L) div 2").as("n_pairs"), col("m")))
     val wp = Window.partitionBy("k").orderBy("slope", "h1", "h2")
     val med = pairs
       .withColumn("rn", row_number().over(wp))
-      .withColumn("cnt", count(lit(1)).over(Window.partitionBy("k")))
-      .filter(col("rn") === expr("(cnt + 1L) div 2"))
-      .select(col("k"), col("cnt").as("n_pairs"),
+      .join(sizes, Seq("k"))
+      .filter(col("rn") === expr("(n_pairs + 1L) div 2"))
+      .select(col("k"), col("n_pairs"),
         floor(col("slope") * 1000000d + 0.5d).cast("long").as("slope_x1e6"))
     val wn = Window.partitionBy("k").orderBy("y", "t")
     val mn = d
       .withColumn("rn", row_number().over(wn))
-      .withColumn("cnt", count(lit(1)).over(Window.partitionBy("k")))
-      .filter(col("rn") === expr("(cnt + 1L) div 2"))
+      .join(sizes, Seq("k"))
+      .filter(col("rn") === expr("(m + 1L) div 2"))
       .select(col("k"), col("y").as("median_y"))
     med.join(mn, Seq("k"))
   }

@@ -587,6 +587,13 @@ object TimeSeriesPack extends QueryPack {
     // one pass.
     "events_cusum_stream" -> ((s, dir) =>
       graft.streaming.EventsStream.cusumViaFileSink(s, dir)),
+    // STREAMING Holt (EventsStream.mergeHoltIntoState): the forecaster
+    // twin of the streaming CUSUM — (level, trend) folds across
+    // micro-batches; FOLD CONTINUITY means the final state equals the
+    // single-shot Holt over each type's dense series extended to the
+    // global last hour, which is what the oracle recomputes.
+    "events_holt_stream" -> ((s, dir) =>
+      graft.streaming.EventsStream.holtViaFileSink(s, dir)),
   )
 
   /** Shared event-slice CTE: integer epoch seconds + scale4 value. */
@@ -608,6 +615,41 @@ object TimeSeriesPack extends QueryPack {
         |bounds AS (SELECT event_type, min(hr) AS h0, max(hr) AS h1
         |  FROM hourly GROUP BY 1),
         |grid AS (SELECT event_type, unnest(generate_series(h0, h1)) AS hr FROM bounds),
+        |dense AS (SELECT g.event_type, g.hr, COALESCE(h.n, 0) AS n
+        |  FROM grid g LEFT JOIN hourly h
+        |    ON h.event_type = g.event_type AND h.hr = g.hr),
+        |ord AS (SELECT event_type, n,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY hr) AS t,
+        |    count(*) OVER (PARTITION BY event_type) AS nh
+        |  FROM dense),
+        |s(event_type, nh, t, l, b) AS (
+        |  SELECT o0.event_type, o0.nh, CAST(1 AS BIGINT),
+        |    o0.n * 10000, COALESCE(o1.n - o0.n, 0) * 10000
+        |  FROM ord o0 LEFT JOIN ord o1
+        |    ON o1.event_type = o0.event_type AND o1.t = 2
+        |  WHERE o0.t = 1
+        |  UNION ALL
+        |  SELECT s.event_type, s.nh, s.t + 1,
+        |    (8 * o.n * 10000 + 2 * (s.l + s.b)) // 10,
+        |    (3 * ((8 * o.n * 10000 + 2 * (s.l + s.b)) // 10 - s.l)
+        |      + 7 * s.b) // 10
+        |  FROM s JOIN ord o ON o.event_type = s.event_type AND o.t = s.t + 1
+        |  WHERE s.t < s.nh)
+        |SELECT event_type, nh AS n_obs, l AS level_x1e4, b AS trend_x1e4,
+        |  l + b AS fc1_x1e4, l + 2 * b AS fc2_x1e4, l + 3 * b AS fc3_x1e4
+        |FROM s WHERE t = nh ORDER BY event_type""".stripMargin,
+    // the single-shot Holt recursion with every type's grid extended
+    // to the GLOBAL last hour (what fold continuity across the two
+    // micro-batches produces); same seed, same ×1e4 recurrence
+    "events_holt_stream" ->
+      """WITH RECURSIVE hourly AS (SELECT event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 // 3600 AS hr,
+        |    count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |gmax AS (SELECT max(hr) AS h1 FROM hourly),
+        |bounds AS (SELECT event_type, min(hr) AS h0 FROM hourly GROUP BY 1),
+        |grid AS (SELECT b.event_type, unnest(generate_series(b.h0, g.h1)) AS hr
+        |  FROM bounds b, gmax g),
         |dense AS (SELECT g.event_type, g.hr, COALESCE(h.n, 0) AS n
         |  FROM grid g LEFT JOIN hourly h
         |    ON h.event_type = g.event_type AND h.hr = g.hr),

@@ -1012,34 +1012,112 @@ object EventsStream {
     } finally { hourly.unpersist(); () }
   }
 
-  /** Correctness gate for [[mergeCusumIntoState]]: the feed splits at
-    * the midpoint HOUR (batch 1 = the calibration prefix, batch 2 =
-    * the monitored tail), and the final state must equal the batch
-    * recompute under the same calibrate-then-monitor contract —
-    * a replayed/dropped batch or a fold that lost its place shifts
-    * (n_obs, n_alarms, max_s, final_s). */
-  def cusumViaFileSink(spark: SparkSession, sfDir: String): DataFrame = {
+  /** Streaming Holt forecaster — the CUSUM monitor's forecasting twin
+    * and the second order-dependent state: the (level, trend) pair is
+    * a fold, so the store carries (l, b, last_hr, n_obs) and each
+    * micro-batch folds its dense hours on. Batch 1 seeds exactly like
+    * the batch gate (l = y₀·S, b = (y₁−y₀)·S, y₁ re-enters); later
+    * batches continue the fold — fold continuity means the final
+    * state is IDENTICAL to the single-shot Holt over the concatenated
+    * dense series, which is what the oracle recomputes (contract
+    * caveat: a type with ONE point in batch 1 seeds b = 0 there,
+    * where a single shot would seed from its second point — the
+    * monitored feed always has a multi-hour calibration prefix).
+    * Types first seen after batch 1 are not tracked. */
+  def mergeHoltIntoState(batch: DataFrame, batchId: Long,
+      stateBase: String): Unit = {
+    val ss = batch.sparkSession
+    val hourly = cusumHourly(batch)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val gmaxRow = hourly.agg(max(col("hr"))).head()
+      val prev = currentStateVersion(ss, stateBase, below = batchId)
+      val newState = (prev, if (gmaxRow.isNullAt(0)) None else Some(gmaxRow.getLong(0))) match {
+        case (p, None) =>
+          p.map(ss.read.parquet).getOrElse(
+            throw new IllegalStateException("holt: empty seed batch"))
+        case (None, Some(gmax)) => // seed batch: whole-series holt fold
+          hourly.groupBy("event_type").agg(min(col("hr")).as("h0"))
+            .select(col("event_type"),
+              explode(expr(s"sequence(h0, ${gmax}L)")).as("hr"))
+            .join(hourly, Seq("event_type", "hr"), "left")
+            .na.fill(0L, Seq("n"))
+            .groupBy("event_type")
+            .agg(expr("transform(sort_array(collect_list(struct(hr, n))), x -> x.n)")
+              .as("vals"))
+            .withColumn("st", expr(graft.ops.Forecast.holtFoldExpr(
+              arr = "slice(vals, 2, size(vals) - 1)",
+              l0 = "vals[0] * 10000L",
+              b0 = "CASE WHEN size(vals) >= 2 THEN (vals[1] - vals[0]) * 10000L ELSE 0L END")))
+            .select(col("event_type"), col("st.l").as("l"), col("st.b").as("b"),
+              lit(gmax).as("last_hr"), size(col("vals")).cast("long").as("n_obs"))
+        case (Some(dir), Some(gmax)) => // continuation: carry (l, b)
+          val st = ss.read.parquet(dir)
+          val packed = st.select(col("event_type"), col("last_hr"))
+            .filter(col("last_hr") < gmax)
+            .select(col("event_type"),
+              explode(expr(s"sequence(last_hr + 1L, ${gmax}L)")).as("hr"))
+            .join(hourly, Seq("event_type", "hr"), "left")
+            .na.fill(0L, Seq("n"))
+            .groupBy("event_type")
+            .agg(expr("transform(sort_array(collect_list(struct(hr, n))), x -> x.n)")
+              .as("vals"))
+          st.join(packed, Seq("event_type"), "left")
+            .withColumn("vals",
+              coalesce(col("vals"), expr("CAST(array() AS array<bigint>)")))
+            .withColumn("st2", expr(graft.ops.Forecast.holtFoldExpr(
+              arr = "vals", l0 = "l", b0 = "b")))
+            .select(col("event_type"), col("st2.l").as("l"), col("st2.b").as("b"),
+              greatest(col("last_hr"), lit(gmax)).as("last_hr"),
+              (col("n_obs") + size(col("vals"))).as("n_obs"))
+      }
+      newState.write.mode("overwrite").parquet(s"$stateBase/v$batchId")
+    } finally { hourly.unpersist(); () }
+  }
+
+  /** Correctness gate for [[mergeHoltIntoState]]: median-hour split
+    * like the CUSUM gate; fold continuity makes the final state equal
+    * the single-shot Holt over each type's dense series extended to
+    * the GLOBAL last hour — which is exactly what the oracle runs. */
+  def holtViaFileSink(spark: SparkSession, sfDir: String): DataFrame = {
+    val (ss, in, base) = stageTimeSplit(spark, sfDir)
+    val state = base.resolve("state").toString
+    val q = readEvents(ss, in.toString, maxFilesPerTrigger = Some(1))
+      .writeStream
+      .option("checkpointLocation", base.resolve("ckpt").toString)
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        mergeHoltIntoState(b, id, state)
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    finalStateAndCleanup(spark, state,
+      Seq(in, base.resolve("stage0"), base.resolve("stage1"), base.resolve("ckpt")))
+      .select(col("event_type"), col("n_obs"), col("l").as("level_x1e4"),
+        col("b").as("trend_x1e4"),
+        expr("l + 1L * b").as("fc1_x1e4"), expr("l + 2L * b").as("fc2_x1e4"),
+        expr("l + 3L * b").as("fc3_x1e4"))
+      .orderBy("event_type")
+  }
+
+  /** Stage the events fixture as TWO files split at the median hour —
+    * shared by the order-dependent-state gates (CUSUM, Holt). */
+  private def stageTimeSplit(spark: SparkSession, sfDir: String):
+      (SparkSession, java.nio.file.Path, java.nio.file.Path) = {
     import java.nio.file.Files
-    val base = Files.createTempDirectory("graft_cusum_gate")
+    val base = Files.createTempDirectory("graft_tsplit_gate")
     val in = base.resolve("in"); Files.createDirectories(in)
     val ss = spark.newSession()
     ss.conf.set("spark.sql.shuffle.partitions", "4")
     ss.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val probe = ss.read.parquet(s"$sfDir/events.parquet")
-    val probeHr = cusumHourly(
+    val tsCol =
       if (probe.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-        probe.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-      else probe)
-    val (gmin, gmax) = {
-      val r = probeHr.agg(min(col("hr")), max(col("hr"))).head()
-      (r.getLong(0), r.getLong(1))
-    }
-    val split = (gmin + gmax + 1) / 2
+        timestamp_micros(expr("ts DIV 1000")) else col("ts")
+    val hrCol = (graft.ops.Resample.epochSec(tsCol) / 3600L).cast("long")
+    val r = probe.agg(min(hrCol), max(hrCol)).head()
+    val split = (r.getLong(0) + r.getLong(1) + 1) / 2
     Seq(0, 1).foreach { p =>
       val stage = base.resolve(s"stage$p")
-      val hrCol = (graft.ops.Resample.epochSec(
-        if (probe.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-          timestamp_micros(expr("ts DIV 1000")) else col("ts")) / 3600L).cast("long")
       probe.filter(if (p == 0) hrCol < split else hrCol >= split)
         .coalesce(1).write.parquet(stage.toString)
       val listing = Files.list(stage)
@@ -1050,6 +1128,17 @@ object EventsStream {
       Files.setLastModifiedTime(dst, java.nio.file.attribute.FileTime
         .fromMillis(System.currentTimeMillis() + 10000L + p * 10000L))
     }
+    (ss, in, base)
+  }
+
+  /** Correctness gate for [[mergeCusumIntoState]]: the feed splits at
+    * the midpoint HOUR (batch 1 = the calibration prefix, batch 2 =
+    * the monitored tail), and the final state must equal the batch
+    * recompute under the same calibrate-then-monitor contract —
+    * a replayed/dropped batch or a fold that lost its place shifts
+    * (n_obs, n_alarms, max_s, final_s). */
+  def cusumViaFileSink(spark: SparkSession, sfDir: String): DataFrame = {
+    val (ss, in, base) = stageTimeSplit(spark, sfDir)
     val state = base.resolve("state").toString
     val q = readEvents(ss, in.toString, maxFilesPerTrigger = Some(1))
       .writeStream

@@ -347,6 +347,30 @@ class EventsStreamSpec extends SparkSpec {
     assert(s1("view") == ((20000L, 1L, 1L, 107500L, 0L)), s1)
   }
 
+  test("holt stream state: fold continuity — two batches equal the single shot; retry idempotent") {
+    import org.apache.spark.sql.functions.col
+    val base = java.nio.file.Files.createTempDirectory("holt_retry")
+    val state = base.resolve("state").toString
+    // hourly counts 1,3,2,4 on hours 10..13, split 2+2 across batches
+    def hourEvents(hour: Int, k: Int): Seq[Event] =
+      (1 to k).map(i => Event(hour * 100L + i, ts(f"2024-01-01 $hour%02d:${i % 60}%02d:00"), 1L, "view", 1.0))
+    val b1 = (hourEvents(10, 1) ++ hourEvents(11, 3)).toDF()
+    val b2 = (hourEvents(12, 2) ++ hourEvents(13, 4)).toDF()
+    EventsStream.mergeHoltIntoState(b1, 0L, state)
+    EventsStream.mergeHoltIntoState(b2, 1L, state)
+    EventsStream.mergeHoltIntoState(b2, 1L, state) // torn-batch retry
+    val got = spark.read.parquet(
+      EventsStream.currentStateVersion(spark, state).get)
+      .select("event_type", "l", "b", "n_obs").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // single-shot reference over the same dense series
+    val single = graft.ops.Forecast.holtLinear(
+      Seq(1L, 3L, 2L, 4L).zipWithIndex.map { case (y, t) => ("view", t.toLong, y) }
+        .toDF("key", "t", "y"), "key", "t", "y").collect()(0)
+    assert(got("view") == ((single.getAs[Long]("level_x1e4"),
+      single.getAs[Long]("trend_x1e4"), 4L)), got)
+  }
+
   test("runToFiles: deployable file-source → parquet-sink pipeline (§2.11)") {
     val base = java.nio.file.Files.createTempDirectory("evstream")
     val out = base.resolve("out").toString
