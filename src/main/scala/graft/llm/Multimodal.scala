@@ -217,6 +217,53 @@ object Multimodal {
         s"transform(sequence(1, greatest(int(octet_length(content)) div $stride, 1)), " +
           s"i -> substring(content, (i - 1) * $stride + 1, $len))")).as(Seq("frame_no", "frame")))
 
+  /** Shot-boundary / KEYFRAME detection over a [[sampleFrames]]-shaped
+    * relation: a frame is a keyframe when its content Jaccard (distinct
+    * char n-grams) against the PREVIOUS frame drops below `tauX1e4` —
+    * the standard frame-difference cut detector, with the byte-window
+    * fixture standing in for decoded rasters (swap the n-gram set for
+    * a block-histogram and the plan is unchanged). Frame 0 is always a
+    * keyframe (jacc_prev reported as −1).
+    *
+    * Plan shape: gram explode → one equi-join keyed on (media, gram)
+    * restricted to consecutive frame pairs → per-pair aggregate.
+    * Work is frames × grams-per-frame — linear in media bytes, and the
+    * consecutive-pair restriction keeps the join fan-out at one
+    * partner per gram occurrence, never all-frames-pairs. */
+  def keyframes(frames: DataFrame, n: Int = 4,
+      tauX1e4: Long = 2000L): DataFrame = {
+    import graft.functions.F
+    val txt = frames.select(col("media_id"), col("frame_no"),
+      col("frame").cast("string").as("s"))
+    val g = txt.select(col("media_id"), col("frame_no"), explode(expr(
+      s"""array_distinct(transform(
+         |  sequence(1, greatest(length(s) - ${n - 1}, 1)),
+         |  i -> substring(s, i, $n)))""".stripMargin)).as("g"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sizes = g.groupBy("media_id", "frame_no").agg(count(lit(1)).as("sz"))
+    val inter = g.as("a").join(g.as("b"),
+        col("a.media_id") === col("b.media_id") &&
+          col("b.frame_no") === col("a.frame_no") + 1 &&
+          col("a.g") === col("b.g"))
+      .groupBy(col("a.media_id").as("media_id"), col("b.frame_no").as("frame_no"))
+      .agg(count(lit(1)).as("i"))
+    val scored = sizes.as("cur")
+      .join(sizes.as("prv"),
+        col("cur.media_id") === col("prv.media_id") &&
+          col("prv.frame_no") === col("cur.frame_no") - 1)
+      .join(inter,
+        inter("media_id") === col("cur.media_id") &&
+          inter("frame_no") === col("cur.frame_no"), "left")
+      .na.fill(0L, Seq("i"))
+      .select(col("cur.media_id").as("media_id"),
+        col("cur.frame_no").as("frame_no"),
+        F.scale4(col("i").cast("double") /
+          (col("cur.sz") + col("prv.sz") - col("i"))).as("jacc_prev_x1e4"))
+    val first = txt.filter(col("frame_no") === 0)
+      .select(col("media_id"), col("frame_no"), lit(-1L).as("jacc_prev_x1e4"))
+    first.unionByName(scored.filter(col("jacc_prev_x1e4") < tauX1e4))
+  }
+
   /** Decode-once image entry point: None when the payload isn't a
     * decodable image. Every image transform below starts here so a
     * pipeline stage that needs N derived artifacts (resized PNG +

@@ -918,6 +918,17 @@ object LlmPack extends QueryPack {
           Multimodal.fromText(docs(s, dir), "doc_id", "text"))
         .select(col("media_id"), col("frame_no"), hex(col("frame")).as("frame_hex"))
         .orderBy("media_id", "frame_no")),
+    // Shot-boundary keyframes (Multimodal.keyframes): half-overlapping
+    // byte windows as frames; a frame whose 4-gram Jaccard against its
+    // predecessor drops under τ is a cut. One gram equi-join restricted
+    // to consecutive pairs — never all-frames-pairs.
+    "multimodal_keyframes" -> ((s, dir) =>
+      Multimodal.keyframes(
+          Multimodal.sampleFrames(
+            Multimodal.fromText(docs(s, dir), "doc_id", "text"),
+            stride = 16, len = 32),
+          n = 4, tauX1e4 = 3500L)
+        .orderBy("media_id", "frame_no")),
   )
 
   // ---- DuckDB mirrors -------------------------------------------------
@@ -1816,6 +1827,36 @@ object LlmPack extends QueryPack {
         |    hex(encode(substring(text, CAST((i-1)*64+1 AS INT), 16))) AS frame_hex
         |  FROM n, unnest(generate_series(1, nf)) AS t(i))
         |SELECT media_id, frame_no, frame_hex FROM f
+        |ORDER BY media_id, frame_no""".stripMargin,
+    // same half-overlapping windows (ASCII fixture: char = byte), same
+    // distinct-4-gram Jaccard vs the predecessor, same -1 first frame
+    "multimodal_keyframes" ->
+      """WITH m AS (SELECT doc_id AS media_id, text,
+        |    GREATEST(octet_length(encode(text)) // 16, 1) AS nf FROM documents),
+        |fr AS (SELECT media_id, CAST(i - 1 AS INT) AS frame_no,
+        |    substring(text, CAST((i-1)*16+1 AS INT), 32) AS s
+        |  FROM m, unnest(generate_series(1, nf)) AS t(i)),
+        |g AS (SELECT media_id, frame_no, unnest(list_distinct(list_transform(
+        |    generate_series(1, GREATEST(length(s) - 3, 1)),
+        |    i -> substring(s, CAST(i AS INT), 4)))) AS g
+        |  FROM fr),
+        |sizes AS (SELECT media_id, frame_no, count(*) AS sz FROM g GROUP BY 1, 2),
+        |inter AS (SELECT a.media_id, b.frame_no, count(*) AS i
+        |  FROM g a JOIN g b ON b.media_id = a.media_id
+        |    AND b.frame_no = a.frame_no + 1 AND b.g = a.g
+        |  GROUP BY 1, 2),
+        |sc AS (SELECT c.media_id, c.frame_no,
+        |    CAST(FLOOR(CAST(COALESCE(i.i, 0) AS DOUBLE)
+        |      / (c.sz + p.sz - COALESCE(i.i, 0)) * 10000 + 0.5) AS BIGINT)
+        |      AS jacc_prev_x1e4
+        |  FROM sizes c
+        |  JOIN sizes p ON p.media_id = c.media_id AND p.frame_no = c.frame_no - 1
+        |  LEFT JOIN inter i ON i.media_id = c.media_id AND i.frame_no = c.frame_no)
+        |SELECT media_id, frame_no, CAST(-1 AS BIGINT) AS jacc_prev_x1e4
+        |FROM fr WHERE frame_no = 0
+        |UNION ALL
+        |SELECT media_id, frame_no, jacc_prev_x1e4 FROM sc
+        |WHERE jacc_prev_x1e4 < 3500
         |ORDER BY media_id, frame_no""".stripMargin,
   )
 }

@@ -652,6 +652,21 @@ class LlmSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("keyframes: identical frames merge into one shot; a hard cut is a keyframe") {
+    val frames = Seq(
+      (1L, 0, "AAAABBBBCCCCDDDD"),
+      (1L, 1, "AAAABBBBCCCCDDDD"), // same scene: jacc 10000 -> not a keyframe
+      (1L, 2, "XXXXYYYYZZZZWWWW"), // hard cut: jacc 0 -> keyframe
+      (1L, 3, "XXXXYYYYZZZZWWW2"), // one-char drift: 12/14 grams -> not a keyframe
+      (2L, 0, "solo")              // single-frame media: first frame only
+    ).toDF("media_id", "frame_no", "frame")
+    val got = Multimodal.keyframes(frames, n = 4, tauX1e4 = 5000L)
+      .orderBy("media_id", "frame_no").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    assert(got == Seq((1L, 0, -1L), (1L, 2, 0L), (2L, 0, -1L)))
+    spark.catalog.clearCache()
+  }
+
   test("nbClassify: recovers classes, drops all-OOV docs, deterministic ties") {
     val train = Seq(
       (1L, "aa aa bb", "en"), (2L, "aa cc", "en"),
