@@ -235,10 +235,15 @@ object Multimodal {
     import graft.functions.F
     val txt = frames.select(col("media_id"), col("frame_no"),
       col("frame").cast("string").as("s"))
+    // Grams digest to 64-bit xxhash BEFORE the consecutive-pair join —
+    // the same pre-shuffle digesting as Dedup.jaccard: distinct grams
+    // map 1:1 to digests, so sizes and intersections are unchanged and
+    // the join ships 8-byte keys instead of gram text.
     val g = txt.select(col("media_id"), col("frame_no"), explode(expr(
-      s"""array_distinct(transform(
-         |  sequence(1, greatest(length(s) - ${n - 1}, 1)),
-         |  i -> substring(s, i, $n)))""".stripMargin)).as("g"))
+        s"""array_distinct(transform(
+           |  sequence(1, greatest(length(s) - ${n - 1}, 1)),
+           |  i -> substring(s, i, $n)))""".stripMargin)).as("g0"))
+      .select(col("media_id"), col("frame_no"), xxhash64(col("g0")).as("g"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = g.groupBy("media_id", "frame_no").agg(count(lit(1)).as("sz"))
     val inter = g.as("a").join(g.as("b"),
