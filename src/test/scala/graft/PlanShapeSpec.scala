@@ -687,4 +687,10 @@ class PlanShapeSpec extends SparkSpec {
     val p = plan("events_theil_sen")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
+
+  test("multimodal_keyframes: NO join — consecutive frames meet through a lag window") {
+    val p = plan("multimodal_keyframes")
+    assert(!p.contains("Join"), p)
+    assert(p.contains("Window"), p)
+  }
 }
