@@ -25,6 +25,39 @@ object InsightsPack extends QueryPack {
   private def sec(c: org.apache.spark.sql.Column) =
     graft.ops.Resample.epochSec(c)
 
+  /** Additive STL-lite over the dense hourly grid (shared by the
+    * decomposition gate and the seasonal-aware anomaly gate): trend =
+    * centered 25-h MA, seasonal = per hour-of-day mean of the
+    * detrended series, remainder = the rest; all ×1e4 integers,
+    * edge rows without a full window excluded. */
+  private def stlFrame(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hourly = Tables.load(s, dir, "events")
+      .groupBy(col("event_type"),
+        (sec(col("ts")) / 3600L).cast("long").as("hr"))
+      .agg(count(lit(1)).as("n"))
+    val dense = hourly.groupBy("event_type")
+      .agg(min(col("hr")).as("h0"), max(col("hr")).as("h1"))
+      .select(col("event_type"), explode(expr("sequence(h0, h1)")).as("hr"))
+      .join(hourly, Seq("event_type", "hr"), "left")
+      .na.fill(0L, Seq("n"))
+    val w = Window.partitionBy("event_type").orderBy("hr")
+      .rowsBetween(-12, 12)
+    val det = dense
+      .withColumn("wn", count(lit(1)).over(w))
+      .withColumn("s25", sum(col("n")).over(w))
+      .filter(col("wn") === 25L)
+      .withColumn("trend_x1e4", expr("s25 * 10000L div 25"))
+      .withColumn("det_x1e4", col("n") * 10000L - col("trend_x1e4"))
+      .withColumn("hod", col("hr") % 24)
+    val seas = det.groupBy("event_type", "hod")
+      .agg(expr("sum(det_x1e4) div count(1)").as("seas_x1e4"))
+    det.join(seas, Seq("event_type", "hod"))
+      .select(col("event_type"), col("hr"), col("n"), col("trend_x1e4"),
+        col("seas_x1e4"),
+        (col("det_x1e4") - col("seas_x1e4")).as("remainder_x1e4"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Per-part triangle count over the CO-PURCHASE projection (parts
@@ -868,32 +901,37 @@ object InsightsPack extends QueryPack {
     // decomposition is oracle-exact; edge rows without a full window
     // are excluded rather than padded. The seasonal table is
     // types×24 rows — broadcast back, no second corpus shuffle.
-    "events_stl_decompose" -> ((s, dir) => {
+    "events_stl_decompose" -> ((s, dir) =>
+      stlFrame(s, dir).orderBy("event_type", "hr")),
+
+    // SEASONAL-AWARE ANOMALY FLAGS over the STL remainder: the rolling
+    // z-score (events_rolling_anomaly) fires on every rush hour; here
+    // trend and hour-of-day seasonality are subtracted FIRST and the
+    // flag is the robust |remainder − median| > 5·MAD test (median and
+    // MAD by the deterministic rank trick, exact integers) — only
+    // hours that deviate from their OWN hour's normal flag. Output =
+    // the anomalous hours plus the per-type robust scale that judged
+    // them.
+    "events_anomaly_stl" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
-      val hourly = Tables.load(s, dir, "events")
-        .groupBy(col("event_type"),
-          (sec(col("ts")) / 3600L).cast("long").as("hr"))
-        .agg(count(lit(1)).as("n"))
-      val dense = hourly.groupBy("event_type")
-        .agg(min(col("hr")).as("h0"), max(col("hr")).as("h1"))
-        .select(col("event_type"), explode(expr("sequence(h0, h1)")).as("hr"))
-        .join(hourly, Seq("event_type", "hr"), "left")
-        .na.fill(0L, Seq("n"))
-      val w = Window.partitionBy("event_type").orderBy("hr")
-        .rowsBetween(-12, 12)
-      val det = dense
-        .withColumn("wn", count(lit(1)).over(w))
-        .withColumn("s25", sum(col("n")).over(w))
-        .filter(col("wn") === 25L)
-        .withColumn("trend_x1e4", expr("s25 * 10000L div 25"))
-        .withColumn("det_x1e4", col("n") * 10000L - col("trend_x1e4"))
-        .withColumn("hod", col("hr") % 24)
-      val seas = det.groupBy("event_type", "hod")
-        .agg(expr("sum(det_x1e4) div count(1)").as("seas_x1e4"))
-      det.join(seas, Seq("event_type", "hod"))
-        .select(col("event_type"), col("hr"), col("n"), col("trend_x1e4"),
-          col("seas_x1e4"),
-          (col("det_x1e4") - col("seas_x1e4")).as("remainder_x1e4"))
+      val stl = stlFrame(s, dir)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      def medianOf(df: DataFrame, c: String, out: String): DataFrame = {
+        val w = Window.partitionBy("event_type").orderBy(col(c), col("hr"))
+        df.withColumn("rn", row_number().over(w))
+          .withColumn("cnt", count(lit(1)).over(Window.partitionBy("event_type")))
+          .filter(col("rn") === expr("(cnt + 1L) div 2"))
+          .select(col("event_type"), col(c).as(out))
+      }
+      val med = medianOf(stl, "remainder_x1e4", "med_x1e4")
+      val dev = stl.join(broadcast(med), Seq("event_type"))
+        .withColumn("adev_x1e4", abs(col("remainder_x1e4") - col("med_x1e4")))
+      val mad = medianOf(dev, "adev_x1e4", "mad_x1e4")
+      dev.join(broadcast(mad), Seq("event_type"))
+        .filter(col("adev_x1e4") > col("mad_x1e4") * 5L)
+        .select(col("event_type"), col("hr"), col("n"),
+          col("remainder_x1e4"), col("med_x1e4"), col("mad_x1e4"),
+          col("adev_x1e4"))
         .orderBy("event_type", "hr")
     }),
 
@@ -1020,6 +1058,53 @@ object InsightsPack extends QueryPack {
         |FROM det JOIN seas
         |  ON seas.event_type = det.event_type AND seas.hod = det.hr % 24
         |ORDER BY det.event_type, det.hr""".stripMargin,
+    // same STL chain, then median and MAD of the remainder by the
+    // deterministic (value, hr) rank trick, flag |rem − med| > 5·MAD
+    "events_anomaly_stl" ->
+      """WITH hourly AS (SELECT event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 // 3600 AS hr,
+        |    count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |bounds AS (SELECT event_type, min(hr) AS h0, max(hr) AS h1
+        |  FROM hourly GROUP BY 1),
+        |grid AS (SELECT event_type, unnest(generate_series(h0, h1)) AS hr FROM bounds),
+        |dense AS (SELECT g.event_type, g.hr, COALESCE(h.n, 0) AS n
+        |  FROM grid g LEFT JOIN hourly h
+        |    ON h.event_type = g.event_type AND h.hr = g.hr),
+        |t AS (SELECT event_type, hr, n,
+        |    count(*) OVER w AS wn, sum(n) OVER w AS s25
+        |  FROM dense
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY hr
+        |    ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)),
+        |det AS (SELECT event_type, hr, n,
+        |    n * 10000 - CAST(s25 AS BIGINT) * 10000 // 25 AS det_x1e4
+        |  FROM t WHERE wn = 25),
+        |seas AS (SELECT event_type, hr % 24 AS hod,
+        |    CAST(sum(det_x1e4) AS BIGINT) // count(*) AS seas_x1e4
+        |  FROM det GROUP BY 1, 2),
+        |r AS (SELECT det.event_type, det.hr, det.n,
+        |    det.det_x1e4 - seas.seas_x1e4 AS rem
+        |  FROM det JOIN seas
+        |    ON seas.event_type = det.event_type AND seas.hod = det.hr % 24),
+        |med AS (SELECT event_type, rem AS med FROM (
+        |    SELECT event_type, rem, hr,
+        |      row_number() OVER (PARTITION BY event_type ORDER BY rem, hr) AS rn,
+        |      count(*) OVER (PARTITION BY event_type) AS cnt FROM r)
+        |  WHERE rn = (cnt + 1) // 2),
+        |dev AS (SELECT r.event_type, r.hr, r.n, r.rem, med.med,
+        |    abs(r.rem - med.med) AS adev
+        |  FROM r JOIN med USING (event_type)),
+        |mad AS (SELECT event_type, adev AS mad FROM (
+        |    SELECT event_type, adev, hr,
+        |      row_number() OVER (PARTITION BY event_type ORDER BY adev, hr) AS rn,
+        |      count(*) OVER (PARTITION BY event_type) AS cnt FROM dev)
+        |  WHERE rn = (cnt + 1) // 2)
+        |SELECT d.event_type, d.hr, CAST(d.n AS BIGINT) AS n,
+        |  d.rem AS remainder_x1e4, d.med AS med_x1e4, mad.mad AS mad_x1e4,
+        |  d.adev AS adev_x1e4
+        |FROM dev d JOIN mad USING (event_type)
+        |WHERE d.adev > mad.mad * 5
+        |ORDER BY d.event_type, d.hr""".stripMargin,
     // min over all ≤3-edge paths from the seeds ≡ the engine's
     // frontier-expansion BFS bounded at depth 3
     "graph_bfs_levels" ->
