@@ -1,0 +1,63 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Kaplan–Meier survival estimation (Kaplan & Meier 1958) — the
+  * time-to-event family (conversion lag, churn, time-to-failure) with
+  * RIGHT CENSORING done properly: users who never converted are not
+  * dropped (that biases survival down) and not treated as converted
+  * (that biases it up) — they stay in the risk set until their
+  * observation window ends.
+  *
+  * Everything heavy is relational: one per-user aggregate (the
+  * caller's — any event/censor definition plugs in), one (group, t)
+  * aggregate, one cumulative window for the risk sets. The survival
+  * curve itself is a product over EVENT TIMES, which are bounded by
+  * the duration grid (days in the observation window), so the
+  * sequential part is the same bounded per-group `aggregate()` fold as
+  * Holt/CUSUM — ×1e6 integer state, one truncating division per step,
+  * bit-identical to the oracle's recursive CTE.
+  *
+  * Input `obs`: one row per subject — (groupCol, tCol = observed time
+  * in integer units, evCol = 1 event / 0 censored). Output: one row
+  * per (group, event time): n_risk, n_events, surv_x1e6 — the KM
+  * curve S(t) = Π_{u ≤ t} (n(u) − d(u)) / n(u). */
+object Survival {
+
+  def kaplanMeier(obs: DataFrame, groupCol: String, tCol: String,
+      evCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byT = obs
+      .select(col(groupCol).as("g"), col(tCol).cast("long").as("t"),
+        col(evCol).cast("long").as("ev"))
+      .groupBy("g", "t")
+      .agg(count(lit(1)).as("leave"), sum(col("ev")).as("d"))
+    val whole = Window.partitionBy("g")
+    val before = Window.partitionBy("g").orderBy("t")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val risk = byT
+      .withColumn("n_risk", sum(col("leave")).over(whole) -
+        coalesce(sum(col("leave")).over(before), lit(0L)))
+      .filter(col("d") > 0)
+    // The product emits every prefix, so the fold carries (s, out):
+    // the running survival and the curve rows so far. Event times per
+    // group are bounded by the time grid — a ≤grid-length array.
+    val fold =
+      """aggregate(steps,
+        |  struct(CAST(1000000 AS BIGINT) AS s,
+        |    CAST(array() AS array<struct<t:bigint,n:bigint,d:bigint,sv:bigint>>) AS o),
+        |  (acc, x) -> struct(
+        |    acc.s * (x.n_risk - x.d) div x.n_risk AS s,
+        |    concat(acc.o, array(struct(x.t AS t, x.n_risk AS n, x.d AS d,
+        |      acc.s * (x.n_risk - x.d) div x.n_risk AS sv))) AS o)).o""".stripMargin
+    risk
+      .groupBy("g")
+      .agg(sort_array(collect_list(
+        struct(col("t"), col("n_risk"), col("d")))).as("steps"))
+      .select(col("g"), explode(expr(fold)).as("st"))
+      .select(col("g").as(groupCol), col("st.t").as("t"),
+        col("st.n").as("n_risk"), col("st.d").as("n_events"),
+        col("st.sv").as("surv_x1e6"))
+  }
+}

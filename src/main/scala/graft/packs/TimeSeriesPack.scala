@@ -594,6 +594,30 @@ object TimeSeriesPack extends QueryPack {
     // global last hour, which is what the oracle recomputes.
     "events_holt_stream" -> ((s, dir) =>
       graft.streaming.EventsStream.holtViaFileSink(s, dir)),
+    // Kaplan-Meier time-to-conversion (Survival.kaplanMeier): days
+    // from a user's first event to their first purchase, RIGHT-
+    // CENSORED at the feed's end for users who never converted —
+    // never dropped (biases survival down), never counted as
+    // converted (biases it up). One curve per first-day-of-week
+    // cohort; the day-of-week is integer epoch arithmetic so both
+    // engines bucket identically.
+    "events_kaplan_meier" -> ((s, dir) => {
+      val secs = graft.ops.Resample.epochSec(col("ts"))
+      val ev = Tables.load(s, dir, "events")
+        .select(col("user_id"), col("event_type"), secs.as("sec"))
+      val perUser = ev.groupBy("user_id").agg(
+        min(col("sec")).as("t0"),
+        min(when(col("event_type") === "purchase", col("sec"))).as("tc"))
+      val gmax = ev.agg(max(col("sec")).as("gm"))
+      val obs = perUser.crossJoin(broadcast(gmax))
+        .select(expr("(t0 div 86400) % 7").as("dow"),
+          when(col("tc").isNotNull, expr("(tc - t0) div 86400"))
+            .otherwise(expr("(gm - t0) div 86400")).as("obs_t"),
+          when(col("tc").isNotNull, 1L).otherwise(0L).as("ev"))
+      graft.ops.Survival.kaplanMeier(obs, "dow", "obs_t", "ev")
+        .withColumnRenamed("t", "t_days")
+        .orderBy("dow", "t_days")
+    }),
   )
 
   /** Shared event-slice CTE: integer epoch seconds + scale4 value. */
@@ -638,6 +662,45 @@ object TimeSeriesPack extends QueryPack {
         |SELECT event_type, nh AS n_obs, l AS level_x1e4, b AS trend_x1e4,
         |  l + b AS fc1_x1e4, l + 2 * b AS fc2_x1e4, l + 3 * b AS fc3_x1e4
         |FROM s WHERE t = nh ORDER BY event_type""".stripMargin,
+    // same per-user first/conversion/censor times, same risk-set
+    // window, the survival product as a recursive CTE with one
+    // truncating x1e6 division per event time — the engine's fold
+    "events_kaplan_meier" ->
+      """WITH RECURSIVE secs AS (SELECT user_id, event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 AS sec FROM events),
+        |pu AS (SELECT user_id, min(sec) AS t0,
+        |    min(CASE WHEN event_type = 'purchase' THEN sec END) AS tc
+        |  FROM secs GROUP BY 1),
+        |gm AS (SELECT max(sec) AS gm FROM secs),
+        |obs AS (SELECT (t0 // 86400) % 7 AS dow,
+        |    CASE WHEN tc IS NOT NULL THEN (tc - t0) // 86400
+        |         ELSE (gm.gm - t0) // 86400 END AS obs_t,
+        |    CASE WHEN tc IS NOT NULL THEN 1 ELSE 0 END AS ev
+        |  FROM pu, gm),
+        |byt AS (SELECT dow, obs_t, count(*) AS leave,
+        |    CAST(sum(ev) AS BIGINT) AS d
+        |  FROM obs GROUP BY 1, 2),
+        |risk AS (SELECT dow, obs_t, d,
+        |    CAST(sum(leave) OVER (PARTITION BY dow) AS BIGINT)
+        |      - CAST(COALESCE(sum(leave) OVER (PARTITION BY dow ORDER BY obs_t
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |      AS n_risk
+        |  FROM byt),
+        |evt AS (SELECT dow, obs_t, d, n_risk,
+        |    row_number() OVER (PARTITION BY dow ORDER BY obs_t) AS i,
+        |    count(*) OVER (PARTITION BY dow) AS ni
+        |  FROM risk WHERE d > 0),
+        |km(dow, i, ni, t, n, d, sv) AS (
+        |  SELECT dow, i, ni, obs_t, n_risk, d,
+        |    CAST(1000000 AS BIGINT) * (n_risk - d) // n_risk
+        |  FROM evt WHERE i = 1
+        |  UNION ALL
+        |  SELECT e.dow, e.i, e.ni, e.obs_t, e.n_risk, e.d,
+        |    km.sv * (e.n_risk - e.d) // e.n_risk
+        |  FROM km JOIN evt e ON e.dow = km.dow AND e.i = km.i + 1
+        |  WHERE km.i < km.ni)
+        |SELECT dow, t AS t_days, n AS n_risk, d AS n_events, sv AS surv_x1e6
+        |FROM km ORDER BY dow, t_days""".stripMargin,
     // the single-shot Holt recursion with every type's grid extended
     // to the GLOBAL last hour (what fold continuity across the two
     // micro-batches produces); same seed, same ×1e4 recurrence

@@ -1,0 +1,47 @@
+package graft.ops
+
+import graft.SparkSpec
+
+class SurvivalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("kaplanMeier: textbook curve — censored subjects stay at risk, never convert") {
+    // A converts at 1, B at 2, C censored at 2, D converts at 4,
+    // E censored at 5:
+    //   S(1) = 4/5 = 0.8; S(2) = 0.8 * 3/4 = 0.6; S(4) = 0.6 * 1/2 = 0.3
+    // (C leaves the risk set after t=2 without an event; E never events.)
+    val obs = Seq(("g", 1L, 1L), ("g", 2L, 1L), ("g", 2L, 0L),
+      ("g", 4L, 1L), ("g", 5L, 0L)).toDF("grp", "t", "ev")
+    val got = Survival.kaplanMeier(obs, "grp", "t", "ev")
+      .orderBy("t").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    assert(got == Seq((1L, 5L, 1L, 800000L), (2L, 4L, 1L, 600000L),
+      (4L, 2L, 1L, 300000L)))
+  }
+
+  test("kaplanMeier: dropping vs censoring — the bias the estimator exists to avoid") {
+    // Same events, but pretend the censored subjects were DROPPED:
+    // survival at t=2 would read 1/3 lower. The censored run must sit
+    // strictly ABOVE the dropped run at every shared time.
+    val withCens = Seq(("g", 1L, 1L), ("g", 2L, 1L), ("g", 2L, 0L),
+      ("g", 4L, 1L), ("g", 5L, 0L)).toDF("grp", "t", "ev")
+    val dropped = withCens.filter($"ev" === 1L)
+    def curve(df: org.apache.spark.sql.DataFrame) =
+      Survival.kaplanMeier(df, "grp", "t", "ev").orderBy("t")
+        .collect().map(r => r.getLong(1) -> r.getLong(4)).toMap
+    val a = curve(withCens); val b = curve(dropped)
+    assert(b.keySet == a.keySet)
+    assert(a.keySet.forall(t => a(t) > b(t)),
+      s"censored curve must dominate: $a vs $b")
+  }
+
+  test("kaplanMeier: groups fold independently; everyone-events hits zero") {
+    val obs = Seq(("x", 1L, 1L), ("x", 1L, 1L), ("y", 3L, 1L), ("y", 7L, 1L))
+      .toDF("grp", "t", "ev")
+    val got = Survival.kaplanMeier(obs, "grp", "t", "ev")
+      .orderBy("grp", "t").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(4))).toSeq
+    // x: both event at t=1 -> S = 0; y: S(3) = 1/2, S(7) = 0
+    assert(got == Seq(("x", 1L, 0L), ("y", 3L, 500000L), ("y", 7L, 0L)))
+  }
+}
