@@ -25,7 +25,9 @@ import org.apache.spark.sql.functions._
   * curve S(t) = Π_{u ≤ t} (n(u) − d(u)) / n(u). */
 object Survival {
 
-  def kaplanMeier(obs: DataFrame, groupCol: String, tCol: String,
+  /** Shared (group, t) risk relation: who leaves at t, how many event,
+    * and the risk-set size (everyone still under observation at t). */
+  private def riskSets(obs: DataFrame, groupCol: String, tCol: String,
       evCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val byT = obs
@@ -36,10 +38,15 @@ object Survival {
     val whole = Window.partitionBy("g")
     val before = Window.partitionBy("g").orderBy("t")
       .rowsBetween(Window.unboundedPreceding, -1)
-    val risk = byT
+    byT
       .withColumn("n_risk", sum(col("leave")).over(whole) -
         coalesce(sum(col("leave")).over(before), lit(0L)))
       .filter(col("d") > 0)
+  }
+
+  def kaplanMeier(obs: DataFrame, groupCol: String, tCol: String,
+      evCol: String): DataFrame = {
+    val risk = riskSets(obs, groupCol, tCol, evCol)
     // The product emits every prefix, so the fold carries (s, out):
     // the running survival and the curve rows so far. Event times per
     // group are bounded by the time grid — a ≤grid-length array.
@@ -59,5 +66,22 @@ object Survival {
       .select(col("g").as(groupCol), col("st.t").as("t"),
         col("st.n").as("n_risk"), col("st.d").as("n_events"),
         col("st.sv").as("surv_x1e6"))
+  }
+
+  /** Nelson–Aalen cumulative hazard — KM's additive sibling:
+    * H(t) = Σ_{u ≤ t} d(u)/n(u). The per-time term truncates to ×1e6
+    * integer BEFORE the cumulative sum, so (unlike KM's product) the
+    * whole curve is one window cumsum over the risk relation — no fold
+    * at all, and order of addition is irrelevant for integers. */
+  def nelsonAalen(obs: DataFrame, groupCol: String, tCol: String,
+      evCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("g").orderBy("t")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    riskSets(obs, groupCol, tCol, evCol)
+      .withColumn("term", expr("d * 1000000L div n_risk"))
+      .withColumn("hazard_x1e6", sum(col("term")).over(w))
+      .select(col("g").as(groupCol), col("t"),
+        col("n_risk"), col("d").as("n_events"), col("hazard_x1e6"))
   }
 }

@@ -618,6 +618,26 @@ object TimeSeriesPack extends QueryPack {
         .withColumnRenamed("t", "t_days")
         .orderBy("dow", "t_days")
     }),
+    // Nelson-Aalen cumulative hazard over the SAME observations — the
+    // additive sibling: per-time d/n terms truncate to x1e6 integers
+    // then cumulative-sum through one window, no fold at all.
+    "events_nelson_aalen" -> ((s, dir) => {
+      val secs = graft.ops.Resample.epochSec(col("ts"))
+      val ev = Tables.load(s, dir, "events")
+        .select(col("user_id"), col("event_type"), secs.as("sec"))
+      val perUser = ev.groupBy("user_id").agg(
+        min(col("sec")).as("t0"),
+        min(when(col("event_type") === "purchase", col("sec"))).as("tc"))
+      val gmax = ev.agg(max(col("sec")).as("gm"))
+      val obs = perUser.crossJoin(broadcast(gmax))
+        .select(expr("(t0 div 86400) % 7").as("dow"),
+          when(col("tc").isNotNull, expr("(tc - t0) div 86400"))
+            .otherwise(expr("(gm - t0) div 86400")).as("obs_t"),
+          when(col("tc").isNotNull, 1L).otherwise(0L).as("ev"))
+      graft.ops.Survival.nelsonAalen(obs, "dow", "obs_t", "ev")
+        .withColumnRenamed("t", "t_days")
+        .orderBy("dow", "t_days")
+    }),
   )
 
   /** Shared event-slice CTE: integer epoch seconds + scale4 value. */
@@ -662,6 +682,37 @@ object TimeSeriesPack extends QueryPack {
         |SELECT event_type, nh AS n_obs, l AS level_x1e4, b AS trend_x1e4,
         |  l + b AS fc1_x1e4, l + 2 * b AS fc2_x1e4, l + 3 * b AS fc3_x1e4
         |FROM s WHERE t = nh ORDER BY event_type""".stripMargin,
+    // same observations and risk sets; the hazard is a plain window
+    // cumsum of the truncated x1e6 terms — no recursion needed
+    "events_nelson_aalen" ->
+      """WITH secs AS (SELECT user_id, event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 AS sec FROM events),
+        |pu AS (SELECT user_id, min(sec) AS t0,
+        |    min(CASE WHEN event_type = 'purchase' THEN sec END) AS tc
+        |  FROM secs GROUP BY 1),
+        |gm AS (SELECT max(sec) AS gm FROM secs),
+        |obs AS (SELECT (t0 // 86400) % 7 AS dow,
+        |    CASE WHEN tc IS NOT NULL THEN (tc - t0) // 86400
+        |         ELSE (gm.gm - t0) // 86400 END AS obs_t,
+        |    CASE WHEN tc IS NOT NULL THEN 1 ELSE 0 END AS ev
+        |  FROM pu, gm),
+        |byt AS (SELECT dow, obs_t, count(*) AS leave,
+        |    CAST(sum(ev) AS BIGINT) AS d
+        |  FROM obs GROUP BY 1, 2),
+        |risk AS (SELECT dow, obs_t, d,
+        |    CAST(sum(leave) OVER (PARTITION BY dow) AS BIGINT)
+        |      - CAST(COALESCE(sum(leave) OVER (PARTITION BY dow ORDER BY obs_t
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |      AS n_risk
+        |  FROM byt),
+        |terms AS (SELECT dow, obs_t, d, n_risk,
+        |    d * 1000000 // n_risk AS term
+        |  FROM risk WHERE d > 0)
+        |SELECT dow, obs_t AS t_days, n_risk, d AS n_events,
+        |  CAST(sum(term) OVER (PARTITION BY dow ORDER BY obs_t
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS hazard_x1e6
+        |FROM terms ORDER BY dow, t_days""".stripMargin,
     // same per-user first/conversion/censor times, same risk-set
     // window, the survival product as a recursive CTE with one
     // truncating x1e6 division per event time — the engine's fold

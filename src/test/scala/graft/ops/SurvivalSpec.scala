@@ -35,6 +35,17 @@ class SurvivalSpec extends SparkSpec {
       s"censored curve must dominate: $a vs $b")
   }
 
+  test("nelsonAalen: cumulative hazard adds truncated terms over the same risk sets") {
+    // Same textbook fixture: terms 1e6/5, 1e6/4, 1e6/2 -> cumulative
+    // 200000, 450000, 950000.
+    val obs = Seq(("g", 1L, 1L), ("g", 2L, 1L), ("g", 2L, 0L),
+      ("g", 4L, 1L), ("g", 5L, 0L)).toDF("grp", "t", "ev")
+    val got = Survival.nelsonAalen(obs, "grp", "t", "ev")
+      .orderBy("t").collect()
+      .map(r => (r.getLong(1), r.getLong(4))).toSeq
+    assert(got == Seq((1L, 200000L), (2L, 450000L), (4L, 950000L)))
+  }
+
   test("kaplanMeier: groups fold independently; everyone-events hits zero") {
     val obs = Seq(("x", 1L, 1L), ("x", 1L, 1L), ("y", 3L, 1L), ("y", 7L, 1L))
       .toDF("grp", "t", "ev")
