@@ -68,6 +68,36 @@ object Survival {
         col("st.sv").as("surv_x1e6"))
   }
 
+  /** Restricted mean survival time (RMST) — the AREA under the KM
+    * curve up to the horizon `tau`: the single-number summary
+    * clinicians and churn analysts quote ("average days survived in
+    * the first τ days"), robust where median survival is undefined
+    * (curves that never cross 0.5). Computed exactly from the
+    * [[kaplanMeier]] step function: Σ over steps of S(prev) · (t −
+    * prev), with the curve flat at S=1e6 before the first event and
+    * flat at its last value through τ. A per-group window lag + one
+    * aggregate over the (bounded) event-time rows — units are
+    * time·×1e6, so rmst_x1e6 div 1e6 is whole time units. */
+  def rmst(obs: DataFrame, groupCol: String, tCol: String, evCol: String,
+      tau: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val km = kaplanMeier(obs, groupCol, tCol, evCol)
+      .select(col(groupCol).as("g"), col("t"), col("surv_x1e6"))
+      .filter(col("t") <= tau)
+    val w = Window.partitionBy("g").orderBy("t")
+    km
+      .withColumn("prev_t", coalesce(lag(col("t"), 1).over(w), lit(0L)))
+      .withColumn("prev_s", coalesce(lag(col("surv_x1e6"), 1).over(w),
+        lit(1000000L)))
+      .groupBy(col("g").as(groupCol))
+      .agg(sum(expr("prev_s * (t - prev_t)")).as("area_pre"),
+        max(struct(col("t"), col("surv_x1e6"))).as("_last"))
+      .select(col(groupCol),
+        (col("area_pre") +
+          col("_last.surv_x1e6") * (lit(tau) - col("_last.t")))
+          .as("rmst_x1e6"))
+  }
+
   /** Nelson–Aalen cumulative hazard — KM's additive sibling:
     * H(t) = Σ_{u ≤ t} d(u)/n(u). The per-time term truncates to ×1e6
     * integer BEFORE the cumulative sum, so (unlike KM's product) the

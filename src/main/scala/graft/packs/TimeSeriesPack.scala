@@ -638,6 +638,25 @@ object TimeSeriesPack extends QueryPack {
         .withColumnRenamed("t", "t_days")
         .orderBy("dow", "t_days")
     }),
+    // Restricted mean survival time to 14 days — the area under the
+    // KM step function: the one-number "average days un-converted in
+    // the first two weeks" summary, exact time-x1e6 integer area.
+    "events_rmst" -> ((s, dir) => {
+      val secs = graft.ops.Resample.epochSec(col("ts"))
+      val ev = Tables.load(s, dir, "events")
+        .select(col("user_id"), col("event_type"), secs.as("sec"))
+      val perUser = ev.groupBy("user_id").agg(
+        min(col("sec")).as("t0"),
+        min(when(col("event_type") === "purchase", col("sec"))).as("tc"))
+      val gmax = ev.agg(max(col("sec")).as("gm"))
+      val obs = perUser.crossJoin(broadcast(gmax))
+        .select(expr("(t0 div 86400) % 7").as("dow"),
+          when(col("tc").isNotNull, expr("(tc - t0) div 86400"))
+            .otherwise(expr("(gm - t0) div 86400")).as("obs_t"),
+          when(col("tc").isNotNull, 1L).otherwise(0L).as("ev"))
+      graft.ops.Survival.rmst(obs, "dow", "obs_t", "ev", tau = 14L)
+        .orderBy("dow")
+    }),
   )
 
   /** Shared event-slice CTE: integer epoch seconds + scale4 value. */
@@ -682,6 +701,51 @@ object TimeSeriesPack extends QueryPack {
         |SELECT event_type, nh AS n_obs, l AS level_x1e4, b AS trend_x1e4,
         |  l + b AS fc1_x1e4, l + 2 * b AS fc2_x1e4, l + 3 * b AS fc3_x1e4
         |FROM s WHERE t = nh ORDER BY event_type""".stripMargin,
+    // the KM recursion restricted to t <= 14, then the step-function
+    // area via lag + one aggregate, flat tail to the horizon
+    "events_rmst" ->
+      """WITH RECURSIVE secs AS (SELECT user_id, event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 AS sec FROM events),
+        |pu AS (SELECT user_id, min(sec) AS t0,
+        |    min(CASE WHEN event_type = 'purchase' THEN sec END) AS tc
+        |  FROM secs GROUP BY 1),
+        |gm AS (SELECT max(sec) AS gm FROM secs),
+        |obs AS (SELECT (t0 // 86400) % 7 AS dow,
+        |    CASE WHEN tc IS NOT NULL THEN (tc - t0) // 86400
+        |         ELSE (gm.gm - t0) // 86400 END AS obs_t,
+        |    CASE WHEN tc IS NOT NULL THEN 1 ELSE 0 END AS ev
+        |  FROM pu, gm),
+        |byt AS (SELECT dow, obs_t, count(*) AS leave,
+        |    CAST(sum(ev) AS BIGINT) AS d
+        |  FROM obs GROUP BY 1, 2),
+        |risk AS (SELECT dow, obs_t, d,
+        |    CAST(sum(leave) OVER (PARTITION BY dow) AS BIGINT)
+        |      - CAST(COALESCE(sum(leave) OVER (PARTITION BY dow ORDER BY obs_t
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |      AS n_risk
+        |  FROM byt),
+        |evt AS (SELECT dow, obs_t, d, n_risk,
+        |    row_number() OVER (PARTITION BY dow ORDER BY obs_t) AS i,
+        |    count(*) OVER (PARTITION BY dow) AS ni
+        |  FROM risk WHERE d > 0),
+        |km(dow, i, ni, t, n, d, sv) AS (
+        |  SELECT dow, i, ni, obs_t, n_risk, d,
+        |    CAST(1000000 AS BIGINT) * (n_risk - d) // n_risk
+        |  FROM evt WHERE i = 1
+        |  UNION ALL
+        |  SELECT e.dow, e.i, e.ni, e.obs_t, e.n_risk, e.d,
+        |    km.sv * (e.n_risk - e.d) // e.n_risk
+        |  FROM km JOIN evt e ON e.dow = km.dow AND e.i = km.i + 1
+        |  WHERE km.i < km.ni),
+        |kmr AS (SELECT dow, t, sv FROM km WHERE t <= 14),
+        |lagd AS (SELECT dow, t, sv,
+        |    COALESCE(lag(t) OVER (PARTITION BY dow ORDER BY t), 0) AS prev_t,
+        |    COALESCE(lag(sv) OVER (PARTITION BY dow ORDER BY t), 1000000) AS prev_s
+        |  FROM kmr)
+        |SELECT dow,
+        |  CAST(sum(prev_s * (t - prev_t)) AS BIGINT)
+        |    + max_by(sv, t) * (14 - max(t)) AS rmst_x1e6
+        |FROM lagd GROUP BY dow ORDER BY dow""".stripMargin,
     // same observations and risk sets; the hazard is a plain window
     // cumsum of the truncated x1e6 terms — no recursion needed
     "events_nelson_aalen" ->

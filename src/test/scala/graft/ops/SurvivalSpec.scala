@@ -46,6 +46,18 @@ class SurvivalSpec extends SparkSpec {
     assert(got == Seq((1L, 200000L), (2L, 450000L), (4L, 950000L)))
   }
 
+  test("rmst: exact area under the KM step function, flat tail to the horizon") {
+    // KM steps (1, .8), (2, .6), (4, .3); tau = 5:
+    // 1*1e6 + 1*8e5 + 2*6e5 + 1*3e5 = 3.3e6 (avg 3.3 of 5 days "alive")
+    val obs = Seq(("g", 1L, 1L), ("g", 2L, 1L), ("g", 2L, 0L),
+      ("g", 4L, 1L), ("g", 5L, 0L)).toDF("grp", "t", "ev")
+    val got = Survival.rmst(obs, "grp", "t", "ev", tau = 5L).collect()
+    assert(got.length == 1 && got(0).getAs[Long]("rmst_x1e6") == 3300000L)
+    // Horizon inside the curve: tau = 2 -> 1*1e6 + 1*8e5 + 0 = 1.8e6
+    val short = Survival.rmst(obs, "grp", "t", "ev", tau = 2L).collect()
+    assert(short(0).getAs[Long]("rmst_x1e6") == 1800000L)
+  }
+
   test("kaplanMeier: groups fold independently; everyone-events hits zero") {
     val obs = Seq(("x", 1L, 1L), ("x", 1L, 1L), ("y", 3L, 1L), ("y", 7L, 1L))
       .toDF("grp", "t", "ev")
