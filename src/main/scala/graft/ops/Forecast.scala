@@ -99,6 +99,52 @@ object Forecast {
         col("st.s").as("final_s_x1e4"))
   }
 
+  /** [[holtLinear]] plus an EMPIRICAL UNCERTAINTY BAND — a point
+    * forecast without one invites over-reaction: the fold additionally
+    * emits each step's absolute one-step-ahead error |y_t·S − (l+b)|
+    * (what the model would have missed by), and the band is the exact
+    * P90 of those errors — the value at deterministic rank
+    * ceil(0.9·n), so no distributional assumption and no IEEE quantile
+    * at the boundary. Output adds n_err, band_p90_x1e4 and the
+    * fc1 ± band interval. Same bounded per-series fold; the error
+    * array is series-length, sorted locally per key. */
+  def holtLinearWithBand(series: DataFrame, keyCol: String, ordCol: String,
+      valCol: String, aNum: Int = 8, bNum: Int = 3): DataFrame = {
+    require(aNum > 0 && aNum < 10 && bNum > 0 && bNum < 10,
+      s"holtLinearWithBand: aNum=$aNum bNum=$bNum must be in 1..9")
+    val packed = series
+      .groupBy(col(keyCol))
+      .agg(sort_array(collect_list(struct(
+        col(ordCol).as("t"), col(valCol).cast("long").as("y")))).as("srt"))
+      .select(col(keyCol), expr("transform(srt, x -> x.y)").as("vals"))
+    val lNext = s"(($aNum * y * 10000L + ${10 - aNum} * (acc.l + acc.b)) div 10)"
+    val fold =
+      s"""aggregate(
+         |  slice(vals, 2, size(vals) - 1),
+         |  struct(vals[0] * 10000L AS l,
+         |    CASE WHEN size(vals) >= 2
+         |      THEN (vals[1] - vals[0]) * 10000L ELSE 0L END AS b,
+         |    CAST(array() AS array<bigint>) AS e),
+         |  (acc, y) -> struct(
+         |    $lNext AS l,
+         |    (($bNum * ($lNext - acc.l) + ${10 - bNum} * acc.b) div 10) AS b,
+         |    concat(acc.e, array(abs(y * 10000L - (acc.l + acc.b)))) AS e))
+         |""".stripMargin
+    packed
+      .select(col(keyCol), size(col("vals")).cast("long").as("n_obs"),
+        expr(fold).as("st"))
+      .withColumn("n_err", size(col("st.e")).cast("long"))
+      .withColumn("band_p90_x1e4", expr(
+        """CASE WHEN size(st.e) = 0 THEN 0L
+          |ELSE element_at(array_sort(st.e),
+          |  CAST(greatest((size(st.e) * 9 + 9) div 10, 1) AS INT)) END""".stripMargin))
+      .select(col(keyCol), col("n_obs"), col("n_err"),
+        col("st.l").as("level_x1e4"), col("st.b").as("trend_x1e4"),
+        expr("st.l + st.b").as("fc1_x1e4"), col("band_p90_x1e4"),
+        expr("st.l + st.b - band_p90_x1e4").as("fc1_lo_x1e4"),
+        expr("st.l + st.b + band_p90_x1e4").as("fc1_hi_x1e4"))
+  }
+
   /** The Holt recurrence as an aggregate() fold over `arr`, from a
     * given start state — shared between the batch [[holtLinear]]
     * (seeded from the series head) and the streaming forecaster

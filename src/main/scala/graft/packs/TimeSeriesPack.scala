@@ -543,6 +543,23 @@ object TimeSeriesPack extends QueryPack {
       graft.ops.Forecast.holtLinear(dense, "event_type", "hr", "n")
         .orderBy("event_type")
     }),
+    // Holt forecast WITH the empirical P90 one-step-error band
+    // (Forecast.holtLinearWithBand): point forecasts invite
+    // over-reaction; the band is the exact rank-ceil(0.9n) in-sample
+    // error — no distributional assumption, no IEEE quantile.
+    "events_holt_interval" -> ((s, dir) => {
+      val hourly = Tables.load(s, dir, "events")
+        .groupBy(col("event_type"),
+          (graft.ops.Resample.epochSec(col("ts")) / 3600L).cast("long").as("hr"))
+        .agg(count(lit(1)).as("n"))
+      val dense = hourly.groupBy("event_type")
+        .agg(min(col("hr")).as("h0"), max(col("hr")).as("h1"))
+        .select(col("event_type"), explode(expr("sequence(h0, h1)")).as("hr"))
+        .join(hourly, Seq("event_type", "hr"), "left")
+        .na.fill(0L, Seq("n"))
+      graft.ops.Forecast.holtLinearWithBand(dense, "event_type", "hr", "n")
+        .orderBy("event_type")
+    }),
     // CUSUM drift monitor (Forecast.cusum) over the same dense hourly
     // series: sustained excess over the per-series mean accumulates
     // toward the 4mu alarm line with mu/8 slack — the sequential
@@ -939,6 +956,54 @@ object TimeSeriesPack extends QueryPack {
         |JOIN prm p ON p.event_type = r.event_type
         |JOIN nhs ON nhs.event_type = r.event_type
         |WHERE r.t = nhs.nh ORDER BY r.event_type""".stripMargin,
+    // the Holt recursion already materializes (t, l, b) per step — the
+    // one-step errors are a join of state t with observation t+1, and
+    // the band is the value at deterministic rank ceil(0.9n)
+    "events_holt_interval" ->
+      """WITH RECURSIVE hourly AS (SELECT event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 // 3600 AS hr,
+        |    count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |bounds AS (SELECT event_type, min(hr) AS h0, max(hr) AS h1
+        |  FROM hourly GROUP BY 1),
+        |grid AS (SELECT event_type, unnest(generate_series(h0, h1)) AS hr FROM bounds),
+        |dense AS (SELECT g.event_type, g.hr, COALESCE(h.n, 0) AS n
+        |  FROM grid g LEFT JOIN hourly h
+        |    ON h.event_type = g.event_type AND h.hr = g.hr),
+        |ord AS (SELECT event_type, n,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY hr) AS t,
+        |    count(*) OVER (PARTITION BY event_type) AS nh
+        |  FROM dense),
+        |s(event_type, nh, t, l, b) AS (
+        |  SELECT o0.event_type, o0.nh, CAST(1 AS BIGINT),
+        |    o0.n * 10000, COALESCE(o1.n - o0.n, 0) * 10000
+        |  FROM ord o0 LEFT JOIN ord o1
+        |    ON o1.event_type = o0.event_type AND o1.t = 2
+        |  WHERE o0.t = 1
+        |  UNION ALL
+        |  SELECT s.event_type, s.nh, s.t + 1,
+        |    (8 * o.n * 10000 + 2 * (s.l + s.b)) // 10,
+        |    (3 * ((8 * o.n * 10000 + 2 * (s.l + s.b)) // 10 - s.l)
+        |      + 7 * s.b) // 10
+        |  FROM s JOIN ord o ON o.event_type = s.event_type AND o.t = s.t + 1
+        |  WHERE s.t < s.nh),
+        |err AS (SELECT s.event_type, s.t + 1 AS t,
+        |    abs(o.n * 10000 - (s.l + s.b)) AS e
+        |  FROM s JOIN ord o ON o.event_type = s.event_type AND o.t = s.t + 1),
+        |band AS (SELECT event_type, ne, e AS band FROM (
+        |    SELECT event_type, e, t,
+        |      row_number() OVER (PARTITION BY event_type ORDER BY e, t) AS rn,
+        |      count(*) OVER (PARTITION BY event_type) AS ne
+        |    FROM err) WHERE rn = GREATEST((ne * 9 + 9) // 10, 1)),
+        |fin AS (SELECT event_type, nh, l, b FROM s WHERE t = nh)
+        |SELECT f.event_type, f.nh AS n_obs,
+        |  CAST(COALESCE(band.ne, 0) AS BIGINT) AS n_err,
+        |  f.l AS level_x1e4, f.b AS trend_x1e4, f.l + f.b AS fc1_x1e4,
+        |  COALESCE(band.band, 0) AS band_p90_x1e4,
+        |  f.l + f.b - COALESCE(band.band, 0) AS fc1_lo_x1e4,
+        |  f.l + f.b + COALESCE(band.band, 0) AS fc1_hi_x1e4
+        |FROM fin f LEFT JOIN band ON band.event_type = f.event_type
+        |ORDER BY f.event_type""".stripMargin,
     // The CUSUM fold as a recursive CTE: same dense grid, same
     // mu/slack/h derivation, same max-0 / reset-on-alarm recurrence;
     // the pre-reset value feeds all three state fields.

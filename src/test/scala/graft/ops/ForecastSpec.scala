@@ -60,6 +60,23 @@ class ForecastSpec extends SparkSpec {
     assert(r.getAs[Long]("final_s_x1e4") == 15625L) // decayed twice
   }
 
+  test("holtLinearWithBand: one-step errors and the exact rank-P90 band") {
+    // series 1,3,2: errors |3e4-3e4|=0 and |2e4-5e4|=3e4; rank
+    // ceil(0.9*2)=2 -> band 30000; fc1 = 38800 (same fold as the trace).
+    val df = Seq(1L, 3L, 2L).zipWithIndex
+      .map { case (y, t) => ("k", t.toLong, y) }.toDF("key", "t", "y")
+    val r = Forecast.holtLinearWithBand(df, "key", "t", "y").collect()(0)
+    assert(r.getAs[Long]("n_err") == 2L)
+    assert(r.getAs[Long]("band_p90_x1e4") == 30000L)
+    assert(r.getAs[Long]("fc1_x1e4") == 38800L)
+    assert(r.getAs[Long]("fc1_lo_x1e4") == 8800L)
+    assert(r.getAs[Long]("fc1_hi_x1e4") == 68800L)
+    // one-point series: no errors, zero band, interval collapses
+    val one = Seq(("k", 0L, 5L)).toDF("key", "t", "y")
+    val r1 = Forecast.holtLinearWithBand(one, "key", "t", "y").collect()(0)
+    assert(r1.getAs[Long]("n_err") == 0L && r1.getAs[Long]("band_p90_x1e4") == 0L)
+  }
+
   test("theilSen: median slope shrugs off the outlier OLS would chase") {
     // y = t on t=0..3, then an outlier 100 at t=4. Six of ten pairwise
     // slopes are exactly 1; the median (rank (10+1) div 2 = 5) is 1.
