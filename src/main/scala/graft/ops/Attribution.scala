@@ -35,12 +35,17 @@ object Attribution {
   def markovRemovalEffects(transitions: DataFrame, iters: Int = 40,
       maxStates: Int = 10000): DataFrame = {
     val spark = transitions.sparkSession
-    val rows = transitions.select(
+    val trans = transitions.select(
       col("s").cast("string"), col("t").cast("string"), col("c").cast("long"))
+    // Size-check BEFORE collect(): a limit(maxStates+1) probe costs one
+    // cheap scan but means an oversized chain fails with this message
+    // instead of OOMing the driver inside the collect it guards.
+    val probe = trans.limit(maxStates + 1).count()
+    require(probe <= maxStates,
+      s"markovRemovalEffects: more than maxStates=$maxStates transition " +
+        "rows — the chain must stay metadata-sized")
+    val rows = trans
       .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2)))
-    require(rows.length <= maxStates,
-      s"markovRemovalEffects: ${rows.length} transition rows exceed " +
-        s"maxStates=$maxStates — the chain must stay metadata-sized")
     val cnt = rows.toMap
     val out = rows.groupBy(_._1._1).map { case (s, es) => s -> es.map(_._2).sum }
     val transient = out.keySet // every state with outgoing edges

@@ -229,7 +229,11 @@ object Mask {
     * truncation discards 2^(1−bound)/3 of the mass (~1e-5 at the
     * default 16) — the standard bounded-noise variant. */
   def geometricCdf(bound: Int): (Seq[(Int, Long)], Long) = {
-    require(bound >= 1 && bound <= 30, s"geometricCdf: bound=$bound")
+    // bound <= 29 keeps every Long product in dpNoisyCounts exact:
+    // u < 2^32 and m = 3*2^bound - 2, so u*m < 3*2^(32+bound) needs
+    // bound <= 29 to stay under 2^63; likewise cum <= m < 2^31 keeps
+    // cum*2^32 < 2^63. At 30 both silently wrap and corrupt the CDF.
+    require(bound >= 1 && bound <= 29, s"geometricCdf: bound=$bound")
     var cum = 0L
     val steps = (-bound to bound).map { k =>
       cum += 1L << (bound - math.abs(k)); k -> cum

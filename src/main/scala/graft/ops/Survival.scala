@@ -85,17 +85,25 @@ object Survival {
       .select(col(groupCol).as("g"), col("t"), col("surv_x1e6"))
       .filter(col("t") <= tau)
     val w = Window.partitionBy("g").orderBy("t")
-    km
+    val withSteps = km
       .withColumn("prev_t", coalesce(lag(col("t"), 1).over(w), lit(0L)))
       .withColumn("prev_s", coalesce(lag(col("surv_x1e6"), 1).over(w),
         lit(1000000L)))
-      .groupBy(col("g").as(groupCol))
+      .groupBy(col("g"))
       .agg(sum(expr("prev_s * (t - prev_t)")).as("area_pre"),
         max(struct(col("t"), col("surv_x1e6"))).as("_last"))
-      .select(col(groupCol),
+      .select(col("g"),
         (col("area_pre") +
           col("_last.surv_x1e6") * (lit(tau) - col("_last.t")))
-          .as("rmst_x1e6"))
+          .as("rmst_in"))
+    // A group whose first event falls AFTER tau has no KM step in the
+    // horizon, so its curve is flat at S=1e6 throughout: rmst = tau*1e6.
+    // The filter above drops such groups; join back to the full group
+    // list so they are reported, not silently omitted.
+    obs.select(col(groupCol).as("g")).distinct()
+      .join(withSteps, Seq("g"), "left")
+      .select(col("g").as(groupCol),
+        coalesce(col("rmst_in"), lit(tau * 1000000L)).as("rmst_x1e6"))
   }
 
   /** Nelson–Aalen cumulative hazard — KM's additive sibling:

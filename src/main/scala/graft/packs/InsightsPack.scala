@@ -1631,8 +1631,9 @@ object InsightsPack extends QueryPack {
         |    * 1000000000 AS BIGINT) AS b FROM cnt GROUP BY s),
         |trans AS (SELECT s, t, c FROM cnt WHERE t NOT IN ('CONV', 'NULL')
         |  UNION ALL SELECT s, s, 0 FROM outs),
-        |chans AS (SELECT DISTINCT event_type AS ch FROM events
-        |  WHERE event_type <> 'purchase'),
+        |chans AS (SELECT DISTINCT ch FROM (
+        |    SELECT s AS ch FROM cnt UNION ALL SELECT t AS ch FROM cnt)
+        |  WHERE ch NOT IN ('START', 'CONV', 'NULL')),
         |variants AS (SELECT 'none' AS rm UNION ALL SELECT ch FROM chans),
         |it(rm, k, s, p) AS (
         |  SELECT v.rm, 0, o.s, CAST(0 AS BIGINT) FROM variants v CROSS JOIN outs o

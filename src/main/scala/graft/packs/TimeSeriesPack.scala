@@ -758,11 +758,16 @@ object TimeSeriesPack extends QueryPack {
         |lagd AS (SELECT dow, t, sv,
         |    COALESCE(lag(t) OVER (PARTITION BY dow ORDER BY t), 0) AS prev_t,
         |    COALESCE(lag(sv) OVER (PARTITION BY dow ORDER BY t), 1000000) AS prev_s
-        |  FROM kmr)
-        |SELECT dow,
-        |  CAST(sum(prev_s * (t - prev_t)) AS BIGINT)
-        |    + max_by(sv, t) * (14 - max(t)) AS rmst_x1e6
-        |FROM lagd GROUP BY dow ORDER BY dow""".stripMargin,
+        |  FROM kmr),
+        |area AS (SELECT dow,
+        |    CAST(sum(prev_s * (t - prev_t)) AS BIGINT)
+        |      + max_by(sv, t) * (14 - max(t)) AS rmst_in
+        |  FROM lagd GROUP BY dow),
+        |dows AS (SELECT DISTINCT dow FROM obs)
+        |SELECT d.dow,
+        |  COALESCE(a.rmst_in, CAST(14 * 1000000 AS BIGINT)) AS rmst_x1e6
+        |FROM dows d LEFT JOIN area a ON a.dow = d.dow
+        |ORDER BY d.dow""".stripMargin,
     // same observations and risk sets; the hazard is a plain window
     // cumsum of the truncated x1e6 terms — no recursion needed
     "events_nelson_aalen" ->

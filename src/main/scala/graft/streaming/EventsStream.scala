@@ -970,9 +970,13 @@ object EventsStream {
       val gmaxRow = hourly.agg(max(col("hr"))).head()
       val prev = currentStateVersion(ss, stateBase, below = batchId)
       val newState = (prev, if (gmaxRow.isNullAt(0)) None else Some(gmaxRow.getLong(0))) match {
-        case (p, None) => // empty batch: state (if any) rides through
-          p.map(ss.read.parquet).getOrElse(
-            throw new IllegalStateException("cusum: empty calibration batch"))
+        case (None, None) => // no data yet AND no state: nothing to
+          // calibrate — skip this version entirely and calibrate on the
+          // first non-empty batch (an initial no-data trigger is normal
+          // in Structured Streaming; crashing the query here is not)
+          return
+        case (Some(p), None) => // empty batch: state rides through
+          ss.read.parquet(p)
         case (None, Some(gmax)) => // calibration
           hourly.groupBy("event_type").agg(min(col("hr")).as("h0"))
             .select(col("event_type"),
@@ -1033,9 +1037,11 @@ object EventsStream {
       val gmaxRow = hourly.agg(max(col("hr"))).head()
       val prev = currentStateVersion(ss, stateBase, below = batchId)
       val newState = (prev, if (gmaxRow.isNullAt(0)) None else Some(gmaxRow.getLong(0))) match {
-        case (p, None) =>
-          p.map(ss.read.parquet).getOrElse(
-            throw new IllegalStateException("holt: empty seed batch"))
+        case (None, None) => // no data AND no state: skip this version;
+          // seed on the first non-empty batch (see cusum twin above)
+          return
+        case (Some(p), None) => // empty batch: state rides through
+          ss.read.parquet(p)
         case (None, Some(gmax)) => // seed batch: whole-series holt fold
           hourly.groupBy("event_type").agg(min(col("hr")).as("h0"))
             .select(col("event_type"),

@@ -64,5 +64,13 @@ class AttributionSpec extends SparkSpec {
     assert(out.toSeq == Seq(
       ("a", 750000000L, 500000000L, 333333L, 333333L),
       ("b", 750000000L, 250000000L, 666666L, 666666L)))
+
+    // The metadata-size guard must fire from a bounded count probe,
+    // BEFORE any driver collect of the oversized relation.
+    val big = (1 to 20).map(i => (s"c$i", "CONV", 1L)).toDF("s", "t", "c")
+    val e = intercept[IllegalArgumentException] {
+      Attribution.markovRemovalEffects(big, maxStates = 10)
+    }
+    assert(e.getMessage.contains("maxStates=10"))
   }
 }

@@ -97,6 +97,17 @@ class MaskSpec extends SparkSpec {
     val other = Mask.dpNoisyCounts(df, Seq("grp"), "s2").orderBy("grp").collect()
     assert(out.map(_.getAs[Long]("noise")).toSeq !=
       other.map(_.getAs[Long]("noise")).toSeq)
+    // Overflow guard: bound=30 would wrap u*m and cum*2^32 past 2^63,
+    // silently corrupting the CDF's upper arms — it must be rejected.
+    intercept[IllegalArgumentException] { Mask.geometricCdf(30) }
+    // At the new max every product stays exact: u < 2^32, m = 3*2^29-2.
+    val (_, m29) = Mask.geometricCdf(29)
+    assert(m29 == 3L * (1L << 29) - 2)
+    assert(BigInt((1L << 32) - 1) * BigInt(m29) < BigInt(Long.MaxValue))
+    assert(BigInt(m29) * BigInt(1L << 32) < BigInt(Long.MaxValue))
+    val wide = Mask.dpNoisyCounts(df, Seq("grp"), "s1", bound = 29)
+      .orderBy("grp").collect()
+    assert(wide.forall(r => math.abs(r.getAs[Long]("noise")) <= 29L))
   }
 
   test("tCloseness: group mirroring the global scores 0; single bin is safe") {

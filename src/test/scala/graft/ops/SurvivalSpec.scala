@@ -58,6 +58,19 @@ class SurvivalSpec extends SparkSpec {
     assert(short(0).getAs[Long]("rmst_x1e6") == 1800000L)
   }
 
+  test("rmst: a group with no event inside the horizon reports tau*1e6") {
+    // h's first (and only) event is at t=9 > tau=5: its curve is flat
+    // at S=1 through the whole horizon, so rmst = 5e6 — the group must
+    // appear in the output, not be silently dropped.
+    val obs = Seq(("g", 1L, 1L), ("g", 4L, 1L),
+      ("h", 9L, 1L), ("h", 9L, 0L)).toDF("grp", "t", "ev")
+    val got = Survival.rmst(obs, "grp", "t", "ev", tau = 5L)
+      .orderBy("grp").collect()
+      .map(r => (r.getString(0), r.getAs[Long]("rmst_x1e6"))).toSeq
+    // g: S(1)=.5, S(4)=0 -> 1*1e6 + 3*5e5 + 0 = 2.5e6
+    assert(got == Seq(("g", 2500000L), ("h", 5000000L)))
+  }
+
   test("kaplanMeier: groups fold independently; everyone-events hits zero") {
     val obs = Seq(("x", 1L, 1L), ("x", 1L, 1L), ("y", 3L, 1L), ("y", 7L, 1L))
       .toDF("grp", "t", "ev")

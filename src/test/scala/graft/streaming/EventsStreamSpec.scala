@@ -347,6 +347,31 @@ class EventsStreamSpec extends SparkSpec {
     assert(s1("view") == ((20000L, 1L, 1L, 107500L, 0L)), s1)
   }
 
+  test("cusum/holt state: an initial empty micro-batch is a no-op, not a crash") {
+    import org.apache.spark.sql.functions.col
+    val base = java.nio.file.Files.createTempDirectory("cusum_empty")
+    val cusumState = base.resolve("cusum").toString
+    val holtState = base.resolve("holt").toString
+    val empty = Seq.empty[Event].toDF()
+    // batch 0 carries no data: no version must be written, no exception
+    EventsStream.mergeCusumIntoState(empty, 0L, cusumState)
+    EventsStream.mergeHoltIntoState(empty, 0L, holtState)
+    assert(EventsStream.currentStateVersion(spark, cusumState).isEmpty)
+    assert(EventsStream.currentStateVersion(spark, holtState).isEmpty)
+    // calibration then happens on the FIRST NON-EMPTY batch
+    val b1 = Seq(
+      Event(1L, ts("2024-01-01 10:00:00"), 1L, "view", 1.0),
+      Event(2L, ts("2024-01-01 11:00:00"), 1L, "view", 1.0)).toDF()
+    EventsStream.mergeCusumIntoState(b1, 1L, cusumState)
+    EventsStream.mergeHoltIntoState(b1, 1L, holtState)
+    val cal = spark.read.parquet(
+      EventsStream.currentStateVersion(spark, cusumState).get)
+      .select("event_type", "mu").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(cal("view") == 10000L, cal) // 1 event/hr over 2 dense hours
+    assert(EventsStream.currentStateVersion(spark, holtState).isDefined)
+  }
+
   test("holt stream state: fold continuity — two batches equal the single shot; retry idempotent") {
     import org.apache.spark.sql.functions.col
     val base = java.nio.file.Files.createTempDirectory("holt_retry")
