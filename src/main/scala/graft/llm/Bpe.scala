@@ -150,6 +150,56 @@ object Bpe {
       .withColumn("n_toks", size(col("toks")))
   }
 
+  /** DuckDB oracle for [[learnMerges]] with a FIXED k: the greedy
+    * iteration unrolls into k chained CTE rounds — `b{i}` is round i's
+    * argmax pair (same (-n, l, r) tie order as the engine) and `s{i}`
+    * re-tokenizes the vocab by applying that merge greedily
+    * left-to-right via list lambdas. The greedy non-overlap rule is
+    * positional: within each maximal run of consecutive matching pair
+    * positions, keep the 1st, 3rd, 5th… (odd distance from the run's
+    * start — exactly what the engine's pending-token fold selects).
+    * Unrolling sidesteps every recursive-CTE restriction (the round
+    * needs both an aggregate over the working vocab AND a second
+    * reference to it); k=8 keeps the statement ~60 lines. */
+  def mergesOracleSql(k: Int): String = {
+    require(k >= 1 && k <= 32, s"mergesOracleSql: k=$k out of [1, 32]")
+    val s0 =
+      """s0 AS (
+        |  SELECT list_transform(range(1, length(word)+1), i -> word[i]) AS toks, cnt
+        |  FROM (SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM (
+        |      SELECT unnest(regexp_split_to_array(text, '\s+')) AS word
+        |      FROM documents WHERE regexp_matches(text, '^[\x20-\x7E]*$'))
+        |    WHERE length(word) > 0 GROUP BY word))""".stripMargin
+    def best(prev: String, b: String) =
+      s"""$b AS (
+         |  SELECT pr.l AS l, pr.r AS r, CAST(sum(cnt) AS BIGINT) AS n
+         |  FROM (SELECT unnest(list_transform(range(1, len(toks)),
+         |      i -> struct_pack(l := toks[i], r := toks[i+1]))) AS pr, cnt FROM $prev)
+         |  GROUP BY 1, 2 ORDER BY n DESC, l, r LIMIT 1)""".stripMargin
+    def step(prev: String, b: String, next: String) =
+      s"""$next AS (
+         |  SELECT flatten(list_transform(range(1, len(toks)+1), i ->
+         |      CASE WHEN list_contains(kept, i) THEN [ml || mr]
+         |           WHEN list_contains(kept, i - 1) THEN []
+         |           ELSE [toks[i]] END)) AS toks, cnt
+         |  FROM (
+         |    SELECT toks, cnt, ml, mr,
+         |      list_filter(matches, i -> (i - coalesce(list_max(
+         |        list_filter(range(0, i), j -> j = 0 OR NOT list_contains(matches, j))), 0)) % 2 = 1) AS kept
+         |    FROM (
+         |      SELECT toks, cnt, b.l AS ml, b.r AS mr,
+         |        list_filter(range(1, len(toks)), i -> toks[i] = b.l AND toks[i+1] = b.r) AS matches
+         |      FROM $prev, $b b)))""".stripMargin
+    val ctes = s0 +: (1 to k).flatMap { i =>
+      best(s"s${i - 1}", s"b$i") +:
+        (if (i < k) Seq(step(s"s${i - 1}", s"b$i", s"s$i")) else Seq.empty)
+    }
+    val unions = (1 to k).map(i =>
+      s"""SELECT CAST($i AS INT) AS "rank", l AS "left", r AS "right", n FROM b$i""")
+    "WITH " + ctes.mkString(",\n") + "\nSELECT * FROM (\n" +
+      unions.mkString("\nUNION ALL ") + ")\nORDER BY \"rank\""
+  }
+
   /** Single-machine reference implementation (test oracle): the
     * textbook in-memory BPE over a word histogram. */
   private[llm] def referenceMerges(words: Seq[(String, Long)], k: Int): Seq[(Int, String, String, Long)] = {

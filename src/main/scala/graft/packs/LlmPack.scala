@@ -168,10 +168,11 @@ object LlmPack extends QueryPack {
     // Full BPE merge learning (k=8): each iteration is one vocab-sized
     // aggregate (argmax pair — a single row to the driver) plus a
     // narrow fold re-tokenization; localCheckpoint keeps iteration
-    // plans O(1). No SQL-expressible oracle exists for the iterated
-    // greedy merge (the driver records rows-only); LlmSpec property-
-    // checks the distributed path against an in-memory reference BPE
-    // on random corpora and fixture samples.
+    // plans O(1). Oracle: k is a fixed literal, so the greedy
+    // iteration UNROLLS into k chained DuckDB CTEs (argmax + a
+    // list-lambda merge application per round) — see
+    // Bpe.mergesOracleSql; LlmSpec additionally property-checks the
+    // distributed path against an in-memory reference BPE.
     "text_bpe_merges" -> ((s, dir) =>
       graft.llm.Bpe.learnMerges(
         docs(s, dir).filter(col("text").rlike("^[\\x20-\\x7E]*$")), "text", 8)),
@@ -1262,6 +1263,8 @@ object LlmPack extends QueryPack {
         |  FROM w, UNNEST(generate_series(1, length(word) - 1)) AS t(i))
         |SELECT l AS "left", r AS "right", CAST(sum(cnt) AS BIGINT) AS n
         |FROM p GROUP BY 1, 2 ORDER BY n DESC, "left", "right" LIMIT 20""".stripMargin,
+    // the k=8 greedy iteration, unrolled: see Bpe.mergesOracleSql
+    "text_bpe_merges" -> graft.llm.Bpe.mergesOracleSql(8),
     "text_top_terms" ->
       """SELECT term, count(*) AS n
         |FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
