@@ -308,11 +308,18 @@ object Ann {
       .withColumn("nrm", sqrt(col("ce2")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val x = assigned.as("x"); val y = assigned.as("y")
-    x.join(y, col("x.bucket") === col("y.bucket") && col("x.vec_id") < col("y.vec_id"))
-      .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"),
-        graft.functions.F.scale4(
-          dotExpr("x.ce", "y.ce") / (col("x.nrm") * col("y.nrm"))).as("cos_x1e4"))
-      .filter(col("cos_x1e4") >= threshold4)
+    // Materialize the (thresholded, bucket-bounded) pair result once
+    // and release the assignment cache with it — the near-dup pair set
+    // is the terminal output here, and the cached assignment would
+    // otherwise stay pinned in the CacheManager after the caller's
+    // action.
+    graft.core.Materialize.drained(
+      x.join(y, col("x.bucket") === col("y.bucket") && col("x.vec_id") < col("y.vec_id"))
+        .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"),
+          graft.functions.F.scale4(
+            dotExpr("x.ce", "y.ce") / (col("x.nrm") * col("y.nrm"))).as("cos_x1e4"))
+        .filter(col("cos_x1e4") >= threshold4),
+      assigned)
   }
 
   /** Measured IVF recall against the exact baseline from ONE scored

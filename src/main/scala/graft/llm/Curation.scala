@@ -365,7 +365,11 @@ object Curation {
       prev = next
       ranks = next
     }
-    ranks
+    // The fixpoint is already materialized by the per-iteration counts;
+    // hand it back as an eager checkpoint and release every internal
+    // cache (edges, node set, final generation) so nothing stays pinned
+    // in the CacheManager after the caller consumes the ranks.
+    graft.core.Materialize.drained(ranks, prev, nodes, e)
   }
 
   /** Token-window document chunking — the step between cleaning and

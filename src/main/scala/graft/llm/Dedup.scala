@@ -273,7 +273,14 @@ object Dedup {
     val bE = capped(lshBands(minhashSignatures(shE, k), k, bands))
     val cand = bT.as("x").join(bE.as("y"), col("x.bk") === col("y.bk"))
       .select(col("x.id").as("a"), col("y.id").as("b")).distinct()
-    jaccard(cand, shT.unionAll(shE)).filter(col("jacc_x1e4") >= tauX1e4)
+    // The result (contaminated pairs — eval-bounded, tiny next to the
+    // corpus) materializes once and the shingle caches are released
+    // with it: decontamination is a terminal scan, and leaving two
+    // corpus-scale relations pinned in the CacheManager after it would
+    // bleed memory across every later query in the session.
+    graft.core.Materialize.drained(
+      jaccard(cand, shT.unionAll(shE)).filter(col("jacc_x1e4") >= tauX1e4),
+      shT, shE)
   }
 
   /** Resolve duplicate PAIRS into clusters: connected components with
@@ -293,9 +300,13 @@ object Dedup {
     * previous label), and the convergence count filters the persisted
     * result directly — materializing the new generation and measuring
     * movement in the same job, with no second join against the old
-    * labels. Output (id, cluster), persisted (the caller's consumption
-    * reuses the fixpoint result; release with unpersist/clearCache
-    * when done).
+    * labels. Output (id, cluster), CHECKPOINTED: the fixpoint is
+    * already materialized by the convergence counts, so the final
+    * generation is handed back as an eager localCheckpoint and every
+    * internal cache is released before returning — callers reuse the
+    * materialized labels without anything staying pinned in the
+    * CacheManager (the checkpoint blocks free themselves once the
+    * result is unreachable).
     *
     * Fails loud if the fixpoint is not reached within `maxIter` —
     * silently returning split components would let near-duplicates
@@ -329,10 +340,13 @@ object Dedup {
       it += 1
     }
     e.unpersist(blocking = false)
-    if (changed > 0) throw new IllegalStateException(
-      s"dupClusters did not converge in $maxIter iterations ($changed labels still moving) — " +
-        "a component's diameter exceeds maxIter; raise it to cover the longest duplicate chain")
-    labels
+    if (changed > 0) {
+      handle.unpersist(blocking = false)
+      throw new IllegalStateException(
+        s"dupClusters did not converge in $maxIter iterations ($changed labels still moving) — " +
+          "a component's diameter exceeds maxIter; raise it to cover the longest duplicate chain")
+    }
+    graft.core.Materialize.drained(labels, handle)
   }
 
   /** Apply cluster resolution: keep every document that is its own

@@ -414,12 +414,19 @@ object TextAnalysis {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val totals = counts.groupBy("cls").agg(sum(col("cwc")).as("tc"))
     val vocabSize = counts.agg(countDistinct(col("tok")).as("v"))
-    counts.select("tok").distinct()
-      .crossJoin(broadcast(totals))
-      .join(counts, Seq("cls", "tok"), "left").na.fill(0L, Seq("cwc"))
-      .crossJoin(broadcast(vocabSize))
-      .select(col("tok"), col("cls"),
-        length(bin(expr("(tc + v) div (cwc + 1)"))).cast("long").as("cost"))
+    // The model grid is vocab × classes — bounded by Heaps' law no
+    // matter the corpus — so materialize it once and release the
+    // term-frequency cache with it: training is terminal, and the
+    // persisted counts relation would otherwise stay pinned in the
+    // CacheManager for the life of the session.
+    graft.core.Materialize.drained(
+      counts.select("tok").distinct()
+        .crossJoin(broadcast(totals))
+        .join(counts, Seq("cls", "tok"), "left").na.fill(0L, Seq("cwc"))
+        .crossJoin(broadcast(vocabSize))
+        .select(col("tok"), col("cls"),
+          length(bin(expr("(tc + v) div (cwc + 1)"))).cast("long").as("cost")),
+      counts)
   }
 
   /** Score + argmin over a [[nbTrain]] weight grid. Output

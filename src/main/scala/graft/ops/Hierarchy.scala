@@ -54,10 +54,18 @@ object Hierarchy {
       state = next
       it += 1
     }
-    if (remaining > 0) throw new IllegalStateException(
-      s"flattenToRoot did not settle in $maxIters doubling rounds " +
-        s"($remaining nodes unresolved) — depth exceeds 2^$maxIters or the parent graph has a cycle")
-    state.select(col("id"), col("anc").as("root"), col("d").as("depth"))
+    if (remaining > 0) {
+      handle.unpersist(blocking = false)
+      throw new IllegalStateException(
+        s"flattenToRoot did not settle in $maxIters doubling rounds " +
+          s"($remaining nodes unresolved) — depth exceeds 2^$maxIters or the parent graph has a cycle")
+    }
+    // Already materialized by the per-round counts: checkpoint the
+    // settled table and release the final generation's cache so the
+    // CacheManager holds nothing once the caller is done with it.
+    graft.core.Materialize.drained(
+      state.select(col("id"), col("anc").as("root"), col("d").as("depth")),
+      handle)
   }
 
   /** Subtree rollup: per root, descendant count, max depth, and an

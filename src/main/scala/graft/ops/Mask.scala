@@ -210,7 +210,7 @@ object Mask {
       .join(gb, quasi :+ sensitive, "left").na.fill(0L, Seq("a"))
     val grpW = org.apache.spark.sql.expressions.Window
       .partitionBy(qc: _*).orderBy(sensitive).rowsBetween(Long.MinValue, 0)
-    grid.withColumn("a_cum", sum(col("a")).over(grpW))
+    val scored = grid.withColumn("a_cum", sum(col("a")).over(grpW))
       .groupBy(qc :+ col("n") :+ col("n_total") :+ col("m_bins"): _*)
       .agg(sum(abs(col("a_cum") * col("n_total") - col("g_cum") * col("n")))
         .as("emd_num"))
@@ -219,6 +219,9 @@ object Mask {
         expr("emd_num * 1000000L div (n * n_total * greatest(m_bins - 1, 1L))")
           .as("t_x1e6")): _*)
       .withColumn("violates", col("t_x1e6") > tX1e6)
+    // group-sized audit result: materialize once, release the
+    // contingency-table cache with it (nothing stays pinned after)
+    graft.core.Materialize.drained(scored, gb)
   }
 
   /** Exact integer CDF of the two-sided geometric distribution with

@@ -30,9 +30,14 @@ object DedupPack extends QueryPack {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> ((s, dir) =>
       Dedup.exactDupGroups(corpus(s, dir), "id", "text").orderBy("h")),
+    // Leak-free callback form: the verified pairs materialize inside
+    // the callback (the action the contract requires) and the internal
+    // shingle cache is released before the query returns — nothing
+    // stays in the CacheManager after the gate's action.
     "dedup_minhash" -> ((s, dir) =>
-      Dedup.minhashDupPairs(corpus(s, dir), "id", "text", K, BANDS, 0.5)
-        .orderBy("a", "b")),
+      Dedup.withMinhashDupPairs(corpus(s, dir), "id", "text", K, BANDS, 0.5) {
+        pairs => graft.core.Materialize.drained(pairs.orderBy("a", "b"))
+      }),
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhash16(Tables.load(s, dir, "documents"), "doc_id", "text")
         .orderBy("id")),
@@ -123,11 +128,11 @@ object DedupPack extends QueryPack {
     // 3-gram a hot token — 5-grams restore a sparse posting space
     // (the realistic regime; a Zipfian corpus gives it for free),
     // and the copies sit at Jaccard ~0.97, far above the threshold.
-    "dedup_prefix_pairs" -> ((s, dir) => {
-      val sh = Dedup.shingles(corpus(s, dir), "id", "text", n = 5)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      Dedup.prefixFilterPairs(sh, 8000L).orderBy("a", "b")
-    }),
+    "dedup_prefix_pairs" -> ((s, dir) =>
+      graft.core.Materialize.withCached(
+        Dedup.shingles(corpus(s, dir), "id", "text", n = 5)) { sh =>
+        Dedup.prefixFilterPairs(sh, 8000L).orderBy("a", "b")
+      }),
     // Cluster-size telemetry over the resolved duplicate components —
     // the release-report histogram (how many pairs, triples, … did
     // dedup collapse): two tiny aggregates on top of the cluster
@@ -165,23 +170,23 @@ object DedupPack extends QueryPack {
     // ever materializing the quadratic pair space.
     "dedup_blocking_metrics" -> ((s, dir) => {
       val c = corpus(s, dir)
-      val sh = Dedup.shingles(c, "id", "text")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val cand = Dedup.lshCandidates(
-        Dedup.lshBands(Dedup.minhashSignatures(sh, K), K, BANDS))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val verified = Dedup.jaccard(cand, sh).filter(col("jacc_x1e4") >= 5000)
-      c.agg(count(lit(1)).as("n_docs"))
-        .crossJoin(cand.agg(count(lit(1)).as("n_candidates")))
-        .crossJoin(verified.agg(count(lit(1)).as("n_verified")))
-        .select(col("n_docs"),
-          expr("n_docs * (n_docs - 1) div 2").as("n_total_pairs"),
-          col("n_candidates"), col("n_verified"))
-        .withColumn("reduction_x1e6",
-          expr("(n_total_pairs - n_candidates) * 1000000L div n_total_pairs"))
-        .withColumn("yield_x1e6",
-          expr("CASE WHEN n_candidates = 0 THEN 0L " +
-            "ELSE n_verified * 1000000L div n_candidates END"))
+      graft.core.Materialize.withCached2(Dedup.shingles(c, "id", "text"))(
+        sh => Dedup.lshCandidates(
+          Dedup.lshBands(Dedup.minhashSignatures(sh, K), K, BANDS))) {
+        (sh, cand) =>
+          val verified = Dedup.jaccard(cand, sh).filter(col("jacc_x1e4") >= 5000)
+          c.agg(count(lit(1)).as("n_docs"))
+            .crossJoin(cand.agg(count(lit(1)).as("n_candidates")))
+            .crossJoin(verified.agg(count(lit(1)).as("n_verified")))
+            .select(col("n_docs"),
+              expr("n_docs * (n_docs - 1) div 2").as("n_total_pairs"),
+              col("n_candidates"), col("n_verified"))
+            .withColumn("reduction_x1e6",
+              expr("(n_total_pairs - n_candidates) * 1000000L div n_total_pairs"))
+            .withColumn("yield_x1e6",
+              expr("CASE WHEN n_candidates = 0 THEN 0L " +
+                "ELSE n_verified * 1000000L div n_candidates END"))
+      }
     }),
     // Standalone exact n-gram Jaccard over a given pair list (the
     // known original↔shifted-copy pairs) — the verification primitive
@@ -190,10 +195,11 @@ object DedupPack extends QueryPack {
       val pairs = Tables.load(s, dir, "documents")
         .select(col("doc_id").as("a"), (col("doc_id") + 1000000).as("b"))
       // jaccard derives the shingle scan three times (sizes + both join
-      // sides); persist it once, as minhashDupPairs does.
-      val sh = Dedup.shingles(corpus(s, dir), "id", "text")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      Dedup.jaccard(pairs, sh).orderBy("a")
+      // sides); cache it for the one materializing run, then release.
+      graft.core.Materialize.withCached(
+        Dedup.shingles(corpus(s, dir), "id", "text")) { sh =>
+        Dedup.jaccard(pairs, sh).orderBy("a")
+      }
     }),
     // Asymmetric containment — the sub-document/quote-reuse signal:
     // each doubled doc embeds its original plus a tail, so the
@@ -203,9 +209,10 @@ object DedupPack extends QueryPack {
     "text_ngram_containment" -> ((s, dir) => {
       val pairs = Tables.load(s, dir, "documents")
         .select(col("doc_id").as("a"), (col("doc_id") + 1000000).as("b"))
-      val sh = Dedup.shingles(corpus(s, dir), "id", "text")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      Dedup.containment(pairs, sh).orderBy("a")
+      graft.core.Materialize.withCached(
+        Dedup.shingles(corpus(s, dir), "id", "text")) { sh =>
+        Dedup.containment(pairs, sh).orderBy("a")
+      }
     }),
   )
 

@@ -914,8 +914,7 @@ object InsightsPack extends QueryPack {
     // them.
     "events_anomaly_stl" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
-      val stl = stlFrame(s, dir)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      graft.core.Materialize.withCached(stlFrame(s, dir)) { stl =>
       def medianOf(df: DataFrame, c: String, out: String): DataFrame = {
         val w = Window.partitionBy("event_type").orderBy(col(c), col("hr"))
         df.withColumn("rn", row_number().over(w))
@@ -933,6 +932,7 @@ object InsightsPack extends QueryPack {
           col("remainder_x1e4"), col("med_x1e4"), col("mad_x1e4"),
           col("adev_x1e4"))
         .orderBy("event_type", "hr")
+      }
     }),
 
     // FIFO leftover aging: stock bought but never consumed, by buy

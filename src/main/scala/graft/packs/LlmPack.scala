@@ -270,23 +270,25 @@ object LlmPack extends QueryPack {
       val q = e.filter(col("vec_id") < 2)
         .select(col("vec_id").as("qid"), col("embedding").as("qe"))
       val c = e.select(col("vec_id"), col("embedding").as("ce"))
-      val pool = Ann.cosineTopK(q, c, 10)
-        .select(col("qid"), col("vec_id"), col("cos_x1e4").as("rel_x1e4"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val pe = pool.select("qid", "vec_id").join(e, Seq("vec_id"))
-        .select(col("qid"), col("vec_id"), col("embedding"))
-      val sims = pe
-        .select(col("qid"), col("vec_id").as("a"), col("embedding").as("xe"))
-        .as("x")
-        .join(pe.select(col("qid"), col("vec_id").as("b"),
-          col("embedding").as("ye")).as("y"),
-          col("x.qid") === col("y.qid") && col("a") =!= col("b"))
-        .select(col("x.qid").as("qid"), col("a"), col("b"),
-          Ann.cosScaled("xe", "ye").as("sim_x1e4"))
-        // every greedy round probes the pairwise sims — materialize once
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      graft.llm.Search.mmrRerank(pool, sims, k = 3, lambdaNum = 7)
-        .orderBy("qid", "step")
+      // pool + pairwise sims both probe repeatedly inside the greedy
+      // rounds — cache both for the one materializing run, then release
+      graft.core.Materialize.withCached2(
+        Ann.cosineTopK(q, c, 10)
+          .select(col("qid"), col("vec_id"), col("cos_x1e4").as("rel_x1e4")))(
+        pool => {
+          val pe = pool.select("qid", "vec_id").join(e, Seq("vec_id"))
+            .select(col("qid"), col("vec_id"), col("embedding"))
+          pe.select(col("qid"), col("vec_id").as("a"), col("embedding").as("xe"))
+            .as("x")
+            .join(pe.select(col("qid"), col("vec_id").as("b"),
+              col("embedding").as("ye")).as("y"),
+              col("x.qid") === col("y.qid") && col("a") =!= col("b"))
+            .select(col("x.qid").as("qid"), col("a"), col("b"),
+              Ann.cosScaled("xe", "ye").as("sim_x1e4"))
+        }) { (pool, sims) =>
+        graft.llm.Search.mmrRerank(pool, sims, k = 3, lambdaNum = 7)
+          .orderBy("qid", "step")
+      }
     }),
     // RAKE keywords (TA.rakeKeywords): stopword-delimited candidate
     // phrases via gaps-and-islands, degree/frequency word scores,

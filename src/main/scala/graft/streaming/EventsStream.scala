@@ -929,7 +929,9 @@ object EventsStream {
           lit(4L) * (expr("gq DIV gn") - expr("(gs DIV gn) * (gs DIV gn)")))
           .as("is_anomaly"))
       .orderBy("hour")
-    out
+    // hourly-sized gate result: materialize once, release the state
+    // cache with it — no relation left pinned after the gate's action
+    graft.core.Materialize.drained(out, fin)
   }
 
   /** Per-batch hourly counts per type — the CUSUM monitor's input

@@ -221,7 +221,9 @@ object Xml {
     }
     val schema = StructType(keys.map(k => StructField(k, StringType, nullable = false)))
     val rows = cached.rdd.map(m => Row.fromSeq(keys.map(k => m.getOrElse(k, ""))))
-    spark.createDataFrame(rows, schema)
+    // materialize the typed rows once, then drop the parse cache — the
+    // parsed-Map relation must not stay pinned after the read returns
+    graft.core.Materialize.drained(spark.createDataFrame(rows, schema), cached)
   }
 
   // -------------------------------------------------------------------

@@ -20,4 +20,10 @@ object ExprShim {
       builder: Seq[Expression] => Expression): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       name, builder, "built-in")
+
+  /** True when the session's CacheManager holds no cached relations —
+    * the invariant CacheHygieneSpec asserts after every query action
+    * (`sharedState` is `private[sql]`, hence the shim). */
+  def cacheIsEmpty(spark: org.apache.spark.sql.SparkSession): Boolean =
+    spark.sharedState.cacheManager.isEmpty
 }
