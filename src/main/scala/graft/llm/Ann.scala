@@ -398,6 +398,38 @@ object Ann {
     cent.coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
     graft.ops.FileIndex.writeIndexed(assignBuckets(corpus, cent),
       s"$dir/assigned", "bucket", files)
+    // Corpus fingerprint, recorded with the build: a corpus refresh
+    // that skips re-indexing would otherwise serve stale assignments
+    // SILENTLY (the manifest stays self-consistent — nothing in the
+    // serving path could notice). verifyIndex compares this at load.
+    corpusFingerprint(corpus)
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/fingerprint")
+  }
+
+  /** Order-independent corpus fingerprint: row count + bit_xor of the
+    * per-row xxhash64(vec_id, ce). XOR (not sum) so the aggregate is
+    * partitioning-independent AND overflow-free under ANSI mode; any
+    * added, dropped, or edited vector flips it. */
+  private def corpusFingerprint(corpus: DataFrame): DataFrame =
+    corpus.agg(count(lit(1)).as("n_vectors"),
+      coalesce(expr("bit_xor(xxhash64(vec_id, ce))"), lit(0L)).as("checksum"))
+
+  /** Guard for [[ivfTopKPersisted]]: recompute the fingerprint of the
+    * corpus the caller BELIEVES is indexed and compare it to the one
+    * recorded at build time. Fails loud on mismatch — serving
+    * stale-assignment results after a corpus refresh is a silent
+    * correctness bug, not a degradation. One corpus scan; call it at
+    * deploy/refresh boundaries, not per query. */
+  def verifyIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
+      corpus: DataFrame): Unit = {
+    val rec = spark.read.parquet(s"$dir/fingerprint").head()
+    val cur = corpusFingerprint(corpus).head()
+    if (rec.getLong(0) != cur.getLong(0) || rec.getLong(1) != cur.getLong(1))
+      throw new IllegalStateException(
+        s"stale IVF index at $dir: recorded corpus (n=${rec.getLong(0)}, " +
+          f"checksum=${rec.getLong(1)}%016x) != current corpus " +
+          f"(n=${cur.getLong(0)}, checksum=${cur.getLong(1)}%016x) — " +
+          "the corpus changed since writeIndex; rebuild the index")
   }
 
   /** The persisted centroid table as a LOCAL literal DataFrame (≤n

@@ -547,6 +547,9 @@ object LlmPack extends QueryPack {
       val c = e.select(col("vec_id"), col("embedding").as("ce"))
       val idx = graft.core.Scratch.dir("graft_rt").resolve("ann_idx").toString
       Ann.writeIndex(c, idx, NC, LLOYD, files = 4)
+      // deploy-boundary staleness guard: recorded fingerprint must
+      // match the corpus being served (r15 — fails loud otherwise)
+      Ann.verifyIndex(s, idx, c)
       val q = e.filter(col("vec_id") < 3)
         .select(col("vec_id").as("qid"), col("embedding").as("qe"))
       Ann.ivfTopKPersisted(s, q, idx, TOPK, NPROBE)

@@ -128,6 +128,30 @@ class AnnSpec extends SparkSpec {
     assert(again.toSeq == persisted.toSeq)
   }
 
+  test("persisted index: staleness fingerprint accepts the built corpus, rejects a refresh") {
+    val corpus = clustered
+    val idx = java.nio.file.Files.createTempDirectory("ann_idx_fp").toString
+    Ann.writeIndex(corpus, idx, nClusters, iters = 2, files = 5)
+    // the corpus that was indexed verifies clean — row order must not
+    // matter (the checksum is an XOR, partitioning-independent)
+    Ann.verifyIndex(spark, idx, corpus)
+    Ann.verifyIndex(spark, idx, corpus.orderBy(desc("vec_id")))
+    // a refreshed corpus (one vector dropped / one added / one edited)
+    // must fail LOUD instead of silently serving stale assignments
+    val dropped = corpus.filter(col("vec_id") =!= 0L)
+    val e1 = intercept[IllegalStateException] { Ann.verifyIndex(spark, idx, dropped) }
+    assert(e1.getMessage.contains("stale IVF index"))
+    val added = corpus.unionAll(corpus.limit(1)
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("ce")))
+    intercept[IllegalStateException] { Ann.verifyIndex(spark, idx, added) }
+    // same count, one vector's components scaled: count matches,
+    // checksum must still flip
+    val edited = corpus.select(col("vec_id"),
+      when(col("vec_id") === 0L,
+        expr("transform(ce, x -> x * CAST(2.0 AS FLOAT))")).otherwise(col("ce")).as("ce"))
+    intercept[IllegalStateException] { Ann.verifyIndex(spark, idx, edited) }
+  }
+
   test("ArrayDotInt8 is exact and gated to tinyint arrays") {
     import graft.functions.{ArrayDotInt8, F}
     // Seq[Byte], not Array[Byte]: the latter encodes as BINARY
