@@ -392,6 +392,117 @@ object Dedup {
       .withColumn("dup_bps", expr("n_dup_grams * 10000 DIV n_grams"))
   }
 
+  /** Exact duplicated-SUBSTRING spans at character granularity — the
+    * suffix-array-family complement of [[ngramSpanStats]] (word grams,
+    * per-doc ratios): emit every MAXIMAL span whose text participates
+    * in a verbatim repeat of ≥ `minLen` characters anywhere in the
+    * corpus (including elsewhere in the same document) — the published
+    * standard for verbatim-contamination removal (Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better", which
+    * builds a suffix array for exactly this query).
+    *
+    * Reduction that makes it exact: a duplicated substring of length
+    * ≥ L covers starts whose length-L windows are all duplicated, and
+    * any duplicated L-window is itself a ≥L duplicate — so the union
+    * of duplicated-L-window starts, merged into islands (consecutive
+    * starts ≤ L apart), IS the set of maximal duplicated spans. The
+    * property spec proves this against an in-memory suffix array + LCP
+    * reference on random corpora.
+    *
+    * Scale shape — PREFIX DOUBLING OVER DIGESTED SUFFIXES, the
+    * distributed suffix-array construction specialised to equality
+    * (ranks exist only to compare; for duplicate detection a 64-bit
+    * digest compares for free, so the sort-based re-ranking each round
+    * drops out):
+    *  - positions explode ONCE into overlap blocks of `blockChars`:
+    *    a position's digest chain looks ahead at most L-1 chars, so
+    *    each block carries the next block's first L-1 positions as
+    *    context rows and every block computes INDEPENDENTLY — bounded
+    *    partitions, no giant-document skew, and the whole chain rides
+    *    one exchange (partition by (doc, block));
+    *  - round k is one window `lead(d, 2^(k-1))`:
+    *    d_k(i) = xxhash64(d_(k-1)(i), d_(k-1)(i + 2^(k-1))) — the
+    *    doubling recurrence over 8-BYTE DIGESTS; the corpus never
+    *    materializes L-byte grams (the naive gram pipeline hashes
+    *    O(n·L) bytes; this hashes O(n·log L) fixed-width pairs);
+    *  - the exact-L key is the classic sparse-table O(1) comparison:
+    *    key(i) = xxhash64(d_K(i), d_K(i + L - 2^K)), 2^K ≤ L < 2^(K+1);
+    *    nulls propagate so suffixes shorter than L key as null;
+    *  - ONE corpus-wide aggregate marks keys occurring ≥ 2 times, an
+    *    equi-join back selects duplicated starts (duplication-sized,
+    *    sparse), and a per-doc gaps-and-islands window merges them.
+    *
+    * Characters are UTF-16 code units (`split("")`) — identical to
+    * code points on ASCII/BMP text; the oracle-gated fixture filters
+    * to ASCII so both engines index identically. Collision risk of the
+    * 64-bit digests is n²/2^64 — immaterial below ~10^8 positions per
+    * digest domain, and keyed per round.
+    *
+    * Output (id, span_start 1-based, span_end exclusive, span_len,
+    * n_dup_windows). */
+  def duplicateSpans(docs: DataFrame, idCol: String, textCol: String,
+      minLen: Int, blockChars: Int = 4096): DataFrame = {
+    require(minLen >= 2 && minLen <= (1 << 20),
+      s"duplicateSpans: minLen=$minLen out of [2, 2^20]")
+    require(blockChars >= minLen,
+      s"duplicateSpans: blockChars=$blockChars must be >= minLen=$minLen")
+    import org.apache.spark.sql.expressions.Window
+    val K = 63 - java.lang.Long.numberOfLeadingZeros(minLen.toLong) // 2^K <= L
+    val half = 1L << K
+    val tail = minLen - half // L - 2^K, in [0, 2^K)
+    // one explode: (id, pos 1-based, ch) × the 1–2 blocks that need it
+    // (home block, plus the PREVIOUS block when pos falls in its
+    // look-ahead context window)
+    val b = lit(blockChars.toLong)
+    val positions = docs.select(col(idCol).as("id"),
+        posexplode(split(col(textCol), "")).as(Seq("p0", "ch")))
+      .select(col("id"), (col("p0") + 1L).as("pos"), col("ch"),
+        expr(s"CAST(p0 div $blockChars AS BIGINT)").as("home"))
+      .select(col("id"), col("pos"), col("ch"), col("home"),
+        explode(when(col("home") > 0 && (col("pos") - lit(1L)) % b < lit(minLen.toLong - 1L),
+          array(col("home"), col("home") - 1L)).otherwise(array(col("home")))).as("blk"))
+    val w = Window.partitionBy("id", "blk").orderBy("pos")
+    // doubling rounds d_0 .. d_K over the block window; a null lead
+    // means the window runs off the block's context — for HOME rows
+    // that only happens when the suffix itself is shorter than 2^k
+    val d0 = positions.withColumn("d", xxhash64(col("ch")))
+    val dK = (1 to K).foldLeft(d0) { (df, k) =>
+      val h = 1L << (k - 1)
+      df.withColumn("d",
+        when(lead(col("d"), h.toInt).over(w).isNotNull,
+          xxhash64(col("d"), lead(col("d"), h.toInt).over(w))))
+    }
+    // sparse-table combine to the exact-L key, home rows only
+    val keyed = dK
+      .withColumn("lkey",
+        if (tail == 0L) col("d")
+        else when(lead(col("d"), tail.toInt).over(w).isNotNull,
+          xxhash64(col("d"), lead(col("d"), tail.toInt).over(w))))
+      .filter(col("blk") === col("home") && col("lkey").isNotNull)
+      .select(col("id"), col("pos"), col("lkey"))
+    // corpus-wide duplicate marking: keys seen >= 2 times (any doc,
+    // multiplicity counted — a within-doc repeat duplicates too)
+    val dup = keyed.groupBy("lkey").agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 2).select("lkey")
+    val marked = keyed.join(dup, Seq("lkey")).select("id", "pos")
+    // gaps-and-islands over the (sparse, duplication-sized) marked
+    // starts: windows [i, i+L) touching or overlapping merge
+    val wDoc = Window.partitionBy("id").orderBy("pos")
+    marked
+      .withColumn("brk", when(lag(col("pos"), 1).over(wDoc).isNull ||
+        col("pos") - lag(col("pos"), 1).over(wDoc) > minLen.toLong, 1L)
+        .otherwise(0L))
+      .withColumn("island", sum(col("brk")).over(
+        wDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("id", "island")
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + minLen.toLong).as("span_end"),
+        count(lit(1)).as("n_dup_windows"))
+      .select(col("id"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start")).as("span_len"),
+        col("n_dup_windows"))
+  }
+
   /** 16-bit SimHash per document: token-occurrence weighted bit votes.
     * Narrow map + one groupBy(doc) carrying 16 small sums. */
   def simhash16(docs: DataFrame, idCol: String, textCol: String): DataFrame = {

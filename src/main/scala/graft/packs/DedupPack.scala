@@ -102,6 +102,20 @@ object DedupPack extends QueryPack {
       Dedup.ngramSpanStats(Tables.load(s, dir, "documents"), "doc_id", "text")
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id")),
+    // Exact duplicated-substring SPANS >= 30 chars via prefix doubling
+    // over digested suffixes (Dedup.duplicateSpans — the suffix-array
+    // construction specialised to equality): maximal verbatim-repeat
+    // regions at character granularity, the Lee et al. 2022 semantics.
+    // blockChars=256 exercises the overlap-block segmentation at gate
+    // scale (the giant-document skew defence); ASCII filter keeps
+    // code-unit indexing identical across engines.
+    "dedup_exact_substring" -> ((s, dir) =>
+      Dedup.duplicateSpans(
+          Tables.load(s, dir, "documents")
+            .filter(col("text").rlike("^[\\x20-\\x7E]*$")),
+          "doc_id", "text", minLen = 30, blockChars = 256)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id", "span_start")),
     // The applied corpus filter: per-source kept/flagged counts at the
     // >= 8000 bps duplicated-gram threshold — the release-gate summary
     // a curation run reports before writing shards.
@@ -537,6 +551,28 @@ object DedupPack extends QueryPack {
          |SELECT id AS doc_id, n_grams, n_dup_grams,
          |  CAST(n_dup_grams * 10000 // n_grams AS BIGINT) AS dup_bps
          |FROM per ORDER BY doc_id""".stripMargin,
+    // the naive twin of the digested prefix-doubling pipeline: L-char
+    // substrings materialized + counted directly, then the same
+    // touching-windows island merge
+    "dedup_exact_substring" ->
+      """WITH d AS (SELECT doc_id, text FROM documents
+        |  WHERE regexp_matches(text, '^[\x20-\x7E]*$')),
+        |pos AS (SELECT doc_id, CAST(t.i AS BIGINT) AS i,
+        |    substr(text, CAST(t.i AS INT), 30) AS g
+        |  FROM d, UNNEST(generate_series(1, length(text) - 29)) AS t(i)),
+        |dup AS (SELECT g FROM pos GROUP BY g HAVING count(*) >= 2),
+        |m AS (SELECT doc_id, i FROM pos JOIN dup USING (g)),
+        |b AS (SELECT doc_id, i,
+        |    CASE WHEN lag(i) OVER w IS NULL OR i - lag(i) OVER w > 30
+        |      THEN 1 ELSE 0 END AS brk
+        |  FROM m WINDOW w AS (PARTITION BY doc_id ORDER BY i)),
+        |isl AS (SELECT doc_id, i, SUM(brk) OVER (PARTITION BY doc_id
+        |    ORDER BY i ROWS UNBOUNDED PRECEDING) AS island FROM b)
+        |SELECT doc_id, min(i) AS span_start, max(i) + 30 AS span_end,
+        |  max(i) + 30 - min(i) AS span_len,
+        |  CAST(count(*) AS BIGINT) AS n_dup_windows
+        |FROM isl GROUP BY doc_id, island
+        |ORDER BY doc_id, span_start""".stripMargin,
     "dedup_ngram_prune" ->
       s"""WITH $docSpanSql,
          |st AS (SELECT id AS doc_id,
