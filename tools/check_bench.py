@@ -35,10 +35,17 @@ def load_baseline():
 def check(bench_path, baseline):
     with open(bench_path) as f:
         bench = json.load(f)
-    rows = baseline["rows"]
+    # sf1 artifacts gate against the sf1 standing-pair table (their
+    # own canary reference too); everything else against the sf0.1 rows
+    is_sf1 = "sf1" in str(bench.get("sf", "")) and "sf0.1" not in str(bench.get("sf", ""))
+    if is_sf1 and "sf1" in baseline:
+        rows = baseline["sf1"]["rows"]
+        canary_ref = baseline["sf1"]["canary_ref"]
+    else:
+        rows = baseline["rows"]
+        canary_ref = baseline["canary"]["ref_seconds"]
     gate = baseline["gate_ratio"]
     canary_q = baseline["canary"]["query"]
-    canary_ref = baseline["canary"]["ref_seconds"]
     measured_canary = bench.get("canary", bench["queries"].get(canary_q))
     if not measured_canary or measured_canary <= 0:
         print(f"{bench_path}: no usable canary ({canary_q}) in artifact")
