@@ -25,8 +25,10 @@ object CoveragePack extends QueryPack {
   }
 
   /** Deterministic single-file CSV image of a sheet: header + rows
-    * sorted by the first column (string sort). */
-  private def csvBytes(df: DataFrame): Array[Byte] = {
+    * sorted by the first column (string sort). Package-visible so
+    * BinaryGateSpec can re-derive zip entry sizes with the exact
+    * renderer the gate uses. */
+  private[graft] def csvBytes(df: DataFrame): Array[Byte] = {
     val cols = df.columns
     val sorted = df.orderBy(col(cols.head)).collect()
     val sb = new StringBuilder(cols.mkString(",")).append('\n')
