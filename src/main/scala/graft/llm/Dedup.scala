@@ -503,6 +503,62 @@ object Dedup {
         col("n_dup_windows"))
   }
 
+  /** Content-defined chunking (CDC) duplicate detection — the
+    * SHIFT-INVARIANT member of the exact-dedup family: split every
+    * document at positions where a keyed rolling-window hash lands on
+    * a fixed residue (boundary ⟺ h(text[i-w+1..i]) ≡ 0 mod divisor,
+    * plus the document tail), then dedup CHUNKS by content digest.
+    * Because boundaries depend only on local content, a copy with
+    * inserted/prepended bytes re-synchronizes at the first shared
+    * boundary and all later chunks hash identically — the duplicates
+    * that fixed-offset blocking structurally misses (the rsync/LBFS/
+    * FastCDC principle, applied to corpus dedup).
+    *
+    * Scale shape: the boundary scan is ONE narrow generate→project→
+    * filter stage (positions with their w-char windows exist only
+    * inside the generator stage — nothing corpus×w ever shuffles;
+    * only the sparse boundary rows, ~len/divisor per doc, reach the
+    * exchange); chunk assembly is a per-doc lag window over those
+    * sparse rows plus one equi-join back for the chunk slices; chunk
+    * dedup is one hash aggregate on the digest. Expected chunk length
+    * = `divisor` chars. All hashing is the keyed md5 construction, so
+    * the oracle reproduces boundaries and digests bit-for-bit.
+    *
+    * Output: duplicated chunks only — (id, chunk_start 1-based,
+    * chunk_len, chunk_hash, n_docs) where n_docs = distinct docs
+    * sharing the chunk content (≥ 2). */
+  def cdcChunks(docs: DataFrame, idCol: String, textCol: String,
+      window: Int = 16, divisor: Long = 64L): DataFrame = {
+    require(window >= 4 && window <= 256, s"cdcChunks: window=$window")
+    require(divisor >= 2, s"cdcChunks: divisor=$divisor")
+    import org.apache.spark.sql.expressions.Window
+    val base = docs.select(col(idCol).as("id"), col(textCol).as("text"))
+    val bpos = base
+      .select(col("id"), col("text"),
+        explode(expr(s"sequence(${window}L, length(text))")).as("b"))
+      .filter(graft.functions.F.hash32(
+        expr(s"substring(text, CAST(b - ${window - 1} AS INT), $window)"),
+        "cdc", "b") % divisor === 0)
+      .select("id", "b")
+      .unionAll(base.filter(length(col("text")) > 0)
+        .select(col("id"), length(col("text")).cast("long").as("b")))
+      .distinct()
+    val w = Window.partitionBy("id").orderBy("b")
+    val chunks = bpos
+      .withColumn("cstart", coalesce(lag(col("b"), 1).over(w), lit(0L)) + 1L)
+      .join(base, Seq("id"))
+      .select(col("id"), col("cstart").as("chunk_start"),
+        (col("b") - col("cstart") + 1L).as("chunk_len"),
+        md5(expr("substring(text, CAST(cstart AS INT), CAST(b - cstart + 1 AS INT))"))
+          .as("chunk_hash"))
+    val shared = chunks.groupBy("chunk_hash")
+      .agg(countDistinct(col("id")).as("n_docs"))
+      .filter(col("n_docs") >= 2)
+    chunks.join(shared, Seq("chunk_hash"))
+      .select(col("id"), col("chunk_start"), col("chunk_len"),
+        col("chunk_hash"), col("n_docs"))
+  }
+
   /** 16-bit SimHash per document: token-occurrence weighted bit votes.
     * Narrow map + one groupBy(doc) carrying 16 small sums. */
   def simhash16(docs: DataFrame, idCol: String, textCol: String): DataFrame = {

@@ -116,6 +116,21 @@ object DedupPack extends QueryPack {
           "doc_id", "text", minLen = 30, blockChars = 256)
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id", "span_start")),
+    // Content-defined chunking (Dedup.cdcChunks) over a fixture built
+    // to DEFEAT fixed-offset blocking: every 5th doc reappears with a
+    // shifted prefix, so only content-defined boundaries re-align the
+    // copies' chunks with the originals'.
+    "dedup_cdc_chunks" -> ((s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+        .filter(col("text").rlike("^[\\x20-\\x7E]*$"))
+      val c = d.select(col("doc_id").as("id"), col("text"))
+        .unionAll(d.filter(col("doc_id") % 5 === 0)
+          .select((col("doc_id") + 1000000).as("id"),
+            concat(lit("SHIFTED-PREFIX >> "), col("text")).as("text")))
+      Dedup.cdcChunks(c, "id", "text")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id", "chunk_start")
+    }),
     // The applied corpus filter: per-source kept/flagged counts at the
     // >= 8000 bps duplicated-gram threshold — the release-gate summary
     // a curation run reports before writing shards.
@@ -551,6 +566,35 @@ object DedupPack extends QueryPack {
          |SELECT id AS doc_id, n_grams, n_dup_grams,
          |  CAST(n_dup_grams * 10000 // n_grams AS BIGINT) AS dup_bps
          |FROM per ORDER BY doc_id""".stripMargin,
+    // same keyed-md5 boundary rule, lag-window chunking, md5 chunk
+    // digests, distinct-doc sharing counts
+    "dedup_cdc_chunks" ->
+      """WITH corpus AS (
+        |  SELECT doc_id AS id, text FROM documents
+        |    WHERE regexp_matches(text, '^[\x20-\x7E]*$')
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, 'SHIFTED-PREFIX >> ' || text FROM documents
+        |    WHERE doc_id % 5 = 0 AND regexp_matches(text, '^[\x20-\x7E]*$')),
+        |bpos AS (SELECT id, CAST(t.i AS BIGINT) AS b
+        |  FROM corpus, UNNEST(generate_series(16, length(text))) AS t(i)
+        |  WHERE CAST(CONCAT('0x', substr(md5(
+        |      substr(text, CAST(t.i AS INT) - 15, 16) || ':cdc:b'), 1, 8)) AS BIGINT) % 64 = 0
+        |  UNION ALL
+        |  SELECT id, CAST(length(text) AS BIGINT) FROM corpus WHERE length(text) > 0),
+        |bnd AS (SELECT DISTINCT id, b FROM bpos),
+        |chunks AS (SELECT id,
+        |    COALESCE(lag(b) OVER (PARTITION BY id ORDER BY b), 0) + 1 AS cstart,
+        |    b AS cend FROM bnd),
+        |withtext AS (SELECT c.id, c.cstart, c.cend - c.cstart + 1 AS clen,
+        |    md5(substr(t.text, CAST(c.cstart AS INT),
+        |      CAST(c.cend - c.cstart + 1 AS INT))) AS chash
+        |  FROM chunks c JOIN corpus t ON t.id = c.id),
+        |shared AS (SELECT chash, CAST(count(DISTINCT id) AS BIGINT) AS n_docs
+        |  FROM withtext GROUP BY 1 HAVING count(DISTINCT id) >= 2)
+        |SELECT w.id AS doc_id, w.cstart AS chunk_start, w.clen AS chunk_len,
+        |  w.chash AS chunk_hash, s.n_docs
+        |FROM withtext w JOIN shared s USING (chash)
+        |ORDER BY doc_id, chunk_start""".stripMargin,
     // the naive twin of the digested prefix-doubling pipeline: L-char
     // substrings materialized + counted directly, then the same
     // touching-windows island merge
