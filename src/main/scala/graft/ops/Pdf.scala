@@ -444,11 +444,37 @@ object Pdf {
       catch { case e: IllegalArgumentException => (name, false, None, e.getMessage) }
     }
 
+  /** Garbage-collect before writing: keep only objects reachable from
+    * the root by following `n 0 R` references transitively. A split
+    * copies the source body wholesale and rewrites just the Kids list,
+    * so without this sweep every extract carried ALL the source's page
+    * and content objects as dead weight — a 1-page extract of a
+    * 1000-page document was as large as the document. References only
+    * occur at dict level (resource/annotation refs live in the page
+    * dict, not inside content streams), so a dict-text walk is the
+    * complete reference graph. */
+  private def reachableFrom(objects: Seq[(Int, String)],
+      rootNum: Int): Seq[(Int, String)] = {
+    val byNum = objects.toMap
+    val seen = mutable.Set(rootNum)
+    var frontier = List(rootNum)
+    while (frontier.nonEmpty) {
+      frontier = frontier
+        .flatMap(n => byNum.get(n).iterator.flatMap(
+          b => refRe.findAllMatchIn(b).map(_.group(1).toInt)))
+        .distinct.filterNot(seen)
+      frontier.foreach(n => seen.add(n): Unit)
+    }
+    objects.filter { case (n, _) => seen(n) }
+  }
+
   /** Serialize a doc: classic 1.4 xref table by default, or the PDF
     * 1.5+ compressed form ([[serializeXrefStream]]) when the source
-    * document carried one. */
-  private def serialize(objects: Seq[(Int, String)], rootNum: Int,
-      xrefStream: Boolean = false): Array[Byte] =
+    * document carried one. Unreachable objects are dropped first
+    * ([[reachableFrom]]). */
+  private def serialize(objs0: Seq[(Int, String)], rootNum: Int,
+      xrefStream: Boolean = false): Array[Byte] = {
+    val objects = reachableFrom(objs0, rootNum)
     if (xrefStream) serializeXrefStream(objects, rootNum)
     else {
       val sb = new StringBuilder("%PDF-1.4\n")
@@ -469,6 +495,7 @@ object Pdf {
       sb.append(s"startxref\n$xrefPos\n%%EOF\n")
       sb.result().getBytes("ISO-8859-1")
     }
+  }
 
   /** Serialize with a PDF 1.5 cross-reference STREAM ([PDF 32000]
     * 7.5.8): every streamless object packs into one FlateDecode

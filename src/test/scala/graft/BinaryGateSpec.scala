@@ -56,9 +56,10 @@ class BinaryGateSpec extends SparkSpec {
     sb.toString
   }
 
-  /** Census of page objects anywhere in the body (dead objects
-    * included — the writer does not garbage-collect, so a split keeps
-    * the source's page dicts and only rewrites the Kids list). */
+  /** Census of page objects anywhere in the body. The writer
+    * garbage-collects unreachable objects before serializing, so this
+    * must EQUAL the reachable page count — a dead page dict in the
+    * body means the sweep regressed. */
   private def pageCensus(text: String): Int =
     "/Type\\s*/Page(?![a-zA-Z])".r.findAllIn(text).size
 
@@ -85,9 +86,9 @@ class BinaryGateSpec extends SparkSpec {
     val t = allText(pdf)
     assert(reachablePages(t) == expected,
       s"$label: reachable pages ${reachablePages(t)} != $expected")
-    // every reachable page is backed by a page dict in the body
-    assert(pageCensus(t) >= expected,
-      s"$label: only ${pageCensus(t)} page dicts for $expected reachable pages")
+    // exactly the reachable pages are in the body — no dead objects
+    assert(pageCensus(t) == expected,
+      s"$label: ${pageCensus(t)} page dicts in the body for $expected reachable pages")
     assert(graft.ops.Pdf.pageCount(pdf) == expected,
       s"$label: engine pageCount disagrees")
   }
@@ -126,6 +127,10 @@ class BinaryGateSpec extends SparkSpec {
     check("fixture", modern, 5)
     check("part", part, 2)
     check("merged", merged, 7)
+    // the GC sweep makes a 2-page extract materially smaller than its
+    // 5-page content-bearing source, not a full-body copy
+    assert(part.length < modern.length,
+      s"extract (${part.length} B) not smaller than source (${modern.length} B)")
     // the 1.5 page dicts must NOT be visible in the raw bytes (they
     // live inside the FlateDecode ObjStm) — proving the census really
     // reads the inflated object stream, not plaintext leftovers
