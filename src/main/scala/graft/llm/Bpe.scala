@@ -161,11 +161,15 @@ object Bpe {
     * Unrolling sidesteps every recursive-CTE restriction (the round
     * needs both an aggregate over the working vocab AND a second
     * reference to it); k=8 keeps the statement ~60 lines. */
-  def mergesOracleSql(k: Int): String = {
-    require(k >= 1 && k <= 32, s"mergesOracleSql: k=$k out of [1, 32]")
+  /** Shared CTE chain for the two BPE oracles: s0 is the char-level
+    * tokenized word histogram (word carried through every round), b_i
+    * is round i's argmax pair, s_i the vocab after applying it. When
+    * `throughK` the chain ends with the FULLY merged s_k (the encode
+    * oracle needs it); the learn oracle stops at b_k. */
+  private def bpeChainCtes(k: Int, throughK: Boolean): Seq[String] = {
     val s0 =
       """s0 AS (
-        |  SELECT list_transform(range(1, length(word)+1), i -> word[i]) AS toks, cnt
+        |  SELECT word, list_transform(range(1, length(word)+1), i -> word[i]) AS toks, cnt
         |  FROM (SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM (
         |      SELECT unnest(regexp_split_to_array(text, '\s+')) AS word
         |      FROM documents WHERE regexp_matches(text, '^[\x20-\x7E]*$'))
@@ -178,26 +182,45 @@ object Bpe {
          |  GROUP BY 1, 2 ORDER BY n DESC, l, r LIMIT 1)""".stripMargin
     def step(prev: String, b: String, next: String) =
       s"""$next AS (
-         |  SELECT flatten(list_transform(range(1, len(toks)+1), i ->
+         |  SELECT word, flatten(list_transform(range(1, len(toks)+1), i ->
          |      CASE WHEN list_contains(kept, i) THEN [ml || mr]
          |           WHEN list_contains(kept, i - 1) THEN []
          |           ELSE [toks[i]] END)) AS toks, cnt
          |  FROM (
-         |    SELECT toks, cnt, ml, mr,
+         |    SELECT word, toks, cnt, ml, mr,
          |      list_filter(matches, i -> (i - coalesce(list_max(
          |        list_filter(range(0, i), j -> j = 0 OR NOT list_contains(matches, j))), 0)) % 2 = 1) AS kept
          |    FROM (
-         |      SELECT toks, cnt, b.l AS ml, b.r AS mr,
+         |      SELECT word, toks, cnt, b.l AS ml, b.r AS mr,
          |        list_filter(range(1, len(toks)), i -> toks[i] = b.l AND toks[i+1] = b.r) AS matches
          |      FROM $prev, $b b)))""".stripMargin
-    val ctes = s0 +: (1 to k).flatMap { i =>
+    s0 +: (1 to k).flatMap { i =>
       best(s"s${i - 1}", s"b$i") +:
-        (if (i < k) Seq(step(s"s${i - 1}", s"b$i", s"s$i")) else Seq.empty)
+        (if (i < k || throughK) Seq(step(s"s${i - 1}", s"b$i", s"s$i"))
+         else Seq.empty)
     }
+  }
+
+  def mergesOracleSql(k: Int): String = {
+    require(k >= 1 && k <= 32, s"mergesOracleSql: k=$k out of [1, 32]")
     val unions = (1 to k).map(i =>
       s"""SELECT CAST($i AS INT) AS "rank", l AS "left", r AS "right", n FROM b$i""")
-    "WITH " + ctes.mkString(",\n") + "\nSELECT * FROM (\n" +
-      unions.mkString("\nUNION ALL ") + ")\nORDER BY \"rank\""
+    "WITH " + bpeChainCtes(k, throughK = false).mkString(",\n") +
+      "\nSELECT * FROM (\n" + unions.mkString("\nUNION ALL ") +
+      ")\nORDER BY \"rank\""
+  }
+
+  /** Oracle for the ENCODE gate: the same k merge rounds, then the
+    * fully merged vocab's per-word token counts for the `limit` most
+    * frequent words (ties broken by the unique word). */
+  def encodeOracleSql(k: Int, limit: Int): String = {
+    require(k >= 1 && k <= 32 && limit >= 1,
+      s"encodeOracleSql: k=$k limit=$limit")
+    "WITH " + bpeChainCtes(k, throughK = true).mkString(",\n") +
+      s"""
+         |SELECT word, cnt, CAST(len(toks) AS BIGINT) AS n_toks,
+         |  toks[1] AS first_tok
+         |FROM s$k ORDER BY cnt DESC, word LIMIT $limit""".stripMargin
   }
 
   /** Single-machine reference implementation (test oracle): the

@@ -176,6 +176,22 @@ object LlmPack extends QueryPack {
     "text_bpe_merges" -> ((s, dir) =>
       graft.llm.Bpe.learnMerges(
         docs(s, dir).filter(col("text").rlike("^[\\x20-\\x7E]*$")), "text", 8)),
+    // The tokenizer-INFERENCE half (Bpe.encodeHistogram): replay the 8
+    // learned merges in rank order over the word histogram — each
+    // DISTINCT word encodes once (vocab-sized work, never per corpus
+    // row); gate emits the 50 most frequent words' token counts.
+    "text_bpe_encode" -> ((s, dir) => {
+      val d = docs(s, dir).filter(col("text").rlike("^[\\x20-\\x7E]*$"))
+      val merges = graft.llm.Bpe.learnMerges(d, "text", 8)
+        .orderBy("rank").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      graft.llm.Bpe
+        .encodeHistogram(graft.llm.Bpe.wordHistogram(d, "text"), merges)
+        .select(col("word"), col("cnt"),
+          col("n_toks").cast("long").as("n_toks"),
+          expr("toks[0]").as("first_tok"))
+        .orderBy(desc("cnt"), asc("word")).limit(50)
+    }),
     // Corpus diversity per source: distinct-trigram share of all
     // trigram occurrences (×1e6) — the self-repetition screen that
     // scores templated/boilerplate-heavy sources low while the vocab
@@ -1270,6 +1286,8 @@ object LlmPack extends QueryPack {
         |FROM p GROUP BY 1, 2 ORDER BY n DESC, "left", "right" LIMIT 20""".stripMargin,
     // the k=8 greedy iteration, unrolled: see Bpe.mergesOracleSql
     "text_bpe_merges" -> graft.llm.Bpe.mergesOracleSql(8),
+    // same chain run through s8, then per-word token counts
+    "text_bpe_encode" -> graft.llm.Bpe.encodeOracleSql(8, 50),
     "text_top_terms" ->
       """SELECT term, count(*) AS n
         |FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
