@@ -351,6 +351,53 @@ object TextAnalysis {
     * are x1e4 integer fixed point (deg·1e4 div freq; the phrase sum
     * stays integer), so the ranking is oracle-exact.
     * Output: (phrase, n_occ, rake_x1e4) — top `k` by score. */
+  /** Winnowing document fingerprints (Schleimer-Wilkerson-Aiken 2003,
+    * the MOSS algorithm): hash every k-gram, then keep ONE hash per
+    * window of `w` consecutive positions — the minimum, leftmost on
+    * ties. The guarantee that makes it the standard plagiarism /
+    * contamination fingerprint: any verbatim match of ≥ w+k−1 chars
+    * shares at least one selected fingerprint, while storage is ~2/(w+1)
+    * of the gram count.
+    *
+    * Scale shape: one narrow generate→project stage hashes the grams
+    * (windows never shuffle — the gram text exists only inside the
+    * stage, like cdcChunks' boundary scan); window membership fans each
+    * position out ≤ w times; selection is ONE hash aggregate on
+    * (doc, window) using an exact integer argmin (key = h·2²⁰ + p, so
+    * min() picks the smallest hash and the leftmost position on ties —
+    * no float, no arg_min tie ambiguity, oracle-identical). Documents
+    * are bounded at 2²⁰ chars by the position field (assert_true fails
+    * loud, not silently wrong).
+    *
+    * Output: distinct (id, p 1-based gram start, h) fingerprints. */
+  def winnowFingerprints(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 20, w: Int = 8): DataFrame = {
+    require(k >= 4 && k <= 64, s"winnowFingerprints: k=$k")
+    require(w >= 2 && w <= 64, s"winnowFingerprints: w=$w")
+    val base = docs.select(col(idCol).as("id"), col(textCol).as("text"))
+    val pos = base
+      .select(col("id"),
+        explode(when(length(col("text")) >= k,
+          expr(s"sequence(1L, length(text) - ${k - 1}L)"))).as("p"),
+        col("text"))
+      .select(col("id"), col("p"),
+        graft.functions.F.hash32(
+          expr(s"substring(text, CAST(p AS INT), $k)"), "win", "h").as("h"))
+    val np = pos.groupBy("id").agg(max(col("p")).as("np"))
+      .withColumn("np", when(assert_true(col("np") < 1048576L).isNull,
+        col("np")))
+    val memb = pos.join(np, Seq("id"))
+      .select(col("id"), col("h"), col("p"),
+        explode(when(col("np") >= w.toLong, expr(
+          s"sequence(greatest(1L, p - ${w - 1}L), least(p, np - ${w - 1}L))")))
+          .as("j"))
+    memb.groupBy("id", "j")
+      .agg(min(col("h") * 1048576L + col("p")).as("key"))
+      .select(col("id"), expr("key % 1048576").as("p"),
+        expr("key div 1048576").as("h"))
+      .distinct()
+  }
+
   def rakeKeywords(docs: DataFrame, idCol: String, textCol: String,
       stopwords: Seq[String], k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window

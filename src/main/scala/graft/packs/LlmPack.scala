@@ -192,6 +192,20 @@ object LlmPack extends QueryPack {
           expr("toks[0]").as("first_tok"))
         .orderBy(desc("cnt"), asc("word")).limit(50)
     }),
+    // Winnowing fingerprints (TA.winnowFingerprints — the MOSS
+    // algorithm): per doc, selected-fingerprint count and how many are
+    // shared with another document — the contamination screen with the
+    // ≥ w+k−1-char match guarantee at ~2/(w+1) storage.
+    "text_winnow_fingerprints" -> ((s, dir) => {
+      val d = docs(s, dir).filter(col("text").rlike("^[\\x20-\\x7E]*$"))
+      val fp = TA.winnowFingerprints(d, "doc_id", "text", k = 20, w = 8)
+      val shared = fp.groupBy("h").agg(countDistinct(col("id")).as("nd"))
+      fp.join(shared, Seq("h"))
+        .groupBy(col("id").as("doc_id"))
+        .agg(count(lit(1)).as("n_fp"),
+          sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("n_dup_fp"))
+        .orderBy("doc_id")
+    }),
     // Corpus diversity per source: distinct-trigram share of all
     // trigram occurrences (×1e6) — the self-repetition screen that
     // scores templated/boilerplate-heavy sources low while the vocab
@@ -1288,6 +1302,30 @@ object LlmPack extends QueryPack {
     "text_bpe_merges" -> graft.llm.Bpe.mergesOracleSql(8),
     // same chain run through s8, then per-word token counts
     "text_bpe_encode" -> graft.llm.Bpe.encodeOracleSql(8, 50),
+    // same keyed 20-gram hashes, window-of-8 integer argmin
+    // (h*2^20 + p, leftmost tie), distinct fingerprints, share counts
+    "text_winnow_fingerprints" ->
+      """WITH d AS (SELECT doc_id AS id, text FROM documents
+        |  WHERE regexp_matches(text, '^[\x20-\x7E]*$')),
+        |pos AS (SELECT id, CAST(t.i AS BIGINT) AS p,
+        |    CAST(CONCAT('0x', substr(md5(
+        |      substr(text, CAST(t.i AS INT), 20) || ':win:h'), 1, 8)) AS BIGINT) AS h
+        |  FROM d, UNNEST(generate_series(1, length(text) - 19)) AS t(i)),
+        |nw AS (SELECT id, CAST(max(p) AS BIGINT) AS np FROM pos GROUP BY id),
+        |memb AS (SELECT pos.id, pos.p, pos.h, CAST(t.j AS BIGINT) AS j
+        |  FROM pos JOIN nw USING (id),
+        |    UNNEST(generate_series(greatest(1, pos.p - 7),
+        |      least(pos.p, nw.np - 7))) AS t(j)),
+        |fp AS (SELECT DISTINCT id,
+        |    min(h * 1048576 + p) % 1048576 AS p,
+        |    min(h * 1048576 + p) // 1048576 AS h
+        |  FROM memb GROUP BY id, j),
+        |shared AS (SELECT h, CAST(count(DISTINCT id) AS BIGINT) AS nd
+        |  FROM fp GROUP BY h)
+        |SELECT fp.id AS doc_id, CAST(count(*) AS BIGINT) AS n_fp,
+        |  CAST(sum(CASE WHEN s.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_fp
+        |FROM fp JOIN shared s USING (h)
+        |GROUP BY 1 ORDER BY doc_id""".stripMargin,
     "text_top_terms" ->
       """SELECT term, count(*) AS n
         |FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
