@@ -89,4 +89,44 @@ object Fuzzy {
       .otherwise(rpad(concat(substring(up, 1, 1), substring(rest, 1, 3)),
         4, "0"))
   }
+
+  /** Sorted-neighborhood blocking (Hernández–Stolfo 1995) — the
+    * classic record-linkage candidate generator that complements the
+    * deletion-variant join: sort records by a derived key and pair
+    * each record only with its `window − 1` successors in sort order.
+    *
+    * Scale shape: a GLOBAL sort order would funnel the table through
+    * one task, so the standard distributed adaptation applies — the
+    * sort key's `blockLen`-char prefix partitions the data (keyed
+    * window, parallel across blocks) and ordering lives within the
+    * block. Matches straddling a prefix boundary are exactly what the
+    * method's published MULTI-PASS answer covers: run again under an
+    * independent second key (callers union passes — e.g. the raw name
+    * and its reverse) so a boundary in one pass is interior in the
+    * other. The neighbor fan-out is `window − 1` lead() columns off
+    * one exchange — no self-join, no candidate blow-up: exactly
+    * (window−1)·n ordered pairs per pass before verification.
+    *
+    * Output: (a_key, b_key, a_val, b_val) candidate pairs, a != b,
+    * each pair once per pass (a = the sort-order predecessor). */
+  def sortedNeighborhood(df: DataFrame, keyCol: String, valCol: String,
+      window: Int = 5, blockLen: Int = 4): DataFrame = {
+    require(window >= 2 && window <= 64, s"sortedNeighborhood: window=$window")
+    require(blockLen >= 1, s"sortedNeighborhood: blockLen=$blockLen")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("blk").orderBy("v", "k")
+    val base = df.select(col(keyCol).as("k"), col(valCol).as("v"))
+      .withColumn("blk", substring(col("v"), 1, blockLen))
+    val withLeads = (1 until window).foldLeft(base) { (d, i) =>
+      d.withColumn(s"n$i",
+        lead(struct(col("k").as("bk"), col("v").as("bv")), i).over(w))
+    }
+    withLeads
+      .select(col("k").as("a_key"), col("v").as("a_val"),
+        explode(array((1 until window).map(i => col(s"n$i")): _*)).as("nb"))
+      .filter(col("nb").isNotNull)
+      .select(col("a_key"), col("nb.bk").as("b_key"),
+        col("a_val"), col("nb.bv").as("b_val"))
+      .filter(col("a_key") =!= col("b_key"))
+  }
 }

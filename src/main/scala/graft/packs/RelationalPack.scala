@@ -782,6 +782,32 @@ object RelationalPack extends QueryPack {
         .orderBy("b_key")
     }),
 
+    // Sorted-neighborhood ER blocking (Fuzzy.sortedNeighborhood,
+    // Hernández–Stolfo): TWO passes — raw name and reversed name — so
+    // a prefix-block boundary in one pass is interior in the other
+    // (the published multi-pass answer to distributed SNM), union of
+    // window candidates, exact levenshtein ≤ 1 verification, canonical
+    // (a < b) dedup. Same master + dirty-copies fixture as the
+    // deletion-variant join, a different candidate generator.
+    "er_sorted_neighborhood" -> ((s, dir) => {
+      val cust = Tables.load(s, dir, "customer")
+        .filter(col("c_nationkey") === 7)
+        .select(col("c_custkey").as("k"), col("c_name").as("v"))
+      val recs = cust.unionAll(cust.filter(col("k") % 3 === 0)
+        .select((col("k") + 100000).as("k"),
+          concat(expr("substring(v, 1, length(v)-1)"), lit("X")).as("v")))
+      val p1 = graft.ops.Fuzzy.sortedNeighborhood(recs, "k", "v", 5, 4)
+      val p2 = graft.ops.Fuzzy.sortedNeighborhood(
+        recs.select(col("k"), reverse(col("v")).as("v")), "k", "v", 5, 4)
+      p1.unionAll(p2)
+        .select(least(col("a_key"), col("b_key")).as("a"),
+          greatest(col("a_key"), col("b_key")).as("b"),
+          levenshtein(col("a_val"), col("b_val")).as("dist"))
+        .filter(col("dist") <= 1)
+        .distinct()
+        .orderBy("a", "b")
+    }),
+
     // Pivot with an explicit value list (never the implicit-distinct
     // variant — that one runs a blocking distinct job before planning,
     // a driver round-trip you don't want at 100 TB). Missing cells are
@@ -1699,6 +1725,34 @@ object RelationalPack extends QueryPack {
         |  ON levenshtein(a.c_name, b.b_name) <= 1
         |WHERE a.c_nationkey = 7
         |GROUP BY b.b_key ORDER BY b.b_key""".stripMargin,
+    // same prefix blocks, per-block rank windows (rn diff <= w-1 self
+    // join — the lead() fan-out's relational twin), both passes,
+    // exact-distance verify, canonical dedup
+    "er_sorted_neighborhood" ->
+      """WITH cust AS (SELECT c_custkey AS k, c_name AS v FROM customer
+        |  WHERE c_nationkey = 7),
+        |recs AS (SELECT k, v FROM cust
+        |  UNION ALL
+        |  SELECT k + 100000, substr(v, 1, length(v)-1) || 'X'
+        |  FROM cust WHERE k % 3 = 0),
+        |p1 AS (SELECT k, v, substr(v, 1, 4) AS blk,
+        |    row_number() OVER (PARTITION BY substr(v, 1, 4) ORDER BY v, k) AS rn
+        |  FROM recs),
+        |pairs1 AS (SELECT a.k AS ak, b.k AS bk, a.v AS av, b.v AS bv
+        |  FROM p1 a JOIN p1 b ON a.blk = b.blk
+        |    AND b.rn > a.rn AND b.rn <= a.rn + 4),
+        |rev AS (SELECT k, reverse(v) AS v FROM recs),
+        |p2 AS (SELECT k, v, substr(v, 1, 4) AS blk,
+        |    row_number() OVER (PARTITION BY substr(v, 1, 4) ORDER BY v, k) AS rn
+        |  FROM rev),
+        |pairs2 AS (SELECT a.k AS ak, b.k AS bk, a.v AS av, b.v AS bv
+        |  FROM p2 a JOIN p2 b ON a.blk = b.blk
+        |    AND b.rn > a.rn AND b.rn <= a.rn + 4),
+        |alls AS (SELECT * FROM pairs1 UNION ALL SELECT * FROM pairs2)
+        |SELECT DISTINCT least(ak, bk) AS a, greatest(ak, bk) AS b,
+        |  CAST(levenshtein(av, bv) AS INT) AS dist
+        |FROM alls WHERE ak <> bk AND levenshtein(av, bv) <= 1
+        |ORDER BY a, b""".stripMargin,
     "pivot_event_types" ->
       """SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day,
         |  count(*) FILTER (WHERE event_type='click') AS click,
