@@ -217,6 +217,38 @@ object DedupPack extends QueryPack {
                 "ELSE n_verified * 1000000L div n_candidates END"))
       }
     }),
+    // MEASURED RECALL of the banded MinHash path against exact ground
+    // truth — the honest quality gate for the approximate pipeline
+    // (the LSH twin of ann_ivf_recall): on a BOUNDED sub-corpus where
+    // exact truth is computable, truth = all pairs with jaccard ≥ τ
+    // (complete via the shared-shingle join — a τ>0 pair must share a
+    // shingle), found = the production banded pipeline's verified
+    // pairs (a subset of truth by construction, since verification
+    // applies the same exact jaccard). One scalar row:
+    // (n_true, n_found, recall_x1e4).
+    "dedup_minhash_recall" -> ((s, dir) => {
+      val d = Tables.load(s, dir, "documents").filter(col("doc_id") < 150)
+      val c = d.select(col("doc_id").as("id"), col("text"))
+        .unionAll(d.select((col("doc_id") + 1000000).as("id"),
+          when(col("doc_id") % 50 === 0, col("text"))
+            .otherwise(concat(col("text"), lit(" zzz9"))).as("text")))
+      graft.core.Materialize.withCached(
+        Dedup.shingles(c, "id", "text")) { sh =>
+        val truth = Dedup.jaccard(
+          sh.as("x").join(sh.as("y"),
+              col("x.sh") === col("y.sh") && col("x.id") < col("y.id"))
+            .select(col("x.id").as("a"), col("y.id").as("b")).distinct(), sh)
+          .filter(col("jacc_x1e4") >= 5000)
+        val found = Dedup.jaccard(
+          Dedup.lshCandidates(
+            Dedup.lshBands(Dedup.minhashSignatures(sh, K), K, BANDS)), sh)
+          .filter(col("jacc_x1e4") >= 5000)
+        truth.agg(count(lit(1)).as("n_true"))
+          .crossJoin(found.agg(count(lit(1)).as("n_found")))
+          .select(col("n_true"), col("n_found"),
+            expr("n_found * 10000L div n_true").as("recall_x1e4"))
+      }
+    }),
     // Standalone exact n-gram Jaccard over a given pair list (the
     // known original↔shifted-copy pairs) — the verification primitive
     // of the LSH pipeline, gated directly.
@@ -315,6 +347,59 @@ object DedupPack extends QueryPack {
        |  JOIN sizes na ON na.id = i2.a
        |  JOIN sizes nb ON nb.id = i2.b) t
        |WHERE t.jacc_x1e4 >= 5000 ORDER BY t.a, t.b""".stripMargin
+  }
+
+  /** Recall of the banded pipeline vs exact shared-shingle truth over
+    * the bounded (doc_id < 150) sub-corpus — same band algebra as
+    * minhashSql, plus the exact side. */
+  private val minhashRecallSql: String = {
+    val hCols = (0 until K).map(i => s"${permHashSql("sh", i)} AS h$i").mkString(", ")
+    val mins = (0 until K).map(i => s"min(h$i) AS m$i").mkString(", ")
+    val bandArms = (0 until BANDS).map { b =>
+      val parts = (0 until K / BANDS).map(r => s"CAST(m${b * (K / BANDS) + r} AS VARCHAR)")
+      s"SELECT id, '${b}_' || ${parts.mkString(" || '_' || ")} AS bk FROM sig"
+    }.mkString(" UNION ALL ")
+    s"""WITH corpus AS (
+       |  SELECT doc_id AS id, text FROM documents WHERE doc_id < 150
+       |  UNION ALL
+       |  SELECT doc_id + 1000000,
+       |    CASE WHEN doc_id % 50 = 0 THEN text ELSE text || ' zzz9' END
+       |  FROM documents WHERE doc_id < 150),
+       |$shingleSql,
+       |sizes AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
+       |excand AS (SELECT DISTINCT x.id AS a, y.id AS b
+       |  FROM sh x JOIN sh y ON x.sh = y.sh AND x.id < y.id),
+       |exinter AS (SELECT c.a, c.b, count(*) AS i FROM excand c
+       |  JOIN sh sa ON sa.id = c.a
+       |  JOIN sh sb ON sb.id = c.b AND sa.sh = sb.sh
+       |  GROUP BY c.a, c.b),
+       |truth AS (SELECT a, b FROM (
+       |    SELECT e.a, e.b,
+       |      CAST(FLOOR(CAST(e.i AS DOUBLE) / (na.n + nb.n - e.i) * 10000 + 0.5) AS BIGINT) AS j
+       |    FROM exinter e
+       |    JOIN sizes na ON na.id = e.a
+       |    JOIN sizes nb ON nb.id = e.b) WHERE j >= 5000),
+       |hs AS (SELECT id, sh, $hCols FROM sh),
+       |sig AS (SELECT id, $mins FROM hs GROUP BY id),
+       |band AS ($bandArms),
+       |band_ok AS (SELECT bk FROM band GROUP BY bk HAVING count(*) <= 10000),
+       |bandc AS (SELECT band.id, band.bk FROM band JOIN band_ok USING (bk)),
+       |cand AS (SELECT DISTINCT x.id AS a, y.id AS b
+       |  FROM bandc x JOIN bandc y ON x.bk = y.bk AND x.id < y.id),
+       |inter AS (SELECT c.a, c.b, count(*) AS i FROM cand c
+       |  JOIN sh sa ON sa.id = c.a
+       |  JOIN sh sb ON sb.id = c.b AND sa.sh = sb.sh
+       |  GROUP BY c.a, c.b),
+       |found AS (SELECT a, b FROM (
+       |    SELECT i2.a, i2.b,
+       |      CAST(FLOOR(CAST(i2.i AS DOUBLE) / (na.n + nb.n - i2.i) * 10000 + 0.5) AS BIGINT) AS j
+       |    FROM inter i2
+       |    JOIN sizes na ON na.id = i2.a
+       |    JOIN sizes nb ON nb.id = i2.b) WHERE j >= 5000)
+       |SELECT (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_true,
+       |  (SELECT CAST(count(*) AS BIGINT) FROM found) AS n_found,
+       |  (SELECT count(*) FROM found) * 10000
+       |    // (SELECT count(*) FROM truth) AS recall_x1e4""".stripMargin
   }
 
   /** Mirror of Dedup.crossCorpusPairs: same signature/band algebra as
@@ -531,6 +616,7 @@ object DedupPack extends QueryPack {
          |SELECT md5(text) AS h, count(*) AS cnt, min(id) AS keeper
          |FROM corpus GROUP BY md5(text) HAVING count(*) > 1 ORDER BY h""".stripMargin,
     "dedup_minhash" -> minhashSql,
+    "dedup_minhash_recall" -> minhashRecallSql,
     "dedup_cross_corpus" -> crossCorpusSql,
     "dedup_blocking_metrics" -> blockingMetricsSql,
     "dedup_simhash" -> simhashSql,
