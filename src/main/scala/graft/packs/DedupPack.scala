@@ -116,6 +116,24 @@ object DedupPack extends QueryPack {
           "doc_id", "text", minLen = 30, blockChars = 256)
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id", "span_start")),
+    // The APPLIED release filter over the span family — the char-exact
+    // analogue of dedup_ngram_prune: per doc, duplicated-character
+    // share (Σ maximal-span lengths / doc length, ×1e4 bp) and the
+    // ≥5000 bp flag a curation run acts on before writing shards.
+    "dedup_span_prune" -> ((s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+        .filter(col("text").rlike("^[\\x20-\\x7E]*$"))
+      val per = Dedup.duplicateSpans(d, "doc_id", "text",
+          minLen = 30, blockChars = 256)
+        .groupBy(col("id").as("doc_id"))
+        .agg(sum(col("span_len")).as("dup_chars"))
+      d.select(col("doc_id"), length(col("text")).cast("long").as("n_chars"))
+        .join(per, Seq("doc_id"), "left")
+        .na.fill(0L, Seq("dup_chars"))
+        .withColumn("dup_bps", expr("dup_chars * 10000L div n_chars"))
+        .withColumn("flagged", col("dup_bps") >= 5000L)
+        .orderBy("doc_id")
+    }),
     // Content-defined chunking (Dedup.cdcChunks) over a fixture built
     // to DEFEAT fixed-offset blocking: every 5th doc reappears with a
     // shifted prefix, so only content-defined boundaries re-align the
@@ -681,6 +699,32 @@ object DedupPack extends QueryPack {
         |  w.chash AS chunk_hash, s.n_docs
         |FROM withtext w JOIN shared s USING (chash)
         |ORDER BY doc_id, chunk_start""".stripMargin,
+    // the span pipeline's release-filter view: maximal spans summed
+    // per doc against the doc length, same ≥5000 bp flag
+    "dedup_span_prune" ->
+      """WITH d AS (SELECT doc_id, text FROM documents
+        |  WHERE regexp_matches(text, '^[\x20-\x7E]*$')),
+        |pos AS (SELECT doc_id, CAST(t.i AS BIGINT) AS i,
+        |    substr(text, CAST(t.i AS INT), 30) AS g
+        |  FROM d, UNNEST(generate_series(1, length(text) - 29)) AS t(i)),
+        |dup AS (SELECT g FROM pos GROUP BY g HAVING count(*) >= 2),
+        |m AS (SELECT doc_id, i FROM pos JOIN dup USING (g)),
+        |b AS (SELECT doc_id, i,
+        |    CASE WHEN lag(i) OVER w IS NULL OR i - lag(i) OVER w > 30
+        |      THEN 1 ELSE 0 END AS brk
+        |  FROM m WINDOW w AS (PARTITION BY doc_id ORDER BY i)),
+        |isl AS (SELECT doc_id, i, SUM(brk) OVER (PARTITION BY doc_id
+        |    ORDER BY i ROWS UNBOUNDED PRECEDING) AS island FROM b),
+        |spans AS (SELECT doc_id, min(i) AS s, max(i) + 30 AS e
+        |  FROM isl GROUP BY doc_id, island),
+        |per AS (SELECT doc_id, CAST(sum(e - s) AS BIGINT) AS dup_chars
+        |  FROM spans GROUP BY doc_id)
+        |SELECT d.doc_id, CAST(length(d.text) AS BIGINT) AS n_chars,
+        |  COALESCE(p.dup_chars, 0) AS dup_chars,
+        |  COALESCE(p.dup_chars, 0) * 10000 // length(d.text) AS dup_bps,
+        |  COALESCE(p.dup_chars, 0) * 10000 // length(d.text) >= 5000 AS flagged
+        |FROM d LEFT JOIN per p USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
     // the naive twin of the digested prefix-doubling pipeline: L-char
     // substrings materialized + counted directly, then the same
     // touching-windows island merge
