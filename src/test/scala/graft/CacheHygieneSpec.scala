@@ -31,7 +31,7 @@ class CacheHygieneSpec extends SparkSpec {
     "dedup_embedding", "text_nb_classify", "search_mmr_rerank",
     "events_anomaly_stl", "hierarchy_rollup", "curation_domain_authority",
     "llm_pipeline_full", "mask_t_closeness", "xml_autodetect",
-    "events_anomaly_stream")
+    "events_anomaly_stream", "dedup_minhash_recall")
 
   test("no query leaves relations cached after its action") {
     spark.catalog.clearCache()
