@@ -33,13 +33,14 @@ import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
   */
 object Materialize {
 
-  /** Materialize `result` eagerly, then release `caches`. */
+  /** Materialize `result` eagerly, then release `caches`. The release
+    * runs even when the checkpoint job fails — otherwise a failed run
+    * would leave the caches pinned in the CacheManager, exactly the
+    * leak this helper exists to prevent. */
   def drained(result: DataFrame,
-      caches: org.apache.spark.sql.Dataset[_]*): DataFrame = {
-    val out = result.localCheckpoint(true)
-    caches.foreach(_.unpersist(blocking = true))
-    out
-  }
+      caches: org.apache.spark.sql.Dataset[_]*): DataFrame =
+    try result.localCheckpoint(true)
+    finally caches.foreach(_.unpersist(blocking = true))
 
   /** Persist one shared intermediate for the duration of `body`'s
     * single materializing run. */

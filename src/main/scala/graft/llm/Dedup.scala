@@ -110,19 +110,42 @@ object Dedup {
     * the verify-stage shuffle bytes. Distinct shingles map 1:1 to
     * digests (64-bit collisions are ~n²/2⁶⁵ — negligible at any
     * per-document shingle count), so set sizes and intersection
-    * counts are unchanged. */
-  def jaccard(cand: DataFrame, sh: DataFrame): DataFrame = {
-    val d = sh.select(col("id"), xxhash64(col("sh")).as("shd"))
-    val sizes = d.groupBy("id").agg(count(lit(1)).as("n"))
-    val inter = cand
-      .join(d.as("sa"), col("sa.id") === col("a"))
-      .join(d.as("sb"), col("sb.id") === col("b") && col("sa.shd") === col("sb.shd"))
-      .groupBy("a", "b").agg(count(lit(1)).as("i"))
-    inter
-      .join(sizes.as("na"), col("na.id") === col("a"))
-      .join(sizes.as("nb"), col("nb.id") === col("b"))
+    * counts are unchanged.
+    *
+    * ONE shingle scan: the earlier form derived `sh` three times
+    * (sizes + both join sides), so an uncached caller paid the
+    * split+explode+distinct corpus scan three times — the r15
+    * blocking-metrics breach class. Here each candidate pair is
+    * unrolled to its two member ids with a narrow generate (one pass
+    * over `cand`), joined against the digested shingles ONCE, and
+    * sizes/intersection both come out of the same two-level
+    * aggregate: |A| = side-0 rows of the pair, |A∩B| = digests seen
+    * from both sides. */
+  def jaccard(cand: DataFrame, sh: DataFrame): DataFrame =
+    pairShingleStats(cand, sh)
       .select(col("a"), col("b"), graft.functions.F.scale4(
-        col("i").cast("double") / (col("na.n") + col("nb.n") - col("i"))).as("jacc_x1e4"))
+        col("i").cast("double") / (col("na") + col("nb") - col("i"))).as("jacc_x1e4"))
+
+  /** Shared kernel of [[jaccard]]/[[containment]]: per candidate pair,
+    * the two set sizes and the intersection count over digested
+    * shingles, from a SINGLE scan of `sh`. Pairs sharing no shingle
+    * are dropped (i ≥ 1), matching the historical inner-join shape. */
+  private def pairShingleStats(cand: DataFrame, sh: DataFrame): DataFrame = {
+    val d = sh.select(col("id"), xxhash64(col("sh")).as("shd"))
+    val unrolled = cand
+      .select(col("a"), col("b"),
+        explode(array(
+          struct(col("a").as("id"), lit(0).as("side")),
+          struct(col("b").as("id"), lit(1).as("side")))).as("m"))
+      .select(col("a"), col("b"), col("m.id").as("id"), col("m.side").as("side"))
+    unrolled.join(d, "id")
+      .groupBy("a", "b", "shd")
+      .agg(max(when(col("side") === 0, 1L).otherwise(0L)).as("ina"),
+        max(when(col("side") === 1, 1L).otherwise(0L)).as("inb"))
+      .groupBy("a", "b")
+      .agg(sum(col("ina")).as("na"), sum(col("inb")).as("nb"),
+        sum(col("ina") * col("inb")).as("i"))
+      .filter(col("i") >= 1L)
   }
 
   /** PPJoin-style PREFIX-FILTER set-similarity self-join (Chaudhuri
@@ -178,23 +201,14 @@ object Dedup {
     * candidates-only cost shape as [[jaccard]]: one digest-keyed
     * intersection aggregate plus two size joins — containment never
     * touches non-candidate pairs. */
-  def containment(cand: DataFrame, sh: DataFrame): DataFrame = {
-    // same pre-shuffle 64-bit digesting as [[jaccard]]
-    val d = sh.select(col("id"), xxhash64(col("sh")).as("shd"))
-    val sizes = d.groupBy("id").agg(count(lit(1)).as("n"))
-    val inter = cand
-      .join(d.as("sa"), col("sa.id") === col("a"))
-      .join(d.as("sb"), col("sb.id") === col("b") && col("sa.shd") === col("sb.shd"))
-      .groupBy("a", "b").agg(count(lit(1)).as("i"))
-    inter
-      .join(sizes.as("na"), col("na.id") === col("a"))
-      .join(sizes.as("nb"), col("nb.id") === col("b"))
+  def containment(cand: DataFrame, sh: DataFrame): DataFrame =
+    // same single-scan kernel as [[jaccard]]
+    pairShingleStats(cand, sh)
       .select(col("a"), col("b"),
-        graft.functions.F.scale4(col("i").cast("double") / col("na.n"))
+        graft.functions.F.scale4(col("i").cast("double") / col("na"))
           .as("cont_a_x1e4"),
-        graft.functions.F.scale4(col("i").cast("double") / col("nb.n"))
+        graft.functions.F.scale4(col("i").cast("double") / col("nb"))
           .as("cont_b_x1e4"))
-  }
 
   /** MinHash-LSH near-duplicate pairs with verified Jaccard ≥ threshold
     * (threshold compared on the scaled fixed-point value).
@@ -228,10 +242,10 @@ object Dedup {
   private def buildMinhashDupPairs(docs: DataFrame, idCol: String, textCol: String,
       k: Int, bands: Int, threshold: Double, maxBucket: Long): (DataFrame, DataFrame) = {
     // The shingle scan (split+explode+distinct — the most expensive
-    // subtree) feeds the signature aggregate AND three derivations
-    // inside jaccard (sizes, sa, sb). The persist materializes it once
-    // and every consumer reads the cached relation — same pattern as
-    // the assignment persist in Ann.embeddingDupPairs.
+    // subtree) feeds the signature aggregate AND jaccard's digest
+    // join. The persist materializes it once and every consumer reads
+    // the cached relation — same pattern as the assignment persist in
+    // Ann.embeddingDupPairs.
     val sh = shingles(docs, idCol, textCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cand = lshCandidates(lshBands(minhashSignatures(sh, k), k, bands), maxBucket)
@@ -533,9 +547,15 @@ object Dedup {
     require(divisor >= 2, s"cdcChunks: divisor=$divisor")
     import org.apache.spark.sql.expressions.Window
     val base = docs.select(col(idCol).as("id"), col(textCol).as("text"))
+    // Guard the generator: for docs shorter than the window Spark's
+    // sequence(window, length) DESCENDS (e.g. sequence(16, 2) =
+    // [16..2]) and would emit boundary candidates past the document
+    // end; DuckDB's generate_series is empty there. Short docs must
+    // contribute only their tail boundary (the unionAll below).
     val bpos = base
       .select(col("id"), col("text"),
-        explode(expr(s"sequence(${window}L, length(text))")).as("b"))
+        explode(when(length(col("text")) >= window,
+          expr(s"sequence(${window}L, length(text))"))).as("b"))
       .filter(graft.functions.F.hash32(
         expr(s"substring(text, CAST(b - ${window - 1} AS INT), $window)"),
         "cdc", "b") % divisor === 0)

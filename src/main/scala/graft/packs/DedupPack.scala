@@ -121,8 +121,11 @@ object DedupPack extends QueryPack {
     // share (Σ maximal-span lengths / doc length, ×1e4 bp) and the
     // ≥5000 bp flag a curation run acts on before writing shards.
     "dedup_span_prune" -> ((s, dir) => {
+      // length > 0: the ASCII rlike matches the empty string, and an
+      // empty doc would make the `div n_chars` below null (or throw
+      // under ANSI) while the DuckDB `// length` errors outright.
       val d = Tables.load(s, dir, "documents")
-        .filter(col("text").rlike("^[\\x20-\\x7E]*$"))
+        .filter(col("text").rlike("^[\\x20-\\x7E]*$") && length(col("text")) > 0)
       val per = Dedup.duplicateSpans(d, "doc_id", "text",
           minLen = 30, blockChars = 256)
         .groupBy(col("id").as("doc_id"))
@@ -217,22 +220,31 @@ object DedupPack extends QueryPack {
     // ever materializing the quadratic pair space.
     "dedup_blocking_metrics" -> ((s, dir) => {
       val c = corpus(s, dir)
-      graft.core.Materialize.withCached2(Dedup.shingles(c, "id", "text"))(
-        sh => Dedup.lshCandidates(
-          Dedup.lshBands(Dedup.minhashSignatures(sh, K), K, BANDS))) {
-        (sh, cand) =>
-          val verified = Dedup.jaccard(cand, sh).filter(col("jacc_x1e4") >= 5000)
-          c.agg(count(lit(1)).as("n_docs"))
-            .crossJoin(cand.agg(count(lit(1)).as("n_candidates")))
-            .crossJoin(verified.agg(count(lit(1)).as("n_verified")))
-            .select(col("n_docs"),
-              expr("n_docs * (n_docs - 1) div 2").as("n_total_pairs"),
-              col("n_candidates"), col("n_verified"))
-            .withColumn("reduction_x1e6",
-              expr("(n_total_pairs - n_candidates) * 1000000L div n_total_pairs"))
-            .withColumn("yield_x1e6",
-              expr("CASE WHEN n_candidates = 0 THEN 0L " +
-                "ELSE n_verified * 1000000L div n_candidates END"))
+      graft.core.Materialize.withCached(
+        Dedup.shingles(c, "id", "text")) { sh =>
+        // EAGER candidate materialization (the r15 4.98x-breach fix):
+        // the previous shape cached `cand` lazily and fanned three
+        // aggregate branches over it inside one action — if the
+        // verify branch was scheduled before the cache populated, it
+        // recomputed the whole LSH pipeline. The checkpoint runs the
+        // pipeline exactly once up front (also populating the shingle
+        // cache every later branch reads); the bounded pair list is
+        // all that persists.
+        val cand = Dedup.lshCandidates(
+          Dedup.lshBands(Dedup.minhashSignatures(sh, K), K, BANDS))
+          .localCheckpoint(true)
+        val verified = Dedup.jaccard(cand, sh).filter(col("jacc_x1e4") >= 5000)
+        c.agg(count(lit(1)).as("n_docs"))
+          .crossJoin(cand.agg(count(lit(1)).as("n_candidates")))
+          .crossJoin(verified.agg(count(lit(1)).as("n_verified")))
+          .select(col("n_docs"),
+            expr("n_docs * (n_docs - 1) div 2").as("n_total_pairs"),
+            col("n_candidates"), col("n_verified"))
+          .withColumn("reduction_x1e6",
+            expr("(n_total_pairs - n_candidates) * 1000000L div n_total_pairs"))
+          .withColumn("yield_x1e6",
+            expr("CASE WHEN n_candidates = 0 THEN 0L " +
+              "ELSE n_verified * 1000000L div n_candidates END"))
       }
     }),
     // MEASURED RECALL of the banded MinHash path against exact ground
@@ -273,8 +285,8 @@ object DedupPack extends QueryPack {
     "text_ngram_jaccard" -> ((s, dir) => {
       val pairs = Tables.load(s, dir, "documents")
         .select(col("doc_id").as("a"), (col("doc_id") + 1000000).as("b"))
-      // jaccard derives the shingle scan three times (sizes + both join
-      // sides); cache it for the one materializing run, then release.
+      // jaccard scans the shingle relation once (the r16 single-scan
+      // kernel); the cache still saves the signature pipeline's reuse.
       graft.core.Materialize.withCached(
         Dedup.shingles(corpus(s, dir), "id", "text")) { sh =>
         Dedup.jaccard(pairs, sh).orderBy("a")
@@ -703,7 +715,7 @@ object DedupPack extends QueryPack {
     // per doc against the doc length, same ≥5000 bp flag
     "dedup_span_prune" ->
       """WITH d AS (SELECT doc_id, text FROM documents
-        |  WHERE regexp_matches(text, '^[\x20-\x7E]*$')),
+        |  WHERE regexp_matches(text, '^[\x20-\x7E]*$') AND length(text) > 0),
         |pos AS (SELECT doc_id, CAST(t.i AS BIGINT) AS i,
         |    substr(text, CAST(t.i AS INT), 30) AS g
         |  FROM d, UNNEST(generate_series(1, length(text) - 29)) AS t(i)),
