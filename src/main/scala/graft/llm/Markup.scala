@@ -1,0 +1,79 @@
+package graft.llm
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Markup → plain-text cleaning: strip markdown and inline-HTML
+  * structure ahead of quality scoring / tokenization — the standard
+  * pre-tokenization stage for corpora stored as markdown (reference
+  * surface: `notice.content_md`, admin/page.tsx:38-46, rendered
+  * markdown the engine-side pipeline must flatten).
+  *
+  * Shape: a NARROW projection — one chain of codegen'd
+  * `regexp_replace` calls, no explode, no shuffle, no UDF; at 100 TB
+  * it runs at scan speed inside whole-stage codegen and composes
+  * directly with [[TextAnalysis.gopherRules]].
+  *
+  * Cross-engine contract: every rule is written in the regex subset
+  * Java and RE2 share (no lookaround, no pattern backreferences —
+  * bold/italic pairs are therefore matched with explicit
+  * character-class forms), and the SAME ordered rule list generates
+  * both the Spark Column chain and the DuckDB oracle expression
+  * ([[oracleExpr]]), so the two engines can't drift rule by rule.
+  *
+  * Rule order is semantic: comments drop before fences (a commented
+  * fence is gone text), structural line markers strip before inline
+  * spans, images before links (the `![` prefix must win), tags strip
+  * BEFORE entities decode so `&lt;script&gt;` can never become a
+  * strippable — i.e. executable-looking — tag, and entity decoding
+  * runs `&amp;` LAST so `&amp;lt;` decodes to the literal `&lt;`
+  * text rather than double-decoding. */
+object Markup {
+
+  /** Ordered (pattern, replacement) rules; replacement uses $1 (the
+    * Spark/Java convention — translated to \1 for DuckDB). */
+  private[llm] val rules: Seq[(String, String)] = Seq(
+    // HTML comments (possibly multi-line)
+    ("(?s)<!--.*?-->", ""),
+    // fence lines: ``` or ```lang alone on a line (content survives)
+    ("(?m)^```[^\\n]*$", ""),
+    // ATX heading markers
+    ("(?m)^#{1,6}[ \\t]+", ""),
+    // blockquote markers (possibly indented)
+    ("(?m)^[ \\t]*>[ \\t]?", ""),
+    // horizontal rules
+    ("(?m)^[ \\t]*[-*_]{3,}[ \\t]*$", ""),
+    // images -> alt text, then links -> anchor text
+    ("!\\[([^\\]]*)\\]\\([^)]*\\)", "$1"),
+    ("\\[([^\\]]*)\\]\\([^)]*\\)", "$1"),
+    // inline HTML tags (open/close/void/declaration)
+    ("</?[A-Za-z][^>]*>", ""),
+    // bold / italic / inline code (no pattern backrefs: RE2)
+    ("\\*\\*([^*]+)\\*\\*", "$1"),
+    ("__([^_]+)__", "$1"),
+    ("\\*([^*\\n]+)\\*", "$1"),
+    ("`([^`]+)`", "$1"),
+    // entities; &amp; strictly last (no double decode)
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", "\""),
+    ("&#39;", "'"),
+    ("&nbsp;", " "),
+    ("&amp;", "&"))
+
+  /** Markdown/HTML-stripped text as a codegen'd Column chain. */
+  def stripMarkdown(c: Column): Column =
+    rules.foldLeft(c) { case (acc, (p, r)) => regexp_replace(acc, p, r) }
+
+  /** The DuckDB twin: same ordered rules as nested
+    * `regexp_replace(..., 'g')` over SQL expression `e`. DuckDB
+    * single-quoted literals are raw (standard SQL — no backslash
+    * processing), so patterns embed verbatim; only quotes double and
+    * the replacement-group convention flips $1 → \1. */
+  def oracleExpr(e: String): String =
+    rules.foldLeft(e) { case (acc, (p, r)) =>
+      val pat = p.replace("'", "''")
+      val rep = r.replace("$1", "\\1").replace("'", "''")
+      s"regexp_replace($acc, '$pat', '$rep', 'g')"
+    }
+}

@@ -619,6 +619,239 @@ object Pdf {
     serialize(head ++ outObjs.result(), 1, xrefStream = anyXrefStream)
   }
 
+  // ---- page TEXT extraction (S11 → text-family bridge) ---------------
+
+  /** WinAnsiEncoding byte→text table (cp1252; [PDF 32000] Annex D):
+    * printable ASCII identity, 0x80–0x9F Windows specials, 0xA0–0xFF
+    * Latin-1 identity — a superset match for StandardEncoding's
+    * printable ASCII range, which is why one table serves both simple
+    * western fonts. Undefined slots (0x81 0x8D 0x8F 0x90 0x9D, DEL)
+    * and non-whitespace control bytes map to "" (dropped). */
+  private val winAnsi: Array[String] = {
+    val t = Array.fill(256)("")
+    t('\t') = "\t"; t('\n') = "\n"; t('\r') = "\r"
+    (0x20 to 0x7E).foreach(b => t(b) = b.toChar.toString)
+    val hi = "€ ‚ƒ„…†‡ˆ‰" +
+      "Š‹Œ Ž  ‘’“”" +
+      "•–—˜™š›œ žŸ"
+    hi.zipWithIndex.foreach { case (c, i) =>
+      if (c != ' ') t(0x80 + i) = c.toString
+    }
+    (0xA0 to 0xFF).foreach(b => t(b) = b.toChar.toString)
+    t
+  }
+
+  /** Decode one content-stream string token's bytes through WinAnsi. */
+  private def decodeStr(bytes: Array[Byte]): String = {
+    val sb = new StringBuilder
+    bytes.foreach(b => sb.append(winAnsi(b & 0xFF)))
+    sb.result()
+  }
+
+  /** Render a page's (concatenated, already-inflated) content streams
+    * to plain text: a sequential lexer over the operator stream that
+    * interprets the TEXT subset — BT/ET objects; Tj / ' / " / TJ show
+    * operators; Td / TD / `T*` / Tm positioning (each starts a new line when
+    * the current line already carries glyphs — leading positioning
+    * never emits blank lines); literal strings with the full escape
+    * set (\n \r \t \b \f \( \) \\ , 1–3-digit octal, backslash-EOL
+    * continuation) and hex strings. TJ numeric kern adjustments of
+    * ≤ -180 thousandths of an em render as one space (the word-gap
+    * convention pdftotext-family extractors use). Inline images
+    * (BI…ID…EI) are skipped; graphics operators are ignored.
+    *
+    * DOCUMENTED CUT-LINE: composite (Type0/CID) fonts and /ToUnicode
+    * CMaps are out of subset — their show strings are font-program
+    * glyph indices that no byte table can map; they pass through the
+    * WinAnsi table best-effort. Simple western fonts (the makePdf /
+    * office-writer mainstream) extract exactly. */
+  private[ops] def renderContent(cs: String): String = {
+    val out = new StringBuilder
+    var lineHasText = false
+    def newline(): Unit = if (lineHasText) { out.append('\n'); lineHasText = false }
+    def show(s: String): Unit = if (s.nonEmpty) { out.append(s); lineHasText = true }
+    // operand stack: Array[Byte] (string token), java.lang.Double,
+    // Vector[Any] (array), or the sentinel '[' marker
+    val ops = mutable.ArrayBuffer.empty[Any]
+    object Mark
+    var i = 0
+    val n = cs.length
+    def parseLiteral(): Array[Byte] = {
+      val buf = new java.io.ByteArrayOutputStream()
+      var depth = 1
+      while (i < n && depth > 0) {
+        cs.charAt(i) match {
+          case '\\' if i + 1 < n =>
+            i += 1
+            cs.charAt(i) match {
+              case 'n' => buf.write('\n'); i += 1
+              case 'r' => buf.write('\r'); i += 1
+              case 't' => buf.write('\t'); i += 1
+              case 'b' => buf.write('\b'); i += 1
+              case 'f' => buf.write('\f'); i += 1
+              case '\r' => i += 1; if (i < n && cs.charAt(i) == '\n') i += 1 // line continuation
+              case '\n' => i += 1
+              case d if d >= '0' && d <= '7' =>
+                var v = 0; var k = 0
+                while (k < 3 && i < n && cs.charAt(i) >= '0' && cs.charAt(i) <= '7') {
+                  v = v * 8 + (cs.charAt(i) - '0'); i += 1; k += 1
+                }
+                buf.write(v & 0xFF)
+              case c => buf.write(c); i += 1 // \( \) \\ and unknown: literal
+            }
+          case '(' => depth += 1; buf.write('('); i += 1
+          case ')' =>
+            depth -= 1; if (depth > 0) buf.write(')'); i += 1
+          case c => buf.write(c); i += 1
+        }
+      }
+      buf.toByteArray
+    }
+    def parseHex(): Array[Byte] = {
+      val hex = new StringBuilder
+      while (i < n && cs.charAt(i) != '>') {
+        val c = cs.charAt(i)
+        if (Character.digit(c, 16) >= 0) hex.append(c)
+        i += 1
+      }
+      if (i < n) i += 1 // '>'
+      if (hex.length % 2 == 1) hex.append('0') // [PDF 32000] 7.3.4.3
+      hex.result().grouped(2).map(h => Integer.parseInt(h, 16).toByte).toArray
+    }
+    while (i < n) {
+      val c = cs.charAt(i)
+      if (c == ' ' || c == '\t' || c == '\r' || c == '\n' || c == '\f' || c == 0) i += 1
+      else if (c == '%') { while (i < n && cs.charAt(i) != '\n' && cs.charAt(i) != '\r') i += 1 }
+      else if (c == '(') { i += 1; ops += parseLiteral() }
+      else if (c == '<' && i + 1 < n && cs.charAt(i + 1) == '<') {
+        // dictionary (BDC properties etc.): skip balanced << >>
+        var depth = 0
+        var done = false
+        while (i < n && !done) {
+          if (cs.startsWith("<<", i)) { depth += 1; i += 2 }
+          else if (cs.startsWith(">>", i)) { depth -= 1; i += 2; done = depth == 0 }
+          else i += 1
+        }
+      }
+      else if (c == '<') { i += 1; ops += parseHex() }
+      else if (c == '[') { ops += Mark; i += 1 }
+      else if (c == ']') {
+        val arr = Vector.newBuilder[Any]
+        val tail = mutable.Stack.empty[Any]
+        while (ops.nonEmpty && (ops.last match { case Mark => false; case _ => true }))
+          tail.push(ops.remove(ops.length - 1))
+        if (ops.nonEmpty) ops.remove(ops.length - 1) // the Mark
+        tail.foreach(arr += _)
+        ops += arr.result()
+        i += 1
+      }
+      else if (c == '/') {
+        i += 1
+        while (i < n && !" \t\r\n\f()<>[]{}/%".contains(cs.charAt(i))) i += 1
+        // names carry no text — not pushed
+      }
+      else if (c == '+' || c == '-' || c == '.' || (c >= '0' && c <= '9')) {
+        val start = i
+        i += 1
+        while (i < n && (cs.charAt(i) == '.' || (cs.charAt(i) >= '0' && cs.charAt(i) <= '9'))) i += 1
+        ops += java.lang.Double.valueOf(cs.substring(start, i).toDouble)
+      }
+      else {
+        val start = i
+        while (i < n && !" \t\r\n\f()<>[]{}/%".contains(cs.charAt(i))) i += 1
+        if (i == start) i += 1 // stray delimiter ({ } unpaired ')'): skip, never stall
+        val op = cs.substring(start, i)
+        op match {
+          case "Tj" => ops.lastOption.collect { case b: Array[Byte] => show(decodeStr(b)) }
+          case "'" | "\"" =>
+            newline()
+            ops.lastOption.collect { case b: Array[Byte] => show(decodeStr(b)) }
+          case "TJ" => ops.lastOption.collect { case arr: Vector[_] =>
+            arr.foreach {
+              case b: Array[Byte] => show(decodeStr(b))
+              case d: java.lang.Double => if (d <= -180.0 && lineHasText) out.append(' ')
+              case _ =>
+            }
+          }
+          case "Td" | "TD" | "T*" | "Tm" | "BT" => newline()
+          case "BI" => // inline image: skip to the EI token past ID
+            val id = cs.indexOf("ID", i)
+            val ei = if (id >= 0) cs.indexOf("EI", id + 2) else cs.indexOf("EI", i)
+            i = if (ei >= 0) ei + 2 else n
+          case _ =>
+        }
+        if (op != "[" && op != "]") ops.clear()
+      }
+    }
+    out.result()
+  }
+
+  private val contentsRe = """(?s)/Contents\s*(\[[^\]]*\]|\d+\s+0\s+R)""".r
+
+  /** Decode one object's stream payload: /Length-framed (falling back
+    * to the endstream token), FlateDecode inflated when declared. */
+  private def streamData(body: String): Option[Array[Byte]] =
+    streamTokenRe.findFirstMatchIn(body).map { m =>
+      val dict = body.substring(0, m.start)
+      val dataStart = m.end
+      val end = dictInt(dict, "/Length") match {
+        case Some(len) if dataStart + len <= body.length => dataStart + len
+        case _ => body.lastIndexOf("endstream") match {
+          case -1 => body.length
+          case e => e
+        }
+      }
+      val raw = body.substring(dataStart, end).getBytes("ISO-8859-1")
+      if ("""/Filter\s*\[?\s*/FlateDecode""".r.findFirstIn(dict).isDefined)
+        inflate(raw)
+      else raw
+    }
+
+  /** Extract page text: one (1-based page, text) row per page, in page
+    * order. Multiple /Contents streams concatenate with a newline (the
+    * spec's "treat as one stream with whitespace between" rule, 7.8.2);
+    * a page with no /Contents yields "". Encrypted documents decrypt
+    * first (parse()), so extraction always sees plaintext operators.
+    * Subset + cut-line: [[renderContent]]. */
+  def extractText(bytes: Array[Byte], password: String = ""): Seq[(Int, String)] = {
+    val d = parse(bytes, password)
+    d.pageNums.zipWithIndex.map { case (pn, idx) =>
+      val refs = d.objects.get(pn).toSeq.flatMap { body =>
+        contentsRe.findFirstMatchIn(body).toSeq
+          .flatMap(m => refRe.findAllMatchIn(m.group(1)).map(_.group(1).toInt))
+      }
+      val cs = refs.flatMap(r => d.objects.get(r).flatMap(streamData))
+        .map(b => new String(b, "ISO-8859-1")).mkString("\n")
+      (idx + 1, renderContent(cs))
+    }
+  }
+
+  /** Fixture builder for the extraction gates: one page per raw
+    * content-stream string; `flate` compresses every stream so the
+    * extractor's inflate path is exercised; `xrefStream` emits the
+    * PDF 1.5 compressed form. */
+  def makeTextPdf(contents: Seq[String], flate: Boolean = false,
+      xrefStream: Boolean = false): Array[Byte] = {
+    val np = contents.size
+    val pageNums = (0 until np).map(3 + _)
+    val contentNums = pageNums.map(_ + np)
+    val objs = Seq(
+      1 -> " << /Type /Catalog /Pages 2 0 R >> ",
+      2 -> s" << /Type /Pages /Kids [${pageNums.map(n => s"$n 0 R").mkString(" ")}] /Count $np >> ") ++
+      pageNums.zipWithIndex.map { case (n, i) =>
+        n -> s" << /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] /Contents ${contentNums(i)} 0 R >> "
+      } ++
+      contentNums.zip(contents).map { case (n, cs) =>
+        if (flate) {
+          val data = deflate(cs.getBytes("ISO-8859-1"))
+          n -> (s" << /Length ${data.length} /Filter /FlateDecode >> stream\n" +
+            new String(data, "ISO-8859-1") + "\nendstream ")
+        } else
+          n -> s" << /Length ${cs.length} >> stream\n$cs\nendstream "
+      }
+    serialize(objs, 1, xrefStream)
+  }
+
   /** J6: extract one group of (1-based, pre-clamped) pages as a new doc. */
   def extractPages(bytes: Array[Byte], group: Seq[Int], password: String = ""): Array[Byte] = {
     val d = parse(bytes, password)

@@ -1,0 +1,48 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed PDF text extraction — the bridge from the binary
+  * document family (SURVEY §2.1 S11) into the text-analysis family:
+  * one (name, page, text) row per page, ready to feed gopherRules,
+  * dedup shingling, BPE, language-ID. Reference context: the pdf tool
+  * carries the raw bytes (pdf-tool/page.tsx); extraction is the
+  * engine-side extension a document-lake pipeline needs first.
+  *
+  * Scale shape: input is a `binaryFile`-scan-shaped relation
+  * (name, content) — Spark assigns whole files to partitions, so the
+  * per-file COS parse + content-stream lex runs PARTITION-LOCAL on
+  * executors with zero driver involvement and no shuffle at all; the
+  * output is a narrow flatMap. At 100 TB of PDFs the cost is one pass
+  * over the bytes, embarrassingly parallel by file. Per-file failures
+  * degrade to defined error rows (`error` non-empty, page 0), the
+  * same catch-and-log semantics as [[Pdf.describeFiles]] — one
+  * corrupt document never fails a corpus-wide extraction job.
+  */
+object PdfText {
+
+  /** files: (nameCol string, contentCol binary) → (name, page, text,
+    * error). Success rows carry error = "" and 1-based pages in page
+    * order; a failed file yields exactly one row (page 0, text ""). */
+  def extractTextDf(files: DataFrame, nameCol: String = "name",
+      contentCol: String = "content", password: String = ""): DataFrame = {
+    val spark = files.sparkSession
+    import spark.implicits._
+    files
+      .select(col(nameCol).cast("string").as("name"), col(contentCol).as("content"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (name, bytes) =>
+        // same up-front rejects + error vocabulary as Pdf.describeFiles
+        if (bytes == null || bytes.isEmpty) Seq((name, 0, "", "size 0B"))
+        else if (!Pdf.hasPdfHeader(bytes)) Seq((name, 0, "", "no %PDF- header"))
+        else
+          try Pdf.extractText(bytes, password)
+            .map { case (p, t) => (name, p, t, "") }
+          catch {
+            case e: Exception => Seq((name, 0, "", String.valueOf(e.getMessage)))
+          }
+      }
+      .toDF("name", "page", "text", "error")
+  }
+}

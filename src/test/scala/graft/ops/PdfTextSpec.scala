@@ -1,0 +1,96 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class PdfTextSpec extends AnyFunSuite {
+
+  private def onePage(cs: String, flate: Boolean = false): String =
+    Pdf.extractText(Pdf.makeTextPdf(Seq(cs), flate)).head._2
+
+  test("makePdf fixture pages extract their own emitted text") {
+    assert(Pdf.extractText(Pdf.makePdf(3, withContent = true)) ==
+      Seq((1, "Page 1"), (2, "Page 2"), (3, "Page 3")))
+  }
+
+  test("pages without /Contents extract as empty") {
+    assert(Pdf.extractText(Pdf.makePdf(2)) == Seq((1, ""), (2, "")))
+  }
+
+  test("literal-string escapes: named, parens, octal, line continuation") {
+    assert(onePage("""BT (a\(b\)c\\d) Tj ET""") == "a(b)c\\d")
+    assert(onePage("BT (tab\\there) Tj ET") == "tab\there")
+    assert(onePage("BT (caf\\351 \\101\\66) Tj ET") == "café A6") // 3- and 2-digit octal
+    assert(onePage("BT (con\\\ntinued) Tj ET") == "continued")    // backslash-EOL
+    assert(onePage("BT ((nested) parens) Tj ET") == "(nested) parens")
+  }
+
+  test("hex strings decode, odd digit pads with zero") {
+    assert(onePage("BT <48656C6C6F> Tj ET") == "Hello")
+    assert(onePage("BT <5> Tj ET") == "P") // <5> -> 0x50
+  }
+
+  test("TJ arrays: strings concatenate, kern <= -180 is a word gap") {
+    assert(onePage("BT [(a)-200(b)] TJ ET") == "a b")
+    assert(onePage("BT [(a)-100(b)] TJ ET") == "ab")   // small kern: no gap
+    assert(onePage("BT [(a)500(b)] TJ ET") == "ab")    // positive never gaps
+    assert(onePage("BT [-300(lead)] TJ ET") == "lead") // leading kern: no blank space
+  }
+
+  test("newline semantics: Td/TD/T*/Tm/' break lines only after glyphs") {
+    assert(onePage("BT 72 720 Td (one) Tj T* (two) Tj ET") == "one\ntwo")
+    assert(onePage("BT 1 0 0 1 72 720 Tm (x) Tj 0 -14 TD (y) Tj ET") == "x\ny")
+    assert(onePage("BT (a) Tj (b) ' ET") == "a\nb")
+    assert(onePage("BT 72 720 Td 72 700 Td (only) Tj ET") == "only") // no leading blanks
+    assert(onePage("BT (p) Tj ET BT (q) Tj ET") == "p\nq")           // new text object
+  }
+
+  test("WinAnsi mapping: specials in 0x80-0x9F, undefined slots drop") {
+    assert(onePage("BT <93776F7794> Tj ET") == "“wow”") // curly quotes
+    assert(onePage("BT <9141> Tj ET") == "‘A")
+    assert(onePage("BT <8141> Tj ET") == "A") // 0x81 undefined -> dropped
+  }
+
+  test("FlateDecode content streams inflate before lexing") {
+    assert(onePage("BT (zipped) Tj ET", flate = true) == "zipped")
+  }
+
+  test("graphics operators, names, dicts, comments, inline images are inert") {
+    assert(onePage("q 1 0 0 1 0 0 cm /GS1 gs BT (x) Tj ET Q") == "x")
+    assert(onePage("/P <</MCID 0>> BDC BT (m) Tj ET EMC") == "m")
+    assert(onePage("% comment (not text)\nBT (real) Tj ET") == "real")
+    assert(onePage("BI /W 1 /H 1 ID ÿþ EI BT (after) Tj ET") == "after")
+  }
+
+  test("stray delimiters never stall the lexer") {
+    assert(onePage("} { BT (ok) Tj ET )") == "ok")
+  }
+
+  test("encrypted documents decrypt then extract (RC4 and AES-128)") {
+    val src = Pdf.makePdf(2, withContent = true)
+    assert(Pdf.extractText(PdfCrypt.encrypt(src)) == Seq((1, "Page 1"), (2, "Page 2")))
+    assert(Pdf.extractText(PdfCrypt.encrypt(src, aes128 = true)) ==
+      Seq((1, "Page 1"), (2, "Page 2")))
+    assert(Pdf.extractText(
+      PdfCrypt.encrypt(src, userPw = "pw"), "pw") == Seq((1, "Page 1"), (2, "Page 2")))
+  }
+
+  test("multiple /Contents streams concatenate with a newline") {
+    // hand-build a page with an array of two content streams
+    val cs1 = "BT (first) Tj ET"; val cs2 = "BT (second) Tj ET"
+    val objs = Seq(
+      1 -> " << /Type /Catalog /Pages 2 0 R >> ",
+      2 -> " << /Type /Pages /Kids [3 0 R] /Count 1 >> ",
+      3 -> " << /Type /Page /Parent 2 0 R /Contents [4 0 R 5 0 R] >> ",
+      4 -> s" << /Length ${cs1.length} >> stream\n$cs1\nendstream ",
+      5 -> s" << /Length ${cs2.length} >> stream\n$cs2\nendstream ")
+    // reuse the public fixture path: serialize via merge of a manual doc
+    val doc = ("%PDF-1.4\n" + objs.map { case (n, b) => s"$n 0 obj$b endobj\n" }.mkString +
+      "trailer\n<< /Size 6 /Root 1 0 R >>\n%%EOF\n").getBytes("ISO-8859-1")
+    assert(Pdf.extractText(doc) == Seq((1, "first\nsecond")))
+  }
+
+  test("xref-stream (PDF 1.5) fixtures extract too") {
+    assert(Pdf.extractText(Pdf.makeTextPdf(Seq("BT (modern) Tj ET"),
+      flate = true, xrefStream = true)) == Seq((1, "modern")))
+  }
+}
