@@ -162,6 +162,28 @@ class PlanShapeSpec extends SparkSpec {
     } finally spark.catalog.clearCache()
   }
 
+  test("jaccard derives the shingle relation ONCE (r16 single-scan kernel)") {
+    // The r15 blocking-metrics breach class: the old jaccard read its
+    // shingle input three times (sizes + both join sides), so an
+    // uncached caller paid the split+explode+distinct corpus scan 3x.
+    // The kernel now unrolls pairs with a narrow generate and joins
+    // the digested shingles once — locked by counting shingle-relation
+    // leaves in the UNCACHED library plan: exactly one Generate from
+    // the WordShingles kernel may appear.
+    val d = graft.core.Tables.load(spark, sf, "documents")
+      .select(org.apache.spark.sql.functions.col("doc_id").as("id"),
+        org.apache.spark.sql.functions.col("text"))
+    val sh = graft.llm.Dedup.shingles(d, "id", "text")
+    val pairs = d.select(org.apache.spark.sql.functions.col("id").as("a"),
+      (org.apache.spark.sql.functions.col("id") + 1).as("b"))
+    for (q <- Seq(graft.llm.Dedup.jaccard(pairs, sh),
+        graft.llm.Dedup.containment(pairs, sh))) {
+      val p = q.queryExecution.executedPlan.toString
+      assert("(?i)wordshingles".r.findAllIn(p).size <= 1,
+        s"shingle relation derived more than once:\n$p")
+    }
+  }
+
   test("llm_pipeline_full composes without cartesian products or partitionless windows") {
     // The end-to-end chain (clusters → anti-join → salted cap →
     // packing) must keep each stage's scale shape: every Window is
