@@ -126,11 +126,27 @@ object Dedup {
       .select(col("a"), col("b"), graft.functions.F.scale4(
         col("i").cast("double") / (col("na") + col("nb") - col("i"))).as("jacc_x1e4"))
 
+  /** [[jaccard]] over ALL candidate pairs, including those sharing no
+    * shingle (jacc_x1e4 = 0) — exactly one output row per distinct
+    * candidate pair. This is the telemetry form: blocking-quality
+    * counters (n_candidates, n_verified) come out of ONE aggregate
+    * over one pipeline, with `cand` referenced once — no second
+    * branch that could recompute the candidate generation (the r15
+    * breach class) and no eager materialization needed. */
+  def jaccardAll(cand: DataFrame, sh: DataFrame): DataFrame =
+    pairShingleStats(cand, sh, keepEmpty = true)
+      .select(col("a"), col("b"), graft.functions.F.scale4(
+        col("i").cast("double") / (col("na") + col("nb") - col("i"))).as("jacc_x1e4"))
+
   /** Shared kernel of [[jaccard]]/[[containment]]: per candidate pair,
     * the two set sizes and the intersection count over digested
     * shingles, from a SINGLE scan of `sh`. Pairs sharing no shingle
-    * are dropped (i ≥ 1), matching the historical inner-join shape. */
-  private def pairShingleStats(cand: DataFrame, sh: DataFrame): DataFrame = {
+    * are dropped (i ≥ 1), matching the historical inner-join shape —
+    * unless `keepEmpty` (the telemetry form: every pair reported,
+    * i = 0 rows included; every doc has ≥ 1 shingle, so no pair can
+    * vanish from the inner id-join). */
+  private def pairShingleStats(cand: DataFrame, sh: DataFrame,
+      keepEmpty: Boolean = false): DataFrame = {
     val d = sh.select(col("id"), xxhash64(col("sh")).as("shd"))
     val unrolled = cand
       .select(col("a"), col("b"),
@@ -145,7 +161,7 @@ object Dedup {
       .groupBy("a", "b")
       .agg(sum(col("ina")).as("na"), sum(col("inb")).as("nb"),
         sum(col("ina") * col("inb")).as("i"))
-      .filter(col("i") >= 1L)
+      .filter(if (keepEmpty) lit(true) else col("i") >= 1L)
   }
 
   /** PPJoin-style PREFIX-FILTER set-similarity self-join (Chaudhuri

@@ -222,21 +222,21 @@ object DedupPack extends QueryPack {
       val c = corpus(s, dir)
       graft.core.Materialize.withCached(
         Dedup.shingles(c, "id", "text")) { sh =>
-        // EAGER candidate materialization (the r15 4.98x-breach fix):
-        // the previous shape cached `cand` lazily and fanned three
-        // aggregate branches over it inside one action — if the
-        // verify branch was scheduled before the cache populated, it
-        // recomputed the whole LSH pipeline. The checkpoint runs the
-        // pipeline exactly once up front (also populating the shingle
-        // cache every later branch reads); the bounded pair list is
-        // all that persists.
+        // ONE pipeline (the r15 4.98x-breach fix, r16 final form):
+        // jaccardAll keeps every candidate pair (jacc 0 for empty
+        // intersections), so n_candidates AND n_verified fall out of
+        // a single aggregate over a single plan — `cand` is
+        // referenced exactly once, so no branch scheduling order can
+        // ever recompute the LSH candidate generation, and nothing
+        // needs eager materialization. The only other branch is the
+        // corpus row count.
         val cand = Dedup.lshCandidates(
           Dedup.lshBands(Dedup.minhashSignatures(sh, K), K, BANDS))
-          .localCheckpoint(true)
-        val verified = Dedup.jaccard(cand, sh).filter(col("jacc_x1e4") >= 5000)
+        val stats = Dedup.jaccardAll(cand, sh)
+          .agg(count(lit(1)).as("n_candidates"),
+            sum(when(col("jacc_x1e4") >= 5000, 1L).otherwise(0L)).as("n_verified"))
         c.agg(count(lit(1)).as("n_docs"))
-          .crossJoin(cand.agg(count(lit(1)).as("n_candidates")))
-          .crossJoin(verified.agg(count(lit(1)).as("n_verified")))
+          .crossJoin(stats)
           .select(col("n_docs"),
             expr("n_docs * (n_docs - 1) div 2").as("n_total_pairs"),
             col("n_candidates"), col("n_verified"))

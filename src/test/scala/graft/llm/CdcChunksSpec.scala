@@ -66,4 +66,30 @@ class CdcChunksSpec extends SparkSpec {
     assert(out.toSet.map((c: (Long, Long, Long, String, Long)) => (c._1, c._2, c._3)) ==
       Set((1L, 1L, 2L), (2L, 1L, 2L)))
   }
+
+  test("short docs never emit phantom boundaries past the text (r16 guard)") {
+    // Pre-guard, sequence(window, length) DESCENDED for length < window
+    // and could emit boundary candidates beyond the document end —
+    // chunk extents past length, empty-slice digests falsely shared.
+    // Sweep every sub-window length with duplicated content: every
+    // chunk must sit inside the text and tile it exactly.
+    val docs = (1 to 15).flatMap { len =>
+      val t = ("abcdefghijklmno" + "!").substring(0, len)
+      Seq((len * 2L) -> t, (len * 2L + 1L) -> t)
+    }
+    val out = chunks(docs)
+    val byLen = docs.toMap
+    assert(out.nonEmpty) // every duplicated short doc shares chunks
+    out.foreach { case (id, start, clen, _, _) =>
+      val textLen = byLen(id).length
+      assert(start >= 1L && start + clen - 1L <= textLen.toLong,
+        s"doc $id (len $textLen): phantom chunk at start=$start len=$clen")
+    }
+    // docs strictly below the window (4 here) carry no interior
+    // boundary candidates at all: exactly one whole-text chunk
+    out.filter(t => byLen(t._1).length < 4).foreach { case (id, start, clen, _, _) =>
+      assert(start == 1L && clen == byLen(id).length.toLong,
+        s"sub-window doc $id: start=$start len=$clen")
+    }
+  }
 }
