@@ -126,6 +126,27 @@ object CoveragePack extends QueryPack {
         ("bad.bin", "not a pdf".getBytes("UTF-8"))).toDF("name", "content")
       PdfText.extractTextDf(files).orderBy("name", "page")
     }),
+    // The distributed bridge at CORPUS scale: every printable-ASCII
+    // document is rendered to a real FlateDecode PDF on the executors
+    // (Pdf.makeTextPdf in a narrow map — partition-local encode),
+    // scanned back through PdfText.extractTextDf, and must round-trip
+    // its text bit-for-bit. This is the binaryFile→text shape a
+    // document-lake ingestion job runs: per-file encode/decode rides
+    // the scan, nothing ever reaches the driver, and the oracle is
+    // simply the original documents table.
+    "pdf_corpus_roundtrip" -> ((s, dir) => {
+      import s.implicits._
+      val d = Tables.load(s, dir, "documents")
+        .filter(col("text").rlike("^[\\x20-\\x7E]*$") && length(col("text")) > 0)
+        .select(col("doc_id"), col("text"))
+      val files = d.as[(Long, String)].map { case (id, t) =>
+        val esc = t.replace("\\", "\\\\").replace("(", "\\(").replace(")", "\\)")
+        (id.toString, Pdf.makeTextPdf(Seq(s"BT 72 720 Td ($esc) Tj ET"), flate = true))
+      }.toDF("name", "content")
+      PdfText.extractTextDf(files)
+        .select(col("name").cast("long").as("doc_id"), col("text"), col("error"))
+        .orderBy("doc_id")
+    }),
     // J4: first column of A present in B.
     "compare_autokey" -> ((s, dir) => {
       import s.implicits._
@@ -272,6 +293,10 @@ object CoveragePack extends QueryPack {
         |  ('merged', 7, true), ('part', 2, true))
         |  AS t(label, n_pages, form_ok) ORDER BY label""".stripMargin,
     "compare_autokey" -> "SELECT 'c_custkey' AS key_field",
+    "pdf_corpus_roundtrip" ->
+      """SELECT doc_id, text, '' AS error FROM documents
+        |WHERE regexp_matches(text, '^[\x20-\x7E]*$') AND length(text) > 0
+        |ORDER BY doc_id""".stripMargin,
     "pdf_extract_text" ->
       """SELECT * FROM (VALUES
         |  ('bad.bin', 0, '', 'no %PDF- header'),
