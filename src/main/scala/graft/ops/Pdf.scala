@@ -754,7 +754,9 @@ object Pdf {
         val start = i
         i += 1
         while (i < n && (cs.charAt(i) == '.' || (cs.charAt(i) >= '0' && cs.charAt(i) <= '9'))) i += 1
-        ops += java.lang.Double.valueOf(cs.substring(start, i).toDouble)
+        // malformed numerics ("1.2.3", a bare "-"/"."): drop, never throw
+        cs.substring(start, i).toDoubleOption
+          .foreach(d => ops += java.lang.Double.valueOf(d))
       }
       else {
         val start = i

@@ -65,6 +65,20 @@ class PdfTextSpec extends AnyFunSuite {
     assert(onePage("} { BT (ok) Tj ET )") == "ok")
   }
 
+  test("malformed numerics drop instead of throwing") {
+    assert(onePage("BT 1.2.3 - . +. Td (x) Tj ET") == "x")
+  }
+
+  test("lexer is total on random operator soup (never throws, never stalls)") {
+    val rnd = new scala.util.Random(42L)
+    (1 to 300).foreach { _ =>
+      val s = Seq.fill(rnd.nextInt(120))(rnd.nextPrintableChar()).mkString
+      Pdf.renderContent(s) // must terminate without throwing
+    }
+    val structured = "BT [( ( < > ) ] TJ <zz1> Tj % (comment\n(tail"
+    Pdf.renderContent(structured)
+  }
+
   test("encrypted documents decrypt then extract (RC4 and AES-128)") {
     val src = Pdf.makePdf(2, withContent = true)
     assert(Pdf.extractText(PdfCrypt.encrypt(src)) == Seq((1, "Page 1"), (2, "Page 2")))
