@@ -226,6 +226,54 @@ object Dedup {
         graft.functions.F.scale4(col("i").cast("double") / col("nb"))
           .as("cont_b_x1e4"))
 
+  /** C4-style LINE-level corpus deduplication (Raffel et al. 2020
+    * §2.2 — "we discarded all but one of any three-sentence span
+    * occurring more than once", here at the line grain the C4 code
+    * actually dedups on): across the WHOLE corpus, keep only the
+    * globally-first occurrence (document id, then line position) of
+    * every distinct line; drop repeats everywhere else; reassemble
+    * each document from its surviving lines in original order. This
+    * is the boilerplate killer exact doc-level dedup misses — nav
+    * text, license headers, templated footers repeat across documents
+    * that are globally unique.
+    *
+    * Scale shape: one narrow posexplode; lines digest to 64-bit
+    * xxhash BEFORE the shuffle (8-byte keys, the standard pre-shuffle
+    * digesting); the first-occurrence winner is one hash aggregate
+    * (min of the id·10⁶+pos order key — an aggregate, never a
+    * corpus-wide window); one equi-join back on the digest; one
+    * groupBy(doc) reassembly whose ordered concat runs inside the
+    * aggregate (array_sort over (pos, line) structs — per-document
+    * state, no global sort anywhere). Deterministic under retries;
+    * the oracle reproduces every surviving line bit-for-bit.
+    *
+    * Output: (id, n_lines, n_dropped, clean_text). `sep` splits AND
+    * rejoins, so `n_dropped = 0` round-trips the text unchanged.
+    * Caller contract: id·1 000 000 + pos must fit a long and pos <
+    * 1 000 000 (a million-line document is beyond the line grain). */
+  def lineDedup(docs: DataFrame, idCol: String, textCol: String,
+      sep: String = "\n"): DataFrame = {
+    val lines = docs.select(col(idCol).as("id"),
+      posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
+        .as(Seq("pos", "line")))
+    val keyed = lines
+      .select(col("id"), col("pos"), col("line"),
+        (col("id") * 1000000L + col("pos")).as("okey"),
+        xxhash64(col("line")).as("lh"))
+    val first = keyed.groupBy("lh").agg(min(col("okey")).as("first_okey"))
+    keyed.join(first, "lh")
+      .withColumn("keep", col("okey") === col("first_okey"))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when(!col("keep"), 1L).otherwise(0L)).as("n_dropped"),
+        array_join(
+          transform(
+            array_sort(collect_list(when(col("keep"),
+              struct(col("pos"), col("line"))))),
+            x => x.getField("line")),
+          sep).as("clean_text"))
+  }
+
   /** MinHash-LSH near-duplicate pairs with verified Jaccard ≥ threshold
     * (threshold compared on the scaled fixed-point value).
     *

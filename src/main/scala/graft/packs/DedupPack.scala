@@ -167,6 +167,27 @@ object DedupPack extends QueryPack {
         .withColumn("n_kept", col("n_docs") - col("n_flagged"))
         .orderBy("source")
     }),
+    // C4-style LINE-level corpus dedup (Dedup.lineDedup): keep the
+    // globally-first occurrence of every distinct line, drop repeats
+    // everywhere, reassemble docs in order. Fixture: docs sentence-ized
+    // into 8-word chunks joined by '. ' (the corpus is single-line
+    // word soup), then every 10th doc duplicated wholesale — its
+    // copy must come back with every line dropped, while natural
+    // cross-doc chunk repeats resolve identically on both engines.
+    "dedup_lines" -> ((s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+      val words = split(col("text"), " ")
+      val chunked = d.select(col("doc_id"),
+        array_join(transform(
+          sequence(lit(0), ((size(words) - 1) / 8).cast("int")),
+          i => array_join(slice(words, i * 8 + 1, lit(8)), " ")), ". ").as("text"))
+      val corpus = chunked.unionAll(
+        chunked.filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 1000000).as("doc_id"), col("text")))
+      Dedup.lineDedup(corpus, "doc_id", "text", ". ")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    }),
     // PPJoin-style prefix filtering (Dedup.prefixFilterPairs): the
     // LOSSLESS high-threshold near-dup join — candidates from an
     // equi-join on rare-first prefix tokens, verified by exact
@@ -677,6 +698,29 @@ object DedupPack extends QueryPack {
         |SELECT doc_id FROM documents
         |WHERE doc_id NOT IN (SELECT id FROM labels WHERE id <> cluster)
         |ORDER BY doc_id""".stripMargin,
+    // chunking + first-occurrence-wins line dedup, arm for arm; the
+    // oracle groups on the raw line where the engine groups on its
+    // 64-bit digest (1:1 at any realistic line count)
+    "dedup_lines" ->
+      """WITH ch AS (SELECT doc_id,
+        |    array_to_string(list_transform(generate_series(0, (len(w)-1)//8),
+        |      i -> array_to_string(w[i*8+1 : i*8+8], ' ')), '. ') AS text
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+        |corpus AS (SELECT doc_id AS id, text FROM ch
+        |  UNION ALL SELECT doc_id + 1000000, text FROM ch WHERE doc_id % 10 = 0),
+        |l AS (SELECT id, CAST(t.i AS BIGINT) - 1 AS pos,
+        |    parts[CAST(t.i AS INT)] AS line
+        |  FROM (SELECT id, string_split(text, '. ') AS parts FROM corpus),
+        |    UNNEST(generate_series(1, len(parts))) AS t(i)),
+        |k AS (SELECT id, pos, line, id * 1000000 + pos AS okey FROM l),
+        |f AS (SELECT line, min(okey) AS fo FROM k GROUP BY line),
+        |j AS (SELECT k.id, k.pos, k.line, k.okey = f.fo AS keep
+        |  FROM k JOIN f USING (line))
+        |SELECT id AS doc_id, count(*) AS n_lines,
+        |  CAST(SUM(CASE WHEN NOT keep THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+        |  COALESCE(string_agg(CASE WHEN keep THEN line END, '. ' ORDER BY pos), '')
+        |    AS clean_text
+        |FROM j GROUP BY id ORDER BY doc_id""".stripMargin,
     "dedup_ngram_spans" ->
       s"""WITH $docSpanSql
          |SELECT id AS doc_id, n_grams, n_dup_grams,
