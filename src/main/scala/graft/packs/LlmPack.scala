@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.QueryPack
 import graft.core.Tables
-import graft.llm.{Ann, Markup, Multimodal, TextAnalysis => TA}
+import graft.llm.{Ann, Dedup, Markup, Multimodal, TextAnalysis => TA}
 
 /** Oracle-checked queries for text analysis, similarity search, and
   * the multimodal binary path (documents + embeddings fixtures). */
@@ -165,6 +165,29 @@ object LlmPack extends QueryPack {
         r("n_stop").as("n_stop"),
         r("keep").as("keep"))
         .orderBy("doc_id")
+    }),
+    // The composed r16 pre-tokenization chain, end to end: markdown
+    // strip over the wrapped corpus → C4-style line dedup at the
+    // newline grain (the wrapper's structural lines duplicate across
+    // every doc — the first doc keeps them, all others drop) →
+    // Gopher keep over the deduplicated text → per-source funnel.
+    // Every stage is the production operator; the oracle chains the
+    // three DuckDB twins arm for arm.
+    "llm_pipeline_docs" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val clean = d.select(col("doc_id"),
+        Markup.stripMarkdown(concat(
+          lit(LlmPack.mdPrefix), col("text"), lit(LlmPack.mdSuffix))).as("text"))
+      val deduped = Dedup.lineDedup(clean, "doc_id", "text", "\n")
+        .withColumnRenamed("id", "doc_id")
+      val r = TA.gopherRules(col("clean_text")).toMap
+      deduped.join(d.select(col("doc_id"), col("source")), "doc_id")
+        .select(col("source"), col("n_dropped"), r("keep").as("keep"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_dropped")).as("n_lines_dropped"),
+          sum(when(col("keep"), 1L).otherwise(0L)).as("n_keep"))
+        .orderBy("source")
     }),
     // Gopher-style rule filter (Rae et al. 2021 §A1.1): audit columns
     // + composite keep per doc, all codegen'd Column math; ratios
@@ -1277,6 +1300,37 @@ object LlmPack extends QueryPack {
          |   AND n_chars_nosp / n_words >= 3.0 AND n_chars_nosp / n_words <= 10.0
          |   AND n_stop >= 1) AS keep
          |FROM s ORDER BY doc_id""".stripMargin,
+    "llm_pipeline_docs" ->
+      s"""WITH c AS (SELECT doc_id, $mdCleanSql AS text FROM documents),
+         |l AS (SELECT doc_id AS id, CAST(t.i AS BIGINT) - 1 AS pos,
+         |    parts[CAST(t.i AS INT)] AS line
+         |  FROM (SELECT doc_id, string_split(text, chr(10)) AS parts FROM c),
+         |    UNNEST(generate_series(1, len(parts))) AS t(i)),
+         |k AS (SELECT id, pos, line, id * 1000000 + pos AS okey FROM l),
+         |f AS (SELECT line, min(okey) AS fo FROM k GROUP BY line),
+         |j AS (SELECT k.id, k.pos, k.line, k.okey = f.fo AS keep
+         |  FROM k JOIN f USING (line)),
+         |dd AS (SELECT id AS doc_id,
+         |    CAST(SUM(CASE WHEN NOT keep THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+         |    COALESCE(string_agg(CASE WHEN keep THEN line END, chr(10) ORDER BY pos), '')
+         |      AS clean_text
+         |  FROM j GROUP BY id),
+         |g AS (SELECT doc_id, n_dropped,
+         |    CAST(len(string_split(clean_text, ' ')) AS BIGINT) AS n_words,
+         |    CAST(length(replace(clean_text, ' ', '')) AS DOUBLE) AS n_chars_nosp,
+         |    CAST(list_contains(string_split(clean_text, ' '), 'the') AS BIGINT)
+         |      + CAST(list_contains(string_split(clean_text, ' '), 'a') AS BIGINT)
+         |      + CAST(list_contains(string_split(clean_text, ' '), 'of') AS BIGINT)
+         |      + CAST(list_contains(string_split(clean_text, ' '), 'and') AS BIGINT)
+         |      + CAST(list_contains(string_split(clean_text, ' '), 'to') AS BIGINT) AS n_stop
+         |  FROM dd)
+         |SELECT d.source, count(*) AS n_docs,
+         |  CAST(SUM(g.n_dropped) AS BIGINT) AS n_lines_dropped,
+         |  CAST(SUM(CASE WHEN g.n_words >= 20 AND g.n_words <= 100000
+         |    AND g.n_chars_nosp / g.n_words >= 3.0 AND g.n_chars_nosp / g.n_words <= 10.0
+         |    AND g.n_stop >= 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_keep
+         |FROM g JOIN documents d USING (doc_id)
+         |GROUP BY d.source ORDER BY d.source""".stripMargin,
     "text_gopher_rules" ->
       """WITH s AS (SELECT doc_id,
         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
