@@ -23,8 +23,13 @@ import org.apache.spark.sql.functions._
 object PdfText {
 
   /** files: (nameCol string, contentCol binary) → (name, page, text,
-    * error). Success rows carry error = "" and 1-based pages in page
-    * order; a failed file yields exactly one row (page 0, text ""). */
+    * warn, error). Success rows carry error = "" and 1-based pages in
+    * page order; `warn` is "" for clean pages and "unmapped glyphs"
+    * where a show string hit a code with no Unicode mapping (Type0
+    * font without /ToUnicode, CMap holes) — the quarantine flag that
+    * keeps known-garbage text out of a downstream corpus instead of
+    * silently poisoning it. A failed file yields exactly one row
+    * (page 0, text ""). */
   def extractTextDf(files: DataFrame, nameCol: String = "name",
       contentCol: String = "content", password: String = ""): DataFrame = {
     val spark = files.sparkSession
@@ -34,15 +39,15 @@ object PdfText {
       .as[(String, Array[Byte])]
       .flatMap { case (name, bytes) =>
         // same up-front rejects + error vocabulary as Pdf.describeFiles
-        if (bytes == null || bytes.isEmpty) Seq((name, 0, "", "size 0B"))
-        else if (!Pdf.hasPdfHeader(bytes)) Seq((name, 0, "", "no %PDF- header"))
+        if (bytes == null || bytes.isEmpty) Seq((name, 0, "", "", "size 0B"))
+        else if (!Pdf.hasPdfHeader(bytes)) Seq((name, 0, "", "", "no %PDF- header"))
         else
-          try Pdf.extractText(bytes, password)
-            .map { case (p, t) => (name, p, t, "") }
+          try Pdf.extractTextPages(bytes, password)
+            .map { case (p, t, w) => (name, p, t, w, "") }
           catch {
-            case e: Exception => Seq((name, 0, "", String.valueOf(e.getMessage)))
+            case e: Exception => Seq((name, 0, "", "", String.valueOf(e.getMessage)))
           }
       }
-      .toDF("name", "page", "text", "error")
+      .toDF("name", "page", "text", "warn", "error")
   }
 }

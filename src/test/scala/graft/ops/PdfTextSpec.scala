@@ -107,4 +107,75 @@ class PdfTextSpec extends AnyFunSuite {
     assert(Pdf.extractText(Pdf.makeTextPdf(Seq("BT (modern) Tj ET"),
       flate = true, xrefStream = true)) == Seq((1, "modern")))
   }
+
+  // ---- composite (Type0/CID + /ToUnicode) fonts ----------------------
+
+  test("Type0/Identity-H show strings decode through the ToUnicode CMap") {
+    // the fixture's CID assignment is non-Unicode for non-lowercase
+    // chars, so only the CMap path can produce this text
+    assert(Pdf.extractTextPages(Pdf.makeCidPdf(Seq("Hello CID world!"))) ==
+      Seq((1, "Hello CID world!", "")))
+  }
+
+  test("bfrange spans cover lowercase; bfchar covers the rest; flate composes") {
+    assert(Pdf.extractTextPages(
+      Pdf.makeCidPdf(Seq("abc xyz", "Mixed Case 42"), flate = true)) ==
+      Seq((1, "abc xyz", ""), (2, "Mixed Case 42", "")))
+  }
+
+  test("supplementary code points round-trip via surrogate-pair dst entries") {
+    val s = "clef 𝄞 and 😀 ok"
+    assert(Pdf.extractTextPages(Pdf.makeCidPdf(Seq(s))) == Seq((1, s, "")))
+  }
+
+  test("Type0 without ToUnicode flags unmapped instead of WinAnsi garbage") {
+    assert(Pdf.extractTextPages(
+      Pdf.makeCidPdf(Seq("secret"), withToUnicode = false)) ==
+      Seq((1, "", "unmapped glyphs")))
+  }
+
+  test("parseToUnicode: bfrange with explicit array destinations") {
+    val cm = Pdf.parseToUnicode(
+      """1 begincodespacerange <0000> <FFFF> endcodespacerange
+        |1 beginbfrange <0001> <0003> [<0041> <00E9> <D834DD1E>] endbfrange""".stripMargin)
+    assert(cm.decode(Array[Byte](0, 1, 0, 2, 0, 3)) == ("Aé𝄞", false))
+  }
+
+  test("parseToUnicode: incrementing bfrange and CMap holes flag unmapped") {
+    val cm = Pdf.parseToUnicode(
+      """1 begincodespacerange <0000> <FFFF> endcodespacerange
+        |1 beginbfrange <0010> <0012> <0061> endbfrange""".stripMargin)
+    assert(cm.decode(Array[Byte](0, 0x10, 0, 0x12)) == ("ac", false))
+    assert(cm.decode(Array[Byte](0, 0x42)) == ("", true)) // hole -> flagged
+  }
+
+  test("one-byte ToUnicode CMaps decode simple-font show strings") {
+    val cm = Pdf.parseToUnicode(
+      """1 begincodespacerange <00> <FF> endcodespacerange
+        |2 beginbfchar <41> <0058> <42> <0059> endbfchar""".stripMargin)
+    assert(cm.decode("AB".getBytes("ISO-8859-1")) == ("XY", false))
+  }
+
+  test("inline-image payload containing the EI byte pair does not derail the lexer") {
+    // "xEIx" inside the binary payload must NOT terminate the image;
+    // only the whitespace-delimited EI token does
+    assert(onePage("BI /W 1 /H 1 ID xEIxÿ EI BT (after) Tj ET") == "after")
+  }
+
+  test("non-Flate stream filters raise a defined error (no raw-byte lexing)") {
+    val doc = new String(Pdf.makeTextPdf(Seq("BT (x) Tj ET"), flate = true),
+      "ISO-8859-1").replace("/Filter /FlateDecode", "/Filter /LZWDecode")
+      .getBytes("ISO-8859-1")
+    val e = intercept[IllegalArgumentException](Pdf.extractText(doc))
+    assert(e.getMessage.contains("unsupported stream filter /LZWDecode"))
+  }
+
+  test("/Contents refs with non-zero generation numbers still resolve") {
+    val doc = new String(Pdf.makeTextPdf(Seq("BT (gen) Tj ET")), "ISO-8859-1")
+    // rewrite the page's /Contents ref to generation 7 (object ids are
+    // keyed by number only, so the body still resolves)
+    val patched = doc.replaceAll("/Contents (\\d+) 0 R", "/Contents $1 7 R")
+      .getBytes("ISO-8859-1")
+    assert(Pdf.extractText(patched) == Seq((1, "gen")))
+  }
 }
