@@ -30,8 +30,8 @@ import org.apache.spark.sql.functions._
   * text rather than double-decoding. */
 object Markup {
 
-  /** Ordered (pattern, replacement) rules; replacement uses $1 (the
-    * Spark/Java convention — translated to \1 for DuckDB). */
+  /** Ordered (pattern, replacement) rules; replacement uses $N (the
+    * Spark/Java convention — translated to \N for DuckDB). */
   private[llm] val rules: Seq[(String, String)] = Seq(
     // HTML comments (possibly multi-line)
     ("(?s)<!--.*?-->", ""),
@@ -39,19 +39,39 @@ object Markup {
     ("(?m)^```[^\\n]*$", ""),
     // ATX heading markers
     ("(?m)^#{1,6}[ \\t]+", ""),
+    // setext heading underlines: a line of `=` alone (the `---` form
+    // is the hrule rule below — same strip either way)
+    ("(?m)^[ \\t]*=+[ \\t]*$", ""),
     // blockquote markers (possibly indented)
     ("(?m)^[ \\t]*>[ \\t]?", ""),
+    // list-bullet markers — BEFORE the inline-emphasis rules, so a
+    // leading '* ' is a bullet, never an emphasis delimiter
+    // ('* item *real*' keeps "item real", not " item real*")
+    ("(?m)^[ \\t]*[-*+][ \\t]+", ""),
+    // ordered-list markers (1. / 23) forms)
+    ("(?m)^[ \\t]*\\d{1,3}[.)][ \\t]+", ""),
     // horizontal rules
     ("(?m)^[ \\t]*[-*_]{3,}[ \\t]*$", ""),
-    // images -> alt text, then links -> anchor text
+    // reference-link DEFINITION lines ([ref]: url "title") drop whole
+    ("(?m)^[ \\t]*\\[[^\\]]+\\]:[ \\t]*[^\\n]*$", ""),
+    // images -> alt text, then links -> anchor text (inline, then
+    // reference-style `[text][ref]` / collapsed `[text][]`)
     ("!\\[([^\\]]*)\\]\\([^)]*\\)", "$1"),
     ("\\[([^\\]]*)\\]\\([^)]*\\)", "$1"),
+    ("\\[([^\\]]*)\\]\\[[^\\]]*\\]", "$1"),
     // inline HTML tags (open/close/void/declaration)
     ("</?[A-Za-z][^>]*>", ""),
-    // bold / italic / inline code (no pattern backrefs: RE2)
+    // bold / italic / strikethrough / inline code (no pattern
+    // backrefs: RE2)
     ("\\*\\*([^*]+)\\*\\*", "$1"),
     ("__([^_]+)__", "$1"),
     ("\\*([^*\\n]+)\\*", "$1"),
+    ("~~([^~\\n]+)~~", "$1"),
+    // single-underscore emphasis: the opening `_` only counts after
+    // start-of-line/whitespace/paren — RE2 has no lookbehind, so the
+    // left context is captured and re-emitted; a `_` inside
+    // snake_case_identifiers never delimits
+    ("(?m)(^|[\\s(])_([^_\\n]+)_", "$1$2"),
     ("`([^`]+)`", "$1"),
     // entities; &amp; strictly last (no double decode)
     ("&lt;", "<"),
@@ -73,7 +93,7 @@ object Markup {
   def oracleExpr(e: String): String =
     rules.foldLeft(e) { case (acc, (p, r)) =>
       val pat = p.replace("'", "''")
-      val rep = r.replace("$1", "\\1").replace("'", "''")
+      val rep = r.replaceAll("\\$(\\d)", "\\\\$1").replace("'", "''")
       s"regexp_replace($acc, '$pat', '$rep', 'g')"
     }
 }

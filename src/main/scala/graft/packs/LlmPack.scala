@@ -21,7 +21,12 @@ object LlmPack extends QueryPack {
   private[packs] val mdPrefix = "# Doc\n\n> "
   private[packs] val mdSuffix =
     "\n\n**bold** *em* `code` [link](http://x) ![img](u) <b>tag</b> " +
-      "&amp;lt; &quot;q&quot;\n---\n```scala\nin fence\n```"
+      "&amp;lt; &quot;q&quot;\n---\n```scala\nin fence\n```" +
+      // r17 rule classes: setext heading, bullet + ordered-list
+      // markers, _em_, ~~strike~~, reference-style link + its
+      // definition line, and the snake_case non-mangling trap
+      "\nTitle\n====\n- item _one_\n2. item ~~two~~ [ref text][r1]\n" +
+      "[r1]: http://ref \"t\"\nsnake_case_name stays"
   private def sqlLit(s: String) = "'" + s.replace("'", "''") + "'"
   private lazy val mdCleanSql: String =
     Markup.oracleExpr(s"${sqlLit(mdPrefix)} || text || ${sqlLit(mdSuffix)}")

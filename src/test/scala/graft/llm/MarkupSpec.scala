@@ -52,6 +52,36 @@ class MarkupSpec extends SparkSpec {
     assert(strip("<img src=\"u\"/>") == "")
   }
 
+  test("list-bullet markers strip before inline emphasis") {
+    assert(strip("* item *real*") == "item real") // not " item real*"
+    assert(strip("- dash\n+ plus\n  * indented") == "dash\nplus\nindented")
+    assert(strip("1. first\n23) second") == "first\nsecond")
+    assert(strip("*no-space stays*") == "no-space stays") // italic, not bullet
+  }
+
+  test("setext headings: underline lines strip, title survives") {
+    assert(strip("Title\n=====\nbody") == "Title\n\nbody")
+    assert(strip("Other\n---\nbody") == "Other\n\nbody") // hrule form
+  }
+
+  test("single-underscore emphasis unwraps; identifiers never mangle") {
+    assert(strip("a _em_ b") == "a em b")
+    assert(strip("_lead_ word") == "lead word")
+    assert(strip("(_paren_)") == "(paren)")
+    assert(strip("snake_case_identifier stays") == "snake_case_identifier stays")
+    assert(strip("the_variable_name") == "the_variable_name")
+  }
+
+  test("strikethrough unwraps") {
+    assert(strip("~~gone~~ kept") == "gone kept")
+  }
+
+  test("reference-style links: usage to anchor, definition lines drop") {
+    assert(strip("[text][ref] and [collapsed][]") == "text and collapsed")
+    assert(strip("[r1]: http://ref \"title\"\nbody") == "\nbody")
+    assert(strip("see [x][r]\n[r]: u\ntail") == "see x\n\ntail")
+  }
+
   test("oracleExpr mirrors the rule list shape") {
     val sql = Markup.oracleExpr("text")
     assert(sql.startsWith("regexp_replace("))
