@@ -239,18 +239,19 @@ object Dedup {
     *
     * Scale shape: one narrow posexplode; lines digest to 64-bit
     * xxhash BEFORE the shuffle (8-byte keys, the standard pre-shuffle
-    * digesting); the first-occurrence winner is one hash aggregate
-    * (min of the id·10⁶+pos order key — an aggregate, never a
-    * corpus-wide window); one equi-join back on the digest; one
+    * digesting); the first-occurrence winner is one hash aggregate —
+    * a lexicographic `min(struct(id, pos))`, never a corpus-wide
+    * window and never an arithmetic packed key (the old id·10⁶+pos
+    * form carried an unenforced pos < 10⁶ caller contract that a
+    * million-line document would corrupt SILENTLY; struct min has no
+    * contract to break); one equi-join back on the digest; one
     * groupBy(doc) reassembly whose ordered concat runs inside the
     * aggregate (array_sort over (pos, line) structs — per-document
     * state, no global sort anywhere). Deterministic under retries;
     * the oracle reproduces every surviving line bit-for-bit.
     *
     * Output: (id, n_lines, n_dropped, clean_text). `sep` splits AND
-    * rejoins, so `n_dropped = 0` round-trips the text unchanged.
-    * Caller contract: id·1 000 000 + pos must fit a long and pos <
-    * 1 000 000 (a million-line document is beyond the line grain). */
+    * rejoins, so `n_dropped = 0` round-trips the text unchanged. */
   def lineDedup(docs: DataFrame, idCol: String, textCol: String,
       sep: String = "\n"): DataFrame = {
     val lines = docs.select(col(idCol).as("id"),
@@ -258,11 +259,12 @@ object Dedup {
         .as(Seq("pos", "line")))
     val keyed = lines
       .select(col("id"), col("pos"), col("line"),
-        (col("id") * 1000000L + col("pos")).as("okey"),
         xxhash64(col("line")).as("lh"))
-    val first = keyed.groupBy("lh").agg(min(col("okey")).as("first_okey"))
+    val first = keyed.groupBy("lh")
+      .agg(min(struct(col("id"), col("pos"))).as("fo"))
     keyed.join(first, "lh")
-      .withColumn("keep", col("okey") === col("first_okey"))
+      .withColumn("keep",
+        col("id") === col("fo.id") && col("pos") === col("fo.pos"))
       .groupBy("id")
       .agg(count(lit(1)).as("n_lines"),
         sum(when(!col("keep"), 1L).otherwise(0L)).as("n_dropped"),

@@ -712,10 +712,13 @@ object DedupPack extends QueryPack {
         |    parts[CAST(t.i AS INT)] AS line
         |  FROM (SELECT id, string_split(text, '. ') AS parts FROM corpus),
         |    UNNEST(generate_series(1, len(parts))) AS t(i)),
-        |k AS (SELECT id, pos, line, id * 1000000 + pos AS okey FROM l),
-        |f AS (SELECT line, min(okey) AS fo FROM k GROUP BY line),
-        |j AS (SELECT k.id, k.pos, k.line, k.okey = f.fo AS keep
-        |  FROM k JOIN f USING (line))
+        |f AS (SELECT line, min(id) AS fid FROM l GROUP BY line),
+        |f2 AS (SELECT l.line, f.fid, min(l.pos) AS fpos
+        |  FROM l JOIN f ON l.line = f.line AND l.id = f.fid
+        |  GROUP BY l.line, f.fid),
+        |j AS (SELECT l.id, l.pos, l.line,
+        |    (l.id = f2.fid AND l.pos = f2.fpos) AS keep
+        |  FROM l JOIN f2 USING (line))
         |SELECT id AS doc_id, count(*) AS n_lines,
         |  CAST(SUM(CASE WHEN NOT keep THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
         |  COALESCE(string_agg(CASE WHEN keep THEN line END, '. ' ORDER BY pos), '')

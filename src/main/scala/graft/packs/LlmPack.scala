@@ -1311,10 +1311,13 @@ object LlmPack extends QueryPack {
          |    parts[CAST(t.i AS INT)] AS line
          |  FROM (SELECT doc_id, string_split(text, chr(10)) AS parts FROM c),
          |    UNNEST(generate_series(1, len(parts))) AS t(i)),
-         |k AS (SELECT id, pos, line, id * 1000000 + pos AS okey FROM l),
-         |f AS (SELECT line, min(okey) AS fo FROM k GROUP BY line),
-         |j AS (SELECT k.id, k.pos, k.line, k.okey = f.fo AS keep
-         |  FROM k JOIN f USING (line)),
+         |f AS (SELECT line, min(id) AS fid FROM l GROUP BY line),
+         |f2 AS (SELECT l.line, f.fid, min(l.pos) AS fpos
+         |  FROM l JOIN f ON l.line = f.line AND l.id = f.fid
+         |  GROUP BY l.line, f.fid),
+         |j AS (SELECT l.id, l.pos, l.line,
+         |    (l.id = f2.fid AND l.pos = f2.fpos) AS keep
+         |  FROM l JOIN f2 USING (line)),
          |dd AS (SELECT id AS doc_id,
          |    CAST(SUM(CASE WHEN NOT keep THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
          |    COALESCE(string_agg(CASE WHEN keep THEN line END, chr(10) ORDER BY pos), '')

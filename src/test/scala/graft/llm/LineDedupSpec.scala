@@ -45,4 +45,21 @@ class LineDedupSpec extends SparkSpec {
     assert(out(1L)._2 == 0L)                 // first '' survives in doc 1
     assert(out(2L) == ((3L, 1L, "c\nd")))    // doc 2's '' drops
   }
+
+  test("huge ids and positions beyond the old packed-key range stay correct") {
+    // the retired id*1e6+pos order key overflowed for ids near
+    // Long.MaxValue and corrupted ordering for pos >= 1e6; the struct
+    // min has no such contract — the smaller id must still win
+    val big = Long.MaxValue - 1
+    val out = run(Seq(big -> "shared\nonly-big", 7L -> "shared\nonly-small"))
+    assert(out(7L) == ((2L, 0L, "shared\nonly-small"))) // id 7 first: keeps all
+    assert(out(big) == ((2L, 1L, "only-big")))          // 'shared' drops here
+  }
+
+  test("position ordering breaks id ties lexicographically") {
+    // same doc: later duplicate of its own line 0 drops, regardless of
+    // any arithmetic relation between id and pos
+    val out = run(Seq(1000000L -> "p\nq\np"))
+    assert(out(1000000L) == ((3L, 1L, "p\nq")))
+  }
 }
