@@ -76,21 +76,37 @@ object Bench {
     // driver (and the judge) can read machine-complete.
     val out = java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json"))
     java.nio.file.Files.write(out, (line + "\n").getBytes("UTF-8"))
-    // Lossless per-round artifact: the round's BENCH_r{N}.json was
-    // historically the driver's stdout tail (57/356 queries parseable
-    // in r15). Full, unfiltered runs also write the structured line to
-    // the CURRENT round's artifact path — round inferred as newest
-    // CORRECTNESS_r{N}.json + 1 (that file lands at round end). A
-    // driver that later writes its own artifact simply overwrites
-    // this; BENCH_FULL.json stays the canonical lossless copy.
+    // Lossless per-round artifacts. The round number comes from
+    // SPARK_GRAFT_ROUND when set (the unambiguous path); otherwise it
+    // is inferred as newest CORRECTNESS_r{N}.json + 1 — an inference
+    // that is only sound while the current round's CORRECTNESS file
+    // has not landed yet, so a post-landing rerun must not trust it.
+    // Two writes:
+    //   BENCH_r{N}_builder.json — the builder's own structured copy,
+    //     a path the driver never touches (the r16 driver rerun
+    //     overwrote the committed BENCH_r16.json with its legacy
+    //     truncated-tail form; this path survives that).
+    //     tools/check_bench.py prefers it when present.
+    //   BENCH_r{N}.json — only written when it does not already
+    //     exist or the round was given explicitly; an existing
+    //     canonical artifact is never clobbered by a guessed round.
     if (args.isEmpty) {
-      val rn = "CORRECTNESS_r(\\d+)\\.json".r
-      val prev = Option(new java.io.File(".").listFiles()).getOrElse(Array.empty)
-        .flatMap(f => rn.findFirstMatchIn(f.getName).map(_.group(1).toInt))
-      if (prev.nonEmpty) {
-        val path = f"BENCH_r${prev.max + 1}%02d.json"
-        java.nio.file.Files.write(java.nio.file.Paths.get(path),
-          (line + "\n").getBytes("UTF-8"))
+      val explicit = sys.env.get("SPARK_GRAFT_ROUND").flatMap(_.toIntOption)
+      val inferred = {
+        val rn = "CORRECTNESS_r(\\d+)\\.json".r
+        val prev = Option(new java.io.File(".").listFiles()).getOrElse(Array.empty)
+          .flatMap(f => rn.findFirstMatchIn(f.getName).map(_.group(1).toInt))
+        if (prev.nonEmpty) Some(prev.max + 1) else None
+      }
+      explicit.orElse(inferred).foreach { round =>
+        def write(p: String): Unit =
+          java.nio.file.Files.write(java.nio.file.Paths.get(p),
+            (line + "\n").getBytes("UTF-8"))
+        write(f"BENCH_r$round%02d_builder.json")
+        val canonical = f"BENCH_r$round%02d.json"
+        if (explicit.isDefined ||
+            !java.nio.file.Files.exists(java.nio.file.Paths.get(canonical)))
+          write(canonical)
       }
     }
     spark.stop()

@@ -276,6 +276,64 @@ object Dedup {
           sep).as("clean_text"))
   }
 
+  /** C4's ACTUAL dedup grain (Raffel et al. 2020 §2.2 — "we discarded
+    * all but one of any three-sentence span occurring more than
+    * once"): a sliding k-sentence window over each document. Every
+    * window of k consecutive sentences is a span; for each span
+    * occurring more than once corpus-wide, the globally-first
+    * occurrence (lexicographic (id, pos), same struct-min winner as
+    * [[lineDedup]]) survives and every other occurrence is REMOVED —
+    * its k sentences drop, so templated passages that repeat across
+    * documents vanish even when no single line is the unit of reuse.
+    * Coarser than the line grain where it should be: an isolated
+    * repeated sentence (a common word, a short quote) never drops
+    * unless a full k-sentence run repeats around it.
+    *
+    * Scale shape: one narrow posexplode; spans digest to 64-bit
+    * xxhash from per-DOCUMENT lead() windows (partitioned by id —
+    * never a corpus-wide window); the winner is one struct-min hash
+    * aggregate on the 8-byte digest; removed occurrences explode to
+    * at most k covered positions each and anti-join back — every join
+    * is an equi-join on (id, pos) or the digest. Deterministic under
+    * retries; the oracle reproduces every surviving sentence.
+    *
+    * Output: (id, n_sentences, n_dropped, clean_text); documents with
+    * fewer than k sentences have no spans and round-trip unchanged. */
+  def spanDedup(docs: DataFrame, idCol: String, textCol: String,
+      sep: String = "\n", k: Int = 3): DataFrame = {
+    require(k >= 2, s"span grain needs k >= 2 sentences (got $k)")
+    val lines = docs.select(col(idCol).as("id"),
+      posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
+        .as(Seq("pos", "line")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy("pos")
+    val nexts = (1 until k).map(i => lead(col("line"), i).over(w).as(s"n$i"))
+    val spans = lines.select(Seq(col("id"), col("pos"), col("line")) ++ nexts: _*)
+      .filter((1 until k).map(i => col(s"n$i").isNotNull).reduce(_ && _))
+      .select(col("id"), col("pos"),
+        xxhash64(col("line") +: (1 until k).map(i => col(s"n$i")): _*).as("sh"))
+    val first = spans.groupBy("sh")
+      .agg(min(struct(col("id"), col("pos"))).as("fo"))
+    // non-first occurrences exist iff the span occurs > once; each
+    // covers positions [pos, pos+k-1] in its document
+    val covered = spans.join(first, "sh")
+      .filter(!(col("id") === col("fo.id") && col("pos") === col("fo.pos")))
+      .select(col("id"),
+        explode(sequence(col("pos"), col("pos") + (k - 1))).as("pos"))
+      .distinct()
+      .withColumn("drop", lit(true))
+    lines.join(covered, Seq("id", "pos"), "left")
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_sentences"),
+        sum(when(col("drop"), 1L).otherwise(0L)).as("n_dropped"),
+        array_join(
+          transform(
+            array_sort(collect_list(when(col("drop").isNull,
+              struct(col("pos"), col("line"))))),
+            x => x.getField("line")),
+          sep).as("clean_text"))
+  }
+
   /** MinHash-LSH near-duplicate pairs with verified Jaccard ≥ threshold
     * (threshold compared on the scaled fixed-point value).
     *

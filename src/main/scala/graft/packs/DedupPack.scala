@@ -188,6 +188,35 @@ object DedupPack extends QueryPack {
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id")
     }),
+    // C4's ACTUAL grain (Raffel et al. 2020 §2.2): three-sentence-SPAN
+    // dedup (Dedup.spanDedup) — only repeats of a full 3-sentence run
+    // drop, isolated repeated sentences survive. Fixture: the chunked
+    // corpus plus (a) wholesale copies of every 10th doc — every span
+    // duplicates, the copy empties — and (b) a variant of every 7th
+    // doc embedding the original's first 4 chunks between unique
+    // intro/outro sentences: the embedded run duplicates ACROSS the
+    // variant's own line boundaries (2 spans covering 4 sentences
+    // drop; intro and outro survive), the cross-line-boundary case
+    // the line grain cannot express.
+    "dedup_spans3" -> ((s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+      val words = split(col("text"), " ")
+      val chunked = d.select(col("doc_id"),
+        array_join(transform(
+          sequence(lit(0), ((size(words) - 1) / 8).cast("int")),
+          i => array_join(slice(words, i * 8 + 1, lit(8)), " ")), ". ").as("text"))
+      val parts = split(col("text"), java.util.regex.Pattern.quote(". "))
+      val corpus = chunked
+        .unionAll(chunked.filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 1000000).as("doc_id"), col("text")))
+        .unionAll(chunked.filter(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + 2000000).as("doc_id"),
+            concat(lit("zz intro. "), array_join(slice(parts, 1, 4), ". "),
+              lit(". qq outro")).as("text")))
+      Dedup.spanDedup(corpus, "doc_id", "text", ". ")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    }),
     // PPJoin-style prefix filtering (Dedup.prefixFilterPairs): the
     // LOSSLESS high-threshold near-dup join — candidates from an
     // equi-join on rare-first prefix tokens, verified by exact
@@ -723,6 +752,47 @@ object DedupPack extends QueryPack {
         |  CAST(SUM(CASE WHEN NOT keep THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
         |  COALESCE(string_agg(CASE WHEN keep THEN line END, '. ' ORDER BY pos), '')
         |    AS clean_text
+        |FROM j GROUP BY id ORDER BY doc_id""".stripMargin,
+    // spanDedup twin: same chunking, the two fixture variant families,
+    // per-doc lead() windows building 3-sentence spans (chr(31) joins
+    // where the engine digests — 1:1 at any realistic span count), the
+    // same two-level lexicographic first-occurrence minimum, coverage
+    // expansion of non-first occurrences, and ordered reassembly.
+    "dedup_spans3" ->
+      """WITH ch AS (SELECT doc_id,
+        |    array_to_string(list_transform(generate_series(0, (len(w)-1)//8),
+        |      i -> array_to_string(w[i*8+1 : i*8+8], ' ')), '. ') AS text
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+        |corpus AS (SELECT doc_id AS id, text FROM ch
+        |  UNION ALL SELECT doc_id + 1000000, text FROM ch WHERE doc_id % 10 = 0
+        |  UNION ALL SELECT doc_id + 2000000,
+        |      'zz intro. ' ||
+        |      array_to_string((string_split(text, '. '))[1:4], '. ') ||
+        |      '. qq outro'
+        |    FROM ch WHERE doc_id % 7 = 0),
+        |l AS (SELECT id, CAST(t.i AS BIGINT) - 1 AS pos,
+        |    parts[CAST(t.i AS INT)] AS line
+        |  FROM (SELECT id, string_split(text, '. ') AS parts FROM corpus),
+        |    UNNEST(generate_series(1, len(parts))) AS t(i)),
+        |sp AS (SELECT id, pos,
+        |    line || chr(31) || lead(line, 1) OVER w || chr(31) ||
+        |      lead(line, 2) OVER w AS span
+        |  FROM l WINDOW w AS (PARTITION BY id ORDER BY pos)),
+        |s AS (SELECT id, pos, span FROM sp WHERE span IS NOT NULL),
+        |f AS (SELECT span, min(id) AS fid FROM s GROUP BY span),
+        |f2 AS (SELECT s.span, f.fid, min(s.pos) AS fpos
+        |  FROM s JOIN f ON s.span = f.span AND s.id = f.fid
+        |  GROUP BY s.span, f.fid),
+        |rem AS (SELECT s.id, s.pos FROM s JOIN f2 USING (span)
+        |  WHERE NOT (s.id = f2.fid AND s.pos = f2.fpos)),
+        |cov AS (SELECT DISTINCT r.id, CAST(g.p AS BIGINT) AS pos
+        |  FROM rem r, UNNEST(generate_series(r.pos, r.pos + 2)) AS g(p)),
+        |j AS (SELECT l.id, l.pos, l.line, cov.pos IS NOT NULL AS dropped
+        |  FROM l LEFT JOIN cov ON l.id = cov.id AND l.pos = cov.pos)
+        |SELECT id AS doc_id, count(*) AS n_sentences,
+        |  CAST(SUM(CASE WHEN dropped THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+        |  COALESCE(string_agg(CASE WHEN NOT dropped THEN line END, '. '
+        |    ORDER BY pos), '') AS clean_text
         |FROM j GROUP BY id ORDER BY doc_id""".stripMargin,
     "dedup_ngram_spans" ->
       s"""WITH $docSpanSql

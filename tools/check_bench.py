@@ -32,7 +32,22 @@ def load_baseline():
         return json.load(f)
 
 
+def prefer_builder(path):
+    """BENCH_r{N}.json may be a driver-overwritten truncated tail; the
+    builder's structured copy at BENCH_r{N}_builder.json is written to
+    a path the driver never touches. Prefer it when present."""
+    base, ext = os.path.splitext(path)
+    if base.endswith("_builder"):
+        return path
+    builder = base + "_builder" + ext
+    if os.path.exists(builder):
+        print(f"{path}: using builder artifact {builder}")
+        return builder
+    return path
+
+
 def check(bench_path, baseline):
+    bench_path = prefer_builder(bench_path)
     with open(bench_path) as f:
         bench = json.load(f)
     # sf1 artifacts gate against the sf1 standing-pair table (their
