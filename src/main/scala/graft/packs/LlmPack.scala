@@ -194,6 +194,44 @@ object LlmPack extends QueryPack {
           sum(when(col("keep"), 1L).otherwise(0L)).as("n_keep"))
         .orderBy("source")
     }),
+    // The brief's ACTUAL end-to-end shape, from raw BYTES (r17): a
+    // binaryFile-scan-shaped relation of real FlateDecode PDFs
+    // (rendered executor-side from the ASCII corpus subset, markdown
+    // wrapper inside the page text) → PdfText.extractTextDf (per-file
+    // COS parse + content lex, zero shuffle) → Markup.stripMarkdown →
+    // Dedup.lineDedup → Gopher keep → per-source curation funnel, in
+    // ONE query. Every stage is the production operator; the oracle
+    // chains the per-stage DuckDB twins (extraction is bit-for-bit
+    // identity on this subset — the pdf_corpus_roundtrip-gated fact
+    // that lets the twin skip the byte stage).
+    "llm_pipeline_binary" -> ((s, dir) => {
+      import s.implicits._
+      val d = docs(s, dir)
+      val ascii = d
+        .filter(col("text").rlike("^[\\x20-\\x7E]*$") && length(col("text")) > 0)
+      val files = ascii.select(col("doc_id"), col("text"))
+        .as[(Long, String)].map { case (id, t) =>
+          val md = LlmPack.mdPrefix + t + LlmPack.mdSuffix
+          val esc = md.replace("\\", "\\\\").replace("(", "\\(").replace(")", "\\)")
+          (id.toString,
+            graft.ops.Pdf.makeTextPdf(Seq(s"BT 72 720 Td ($esc) Tj ET"), flate = true))
+        }.toDF("name", "content")
+      val pages = graft.ops.PdfText.extractTextDf(files)
+        .filter(col("error") === "")
+        .select(col("name").cast("long").as("doc_id"), col("text"))
+      val clean = pages.select(col("doc_id"),
+        Markup.stripMarkdown(col("text")).as("text"))
+      val deduped = Dedup.lineDedup(clean, "doc_id", "text", "\n")
+        .withColumnRenamed("id", "doc_id")
+      val r = TA.gopherRules(col("clean_text")).toMap
+      deduped.join(d.select(col("doc_id"), col("source")), "doc_id")
+        .select(col("source"), col("n_dropped"), r("keep").as("keep"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_dropped")).as("n_lines_dropped"),
+          sum(when(col("keep"), 1L).otherwise(0L)).as("n_keep"))
+        .orderBy("source")
+    }),
     // Gopher-style rule filter (Rae et al. 2021 §A1.1): audit columns
     // + composite keep per doc, all codegen'd Column math; ratios
     // cross the oracle boundary as scale4 longs, the keep verdict
@@ -1338,6 +1376,47 @@ object LlmPack extends QueryPack {
          |    AND g.n_chars_nosp / g.n_words >= 3.0 AND g.n_chars_nosp / g.n_words <= 10.0
          |    AND g.n_stop >= 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_keep
          |FROM g JOIN documents d USING (doc_id)
+         |GROUP BY d.source ORDER BY d.source""".stripMargin,
+    // llm_pipeline_binary twin: the docs-pipeline chain over the
+    // printable-ASCII subset (PDF render→extract is bit-for-bit
+    // identity there, per pdf_corpus_roundtrip, so the twin starts at
+    // the wrapped markdown text), with the funnel joined to the same
+    // filtered base.
+    "llm_pipeline_binary" ->
+      s"""WITH base AS (SELECT doc_id, text, source FROM documents
+         |  WHERE regexp_matches(text, '^[\\x20-\\x7E]*$$') AND length(text) > 0),
+         |c AS (SELECT doc_id, $mdCleanSql AS text FROM base),
+         |l AS (SELECT doc_id AS id, CAST(t.i AS BIGINT) - 1 AS pos,
+         |    parts[CAST(t.i AS INT)] AS line
+         |  FROM (SELECT doc_id, string_split(text, chr(10)) AS parts FROM c),
+         |    UNNEST(generate_series(1, len(parts))) AS t(i)),
+         |f AS (SELECT line, min(id) AS fid FROM l GROUP BY line),
+         |f2 AS (SELECT l.line, f.fid, min(l.pos) AS fpos
+         |  FROM l JOIN f ON l.line = f.line AND l.id = f.fid
+         |  GROUP BY l.line, f.fid),
+         |j AS (SELECT l.id, l.pos, l.line,
+         |    (l.id = f2.fid AND l.pos = f2.fpos) AS keep
+         |  FROM l JOIN f2 USING (line)),
+         |dd AS (SELECT id AS doc_id,
+         |    CAST(SUM(CASE WHEN NOT keep THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+         |    COALESCE(string_agg(CASE WHEN keep THEN line END, chr(10) ORDER BY pos), '')
+         |      AS clean_text
+         |  FROM j GROUP BY id),
+         |g AS (SELECT doc_id, n_dropped,
+         |    CAST(len(string_split(clean_text, ' ')) AS BIGINT) AS n_words,
+         |    CAST(length(replace(clean_text, ' ', '')) AS DOUBLE) AS n_chars_nosp,
+         |    CAST(list_contains(string_split(clean_text, ' '), 'the') AS BIGINT)
+         |      + CAST(list_contains(string_split(clean_text, ' '), 'a') AS BIGINT)
+         |      + CAST(list_contains(string_split(clean_text, ' '), 'of') AS BIGINT)
+         |      + CAST(list_contains(string_split(clean_text, ' '), 'and') AS BIGINT)
+         |      + CAST(list_contains(string_split(clean_text, ' '), 'to') AS BIGINT) AS n_stop
+         |  FROM dd)
+         |SELECT d.source, count(*) AS n_docs,
+         |  CAST(SUM(g.n_dropped) AS BIGINT) AS n_lines_dropped,
+         |  CAST(SUM(CASE WHEN g.n_words >= 20 AND g.n_words <= 100000
+         |    AND g.n_chars_nosp / g.n_words >= 3.0 AND g.n_chars_nosp / g.n_words <= 10.0
+         |    AND g.n_stop >= 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_keep
+         |FROM g JOIN base d USING (doc_id)
          |GROUP BY d.source ORDER BY d.source""".stripMargin,
     "text_gopher_rules" ->
       """WITH s AS (SELECT doc_id,

@@ -49,6 +49,49 @@ class Sf1RecallSpec extends SparkSpec {
     assert(recall >= 9000L, s"sf1 banded recall $recall < 9000 (x1e4)")
   }
 
+  test("sf1 aHash banded near-dup recall vs exact Hamming >= 0.90 over 3000 images") {
+    assume(have, s"$sf1 absent — run tools/gen_sf1.py")
+    import spark.implicits._
+    // 1500 base images whose 8x8 black/white pattern is the xxhash of
+    // an sf1 document, each with a one-pixel-flipped copy (exactly one
+    // aHash bit apart: lumas are 0/255, far from any mean shift), run
+    // through the PRODUCTION pipeline (PNG encode -> decode -> aHash ->
+    // banded Hamming join) and measured against exact-Hamming truth —
+    // the third member of the measured-recall family (LSH, IVF, aHash).
+    val ids = spark.read.parquet(s"$sf1/documents.parquet")
+      .filter(col("doc_id") < 1500)
+      .select(col("doc_id"), xxhash64(col("text")).as("pat"))
+      .as[(Long, Long)].collect() // fixture-sized (1500 rows)
+    def img(pat: Long, flip: Boolean): Array[Byte] = {
+      val b = new java.awt.image.BufferedImage(8, 8,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      (0 until 64).foreach { i =>
+        val bit = (((pat >>> i) & 1L) == 1L) != (i == 0 && flip)
+        b.setRGB(i % 8, i / 8, if (bit) 0xFFFFFF else 0x000000)
+      }
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(b, "png", out)
+      out.toByteArray
+    }
+    val media = ids.toSeq.flatMap { case (id, pat) =>
+      Seq((id, img(pat, flip = false)), (id + 10000000L, img(pat, flip = true)))
+    }.toDF("media_id", "content")
+    val sigs = media.as[(Long, Array[Byte])]
+      .flatMap { case (id, c) => Multimodal.aHashBytes(c).map(h => (id, h)) }
+      .toDF("id", "sig").cache()
+    try {
+      val truth = sigs.as("x").crossJoin(sigs.as("y"))
+        .filter(col("x.id") < col("y.id") &&
+          bit_count(col("x.sig").bitwiseXOR(col("y.sig"))) <= 3)
+        .count()
+      val found = Multimodal.ahashNearDupPairs(media).count()
+      info(s"sf1 aHash recall: n_true=$truth n_found=$found")
+      assert(truth >= 1500L, s"degenerate truth set ($truth) — fixture broken")
+      assert(found * 10000L / truth >= 9000L,
+        s"sf1 banded aHash recall ${found * 10000L / truth} < 9000 (x1e4)")
+    } finally { sigs.unpersist(); () }
+  }
+
   test("sf1 IVF recall vs brute-force >= 0.90 mean over 20 queries (nprobe=2/10)") {
     assume(have, s"$sf1 absent — run tools/gen_sf1.py")
     val e = spark.read.parquet(s"$sf1/embeddings.parquet")
