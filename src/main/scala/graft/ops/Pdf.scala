@@ -178,6 +178,180 @@ object Pdf {
     out.toByteArray
   }
 
+  /** ASCIIHexDecode ([PDF 32000] 7.4.2): hex pairs, whitespace
+    * ignored, `>` ends the data, an odd final digit pads with 0. */
+  private[ops] def asciiHexDecode(data: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    var hi = -1
+    var i = 0
+    var done = false
+    while (i < data.length && !done) {
+      val c = data(i).toChar
+      if (c == '>') done = true
+      else {
+        val d = Character.digit(c, 16)
+        if (d >= 0) {
+          if (hi < 0) hi = d
+          else { out.write((hi << 4) | d); hi = -1 }
+        } else if (!c.isWhitespace) throw new IllegalArgumentException(
+          s"ASCIIHexDecode: illegal character '$c'")
+      }
+      i += 1
+    }
+    if (hi >= 0) out.write(hi << 4) // odd digit: low nibble 0
+    out.toByteArray
+  }
+
+  /** ASCII85Decode ([PDF 32000] 7.4.3): base-85 groups of 5 chars →
+    * 4 bytes, `z` = four zero bytes (only between groups), whitespace
+    * ignored, `~>` EOD; a final partial group of n chars yields n−1
+    * bytes (pad with 'u', drop the pad bytes). */
+  private[ops] def ascii85Decode(data: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    val grp = new Array[Int](5)
+    var n = 0
+    def flush(k: Int): Unit = { // k chars present, pad to 5 with 'u'
+      var v = 0L
+      (0 until 5).foreach(j => v = v * 85 + (if (j < k) grp(j) else 84))
+      val b = Array(((v >>> 24) & 0xFF).toInt, ((v >>> 16) & 0xFF).toInt,
+        ((v >>> 8) & 0xFF).toInt, (v & 0xFF).toInt)
+      (0 until k - 1).foreach(j => out.write(b(j)))
+    }
+    var i = 0
+    var done = false
+    // a leading <~ (the Adobe convention) is tolerated
+    if (data.length >= 2 && data(0) == '<' && data(1) == '~') i = 2
+    while (i < data.length && !done) {
+      val c = data(i).toChar
+      if (c == '~') done = true
+      else if (c == 'z' && n == 0) { out.write(0); out.write(0); out.write(0); out.write(0) }
+      else if (c >= '!' && c <= 'u') {
+        grp(n) = c - '!'
+        n += 1
+        if (n == 5) { flush(5); n = 0 }
+      } else if (!c.isWhitespace) throw new IllegalArgumentException(
+        s"ASCII85Decode: illegal character '$c'")
+      i += 1
+    }
+    if (n == 1) throw new IllegalArgumentException(
+      "ASCII85Decode: a final group of 1 character is illegal")
+    if (n > 1) flush(n)
+    out.toByteArray
+  }
+
+  /** RunLengthDecode ([PDF 32000] 7.4.5): length byte L — 0–127 copies
+    * the next L+1 bytes literally, 129–255 repeats the next byte
+    * 257−L times, 128 is EOD. */
+  private[ops] def runLengthDecode(data: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    var i = 0
+    var done = false
+    while (i < data.length && !done) {
+      val l = data(i) & 0xFF
+      i += 1
+      if (l == 128) done = true
+      else if (l < 128) {
+        val n = l + 1
+        if (i + n > data.length) throw new IllegalArgumentException(
+          "RunLengthDecode: truncated literal run")
+        out.write(data, i, n)
+        i += n
+      } else {
+        if (i >= data.length) throw new IllegalArgumentException(
+          "RunLengthDecode: truncated repeat run")
+        val n = 257 - l
+        (0 until n).foreach(_ => out.write(data(i)))
+        i += 1
+      }
+    }
+    out.toByteArray
+  }
+
+  /** LZWDecode ([PDF 32000] 7.4.4; TIFF variant): MSB-first variable
+    * 9–12-bit codes, 256 = clear table, 257 = EOD; the code width
+    * grows one code EARLY by default (`earlyChange = 1`, the PDF and
+    * TIFF convention — writers that set /EarlyChange 0 in DecodeParms
+    * grow exactly at table-full). */
+  private[ops] def lzwDecode(data: Array[Byte], earlyChange: Int = 1): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    val dict = new Array[Array[Byte]](4096)
+    var dictSize = 258
+    var width = 9
+    var acc = 0L
+    var nbits = 0
+    var prev: Array[Byte] = null
+    var i = 0
+    var done = false
+    def resetDict(): Unit = { dictSize = 258; width = 9; prev = null }
+    while (!done && (i < data.length || nbits >= width)) {
+      if (nbits < width) {
+        acc = (acc << 8) | (data(i) & 0xFF)
+        nbits += 8
+        i += 1
+      } else {
+        val code = ((acc >> (nbits - width)) & ((1 << width) - 1)).toInt
+        nbits -= width
+        if (code == 256) resetDict()
+        else if (code == 257) done = true
+        else {
+          val entry: Array[Byte] =
+            if (code < 256) Array(code.toByte)
+            else if (code < dictSize && dict(code) != null) dict(code)
+            else if (prev != null && code == dictSize) prev :+ prev(0) // KwKwK
+            else throw new IllegalArgumentException(s"LZWDecode: bad code $code")
+          out.write(entry, 0, entry.length)
+          if (prev != null && dictSize < 4096) {
+            dict(dictSize) = prev :+ entry(0)
+            dictSize += 1
+          }
+          // width grows when the NEXT code would not fit; earlyChange
+          // shifts the boundary one code early (the default)
+          if (dictSize + earlyChange >= (1 << width) && width < 12) width += 1
+          prev = entry
+        }
+      }
+    }
+    out.toByteArray
+  }
+
+  /** LZW compress (TIFF/PDF variant, earlyChange = 1) — the writer
+    * half, used by fixtures so the decoder is exercised against real
+    * streams rather than hand-transcribed bit patterns. */
+  private[ops] def lzwEncode(data: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    var acc = 0L
+    var nbits = 0
+    var width = 9
+    val dict = mutable.HashMap.empty[scala.collection.immutable.ArraySeq[Byte], Int]
+    var dictSize = 258
+    def emit(code: Int): Unit = {
+      acc = (acc << width) | code
+      nbits += width
+      while (nbits >= 8) { out.write(((acc >> (nbits - 8)) & 0xFF).toInt); nbits -= 8 }
+    }
+    emit(256) // leading clear, the convention
+    var w = scala.collection.immutable.ArraySeq.empty[Byte]
+    def codeOf(s: scala.collection.immutable.ArraySeq[Byte]): Int =
+      if (s.length == 1) s.head & 0xFF else dict(s)
+    data.foreach { b =>
+      val wb = w :+ b
+      if (wb.length == 1 || dict.contains(wb)) w = wb
+      else {
+        emit(codeOf(w))
+        dict(wb) = dictSize
+        dictSize += 1
+        // mirror the decoder's early width growth
+        if (dictSize + 1 > (1 << width) && width < 12) width += 1
+        if (dictSize == 4096) { emit(256); dict.clear(); dictSize = 258; width = 9 }
+        w = scala.collection.immutable.ArraySeq(b)
+      }
+    }
+    if (w.nonEmpty) emit(codeOf(w))
+    emit(257) // EOD
+    if (nbits > 0) out.write(((acc << (8 - nbits)) & 0xFF).toInt)
+    out.toByteArray
+  }
+
   private val objStmHeadRe =
     """(?s)(\d+)\s+0\s+obj\s*(<<(?:[^<>]|<<[^<>]*>>)*>>)\s*stream\r?\n""".r
   private def dictInt(dict: String, key: String): Option[Int] =
@@ -730,15 +904,101 @@ object Pdf {
     ToUnicodeCMap(ranges.result(), map.result())
   }
 
+  /** Adobe Glyph List subset: the names real Type1/TrueType
+    * /Differences arrays use. Single-letter names are themselves,
+    * digits and punctuation by name, the common Latin-1 accents and
+    * typographic marks, plus the fully generic `uniXXXX` / `uXXXX(XX)`
+    * forms (any Unicode scalar by hex). An unknown name decodes to
+    * None — the caller FLAGS the page rather than guessing. */
+  private val glyphNames: Map[String, String] = {
+    val digits = Seq("zero", "one", "two", "three", "four", "five", "six",
+      "seven", "eight", "nine").zipWithIndex.map { case (n, i) => n -> i.toString }
+    val punct = Map(
+      "space" -> " ", "exclam" -> "!", "quotedbl" -> "\"", "numbersign" -> "#",
+      "dollar" -> "$", "percent" -> "%", "ampersand" -> "&", "quotesingle" -> "'",
+      "parenleft" -> "(", "parenright" -> ")", "asterisk" -> "*", "plus" -> "+",
+      "comma" -> ",", "hyphen" -> "-", "period" -> ".", "slash" -> "/",
+      "colon" -> ":", "semicolon" -> ";", "less" -> "<", "equal" -> "=",
+      "greater" -> ">", "question" -> "?", "at" -> "@", "bracketleft" -> "[",
+      "backslash" -> "\\", "bracketright" -> "]", "asciicircum" -> "^",
+      "underscore" -> "_", "grave" -> "`", "braceleft" -> "{", "bar" -> "|",
+      "braceright" -> "}", "asciitilde" -> "~",
+      "quoteleft" -> "‘", "quoteright" -> "’", "quotedblleft" -> "“",
+      "quotedblright" -> "”", "endash" -> "–", "emdash" -> "—",
+      "bullet" -> "•", "ellipsis" -> "…", "dagger" -> "†", "daggerdbl" -> "‡",
+      "Euro" -> "€", "sterling" -> "£", "yen" -> "¥", "cent" -> "¢",
+      "degree" -> "°", "copyright" -> "©", "registered" -> "®",
+      "trademark" -> "™", "section" -> "§", "paragraph" -> "¶",
+      "eacute" -> "é", "egrave" -> "è", "ecircumflex" -> "ê", "edieresis" -> "ë",
+      "agrave" -> "à", "aacute" -> "á", "acircumflex" -> "â", "adieresis" -> "ä",
+      "aring" -> "å", "atilde" -> "ã", "ccedilla" -> "ç", "ntilde" -> "ñ",
+      "oacute" -> "ó", "ograve" -> "ò", "ocircumflex" -> "ô", "odieresis" -> "ö",
+      "otilde" -> "õ", "oslash" -> "ø", "uacute" -> "ú", "ugrave" -> "ù",
+      "ucircumflex" -> "û", "udieresis" -> "ü", "iacute" -> "í", "igrave" -> "ì",
+      "icircumflex" -> "î", "idieresis" -> "ï", "yacute" -> "ý", "ydieresis" -> "ÿ",
+      "germandbls" -> "ß", "ae" -> "æ", "oe" -> "œ", "AE" -> "Æ", "OE" -> "Œ",
+      "Eacute" -> "É", "Egrave" -> "È", "Agrave" -> "À", "Aacute" -> "Á",
+      "Ccedilla" -> "Ç", "Ntilde" -> "Ñ", "Odieresis" -> "Ö", "Udieresis" -> "Ü",
+      "Adieresis" -> "Ä", "exclamdown" -> "¡", "questiondown" -> "¿",
+      "guillemotleft" -> "«", "guillemotright" -> "»", "florin" -> "ƒ",
+      "dotlessi" -> "ı", "fi" -> "ﬁ", "fl" -> "ﬂ", "minus" -> "−",
+      "multiply" -> "×", "divide" -> "÷", "plusminus" -> "±", "mu" -> "µ",
+      "middot" -> "·", "periodcentered" -> "·", "nbspace" -> " ")
+    val letters = (('a' to 'z') ++ ('A' to 'Z')).map(c => c.toString -> c.toString)
+    (digits ++ letters).toMap ++ punct
+  }
+
+  private val uniNameRe = """^uni((?:[0-9A-Fa-f]{4})+)$""".r
+  private val uNameRe = """^u([0-9A-Fa-f]{4,6})$""".r
+
+  /** Glyph name → text ([AGL]): the table above, then the generic
+    * hex forms; None = unknown (the page flags). */
+  private[ops] def glyphText(name: String): Option[String] =
+    glyphNames.get(name).orElse(name match {
+      case uniNameRe(hex) => // one or more UTF-16 code units
+        Some(new String(hex.grouped(4)
+          .map(h => Integer.parseInt(h, 16).toChar).toArray))
+      case uNameRe(hex) =>
+        try Some(new String(Character.toChars(Integer.parseInt(hex, 16))))
+        catch { case _: IllegalArgumentException => None }
+      case _ => None
+    })
+
   /** One page-resource font as extraction sees it: composite (Type0)
-    * or simple, plus its parsed /ToUnicode CMap when present. Decode
-    * preference: CMap if present (either font class — the spec's
-    * extraction order), WinAnsi for simple fonts without one, and
-    * flagged-unmapped for Type0 without one (Identity-H show strings
-    * are font-program glyph indices no byte table can map — emitting
-    * WinAnsi there would be silent garbage, the r16 verdict's exact
-    * complaint). */
-  private[ops] case class PdfFont(isType0: Boolean, cmap: Option[ToUnicodeCMap])
+    * or simple, plus its parsed /ToUnicode CMap when present and any
+    * /Encoding /Differences overrides. Decode preference: CMap if
+    * present (either font class — the spec's extraction order), then
+    * Differences overrides atop WinAnsi for simple fonts, and
+    * flagged-unmapped for Type0 without a CMap (Identity-H show
+    * strings are font-program glyph indices no byte table can map —
+    * emitting WinAnsi there would be silent garbage, the r16
+    * verdict's exact complaint). `diffs` values: Some(text) = a
+    * known glyph name, None = an unknown name (flag, don't guess). */
+  private[ops] case class PdfFont(isType0: Boolean, cmap: Option[ToUnicodeCMap],
+      diffs: Map[Int, Option[String]] = Map.empty)
+
+  /** Parse an /Encoding dictionary's /Differences array ([PDF 32000]
+    * 9.6.5.1): integers set the next code, names assign consecutive
+    * codes. */
+  private[ops] def parseDifferences(enc: String): Map[Int, Option[String]] = {
+    val start = enc.indexOf("/Differences")
+    if (start < 0) return Map.empty
+    val open = enc.indexOf('[', start)
+    if (open < 0) return Map.empty
+    val close = enc.indexOf(']', open)
+    val body = enc.substring(open + 1, if (close < 0) enc.length else close)
+    val tok = """(\d+)|/([^\s/<>\[\]()]+)""".r
+    var code = 0
+    val out = Map.newBuilder[Int, Option[String]]
+    tok.findAllMatchIn(body).foreach { m =>
+      if (m.group(1) != null) code = m.group(1).toInt
+      else {
+        out += ((code, glyphText(m.group(2))))
+        code += 1
+      }
+    }
+    out.result()
+  }
 
   /** Extract a balanced `<< ... >>` dictionary starting at `start`
     * (which must point at the opening `<<`); returns the dict text
@@ -790,7 +1050,13 @@ object Pdf {
             .flatMap(r => objects.get(r.group(1).toInt))
             .flatMap(streamData)
             .map(b => parseToUnicode(new String(b, "ISO-8859-1")))
-          m.group(1) -> PdfFont(isType0, cmap)
+          // simple-font /Encoding dict (inline or indirect) may carry
+          // a /Differences override table atop the base encoding
+          val diffs =
+            if (isType0) Map.empty[Int, Option[String]]
+            else resolveDictValue(objects, fb, "Encoding")
+              .map(parseDifferences).getOrElse(Map.empty)
+          m.group(1) -> PdfFont(isType0, cmap, diffs)
         }
       }
     }.toMap
@@ -864,6 +1130,18 @@ object Pdf {
         case None if f.isType0 => // glyph indices, unmappable: flag, emit nothing
           if (b.nonEmpty) unmappedAny = true
           ""
+        case None if f.diffs.nonEmpty =>
+          // /Differences overrides per byte; unlisted codes fall back
+          // to the WinAnsi base; an unknown glyph NAME flags the page
+          val sb = new StringBuilder
+          b.foreach { byte =>
+            f.diffs.get(byte & 0xFF) match {
+              case Some(Some(s)) => sb.append(s)
+              case Some(None) => unmappedAny = true
+              case None => sb.append(winAnsi(byte & 0xFF))
+            }
+          }
+          sb.result()
         case None => decodeStr(b)
       }
       case None => decodeStr(b)
@@ -1014,12 +1292,62 @@ object Pdf {
   // must still resolve — the gen-0-only form silently extracted "".
   private val contentsRe = """(?s)/Contents\s*(\[[^\]]*\]|\d+\s+\d+\s+R)""".r
 
+  /** /Filter value as an ordered name list: `[ /A /B ]` array form
+    * takes every name inside the brackets; the single-name form takes
+    * exactly ONE name (a greedy multi-name match would swallow the
+    * following dict key — `/Filter /FlateDecode /Length 9` is one
+    * filter, not two). */
+  private[ops] def parseFilters(dict: String): Seq[String] = {
+    val m = """/Filter(?![A-Za-z0-9])""".r.findFirstMatchIn(dict)
+    m.toSeq.flatMap { mm =>
+      var i = mm.end
+      while (i < dict.length && dict.charAt(i).isWhitespace) i += 1
+      if (i < dict.length && dict.charAt(i) == '[') {
+        val end = dict.indexOf(']', i)
+        val inner = dict.substring(i + 1, if (end < 0) dict.length else end)
+        """/([A-Za-z0-9]+)""".r.findAllMatchIn(inner).map(_.group(1)).toSeq
+      } else
+        """^/([A-Za-z0-9]+)""".r.findFirstMatchIn(dict.substring(i))
+          .map(_.group(1)).toSeq
+    }
+  }
+
+  /** /DecodeParms value as a per-filter list: a bare dict applies to
+    * the single filter; the array form pairs entry i with filter i
+    * (`null` = no parms). Indirect-reference parms stay out of the
+    * documented subset (None). */
+  private def parseParmsList(dict: String): Seq[Option[String]] = {
+    val m = """/(?:DecodeParms|DP)(?![A-Za-z])""".r.findFirstMatchIn(dict)
+    m.toSeq.flatMap { mm =>
+      var i = mm.end
+      while (i < dict.length && dict.charAt(i).isWhitespace) i += 1
+      if (dict.startsWith("<<", i)) Seq(Some(balancedDict(dict, i)))
+      else if (i < dict.length && dict.charAt(i) == '[') {
+        val out = Seq.newBuilder[Option[String]]
+        var j = i + 1
+        var done = false
+        while (j < dict.length && !done) {
+          if (dict.charAt(j) == ']') done = true
+          else if (dict.startsWith("<<", j)) {
+            val d = balancedDict(dict, j)
+            out += Some(d)
+            j += d.length - 1
+          } else if (dict.startsWith("null", j)) { out += None; j += 3 }
+          j += 1
+        }
+        out.result()
+      } else Nil
+    }
+  }
+
   /** Decode one object's stream payload: /Length-framed (falling back
-    * to the endstream token), FlateDecode inflated when declared. Any
-    * OTHER declared filter (LZW, ASCIIHex, DCT, …) raises a defined
-    * error instead of best-effort lexing raw compressed bytes as
-    * operators — the caller's catch turns it into that file's error
-    * row, the same vocabulary as every other out-of-subset input. */
+    * to the endstream token), then the declared /Filter CHAIN applied
+    * in order — FlateDecode and LZWDecode (with their /DecodeParms
+    * predictors and /EarlyChange), ASCIIHexDecode, ASCII85Decode,
+    * RunLengthDecode. A filter outside that set (DCT/JPX/JBIG2 image
+    * codecs, CCITTFax, Crypt) raises a defined error instead of
+    * best-effort lexing undecoded bytes as operators — the caller's
+    * catch turns it into that file's error row. */
   private def streamData(body: String): Option[Array[Byte]] =
     streamTokenRe.findFirstMatchIn(body).map { m =>
       val dict = body.substring(0, m.start)
@@ -1032,15 +1360,21 @@ object Pdf {
         }
       }
       val raw = body.substring(dataStart, end).getBytes("ISO-8859-1")
-      val filters = """/Filter\s*\[?\s*((?:/[A-Za-z0-9]+\s*)+)""".r
-        .findFirstMatchIn(dict)
-        .map(_.group(1).split("\\s+").map(_.stripPrefix("/")).filter(_.nonEmpty).toSeq)
-        .getOrElse(Nil)
-      filters match {
-        case Nil => raw
-        case Seq("FlateDecode") => inflate(raw)
-        case other => throw new IllegalArgumentException(
-          s"unsupported stream filter /${other.mkString(" /")}")
+      val parms = parseParmsList(dict)
+      parseFilters(dict).zipWithIndex.foldLeft(raw) { case (d, (f, idx)) =>
+        val p = parms.lift(idx).flatten
+        def pi(key: String, dflt: Int) = p.flatMap(dictInt(_, key)).getOrElse(dflt)
+        def unp(x: Array[Byte]) = unpredict(x, pi("/Predictor", 1),
+          pi("/Columns", 1), pi("/Colors", 1), pi("/BitsPerComponent", 8))
+        f match {
+          case "FlateDecode" => unp(inflate(d))
+          case "LZWDecode" => unp(lzwDecode(d, pi("/EarlyChange", 1)))
+          case "ASCIIHexDecode" => asciiHexDecode(d)
+          case "ASCII85Decode" => ascii85Decode(d)
+          case "RunLengthDecode" => runLengthDecode(d)
+          case other => throw new IllegalArgumentException(
+            s"unsupported stream filter /$other")
+        }
       }
     }
 
@@ -1099,6 +1433,100 @@ object Pdf {
           n -> s" << /Length ${cs.length} >> stream\n$cs\nendstream "
       }
     serialize(objs, 1, xrefStream)
+  }
+
+  // fixture-side encoders (the writer halves of the decode filters)
+  private def asciiHexEncode(d: Array[Byte]): Array[Byte] =
+    (d.map(b => f"${b & 0xFF}%02x").mkString + ">").getBytes("ISO-8859-1")
+  private def ascii85Encode(d: Array[Byte]): Array[Byte] = {
+    val sb = new StringBuilder
+    d.grouped(4).foreach { g =>
+      var v = 0L
+      (0 until 4).foreach(i => v = (v << 8) | (if (i < g.length) g(i) & 0xFF else 0))
+      if (v == 0 && g.length == 4) sb.append('z')
+      else {
+        val cs = new Array[Char](5)
+        (4 to 0 by -1).foreach { i => cs(i) = ('!' + (v % 85)).toChar; v /= 85 }
+        (0 to g.length).foreach(i => sb.append(cs(i)))
+      }
+    }
+    (sb.result() + "~>").getBytes("ISO-8859-1")
+  }
+  private def runLengthEncode(d: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    d.grouped(128).foreach { g => out.write(g.length - 1); out.write(g, 0, g.length) }
+    out.write(128)
+    out.toByteArray
+  }
+
+  /** Fixture builder exercising the full decode-filter surface: one
+    * page per content stream, each encoded through `filters` (the
+    * list in DECODE order, so encoding applies the chain from the
+    * inside out — `[/ASCII85Decode /FlateDecode]` stores ASCII armor
+    * around deflate, the classic transport form). */
+  def makeFilteredTextPdf(contents: Seq[String], filters: Seq[String]): Array[Byte] = {
+    def encodeChain(plain: Array[Byte]): Array[Byte] =
+      filters.reverse.foldLeft(plain) { (d, f) =>
+        f match {
+          case "FlateDecode" => deflate(d)
+          case "LZWDecode" => lzwEncode(d)
+          case "ASCIIHexDecode" => asciiHexEncode(d)
+          case "ASCII85Decode" => ascii85Encode(d)
+          case "RunLengthDecode" => runLengthEncode(d)
+          case other => throw new IllegalArgumentException(s"no fixture encoder for /$other")
+        }
+      }
+    val np = contents.size
+    val pageNums = (0 until np).map(3 + _)
+    val contentNums = pageNums.map(_ + np)
+    val filterVal =
+      if (filters.size == 1) s"/${filters.head}"
+      else filters.map("/" + _).mkString("[ ", " ", " ]")
+    val objs = Seq(
+      1 -> " << /Type /Catalog /Pages 2 0 R >> ",
+      2 -> s" << /Type /Pages /Kids [${pageNums.map(n => s"$n 0 R").mkString(" ")}] /Count $np >> ") ++
+      pageNums.zipWithIndex.map { case (n, i) =>
+        n -> s" << /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] /Contents ${contentNums(i)} 0 R >> "
+      } ++
+      contentNums.zip(contents).map { case (n, cs) =>
+        val data = encodeChain(cs.getBytes("ISO-8859-1"))
+        // /Filter deliberately BEFORE /Length: locks the one-name (not
+        // greedy multi-name) parse against the following key
+        n -> (s" << /Filter $filterVal /Length ${data.length} >> stream\n" +
+          new String(data, "ISO-8859-1") + "\nendstream ")
+      }
+    serialize(objs, 1)
+  }
+
+  /** Fixture builder for the simple-font /Differences gates: a Type1
+    * font whose /Encoding dict remaps byte codes to glyph names atop
+    * the WinAnsi base. `differences` is the raw array body (e.g.
+    * "65 /eacute /bullet 97 /uniFB01"); content streams are provided
+    * verbatim and their show-string bytes decode through the map. */
+  def makeDiffPdf(contents: Seq[String], differences: String,
+      flate: Boolean = false): Array[Byte] = {
+    val np = contents.size
+    val pageNums = (0 until np).map(3 + _)
+    val contentNums = pageNums.map(_ + np)
+    val fontNum = 3 + 2 * np
+    val objs = Seq(
+      1 -> " << /Type /Catalog /Pages 2 0 R >> ",
+      2 -> s" << /Type /Pages /Kids [${pageNums.map(n => s"$n 0 R").mkString(" ")}] /Count $np >> ") ++
+      pageNums.zipWithIndex.map { case (n, i) =>
+        n -> (s" << /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792]" +
+          s" /Resources << /Font << /F1 $fontNum 0 R >> >>" +
+          s" /Contents ${contentNums(i)} 0 R >> ")
+      } ++
+      contentNums.zip(contents).map { case (n, cs) =>
+        if (flate) {
+          val z = deflate(cs.getBytes("ISO-8859-1"))
+          n -> (s" << /Length ${z.length} /Filter /FlateDecode >> stream\n" +
+            new String(z, "ISO-8859-1") + "\nendstream ")
+        } else n -> s" << /Length ${cs.length} >> stream\n$cs\nendstream "
+      } ++ Seq(
+        fontNum -> (" << /Type /Font /Subtype /Type1 /BaseFont /Helvetica" +
+          s" /Encoding << /BaseEncoding /WinAnsiEncoding /Differences [ $differences ] >> >> "))
+    serialize(objs, 1)
   }
 
   /** Fixture builder for the composite-font extraction gates: a PDF

@@ -142,11 +142,51 @@ object CoveragePack extends QueryPack {
         "Hello CID world",
         "clef 𝄞 ok"), flate = true)
       val noMap = Pdf.makeCidPdf(Seq("quiet garbage"), withToUnicode = false)
-      val lzw = new String(Pdf.makeTextPdf(Seq("BT (x) Tj ET"), flate = true),
-        "ISO-8859-1").replace("/Filter /FlateDecode", "/Filter /LZWDecode")
+      val dct = new String(Pdf.makeTextPdf(Seq("BT (x) Tj ET"), flate = true),
+        "ISO-8859-1").replace("/Filter /FlateDecode", "/Filter /DCTDecode")
         .getBytes("ISO-8859-1")
       val files = Seq(
-        ("cid.pdf", cid), ("nomap.pdf", noMap), ("lzw.pdf", lzw))
+        ("cid.pdf", cid), ("nomap.pdf", noMap), ("dct.pdf", dct))
+        .toDF("name", "content")
+      PdfText.extractTextDf(files).orderBy("name", "page")
+    }),
+    // Decode-filter surface (r17): every text-bearing stream filter a
+    // real-world writer emits — ASCIIHex, ASCII85, RunLength, LZW
+    // (TIFF early-change variant) — plus the classic two-stage
+    // transport chains (ASCII armor around Flate / LZW), each built
+    // by the fixture's ENCODER half and extracted back bit-for-bit.
+    // /Filter precedes /Length in the fixture dicts, locking the
+    // one-name parse against the following key.
+    // Simple-font /Encoding /Differences (r17): the Type1 counterpart
+    // of the CID gate — byte codes remap to glyph names atop the
+    // WinAnsi base (AGL-subset names, generic uniXXXX scalars),
+    // unlisted codes fall back, and an UNKNOWN glyph name flags the
+    // page (warn) instead of guessing.
+    "pdf_extract_differences" -> ((s, dir) => {
+      import s.implicits._
+      val remap = Pdf.makeDiffPdf(
+        Seq("BT /F1 12 Tf 72 720 Td (AB a) Tj ET"),
+        "65 /eacute /bullet 97 /A", flate = true)
+      val uni = Pdf.makeDiffPdf(
+        Seq("BT /F1 12 Tf 72 720 Td (AB) Tj ET"), "65 /uniFB01 /u1D11E")
+      val unknown = Pdf.makeDiffPdf(
+        Seq("BT /F1 12 Tf 72 720 Td (Ax) Tj ET"), "65 /gl0042")
+      val files = Seq(
+        ("remap.pdf", remap), ("uni.pdf", uni), ("unknown.pdf", unknown))
+        .toDF("name", "content")
+      PdfText.extractTextDf(files).orderBy("name", "page")
+    }),
+    "pdf_filters" -> ((s, dir) => {
+      import s.implicits._
+      def doc(fs: String*) = Pdf.makeFilteredTextPdf(
+        Seq(s"BT 72 720 Td (via ${fs.mkString("+")}) Tj ET"), fs)
+      val files = Seq(
+        ("ahx.pdf", doc("ASCIIHexDecode")),
+        ("a85.pdf", doc("ASCII85Decode")),
+        ("rle.pdf", doc("RunLengthDecode")),
+        ("lzw.pdf", doc("LZWDecode")),
+        ("a85_flate.pdf", doc("ASCII85Decode", "FlateDecode")),
+        ("ahx_lzw.pdf", doc("ASCIIHexDecode", "LZWDecode")))
         .toDF("name", "content")
       PdfText.extractTextDf(files).orderBy("name", "page")
     }),
@@ -335,8 +375,23 @@ object CoveragePack extends QueryPack {
       """SELECT * FROM (VALUES
         |  ('cid.pdf', 1, 'Hello CID world', '', ''),
         |  ('cid.pdf', 2, 'clef 𝄞 ok', '', ''),
-        |  ('lzw.pdf', 0, '', '', 'unsupported stream filter /LZWDecode'),
+        |  ('dct.pdf', 0, '', '', 'unsupported stream filter /DCTDecode'),
         |  ('nomap.pdf', 1, '', 'unmapped glyphs', ''))
+        |  AS t(name, page, text, warn, error) ORDER BY name, page""".stripMargin,
+    "pdf_extract_differences" ->
+      """SELECT * FROM (VALUES
+        |  ('remap.pdf', 1, 'é• A', '', ''),
+        |  ('uni.pdf', 1, 'ﬁ𝄞', '', ''),
+        |  ('unknown.pdf', 1, 'x', 'unmapped glyphs', ''))
+        |  AS t(name, page, text, warn, error) ORDER BY name, page""".stripMargin,
+    "pdf_filters" ->
+      """SELECT * FROM (VALUES
+        |  ('a85.pdf', 1, 'via ASCII85Decode', '', ''),
+        |  ('a85_flate.pdf', 1, 'via ASCII85Decode+FlateDecode', '', ''),
+        |  ('ahx.pdf', 1, 'via ASCIIHexDecode', '', ''),
+        |  ('ahx_lzw.pdf', 1, 'via ASCIIHexDecode+LZWDecode', '', ''),
+        |  ('lzw.pdf', 1, 'via LZWDecode', '', ''),
+        |  ('rle.pdf', 1, 'via RunLengthDecode', '', ''))
         |  AS t(name, page, text, warn, error) ORDER BY name, page""".stripMargin,
     "workbook_nonempty" ->
       """SELECT * FROM (

@@ -162,12 +162,106 @@ class PdfTextSpec extends AnyFunSuite {
     assert(onePage("BI /W 1 /H 1 ID xEIxÿ EI BT (after) Tj ET") == "after")
   }
 
-  test("non-Flate stream filters raise a defined error (no raw-byte lexing)") {
+  test("unsupported stream filters raise a defined error (no raw-byte lexing)") {
     val doc = new String(Pdf.makeTextPdf(Seq("BT (x) Tj ET"), flate = true),
-      "ISO-8859-1").replace("/Filter /FlateDecode", "/Filter /LZWDecode")
+      "ISO-8859-1").replace("/Filter /FlateDecode", "/Filter /DCTDecode")
       .getBytes("ISO-8859-1")
     val e = intercept[IllegalArgumentException](Pdf.extractText(doc))
-    assert(e.getMessage.contains("unsupported stream filter /LZWDecode"))
+    assert(e.getMessage.contains("unsupported stream filter /DCTDecode"))
+  }
+
+  // ---- decode filters -------------------------------------------------
+
+  test("ASCIIHexDecode: whitespace, EOD marker, odd-digit padding") {
+    assert(Pdf.asciiHexDecode("48 65\n6C6c 6F>".getBytes("ISO-8859-1"))
+      .sameElements("Hello".getBytes))
+    assert(Pdf.asciiHexDecode("5>".getBytes).sameElements(Array('P'.toByte)))
+    intercept[IllegalArgumentException](Pdf.asciiHexDecode("4g>".getBytes))
+  }
+
+  test("ASCII85Decode: z shortcut, partial groups, EOD") {
+    // "Man " encodes to 9jqo^ in the classic example
+    assert(Pdf.ascii85Decode("9jqo^~>".getBytes).sameElements("Man ".getBytes))
+    assert(Pdf.ascii85Decode("z~>".getBytes).sameElements(Array[Byte](0, 0, 0, 0)))
+    // 1-char final group is illegal
+    intercept[IllegalArgumentException](Pdf.ascii85Decode("9jqo^9~>".getBytes))
+  }
+
+  test("RunLengthDecode: literal runs, repeats, EOD") {
+    val enc = Array[Byte](2, 'a', 'b', 'c', (257 - 4).toByte, 'x', 0, 'y', 128.toByte)
+    assert(Pdf.runLengthDecode(enc).sameElements("abcxxxxy".getBytes))
+    intercept[IllegalArgumentException](
+      Pdf.runLengthDecode(Array[Byte](5, 'a'))) // truncated literal
+  }
+
+  test("LZW round-trips, including width growth past 9 bits and KwKwK runs") {
+    val rnd = new scala.util.Random(7L)
+    val cases = Seq(
+      "".getBytes,
+      "a".getBytes,
+      "abababababababab".getBytes, // KwKwK pattern
+      ("the quick brown fox " * 40).getBytes,
+      Array.fill(5000)(rnd.nextInt(256).toByte)) // forces 10-12 bit codes
+    cases.foreach { plain =>
+      assert(Pdf.lzwDecode(Pdf.lzwEncode(plain)).sameElements(plain))
+    }
+  }
+
+  test("filter chains decode in declared order; /Filter before /Length parses") {
+    Seq(
+      Seq("ASCIIHexDecode"), Seq("ASCII85Decode"), Seq("RunLengthDecode"),
+      Seq("LZWDecode"), Seq("ASCII85Decode", "FlateDecode"),
+      Seq("ASCIIHexDecode", "LZWDecode"), Seq("RunLengthDecode", "FlateDecode"))
+      .foreach { fs =>
+        val doc = Pdf.makeFilteredTextPdf(Seq("BT 72 720 Td (chained text) Tj ET"), fs)
+        assert(Pdf.extractText(doc) == Seq((1, "chained text")), s"chain $fs")
+      }
+  }
+
+  test("parseFilters: single name is ONE name, array form takes all") {
+    assert(Pdf.parseFilters("<< /Filter /FlateDecode /Length 9 >>") ==
+      Seq("FlateDecode"))
+    assert(Pdf.parseFilters("<< /Filter [ /ASCII85Decode /FlateDecode ] >>") ==
+      Seq("ASCII85Decode", "FlateDecode"))
+    assert(Pdf.parseFilters("<< /Length 9 >>") == Nil)
+  }
+
+  // ---- simple-font /Encoding /Differences -----------------------------
+
+  test("Differences remap codes atop WinAnsi; unlisted codes fall back") {
+    val doc = Pdf.makeDiffPdf(
+      Seq("BT /F1 12 Tf 72 720 Td (AB a) Tj ET"),
+      "65 /eacute /bullet 97 /A")
+    // 65 -> é, 66 -> •, space unlisted -> WinAnsi, 97 -> A
+    assert(Pdf.extractTextPages(doc) == Seq((1, "é• A", "")))
+  }
+
+  test("generic uniXXXX / uXXXXX glyph names decode any scalar") {
+    val doc = Pdf.makeDiffPdf(
+      Seq("BT /F1 12 Tf 72 720 Td (AB) Tj ET"),
+      "65 /uniFB01 /u1D11E", flate = true)
+    assert(Pdf.extractTextPages(doc) == Seq((1, "ﬁ𝄞", "")))
+  }
+
+  test("unknown glyph names flag the page instead of guessing") {
+    val doc = Pdf.makeDiffPdf(
+      Seq("BT /F1 12 Tf 72 720 Td (Ax) Tj ET"), "65 /gl0042")
+    assert(Pdf.extractTextPages(doc) == Seq((1, "x", "unmapped glyphs")))
+  }
+
+  test("glyphText covers the AGL subset by name") {
+    assert(Pdf.glyphText("seven").contains("7"))
+    assert(Pdf.glyphText("ampersand").contains("&"))
+    assert(Pdf.glyphText("emdash").contains("—"))
+    assert(Pdf.glyphText("germandbls").contains("ß"))
+    assert(Pdf.glyphText("Q").contains("Q"))
+    assert(Pdf.glyphText("uni00E90041").contains("éA")) // multi-unit uni form
+    assert(Pdf.glyphText("nosuchglyph").isEmpty)
+  }
+
+  test("parseDifferences: integers reset the code, names run consecutively") {
+    val d = Pdf.parseDifferences("<< /Differences [ 10 /a /b 64 /zero ] >>")
+    assert(d == Map(10 -> Some("a"), 11 -> Some("b"), 64 -> Some("0")))
   }
 
   test("/Contents refs with non-zero generation numbers still resolve") {
