@@ -1035,11 +1035,16 @@ object Pdf {
   }
 
   /** Resource-name → font map for one page: /Resources (inline or
-    * indirect) → /Font → one [[PdfFont]] per `/Fn N G R` entry. Pages
-    * without resources or fonts extract with the WinAnsi default. */
+    * indirect) → /Font → one [[PdfFont]] per `/Fn N G R` entry. A page
+    * WITHOUT its own /Resources inherits the /Pages tree node's
+    * ([PDF 32000] 7.7.3.4 — many writers hoist shared resources to the
+    * parent; without the fallback their fonts would silently not
+    * resolve and Type0 text would decode as WinAnsi garbage). Pages
+    * with neither extract with the WinAnsi default. */
   private def pageFonts(objects: collection.Map[Int, String],
-      pageBody: String): Map[String, PdfFont] = {
+      pageBody: String, parentBody: Option[String] = None): Map[String, PdfFont] = {
     val fontDict = resolveDictValue(objects, pageBody, "Resources")
+      .orElse(parentBody.flatMap(resolveDictValue(objects, _, "Resources")))
       .flatMap(res => resolveDictValue(objects, res, "Font"))
     fontDict.toSeq.flatMap { fd =>
       // entries: /Name N G R (inline font dicts stay out of subset)
@@ -1401,7 +1406,8 @@ object Pdf {
         contentsRe.findFirstMatchIn(b).toSeq
           .flatMap(m => anyRefRe.findAllMatchIn(m.group(1)).map(_.group(1).toInt))
       }
-      val fonts = body.map(pageFonts(d.objects, _)).getOrElse(Map.empty)
+      val fonts = body.map(pageFonts(d.objects, _, d.objects.get(d.pagesNum)))
+        .getOrElse(Map.empty)
       val cs = refs.flatMap(r => d.objects.get(r).flatMap(streamData))
         .map(b => new String(b, "ISO-8859-1")).mkString("\n")
       val (text, unmapped) = renderContentEx(cs, fonts)

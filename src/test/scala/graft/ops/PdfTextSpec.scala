@@ -264,6 +264,21 @@ class PdfTextSpec extends AnyFunSuite {
     assert(d == Map(10 -> Some("a"), 11 -> Some("b"), 64 -> Some("0")))
   }
 
+  test("pages inherit /Resources from the Pages tree node") {
+    // move the font resources from the page dicts up to /Pages — the
+    // form many writers emit; extraction must still resolve /F1
+    val base = new String(Pdf.makeDiffPdf(
+      Seq("BT /F1 12 Tf 72 720 Td (AB) Tj ET"), "65 /eacute /bullet"),
+      "ISO-8859-1")
+    val resRe = """/Resources << /Font << /F1 (\d+) 0 R >> >>""".r
+    val fontRef = resRe.findFirstMatchIn(base).get.group(1)
+    val hoisted = resRe.replaceAllIn(base, "")
+      .replace("/Type /Pages",
+        s"/Type /Pages /Resources << /Font << /F1 $fontRef 0 R >> >>")
+      .getBytes("ISO-8859-1")
+    assert(Pdf.extractTextPages(hoisted) == Seq((1, "é•", "")))
+  }
+
   test("/Contents refs with non-zero generation numbers still resolve") {
     val doc = new String(Pdf.makeTextPdf(Seq("BT (gen) Tj ET")), "ISO-8859-1")
     // rewrite the page's /Contents ref to generation 7 (object ids are
