@@ -133,6 +133,215 @@ object Multimodal {
     }
   }
 
+  /** EXIF metadata of a JPEG payload ([EXIF 2.3] / TIFF 6.0 IFD walk):
+    * orientation (1–8), capture timestamp (DateTimeOriginal from the
+    * Exif sub-IFD, falling back to IFD0 DateTime), camera make/model,
+    * and the declared pixel dimensions. The APP1 marker segment is
+    * located by the same marker walk as [[sniffDims]]; both TIFF byte
+    * orders (II/MM) parse; inline (≤4-byte) and offset values both
+    * read; a malformed or absent block is None, never an exception —
+    * image pipelines need orientation before perceptual hashing and
+    * capture time for dedup/curation windows, and a 100 TB lake hits
+    * every vendor's quirks, so every read is bounds-checked. */
+  def exifMeta(b: Array[Byte]): Option[ExifMeta] = {
+    if (sniff(b) != "jpeg") return None
+    def u16be(i: Int) = ((b(i) & 0xFF) << 8) | (b(i + 1) & 0xFF)
+    // find the APP1 Exif segment
+    var i = 2
+    var app1 = -1
+    var app1End = -1
+    while (app1 < 0 && i + 4 < b.length && (b(i) & 0xFF) == 0xFF) {
+      val m = b(i + 1) & 0xFF
+      if (m == 0x01 || (m >= 0xD0 && m <= 0xD8)) i += 2
+      else {
+        val len = u16be(i + 2)
+        if (len < 2) return None
+        if (m == 0xE1 && i + 10 <= b.length &&
+            b(i + 4) == 'E' && b(i + 5) == 'x' && b(i + 6) == 'i' &&
+            b(i + 7) == 'f' && b(i + 8) == 0 && b(i + 9) == 0) {
+          app1 = i + 10
+          app1End = math.min(b.length, i + 2 + len)
+        }
+        i += 2 + len
+      }
+    }
+    if (app1 < 0) return None
+    val t = app1 // TIFF header base — all IFD offsets are relative to it
+    if (t + 8 > app1End) return None
+    val le = b(t) == 'I' && b(t + 1) == 'I'
+    if (!le && !(b(t) == 'M' && b(t + 1) == 'M')) return None
+    def u16(o: Int): Int =
+      if (o < t || o + 2 > app1End) -1
+      else if (le) (b(o) & 0xFF) | ((b(o + 1) & 0xFF) << 8)
+      else ((b(o) & 0xFF) << 8) | (b(o + 1) & 0xFF)
+    def u32(o: Int): Long =
+      if (o < t || o + 4 > app1End) -1L
+      else if (le) (b(o) & 0xFFL) | ((b(o + 1) & 0xFFL) << 8) |
+        ((b(o + 2) & 0xFFL) << 16) | ((b(o + 3) & 0xFFL) << 24)
+      else ((b(o) & 0xFFL) << 24) | ((b(o + 1) & 0xFFL) << 16) |
+        ((b(o + 2) & 0xFFL) << 8) | (b(o + 3) & 0xFFL)
+    if (u16(t + 2) != 42) return None
+    // one IFD's (tag -> (type, count, valueFieldOffset)) map
+    def ifdEntries(off: Long): Map[Int, (Int, Long, Int)] = {
+      val o = t + off.toInt
+      val n = u16(o)
+      if (n < 0 || n > 512) return Map.empty
+      (0 until n).flatMap { k =>
+        val e = o + 2 + 12 * k
+        val tag = u16(e)
+        if (tag < 0) None
+        else Some(tag -> ((u16(e + 2), u32(e + 4), e + 8)))
+      }.toMap
+    }
+    def typeSize(tp: Int): Int = tp match {
+      case 1 | 2 | 6 | 7 => 1
+      case 3 | 8 => 2
+      case 4 | 9 | 11 => 4
+      case 5 | 10 | 12 => 8
+      case _ => 0
+    }
+    def intValue(e: (Int, Long, Int)): Option[Long] = {
+      val (tp, cnt, vo) = e
+      val at = if (typeSize(tp).toLong * cnt <= 4) vo else t + u32(vo).toInt
+      tp match {
+        case 3 => Some(u16(at).toLong).filter(_ >= 0)
+        case 4 => Some(u32(at)).filter(_ >= 0)
+        case _ => None
+      }
+    }
+    def strValue(e: (Int, Long, Int)): Option[String] = {
+      val (tp, cnt, vo) = e
+      if (tp != 2 || cnt <= 0 || cnt > 4096) return None
+      val at = if (cnt <= 4) vo else t + u32(vo).toInt
+      if (at < t || at + cnt > app1End) return None
+      Some(new String(b, at, cnt.toInt, "US-ASCII")
+        .takeWhile(_ != '\u0000').trim).filter(_.nonEmpty)
+    }
+    val ifd0off = u32(t + 4)
+    if (ifd0off < 0) return None
+    val ifd0 = ifdEntries(ifd0off)
+    if (ifd0.isEmpty) return None
+    val sub = ifd0.get(0x8769).flatMap(intValue)
+      .map(ifdEntries).getOrElse(Map.empty)
+    Some(ExifMeta(
+      orientation = ifd0.get(0x0112).flatMap(intValue).map(_.toInt),
+      takenAt = sub.get(0x9003).flatMap(strValue)
+        .orElse(ifd0.get(0x0132).flatMap(strValue)),
+      make = ifd0.get(0x010F).flatMap(strValue),
+      model = ifd0.get(0x0110).flatMap(strValue),
+      pixelX = sub.get(0xA002).flatMap(intValue).map(_.toInt),
+      pixelY = sub.get(0xA003).flatMap(intValue).map(_.toInt)))
+  }
+
+  /** Parsed EXIF fields; every field optional (vendor blocks omit
+    * freely). */
+  case class ExifMeta(orientation: Option[Int], takenAt: Option[String],
+      make: Option[String], model: Option[String],
+      pixelX: Option[Int], pixelY: Option[Int])
+
+  /** Batch EXIF extraction over partitions — the same partition-local
+    * shape as [[sniffMeta]]; a non-JPEG or EXIF-less payload emits an
+    * all-null row (present ⇒ parsed, the audit-friendly contract). */
+  def exifMetaDf(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val rdd = media.select("media_id", "content").rdd.mapPartitions(_.map { r =>
+      val bytes = Option(r.getAs[Array[Byte]]("content")).getOrElse(Array.emptyByteArray)
+      val m = exifMeta(bytes)
+      Row(r.getAs[Long]("media_id"),
+        m.flatMap(_.orientation).map(Int.box).orNull,
+        m.flatMap(_.takenAt).orNull,
+        m.flatMap(_.make).orNull,
+        m.flatMap(_.model).orNull,
+        m.flatMap(_.pixelX).map(Int.box).orNull,
+        m.flatMap(_.pixelY).map(Int.box).orNull)
+    })
+    import org.apache.spark.sql.types._
+    spark.createDataFrame(rdd, StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("orientation", IntegerType, nullable = true),
+      StructField("taken_at", StringType, nullable = true),
+      StructField("make", StringType, nullable = true),
+      StructField("model", StringType, nullable = true),
+      StructField("pixel_x", IntegerType, nullable = true),
+      StructField("pixel_y", IntegerType, nullable = true))))
+  }
+
+  /** Fixture builder: splice a crafted EXIF APP1 segment (TIFF block
+    * in the chosen byte order, IFD0 + Exif sub-IFD) into a real
+    * ImageIO-encoded JPEG right after SOI. */
+  def makeExifJpeg(w: Int, h: Int, orientation: Int, takenAt: String,
+      make: String, model: String, littleEndian: Boolean = true): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    (0 until w).foreach(x => (0 until h).foreach(y =>
+      img.setRGB(x, y, if ((x + y) % 2 == 0) 0xFFFFFF else 0x336699)))
+    val base = {
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", out)
+      out.toByteArray
+    }
+    // TIFF block (offsets relative to its own start)
+    val buf = new java.io.ByteArrayOutputStream()
+    def w16(v: Int): Unit =
+      if (littleEndian) { buf.write(v & 0xFF); buf.write((v >> 8) & 0xFF) }
+      else { buf.write((v >> 8) & 0xFF); buf.write(v & 0xFF) }
+    def w32(v: Int): Unit =
+      if (littleEndian) { buf.write(v & 0xFF); buf.write((v >> 8) & 0xFF)
+        buf.write((v >> 16) & 0xFF); buf.write((v >> 24) & 0xFF) }
+      else { buf.write((v >> 24) & 0xFF); buf.write((v >> 16) & 0xFF)
+        buf.write((v >> 8) & 0xFF); buf.write(v & 0xFF) }
+    def entry(tag: Int, tp: Int, cnt: Int, value: Int): Unit = {
+      w16(tag); w16(tp); w32(cnt)
+      if (tp == 3 && cnt == 1) { w16(value); w16(0) } else w32(value)
+    }
+    // NUL-terminate, then pad below 5 bytes: values <= 4 bytes must be
+    // stored INLINE per TIFF, and this builder's layout always uses
+    // the offset form -- padding keeps short strings spec-legal there
+    def ascii(str: String): Array[Byte] = {
+      val raw = (str + "\u0000").getBytes("US-ASCII")
+      if (raw.length <= 4) raw.padTo(5, 0.toByte) else raw
+    }
+    val makeB = ascii(make)
+    val modelB = ascii(model)
+    val dtB = ascii(takenAt)
+    // layout: header(8) ifd0(2+4*12+4) values(make, model) subifd(2+3*12+4) dt
+    val ifd0Off = 8
+    val ifd0Size = 2 + 4 * 12 + 4
+    val makeOff = ifd0Off + ifd0Size
+    val modelOff = makeOff + makeB.length
+    val subOff = modelOff + modelB.length
+    val subSize = 2 + 3 * 12 + 4
+    val dtOff = subOff + subSize
+    if (littleEndian) { buf.write('I'); buf.write('I') }
+    else { buf.write('M'); buf.write('M') }
+    w16(42); w32(ifd0Off)
+    w16(4) // IFD0: 4 entries, tag order ascending per spec
+    entry(0x010F, 2, makeB.length, makeOff)
+    entry(0x0110, 2, modelB.length, modelOff)
+    entry(0x0112, 3, 1, orientation)
+    entry(0x8769, 4, 1, subOff)
+    w32(0) // next-IFD terminator
+    buf.write(makeB); buf.write(modelB)
+    w16(3) // Exif sub-IFD: 3 entries
+    entry(0x9003, 2, dtB.length, dtOff)
+    entry(0xA002, 3, 1, w)
+    entry(0xA003, 3, 1, h)
+    w32(0)
+    buf.write(dtB)
+    val tiff = buf.toByteArray
+    val seg = new java.io.ByteArrayOutputStream()
+    seg.write(0xFF); seg.write(0xE1)
+    val segLen = 2 + 6 + tiff.length
+    seg.write((segLen >> 8) & 0xFF); seg.write(segLen & 0xFF)
+    seg.write("Exif".getBytes("US-ASCII")); seg.write(0); seg.write(0)
+    seg.write(tiff)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(base, 0, 2) // SOI
+    seg.writeTo(out)
+    out.write(base, 2, base.length - 2)
+    out.toByteArray
+  }
+
   /** Batch header sniff over partitions — same distribution shape as
     * [[decode]], a fraction of its cost. Unrecognized payloads emit
     * null fmt/dims rather than degrading (the point of this pass is

@@ -1001,6 +1001,31 @@ object LlmPack extends QueryPack {
     // header bytes — LlmSpec separately locks sniff ≡ full decode on
     // every recognized format. Unrecognized bytes emit null (the
     // "needs the real decoder" signal), not a degrade.
+    // EXIF metadata (r17): orientation / capture time / camera make
+    // + model / declared pixel dims from the APP1 TIFF block, BOTH
+    // byte orders, spliced into real ImageIO JPEGs by the fixture
+    // builder; an EXIF-less JPEG and a non-JPEG emit all-null rows
+    // (present => parsed). Orientation feeds perceptual-hash
+    // normalization; capture time feeds dedup/curation windows.
+    "multimodal_exif" -> ((s, dir) => {
+      def plainJpeg(): Array[Byte] = {
+        val bi = new java.awt.image.BufferedImage(4, 4,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val out = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(bi, "jpg", out)
+        out.toByteArray
+      }
+      val media = s.createDataFrame(
+        java.util.Arrays.asList(
+          Row(1L, Multimodal.makeExifJpeg(32, 16, 6, "2023:07:01 10:20:30",
+            "GraftCam", "GC-100", littleEndian = true), "image"),
+          Row(2L, Multimodal.makeExifJpeg(8, 24, 1, "2024:12:31 23:59:59",
+            "OtherCo", "X9", littleEndian = false), "image"),
+          Row(3L, plainJpeg(), "image"),
+          Row(4L, "not an image".getBytes("UTF-8"), "raw")),
+        Multimodal.mediaSchema)
+      Multimodal.exifMetaDf(media).orderBy("media_id")
+    }),
     "multimodal_sniff_dims" -> ((s, dir) => {
       def img(w: Int, h: Int, fmt: String): Array[Byte] = {
         val bi = new java.awt.image.BufferedImage(w, h,
@@ -2070,6 +2095,16 @@ object LlmPack extends QueryPack {
         |  (CAST(3 AS BIGINT), 'wav', CAST(4 AS BIGINT), CAST(100000 AS BIGINT), CAST(200 AS BIGINT), CAST(3 AS BIGINT)),
         |  (CAST(4 AS BIGINT), 'skip', CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)))
         |  AS t(media_id, fmt, n_samples, sum_sq, max_abs, zero_crossings)
+        |ORDER BY media_id""".stripMargin,
+    "multimodal_exif" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(1 AS BIGINT), 6, '2023:07:01 10:20:30', 'GraftCam', 'GC-100', 32, 16),
+        |  (CAST(2 AS BIGINT), 1, '2024:12:31 23:59:59', 'OtherCo', 'X9', 8, 24),
+        |  (CAST(3 AS BIGINT), CAST(NULL AS INT), CAST(NULL AS VARCHAR),
+        |    CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(NULL AS INT), CAST(NULL AS INT)),
+        |  (CAST(4 AS BIGINT), CAST(NULL AS INT), CAST(NULL AS VARCHAR),
+        |    CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(NULL AS INT), CAST(NULL AS INT)))
+        |  AS t(media_id, orientation, taken_at, make, model, pixel_x, pixel_y)
         |ORDER BY media_id""".stripMargin,
     "multimodal_sniff_dims" ->
       """SELECT * FROM (VALUES

@@ -460,6 +460,45 @@ class LlmSpec extends SparkSpec {
     assert(Multimodal.sniffDims(neg).contains(("bmp", 6, 4)))
   }
 
+  test("EXIF: both byte orders, sub-IFD timestamp, offset and inline values") {
+    val le = Multimodal.makeExifJpeg(32, 16, 6, "2023:07:01 10:20:30",
+      "GraftCam", "GC-100", littleEndian = true)
+    val be = Multimodal.makeExifJpeg(8, 24, 1, "2024:12:31 23:59:59",
+      "OtherCo", "X9", littleEndian = false)
+    assert(Multimodal.exifMeta(le).contains(Multimodal.ExifMeta(
+      Some(6), Some("2023:07:01 10:20:30"), Some("GraftCam"), Some("GC-100"),
+      Some(32), Some(16))))
+    assert(Multimodal.exifMeta(be).contains(Multimodal.ExifMeta(
+      Some(1), Some("2024:12:31 23:59:59"), Some("OtherCo"), Some("X9"),
+      Some(8), Some(24))))
+    // the spliced JPEG still sniffs/decodes as a JPEG of the same size
+    assert(Multimodal.sniffDims(le).contains(("jpeg", 32, 16)))
+  }
+
+  test("EXIF: absent / truncated / non-JPEG payloads are None, never a throw") {
+    val plain = {
+      val bi = new java.awt.image.BufferedImage(4, 4,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(bi, "jpg", out)
+      out.toByteArray
+    }
+    assert(Multimodal.exifMeta(plain).isEmpty)
+    assert(Multimodal.exifMeta("text".getBytes).isEmpty)
+    val ex = Multimodal.makeExifJpeg(4, 4, 3, "2020:01:01 00:00:00", "M", "N")
+    // truncate mid-APP1: bounds checks must degrade, not throw
+    (10 to 80 by 7).foreach { k =>
+      Multimodal.exifMeta(ex.take(k)) // must not throw
+    }
+    // corrupt the TIFF magic: parses as absent
+    val bad = ex.clone()
+    val tiffAt = { // after FFD8 FFE1 len 'Exif\0\0'
+      4 + 2 + 4
+    }
+    bad(tiffAt + 2) = 0x13
+    assert(Multimodal.exifMeta(bad).isEmpty)
+  }
+
   test("sentences: terminator runs, whitespace tails, and the documented abbreviation naivety") {
     val docs = Seq(
       (1L, "One. Two! Three?"),
