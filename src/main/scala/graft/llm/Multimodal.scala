@@ -525,6 +525,88 @@ object Multimodal {
   def aHashBytes(content: Array[Byte]): Option[Long] =
     decodeImage(content).map(src => aHashImage(resizeImage(src, 8, 8)))
 
+  /** Apply an EXIF orientation (1–8) to a decoded raster: the exact
+    * pixel remap that turns camera storage order into display order
+    * ([EXIF 2.3] table 4 — 2 flip-H, 3 rot-180, 4 flip-V,
+    * 5 transpose, 6 rot-90-CW, 7 transverse, 8 rot-270-CW). */
+  private[llm] def applyOrientation(src: java.awt.image.BufferedImage,
+      orientation: Int): java.awt.image.BufferedImage = {
+    if (orientation <= 1 || orientation > 8) return src
+    val (ws, hs) = (src.getWidth, src.getHeight)
+    val swap = orientation >= 5
+    val (wd, hd) = if (swap) (hs, ws) else (ws, hs)
+    val out = new java.awt.image.BufferedImage(wd, hd,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var x = 0
+    while (x < wd) {
+      var y = 0
+      while (y < hd) {
+        val rgb = orientation match {
+          case 2 => src.getRGB(ws - 1 - x, y)
+          case 3 => src.getRGB(ws - 1 - x, hs - 1 - y)
+          case 4 => src.getRGB(x, hs - 1 - y)
+          case 5 => src.getRGB(y, x)
+          case 6 => src.getRGB(y, hs - 1 - x)
+          case 7 => src.getRGB(ws - 1 - y, hs - 1 - x)
+          case _ => src.getRGB(ws - 1 - y, x) // 8
+        }
+        out.setRGB(x, y, rgb)
+        y += 1
+      }
+      x += 1
+    }
+    out
+  }
+
+  /** Fixture: one upright 64×64 scene (8×8 black/white blocks from the
+    * bits of `pat`) STORED as a camera would under `orientation` — the
+    * raster is pre-inverted so applying the orientation reproduces the
+    * upright scene — with a minimal EXIF APP1 carrying just that tag.
+    * Two fixtures of the same `pat` under different orientations are
+    * the same photo taken with different camera holds. */
+  def makeOrientedJpeg(pat: Long, orientation: Int): Array[Byte] = {
+    val base = new java.awt.image.BufferedImage(64, 64,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    (0 until 64).foreach(x => (0 until 64).foreach { y =>
+      val bit = (pat >>> ((y / 8) * 8 + (x / 8))) & 1L
+      base.setRGB(x, y, if (bit == 1L) 0xFFFFFF else 0x000000)
+    })
+    // inverse transform: orientations are self-inverse except 6 <-> 8
+    val inv = orientation match { case 6 => 8; case 8 => 6; case o => o }
+    val stored = applyOrientation(base, inv)
+    val jpgOut = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(stored, "jpg", jpgOut)
+    val jpg = jpgOut.toByteArray
+    // minimal little-endian APP1: IFD0 with the single orientation tag
+    val t = new java.io.ByteArrayOutputStream()
+    def w16(v: Int): Unit = { t.write(v & 0xFF); t.write((v >> 8) & 0xFF) }
+    def w32(v: Int): Unit = { w16(v & 0xFFFF); w16((v >> 16) & 0xFFFF) }
+    t.write('I'); t.write('I'); w16(42); w32(8)
+    w16(1); w16(0x0112); w16(3); w32(1); w16(orientation); w16(0); w32(0)
+    val tiff = t.toByteArray
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(jpg, 0, 2)
+    out.write(0xFF); out.write(0xE1)
+    val segLen = 2 + 6 + tiff.length
+    out.write((segLen >> 8) & 0xFF); out.write(segLen & 0xFF)
+    out.write("Exif".getBytes("US-ASCII")); out.write(0); out.write(0)
+    out.write(tiff)
+    out.write(jpg, 2, jpg.length - 2)
+    out.toByteArray
+  }
+
+  /** Orientation-normalized aHash: decode, apply the EXIF orientation
+    * (JPEGs; other formats carry none and hash as-is), downscale,
+    * hash. A photo and its rotated-at-capture copy (same scene, EXIF
+    * orientation set by the camera) hash IDENTICALLY here where the
+    * raw [[aHashBytes]] sees two unrelated bit patterns — the variant
+    * image dedup at lake scale actually wants. */
+  def orientedAHashBytes(content: Array[Byte]): Option[Long] =
+    decodeImage(content).map { src =>
+      val o = exifMeta(content).flatMap(_.orientation).getOrElse(1)
+      aHashImage(resizeImage(applyOrientation(src, o), 8, 8))
+    }
+
   /** Perceptual near-duplicate image pairs — the multimodal member of
     * the dedup family. One mapPartitions decode pass computes each
     * image's 64-bit aHash; candidates then come from the SAME banded
@@ -537,11 +619,13 @@ object Multimodal {
     * that exact binary dedup cannot. Undecodable payloads drop out
     * before the join (no hash ⇒ no pair). Output (a, b, dist), a < b. */
   def ahashNearDupPairs(media: DataFrame, maxBits: Int = 3,
-      maxBucket: Long = 10000L): DataFrame = {
+      maxBucket: Long = 10000L, orientationNormalize: Boolean = false): DataFrame = {
     val spark = media.sparkSession
+    val hashFn: Array[Byte] => Option[Long] =
+      if (orientationNormalize) orientedAHashBytes else aHashBytes
     val rdd = media.select("media_id", "content").rdd.flatMap { r =>
       Option(r.getAs[Array[Byte]]("content"))
-        .flatMap(aHashBytes)
+        .flatMap(hashFn)
         .map(h => Row(r.getAs[Long]("media_id"), h))
     }
     val sigs = spark.createDataFrame(rdd, StructType(Seq(

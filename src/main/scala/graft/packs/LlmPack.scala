@@ -1001,6 +1001,29 @@ object LlmPack extends QueryPack {
     // header bytes — LlmSpec separately locks sniff ≡ full decode on
     // every recognized format. Unrecognized bytes emit null (the
     // "needs the real decoder" signal), not a degrade.
+    // EXIF orientation USED (r17): the same photo stored under three
+    // camera holds (upright, rot-90 o=6, flip o=2) plus an unrelated
+    // image. Raw aHash sees three unrelated bit patterns (zero
+    // pairs); orientation-normalized aHash pairs all three copies at
+    // distance 0 — the variant-image dedup a lake actually wants.
+    // Both modes in one result, same banded join machinery.
+    "multimodal_oriented_neardup" -> ((s, dir) => {
+      val pat = 0xA5C3F00F3C5A9966L
+      val media = s.createDataFrame(
+        java.util.Arrays.asList(
+          Row(1L, Multimodal.makeOrientedJpeg(pat, 1), "image"),
+          Row(2L, Multimodal.makeOrientedJpeg(pat, 6), "image"),
+          Row(3L, Multimodal.makeOrientedJpeg(pat, 2), "image"),
+          Row(4L, Multimodal.makeOrientedJpeg(0x123456789ABCDEFL, 1), "image")),
+        Multimodal.mediaSchema)
+      val raw = Multimodal.ahashNearDupPairs(media)
+        .select(lit("raw").as("mode"), col("a"), col("b"),
+          col("dist").cast("long").as("dist"))
+      val oriented = Multimodal.ahashNearDupPairs(media, orientationNormalize = true)
+        .select(lit("oriented").as("mode"), col("a"), col("b"),
+          col("dist").cast("long").as("dist"))
+      raw.unionAll(oriented).orderBy("mode", "a", "b")
+    }),
     // EXIF metadata (r17): orientation / capture time / camera make
     // + model / declared pixel dims from the APP1 TIFF block, BOTH
     // byte orders, spliced into real ImageIO JPEGs by the fixture
@@ -2096,6 +2119,12 @@ object LlmPack extends QueryPack {
         |  (CAST(4 AS BIGINT), 'skip', CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)))
         |  AS t(media_id, fmt, n_samples, sum_sq, max_abs, zero_crossings)
         |ORDER BY media_id""".stripMargin,
+    "multimodal_oriented_neardup" ->
+      """SELECT * FROM (VALUES
+        |  ('oriented', CAST(1 AS BIGINT), CAST(2 AS BIGINT), CAST(0 AS BIGINT)),
+        |  ('oriented', CAST(1 AS BIGINT), CAST(3 AS BIGINT), CAST(0 AS BIGINT)),
+        |  ('oriented', CAST(2 AS BIGINT), CAST(3 AS BIGINT), CAST(0 AS BIGINT)))
+        |  AS t(mode, a, b, dist) ORDER BY mode, a, b""".stripMargin,
     "multimodal_exif" ->
       """SELECT * FROM (VALUES
         |  (CAST(1 AS BIGINT), 6, '2023:07:01 10:20:30', 'GraftCam', 'GC-100', 32, 16),

@@ -475,6 +475,18 @@ class LlmSpec extends SparkSpec {
     assert(Multimodal.sniffDims(le).contains(("jpeg", 32, 16)))
   }
 
+  test("orientation-normalized aHash: every camera hold hashes the upright scene") {
+    val pat = 0xA5C3F00F3C5A9966L
+    val upright = Multimodal.makeOrientedJpeg(pat, 1)
+    val h0 = Multimodal.orientedAHashBytes(upright).get
+    (2 to 8).foreach { o =>
+      val v = Multimodal.makeOrientedJpeg(pat, o)
+      assert(Multimodal.orientedAHashBytes(v).contains(h0), s"orientation $o")
+      // and the RAW hash must differ (the stored rasters genuinely differ)
+      assert(!Multimodal.aHashBytes(v).contains(h0), s"raw orientation $o")
+    }
+  }
+
   test("EXIF: absent / truncated / non-JPEG payloads are None, never a throw") {
     val plain = {
       val bi = new java.awt.image.BufferedImage(4, 4,
