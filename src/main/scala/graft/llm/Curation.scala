@@ -390,6 +390,59 @@ object Curation {
     * the caller's concern. Tokens are split on explicit ASCII
     * whitespace ([ \t\r\n]+) — the same class the oracle's RE2 engine
     * implements, sidestepping the Java-vs-RE2 `\s` divergence. */
+  /** DSIR-style contrastive selection score (Xie et al. 2023, "Data
+    * Selection for Language Models via Importance Resampling" — the
+    * hashed-feature scale-up of Moore & Lewis 2010 cross-entropy
+    * difference): fit two bag-of-hashed-unigram models — p over the
+    * TARGET slice (the distribution you want more of: a trusted
+    * domain, a language, a curated seed set) and q over the whole raw
+    * pool — and score each document by its mean per-token
+    * log p(b) − log q(b). High scores mark documents that look like
+    * the target and unlike the pool average; selection is then a
+    * threshold or top-k over the score.
+    *
+    * Integer-exact surrogate (the rarity/surprisal bit-length family):
+    * one token in bucket b contributes
+    *   bitlength((Nq + B) div (cq(b) + 1)) − bitlength((Np + B) div (cp(b) + 1))
+    * — surprisal under the pool minus surprisal under the target, with
+    * Laplace (+1 count, +B total) smoothing so unseen-in-target
+    * buckets stay defined. Doc score = ×100 floor mean (negative for
+    * pool-typical docs; Spark `div` and DuckDB `//` truncate
+    * identically on negatives — the Holt-established contract).
+    * Buckets come from the md5-backed [[graft.functions.F.hash32]],
+    * the cross-engine keyed hash, so the DuckDB twin reproduces
+    * collisions exactly.
+    *
+    * Scale shape: tokenize+bucket is NARROW; the two models are hash
+    * aggregates of at most `buckets` rows each (broadcast-sized by
+    * construction — that is the point of feature hashing); scoring is
+    * two broadcast equi-joins on the bucket id plus two single-row
+    * totals. Nothing grows with corpus size except the one token
+    * stream pass. Output (id, n_tokens, dsir_x100). */
+  def dsirScores(docs: DataFrame, idCol: String, textCol: String,
+      targetPred: org.apache.spark.sql.Column, buckets: Int = 8192,
+      seed: String = "dsir"): DataFrame = {
+    val toks = docs
+      .select(col(idCol).as("id"), targetPred.as("is_target"),
+        explode(filter(split(col(textCol), " "), x => x =!= "")).as("tok"))
+      .select(col("id"), col("is_target"),
+        pmod(graft.functions.F.hash32(col("tok"), seed, "b"), lit(buckets.toLong)).as("b"))
+    val tgt = toks.filter(col("is_target")).groupBy("b").agg(count(lit(1)).as("cp"))
+    val np = toks.filter(col("is_target")).agg(count(lit(1)).as("np"))
+    val pool = toks.groupBy("b").agg(count(lit(1)).as("cq"))
+    val nq = toks.agg(count(lit(1)).as("nq"))
+    toks
+      .join(broadcast(tgt), Seq("b"), "left")
+      .join(broadcast(pool), Seq("b"), "left")
+      .crossJoin(broadcast(np)).crossJoin(broadcast(nq))
+      .select(col("id"),
+        (expr(s"length(bin((nq + $buckets) div (coalesce(cq, 0) + 1)))")
+          - expr(s"length(bin((np + $buckets) div (coalesce(cp, 0) + 1)))")).as("ml"))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_tokens"),
+        expr("(sum(ml) * 100) div count(1)").as("dsir_x100"))
+  }
+
   def chunkDocuments(docs: DataFrame, idCol: String, textCol: String,
       chunkTokens: Int, overlapTokens: Int): DataFrame = {
     require(chunkTokens > 0, s"chunkDocuments: chunkTokens=$chunkTokens")

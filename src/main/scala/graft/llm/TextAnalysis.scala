@@ -285,6 +285,86 @@ object TextAnalysis {
         expr("(_ss * 100) div n_bigrams").as("surprisal_x100"))
   }
 
+  /** Stupid Backoff trigram LM scoring (Brants et al. 2007, "Large
+    * Language Models in Machine Translation" §4) — the perplexity
+    * filter of a CCNet-style curation pipeline (Wenzek et al. 2020):
+    * train an n-gram model on a REFERENCE slice, score every document
+    * by its mean per-token surprisal under that model, and filter on
+    * the score. Stupid Backoff is the at-scale choice on purpose: its
+    * score S(w3|w1,w2) = count(w1w2w3)/count(w1w2) when the trigram
+    * was seen, else 0.4·S(w3|w2), else 0.4²·count(w3)/N — no
+    * discounting state, so the "model" is nothing but three count
+    * tables, exactly what a distributed engine aggregates well.
+    *
+    * Integer-exact surrogate (shared verbatim with the DuckDB twin):
+    * one token's surprisal in ×100 bits is
+    *   trigram hit:  100·bitlength(cth div ct)
+    *   bigram hit:   132 + 100·bitlength(ch div cb)
+    *   unigram hit:  264 + 100·bitlength(N div cu)
+    *   OOV:          264 + 100·bitlength(N)         (count-1 floor)
+    * where each denominator counts the n-gram and each numerator its
+    * CONTEXT as an (n−1)-gram head (so every ratio is ≥ 1), and 132 =
+    * ⌊100·log2(1/0.4)⌋ is the per-level backoff penalty. Doc score =
+    * floor mean over its trigram positions; docs with < 3 tokens drop.
+    *
+    * Scale shape: trigram construction is NARROW (an index transform
+    * over the split array — no window, no per-doc shuffle); the model
+    * is five hash aggregates over the train slice (vocab-sized — at
+    * 100 TB these broadcast or AQE-shuffle as ordinary dimension
+    * tables); scoring is a chain of keyed LEFT equi-joins, never
+    * anything quadratic; the total-token count joins as a broadcast
+    * single row. Output (id, n_scored, n_backoff, n_oov,
+    * lm_bits_x100) — the backoff/OOV counts are the model-coverage
+    * telemetry reported next to the score. */
+  def stupidBackoff(docs: DataFrame, idCol: String, textCol: String,
+      trainPred: Column): DataFrame = {
+    val base = docs
+      .select(col(idCol).as("id"), trainPred.as("is_train"),
+        filter(split(col(textCol), " "), x => x =!= "").as("w"))
+    val train = base.filter(col("is_train"))
+    val tTok = train.select(explode(col("w")).as("w3"))
+    val uni = tTok.groupBy("w3").agg(count(lit(1)).as("cu"))
+    val nTot = tTok.agg(count(lit(1)).as("n_total"))
+    val tBi = train.filter(size(col("w")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(w) - 1), i -> struct(w[i-1] AS w2, w[i] AS w3))")).as("p"))
+      .select(col("p.w2").as("w2"), col("p.w3").as("w3"))
+    val bi = tBi.groupBy("w2", "w3").agg(count(lit(1)).as("cb"))
+    val bh = tBi.groupBy("w2").agg(count(lit(1)).as("ch"))
+    val tTri = train.filter(size(col("w")) >= 3)
+      .select(explode(expr(
+        "transform(sequence(2, size(w) - 1), i -> struct(w[i-2] AS w1, w[i-1] AS w2, w[i] AS w3))")).as("t"))
+      .select(col("t.w1").as("w1"), col("t.w2").as("w2"), col("t.w3").as("w3"))
+    val tri = tTri.groupBy("w1", "w2", "w3").agg(count(lit(1)).as("ct"))
+    val th = tTri.groupBy("w1", "w2").agg(count(lit(1)).as("cth"))
+    val sTri = base.filter(size(col("w")) >= 3)
+      .select(col("id"), explode(expr(
+        "transform(sequence(2, size(w) - 1), i -> struct(w[i-2] AS w1, w[i-1] AS w2, w[i] AS w3))")).as("t"))
+      .select(col("id"),
+        col("t.w1").as("w1"), col("t.w2").as("w2"), col("t.w3").as("w3"))
+    sTri
+      .join(tri, Seq("w1", "w2", "w3"), "left")
+      .join(th, Seq("w1", "w2"), "left")
+      .join(bi, Seq("w2", "w3"), "left")
+      .join(bh, Seq("w2"), "left")
+      .join(uni, Seq("w3"), "left")
+      .crossJoin(broadcast(nTot))
+      .select(col("id"),
+        when(col("ct").isNotNull, expr("100 * length(bin(cth div ct))"))
+          .when(col("cb").isNotNull, expr("132 + 100 * length(bin(ch div cb))"))
+          .when(col("cu").isNotNull, expr("264 + 100 * length(bin(n_total div cu))"))
+          .otherwise(expr("264 + 100 * length(bin(n_total))")).as("sb"),
+        when(col("ct").isNotNull, lit(0))
+          .when(col("cb").isNotNull, lit(1))
+          .when(col("cu").isNotNull, lit(2))
+          .otherwise(lit(3)).as("lvl"))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_scored"),
+        sum(when(col("lvl") >= 1, lit(1)).otherwise(lit(0))).as("n_backoff"),
+        sum(when(col("lvl") === 3, lit(1)).otherwise(lit(0))).as("n_oov"),
+        expr("sum(sb) div count(1)").as("lm_bits_x100"))
+  }
+
   /** Sentence segmentation — the granularity between document and
     * token: each sentence is a maximal run of non-terminator
     * characters plus its trailing `.!?` run, trimmed; empty segments

@@ -30,6 +30,17 @@ object CurationPack extends QueryPack {
           saltOn = col("doc_id"), k = CAP, salt = SALT)
         .select(col("source"), col("doc_id"), col("n_chars"), col("rk").cast("long"))
         .orderBy("source", "rk")),
+    // DSIR-style contrastive selection (Curation.dsirScores): target =
+    // the English slice, pool = the whole corpus; each doc scored by
+    // mean per-token target-vs-pool surprisal difference in exact x100
+    // bits over md5-hashed unigram buckets. The production decision is
+    // a threshold/top-k over dsir_x100; the gate pins the score
+    // itself plus the token count.
+    "curation_dsir_scores" -> ((s, dir) =>
+      Curation.dsirScores(docs(s, dir), "doc_id", "text",
+          col("lang") === "en")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")),
     // Concat-and-chunk packing within each source shard: a doc belongs
     // to the sequence its first token lands in.
     "curation_pack_sequences" -> ((s, dir) =>
@@ -266,6 +277,30 @@ object CurationPack extends QueryPack {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // same md5 bucket hash (hash32 mirrored as the 0x hex-slice cast),
+    // same Laplace smoothing (+1 count, +B total), same bit-length
+    // surprisal difference, same x100 floor mean (negatives truncate
+    // identically — the Holt-established div///`//` contract)
+    "curation_dsir_scores" ->
+      """WITH toks AS (SELECT doc_id AS id, (lang = 'en') AS is_target,
+        |    CAST(CONCAT('0x', substr(md5(tok || ':dsir:b'), 1, 8)) AS BIGINT) % 8192 AS b
+        |  FROM (SELECT doc_id, lang, unnest(list_filter(
+        |          string_split(text, ' '), x -> x <> '')) AS tok
+        |        FROM documents)),
+        |tgt AS (SELECT b, count(*) AS cp FROM toks WHERE is_target GROUP BY 1),
+        |np AS (SELECT CAST(count(*) AS BIGINT) AS np FROM toks WHERE is_target),
+        |pool AS (SELECT b, count(*) AS cq FROM toks GROUP BY 1),
+        |nq AS (SELECT CAST(count(*) AS BIGINT) AS nq FROM toks),
+        |sc AS (SELECT t.id,
+        |    length(format('{:b}', CAST((nq.nq + 8192) // (COALESCE(pool.cq, 0) + 1) AS BIGINT)))
+        |  - length(format('{:b}', CAST((np.np + 8192) // (COALESCE(tgt.cp, 0) + 1) AS BIGINT))) AS ml
+        |  FROM toks t
+        |  LEFT JOIN tgt USING (b)
+        |  LEFT JOIN pool USING (b)
+        |  CROSS JOIN np CROSS JOIN nq)
+        |SELECT id AS doc_id, count(*) AS n_tokens,
+        |  CAST((sum(ml) * 100) // count(*) AS BIGINT) AS dsir_x100
+        |FROM sc GROUP BY id ORDER BY doc_id""".stripMargin,
     "curation_domain_cap" ->
       s"""WITH ranked AS (SELECT source, doc_id, n_chars,
          |  row_number() OVER (PARTITION BY source

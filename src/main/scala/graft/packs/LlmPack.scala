@@ -121,6 +121,25 @@ object LlmPack extends QueryPack {
       TA.bigramSurprisal(docs(s, dir), "doc_id", "text")
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id")),
+    // Stupid Backoff trigram LM scoring (TA.stupidBackoff): train on
+    // the 90% slice (doc_id % 10 != 0), score EVERY doc by mean
+    // per-token surprisal in exact x100 bits. Held-out docs get a
+    // doc-unique " zzq<id> zzq<id>" tail so the OOV and oov-bigram
+    // paths are exercised deterministically (the injection pattern the
+    // PII gate established); backoff-to-bigram/unigram levels occur
+    // naturally from cross-doc trigram variation.
+    "text_lm_score" -> ((s, dir) => {
+      val injected = when(col("doc_id") % 10 === 0,
+        concat(col("text"),
+          lit(" zzq"), col("doc_id").cast("string"),
+          lit(" zzq"), col("doc_id").cast("string")))
+        .otherwise(col("text"))
+      TA.stupidBackoff(
+          docs(s, dir).select(col("doc_id"), injected.as("text")),
+          "doc_id", "text", col("doc_id") % 10 =!= 0)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    }),
     // Free-text PII scrub (TA.scrubPii): inject deterministic PII —
     // an email per doc, a phone on evens, an IPv4 on %3, an SSN on %5 —
     // then redact to typed placeholders and report per-kind audit
@@ -1862,6 +1881,56 @@ object LlmPack extends QueryPack {
         |  JOIN sur ON sur.id = d.doc_id)
         |SELECT lang, tier, count(*) AS n_docs
         |FROM tiers GROUP BY 1, 2 ORDER BY lang, tier""".stripMargin,
+    // same 90/10 split, same injected OOV tail, same five count
+    // tables (context counted as n-1-gram HEAD so ratios are >= 1),
+    // same 132-per-level backoff penalty, same x100 floor mean
+    "text_lm_score" ->
+      """WITH base AS (SELECT doc_id AS id, (doc_id % 10 <> 0) AS is_train,
+        |    list_filter(string_split(
+        |      CASE WHEN doc_id % 10 = 0
+        |           THEN text || ' zzq' || CAST(doc_id AS VARCHAR) ||
+        |                ' zzq' || CAST(doc_id AS VARCHAR)
+        |           ELSE text END, ' '), x -> x <> '') AS w
+        |  FROM documents),
+        |ttok AS (SELECT unnest(w) AS w3 FROM base WHERE is_train),
+        |uni AS (SELECT w3, count(*) AS cu FROM ttok GROUP BY 1),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM ttok),
+        |tbi AS (SELECT w[i] AS w2, w[i+1] AS w3
+        |  FROM (SELECT w, unnest(generate_series(1, len(w) - 1)) AS i
+        |        FROM base WHERE is_train AND len(w) >= 2)),
+        |bi AS (SELECT w2, w3, count(*) AS cb FROM tbi GROUP BY 1, 2),
+        |bh AS (SELECT w2, count(*) AS ch FROM tbi GROUP BY 1),
+        |ttr AS (SELECT w[i] AS w1, w[i+1] AS w2, w[i+2] AS w3
+        |  FROM (SELECT w, unnest(generate_series(1, len(w) - 2)) AS i
+        |        FROM base WHERE is_train AND len(w) >= 3)),
+        |tri AS (SELECT w1, w2, w3, count(*) AS ct FROM ttr GROUP BY 1, 2, 3),
+        |th AS (SELECT w1, w2, count(*) AS cth FROM ttr GROUP BY 1, 2),
+        |str AS (SELECT id, w[i] AS w1, w[i+1] AS w2, w[i+2] AS w3
+        |  FROM (SELECT id, w, unnest(generate_series(1, len(w) - 2)) AS i
+        |        FROM base WHERE len(w) >= 3)),
+        |sc AS (SELECT s.id,
+        |    CASE WHEN tri.ct IS NOT NULL
+        |           THEN 100 * length(format('{:b}', CAST(th.cth // tri.ct AS BIGINT)))
+        |         WHEN bi.cb IS NOT NULL
+        |           THEN 132 + 100 * length(format('{:b}', CAST(bh.ch // bi.cb AS BIGINT)))
+        |         WHEN uni.cu IS NOT NULL
+        |           THEN 264 + 100 * length(format('{:b}', CAST(tot.n_total // uni.cu AS BIGINT)))
+        |         ELSE 264 + 100 * length(format('{:b}', tot.n_total)) END AS sb,
+        |    CASE WHEN tri.ct IS NOT NULL THEN 0
+        |         WHEN bi.cb IS NOT NULL THEN 1
+        |         WHEN uni.cu IS NOT NULL THEN 2 ELSE 3 END AS lvl
+        |  FROM str s
+        |  LEFT JOIN tri USING (w1, w2, w3)
+        |  LEFT JOIN th USING (w1, w2)
+        |  LEFT JOIN bi USING (w2, w3)
+        |  LEFT JOIN bh USING (w2)
+        |  LEFT JOIN uni USING (w3)
+        |  CROSS JOIN tot)
+        |SELECT id AS doc_id, count(*) AS n_scored,
+        |  CAST(sum(CASE WHEN lvl >= 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_backoff,
+        |  CAST(sum(CASE WHEN lvl = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+        |  CAST(sum(sb) // count(*) AS BIGINT) AS lm_bits_x100
+        |FROM sc GROUP BY id ORDER BY doc_id""".stripMargin,
     // same head-count denominator (w1 as bigram head), same binary-
     // format bitlength, same ×100 floor mean
     "text_bigram_surprisal" ->

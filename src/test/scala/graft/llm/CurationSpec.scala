@@ -7,6 +7,43 @@ import graft.SparkSpec
 class CurationSpec extends SparkSpec {
   import spark.implicits._
 
+  test("dsirScores: matches an independent md5-bucket recompute; target-typical docs outscore pool-typical") {
+    // target = doc 1 only. Token counts — target: a,a,b (Np=3);
+    // pool: all nine tokens a×4 b×3 c×2 (Nq=9). The expected scores
+    // recompute below through java MessageDigest + plain Scala — an
+    // independent path from the Spark md5/conv/bin expression chain.
+    val docs = Seq((1L, "a a b"), (2L, "a c c"), (3L, "b b a"))
+      .toDF("id", "text")
+    val out = Curation.dsirScores(docs, "id", "text", col("id") === 1)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+
+    def bucket(tok: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest((tok + ":dsir:b").getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 8), 16) % 8192
+    }
+    val toks = Map(1L -> Seq("a", "a", "b"), 2L -> Seq("a", "c", "c"),
+      3L -> Seq("b", "b", "a"))
+    val cp = toks(1L).groupBy(bucket).map { case (b, v) => b -> v.size.toLong }
+    val cq = toks.values.flatten.toSeq.groupBy(bucket)
+      .map { case (b, v) => b -> v.size.toLong }
+    val (np, nq) = (3L, 9L)
+    def bitlen(x: Long) = java.lang.Long.toBinaryString(x).length.toLong
+    def ml(tok: String): Long = {
+      val b = bucket(tok)
+      bitlen((nq + 8192) / (cq.getOrElse(b, 0L) + 1)) -
+        bitlen((np + 8192) / (cp.getOrElse(b, 0L) + 1))
+    }
+    toks.foreach { case (id, ts) =>
+      // plain Long '/' truncates toward zero — the div///`//` contract
+      val exp = ts.map(ml).sum * 100 / ts.size.toLong
+      assert(out(id) == (ts.size.toLong, exp), s"doc $id")
+    }
+    // the all-target-token docs must outscore the c-heavy pool doc
+    assert(out(1L)._2 > out(2L)._2 && out(3L)._2 > out(2L)._2)
+  }
+
   test("topKPerKey equals the single-window result, including a hot key bigger than salt*k") {
     // key "hot" has 200 rows (≫ k), "cold" has 3 (< k), "edge" exactly k
     val rows = (1 to 200).map(i => ("hot", i.toLong, (i * 37 % 97).toLong)) ++

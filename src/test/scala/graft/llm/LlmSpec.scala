@@ -541,6 +541,27 @@ class LlmSpec extends SparkSpec {
     assert(out(99L) == (2L, 300L))       // (1 + 5) * 100 div 2 = 300
   }
 
+  test("stupidBackoff: hand-traced backoff chain, coverage telemetry, short docs drop") {
+    // train doc "a b c a b c": N=6; uni a/b/c=2; bigrams ab=2 bc=2
+    // ca=1 (heads a=2 b=2 c=1); trigrams abc=2 bca=1 cab=1 (contexts
+    // ab=2 bc=1 ca=1). Eval doc "a b c x c a b" walks every level:
+    //   (a,b,c) tri hit            100*bitlen(2 div 2)        = 100
+    //   (b,c,x) OOV                264+100*bitlen(6)          = 564
+    //   (c,x,c) unigram backoff    264+100*bitlen(6 div 2)    = 464
+    //   (x,c,a) bigram backoff     132+100*bitlen(1 div 1)    = 232
+    //   (c,a,b) tri hit            100*bitlen(1 div 1)        = 100
+    // mean = 1460 div 5 = 292; 3 backed-off tokens, 1 OOV.
+    val docs = Seq((1L, "a b c a b c"), (2L, "a b c x c a b"), (3L, "a b"))
+      .toDF("id", "text")
+    val out = TextAnalysis.stupidBackoff(docs, "id", "text", col("id") === 1)
+      .collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out(1L) == (4L, 0L, 0L, 100L))  // train doc: every trigram seen
+    assert(out(2L) == (5L, 3L, 1L, 292L))
+    assert(!out.contains(3L))              // < 3 tokens: no trigram, drops
+  }
+
   test("simhashBandedPairs equals brute force at maxBits <= 3 (pigeonhole completeness)") {
     // deterministic corpus with planted structure: 40 base docs of
     // varying length, 10 exact copies, 10 one-token edits
