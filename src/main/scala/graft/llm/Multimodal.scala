@@ -607,6 +607,105 @@ object Multimodal {
       aHashImage(resizeImage(applyOrientation(src, o), 8, 8))
     }
 
+  // ---- pHash (DCT perceptual hash) ----------------------------------
+
+  /** Integer DCT-II basis, ×10⁴ fixed point: dctT(u)(x) =
+    * rint(cos(π(2x+1)u/64)·10⁴) for u ∈ 0..7 (the low-frequency rows
+    * the 8×8 hash corner keeps) and x ∈ 0..31. The fixture derivations
+    * in the phash gates rest on two EXACT cancellation identities that
+    * the rounded table inherits from the trig ones because rint is
+    * odd-symmetric (rint(−z) = −rint(z), ties to even) — asserted at
+    * load so any platform whose cos/rint disagrees fails loud:
+    *   Σ_x dctT(u)(x) = 0 for every u ≥ 1   (constants ⇒ all-AC-zero)
+    *   Σ_{x<16} dctT(u)(x) = 0 for u ∈ {2,4,6}   (half-split pattern)
+    */
+  private val dctT: Array[Array[Long]] = {
+    val t = Array.tabulate(8, 32) { (u, x) =>
+      Math.rint(Math.cos(Math.PI * (2 * x + 1) * u / 64) * 10000).toLong
+    }
+    (1 until 8).foreach(u =>
+      require(t(u).sum == 0L, s"dct row $u sums ${t(u).sum}"))
+    Seq(2, 4, 6).foreach(u =>
+      require(t(u).take(16).sum == 0L, s"dct half-row $u"))
+    t
+  }
+
+  /** pHash core over an already-downscaled 32×32 raster: BT.601 luma
+    * grid → the 64 low-frequency 2-D DCT coefficients C(u,v) =
+    * Σ_{x,y} luma·dctT(u)(x)·dctT(v)(y), computed separably in exact
+    * ×10⁸ integers (|C| ≤ 255·10⁸·1024 ≪ 2⁶³) — bit u·8+v set when
+    * C strictly exceeds the MEDIAN of the 63 AC coefficients (the
+    * rank-32 order statistic, deterministic — no averaging). */
+  private def phashImage(img: java.awt.image.BufferedImage): Long = {
+    val g = Array.tabulate(32, 32) { (x, y) =>
+      val rgb = img.getRGB(x, y)
+      ((299 * ((rgb >> 16) & 0xFF) + 587 * ((rgb >> 8) & 0xFF)
+        + 114 * (rgb & 0xFF)) / 1000).toLong
+    }
+    val rowT = Array.tabulate(8, 32) { (u, y) =>
+      var s = 0L; var x = 0
+      while (x < 32) { s += g(x)(y) * dctT(u)(x); x += 1 }
+      s
+    }
+    val c = Array.tabulate(8, 8) { (u, v) =>
+      var s = 0L; var y = 0
+      while (y < 32) { s += rowT(u)(y) * dctT(v)(y); y += 1 }
+      s
+    }
+    val ac = (for (u <- 0 until 8; v <- 0 until 8 if u != 0 || v != 0)
+      yield c(u)(v)).sorted
+    val med = ac(31)
+    (for (u <- 0 until 8; v <- 0 until 8) yield (u, v)).foldLeft(0L) {
+      case (acc, (u, v)) =>
+        if (c(u)(v) > med) acc | (1L << (u * 8 + v)) else acc
+    }
+  }
+
+  /** 64-bit DCT perceptual hash (pHash): downscale to 32×32, keep the
+    * 8×8 low-frequency corner of the 2-D DCT, threshold each
+    * coefficient against the median AC coefficient. Captures coarse
+    * STRUCTURE rather than per-cell brightness, so it survives
+    * recompression, mild blur, and global brightness shifts that move
+    * every aHash cell at once — the stronger standard fingerprint
+    * next to [[aHashBytes]]. A global +k luma shift provably changes
+    * at most the DC bit: Σ_x dctT(u)(x) = 0 (asserted) kills the
+    * constant in every AC coefficient exactly. Entirely integer, so
+    * hashes are platform-exact. None for undecodable payloads. */
+  def phashBytes(content: Array[Byte]): Option[Long] =
+    decodeImage(content).map(src => phashImage(resizeImage(src, 32, 32)))
+
+  /** One decode pass → (media_id, phash); undecodable payloads keep
+    * their row with a null hash (the caller's sentinel choice). */
+  def phash64(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val rdd = media.select("media_id", "content").rdd.map { r =>
+      val h = Option(r.getAs[Array[Byte]]("content")).flatMap(phashBytes)
+      Row(r.getAs[Long]("media_id"), h.map(Long.box).orNull)
+    }
+    spark.createDataFrame(rdd, StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("phash", LongType, nullable = true))))
+  }
+
+  /** pHash near-duplicate pairs: the same banded-Hamming kernel as
+    * [[ahashNearDupPairs]] (four 16-bit bands, pigeonhole-exact at
+    * maxBits ≤ 3, hot-band cap), fed by the DCT hash — structure-level
+    * near-dups (recompressed, re-brightened copies) that per-cell
+    * aHash can miss. Undecodable payloads drop before the join. */
+  def phashNearDupPairs(media: DataFrame, maxBits: Int = 3,
+      maxBucket: Long = 10000L): DataFrame = {
+    val spark = media.sparkSession
+    val rdd = media.select("media_id", "content").rdd.flatMap { r =>
+      Option(r.getAs[Array[Byte]]("content"))
+        .flatMap(phashBytes)
+        .map(h => Row(r.getAs[Long]("media_id"), h))
+    }
+    val sigs = spark.createDataFrame(rdd, StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("sig", LongType, nullable = false))))
+    Dedup.bandedHammingPairs(sigs, maxBits, maxBucket)
+  }
+
   /** Perceptual near-duplicate image pairs — the multimodal member of
     * the dedup family. One mapPartitions decode pass computes each
     * image's 64-bit aHash; candidates then come from the SAME banded

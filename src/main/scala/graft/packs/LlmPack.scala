@@ -825,6 +825,61 @@ object LlmPack extends QueryPack {
         .select(col("a"), col("b"), col("dist").cast("long").as("dist"))
         .orderBy("a", "b")
     }),
+    // DCT pHash (Multimodal.phashBytes): 32x32 fixtures make the
+    // resize the identity and the hash DERIVABLE — the asserted
+    // cancellation sums force all-AC-zero for solids (gray -> DC bit
+    // only = 1, black -> 0) and confine a half-split's energy to one
+    // DCT row/column whose signs follow the half-range cosine sums
+    // (vertical -> bits {0,8,40}, horizontal -> bits {0,1,5}); a
+    // non-image payload keeps its row with the -1 sentinel.
+    "multimodal_phash" -> ((s, dir) => {
+      import s.implicits._
+      def img32(rgb: (Int, Int) => Int): Array[Byte] = {
+        val b = new java.awt.image.BufferedImage(32, 32,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        (0 until 32).foreach(x => (0 until 32).foreach(y => b.setRGB(x, y, rgb(x, y))))
+        val out = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(b, "png", out)
+        out.toByteArray
+      }
+      val media = Seq(
+        (1L, img32((_, _) => 0x808080)),
+        (2L, img32((_, _) => 0x000000)),
+        (3L, img32((x, _) => if (x < 16) 0xFFFFFF else 0x000000)),
+        (4L, img32((_, y) => if (y < 16) 0xFFFFFF else 0x000000)),
+        (5L, "not an image".getBytes("UTF-8"))).toDF("media_id", "content")
+      graft.llm.Multimodal.phash64(media)
+        .select(col("media_id"), coalesce(col("phash"), lit(-1L)).as("phash"))
+        .orderBy("media_id")
+    }),
+    // pHash near-dup pairs through the shared banded-Hamming kernel:
+    // the fixture hashes above give every pairwise distance by set
+    // algebra — gray{0} black{} vert{0,8,40} horiz{0,1,5} copy=vert —
+    // so the <=3-bit pair list is derivable: solids pair with
+    // everything (all solids are perceptually dull — correct), the two
+    // orthogonal splits sit 4 bits apart and do NOT pair, the exact
+    // copy pairs at 0.
+    "multimodal_phash_neardup" -> ((s, dir) => {
+      import s.implicits._
+      def img32(rgb: (Int, Int) => Int): Array[Byte] = {
+        val b = new java.awt.image.BufferedImage(32, 32,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        (0 until 32).foreach(x => (0 until 32).foreach(y => b.setRGB(x, y, rgb(x, y))))
+        val out = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(b, "png", out)
+        out.toByteArray
+      }
+      val media = Seq(
+        (1L, img32((_, _) => 0x808080)),
+        (2L, img32((_, _) => 0x000000)),
+        (3L, img32((x, _) => if (x < 16) 0xFFFFFF else 0x000000)),
+        (4L, img32((_, y) => if (y < 16) 0xFFFFFF else 0x000000)),
+        (5L, "not an image".getBytes("UTF-8")),
+        (6L, img32((x, _) => if (x < 16) 0xFFFFFF else 0x000000))).toDF("media_id", "content")
+      graft.llm.Multimodal.phashNearDupPairs(media)
+        .select(col("a"), col("b"), col("dist").cast("long").as("dist"))
+        .orderBy("a", "b")
+    }),
     // The applied image-dedup decision: perceptual pairs → min-label
     // clusters → keep one representative per cluster. The undecodable
     // payload passes through (no hash, no pair, not a dup) — the same
@@ -2138,6 +2193,29 @@ object LlmPack extends QueryPack {
         |  (CAST(1 AS BIGINT), CAST(2 AS BIGINT), CAST(1 AS BIGINT)),
         |  (CAST(1 AS BIGINT), CAST(3 AS BIGINT), CAST(0 AS BIGINT)),
         |  (CAST(2 AS BIGINT), CAST(3 AS BIGINT), CAST(1 AS BIGINT)))
+        |  AS t(a, b, dist) ORDER BY a, b""".stripMargin,
+    // derived bit sets: gray = DC only = 1, black = 0,
+    // vertical = 1 + 2^8 + 2^40, horizontal = 1 + 2 + 32
+    "multimodal_phash" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(1 AS BIGINT), CAST(1 AS BIGINT)),
+        |  (CAST(2 AS BIGINT), CAST(0 AS BIGINT)),
+        |  (CAST(3 AS BIGINT), CAST(1099511628033 AS BIGINT)),
+        |  (CAST(4 AS BIGINT), CAST(35 AS BIGINT)),
+        |  (CAST(5 AS BIGINT), CAST(-1 AS BIGINT)))
+        |  AS t(media_id, phash) ORDER BY media_id""".stripMargin,
+    // pairwise symmetric-difference sizes of the bit sets above;
+    // (3,4) and (4,6) sit at 4 bits and are absent
+    "multimodal_phash_neardup" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(1 AS BIGINT), CAST(2 AS BIGINT), CAST(1 AS BIGINT)),
+        |  (CAST(1 AS BIGINT), CAST(3 AS BIGINT), CAST(2 AS BIGINT)),
+        |  (CAST(1 AS BIGINT), CAST(4 AS BIGINT), CAST(2 AS BIGINT)),
+        |  (CAST(1 AS BIGINT), CAST(6 AS BIGINT), CAST(2 AS BIGINT)),
+        |  (CAST(2 AS BIGINT), CAST(3 AS BIGINT), CAST(3 AS BIGINT)),
+        |  (CAST(2 AS BIGINT), CAST(4 AS BIGINT), CAST(3 AS BIGINT)),
+        |  (CAST(2 AS BIGINT), CAST(6 AS BIGINT), CAST(3 AS BIGINT)),
+        |  (CAST(3 AS BIGINT), CAST(6 AS BIGINT), CAST(0 AS BIGINT)))
         |  AS t(a, b, dist) ORDER BY a, b""".stripMargin,
     "multimodal_dedup_apply" ->
       """SELECT * FROM (VALUES (CAST(1 AS BIGINT)), (CAST(4 AS BIGINT)),

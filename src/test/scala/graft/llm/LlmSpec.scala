@@ -541,6 +541,102 @@ class LlmSpec extends SparkSpec {
     assert(out(99L) == (2L, 300L))       // (1 + 5) * 100 div 2 = 300
   }
 
+  test("phashBytes matches an independent direct-quadruple-loop DCT recompute") {
+    import graft.llm.Multimodal
+    // textured deterministic grayscale images; PNG is lossless so the
+    // engine hashes exactly these pixels (32x32 = identity resize)
+    def png32(seed: Int): Array[Byte] = {
+      val b = new java.awt.image.BufferedImage(32, 32,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      (0 until 32).foreach(x => (0 until 32).foreach { y =>
+        val v = (seed * 7919 + x * 131 + y * 37 + x * y * 13) % 256
+        b.setRGB(x, y, v << 16 | v << 8 | v)
+      })
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(b, "png", out)
+      out.toByteArray
+    }
+    // independent path: same pinned cosine table constant, but a
+    // direct (non-separable) quadruple loop and its own median logic
+    val t = Array.tabulate(8, 32) { (u, x) =>
+      Math.rint(Math.cos(Math.PI * (2 * x + 1) * u / 64) * 10000).toLong
+    }
+    def expected(seed: Int): Long = {
+      def luma(x: Int, y: Int): Long = {
+        val v = (seed * 7919 + x * 131 + y * 37 + x * y * 13) % 256
+        (299L * v + 587L * v + 114L * v) / 1000L
+      }
+      val c = for (u <- 0 until 8; v <- 0 until 8) yield {
+        var s = 0L
+        for (x <- 0 until 32; y <- 0 until 32)
+          s += luma(x, y) * t(u)(x) * t(v)(y)
+        s
+      }
+      val med = c.tail.sorted.apply(31) // AC = all but (0,0), rank-32
+      c.zipWithIndex.foldLeft(0L) { case (acc, (cv, i)) =>
+        if (cv > med) acc | (1L << i) else acc
+      }
+    }
+    (1 to 4).foreach { seed =>
+      assert(Multimodal.phashBytes(png32(seed)) == Some(expected(seed)),
+        s"seed $seed")
+    }
+  }
+
+  test("phash: a global brightness shift flips at most the DC bit (exact AC invariance)") {
+    import graft.llm.Multimodal
+    def png32(shift: Int): Array[Byte] = {
+      val b = new java.awt.image.BufferedImage(32, 32,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      (0 until 32).foreach(x => (0 until 32).foreach { y =>
+        // base lumas in [40, 200): +40 never clips, and the +40-per-
+        // channel shift is exactly +40 in integer luma (40000/1000)
+        val v = 40 + (x * 131 + y * 37 + x * y * 13) % 160 + shift
+        b.setRGB(x, y, v << 16 | v << 8 | v)
+      })
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(b, "png", out)
+      out.toByteArray
+    }
+    val Some(h0) = Multimodal.phashBytes(png32(0))
+    val Some(h1) = Multimodal.phashBytes(png32(40))
+    assert((h0 & ~1L) == (h1 & ~1L),
+      f"AC bits moved: $h0%016x vs $h1%016x")
+  }
+
+  test("phashNearDupPairs equals brute force at maxBits <= 3 (pigeonhole completeness)") {
+    import graft.llm.Multimodal
+    def png32(seed: Int, tweak: Int): Array[Byte] = {
+      val b = new java.awt.image.BufferedImage(32, 32,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      (0 until 32).foreach(x => (0 until 32).foreach { y =>
+        val v0 = (seed * 101 + x * 17 + y * 29) % 256
+        val v = if (tweak > 0 && x < tweak) (v0 + 128) % 256 else v0
+        b.setRGB(x, y, v << 16 | v << 8 | v)
+      })
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(b, "png", out)
+      out.toByteArray
+    }
+    val media = ((0 until 12).map(i => (i.toLong, png32(i, 0)))
+      ++ (0 until 4).map(i => (100L + i, png32(i * 3, 0)))       // copies
+      ++ (0 until 4).map(i => (200L + i, png32(i * 2, 2)))       // edits
+      ).toDF("media_id", "content")
+    val banded = Multimodal.phashNearDupPairs(media)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val sigs = media.collect().flatMap { r =>
+      Multimodal.phashBytes(r.getAs[Array[Byte]]("content"))
+        .map(h => (r.getLong(0), h))
+    }
+    val brute = (for {
+      (ia, ha) <- sigs; (ib, hb) <- sigs if ia < ib
+      d = java.lang.Long.bitCount(ha ^ hb) if d <= 3
+    } yield (ia, ib, d)).toSet
+    assert(banded == brute, s"banded ${banded.size} vs brute ${brute.size}")
+    (0 until 4).foreach(i =>
+      assert(banded.contains((i * 3L, 100L + i, 0)), s"copy $i missing"))
+  }
+
   test("stupidBackoff: hand-traced backoff chain, coverage telemetry, short docs drop") {
     // train doc "a b c a b c": N=6; uni a/b/c=2; bigrams ab=2 bc=2
     // ca=1 (heads a=2 b=2 c=1); trigrams abc=2 bca=1 cab=1 (contexts
