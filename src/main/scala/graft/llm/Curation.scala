@@ -413,35 +413,39 @@ object Curation {
     * the cross-engine keyed hash, so the DuckDB twin reproduces
     * collisions exactly.
     *
-    * Scale shape: tokenize+bucket is NARROW; the two models are hash
-    * aggregates of at most `buckets` rows each (broadcast-sized by
-    * construction — that is the point of feature hashing); scoring is
-    * two broadcast equi-joins on the bucket id plus two single-row
-    * totals. Nothing grows with corpus size except the one token
-    * stream pass. Output (id, n_tokens, dsir_x100). */
+    * Scale shape: tokenize+bucket is NARROW, and the hashed token
+    * stream is cached for the query's single run (the Materialize
+    * lifecycle) so the corpus tokenizes+md5s ONCE; BOTH models land in
+    * one hash aggregate (per-bucket (cp, cq) with the target count as
+    * a conditional sum — at most `buckets` rows, broadcast-sized by
+    * construction, that is the point of feature hashing) whose totals
+    * are a sum OVER THE MODEL, not another corpus pass; scoring is one
+    * broadcast equi-join on the bucket id plus a single-row total.
+    * Nothing grows with corpus size except the one token-stream pass.
+    * Output (id, n_tokens, dsir_x100). */
   def dsirScores(docs: DataFrame, idCol: String, textCol: String,
       targetPred: org.apache.spark.sql.Column, buckets: Int = 8192,
-      seed: String = "dsir"): DataFrame = {
-    val toks = docs
+      seed: String = "dsir"): DataFrame =
+    graft.core.Materialize.withCached(docs
       .select(col(idCol).as("id"), targetPred.as("is_target"),
         explode(filter(split(col(textCol), " "), x => x =!= "")).as("tok"))
       .select(col("id"), col("is_target"),
-        pmod(graft.functions.F.hash32(col("tok"), seed, "b"), lit(buckets.toLong)).as("b"))
-    val tgt = toks.filter(col("is_target")).groupBy("b").agg(count(lit(1)).as("cp"))
-    val np = toks.filter(col("is_target")).agg(count(lit(1)).as("np"))
-    val pool = toks.groupBy("b").agg(count(lit(1)).as("cq"))
-    val nq = toks.agg(count(lit(1)).as("nq"))
-    toks
-      .join(broadcast(tgt), Seq("b"), "left")
-      .join(broadcast(pool), Seq("b"), "left")
-      .crossJoin(broadcast(np)).crossJoin(broadcast(nq))
-      .select(col("id"),
-        (expr(s"length(bin((nq + $buckets) div (coalesce(cq, 0) + 1)))")
-          - expr(s"length(bin((np + $buckets) div (coalesce(cp, 0) + 1)))")).as("ml"))
-      .groupBy("id")
-      .agg(count(lit(1)).as("n_tokens"),
-        expr("(sum(ml) * 100) div count(1)").as("dsir_x100"))
-  }
+        pmod(graft.functions.F.hash32(col("tok"), seed, "b"),
+          lit(buckets.toLong)).as("b"))) { toks =>
+      val model = toks.groupBy("b").agg(
+        sum(when(col("is_target"), lit(1L)).otherwise(lit(0L))).as("cp"),
+        count(lit(1)).as("cq"))
+      val totals = model.agg(sum("cp").as("np"), sum("cq").as("nq"))
+      toks
+        .join(broadcast(model), Seq("b"))
+        .crossJoin(broadcast(totals))
+        .select(col("id"),
+          (expr(s"length(bin((nq + $buckets) div (cq + 1)))")
+            - expr(s"length(bin((np + $buckets) div (cp + 1)))")).as("ml"))
+        .groupBy("id")
+        .agg(count(lit(1)).as("n_tokens"),
+          expr("(sum(ml) * 100) div count(1)").as("dsir_x100"))
+    }
 
   def chunkDocuments(docs: DataFrame, idCol: String, textCol: String,
       chunkTokens: Int, overlapTokens: Int): DataFrame = {

