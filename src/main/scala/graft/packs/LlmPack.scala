@@ -140,6 +140,33 @@ object LlmPack extends QueryPack {
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id")
     }),
+    // CCNet-style perplexity buckets (Wenzek et al. 2020 §4.3): the
+    // LM scores composed into the decision the pipeline actually
+    // ships — per-language head/middle/tail TERCILES by perplexity
+    // (head = lowest = cleanest; CCNet trains on head+middle). Tercile
+    // = ntile(3) over (lang, score, doc_id) — rank-based and
+    // deterministic, identical semantics in both engines. The per-lang
+    // window sort is the exact-oracle choice; a 100 TB deployment
+    // would cut at approx-quantile thresholds instead (same outputs up
+    // to boundary ties, no global sort).
+    "curation_ccnet_buckets" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val d = docs(s, dir)
+      val lm = TA.stupidBackoff(d, "doc_id", "text", col("doc_id") % 10 =!= 0)
+        .select(col("id").as("doc_id"), col("lm_bits_x100"))
+      val w = Window.partitionBy("lang")
+        .orderBy(col("lm_bits_x100"), col("doc_id"))
+      d.select(col("doc_id"), col("lang"))
+        .join(lm, "doc_id")
+        .withColumn("bucket",
+          when(ntile(3).over(w) === 1, lit("head"))
+            .when(ntile(3).over(w) === 2, lit("middle"))
+            .otherwise(lit("tail")))
+        .groupBy("lang", "bucket")
+        .agg(count(lit(1)).as("n_docs"),
+          max(col("lm_bits_x100")).as("max_bits_x100"))
+        .orderBy("lang", "bucket")
+    }),
     // Free-text PII scrub (TA.scrubPii): inject deterministic PII —
     // an email per doc, a phone on evens, an IPv4 on %3, an SSN on %5 —
     // then redact to typed placeholders and report per-kind audit
@@ -1986,6 +2013,55 @@ object LlmPack extends QueryPack {
         |  CAST(sum(CASE WHEN lvl = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
         |  CAST(sum(sb) // count(*) AS BIGINT) AS lm_bits_x100
         |FROM sc GROUP BY id ORDER BY doc_id""".stripMargin,
+    // the text_lm_score CTE algebra (no OOV-injection tail — the
+    // composition scores the raw corpus), then the same deterministic
+    // rank-based terciles: ntile(3) over (lang, score, doc_id)
+    "curation_ccnet_buckets" ->
+      """WITH base AS (SELECT doc_id AS id, (doc_id % 10 <> 0) AS is_train,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS w
+        |  FROM documents),
+        |ttok AS (SELECT unnest(w) AS w3 FROM base WHERE is_train),
+        |uni AS (SELECT w3, count(*) AS cu FROM ttok GROUP BY 1),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM ttok),
+        |tbi AS (SELECT w[i] AS w2, w[i+1] AS w3
+        |  FROM (SELECT w, unnest(generate_series(1, len(w) - 1)) AS i
+        |        FROM base WHERE is_train AND len(w) >= 2)),
+        |bi AS (SELECT w2, w3, count(*) AS cb FROM tbi GROUP BY 1, 2),
+        |bh AS (SELECT w2, count(*) AS ch FROM tbi GROUP BY 1),
+        |ttr AS (SELECT w[i] AS w1, w[i+1] AS w2, w[i+2] AS w3
+        |  FROM (SELECT w, unnest(generate_series(1, len(w) - 2)) AS i
+        |        FROM base WHERE is_train AND len(w) >= 3)),
+        |tri AS (SELECT w1, w2, w3, count(*) AS ct FROM ttr GROUP BY 1, 2, 3),
+        |th AS (SELECT w1, w2, count(*) AS cth FROM ttr GROUP BY 1, 2),
+        |str AS (SELECT id, w[i] AS w1, w[i+1] AS w2, w[i+2] AS w3
+        |  FROM (SELECT id, w, unnest(generate_series(1, len(w) - 2)) AS i
+        |        FROM base WHERE len(w) >= 3)),
+        |sc AS (SELECT s.id,
+        |    CASE WHEN tri.ct IS NOT NULL
+        |           THEN 100 * length(format('{:b}', CAST(th.cth // tri.ct AS BIGINT)))
+        |         WHEN bi.cb IS NOT NULL
+        |           THEN 132 + 100 * length(format('{:b}', CAST(bh.ch // bi.cb AS BIGINT)))
+        |         WHEN uni.cu IS NOT NULL
+        |           THEN 264 + 100 * length(format('{:b}', CAST(tot.n_total // uni.cu AS BIGINT)))
+        |         ELSE 264 + 100 * length(format('{:b}', tot.n_total)) END AS sb
+        |  FROM str s
+        |  LEFT JOIN tri USING (w1, w2, w3)
+        |  LEFT JOIN th USING (w1, w2)
+        |  LEFT JOIN bi USING (w2, w3)
+        |  LEFT JOIN bh USING (w2)
+        |  LEFT JOIN uni USING (w3)
+        |  CROSS JOIN tot),
+        |lm AS (SELECT id AS doc_id,
+        |    CAST(sum(sb) // count(*) AS BIGINT) AS lm_bits_x100
+        |  FROM sc GROUP BY id),
+        |tiles AS (SELECT d.lang, lm.lm_bits_x100,
+        |    ntile(3) OVER (PARTITION BY d.lang
+        |      ORDER BY lm.lm_bits_x100, d.doc_id) AS t
+        |  FROM documents d JOIN lm USING (doc_id))
+        |SELECT lang,
+        |  CASE t WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket,
+        |  count(*) AS n_docs, max(lm_bits_x100) AS max_bits_x100
+        |FROM tiles GROUP BY 1, 2 ORDER BY lang, bucket""".stripMargin,
     // same head-count denominator (w1 as bigram head), same binary-
     // format bitlength, same ×100 floor mean
     "text_bigram_surprisal" ->
