@@ -339,6 +339,76 @@ object ArgmaxOps {
   }
 }
 
+/** The PQ assignment loop shared by [[ArgminL2Bucket]]'s interpreted
+  * eval and its generated code (the ArgmaxOps delegation shape).
+  * IEEE op order is frozen for the oracle: each term is
+  * (v − c_j)·(v − c_j) in double, accumulated left-to-right; the
+  * comparable is `floor(sum · 1e6 + 0.5)` cast to long; centroids
+  * iterate in ascending-cid order with a strict `<`, so the smallest
+  * distance wins with ties to the smallest cid — the exact mirror of
+  * `ROW_NUMBER() OVER (ORDER BY d2s, cid) = 1`. */
+object ArgminL2Ops {
+  def compute(a: ArrayData, isFloat: Boolean, m: Array[Array[Double]],
+      cids: Array[Int]): Int = {
+    val n = a.numElements()
+    var best = Long.MaxValue
+    var bucket = cids(0)
+    var c = 0
+    while (c < m.length) {
+      val cemb = m(c)
+      val lim = math.min(n, cemb.length)
+      var s = 0.0
+      var j = 0
+      while (j < lim) {
+        val v = if (isFloat) a.getFloat(j).toDouble else a.getDouble(j)
+        val d = v - cemb(j)
+        s += d * d
+        j += 1
+      }
+      val d2s = math.floor(s * 1000000d + 0.5d).toLong
+      if (d2s < best) { best = d2s; bucket = cids(c) }
+      c += 1
+    }
+    bucket
+  }
+}
+
+/** `argmin_l2_bucket(vec)` → int: nearest-centroid assignment under
+  * SQUARED L2 against a plan-literal centroid matrix — the product-
+  * quantization codebook assignment (PQ reconstructs dot products, so
+  * subvector GEOMETRY matters and the metric is L2, where IVF's
+  * bucket routing is cosine). Same narrow-projection rationale as
+  * [[ArgmaxBucket]]: no Exchange at any corpus size; numeric
+  * semantics frozen in [[ArgminL2Ops]]. */
+case class ArgminL2Bucket(child: Expression, cids: Array[Int],
+    cents: Array[Array[Double]])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  require(cents.nonEmpty && cents.length == cids.length,
+    "argmin_l2_bucket: empty or misaligned centroid set")
+
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def prettyName: String = "argmin_l2_bucket"
+
+  private def isFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override protected def nullSafeEval(a: Any): Any =
+    ArgminL2Ops.compute(a.asInstanceOf[ArrayData], isFloat, cents, cids)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val m = ctx.addReferenceObj("pqCentMatrix", cents, "double[][]")
+    val ci = ctx.addReferenceObj("pqCentIds", cids, "int[]")
+    defineCodeGen(ctx, ev, a =>
+      s"graft.functions.ArgminL2Ops.compute($a, $isFloat, $m, $ci)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** `argmax_bucket(vec)` → int: IVF bucket assignment as ONE narrow
   * codegen'd expression against a plan-literal centroid matrix — the
   * nearest-centroid argmax that every IVF pass runs over the WHOLE

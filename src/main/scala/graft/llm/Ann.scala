@@ -464,4 +464,160 @@ object Ann {
       else spark.read.parquet(keep.toIndexedSeq: _*)
     rankTopK(broadcast(probes).join(assigned, Seq("bucket")), k)
   }
+
+  // ---- Product quantization (Jégou, Douze & Schmid 2011) ------------
+
+  /** Per-subspace argmin-L2 assignment as a NARROW projection (the
+    * [[assignBuckets]] rationale, PQ's metric): the codebook collects
+    * to the driver — m·ksub rows, it IS the codebook — and compiles
+    * into the codegen'd [[graft.functions.ArgminL2Bucket]]. Smallest
+    * ×1e6-scaled squared distance wins, ties to the smallest cid. */
+  private def pqAssignExpr(sub: Column,
+      cents: Array[(Int, Array[Double])]): Column = {
+    import graft.functions.{ArgminL2Bucket, F}
+    F.toColumn(ArgminL2Bucket(F.toExpr(sub), cents.map(_._1), cents.map(_._2)))
+  }
+
+  /** PQ codebooks: slice each vector into `m` contiguous dim/m
+    * subvectors and train an independent ksub-centroid k-means per
+    * subspace — seeded by the SAME keyed-md5 init as IVF (seed
+    * `pq<s>`), refined by `iters` Lloyd steps whose assignment metric
+    * is squared L2 (PQ approximates dot products from reconstructed
+    * subvectors, so subspace geometry — not direction — is what must
+    * be preserved; cosine stays the IVF routing metric). Mean updates
+    * run in the same order-independent integer fixed-point as
+    * [[lloydStep]].
+    *
+    * The build scans the cached corpus m·(iters+1) times and each step
+    * localizes to a ≤ksub-row driver table (the [[ivfCentroids]]
+    * lifecycle); the result is metadata-sized: m·ksub rows of dim/m
+    * doubles. Output (sub, cid, cemb). */
+  def pqCodebooks(corpus: DataFrame, m: Int, ksub: Int, iters: Int = 2,
+      seed: String = "pq"): DataFrame = {
+    val cached = corpus.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val dim = cached.select(size(col("ce")).as("d")).head.getInt(0)
+      require(dim % m == 0, s"pqCodebooks: dim $dim not divisible by m $m")
+      val d = dim / m
+      def localize(df: DataFrame): DataFrame = corpus.sparkSession.createDataFrame(
+        java.util.Arrays.asList(df.collect(): _*), df.schema)
+      (0 until m).map { s =>
+        val sub = cached.select(col("vec_id"),
+          expr(s"slice(ce, ${s * d + 1}, $d)").as("ce"))
+        val fin = (0 until iters).foldLeft(
+          localize(seedCentroids(sub, ksub, s"$seed$s"))) { (cent, _) =>
+          val cents = cent.select(col("cid"), col("cemb")).collect()
+            .map(r => (r.getInt(0), r.getSeq[Double](1).toArray)).sortBy(_._1)
+          val asg = sub.select(col("vec_id"), col("ce"),
+            pqAssignExpr(col("ce"), cents).as("bucket"))
+          localize(asg.groupBy("bucket")
+            .agg(count(lit(1)).as("n"),
+              (0 until d).map(p =>
+                sum(floor(element_at(col("ce"), p + 1).cast("double") * 1000000d)
+                  .cast("long")).as(s"s$p")): _*)
+            .select(col("bucket").as("cid"),
+              array((0 until d).map(p =>
+                col(s"s$p").cast("double") / (col("n") * 1000000L).cast("double")): _*)
+                .as("cemb")))
+        }
+        fin.withColumn("sub", lit(s))
+      }.reduce(_ unionByName _)
+    } finally cached.unpersist(blocking = false)
+  }
+
+  /** PQ encode: per subspace, the argmin-L2 code — ONE narrow
+    * projection per vector, zero Exchange (this is the write-time pass
+    * that turns a dim·4-byte float vector into m one-byte codes, the
+    * 100 TB storage lever: 64 floats → 4 codes here). `x2hat` — the
+    * reconstruction's squared norm Σ_s |cb(s, code_s)|², the
+    * query-independent half of the approximate cosine — is computed
+    * once at encode time from the codebook norms (subspaces are
+    * orthogonal coordinate blocks, so the cross terms are zero by
+    * construction). Output (vec_id, codes array<int>, x2hat). */
+  def pqEncode(corpus: DataFrame, codebooks: DataFrame): DataFrame = {
+    val cb = codebooks.select(col("sub"), col("cid"), col("cemb")).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
+    val m = cb.map(_._1).max + 1
+    val d = cb.head._3.length
+    val bySub = (0 until m).map(s =>
+      cb.collect { case (`s`, cid, c) => (cid, c) }.sortBy(_._1))
+    val norms = bySub.map(_.map { case (cid, c) =>
+      var t = 0.0; var i = 0
+      while (i < c.length) { t += c(i) * c(i); i += 1 }
+      (cid, t)
+    }.toMap)
+    val withCodes = (0 until m).foldLeft(corpus.select(col("vec_id"), col("ce"))) {
+      (df, s) =>
+        df.withColumn(s"_c$s",
+          pqAssignExpr(expr(s"slice(ce, ${s * d + 1}, $d)"), bySub(s)))
+    }
+    val x2 = (0 until m).map { s =>
+      val cases = norms(s).toSeq.sortBy(_._1).map { case (cid, n) =>
+        when(col(s"_c$s") === cid, lit(n))
+      }
+      coalesce(cases: _*)
+    }.reduce(_ + _)
+    withCodes.select(col("vec_id"),
+      array((0 until m).map(s => col(s"_c$s")): _*).as("codes"),
+      x2.as("x2hat"))
+  }
+
+  /** PQ search by asymmetric distance computation (ADC): each query
+    * builds its m·ksub lookup table tdot(s, c) = dot(q_s, cb(s, c))
+    * once — |q|·m·ksub rows, broadcast-sized — and every stored
+    * vector's approximate dot is the SUM of m table lookups keyed by
+    * its codes; the approximate cosine divides by sqrt(qe2 · x2hat).
+    * Table entries are ×1e6-scaled integers BEFORE the sum — m partial
+    * aggregates land in arbitrary order, and integer addition is the
+    * established order-independence device (the lloydStep trick), so
+    * scores are bit-identical across partitionings and engines.
+    * The corpus-side scan reads only (vec_id, codes, x2hat) — the
+    * 4×-to-64×-smaller representation IS the speed at 100 TB; the
+    * explode-join-sum is m rows per stored vector through one
+    * broadcast hash join and one partial+final aggregate, no window
+    * until the per-query top-k rank. Exact re-ranking of the ADC
+    * top-k against full vectors is the standard second stage and
+    * composes from [[cosineTopK]] when needed; this operator pins the
+    * ADC math itself. Output (qid, vec_id, cos_x1e4, rank ≤ k). */
+  def pqTopK(queries: DataFrame, encoded: DataFrame, codebooks: DataFrame,
+      k: Int = 10): DataFrame = {
+    val d = codebooks.select(size(col("cemb")).as("d")).head.getInt(0)
+    val qt = queries
+      .select(col("qid"), col("qe"), dotExpr("qe", "qe").as("qe2"))
+      .crossJoin(broadcast(codebooks))
+      .select(col("qid"), col("qe2"), col("sub"), col("cid"),
+        floor(graft.functions.F.toColumn(graft.functions.ArrayDot(
+          graft.functions.F.toExpr(expr(s"slice(qe, sub * $d + 1, $d)")),
+          graft.functions.F.toExpr(col("cemb")))) * lit(1000000d) + lit(0.5d))
+          .cast("long").as("tdot6"))
+    val codes = encoded.select(col("vec_id"), col("x2hat"),
+      posexplode(col("codes")).as(Seq("sub", "cid")))
+    val scored = codes
+      .join(broadcast(qt), Seq("sub", "cid"))
+      .groupBy("qid", "vec_id", "qe2", "x2hat")
+      .agg(sum(col("tdot6")).as("adot6"))
+      .select(col("qid"), col("vec_id"),
+        graft.functions.F.scale4((col("adot6").cast("double") / lit(1000000d))
+          / sqrt(col("qe2") * col("x2hat"))).as("cos_x1e4"))
+    val w = Window.partitionBy("qid").orderBy(desc("cos_x1e4"), asc("vec_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** PQ search with the standard exact second stage: ADC shortlists
+    * `shortlist` candidates per query from codes alone, then ONLY the
+    * shortlisted vectors' full embeddings are read and re-ranked by
+    * exact cosine ([[rankTopK]]'s precomputed-self-dot loop). Within a
+    * tight cluster ADC collapses members onto shared reconstructions
+    * (the documented tie regime) — the re-rank restores true order
+    * while the full-precision reads stay at |q|·shortlist rows, not
+    * the corpus. Same output contract as [[ivfTopK]]. */
+  def pqTopKReranked(queries: DataFrame, encoded: DataFrame,
+      codebooks: DataFrame, corpus: DataFrame, k: Int = 10,
+      shortlist: Int = 50): DataFrame = {
+    val cand = pqTopK(queries, encoded, codebooks, shortlist)
+      .select(col("qid"), col("vec_id"))
+    val qs = queries.select(col("qid"), col("qe"), dotExpr("qe", "qe").as("qe2"))
+    val cs = corpus.select(col("vec_id"), col("ce"), dotExpr("ce", "ce").as("ce2"))
+    rankTopK(cand.join(broadcast(qs), Seq("qid")).join(cs, Seq("vec_id")), k)
+  }
 }

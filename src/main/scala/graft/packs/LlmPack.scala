@@ -624,6 +624,38 @@ object LlmPack extends QueryPack {
       Ann.ivfTopK(q, c, cent, TOPK, NPROBE)
         .select("qid", "vec_id", "cos_x1e4", "rank").orderBy("qid", "rank")
     }),
+    // Product quantization (Ann.pqCodebooks/pqEncode/pqTopK): the
+    // storage-side compression lever next to IVF's scan pruning —
+    // 64 floats become PQ_M one-byte codes, and search is asymmetric
+    // distance computation (per-query lookup tables, integer-summed).
+    // Codebooks are per-subspace L2 k-means from the same seeded-Lloyd
+    // build; every stage is fixed-point deterministic, so the oracle
+    // reproduces the full train→encode→ADC-rank pipeline bit-for-bit.
+    "ann_topk_pq" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val c = e.select(col("vec_id"), col("embedding").as("ce"))
+      val cb = Ann.pqCodebooks(c, PQ_M, PQ_K, LLOYD)
+      val enc = Ann.pqEncode(c, cb)
+      val q = e.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      Ann.pqTopK(q, enc, cb, TOPK)
+        .select("qid", "vec_id", "cos_x1e4", "rank").orderBy("qid", "rank")
+    }),
+    // PQ with the standard exact second stage: ADC shortlists PQ_SHORT
+    // candidates from codes alone; only those vectors' full embeddings
+    // are read back and re-ranked by exact cosine — within-cluster ADC
+    // ties (shared reconstructions) resolve to the true order while
+    // full-precision reads stay |q|·shortlist, not corpus-sized.
+    "ann_topk_pq_rerank" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val c = e.select(col("vec_id"), col("embedding").as("ce"))
+      val cb = Ann.pqCodebooks(c, PQ_M, PQ_K, LLOYD)
+      val enc = Ann.pqEncode(c, cb)
+      val q = e.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      Ann.pqTopKReranked(q, enc, cb, c, TOPK, PQ_SHORT)
+        .select("qid", "vec_id", "cos_x1e4", "rank").orderBy("qid", "rank")
+    }),
     // INCREMENTAL index maintenance: yesterday's corpus (6/7 of the
     // vectors) trains the centroids; today's arrivals assign to the
     // FROZEN geometry and append — no re-cluster, no touch of the old
@@ -1243,6 +1275,9 @@ object LlmPack extends QueryPack {
 
   // IVF parameters shared by the engine queries and the oracle mirror.
   private val NC = 10; private val LLOYD = 2; private val NPROBE = 2; private val TOPK = 10
+  // PQ parameters: 4 subspaces of 16 dims, 8 codes each (a fixture-
+  // sized codebook; 256 codes is the at-scale default).
+  private val PQ_M = 4; private val PQ_K = 8; private val PQ_SHORT = 50
   private val CCAP = 5 // docs kept per embedding cluster (semantic diversity cap)
   private val DUP_T = 9500L // near-dup cosine threshold (×1e4)
   private val QUALITY_MIN = 2500L // curation quality gate (×1e4)
@@ -1368,6 +1403,104 @@ object LlmPack extends QueryPack {
   private def ivfTopkSql: String =
     "WITH " + ivfCtes(maxQ = 3).mkString(",\n") +
       "\nSELECT qid, vec_id, cos_x1e4, rank FROM ivf ORDER BY qid, rank"
+
+  /** PQ oracle: the full train→encode→ADC pipeline mirrored per
+    * subspace — seeded L2 k-means (×1e6 floor-scaled distance
+    * comparable, ties to smallest cid), integer-fixed-point mean
+    * updates (the updateSql pattern), final-codebook assignment as the
+    * encode, per-query ×1e6 integer lookup tables, code-keyed sum,
+    * approximate cosine against the reconstruction norm. */
+  private def pqCtesAndAdc: (Seq[String], Int => String) = {
+    val (m, ksub, d) = (PQ_M, PQ_K, 64 / PQ_M)
+    def d2s(a: String, c: String) =
+      s"CAST(FLOOR(list_sum(list_transform(list_zip($a, $c), " +
+        s"z -> (CAST(z[1] AS DOUBLE) - CAST(z[2] AS DOUBLE)) * " +
+        s"(CAST(z[1] AS DOUBLE) - CAST(z[2] AS DOUBLE)))) * 1000000 + 0.5) AS BIGINT)"
+    val subCtes = (0 until m).flatMap { s =>
+      val off = s * d
+      val es =
+        s"""es$s AS (SELECT vec_id, embedding[${off + 1}:${off + d}] AS se
+           |  FROM embeddings)""".stripMargin
+      val seed =
+        s"""pcent${s}_0 AS (
+           |  SELECT list_transform(se, x -> CAST(x AS DOUBLE)) AS cemb,
+           |    CAST(ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR) || ':pq$s'), vec_id) AS INT) - 1 AS cid
+           |  FROM es$s QUALIFY cid < $ksub)""".stripMargin
+      val lloyd = (0 until LLOYD).flatMap { i =>
+        Seq(
+          s"""pasg${s}_$i AS (
+             |  SELECT vec_id, se, cid AS bucket FROM (
+             |    SELECT e.vec_id, e.se, c.cid,
+             |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+             |        ORDER BY ${d2s("e.se", "c.cemb")} ASC, c.cid) AS rn
+             |    FROM es$s e, pcent${s}_$i c) WHERE rn = 1)""".stripMargin,
+          s"""pcent${s}_${i + 1} AS (
+             |  SELECT bucket AS cid, list(mm ORDER BY pos) AS cemb FROM (
+             |    SELECT bucket, pos,
+             |      CAST(SUM(fx) AS DOUBLE) / CAST(COUNT(*) * 1000000 AS DOUBLE) AS mm
+             |    FROM (
+             |      SELECT a.bucket, t.pos,
+             |        CAST(FLOOR(CAST(a.se[t.pos] AS DOUBLE) * 1000000) AS BIGINT) AS fx
+             |      FROM pasg${s}_$i a, UNNEST(generate_series(1, len(a.se))) AS t(pos))
+             |    GROUP BY bucket, pos)
+             |  GROUP BY bucket)""".stripMargin)
+      }
+      val enc =
+        s"""penc$s AS (
+           |  SELECT vec_id, bucket, ${dot("cb.cemb", "cb.cemb")} AS n2 FROM (
+           |    SELECT e.vec_id, c.cid AS bucket,
+           |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+           |        ORDER BY ${d2s("e.se", "c.cemb")} ASC, c.cid) AS rn
+           |    FROM es$s e, pcent${s}_$LLOYD c) x
+           |  JOIN pcent${s}_$LLOYD cb ON cb.cid = x.bucket WHERE rn = 1)""".stripMargin
+      val qt =
+        s"""pqt$s AS (
+           |  SELECT q.vec_id AS qid, c.cid,
+           |    CAST(FLOOR(${dot(s"q.embedding[${off + 1}:${off + d}]", "c.cemb")} * 1000000 + 0.5) AS BIGINT) AS tdot6
+           |  FROM embeddings q, pcent${s}_$LLOYD c WHERE q.vec_id < 3)""".stripMargin
+      Seq(es, seed) ++ lloyd ++ Seq(enc, qt)
+    }
+    val joins = (0 until m).map(s =>
+      s"JOIN penc$s e$s ON e$s.vec_id = v.vec_id " +
+        s"JOIN pqt$s t$s ON t$s.qid = q.vec_id AND t$s.cid = e$s.bucket").mkString("\n    ")
+    val adot6 = (0 until m).map(s => s"t$s.tdot6").mkString(" + ")
+    val x2hat = (0 until m).map(s => s"e$s.n2").mkString(" + ")
+    val score = s"CAST(FLOOR(CAST($adot6 AS DOUBLE) / 1000000 / " +
+      s"sqrt(${dot("q.embedding", "q.embedding")} * ($x2hat)) * 10000 + 0.5) AS BIGINT)"
+    val adc = (cut: Int) =>
+      s"""adc AS (
+         |  SELECT qid, vec_id, cos_x1e4, rank FROM (
+         |    SELECT q.vec_id AS qid, v.vec_id, $score AS cos_x1e4,
+         |      CAST(ROW_NUMBER() OVER (PARTITION BY q.vec_id
+         |        ORDER BY $score DESC, v.vec_id) AS INT) AS rank
+         |    FROM (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 3) q
+         |    CROSS JOIN (SELECT DISTINCT vec_id FROM embeddings) v
+         |      $joins)
+         |  WHERE rank <= $cut)""".stripMargin
+    (subCtes, adc)
+  }
+
+  private def pqTopkSql: String = {
+    val (ctes, adc) = pqCtesAndAdc
+    "WITH " + (ctes :+ adc(TOPK)).mkString(",\n") +
+      "\nSELECT qid, vec_id, cos_x1e4, rank FROM adc ORDER BY qid, rank"
+  }
+
+  /** PQ + exact re-rank oracle: the ADC CTE at the shortlist cut, then
+    * exact cosine over ONLY the shortlisted (qid, vec_id) pairs. */
+  private def pqRerankSql: String = {
+    val (ctes, adc) = pqCtesAndAdc
+    "WITH " + (ctes :+ adc(PQ_SHORT)).mkString(",\n") +
+      s"""
+         |SELECT qid, vec_id, cos_x1e4, rank FROM (
+         |  SELECT a.qid, a.vec_id, ${cosS("q.embedding", "v.embedding")} AS cos_x1e4,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY a.qid
+         |      ORDER BY ${cosS("q.embedding", "v.embedding")} DESC, a.vec_id) AS INT) AS rank
+         |  FROM adc a
+         |  JOIN embeddings q ON q.vec_id = a.qid
+         |  JOIN embeddings v ON v.vec_id = a.vec_id)
+         |WHERE rank <= $TOPK ORDER BY qid, rank""".stripMargin
+  }
 
   /** Incremental-index mirror: centroids train on the 6/7 base subset,
     * assignment and search cover the whole corpus — equal to the
@@ -2176,6 +2309,8 @@ object LlmPack extends QueryPack {
         |    CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_x1e4 DESC, vec_id) AS INT) AS rank
         |  FROM s2) WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
     "ann_topk_ivf" -> ivfTopkSql,
+    "ann_topk_pq" -> pqTopkSql,
+    "ann_topk_pq_rerank" -> pqRerankSql,
     // persist → reload → query must reproduce the in-memory build exactly
     "ann_index_persisted" -> ivfTopkSql,
     "ann_incremental_ivf" -> ivfIncrementalSql,

@@ -43,6 +43,68 @@ class AnnSpec extends SparkSpec {
     assert(rec >= 0.9, s"avg recall $rec < 0.9")
   }
 
+  test("PQ ADC recall on clustered embeddings (m=4, ksub=8) beats the random floor") {
+    val corpus = clustered
+    val cb = Ann.pqCodebooks(corpus, m = 4, ksub = 8, iters = 2)
+    val enc = Ann.pqEncode(corpus, cb)
+    val q = corpus.filter(col("vec_id") % 25 === 0)
+      .select(col("vec_id").as("qid"), col("ce").as("qe"))
+    val pq = Ann.pqTopK(q, enc, cb, k = 10)
+    val brute = Ann.cosineTopK(q, corpus, k = 10)
+    val rec = Ann.recallVsBrute(pq, brute, k = 10)
+      .agg(avg(col("recall_x1e4"))).head().getDouble(0) / 10000.0
+    info(s"PQ ADC recall@10: $rec")
+    // Within a tight cluster PQ collapses members onto a handful of
+    // reconstructions, so WITHIN-cluster order degrades to the vec_id
+    // tie-break — that is the documented reason ADC gets an exact
+    // re-rank stage. What ADC must get right unaided is the coarse
+    // geometry: every top-10 hit comes from the query's own true
+    // cluster (random would cross clusters 90% of the time).
+    val hits = pq.select(col("qid"), col("vec_id")).collect()
+    assert(hits.nonEmpty)
+    hits.foreach { r =>
+      assert(r.getLong(0) / perCluster == r.getLong(1) / perCluster,
+        s"qid ${r.getLong(0)} pulled cross-cluster hit ${r.getLong(1)}")
+    }
+  }
+
+  test("PQ + exact re-rank restores recall >= 0.9 (shortlist = cluster size)") {
+    val corpus = clustered
+    val cb = Ann.pqCodebooks(corpus, m = 4, ksub = 8, iters = 2)
+    val enc = Ann.pqEncode(corpus, cb)
+    val q = corpus.filter(col("vec_id") % 25 === 0)
+      .select(col("vec_id").as("qid"), col("ce").as("qe"))
+    val rr = Ann.pqTopKReranked(q, enc, cb, corpus, k = 10, shortlist = 50)
+    val brute = Ann.cosineTopK(q, corpus, k = 10)
+    val rec = Ann.recallVsBrute(rr, brute, k = 10)
+      .agg(avg(col("recall_x1e4"))).head().getDouble(0) / 10000.0
+    info(s"PQ+rerank recall@10: $rec")
+    assert(rec >= 0.9, s"PQ+rerank recall $rec < 0.9")
+  }
+
+  test("PQ encode: m codes each in [0, ksub); build deterministic; x2hat = reconstruction norm") {
+    val corpus = clustered
+    val cb = Ann.pqCodebooks(corpus, m = 4, ksub = 8, iters = 2)
+    val cb2 = Ann.pqCodebooks(corpus, m = 4, ksub = 8, iters = 2)
+    assert(cb.orderBy("sub", "cid").collect().map(_.toString).toSeq ==
+      cb2.orderBy("sub", "cid").collect().map(_.toString).toSeq)
+    val enc = Ann.pqEncode(corpus, cb).collect()
+    assert(enc.length == nClusters * perCluster)
+    val books = cb.collect().map(r =>
+      (r.getInt(r.fieldIndex("sub")), r.getInt(r.fieldIndex("cid"))) ->
+        r.getSeq[Double](r.fieldIndex("cemb"))).toMap
+    enc.foreach { r =>
+      val codes = r.getSeq[Int](r.fieldIndex("codes"))
+      assert(codes.length == 4)
+      assert(codes.forall(c => c >= 0 && c < 8))
+      // x2hat recomputes from the codebook entries the codes name
+      val x2 = codes.zipWithIndex.map { case (c, s) =>
+        books((s, c)).map(x => x * x).sum
+      }.sum
+      assert(math.abs(x2 - r.getDouble(r.fieldIndex("x2hat"))) < 1e-9)
+    }
+  }
+
   test("centroid build is deterministic and buckets partition the corpus") {
     val corpus = clustered
     val c1 = Ann.ivfCentroids(corpus, nClusters, iters = 2).orderBy("cid").collect()
