@@ -790,6 +790,22 @@ object LlmPack extends QueryPack {
       val cent = Ann.ivfCentroids(base, DUP_NC, LLOYD)
       Ann.embeddingDupPairs(c, cent, DUP_T).orderBy("a", "b")
     }),
+    // SemDeDup (Abbas et al. 2023): the APPLIED semantic-dedup
+    // decision — embedding-cosine pairs (bucket-restricted, the gate
+    // above) resolve to connected components via label propagation,
+    // one representative (min id) survives per component, never-paired
+    // vectors pass through. The keep-everything-not-proven-duplicate
+    // contract shared with the text and image dedup paths.
+    "dedup_semantic_apply" -> ((s, dir) => {
+      val base = emb(s, dir).select(col("vec_id"), col("embedding").as("ce"))
+      val c = base.unionAll(
+        base.select((col("vec_id") + 1000000).as("vec_id"), col("ce")))
+      val cent = Ann.ivfCentroids(base, DUP_NC, LLOYD)
+      val pairs = Ann.embeddingDupPairs(c, cent, DUP_T).select(col("a"), col("b"))
+      Dedup.keepAfterDedup(c.select(col("vec_id")), "vec_id",
+          Dedup.dupClusters(pairs))
+        .orderBy("vec_id")
+    }),
     // Composite curation pass — the end-to-end shape of a training-data
     // pipeline: language gate + quality gate + exact-dedup keeper
     // filter in one pull over the doubled corpus (known duplicates).
@@ -1383,22 +1399,46 @@ object LlmPack extends QueryPack {
          |  WHERE rank <= $TOPK)""".stripMargin)
   }
 
-  private def embeddingDupSql: String = {
+  /** The doubled-corpus bucket-restricted pair CTEs shared by the
+    * embedding near-dup gate and its applied (SemDeDup) composition:
+    * centroid build, doubled corpus, assignment, norms, and `epairs`
+    * (a < b, cos ≥ DUP_T). */
+  private def embeddingDupCtes: Seq[String] = {
     val (build, centFinal) = centroidCtes(DUP_NC)
     val ec = """ec AS (SELECT vec_id, embedding AS ce FROM embeddings
                |  UNION ALL SELECT vec_id + 1000000, embedding FROM embeddings)""".stripMargin
     val assignedWithNorm =
       s"""dup_n AS (SELECT vec_id, ce, bucket, sqrt(${dot("ce", "ce")}) AS nrm
          |  FROM dup_assign)""".stripMargin
-    "WITH " + (build ++ Seq(ec, assignSql(centFinal, "dup_assign", "ec"),
-      assignedWithNorm)).mkString(",\n") +
-      s"""
-         |SELECT a, b, cos_x1e4 FROM (
-         |  SELECT x.vec_id AS a, y.vec_id AS b,
-         |    CAST(FLOOR(${dot("x.ce", "y.ce")} / (x.nrm * y.nrm) * 10000 + 0.5) AS BIGINT) AS cos_x1e4
-         |  FROM dup_n x JOIN dup_n y ON x.bucket = y.bucket AND x.vec_id < y.vec_id)
-         |WHERE cos_x1e4 >= $DUP_T ORDER BY a, b""".stripMargin
+    val epairs =
+      s"""epairs AS (
+         |  SELECT a, b, cos_x1e4 FROM (
+         |    SELECT x.vec_id AS a, y.vec_id AS b,
+         |      CAST(FLOOR(${dot("x.ce", "y.ce")} / (x.nrm * y.nrm) * 10000 + 0.5) AS BIGINT) AS cos_x1e4
+         |    FROM dup_n x JOIN dup_n y ON x.bucket = y.bucket AND x.vec_id < y.vec_id)
+         |  WHERE cos_x1e4 >= $DUP_T)""".stripMargin
+    build ++ Seq(ec, assignSql(centFinal, "dup_assign", "ec"),
+      assignedWithNorm, epairs)
   }
+
+  private def embeddingDupSql: String =
+    "WITH " + embeddingDupCtes.mkString(",\n") +
+      "\nSELECT a, b, cos_x1e4 FROM epairs ORDER BY a, b"
+
+  /** SemDeDup oracle: the pair CTEs, recursive label propagation (the
+    * dedup_clusters algebra), keepers + never-paired survive. */
+  private def semanticApplySql: String =
+    "WITH RECURSIVE " + embeddingDupCtes.mkString(",\n") +
+      """,
+        |edges AS (SELECT a AS x, b AS y FROM epairs UNION SELECT b, a FROM epairs),
+        |reach(x, y) AS (
+        |  SELECT x, y FROM edges
+        |  UNION
+        |  SELECT r.x, e.y FROM reach r JOIN edges e ON r.y = e.x),
+        |labels AS (SELECT x AS id, LEAST(x, MIN(y)) AS cluster FROM reach GROUP BY x)
+        |SELECT vec_id FROM ec
+        |WHERE vec_id NOT IN (SELECT id FROM labels WHERE id <> cluster)
+        |ORDER BY vec_id""".stripMargin
 
   private def ivfTopkSql: String =
     "WITH " + ivfCtes(maxQ = 3).mkString(",\n") +
@@ -2354,6 +2394,7 @@ object LlmPack extends QueryPack {
     "ann_topk_ivf_quantized" -> ivfQuantSql,
     "ann_ivf_recall" -> ivfRecallSql,
     "dedup_embedding" -> embeddingDupSql,
+    "dedup_semantic_apply" -> semanticApplySql,
     "curation_pipeline" -> {
       val scores = TA.langProfiles.map { case (l, _) =>
         s"${reCount("text", langRe(l))} AS s_$l"
