@@ -603,6 +603,67 @@ object Ann {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** Per-vector IVF residual: r = ce − centroid(bucket), the vector
+    * PQ actually quantizes in the composed IVF+PQ architecture —
+    * residuals are small where raw vectors are spread across the
+    * space, so the same codebook budget spends its resolution where
+    * the data lives (Jégou et al. 2011 §IV). One assignment projection
+    * plus one broadcast join; the subtraction is an interpreted
+    * zip_with, acceptable at write time (the quantizeInt8 rationale).
+    * Output (vec_id, bucket, re: array<double>). */
+  def ivfResiduals(corpus: DataFrame, centroids: DataFrame): DataFrame =
+    assignBuckets(corpus, centroids)
+      .join(broadcast(centroids.select(col("cid"), col("cemb"))),
+        col("bucket") === col("cid"))
+      .select(col("vec_id"), col("bucket"),
+        zip_with(col("ce"), col("cemb"),
+          (x, y) => x.cast("double") - y).as("re"))
+
+  /** IVF+PQ search under the inner-product metric (MIPS — the
+    * retrieval contract for trained embedding models): probe nprobe
+    * buckets per query, then score ONLY probed-bucket candidates by
+    * the ADC identity dot(q, x̂) = dot(q, c_bucket) + Σ_s dot(q_s,
+    * cb_s(code_s)) — the first term is one ×1e6 integer per (query,
+    * probed bucket), the second is the PQ lookup-table sum over
+    * RESIDUAL codebooks, every term an integer before any aggregation
+    * (order-independent, oracle-exact). The corpus side of the search
+    * reads (vec_id, bucket, codes) — one int and m bytes per vector;
+    * at 100 TB this is the architecture that makes the scan feasible:
+    * IVF prunes which vectors are read, PQ shrinks what a read costs.
+    * Output (qid, vec_id, dot_x1e6, rank ≤ k). */
+  def ivfpqTopK(queries: DataFrame, centroids: DataFrame,
+      codebooks: DataFrame, encoded: DataFrame, k: Int = 10,
+      nprobe: Int = 2): DataFrame = {
+    import graft.functions.{ArrayDot, F}
+    val d = codebooks.select(size(col("cemb")).as("d")).head.getInt(0)
+    val probes = probeBuckets(queries, centroids, nprobe)
+    val qc = probes
+      .join(broadcast(centroids.select(col("cid").as("bucket"), col("cemb"))),
+        Seq("bucket"))
+      .select(col("qid"), col("bucket"),
+        floor(dotExpr("qe", "cemb") * lit(1000000d) + lit(0.5d))
+          .cast("long").as("qcdot6"))
+    val qt = queries.select(col("qid"), col("qe"))
+      .crossJoin(broadcast(codebooks))
+      .select(col("qid"), col("sub"), col("cid"),
+        floor(F.toColumn(ArrayDot(
+          F.toExpr(expr(s"slice(qe, sub * $d + 1, $d)")),
+          F.toExpr(col("cemb")))) * lit(1000000d) + lit(0.5d))
+          .cast("long").as("tdot6"))
+    val scored = encoded
+      .join(probes.select("qid", "bucket"), Seq("bucket"))
+      .select(col("qid"), col("vec_id"), col("bucket"),
+        posexplode(col("codes")).as(Seq("sub", "cid")))
+      .join(broadcast(qt), Seq("qid", "sub", "cid"))
+      .groupBy("qid", "vec_id", "bucket")
+      .agg(sum(col("tdot6")).as("rdot6"))
+      .join(qc, Seq("qid", "bucket"))
+      .select(col("qid"), col("vec_id"),
+        (col("rdot6") + col("qcdot6")).as("dot_x1e6"))
+    val w = Window.partitionBy("qid").orderBy(desc("dot_x1e6"), asc("vec_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   /** PQ search with the standard exact second stage: ADC shortlists
     * `shortlist` candidates per query from codes alone, then ONLY the
     * shortlisted vectors' full embeddings are read and re-ranked by

@@ -656,6 +656,30 @@ object LlmPack extends QueryPack {
       Ann.pqTopKReranked(q, enc, cb, c, TOPK, PQ_SHORT)
         .select("qid", "vec_id", "cos_x1e4", "rank").orderBy("qid", "rank")
     }),
+    // The composed IVF+PQ architecture (FAISS IndexIVFPQ shape, MIPS
+    // metric): IVF prunes WHICH vectors are read (probed buckets), PQ
+    // shrinks WHAT a read costs (residual codes, one int + m bytes per
+    // vector). Residuals — vector minus its bucket centroid — spend
+    // the codebook budget where the data lives; scoring is the ADC
+    // identity dot(q, x_hat) = dot(q, centroid) + residual-table sum,
+    // every term a x1e6 integer before aggregation.
+    "ann_topk_ivfpq" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val c = e.select(col("vec_id"), col("embedding").as("ce"))
+      val cent = Ann.ivfCentroids(c, NC, LLOYD)
+      val res = Ann.ivfResiduals(c, cent)
+      val cb = Ann.pqCodebooks(
+        res.select(col("vec_id"), col("re").as("ce")), PQ_M, PQ_K, LLOYD,
+        seed = "ivfpq")
+      val enc = Ann.pqEncode(
+          res.select(col("vec_id"), col("re").as("ce")), cb)
+        .join(res.select(col("vec_id"), col("bucket")), Seq("vec_id"))
+        .select(col("vec_id"), col("bucket"), col("codes"))
+      val q = e.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      Ann.ivfpqTopK(q, cent, cb, enc, TOPK, NPROBE)
+        .select("qid", "vec_id", "dot_x1e6", "rank").orderBy("qid", "rank")
+    }),
     // INCREMENTAL index maintenance: yesterday's corpus (6/7 of the
     // vectors) trains the centroids; today's arrivals assign to the
     // FROZEN geometry and append — no re-cluster, no touch of the old
@@ -1450,31 +1474,38 @@ object LlmPack extends QueryPack {
     * updates (the updateSql pattern), final-codebook assignment as the
     * encode, per-query ×1e6 integer lookup tables, code-keyed sum,
     * approximate cosine against the reconstruction norm. */
-  private def pqCtesAndAdc: (Seq[String], Int => String) = {
+  /** The ×1e6 floor-scaled squared-L2 comparable (ArgminL2Ops mirror). */
+  private def pqD2s(a: String, c: String) =
+    s"CAST(FLOOR(list_sum(list_transform(list_zip($a, $c), " +
+      s"z -> (CAST(z[1] AS DOUBLE) - CAST(z[2] AS DOUBLE)) * " +
+      s"(CAST(z[1] AS DOUBLE) - CAST(z[2] AS DOUBLE)))) * 1000000 + 0.5) AS BIGINT)"
+
+  /** Per-subspace PQ train+encode CTEs over any (vec_id, `vecCol`)
+    * source: slicing, seeded init (`:<seedTag><s>`), LLOYD refinements
+    * with L2 argmin assignment and fixed-point mean updates, and the
+    * final-codebook encode `penc<s>` (vec_id, bucket, n2). Shared by
+    * the plain-PQ and the IVF+PQ (residual-source) oracles. */
+  private def pqSubCtes(src: String, vecCol: String, seedTag: String): Seq[String] = {
     val (m, ksub, d) = (PQ_M, PQ_K, 64 / PQ_M)
-    def d2s(a: String, c: String) =
-      s"CAST(FLOOR(list_sum(list_transform(list_zip($a, $c), " +
-        s"z -> (CAST(z[1] AS DOUBLE) - CAST(z[2] AS DOUBLE)) * " +
-        s"(CAST(z[1] AS DOUBLE) - CAST(z[2] AS DOUBLE)))) * 1000000 + 0.5) AS BIGINT)"
-    val subCtes = (0 until m).flatMap { s =>
+    (0 until m).flatMap { s =>
       val off = s * d
       val es =
-        s"""es$s AS (SELECT vec_id, embedding[${off + 1}:${off + d}] AS se
-           |  FROM embeddings)""".stripMargin
+        s"""es$s AS MATERIALIZED (SELECT vec_id, $vecCol[${off + 1}:${off + d}] AS se
+           |  FROM $src)""".stripMargin
       val seed =
-        s"""pcent${s}_0 AS (
+        s"""pcent${s}_0 AS MATERIALIZED (
            |  SELECT list_transform(se, x -> CAST(x AS DOUBLE)) AS cemb,
-           |    CAST(ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR) || ':pq$s'), vec_id) AS INT) - 1 AS cid
+           |    CAST(ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR) || ':$seedTag$s'), vec_id) AS INT) - 1 AS cid
            |  FROM es$s QUALIFY cid < $ksub)""".stripMargin
       val lloyd = (0 until LLOYD).flatMap { i =>
         Seq(
-          s"""pasg${s}_$i AS (
+          s"""pasg${s}_$i AS MATERIALIZED (
              |  SELECT vec_id, se, cid AS bucket FROM (
              |    SELECT e.vec_id, e.se, c.cid,
              |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
-             |        ORDER BY ${d2s("e.se", "c.cemb")} ASC, c.cid) AS rn
+             |        ORDER BY ${pqD2s("e.se", "c.cemb")} ASC, c.cid) AS rn
              |    FROM es$s e, pcent${s}_$i c) WHERE rn = 1)""".stripMargin,
-          s"""pcent${s}_${i + 1} AS (
+          s"""pcent${s}_${i + 1} AS MATERIALIZED (
              |  SELECT bucket AS cid, list(mm ORDER BY pos) AS cemb FROM (
              |    SELECT bucket, pos,
              |      CAST(SUM(fx) AS DOUBLE) / CAST(COUNT(*) * 1000000 AS DOUBLE) AS mm
@@ -1486,20 +1517,27 @@ object LlmPack extends QueryPack {
              |  GROUP BY bucket)""".stripMargin)
       }
       val enc =
-        s"""penc$s AS (
+        s"""penc$s AS MATERIALIZED (
            |  SELECT vec_id, bucket, ${dot("cb.cemb", "cb.cemb")} AS n2 FROM (
            |    SELECT e.vec_id, c.cid AS bucket,
            |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
-           |        ORDER BY ${d2s("e.se", "c.cemb")} ASC, c.cid) AS rn
+           |        ORDER BY ${pqD2s("e.se", "c.cemb")} ASC, c.cid) AS rn
            |    FROM es$s e, pcent${s}_$LLOYD c) x
            |  JOIN pcent${s}_$LLOYD cb ON cb.cid = x.bucket WHERE rn = 1)""".stripMargin
-      val qt =
-        s"""pqt$s AS (
-           |  SELECT q.vec_id AS qid, c.cid,
-           |    CAST(FLOOR(${dot(s"q.embedding[${off + 1}:${off + d}]", "c.cemb")} * 1000000 + 0.5) AS BIGINT) AS tdot6
-           |  FROM embeddings q, pcent${s}_$LLOYD c WHERE q.vec_id < 3)""".stripMargin
-      Seq(es, seed) ++ lloyd ++ Seq(enc, qt)
+      Seq(es, seed) ++ lloyd ++ Seq(enc)
     }
+  }
+
+  private def pqCtesAndAdc: (Seq[String], Int => String) = {
+    val (m, d) = (PQ_M, 64 / PQ_M)
+    val qts = (0 until m).map { s =>
+      val off = s * d
+      s"""pqt$s AS (
+         |  SELECT q.vec_id AS qid, c.cid,
+         |    CAST(FLOOR(${dot(s"q.embedding[${off + 1}:${off + d}]", "c.cemb")} * 1000000 + 0.5) AS BIGINT) AS tdot6
+         |  FROM embeddings q, pcent${s}_$LLOYD c WHERE q.vec_id < 3)""".stripMargin
+    }
+    val subCtes = pqSubCtes("embeddings", "embedding", "pq") ++ qts
     val joins = (0 until m).map(s =>
       s"JOIN penc$s e$s ON e$s.vec_id = v.vec_id " +
         s"JOIN pqt$s t$s ON t$s.qid = q.vec_id AND t$s.cid = e$s.bucket").mkString("\n    ")
@@ -1524,6 +1562,56 @@ object LlmPack extends QueryPack {
     val (ctes, adc) = pqCtesAndAdc
     "WITH " + (ctes :+ adc(TOPK)).mkString(",\n") +
       "\nSELECT qid, vec_id, cos_x1e4, rank FROM adc ORDER BY qid, rank"
+  }
+
+  /** IVF+PQ oracle: IVF centroid CTEs → residuals → the shared PQ
+    * train/encode CTEs over `res` → probe + per-(query, bucket)
+    * centroid dot + residual lookup tables → integer ADC sum, ranked
+    * within probed buckets only. */
+  private def ivfpqSql: String = {
+    val (m, d) = (PQ_M, 64 / PQ_M)
+    val (build, centFinal) = centroidCtes(NC)
+    val res =
+      s"""res AS MATERIALIZED (
+         |  SELECT a.vec_id, a.bucket,
+         |    list_transform(list_zip(a.ce, c.cemb),
+         |      z -> CAST(z[1] AS DOUBLE) - CAST(z[2] AS DOUBLE)) AS re
+         |  FROM corpus_assign a JOIN $centFinal c ON c.cid = a.bucket)""".stripMargin
+    val q = "q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 3)"
+    val probe =
+      s"""q_probe AS (
+         |  SELECT qid, qe, cid AS bucket FROM (
+         |    SELECT q.qid, q.qe, s.cid,
+         |      ROW_NUMBER() OVER (PARTITION BY q.qid
+         |        ORDER BY ${cosS("q.qe", "s.cemb")} DESC, s.cid) AS rn
+         |    FROM q, $centFinal s) WHERE rn <= $NPROBE)""".stripMargin
+    val qc =
+      s"""qc AS (
+         |  SELECT p.qid, p.bucket,
+         |    CAST(FLOOR(${dot("p.qe", "c.cemb")} * 1000000 + 0.5) AS BIGINT) AS qcdot6
+         |  FROM q_probe p JOIN $centFinal c ON c.cid = p.bucket)""".stripMargin
+    val qts = (0 until m).map { s =>
+      val off = s * d
+      s"""pqt$s AS (
+         |  SELECT q.vec_id AS qid, c.cid,
+         |    CAST(FLOOR(${dot(s"q.embedding[${off + 1}:${off + d}]", "c.cemb")} * 1000000 + 0.5) AS BIGINT) AS tdot6
+         |  FROM embeddings q, pcent${s}_$LLOYD c WHERE q.vec_id < 3)""".stripMargin
+    }
+    val joins = (0 until m).map(s =>
+      s"JOIN penc$s e$s ON e$s.vec_id = r.vec_id " +
+        s"JOIN pqt$s t$s ON t$s.qid = qc.qid AND t$s.cid = e$s.bucket").mkString("\n    ")
+    val total = (0 until m).map(s => s"t$s.tdot6").mkString(" + ") + " + qc.qcdot6"
+    "WITH " + ((build :+ assignSql(centFinal, "corpus_assign") :+ res) ++
+      pqSubCtes("res", "re", "ivfpq") ++ Seq(q, probe, qc) ++ qts).mkString(",\n") +
+      s"""
+         |SELECT qid, vec_id, dot_x1e6, rank FROM (
+         |  SELECT qc.qid, r.vec_id, $total AS dot_x1e6,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY qc.qid
+         |      ORDER BY $total DESC, r.vec_id) AS INT) AS rank
+         |  FROM qc
+         |  JOIN res r ON r.bucket = qc.bucket
+         |    $joins)
+         |WHERE rank <= $TOPK ORDER BY qid, rank""".stripMargin
   }
 
   /** PQ + exact re-rank oracle: the ADC CTE at the shortlist cut, then
@@ -2351,6 +2439,7 @@ object LlmPack extends QueryPack {
     "ann_topk_ivf" -> ivfTopkSql,
     "ann_topk_pq" -> pqTopkSql,
     "ann_topk_pq_rerank" -> pqRerankSql,
+    "ann_topk_ivfpq" -> ivfpqSql,
     // persist → reload → query must reproduce the in-memory build exactly
     "ann_index_persisted" -> ivfTopkSql,
     "ann_incremental_ivf" -> ivfIncrementalSql,

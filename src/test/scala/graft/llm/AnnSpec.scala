@@ -82,6 +82,35 @@ class AnnSpec extends SparkSpec {
     assert(rec >= 0.9, s"PQ+rerank recall $rec < 0.9")
   }
 
+  test("IVFPQ MIPS: every hit stays in the query's own cluster; end-to-end deterministic") {
+    val corpus = clustered
+    val cent = Ann.ivfCentroids(corpus, nClusters, iters = 2)
+    val res = Ann.ivfResiduals(corpus, cent)
+    val cb = Ann.pqCodebooks(
+      res.select(col("vec_id"), col("re").as("ce")), m = 4, ksub = 8,
+      iters = 2, seed = "ivfpq")
+    val enc = Ann.pqEncode(res.select(col("vec_id"), col("re").as("ce")), cb)
+      .join(res.select("vec_id", "bucket"), Seq("vec_id"))
+      .select(col("vec_id"), col("bucket"), col("codes"))
+    val q = corpus.filter(col("vec_id") % 25 === 0)
+      .select(col("vec_id").as("qid"), col("ce").as("qe"))
+    val hits = Ann.ivfpqTopK(q, cent, cb, enc, k = 10, nprobe = 2)
+      .select(col("qid"), col("vec_id"), col("rank")).collect()
+    assert(hits.nonEmpty)
+    // coarse geometry: on 10 well-separated clusters with clean Lloyd
+    // recovery, the MIPS top-10 under probed-bucket candidates comes
+    // from the query's true cluster
+    val crossCluster = hits.count(r => r.getLong(0) / perCluster != r.getLong(1) / perCluster)
+    info(s"cross-cluster hits: $crossCluster / ${hits.length}")
+    assert(crossCluster == 0, s"$crossCluster cross-cluster hits")
+    // and the run is deterministic end to end
+    val again = Ann.ivfpqTopK(q, cent, cb, enc, k = 10, nprobe = 2)
+      .orderBy("qid", "rank").collect().map(_.toString).toSeq
+    val first = Ann.ivfpqTopK(q, cent, cb, enc, k = 10, nprobe = 2)
+      .orderBy("qid", "rank").collect().map(_.toString).toSeq
+    assert(again == first)
+  }
+
   test("PQ encode: m codes each in [0, ksub); build deterministic; x2hat = reconstruction norm") {
     val corpus = clustered
     val cb = Ann.pqCodebooks(corpus, m = 4, ksub = 8, iters = 2)
