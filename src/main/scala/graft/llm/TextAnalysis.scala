@@ -323,6 +323,19 @@ object TextAnalysis {
     * counts are the model-coverage telemetry reported next to the
     * score. */
   def stupidBackoff(docs: DataFrame, idCol: String, textCol: String,
+      trainPred: Column): DataFrame =
+    sbTokenScores(docs, idCol, textCol, trainPred)
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_scored"),
+        sum(when(col("lvl") >= 1, lit(1)).otherwise(lit(0))).as("n_backoff"),
+        sum(when(col("lvl") === 3, lit(1)).otherwise(lit(0))).as("n_oov"),
+        expr("sum(sb) div count(1)").as("lm_bits_x100"))
+
+  /** The token-level stream under [[stupidBackoff]]'s model: one row
+    * per scored trigram position, (id, sb, lvl) where sb is the ×100
+    * integer surprisal and lvl the backoff depth (0 trigram hit … 3
+    * OOV). Shared by the doc-mean score and [[minKProb]]. */
+  private def sbTokenScores(docs: DataFrame, idCol: String, textCol: String,
       trainPred: Column): DataFrame = {
     val base = docs
       .select(col(idCol).as("id"), trainPred.as("is_train"),
@@ -366,11 +379,39 @@ object TextAnalysis {
           .when(col("cb").isNotNull, lit(1))
           .when(col("cu").isNotNull, lit(2))
           .otherwise(lit(3)).as("lvl"))
+  }
+
+  /** Min-K% Prob membership signal (Shi et al. 2023, "Detecting
+    * Pretraining Data from Large Language Models"): per document, the
+    * mean surprisal of its ceil(k%·n) LEAST-probable tokens under the
+    * reference LM — a member of the training slice rarely contains
+    * extreme-surprisal tokens, so a low tail-mean flags probable
+    * members where the plain mean ([[stupidBackoff]]) washes the tail
+    * out. The contamination-audit companion to the n-gram and LSH
+    * decontamination screens: it catches memorized text those miss
+    * when the surface form was lightly edited.
+    *
+    * Determinism under ties: the cut selects by rank over (sb DESC)
+    * and tied boundary tokens are interchangeable BY VALUE, so the
+    * selected multiset — and the integer mean — is unique no matter
+    * how the window orders equal keys. One extra window pass over the
+    * token stream; everything else is the shared LM plan. Output
+    * (id, n_scored, n_k, mink_bits_x100). */
+  def minKProb(docs: DataFrame, idCol: String, textCol: String,
+      trainPred: Column, kPct: Int = 20): DataFrame = {
+    require(kPct >= 1 && kPct <= 100, s"minKProb: kPct=$kPct")
+    import org.apache.spark.sql.expressions.Window
+    val toks = sbTokenScores(docs, idCol, textCol, trainPred)
+    val w = Window.partitionBy("id").orderBy(desc("sb"))
+    val wn = Window.partitionBy("id")
+    toks
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(wn))
+      .filter(col("rn") <= expr(s"(n * $kPct + 99) div 100"))
       .groupBy("id")
-      .agg(count(lit(1)).as("n_scored"),
-        sum(when(col("lvl") >= 1, lit(1)).otherwise(lit(0))).as("n_backoff"),
-        sum(when(col("lvl") === 3, lit(1)).otherwise(lit(0))).as("n_oov"),
-        expr("sum(sb) div count(1)").as("lm_bits_x100"))
+      .agg(max(col("n")).as("n_scored"),
+        count(lit(1)).as("n_k"),
+        expr("sum(sb) div count(1)").as("mink_bits_x100"))
   }
 
   /** Sentence segmentation — the granularity between document and

@@ -140,6 +140,23 @@ object LlmPack extends QueryPack {
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id")
     }),
+    // Min-K% Prob membership signal (TA.minKProb): the same LM and
+    // doc prep as text_lm_score, but per doc the mean over its
+    // ceil(20%·n) HIGHEST-surprisal tokens — the contamination audit
+    // that flags memorized-but-lightly-edited text the verbatim
+    // screens miss.
+    "text_min_k_prob" -> ((s, dir) => {
+      val injected = when(col("doc_id") % 10 === 0,
+        concat(col("text"),
+          lit(" zzq"), col("doc_id").cast("string"),
+          lit(" zzq"), col("doc_id").cast("string")))
+        .otherwise(col("text"))
+      TA.minKProb(
+          docs(s, dir).select(col("doc_id"), injected.as("text")),
+          "doc_id", "text", col("doc_id") % 10 =!= 0, kPct = 20)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    }),
     // CCNet-style perplexity buckets (Wenzek et al. 2020 §4.3): the
     // LM scores composed into the decision the pipeline actually
     // ships — per-language head/middle/tail TERCILES by perplexity
@@ -1711,6 +1728,52 @@ object LlmPack extends QueryPack {
          |GROUP BY b.qid ORDER BY b.qid""".stripMargin
   }
 
+  /** The text_lm_score CTE chain through the per-token `sc` relation
+    * (90/10 split, injected OOV tail) — shared by the doc-mean score
+    * and the Min-K%% tail-mean oracle. */
+  private val lmTokenCtes: String =
+    """WITH base AS (SELECT doc_id AS id, (doc_id % 10 <> 0) AS is_train,
+        |    list_filter(string_split(
+        |      CASE WHEN doc_id % 10 = 0
+        |           THEN text || ' zzq' || CAST(doc_id AS VARCHAR) ||
+        |                ' zzq' || CAST(doc_id AS VARCHAR)
+        |           ELSE text END, ' '), x -> x <> '') AS w
+        |  FROM documents),
+        |ttok AS (SELECT unnest(w) AS w3 FROM base WHERE is_train),
+        |uni AS (SELECT w3, count(*) AS cu FROM ttok GROUP BY 1),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM ttok),
+        |tbi AS (SELECT w[i] AS w2, w[i+1] AS w3
+        |  FROM (SELECT w, unnest(generate_series(1, len(w) - 1)) AS i
+        |        FROM base WHERE is_train AND len(w) >= 2)),
+        |bi AS (SELECT w2, w3, count(*) AS cb FROM tbi GROUP BY 1, 2),
+        |bh AS (SELECT w2, count(*) AS ch FROM tbi GROUP BY 1),
+        |ttr AS (SELECT w[i] AS w1, w[i+1] AS w2, w[i+2] AS w3
+        |  FROM (SELECT w, unnest(generate_series(1, len(w) - 2)) AS i
+        |        FROM base WHERE is_train AND len(w) >= 3)),
+        |tri AS (SELECT w1, w2, w3, count(*) AS ct FROM ttr GROUP BY 1, 2, 3),
+        |th AS (SELECT w1, w2, count(*) AS cth FROM ttr GROUP BY 1, 2),
+        |str AS (SELECT id, w[i] AS w1, w[i+1] AS w2, w[i+2] AS w3
+        |  FROM (SELECT id, w, unnest(generate_series(1, len(w) - 2)) AS i
+        |        FROM base WHERE len(w) >= 3)),
+        |sc AS (SELECT s.id,
+        |    CASE WHEN tri.ct IS NOT NULL
+        |           THEN 100 * length(format('{:b}', CAST(th.cth // tri.ct AS BIGINT)))
+        |         WHEN bi.cb IS NOT NULL
+        |           THEN 132 + 100 * length(format('{:b}', CAST(bh.ch // bi.cb AS BIGINT)))
+        |         WHEN uni.cu IS NOT NULL
+        |           THEN 264 + 100 * length(format('{:b}', CAST(tot.n_total // uni.cu AS BIGINT)))
+        |         ELSE 264 + 100 * length(format('{:b}', tot.n_total)) END AS sb,
+        |    CASE WHEN tri.ct IS NOT NULL THEN 0
+        |         WHEN bi.cb IS NOT NULL THEN 1
+        |         WHEN uni.cu IS NOT NULL THEN 2 ELSE 3 END AS lvl
+        |  FROM str s
+        |  LEFT JOIN tri USING (w1, w2, w3)
+        |  LEFT JOIN th USING (w1, w2)
+        |  LEFT JOIN bi USING (w2, w3)
+        |  LEFT JOIN bh USING (w2)
+        |  LEFT JOIN uni USING (w3)
+        |  CROSS JOIN tot)""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "text_lang_id" -> {
       val scores = TA.langProfiles.map { case (l, _) =>
@@ -2227,53 +2290,29 @@ object LlmPack extends QueryPack {
     // same 90/10 split, same injected OOV tail, same five count
     // tables (context counted as n-1-gram HEAD so ratios are >= 1),
     // same 132-per-level backoff penalty, same x100 floor mean
-    "text_lm_score" ->
-      """WITH base AS (SELECT doc_id AS id, (doc_id % 10 <> 0) AS is_train,
-        |    list_filter(string_split(
-        |      CASE WHEN doc_id % 10 = 0
-        |           THEN text || ' zzq' || CAST(doc_id AS VARCHAR) ||
-        |                ' zzq' || CAST(doc_id AS VARCHAR)
-        |           ELSE text END, ' '), x -> x <> '') AS w
-        |  FROM documents),
-        |ttok AS (SELECT unnest(w) AS w3 FROM base WHERE is_train),
-        |uni AS (SELECT w3, count(*) AS cu FROM ttok GROUP BY 1),
-        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM ttok),
-        |tbi AS (SELECT w[i] AS w2, w[i+1] AS w3
-        |  FROM (SELECT w, unnest(generate_series(1, len(w) - 1)) AS i
-        |        FROM base WHERE is_train AND len(w) >= 2)),
-        |bi AS (SELECT w2, w3, count(*) AS cb FROM tbi GROUP BY 1, 2),
-        |bh AS (SELECT w2, count(*) AS ch FROM tbi GROUP BY 1),
-        |ttr AS (SELECT w[i] AS w1, w[i+1] AS w2, w[i+2] AS w3
-        |  FROM (SELECT w, unnest(generate_series(1, len(w) - 2)) AS i
-        |        FROM base WHERE is_train AND len(w) >= 3)),
-        |tri AS (SELECT w1, w2, w3, count(*) AS ct FROM ttr GROUP BY 1, 2, 3),
-        |th AS (SELECT w1, w2, count(*) AS cth FROM ttr GROUP BY 1, 2),
-        |str AS (SELECT id, w[i] AS w1, w[i+1] AS w2, w[i+2] AS w3
-        |  FROM (SELECT id, w, unnest(generate_series(1, len(w) - 2)) AS i
-        |        FROM base WHERE len(w) >= 3)),
-        |sc AS (SELECT s.id,
-        |    CASE WHEN tri.ct IS NOT NULL
-        |           THEN 100 * length(format('{:b}', CAST(th.cth // tri.ct AS BIGINT)))
-        |         WHEN bi.cb IS NOT NULL
-        |           THEN 132 + 100 * length(format('{:b}', CAST(bh.ch // bi.cb AS BIGINT)))
-        |         WHEN uni.cu IS NOT NULL
-        |           THEN 264 + 100 * length(format('{:b}', CAST(tot.n_total // uni.cu AS BIGINT)))
-        |         ELSE 264 + 100 * length(format('{:b}', tot.n_total)) END AS sb,
-        |    CASE WHEN tri.ct IS NOT NULL THEN 0
-        |         WHEN bi.cb IS NOT NULL THEN 1
-        |         WHEN uni.cu IS NOT NULL THEN 2 ELSE 3 END AS lvl
-        |  FROM str s
-        |  LEFT JOIN tri USING (w1, w2, w3)
-        |  LEFT JOIN th USING (w1, w2)
-        |  LEFT JOIN bi USING (w2, w3)
-        |  LEFT JOIN bh USING (w2)
-        |  LEFT JOIN uni USING (w3)
-        |  CROSS JOIN tot)
+    "text_lm_score" -> (lmTokenCtes +
+      """
         |SELECT id AS doc_id, count(*) AS n_scored,
         |  CAST(sum(CASE WHEN lvl >= 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_backoff,
         |  CAST(sum(CASE WHEN lvl = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
         |  CAST(sum(sb) // count(*) AS BIGINT) AS lm_bits_x100
-        |FROM sc GROUP BY id ORDER BY doc_id""".stripMargin,
+        |FROM sc GROUP BY id ORDER BY doc_id""".stripMargin),
+    // the shared LM token CTEs, cut to each doc's ceil(20%·n)
+    // highest-surprisal tokens by rank (boundary ties interchangeable
+    // BY VALUE, so the integer mean is unique), then the x100 floor
+    // mean over the selected tail
+    "text_min_k_prob" -> (lmTokenCtes +
+      """,
+        |ranked AS (SELECT id, sb,
+        |    ROW_NUMBER() OVER (PARTITION BY id ORDER BY sb DESC) AS rn,
+        |    COUNT(*) OVER (PARTITION BY id) AS n
+        |  FROM sc)
+        |SELECT id AS doc_id, CAST(MAX(n) AS BIGINT) AS n_scored,
+        |  count(*) AS n_k,
+        |  CAST(sum(sb) // count(*) AS BIGINT) AS mink_bits_x100
+        |FROM ranked WHERE rn <= (n * 20 + 99) // 100
+        |GROUP BY id ORDER BY doc_id""".stripMargin),
+
     // the text_lm_score CTE algebra (no OOV-injection tail — the
     // composition scores the raw corpus), then the same deterministic
     // rank-based terciles: ntile(3) over (lang, score, doc_id)

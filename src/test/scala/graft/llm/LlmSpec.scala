@@ -658,6 +658,24 @@ class LlmSpec extends SparkSpec {
     assert(!out.contains(3L))              // < 3 tokens: no trigram, drops
   }
 
+  test("minKProb: tail mean over the hand-traced surprisal stream at two cuts") {
+    // same corpus as the stupidBackoff trace — eval doc surprisals are
+    // [100, 564, 464, 232, 100]: k=20% of 5 cuts ceil(1)=1 token
+    // (564); k=40% cuts 2 ((564+464) div 2 = 514). The all-hit train
+    // doc reads 100 at any cut.
+    val docs = Seq((1L, "a b c a b c"), (2L, "a b c x c a b")).toDF("id", "text")
+    val k20 = TextAnalysis.minKProb(docs, "id", "text", col("id") === 1, kPct = 20)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(k20(1L) == (4L, 1L, 100L))
+    assert(k20(2L) == (5L, 1L, 564L))
+    val k40 = TextAnalysis.minKProb(docs, "id", "text", col("id") === 1, kPct = 40)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(k40(2L) == (5L, 2L, 514L))
+    // the membership contrast the signal exists for: the member doc's
+    // tail mean sits far below the non-member's
+    assert(k20(1L)._3 < k20(2L)._3)
+  }
+
   test("simhashBandedPairs equals brute force at maxBits <= 3 (pigeonhole completeness)") {
     // deterministic corpus with planted structure: 40 base docs of
     // varying length, 10 exact copies, 10 one-token edits
