@@ -339,6 +339,66 @@ object ArgmaxOps {
   }
 }
 
+/** The random-hyperplane signature loop shared by [[SignBits]]'s
+  * interpreted eval and its generated code. Plane j's dot accumulates
+  * left-to-right in double (the ArrayDot order); bit j sets on a
+  * STRICT `> 0` — a boundary-exact zero dot leaves the bit clear on
+  * both engines. */
+object SignBitsOps {
+  def compute(a: ArrayData, isFloat: Boolean, planes: Array[Array[Long]]): Long = {
+    val n = a.numElements()
+    var sig = 0L
+    var j = 0
+    while (j < planes.length) {
+      val p = planes(j)
+      val lim = math.min(n, p.length)
+      var dot = 0.0
+      var i = 0
+      while (i < lim) {
+        val v = if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
+        dot += v * p(i)
+        i += 1
+      }
+      if (dot > 0.0) sig |= (1L << j)
+      j += 1
+    }
+    sig
+  }
+}
+
+/** `sign_bits(vec)` → long: the 64-bit random-hyperplane signature
+  * (Charikar 2002 §3) against a plan-literal INTEGER plane matrix —
+  * cosine-similar vectors agree on most sign bits, so the signature
+  * slots into the same banded-Hamming machinery as text SimHash and
+  * image pHash. Integer plane components keep the only floats in the
+  * per-element widening multiply, the established cross-engine-exact
+  * op. Same narrow-projection rationale as [[ArgmaxBucket]]. */
+case class SignBits(child: Expression, planes: Array[Array[Long]])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  require(planes.nonEmpty && planes.length <= 64, "sign_bits: 1..64 planes")
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "sign_bits"
+
+  private def isFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override protected def nullSafeEval(a: Any): Any =
+    SignBitsOps.compute(a.asInstanceOf[ArrayData], isFloat, planes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val m = ctx.addReferenceObj("signPlanes", planes, "long[][]")
+    defineCodeGen(ctx, ev, a =>
+      s"graft.functions.SignBitsOps.compute($a, $isFloat, $m)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** The PQ assignment loop shared by [[ArgminL2Bucket]]'s interpreted
   * eval and its generated code (the ArgmaxOps delegation shape).
   * IEEE op order is frozen for the oracle: each term is

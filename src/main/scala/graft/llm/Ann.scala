@@ -664,6 +664,46 @@ object Ann {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  // ---- Random-hyperplane LSH (Charikar 2002) -------------------------
+
+  /** Deterministic integer hyperplanes: component (j, i) =
+    * md5-hash32("<seed>:<j>:<i>") % 2001 − 1000 — the same keyed-md5
+    * derivation as every other deterministic draw in the engine, so
+    * the DuckDB twin regenerates the matrix exactly. Integer
+    * components keep the only floating-point op in the signature the
+    * per-element widening multiply (cross-engine exact). */
+  def rhpPlanes(dim: Int, planes: Int = 64,
+      seed: String = "rhp"): Array[Array[Long]] =
+    Array.tabulate(planes, dim) { (j, i) =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"$seed:$j:$i".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 8), 16) % 2001 - 1000
+    }
+
+  /** 64-bit random-hyperplane signature per vector: bit j = sign of
+    * the dot with plane j. P[bit differs] = angle/π, so
+    * cosine-similar vectors agree on most bits — the embedding member
+    * of the banded-Hamming family (text SimHash, image aHash/pHash),
+    * and the k-means-free alternative to the IVF-bucketed near-dup
+    * join: no training pass, signatures are a pure narrow projection
+    * (one codegen'd expression, zero Exchange at any corpus size).
+    * Output (id, sig). */
+  def rhpSimhash(corpus: DataFrame, seed: String = "rhp"): DataFrame = {
+    import graft.functions.{F, SignBits}
+    val dim = corpus.select(size(col("ce")).as("d")).head.getInt(0)
+    val m = rhpPlanes(dim, 64, seed)
+    corpus.select(col("vec_id").as("id"),
+      F.toColumn(SignBits(F.toExpr(col("ce")), m)).as("sig"))
+  }
+
+  /** Embedding near-dup pairs via the shared banded-Hamming kernel
+    * over sign signatures (four 16-bit bands, pigeonhole-exact at
+    * maxBits ≤ 3, hot-band cap). Output (a, b, dist), a < b. */
+  def rhpNearDupPairs(corpus: DataFrame, maxBits: Int = 3,
+      maxBucket: Long = 10000L, seed: String = "rhp"): DataFrame =
+    Dedup.bandedHammingPairs(rhpSimhash(corpus, seed), maxBits, maxBucket)
+
   /** PQ search with the standard exact second stage: ADC shortlists
     * `shortlist` candidates per query from codes alone, then ONLY the
     * shortlisted vectors' full embeddings are read and re-ranked by

@@ -831,6 +831,17 @@ object LlmPack extends QueryPack {
       val cent = Ann.ivfCentroids(base, DUP_NC, LLOYD)
       Ann.embeddingDupPairs(c, cent, DUP_T).orderBy("a", "b")
     }),
+    // Random-hyperplane LSH near-dup (Charikar 2002): the k-means-free
+    // embedding sibling of text SimHash — 64 deterministic integer
+    // hyperplanes (keyed md5, regenerated exactly by the oracle), sign
+    // bits through the shared banded-Hamming kernel. Doubled corpus:
+    // exact copies share every sign bit and surface at distance 0.
+    "dedup_rhp_embedding" -> ((s, dir) => {
+      val base = emb(s, dir).select(col("vec_id"), col("embedding").as("ce"))
+      val c = base.unionAll(
+        base.select((col("vec_id") + 1000000).as("vec_id"), col("ce")))
+      Ann.rhpNearDupPairs(c).orderBy("a", "b")
+    }),
     // SemDeDup (Abbas et al. 2023): the APPLIED semantic-dedup
     // decision — embedding-cosine pairs (bucket-restricted, the gate
     // above) resolve to connected components via label propagation,
@@ -1465,6 +1476,41 @@ object LlmPack extends QueryPack {
   private def embeddingDupSql: String =
     "WITH " + embeddingDupCtes.mkString(",\n") +
       "\nSELECT a, b, cos_x1e4 FROM epairs ORDER BY a, b"
+
+  /** Random-hyperplane LSH oracle: regenerate the integer plane
+    * matrix from the same keyed md5, sign-bit signatures via bit_or,
+    * then the band algebra mirror (four 16-bit bands, ≤10000 cap,
+    * popcount ≤ 3). */
+  private def rhpSql: String = {
+    val planeC = "CAST(CONCAT('0x', substr(md5('rhp:' || CAST(jj.j AS VARCHAR) " +
+      "|| ':' || CAST(ii.i AS VARCHAR)), 1, 8)) AS BIGINT) % 2001 - 1000"
+    val bandArms = (0 until 4).map(b =>
+      s"SELECT id, sig, $b AS band, (sig >> ${16 * b}) & 65535 AS v FROM sig")
+      .mkString("\n  UNION ALL ")
+    s"""WITH ec AS MATERIALIZED (
+       |  SELECT vec_id, embedding AS ce FROM embeddings
+       |  UNION ALL SELECT vec_id + 1000000, embedding FROM embeddings),
+       |pl AS MATERIALIZED (
+       |  SELECT j, list(c ORDER BY i) AS p FROM (
+       |    SELECT jj.j AS j, ii.i AS i, $planeC AS c
+       |    FROM UNNEST(generate_series(0, 63)) AS jj(j),
+       |         UNNEST(generate_series(0, 63)) AS ii(i))
+       |  GROUP BY j),
+       |sig AS MATERIALIZED (
+       |  SELECT e.vec_id AS id,
+       |    bit_or(CASE WHEN ${dot("e.ce", "pl.p")} <= 0 THEN CAST(0 AS BIGINT)
+       |           WHEN pl.j = 63 THEN CAST(-9223372036854775808 AS BIGINT)
+       |           ELSE CAST(1 AS BIGINT) << pl.j END) AS sig
+       |  FROM ec e, pl GROUP BY e.vec_id),
+       |band AS ($bandArms),
+       |band_ok AS (SELECT band, v FROM band GROUP BY band, v HAVING count(*) <= 10000),
+       |bandc AS (SELECT band.id, band.sig, band.band, band.v
+       |  FROM band JOIN band_ok USING (band, v)),
+       |cand AS (SELECT DISTINCT x.id AS a, y.id AS b,
+       |    CAST(bit_count(xor(x.sig, y.sig)) AS INT) AS dist
+       |  FROM bandc x JOIN bandc y ON x.band = y.band AND x.v = y.v AND x.id < y.id)
+       |SELECT a, b, dist FROM cand WHERE dist <= 3 ORDER BY a, b""".stripMargin
+  }
 
   /** SemDeDup oracle: the pair CTEs, recursive label propagation (the
     * dedup_clusters algebra), keepers + never-paired survive. */
@@ -2523,6 +2569,7 @@ object LlmPack extends QueryPack {
     "ann_ivf_recall" -> ivfRecallSql,
     "dedup_embedding" -> embeddingDupSql,
     "dedup_semantic_apply" -> semanticApplySql,
+    "dedup_rhp_embedding" -> rhpSql,
     "curation_pipeline" -> {
       val scores = TA.langProfiles.map { case (l, _) =>
         s"${reCount("text", langRe(l))} AS s_$l"

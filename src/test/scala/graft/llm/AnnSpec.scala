@@ -111,6 +111,32 @@ class AnnSpec extends SparkSpec {
     assert(again == first)
   }
 
+  test("RHP signatures: banded equals brute force; copies at 0; same-cluster bits agree") {
+    val base = clustered
+    val doubled = base.unionAll(
+      base.select((col("vec_id") + 10000).as("vec_id"), col("ce")))
+    val banded = Ann.rhpNearDupPairs(doubled)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val sigs = Ann.rhpSimhash(doubled).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val brute = (for {
+      (ia, ha) <- sigs; (ib, hb) <- sigs if ia < ib
+      d = java.lang.Long.bitCount(ha ^ hb) if d <= 3
+    } yield (ia, ib, d)).toSet
+    assert(banded == brute, s"banded ${banded.size} vs brute ${brute.size}")
+    // every exact copy shares all 64 sign bits
+    (0 until nClusters * perCluster by 37).foreach(i =>
+      assert(banded.contains((i.toLong, 10000L + i, 0)), s"copy $i"))
+    // angle property: same-cluster signatures agree on far more bits
+    // than cross-cluster ones (P[bit differs] = angle / pi)
+    val byId = sigs.toMap
+    def dist(a: Long, b: Long) = java.lang.Long.bitCount(byId(a) ^ byId(b))
+    val within = (0 until 40).map(i => dist(i.toLong, (i + 1).toLong)).sum / 40.0
+    val across = (0 until 40).map(i => dist(i.toLong, (i + perCluster).toLong)).sum / 40.0
+    info(s"mean Hamming within-cluster $within vs cross-cluster $across")
+    assert(within < across, s"$within !< $across")
+  }
+
   test("PQ encode: m codes each in [0, ksub); build deterministic; x2hat = reconstruction norm") {
     val corpus = clustered
     val cb = Ann.pqCodebooks(corpus, m = 4, ksub = 8, iters = 2)
