@@ -257,6 +257,36 @@ object LlmPack extends QueryPack {
           sum(when(col("keep"), 1L).otherwise(0L)).as("n_keep"))
         .orderBy("source")
     }),
+    // The full CCNet pipeline in ONE query (Wenzek et al. 2020's
+    // actual shape): markdown strip → corpus line dedup → train the
+    // reference LM on the cleaned 90% slice → score → per-language
+    // perplexity terciles. Every stage is the production operator;
+    // the oracle chains the strip/dedup twins into the LM CTE algebra.
+    "llm_pipeline_ccnet" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val d = docs(s, dir)
+      val clean = d.select(col("doc_id"),
+        Markup.stripMarkdown(concat(
+          lit(LlmPack.mdPrefix), col("text"), lit(LlmPack.mdSuffix))).as("text"))
+      val deduped = Dedup.lineDedup(clean, "doc_id", "text", "\n")
+        .withColumnRenamed("id", "doc_id")
+      val lm = TA.stupidBackoff(
+          deduped.select(col("doc_id"), col("clean_text").as("text")),
+          "doc_id", "text", col("doc_id") % 10 =!= 0)
+        .select(col("id").as("doc_id"), col("lm_bits_x100"))
+      val w = Window.partitionBy("lang")
+        .orderBy(col("lm_bits_x100"), col("doc_id"))
+      d.select(col("doc_id"), col("lang"))
+        .join(lm, "doc_id")
+        .withColumn("bucket",
+          when(ntile(3).over(w) === 1, lit("head"))
+            .when(ntile(3).over(w) === 2, lit("middle"))
+            .otherwise(lit("tail")))
+        .groupBy("lang", "bucket")
+        .agg(count(lit(1)).as("n_docs"),
+          max(col("lm_bits_x100")).as("max_bits_x100"))
+        .orderBy("lang", "bucket")
+    }),
     // The brief's ACTUAL end-to-end shape, from raw BYTES (r17): a
     // binaryFile-scan-shaped relation of real FlateDecode PDFs
     // (rendered executor-side from the ASCII corpus subset, markdown
@@ -1777,15 +1807,12 @@ object LlmPack extends QueryPack {
   /** The text_lm_score CTE chain through the per-token `sc` relation
     * (90/10 split, injected OOV tail) — shared by the doc-mean score
     * and the Min-K%% tail-mean oracle. */
-  private val lmTokenCtes: String =
-    """WITH base AS (SELECT doc_id AS id, (doc_id % 10 <> 0) AS is_train,
-        |    list_filter(string_split(
-        |      CASE WHEN doc_id % 10 = 0
-        |           THEN text || ' zzq' || CAST(doc_id AS VARCHAR) ||
-        |                ' zzq' || CAST(doc_id AS VARCHAR)
-        |           ELSE text END, ' '), x -> x <> '') AS w
-        |  FROM documents),
-        |ttok AS (SELECT unnest(w) AS w3 FROM base WHERE is_train),
+  /** The LM CTE chain from the token stream through the per-token
+    * `sc` relation — everything AFTER the `base` CTE (which callers
+    * supply: raw documents with the injected OOV tail, or a cleaned
+    * pipeline relation). */
+  private val lmChainFromBase: String =
+    """|ttok AS (SELECT unnest(w) AS w3 FROM base WHERE is_train),
         |uni AS (SELECT w3, count(*) AS cu FROM ttok GROUP BY 1),
         |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM ttok),
         |tbi AS (SELECT w[i] AS w2, w[i+1] AS w3
@@ -1819,6 +1846,19 @@ object LlmPack extends QueryPack {
         |  LEFT JOIN bh USING (w2)
         |  LEFT JOIN uni USING (w3)
         |  CROSS JOIN tot)""".stripMargin
+
+  /** The text_lm_score CTE chain through the per-token `sc` relation
+    * (90/10 split, injected OOV tail) — shared by the doc-mean score
+    * and the Min-K% tail-mean oracle. */
+  private val lmTokenCtes: String =
+    """WITH base AS (SELECT doc_id AS id, (doc_id % 10 <> 0) AS is_train,
+      |    list_filter(string_split(
+      |      CASE WHEN doc_id % 10 = 0
+      |           THEN text || ' zzq' || CAST(doc_id AS VARCHAR) ||
+      |                ' zzq' || CAST(doc_id AS VARCHAR)
+      |           ELSE text END, ' '), x -> x <> '') AS w
+      |  FROM documents),
+      |""".stripMargin + lmChainFromBase
 
   val oracleSql: Map[String, String] = Map(
     "text_lang_id" -> {
@@ -1896,6 +1936,41 @@ object LlmPack extends QueryPack {
          |    AND g.n_stop >= 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_keep
          |FROM g JOIN documents d USING (doc_id)
          |GROUP BY d.source ORDER BY d.source""".stripMargin,
+    // the strip/line-dedup twins chained into the LM CTE algebra over
+    // the CLEANED text, then the deterministic per-language terciles
+    "llm_pipeline_ccnet" ->
+      (s"""WITH c AS (SELECT doc_id, $mdCleanSql AS text FROM documents),
+          |l AS (SELECT doc_id AS id, CAST(t.i AS BIGINT) - 1 AS pos,
+          |    parts[CAST(t.i AS INT)] AS line
+          |  FROM (SELECT doc_id, string_split(text, chr(10)) AS parts FROM c),
+          |    UNNEST(generate_series(1, len(parts))) AS t(i)),
+          |f AS (SELECT line, min(id) AS fid FROM l GROUP BY line),
+          |f2 AS (SELECT l.line, f.fid, min(l.pos) AS fpos
+          |  FROM l JOIN f ON l.line = f.line AND l.id = f.fid
+          |  GROUP BY l.line, f.fid),
+          |j AS (SELECT l.id, l.pos, l.line,
+          |    (l.id = f2.fid AND l.pos = f2.fpos) AS keep
+          |  FROM l JOIN f2 USING (line)),
+          |dd AS (SELECT id AS doc_id,
+          |    COALESCE(string_agg(CASE WHEN keep THEN line END, chr(10) ORDER BY pos), '')
+          |      AS clean_text
+          |  FROM j GROUP BY id),
+          |base AS (SELECT doc_id AS id, (doc_id % 10 <> 0) AS is_train,
+          |    list_filter(string_split(clean_text, ' '), x -> x <> '') AS w
+          |  FROM dd),
+          |""".stripMargin + lmChainFromBase +
+        """,
+          |lm AS (SELECT id AS doc_id,
+          |    CAST(sum(sb) // count(*) AS BIGINT) AS lm_bits_x100
+          |  FROM sc GROUP BY id),
+          |tiles AS (SELECT d.lang, lm.lm_bits_x100,
+          |    ntile(3) OVER (PARTITION BY d.lang
+          |      ORDER BY lm.lm_bits_x100, d.doc_id) AS t
+          |  FROM documents d JOIN lm USING (doc_id))
+          |SELECT lang,
+          |  CASE t WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket,
+          |  count(*) AS n_docs, max(lm_bits_x100) AS max_bits_x100
+          |FROM tiles GROUP BY 1, 2 ORDER BY lang, bucket""".stripMargin),
     // llm_pipeline_binary twin: the docs-pipeline chain over the
     // printable-ASCII subset (PDF render→extract is bit-for-bit
     // identity there, per pdf_corpus_roundtrip, so the twin starts at
