@@ -184,6 +184,37 @@ object LlmPack extends QueryPack {
           max(col("lm_bits_x100")).as("max_bits_x100"))
         .orderBy("lang", "bucket")
     }),
+    // Distilled quality classifier (the FineWeb-Edu pattern: an
+    // expensive scorer labels a slice, a cheap classifier learns the
+    // labels and scores everything): LM terciles provide pseudo-labels
+    // (head -> 'hi', tail -> 'lo', middle held out), Naive Bayes
+    // trains on the labeled raw text, the whole corpus scores through
+    // it, and the gate pins the (bucket x prediction) profile — the
+    // distillation-faithfulness report a production run ships.
+    "curation_model_filter" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val d = docs(s, dir)
+      val lm = TA.stupidBackoff(d, "doc_id", "text", col("doc_id") % 10 =!= 0)
+        .select(col("id").as("doc_id"), col("lm_bits_x100"))
+      val w = Window.partitionBy("lang")
+        .orderBy(col("lm_bits_x100"), col("doc_id"))
+      val tiles = d.select(col("doc_id"), col("lang")).join(lm, "doc_id")
+        .withColumn("bucket",
+          when(ntile(3).over(w) === 1, lit("head"))
+            .when(ntile(3).over(w) === 2, lit("middle"))
+            .otherwise(lit("tail")))
+        .select("doc_id", "bucket")
+      val labeled = tiles.filter(col("bucket") =!= "middle")
+        .join(d.select(col("doc_id"), col("text")), "doc_id")
+        .withColumn("cls",
+          when(col("bucket") === "head", lit("hi")).otherwise(lit("lo")))
+      val model = TA.nbTrain(labeled, "text", "cls")
+      TA.nbScore(d, "doc_id", "text", model)
+        .select(col("id").as("doc_id"), col("pred"))
+        .join(tiles, "doc_id")
+        .groupBy("bucket", "pred").agg(count(lit(1)).as("n_docs"))
+        .orderBy("bucket", "pred")
+    }),
     // Free-text PII scrub (TA.scrubPii): inject deterministic PII —
     // an email per doc, a phone on evens, an IPv4 on %3, an SSN on %5 —
     // then redact to typed placeholders and report per-kind audit
@@ -1936,6 +1967,49 @@ object LlmPack extends QueryPack {
          |    AND g.n_stop >= 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_keep
          |FROM g JOIN documents d USING (doc_id)
          |GROUP BY d.source ORDER BY d.source""".stripMargin,
+    // the LM tercile CTEs provide the pseudo-labels; the NB train/
+    // score algebra (the text_nb_classify mirror) runs over them; the
+    // final confusion profile joins predictions back to buckets
+    "curation_model_filter" ->
+      ("""WITH base AS (SELECT doc_id AS id, (doc_id % 10 <> 0) AS is_train,
+         |    list_filter(string_split(text, ' '), x -> x <> '') AS w
+         |  FROM documents),
+         |""".stripMargin + lmChainFromBase +
+        """,
+          |lm AS (SELECT id AS doc_id,
+          |    CAST(sum(sb) // count(*) AS BIGINT) AS lm_bits_x100
+          |  FROM sc GROUP BY id),
+          |tiles AS (SELECT d.doc_id,
+          |    CASE ntile(3) OVER (PARTITION BY d.lang
+          |        ORDER BY lm.lm_bits_x100, d.doc_id)
+          |      WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
+          |  FROM documents d JOIN lm USING (doc_id)),
+          |lab AS (SELECT t.doc_id,
+          |    CASE WHEN t.bucket = 'head' THEN 'hi' ELSE 'lo' END AS cls
+          |  FROM tiles t WHERE t.bucket <> 'middle'),
+          |tr AS (SELECT l.cls, unnest(string_split(d.text, ' ')) AS tok
+          |  FROM lab l JOIN documents d USING (doc_id)),
+          |t2 AS (SELECT cls, tok FROM tr WHERE tok <> ''),
+          |counts AS (SELECT cls, tok, count(*) AS cwc FROM t2 GROUP BY 1, 2),
+          |totals AS (SELECT cls, CAST(sum(cwc) AS BIGINT) AS tc FROM counts GROUP BY 1),
+          |voc AS (SELECT DISTINCT tok FROM counts),
+          |vs AS (SELECT count(*) AS v FROM voc),
+          |grid AS (SELECT voc.tok, totals.cls,
+          |    CAST(length(format('{:b}',
+          |      (totals.tc + vs.v) // (COALESCE(c.cwc, 0) + 1))) AS BIGINT) AS cost
+          |  FROM voc CROSS JOIN totals CROSS JOIN vs
+          |  LEFT JOIN counts c ON c.cls = totals.cls AND c.tok = voc.tok),
+          |st AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+          |  FROM documents),
+          |s2 AS (SELECT doc_id, tok FROM st WHERE tok <> ''),
+          |scored AS (SELECT s2.doc_id, g.cls, CAST(sum(g.cost) AS BIGINT) AS score
+          |  FROM s2 JOIN grid g ON g.tok = s2.tok GROUP BY 1, 2),
+          |rk AS (SELECT doc_id, cls, score,
+          |    row_number() OVER (PARTITION BY doc_id ORDER BY score, cls) AS rn
+          |  FROM scored)
+          |SELECT t.bucket, rk.cls AS pred, count(*) AS n_docs
+          |FROM rk JOIN tiles t USING (doc_id) WHERE rk.rn = 1
+          |GROUP BY 1, 2 ORDER BY bucket, pred""".stripMargin),
     // the strip/line-dedup twins chained into the LM CTE algebra over
     // the CLEANED text, then the deterministic per-language terciles
     "llm_pipeline_ccnet" ->
