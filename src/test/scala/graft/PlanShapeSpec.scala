@@ -184,6 +184,51 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("LM / DSIR / RHP / IVFPQ plans: no cartesian products; DSIR models broadcast") {
+    // The r17-session operators' scale shapes: the LM's count-table
+    // joins and the IVFPQ candidate join must never degenerate into a
+    // cartesian product (the only nested-loop joins allowed are the
+    // audited broadcast single-row/metadata crossJoins), and DSIR's
+    // bucket-model joins must stay broadcast — a shuffled join there
+    // would move the corpus for an 8192-row table.
+    // (curation_dsir_scores returns through Materialize's eager
+    // localCheckpoint, so its interior join shape is not visible in
+    // the returned plan — its broadcast contract is locked below on
+    // the uncheckpointed interior instead.)
+    Seq("text_lm_score", "text_min_k_prob",
+      "dedup_rhp_embedding", "ann_topk_ivfpq", "llm_pipeline_ccnet")
+      .foreach { q =>
+        val p = plan(q)
+        assert(!p.contains("CartesianProduct"), s"$q:\n$p")
+      }
+    // DSIR interior: rebuild the scoring join over the same bucketed
+    // token stream shape and assert the model joins broadcast — a
+    // shuffled join there would move the corpus for an 8192-row table.
+    locally {
+      import org.apache.spark.sql.functions._
+      import spark.implicits._
+      val docs = (1 to 50).map(i => (i.toLong, s"tok$i common word"))
+        .toDF("doc_id", "text")
+      val toks = docs
+        .select(col("doc_id").as("id"), (col("doc_id") % 2 === 0).as("is_target"),
+          explode(split(col("text"), " ")).as("tok"))
+        .select(col("id"), col("is_target"),
+          org.apache.spark.sql.functions.pmod(
+            graft.functions.F.hash32(col("tok"), "dsir", "b"), lit(8192L)).as("b"))
+      val model = toks.groupBy("b").agg(
+        sum(when(col("is_target"), lit(1L)).otherwise(lit(0L))).as("cp"),
+        count(lit(1)).as("cq"))
+      val joined = toks.join(broadcast(model), Seq("b"))
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("BroadcastHashJoin"), p)
+      assert(!p.contains("SortMergeJoin"), p)
+    }
+    // RHP signatures are a pure narrow projection feeding the band
+    // kernel: the codegen'd sign_bits expression is in the plan
+    val rhp = plan("dedup_rhp_embedding")
+    assert(rhp.contains("sign_bits") || rhp.contains("SignBits"), rhp)
+  }
+
   test("llm_pipeline_full composes without cartesian products or partitionless windows") {
     // The end-to-end chain (clusters → anti-join → salted cap →
     // packing) must keep each stage's scale shape: every Window is
