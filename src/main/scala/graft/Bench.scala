@@ -90,7 +90,10 @@ object Bench {
     //   BENCH_r{N}.json — only written when it does not already
     //     exist or the round was given explicitly; an existing
     //     canonical artifact is never clobbered by a guessed round.
-    if (args.isEmpty) {
+    // Round artifacts describe the driver's sf0.1 protocol run; a full
+    // run against another fixture (the sf1 standing refresh) must not
+    // clobber them — it keeps its explicit SPARK_GRAFT_BENCH_OUT only.
+    if (args.isEmpty && sfDir.contains("sf0.1")) {
       val explicit = sys.env.get("SPARK_GRAFT_ROUND").flatMap(_.toIntOption)
       val inferred = {
         val rn = "CORRECTNESS_r(\\d+)\\.json".r
