@@ -93,7 +93,12 @@ object Bench {
     // Round artifacts describe the driver's sf0.1 protocol run; a full
     // run against another fixture (the sf1 standing refresh) must not
     // clobber them — it keeps its explicit SPARK_GRAFT_BENCH_OUT only.
-    if (args.isEmpty && sfDir.contains("sf0.1")) {
+    val sfBasename =
+      java.nio.file.Paths.get(sfDir).normalize().getFileName match {
+        case null => ""
+        case p    => p.toString
+      }
+    if (args.isEmpty && sfBasename == "sf0.1") {
       val explicit = sys.env.get("SPARK_GRAFT_ROUND").flatMap(_.toIntOption)
       val inferred = {
         val rn = "CORRECTNESS_r(\\d+)\\.json".r

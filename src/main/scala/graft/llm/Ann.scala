@@ -496,7 +496,9 @@ object Ann {
       seed: String = "pq"): DataFrame = {
     val cached = corpus.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val dim = cached.select(size(col("ce")).as("d")).head.getInt(0)
+      val probe = cached.select(size(col("ce")).as("d")).limit(1).collect()
+      require(probe.nonEmpty, "pqCodebooks: empty corpus — cannot probe dimensionality")
+      val dim = probe(0).getInt(0)
       require(dim % m == 0, s"pqCodebooks: dim $dim not divisible by m $m")
       val d = dim / m
       def localize(df: DataFrame): DataFrame = corpus.sparkSession.createDataFrame(
@@ -691,7 +693,9 @@ object Ann {
     * Output (id, sig). */
   def rhpSimhash(corpus: DataFrame, seed: String = "rhp"): DataFrame = {
     import graft.functions.{F, SignBits}
-    val dim = corpus.select(size(col("ce")).as("d")).head.getInt(0)
+    val probe = corpus.select(size(col("ce")).as("d")).limit(1).collect()
+    require(probe.nonEmpty, "rhpSimhash: empty corpus — cannot probe dimensionality")
+    val dim = probe(0).getInt(0)
     val m = rhpPlanes(dim, 64, seed)
     corpus.select(col("vec_id").as("id"),
       F.toColumn(SignBits(F.toExpr(col("ce")), m)).as("sig"))

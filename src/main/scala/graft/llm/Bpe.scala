@@ -166,22 +166,31 @@ object Bpe {
     * is round i's argmax pair, s_i the vocab after applying it. When
     * `throughK` the chain ends with the FULLY merged s_k (the encode
     * oracle needs it); the learn oracle stops at b_k. */
-  private def bpeChainCtes(k: Int, throughK: Boolean): Seq[String] = {
+  /** Default histogram SQL: printable-ASCII whitespace words of
+    * `documents.text` (the [[wordHistogram]] twin). */
+  private val docsHistSql: String =
+    """SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM (
+      |      SELECT unnest(regexp_split_to_array(text, '\s+')) AS word
+      |      FROM documents WHERE regexp_matches(text, '^[\x20-\x7E]*$'))
+      |    WHERE length(word) > 0 GROUP BY word""".stripMargin
+
+  private def bpeChainCtes(k: Int, throughK: Boolean,
+      histSql: String = docsHistSql): Seq[String] = {
+    // Every s_i is referenced twice (by b_{i+1} and s_{i+1}); DuckDB
+    // 1.0 inlines multi-referenced CTEs, re-executing the chain
+    // multiplicatively — MATERIALIZED keeps k rounds linear.
     val s0 =
-      """s0 AS (
+      s"""s0 AS MATERIALIZED (
         |  SELECT word, list_transform(range(1, length(word)+1), i -> word[i]) AS toks, cnt
-        |  FROM (SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM (
-        |      SELECT unnest(regexp_split_to_array(text, '\s+')) AS word
-        |      FROM documents WHERE regexp_matches(text, '^[\x20-\x7E]*$'))
-        |    WHERE length(word) > 0 GROUP BY word))""".stripMargin
+        |  FROM ($histSql))""".stripMargin
     def best(prev: String, b: String) =
-      s"""$b AS (
+      s"""$b AS MATERIALIZED (
          |  SELECT pr.l AS l, pr.r AS r, CAST(sum(cnt) AS BIGINT) AS n
          |  FROM (SELECT unnest(list_transform(range(1, len(toks)),
          |      i -> struct_pack(l := toks[i], r := toks[i+1]))) AS pr, cnt FROM $prev)
          |  GROUP BY 1, 2 ORDER BY n DESC, l, r LIMIT 1)""".stripMargin
     def step(prev: String, b: String, next: String) =
-      s"""$next AS (
+      s"""$next AS MATERIALIZED (
          |  SELECT word, flatten(list_transform(range(1, len(toks)+1), i ->
          |      CASE WHEN list_contains(kept, i) THEN [ml || mr]
          |           WHEN list_contains(kept, i - 1) THEN []
@@ -203,9 +212,19 @@ object Bpe {
 
   def mergesOracleSql(k: Int): String = {
     require(k >= 1 && k <= 32, s"mergesOracleSql: k=$k out of [1, 32]")
+    mergesOracleSqlOver(k, docsHistSql)
+  }
+
+  /** [[mergesOracleSql]] over an arbitrary (word, cnt) histogram SQL —
+    * the deep-merge gate needs a vocabulary rich enough for hundreds
+    * of rounds, which the 31-word synthetic `documents` corpus is
+    * not. Each round is two MATERIALIZED CTEs, so DuckDB cost stays
+    * linear in k (measured ~0.13 s/round). */
+  def mergesOracleSqlOver(k: Int, histSql: String): String = {
+    require(k >= 1 && k <= 512, s"mergesOracleSqlOver: k=$k out of [1, 512]")
     val unions = (1 to k).map(i =>
       s"""SELECT CAST($i AS INT) AS "rank", l AS "left", r AS "right", n FROM b$i""")
-    "WITH " + bpeChainCtes(k, throughK = false).mkString(",\n") +
+    "WITH " + bpeChainCtes(k, throughK = false, histSql).mkString(",\n") +
       "\nSELECT * FROM (\n" + unions.mkString("\nUNION ALL ") +
       ")\nORDER BY \"rank\""
   }
@@ -221,6 +240,129 @@ object Bpe {
          |SELECT word, cnt, CAST(len(toks) AS BIGINT) AS n_toks,
          |  toks[1] AS first_tok
          |FROM s$k ORDER BY cnt DESC, word LIMIT $limit""".stripMargin
+  }
+
+  /** Learn the top-k BPE merges at REALISTIC merge counts — the
+    * production path. Identical output contract to [[learnMerges]]
+    * (same merges, same early-stop; LlmSpec asserts exact equality
+    * against both the naive in-memory reference and the distributed
+    * path on random corpora), but the per-merge cost is driver CPU,
+    * not a Spark job.
+    *
+    * Scale shape: the ONLY corpus-scale object is the word-histogram
+    * aggregate — one shuffle, however many petabytes feed it. The
+    * histogram itself is vocab-sized (Heaps' law), and `maxWords`
+    * caps what the driver collects to the most frequent N words
+    * (deterministic ties by word), which is the standard tokenizer-
+    * training design: HuggingFace tokenizers and SentencePiece both
+    * learn merges single-node over a pre-counted, frequency-floored
+    * histogram, because rare words contribute ~nothing to pair
+    * statistics. Learning then runs the textbook incremental
+    * algorithm ([[incrementalMerges]]): pair counts live in a hash
+    * table with an ordered candidate set, updated by DELTAS at each
+    * merge's match sites — O(sites · log P) per merge instead of a
+    * vocab rescan, so 32k merges over a 1M-word histogram is seconds
+    * of driver CPU where [[learnMerges]] would schedule 32k
+    * sequential Spark jobs. */
+  def learnMergesFast(docs: DataFrame, textCol: String, k: Int,
+      maxWords: Int = 1 << 20): DataFrame = {
+    require(k >= 1 && k <= 65536, s"learnMergesFast: k=$k out of [1, 65536]")
+    require(maxWords >= 1, s"learnMergesFast: maxWords=$maxWords")
+    val spark = docs.sparkSession
+    val hist = wordHistogram(docs, textCol)
+      .orderBy(desc("cnt"), asc("word")).limit(maxWords)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val merges = incrementalMerges(hist, k)
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(merges.map {
+        case (rk, l, r, n) => Row(rk, l, r, n)
+      }, 1),
+      StructType(Seq(
+        StructField("rank", IntegerType, nullable = false),
+        StructField("left", StringType, nullable = false),
+        StructField("right", StringType, nullable = false),
+        StructField("n", LongType, nullable = false))))
+  }
+
+  /** Incremental-delta BPE over an in-memory histogram: exact
+    * sequential greedy semantics (argmax by (-n, left, right), greedy
+    * left-to-right non-overlapping application — byte-for-byte the
+    * [[referenceMerges]] contract) at O(match-sites · log P) per
+    * merge. State: per-word token arrays, a pair→count table, a
+    * pair→word-set occurrence index, and an ordered candidate set
+    * keyed (-n, l, r); each merge re-tokenizes ONLY the words that
+    * contain the pair and applies the count deltas of that word's
+    * before/after pair multisets. */
+  private[llm] def incrementalMerges(words: Seq[(String, Long)],
+      k: Int): Seq[(Int, String, String, Long)] = {
+    import scala.collection.mutable
+    val seqs = words.map { case (w, _) =>
+      mutable.ArrayBuffer(w.map(_.toString): _*) }.toArray
+    val wcnt = words.map(_._2).toArray
+
+    def pairBag(ts: collection.Seq[String]): mutable.Map[(String, String), Long] = {
+      val m = mutable.Map.empty[(String, String), Long]
+      var i = 0
+      while (i + 1 < ts.length) {
+        val p = (ts(i), ts(i + 1))
+        m(p) = m.getOrElse(p, 0L) + 1L
+        i += 1
+      }
+      m
+    }
+
+    val counts = mutable.Map.empty[(String, String), Long]
+    val occurs = mutable.Map.empty[(String, String), mutable.Set[Int]]
+    // Ordered candidates: TreeSet of (n, l, r) snapshots kept in sync
+    // with `counts` (remove-old/insert-new on every delta).
+    val ord: Ordering[(Long, String, String)] =
+      Ordering.by[(Long, String, String), (Long, String, String)] {
+        case (n, l, r) => (-n, l, r)
+      }
+    val cand = mutable.TreeSet.empty[(Long, String, String)](ord)
+
+    def bump(p: (String, String), delta: Long, widx: Int, nowPresent: Boolean): Unit = {
+      val old = counts.getOrElse(p, 0L)
+      val nw = old + delta
+      if (old > 0L) cand.remove((old, p._1, p._2))
+      if (nw > 0L) { counts(p) = nw; cand.add((nw, p._1, p._2)) }
+      else counts.remove(p)
+      val set = occurs.getOrElseUpdate(p, mutable.Set.empty[Int])
+      if (nowPresent) set.add(widx) else set.remove(widx)
+    }
+
+    seqs.indices.foreach { i =>
+      pairBag(seqs(i)).foreach { case (p, c) => bump(p, c * wcnt(i), i, nowPresent = true) }
+    }
+
+    val out = mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var rank = 1
+    while (rank <= k && cand.nonEmpty) {
+      val (n, l, r) = cand.head
+      out += ((rank, l, r, n))
+      val affected = occurs.getOrElse((l, r), mutable.Set.empty[Int]).toArray
+      affected.foreach { wi =>
+        val before = pairBag(seqs(wi))
+        // Greedy left-to-right application — the pending-token fold.
+        val merged = l + r
+        val buf = mutable.ArrayBuffer.empty[String]
+        var pend: String = null
+        seqs(wi).foreach { t =>
+          if (pend == null) pend = t
+          else if (pend == l && t == r) { buf += merged; pend = null }
+          else { buf += pend; pend = t }
+        }
+        if (pend != null) buf += pend
+        seqs(wi) = buf
+        val after = pairBag(buf)
+        (before.keySet ++ after.keySet).foreach { p =>
+          val d = after.getOrElse(p, 0L) - before.getOrElse(p, 0L)
+          if (d != 0L) bump(p, d * wcnt(wi), wi, nowPresent = after.contains(p))
+        }
+      }
+      rank += 1
+    }
+    out.toSeq
   }
 
   /** Single-machine reference implementation (test oracle): the

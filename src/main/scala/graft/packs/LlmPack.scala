@@ -403,6 +403,21 @@ object LlmPack extends QueryPack {
     "text_bpe_merges" -> ((s, dir) =>
       graft.llm.Bpe.learnMerges(
         docs(s, dir).filter(col("text").rlike("^[\\x20-\\x7E]*$")), "text", 8)),
+    // BPE at REALISTIC merge depth (k=256) — the production path
+    // (Bpe.learnMergesFast): the corpus is touched by exactly ONE
+    // histogram aggregate, the driver learns every merge over the
+    // vocab-sized table with incremental pair-count deltas (no Spark
+    // job per merge — the r17 scale ceiling). The synthetic documents
+    // corpus has a 31-word vocabulary that saturates after ~89
+    // merges, so this gate learns over customer names (1500 distinct
+    // digit-rich words — 256 full rounds with pair mass to spare).
+    // Oracle: the same 256 greedy rounds unrolled into MATERIALIZED
+    // CTE pairs; LlmSpec property-checks learnMergesFast ≡ the naive
+    // reference ≡ the distributed learnMerges on random corpora.
+    "text_bpe_merges_256" -> ((s, dir) =>
+      graft.llm.Bpe.learnMergesFast(
+        Tables.load(s, dir, "customer").select(col("c_name").as("text")),
+        "text", 256)),
     // The tokenizer-INFERENCE half (Bpe.encodeHistogram): replay the 8
     // learned merges in rank order over the word histogram — each
     // DISTINCT word encodes once (vocab-sized work, never per corpus
@@ -1541,7 +1556,10 @@ object LlmPack extends QueryPack {
   /** Random-hyperplane LSH oracle: regenerate the integer plane
     * matrix from the same keyed md5, sign-bit signatures via bit_or,
     * then the band algebra mirror (four 16-bit bands, ≤10000 cap,
-    * popcount ≤ 3). */
+    * popcount ≤ 3). NOTE: the Scala side derives dimensionality from
+    * the data (`rhpSimhash` probes `size(ce)`); this oracle hardcodes
+    * the fixture's 64-dim embeddings — if the fixture dim changes,
+    * the `ii.i` range below must change with it. */
   private def rhpSql: String = {
     val planeC = "CAST(CONCAT('0x', substr(md5('rhp:' || CAST(jj.j AS VARCHAR) " +
       "|| ':' || CAST(ii.i AS VARCHAR)), 1, 8)) AS BIGINT) % 2001 - 1000"
@@ -2164,6 +2182,10 @@ object LlmPack extends QueryPack {
         |FROM p GROUP BY 1, 2 ORDER BY n DESC, "left", "right" LIMIT 20""".stripMargin,
     // the k=8 greedy iteration, unrolled: see Bpe.mergesOracleSql
     "text_bpe_merges" -> graft.llm.Bpe.mergesOracleSql(8),
+    // 256 rounds of the same greedy algebra over the customer-name
+    // histogram (MATERIALIZED CTE pairs keep DuckDB linear in k)
+    "text_bpe_merges_256" -> graft.llm.Bpe.mergesOracleSqlOver(256,
+      "SELECT c_name AS word, CAST(count(*) AS BIGINT) AS cnt FROM customer GROUP BY 1"),
     // same chain run through s8, then per-word token counts
     "text_bpe_encode" -> graft.llm.Bpe.encodeOracleSql(8, 50),
     // same keyed 20-gram hashes, window-of-8 integer argmin

@@ -377,6 +377,48 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("property: incremental-delta BPE (learnMergesFast path) equals the naive reference on random corpora") {
+    import graft.llm.Bpe
+    // The delta maintenance is where the bugs would live: pairs whose
+    // global count crosses zero, occurrence-index churn, overlap runs
+    // ((a,a) on "aaaa"), created-pair ties. Deep ranks and a tiny
+    // alphabet maximize all four.
+    val rnd = new scala.util.Random(1318)
+    (0 until 8).foreach { trial =>
+      val words = (0 until 40).map { _ =>
+        (0 until (1 + rnd.nextInt(8))).map(_ => ('a' + rnd.nextInt(3)).toChar).mkString
+      }
+      val hist = words.groupBy(identity).map { case (w, ws) => (w, ws.size.toLong) }.toSeq
+      val k = 1 + rnd.nextInt(40)
+      val got = Bpe.incrementalMerges(hist, k)
+      val want = Bpe.referenceMerges(hist, k)
+      assert(got == want, s"trial $trial k=$k: got=$got want=$want")
+    }
+    // weighted histogram (counts > 1) exercises the cnt multiplier
+    val weighted = Seq(("abab", 7L), ("aab", 3L), ("ba", 11L), ("bbb", 2L))
+    assert(Bpe.incrementalMerges(weighted, 10) == Bpe.referenceMerges(weighted, 10))
+  }
+
+  test("learnMergesFast equals distributed learnMerges end to end (histogram + early stop + maxWords cap)") {
+    import graft.llm.Bpe
+    import spark.implicits._
+    val docs = Seq((1L, "low low low lower lowest ab ba abab"),
+      (2L, "aaa aab low lower ab")).toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    assert(rows(Bpe.learnMergesFast(docs, "text", 12)) ==
+      rows(Bpe.learnMerges(docs, "text", 12)))
+    // early stop: a fully-mergeable vocab stops at the same rank
+    val one = Seq((1L, "ab ab")).toDF("doc_id", "text")
+    assert(rows(Bpe.learnMergesFast(one, "text", 10)) ==
+      rows(Bpe.learnMerges(one, "text", 10)))
+    // maxWords keeps the most frequent words (deterministic ties):
+    // capping at 1 learns only from the modal word
+    val capped = rows(Bpe.learnMergesFast(docs, "text", 3, maxWords = 1))
+    val lowOnly = Bpe.referenceMerges(Seq(("low", 4L)), 3)
+    assert(capped == lowOnly, s"capped=$capped want=$lowOnly")
+  }
+
   test("audioHashBytes: gain-invariant fingerprint; short/junk payloads yield None") {
     import graft.llm.Multimodal
     def wav16(samples: Array[Int]): Array[Byte] = {
@@ -598,8 +640,10 @@ class LlmSpec extends SparkSpec {
       javax.imageio.ImageIO.write(b, "png", out)
       out.toByteArray
     }
-    val Some(h0) = Multimodal.phashBytes(png32(0))
-    val Some(h1) = Multimodal.phashBytes(png32(40))
+    val r0 = Multimodal.phashBytes(png32(0))
+    val r1 = Multimodal.phashBytes(png32(40))
+    assert(r0.isDefined && r1.isDefined, "phashBytes failed to decode fixture PNG")
+    val (h0, h1) = (r0.get, r1.get)
     assert((h0 & ~1L) == (h1 & ~1L),
       f"AC bits moved: $h0%016x vs $h1%016x")
   }
