@@ -32,8 +32,17 @@ object Bench {
       if (args.isEmpty) SparkEntry.queries
       else SparkEntry.queries.view.filterKeys(args.toSet).toMap
     val repeat = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEAT", "2").toInt.max(1)
+    // The stream-stream join family's wall-clock is micro-batch
+    // scheduling, not data (r17: 2-6x swings on identical code under
+    // full-suite load) — min-of-4 shrinks the noise floor, and the
+    // artifact additionally records their deterministic progress
+    // totals (stream_metrics below) which check_bench.py gates on
+    // exactly, with wall-clock only a soft ceiling.
+    val noisyStreaming = Set("events_stream_join", "events_stream_join_outer",
+      "events_stream_join_full", "events_stream_enrich")
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val secs = (1 to repeat).map { _ =>
+      val reps = if (noisyStreaming(name)) repeat.max(4) else repeat
+      val secs = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         val ok =
           try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
@@ -67,8 +76,20 @@ object Bench {
     // since r5) is the box-drift yardstick — tools/check_bench.py
     // adjudicates 2x-gate breaches against it instead of raw ratios.
     val canary = results.collectFirst { case ("dedup_exact", v) if v >= 0 => v }
+    // Noise-free companion figures for the streaming gates: the
+    // deterministic progress totals of each instrumented query's last
+    // run (EventsStream.gateMetrics) — the numbers a loaded box
+    // cannot fake.
+    val streamMetrics = results.flatMap { case (name, _) =>
+      graft.streaming.EventsStream.gateMetrics.get(name).map { m =>
+        "\"" + name + "\":" + m.toSeq.sortBy(_._1)
+          .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+      }
+    }
+    val sm = if (streamMetrics.isEmpty) ""
+      else s""""stream_metrics":${streamMetrics.mkString("{", ",", "}")},"""
     val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","runs":$repeat,""" +
-      canary.map(c => s""""canary":${r3(c)},""").getOrElse("") +
+      canary.map(c => s""""canary":${r3(c)},""").getOrElse("") + sm +
       s""""estimator":"min","queries":$qs,"sf":"$sfDir"}"""
     println(line)
     // The driver captures stdout tails that can truncate the first

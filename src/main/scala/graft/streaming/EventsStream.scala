@@ -16,6 +16,39 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object EventsStream {
 
+  /** Deterministic progress TOTALS of the last completed run of each
+    * metric-instrumented gate, keyed by gate name. The stream-stream
+    * join gates' wall-clock is dominated by micro-batch scheduling
+    * (an idle-box artifact, r17 showed 2-6× swings on identical
+    * code), so the bench artifact records these noise-free figures
+    * alongside the seconds and tools/check_bench.py gates on METRIC
+    * EQUALITY with wall-clock as a soft ceiling. Only sums and the
+    * settled final value are recorded — batch count and per-batch
+    * shapes are trigger-scheduling details (see
+    * [[progressAuditViaFileSink]]) and are deliberately excluded. */
+  val gateMetrics =
+    new scala.collection.concurrent.TrieMap[String, Map[String, Long]]()
+
+  /** Fold a finished query's `recentProgress` ring into the three
+    * deterministic totals: rows ingested across all batches, rows the
+    * watermark dropped, and the state rows REMAINING after the last
+    * stateful batch (what an executor must hold at steady state — the
+    * 100 TB figure). The file sink reports no usable numOutputRows,
+    * and output content is already hash-locked by the correctness
+    * gate, so no output metric is recorded. */
+  private def recordGateMetrics(name: String, q: StreamingQuery): Unit = {
+    val ps = q.recentProgress.toSeq
+    val stateRowsFinal = ps.reverse.collectFirst {
+      case p if p.stateOperators.nonEmpty =>
+        p.stateOperators.map(_.numRowsTotal).sum
+    }.getOrElse(0L)
+    gateMetrics(name) = Map(
+      "input_rows" -> ps.map(_.numInputRows).sum,
+      "dropped_by_watermark" ->
+        ps.flatMap(_.stateOperators.toSeq).map(_.numRowsDroppedByWatermark).sum,
+      "state_rows_final" -> stateRowsFinal)
+  }
+
   /** Windowed per-type counts with a 1-hour watermark — the streaming
     * twin of the batch `events_hourly` query (same plan shape; state
     * pruned by the watermark). */
@@ -1349,6 +1382,7 @@ object EventsStream {
       .option("checkpointLocation", base.resolve("ckpt").toString)
       .start()
     try q.processAllAvailable() finally q.stop()
+    recordGateMetrics("events_stream_enrich", q)
     cleanupStaged(base, in)
     spark.read.parquet(out)
       .filter(col("user_id") >= 0)
@@ -1366,7 +1400,8 @@ object EventsStream {
     * a bounded run is complete without sentinel batches; the result
     * hash-matches the plain batch interval join the oracle runs. */
   def purchaseViewJoinViaFileSink(spark: SparkSession, sfDir: String): DataFrame =
-    ssJoinGate(spark, sfDir, "inner", sentinels = false)
+    ssJoinGate(spark, sfDir, "inner", sentinels = false,
+      gateName = "events_stream_join")
 
   /** LEFT-OUTER gate: unmatched purchases only emit their null-padded
     * row once the watermark has passed their join window (the engine
@@ -1377,17 +1412,19 @@ object EventsStream {
     * sentinel would stall the other branch at its old value). Sentinel
     * rows are dropped from the output. */
   def purchaseViewJoinOuterViaFileSink(spark: SparkSession, sfDir: String): DataFrame =
-    ssJoinGate(spark, sfDir, "left_outer", sentinels = true)
+    ssJoinGate(spark, sfDir, "left_outer", sentinels = true,
+      gateName = "events_stream_join_outer")
 
   /** FULL-OUTER gate: BOTH sides' unmatched rows emit null-padded once
     * the watermark clears their window — unmatched views (no purchase
     * within the following hour) surface too, keyed via the coalesced
     * user id. Same dual-type sentinel staging as the left-outer gate. */
   def purchaseViewJoinFullViaFileSink(spark: SparkSession, sfDir: String): DataFrame =
-    ssJoinGate(spark, sfDir, "full_outer", sentinels = true)
+    ssJoinGate(spark, sfDir, "full_outer", sentinels = true,
+      gateName = "events_stream_join_full")
 
   private def ssJoinGate(spark: SparkSession, sfDir: String, joinType: String,
-      sentinels: Boolean): DataFrame = {
+      sentinels: Boolean, gateName: String): DataFrame = {
     import java.nio.file.{Files, Paths}
     val base = Files.createTempDirectory("graft_ssjoin_gate")
     val in = base.resolve("in"); Files.createDirectories(in)
@@ -1436,6 +1473,7 @@ object EventsStream {
       .option("checkpointLocation", base.resolve("ckpt").toString)
       .start()
     try q.processAllAvailable() finally q.stop()
+    recordGateMetrics(gateName, q)
     cleanupStaged(base, in)
     spark.read.parquet(out)
       .filter(col("user_id") >= 0) // sentinel scaffolding, not data

@@ -419,6 +419,29 @@ class EventsStreamSpec extends SparkSpec {
     assert(written.count() > 0, "no finalized windows written")
   }
 
+  test("stream-join gate metrics: deterministic totals, bounded state (noise-robust bench binding)") {
+    // The bench artifact gates these queries on EventSream.gateMetrics
+    // equality (wall-clock is only a soft ceiling — micro-batch
+    // scheduling swung 2-6x on identical code under r17 full-suite
+    // load). This locks the SCALE property independently of timing:
+    // input accounting is exact, nothing is dropped as late, and the
+    // state left after the run is the tiny tail within the join
+    // horizon of the final watermark — NOT proportional to the feed.
+    val nEvents = spark.read.parquet(s"$sf/events.parquet").count()
+    EventsStream.purchaseViewJoinViaFileSink(spark, sf).collect()
+    val inner = EventsStream.gateMetrics("events_stream_join")
+    assert(inner("input_rows") == 2 * nEvents, inner)
+    assert(inner("dropped_by_watermark") == 0L, inner)
+    assert(inner("state_rows_final") < nEvents / 10, inner)
+
+    EventsStream.purchaseViewJoinFullViaFileSink(spark, sf).collect()
+    val full = EventsStream.gateMetrics("events_stream_join_full")
+    // + 8: two dual-type sentinel batches x 2 rows, read by both sides
+    assert(full("input_rows") == 2 * nEvents + 8, full)
+    assert(full("dropped_by_watermark") == 0L, full)
+    assert(full("state_rows_final") < nEvents / 10, full)
+  }
+
   test("streaming ingest dedup drops redelivered events within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val src = MemoryStream[Event]
