@@ -975,7 +975,43 @@ object Pdf {
     * verdict's exact complaint). `diffs` values: Some(text) = a
     * known glyph name, None = an unknown name (flag, don't guess). */
   private[ops] case class PdfFont(isType0: Boolean, cmap: Option[ToUnicodeCMap],
-      diffs: Map[Int, Option[String]] = Map.empty)
+      diffs: Map[Int, Option[String]] = Map.empty, ucs2: Boolean = false)
+
+  /** Type0 /Encoding names whose CODE SPACE IS UCS-2/UTF-16 itself:
+    * the predefined Uni{KS,JIS,GB,CNS}-{UCS2,UTF16}-{H,V} CMaps
+    * (Adobe CMap resources for the four CJK registries — the form
+    * Korean/Japanese/Chinese writers emit when they don't subset;
+    * reference context: a Korean SaaS document lake). Their code→CID
+    * tables ship with viewers, but extraction never needs them: the
+    * show-string bytes are big-endian UTF-16 code units by
+    * construction, so text decodes directly. -V variants share the
+    * -H code mapping (vertical is a LAYOUT difference; logical
+    * character order — what extraction emits — is identical).
+    * Identity-H/V stays OUTSIDE this set: its codes are font-program
+    * glyph indices, mappable only through /ToUnicode. */
+  private val ucs2EncodingRe =
+    ("Uni(?:KS|JIS|GB|CNS)-(?:UCS2|UTF16)-[HV]").r
+
+  /** Big-endian UTF-16 decode with explicit surrogate validation: a
+    * lone/mispaired surrogate or an odd trailing byte flags the page
+    * (second member of the pair) instead of silently emitting
+    * replacement characters. */
+  private[ops] def decodeUtf16be(b: Array[Byte]): (String, Boolean) = {
+    val sb = new StringBuilder
+    var un = false
+    var i = 0
+    while (i + 1 < b.length) {
+      val c = (((b(i) & 0xFF) << 8) | (b(i + 1) & 0xFF)).toChar
+      if (Character.isHighSurrogate(c) && i + 3 < b.length) {
+        val d = (((b(i + 2) & 0xFF) << 8) | (b(i + 3) & 0xFF)).toChar
+        if (Character.isLowSurrogate(d)) { sb.append(c).append(d); i += 4 }
+        else { un = true; i += 2 }
+      } else if (Character.isSurrogate(c)) { un = true; i += 2 }
+      else { sb.append(c); i += 2 }
+    }
+    if (b.length % 2 != 0) un = true
+    (sb.result(), un)
+  }
 
   /** Parse an /Encoding dictionary's /Differences array ([PDF 32000]
     * 9.6.5.1): integers set the next code, names assign consecutive
@@ -1061,7 +1097,13 @@ object Pdf {
             if (isType0) Map.empty[Int, Option[String]]
             else resolveDictValue(objects, fb, "Encoding")
               .map(parseDifferences).getOrElse(Map.empty)
-          m.group(1) -> PdfFont(isType0, cmap, diffs)
+          // Type0 /Encoding as a NAME selects a predefined CMap; the
+          // UCS2/UTF16 family decodes without any table (see
+          // ucs2EncodingRe). /ToUnicode still wins when present.
+          val ucs2 = isType0 &&
+            ("/Encoding\\s*/([A-Za-z0-9\\-]+)").r.findFirstMatchIn(fb)
+              .exists(e => ucs2EncodingRe.pattern.matcher(e.group(1)).matches())
+          m.group(1) -> PdfFont(isType0, cmap, diffs, ucs2)
         }
       }
     }.toMap
@@ -1130,6 +1172,11 @@ object Pdf {
       case Some(f) => f.cmap match {
         case Some(cm) =>
           val (s, un) = cm.decode(b)
+          if (un) unmappedAny = true
+          s
+        case None if f.isType0 && f.ucs2 =>
+          // predefined UCS-2/UTF-16 CMap: the bytes ARE the text
+          val (s, un) = decodeUtf16be(b)
           if (un) unmappedAny = true
           s
         case None if f.isType0 => // glyph indices, unmappable: flag, emit nothing
@@ -1547,7 +1594,7 @@ object Pdf {
     * entries. `withToUnicode = false` builds the no-CMap variant that
     * must FLAG, not garbage. */
   def makeCidPdf(pages: Seq[String], withToUnicode: Boolean = true,
-      flate: Boolean = false): Array[Byte] = {
+      flate: Boolean = false, encoding: String = "Identity-H"): Array[Byte] = {
     val np = pages.size
     val pageNums = (0 until np).map(3 + _)
     val contentNums = pageNums.map(_ + np)
@@ -1559,8 +1606,16 @@ object Pdf {
     def cidOf(cp: Int): Int =
       if (cp >= 'a' && cp <= 'z') cp
       else extra.getOrElseUpdate(cp, 0x2000 + extra.size)
+    // A predefined Uni*-UCS2/UTF16 /Encoding's code space IS UTF-16:
+    // its show strings carry the text's big-endian code units, no CID
+    // table involved. Identity-H keeps the deliberately-non-Unicode
+    // CID assignment above so only the /ToUnicode path can decode it.
+    val ucs2Encoding = encoding.startsWith("Uni")
     val pageCids: Seq[Seq[Int]] =
-      pages.map(_.codePoints().toArray.toSeq.map(cidOf))
+      if (ucs2Encoding)
+        pages.map(_.getBytes("UTF-16BE").grouped(2).toSeq
+          .map(p => ((p(0) & 0xFF) << 8) | (p(1) & 0xFF)))
+      else pages.map(_.codePoints().toArray.toSeq.map(cidOf))
     val tou = {
       val bfchars = extra.map { case (cp, cid) =>
         val dst = new String(Character.toChars(cp))
@@ -1595,7 +1650,7 @@ object Pdf {
         n -> streamObj(s"BT /F1 12 Tf 72 720 Td <$hex> Tj ET")
       } ++ Seq(
         fontNum -> (" << /Type /Font /Subtype /Type0 /BaseFont /Graft-CID" +
-          s" /Encoding /Identity-H /DescendantFonts [$descNum 0 R]$touEntry >> "),
+          s" /Encoding /$encoding /DescendantFonts [$descNum 0 R]$touEntry >> "),
         descNum -> (" << /Type /Font /Subtype /CIDFontType2 /BaseFont /Graft-CID" +
           " /CIDSystemInfo << /Registry (Adobe) /Ordering (Identity) /Supplement 0 >> >> ")) ++
       (if (withToUnicode) Seq(touNum -> streamObj(tou)) else Nil)

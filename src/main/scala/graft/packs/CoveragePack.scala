@@ -150,6 +150,27 @@ object CoveragePack extends QueryPack {
         .toDF("name", "content")
       PdfText.extractTextDf(files).orderBy("name", "page")
     }),
+    // Predefined-CMap composite fonts (r18, the r17 verdict's CJK
+    // gap): a Type0 /Encoding NAME from the Uni{KS,JIS,GB,CNS}-
+    // {UCS2,UTF16}-{H,V} family needs no /ToUnicode — those CMaps'
+    // code space IS UTF-16BE, so the show strings decode directly
+    // (the form Korean/Japanese writers emit when they don't subset).
+    // Vertical (-V) variants extract in identical logical order;
+    // Identity-V still needs /ToUnicode (glyph indices) and must
+    // FLAG without one.
+    "pdf_extract_cmap" -> ((s, dir) => {
+      import s.implicits._
+      val kr = Pdf.makeCidPdf(Seq("안녕하세요 세계"), withToUnicode = false,
+        encoding = "UniKS-UCS2-H")
+      val jp = Pdf.makeCidPdf(Seq("日本語 𝄞 テスト"), withToUnicode = false,
+        flate = true, encoding = "UniJIS-UTF16-H")
+      val idv = Pdf.makeCidPdf(Seq("vertical ok"), encoding = "Identity-V")
+      val idvNo = Pdf.makeCidPdf(Seq("hidden"), withToUnicode = false,
+        encoding = "Identity-V")
+      val files = Seq(("kr.pdf", kr), ("jp.pdf", jp), ("idv.pdf", idv),
+        ("idv_nomap.pdf", idvNo)).toDF("name", "content")
+      PdfText.extractTextDf(files).orderBy("name", "page")
+    }),
     // Decode-filter surface (r17): every text-bearing stream filter a
     // real-world writer emits — ASCIIHex, ASCII85, RunLength, LZW
     // (TIFF early-change variant) — plus the classic two-stage
@@ -377,6 +398,13 @@ object CoveragePack extends QueryPack {
         |  ('cid.pdf', 2, 'clef 𝄞 ok', '', ''),
         |  ('dct.pdf', 0, '', '', 'unsupported stream filter /DCTDecode'),
         |  ('nomap.pdf', 1, '', 'unmapped glyphs', ''))
+        |  AS t(name, page, text, warn, error) ORDER BY name, page""".stripMargin,
+    "pdf_extract_cmap" ->
+      """SELECT * FROM (VALUES
+        |  ('idv.pdf', 1, 'vertical ok', '', ''),
+        |  ('idv_nomap.pdf', 1, '', 'unmapped glyphs', ''),
+        |  ('jp.pdf', 1, '日本語 𝄞 テスト', '', ''),
+        |  ('kr.pdf', 1, '안녕하세요 세계', '', ''))
         |  AS t(name, page, text, warn, error) ORDER BY name, page""".stripMargin,
     "pdf_extract_differences" ->
       """SELECT * FROM (VALUES

@@ -134,6 +134,40 @@ class PdfTextSpec extends AnyFunSuite {
       Seq((1, "", "unmapped glyphs")))
   }
 
+  test("predefined UniKS-UCS2-H encoding extracts Korean without any ToUnicode") {
+    // the UCS2 CMaps' code space IS UTF-16BE — bytes are the text
+    val ko = "안녕하세요 세계 Korean 문서"
+    assert(Pdf.extractTextPages(Pdf.makeCidPdf(Seq(ko),
+      withToUnicode = false, encoding = "UniKS-UCS2-H")) == Seq((1, ko, "")))
+  }
+
+  test("predefined UniJIS-UTF16-H carries surrogate pairs; vertical -V variant reads identically") {
+    val ja = "日本語 𝄞 テスト"
+    assert(Pdf.extractTextPages(Pdf.makeCidPdf(Seq(ja), withToUnicode = false,
+      flate = true, encoding = "UniJIS-UTF16-H")) == Seq((1, ja, "")))
+    // -V is a layout difference only: logical order extraction is equal
+    assert(Pdf.extractTextPages(Pdf.makeCidPdf(Seq(ja), withToUnicode = false,
+      encoding = "UniKS-UCS2-V")) == Seq((1, ja, "")))
+  }
+
+  test("Identity-V with a ToUnicode CMap decodes; without one it still flags") {
+    val s = "vertical text"
+    assert(Pdf.extractTextPages(Pdf.makeCidPdf(Seq(s),
+      encoding = "Identity-V")) == Seq((1, s, "")))
+    assert(Pdf.extractTextPages(Pdf.makeCidPdf(Seq(s),
+      withToUnicode = false, encoding = "Identity-V")) ==
+      Seq((1, "", "unmapped glyphs")))
+  }
+
+  test("decodeUtf16be: lone surrogate and odd tail flag instead of emitting U+FFFD") {
+    assert(Pdf.decodeUtf16be("ab".getBytes("UTF-16BE")) == (("ab", false)))
+    // high surrogate with no low: flagged, skipped
+    assert(Pdf.decodeUtf16be(Array(0xD8.toByte, 0x34.toByte, 0x00, 'x'.toByte)) ==
+      (("x", true)))
+    // odd trailing byte: flagged
+    assert(Pdf.decodeUtf16be(Array(0x00, 'a'.toByte, 0x00)) == (("a", true)))
+  }
+
   test("parseToUnicode: bfrange with explicit array destinations") {
     val cm = Pdf.parseToUnicode(
       """1 begincodespacerange <0000> <FFFF> endcodespacerange
