@@ -92,6 +92,82 @@ class Sf1RecallSpec extends SparkSpec {
     } finally { sigs.unpersist(); () }
   }
 
+  test("sf1 pHash banded near-dup recall vs exact Hamming >= 0.90 over 3000 images") {
+    assume(have, s"$sf1 absent — run tools/gen_sf1.py")
+    import spark.implicits._
+    // 1500 base 32x32 gradient images parameterized by an sf1 document
+    // hash, each with a +40-brightness copy (the proven pHash property:
+    // a global shift flips at most the DC bit — a true near-dup), run
+    // through the PRODUCTION pipeline (PNG encode -> decode -> DCT
+    // pHash -> banded Hamming join) and measured against exact-Hamming
+    // truth — the fourth member of the measured-recall family.
+    val ids = spark.read.parquet(s"$sf1/documents.parquet")
+      .filter(col("doc_id") < 1500)
+      .select(col("doc_id"), xxhash64(col("text")).as("pat"))
+      .as[(Long, Long)].collect() // fixture-sized (1500 rows)
+    def img(pat: Long, shift: Int): Array[Byte] = {
+      val b = new java.awt.image.BufferedImage(32, 32,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      (0 until 32).foreach(x => (0 until 32).foreach { y =>
+        // lumas in [40, 200): +40 never clips (the brightness
+        // invariance precondition); the pattern varies per document
+        val m = ((pat >>> ((x + y) % 8 * 8)) & 0xFF).toInt
+        val v = 40 + (x * 131 + y * 37 + x * y * 13 + m * 7) % 160 + shift
+        b.setRGB(x, y, v << 16 | v << 8 | v)
+      })
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(b, "png", out)
+      out.toByteArray
+    }
+    val media = ids.toSeq.flatMap { case (id, pat) =>
+      Seq((id, img(pat, 0)), (id + 10000000L, img(pat, 40)))
+    }.toDF("media_id", "content")
+    val sigs = media.as[(Long, Array[Byte])]
+      .flatMap { case (id, c) => Multimodal.phashBytes(c).map(h => (id, h)) }
+      .toDF("id", "sig").cache()
+    try {
+      val truth = sigs.as("x").crossJoin(sigs.as("y"))
+        .filter(col("x.id") < col("y.id") &&
+          bit_count(col("x.sig").bitwiseXOR(col("y.sig"))) <= 3)
+        .count()
+      val found = Multimodal.phashNearDupPairs(media).count()
+      info(s"sf1 pHash recall: n_true=$truth n_found=$found")
+      assert(truth >= 1500L, s"degenerate truth set ($truth) — fixture broken")
+      assert(found * 10000L / truth >= 9000L,
+        s"sf1 banded pHash recall ${found * 10000L / truth} < 9000 (x1e4)")
+    } finally { sigs.unpersist(); () }
+  }
+
+  test("sf1 RHP embedding near-dup recall vs exact signature Hamming >= 0.90 over 3000 vectors") {
+    assume(have, s"$sf1 absent — run tools/gen_sf1.py")
+    // 1500 sf1 embeddings, each with a scaled-and-shifted copy
+    // (x -> 1.25x + 0.01): signs flip only where a plane's dot sits
+    // near zero, so copies land a few Hamming bits away — the
+    // realistic near-dup regime where banding statistics (hot-band
+    // caps) bite at volume. Truth = brute-force signature pairs at
+    // <= 3 bits; found = the banded production kernel. The fifth
+    // member of the measured-recall family.
+    val e = spark.read.parquet(s"$sf1/embeddings.parquet")
+      .filter(col("vec_id") < 1500)
+    val corpus = e.select(col("vec_id"), col("embedding").as("ce"))
+      .unionAll(e.select((col("vec_id") + 10000000L).as("vec_id"),
+        expr("transform(embedding, x -> CAST(x * 1.25d + 0.01d AS float))").as("ce")))
+    val sigs = Ann.rhpSimhash(corpus).cache()
+    try {
+      val truth = sigs.as("x").crossJoin(sigs.as("y"))
+        .filter(col("x.id") < col("y.id") &&
+          bit_count(col("x.sig").bitwiseXOR(col("y.sig"))) <= 3)
+        .count()
+      val found = Ann.rhpNearDupPairs(corpus).count()
+      info(s"sf1 RHP recall: n_true=$truth n_found=$found")
+      // most copies land <= 3 bits out; the ~3% whose perturbation
+      // crossed more planes fall outside BOTH sets by construction
+      assert(truth >= 1000L, s"degenerate truth set ($truth) — fixture broken")
+      assert(found * 10000L / truth >= 9000L,
+        s"sf1 banded RHP recall ${found * 10000L / truth} < 9000 (x1e4)")
+    } finally { sigs.unpersist(); () }
+  }
+
   test("sf1 IVF recall vs brute-force >= 0.90 mean over 20 queries (nprobe=2/10)") {
     assume(have, s"$sf1 absent — run tools/gen_sf1.py")
     val e = spark.read.parquet(s"$sf1/embeddings.parquet")
