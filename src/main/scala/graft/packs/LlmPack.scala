@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.QueryPack
 import graft.core.Tables
-import graft.llm.{Ann, Dedup, Markup, Multimodal, TextAnalysis => TA}
+import graft.llm.{Ann, Curation, Dedup, Markup, Multimodal, TextAnalysis => TA}
 
 /** Oracle-checked queries for text analysis, similarity search, and
   * the multimodal binary path (documents + embeddings fixtures). */
@@ -317,6 +317,53 @@ object LlmPack extends QueryPack {
         .agg(count(lit(1)).as("n_docs"),
           max(col("lm_bits_x100")).as("max_bits_x100"))
         .orderBy("lang", "bucket")
+    }),
+    // The FineWeb-style distillation chain in ONE query (r18): strip
+    // → corpus line dedup → reference-LM train on the cleaned 90%
+    // slice → per-language perplexity terciles pseudo-label head/tail
+    // → Naive Bayes distills the labels from the CLEANED text → the
+    // FULL corpus scores through the broadcast NB model → the kept
+    // ('hi') docs get deterministic 80/10/10 train/val/test splits →
+    // per-(source, split) delivery counts. curation_model_filter
+    // proves the stages; this is the composition a production run
+    // ships, one optimizer pass over the whole DAG. Scale shape: the
+    // expensive scorer (LM) touches one slice, the cheap model scores
+    // everything through a vocab-sized broadcast, splits are a narrow
+    // keyed-hash projection — nothing corpus-sized shuffles after the
+    // dedup stage.
+    "llm_pipeline_distill" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val d = docs(s, dir)
+      val clean = d.select(col("doc_id"),
+        Markup.stripMarkdown(concat(
+          lit(LlmPack.mdPrefix), col("text"), lit(LlmPack.mdSuffix))).as("text"))
+      val deduped = Dedup.lineDedup(clean, "doc_id", "text", "\n")
+        .withColumnRenamed("id", "doc_id")
+        .select(col("doc_id"), col("clean_text").as("text"))
+      val lm = TA.stupidBackoff(deduped, "doc_id", "text",
+          col("doc_id") % 10 =!= 0)
+        .select(col("id").as("doc_id"), col("lm_bits_x100"))
+      val w = Window.partitionBy("lang")
+        .orderBy(col("lm_bits_x100"), col("doc_id"))
+      val tiles = d.select(col("doc_id"), col("lang")).join(lm, "doc_id")
+        .withColumn("bucket",
+          when(ntile(3).over(w) === 1, lit("head"))
+            .when(ntile(3).over(w) === 2, lit("middle"))
+            .otherwise(lit("tail")))
+        .select("doc_id", "bucket")
+      val labeled = tiles.filter(col("bucket") =!= "middle")
+        .join(deduped, "doc_id")
+        .withColumn("cls",
+          when(col("bucket") === "head", lit("hi")).otherwise(lit("lo")))
+      val model = TA.nbTrain(labeled, "text", "cls")
+      val kept = TA.nbScore(deduped, "doc_id", "text", model)
+        .select(col("id").as("doc_id"), col("pred"))
+        .filter(col("pred") === "hi")
+      Curation.assignSplits(
+          kept.join(d.select(col("doc_id"), col("source")), "doc_id"),
+          "doc_id", "s18", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .groupBy("source", "split").agg(count(lit(1)).as("n_docs"))
+        .orderBy("source", "split")
     }),
     // The brief's ACTUAL end-to-end shape, from raw BYTES (r17): a
     // binaryFile-scan-shaped relation of real FlateDecode PDFs
@@ -2063,6 +2110,73 @@ object LlmPack extends QueryPack {
           |  CASE t WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket,
           |  count(*) AS n_docs, max(lm_bits_x100) AS max_bits_x100
           |FROM tiles GROUP BY 1, 2 ORDER BY lang, bucket""".stripMargin),
+    // the ccnet twin's strip/dedup chain (dd MATERIALIZED — it feeds
+    // the LM base, NB training and the scoring stream), the LM CTE
+    // algebra, terciles, the NB grid over the CLEANED text, rn=1
+    // prediction, 'hi' keep, then the keyed-hash split twin
+    "llm_pipeline_distill" ->
+      (s"""WITH c AS MATERIALIZED (SELECT doc_id, $mdCleanSql AS text FROM documents),
+          |l AS (SELECT doc_id AS id, CAST(t.i AS BIGINT) - 1 AS pos,
+          |    parts[CAST(t.i AS INT)] AS line
+          |  FROM (SELECT doc_id, string_split(text, chr(10)) AS parts FROM c),
+          |    UNNEST(generate_series(1, len(parts))) AS t(i)),
+          |f AS (SELECT line, min(id) AS fid FROM l GROUP BY line),
+          |f2 AS (SELECT l.line, f.fid, min(l.pos) AS fpos
+          |  FROM l JOIN f ON l.line = f.line AND l.id = f.fid
+          |  GROUP BY l.line, f.fid),
+          |j AS (SELECT l.id, l.pos, l.line,
+          |    (l.id = f2.fid AND l.pos = f2.fpos) AS keep
+          |  FROM l JOIN f2 USING (line)),
+          |dd AS MATERIALIZED (SELECT id AS doc_id,
+          |    COALESCE(string_agg(CASE WHEN keep THEN line END, chr(10) ORDER BY pos), '')
+          |      AS clean_text
+          |  FROM j GROUP BY id),
+          |base AS MATERIALIZED (SELECT doc_id AS id, (doc_id % 10 <> 0) AS is_train,
+          |    list_filter(string_split(clean_text, ' '), x -> x <> '') AS w
+          |  FROM dd),
+          |""".stripMargin + lmChainFromBase +
+        """,
+          |lm AS (SELECT id AS doc_id,
+          |    CAST(sum(sb) // count(*) AS BIGINT) AS lm_bits_x100
+          |  FROM sc GROUP BY id),
+          |tiles AS MATERIALIZED (SELECT d.doc_id,
+          |    CASE ntile(3) OVER (PARTITION BY d.lang
+          |        ORDER BY lm.lm_bits_x100, d.doc_id)
+          |      WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
+          |  FROM documents d JOIN lm USING (doc_id)),
+          |lab AS (SELECT t.doc_id,
+          |    CASE WHEN t.bucket = 'head' THEN 'hi' ELSE 'lo' END AS cls
+          |  FROM tiles t WHERE t.bucket <> 'middle'),
+          |tr AS (SELECT lb.cls, unnest(string_split(dd.clean_text, ' ')) AS tok
+          |  FROM lab lb JOIN dd USING (doc_id)),
+          |t2 AS (SELECT cls, tok FROM tr WHERE tok <> ''),
+          |counts AS (SELECT cls, tok, count(*) AS cwc FROM t2 GROUP BY 1, 2),
+          |totals AS (SELECT cls, CAST(sum(cwc) AS BIGINT) AS tc FROM counts GROUP BY 1),
+          |voc AS (SELECT DISTINCT tok FROM counts),
+          |vs AS (SELECT count(*) AS v FROM voc),
+          |grid AS (SELECT voc.tok, totals.cls,
+          |    CAST(length(format('{:b}',
+          |      (totals.tc + vs.v) // (COALESCE(cn.cwc, 0) + 1))) AS BIGINT) AS cost
+          |  FROM voc CROSS JOIN totals CROSS JOIN vs
+          |  LEFT JOIN counts cn ON cn.cls = totals.cls AND cn.tok = voc.tok),
+          |st AS (SELECT doc_id, unnest(string_split(clean_text, ' ')) AS tok
+          |  FROM dd),
+          |s2 AS (SELECT doc_id, tok FROM st WHERE tok <> ''),
+          |scored AS (SELECT s2.doc_id, g.cls, CAST(sum(g.cost) AS BIGINT) AS score
+          |  FROM s2 JOIN grid g ON g.tok = s2.tok GROUP BY 1, 2),
+          |rk AS (SELECT doc_id, cls, score,
+          |    row_number() OVER (PARTITION BY doc_id ORDER BY score, cls) AS rn
+          |  FROM scored),
+          |hi AS (SELECT doc_id FROM rk WHERE rn = 1 AND cls = 'hi'),
+          |h AS (SELECT d.source,
+          |    CAST(CONCAT('0x', substr(md5(CAST(hi.doc_id AS VARCHAR) || ':s18:split'), 1, 8)) AS BIGINT) AS h32
+          |  FROM hi JOIN documents d USING (doc_id))
+          |SELECT source, CASE
+          |    WHEN h32 < CAST(floor(CAST(0.8 AS DOUBLE) * 4294967296.0) AS BIGINT) THEN 'train'
+          |    WHEN h32 < CAST(floor((CAST(0.8 AS DOUBLE) + CAST(0.1 AS DOUBLE)) * 4294967296.0) AS BIGINT) THEN 'val'
+          |    ELSE 'test' END AS split,
+          |  count(*) AS n_docs
+          |FROM h GROUP BY 1, 2 ORDER BY source, split""".stripMargin),
     // llm_pipeline_binary twin: the docs-pipeline chain over the
     // printable-ASCII subset (PDF render→extract is bit-for-bit
     // identity there, per pdf_corpus_roundtrip, so the twin starts at
