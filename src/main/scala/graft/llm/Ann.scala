@@ -666,6 +666,63 @@ object Ann {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** Materialize the composed IVF+PQ index under `dir` — the
+    * [[writeIndex]] lifecycle for the PQ-compressed serving path:
+    * the IVF centroid table, the RESIDUAL PQ codebooks, and the
+    * encoded corpus (vec_id, bucket, codes — one int + m bytes per
+    * vector) range-clustered on bucket with a
+    * [[graft.ops.FileIndex]] manifest, plus the corpus-checksum
+    * guard [[verifyIndex]] compares at load. At 100 TB the Lloyd
+    * passes are amortized across every query the index ever serves —
+    * persisted or the build isn't real; serving reads only the
+    * probed files' compressed rows. */
+  def writeIndexPq(corpus: DataFrame, dir: String, n: Int, m: Int,
+      ksub: Int, iters: Int = 2, files: Int = 16, seed: String = "ivf",
+      pqSeed: String = "pq"): Unit = {
+    val cent = ivfCentroids(corpus, n, iters, seed)
+    cent.coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
+    val res = ivfResiduals(corpus, cent)
+    val rv = res.select(col("vec_id"), col("re").as("ce"))
+    val cb = pqCodebooks(rv, m, ksub, iters, pqSeed)
+    cb.coalesce(1).write.mode("overwrite").parquet(s"$dir/codebooks")
+    val enc = pqEncode(rv, cb)
+      .join(res.select(col("vec_id"), col("bucket")), Seq("vec_id"))
+      .select(col("vec_id"), col("bucket"), col("codes"))
+    graft.ops.FileIndex.writeIndexed(enc, s"$dir/encoded", "bucket", files)
+    corpusFingerprint(corpus)
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/fingerprint")
+  }
+
+  /** IVF+PQ search against a PERSISTED index: load centroids and
+    * codebooks (both metadata-sized, localized like
+    * [[loadCentroids]]), probe, prune the encoded table's files to
+    * the probed bucket spans via the manifest (driver-side planning,
+    * the [[ivfTopKPersisted]] step), then the [[ivfpqTopK]] ADC
+    * scoring over only the pruned (vec_id, bucket, codes) rows —
+    * output ≡ ivfpqTopK over the same build, with zero training
+    * passes at serve time. */
+  def ivfpqTopKPersisted(spark: org.apache.spark.sql.SparkSession,
+      queries: DataFrame, dir: String, k: Int = 10,
+      nprobe: Int = 2): DataFrame = {
+    val cent = loadCentroids(spark, dir)
+    val cbDf = spark.read.parquet(s"$dir/codebooks")
+    val cb = spark.createDataFrame(
+      java.util.Arrays.asList(cbDf.collect(): _*), cbDf.schema)
+    val probes = probeBuckets(queries, cent, nprobe)
+    val buckets = probes.select("bucket").distinct().collect()
+      .map(_.getInt(0)).toSet
+    val manifest = spark.read.parquet(s"$dir/encoded/_index")
+      .select("file", "lo", "hi").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getInt(2)))
+    val keep = manifest.collect {
+      case (f, lo, hi) if buckets.exists(b => b >= lo && b <= hi) => f
+    }
+    val encoded =
+      if (keep.isEmpty) spark.read.parquet(s"$dir/encoded").limit(0)
+      else spark.read.parquet(keep.toIndexedSeq: _*)
+    ivfpqTopK(queries, cent, cb, encoded, k, nprobe)
+  }
+
   // ---- Random-hyperplane LSH (Charikar 2002) -------------------------
 
   /** Deterministic integer hyperplanes: component (j, i) =

@@ -930,6 +930,27 @@ object LlmPack extends QueryPack {
       Ann.ivfTopKPersisted(s, q, idx, TOPK, NPROBE)
         .select("qid", "vec_id", "cos_x1e4", "rank").orderBy("qid", "rank")
     }),
+    // Persisted IVF+PQ index (r18 — closes the r17 "PQ codebook build
+    // amortized across queries" gap): writeIndexPq materializes
+    // centroids + residual codebooks + the bucket-clustered encoded
+    // corpus (one int + m bytes per vector) with the same
+    // corpus-checksum guard; serving loads the metadata tables,
+    // file-prunes the encoded rows to the probed bucket spans, and
+    // runs the ADC identity with ZERO training passes. Same oracle as
+    // ann_topk_ivfpq — the persisted path must reproduce the
+    // in-memory build bit for bit.
+    "ann_index_pq_persisted" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val c = e.select(col("vec_id"), col("embedding").as("ce"))
+      val idx = graft.core.Scratch.dir("graft_rt").resolve("ann_pq_idx").toString
+      Ann.writeIndexPq(c, idx, NC, PQ_M, PQ_K, LLOYD, files = 4,
+        pqSeed = "ivfpq")
+      Ann.verifyIndex(s, idx, c)
+      val q = e.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      Ann.ivfpqTopKPersisted(s, q, idx, TOPK, NPROBE)
+        .select("qid", "vec_id", "dot_x1e6", "rank").orderBy("qid", "rank")
+    }),
     // Measured IVF recall vs the exact baseline over 20 queries —
     // the honest quality gate for the approximate path. Ann.ivfRecall
     // scores every (query, vector) pair ONCE and derives both the
@@ -2812,6 +2833,8 @@ object LlmPack extends QueryPack {
     "ann_topk_ivfpq" -> ivfpqSql,
     // persist → reload → query must reproduce the in-memory build exactly
     "ann_index_persisted" -> ivfTopkSql,
+    // the persisted IVF+PQ path must reproduce the in-memory build
+    "ann_index_pq_persisted" -> ivfpqSql,
     "ann_incremental_ivf" -> ivfIncrementalSql,
     "curation_cluster_cap" -> clusterCapSql,
     // same booleans as the text_gopher_rules oracle (raw-double

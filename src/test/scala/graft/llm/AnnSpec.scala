@@ -245,6 +245,41 @@ class AnnSpec extends SparkSpec {
     assert(again.toSeq == persisted.toSeq)
   }
 
+  test("persisted IVF+PQ index: reload + ADC query == in-memory ivfpqTopK; probe prunes files") {
+    val corpus = clustered
+    val idx = java.nio.file.Files.createTempDirectory("ann_pq_idx_spec").toString
+    Ann.writeIndexPq(corpus, idx, nClusters, m = 4, ksub = 8, iters = 2, files = 5)
+    Ann.verifyIndex(spark, idx, corpus)
+    val q = corpus.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("qid"), col("ce").as("qe"))
+    val persisted = Ann.ivfpqTopKPersisted(spark, q, idx, k = 10, nprobe = 2)
+      .select("qid", "vec_id", "dot_x1e6", "rank").orderBy("qid", "rank").collect()
+    // the exact same build, held in memory
+    val cent = Ann.ivfCentroids(corpus, nClusters, iters = 2)
+    val res = Ann.ivfResiduals(corpus, cent)
+    val rv = res.select(col("vec_id"), col("re").as("ce"))
+    val cb = Ann.pqCodebooks(rv, m = 4, ksub = 8, iters = 2)
+    val enc = Ann.pqEncode(rv, cb)
+      .join(res.select(col("vec_id"), col("bucket")), Seq("vec_id"))
+      .select(col("vec_id"), col("bucket"), col("codes"))
+    val mem = Ann.ivfpqTopK(q, cent, cb, enc, k = 10, nprobe = 2)
+      .select("qid", "vec_id", "dot_x1e6", "rank").orderBy("qid", "rank").collect()
+    assert(persisted.toSeq == mem.toSeq)
+    // serving scans a strict subset of the encoded files: replay the
+    // manifest pruning for a 1-query probe (input_file_name can't
+    // survive the ADC aggregate, so assert at the scan level)
+    val one = q.limit(1)
+    val probed = Ann.probeBuckets(one, Ann.loadCentroids(spark, idx), 2)
+      .select("bucket").distinct().collect().map(_.getInt(0)).toSet
+    val manifest = spark.read.parquet(s"$idx/encoded/_index")
+      .select("file", "lo", "hi").collect()
+    val keep = manifest.count(r =>
+      probed.exists(b => b >= r.getInt(1) && b <= r.getInt(2)))
+    val total = graft.ops.FileIndex.indexedFileCount(spark, s"$idx/encoded")
+    assert(keep < total, s"1-query probe kept $keep of $total files")
+    assert(keep >= 1, "probe pruned everything — manifest spans broken")
+  }
+
   test("persisted index: staleness fingerprint accepts the built corpus, rejects a refresh") {
     val corpus = clustered
     val idx = java.nio.file.Files.createTempDirectory("ann_idx_fp").toString
