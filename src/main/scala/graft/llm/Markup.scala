@@ -52,6 +52,18 @@ object Markup {
     ("(?m)^[ \\t]*\\d{1,3}[.)][ \\t]+", ""),
     // horizontal rules
     ("(?m)^[ \\t]*[-*_]{3,}[ \\t]*$", ""),
+    // table separator lines (|---|:---:|) — a line of pipes, dashes,
+    // colons and blanks with at least one pipe drops whole; must run
+    // while the pipes are still present (before the cell rules below)
+    ("(?m)^[ \\t:|-]*\\|[ \\t:|-]*$", ""),
+    // table cell delimiters: leading/trailing pipes strip, interior
+    // pipes become one space — `| a | b |` reads "a b", the
+    // pdftotext-family convention. Pipes are table syntax everywhere
+    // (a prose `a | b` flattens to "a b" too — the corpus-practical
+    // call, documented rather than special-cased).
+    ("(?m)^[ \\t]*\\|[ \\t]*", ""),
+    ("(?m)[ \\t]*\\|[ \\t]*$", ""),
+    ("[ \\t]*\\|[ \\t]*", " "),
     // reference-link DEFINITION lines ([ref]: url "title") drop whole
     ("(?m)^[ \\t]*\\[[^\\]]+\\]:[ \\t]*[^\\n]*$", ""),
     // images -> alt text, then links -> anchor text (inline, then
@@ -73,25 +85,57 @@ object Markup {
     // snake_case_identifiers never delimits
     ("(?m)(^|[\\s(])_([^_\\n]+)_", "$1$2"),
     ("`([^`]+)`", "$1"),
-    // entities; &amp; strictly last (no double decode)
+    // entities; &amp; strictly last (no double decode). The numeric
+    // typography set covers the forms a real content_md corpus
+    // actually carries (curly quotes, dashes, ellipsis, NBSP) in
+    // decimal, hex and named spellings; arbitrary numeric entities
+    // OUTSIDE this set stay verbatim — a general &#N; decoder needs
+    // per-match arithmetic no shared regex rule list can express,
+    // and unknown entities passing through unchanged is the safe
+    // failure (the cut line, documented).
     ("&lt;", "<"),
     ("&gt;", ">"),
     ("&quot;", "\""),
     ("&#39;", "'"),
-    ("&nbsp;", " "),
+    ("&apos;", "'"),
+    ("&#8216;|&#[xX]2018;|&lsquo;", "‘"),
+    ("&#8217;|&#[xX]2019;|&rsquo;", "’"),
+    ("&#8220;|&#[xX]201[cC];|&ldquo;", "“"),
+    ("&#8221;|&#[xX]201[dD];|&rdquo;", "”"),
+    ("&#8211;|&#[xX]2013;|&ndash;", "–"),
+    ("&#8212;|&#[xX]2014;|&mdash;", "—"),
+    ("&#8230;|&#[xX]2026;|&hellip;", "…"),
+    ("&#160;|&#[xX][aA]0;|&nbsp;", " "),
     ("&amp;", "&"))
 
-  /** Markdown/HTML-stripped text as a codegen'd Column chain. */
-  def stripMarkdown(c: Column): Column =
-    rules.foldLeft(c) { case (acc, (p, r)) => regexp_replace(acc, p, r) }
+  /** Fenced-code DROP rule — applied right after comments when the
+    * pipeline decides code blocks are noise (a prose LM corpus);
+    * the default keeps fence CONTENT and drops only the marker
+    * lines (a code-bearing corpus). Non-greedy across lines; an
+    * unclosed fence stays (its marker line still strips below). */
+  private[llm] val dropFencedRule: (String, String) =
+    ("(?s)(?m)^```[^\\n]*\\n.*?^```[^\\n]*$", "")
+
+  private[llm] def rulesFor(dropFencedCode: Boolean): Seq[(String, String)] =
+    if (dropFencedCode) rules.head +: dropFencedRule +: rules.tail
+    else rules
+
+  /** Markdown/HTML-stripped text as a codegen'd Column chain.
+    * `dropFencedCode` is the corpus decision: false (default) keeps
+    * fence content and strips only the marker lines; true drops the
+    * whole block. */
+  def stripMarkdown(c: Column, dropFencedCode: Boolean = false): Column =
+    rulesFor(dropFencedCode).foldLeft(c) {
+      case (acc, (p, r)) => regexp_replace(acc, p, r)
+    }
 
   /** The DuckDB twin: same ordered rules as nested
     * `regexp_replace(..., 'g')` over SQL expression `e`. DuckDB
     * single-quoted literals are raw (standard SQL — no backslash
     * processing), so patterns embed verbatim; only quotes double and
     * the replacement-group convention flips $1 → \1. */
-  def oracleExpr(e: String): String =
-    rules.foldLeft(e) { case (acc, (p, r)) =>
+  def oracleExpr(e: String, dropFencedCode: Boolean = false): String =
+    rulesFor(dropFencedCode).foldLeft(e) { case (acc, (p, r)) =>
       val pat = p.replace("'", "''")
       val rep = r.replaceAll("\\$(\\d)", "\\\\$1").replace("'", "''")
       s"regexp_replace($acc, '$pat', '$rep', 'g')"

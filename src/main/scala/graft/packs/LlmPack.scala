@@ -26,7 +26,15 @@ object LlmPack extends QueryPack {
       // markers, _em_, ~~strike~~, reference-style link + its
       // definition line, and the snake_case non-mangling trap
       "\nTitle\n====\n- item _one_\n2. item ~~two~~ [ref text][r1]\n" +
-      "[r1]: http://ref \"t\"\nsnake_case_name stays"
+      "[r1]: http://ref \"t\"\nsnake_case_name stays" +
+      // r18 rule classes: numeric/named typography entities (decimal,
+      // hex, named — it&#8217;s → it’s) and a pipe table (separator
+      // line drops, cell pipes flatten to spaces). The no-outer-pipe
+      // table form: this literal interpolates into stripMargin'd
+      // oracle SQL, where a leading '|' would read as the margin
+      // character and vanish; MarkupSpec covers the piped form.
+      "\nit&#8217;s &#x201C;q&#x201D; a&#8212;b &hellip; x&#160;y" +
+      "\nh1 | h2\n---|---:\nc1 | c2"
   private def sqlLit(s: String) = "'" + s.replace("'", "''") + "'"
   private lazy val mdCleanSql: String =
     Markup.oracleExpr(s"${sqlLit(mdPrefix)} || text || ${sqlLit(mdSuffix)}")

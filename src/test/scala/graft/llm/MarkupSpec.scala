@@ -82,6 +82,49 @@ class MarkupSpec extends SparkSpec {
     assert(strip("see [x][r]\n[r]: u\ntail") == "see x\n\ntail")
   }
 
+  test("numeric/named typography entities decode to their true characters") {
+    // decimal, hex (either case) and named spellings of the same char
+    assert(strip("it&#8217;s &#x2019; &rsquo;") == "it’s ’ ’")
+    assert(strip("&#8216;a&#8217; &lsquo;b&rsquo;") == "‘a’ ‘b’")
+    assert(strip("&#8220;q&#8221; &#x201C;r&#x201D; &ldquo;s&rdquo;") == "“q” “r” “s”")
+    assert(strip("a&#8211;b c&#x2013;d e&ndash;f") == "a–b c–d e–f")
+    assert(strip("a&#8212;b c&#X2014;d e&mdash;f") == "a—b c—d e—f")
+    assert(strip("wait&#8230; &hellip; &#x2026;") == "wait… … …")
+    assert(strip("A&#160;B C&#xA0;D E&apos;F") == "A B C D E'F")
+    // the cut line: numeric entities OUTSIDE the typography set stay
+    // verbatim (safe failure), and escaped forms decode exactly once
+    assert(strip("&#1234; &#x1F600;") == "&#1234; &#x1F600;")
+    assert(strip("&amp;#8217;") == "&#8217;")
+  }
+
+  test("pipe tables: separator lines drop, cell pipes flatten to single spaces") {
+    assert(strip("| h1 | h2 |\n|---|---:|\n| c1 | c2 |") == "h1 h2\n\nc1 c2")
+    // alignment-colon separators and no-outer-pipe forms drop too
+    assert(strip("h\n:---|:---:\nv") == "h\n\nv")
+    // prose pipes flatten (the documented corpus-practical call)
+    assert(strip("a | b") == "a b")
+    // a table cell carrying a link still unwraps downstream
+    assert(strip("| [x](u) | **b** |") == "x b")
+  }
+
+  test("fenced-code strip-vs-keep is the pipeline's decision") {
+    import spark.implicits._
+    def stripDrop(s: String): String =
+      Seq(s).toDF("t")
+        .select(Markup.stripMarkdown(col("t"), dropFencedCode = true).as("c"))
+        .head().getString(0)
+    val doc = "before\n```scala\nval x = 1\n```\nafter"
+    // default: content survives, marker lines drop
+    assert(strip(doc) == "before\n\nval x = 1\n\nafter")
+    // prose-LM decision: the whole block drops
+    assert(stripDrop(doc) == "before\n\nafter")
+    // unclosed fence: block rule can't match, marker line still strips
+    assert(stripDrop("a\n```\ncode") == "a\n\ncode")
+    // the oracle twin carries the same decision
+    val sql = Markup.oracleExpr("text", dropFencedCode = true)
+    assert("regexp_replace\\(".r.findAllIn(sql).size == Markup.rules.size + 1)
+  }
+
   test("oracleExpr mirrors the rule list shape") {
     val sql = Markup.oracleExpr("text")
     assert(sql.startsWith("regexp_replace("))
