@@ -150,6 +150,80 @@ object Bpe {
       .withColumn("n_toks", size(col("toks")))
   }
 
+  /** Encode a (word, cnt) histogram at REALISTIC merge counts —
+    * [[encodeHistogram]]'s 64-merge cap is a codegen expression-tree
+    * limit, not an algorithmic one. The histogram collects to the
+    * driver (vocab-sized, the [[learnMergesFast]] argument) and each
+    * DISTINCT word encodes once by replaying the merges in rank
+    * order, with the scan skipping ranks whose pair is absent: after
+    * applying rank r, only ranks > r are ever considered (exact
+    * replay semantics — pairs a later merge re-creates at an
+    * already-passed rank stay unmerged, byte-for-byte the
+    * [[encodeHistogram]] contract on ARBITRARY merge lists, which
+    * LlmSpec property-checks; for lists actually learned by BPE this
+    * also equals the min-rank iteration tokenizers use, since a
+    * learned pair's member tokens always form at earlier ranks).
+    * Output (word, cnt, toks, n_toks), one row per collected word. */
+  def encodeHistogramFast(hist: DataFrame, merges: Seq[(String, String)],
+      maxWords: Int = 1 << 20): DataFrame = {
+    val spark = hist.sparkSession
+    val words = hist.orderBy(desc("cnt"), asc("word")).limit(maxWords)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val rows = words.map { case (w, c) =>
+      val toks = encodeWordReplay(w.map(_.toString).toVector, merges)
+      Row(w, c, toks, toks.length)
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toIndexedSeq, 1),
+      StructType(Seq(
+        StructField("word", StringType, nullable = false),
+        StructField("cnt", LongType, nullable = false),
+        StructField("toks", ArrayType(StringType, containsNull = false), nullable = false),
+        StructField("n_toks", IntegerType, nullable = false))))
+  }
+
+  /** Replay-in-rank-order encode of one token vector: at each step,
+    * the lowest-rank merge ABOVE the cursor whose pair is adjacent
+    * somewhere applies greedily left-to-right (the pending fold), and
+    * the cursor advances to it — a rank never applies twice (a greedy
+    * pass consumes every occurrence and cannot re-create its own
+    * pair) and passed ranks are never revisited. O(applications ·
+    * |toks|) with applications ≤ |toks| − 1. */
+  private[llm] def encodeWordReplay(init: Vector[String],
+      merges: Seq[(String, String)]): Vector[String] = {
+    val rankOf = merges.zipWithIndex
+      .groupBy(_._1).map { case (p, xs) => (p, xs.map(_._2).min) }
+    var toks = init
+    var cursor = -1
+    var done = false
+    while (!done && toks.length >= 2) {
+      var best = Int.MaxValue
+      var i = 0
+      while (i + 1 < toks.length) {
+        rankOf.get((toks(i), toks(i + 1))).foreach { r =>
+          if (r > cursor && r < best) best = r
+        }
+        i += 1
+      }
+      if (best == Int.MaxValue) done = true
+      else {
+        val (l, r) = merges(best)
+        val merged = l + r
+        val buf = Vector.newBuilder[String]
+        var pend: String = null
+        toks.foreach { t =>
+          if (pend == null) pend = t
+          else if (pend == l && t == r) { buf += merged; pend = null }
+          else { buf += pend; pend = t }
+        }
+        if (pend != null) buf += pend
+        toks = buf.result()
+        cursor = best
+      }
+    }
+    toks
+  }
+
   /** DuckDB oracle for [[learnMerges]] with a FIXED k: the greedy
     * iteration unrolls into k chained CTE rounds — `b{i}` is round i's
     * argmax pair (same (-n, l, r) tie order as the engine) and `s{i}`
@@ -202,7 +276,11 @@ object Bpe {
          |    FROM (
          |      SELECT word, toks, cnt, b.l AS ml, b.r AS mr,
          |        list_filter(range(1, len(toks)), i -> toks[i] = b.l AND toks[i+1] = b.r) AS matches
-         |      FROM $prev, $b b)))""".stripMargin
+         |      -- LEFT JOIN ON TRUE: past saturation (the argmax CTE
+         |      -- is EMPTY) every word passes through unchanged; a
+         |      -- plain cross join would annihilate the vocab and the
+         |      -- deep-encode oracle would return zero rows
+         |      FROM $prev LEFT JOIN $b b ON TRUE)))""".stripMargin
     s0 +: (1 to k).flatMap { i =>
       best(s"s${i - 1}", s"b$i") +:
         (if (i < k || throughK) Seq(step(s"s${i - 1}", s"b$i", s"s$i"))
@@ -235,7 +313,15 @@ object Bpe {
   def encodeOracleSql(k: Int, limit: Int): String = {
     require(k >= 1 && k <= 32 && limit >= 1,
       s"encodeOracleSql: k=$k limit=$limit")
-    "WITH " + bpeChainCtes(k, throughK = true).mkString(",\n") +
+    encodeOracleSqlOver(k, limit, docsHistSql)
+  }
+
+  /** [[encodeOracleSql]] over an arbitrary (word, cnt) histogram SQL
+    * — the deep-encode twin of [[mergesOracleSqlOver]]. */
+  def encodeOracleSqlOver(k: Int, limit: Int, histSql: String): String = {
+    require(k >= 1 && k <= 512 && limit >= 1,
+      s"encodeOracleSqlOver: k=$k limit=$limit")
+    "WITH " + bpeChainCtes(k, throughK = true, histSql).mkString(",\n") +
       s"""
          |SELECT word, cnt, CAST(len(toks) AS BIGINT) AS n_toks,
          |  toks[1] AS first_tok

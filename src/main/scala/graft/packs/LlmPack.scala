@@ -473,6 +473,23 @@ object LlmPack extends QueryPack {
       graft.llm.Bpe.learnMergesFast(
         Tables.load(s, dir, "customer").select(col("c_name").as("text")),
         "text", 256)),
+    // Tokenizer INFERENCE at the same depth (Bpe.encodeHistogramFast):
+    // encodeHistogram's 64-merge codegen cap lifts by encoding each
+    // DISTINCT word driver-side (vocab-sized, the learnMergesFast
+    // argument) with exact replay-in-rank-order semantics; a corpus
+    // then joins token counts by word, never re-tokenizing rows.
+    "text_bpe_encode_256" -> ((s, dir) => {
+      val d = Tables.load(s, dir, "customer").select(col("c_name").as("text"))
+      val merges = graft.llm.Bpe.learnMergesFast(d, "text", 256)
+        .orderBy("rank").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      graft.llm.Bpe
+        .encodeHistogramFast(graft.llm.Bpe.wordHistogram(d, "text"), merges)
+        .select(col("word"), col("cnt"),
+          col("n_toks").cast("long").as("n_toks"),
+          expr("toks[0]").as("first_tok"))
+        .orderBy(desc("cnt"), asc("word")).limit(50)
+    }),
     // The tokenizer-INFERENCE half (Bpe.encodeHistogram): replay the 8
     // learned merges in rank order over the word histogram — each
     // DISTINCT word encodes once (vocab-sized work, never per corpus
@@ -2328,6 +2345,9 @@ object LlmPack extends QueryPack {
     // 256 rounds of the same greedy algebra over the customer-name
     // histogram (MATERIALIZED CTE pairs keep DuckDB linear in k)
     "text_bpe_merges_256" -> graft.llm.Bpe.mergesOracleSqlOver(256,
+      "SELECT c_name AS word, CAST(count(*) AS BIGINT) AS cnt FROM customer GROUP BY 1"),
+    // the same 256-round chain run through s256, then per-word tokens
+    "text_bpe_encode_256" -> graft.llm.Bpe.encodeOracleSqlOver(256, 50,
       "SELECT c_name AS word, CAST(count(*) AS BIGINT) AS cnt FROM customer GROUP BY 1"),
     // same chain run through s8, then per-word token counts
     "text_bpe_encode" -> graft.llm.Bpe.encodeOracleSql(8, 50),

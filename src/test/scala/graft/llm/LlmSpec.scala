@@ -399,6 +399,38 @@ class LlmSpec extends SparkSpec {
     assert(Bpe.incrementalMerges(weighted, 10) == Bpe.referenceMerges(weighted, 10))
   }
 
+  test("property: encodeHistogramFast equals the chained-fold encodeHistogram on arbitrary merge lists") {
+    import graft.llm.Bpe
+    import spark.implicits._
+    // arbitrary (not learned) lists are the hard case: later merges
+    // can re-create a pair at an already-passed rank, which exact
+    // replay must leave unmerged — the cursor must not look back
+    val rnd = new scala.util.Random(1818)
+    (0 until 6).foreach { trial =>
+      val words = (0 until 25).map { _ =>
+        (0 until (1 + rnd.nextInt(7))).map(_ => ('a' + rnd.nextInt(3)).toChar).mkString
+      }
+      val hist = words.groupBy(identity)
+        .map { case (w, ws) => (w, ws.size.toLong) }.toSeq.toDF("word", "cnt")
+      val alphabet = Seq("a", "b", "c", "ab", "ba", "bc", "aa", "abc")
+      val merges = (0 until (1 + rnd.nextInt(10))).map { _ =>
+        (alphabet(rnd.nextInt(alphabet.size)), alphabet(rnd.nextInt(alphabet.size)))
+      }
+      def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getSeq[String](2), r.getInt(3)))
+        .sortBy(_._1).toSeq
+      val slow = rows(Bpe.encodeHistogram(hist, merges))
+      val fast = rows(Bpe.encodeHistogramFast(hist, merges))
+      assert(fast == slow, s"trial $trial merges=$merges:\nfast=$fast\nslow=$slow")
+    }
+    // the look-back trap, pinned explicitly: rank1 (ab,c) is absent
+    // until rank2 (a,b) creates "ab" — replay leaves [ab, c] unmerged
+    val trap = Seq(("abc", 1L)).toDF("word", "cnt")
+    val trapped = Bpe.encodeHistogramFast(trap, Seq(("ab", "c"), ("a", "b")))
+      .head().getSeq[String](2)
+    assert(trapped == Seq("ab", "c"), trapped)
+  }
+
   test("learnMergesFast equals distributed learnMerges end to end (histogram + early stop + maxWords cap)") {
     import graft.llm.Bpe
     import spark.implicits._
