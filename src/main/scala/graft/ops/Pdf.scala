@@ -973,9 +973,16 @@ object Pdf {
     * strings are font-program glyph indices no byte table can map —
     * emitting WinAnsi there would be silent garbage, the r16
     * verdict's exact complaint). `diffs` values: Some(text) = a
-    * known glyph name, None = an unknown name (flag, don't guess). */
+    * known glyph name, None = an unknown name (flag, don't guess).
+    * Type3 fonts (glyphs are arbitrary content-stream drawings,
+    * [PDF 32000] 9.6.5) have NO implicit base encoding: codes their
+    * /Differences does not name flag instead of falling back to
+    * WinAnsi — a Type3 byte means whatever its CharProc draws, so a
+    * byte-table guess would be silent garbage of the Identity-H
+    * kind. */
   private[ops] case class PdfFont(isType0: Boolean, cmap: Option[ToUnicodeCMap],
-      diffs: Map[Int, Option[String]] = Map.empty, ucs2: Boolean = false)
+      diffs: Map[Int, Option[String]] = Map.empty, ucs2: Boolean = false,
+      isType3: Boolean = false)
 
   /** Type0 /Encoding names whose CODE SPACE IS UCS-2/UTF-16 itself:
     * the predefined Uni{KS,JIS,GB,CNS}-{UCS2,UTF16}-{H,V} CMaps
@@ -1103,7 +1110,8 @@ object Pdf {
           val ucs2 = isType0 &&
             ("/Encoding\\s*/([A-Za-z0-9\\-]+)").r.findFirstMatchIn(fb)
               .exists(e => ucs2EncodingRe.pattern.matcher(e.group(1)).matches())
-          m.group(1) -> PdfFont(isType0, cmap, diffs, ucs2)
+          val isType3 = ("/Subtype\\s*/Type3").r.findFirstIn(fb).isDefined
+          m.group(1) -> PdfFont(isType0, cmap, diffs, ucs2, isType3)
         }
       }
     }.toMap
@@ -1182,14 +1190,17 @@ object Pdf {
         case None if f.isType0 => // glyph indices, unmappable: flag, emit nothing
           if (b.nonEmpty) unmappedAny = true
           ""
-        case None if f.diffs.nonEmpty =>
+        case None if f.diffs.nonEmpty || f.isType3 =>
           // /Differences overrides per byte; unlisted codes fall back
-          // to the WinAnsi base; an unknown glyph NAME flags the page
+          // to the WinAnsi base — EXCEPT for Type3 fonts, which have
+          // no base encoding (flag instead: the glyph is whatever its
+          // CharProc draws); an unknown glyph NAME flags the page
           val sb = new StringBuilder
           b.foreach { byte =>
             f.diffs.get(byte & 0xFF) match {
               case Some(Some(s)) => sb.append(s)
               case Some(None) => unmappedAny = true
+              case None if f.isType3 => unmappedAny = true
               case None => sb.append(winAnsi(byte & 0xFF))
             }
           }
@@ -1579,6 +1590,53 @@ object Pdf {
       } ++ Seq(
         fontNum -> (" << /Type /Font /Subtype /Type1 /BaseFont /Helvetica" +
           s" /Encoding << /BaseEncoding /WinAnsiEncoding /Differences [ $differences ] >> >> "))
+    serialize(objs, 1)
+  }
+
+  /** Fixture builder for the Type3 extraction gate: glyphs are
+    * content-stream procedures under /CharProcs (trivial d0 strokes —
+    * extraction never draws them), /Encoding /Differences is the ONLY
+    * code→name table (Type3 has no base encoding), FontMatrix/BBox/
+    * Widths complete the required dictionary. `withToUnicode` adds a
+    * CMap mapping the first code to 'Z' — the CMap must win over the
+    * Differences names (the spec's extraction preference). */
+  def makeType3Pdf(contents: Seq[String], differences: String,
+      withToUnicode: Boolean = false): Array[Byte] = {
+    val np = contents.size
+    val pageNums = (0 until np).map(3 + _)
+    val contentNums = pageNums.map(_ + np)
+    val fontNum = 3 + 2 * np
+    val procNum = fontNum + 1
+    val touNum = fontNum + 2
+    val names = ("/([^\\s/<>\\[\\]()]+)").r
+      .findAllMatchIn(differences).map(_.group(1)).toSeq.distinct
+    val charProcs = names.map(n => s"/$n $procNum 0 R").mkString(" ")
+    val tou = "/CIDInit /ProcSet findresource begin\n12 dict begin\nbegincmap\n" +
+      "1 begincodespacerange\n<00> <FF>\nendcodespacerange\n" +
+      "1 beginbfchar\n<41> <005A>\nendbfchar\n" +
+      "endcmap\nCMapName currentdict /CMap defineresource pop\nend\nend"
+    val touEntry = if (withToUnicode) s" /ToUnicode $touNum 0 R" else ""
+    val proc = "0 0 d0"
+    val objs = Seq(
+      1 -> " << /Type /Catalog /Pages 2 0 R >> ",
+      2 -> s" << /Type /Pages /Kids [${pageNums.map(n => s"$n 0 R").mkString(" ")}] /Count $np >> ") ++
+      pageNums.zipWithIndex.map { case (n, i) =>
+        n -> (s" << /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792]" +
+          s" /Resources << /Font << /F1 $fontNum 0 R >> >>" +
+          s" /Contents ${contentNums(i)} 0 R >> ")
+      } ++
+      contentNums.zip(contents).map { case (n, cs) =>
+        n -> s" << /Length ${cs.length} >> stream\n$cs\nendstream "
+      } ++ Seq(
+        fontNum -> (" << /Type /Font /Subtype /Type3" +
+          " /FontBBox [0 0 1000 1000] /FontMatrix [0.001 0 0 0.001 0 0]" +
+          s" /CharProcs << $charProcs >>" +
+          s" /Encoding << /Differences [ $differences ] >>" +
+          s" /FirstChar 0 /LastChar 255$touEntry >> "),
+        procNum -> s" << /Length ${proc.length} >> stream\n$proc\nendstream ") ++
+      (if (withToUnicode)
+        Seq(touNum -> s" << /Length ${tou.length} >> stream\n$tou\nendstream ")
+      else Nil)
     serialize(objs, 1)
   }
 

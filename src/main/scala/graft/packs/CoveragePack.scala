@@ -171,6 +171,23 @@ object CoveragePack extends QueryPack {
         ("idv_nomap.pdf", idvNo)).toDF("name", "content")
       PdfText.extractTextDf(files).orderBy("name", "page")
     }),
+    // Type3 fonts (r18 — the last composite-font breadth item):
+    // glyphs are content-stream drawings, so /Encoding /Differences
+    // names are the ONLY code→text table; unlisted codes FLAG (no
+    // base encoding — a WinAnsi guess would be Identity-H-grade
+    // silent garbage) and /ToUnicode still wins when present.
+    "pdf_extract_type3" -> ((s, dir) => {
+      import s.implicits._
+      val named = Pdf.makeType3Pdf(Seq("BT /F1 12 Tf 72 720 Td (AB A) Tj ET"),
+        "32 /space 65 /eacute 66 /bullet")
+      val unlisted = Pdf.makeType3Pdf(Seq("BT /F1 12 Tf (Ax) Tj ET"),
+        "65 /eacute")
+      val tou = Pdf.makeType3Pdf(Seq("BT /F1 12 Tf (A) Tj ET"),
+        "65 /eacute", withToUnicode = true)
+      val files = Seq(("named.pdf", named), ("unlisted.pdf", unlisted),
+        ("tou.pdf", tou)).toDF("name", "content")
+      PdfText.extractTextDf(files).orderBy("name", "page")
+    }),
     // Decode-filter surface (r17): every text-bearing stream filter a
     // real-world writer emits — ASCIIHex, ASCII85, RunLength, LZW
     // (TIFF early-change variant) — plus the classic two-stage
@@ -405,6 +422,12 @@ object CoveragePack extends QueryPack {
         |  ('idv_nomap.pdf', 1, '', 'unmapped glyphs', ''),
         |  ('jp.pdf', 1, '日本語 𝄞 テスト', '', ''),
         |  ('kr.pdf', 1, '안녕하세요 세계', '', ''))
+        |  AS t(name, page, text, warn, error) ORDER BY name, page""".stripMargin,
+    "pdf_extract_type3" ->
+      """SELECT * FROM (VALUES
+        |  ('named.pdf', 1, 'é• é', '', ''),
+        |  ('tou.pdf', 1, 'Z', '', ''),
+        |  ('unlisted.pdf', 1, 'é', 'unmapped glyphs', ''))
         |  AS t(name, page, text, warn, error) ORDER BY name, page""".stripMargin,
     "pdf_extract_differences" ->
       """SELECT * FROM (VALUES

@@ -159,6 +159,26 @@ class PdfTextSpec extends AnyFunSuite {
       Seq((1, "", "unmapped glyphs")))
   }
 
+  test("Type3 fonts decode through Differences glyph names; unlisted codes flag, never WinAnsi") {
+    // A(65)->e-acute, B(66)->bullet, space named explicitly
+    val t3 = Pdf.makeType3Pdf(Seq("BT /F1 12 Tf 72 720 Td (AB A) Tj ET"),
+      "32 /space 65 /eacute 66 /bullet")
+    assert(Pdf.extractTextPages(t3) == Seq((1, "é• é", "")))
+    // a code the Differences table does not name must FLAG — Type3
+    // has no base encoding, so a WinAnsi guess would be silent garbage
+    val unlisted = Pdf.makeType3Pdf(Seq("BT /F1 12 Tf (Ax) Tj ET"),
+      "65 /eacute")
+    assert(Pdf.extractTextPages(unlisted) == Seq((1, "é", "unmapped glyphs")))
+    // an unknown glyph NAME flags too (the Differences contract)
+    val unknown = Pdf.makeType3Pdf(Seq("BT /F1 12 Tf (A) Tj ET"),
+      "65 /glyph999")
+    assert(Pdf.extractTextPages(unknown) == Seq((1, "", "unmapped glyphs")))
+    // /ToUnicode wins over the Differences names when present
+    val tou = Pdf.makeType3Pdf(Seq("BT /F1 12 Tf (A) Tj ET"),
+      "65 /eacute", withToUnicode = true)
+    assert(Pdf.extractTextPages(tou) == Seq((1, "Z", "")))
+  }
+
   test("decodeUtf16be: lone surrogate and odd tail flag instead of emitting U+FFFD") {
     assert(Pdf.decodeUtf16be("ab".getBytes("UTF-16BE")) == (("ab", false)))
     // high surrogate with no low: flagged, skipped
