@@ -293,6 +293,14 @@ object Bpe {
     mergesOracleSqlOver(k, docsHistSql)
   }
 
+  /** The raw CTE chain (s0..s_k / b1..b_k) as one comma-joined block,
+    * for COMPOSITION oracles that splice BPE learning into a larger
+    * WITH (the histogram SQL may reference the caller's own CTEs). */
+  def chainCtesSql(k: Int, throughK: Boolean, histSql: String): String = {
+    require(k >= 1 && k <= 512, s"chainCtesSql: k=$k out of [1, 512]")
+    bpeChainCtes(k, throughK, histSql).mkString(",\n")
+  }
+
   /** [[mergesOracleSql]] over an arbitrary (word, cnt) histogram SQL —
     * the deep-merge gate needs a vocabulary rich enough for hundreds
     * of rounds, which the 31-word synthetic `documents` corpus is

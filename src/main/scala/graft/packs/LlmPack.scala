@@ -373,6 +373,46 @@ object LlmPack extends QueryPack {
         .groupBy("source", "split").agg(count(lit(1)).as("n_docs"))
         .orderBy("source", "split")
     }),
+    // The brief's dedup → filter → TOKENIZE chain, literally, in ONE
+    // query (r18): strip → corpus line dedup → learn the BPE merges
+    // from the cleaned corpus's own histogram (driver-side
+    // learnMergesFast — zero jobs per merge) → encode each DISTINCT
+    // word once (encodeHistogramFast) → join token counts back to the
+    // corpus by word → per-source delivery stats (docs, words,
+    // tokens). The scale shape is the whole point of the design: the
+    // corpus is scanned by strip/dedup and ONE histogram aggregate;
+    // tokenization itself never touches a corpus row — it's a
+    // vocab-sized broadcast join.
+    "llm_pipeline_tokens" -> ((s, dir) => {
+      val d = docs(s, dir).filter(col("text").rlike("^[\\x20-\\x7E]*$"))
+      val clean = d.select(col("doc_id"),
+        Markup.stripMarkdown(concat(
+          lit(LlmPack.mdPrefix), col("text"), lit(LlmPack.mdSuffix))).as("text"))
+      val deduped = Dedup.lineDedup(clean, "doc_id", "text", "\n")
+        .withColumnRenamed("id", "doc_id")
+        .select(col("doc_id"), col("clean_text"))
+      val hist = graft.llm.Bpe.wordHistogram(
+        deduped.select(col("clean_text").as("text")), "text")
+      val merges = graft.llm.Bpe.learnMergesFast(
+          deduped.select(col("clean_text").as("text")), "text", 8)
+        .orderBy("rank").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      val tok = graft.llm.Bpe.encodeHistogramFast(hist, merges)
+        .select(col("word"), col("n_toks"))
+      val words = deduped.select(col("doc_id"),
+          explode(split(col("clean_text"), "\\s+")).as("word"))
+        .filter(length(col("word")) > 0)
+      val per = words.join(broadcast(tok), Seq("word"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_words"),
+          sum(col("n_toks").cast("long")).as("n_toks"))
+      per.join(d.select(col("doc_id"), col("source")), "doc_id")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_words")).as("total_words"),
+          sum(col("n_toks")).as("total_tokens"))
+        .orderBy("source")
+    }),
     // The brief's ACTUAL end-to-end shape, from raw BYTES (r17): a
     // binaryFile-scan-shaped relation of real FlateDecode PDFs
     // (rendered executor-side from the ASCII corpus subset, markdown
@@ -2223,6 +2263,45 @@ object LlmPack extends QueryPack {
           |    ELSE 'test' END AS split,
           |  count(*) AS n_docs
           |FROM h GROUP BY 1, 2 ORDER BY source, split""".stripMargin),
+    // the strip/dedup twins feeding the BPE CTE chain's histogram,
+    // then the vocab-sized token join back to the corpus
+    "llm_pipeline_tokens" ->
+      (s"""WITH base AS MATERIALIZED (SELECT doc_id, text, source FROM documents
+          |  WHERE regexp_matches(text, '^[\\x20-\\x7E]*$$')),
+          |c AS (SELECT doc_id, $mdCleanSql AS text FROM base),
+          |l AS (SELECT doc_id AS id, CAST(t.i AS BIGINT) - 1 AS pos,
+          |    parts[CAST(t.i AS INT)] AS line
+          |  FROM (SELECT doc_id, string_split(text, chr(10)) AS parts FROM c),
+          |    UNNEST(generate_series(1, len(parts))) AS t(i)),
+          |f AS (SELECT line, min(id) AS fid FROM l GROUP BY line),
+          |f2 AS (SELECT l.line, f.fid, min(l.pos) AS fpos
+          |  FROM l JOIN f ON l.line = f.line AND l.id = f.fid
+          |  GROUP BY l.line, f.fid),
+          |j AS (SELECT l.id, l.pos, l.line,
+          |    (l.id = f2.fid AND l.pos = f2.fpos) AS keep
+          |  FROM l JOIN f2 USING (line)),
+          |dd AS MATERIALIZED (SELECT id AS doc_id,
+          |    COALESCE(string_agg(CASE WHEN keep THEN line END, chr(10) ORDER BY pos), '')
+          |      AS clean_text
+          |  FROM j GROUP BY id),
+          |""".stripMargin +
+        graft.llm.Bpe.chainCtesSql(8, throughK = true,
+          """SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM (
+            |      SELECT unnest(regexp_split_to_array(clean_text, '\s+')) AS word FROM dd)
+            |    WHERE length(word) > 0 GROUP BY word""".stripMargin) +
+        """,
+          |tok AS (SELECT word, CAST(len(toks) AS BIGINT) AS n_toks FROM s8),
+          |w AS (SELECT doc_id, word FROM (
+          |    SELECT doc_id, unnest(regexp_split_to_array(clean_text, '\s+')) AS word
+          |    FROM dd) WHERE length(word) > 0),
+          |per AS (SELECT w.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+          |    CAST(sum(t.n_toks) AS BIGINT) AS n_toks
+          |  FROM w JOIN tok t USING (word) GROUP BY 1)
+          |SELECT b.source, count(*) AS n_docs,
+          |  CAST(sum(per.n_words) AS BIGINT) AS total_words,
+          |  CAST(sum(per.n_toks) AS BIGINT) AS total_tokens
+          |FROM per JOIN base b USING (doc_id)
+          |GROUP BY 1 ORDER BY source""".stripMargin),
     // llm_pipeline_binary twin: the docs-pipeline chain over the
     // printable-ASCII subset (PDF render→extract is bit-for-bit
     // identity there, per pdf_corpus_roundtrip, so the twin starts at
