@@ -345,9 +345,13 @@ object LlmPack extends QueryPack {
       val clean = d.select(col("doc_id"),
         Markup.stripMarkdown(concat(
           lit(LlmPack.mdPrefix), col("text"), lit(LlmPack.mdSuffix))).as("text"))
+      // three consumers of the strip+dedup prefix (the LM stage, NB
+      // training text, the full-corpus scoring stream) — materialize
+      // once (the llm_pipeline_tokens rationale)
       val deduped = Dedup.lineDedup(clean, "doc_id", "text", "\n")
         .withColumnRenamed("id", "doc_id")
         .select(col("doc_id"), col("clean_text").as("text"))
+        .localCheckpoint(true)
       val lm = TA.stupidBackoff(deduped, "doc_id", "text",
           col("doc_id") % 10 =!= 0)
         .select(col("id").as("doc_id"), col("lm_bits_x100"))
