@@ -259,6 +259,16 @@ object LlmPack extends QueryPack {
         Markup.stripMarkdown(concat(
           lit(LlmPack.mdPrefix), col("text"), lit(LlmPack.mdSuffix))).as("clean"))
         .orderBy("doc_id")),
+    // The prose-LM decision of the same strip: fenced-code BLOCKS
+    // drop wholesale (dropFencedCode=true) instead of surviving as
+    // bare content — the r18 explicit strip-vs-keep knob, gated on
+    // real corpus text through the same shared-rule-list twin.
+    "text_markdown_strip_nofence" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        Markup.stripMarkdown(concat(
+          lit(LlmPack.mdPrefix), col("text"), lit(LlmPack.mdSuffix)),
+          dropFencedCode = true).as("clean"))
+        .orderBy("doc_id")),
     // The composed pre-tokenization stage: strip the same wrapped
     // markdown FIRST, then run the Gopher word/stopword rules over
     // the cleaned text — the bridge VERDICT r15 asked for (markup →
@@ -2079,6 +2089,12 @@ object LlmPack extends QueryPack {
          |  FROM documents) ORDER BY doc_id""".stripMargin,
     "text_markdown_strip" ->
       s"SELECT doc_id, $mdCleanSql AS clean FROM documents ORDER BY doc_id",
+    "text_markdown_strip_nofence" -> {
+      val e = Markup.oracleExpr(
+        s"${sqlLit(mdPrefix)} || text || ${sqlLit(mdSuffix)}",
+        dropFencedCode = true)
+      s"SELECT doc_id, $e AS clean FROM documents ORDER BY doc_id"
+    },
     "text_markdown_gopher" ->
       s"""WITH c AS (SELECT doc_id, $mdCleanSql AS clean FROM documents),
          |s AS (SELECT doc_id,
