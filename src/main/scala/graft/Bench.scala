@@ -40,27 +40,46 @@ object Bench {
     // exactly, with wall-clock only a soft ceiling.
     val noisyStreaming = Set("events_stream_join", "events_stream_join_outer",
       "events_stream_join_full", "events_stream_enrich")
-    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val reps = if (noisyStreaming(name)) repeat.max(4) else repeat
-      val secs = (1 to reps).map { _ =>
-        val t0 = System.nanoTime()
-        val ok =
-          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
-          catch { case e: Throwable =>
-            System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
-          }
-        val sec = (System.nanoTime() - t0) / 1e9
-        // Queries that persist intermediates (dedup, ANN) must not hold
-        // cache into the next run's timing — every run starts cold.
-        spark.catalog.clearCache()
-        // Heap isolation: without this, the GC/JIT churn a heavy query
-        // leaves behind lands on whichever small query runs next (the
-        // r5 bench showed sub-second queries breaching their gates
-        // right after the 15 s dedup block). One explicit collection
-        // between timed runs keeps min-of-N a steady-state estimate.
-        System.gc()
-        if (ok) sec else -1.0
+    // Repeats run as INTERLEAVED PASSES over the whole suite (pass 1
+    // of every query, then pass 2, ...), not back-to-back per query:
+    // co-tenant load arrives in multi-minute spikes, and consecutive
+    // repeats all land inside the same spike — the r18 full closes
+    // each showed a different alphabetically-contiguous breach window
+    // (d–e queries in one run, m–p in the other) while targeted pairs
+    // read every one of them clean. With passes ~20 min apart, a
+    // query's min is only poisoned if EVERY pass hits a spike.
+    val order = selected.toSeq.sortBy(_._1)
+    def timeOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      val t0 = System.nanoTime()
+      val ok =
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
+        }
+      val sec = (System.nanoTime() - t0) / 1e9
+      // Queries that persist intermediates (dedup, ANN) must not hold
+      // cache into the next run's timing — every run starts cold.
+      spark.catalog.clearCache()
+      // Heap isolation: without this, the GC/JIT churn a heavy query
+      // leaves behind lands on whichever small query runs next (the
+      // r5 bench showed sub-second queries breaching their gates
+      // right after the 15 s dedup block). One explicit collection
+      // between timed runs keeps min-of-N a steady-state estimate.
+      System.gc()
+      if (ok) sec else -1.0
+    }
+    val samples = scala.collection.mutable.Map.empty[String, List[Double]]
+      .withDefaultValue(Nil)
+    val maxReps = order.map { case (n, _) =>
+      if (noisyStreaming(n)) repeat.max(4) else repeat }.max
+    (1 to maxReps).foreach { pass =>
+      order.foreach { case (name, fn) =>
+        val reps = if (noisyStreaming(name)) repeat.max(4) else repeat
+        if (pass <= reps) samples(name) = timeOnce(name, fn) :: samples(name)
       }
+    }
+    val results = order.map { case (name, _) =>
+      val secs = samples(name)
       name -> (if (secs.contains(-1.0)) -1.0 else secs.min)
     }
     // 3-decimal seconds: full Double toString bloats the JSON line
