@@ -70,8 +70,12 @@ object Bench {
     }
     val samples = scala.collection.mutable.Map.empty[String, List[Double]]
       .withDefaultValue(Nil)
-    val maxReps = order.map { case (n, _) =>
-      if (noisyStreaming(n)) repeat.max(4) else repeat }.max
+    // Guard the empty selection (args naming no registered query):
+    // emit an empty artifact rather than crash on .max of Nil.
+    val maxReps =
+      if (order.isEmpty) 0
+      else order.map { case (n, _) =>
+        if (noisyStreaming(n)) repeat.max(4) else repeat }.max
     (1 to maxReps).foreach { pass =>
       order.foreach { case (name, fn) =>
         val reps = if (noisyStreaming(name)) repeat.max(4) else repeat
@@ -107,7 +111,15 @@ object Bench {
     }
     val sm = if (streamMetrics.isEmpty) ""
       else s""""stream_metrics":${streamMetrics.mkString("{", ",", "}")},"""
-    val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","runs":$repeat,""" +
+    // The global "runs" is the configured repeat; noisyStreaming
+    // queries run max(repeat, 4) passes — record their actual sample
+    // counts separately so the artifact's estimator depth is exact
+    // for the very queries whose min-of-N matters most.
+    val streamRuns = order.collect { case (n, _) if noisyStreaming(n) =>
+      "\"" + n + "\":" + samples(n).size }
+    val sr = if (streamRuns.isEmpty) ""
+      else s""""stream_runs":${streamRuns.mkString("{", ",", "}")},"""
+    val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","runs":$repeat,$sr""" +
       canary.map(c => s""""canary":${r3(c)},""").getOrElse("") + sm +
       s""""estimator":"min","queries":$qs,"sf":"$sfDir"}"""
     println(line)

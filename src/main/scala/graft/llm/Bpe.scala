@@ -34,6 +34,25 @@ object Bpe {
       .filter(length(col("word")) > 0)
       .groupBy("word").agg(count(lit(1)).as("cnt"))
 
+  /** A word's UTF-8 bytes as stable two-hex-digit atoms — the
+    * byte-level BPE alphabet (GPT-2 style: the base vocabulary is the
+    * 256 byte values, so EVERY string tokenizes with zero OOV and no
+    * code-unit vs code-point splitting convention can diverge across
+    * engines; `lower(hex(encode(word)))` chunked in pairs is the same
+    * sequence in any SQL dialect). Merged tokens are concatenated hex
+    * runs — always decodable back to the byte string they cover. */
+  private[llm] def byteAtoms(w: String): Vector[String] = {
+    val bs = w.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val out = Vector.newBuilder[String]
+    var i = 0
+    while (i < bs.length) {
+      val v = bs(i) & 0xff
+      out += f"$v%02x"
+      i += 1
+    }
+    out.result()
+  }
+
   /** Character-level token sequences of the histogram words. */
   private def charSeqs(hist: DataFrame): DataFrame =
     hist.select(expr("filter(split(word, ''), x -> x != '')").as("toks"),
@@ -56,7 +75,7 @@ object Bpe {
     * restricts to printable-ASCII words so engines with different
     * code-unit vs code-point splitting conventions agree. */
   def topPairs(docs: DataFrame, textCol: String, limit: Int,
-      asciiOnly: Boolean = true): DataFrame = {
+      asciiOnly: Boolean): DataFrame = {
     val hist0 = wordHistogram(docs, textCol)
     val hist = if (asciiOnly) hist0.filter(col("word").rlike("^[\\x20-\\x7E]+$"))
       else hist0
@@ -165,12 +184,29 @@ object Bpe {
     * learned pair's member tokens always form at earlier ranks).
     * Output (word, cnt, toks, n_toks), one row per collected word. */
   def encodeHistogramFast(hist: DataFrame, merges: Seq[(String, String)],
-      maxWords: Int = 1 << 20): DataFrame = {
+      maxWords: Int = 1 << 20): DataFrame =
+    encodeHistogramFastWith(hist, merges, maxWords,
+      w => w.map(_.toString).toVector)
+
+  /** [[encodeHistogramFast]] over the BYTE-LEVEL alphabet: each word
+    * starts as its UTF-8 hex-pair atoms ([[byteAtoms]]) — the encode
+    * half of [[learnMergesFastBytes]], OOV-free on any text. */
+  def encodeHistogramFastBytes(hist: DataFrame, merges: Seq[(String, String)],
+      maxWords: Int = 1 << 20): DataFrame =
+    encodeHistogramFastWith(hist, merges, maxWords, byteAtoms)
+
+  private def encodeHistogramFastWith(hist: DataFrame,
+      merges: Seq[(String, String)], maxWords: Int,
+      atoms: String => Vector[String]): DataFrame = {
     val spark = hist.sparkSession
     val words = hist.orderBy(desc("cnt"), asc("word")).limit(maxWords)
       .collect().map(r => (r.getString(0), r.getLong(1)))
+    // Build the pair→rank map ONCE per histogram — rebuilding the
+    // O(merges) groupBy inside the per-word loop would make the map
+    // construction alone O(words × merges) at 1M-word / 65k-merge scale.
+    val rankOf = rankIndex(merges)
     val rows = words.map { case (w, c) =>
-      val toks = encodeWordReplay(w.map(_.toString).toVector, merges)
+      val toks = encodeWordReplay(atoms(w), merges, rankOf)
       Row(w, c, toks, toks.length)
     }
     spark.createDataFrame(
@@ -189,10 +225,16 @@ object Bpe {
     * pass consumes every occurrence and cannot re-create its own
     * pair) and passed ranks are never revisited. O(applications ·
     * |toks|) with applications ≤ |toks| − 1. */
-  private[llm] def encodeWordReplay(init: Vector[String],
-      merges: Seq[(String, String)]): Vector[String] = {
-    val rankOf = merges.zipWithIndex
+  private[llm] def rankIndex(merges: Seq[(String, String)])
+      : Map[(String, String), Int] =
+    merges.zipWithIndex
       .groupBy(_._1).map { case (p, xs) => (p, xs.map(_._2).min) }
+
+  private[llm] def encodeWordReplay(init: Vector[String],
+      merges: Seq[(String, String)],
+      rankOfPre: Map[(String, String), Int] = null): Vector[String] = {
+    val rankOf =
+      if (rankOfPre != null) rankOfPre else rankIndex(merges)
     var toks = init
     var cursor = -1
     var done = false
@@ -249,14 +291,26 @@ object Bpe {
       |    WHERE length(word) > 0 GROUP BY word""".stripMargin
 
   private def bpeChainCtes(k: Int, throughK: Boolean,
-      histSql: String = docsHistSql): Seq[String] = {
+      histSql: String = docsHistSql, byteLevel: Boolean = false): Seq[String] = {
     // Every s_i is referenced twice (by b_{i+1} and s_{i+1}); DuckDB
     // 1.0 inlines multi-referenced CTEs, re-executing the chain
     // multiplicatively — MATERIALIZED keeps k rounds linear.
+    //
+    // byteLevel: s0 tokenizes each word to its UTF-8 hex-pair atoms
+    // (lower(hex(encode(word))) chunked in twos — the [[byteAtoms]]
+    // twin), so the chain is engine-portable on ANY text; the default
+    // s0 splits per character (per code point in DuckDB), which only
+    // agrees with per-code-unit engines on BMP-safe corpora.
     val s0 =
-      s"""s0 AS MATERIALIZED (
-        |  SELECT word, list_transform(range(1, length(word)+1), i -> word[i]) AS toks, cnt
-        |  FROM ($histSql))""".stripMargin
+      if (byteLevel)
+        s"""s0 AS MATERIALIZED (
+          |  SELECT word, list_transform(range(1, length(h)//2 + 1),
+          |      i -> substring(h, CAST(2*i-1 AS INT), 2)) AS toks, cnt
+          |  FROM (SELECT word, lower(hex(encode(word))) AS h, cnt FROM ($histSql)))""".stripMargin
+      else
+        s"""s0 AS MATERIALIZED (
+          |  SELECT word, list_transform(range(1, length(word)+1), i -> word[i]) AS toks, cnt
+          |  FROM ($histSql))""".stripMargin
     def best(prev: String, b: String) =
       s"""$b AS MATERIALIZED (
          |  SELECT pr.l AS l, pr.r AS r, CAST(sum(cnt) AS BIGINT) AS n
@@ -296,9 +350,10 @@ object Bpe {
   /** The raw CTE chain (s0..s_k / b1..b_k) as one comma-joined block,
     * for COMPOSITION oracles that splice BPE learning into a larger
     * WITH (the histogram SQL may reference the caller's own CTEs). */
-  def chainCtesSql(k: Int, throughK: Boolean, histSql: String): String = {
+  def chainCtesSql(k: Int, throughK: Boolean, histSql: String,
+      byteLevel: Boolean = false): String = {
     require(k >= 1 && k <= 512, s"chainCtesSql: k=$k out of [1, 512]")
-    bpeChainCtes(k, throughK, histSql).mkString(",\n")
+    bpeChainCtes(k, throughK, histSql, byteLevel).mkString(",\n")
   }
 
   /** [[mergesOracleSql]] over an arbitrary (word, cnt) histogram SQL —
@@ -306,11 +361,12 @@ object Bpe {
     * of rounds, which the 31-word synthetic `documents` corpus is
     * not. Each round is two MATERIALIZED CTEs, so DuckDB cost stays
     * linear in k (measured ~0.13 s/round). */
-  def mergesOracleSqlOver(k: Int, histSql: String): String = {
+  def mergesOracleSqlOver(k: Int, histSql: String,
+      byteLevel: Boolean = false): String = {
     require(k >= 1 && k <= 512, s"mergesOracleSqlOver: k=$k out of [1, 512]")
     val unions = (1 to k).map(i =>
       s"""SELECT CAST($i AS INT) AS "rank", l AS "left", r AS "right", n FROM b$i""")
-    "WITH " + bpeChainCtes(k, throughK = false, histSql).mkString(",\n") +
+    "WITH " + bpeChainCtes(k, throughK = false, histSql, byteLevel).mkString(",\n") +
       "\nSELECT * FROM (\n" + unions.mkString("\nUNION ALL ") +
       ")\nORDER BY \"rank\""
   }
@@ -326,10 +382,11 @@ object Bpe {
 
   /** [[encodeOracleSql]] over an arbitrary (word, cnt) histogram SQL
     * — the deep-encode twin of [[mergesOracleSqlOver]]. */
-  def encodeOracleSqlOver(k: Int, limit: Int, histSql: String): String = {
+  def encodeOracleSqlOver(k: Int, limit: Int, histSql: String,
+      byteLevel: Boolean = false): String = {
     require(k >= 1 && k <= 512 && limit >= 1,
       s"encodeOracleSqlOver: k=$k limit=$limit")
-    "WITH " + bpeChainCtes(k, throughK = true, histSql).mkString(",\n") +
+    "WITH " + bpeChainCtes(k, throughK = true, histSql, byteLevel).mkString(",\n") +
       s"""
          |SELECT word, cnt, CAST(len(toks) AS BIGINT) AS n_toks,
          |  toks[1] AS first_tok
@@ -359,14 +416,31 @@ object Bpe {
     * of driver CPU where [[learnMerges]] would schedule 32k
     * sequential Spark jobs. */
   def learnMergesFast(docs: DataFrame, textCol: String, k: Int,
-      maxWords: Int = 1 << 20): DataFrame = {
+      maxWords: Int = 1 << 20): DataFrame =
+    learnMergesFastWith(docs, textCol, k, maxWords,
+      w => w.map(_.toString).toVector)
+
+  /** [[learnMergesFast]] over the BYTE-LEVEL alphabet: the histogram
+    * words tokenize to their UTF-8 hex-pair atoms ([[byteAtoms]])
+    * before learning, so merge statistics cover ANY text — Korean,
+    * emoji, mixed scripts — with zero OOV and engine-portable
+    * semantics (the hex rendering is identical under every string
+    * model). Same output contract: (rank, left, right, n) with
+    * left/right as hex-atom strings, ties broken lexicographically
+    * (hex strings are ASCII, so every engine agrees). */
+  def learnMergesFastBytes(docs: DataFrame, textCol: String, k: Int,
+      maxWords: Int = 1 << 20): DataFrame =
+    learnMergesFastWith(docs, textCol, k, maxWords, byteAtoms)
+
+  private def learnMergesFastWith(docs: DataFrame, textCol: String, k: Int,
+      maxWords: Int, atoms: String => Vector[String]): DataFrame = {
     require(k >= 1 && k <= 65536, s"learnMergesFast: k=$k out of [1, 65536]")
     require(maxWords >= 1, s"learnMergesFast: maxWords=$maxWords")
     val spark = docs.sparkSession
     val hist = wordHistogram(docs, textCol)
       .orderBy(desc("cnt"), asc("word")).limit(maxWords)
-      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
-    val merges = incrementalMerges(hist, k)
+      .collect().map(r => (atoms(r.getString(0)), r.getLong(1))).toSeq
+    val merges = incrementalMergesTok(hist, k)
     spark.createDataFrame(
       spark.sparkContext.parallelize(merges.map {
         case (rk, l, r, n) => Row(rk, l, r, n)
@@ -388,10 +462,15 @@ object Bpe {
     * contain the pair and applies the count deltas of that word's
     * before/after pair multisets. */
   private[llm] def incrementalMerges(words: Seq[(String, Long)],
+      k: Int): Seq[(Int, String, String, Long)] =
+    incrementalMergesTok(
+      words.map { case (w, c) => (w.map(_.toString).toVector, c) }, k)
+
+  private[llm] def incrementalMergesTok(words: Seq[(Vector[String], Long)],
       k: Int): Seq[(Int, String, String, Long)] = {
     import scala.collection.mutable
     val seqs = words.map { case (w, _) =>
-      mutable.ArrayBuffer(w.map(_.toString): _*) }.toArray
+      mutable.ArrayBuffer(w: _*) }.toArray
     val wcnt = words.map(_._2).toArray
 
     def pairBag(ts: collection.Seq[String]): mutable.Map[(String, String), Long] = {
@@ -461,9 +540,11 @@ object Bpe {
 
   /** Single-machine reference implementation (test oracle): the
     * textbook in-memory BPE over a word histogram. */
-  private[llm] def referenceMerges(words: Seq[(String, Long)], k: Int): Seq[(Int, String, String, Long)] = {
-    var seqs: Seq[(Vector[String], Long)] =
-      words.map { case (w, c) => (w.map(_.toString).toVector, c) }
+  private[llm] def referenceMerges(words: Seq[(String, Long)], k: Int): Seq[(Int, String, String, Long)] =
+    referenceMergesTok(words.map { case (w, c) => (w.map(_.toString).toVector, c) }, k)
+
+  private[llm] def referenceMergesTok(words: Seq[(Vector[String], Long)], k: Int): Seq[(Int, String, String, Long)] = {
+    var seqs: Seq[(Vector[String], Long)] = words
     val out = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     var rank = 1
     var cont = true

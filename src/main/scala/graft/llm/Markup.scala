@@ -108,36 +108,72 @@ object Markup {
     ("&#160;|&#[xX][aA]0;|&nbsp;", " "),
     ("&amp;", "&"))
 
-  /** Fenced-code DROP rule — applied right after comments when the
-    * pipeline decides code blocks are noise (a prose LM corpus);
-    * the default keeps fence CONTENT and drops only the marker
-    * lines (a code-bearing corpus). Non-greedy across lines; an
-    * unclosed fence stays (its marker line still strips below). */
+  /** Fenced-code DROP pass — applied right after comments when the
+    * pipeline decides code blocks are noise (a prose LM corpus); the
+    * default keeps fence CONTENT and drops only the marker lines (a
+    * code-bearing corpus). Formulation: SPLIT on fence-marker lines
+    * and keep only the segments OUTSIDE consecutive fence pairs —
+    * 0-based segment 2j-1 lies inside closed pair (f_{2j-1}, f_{2j})
+    * and drops; with an ODD fence count the final fence is unclosed
+    * and its trailing segment is kept (the prior semantics: the
+    * non-greedy regex left an unclosed fence alone and the
+    * marker-line rule below stripped just its ``` line — which the
+    * split's delimiter removal reproduces exactly). The split
+    * replaces the previous `(?s)^```.*?^```$` regexp_replace, whose
+    * multiline backtracking was a measured ~8× whole-pipeline
+    * multiplier at sf1 (29.2 s vs 3.7 s for the keep-fences chain).
+    * split(…, -1) keeps trailing empty segments — REQUIRED: a corpus
+    * ending at a closing fence must still count that fence toward
+    * pair parity. */
+  private[llm] def dropFencedCol(c: Column): Column = {
+    val parts = split(c, "(?m)^```[^\\n]*$", -1)
+    array_join(filter(parts, (_, i) =>
+      i % 2 === 0 || (i === size(parts) - 1 && size(parts) % 2 === 0)), "")
+  }
+
+  /** The pre-split-formulation fence-drop rule, kept as the spec's
+    * semantic reference: [[dropFencedCol]] followed by the chain's
+    * marker-line rule must equal one global pass of this pattern
+    * (MarkupSpec property-checks random fence layouts). Not used in
+    * the production chain. */
   private[llm] val dropFencedRule: (String, String) =
     ("(?s)(?m)^```[^\\n]*\\n.*?^```[^\\n]*$", "")
-
-  private[llm] def rulesFor(dropFencedCode: Boolean): Seq[(String, String)] =
-    if (dropFencedCode) rules.head +: dropFencedRule +: rules.tail
-    else rules
 
   /** Markdown/HTML-stripped text as a codegen'd Column chain.
     * `dropFencedCode` is the corpus decision: false (default) keeps
     * fence content and strips only the marker lines; true drops the
     * whole block. */
-  def stripMarkdown(c: Column, dropFencedCode: Boolean = false): Column =
-    rulesFor(dropFencedCode).foldLeft(c) {
-      case (acc, (p, r)) => regexp_replace(acc, p, r)
-    }
+  def stripMarkdown(c: Column, dropFencedCode: Boolean = false): Column = {
+    def fold(acc: Column, rs: Seq[(String, String)]): Column =
+      rs.foldLeft(acc) { case (a, (p, r)) => regexp_replace(a, p, r) }
+    val afterHead = fold(c, rules.take(1))
+    val base = if (dropFencedCode) dropFencedCol(afterHead) else afterHead
+    fold(base, rules.tail)
+  }
 
   /** The DuckDB twin: same ordered rules as nested
     * `regexp_replace(..., 'g')` over SQL expression `e`. DuckDB
     * single-quoted literals are raw (standard SQL — no backslash
     * processing), so patterns embed verbatim; only quotes double and
-    * the replacement-group convention flips $1 → \1. */
-  def oracleExpr(e: String, dropFencedCode: Boolean = false): String =
-    rulesFor(dropFencedCode).foldLeft(e) { case (acc, (p, r)) =>
-      val pat = p.replace("'", "''")
-      val rep = r.replaceAll("\\$(\\d)", "\\\\$1").replace("'", "''")
-      s"regexp_replace($acc, '$pat', '$rep', 'g')"
-    }
+    * the replacement-group convention flips $1 → \1. The fence-drop
+    * pass mirrors [[dropFencedCol]]: regexp_split_to_array + an
+    * index-aware list_filter (DuckDB lambda indices are 1-BASED, so
+    * 0-based-even ⟺ i odd; DuckDB keeps trailing empty segments, so
+    * no split-limit flag exists or is needed). */
+  def oracleExpr(e: String, dropFencedCode: Boolean = false): String = {
+    def fold(acc: String, rs: Seq[(String, String)]): String =
+      rs.foldLeft(acc) { case (a, (p, r)) =>
+        val pat = p.replace("'", "''")
+        val rep = r.replaceAll("\\$(\\d)", "\\\\$1").replace("'", "''")
+        s"regexp_replace($a, '$pat', '$rep', 'g')"
+      }
+    val afterHead = fold(e, rules.take(1))
+    val base =
+      if (dropFencedCode) {
+        val parts = s"regexp_split_to_array($afterHead, '(?m)^```[^\\n]*$$')"
+        s"array_to_string(list_filter($parts, (x, i) -> " +
+          s"i % 2 = 1 OR (i = len($parts) AND len($parts) % 2 = 0)), '')"
+      } else afterHead
+    fold(base, rules.tail)
+  }
 }

@@ -36,6 +36,29 @@ object LlmPack extends QueryPack {
       "\nit&#8217;s &#x201C;q&#x201D; a&#8212;b &hellip; x&#160;y" +
       "\nh1 | h2\n---|---:\nc1 | c2"
   private def sqlLit(s: String) = "'" + s.replace("'", "''") + "'"
+
+  /** Mixed Korean/ASCII corpus for the byte-level BPE gates: every
+    * fixture string is printable ASCII, so the gate appends Korean
+    * phrases deterministically by key — two engine-identical halves
+    * (this builder and [[mixedKoreanHistSql]]) of the same
+    * construction. Customer names supply the digit-rich long-tail
+    * vocabulary (the text_bpe_merges_256 rationale); the Korean
+    * phrases supply high-frequency multi-byte UTF-8 words. */
+  private val koreanA = "데이터 정제 파이프라인"
+  private val koreanB = "한국어 말뭉치 토크나이저"
+  private def mixedKoreanCorpus(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "customer").select(
+      concat(col("c_name"),
+        when(col("c_custkey") % 3 === 0, lit(" " + koreanA))
+          .when(col("c_custkey") % 3 === 1, lit(" " + koreanB))
+          .otherwise(lit(""))).as("text"))
+  private lazy val mixedKoreanHistSql: String =
+    s"""SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM (
+       |      SELECT unnest(regexp_split_to_array(
+       |        c_name || CASE WHEN c_custkey % 3 = 0 THEN ${sqlLit(" " + koreanA)}
+       |                       WHEN c_custkey % 3 = 1 THEN ${sqlLit(" " + koreanB)}
+       |                       ELSE '' END, '\\s+')) AS word FROM customer)
+       |    WHERE length(word) > 0 GROUP BY word""".stripMargin
   private lazy val mdCleanSql: String =
     Markup.oracleExpr(s"${sqlLit(mdPrefix)} || text || ${sqlLit(mdSuffix)}")
 
@@ -397,8 +420,13 @@ object LlmPack extends QueryPack {
     // corpus is scanned by strip/dedup and ONE histogram aggregate;
     // tokenization itself never touches a corpus row — it's a
     // vocab-sized broadcast join.
+    // Byte-level tokenizer (r19): the corpus is NO LONGER fenced to
+    // printable ASCII — merge learning and encoding run over UTF-8
+    // byte atoms (Bpe.learnMergesFastBytes), which tokenize any
+    // script with zero OOV, so the chain now covers the non-ASCII
+    // documents the old rlike fence silently dropped.
     "llm_pipeline_tokens" -> ((s, dir) => {
-      val d = docs(s, dir).filter(col("text").rlike("^[\\x20-\\x7E]*$"))
+      val d = docs(s, dir)
       val clean = d.select(col("doc_id"),
         Markup.stripMarkdown(concat(
           lit(LlmPack.mdPrefix), col("text"), lit(LlmPack.mdSuffix))).as("text"))
@@ -414,11 +442,11 @@ object LlmPack extends QueryPack {
         .localCheckpoint(true)
       val hist = graft.llm.Bpe.wordHistogram(
         deduped.select(col("clean_text").as("text")), "text")
-      val merges = graft.llm.Bpe.learnMergesFast(
+      val merges = graft.llm.Bpe.learnMergesFastBytes(
           deduped.select(col("clean_text").as("text")), "text", 8)
         .orderBy("rank").collect()
         .map(r => (r.getString(1), r.getString(2))).toSeq
-      val tok = graft.llm.Bpe.encodeHistogramFast(hist, merges)
+      val tok = graft.llm.Bpe.encodeHistogramFastBytes(hist, merges)
         .select(col("word"), col("n_toks"))
       val words = deduped.select(col("doc_id"),
           explode(split(col("clean_text"), "\\s+")).as("word"))
@@ -507,7 +535,7 @@ object LlmPack extends QueryPack {
     // by word frequency. Printable-ASCII words only so code-unit vs
     // code-point splitting conventions can't diverge across engines.
     "text_bpe_top_pairs" -> ((s, dir) =>
-      graft.llm.Bpe.topPairs(docs(s, dir), "text", 20)),
+      graft.llm.Bpe.topPairs(docs(s, dir), "text", 20, asciiOnly = true)),
     // Full BPE merge learning (k=8): each iteration is one vocab-sized
     // aggregate (argmax pair — a single row to the driver) plus a
     // narrow fold re-tokenization; localCheckpoint keeps iteration
@@ -546,6 +574,36 @@ object LlmPack extends QueryPack {
         .map(r => (r.getString(1), r.getString(2))).toSeq
       graft.llm.Bpe
         .encodeHistogramFast(graft.llm.Bpe.wordHistogram(d, "text"), merges)
+        .select(col("word"), col("cnt"),
+          col("n_toks").cast("long").as("n_toks"),
+          expr("toks[0]").as("first_tok"))
+        .orderBy(desc("cnt"), asc("word")).limit(50)
+    }),
+    // BYTE-LEVEL BPE (GPT-2 alphabet) at the same realistic depth:
+    // words tokenize to their UTF-8 hex-pair atoms before learning,
+    // so the tokenizer covers ANY script with zero OOV — the fixture
+    // corpora are pure ASCII, so the gate manufactures a mixed
+    // Korean/ASCII corpus deterministically in-query (the reference
+    // app's own content is Korean markdown; a tokenizer that drops it
+    // is not at parity). The hex rendering is identical under every
+    // engine's string model (lower(hex(encode(word))) chunked in
+    // twos), which is exactly the code-unit-portability issue the old
+    // printable-ASCII fence existed to dodge — byte atoms make the
+    // fence unnecessary.
+    "text_bpe_bytes_256" -> ((s, dir) =>
+      graft.llm.Bpe.learnMergesFastBytes(
+        mixedKoreanCorpus(s, dir), "text", 256)),
+    // Byte-level tokenizer inference at the same depth: each DISTINCT
+    // word of the mixed corpus encodes once from its byte atoms with
+    // exact replay-in-rank-order semantics; gate emits the 50 most
+    // frequent words' token counts plus the first token (a hex run).
+    "text_bpe_bytes_encode_256" -> ((s, dir) => {
+      val d = mixedKoreanCorpus(s, dir)
+      val merges = graft.llm.Bpe.learnMergesFastBytes(d, "text", 256)
+        .orderBy("rank").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      graft.llm.Bpe
+        .encodeHistogramFastBytes(graft.llm.Bpe.wordHistogram(d, "text"), merges)
         .select(col("word"), col("cnt"),
           col("n_toks").cast("long").as("n_toks"),
           expr("toks[0]").as("first_tok"))
@@ -2293,8 +2351,7 @@ object LlmPack extends QueryPack {
     // the strip/dedup twins feeding the BPE CTE chain's histogram,
     // then the vocab-sized token join back to the corpus
     "llm_pipeline_tokens" ->
-      (s"""WITH base AS MATERIALIZED (SELECT doc_id, text, source FROM documents
-          |  WHERE regexp_matches(text, '^[\\x20-\\x7E]*$$')),
+      (s"""WITH base AS MATERIALIZED (SELECT doc_id, text, source FROM documents),
           |c AS (SELECT doc_id, $mdCleanSql AS text FROM base),
           |l AS (SELECT doc_id AS id, CAST(t.i AS BIGINT) - 1 AS pos,
           |    parts[CAST(t.i AS INT)] AS line
@@ -2315,7 +2372,8 @@ object LlmPack extends QueryPack {
         graft.llm.Bpe.chainCtesSql(8, throughK = true,
           """SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM (
             |      SELECT unnest(regexp_split_to_array(clean_text, '\s+')) AS word FROM dd)
-            |    WHERE length(word) > 0 GROUP BY word""".stripMargin) +
+            |    WHERE length(word) > 0 GROUP BY word""".stripMargin,
+          byteLevel = true) +
         """,
           |tok AS (SELECT word, CAST(len(toks) AS BIGINT) AS n_toks FROM s8),
           |w AS (SELECT doc_id, word FROM (
@@ -2457,6 +2515,16 @@ object LlmPack extends QueryPack {
       "SELECT c_name AS word, CAST(count(*) AS BIGINT) AS cnt FROM customer GROUP BY 1"),
     // same chain run through s8, then per-word token counts
     "text_bpe_encode" -> graft.llm.Bpe.encodeOracleSql(8, 50),
+    // byte-level twins: s0 tokenizes each mixed Korean/ASCII word to
+    // its UTF-8 hex-pair atoms (lower(hex(encode(word))) chunked in
+    // twos — the Bpe.byteAtoms contract), then the same 256 unrolled
+    // greedy rounds
+    "text_bpe_bytes_256" ->
+      graft.llm.Bpe.mergesOracleSqlOver(256, mixedKoreanHistSql,
+        byteLevel = true),
+    "text_bpe_bytes_encode_256" ->
+      graft.llm.Bpe.encodeOracleSqlOver(256, 50, mixedKoreanHistSql,
+        byteLevel = true),
     // same keyed 20-gram hashes, window-of-8 integer argmin
     // (h*2^20 + p, leftmost tie), distinct fingerprints, share counts
     "text_winnow_fingerprints" ->

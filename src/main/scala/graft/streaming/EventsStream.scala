@@ -36,8 +36,37 @@ object EventsStream {
     * 100 TB figure). The file sink reports no usable numOutputRows,
     * and output content is already hash-locked by the correctness
     * gate, so no output metric is recorded. */
+  /** Deterministically settle a stream before stop(): after
+    * processAllAvailable() returns, a trailing NO-DATA micro-batch
+    * (watermark state eviction) may still be mid-flight — stopping
+    * then would make state_rows_final depend on a race. Poll until no
+    * trigger is active and the progress count holds steady across two
+    * consecutive reads (bounded; a stream that keeps scheduling
+    * batches exits via the deadline and the ring assert below
+    * documents the exposure). */
+  private def quiesce(q: StreamingQuery): Unit = {
+    val deadline = System.nanoTime() + 3000000000L
+    var last = -1
+    var stable = false
+    while (!stable && System.nanoTime() < deadline) {
+      val n = q.recentProgress.length
+      if (n == last && !q.status.isTriggerActive && !q.status.isDataAvailable)
+        stable = true
+      else { last = n; Thread.sleep(100) }
+    }
+  }
+
   private def recordGateMetrics(name: String, q: StreamingQuery): Unit = {
     val ps = q.recentProgress.toSeq
+    // recentProgress is a bounded ring (spark.sql.streaming
+    // .numRecentProgressUpdates, default 100): summing it is only
+    // sound while every batch of the run is still present. The gated
+    // fixtures run ~10-40 micro-batches; fail loudly well before the
+    // ring would silently truncate the sums.
+    require(ps.length <= 80,
+      s"$name: ${ps.length} progress entries approaching the 100-entry " +
+        "recentProgress ring — gate sums would silently truncate; raise " +
+        "numRecentProgressUpdates or batch the fixture coarser")
     val stateRowsFinal = ps.reverse.collectFirst {
       case p if p.stateOperators.nonEmpty =>
         p.stateOperators.map(_.numRowsTotal).sum
@@ -1381,7 +1410,7 @@ object EventsStream {
       .option("path", out)
       .option("checkpointLocation", base.resolve("ckpt").toString)
       .start()
-    try q.processAllAvailable() finally q.stop()
+    try { q.processAllAvailable(); quiesce(q) } finally q.stop()
     recordGateMetrics("events_stream_enrich", q)
     cleanupStaged(base, in)
     spark.read.parquet(out)
@@ -1472,7 +1501,7 @@ object EventsStream {
       .option("path", out)
       .option("checkpointLocation", base.resolve("ckpt").toString)
       .start()
-    try q.processAllAvailable() finally q.stop()
+    try { q.processAllAvailable(); quiesce(q) } finally q.stop()
     recordGateMetrics(gateName, q)
     cleanupStaged(base, in)
     spark.read.parquet(out)

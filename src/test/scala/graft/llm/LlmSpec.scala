@@ -451,6 +451,61 @@ class LlmSpec extends SparkSpec {
     assert(capped == lowOnly, s"capped=$capped want=$lowOnly")
   }
 
+  test("byteAtoms: UTF-8 hex pairs for ASCII, Korean, and astral codepoints") {
+    import graft.llm.Bpe
+    assert(Bpe.byteAtoms("ab") == Vector("61", "62"))
+    // 한 = U+D55C = ED 95 9C in UTF-8
+    assert(Bpe.byteAtoms("한") == Vector("ed", "95", "9c"))
+    // astral plane (surrogate pair in Java's string model) must hash
+    // to the CODE POINT's UTF-8 bytes, not per-surrogate garbage:
+    // U+1F600 = F0 9F 98 80
+    assert(Bpe.byteAtoms(new String(Character.toChars(0x1F600))) ==
+      Vector("f0", "9f", "98", "80"))
+    assert(Bpe.byteAtoms("") == Vector.empty)
+  }
+
+  test("byte-level BPE: learnMergesFastBytes equals the reference over byte atoms; encode matches replay") {
+    import graft.llm.Bpe
+    import spark.implicits._
+    val docs = Seq((1L, "한국어 데이터 한국어 ab ab 데이터 한국어"),
+      (2L, "ab 한국어 café café")).toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    val words = "한국어 데이터 한국어 ab ab 데이터 한국어 ab 한국어 café café"
+      .split(" ").toSeq
+    val hist = words.groupBy(identity)
+      .map { case (w, ws) => (Bpe.byteAtoms(w), ws.size.toLong) }.toSeq
+    assert(rows(Bpe.learnMergesFastBytes(docs, "text", 20)) ==
+      Bpe.referenceMergesTok(hist, 20))
+    // every learned token is an even-length lowercase hex run
+    rows(Bpe.learnMergesFastBytes(docs, "text", 20)).foreach {
+      case (_, l, r, _) =>
+        Seq(l, r).foreach { t =>
+          assert(t.length % 2 == 0 && t.matches("[0-9a-f]+"), t) }
+    }
+    // encode: the byte-atom replay over the same merges, per word
+    val merges = Bpe.referenceMergesTok(hist, 20).map { case (_, l, r, _) => (l, r) }
+    val histDf = words.groupBy(identity)
+      .map { case (w, ws) => (w, ws.size.toLong) }.toSeq.toDF("word", "cnt")
+    val enc = Bpe.encodeHistogramFastBytes(histDf, merges).collect()
+      .map(r => (r.getString(0), (r.getSeq[String](2), r.getInt(3)))).toMap
+    words.distinct.foreach { w =>
+      val want = Bpe.encodeWordReplay(Bpe.byteAtoms(w), merges)
+      val (got, n) = enc(w)
+      assert(got == want && n == want.length, s"$w: got=$got want=$want")
+    }
+    // ASCII isomorphism: byte-level learning over pure-ASCII text is
+    // the char-level result under the hex renaming (the fence-removal
+    // safety argument for llm_pipeline_tokens)
+    val ascii = Seq((1L, "low low low lower lowest ab ba abab"))
+      .toDF("doc_id", "text")
+    val charM = rows(Bpe.learnMergesFast(ascii, "text", 12))
+    def hexed(s: String) = Bpe.byteAtoms(s).mkString
+    val byteM = rows(Bpe.learnMergesFastBytes(ascii, "text", 12))
+    assert(byteM == charM.map { case (rk, l, r, n) => (rk, hexed(l), hexed(r), n) },
+      s"byte=$byteM char=$charM")
+  }
+
   test("audioHashBytes: gain-invariant fingerprint; short/junk payloads yield None") {
     import graft.llm.Multimodal
     def wav16(samples: Array[Int]): Array[Byte] = {

@@ -120,9 +120,45 @@ class MarkupSpec extends SparkSpec {
     assert(stripDrop(doc) == "before\n\nafter")
     // unclosed fence: block rule can't match, marker line still strips
     assert(stripDrop("a\n```\ncode") == "a\n\ncode")
-    // the oracle twin carries the same decision
+    // the oracle twin carries the same decision: the fence pass is a
+    // split + index-filter (NOT a regexp_replace — the (?s) rule's
+    // multiline backtracking was an ~8× sf1 multiplier), spliced
+    // between the head rule and the tail
     val sql = Markup.oracleExpr("text", dropFencedCode = true)
-    assert("regexp_replace\\(".r.findAllIn(sql).size == Markup.rules.size + 1)
+    // the head rule is embedded once per `parts` reference (the
+    // split expression appears in the filter body and twice in the
+    // len() parity checks): tail rules once each + head × 3
+    assert("regexp_replace\\(".r.findAllIn(sql).size == Markup.rules.size + 2)
+    assert("regexp_split_to_array\\(".r.findAllIn(sql).size == 3)
+    assert(sql.contains("list_filter"))
+  }
+
+  test("property: split-formulation fence drop equals the old (?s) regex rule on random fence layouts") {
+    import spark.implicits._
+    // dropFencedCol must reproduce the old global regexp_replace pass
+    // modulo the fence lines themselves (the split eats every marker
+    // line; under the old rule an UNCLOSED trailing fence's marker
+    // survived to the chain's marker-line rule) — so compare after
+    // applying that marker rule to the old pass's output.
+    val rnd = new scala.util.Random(1919)
+    val lines = Seq("alpha", "beta b", "", "  indented", "not``` fence",
+      "```", "```scala", "````x")
+    val docs = (0 until 60).map { i =>
+      (i.toLong, (0 until rnd.nextInt(10)).map(_ => lines(rnd.nextInt(lines.size)))
+        .mkString("\n") + (if (rnd.nextBoolean()) "\n" else ""))
+    }
+    val df = docs.toDF("id", "t")
+    val got = df.select(col("id"), Markup.dropFencedCol(col("t")).as("c"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    val (oldPat, oldRep) = Markup.dropFencedRule
+    val want = df.select(col("id"),
+        regexp_replace(regexp_replace(col("t"), oldPat, oldRep),
+          "(?m)^```[^\\n]*$", "").as("c"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    docs.foreach { case (id, t) =>
+      assert(got(id) == want(id),
+        s"doc $id ${t.replace("\n", "\\n")}: got=${got(id).replace("\n", "\\n")} want=${want(id).replace("\n", "\\n")}")
+    }
   }
 
   test("oracleExpr mirrors the rule list shape") {

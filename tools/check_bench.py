@@ -94,7 +94,15 @@ def check(bench_path, baseline):
         norm = raw / factor
         if q in stream_refs:
             got = stream_metrics.get(q)
-            if got is not None:
+            if got is None:
+                # A stream_refs query that ran but recorded no metrics
+                # means the bench stopped instrumenting it (or the
+                # artifact predates instrumentation) — the stated
+                # metric-equality contract would otherwise be silently
+                # unenforced with only the loose soft ceiling applying.
+                breaches.append((q, sec, raw, norm,
+                    "METRIC MISSING (no stream_metrics entry)"))
+            else:
                 for k, want in sorted(stream_refs[q].items()):
                     if got.get(k) != want:
                         breaches.append((q, sec, raw, norm,
