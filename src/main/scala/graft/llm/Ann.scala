@@ -693,6 +693,44 @@ object Ann {
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/fingerprint")
   }
 
+  /** INCREMENTAL add to a persisted IVF+PQ index: encode a delta
+    * batch against the FROZEN centroids and residual codebooks (the
+    * [[writeIndexPq]] geometry — NO Lloyd pass, no codebook retrain),
+    * append its bucket-clustered files, extend the manifest with only
+    * the new files' stats ([[graft.ops.FileIndex.appendIndexed]] —
+    * the base corpus is never re-read), and XOR-roll the corpus
+    * fingerprint forward (the checksum is a bit_xor, so base ⊕ delta
+    * IS the full-corpus fingerprint — [[verifyIndex]] against
+    * base ∪ delta passes without a rescan). Because assignment and
+    * encoding are deterministic row-wise expressions of the frozen
+    * geometry, base-build + delta-add serves results bit-for-bit
+    * equal to encoding the union in one pass — a serving corpus that
+    * grows daily pays the arrival, not the full rebuild. */
+  def appendIndexPq(delta: DataFrame, dir: String, files: Int = 4): Unit = {
+    val spark = delta.sparkSession
+    val cent = loadCentroids(spark, dir)
+    val cbDf = spark.read.parquet(s"$dir/codebooks")
+    val cb = spark.createDataFrame(
+      java.util.Arrays.asList(cbDf.collect(): _*), cbDf.schema)
+    val res = ivfResiduals(delta, cent)
+    val rv = res.select(col("vec_id"), col("re").as("ce"))
+    val enc = pqEncode(rv, cb)
+      .join(res.select(col("vec_id"), col("bucket")), Seq("vec_id"))
+      .select(col("vec_id"), col("bucket"), col("codes"))
+    graft.ops.FileIndex.appendIndexed(enc, s"$dir/encoded", "bucket", files)
+    val rec = spark.read.parquet(s"$dir/fingerprint").head()
+    val d = corpusFingerprint(delta).head()
+    val merged = org.apache.spark.sql.Row(
+      rec.getLong(0) + d.getLong(0), rec.getLong(1) ^ d.getLong(1))
+    spark.createDataFrame(java.util.Arrays.asList(merged),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("n_vectors",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("checksum",
+            org.apache.spark.sql.types.LongType, nullable = false))))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/fingerprint")
+  }
+
   /** IVF+PQ search against a PERSISTED index: load centroids and
     * codebooks (both metadata-sized, localized like
     * [[loadCentroids]]), probe, prune the encoded table's files to

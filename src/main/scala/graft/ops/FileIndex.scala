@@ -46,6 +46,50 @@ object FileIndex {
       .write.mode("overwrite").parquet(s"$dir/_index")
   }
 
+  /** APPEND a delta batch to an existing indexed directory: the new
+    * rows land as `partitions` additional range-clustered files and
+    * the manifest gains their (file, lo, hi, rows) entries — the
+    * existing data files and manifest rows are NOT touched or
+    * re-read. Stats for the new entries are recomputed from the
+    * written files (the writeIndexed from-disk principle), found by
+    * name-diffing the directory listing against the manifest — so the
+    * stats scan reads ONLY the delta's files, never the base corpus
+    * (the incremental-maintenance contract at 100 TB: a daily
+    * arrival costs the arrival, not the archive). Appended files
+    * overlap existing bucket spans, so point queries may read one
+    * extra file per append generation — the standard LSM-ish tradeoff
+    * a periodic rewrite (writeIndexed over the union) compacts. */
+  def appendIndexed(df: DataFrame, dir: String, clusterCol: String,
+      partitions: Int): Unit = {
+    require(partitions > 0, s"appendIndexed: partitions=$partitions")
+    val spark = df.sparkSession
+    // collect the manifest BEFORE overwriting it (a lazy self-read
+    // would make the _index overwrite read its own input)
+    val knownDf = spark.read.parquet(s"$dir/_index")
+      .select("file", "lo", "hi", "rows")
+    val knownSchema = knownDf.schema
+    val known = knownDf.collect()
+    val knownNames = known.map(r =>
+      new Path(r.getString(0)).getName).toSet
+    df.repartitionByRange(partitions, col(clusterCol))
+      .sortWithinPartitions(clusterCol)
+      .write.mode("append").parquet(dir)
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val newPaths = fs.listStatus(p).collect {
+      case s if s.isFile && s.getPath.getName.endsWith(".parquet") &&
+          !knownNames.contains(s.getPath.getName) => s.getPath.toString
+    }
+    val newStats = spark.read.parquet(newPaths.toIndexedSeq: _*)
+      .groupBy(input_file_name().as("file"))
+      .agg(min(col(clusterCol)).as("lo"), max(col(clusterCol)).as("hi"),
+        count(lit(1)).as("rows"))
+    spark.createDataFrame(java.util.Arrays.asList(known: _*), knownSchema)
+      .unionByName(newStats.select("file", "lo", "hi", "rows"))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/_index")
+  }
+
   /** Scan of `dir` pruned to files whose [lo, hi] span intersects
     * [lower, upper] on the indexed column. The manifest collect is
     * driver-side by design (it IS the planning step — the same place

@@ -904,6 +904,93 @@ object Pdf {
     ToUnicodeCMap(ranges.result(), map.result())
   }
 
+  /** A CID CMap — the /Encoding-as-STREAM form of a Type0 font
+    * ([PDF 32000] 9.7.5.3; Adobe CMap spec §7.3): codespace ranges
+    * frame the variable-length character codes, begincidrange /
+    * begincidchar sections map codes to CIDs, and `usecmap` names a
+    * base CMap unlisted codes fall through to — the form real-world
+    * subsetted CJK fonts emit. Extraction semantics (flag-don't-
+    * guess): a CID override picks a GLYPH, and the registry tables
+    * that would map that CID back to Unicode do not travel with the
+    * file, so OVERRIDDEN codes flag; codes that fall through to a
+    * predefined UCS-2/UTF-16 base ARE big-endian UTF-16 code units
+    * and decode directly (the r18 predefined-name rule, applied
+    * per-code). cids entries: (byteLen, lo, hi, cidStart). */
+  private[ops] case class CidCMap(ranges: Seq[(Int, Long, Long)],
+      cids: Seq[(Int, Long, Long, Long)], base: Option[String]) {
+    private val lens: Seq[Int] =
+      (ranges.map(_._1) ++ cids.map(_._1)).distinct.sorted match {
+        case Nil => Seq(2) // 2-byte convention when sections are empty
+        case ls => ls
+      }
+    /** Does the embedded table override this (len, code)? */
+    def covers(len: Int, code: Long): Boolean =
+      cids.exists { case (l, lo, hi, _) => l == len && code >= lo && code <= hi }
+    /** Frame a show string into (len, code) tokens by the codespace
+      * ranges — the same shortest-match prefix rule as
+      * [[ToUnicodeCMap.decode]], with the cid sections also accepted
+      * as framing evidence and the shortest declared length as the
+      * always-advance fallback. */
+    def tokenize(b: Array[Byte]): Seq[(Int, Long)] = {
+      val out = Seq.newBuilder[(Int, Long)]
+      var i = 0
+      while (i < b.length) {
+        def codeAt(l: Int): Long = {
+          var v = 0L
+          (0 until l).foreach(k => v = (v << 8) | (b(i + k) & 0xFF))
+          v
+        }
+        val len = lens.find { l =>
+          i + l <= b.length && {
+            val c = codeAt(l)
+            ranges.exists { case (rl, lo, hi) => rl == l && c >= lo && c <= hi } ||
+              cids.exists { case (cl, lo, hi, _) => cl == l && c >= lo && c <= hi }
+          }
+        }.getOrElse(math.min(lens.head, b.length - i))
+        out += ((len, codeAt(len)))
+        i += len
+      }
+      out.result()
+    }
+  }
+
+  /** Parse a CID CMap stream's text: codespacerange sections (same
+    * grammar as /ToUnicode), cidrange entries `<lo> <hi> N`, cidchar
+    * entries `<code> N` (N a PLAIN integer, not hex — the one
+    * grammatical difference from the bf* sections), and the
+    * `/Name usecmap` base reference. */
+  private[ops] def parseCidCMap(text: String): CidCMap = {
+    def hv(h: String): Long = java.lang.Long.parseLong(h, 16)
+    val ranges = Seq.newBuilder[(Int, Long, Long)]
+    """(?s)begincodespacerange(.*?)endcodespacerange""".r.findAllMatchIn(text)
+      .foreach { m =>
+        hexTokRe.findAllMatchIn(m.group(1))
+          .map(_.group(1).filterNot(_.isWhitespace)).grouped(2).foreach {
+            case Seq(lo, hi) => ranges += ((lo.length / 2, hv(lo), hv(hi)))
+            case _ =>
+          }
+      }
+    val cids = Seq.newBuilder[(Int, Long, Long, Long)]
+    """(?s)begincidrange(.*?)endcidrange""".r.findAllMatchIn(text).foreach { m =>
+      """<([0-9A-Fa-f \t\r\n]*)>\s*<([0-9A-Fa-f \t\r\n]*)>\s*(\d+)""".r
+        .findAllMatchIn(m.group(1)).foreach { e =>
+          val loH = e.group(1).filterNot(_.isWhitespace)
+          cids += ((loH.length / 2, hv(loH),
+            hv(e.group(2).filterNot(_.isWhitespace)), e.group(3).toLong))
+        }
+    }
+    """(?s)begincidchar(.*?)endcidchar""".r.findAllMatchIn(text).foreach { m =>
+      """<([0-9A-Fa-f \t\r\n]*)>\s*(\d+)""".r
+        .findAllMatchIn(m.group(1)).foreach { e =>
+          val h = e.group(1).filterNot(_.isWhitespace)
+          cids += ((h.length / 2, hv(h), hv(h), e.group(2).toLong))
+        }
+    }
+    val base = """/([A-Za-z0-9\-]+)\s+usecmap""".r
+      .findFirstMatchIn(text).map(_.group(1))
+    CidCMap(ranges.result(), cids.result(), base)
+  }
+
   /** Adobe Glyph List subset: the names real Type1/TrueType
     * /Differences arrays use. Single-letter names are themselves,
     * digits and punctuation by name, the common Latin-1 accents and
@@ -982,7 +1069,7 @@ object Pdf {
     * kind. */
   private[ops] case class PdfFont(isType0: Boolean, cmap: Option[ToUnicodeCMap],
       diffs: Map[Int, Option[String]] = Map.empty, ucs2: Boolean = false,
-      isType3: Boolean = false)
+      isType3: Boolean = false, encCmap: Option[CidCMap] = None)
 
   /** Type0 /Encoding names whose CODE SPACE IS UCS-2/UTF-16 itself:
     * the predefined Uni{KS,JIS,GB,CNS}-{UCS2,UTF16}-{H,V} CMaps
@@ -1111,7 +1198,17 @@ object Pdf {
             ("/Encoding\\s*/([A-Za-z0-9\\-]+)").r.findFirstMatchIn(fb)
               .exists(e => ucs2EncodingRe.pattern.matcher(e.group(1)).matches())
           val isType3 = ("/Subtype\\s*/Type3").r.findFirstIn(fb).isDefined
-          m.group(1) -> PdfFont(isType0, cmap, diffs, ucs2, isType3)
+          // Type0 /Encoding as an indirect STREAM is an embedded CID
+          // CMap (subsetted CJK fonts) — parsed for codespace framing,
+          // override flagging, and the usecmap fall-through base.
+          val encCmap =
+            if (isType0)
+              """/Encoding\s+(\d+)\s+\d+\s+R""".r.findFirstMatchIn(fb)
+                .flatMap(r => objects.get(r.group(1).toInt))
+                .flatMap(streamData)
+                .map(b => parseCidCMap(new String(b, "ISO-8859-1")))
+            else None
+          m.group(1) -> PdfFont(isType0, cmap, diffs, ucs2, isType3, encCmap)
         }
       }
     }.toMap
@@ -1187,6 +1284,35 @@ object Pdf {
           val (s, un) = decodeUtf16be(b)
           if (un) unmappedAny = true
           s
+        case None if f.isType0 && f.encCmap.isDefined =>
+          // embedded CID CMap: frame codes by its codespace; codes the
+          // cid sections OVERRIDE flag (the CID→Unicode registry
+          // tables aren't in the file — don't guess); fall-through
+          // codes decode as UTF-16BE when the usecmap base is a
+          // predefined UCS-2/UTF-16 CMap, else flag too (an Identity
+          // or absent base means glyph indices). Consecutive
+          // fall-through codes decode as ONE byte run so surrogate
+          // pairs spanning two 2-byte codes still pair.
+          val cm = f.encCmap.get
+          val baseUcs2 = cm.base
+            .exists(n => ucs2EncodingRe.pattern.matcher(n).matches())
+          val sb = new StringBuilder
+          val pend = new java.io.ByteArrayOutputStream
+          def flush(): Unit = if (pend.size > 0) {
+            val (s, un) = decodeUtf16be(pend.toByteArray)
+            if (un) unmappedAny = true
+            sb.append(s)
+            pend.reset()
+          }
+          cm.tokenize(b).foreach { case (len, code) =>
+            if (!baseUcs2 || cm.covers(len, code)) {
+              flush(); unmappedAny = true
+            } else
+              (len - 1 to 0 by -1).foreach(k =>
+                pend.write(((code >> (8 * k)) & 0xFF).toInt))
+          }
+          flush()
+          sb.result()
         case None if f.isType0 => // glyph indices, unmappable: flag, emit nothing
           if (b.nonEmpty) unmappedAny = true
           ""
@@ -1650,15 +1776,21 @@ object Pdf {
     * succeeds through the /ToUnicode CMap, never by byte luck.
     * Supplementary code points (surrogate pairs) get 4-byte dst
     * entries. `withToUnicode = false` builds the no-CMap variant that
-    * must FLAG, not garbage. */
+    * must FLAG, not garbage. `embeddedCmap` replaces the /Encoding
+    * NAME with an indirect CMap STREAM of the given text (the
+    * subsetted-CJK form); show strings are then written as UTF-16BE
+    * code units — the convention of a usecmap-on-Uni* CMap, whose
+    * code space is the base's. */
   def makeCidPdf(pages: Seq[String], withToUnicode: Boolean = true,
-      flate: Boolean = false, encoding: String = "Identity-H"): Array[Byte] = {
+      flate: Boolean = false, encoding: String = "Identity-H",
+      embeddedCmap: Option[String] = None): Array[Byte] = {
     val np = pages.size
     val pageNums = (0 until np).map(3 + _)
     val contentNums = pageNums.map(_ + np)
     val fontNum = 3 + 2 * np
     val descNum = fontNum + 1
     val touNum = fontNum + 2
+    val encNum = fontNum + 3
     // code-point → CID
     val extra = mutable.LinkedHashMap.empty[Int, Int]
     def cidOf(cp: Int): Int =
@@ -1668,7 +1800,7 @@ object Pdf {
     // its show strings carry the text's big-endian code units, no CID
     // table involved. Identity-H keeps the deliberately-non-Unicode
     // CID assignment above so only the /ToUnicode path can decode it.
-    val ucs2Encoding = encoding.startsWith("Uni")
+    val ucs2Encoding = encoding.startsWith("Uni") || embeddedCmap.isDefined
     val pageCids: Seq[Seq[Int]] =
       if (ucs2Encoding)
         pages.map(_.getBytes("UTF-16BE").grouped(2).toSeq
@@ -1708,10 +1840,12 @@ object Pdf {
         n -> streamObj(s"BT /F1 12 Tf 72 720 Td <$hex> Tj ET")
       } ++ Seq(
         fontNum -> (" << /Type /Font /Subtype /Type0 /BaseFont /Graft-CID" +
-          s" /Encoding /$encoding /DescendantFonts [$descNum 0 R]$touEntry >> "),
+          embeddedCmap.fold(s" /Encoding /$encoding")(_ => s" /Encoding $encNum 0 R") +
+          s" /DescendantFonts [$descNum 0 R]$touEntry >> "),
         descNum -> (" << /Type /Font /Subtype /CIDFontType2 /BaseFont /Graft-CID" +
           " /CIDSystemInfo << /Registry (Adobe) /Ordering (Identity) /Supplement 0 >> >> ")) ++
-      (if (withToUnicode) Seq(touNum -> streamObj(tou)) else Nil)
+      (if (withToUnicode) Seq(touNum -> streamObj(tou)) else Nil) ++
+      embeddedCmap.map(c => encNum -> streamObj(c)).toSeq
     serialize(objs, 1)
   }
 

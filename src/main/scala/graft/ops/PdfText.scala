@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Distributed PDF text extraction — the bridge from the binary
@@ -50,4 +50,29 @@ object PdfText {
       }
       .toDF("name", "page", "text", "warn", "error")
   }
+
+  /** Corpus-level extraction RELEASE REPORT over [[extractTextDf]]
+    * output — the number a 100 TB document-lake ingest decides on:
+    * per source, how many files arrived, how many failed to parse at
+    * all, how many pages extracted, what share of them carry the
+    * unmapped-glyph quarantine flag, and how much text came out. ONE
+    * aggregate over the page rows (the extraction pass itself is the
+    * only corpus-scale work; this is its groupBy). `warn_ppm` is the
+    * flagged-page share in fixed-point parts-per-million — integer
+    * output so the report is cross-engine exact. Error rows (page 0)
+    * count toward n_files / n_error_files and nothing else. */
+  def extractionReport(pages: DataFrame, source: Column): DataFrame =
+    pages.groupBy(source.as("source"))
+      .agg(
+        countDistinct(col("name")).as("n_files"),
+        countDistinct(when(col("error") =!= "", col("name"))).as("n_error_files"),
+        sum(when(col("error") === "", 1L).otherwise(0L)).as("n_pages"),
+        sum(when(col("error") === "" && col("warn") =!= "", 1L).otherwise(0L))
+          .as("n_warn_pages"),
+        sum(when(col("error") === "", length(col("text")).cast("long"))
+          .otherwise(0L)).as("n_chars"))
+      .withColumn("warn_ppm",
+        when(col("n_pages") > 0,
+          floor(col("n_warn_pages") * 1000000.0 / col("n_pages")).cast("long"))
+          .otherwise(0L))
 }

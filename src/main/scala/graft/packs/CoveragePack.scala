@@ -171,6 +171,68 @@ object CoveragePack extends QueryPack {
         ("idv_nomap.pdf", idvNo)).toDF("name", "content")
       PdfText.extractTextDf(files).orderBy("name", "page")
     }),
+    // Extraction QUARANTINE TELEMETRY (r19): the corpus-level release
+    // report a document-lake ingest decides on — per source, file and
+    // page counts, parse-failure files, the unmapped-glyph flagged-
+    // page share (fixed-point ppm), and extracted text volume. One
+    // aggregate over the extraction rows; the fixture mixes clean
+    // ASCII docs, a clean CJK doc, a flagged Type0-without-ToUnicode
+    // doc, and a non-PDF error file across three sources.
+    "pdf_extract_report" -> ((s, dir) => {
+      import s.implicits._
+      val enA = Pdf.makeTextPdf(Seq("BT 72 720 Td (Alpha doc) Tj ET",
+        "BT 72 720 Td (Second page) Tj ET"))
+      val enB = Pdf.makeTextPdf(Seq("BT 72 720 Td (Beta) Tj ET"), flate = true)
+      val koC = Pdf.makeCidPdf(Seq("안녕 세계"), withToUnicode = false,
+        encoding = "UniKS-UCS2-H")
+      val koD = Pdf.makeCidPdf(Seq("quiet"), withToUnicode = false)
+      val badE = "not a pdf".getBytes("UTF-8")
+      val badF = Pdf.makeTextPdf(Seq("BT 72 720 Td (ok) Tj ET"))
+      val files = Seq(("en/a.pdf", enA), ("en/b.pdf", enB),
+        ("ko/c.pdf", koC), ("ko/d.pdf", koD),
+        ("bad/e.bin", badE), ("bad/f.pdf", badF)).toDF("name", "content")
+      PdfText.extractionReport(PdfText.extractTextDf(files),
+          regexp_extract(col("name"), "^([^/]+)/", 1))
+        .orderBy("source")
+    }),
+    // Embedded CID CMap streams (r19 — the subsetted-CJK form): a
+    // Type0 /Encoding that is an indirect STREAM carrying
+    // begincidrange/begincidchar sections and a `usecmap` base.
+    // Extraction frames codes by the embedded codespace; codes the
+    // cid sections OVERRIDE flag (their CID→Unicode registry table
+    // isn't in the file — flag, don't guess), codes that FALL THROUGH
+    // to a predefined UCS-2/UTF-16 base decode as UTF-16BE, and a
+    // non-UCS2 base (Identity-H) flags everything.
+    "pdf_extract_embedded_cmap" -> ((s, dir) => {
+      import s.implicits._
+      def cmap(base: String, cidSections: String) =
+        "/CIDInit /ProcSet findresource begin\n12 dict begin\nbegincmap\n" +
+          s"/$base usecmap\n" +
+          "1 begincodespacerange\n<0000> <FFFF>\nendcodespacerange\n" +
+          cidSections +
+          "endcmap\nCMapName currentdict /CMap defineresource pop\nend\nend"
+      // overrides nothing the text uses: clean fall-through
+      val sub = Pdf.makeCidPdf(Seq("안녕 세계"), withToUnicode = false,
+        embeddedCmap = Some(cmap("UniKS-UCS2-H",
+          "1 begincidrange\n<E000> <E0FF> 1000\nendcidrange\n" +
+            "1 begincidchar\n<E100> 55\nendcidchar\n")))
+      // cidchar override of 하 (U+D558): drops + flags
+      val ovrChar = Pdf.makeCidPdf(Seq("안녕하세요"), withToUnicode = false,
+        flate = true,
+        embeddedCmap = Some(cmap("UniKS-UCS2-H",
+          "1 begincidchar\n<D558> 777\nendcidchar\n")))
+      // cidrange override of U+B098..U+B2E4 (나, 다): drops + flags
+      val ovrRange = Pdf.makeCidPdf(Seq("가나다라마"), withToUnicode = false,
+        embeddedCmap = Some(cmap("UniKS-UCS2-H",
+          "1 begincidrange\n<B098> <B2E4> 100\nendcidrange\n")))
+      // Identity base: fall-through codes are glyph indices — all flag
+      val idBase = Pdf.makeCidPdf(Seq("hidden"), withToUnicode = false,
+        embeddedCmap = Some(cmap("Identity-H", "")))
+      val files = Seq(("sub.pdf", sub), ("ovr_char.pdf", ovrChar),
+        ("ovr_range.pdf", ovrRange), ("id_base.pdf", idBase))
+        .toDF("name", "content")
+      PdfText.extractTextDf(files).orderBy("name", "page")
+    }),
     // Type3 fonts (r18 — the last composite-font breadth item):
     // glyphs are content-stream drawings, so /Encoding /Differences
     // names are the ONLY code→text table; unlisted codes FLAG (no
@@ -422,6 +484,21 @@ object CoveragePack extends QueryPack {
         |  ('idv_nomap.pdf', 1, '', 'unmapped glyphs', ''),
         |  ('jp.pdf', 1, '日本語 𝄞 テスト', '', ''),
         |  ('kr.pdf', 1, '안녕하세요 세계', '', ''))
+        |  AS t(name, page, text, warn, error) ORDER BY name, page""".stripMargin,
+    "pdf_extract_report" ->
+      """SELECT * FROM (VALUES
+        |  ('bad', CAST(2 AS BIGINT), CAST(1 AS BIGINT), CAST(1 AS BIGINT),
+        |     CAST(0 AS BIGINT), CAST(2 AS BIGINT), CAST(0 AS BIGINT)),
+        |  ('en', 2, 0, 3, 0, 24, 0),
+        |  ('ko', 2, 0, 2, 1, 5, 500000))
+        |  AS t(source, n_files, n_error_files, n_pages, n_warn_pages,
+        |       n_chars, warn_ppm) ORDER BY source""".stripMargin,
+    "pdf_extract_embedded_cmap" ->
+      """SELECT * FROM (VALUES
+        |  ('id_base.pdf', 1, '', 'unmapped glyphs', ''),
+        |  ('ovr_char.pdf', 1, '안녕세요', 'unmapped glyphs', ''),
+        |  ('ovr_range.pdf', 1, '가라마', 'unmapped glyphs', ''),
+        |  ('sub.pdf', 1, '안녕 세계', '', ''))
         |  AS t(name, page, text, warn, error) ORDER BY name, page""".stripMargin,
     "pdf_extract_type3" ->
       """SELECT * FROM (VALUES

@@ -1095,6 +1095,33 @@ object LlmPack extends QueryPack {
       Ann.ivfpqTopKPersisted(s, q, idx, TOPK, NPROBE)
         .select("qid", "vec_id", "dot_x1e6", "rank").orderBy("qid", "rank")
     }),
+    // INCREMENTAL add to the persisted IVF+PQ index (r19 — closes the
+    // r18 "rebuild-only" gap): the base 6/7 of the corpus pays the
+    // full writeIndexPq build; today's arrivals encode against the
+    // FROZEN centroids + codebooks and append bucket-clustered files,
+    // extending the manifest with only the new files' stats and
+    // XOR-rolling the fingerprint (so verifyIndex against the union
+    // passes with zero rescans). Assignment and encoding are
+    // deterministic row-wise expressions of the frozen geometry, so
+    // the served results are bit-for-bit what a single encode pass
+    // over the union would produce — which is what the oracle
+    // computes (training CTEs restricted to the base subset, encode
+    // over everything).
+    "ann_incremental_pq" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val all = e.select(col("vec_id"), col("embedding").as("ce"))
+      val base = all.filter(col("vec_id") % 7 =!= 0)
+      val fresh = all.filter(col("vec_id") % 7 === 0)
+      val idx = graft.core.Scratch.dir("graft_rt").resolve("ann_pq_inc").toString
+      Ann.writeIndexPq(base, idx, NC, PQ_M, PQ_K, LLOYD, files = 4,
+        pqSeed = "ivfpq")
+      Ann.appendIndexPq(fresh, idx, files = 2)
+      Ann.verifyIndex(s, idx, all)
+      val q = e.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      Ann.ivfpqTopKPersisted(s, q, idx, TOPK, NPROBE)
+        .select("qid", "vec_id", "dot_x1e6", "rank").orderBy("qid", "rank")
+    }),
     // Measured IVF recall vs the exact baseline over 20 queries —
     // the honest quality gate for the approximate path. Ann.ivfRecall
     // scores every (query, vector) pair ONCE and derives both the
@@ -1839,13 +1866,22 @@ object LlmPack extends QueryPack {
     * with L2 argmin assignment and fixed-point mean updates, and the
     * final-codebook encode `penc<s>` (vec_id, bucket, n2). Shared by
     * the plain-PQ and the IVF+PQ (residual-source) oracles. */
-  private def pqSubCtes(src: String, vecCol: String, seedTag: String): Seq[String] = {
+  /** `encSrc`: when set, codebook TRAINING runs over `src` but the
+    * final-codebook encode pass covers `encSrc` instead — the
+    * incremental-index mirror (frozen geometry from the base corpus,
+    * every vector encoded against it). */
+  private def pqSubCtes(src: String, vecCol: String, seedTag: String,
+      encSrc: Option[String] = None): Seq[String] = {
     val (m, ksub, d) = (PQ_M, PQ_K, 64 / PQ_M)
     (0 until m).flatMap { s =>
       val off = s * d
       val es =
         s"""es$s AS MATERIALIZED (SELECT vec_id, $vecCol[${off + 1}:${off + d}] AS se
            |  FROM $src)""".stripMargin
+      val esEnc = encSrc.map(e =>
+        s"""esenc$s AS MATERIALIZED (SELECT vec_id, $vecCol[${off + 1}:${off + d}] AS se
+           |  FROM $e)""".stripMargin)
+      val encFrom = if (encSrc.isDefined) s"esenc$s" else s"es$s"
       val seed =
         s"""pcent${s}_0 AS MATERIALIZED (
            |  SELECT list_transform(se, x -> CAST(x AS DOUBLE)) AS cemb,
@@ -1876,9 +1912,9 @@ object LlmPack extends QueryPack {
            |    SELECT e.vec_id, c.cid AS bucket,
            |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
            |        ORDER BY ${pqD2s("e.se", "c.cemb")} ASC, c.cid) AS rn
-           |    FROM es$s e, pcent${s}_$LLOYD c) x
+           |    FROM $encFrom e, pcent${s}_$LLOYD c) x
            |  JOIN pcent${s}_$LLOYD cb ON cb.cid = x.bucket WHERE rn = 1)""".stripMargin
-      Seq(es, seed) ++ lloyd ++ Seq(enc)
+      Seq(es) ++ esEnc.toSeq ++ Seq(seed) ++ lloyd ++ Seq(enc)
     }
   }
 
@@ -1922,15 +1958,30 @@ object LlmPack extends QueryPack {
     * train/encode CTEs over `res` → probe + per-(query, bucket)
     * centroid dot + residual lookup tables → integer ADC sum, ranked
     * within probed buckets only. */
-  private def ivfpqSql: String = {
+  private def ivfpqSql: String = ivfpqSqlOver("")
+
+  /** Incremental IVF+PQ mirror (the ann_incremental_ivf rationale
+    * applied to the compressed index): centroids AND residual
+    * codebooks train on the 6/7 base subset; assignment, encoding,
+    * and search cover the whole corpus — equal to the engine's
+    * frozen-geometry append because both passes are deterministic
+    * row-wise expressions of that geometry. */
+  private def ivfpqIncrementalSql: String =
+    ivfpqSqlOver("WHERE vec_id % 7 <> 0")
+
+  private def ivfpqSqlOver(trainWhere: String): String = {
     val (m, d) = (PQ_M, 64 / PQ_M)
-    val (build, centFinal) = centroidCtes(NC)
+    val (build, centFinal) = centroidCtes(NC, trainWhere)
     val res =
       s"""res AS MATERIALIZED (
          |  SELECT a.vec_id, a.bucket,
          |    list_transform(list_zip(a.ce, c.cemb),
          |      z -> CAST(z[1] AS DOUBLE) - CAST(z[2] AS DOUBLE)) AS re
          |  FROM corpus_assign a JOIN $centFinal c ON c.cid = a.bucket)""".stripMargin
+    val resTrain =
+      if (trainWhere.isEmpty) Nil
+      else Seq(s"res_tr AS MATERIALIZED (SELECT * FROM res $trainWhere)")
+    val pqTrainSrc = if (trainWhere.isEmpty) "res" else "res_tr"
     val q = "q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 3)"
     val probe =
       s"""q_probe AS (
@@ -1956,7 +2007,10 @@ object LlmPack extends QueryPack {
         s"JOIN pqt$s t$s ON t$s.qid = qc.qid AND t$s.cid = e$s.bucket").mkString("\n    ")
     val total = (0 until m).map(s => s"t$s.tdot6").mkString(" + ") + " + qc.qcdot6"
     "WITH " + ((build :+ assignSql(centFinal, "corpus_assign") :+ res) ++
-      pqSubCtes("res", "re", "ivfpq") ++ Seq(q, probe, qc) ++ qts).mkString(",\n") +
+      resTrain ++
+      pqSubCtes(pqTrainSrc, "re", "ivfpq",
+        encSrc = if (trainWhere.isEmpty) None else Some("res")) ++
+      Seq(q, probe, qc) ++ qts).mkString(",\n") +
       s"""
          |SELECT qid, vec_id, dot_x1e6, rank FROM (
          |  SELECT qc.qid, r.vec_id, $total AS dot_x1e6,
@@ -3038,6 +3092,7 @@ object LlmPack extends QueryPack {
     // the persisted IVF+PQ path must reproduce the in-memory build
     "ann_index_pq_persisted" -> ivfpqSql,
     "ann_incremental_ivf" -> ivfIncrementalSql,
+    "ann_incremental_pq" -> ivfpqIncrementalSql,
     "curation_cluster_cap" -> clusterCapSql,
     // same booleans as the text_gopher_rules oracle (raw-double
     // comparisons on both sides), one aggregate, 3-row UNION funnel

@@ -280,6 +280,41 @@ class AnnSpec extends SparkSpec {
     assert(keep >= 1, "probe pruned everything — manifest spans broken")
   }
 
+  test("incremental IVF+PQ add: base build + delta append == one-pass encode over the union") {
+    val corpus = clustered
+    val base = corpus.filter(col("vec_id") % 5 =!= 0)
+    val fresh = corpus.filter(col("vec_id") % 5 === 0)
+    val idx = java.nio.file.Files.createTempDirectory("ann_pq_inc_spec").toString
+    Ann.writeIndexPq(base, idx, nClusters, m = 4, ksub = 8, iters = 2, files = 5)
+    val filesBefore = graft.ops.FileIndex.indexedFileCount(spark, s"$idx/encoded")
+    Ann.appendIndexPq(fresh, idx, files = 2)
+    // the manifest grew by exactly the delta's file count and the
+    // XOR-rolled fingerprint matches the UNION (and rejects the base)
+    val filesAfter = graft.ops.FileIndex.indexedFileCount(spark, s"$idx/encoded")
+    assert(filesAfter == filesBefore + 2,
+      s"manifest files $filesBefore -> $filesAfter")
+    Ann.verifyIndex(spark, idx, corpus)
+    intercept[IllegalStateException] { Ann.verifyIndex(spark, idx, base) }
+    // served results equal the single-pass encode of the union under
+    // the SAME frozen geometry (assignment/encoding are deterministic
+    // row-wise expressions — appending cannot change any code)
+    val q = corpus.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("qid"), col("ce").as("qe"))
+    val served = Ann.ivfpqTopKPersisted(spark, q, idx, k = 10, nprobe = 2)
+      .select("qid", "vec_id", "dot_x1e6", "rank").orderBy("qid", "rank").collect()
+    val cent = Ann.ivfCentroids(base, nClusters, iters = 2)
+    val resB = Ann.ivfResiduals(base, cent)
+    val cb = Ann.pqCodebooks(resB.select(col("vec_id"), col("re").as("ce")),
+      m = 4, ksub = 8, iters = 2)
+    val resAll = Ann.ivfResiduals(corpus, cent)
+    val enc = Ann.pqEncode(resAll.select(col("vec_id"), col("re").as("ce")), cb)
+      .join(resAll.select(col("vec_id"), col("bucket")), Seq("vec_id"))
+      .select(col("vec_id"), col("bucket"), col("codes"))
+    val mem = Ann.ivfpqTopK(q, cent, cb, enc, k = 10, nprobe = 2)
+      .select("qid", "vec_id", "dot_x1e6", "rank").orderBy("qid", "rank").collect()
+    assert(served.toSeq == mem.toSeq)
+  }
+
   test("persisted index: staleness fingerprint accepts the built corpus, rejects a refresh") {
     val corpus = clustered
     val idx = java.nio.file.Files.createTempDirectory("ann_idx_fp").toString

@@ -179,6 +179,63 @@ class PdfTextSpec extends AnyFunSuite {
     assert(Pdf.extractTextPages(tou) == Seq((1, "Z", "")))
   }
 
+  test("parseCidCMap: codespace ranges, cidrange, cidchar, usecmap base") {
+    val cm = Pdf.parseCidCMap(
+      """/UniKS-UCS2-H usecmap
+        |2 begincodespacerange <00> <7F> <8140> <FEFE> endcodespacerange
+        |1 begincidrange <8140> <8150> 500 endcidrange
+        |2 begincidchar <41> 9 <8200> 700 endcidchar""".stripMargin)
+    assert(cm.base.contains("UniKS-UCS2-H"))
+    assert(cm.ranges == Seq((1, 0x00L, 0x7FL), (2, 0x8140L, 0xFEFEL)))
+    assert(cm.cids == Seq((2, 0x8140L, 0x8150L, 500L),
+      (1, 0x41L, 0x41L, 9L), (2, 0x8200L, 0x8200L, 700L)))
+    assert(cm.covers(2, 0x8145L) && cm.covers(1, 0x41L) && !cm.covers(1, 0x42L))
+    // mixed-length framing: 1-byte codes in <00>-<7F>, 2-byte above —
+    // the shortest-match prefix rule
+    assert(cm.tokenize(Array[Byte](0x41, 0x81.toByte, 0x42, 0x42)) ==
+      Seq((1, 0x41L), (2, 0x8142L), (1, 0x42L)))
+  }
+
+  test("embedded CID CMap: UCS2-base fall-through decodes, cid overrides flag, Identity base flags all") {
+    def cmap(base: String, cidSections: String) =
+      s"/$base usecmap\n" +
+        "1 begincodespacerange\n<0000> <FFFF>\nendcodespacerange\n" + cidSections
+    // fall-through only: overrides touch nothing the text uses
+    val ko = "안녕 세계"
+    val clean = Pdf.makeCidPdf(Seq(ko), withToUnicode = false,
+      embeddedCmap = Some(cmap("UniKS-UCS2-H",
+        "1 begincidrange\n<E000> <E0FF> 1000\nendcidrange\n")))
+    assert(Pdf.extractTextPages(clean) == Seq((1, ko, "")))
+    // a cidchar override drops the char and flags; neighbors survive,
+    // including a surrogate pair SPLIT across the override (the
+    // fall-through runs on both sides decode independently)
+    val ovr = Pdf.makeCidPdf(Seq("안녕하세요"), withToUnicode = false,
+      flate = true,
+      embeddedCmap = Some(cmap("UniKS-UCS2-H",
+        "1 begincidchar\n<D558> 777\nendcidchar\n")))
+    assert(Pdf.extractTextPages(ovr) == Seq((1, "안녕세요", "unmapped glyphs")))
+    // a cidrange override drops the covered block
+    val rng = Pdf.makeCidPdf(Seq("가나다라마"), withToUnicode = false,
+      embeddedCmap = Some(cmap("UniKS-UCS2-H",
+        "1 begincidrange\n<B098> <B2E4> 100\nendcidrange\n")))
+    assert(Pdf.extractTextPages(rng) == Seq((1, "가라마", "unmapped glyphs")))
+    // surrogate pairs in the fall-through run still pair (two 2-byte
+    // codes, one byte run into decodeUtf16be)
+    val sp = "clef 𝄞 ok"
+    val spDoc = Pdf.makeCidPdf(Seq(sp), withToUnicode = false,
+      embeddedCmap = Some(cmap("UniKS-UCS2-H", "")))
+    assert(Pdf.extractTextPages(spDoc) == Seq((1, sp, "")))
+    // non-UCS2 usecmap base: fall-through codes are glyph indices
+    val id = Pdf.makeCidPdf(Seq("hidden"), withToUnicode = false,
+      embeddedCmap = Some(cmap("Identity-H", "")))
+    assert(Pdf.extractTextPages(id) == Seq((1, "", "unmapped glyphs")))
+    // no usecmap at all: same flag-everything contract
+    val none = Pdf.makeCidPdf(Seq("quiet"), withToUnicode = false,
+      embeddedCmap = Some(
+        "1 begincodespacerange\n<0000> <FFFF>\nendcodespacerange\n"))
+    assert(Pdf.extractTextPages(none) == Seq((1, "", "unmapped glyphs")))
+  }
+
   test("decodeUtf16be: lone surrogate and odd tail flag instead of emitting U+FFFD") {
     assert(Pdf.decodeUtf16be("ab".getBytes("UTF-16BE")) == (("ab", false)))
     // high surrogate with no low: flagged, skipped
