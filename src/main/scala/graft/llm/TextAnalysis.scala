@@ -109,6 +109,22 @@ object TextAnalysis {
         meanLen >= 3.0 && meanLen <= 10.0 && nStop >= minStop))
   }
 
+  /** CJK-aware tokenization (the CCNet convention for scripts written
+    * WITHOUT word spaces): each Han / Hiragana / Katakana / Hangul
+    * codepoint becomes its own token — spaced out by one codegen'd
+    * regexp_replace before the whitespace split — while spaced
+    * scripts tokenize by whitespace as usual. Without this, a
+    * Japanese document collapses into one giant "word" and every
+    * frequency statistic built on `\s+` (top terms, vocab growth,
+    * Gopher word counts) silently degenerates. Java regex spells the
+    * script classes \p{IsHan}…; the DuckDB twin uses RE2's \p{Han}…
+    * — same code-point sets. Returns the token ARRAY (empties
+    * included where runs touch — filter downstream). */
+  def cjkAwareTerms(text: Column): Column =
+    split(regexp_replace(text,
+      "([\\p{IsHan}\\p{IsHiragana}\\p{IsKatakana}\\p{IsHangul}])", " $1 "),
+      "\\s+")
+
   /** Gopher-style repetition metrics (the COUNTING complement to the
     * ratio rules in [[gopherRules]]): duplicate-token fraction
     * (1 − distinct/total) and top-bigram fraction (share of all bigram

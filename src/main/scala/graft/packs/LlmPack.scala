@@ -529,6 +529,26 @@ object LlmPack extends QueryPack {
         .filter(col("term") =!= "")
         .groupBy("term").agg(count(lit(1)).as("n"))
         .orderBy(desc("n"), asc("term")).limit(20)),
+    // CJK-aware top terms (r19): Japanese/Korean runs — scripts
+    // written without word spaces — tokenize PER CODEPOINT (the
+    // CCNet convention, TA.cjkAwareTerms) so they contribute real
+    // frequency rows instead of collapsing into one giant "word";
+    // the fixture corpus is pure ASCII, so the gate appends CJK
+    // phrases deterministically by doc_id (both engine and twin
+    // build the same mixed corpus). Plan shape identical to
+    // text_top_terms: one extra codegen'd regexp_replace, then
+    // explode → hash agg → top-k.
+    "text_top_terms_cjk" -> ((s, dir) => {
+      val t = concat(col("text"),
+        when(col("doc_id") % 3 === 0, lit(" 日本語テキスト解析"))
+          .when(col("doc_id") % 3 === 1, lit(" 데이터분석"))
+          .otherwise(lit("")))
+      docs(s, dir)
+        .select(explode(TA.cjkAwareTerms(t)).as("term"))
+        .filter(col("term") =!= "")
+        .groupBy("term").agg(count(lit(1)).as("n"))
+        .orderBy(desc("n"), asc("term")).limit(30)
+    }),
     // BPE tokenizer build, iteration-0 view: adjacent character-pair
     // counts over the word HISTOGRAM (vocab-sized — the corpus itself
     // is touched exactly once, by the histogram aggregate), weighted
@@ -2608,6 +2628,17 @@ object LlmPack extends QueryPack {
         |FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
         |WHERE term <> ''
         |GROUP BY term ORDER BY n DESC, term LIMIT 20""".stripMargin,
+    // RE2 spells the script classes \p{Han}…; same code-point sets
+    // as the engine's Java \p{IsHan}…
+    "text_top_terms_cjk" ->
+      """SELECT term, count(*) AS n
+        |FROM (SELECT unnest(regexp_split_to_array(regexp_replace(
+        |    text || CASE WHEN doc_id % 3 = 0 THEN ' 日本語テキスト解析'
+        |                 WHEN doc_id % 3 = 1 THEN ' 데이터분석' ELSE '' END,
+        |    '([\p{Han}\p{Hiragana}\p{Katakana}\p{Hangul}])', ' \1 ', 'g'),
+        |    '\s+')) AS term FROM documents)
+        |WHERE term <> ''
+        |GROUP BY term ORDER BY n DESC, term LIMIT 30""".stripMargin,
     // 1-based positions over the RAW split array, same numbering as
     // posexplode+1 (empties counted)
     "search_positions" ->
