@@ -731,6 +731,26 @@ object Ann {
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/fingerprint")
   }
 
+  /** COMPACT a persisted IVF+PQ index after append generations: each
+    * [[appendIndexPq]] adds `files` new files whose bucket spans
+    * overlap the existing layout, so a point probe reads one extra
+    * file per generation — the LSM tradeoff. Compaction re-clusters
+    * the encoded rows into a single `files`-file generation (rows,
+    * codes, centroids, codebooks, fingerprint all UNCHANGED — this
+    * moves bytes, it never re-trains or re-encodes, so served results
+    * are identical before and after). The rows are materialized
+    * eagerly (localCheckpoint) before the overwrite so the rewrite
+    * never reads the files it is replacing; a multi-writer production
+    * deployment would stage a new generation directory and swap
+    * manifests atomically instead — same I/O, different commit
+    * protocol. */
+  def compactIndexPq(spark: org.apache.spark.sql.SparkSession, dir: String,
+      files: Int = 16): Unit = {
+    val rows = spark.read.parquet(s"$dir/encoded").localCheckpoint(true)
+    try graft.ops.FileIndex.writeIndexed(rows, s"$dir/encoded", "bucket", files)
+    finally rows.unpersist(blocking = false)
+  }
+
   /** IVF+PQ search against a PERSISTED index: load centroids and
     * codebooks (both metadata-sized, localized like
     * [[loadCentroids]]), probe, prune the encoded table's files to

@@ -47,6 +47,29 @@ object TextAnalysis {
   def langGuess(text: Column): Column =
     langGuessFrom(langProfiles.map { case (l, _) => l -> langScore(text, l) })
 
+  /** Per-script codepoint counts for the CJK family — the signal the
+    * stopword profiles are blind to (no word spaces, no stopword
+    * tokens). One codegen'd regexp_count per script. */
+  def scriptCounts(text: Column): Seq[(String, Column)] = Seq(
+    "hangul" -> regexp_count(text, lit("\\p{IsHangul}")),
+    "kana" -> regexp_count(text, lit("[\\p{IsHiragana}\\p{IsKatakana}]")),
+    "han" -> regexp_count(text, lit("\\p{IsHan}")))
+
+  /** Script-first language guess (the CLD-style first stage): ANY
+    * kana decides Japanese (Chinese and Korean text contains none —
+    * Japanese prose is obligate kana even when Han-heavy); else
+    * dominant Hangul decides Korean; else any Han decides Chinese;
+    * else fall back to the stopword-profile argmax. Thresholds are
+    * integer comparisons on the precomputed script counts, so the
+    * decision is cross-engine exact. Pass ATTRIBUTE references for
+    * the counts (the [[langGuessFrom]] rationale). */
+  def langGuessCjk(hangul: Column, kana: Column, han: Column,
+      stopwordGuess: Column): Column =
+    when(kana >= 1, lit("ja"))
+      .when(hangul >= 1 && hangul >= han, lit("ko"))
+      .when(han >= 1, lit("zh"))
+      .otherwise(stopwordGuess)
+
   /** Whitespace token count. */
   def tokenCount(text: Column): Column = size(split(text, "\\s+"))
 

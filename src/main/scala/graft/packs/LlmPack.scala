@@ -529,6 +529,33 @@ object LlmPack extends QueryPack {
         .filter(col("term") =!= "")
         .groupBy("term").agg(count(lit(1)).as("n"))
         .orderBy(desc("n"), asc("term")).limit(20)),
+    // Script-first language ID for the CJK family (r19): stopword
+    // profiles are blind to scripts without word spaces, so the
+    // decision runs script counts first — ANY kana → ja (Japanese
+    // prose is obligate kana; Chinese/Korean text has none), dominant
+    // Hangul → ko, any Han → zh, else the stopword argmax. The
+    // fixture corpus is ASCII, so the gate appends CJK phrases
+    // deterministically by doc_id (ja/ko/zh/none arms).
+    "text_lang_id_cjk" -> ((s, dir) => {
+      val t = concat(col("text"),
+        when(col("doc_id") % 4 === 0, lit(" 日本語のテキスト"))
+          .when(col("doc_id") % 4 === 1, lit(" 한국어 텍스트"))
+          .when(col("doc_id") % 4 === 2, lit(" 中文文本分析"))
+          .otherwise(lit("")))
+      val cols = col("doc_id") +:
+        (TA.scriptCounts(t) :+
+          ("s_en" -> TA.langScore(t, "en")) :+
+          ("s_es" -> TA.langScore(t, "es")) :+
+          ("s_de" -> TA.langScore(t, "de")) :+
+          ("s_fr" -> TA.langScore(t, "fr"))).map { case (n, c) => c.as(n) }
+      docs(s, dir)
+        .select(cols: _*)
+        .select(col("doc_id"), col("hangul"), col("kana"), col("han"),
+          TA.langGuessCjk(col("hangul"), col("kana"), col("han"),
+            TA.langGuessFrom(Seq("en" -> col("s_en"), "es" -> col("s_es"),
+              "de" -> col("s_de"), "fr" -> col("s_fr")))).as("lang_guess"))
+        .orderBy("doc_id")
+    }),
     // CJK-aware top terms (r19): Japanese/Korean runs — scripts
     // written without word spaces — tokenize PER CODEPOINT (the
     // CCNet convention, TA.cjkAwareTerms) so they contribute real
@@ -1136,6 +1163,28 @@ object LlmPack extends QueryPack {
       Ann.writeIndexPq(base, idx, NC, PQ_M, PQ_K, LLOYD, files = 4,
         pqSeed = "ivfpq")
       Ann.appendIndexPq(fresh, idx, files = 2)
+      Ann.verifyIndex(s, idx, all)
+      val q = e.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      Ann.ivfpqTopKPersisted(s, q, idx, TOPK, NPROBE)
+        .select("qid", "vec_id", "dot_x1e6", "rank").orderBy("qid", "rank")
+    }),
+    // COMPACTION after append generations (r19): appends overlap the
+    // base layout's bucket spans (a point probe reads one extra file
+    // per generation — the LSM tradeoff); compaction re-clusters the
+    // encoded rows into one generation WITHOUT re-training or
+    // re-encoding, so the served results are identical — which is the
+    // gate: same oracle as the incremental add.
+    "ann_index_compact" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val all = e.select(col("vec_id"), col("embedding").as("ce"))
+      val base = all.filter(col("vec_id") % 7 =!= 0)
+      val fresh = all.filter(col("vec_id") % 7 === 0)
+      val idx = graft.core.Scratch.dir("graft_rt").resolve("ann_pq_cmp").toString
+      Ann.writeIndexPq(base, idx, NC, PQ_M, PQ_K, LLOYD, files = 4,
+        pqSeed = "ivfpq")
+      Ann.appendIndexPq(fresh, idx, files = 2)
+      Ann.compactIndexPq(s, idx, files = 4)
       Ann.verifyIndex(s, idx, all)
       val q = e.filter(col("vec_id") < 3)
         .select(col("vec_id").as("qid"), col("embedding").as("qe"))
@@ -2205,6 +2254,29 @@ object LlmPack extends QueryPack {
             s"${reCount("text", langRe(l))} AS s_$l" }.mkString(", ")}, text FROM documents)
          |ORDER BY doc_id""".stripMargin
     },
+    // RE2 script classes \p{Hangul}… = Java's \p{IsHangul}… sets;
+    // script decision first, stopword argmax as the fallback arm
+    "text_lang_id_cjk" -> {
+      val scores = TA.langProfiles.map { case (l, _) =>
+        s"${reCount("t", langRe(l))} AS s_$l" }.mkString(", ")
+      s"""SELECT doc_id, hangul, kana, han,
+         |  CASE WHEN kana >= 1 THEN 'ja'
+         |       WHEN hangul >= 1 AND hangul >= han THEN 'ko'
+         |       WHEN han >= 1 THEN 'zh'
+         |       ELSE $guessSql END AS lang_guess
+         |FROM (SELECT doc_id,
+         |    ${reCount("t", "\\p{Hangul}")} AS hangul,
+         |    ${reCount("t", "[\\p{Hiragana}\\p{Katakana}]")} AS kana,
+         |    ${reCount("t", "\\p{Han}")} AS han,
+         |    $scores
+         |  FROM (SELECT doc_id,
+         |      text || CASE WHEN doc_id % 4 = 0 THEN ' 日本語のテキスト'
+         |                   WHEN doc_id % 4 = 1 THEN ' 한국어 텍스트'
+         |                   WHEN doc_id % 4 = 2 THEN ' 中文文本分析'
+         |                   ELSE '' END AS t
+         |    FROM documents))
+         |ORDER BY doc_id""".stripMargin
+    },
     "text_quality" ->
       s"""SELECT doc_id, n_tokens, n_bpe_tokens,
          |  CAST(FLOOR(stop_ratio * 10000 + 0.5) AS BIGINT) AS stop_x1e4,
@@ -3124,6 +3196,7 @@ object LlmPack extends QueryPack {
     "ann_index_pq_persisted" -> ivfpqSql,
     "ann_incremental_ivf" -> ivfIncrementalSql,
     "ann_incremental_pq" -> ivfpqIncrementalSql,
+    "ann_index_compact" -> ivfpqIncrementalSql,
     "curation_cluster_cap" -> clusterCapSql,
     // same booleans as the text_gopher_rules oracle (raw-double
     // comparisons on both sides), one aggregate, 3-row UNION funnel

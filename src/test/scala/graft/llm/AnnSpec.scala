@@ -315,6 +315,31 @@ class AnnSpec extends SparkSpec {
     assert(served.toSeq == mem.toSeq)
   }
 
+  test("compactIndexPq: append generations collapse to one; served results and fingerprint unchanged") {
+    val corpus = clustered
+    val base = corpus.filter(col("vec_id") % 5 =!= 0)
+    val freshA = corpus.filter(col("vec_id") % 5 === 0 && col("vec_id") % 10 =!= 0)
+    val freshB = corpus.filter(col("vec_id") % 10 === 0)
+    val idx = java.nio.file.Files.createTempDirectory("ann_pq_cmp_spec").toString
+    Ann.writeIndexPq(base, idx, nClusters, m = 4, ksub = 8, iters = 2, files = 5)
+    Ann.appendIndexPq(freshA, idx, files = 2)
+    Ann.appendIndexPq(freshB, idx, files = 2)
+    assert(graft.ops.FileIndex.indexedFileCount(spark, s"$idx/encoded") == 9)
+    val q = corpus.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("qid"), col("ce").as("qe"))
+    val before = Ann.ivfpqTopKPersisted(spark, q, idx, k = 10, nprobe = 2)
+      .select("qid", "vec_id", "dot_x1e6", "rank").orderBy("qid", "rank").collect()
+    val fpBefore = spark.read.parquet(s"$idx/fingerprint").head()
+    Ann.compactIndexPq(spark, idx, files = 5)
+    // one generation again; rows/codes/fingerprint untouched
+    assert(graft.ops.FileIndex.indexedFileCount(spark, s"$idx/encoded") == 5)
+    assert(spark.read.parquet(s"$idx/fingerprint").head() == fpBefore)
+    Ann.verifyIndex(spark, idx, corpus)
+    val after = Ann.ivfpqTopKPersisted(spark, q, idx, k = 10, nprobe = 2)
+      .select("qid", "vec_id", "dot_x1e6", "rank").orderBy("qid", "rank").collect()
+    assert(after.toSeq == before.toSeq)
+  }
+
   test("persisted index: staleness fingerprint accepts the built corpus, rejects a refresh") {
     val corpus = clustered
     val idx = java.nio.file.Files.createTempDirectory("ann_idx_fp").toString
