@@ -119,9 +119,13 @@ object Markup {
     * non-greedy regex left an unclosed fence alone and the
     * marker-line rule below stripped just its ``` line — which the
     * split's delimiter removal reproduces exactly). The split
-    * replaces the previous `(?s)^```.*?^```$` regexp_replace, whose
-    * multiline backtracking was a measured ~8× whole-pipeline
-    * multiplier at sf1 (29.2 s vs 3.7 s for the keep-fences chain).
+    * replaces the previous `(?s)^```.*?^```$` regexp_replace — the
+    * whole-document multiline scan that dominated the drop-variant's
+    * cost over the keep-fences chain (measured: 29.24 vs 28.46 s
+    * sf1 before; 27.7 vs 28.7 s after — the drop variant now at or
+    * below keep-fences instead of above it, and the formulation is
+    * backtracking-free, so the gap cannot blow up on fence-dense
+    * corpora the way a `(?s).*?` scan can).
     * split(…, -1) keeps trailing empty segments — REQUIRED: a corpus
     * ending at a closing fence must still count that fence toward
     * pair parity. */

@@ -121,9 +121,9 @@ class MarkupSpec extends SparkSpec {
     // unclosed fence: block rule can't match, marker line still strips
     assert(stripDrop("a\n```\ncode") == "a\n\ncode")
     // the oracle twin carries the same decision: the fence pass is a
-    // split + index-filter (NOT a regexp_replace — the (?s) rule's
-    // multiline backtracking was an ~8× sf1 multiplier), spliced
-    // between the head rule and the tail
+    // split + index-filter (NOT a regexp_replace — the old (?s) rule
+    // was a whole-document backtracking scan), spliced between the
+    // head rule and the tail
     val sql = Markup.oracleExpr("text", dropFencedCode = true)
     // the head rule is embedded once per `parts` reference (the
     // split expression appears in the filter body and twice in the
