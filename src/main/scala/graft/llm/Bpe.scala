@@ -538,6 +538,56 @@ object Bpe {
     out.toSeq
   }
 
+  // ---- tokenizer persistence (the serving boundary) ------------------
+
+  /** Materialize a learned tokenizer under `dir`: the ranked merge
+    * table plus a meta row recording the ALPHABET MODE (byte-level or
+    * char-level) and k — a tokenizer is a frozen artifact by design
+    * (training corpora evolve; the tokenizer must not), so unlike the
+    * ANN index there is no staleness fingerprint: the merge table IS
+    * the contract. Train once over the histogram, write, then every
+    * later session/job encodes through [[encodeWithTokenizer]] with
+    * zero training passes — the 100 TB shape, where one tokenizer
+    * serves every pipeline run for months. The meta mode flag keeps a
+    * byte-level merge table from ever silently decoding through the
+    * char-level replay (hex atoms would never match raw chars — the
+    * output would be all-singleton tokens, a silent quality bug, not
+    * an error). */
+  def writeTokenizer(docs: DataFrame, textCol: String, k: Int, dir: String,
+      byteLevel: Boolean = true, maxWords: Int = 1 << 20): Unit = {
+    val spark = docs.sparkSession
+    val merges =
+      if (byteLevel) learnMergesFastBytes(docs, textCol, k, maxWords)
+      else learnMergesFast(docs, textCol, k, maxWords)
+    merges.coalesce(1).write.mode("overwrite").parquet(s"$dir/merges")
+    spark.createDataFrame(
+        java.util.Arrays.asList(Row(byteLevel, k)),
+        StructType(Seq(
+          StructField("byte_level", BooleanType, nullable = false),
+          StructField("k", IntegerType, nullable = false))))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+  }
+
+  /** Load a persisted tokenizer: (ranked merges, byteLevel). */
+  def loadTokenizer(spark: org.apache.spark.sql.SparkSession,
+      dir: String): (Seq[(String, String)], Boolean) = {
+    val merges = spark.read.parquet(s"$dir/merges").orderBy("rank")
+      .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    val byteLevel = spark.read.parquet(s"$dir/meta").head().getBoolean(0)
+    (merges, byteLevel)
+  }
+
+  /** Encode a (word, cnt) histogram through a PERSISTED tokenizer —
+    * the merge table loads (vocab-sized) and the replay encode runs
+    * in the mode the artifact was trained in. Output contract ≡ the
+    * in-memory encode over the same merges. */
+  def encodeWithTokenizer(hist: DataFrame, dir: String,
+      maxWords: Int = 1 << 20): DataFrame = {
+    val (merges, byteLevel) = loadTokenizer(hist.sparkSession, dir)
+    if (byteLevel) encodeHistogramFastBytes(hist, merges, maxWords)
+    else encodeHistogramFast(hist, merges, maxWords)
+  }
+
   /** Single-machine reference implementation (test oracle): the
     * textbook in-memory BPE over a word histogram. */
   private[llm] def referenceMerges(words: Seq[(String, Long)], k: Int): Seq[(Int, String, String, Long)] =

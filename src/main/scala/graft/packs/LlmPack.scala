@@ -656,6 +656,24 @@ object LlmPack extends QueryPack {
           expr("toks[0]").as("first_tok"))
         .orderBy(desc("cnt"), asc("word")).limit(50)
     }),
+    // PERSISTED tokenizer (r19 — the writeIndex lifecycle applied to
+    // BPE): train the byte-level merges once over the mixed corpus,
+    // write the ranked merge table + alphabet-mode meta under a dir,
+    // reload, and encode through the artifact with ZERO training
+    // passes — one tokenizer serving every later pipeline run. Same
+    // oracle as the direct byte-encode gate: persisted ≡ in-memory
+    // bit for bit.
+    "text_bpe_tokenizer_persisted" -> ((s, dir) => {
+      val d = mixedKoreanCorpus(s, dir)
+      val tok = graft.core.Scratch.dir("graft_rt").resolve("bpe_tok").toString
+      graft.llm.Bpe.writeTokenizer(d, "text", 256, tok, byteLevel = true)
+      graft.llm.Bpe
+        .encodeWithTokenizer(graft.llm.Bpe.wordHistogram(d, "text"), tok)
+        .select(col("word"), col("cnt"),
+          col("n_toks").cast("long").as("n_toks"),
+          expr("toks[0]").as("first_tok"))
+        .orderBy(desc("cnt"), asc("word")).limit(50)
+    }),
     // The tokenizer-INFERENCE half (Bpe.encodeHistogram): replay the 8
     // learned merges in rank order over the word histogram — each
     // DISTINCT word encodes once (vocab-sized work, never per corpus
@@ -2669,6 +2687,11 @@ object LlmPack extends QueryPack {
       graft.llm.Bpe.mergesOracleSqlOver(256, mixedKoreanHistSql,
         byteLevel = true),
     "text_bpe_bytes_encode_256" ->
+      graft.llm.Bpe.encodeOracleSqlOver(256, 50, mixedKoreanHistSql,
+        byteLevel = true),
+    // persisted ≡ in-memory: the artifact round-trip must reproduce
+    // the direct byte-encode chain exactly
+    "text_bpe_tokenizer_persisted" ->
       graft.llm.Bpe.encodeOracleSqlOver(256, 50, mixedKoreanHistSql,
         byteLevel = true),
     // same keyed 20-gram hashes, window-of-8 integer argmin

@@ -506,6 +506,36 @@ class LlmSpec extends SparkSpec {
       s"byte=$byteM char=$charM")
   }
 
+  test("persisted tokenizer: write/load round-trip, mode flag honored, encode equals in-memory") {
+    import graft.llm.Bpe
+    import spark.implicits._
+    val docs = Seq((1L, "한국어 데이터 한국어 ab ab low lower 한국어"))
+      .toDF("doc_id", "text")
+    val hist = Bpe.wordHistogram(docs, "text")
+    def enc(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getSeq[String](2), r.getInt(3)))
+      .sortBy(_._1).toSeq
+    // byte-level artifact
+    val dirB = java.nio.file.Files.createTempDirectory("bpe_tok_b").toString
+    Bpe.writeTokenizer(docs, "text", 20, dirB, byteLevel = true)
+    val (mB, flagB) = Bpe.loadTokenizer(spark, dirB)
+    assert(flagB)
+    val wantB = Bpe.learnMergesFastBytes(docs, "text", 20).orderBy("rank")
+      .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    assert(mB == wantB)
+    assert(enc(Bpe.encodeWithTokenizer(hist, dirB)) ==
+      enc(Bpe.encodeHistogramFastBytes(hist, mB)))
+    // char-level artifact: the mode flag routes to the char replay
+    val dirC = java.nio.file.Files.createTempDirectory("bpe_tok_c").toString
+    Bpe.writeTokenizer(docs, "text", 20, dirC, byteLevel = false)
+    val (mC, flagC) = Bpe.loadTokenizer(spark, dirC)
+    assert(!flagC)
+    assert(enc(Bpe.encodeWithTokenizer(hist, dirC)) ==
+      enc(Bpe.encodeHistogramFast(hist, mC)))
+    // the two modes are genuinely different artifacts on mixed text
+    assert(mB != mC)
+  }
+
   test("audioHashBytes: gain-invariant fingerprint; short/junk payloads yield None") {
     import graft.llm.Multimodal
     def wav16(samples: Array[Int]): Array[Byte] = {
