@@ -84,6 +84,27 @@ object Bpe {
       .limit(limit)
   }
 
+  /** Byte-level token sequences of the histogram words, as a
+    * DISTRIBUTED expression (the [[byteAtoms]] twin in Spark SQL):
+    * lower(hex(encode(word))) chunked in twos — one narrow
+    * projection, no driver involvement, for corpus-scale byte-pair
+    * statistics. */
+  private def byteSeqs(hist: DataFrame): DataFrame =
+    hist.select(lower(hex(encode(col("word"), "UTF-8"))).as("h"), col("cnt"))
+      .select(expr(
+        "transform(sequence(1, length(h) div 2), i -> substring(h, 2*i-1, 2))")
+        .as("toks"), col("cnt"))
+
+  /** Iteration-0 view of BYTE-level BPE: adjacent byte-pair counts
+    * over the word histogram — [[topPairs]] without the ASCII fence,
+    * valid on ANY text (the UTF-8 hex alphabet has no splitting
+    * convention to disagree on). Fully distributed: histogram
+    * aggregate + narrow hex projection + pair aggregate. */
+  def topPairsBytes(docs: DataFrame, textCol: String, limit: Int): DataFrame =
+    pairCounts(byteSeqs(wordHistogram(docs, textCol)))
+      .orderBy(desc("n"), asc("left"), asc("right"))
+      .limit(limit)
+
   /** Apply ONE merge (l, r) → l+r to every token sequence: greedy
     * left-to-right, structural fold (no SQL-string interpolation). */
   private[llm] def applyMerge(toks: Column, l: String, r: String): Column = {

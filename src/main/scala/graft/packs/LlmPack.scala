@@ -626,6 +626,12 @@ object LlmPack extends QueryPack {
           expr("toks[0]").as("first_tok"))
         .orderBy(desc("cnt"), asc("word")).limit(50)
     }),
+    // Iteration-0 of BYTE-level BPE, fully distributed (no driver
+    // collect): the hex projection is a narrow codegen'd expression,
+    // so byte-pair statistics run at any corpus scale — the fence-
+    // free twin of text_bpe_top_pairs.
+    "text_bpe_bytes_top_pairs" -> ((s, dir) =>
+      graft.llm.Bpe.topPairsBytes(mixedKoreanCorpus(s, dir), "text", 20)),
     // BYTE-LEVEL BPE (GPT-2 alphabet) at the same realistic depth:
     // words tokenize to their UTF-8 hex-pair atoms before learning,
     // so the tokenizer covers ANY script with zero OOV — the fixture
@@ -2679,6 +2685,15 @@ object LlmPack extends QueryPack {
       "SELECT c_name AS word, CAST(count(*) AS BIGINT) AS cnt FROM customer GROUP BY 1"),
     // same chain run through s8, then per-word token counts
     "text_bpe_encode" -> graft.llm.Bpe.encodeOracleSql(8, 50),
+    "text_bpe_bytes_top_pairs" ->
+      s"""WITH w AS ($mixedKoreanHistSql),
+         |h AS (SELECT lower(hex(encode(word))) AS h, cnt FROM w),
+         |t AS (SELECT list_transform(range(1, length(h)//2 + 1),
+         |    i -> substring(h, CAST(2*i-1 AS INT), 2)) AS toks, cnt FROM h),
+         |p AS (SELECT unnest(list_transform(range(1, len(toks)),
+         |    i -> struct_pack(l := toks[i], r := toks[i+1]))) AS pr, cnt FROM t)
+         |SELECT pr.l AS "left", pr.r AS "right", CAST(sum(cnt) AS BIGINT) AS n
+         |FROM p GROUP BY 1, 2 ORDER BY n DESC, "left", "right" LIMIT 20""".stripMargin,
     // byte-level twins: s0 tokenizes each mixed Korean/ASCII word to
     // its UTF-8 hex-pair atoms (lower(hex(encode(word))) chunked in
     // twos — the Bpe.byteAtoms contract), then the same 256 unrolled
