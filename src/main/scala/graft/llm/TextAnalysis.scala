@@ -70,6 +70,32 @@ object TextAnalysis {
       .when(han >= 1, lit("zh"))
       .otherwise(stopwordGuess)
 
+  /** Gopher word-count rule with the CJK fallback wired in (the
+    * [[cjkAwareTerms]] integration into quality filtering): a
+    * CJK-DOMINANT document (script codepoints over half its length)
+    * takes its word count from the per-codepoint tokens, everything
+    * else from the whitespace split — without this, a Japanese or
+    * spaceless-Korean document counts as ONE word and the [20, max]
+    * rule rejects it spuriously. Only the word-count rule transfers:
+    * mean-word-len and stopword rules are language-specific by
+    * construction (CCNet replaces them with per-language LM
+    * perplexity — `text_lm_score`/`llm_pipeline_ccnet` here). All
+    * decisions are integer comparisons, cross-engine exact. */
+  def cjkWordStats(text: Column, minWords: Int = 20,
+      maxWords: Int = 100000): Seq[(String, Column)] = {
+    val nWs = size(filter(split(text, "\\s+"), t => t =!= "")).cast("long")
+    val nCjkAware = size(filter(cjkAwareTerms(text), t => t =!= "")).cast("long")
+    val nCjkChars = scriptCounts(text).map(_._2.cast("long")).reduce(_ + _)
+    val dominant = nCjkChars * 2 > length(text).cast("long")
+    val eff = when(dominant, nCjkAware).otherwise(nWs)
+    Seq(
+      "n_words_ws" -> nWs,
+      "n_words_cjk" -> nCjkAware,
+      "n_cjk_chars" -> nCjkChars,
+      "cjk_dominant" -> dominant,
+      "keep" -> (eff >= minWords && eff <= maxWords))
+  }
+
   /** Whitespace token count. */
   def tokenCount(text: Column): Column = size(split(text, "\\s+"))
 

@@ -529,6 +529,20 @@ object LlmPack extends QueryPack {
         .filter(col("term") =!= "")
         .groupBy("term").agg(count(lit(1)).as("n"))
         .orderBy(desc("n"), asc("term")).limit(20)),
+    // Gopher word-count rule with the CJK fallback (r19): a pure-CJK
+    // doc (fixture arm doc_id%5=0 — 26 Hangul syllables, ONE
+    // whitespace token) keeps via the per-codepoint count where the
+    // \s+ rule would reject it as a 1-word document; ASCII docs keep
+    // the whitespace semantics untouched.
+    "text_gopher_cjk" -> ((s, dir) => {
+      val t = when(col("doc_id") % 5 === 0,
+        lit("기계학습데이터정제파이프라인은대규모말뭉치를처리한다"))
+        .otherwise(concat(col("text"),
+          when(col("doc_id") % 5 === 1, lit(" 데이터 정제")).otherwise(lit(""))))
+      val cols = col("doc_id") +:
+        TA.cjkWordStats(t).map { case (n, c) => c.as(n) }
+      docs(s, dir).select(cols: _*).orderBy("doc_id")
+    }),
     // Script-first language ID for the CJK family (r19): stopword
     // profiles are blind to scripts without word spaces, so the
     // decision runs script counts first — ANY kana → ja (Japanese
@@ -2276,6 +2290,29 @@ object LlmPack extends QueryPack {
       s"""SELECT doc_id, $scores, $guessSql AS lang_guess
          |FROM (SELECT doc_id, ${TA.langProfiles.map { case (l, _) =>
             s"${reCount("text", langRe(l))} AS s_$l" }.mkString(", ")}, text FROM documents)
+         |ORDER BY doc_id""".stripMargin
+    },
+    "text_gopher_cjk" -> {
+      val cjkSpace =
+        """regexp_replace(t, '([\p{Han}\p{Hiragana}\p{Katakana}\p{Hangul}])', ' \1 ', 'g')"""
+      s"""SELECT doc_id, n_words_ws, n_words_cjk, n_cjk_chars,
+         |  (n_cjk_chars * 2 > len_t) AS cjk_dominant,
+         |  (CASE WHEN n_cjk_chars * 2 > len_t THEN n_words_cjk
+         |        ELSE n_words_ws END BETWEEN 20 AND 100000) AS keep
+         |FROM (SELECT doc_id,
+         |    CAST(len(list_filter(regexp_split_to_array(t, '\\s+'),
+         |      x -> x <> '')) AS BIGINT) AS n_words_ws,
+         |    CAST(len(list_filter(regexp_split_to_array($cjkSpace, '\\s+'),
+         |      x -> x <> '')) AS BIGINT) AS n_words_cjk,
+         |    CAST(${reCount("t", "\\p{Hangul}")} +
+         |      ${reCount("t", "[\\p{Hiragana}\\p{Katakana}]")} +
+         |      ${reCount("t", "\\p{Han}")} AS BIGINT) AS n_cjk_chars,
+         |    CAST(length(t) AS BIGINT) AS len_t
+         |  FROM (SELECT doc_id,
+         |      CASE WHEN doc_id % 5 = 0 THEN '기계학습데이터정제파이프라인은대규모말뭉치를처리한다'
+         |           ELSE text || CASE WHEN doc_id % 5 = 1 THEN ' 데이터 정제' ELSE '' END
+         |      END AS t
+         |    FROM documents))
          |ORDER BY doc_id""".stripMargin
     },
     // RE2 script classes \p{Hangul}… = Java's \p{IsHangul}… sets;
