@@ -705,7 +705,15 @@ object Ann {
     * encoding are deterministic row-wise expressions of the frozen
     * geometry, base-build + delta-add serves results bit-for-bit
     * equal to encoding the union in one pass — a serving corpus that
-    * grows daily pays the arrival, not the full rebuild. */
+    * grows daily pays the arrival, not the full rebuild.
+    *
+    * PRECONDITION (enforced): delta vec_ids are disjoint from the
+    * indexed corpus — re-appending an identical row would serve it
+    * twice and XOR-cancel its fingerprint contribution. The guard
+    * semi-joins the delta's vec_ids against only the manifest-pruned
+    * base files covering the delta's buckets (an identical re-append
+    * is assigned to the same bucket by the frozen centroids), so the
+    * check costs a column scan of the overlap, not the archive. */
   def appendIndexPq(delta: DataFrame, dir: String, files: Int = 4): Unit = {
     val spark = delta.sparkSession
     val cent = loadCentroids(spark, dir)
@@ -717,18 +725,67 @@ object Ann {
     val enc = pqEncode(rv, cb)
       .join(res.select(col("vec_id"), col("bucket")), Seq("vec_id"))
       .select(col("vec_id"), col("bucket"), col("codes"))
-    graft.ops.FileIndex.appendIndexed(enc, s"$dir/encoded", "bucket", files)
-    val rec = spark.read.parquet(s"$dir/fingerprint").head()
-    val d = corpusFingerprint(delta).head()
-    val merged = org.apache.spark.sql.Row(
-      rec.getLong(0) + d.getLong(0), rec.getLong(1) ^ d.getLong(1))
-    spark.createDataFrame(java.util.Arrays.asList(merged),
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("n_vectors",
-            org.apache.spark.sql.types.LongType, nullable = false),
-          org.apache.spark.sql.types.StructField("checksum",
-            org.apache.spark.sql.types.LongType, nullable = false))))
-      .coalesce(1).write.mode("overwrite").parquet(s"$dir/fingerprint")
+      .localCheckpoint(true)
+    try {
+      // Disjointness guard — the fingerprint roll's precondition: a
+      // re-appended (vec_id, embedding) pair XOR-cancels its own
+      // checksum contribution, so the staleness guard would silently
+      // degrade while the encoded table served the row twice. An
+      // identical re-append lands in the SAME bucket (assignment is a
+      // deterministic function of the frozen centroids), so checking
+      // only the manifest-pruned base files covering the delta's
+      // buckets catches exactly the dangerous case at delta cost —
+      // a vec_id-only column scan of the overlapping files, never the
+      // archive. (A re-append under a CHANGED embedding is a plain
+      // duplicate-id ingest bug upstream; its checksum does NOT
+      // cancel, so verifyIndex still catches that corpus.)
+      val encDir = encodedDir(dir)
+      val deltaBuckets = enc.select("bucket").distinct().collect()
+        .map(_.getInt(0)).toSet
+      val manifest = spark.read.parquet(s"$encDir/_index")
+        .select("file", "lo", "hi").collect()
+        .map(r => (r.getString(0), r.getInt(1), r.getInt(2)))
+      val overlap = manifest.collect {
+        case (f, lo, hi) if deltaBuckets.exists(b => b >= lo && b <= hi) => f
+      }
+      if (overlap.nonEmpty) {
+        val dup = spark.read.parquet(overlap.toIndexedSeq: _*)
+          .select("vec_id")
+          .join(enc.select("vec_id"), Seq("vec_id"), "left_semi")
+          .limit(1).collect()
+        require(dup.isEmpty,
+          s"appendIndexPq: delta re-appends vec_id '${dup.headOption.map(_.get(0)).orNull}' " +
+            s"already present in the index at $dir — the row would serve " +
+            "twice and XOR-cancel its fingerprint contribution; dedup the " +
+            "delta against the index before appending")
+      }
+      graft.ops.FileIndex.appendIndexed(enc, encDir, "bucket", files)
+      val rec = spark.read.parquet(s"$dir/fingerprint").head()
+      val d = corpusFingerprint(delta).head()
+      val merged = org.apache.spark.sql.Row(
+        rec.getLong(0) + d.getLong(0), rec.getLong(1) ^ d.getLong(1))
+      spark.createDataFrame(java.util.Arrays.asList(merged),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("n_vectors",
+              org.apache.spark.sql.types.LongType, nullable = false),
+            org.apache.spark.sql.types.StructField("checksum",
+              org.apache.spark.sql.types.LongType, nullable = false))))
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/fingerprint")
+    } finally enc.unpersist(blocking = false)
+  }
+
+  /** The LIVE encoded-table directory of a persisted IVF+PQ index:
+    * the latest generation published through the Wap commit log at
+    * `$dir/encoded_gens/_commits` when staged compaction has run,
+    * else the original `$dir/encoded` laid down by [[writeIndexPq]].
+    * Pure read — the existence probe never creates commit state, so
+    * serving from a read-only filesystem stays read-only. */
+  def encodedDir(dir: String): String = {
+    val commits = java.nio.file.Paths.get(dir, "encoded_gens", "_commits")
+    if (java.nio.file.Files.isDirectory(commits) &&
+        graft.ops.Wap.currentVersion(s"$dir/encoded_gens") > 0L)
+      graft.ops.Wap.publishedPath(s"$dir/encoded_gens").get
+    else s"$dir/encoded"
   }
 
   /** COMPACT a persisted IVF+PQ index after append generations: each
@@ -737,18 +794,44 @@ object Ann {
     * file per generation — the LSM tradeoff. Compaction re-clusters
     * the encoded rows into a single `files`-file generation (rows,
     * codes, centroids, codebooks, fingerprint all UNCHANGED — this
-    * moves bytes, it never re-trains or re-encodes, so served results
-    * are identical before and after). The rows are materialized
-    * eagerly (localCheckpoint) before the overwrite so the rewrite
-    * never reads the files it is replacing; a multi-writer production
-    * deployment would stage a new generation directory and swap
-    * manifests atomically instead — same I/O, different commit
-    * protocol. */
+    * moves bytes, it never re-trains or re-encodes, so served
+    * results are identical before and after).
+    *
+    * STAGED-GENERATION COMMIT (r20 — replaces the r19
+    * overwrite-in-place): the compacted rows are written as a NEW
+    * generation directory under `$dir/encoded_gens/` (its own
+    * [[graft.ops.FileIndex]] manifest inside), audited against the
+    * live generation's row total, and published with the
+    * [[graft.ops.Wap]] CAS — the atomic commit-file rename is the
+    * only mutation readers can observe. A crash anywhere before the
+    * publish leaves an orphan directory the next compaction
+    * overwrites (deterministic generation token) while the old
+    * generation keeps serving; a crash after publish is simply the
+    * new generation. Input rows are read from the live manifest's
+    * FILE LIST, never the directory, so orphans are invisible to the
+    * rewrite too. Superseded generations remain on disk as
+    * time-travel history; `Wap.expireBefore` on
+    * `$dir/encoded_gens` plus deleting unreferenced `data-g*` dirs
+    * is the retention job. */
   def compactIndexPq(spark: org.apache.spark.sql.SparkSession, dir: String,
       files: Int = 16): Unit = {
-    val rows = spark.read.parquet(s"$dir/encoded").localCheckpoint(true)
-    try graft.ops.FileIndex.writeIndexed(rows, s"$dir/encoded", "bucket", files)
-    finally rows.unpersist(blocking = false)
+    val cur = encodedDir(dir)
+    val live = spark.read.parquet(s"$cur/_index")
+      .select("file").collect().map(_.getString(0)).toIndexedSeq
+    val liveRows = spark.read.parquet(s"$cur/_index")
+      .agg(sum(col("rows"))).head().getLong(0)
+    val rows = spark.read.parquet(live: _*)
+    val gens = s"$dir/encoded_gens"
+    val staged = s"$gens/data-g${graft.ops.Wap.currentVersion(gens) + 1}"
+    graft.ops.FileIndex.writeIndexed(rows, staged, "bucket", files)
+    // audit before publish: compaction moves bytes, never rows — the
+    // staged manifest must account for exactly the live row total
+    val stagedRows = spark.read.parquet(s"$staged/_index")
+      .agg(sum(col("rows"))).head().getLong(0)
+    require(stagedRows == liveRows,
+      s"compactIndexPq: staged generation at $staged holds $stagedRows " +
+        s"rows but the live generation holds $liveRows — refusing to publish")
+    graft.ops.Wap.publishWithRetry(gens, staged)
   }
 
   /** IVF+PQ search against a PERSISTED index: load centroids and
@@ -769,14 +852,15 @@ object Ann {
     val probes = probeBuckets(queries, cent, nprobe)
     val buckets = probes.select("bucket").distinct().collect()
       .map(_.getInt(0)).toSet
-    val manifest = spark.read.parquet(s"$dir/encoded/_index")
+    val encDir = encodedDir(dir)
+    val manifest = spark.read.parquet(s"$encDir/_index")
       .select("file", "lo", "hi").collect()
       .map(r => (r.getString(0), r.getInt(1), r.getInt(2)))
     val keep = manifest.collect {
       case (f, lo, hi) if buckets.exists(b => b >= lo && b <= hi) => f
     }
     val encoded =
-      if (keep.isEmpty) spark.read.parquet(s"$dir/encoded").limit(0)
+      if (keep.isEmpty) spark.read.parquet(encDir).limit(0)
       else spark.read.parquet(keep.toIndexedSeq: _*)
     ivfpqTopK(queries, cent, cb, encoded, k, nprobe)
   }

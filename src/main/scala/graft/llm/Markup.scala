@@ -30,9 +30,24 @@ import org.apache.spark.sql.functions._
   * text rather than double-decoding. */
 object Markup {
 
+  /** Rules that run BEFORE the optional fence-drop pass (CRLF
+    * normalization + HTML comments — a commented fence is gone
+    * text, and the fence split must see \n-only endings). */
+  private[llm] val preFenceRules = 2
+
   /** Ordered (pattern, replacement) rules; replacement uses $N (the
     * Spark/Java convention — translated to \N for DuckDB). */
   private[llm] val rules: Seq[(String, String)] = Seq(
+    // CRLF normalization — strictly FIRST: Java's (?m) $ matches
+    // before \r\n while RE2's matches only before \n, so every
+    // line-anchored rule below (and the fence split) would diverge
+    // across engines on CRLF documents. Dropping the \r via a group
+    // reference keeps the replacement in the escape subset both
+    // engines' rewrite strings share (no literal-newline
+    // replacement). A bare \r with no following \n stays — the
+    // documented cut line (classic-Mac line endings are out of
+    // corpus scope).
+    ("\\r(\\n)", "$1"),
     // HTML comments (possibly multi-line)
     ("(?s)<!--.*?-->", ""),
     // fence lines: ``` or ```lang alone on a line (content survives)
@@ -150,9 +165,9 @@ object Markup {
   def stripMarkdown(c: Column, dropFencedCode: Boolean = false): Column = {
     def fold(acc: Column, rs: Seq[(String, String)]): Column =
       rs.foldLeft(acc) { case (a, (p, r)) => regexp_replace(a, p, r) }
-    val afterHead = fold(c, rules.take(1))
+    val afterHead = fold(c, rules.take(preFenceRules))
     val base = if (dropFencedCode) dropFencedCol(afterHead) else afterHead
-    fold(base, rules.tail)
+    fold(base, rules.drop(preFenceRules))
   }
 
   /** The DuckDB twin: same ordered rules as nested
@@ -171,13 +186,13 @@ object Markup {
         val rep = r.replaceAll("\\$(\\d)", "\\\\$1").replace("'", "''")
         s"regexp_replace($a, '$pat', '$rep', 'g')"
       }
-    val afterHead = fold(e, rules.take(1))
+    val afterHead = fold(e, rules.take(preFenceRules))
     val base =
       if (dropFencedCode) {
         val parts = s"regexp_split_to_array($afterHead, '(?m)^```[^\\n]*$$')"
         s"array_to_string(list_filter($parts, (x, i) -> " +
           s"i % 2 = 1 OR (i = len($parts) AND len($parts) % 2 = 0)), '')"
       } else afterHead
-    fold(base, rules.tail)
+    fold(base, rules.drop(preFenceRules))
   }
 }

@@ -80,6 +80,11 @@ object FileIndex {
       case s if s.isFile && s.getPath.getName.endsWith(".parquet") &&
           !knownNames.contains(s.getPath.getName) => s.getPath.toString
     }
+    // An EMPTY delta writes no data files; reading a zero-path
+    // parquet list throws (no schema to infer), and the manifest is
+    // already correct — a no-op append must be a no-op, so a daily
+    // maintenance job survives a day with no arrivals.
+    if (newPaths.isEmpty) return
     val newStats = spark.read.parquet(newPaths.toIndexedSeq: _*)
       .groupBy(input_file_name().as("file"))
       .agg(min(col(clusterCol)).as("lo"), max(col(clusterCol)).as("hi"),

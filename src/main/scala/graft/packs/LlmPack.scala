@@ -34,7 +34,15 @@ object LlmPack extends QueryPack {
       // oracle SQL, where a leading '|' would read as the margin
       // character and vanish; MarkupSpec covers the piped form.
       "\nit&#8217;s &#x201C;q&#x201D; a&#8212;b &hellip; x&#160;y" +
-      "\nh1 | h2\n---|---:\nc1 | c2"
+      "\nh1 | h2\n---|---:\nc1 | c2" +
+      // r20 rule class: CRLF line endings — the chain's FIRST rule
+      // normalizes \r\n to \n before any (?m) anchor or the fence
+      // split runs (Java's $ matches before \r\n, RE2's only before
+      // \n, so un-normalized CRLF text diverges across engines).
+      // One anchored heading and one full fence pair under CRLF
+      // exercise both the keep- and drop-fence variants; the pair
+      // keeps the document's fence count even.
+      "\r\n## cr heading\r\n```crlf\r\ncr fenced\r\n```\r\nafter cr"
   private def sqlLit(s: String) = "'" + s.replace("'", "''") + "'"
 
   /** Mixed Korean/ASCII corpus for the byte-level BPE gates: every
@@ -1223,6 +1231,31 @@ object LlmPack extends QueryPack {
         pqSeed = "ivfpq")
       Ann.appendIndexPq(fresh, idx, files = 2)
       Ann.compactIndexPq(s, idx, files = 4)
+      Ann.verifyIndex(s, idx, all)
+      val q = e.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      Ann.ivfpqTopKPersisted(s, q, idx, TOPK, NPROBE)
+        .select("qid", "vec_id", "dot_x1e6", "rank").orderBy("qid", "rank")
+    }),
+    // STAGED-generation commit (r20): compaction writes a NEW
+    // generation directory and publishes it through the Wap CAS —
+    // the atomic commit-file rename is the only mutation a reader
+    // can observe, so a mid-compact crash leaves the old generation
+    // serving (AnnSpec proves the torn state). The gate stacks TWO
+    // compactions: resolution must track the latest published
+    // generation and serve results identical to the single-pass
+    // encode — same oracle as the incremental add.
+    "ann_index_compact_staged" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val all = e.select(col("vec_id"), col("embedding").as("ce"))
+      val base = all.filter(col("vec_id") % 7 =!= 0)
+      val fresh = all.filter(col("vec_id") % 7 === 0)
+      val idx = graft.core.Scratch.dir("graft_rt").resolve("ann_pq_stg").toString
+      Ann.writeIndexPq(base, idx, NC, PQ_M, PQ_K, LLOYD, files = 4,
+        pqSeed = "ivfpq")
+      Ann.appendIndexPq(fresh, idx, files = 2)
+      Ann.compactIndexPq(s, idx, files = 4)
+      Ann.compactIndexPq(s, idx, files = 3)
       Ann.verifyIndex(s, idx, all)
       val q = e.filter(col("vec_id") < 3)
         .select(col("vec_id").as("qid"), col("embedding").as("qe"))
@@ -3272,6 +3305,7 @@ object LlmPack extends QueryPack {
     "ann_incremental_ivf" -> ivfIncrementalSql,
     "ann_incremental_pq" -> ivfpqIncrementalSql,
     "ann_index_compact" -> ivfpqIncrementalSql,
+    "ann_index_compact_staged" -> ivfpqIncrementalSql,
     "curation_cluster_cap" -> clusterCapSql,
     // same booleans as the text_gopher_rules oracle (raw-double
     // comparisons on both sides), one aggregate, 3-row UNION funnel

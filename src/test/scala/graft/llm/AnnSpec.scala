@@ -315,6 +315,26 @@ class AnnSpec extends SparkSpec {
     assert(served.toSeq == mem.toSeq)
   }
 
+  test("appendIndexPq rejects a re-appended vec_id (fingerprint XOR-cancel guard)") {
+    val corpus = clustered
+    val base = corpus.filter(col("vec_id") % 5 =!= 0)
+    val idx = java.nio.file.Files.createTempDirectory("ann_pq_dup_spec").toString
+    Ann.writeIndexPq(base, idx, nClusters, m = 4, ksub = 8, iters = 2, files = 5)
+    // re-appending rows already in the index would serve them twice
+    // AND XOR-cancel their checksum contribution — the guard fails
+    // loud before any file lands
+    val filesBefore = graft.ops.FileIndex.indexedFileCount(spark, Ann.encodedDir(idx))
+    val fpBefore = spark.read.parquet(s"$idx/fingerprint").head()
+    val ex = intercept[IllegalArgumentException] {
+      Ann.appendIndexPq(base.limit(3), idx, files = 1)
+    }
+    assert(ex.getMessage.contains("re-appends vec_id"))
+    // nothing was appended and the fingerprint did not roll
+    assert(graft.ops.FileIndex.indexedFileCount(spark, Ann.encodedDir(idx)) == filesBefore)
+    assert(spark.read.parquet(s"$idx/fingerprint").head() == fpBefore)
+    Ann.verifyIndex(spark, idx, base)
+  }
+
   test("compactIndexPq: append generations collapse to one; served results and fingerprint unchanged") {
     val corpus = clustered
     val base = corpus.filter(col("vec_id") % 5 =!= 0)
@@ -331,13 +351,60 @@ class AnnSpec extends SparkSpec {
       .select("qid", "vec_id", "dot_x1e6", "rank").orderBy("qid", "rank").collect()
     val fpBefore = spark.read.parquet(s"$idx/fingerprint").head()
     Ann.compactIndexPq(spark, idx, files = 5)
-    // one generation again; rows/codes/fingerprint untouched
-    assert(graft.ops.FileIndex.indexedFileCount(spark, s"$idx/encoded") == 5)
+    // the live generation is the PUBLISHED one (staged commit) with
+    // one generation's worth of files; rows/codes/fingerprint untouched
+    val gen1 = Ann.encodedDir(idx)
+    assert(gen1 != s"$idx/encoded", "compaction must publish a new generation")
+    assert(graft.ops.FileIndex.indexedFileCount(spark, gen1) == 5)
     assert(spark.read.parquet(s"$idx/fingerprint").head() == fpBefore)
     Ann.verifyIndex(spark, idx, corpus)
     val after = Ann.ivfpqTopKPersisted(spark, q, idx, k = 10, nprobe = 2)
       .select("qid", "vec_id", "dot_x1e6", "rank").orderBy("qid", "rank").collect()
     assert(after.toSeq == before.toSeq)
+    // a SECOND compaction stacks another generation and still serves
+    // identically — append → compact → compact is the steady state
+    Ann.compactIndexPq(spark, idx, files = 3)
+    assert(Ann.encodedDir(idx) != gen1)
+    assert(graft.ops.FileIndex.indexedFileCount(spark, Ann.encodedDir(idx)) == 3)
+    val after2 = Ann.ivfpqTopKPersisted(spark, q, idx, k = 10, nprobe = 2)
+      .select("qid", "vec_id", "dot_x1e6", "rank").orderBy("qid", "rank").collect()
+    assert(after2.toSeq == before.toSeq)
+  }
+
+  test("mid-compact failure leaves the old generation serving; the next compaction recovers") {
+    val corpus = clustered
+    val base = corpus.filter(col("vec_id") % 5 =!= 0)
+    val fresh = corpus.filter(col("vec_id") % 5 === 0)
+    val idx = java.nio.file.Files.createTempDirectory("ann_pq_torn_spec").toString
+    Ann.writeIndexPq(base, idx, nClusters, m = 4, ksub = 8, iters = 2, files = 5)
+    Ann.appendIndexPq(fresh, idx, files = 2)
+    val q = corpus.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("qid"), col("ce").as("qe"))
+    val before = Ann.ivfpqTopKPersisted(spark, q, idx, k = 10, nprobe = 2)
+      .select("qid", "vec_id", "dot_x1e6", "rank").orderBy("qid", "rank").collect()
+    // SIMULATED CRASH between stage and publish: the staged
+    // generation directory exists in full (data + its manifest) but
+    // no commit was written — exactly the state compactIndexPq dies
+    // in if the process is killed after writeIndexed
+    val orphan = s"$idx/encoded_gens/data-g1"
+    val live = spark.read.parquet(s"$idx/encoded").localCheckpoint(true)
+    try graft.ops.FileIndex.writeIndexed(live, orphan, "bucket", 4)
+    finally live.unpersist(blocking = false)
+    // the orphan is invisible: resolution still points at the base
+    // layout and serving is byte-identical
+    assert(Ann.encodedDir(idx) == s"$idx/encoded")
+    val torn = Ann.ivfpqTopKPersisted(spark, q, idx, k = 10, nprobe = 2)
+      .select("qid", "vec_id", "dot_x1e6", "rank").orderBy("qid", "rank").collect()
+    assert(torn.toSeq == before.toSeq)
+    // the NEXT compaction claims the same deterministic generation
+    // token, overwrites the orphan, publishes, and serves identically
+    Ann.compactIndexPq(spark, idx, files = 4)
+    assert(Ann.encodedDir(idx) == orphan)
+    assert(graft.ops.FileIndex.indexedFileCount(spark, orphan) == 4)
+    val after = Ann.ivfpqTopKPersisted(spark, q, idx, k = 10, nprobe = 2)
+      .select("qid", "vec_id", "dot_x1e6", "rank").orderBy("qid", "rank").collect()
+    assert(after.toSeq == before.toSeq)
+    Ann.verifyIndex(spark, idx, corpus)
   }
 
   test("persisted index: staleness fingerprint accepts the built corpus, rejects a refresh") {

@@ -125,10 +125,11 @@ class MarkupSpec extends SparkSpec {
     // was a whole-document backtracking scan), spliced between the
     // head rule and the tail
     val sql = Markup.oracleExpr("text", dropFencedCode = true)
-    // the head rule is embedded once per `parts` reference (the
-    // split expression appears in the filter body and twice in the
-    // len() parity checks): tail rules once each + head × 3
-    assert("regexp_replace\\(".r.findAllIn(sql).size == Markup.rules.size + 2)
+    // the pre-fence rules are embedded once per `parts` reference
+    // (the split expression appears in the filter body and twice in
+    // the len() parity checks): tail rules once each + preFence × 3
+    assert("regexp_replace\\(".r.findAllIn(sql).size ==
+      Markup.rules.size + 2 * Markup.preFenceRules)
     assert("regexp_split_to_array\\(".r.findAllIn(sql).size == 3)
     assert(sql.contains("list_filter"))
   }
@@ -159,6 +160,26 @@ class MarkupSpec extends SparkSpec {
       assert(got(id) == want(id),
         s"doc $id ${t.replace("\n", "\\n")}: got=${got(id).replace("\n", "\\n")} want=${want(id).replace("\n", "\\n")}")
     }
+  }
+
+  test("CRLF documents normalize before any line-anchored rule runs") {
+    import spark.implicits._
+    // \r\n collapses to \n FIRST, so anchored rules (and the fence
+    // split) behave identically to the LF form — Java's (?m) $
+    // matches before \r\n but RE2's does not, and without the
+    // normalization the engines diverge (ADVICE r19).
+    assert(strip("# Title\r\nbody\r\n") == strip("# Title\nbody\n"))
+    assert(strip("a\r\n---\r\nb") == "a\n\nb")
+    def stripDrop(s: String): String =
+      Seq(s).toDF("t")
+        .select(Markup.stripMarkdown(col("t"), dropFencedCode = true).as("c"))
+        .head().getString(0)
+    // a CRLF fence pair drops whole, same as its LF twin — before
+    // the fix the trailing \r kept the marker line from anchoring
+    assert(stripDrop("x\r\n```\r\ncode\r\n```\r\ny") ==
+      stripDrop("x\n```\ncode\n```\ny"))
+    // a bare \r with no \n is the documented cut line: it stays
+    assert(strip("a\rb") == "a\rb")
   }
 
   test("oracleExpr mirrors the rule list shape") {

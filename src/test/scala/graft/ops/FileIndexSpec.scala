@@ -28,6 +28,19 @@ class FileIndexSpec extends SparkSpec {
       (2000L to 2500L).sum)
   }
 
+  test("appendIndexed with an EMPTY delta is a no-op (manifest and files untouched)") {
+    val dir = indexed(1000, 4)
+    val before = spark.read.parquet(s"$dir/_index")
+      .orderBy("file").collect().toSeq
+    val empty = spark.range(0).select(col("id"), (col("id") % 7).as("v")).toDF("id", "v")
+    // an empty daily arrival writes no data files; the maintenance
+    // job must not fail (zero-path parquet read) nor touch the manifest
+    FileIndex.appendIndexed(empty, dir, "id", 2)
+    assert(spark.read.parquet(s"$dir/_index")
+      .orderBy("file").collect().toSeq == before)
+    assert(spark.read.parquet(dir).count() == 1000L)
+  }
+
   test("range outside all files prunes to an empty scan with the data schema") {
     val dir = indexed(1000, 4)
     val out = FileIndex.readPruned(spark, dir, lit(50000L), lit(60000L))
