@@ -77,10 +77,13 @@ object Curation {
     * streams its shingles against the in-memory eval set. The shingle
     * scan itself is the codegen'd word_shingles kernel shared with
     * MinHash. */
-  def contaminatedDocs(corpus: DataFrame, eval: DataFrame): DataFrame = {
-    val corpusSh = Dedup.shingles(corpus, "id", "text")
-    val evalSh = Dedup.shingles(eval, "id", "text")
-      .select(col("sh")).distinct()
+  def contaminatedDocs(corpus: DataFrame, eval: DataFrame,
+      cjkAware: Boolean = false): DataFrame = {
+    def sh0(d: DataFrame) =
+      if (cjkAware) Dedup.shinglesCjk(d, "id", "text")
+      else Dedup.shingles(d, "id", "text")
+    val corpusSh = sh0(corpus)
+    val evalSh = sh0(eval).select(col("sh")).distinct()
     corpusSh.join(broadcast(evalSh), "sh")
       .groupBy("id").agg(count(lit(1)).as("n_overlap"))
   }
@@ -93,9 +96,13 @@ object Curation {
     * quarantine >5%, log the rest). Ratio of two longs through
     * scale4 — IEEE-exact on both engines. Same scale shape as the
     * flag: one broadcast semi-ish join + two keyed aggregates. */
-  def contaminationScore(corpus: DataFrame, eval: DataFrame): DataFrame = {
-    val corpusSh = Dedup.shingles(corpus, "id", "text")
-    val evalSh = Dedup.shingles(eval, "id", "text").select(col("sh")).distinct()
+  def contaminationScore(corpus: DataFrame, eval: DataFrame,
+      cjkAware: Boolean = false): DataFrame = {
+    def sh0(d: DataFrame) =
+      if (cjkAware) Dedup.shinglesCjk(d, "id", "text")
+      else Dedup.shingles(d, "id", "text")
+    val corpusSh = sh0(corpus)
+    val evalSh = sh0(eval).select(col("sh")).distinct()
     val tot = corpusSh.groupBy("id").agg(count(lit(1)).as("n_shingles"))
     val ov = corpusSh.join(broadcast(evalSh), Seq("sh"))
       .groupBy("id").agg(count(lit(1)).as("n_overlap"))

@@ -41,6 +41,35 @@ object Dedup {
       .distinct()
   }
 
+  /** CJK pre-spacing ahead of the word-token kernels (the
+    * [[TextAnalysis.cjkAwareTerms]] convention wired into dedup):
+    * every Han / Hiragana / Katakana / Hangul codepoint becomes its
+    * own word — one codegen'd regexp_replace — then whitespace runs
+    * collapse to single spaces and the ends trim, so the
+    * split-on-single-space shingle/token kernels downstream see
+    * clean words. Without this a spaceless Korean/Japanese document
+    * shingles into ~one gram per sentence: near-dup recall and
+    * benchmark decontamination silently degenerate for exactly the
+    * content the reference app is built around (its notices are
+    * Korean markdown — admin/page.tsx:38-46). Java spells the script
+    * classes \p{IsHan}…; the DuckDB twins use RE2's \p{Han}… — the
+    * same code-point sets (portability proved by the
+    * text_top_terms_cjk oracle). */
+  def cjkSpaced(c: Column): Column =
+    trim(regexp_replace(regexp_replace(c,
+      "([\\p{IsHan}\\p{IsHiragana}\\p{IsKatakana}\\p{IsHangul}])", " $1 "),
+      "\\s+", " "))
+
+  /** [[shingles]] over CJK-pre-spaced text ([[cjkSpaced]]) — the
+    * shingle relation the cjkAware arms of MinHash / SimHash /
+    * decontamination share. Same scale shape as [[shingles]]: the
+    * pre-space is one more codegen'd projection before the explode,
+    * nothing shuffles differently. */
+  def shinglesCjk(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3): DataFrame =
+    shingles(docs.select(col(idCol), cjkSpaced(col(textCol)).as(textCol)),
+      idCol, textCol, n)
+
   /** Permutation hash i of a shingle: an md5 digest yields four
     * independent 32-bit values (hex slices), so k permutations cost
     * ⌈k/4⌉ digests per shingle instead of k — the digest is the
@@ -346,8 +375,9 @@ object Dedup {
     * [[dupClusters]] documents for its label relation. */
   def minhashDupPairs(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 8, bands: Int = 4, threshold: Double = 0.5,
-      maxBucket: Long = 10000L): DataFrame =
-    buildMinhashDupPairs(docs, idCol, textCol, k, bands, threshold, maxBucket)._1
+      maxBucket: Long = 10000L, cjkAware: Boolean = false): DataFrame =
+    buildMinhashDupPairs(docs, idCol, textCol, k, bands, threshold, maxBucket,
+      cjkAware)._1
 
   /** Leak-free entry point: runs `use` over the dup-pair result, then
     * RELEASES the internal shingle cache before returning — for
@@ -357,20 +387,23 @@ object Dedup {
     * happen inside the callback; the plan must not escape. */
   def withMinhashDupPairs[T](docs: DataFrame, idCol: String, textCol: String,
       k: Int = 8, bands: Int = 4, threshold: Double = 0.5,
-      maxBucket: Long = 10000L)(use: DataFrame => T): T = {
-    val (pairs, sh) = buildMinhashDupPairs(docs, idCol, textCol, k, bands, threshold, maxBucket)
+      maxBucket: Long = 10000L, cjkAware: Boolean = false)(use: DataFrame => T): T = {
+    val (pairs, sh) = buildMinhashDupPairs(docs, idCol, textCol, k, bands,
+      threshold, maxBucket, cjkAware)
     try use(pairs)
     finally sh.unpersist(blocking = true)
   }
 
   private def buildMinhashDupPairs(docs: DataFrame, idCol: String, textCol: String,
-      k: Int, bands: Int, threshold: Double, maxBucket: Long): (DataFrame, DataFrame) = {
+      k: Int, bands: Int, threshold: Double, maxBucket: Long,
+      cjkAware: Boolean = false): (DataFrame, DataFrame) = {
     // The shingle scan (split+explode+distinct — the most expensive
     // subtree) feeds the signature aggregate AND jaccard's digest
     // join. The persist materializes it once and every consumer reads
     // the cached relation — same pattern as the assignment persist in
     // Ann.embeddingDupPairs.
-    val sh = shingles(docs, idCol, textCol)
+    val sh = (if (cjkAware) shinglesCjk(docs, idCol, textCol)
+      else shingles(docs, idCol, textCol))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cand = lshCandidates(lshBands(minhashSignatures(sh, k), k, bands), maxBucket)
     (jaccard(cand, sh).filter(col("jacc_x1e4") >= (threshold * 10000).toLong), sh)
@@ -397,10 +430,12 @@ object Dedup {
     * Output (a = train id, b = eval id, jacc_x1e4 ≥ tauX1e4). */
   def crossCorpusPairs(train: DataFrame, eval: DataFrame, idCol: String,
       textCol: String, k: Int = 8, bands: Int = 4, tauX1e4: Long = 5000L,
-      maxBucket: Long = 10000L): DataFrame = {
-    val shT = shingles(train, idCol, textCol)
+      maxBucket: Long = 10000L, cjkAware: Boolean = false): DataFrame = {
+    def sh0(d: DataFrame) =
+      if (cjkAware) shinglesCjk(d, idCol, textCol) else shingles(d, idCol, textCol)
+    val shT = sh0(train)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val shE = shingles(eval, idCol, textCol)
+    val shE = sh0(eval)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     def capped(b: DataFrame) = {
       val ok = b.groupBy("bk").agg(count(lit(1)).as("bn"))
@@ -705,9 +740,11 @@ object Dedup {
 
   /** 16-bit SimHash per document: token-occurrence weighted bit votes.
     * Narrow map + one groupBy(doc) carrying 16 small sums. */
-  def simhash16(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def simhash16(docs: DataFrame, idCol: String, textCol: String,
+      cjkAware: Boolean = false): DataFrame = {
+    val src = if (cjkAware) cjkSpaced(col(textCol)) else col(textCol)
     val toks = docs
-      .select(col(idCol).as("id"), explode(split(col(textCol), " ")).as("tok"))
+      .select(col(idCol).as("id"), explode(split(src, " ")).as("tok"))
       .select(col("id"), hash32(col("tok"), "sh").as("h"))
     val votes = toks.groupBy("id")
       .agg(sum(when(expr("(h >> 0) & 1") === 1, 1).otherwise(-1)).as("s0"),
@@ -724,9 +761,11 @@ object Dedup {
     * sums wide; bit 63's weight is `Long.MinValue`, so the bit-sum
     * reconstruction is exact two's-complement (no overflow on either
     * engine — the remaining bits sum below 2^63). */
-  def simhash64(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def simhash64(docs: DataFrame, idCol: String, textCol: String,
+      cjkAware: Boolean = false): DataFrame = {
+    val src = if (cjkAware) cjkSpaced(col(textCol)) else col(textCol)
     val toks = docs
-      .select(col(idCol).as("id"), explode(split(col(textCol), " ")).as("tok"))
+      .select(col(idCol).as("id"), explode(split(src, " ")).as("tok"))
       .select(col("id"), hash32(col("tok"), "sh64a").as("h1"),
         hash32(col("tok"), "sh64b").as("h2"))
     def vote(src: String, b: Int, out: Int) =
@@ -746,8 +785,10 @@ object Dedup {
     * Write this to parquet once; every future batch dedups against it
     * without touching old text. */
   def minhashState(docs: DataFrame, idCol: String, textCol: String,
-      k: Int = 8): DataFrame =
-    minhashSignatures(shingles(docs, idCol, textCol), k)
+      k: Int = 8, cjkAware: Boolean = false): DataFrame =
+    minhashSignatures(
+      if (cjkAware) shinglesCjk(docs, idCol, textCol)
+      else shingles(docs, idCol, textCol), k)
 
   /** Incremental near-dup ingest — the realistic shape at corpus
     * scale: a new batch is checked against the EXISTING corpus via its
@@ -817,9 +858,11 @@ object Dedup {
     * by more than `maxBucket` docs are dropped before the join.
     * Output (a, b, dist), a < b. */
   def simhashBandedPairs(docs: DataFrame, idCol: String, textCol: String,
-      maxBits: Int = 3, maxBucket: Long = 10000L): DataFrame =
+      maxBits: Int = 3, maxBucket: Long = 10000L,
+      cjkAware: Boolean = false): DataFrame =
     bandedHammingPairs(
-      simhash64(docs, idCol, textCol).select(col("id"), col("simhash").as("sig")),
+      simhash64(docs, idCol, textCol, cjkAware)
+        .select(col("id"), col("simhash").as("sig")),
       maxBits, maxBucket)
 
   /** Banded Hamming-radius self-join over ANY 64-bit signature column

@@ -16,6 +16,11 @@ object CurationPack extends QueryPack {
   private val SALT = 4        // salt buckets in the two-phase top-k
   private val BUDGET = 512    // tokens per packed sequence
 
+  /** Spaceless Korean phrases for the CJK contamination arm — each
+    * becomes a run of codepoint tokens under Dedup.cjkSpaced. */
+  private val cjkPhrase0 = " 사전학습 말뭉치오염검사"
+  private val cjkPhrase1 = " 평가셋 중복문서탐지"
+
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "documents")
 
@@ -56,6 +61,21 @@ object CurationPack extends QueryPack {
       val eval = d.filter(col("id") % 97 === 0)
       val corpus = d.filter(col("id") % 97 =!= 0)
       Curation.contaminatedDocs(corpus, eval).orderBy("id")
+    }),
+    // CJK arm (r20): Korean-seasoned docs — every doc carries a
+    // spaceless Korean phrase by id parity, eval is the same % 97
+    // slice, and the screen runs cjkAware: the phrase's codepoint
+    // 3-grams are REAL shingles on both engines, so eval-copied
+    // Korean content now registers as overlap instead of collapsing
+    // into one unsharable mega-token per phrase.
+    "curation_contamination_cjk" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id").as("id"),
+        concat(col("text"),
+          when(col("doc_id") % 2 === 0, lit(cjkPhrase0))
+            .otherwise(lit(cjkPhrase1))).as("text"))
+      val eval = d.filter(col("id") % 97 === 0)
+      val corpus = d.filter(col("id") % 97 =!= 0)
+      Curation.contaminatedDocs(corpus, eval, cjkAware = true).orderBy("id")
     }),
     // Contamination as a FRACTION (Curation.contaminationScore): every
     // corpus doc reports its overlap share, clean docs included —
@@ -329,6 +349,25 @@ object CurationPack extends QueryPack {
         |FROM sh s JOIN ev ON s.sh = ev.sh
         |WHERE s.doc_id % 97 <> 0
         |GROUP BY s.doc_id ORDER BY id""".stripMargin,
+    // CJK twin: Korean-seasoned corpus, codepoint pre-spacing
+    // (RE2 \p{Han}… script classes — Java's \p{IsHan}… twins cover
+    // the same code points), then the identical shingle/overlap CTEs.
+    "curation_contamination_cjk" ->
+      s"""WITH d AS (SELECT doc_id,
+         |    text || CASE WHEN doc_id % 2 = 0 THEN '$cjkPhrase0' ELSE '$cjkPhrase1' END AS text
+         |  FROM documents),
+         |words AS (SELECT doc_id, string_split(trim(regexp_replace(regexp_replace(text,
+         |  '([\\p{Han}\\p{Hiragana}\\p{Katakana}\\p{Hangul}])', ' \\1 ', 'g'),
+         |  '\\s+', ' ', 'g')), ' ') AS w FROM d),
+         |sh AS (SELECT DISTINCT doc_id, unnest(
+         |  CASE WHEN len(w) >= 3
+         |  THEN list_transform(generate_series(1, len(w) - 2), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+         |  ELSE [array_to_string(w, ' ')] END) AS sh FROM words),
+         |ev AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 97 = 0)
+         |SELECT s.doc_id AS id, count(*) AS n_overlap
+         |FROM sh s JOIN ev ON s.sh = ev.sh
+         |WHERE s.doc_id % 97 <> 0
+         |GROUP BY s.doc_id ORDER BY id""".stripMargin,
     // same shingle CTEs, totals via a second aggregate, ratio through
     // the shared scale4 (floor(x*1e4 + 0.5))
     "curation_contamination_score" ->

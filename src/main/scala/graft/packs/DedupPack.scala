@@ -19,12 +19,34 @@ object DedupPack extends QueryPack {
   private val K = 8
   private val BANDS = 4
 
+  /** Spaceless Korean phrases + a one-syllable near-dup plant for the
+    * CJK dedup arm — under [[Dedup.cjkSpaced]] each syllable is its
+    * own token, so the appended syllable is the CJK form of the
+    * one-extra-token (' zzz9') near-duplicate. */
+  private val cjkPhraseA = " 대규모 말뭉치 데이터정제파이프라인"
+  private val cjkPhraseB = " 한국어 토크나이저 중복제거엔진"
+  private val cjkExtra = "갑"
+
   private def corpus(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.load(s, dir, "documents")
     d.select(col("doc_id").as("id"), col("text"))
       .unionAll(d.select((col("doc_id") + 1000000).as("id"),
         when(col("doc_id") % 50 === 0, col("text"))
           .otherwise(concat(col("text"), lit(" zzz9"))).as("text")))
+  }
+
+  /** Mixed Korean/ASCII doubled corpus: every doc gains a spaceless
+    * Korean phrase; the shifted copy appends one Hangul syllable
+    * (near-dup under codepoint tokenization) except every 50th
+    * (verbatim). Mirror of [[corpusCjkSql]]. */
+  private def corpusCjk(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.load(s, dir, "documents")
+    val ko = when(col("doc_id") % 2 === 0, lit(cjkPhraseA)).otherwise(lit(cjkPhraseB))
+    d.select(col("doc_id").as("id"), concat(col("text"), ko).as("text"))
+      .unionAll(d.select((col("doc_id") + 1000000).as("id"),
+        concat(col("text"), ko,
+          when(col("doc_id") % 50 === 0, lit(""))
+            .otherwise(lit(" " + cjkExtra))).as("text")))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -36,6 +58,18 @@ object DedupPack extends QueryPack {
     // stays in the CacheManager after the gate's action.
     "dedup_minhash" -> ((s, dir) =>
       Dedup.withMinhashDupPairs(corpus(s, dir), "id", "text", K, BANDS, 0.5) {
+        pairs => graft.core.Materialize.drained(pairs.orderBy("a", "b"))
+      }),
+    // CJK arm (r20): a mixed Korean/ASCII corpus with planted
+    // near-dups — copies differ by ONE appended Hangul syllable,
+    // which is one extra TOKEN only under the cjkAware codepoint
+    // pre-spacing (Dedup.cjkSpaced); a space-split shingler would
+    // fold the whole spaceless phrase into one word and the near-dup
+    // signal would ride on the ASCII text alone. Same banded
+    // pipeline, same leak-free callback form.
+    "dedup_minhash_cjk" -> ((s, dir) =>
+      Dedup.withMinhashDupPairs(corpusCjk(s, dir), "id", "text", K, BANDS,
+        0.5, cjkAware = true) {
         pairs => graft.core.Materialize.drained(pairs.orderBy("a", "b"))
       }),
     "dedup_simhash" -> ((s, dir) =>
@@ -385,6 +419,37 @@ object DedupPack extends QueryPack {
       |  THEN list_transform(generate_series(1, len(w) - 2), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
       |  ELSE [array_to_string(w, ' ')] END) AS sh FROM words)""".stripMargin
 
+  /** Korean-seasoned doubled corpus (mirror of [[corpusCjk]]): every
+    * doc gains a spaceless Korean phrase by id parity; the shifted
+    * copy is verbatim every 50th doc and one appended Hangul
+    * SYLLABLE otherwise — under codepoint tokenization that is the
+    * one-extra-token near-dup plant (the ' zzz9' trick, CJK form). */
+  private val corpusCjkSql =
+    s"""corpus AS (
+       |  SELECT doc_id AS id,
+       |    text || CASE WHEN doc_id % 2 = 0 THEN '$cjkPhraseA' ELSE '$cjkPhraseB' END AS text
+       |  FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 1000000,
+       |    text || CASE WHEN doc_id % 2 = 0 THEN '$cjkPhraseA' ELSE '$cjkPhraseB' END ||
+       |      CASE WHEN doc_id % 50 = 0 THEN '' ELSE ' $cjkExtra' END
+       |  FROM documents
+       |)""".stripMargin
+
+  /** [[shingleSql]] with the CJK pre-space (Dedup.cjkSpaced): each
+    * Han/Hiragana/Katakana/Hangul codepoint spaced out, whitespace
+    * runs collapsed, ends trimmed — then the identical word-3-gram
+    * construction. RE2 spells the script classes \p{Han}…; Java's
+    * \p{IsHan}… twins cover the same code points. */
+  private val shingleCjkSql =
+    """words AS (SELECT id, string_split(trim(regexp_replace(regexp_replace(text,
+      |  '([\p{Han}\p{Hiragana}\p{Katakana}\p{Hangul}])', ' \1 ', 'g'),
+      |  '\s+', ' ', 'g')), ' ') AS w FROM corpus),
+      |sh AS (SELECT DISTINCT id, unnest(
+      |  CASE WHEN len(w) >= 3
+      |  THEN list_transform(generate_series(1, len(w) - 2), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+      |  ELSE [array_to_string(w, ' ')] END) AS sh FROM words)""".stripMargin
+
   /** shingleSql twin over `documents` directly (no corpus doubling),
     * grams digested to md5 like Dedup.ngramSpanStats. */
   private val docSpanSql =
@@ -399,15 +464,18 @@ object DedupPack extends QueryPack {
       |    CAST(SUM(CASE WHEN ndocs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_grams
       |  FROM g JOIN freq USING (gh) GROUP BY id)""".stripMargin
 
-  private val minhashSql: String = {
+  /** The banded-MinHash pipeline SQL over pluggable corpus + shingle
+    * CTEs — shared by the ASCII ([[minhashSql]]) and CJK
+    * ([[minhashCjkSql]]) arms, which differ ONLY in those two CTEs. */
+  private def minhashPipelineSql(corpusCte: String, shingleCte: String): String = {
     val hCols = (0 until K).map(i => s"${permHashSql("sh", i)} AS h$i").mkString(", ")
     val mins = (0 until K).map(i => s"min(h$i) AS m$i").mkString(", ")
     val bandArms = (0 until BANDS).map { b =>
       val parts = (0 until K / BANDS).map(r => s"CAST(m${b * (K / BANDS) + r} AS VARCHAR)")
       s"SELECT id, '${b}_' || ${parts.mkString(" || '_' || ")} AS bk FROM sig"
     }.mkString(" UNION ALL ")
-    s"""WITH $corpusSql,
-       |$shingleSql,
+    s"""WITH $corpusCte,
+       |$shingleCte,
        |hs AS (SELECT id, sh, $hCols FROM sh),
        |sig AS (SELECT id, $mins FROM hs GROUP BY id),
        |band AS ($bandArms),
@@ -428,6 +496,14 @@ object DedupPack extends QueryPack {
        |  JOIN sizes nb ON nb.id = i2.b) t
        |WHERE t.jacc_x1e4 >= 5000 ORDER BY t.a, t.b""".stripMargin
   }
+
+  private val minhashSql: String = minhashPipelineSql(corpusSql, shingleSql)
+
+  /** CJK arm: Korean-seasoned corpus + codepoint pre-spacing ahead of
+    * the same shingle construction (RE2 \p{Han}… script classes — the
+    * Java twin spells them \p{IsHan}…, same code-point sets). */
+  private val minhashCjkSql: String =
+    minhashPipelineSql(corpusCjkSql, shingleCjkSql)
 
   /** Recall of the banded pipeline vs exact shared-shingle truth over
     * the bounded (doc_id < 150) sub-corpus — same band algebra as
@@ -696,6 +772,7 @@ object DedupPack extends QueryPack {
          |SELECT md5(text) AS h, count(*) AS cnt, min(id) AS keeper
          |FROM corpus GROUP BY md5(text) HAVING count(*) > 1 ORDER BY h""".stripMargin,
     "dedup_minhash" -> minhashSql,
+    "dedup_minhash_cjk" -> minhashCjkSql,
     "dedup_minhash_recall" -> minhashRecallSql,
     "dedup_cross_corpus" -> crossCorpusSql,
     "dedup_blocking_metrics" -> blockingMetricsSql,

@@ -49,6 +49,63 @@ class LlmSpec extends SparkSpec {
     assert(short == Set("a b"))
   }
 
+  test("cjkSpaced: codepoint spacing, whitespace collapse, ASCII pass-through") {
+    def sp(s: String) =
+      Seq(s).toDF("t").select(Dedup.cjkSpaced(col("t")).as("c")).head().getString(0)
+    // each Hangul syllable becomes its own token; ASCII words survive
+    assert(sp("abc 한국어") == "abc 한 국 어")
+    assert(sp("데이터x정제") == "데 이 터 x 정 제")
+    // whitespace runs collapse, ends trim — the downstream kernel
+    // splits on single spaces
+    assert(sp("  a   b  ") == "a b")
+    assert(sp("plain ascii text") == "plain ascii text")
+    assert(sp("") == "")
+  }
+
+  test("shinglesCjk: spaceless CJK shingles by codepoint where plain shingles degenerate") {
+    val ko = Seq((1L, "한국어말뭉치정제")).toDF("id", "text")
+    // plain word shingles: the whole document is ONE gram — the
+    // silent recall collapse the cjkAware arm exists to fix
+    assert(Dedup.shingles(ko, "id", "text").count() == 1L)
+    val sh = Dedup.shinglesCjk(ko, "id", "text")
+      .select("sh").as[String].collect().toSet
+    assert(sh.contains("한 국 어") && sh.contains("국 어 말") && sh.size == 6)
+  }
+
+  test("minhash cjkAware pairs one-syllable-apart Korean docs that plain shingling cannot see") {
+    // two spaceless Korean docs differing by ONE appended syllable:
+    // under codepoint tokenization they share almost all shingles;
+    // under space-splitting each doc is one (distinct) mega-shingle
+    // with jaccard 0
+    val ko = Seq(
+      (1L, "대규모한국어말뭉치중복제거파이프라인검사"),
+      (2L, "대규모한국어말뭉치중복제거파이프라인검사갑"),
+      (3L, "완전히다른내용의문서이며겹치지않는다")).toDF("id", "text")
+    val cjk = Dedup.minhashDupPairs(ko, "id", "text", threshold = 0.5,
+      cjkAware = true).collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(cjk.contains((1L, 2L)), "near-dup must surface under cjkAware")
+    assert(!cjk.exists(p => p._2 == 3L), "dissimilar doc must not pair")
+    val plain = Dedup.minhashDupPairs(ko, "id", "text", threshold = 0.1)
+      .collect()
+    assert(plain.isEmpty, "space-split shingles cannot see the near-dup")
+  }
+
+  test("simhash cjkAware: one-syllable-apart Korean docs land close; unrelated docs far") {
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val ko = Seq(
+      (1L, "대규모한국어말뭉치중복제거파이프라인검사"),
+      (2L, "대규모한국어말뭉치중복제거파이프라인검사갑"),
+      (3L, "완전히다른내용의문서이며겹치지않는다")).toDF("id", "text")
+    val h = Dedup.simhash64(ko, "id", "text", cjkAware = true).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ham(h(1L), h(2L)) < ham(h(1L), h(3L)))
+    // without the pre-space every doc is ONE token: near and far are
+    // indistinguishable (both maximally unrelated single hashes)
+    val p = Dedup.simhash64(ko, "id", "text").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ham(p(1L), p(2L)) > 0, "single-token hashes carry no gradation")
+  }
+
   test("simhash: identical docs same hash; near docs closer than far docs") {
     def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
     val h = Dedup.simhash16(docs, "id", "text").collect()

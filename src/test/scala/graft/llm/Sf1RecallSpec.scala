@@ -49,6 +49,44 @@ class Sf1RecallSpec extends SparkSpec {
     assert(recall >= 9000L, s"sf1 banded recall $recall < 9000 (x1e4)")
   }
 
+  test("sf1 MinHash-LSH CJK recall >= 0.90 on a Korean-seasoned 3000-doc sub-corpus") {
+    assume(have, s"$sf1 absent — run tools/gen_sf1.py")
+    // same construction as the dedup_minhash_cjk gate at volume:
+    // every doc gains a spaceless Korean phrase, every copy appends
+    // one Hangul syllable (one extra TOKEN only under the cjkAware
+    // codepoint pre-spacing) except every 50th (verbatim). Recall is
+    // measured over the CJK shingle relation — band/bucket statistics
+    // with Korean grams participating only bite at volume.
+    val d = spark.read.parquet(s"$sf1/documents.parquet")
+      .filter(col("doc_id") < 1500)
+    val ko = when(col("doc_id") % 2 === 0, lit(" 대규모 말뭉치 데이터정제파이프라인"))
+      .otherwise(lit(" 한국어 토크나이저 중복제거엔진"))
+    val c = d.select(col("doc_id").as("id"), concat(col("text"), ko).as("text"))
+      .unionAll(d.select((col("doc_id") + 10000000L).as("id"),
+        when(col("doc_id") % 50 === 0, concat(col("text"), ko))
+          .otherwise(concat(col("text"), ko, lit(" 갑"))).as("text")))
+    val row = graft.core.Materialize.withCached(
+      Dedup.shinglesCjk(c, "id", "text")) { sh =>
+      val truth = Dedup.jaccard(
+        sh.as("x").join(sh.as("y"),
+            col("x.sh") === col("y.sh") && col("x.id") < col("y.id"))
+          .select(col("x.id").as("a"), col("y.id").as("b")).distinct(), sh)
+        .filter(col("jacc_x1e4") >= 5000)
+      val found = Dedup.jaccard(
+        Dedup.lshCandidates(
+          Dedup.lshBands(Dedup.minhashSignatures(sh, 8), 8, 4)), sh)
+        .filter(col("jacc_x1e4") >= 5000)
+      truth.agg(count(lit(1)).as("n_true"))
+        .crossJoin(found.agg(count(lit(1)).as("n_found")))
+        .select(col("n_true"), col("n_found"),
+          expr("n_found * 10000L div n_true").as("recall_x1e4"))
+    }.head()
+    val (nTrue, recall) = (row.getLong(0), row.getLong(2))
+    info(s"sf1 CJK LSH recall: n_true=$nTrue n_found=${row.getLong(1)} recall_x1e4=$recall")
+    assert(nTrue >= 1500L, s"degenerate truth set ($nTrue) — fixture broken")
+    assert(recall >= 9000L, s"sf1 CJK banded recall $recall < 9000 (x1e4)")
+  }
+
   test("sf1 aHash banded near-dup recall vs exact Hamming >= 0.90 over 3000 images") {
     assume(have, s"$sf1 absent — run tools/gen_sf1.py")
     import spark.implicits._
