@@ -58,14 +58,28 @@ object Curation {
     * within it, one pass. A global pack would serialize the corpus
     * through one task. */
   def packSequences(docs: DataFrame, shardCol: String, orderCol: String,
-      textCol: String, budget: Int): DataFrame = {
-    require(budget > 0, s"packSequences: budget=$budget must be positive")
+      textCol: String, budget: Int): DataFrame =
+    packSequencesByCount(
+      docs.withColumn("n_tok", size(split(col(textCol), "\\s+"))),
+      shardCol, orderCol, "n_tok", budget)
+
+  /** [[packSequences]] over a caller-supplied TRUE token count — the
+    * whitespace proxy mis-budgets CJK text 3-4× (a Hangul syllable
+    * run is one "word" but many BPE tokens), and sequence budget is
+    * THE unit a pretraining pipeline packs by. Compose with the
+    * persisted tokenizer: per-word `n_toks` from
+    * [[Bpe.encodeHistogramFastBytes]] broadcast-joined to the
+    * corpus's words and summed per doc (the `llm_pipeline_tokens`
+    * join shape), then this window over that column. Same scale
+    * shape as [[packSequences]]: the running sum is per-shard,
+    * partition-local — nothing serializes through one task. */
+  def packSequencesByCount(docs: DataFrame, shardCol: String,
+      orderCol: String, nTokCol: String, budget: Int): DataFrame = {
+    require(budget > 0, s"packSequencesByCount: budget=$budget must be positive")
     val w = Window.partitionBy(shardCol).orderBy(orderCol)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    docs
-      .withColumn("n_tok", size(split(col(textCol), "\\s+")))
-      .withColumn("seq", ((sum(col("n_tok")).over(w) - col("n_tok")) / budget)
-        .cast("long"))
+    docs.withColumn("seq",
+      ((sum(col(nTokCol)).over(w) - col(nTokCol)) / budget).cast("long"))
   }
 
   /** Benchmark-contamination check: corpus documents sharing ≥1 word

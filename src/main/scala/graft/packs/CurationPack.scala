@@ -54,6 +54,32 @@ object CurationPack extends QueryPack {
           "source", "doc_id", "text", BUDGET)
         .select(col("source"), col("doc_id"), col("n_tok").cast("long"), col("seq"))
         .orderBy("source", "doc_id")),
+    // TRUE-token packing (r20): the same concat-and-chunk window, but
+    // budgeted in BPE tokens instead of whitespace words — per-word
+    // n_toks from the byte-level encoder (learned on this corpus,
+    // 8 merges) broadcast-joined to the corpus's words and summed per
+    // doc, then packSequencesByCount over that sum. Sequence budget
+    // is THE unit a pretraining pipeline packs by; the whitespace
+    // proxy mis-budgets CJK ~3-4x.
+    "curation_pack_tokens" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val hist = graft.llm.Bpe.wordHistogram(d.select(col("text")), "text")
+      val merges = graft.llm.Bpe.learnMergesFastBytes(
+          d.select(col("text")), "text", 8)
+        .orderBy("rank").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      val tok = graft.llm.Bpe.encodeHistogramFastBytes(hist, merges)
+        .select(col("word"), col("n_toks"))
+      val words = d.select(col("doc_id"),
+          explode(split(col("text"), "\\s+")).as("word"))
+        .filter(length(col("word")) > 0)
+      val per = words.join(broadcast(tok), Seq("word"))
+        .groupBy("doc_id").agg(sum(col("n_toks").cast("long")).as("n_tok"))
+      val base = d.select(col("source"), col("doc_id")).join(per, "doc_id")
+      Curation.packSequencesByCount(base, "source", "doc_id", "n_tok", BUDGET)
+        .select(col("source"), col("doc_id"), col("n_tok"), col("seq"))
+        .orderBy("source", "doc_id")
+    }),
     // Contamination: docs sharing any 3-gram shingle with the "eval
     // suite" (every 97th doc), eval side broadcast.
     "curation_contamination" -> ((s, dir) => {
@@ -338,6 +364,30 @@ object CurationPack extends QueryPack {
          |SELECT source, doc_id, n_tok,
          |  CAST(FLOOR((cum - n_tok) / $BUDGET.0) AS BIGINT) AS seq
          |FROM packed ORDER BY source, doc_id""".stripMargin,
+    // the byte-BPE CTE chain's per-word n_toks joined into the same
+    // running-sum window as curation_pack_sequences — the true-token
+    // budget on both engines
+    "curation_pack_tokens" ->
+      ("WITH " + graft.llm.Bpe.chainCtesSql(8, throughK = true,
+        """SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM (
+          |      SELECT unnest(regexp_split_to_array(text, '\s+')) AS word FROM documents)
+          |    WHERE length(word) > 0 GROUP BY word""".stripMargin,
+        byteLevel = true) +
+        s""",
+           |tok AS (SELECT word, CAST(len(toks) AS BIGINT) AS n_toks FROM s8),
+           |w AS (SELECT doc_id, word FROM (
+           |    SELECT doc_id, unnest(regexp_split_to_array(text, '\\s+')) AS word
+           |    FROM documents) WHERE length(word) > 0),
+           |per AS (SELECT w.doc_id, CAST(sum(t.n_toks) AS BIGINT) AS n_tok
+           |  FROM w JOIN tok t USING (word) GROUP BY 1),
+           |base AS (SELECT d.source, d.doc_id, per.n_tok
+           |  FROM per JOIN documents d USING (doc_id)),
+           |packed AS (SELECT source, doc_id, n_tok,
+           |  sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+           |    ROWS UNBOUNDED PRECEDING) AS cum FROM base)
+           |SELECT source, doc_id, n_tok,
+           |  CAST(FLOOR((cum - n_tok) / $BUDGET.0) AS BIGINT) AS seq
+           |FROM packed ORDER BY source, doc_id""".stripMargin),
     "curation_contamination" ->
       """WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         |sh AS (SELECT DISTINCT doc_id, unnest(

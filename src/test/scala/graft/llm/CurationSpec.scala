@@ -76,6 +76,24 @@ class CurationSpec extends SparkSpec {
     assert(out(1L) == (3, 0L) && out(2L) == (4, 0L) && out(3L) == (3, 1L) && out(4L) == (6, 0L))
   }
 
+  test("packSequencesByCount: true-token budget packs differently from the word proxy") {
+    // one "word" of 12 BPE tokens (the CJK shape): the word proxy
+    // packs all three docs into sequence 0 at budget 5; the true
+    // count rolls over per document
+    val docs = Seq(
+      ("a", 1L, "x", 4L), ("a", 2L, "y", 4L), ("a", 3L, "z", 4L),
+      ("b", 4L, "w", 12L))
+      .toDF("shard", "id", "text", "n_tok")
+    val byCount = Curation.packSequencesByCount(docs, "shard", "id", "n_tok", 5)
+      .select("id", "seq").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byCount == Map(1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 0L))
+    val byWords = Curation.packSequences(docs.drop("n_tok"), "shard", "id", "text", 5)
+      .select("id", "seq").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byWords == Map(1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 0L))
+    intercept[IllegalArgumentException](
+      Curation.packSequencesByCount(docs, "shard", "id", "n_tok", 0))
+  }
+
   test("packSequences and topKPerKey reject non-positive budget/k loudly") {
     val df = Seq(("a", 1L, "x")).toDF("shard", "id", "text")
     intercept[IllegalArgumentException](
