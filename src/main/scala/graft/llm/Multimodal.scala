@@ -494,6 +494,41 @@ object Multimodal {
     out.toByteArray
   }
 
+  /** PNG-encode raw 8-bit samples (row-major; 1 channel = gray, 3 =
+    * RGB) — the container bridge [[graft.ops.Pdf.extractImages]] uses
+    * to hand decoded FlateDecode image XObjects to the rest of the
+    * image pipeline (decode / aHash / pHash / near-dup) in a standard
+    * format. Sample values land in the raster verbatim (raster
+    * writes, not setRGB — setRGB on a gray image would round-trip
+    * through sRGB and shift values), so the encode is lossless. */
+  def pngFromSamples(samples: Array[Byte], w: Int, h: Int,
+      channels: Int): Array[Byte] = {
+    require(channels == 1 || channels == 3,
+      s"pngFromSamples: channels=$channels (1 = gray, 3 = RGB)")
+    require(w > 0 && h > 0, s"pngFromSamples: $w x $h")
+    require(samples.length >= w * h * channels,
+      s"pngFromSamples: ${samples.length} samples < $w*$h*$channels")
+    val img = new java.awt.image.BufferedImage(w, h,
+      if (channels == 1) java.awt.image.BufferedImage.TYPE_BYTE_GRAY
+      else java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val raster = img.getRaster
+    var i = 0
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        var c = 0
+        while (c < channels) {
+          raster.setSample(x, y, c, samples(i) & 0xFF)
+          i += 1; c += 1
+        }
+        x += 1
+      }
+      y += 1
+    }
+    encodePng(img)
+  }
+
   /** Bilinear resize to (w, h), re-encoded PNG. None when the payload
     * isn't a decodable image (callers keep the raw row or drop it). */
   def resizeBytes(content: Array[Byte], w: Int, h: Int): Option[Array[Byte]] = {

@@ -1538,6 +1538,13 @@ object Pdf {
     * best-effort lexing undecoded bytes as operators — the caller's
     * catch turns it into that file's error row. */
   private def streamData(body: String): Option[Array[Byte]] =
+    rawStream(body).map { case (dict, raw) =>
+      applyFilterChain(raw, parseFilters(dict), parseParmsList(dict))
+    }
+
+  /** /Length-framed raw stream payload (endstream-token fallback)
+    * with its dictionary — no filters applied. */
+  private def rawStream(body: String): Option[(String, Array[Byte])] =
     streamTokenRe.findFirstMatchIn(body).map { m =>
       val dict = body.substring(0, m.start)
       val dataStart = m.end
@@ -1548,22 +1555,26 @@ object Pdf {
           case e => e
         }
       }
-      val raw = body.substring(dataStart, end).getBytes("ISO-8859-1")
-      val parms = parseParmsList(dict)
-      parseFilters(dict).zipWithIndex.foldLeft(raw) { case (d, (f, idx)) =>
-        val p = parms.lift(idx).flatten
-        def pi(key: String, dflt: Int) = p.flatMap(dictInt(_, key)).getOrElse(dflt)
-        def unp(x: Array[Byte]) = unpredict(x, pi("/Predictor", 1),
-          pi("/Columns", 1), pi("/Colors", 1), pi("/BitsPerComponent", 8))
-        f match {
-          case "FlateDecode" => unp(inflate(d))
-          case "LZWDecode" => unp(lzwDecode(d, pi("/EarlyChange", 1)))
-          case "ASCIIHexDecode" => asciiHexDecode(d)
-          case "ASCII85Decode" => ascii85Decode(d)
-          case "RunLengthDecode" => runLengthDecode(d)
-          case other => throw new IllegalArgumentException(
-            s"unsupported stream filter /$other")
-        }
+      (dict, body.substring(dataStart, end).getBytes("ISO-8859-1"))
+    }
+
+  /** Apply a declared /Filter chain in order (the [[streamData]]
+    * transport set); an unknown filter raises the defined error. */
+  private def applyFilterChain(raw: Array[Byte], filters: Seq[String],
+      parms: Seq[Option[String]]): Array[Byte] =
+    filters.zipWithIndex.foldLeft(raw) { case (d, (f, idx)) =>
+      val p = parms.lift(idx).flatten
+      def pi(key: String, dflt: Int) = p.flatMap(dictInt(_, key)).getOrElse(dflt)
+      def unp(x: Array[Byte]) = unpredict(x, pi("/Predictor", 1),
+        pi("/Columns", 1), pi("/Colors", 1), pi("/BitsPerComponent", 8))
+      f match {
+        case "FlateDecode" => unp(inflate(d))
+        case "LZWDecode" => unp(lzwDecode(d, pi("/EarlyChange", 1)))
+        case "ASCIIHexDecode" => asciiHexDecode(d)
+        case "ASCII85Decode" => ascii85Decode(d)
+        case "RunLengthDecode" => runLengthDecode(d)
+        case other => throw new IllegalArgumentException(
+          s"unsupported stream filter /$other")
       }
     }
 
@@ -1597,6 +1608,186 @@ object Pdf {
       val (text, unmapped) = renderContentEx(cs, fonts)
       (idx + 1, text, if (unmapped) "unmapped glyphs" else "")
     }
+  }
+
+  /** Image codecs a /Filter chain may END with: the payload after the
+    * transport filters IS the image container (or an unsupported
+    * codec we degrade on), never operator text. */
+  private val imageCodecFilters =
+    Set("DCTDecode", "JPXDecode", "JBIG2Decode", "CCITTFaxDecode")
+
+  /** Image XObjects per page — the document lake's figures, bridged
+    * to the multimodal pipeline (beyond the reference's text-only PDF
+    * surface; the brief's multimodal-columns mandate). One row per
+    * /Subtype /Image resource, in resource-dictionary order:
+    * (page, img_idx, xobject name, fmt, width, height, content, warn).
+    *
+    * - /DCTDecode payloads ARE JPEG bytes → pass-through (fmt
+    *   "jpeg"); transport armor ahead of the codec (hex/a85/flate)
+    *   decodes first.
+    * - /FlateDecode (or unfiltered) 8-bit /DeviceRGB / /DeviceGray
+    *   samples re-encode losslessly as PNG via
+    *   [[graft.llm.Multimodal.pngFromSamples]] (fmt "png"), so the
+    *   existing decode / aHash / pHash / near-dup machinery consumes
+    *   them directly.
+    * - Anything else (JPX/JBIG2/CCITT codecs; Indexed/ICC/CMYK
+    *   colorspaces; 1/4/16-bit depths) degrades to a defined warn
+    *   row with empty content — flag, don't guess, never throw.
+    *
+    * Driver-side per document like all COS surgery; the distributed
+    * shape maps this over a binaryFile scan
+    * ([[PdfText.extractImagesDf]]). */
+  def extractImages(bytes: Array[Byte], password: String = "")
+      : Seq[(Int, Int, String, String, Int, Int, Array[Byte], String)] = {
+    val d = parse(bytes, password)
+    val parentBody = d.objects.get(d.pagesNum)
+    d.pageNums.zipWithIndex.flatMap { case (pn, pidx) =>
+      val xdict = d.objects.get(pn).flatMap { b =>
+        resolveDictValue(d.objects, b, "Resources")
+          .orElse(parentBody.flatMap(resolveDictValue(d.objects, _, "Resources")))
+          .flatMap(res => resolveDictValue(d.objects, res, "XObject"))
+      }
+      val imgs = xdict.toSeq.flatMap { xd =>
+        """/([^\s/<>\[\]()]+)\s+(\d+)\s+\d+\s+R""".r.findAllMatchIn(xd)
+          .map(m => (m.group(1), m.group(2).toInt)).toSeq
+      }.filter { case (_, ref) =>
+        d.objects.get(ref).exists(
+          """/Subtype\s*/Image""".r.findFirstIn(_).isDefined)
+      }
+      imgs.zipWithIndex.map { case ((nm, ref), i) =>
+        val ob = d.objects(ref)
+        val w = dictInt(ob, "/Width").getOrElse(0)
+        val h = dictInt(ob, "/Height").getOrElse(0)
+        decodeImageXObject(ob, w, h) match {
+          case Right((fmt, content)) => (pidx + 1, i, nm, fmt, w, h, content, "")
+          case Left(warn) =>
+            (pidx + 1, i, nm, "", w, h, Array.empty[Byte], warn)
+        }
+      }
+    }
+  }
+
+  /** Decode one image XObject body → Right(fmt, bytes) or the defined
+    * Left(warn). Split from [[extractImages]] so a malformed single
+    * image degrades to ITS row, never the document. */
+  private def decodeImageXObject(body: String, w: Int,
+      h: Int): Either[String, (String, Array[Byte])] = try {
+    rawStream(body) match {
+      case None => Left("image XObject without stream data")
+      case Some((dict, raw)) =>
+        val filters = parseFilters(dict)
+        val parms = parseParmsList(dict)
+        val (transport, codec) =
+          if (filters.nonEmpty && imageCodecFilters(filters.last))
+            (filters.init, Some(filters.last))
+          else (filters, None)
+        val data = applyFilterChain(raw, transport, parms)
+        codec match {
+          case Some("DCTDecode") => Right(("jpeg", data))
+          case Some(other) => Left(s"unsupported image filter /$other")
+          case None =>
+            val bpc = dictInt(dict, "/BitsPerComponent").getOrElse(8)
+            val cs = """/ColorSpace\s*/([A-Za-z0-9]+)""".r
+              .findFirstMatchIn(dict).map(_.group(1))
+            if (w <= 0 || h <= 0) Left(s"bad image dimensions $w x $h")
+            else if (bpc != 8) Left(s"unsupported image bit depth $bpc")
+            else cs match {
+              case Some("DeviceRGB") if data.length >= w * h * 3 =>
+                Right(("png", graft.llm.Multimodal.pngFromSamples(data, w, h, 3)))
+              case Some("DeviceGray") if data.length >= w * h =>
+                Right(("png", graft.llm.Multimodal.pngFromSamples(data, w, h, 1)))
+              case Some("DeviceRGB") | Some("DeviceGray") =>
+                Left(s"truncated image samples (${data.length} bytes for $w x $h)")
+              case Some(other) => Left(s"unsupported image colorspace /$other")
+              case None => Left("image XObject without /ColorSpace")
+            }
+        }
+    }
+  } catch {
+    case e: Exception => Left(s"image decode failed: ${e.getMessage}")
+  }
+
+  /** Deterministic sample generator shared by the fixture builder and
+    * the gate's pixel-exactness check: gray = one channel, rgb =
+    * three, each a fixed affine pattern of (x, y). */
+  def imageSamples(kind: String, w: Int, h: Int): Array[Byte] = kind match {
+    case "gray" =>
+      Array.tabulate(w * h) { i =>
+        val x = i % w; val y = i / w
+        (((x * 7 + y * 11) * 2) % 256).toByte
+      }
+    case _ =>
+      Array.tabulate(w * h * 3) { i =>
+        val px = i / 3; val x = px % w; val y = px / w
+        (i % 3 match {
+          case 0 => (x * 17 + y * 3) % 256
+          case 1 => (y * 31 + x * 5) % 256
+          case _ => ((x + y) * 13) % 256
+        }).toByte
+      }
+  }
+
+  /** Fixture builder for the image-extraction gate — the ENCODER half
+    * of [[extractImages]]. One page per spec list; each
+    * (kind, w, h) spec embeds an /Im<i> XObject:
+    * "rgb"/"gray" = deflated 8-bit samples from [[imageSamples]];
+    * "dct" = an ImageIO JPEG of the rgb pattern under /DCTDecode;
+    * "ccitt" = a /CCITTFaxDecode stub; "cmyk" = deflated bytes under
+    * /DeviceCMYK — the last two exercise the defined-warn arms. */
+  def makeImagePdf(pages: Seq[Seq[(String, Int, Int)]]): Array[Byte] = {
+    val np = pages.size
+    var next = 3 + 2 * np
+    val pageNums = (0 until np).map(3 + _)
+    val contentNums = pageNums.map(_ + np)
+    val imgObjs = Seq.newBuilder[(Int, String)]
+    val pageImgRefs = pages.map { specs =>
+      specs.zipWithIndex.map { case ((kind, w, h), i) =>
+        val (payload, filter, cs) = kind match {
+          case "rgb" =>
+            (deflate(imageSamples("rgb", w, h)), "/FlateDecode", "/DeviceRGB")
+          case "gray" =>
+            (deflate(imageSamples("gray", w, h)), "/FlateDecode", "/DeviceGray")
+          case "dct" =>
+            val png = graft.llm.Multimodal.pngFromSamples(
+              imageSamples("rgb", w, h), w, h, 3)
+            val img = javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(png))
+            val out = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(img, "jpg", out)
+            (out.toByteArray, "/DCTDecode", "/DeviceRGB")
+          case "ccitt" =>
+            (Array.fill[Byte](w * h / 8 + 1)(0x55), "/CCITTFaxDecode", "/DeviceGray")
+          case "cmyk" =>
+            (deflate(Array.fill[Byte](w * h * 4)(0x40)), "/FlateDecode", "/DeviceCMYK")
+          case other =>
+            throw new IllegalArgumentException(s"makeImagePdf: kind $other")
+        }
+        val n = next; next += 1
+        imgObjs += (n -> (s" << /Type /XObject /Subtype /Image /Width $w /Height $h" +
+          s" /ColorSpace $cs /BitsPerComponent 8 /Filter $filter" +
+          s" /Length ${payload.length} >> stream\n" +
+          new String(payload, "ISO-8859-1") + "\nendstream "))
+        (s"Im$i", n, w, h)
+      }
+    }
+    val objs = Seq(
+      1 -> " << /Type /Catalog /Pages 2 0 R >> ",
+      2 -> (s" << /Type /Pages /Kids [${pageNums.map(n => s"$n 0 R").mkString(" ")}]" +
+        s" /Count $np >> ")) ++
+      pageNums.zipWithIndex.map { case (n, i) =>
+        val res = pageImgRefs(i).map { case (nm, on, _, _) => s"/$nm $on 0 R" }
+          .mkString(" ")
+        n -> (s" << /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792]" +
+          s" /Resources << /XObject << $res >> >>" +
+          s" /Contents ${contentNums(i)} 0 R >> ")
+      } ++
+      contentNums.zipWithIndex.map { case (n, i) =>
+        val cs = pageImgRefs(i).map { case (nm, _, w, h) =>
+          s"q $w 0 0 $h 72 500 cm /$nm Do Q"
+        }.mkString(" ")
+        n -> s" << /Length ${cs.length} >> stream\n$cs\nendstream "
+      } ++ imgObjs.result()
+    serialize(objs, 1)
   }
 
   /** Fixture builder for the extraction gates: one page per raw

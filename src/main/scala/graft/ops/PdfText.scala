@@ -51,6 +51,43 @@ object PdfText {
       .toDF("name", "page", "text", "warn", "error")
   }
 
+  /** The distributed image twin of [[extractTextDf]]: map
+    * [[Pdf.extractImages]] over a binaryFile-scan-shaped relation —
+    * one row per embedded image, (name, page, img_idx, xname, fmt,
+    * width, height, content, warn, error). Same catch-and-degrade
+    * vocabulary: file-level failures become one error row (page 0);
+    * per-image decode problems are that IMAGE's warn row. The
+    * `content` column (JPEG pass-through or lossless PNG re-encode)
+    * feeds [[graft.llm.Multimodal]] decode / aHash / pHash / near-dup
+    * directly — the document lake's figures join the image pipeline
+    * without a format detour. Zero shuffle: a narrow flatMap, one
+    * task per file batch. */
+  def extractImagesDf(files: DataFrame, nameCol: String = "name",
+      contentCol: String = "content", password: String = ""): DataFrame = {
+    val spark = files.sparkSession
+    import spark.implicits._
+    files
+      .select(col(nameCol).cast("string").as("name"), col(contentCol).as("content"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (name, bytes) =>
+        if (bytes == null || bytes.isEmpty)
+          Seq((name, 0, 0, "", "", 0, 0, Array.empty[Byte], "", "size 0B"))
+        else if (!Pdf.hasPdfHeader(bytes))
+          Seq((name, 0, 0, "", "", 0, 0, Array.empty[Byte], "", "no %PDF- header"))
+        else
+          try Pdf.extractImages(bytes, password).map {
+            case (p, i, nm, fmt, w, h, c, warn) =>
+              (name, p, i, nm, fmt, w, h, c, warn, "")
+          } catch {
+            case e: Exception =>
+              Seq((name, 0, 0, "", "", 0, 0, Array.empty[Byte], "",
+                String.valueOf(e.getMessage)))
+          }
+      }
+      .toDF("name", "page", "img_idx", "xname", "fmt", "width", "height",
+        "content", "warn", "error")
+  }
+
   /** Corpus-level extraction RELEASE REPORT over [[extractTextDf]]
     * output — the number a 100 TB document-lake ingest decides on:
     * per source, how many files arrived, how many failed to parse at

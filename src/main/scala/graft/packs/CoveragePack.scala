@@ -290,6 +290,56 @@ object CoveragePack extends QueryPack {
         .toDF("name", "content")
       PdfText.extractTextDf(files).orderBy("name", "page")
     }),
+    // Image XObject extraction (r20): the document lake's FIGURES
+    // leave through the same flag-don't-guess machinery as its text.
+    // DCTDecode payloads pass through as JPEG, Flate RGB/Gray
+    // samples re-encode losslessly as PNG (Multimodal.pngFromSamples
+    // — the bridge into decode/aHash/pHash/near-dup), unsupported
+    // codec/colorspace arms degrade to defined warn rows, a non-PDF
+    // file to its error row. `ok` verifies content END-TO-END: PNG
+    // arms decode back pixel-exact against the shared pattern
+    // generator AND produce a pHash; the JPEG arm sniffs as a jpeg
+    // of the declared dimensions; warn/error arms carry no bytes.
+    "pdf_extract_images" -> ((s, dir) => {
+      import s.implicits._
+      val img = Pdf.makeImagePdf(Seq(
+        Seq(("rgb", 8, 6), ("gray", 5, 4)), Seq(("dct", 8, 8))))
+      val warn = Pdf.makeImagePdf(Seq(Seq(("ccitt", 4, 4), ("cmyk", 4, 4))))
+      val files = Seq(("img.pdf", img), ("warn.pdf", warn),
+        ("bad.bin", "nope".getBytes("UTF-8"))).toDF("name", "content")
+      PdfText.extractImagesDf(files)
+        .as[(String, Int, Int, String, String, Int, Int, Array[Byte], String, String)]
+        .map { case (name, p, i, nm, fmt, w, h, c, warnS, err) =>
+          val ok = fmt match {
+            case "png" =>
+              val im = javax.imageio.ImageIO.read(
+                new java.io.ByteArrayInputStream(c))
+              val gray = im.getColorModel.getNumComponents == 1
+              val want = Pdf.imageSamples(if (gray) "gray" else "rgb", w, h)
+              im.getWidth == w && im.getHeight == h &&
+                (0 until h).forall { y =>
+                  (0 until w).forall { x =>
+                    if (gray)
+                      im.getRaster.getSample(x, y, 0) == (want(y * w + x) & 0xFF)
+                    else {
+                      val rgb = im.getRGB(x, y); val o = (y * w + x) * 3
+                      ((rgb >> 16) & 0xFF) == (want(o) & 0xFF) &&
+                        ((rgb >> 8) & 0xFF) == (want(o + 1) & 0xFF) &&
+                        (rgb & 0xFF) == (want(o + 2) & 0xFF)
+                    }
+                  }
+                } && graft.llm.Multimodal.phashBytes(c).isDefined
+            case "jpeg" =>
+              graft.llm.Multimodal.sniffDims(c).contains(("jpeg", w, h)) &&
+                graft.llm.Multimodal.phashBytes(c).isDefined
+            case _ => c.isEmpty
+          }
+          (name, p, i, nm, fmt, w, h, ok, warnS, err)
+        }
+        .toDF("name", "page", "img_idx", "xname", "fmt", "width", "height",
+          "ok", "warn", "error")
+        .orderBy("name", "page", "img_idx")
+    }),
     // The distributed bridge at CORPUS scale: every printable-ASCII
     // document is rendered to a real FlateDecode PDF on the executors
     // (Pdf.makeTextPdf in a narrow map — partition-local encode),
@@ -500,6 +550,18 @@ object CoveragePack extends QueryPack {
         |  ('ovr_range.pdf', 1, '가라마', 'unmapped glyphs', ''),
         |  ('sub.pdf', 1, '안녕 세계', '', ''))
         |  AS t(name, page, text, warn, error) ORDER BY name, page""".stripMargin,
+    "pdf_extract_images" ->
+      """SELECT * FROM (VALUES
+        |  ('bad.bin', 0, 0, '', '', 0, 0, true, '', 'no %PDF- header'),
+        |  ('img.pdf', 1, 0, 'Im0', 'png', 8, 6, true, '', ''),
+        |  ('img.pdf', 1, 1, 'Im1', 'png', 5, 4, true, '', ''),
+        |  ('img.pdf', 2, 0, 'Im0', 'jpeg', 8, 8, true, '', ''),
+        |  ('warn.pdf', 1, 0, 'Im0', '', 4, 4, true,
+        |     'unsupported image filter /CCITTFaxDecode', ''),
+        |  ('warn.pdf', 1, 1, 'Im1', '', 4, 4, true,
+        |     'unsupported image colorspace /DeviceCMYK', ''))
+        |  AS t(name, page, img_idx, xname, fmt, width, height, ok, warn, error)
+        |ORDER BY name, page, img_idx""".stripMargin,
     "pdf_extract_type3" ->
       """SELECT * FROM (VALUES
         |  ('named.pdf', 1, 'é• é', '', ''),

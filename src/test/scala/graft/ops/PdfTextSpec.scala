@@ -398,4 +398,40 @@ class PdfTextSpec extends AnyFunSuite {
       .getBytes("ISO-8859-1")
     assert(Pdf.extractText(patched) == Seq((1, "gen")))
   }
+
+  test("extractImages: Flate RGB/Gray re-encode pixel-exact PNG; DCT passes JPEG through") {
+    val doc = Pdf.makeImagePdf(Seq(
+      Seq(("rgb", 8, 6), ("gray", 5, 4)), Seq(("dct", 8, 8))))
+    val rows = Pdf.extractImages(doc)
+    assert(rows.map(r => (r._1, r._2, r._3, r._4, r._5, r._6, r._8)) == Seq(
+      (1, 0, "Im0", "png", 8, 6, ""), (1, 1, "Im1", "png", 5, 4, ""),
+      (2, 0, "Im0", "jpeg", 8, 8, "")))
+    // PNG arms decode back pixel-exact against the pattern generator
+    val rgb = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(rows(0)._7))
+    val want = Pdf.imageSamples("rgb", 8, 6)
+    assert((0 until 6).forall { y => (0 until 8).forall { x =>
+      val p = rgb.getRGB(x, y); val o = (y * 8 + x) * 3
+      ((p >> 16) & 0xFF) == (want(o) & 0xFF) &&
+        ((p >> 8) & 0xFF) == (want(o + 1) & 0xFF) &&
+        (p & 0xFF) == (want(o + 2) & 0xFF)
+    } })
+    val gray = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(rows(1)._7))
+    val wantG = Pdf.imageSamples("gray", 5, 4)
+    assert((0 until 4).forall(y => (0 until 5).forall(x =>
+      gray.getRaster.getSample(x, y, 0) == (wantG(y * 5 + x) & 0xFF))))
+    // the JPEG payload is the raw stream, byte-for-byte
+    assert(rows(2)._7.take(2).toSeq == Seq(0xFF.toByte, 0xD8.toByte))
+  }
+
+  test("extractImages: unsupported codec/colorspace degrade to warn rows, never throw") {
+    val doc = Pdf.makeImagePdf(Seq(Seq(("ccitt", 4, 4), ("cmyk", 4, 4))))
+    val rows = Pdf.extractImages(doc)
+    assert(rows.map(r => (r._3, r._4, r._7.isEmpty, r._8)) == Seq(
+      ("Im0", "", true, "unsupported image filter /CCITTFaxDecode"),
+      ("Im1", "", true, "unsupported image colorspace /DeviceCMYK")))
+    // a text-only document simply has no image rows
+    assert(Pdf.extractImages(Pdf.makeTextPdf(Seq("BT (x) Tj ET"))).isEmpty)
+  }
 }
