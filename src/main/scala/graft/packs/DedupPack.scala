@@ -27,6 +27,10 @@ object DedupPack extends QueryPack {
   private val cjkPhraseB = " 한국어 토크나이저 중복제거엔진"
   private val cjkExtra = "갑"
 
+  /** 36-codepoint Korean span planted verbatim in two extra docs for
+    * the exact-substring mixed-script arm (>= minLen 30). */
+  private val cjkSpan = "반복되는 한국어 평문 구간이 말뭉치 전체에 그대로 복제되어 있다 "
+
   private def corpus(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.load(s, dir, "documents")
     d.select(col("doc_id").as("id"), col("text"))
@@ -141,15 +145,23 @@ object DedupPack extends QueryPack {
     // construction specialised to equality): maximal verbatim-repeat
     // regions at character granularity, the Lee et al. 2022 semantics.
     // blockChars=256 exercises the overlap-block segmentation at gate
-    // scale (the giant-document skew defence); ASCII filter keeps
-    // code-unit indexing identical across engines.
-    "dedup_exact_substring" -> ((s, dir) =>
-      Dedup.duplicateSpans(
-          Tables.load(s, dir, "documents")
-            .filter(col("text").rlike("^[\\x20-\\x7E]*$")),
-          "doc_id", "text", minLen = 30, blockChars = 256)
+    // scale (the giant-document skew defence). The r20 mixed-script
+    // arm plants a 36-codepoint Korean span shared by two extra docs:
+    // positions come from split('') / string_split('') — CODEPOINT
+    // indexed on both engines — so a verbatim CJK repeat must span-
+    // detect exactly like ASCII, no fence needed.
+    "dedup_exact_substring" -> ((s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+      val corpus = d.filter(col("text").rlike("^[\\x20-\\x7E]*$"))
+        .select(col("doc_id"), col("text"))
+        .unionAll(d.filter(col("doc_id") < 2)
+          .select((col("doc_id") + 9000000L).as("doc_id"),
+            concat(lit(cjkSpan), col("text")).as("text")))
+      Dedup.duplicateSpans(corpus, "doc_id", "text", minLen = 30,
+          blockChars = 256)
         .withColumnRenamed("id", "doc_id")
-        .orderBy("doc_id", "span_start")),
+        .orderBy("doc_id", "span_start")
+    }),
     // The APPLIED release filter over the span family — the char-exact
     // analogue of dedup_ngram_prune: per doc, duplicated-character
     // share (Σ maximal-span lengths / doc length, ×1e4 bp) and the
@@ -935,9 +947,12 @@ object DedupPack extends QueryPack {
     // substrings materialized + counted directly, then the same
     // touching-windows island merge
     "dedup_exact_substring" ->
-      """WITH d AS (SELECT doc_id, text FROM documents
-        |  WHERE regexp_matches(text, '^[\x20-\x7E]*$')),
-        |pos AS (SELECT doc_id, CAST(t.i AS BIGINT) AS i,
+      (s"""WITH d AS (SELECT doc_id, text FROM documents
+          |  WHERE regexp_matches(text, '^[\\x20-\\x7E]*$$')
+          |  UNION ALL
+          |  SELECT doc_id + 9000000, '$cjkSpan' || text
+          |  FROM documents WHERE doc_id < 2),""".stripMargin + "\n" +
+      """pos AS (SELECT doc_id, CAST(t.i AS BIGINT) AS i,
         |    substr(text, CAST(t.i AS INT), 30) AS g
         |  FROM d, UNNEST(generate_series(1, length(text) - 29)) AS t(i)),
         |dup AS (SELECT g FROM pos GROUP BY g HAVING count(*) >= 2),
@@ -952,7 +967,7 @@ object DedupPack extends QueryPack {
         |  max(i) + 30 - min(i) AS span_len,
         |  CAST(count(*) AS BIGINT) AS n_dup_windows
         |FROM isl GROUP BY doc_id, island
-        |ORDER BY doc_id, span_start""".stripMargin,
+        |ORDER BY doc_id, span_start""".stripMargin),
     "dedup_ngram_prune" ->
       s"""WITH $docSpanSql,
          |st AS (SELECT id AS doc_id,

@@ -54,6 +54,11 @@ object LlmPack extends QueryPack {
     * phrases supply high-frequency multi-byte UTF-8 words. */
   private val koreanA = "데이터 정제 파이프라인"
   private val koreanB = "한국어 말뭉치 토크나이저"
+
+  /** 36-codepoint Korean prefix shared by the winnowing gate's two
+    * mixed-script rows (>= w+k-1, so >= 1 shared fingerprint is the
+    * MOSS guarantee). */
+  private val koreanSpan = "반복되는 한국어 평문 구간이 말뭉치 전체에 그대로 복제되어 있다 "
   private def mixedKoreanCorpus(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "customer").select(
       concat(col("c_name"),
@@ -723,7 +728,16 @@ object LlmPack extends QueryPack {
     // shared with another document — the contamination screen with the
     // ≥ w+k−1-char match guarantee at ~2/(w+1) storage.
     "text_winnow_fingerprints" -> ((s, dir) => {
-      val d = docs(s, dir).filter(col("text").rlike("^[\\x20-\\x7E]*$"))
+      // r20 mixed-script arm: two extra docs share a 36-codepoint
+      // Korean prefix (>= w+k-1 = 27), so a verbatim CJK span must
+      // register shared fingerprints under the same guarantee as
+      // ASCII — substring/length are codepoint-based on BOTH engines,
+      // the convention is portable as-is.
+      val base = docs(s, dir).filter(col("text").rlike("^[\\x20-\\x7E]*$"))
+        .select(col("doc_id"), col("text"))
+      val d = base.unionAll(docs(s, dir).filter(col("doc_id") < 2)
+        .select((col("doc_id") + 9000000L).as("doc_id"),
+          concat(lit(koreanSpan), col("text")).as("text")))
       val fp = TA.winnowFingerprints(d, "doc_id", "text", k = 20, w = 8)
       val shared = fp.groupBy("h").agg(countDistinct(col("id")).as("nd"))
       fp.join(shared, Seq("h"))
@@ -2782,9 +2796,12 @@ object LlmPack extends QueryPack {
     // same keyed 20-gram hashes, window-of-8 integer argmin
     // (h*2^20 + p, leftmost tie), distinct fingerprints, share counts
     "text_winnow_fingerprints" ->
-      """WITH d AS (SELECT doc_id AS id, text FROM documents
-        |  WHERE regexp_matches(text, '^[\x20-\x7E]*$')),
-        |pos AS (SELECT id, CAST(t.i AS BIGINT) AS p,
+      (s"""WITH d AS (SELECT doc_id AS id, text FROM documents
+          |  WHERE regexp_matches(text, '^[\\x20-\\x7E]*$$')
+          |  UNION ALL
+          |  SELECT doc_id + 9000000, '$koreanSpan' || text
+          |  FROM documents WHERE doc_id < 2),""".stripMargin + "\n" +
+      """pos AS (SELECT id, CAST(t.i AS BIGINT) AS p,
         |    CAST(CONCAT('0x', substr(md5(
         |      substr(text, CAST(t.i AS INT), 20) || ':win:h'), 1, 8)) AS BIGINT) AS h
         |  FROM d, UNNEST(generate_series(1, length(text) - 19)) AS t(i)),
@@ -2802,7 +2819,7 @@ object LlmPack extends QueryPack {
         |SELECT fp.id AS doc_id, CAST(count(*) AS BIGINT) AS n_fp,
         |  CAST(sum(CASE WHEN s.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_fp
         |FROM fp JOIN shared s USING (h)
-        |GROUP BY 1 ORDER BY doc_id""".stripMargin,
+        |GROUP BY 1 ORDER BY doc_id""".stripMargin),
     "text_top_terms" ->
       """SELECT term, count(*) AS n
         |FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
