@@ -140,6 +140,28 @@ object Ann {
         expr("transform(ce, x -> CAST(x AS DOUBLE))").as("cemb"))
   }
 
+  /** [[seedCentroids]] collapsed to ONE job: the ≤n winning rows come
+    * back through the same TakeOrderedAndProject (per-partition heap +
+    * driver merge), and the 0..n-1 cid rank — a total order over ≤n
+    * driver-local rows — is assigned driver-side instead of through a
+    * zipWithIndex round-trip (which costs an extra per-partition count
+    * job plus a second collect). Values are identical: the hash column
+    * sorts as lowercase-hex ASCII, which String ordering and Spark's
+    * UTF8 binary ordering agree on, and CAST(float AS DOUBLE) is the
+    * same exact widening as `toDouble`. */
+  private def seedCentroidArrays(corpus: DataFrame, n: Int,
+      seed: String): Array[(Int, Array[Double])] = {
+    val h = md5(concat(col("vec_id").cast("string"), lit(s":$seed")))
+    val top = corpus.select(
+        expr("transform(ce, x -> CAST(x AS DOUBLE))").as("cemb"),
+        h.as("h"), col("vec_id").cast("long").as("vid"))
+      .orderBy(col("h"), col("vid")).limit(n).collect()
+    top.map(r => (r.getString(1), r.getLong(2), r.getSeq[Double](0).toArray))
+      .sortBy(t => (t._1, t._2))
+      .zipWithIndex
+      .map { case ((_, _, c), i) => (i, c) }
+  }
+
   /** Argmax-cosine bucket per corpus vector, as a NARROW projection:
     * the centroid set — small by construction, it IS the index —
     * collects to the driver and compiles into the codegen'd
@@ -150,10 +172,21 @@ object Ann {
     * order and ascending-cid strict-`>` tie-break — but it shuffled
     * the corpus twice per assignment pass.) Highest cosine wins, ties
     * to the smallest cid. Output (vec_id, ce, ce2, bucket). */
-  def assignBuckets(corpus: DataFrame, centroids: DataFrame): DataFrame = {
-    import graft.functions.{ArgmaxBucket, F}
-    val cents = centroids.select(col("cid"), col("cemb")).collect()
+  def assignBuckets(corpus: DataFrame, centroids: DataFrame): DataFrame =
+    assignBucketsArr(corpus, collectCentArrays(centroids))
+
+  /** Centroid table → driver arrays, sorted by cid (the literal form
+    * the codegen'd assignment expressions compile against). */
+  private def collectCentArrays(centroids: DataFrame): Array[(Int, Array[Double])] =
+    centroids.select(col("cid"), col("cemb")).collect()
       .map(r => (r.getInt(0), r.getSeq[Double](1).toArray)).sortBy(_._1)
+
+  /** [[assignBuckets]] against driver-local centroid arrays — the form
+    * the build loop uses so a step's collected result feeds the next
+    * assignment with zero extra jobs. */
+  private def assignBucketsArr(corpus: DataFrame,
+      cents: Array[(Int, Array[Double])]): DataFrame = {
+    import graft.functions.{ArgmaxBucket, F}
     require(cents.nonEmpty, "assignBuckets: empty centroid set")
     corpus.select(col("vec_id"), col("ce"), dotExpr("ce", "ce").as("ce2"),
       F.toColumn(ArgmaxBucket(F.toExpr(col("ce")),
@@ -193,27 +226,53 @@ object Ann {
   def ivfCentroids(corpus: DataFrame, n: Int, iters: Int = 2,
       seed: String = "ivf"): DataFrame = {
     // The build scans the corpus iters+1 times (seeding + one
-    // assignment per Lloyd step). collect() below is a real action, so
-    // the persist has a bounded lifetime inside this function —
-    // materialize once, refine from cache, release.
+    // assignment per Lloyd step). Each step's ≤n-row result collects
+    // to the driver and feeds the next assignment as a literal — a
+    // lazily-folded chain would re-execute 1+2+…+iters assignment
+    // passes. r20: the whole loop is driver arrays (seeding is the
+    // one-job [[seedCentroidArrays]], the dimensionality comes from
+    // the seed rows instead of a separate probe job, and each Lloyd
+    // step is one aggregate + collect) — iters+1 jobs total, down
+    // from 2·(iters+1)+2 with the localize/zipWithIndex round-trips.
     val cached = corpus.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      // Bounded 1-row probe for the embedding dimensionality (the
-      // schema types it array<float> without a length) — lloydStep
-      // builds one sum column per component.
-      val dim = cached.select(size(col("ce")).as("d")).head.getInt(0)
-      // Materialize EVERY step to a local ≤n-row table, not just the
-      // final result: a lazily-folded chain embeds step i's whole plan
-      // inside step i+1, so iters Lloyd steps would re-execute
-      // 1+2+…+iters assignment passes and carry an ever-deeper lineage
-      // into the last one. With per-step localization each step runs
-      // exactly one assignment over the cached corpus against a
-      // literal centroid table — iters+1 flat jobs total.
-      def localize(df: DataFrame): DataFrame = corpus.sparkSession.createDataFrame(
-        java.util.Arrays.asList(df.collect(): _*), df.schema)
-      (0 until iters).foldLeft(localize(seedCentroids(cached, n, seed)))(
-        (cent, _) => localize(lloydStep(cached, cent, dim)))
+      var cents = seedCentroidArrays(cached, n, seed)
+      require(cents.nonEmpty, "ivfCentroids: empty corpus")
+      val dim = cents.head._2.length
+      (0 until iters).foreach { _ =>
+        // identical values to [[lloydStep]]: same assignment
+        // expression, same order-independent fixed-point sums, same
+        // single IEEE division per component.
+        cents = assignBucketsArr(cached, cents)
+          .groupBy("bucket")
+          .agg(count(lit(1)).as("n"),
+            (0 until dim).map(p =>
+              sum(floor(element_at(col("ce"), p + 1).cast("double") * 1000000d)
+                .cast("long")).as(s"s$p")): _*)
+          .collect()
+          .map { r =>
+            val n0 = r.getLong(1)
+            (r.getInt(0), Array.tabulate(dim)(p =>
+              r.getLong(2 + p).toDouble / (n0 * 1000000L).toDouble))
+          }
+          .sortBy(_._1)
+      }
+      localCentDf(corpus.sparkSession, cents)
     } finally cached.unpersist(blocking = false)
+  }
+
+  /** Driver centroid arrays → the local literal (cid, cemb) DataFrame
+    * every search/assignment entry point consumes. */
+  private def localCentDf(spark: org.apache.spark.sql.SparkSession,
+      cents: Array[(Int, Array[Double])]): DataFrame = {
+    import org.apache.spark.sql.types._
+    val rows = cents.map { case (cid, c) =>
+      org.apache.spark.sql.Row(cid, c.toSeq) }
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*),
+      StructType(Seq(
+        StructField("cid", IntegerType, nullable = false),
+        StructField("cemb", ArrayType(DoubleType, containsNull = false),
+          nullable = false))))
   }
 
   /** Multi-probe: each query pairs with its `nprobe` nearest centroids
@@ -495,36 +554,75 @@ object Ann {
   def pqCodebooks(corpus: DataFrame, m: Int, ksub: Int, iters: Int = 2,
       seed: String = "pq"): DataFrame = {
     val cached = corpus.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      val probe = cached.select(size(col("ce")).as("d")).limit(1).collect()
-      require(probe.nonEmpty, "pqCodebooks: empty corpus — cannot probe dimensionality")
-      val dim = probe(0).getInt(0)
-      require(dim % m == 0, s"pqCodebooks: dim $dim not divisible by m $m")
-      val d = dim / m
-      def localize(df: DataFrame): DataFrame = corpus.sparkSession.createDataFrame(
-        java.util.Arrays.asList(df.collect(): _*), df.schema)
+    try pqCodebooksCached(cached, m, ksub, iters, seed)
+    finally cached.unpersist(blocking = false)
+  }
+
+  /** [[pqCodebooks]] over an input the CALLER has already persisted
+    * (or that is cheap to rescan) — [[writeIndexPq]] trains from the
+    * persisted residual relation and must not double-cache a second
+    * projected copy of a corpus-sized table.
+    *
+    * r20 build shape (values unchanged, passes divided by m): the m
+    * per-subspace Lloyd refinements each re-read the whole `ce`
+    * column anyway (parquet stores the vector as ONE array column —
+    * slicing prunes nothing at the scan), so the m independent
+    * aggregations now run as ONE exploded aggregate per iteration:
+    * each row emits its m (sub, bucket, subvector) arms, map-side
+    * partial aggregation collapses them to ≤ m·ksub groups per task
+    * before the exchange, and the collected (sub, bucket) sums split
+    * back into per-subspace codebooks driver-side. Assignment stays
+    * the same per-subspace codegen'd argmin-L2; component sums stay
+    * order-independent fixed-point integers; the mean is the same
+    * single IEEE division — bit-identical codebooks (AnnSpec pins
+    * determinism, the oracle pins values). Seeding runs the one-job
+    * [[seedCentroidArrays]] per subspace: m + iters jobs total,
+    * down from m·(2·(iters+1)) + 1. */
+  def pqCodebooksCached(cached: DataFrame, m: Int, ksub: Int,
+      iters: Int = 2, seed: String = "pq"): DataFrame = {
+    val probe = cached.select(size(col("ce")).as("d")).limit(1).collect()
+    require(probe.nonEmpty, "pqCodebooks: empty corpus — cannot probe dimensionality")
+    val dim = probe(0).getInt(0)
+    require(dim % m == 0, s"pqCodebooks: dim $dim not divisible by m $m")
+    val d = dim / m
+    val seeds: IndexedSeq[Array[(Int, Array[Double])]] = (0 until m).map { s =>
+      seedCentroidArrays(cached.select(col("vec_id"),
+        expr(s"slice(ce, ${s * d + 1}, $d)").as("ce")), ksub, s"$seed$s")
+    }
+    val fin = (0 until iters).foldLeft(seeds) { (cents, _) =>
+      val arms = (0 until m).map { s =>
+        struct(lit(s).as("sub"),
+          pqAssignExpr(expr(s"slice(ce, ${s * d + 1}, $d)"), cents(s)).as("bucket"),
+          expr(s"slice(ce, ${s * d + 1}, $d)").as("sv"))
+      }
+      val agg = cached
+        .select(explode(array(arms: _*)).as("e"))
+        .select(col("e.sub").as("sub"), col("e.bucket").as("bucket"),
+          col("e.sv").as("sv"))
+        .groupBy("sub", "bucket")
+        .agg(count(lit(1)).as("n"),
+          (0 until d).map(p =>
+            sum(floor(element_at(col("sv"), p + 1).cast("double") * 1000000d)
+              .cast("long")).as(s"s$p")): _*)
+        .collect()
       (0 until m).map { s =>
-        val sub = cached.select(col("vec_id"),
-          expr(s"slice(ce, ${s * d + 1}, $d)").as("ce"))
-        val fin = (0 until iters).foldLeft(
-          localize(seedCentroids(sub, ksub, s"$seed$s"))) { (cent, _) =>
-          val cents = cent.select(col("cid"), col("cemb")).collect()
-            .map(r => (r.getInt(0), r.getSeq[Double](1).toArray)).sortBy(_._1)
-          val asg = sub.select(col("vec_id"), col("ce"),
-            pqAssignExpr(col("ce"), cents).as("bucket"))
-          localize(asg.groupBy("bucket")
-            .agg(count(lit(1)).as("n"),
-              (0 until d).map(p =>
-                sum(floor(element_at(col("ce"), p + 1).cast("double") * 1000000d)
-                  .cast("long")).as(s"s$p")): _*)
-            .select(col("bucket").as("cid"),
-              array((0 until d).map(p =>
-                col(s"s$p").cast("double") / (col("n") * 1000000L).cast("double")): _*)
-                .as("cemb")))
-        }
-        fin.withColumn("sub", lit(s))
-      }.reduce(_ unionByName _)
-    } finally cached.unpersist(blocking = false)
+        agg.filter(_.getInt(0) == s).map { r =>
+          val n0 = r.getLong(2)
+          (r.getInt(1), Array.tabulate(d)(p =>
+            r.getLong(3 + p).toDouble / (n0 * 1000000L).toDouble))
+        }.sortBy(_._1)
+      }
+    }
+    import org.apache.spark.sql.types._
+    val rows = fin.zipWithIndex.flatMap { case (cs, s) =>
+      cs.map { case (cid, c) => org.apache.spark.sql.Row(cid, c.toSeq, s) }
+    }
+    cached.sparkSession.createDataFrame(java.util.Arrays.asList(rows: _*),
+      StructType(Seq(
+        StructField("cid", IntegerType, nullable = false),
+        StructField("cemb", ArrayType(DoubleType, containsNull = false),
+          nullable = false),
+        StructField("sub", IntegerType, nullable = false))))
   }
 
   /** PQ encode: per subspace, the argmin-L2 code — ONE narrow
@@ -536,7 +634,8 @@ object Ann {
     * once at encode time from the codebook norms (subspaces are
     * orthogonal coordinate blocks, so the cross terms are zero by
     * construction). Output (vec_id, codes array<int>, x2hat). */
-  def pqEncode(corpus: DataFrame, codebooks: DataFrame): DataFrame = {
+  def pqEncode(corpus: DataFrame, codebooks: DataFrame,
+      keep: Seq[String] = Nil): DataFrame = {
     val cb = codebooks.select(col("sub"), col("cid"), col("cemb")).collect()
       .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
     val m = cb.map(_._1).max + 1
@@ -548,7 +647,13 @@ object Ann {
       while (i < c.length) { t += c(i) * c(i); i += 1 }
       (cid, t)
     }.toMap)
-    val withCodes = (0 until m).foldLeft(corpus.select(col("vec_id"), col("ce"))) {
+    // `keep` columns (e.g. the IVF bucket already sitting on the
+    // residual row) ride through the narrow encode projection — the
+    // alternative is re-attaching them afterwards through a
+    // corpus-wide shuffle join on vec_id, two Exchanges for a value
+    // the row already carries.
+    val withCodes = (0 until m).foldLeft(
+      corpus.select((col("vec_id") +: keep.map(col)) :+ col("ce"): _*)) {
       (df, s) =>
         df.withColumn(s"_c$s",
           pqAssignExpr(expr(s"slice(ce, ${s * d + 1}, $d)"), bySub(s)))
@@ -559,9 +664,9 @@ object Ann {
       }
       coalesce(cases: _*)
     }.reduce(_ + _)
-    withCodes.select(col("vec_id"),
+    withCodes.select((col("vec_id") +: keep.map(col)) ++ Seq(
       array((0 until m).map(s => col(s"_c$s")): _*).as("codes"),
-      x2.as("x2hat"))
+      x2.as("x2hat")): _*)
   }
 
   /** PQ search by asymmetric distance computation (ADC): each query
@@ -681,16 +786,25 @@ object Ann {
       pqSeed: String = "pq"): Unit = {
     val cent = ivfCentroids(corpus, n, iters, seed)
     cent.coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
+    // The residual relation feeds THREE consumers (codebook training,
+    // encoding, and the encoded rows' bucket column): persist it once
+    // — previously its (scan + assignment + broadcast join + zip_with)
+    // lineage recomputed per consumer and the bucket was re-attached
+    // through a corpus-wide shuffle join on vec_id.
     val res = ivfResiduals(corpus, cent)
-    val rv = res.select(col("vec_id"), col("re").as("ce"))
-    val cb = pqCodebooks(rv, m, ksub, iters, pqSeed)
-    cb.coalesce(1).write.mode("overwrite").parquet(s"$dir/codebooks")
-    val enc = pqEncode(rv, cb)
-      .join(res.select(col("vec_id"), col("bucket")), Seq("vec_id"))
-      .select(col("vec_id"), col("bucket"), col("codes"))
-    graft.ops.FileIndex.writeIndexed(enc, s"$dir/encoded", "bucket", files)
-    corpusFingerprint(corpus)
-      .coalesce(1).write.mode("overwrite").parquet(s"$dir/fingerprint")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val rv = res.select(col("vec_id"), col("re").as("ce"))
+      val cb = pqCodebooksCached(rv, m, ksub, iters, pqSeed)
+      cb.coalesce(1).write.mode("overwrite").parquet(s"$dir/codebooks")
+      val enc = pqEncode(
+          res.select(col("vec_id"), col("bucket"), col("re").as("ce")),
+          cb, keep = Seq("bucket"))
+        .select(col("vec_id"), col("bucket"), col("codes"))
+      graft.ops.FileIndex.writeIndexed(enc, s"$dir/encoded", "bucket", files)
+      corpusFingerprint(corpus)
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/fingerprint")
+    } finally res.unpersist(blocking = false)
   }
 
   /** INCREMENTAL add to a persisted IVF+PQ index: encode a delta
@@ -720,10 +834,10 @@ object Ann {
     val cbDf = spark.read.parquet(s"$dir/codebooks")
     val cb = spark.createDataFrame(
       java.util.Arrays.asList(cbDf.collect(): _*), cbDf.schema)
-    val res = ivfResiduals(delta, cent)
-    val rv = res.select(col("vec_id"), col("re").as("ce"))
-    val enc = pqEncode(rv, cb)
-      .join(res.select(col("vec_id"), col("bucket")), Seq("vec_id"))
+    val enc = pqEncode(
+        ivfResiduals(delta, cent)
+          .select(col("vec_id"), col("bucket"), col("re").as("ce")),
+        cb, keep = Seq("bucket"))
       .select(col("vec_id"), col("bucket"), col("codes"))
       .localCheckpoint(true)
     try {

@@ -1058,18 +1058,25 @@ object LlmPack extends QueryPack {
       val e = emb(s, dir)
       val c = e.select(col("vec_id"), col("embedding").as("ce"))
       val cent = Ann.ivfCentroids(c, NC, LLOYD)
+      // residuals persist once for their two consumers (codebook
+      // training, encoding); the bucket rides through the encode
+      // projection instead of a corpus-wide re-attach join (r20 —
+      // the writeIndexPq build shape, applied to the in-memory gate)
       val res = Ann.ivfResiduals(c, cent)
-      val cb = Ann.pqCodebooks(
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val cb = Ann.pqCodebooksCached(
         res.select(col("vec_id"), col("re").as("ce")), PQ_M, PQ_K, LLOYD,
         seed = "ivfpq")
       val enc = Ann.pqEncode(
-          res.select(col("vec_id"), col("re").as("ce")), cb)
-        .join(res.select(col("vec_id"), col("bucket")), Seq("vec_id"))
+          res.select(col("vec_id"), col("bucket"), col("re").as("ce")),
+          cb, keep = Seq("bucket"))
         .select(col("vec_id"), col("bucket"), col("codes"))
       val q = e.filter(col("vec_id") < 3)
         .select(col("vec_id").as("qid"), col("embedding").as("qe"))
-      Ann.ivfpqTopK(q, cent, cb, enc, TOPK, NPROBE)
-        .select("qid", "vec_id", "dot_x1e6", "rank").orderBy("qid", "rank")
+      graft.core.Materialize.drained(
+        Ann.ivfpqTopK(q, cent, cb, enc, TOPK, NPROBE)
+          .select("qid", "vec_id", "dot_x1e6", "rank").orderBy("qid", "rank"),
+        res)
     }),
     // INCREMENTAL index maintenance: yesterday's corpus (6/7 of the
     // vectors) trains the centroids; today's arrivals assign to the
