@@ -119,10 +119,16 @@ object Dedup {
     * exact dedup, not MinHash. Default cap 10k ⇒ ≤1e8 comparisons per
     * degenerate bucket, bounded regardless of corpus size. */
   def lshCandidates(bandsDf: DataFrame, maxBucket: Long = 10000L): DataFrame = {
-    val okKeys = bandsDf.groupBy("bk").agg(count(lit(1)).as("bn"))
+    // r20: band keys digest to 64-bit before the cap aggregate and the
+    // self-join — the concat_ws band string exists only to define
+    // equality classes, and xxhash64 preserves them (same negligible-
+    // collision contract as the verify stage's digests), so candidates
+    // are unchanged while the hot self-join shuffles/compares longs.
+    val b = bandsDf.select(col("id"), xxhash64(col("bk")).as("bk"))
+    val okKeys = b.groupBy("bk").agg(count(lit(1)).as("bn"))
       .filter(col("bn") <= maxBucket)
       .select("bk")
-    val capped = bandsDf.join(okKeys, Seq("bk"))
+    val capped = b.join(okKeys, Seq("bk"))
     val x = capped.as("x"); val y = capped.as("y")
     x.join(y, col("x.bk") === col("y.bk") && col("x.id") < col("y.id"))
       .select(col("x.id").as("a"), col("y.id").as("b"))
@@ -219,20 +225,30 @@ object Dedup {
   def prefixFilterPairs(sh: DataFrame, tauX1e4: Long,
       maxBucket: Long = 10000L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val freq = sh.groupBy("sh").agg(count(lit(1)).as("tf"))
+    // r20: every join/group key below is the 64-bit shingle digest,
+    // not the shingle string — the same pre-shuffle digesting the
+    // verify stage ([[jaccard]]) already standardizes, with the same
+    // negligible-collision contract. 5-gram shingles average tens of
+    // bytes; at Σ posting² self-join fan-out the 8-byte key is the
+    // difference between shuffling/comparing strings and longs. The
+    // PREFIX ORDER is unchanged — still (tf, shingle string) — so the
+    // candidate set is byte-for-byte the one the oracle's mirrored
+    // algebra derives (the digest only renames the join key).
+    val dg = sh.select(col("id"), col("sh"), xxhash64(col("sh")).as("shd"))
+    val freq = dg.groupBy("shd").agg(count(lit(1)).as("tf"))
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("n"))
-    val ranked = sh.join(freq, "sh")
+    val ranked = dg.join(freq, "shd")
       .withColumn("pos", row_number().over(
         Window.partitionBy("id").orderBy(col("tf"), col("sh"))))
     val pref = ranked.join(sizes, "id")
       .filter(col("pos") <=
         col("n") - floor((col("n") * tauX1e4 + 9999L) / 10000L) + 1L)
-      .select("id", "sh")
-    val okKeys = pref.groupBy("sh").agg(count(lit(1)).as("pn"))
-      .filter(col("pn") <= maxBucket).select("sh")
-    val capped = pref.join(okKeys, Seq("sh"))
+      .select("id", "shd")
+    val okKeys = pref.groupBy("shd").agg(count(lit(1)).as("pn"))
+      .filter(col("pn") <= maxBucket).select("shd")
+    val capped = pref.join(okKeys, Seq("shd"))
     val cand = capped.as("x").join(capped.as("y"),
-        col("x.sh") === col("y.sh") && col("x.id") < col("y.id"))
+        col("x.shd") === col("y.shd") && col("x.id") < col("y.id"))
       .select(col("x.id").as("a"), col("y.id").as("b")).distinct()
     jaccard(cand, sh).filter(col("jacc_x1e4") >= tauX1e4)
   }
@@ -437,7 +453,10 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val shE = sh0(eval)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    def capped(b: DataFrame) = {
+    def capped(b0: DataFrame) = {
+      // digest band keys before the cap/join (the lshCandidates r20
+      // idiom): equality classes unchanged, join keys become longs
+      val b = b0.select(col("id"), xxhash64(col("bk")).as("bk"))
       val ok = b.groupBy("bk").agg(count(lit(1)).as("bn"))
         .filter(col("bn") <= maxBucket).select("bk")
       b.join(ok, Seq("bk"))
@@ -549,20 +568,29 @@ object Dedup {
     * (id, n_grams, n_dup_grams, dup_bps).
     *
     * Scale shape: one shingle scan (codegen'd WordShingles), grams
-    * digested to fixed-width md5 hex BEFORE the shuffle (the shuffle
-    * carries 32-char keys, not arbitrary-length text), one hash
+    * digested to the fixed-width 64-bit xxhash BEFORE the shuffle (the
+    * shuffle carries 8-byte keys, not arbitrary-length text), one hash
     * aggregate for document frequencies, one equi-join back on the
     * digest, one per-doc aggregate. Never all-pairs; the frequency
     * table has vocabulary cardinality, same as the postings index. */
   def ngramSpanStats(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3): DataFrame = {
-    val g = shingles(docs, idCol, textCol, n).select(col("id"), md5(col("sh")).as("gh"))
+    // r20: digest with the 8-byte xxhash64 instead of 32-char md5 hex
+    // (the verify-stage idiom — same negligible-collision contract,
+    // the digest never leaves this query), and cache the digested
+    // shingle relation for its TWO consumers (frequency aggregate +
+    // join-back) instead of re-running the shingle scan per consumer.
+    val g = shingles(docs, idCol, textCol, n)
+      .select(col("id"), xxhash64(col("sh")).as("gh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val freq = g.groupBy("gh").agg(count(lit(1)).as("ndocs"))
-    g.join(freq, "gh")
-      .groupBy("id")
-      .agg(count(lit(1)).as("n_grams"),
-        sum(when(col("ndocs") >= 2, 1L).otherwise(0L)).as("n_dup_grams"))
-      .withColumn("dup_bps", expr("n_dup_grams * 10000 DIV n_grams"))
+    graft.core.Materialize.drained(
+      g.join(freq, "gh")
+        .groupBy("id")
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when(col("ndocs") >= 2, 1L).otherwise(0L)).as("n_dup_grams"))
+        .withColumn("dup_bps", expr("n_dup_grams * 10000 DIV n_grams")),
+      g)
   }
 
   /** Exact duplicated-SUBSTRING spans at character granularity — the
@@ -645,7 +673,13 @@ object Dedup {
         when(lead(col("d"), h.toInt).over(w).isNotNull,
           xxhash64(col("d"), lead(col("d"), h.toInt).over(w))))
     }
-    // sparse-table combine to the exact-L key, home rows only
+    // sparse-table combine to the exact-L key, home rows only.
+    // r20: the keyed relation feeds TWO consumers (the corpus-wide
+    // duplicate-count aggregate and the join-back) and its lineage is
+    // the whole K-round doubling window chain over every character
+    // position — cache it once for the single materializing run
+    // instead of running the doubling twice (scoped Materialize
+    // lifecycle; the result is the sparse span list).
     val keyed = dK
       .withColumn("lkey",
         if (tail == 0L) col("d")
@@ -653,6 +687,7 @@ object Dedup {
           xxhash64(col("d"), lead(col("d"), tail.toInt).over(w))))
       .filter(col("blk") === col("home") && col("lkey").isNotNull)
       .select(col("id"), col("pos"), col("lkey"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // corpus-wide duplicate marking: keys seen >= 2 times (any doc,
     // multiplicity counted — a within-doc repeat duplicates too)
     val dup = keyed.groupBy("lkey").agg(count(lit(1)).as("n"))
@@ -661,19 +696,21 @@ object Dedup {
     // gaps-and-islands over the (sparse, duplication-sized) marked
     // starts: windows [i, i+L) touching or overlapping merge
     val wDoc = Window.partitionBy("id").orderBy("pos")
-    marked
-      .withColumn("brk", when(lag(col("pos"), 1).over(wDoc).isNull ||
-        col("pos") - lag(col("pos"), 1).over(wDoc) > minLen.toLong, 1L)
-        .otherwise(0L))
-      .withColumn("island", sum(col("brk")).over(
-        wDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .groupBy("id", "island")
-      .agg(min(col("pos")).as("span_start"),
-        (max(col("pos")) + minLen.toLong).as("span_end"),
-        count(lit(1)).as("n_dup_windows"))
-      .select(col("id"), col("span_start"), col("span_end"),
-        (col("span_end") - col("span_start")).as("span_len"),
-        col("n_dup_windows"))
+    graft.core.Materialize.drained(
+      marked
+        .withColumn("brk", when(lag(col("pos"), 1).over(wDoc).isNull ||
+          col("pos") - lag(col("pos"), 1).over(wDoc) > minLen.toLong, 1L)
+          .otherwise(0L))
+        .withColumn("island", sum(col("brk")).over(
+          wDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("id", "island")
+        .agg(min(col("pos")).as("span_start"),
+          (max(col("pos")) + minLen.toLong).as("span_end"),
+          count(lit(1)).as("n_dup_windows"))
+        .select(col("id"), col("span_start"), col("span_end"),
+          (col("span_end") - col("span_start")).as("span_len"),
+          col("n_dup_windows")),
+      keyed)
   }
 
   /** Content-defined chunking (CDC) duplicate detection — the
@@ -730,12 +767,22 @@ object Dedup {
         (col("b") - col("cstart") + 1L).as("chunk_len"),
         md5(expr("substring(text, CAST(cstart AS INT), CAST(b - cstart + 1 AS INT))"))
           .as("chunk_hash"))
-    val shared = chunks.groupBy("chunk_hash")
+    // r20: the chunk relation feeds the shared-count aggregate AND the
+    // join-back, and its lineage (boundary generator + lag window +
+    // text join + per-chunk md5) re-executed per consumer — cache it
+    // once for the single materializing run (scoped lifecycle; the
+    // cached rows are the sparse ~len/divisor boundary chunks, not the
+    // corpus text).
+    val chunksC = chunks
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val shared = chunksC.groupBy("chunk_hash")
       .agg(countDistinct(col("id")).as("n_docs"))
       .filter(col("n_docs") >= 2)
-    chunks.join(shared, Seq("chunk_hash"))
-      .select(col("id"), col("chunk_start"), col("chunk_len"),
-        col("chunk_hash"), col("n_docs"))
+    graft.core.Materialize.drained(
+      chunksC.join(shared, Seq("chunk_hash"))
+        .select(col("id"), col("chunk_start"), col("chunk_len"),
+          col("chunk_hash"), col("n_docs")),
+      chunksC)
   }
 
   /** 16-bit SimHash per document: token-occurrence weighted bit votes.
@@ -819,8 +866,11 @@ object Dedup {
       k: Int = 8, bands: Int = 4, threshold: Double = 0.5,
       maxBucket: Long = 10000L): DataFrame = {
     val allSigs = state.unionByName(newSigs)
-    val oldBands = lshBands(state, k, bands).withColumn("is_new", lit(false))
-    val newBands = lshBands(newSigs, k, bands).withColumn("is_new", lit(true))
+    // digest band keys before the cap/join (the lshCandidates r20
+    // idiom): equality classes unchanged, the self-join keys are longs
+    def dg(b: DataFrame) = b.select(col("id"), xxhash64(col("bk")).as("bk"))
+    val oldBands = dg(lshBands(state, k, bands)).withColumn("is_new", lit(false))
+    val newBands = dg(lshBands(newSigs, k, bands)).withColumn("is_new", lit(true))
     val allBands = oldBands.unionByName(newBands)
     val ok = allBands.groupBy("bk").agg(count(lit(1)).as("bn"))
       .filter(col("bn") <= maxBucket).select("bk")
@@ -860,10 +910,17 @@ object Dedup {
   def simhashBandedPairs(docs: DataFrame, idCol: String, textCol: String,
       maxBits: Int = 3, maxBucket: Long = 10000L,
       cjkAware: Boolean = false): DataFrame =
-    bandedHammingPairs(
+    // r20: the banded kernel consumes its signature input three times
+    // (cap aggregate + both self-join arms) and the simhash subtree is
+    // a full shingle scan + 64-sum vote aggregate — cache the 2-long
+    // signature rows once for the single materializing run instead of
+    // scanning the corpus per consumer (the before-plan carried the
+    // shingle Generate 16 times). Scoped Materialize lifecycle.
+    graft.core.Materialize.withCached(
       simhash64(docs, idCol, textCol, cjkAware)
-        .select(col("id"), col("simhash").as("sig")),
-      maxBits, maxBucket)
+        .select(col("id"), col("simhash").as("sig"))) { s =>
+      bandedHammingPairs(s, maxBits, maxBucket)
+    }
 
   /** Banded Hamming-radius self-join over ANY 64-bit signature column
     * — the shared kernel under [[simhashBandedPairs]] (text simhash)
@@ -876,6 +933,12 @@ object Dedup {
   def bandedHammingPairs(sigs: DataFrame, maxBits: Int = 3,
       maxBucket: Long = 10000L): DataFrame = {
     require(maxBits >= 0 && maxBits <= 63, s"maxBits=$maxBits")
+    // Lazy and pure by contract (plan-shape specs compose over it);
+    // the band relation is consumed three times (cap aggregate + both
+    // self-join arms), so CALLERS whose signature subtree is expensive
+    // should hand in a cached `sigs` — [[simhashBandedPairs]] does
+    // (its shingle scan is the whole query's cost), and the banded
+    // explode itself is a 4-row narrow fan-out of two longs per doc.
     val bands = sigs.select(col("id"), col("sig"),
         explode(array((0 until 4).map(b => struct(lit(b).as("band"),
           expr(s"(sig >> ${16 * b}) & 65535").as("v"))): _*)).as("bv"))

@@ -408,19 +408,24 @@ object TextAnalysis {
     val train = base.filter(col("is_train"))
     val tTok = train.select(explode(col("w")).as("w3"))
     val uni = tTok.groupBy("w3").agg(count(lit(1)).as("cu"))
-    val nTot = tTok.agg(count(lit(1)).as("n_total"))
+    // r20: the context/total counts are exact ROLLUPS of the n-gram
+    // count tables — n_total = Σ cu, ch(w2) = Σ_{w3} cb, cth(w1,w2) =
+    // Σ_{w3} ct — so they aggregate the vocab-sized tables instead of
+    // re-exploding the training corpus (3 corpus-token passes become 3
+    // vocab-scale aggregates; identical integer values by definition).
+    val nTot = uni.agg(coalesce(sum(col("cu")), lit(0L)).as("n_total"))
     val tBi = train.filter(size(col("w")) >= 2)
       .select(explode(expr(
         "transform(sequence(1, size(w) - 1), i -> struct(w[i-1] AS w2, w[i] AS w3))")).as("p"))
       .select(col("p.w2").as("w2"), col("p.w3").as("w3"))
     val bi = tBi.groupBy("w2", "w3").agg(count(lit(1)).as("cb"))
-    val bh = tBi.groupBy("w2").agg(count(lit(1)).as("ch"))
+    val bh = bi.groupBy("w2").agg(sum(col("cb")).as("ch"))
     val tTri = train.filter(size(col("w")) >= 3)
       .select(explode(expr(
         "transform(sequence(2, size(w) - 1), i -> struct(w[i-2] AS w1, w[i-1] AS w2, w[i] AS w3))")).as("t"))
       .select(col("t.w1").as("w1"), col("t.w2").as("w2"), col("t.w3").as("w3"))
     val tri = tTri.groupBy("w1", "w2", "w3").agg(count(lit(1)).as("ct"))
-    val th = tTri.groupBy("w1", "w2").agg(count(lit(1)).as("cth"))
+    val th = tri.groupBy("w1", "w2").agg(sum(col("ct")).as("cth"))
     // Context counts fold into their n-gram tables model-side: these
     // two joins shuffle count tables, never the corpus stream.
     val triE = tri.join(th, Seq("w1", "w2"))

@@ -53,36 +53,45 @@ object Graph {
     * key); the degree table joins are fine broadcast at dim scale and
     * shuffle at web scale — left to Catalyst/AQE.
     */
-  def triangleCounts(edges: DataFrame): DataFrame = {
-    val deg = edges.select(col("a").as("v")).unionAll(edges.select(col("b").as("v")))
-      .groupBy("v").agg(count(lit(1)).as("deg"))
-    // orient by (deg, id): src = the smaller endpoint in that order
-    val withDeg = edges
-      .join(deg.withColumnRenamed("v", "a").withColumnRenamed("deg", "da"), "a")
-      .join(deg.withColumnRenamed("v", "b").withColumnRenamed("deg", "db"), "b")
-    val oriented = withDeg.select(
-      when(col("da") < col("db") || (col("da") === col("db") && col("a") < col("b")),
-        struct(col("a").as("src"), col("b").as("dst")))
-        .otherwise(struct(col("b").as("src"), col("a").as("dst"))).as("e"))
-      .select(col("e.src").as("src"), col("e.dst").as("dst"))
-    // wedges at the pivot: two out-edges of one src; order endpoints to
-    // generate each unordered wedge once
-    val o2 = oriented.select(col("src").as("src2"), col("dst").as("dst2"))
-    val wedges = oriented.join(o2, col("src") === col("src2"))
-      .filter(col("dst") < col("dst2"))
-      .select(col("src").as("pivot"), col("dst").as("u"), col("dst2").as("w"))
-    // close: the (u,w) leg must exist as an oriented edge in EITHER
-    // direction (orientation of the closing edge is independent)
-    val closing = oriented.select(
-        least(col("src"), col("dst")).as("cu"), greatest(col("src"), col("dst")).as("cw"))
-      .distinct()
-    // wedges already carry u < w (dst < dst2 filter), so the probe is a
-    // plain two-key equi-join
-    val tris = wedges.join(closing, col("u") === col("cu") && col("w") === col("cw"))
-      .select("pivot", "u", "w")
-    tris.select(explode(array(col("pivot"), col("u"), col("w"))).as("v"))
-      .groupBy("v").agg(count(lit(1)).as("n_triangles"))
-  }
+  def triangleCounts(edges: DataFrame): DataFrame =
+    // r20: the edge relation is consumed three times (both degree-count
+    // arms + the orientation join) and the ORIENTED relation three more
+    // (both wedge arms + the closing set); a caller passing a derived
+    // edge list (e.g. the co-purchase projection's self-join+distinct)
+    // re-executed that whole subtree per consumer — the before-plan hit
+    // 156 Exchanges. Cache both once for the single materializing run
+    // (the scoped Materialize lifecycle, nothing left pinned after).
+    graft.core.Materialize.withCached2(edges) { e =>
+      val deg = e.select(col("a").as("v")).unionAll(e.select(col("b").as("v")))
+        .groupBy("v").agg(count(lit(1)).as("deg"))
+      // orient by (deg, id): src = the smaller endpoint in that order
+      val withDeg = e
+        .join(deg.withColumnRenamed("v", "a").withColumnRenamed("deg", "da"), "a")
+        .join(deg.withColumnRenamed("v", "b").withColumnRenamed("deg", "db"), "b")
+      withDeg.select(
+        when(col("da") < col("db") || (col("da") === col("db") && col("a") < col("b")),
+          struct(col("a").as("src"), col("b").as("dst")))
+          .otherwise(struct(col("b").as("src"), col("a").as("dst"))).as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst"))
+    } { (_, oriented) =>
+      // wedges at the pivot: two out-edges of one src; order endpoints
+      // to generate each unordered wedge once
+      val o2 = oriented.select(col("src").as("src2"), col("dst").as("dst2"))
+      val wedges = oriented.join(o2, col("src") === col("src2"))
+        .filter(col("dst") < col("dst2"))
+        .select(col("src").as("pivot"), col("dst").as("u"), col("dst2").as("w"))
+      // close: the (u,w) leg must exist as an oriented edge in EITHER
+      // direction (orientation of the closing edge is independent)
+      val closing = oriented.select(
+          least(col("src"), col("dst")).as("cu"), greatest(col("src"), col("dst")).as("cw"))
+        .distinct()
+      // wedges already carry u < w (dst < dst2 filter), so the probe is
+      // a plain two-key equi-join
+      val tris = wedges.join(closing, col("u") === col("cu") && col("w") === col("cw"))
+        .select("pivot", "u", "w")
+      tris.select(explode(array(col("pivot"), col("u"), col("w"))).as("v"))
+        .groupBy("v").agg(count(lit(1)).as("n_triangles"))
+    }
 
   /** Bounded-depth BFS levels from a seed set over canonical edges
     * (cols a<b): level(v) = min #hops from any seed, capped at
@@ -97,6 +106,14 @@ object Graph {
     * level 0. Output: (v, lvl). */
   def bfsLevels(edges: DataFrame, seeds: DataFrame, depth: Int): DataFrame = {
     require(depth >= 1, s"bfsLevels: depth must be >= 1, got $depth")
+    // Deliberately lazy with a re-derived adjacency per round: an r20
+    // experiment that cached the adjacency (persist + drained) read
+    // 1.6x SLOWER at bench scale — the persist/checkpoint barriers
+    // cost more than the lazy pyramid's redundant subtrees, which run
+    // in parallel branches of one job. At true scale a caller looping
+    // deeper than a few rounds should hand in a MATERIALIZED edge
+    // list; the operator's own contract is bounded depth (unbounded
+    // closure belongs to the pointer-doubling in Hierarchy/dupClusters).
     val und = edges.select(col("a").as("x"), col("b").as("y"))
       .unionAll(edges.select(col("b").as("x"), col("a").as("y")))
     var levels = seeds.select(col("v"), lit(0L).as("lvl"))

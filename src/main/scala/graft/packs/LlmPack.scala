@@ -242,12 +242,17 @@ object LlmPack extends QueryPack {
         .select(col("id").as("doc_id"), col("lm_bits_x100"))
       val w = Window.partitionBy("lang")
         .orderBy(col("lm_bits_x100"), col("doc_id"))
+      // r20: tiles feeds TWO consumers (NB pseudo-labels and the final
+      // profile join) and its lineage is the whole LM + per-language
+      // window — materialize the doc_id→bucket map once instead of
+      // scoring the corpus through the LM twice.
       val tiles = d.select(col("doc_id"), col("lang")).join(lm, "doc_id")
         .withColumn("bucket",
           when(ntile(3).over(w) === 1, lit("head"))
             .when(ntile(3).over(w) === 2, lit("middle"))
             .otherwise(lit("tail")))
         .select("doc_id", "bucket")
+        .localCheckpoint(true)
       val labeled = tiles.filter(col("bucket") =!= "middle")
         .join(d.select(col("doc_id"), col("text")), "doc_id")
         .withColumn("cls",
@@ -353,6 +358,14 @@ object LlmPack extends QueryPack {
       val clean = d.select(col("doc_id"),
         Markup.stripMarkdown(concat(
           lit(LlmPack.mdPrefix), col("text"), lit(LlmPack.mdSuffix))).as("text"))
+      // Deliberately NOT checkpointed (unlike the distill/tokens
+      // chains): this whole query is ONE action, so the strip+dedup
+      // subtree's four consumers run as parallel branches of a single
+      // job — an r20 sf1 pair read the checkpointed variant 1.04×
+      // SLOWER (the barrier costs more than the absorbed duplication).
+      // distill/tokens checkpoint because their consumers are SEPARATE
+      // driver actions (the BPE histogram collects, the eager NB
+      // train), where the prefix really does re-execute per action.
       val deduped = Dedup.lineDedup(clean, "doc_id", "text", "\n")
         .withColumnRenamed("id", "doc_id")
       val lm = TA.stupidBackoff(
@@ -738,6 +751,11 @@ object LlmPack extends QueryPack {
       val d = base.unionAll(docs(s, dir).filter(col("doc_id") < 2)
         .select((col("doc_id") + 9000000L).as("doc_id"),
           concat(lit(koreanSpan), col("text")).as("text")))
+      // Deliberately uncached: the fingerprint subtree appears twice
+      // (shared-count aggregate + join-back) but both branches run in
+      // ONE job — r20 same-box pairs read the withCached variant
+      // 1.08–1.09× slower at BOTH sf0.1 and sf1 (the materialization
+      // barrier outweighs duplication the scheduler runs in parallel).
       val fp = TA.winnowFingerprints(d, "doc_id", "text", k = 20, w = 8)
       val shared = fp.groupBy("h").agg(countDistinct(col("id")).as("nd"))
       fp.join(shared, Seq("h"))
@@ -1058,25 +1076,24 @@ object LlmPack extends QueryPack {
       val e = emb(s, dir)
       val c = e.select(col("vec_id"), col("embedding").as("ce"))
       val cent = Ann.ivfCentroids(c, NC, LLOYD)
-      // residuals persist once for their two consumers (codebook
+      // residuals cache once for their two consumers (codebook
       // training, encoding); the bucket rides through the encode
       // projection instead of a corpus-wide re-attach join (r20 —
-      // the writeIndexPq build shape, applied to the in-memory gate)
-      val res = Ann.ivfResiduals(c, cent)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val cb = Ann.pqCodebooksCached(
-        res.select(col("vec_id"), col("re").as("ce")), PQ_M, PQ_K, LLOYD,
-        seed = "ivfpq")
-      val enc = Ann.pqEncode(
-          res.select(col("vec_id"), col("bucket"), col("re").as("ce")),
-          cb, keep = Seq("bucket"))
-        .select(col("vec_id"), col("bucket"), col("codes"))
-      val q = e.filter(col("vec_id") < 3)
-        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
-      graft.core.Materialize.drained(
+      // the writeIndexPq build shape, applied to the in-memory gate;
+      // scoped Materialize lifecycle, nothing stays cached after)
+      graft.core.Materialize.withCached(Ann.ivfResiduals(c, cent)) { res =>
+        val cb = Ann.pqCodebooksCached(
+          res.select(col("vec_id"), col("re").as("ce")), PQ_M, PQ_K, LLOYD,
+          seed = "ivfpq")
+        val enc = Ann.pqEncode(
+            res.select(col("vec_id"), col("bucket"), col("re").as("ce")),
+            cb, keep = Seq("bucket"))
+          .select(col("vec_id"), col("bucket"), col("codes"))
+        val q = e.filter(col("vec_id") < 3)
+          .select(col("vec_id").as("qid"), col("embedding").as("qe"))
         Ann.ivfpqTopK(q, cent, cb, enc, TOPK, NPROBE)
-          .select("qid", "vec_id", "dot_x1e6", "rank").orderBy("qid", "rank"),
-        res)
+          .select("qid", "vec_id", "dot_x1e6", "rank").orderBy("qid", "rank")
+      }
     }),
     // INCREMENTAL index maintenance: yesterday's corpus (6/7 of the
     // vectors) trains the centroids; today's arrivals assign to the
